@@ -1,0 +1,129 @@
+"""North-star benchmark: 1024x1024 UNet2D tiled inference frames/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The baseline is the CPU reference throughput for the same chain. The
+reference (TF-1.x) is not installable here; BASELINE.md directs us to anchor
+the 10x target by measuring a CPU re-derivation ourselves. ``--baseline``
+re-measures the identical fused chain on the jax CPU backend and caches the
+number in ``baseline_cpu.json``; the default run loads the cache (or uses a
+recorded constant) and reports vs_baseline = tpu_fps / cpu_fps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+# Recorded on this machine's CPU (1 core) via `python bench.py --baseline`;
+# see baseline_cpu.json for the live cache.
+_DEFAULT_CPU_FPS = 0.5
+
+FRAME = (1024, 1024)
+
+
+def _build(device_kind: str):
+    import jax
+    import jax.numpy as jnp
+    from sequitr_tpu.models import unet
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    compute_dtype = jnp.bfloat16 if device_kind == "tpu" else jnp.float32
+    cfg = unet.UNetConfig(
+        in_channels=1, num_classes=3, depth=4, base_features=32,
+        compute_dtype=compute_dtype,
+    )
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    # BASELINE config #1 is a single whole 1024^2 frame: it fits HBM, so the
+    # fastest correct plan is untiled (tiling pays ~1.56x redundant conv work
+    # at 256/64 patch/overlap and is reserved for frames larger than memory)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
+    fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
+    frame = jnp.asarray(
+        np.random.default_rng(0).gamma(2.0, 100.0, FRAME).astype(np.float32)
+    )
+    return fn, params, state, frame
+
+
+def _force(out) -> float:
+    """Force execution of everything queued before ``out`` and return a
+    checksum. Uses a dependent scalar fetch rather than block_until_ready:
+    device queues execute in order, so materializing a scalar reduction of
+    the last output proves all prior work finished — and moves 8 bytes
+    host-ward instead of the full 16MB result (which would swamp the
+    measurement on remote-tunneled devices)."""
+    import jax.numpy as jnp
+
+    _probs, labels = out
+    return float(jnp.sum(labels))
+
+
+def _measure(fn, params, state, frame, iters: int, warmup: int = 2) -> float:
+    for _ in range(warmup):
+        out = fn(params, state, frame)
+    _force(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, state, frame)
+    _force(out)
+    return iters / (time.perf_counter() - t0)
+
+
+def measure_cpu_baseline() -> float:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    # this machine's sitecustomize force-registers the TPU plugin and
+    # overrides JAX_PLATFORMS; pin the config value itself
+    jax.config.update("jax_platforms", "cpu")
+    fn, params, state, frame = _build("cpu")
+    fps = _measure(fn, params, state, frame, iters=3, warmup=1)
+    with open(os.path.join(os.path.dirname(__file__) or ".", "baseline_cpu.json"), "w") as f:
+        json.dump({"cpu_fps": fps, "frame": FRAME}, f)
+    return fps
+
+
+def load_cpu_baseline() -> float:
+    path = os.path.join(os.path.dirname(__file__) or ".", "baseline_cpu.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return float(json.load(f)["cpu_fps"])
+    return _DEFAULT_CPU_FPS
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline", action="store_true", help="measure CPU baseline")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    if args.baseline:
+        fps = measure_cpu_baseline()
+        print(json.dumps({"metric": "cpu_baseline_fps", "value": fps, "unit": "frames/sec"}))
+        return
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+    fn, params, state, frame = _build(jax.default_backend())
+    fps = _measure(fn, params, state, frame, iters=args.iters)
+    cpu_fps = load_cpu_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "unet2d_1024_inference",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / cpu_fps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Server and job configuration dataclasses.
+
+The reference has a ``ServerConfiguration`` (paths, GPU id) plus per-job
+JSON params (SURVEY.md §5 'Config / flags'). Exact reference fields are
+unavailable; the schema here is the rebuild's documented contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+__all__ = ["ServerConfiguration"]
+
+
+@dataclasses.dataclass
+class ServerConfiguration:
+    """Long-lived image-server configuration.
+
+    ``jobs_dir``: watched directory clients drop job JSON files into.
+    ``models_dir``: root for named model checkpoints (orbax directories).
+    ``poll_interval``: seconds between job-directory scans.
+    ``max_retries``: per-job retry budget before a failure marker is written.
+    """
+
+    jobs_dir: str = "./jobs"
+    models_dir: str = "./models"
+    poll_interval: float = 1.0
+    max_retries: int = 1
+    log_dir: Optional[str] = None
+
+    @classmethod
+    def from_json(cls, path: str) -> "ServerConfiguration":
+        with open(path) as f:
+            data = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in known})
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    def ensure_dirs(self) -> None:
+        os.makedirs(self.jobs_dir, exist_ok=True)
+        os.makedirs(self.models_dir, exist_ok=True)
+        if self.log_dir:
+            os.makedirs(self.log_dir, exist_ok=True)

@@ -1,0 +1,347 @@
+"""TFRecord-compatible training-record I/O — TensorFlow-free.
+
+The reference serializes (image, label, weight-map) examples into TFRecord
+shards with ``tf.python_io.TFRecordWriter`` and parses them back with
+``tf.parse_single_example`` (SURVEY.md §2 'TFRecord pipeline'). This module
+reimplements the wire formats from scratch so existing sequitr record shards
+remain readable and shards written here remain readable by TF tooling:
+
+* the TFRecord framing (length + masked-crc32c + payload + masked-crc32c),
+  with the Castagnoli CRC implemented in numpy (table-driven, vectorized);
+* the ``tf.train.Example`` protobuf subset (Features map of
+  BytesList/FloatList/Int64List), hand-encoded — no protobuf runtime.
+
+Typed helpers pack segmentation examples (image/labels/weights + shape
+metadata) the way sequitr's record builder does (spec decision: exact
+reference feature keys unavailable; keys are documented constants below).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+__all__ = [
+    "RecordWriter",
+    "read_records",
+    "encode_example",
+    "decode_example",
+    "write_segmentation_shards",
+    "read_segmentation_examples",
+    "SegExample",
+]
+
+# ---------------------------------------------------------------------------
+# crc32c (Castagnoli), table-driven, vectorized over the payload with numpy
+# ---------------------------------------------------------------------------
+
+_CRC_TABLE = None
+
+
+def _crc_table() -> np.ndarray:
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        poly = 0x82F63B78
+        table = np.empty(256, dtype=np.uint32)
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ (poly if crc & 1 else 0)
+            table[i] = crc
+        _CRC_TABLE = table
+    return _CRC_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    table = _crc_table()
+    crc = np.uint32(0xFFFFFFFF)
+    for b in np.frombuffer(data, dtype=np.uint8):
+        crc = table[(crc ^ b) & np.uint32(0xFF)] ^ (crc >> np.uint8(8))
+    return int(crc ^ np.uint32(0xFFFFFFFF))
+
+
+_native_crc = None
+
+
+def _best_crc32c(data: bytes) -> int:
+    """Native slice-by-8 crc32c when built, else the numpy fallback."""
+    global _native_crc
+    if _native_crc is None:
+        try:
+            from sequitr_tpu import native
+
+            _native_crc = native.crc32c if native.available() else crc32c
+        except ImportError:
+            _native_crc = crc32c
+    return _native_crc(data)
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _best_crc32c(data)
+    return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf wire codec for tf.train.Example
+# ---------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int):
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+FeatureValue = Union[bytes, Sequence[bytes], Sequence[int], Sequence[float], np.ndarray]
+
+
+def _encode_feature(value: FeatureValue) -> bytes:
+    """Encode one Feature message: bytes_list=1 | float_list=2 | int64_list=3."""
+    if isinstance(value, bytes):
+        value = [value]
+    if isinstance(value, np.ndarray):
+        if value.dtype == np.float32 or value.dtype == np.float64:
+            value = value.astype(np.float32).reshape(-1)
+            packed = value.astype("<f4").tobytes()
+            return _len_delim(2, _len_delim(1, packed))
+        value = [int(v) for v in value.reshape(-1)]
+    value = list(value)
+    if value and isinstance(value[0], bytes):
+        body = b"".join(_len_delim(1, v) for v in value)
+        return _len_delim(1, body)
+    if value and isinstance(value[0], float):
+        packed = np.asarray(value, dtype="<f4").tobytes()
+        return _len_delim(2, _len_delim(1, packed))
+    # int64 list (packed varints), also the empty-list default
+    packed = b"".join(_varint(int(v) & 0xFFFFFFFFFFFFFFFF) for v in value)
+    return _len_delim(3, _len_delim(1, packed))
+
+
+def encode_example(features: Dict[str, FeatureValue]) -> bytes:
+    """Encode a tf.train.Example: Example.features(1) -> map entries (1)."""
+    entries = b""
+    for key in sorted(features):
+        kv = _len_delim(1, key.encode()) + _len_delim(2, _encode_feature(features[key]))
+        entries += _len_delim(1, kv)
+    return _len_delim(1, entries)
+
+
+def _decode_feature(buf: bytes):
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        assert wire == 2, f"unexpected wire type {wire} in Feature"
+        ln, pos = _read_varint(buf, pos)
+        body = buf[pos : pos + ln]
+        pos += ln
+        if field == 1:  # BytesList
+            out: List[bytes] = []
+            p = 0
+            while p < len(body):
+                t, p = _read_varint(body, p)
+                assert t >> 3 == 1
+                l2, p = _read_varint(body, p)
+                out.append(body[p : p + l2])
+                p += l2
+            return out
+        if field == 2:  # FloatList
+            p = 0
+            vals: List[float] = []
+            while p < len(body):
+                t, p = _read_varint(body, p)
+                if (t & 7) == 2:  # packed
+                    l2, p = _read_varint(body, p)
+                    vals.extend(np.frombuffer(body[p : p + l2], dtype="<f4").tolist())
+                    p += l2
+                else:  # unpacked fixed32
+                    vals.append(struct.unpack("<f", body[p : p + 4])[0])
+                    p += 4
+            return vals
+        if field == 3:  # Int64List
+            p = 0
+            ivals: List[int] = []
+            while p < len(body):
+                t, p = _read_varint(body, p)
+                if (t & 7) == 2:  # packed
+                    l2, p = _read_varint(body, p)
+                    end = p + l2
+                    while p < end:
+                        v, p = _read_varint(body, p)
+                        ivals.append(v)
+                else:
+                    v, p = _read_varint(body, p)
+                    ivals.append(v)
+            return ivals
+    return []
+
+
+def decode_example(data: bytes) -> Dict[str, object]:
+    """Decode a tf.train.Example payload into {key: list-of-values}."""
+    features: Dict[str, object] = {}
+    pos = 0
+    tag, pos = _read_varint(data, pos)
+    assert tag >> 3 == 1, "not an Example"
+    ln, pos = _read_varint(data, pos)
+    fbuf = data[pos : pos + ln]
+    p = 0
+    while p < len(fbuf):
+        t, p = _read_varint(fbuf, p)
+        assert t >> 3 == 1, "expected Features map entry"
+        ln2, p = _read_varint(fbuf, p)
+        entry = fbuf[p : p + ln2]
+        p += ln2
+        q = 0
+        key = None
+        val = None
+        while q < len(entry):
+            t2, q = _read_varint(entry, q)
+            l3, q = _read_varint(entry, q)
+            body = entry[q : q + l3]
+            q += l3
+            if t2 >> 3 == 1:
+                key = body.decode()
+            else:
+                val = _decode_feature(body)
+        features[key] = val
+    return features
+
+
+# ---------------------------------------------------------------------------
+# TFRecord framing
+# ---------------------------------------------------------------------------
+
+
+class RecordWriter:
+    """Write TFRecord-framed byte records (context manager)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+
+    def write(self, payload: bytes) -> None:
+        header = struct.pack("<Q", len(payload))
+        self._f.write(header)
+        self._f.write(struct.pack("<I", _masked_crc(header)))
+        self._f.write(payload)
+        self._f.write(struct.pack("<I", _masked_crc(payload)))
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
+    """Yield raw record payloads from a TFRecord file."""
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                return
+            (length,) = struct.unpack("<Q", header)
+            (hcrc,) = struct.unpack("<I", f.read(4))
+            payload = f.read(length)
+            (pcrc,) = struct.unpack("<I", f.read(4))
+            if verify_crc:
+                if _masked_crc(header) != hcrc:
+                    raise IOError(f"corrupt record header in {path}")
+                if _masked_crc(payload) != pcrc:
+                    raise IOError(f"corrupt record payload in {path}")
+            yield payload
+
+
+# ---------------------------------------------------------------------------
+# segmentation example schema (sequitr record builder equivalent)
+# ---------------------------------------------------------------------------
+
+# Feature keys (spec decision — reference keys unavailable; documented here)
+K_IMAGE, K_LABELS, K_WEIGHTS = "image/encoded", "labels/encoded", "weights/encoded"
+K_SHAPE, K_IMAGE_DTYPE = "image/shape", "image/dtype"
+
+
+class SegExample:
+    """One (image, labels, weights) training example."""
+
+    def __init__(self, image: np.ndarray, labels: np.ndarray, weights: Optional[np.ndarray] = None):
+        self.image = np.asarray(image)
+        self.labels = np.asarray(labels, dtype=np.int32)
+        self.weights = None if weights is None else np.asarray(weights, dtype=np.float32)
+
+
+def _encode_seg(ex: SegExample) -> bytes:
+    img = ex.image.astype(np.float32)
+    feats: Dict[str, FeatureValue] = {
+        K_IMAGE: img.astype("<f4").tobytes(),
+        K_LABELS: ex.labels.astype("<i4").tobytes(),
+        K_SHAPE: list(img.shape),
+        K_IMAGE_DTYPE: b"float32",
+    }
+    if ex.weights is not None:
+        feats[K_WEIGHTS] = ex.weights.astype("<f4").tobytes()
+    return encode_example(feats)
+
+
+def _decode_seg(payload: bytes) -> SegExample:
+    f = decode_example(payload)
+    shape = tuple(int(v) for v in f[K_SHAPE])
+    image = np.frombuffer(f[K_IMAGE][0], dtype="<f4").reshape(shape)
+    labels = np.frombuffer(f[K_LABELS][0], dtype="<i4").reshape(shape[: len(shape)])
+    labels = labels.reshape(shape)
+    weights = None
+    if K_WEIGHTS in f:
+        weights = np.frombuffer(f[K_WEIGHTS][0], dtype="<f4").reshape(shape)
+    return SegExample(image, labels, weights)
+
+
+def write_segmentation_shards(
+    prefix: str, examples: Iterable[SegExample], shard_size: int = 128
+) -> List[str]:
+    """Write examples to ``{prefix}-00000-of-NNNNN.tfrecord`` shards."""
+    examples = list(examples)
+    n_shards = max(1, -(-len(examples) // shard_size))
+    paths = []
+    for s in range(n_shards):
+        path = f"{prefix}-{s:05d}-of-{n_shards:05d}.tfrecord"
+        with RecordWriter(path) as w:
+            for ex in examples[s * shard_size : (s + 1) * shard_size]:
+                w.write(_encode_seg(ex))
+        paths.append(path)
+    return paths
+
+
+def read_segmentation_examples(paths: Sequence[str]) -> Iterator[SegExample]:
+    for path in paths:
+        for payload in read_records(path):
+            yield _decode_seg(payload)

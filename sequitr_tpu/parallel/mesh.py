@@ -1,0 +1,106 @@
+"""Device mesh + data-parallel sharding (SPMD over ICI).
+
+The reference is single-GPU with no distributed execution (SURVEY.md §2
+'Parallelism strategies'); scaling here comes from the rebuild's north star:
+batch-sharded data parallelism over a TPU mesh, with XLA inserting the
+all-reduces over ICI (BASELINE.json; SURVEY.md §5 'Distributed comm
+backend'). There are no attention layers and the models are small, so DP
+over frames/patches is the load-bearing strategy; spatial sharding of very
+large frames is provided as an extension (``sequitr_tpu.parallel.spatial``).
+
+Design: ``jit`` with ``NamedSharding`` in/out shardings — parameters and
+model state replicated, the batch axis sharded over the ``data`` mesh axis.
+XLA turns the gradient mean into a single ICI all-reduce; no hand-written
+collectives are needed for DP.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "replicated",
+    "batch_sharded",
+    "shard_batch",
+    "make_dp_train_step",
+    "make_dp_frame_inferrer",
+]
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_name: str = "data"
+) -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
+    """Place a host batch pytree with its leading axis sharded over the mesh."""
+    sh = batch_sharded(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def make_dp_train_step(
+    train_step: Callable, mesh: Mesh, axis_name: str = "data"
+) -> Callable:
+    """Wrap a single-chip ``step(state, batch, key)`` for data parallelism.
+
+    State (params/opt/BN stats) is replicated; every leaf of ``batch`` is
+    sharded on its leading axis. The per-batch mean in the loss makes XLA
+    emit one gradient all-reduce over ICI — the canonical DP pattern.
+    """
+    rep = replicated(mesh)
+    shd = batch_sharded(mesh, axis_name)
+    cache: dict = {}
+
+    def wrapped(state, batch, key):
+        struct = jax.tree.structure(batch)
+        if struct not in cache:
+            cache[struct] = jax.jit(
+                train_step,
+                in_shardings=(rep, jax.tree.map(lambda _: shd, batch), rep),
+                out_shardings=(rep, rep),
+                donate_argnums=0,
+            )
+        return cache[struct](state, batch, key)
+
+    return wrapped
+
+
+def make_dp_frame_inferrer(
+    infer_fn: Callable, mesh: Mesh, axis_name: str = "data"
+) -> Callable:
+    """Vectorize a per-frame inferrer over a frame batch sharded on the mesh.
+
+    ``infer_fn(params, state, frame) -> (probs, labels)`` (un-jitted single
+    frame chain) becomes ``batched(params, state, frames)`` with ``frames``
+    (D, *spatial[, C]) sharded over ``data`` — each chip runs the full fused
+    normalize->tile->net->stitch graph on its shard of frames with zero
+    inter-chip traffic (embarrassingly parallel; SURVEY.md §3.3).
+    """
+    rep = replicated(mesh)
+    shd = batch_sharded(mesh, axis_name)
+    return jax.jit(
+        lambda params, state, frames: jax.vmap(
+            lambda f: infer_fn(params, state, f)
+        )(frames),
+        in_shardings=(rep, rep, shd),
+        out_shardings=(shd, shd),
+    )

@@ -1,0 +1,149 @@
+"""Fused tiled sliding-window inference — the north-star path.
+
+Rebuilds sequitr's per-frame inference chain (SURVEY.md §3.3):
+
+    normalize -> extract overlapping patches -> batched net forward
+    -> weighted stitch-blend -> softmax probs + argmax label map
+
+as ONE jit-compiled XLA graph per frame shape, instead of the reference's
+per-stage host round-trips. Timelapse stacks stream through with the next
+frame's host->HBM copy overlapped with compute (double buffering via async
+dispatch), per BASELINE.json's north-star description.
+
+Data-parallel multi-chip execution lives in ``sequitr_tpu.parallel``; this
+module is the single-chip building block it shards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Iterable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sequitr_tpu.models import unet
+from sequitr_tpu.ops import normalize as norm_ops
+from sequitr_tpu.ops import tiling
+
+__all__ = ["TileConfig", "make_frame_inferrer", "infer_stack", "InferenceResult"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TileConfig:
+    """Tiling + normalization config for sliding-window inference."""
+
+    patch: Tuple[int, ...] = (256, 256)
+    overlap: Tuple[int, ...] = (64, 64)
+    window: str = "hann"
+    normalize: str = "fast"  # "fast" | "exact" | "none"
+    p_lo: float = 5.0
+    p_hi: float = 99.5
+    patch_batch: Optional[int] = None  # chunk patches to bound HBM (None = all)
+
+
+@dataclasses.dataclass
+class InferenceResult:
+    probs: jnp.ndarray  # (*spatial, K) float32 softmax map
+    labels: jnp.ndarray  # (*spatial,) int32 label map
+
+
+def _normalize(frame: jnp.ndarray, tc: TileConfig) -> jnp.ndarray:
+    if tc.normalize == "none":
+        return frame.astype(jnp.float32)
+    if tc.normalize == "exact":
+        return norm_ops.percentile_normalize(frame, tc.p_lo, tc.p_hi)
+    return norm_ops.percentile_normalize_fast(frame, tc.p_lo, tc.p_hi)
+
+
+def make_frame_inferrer(
+    cfg: unet.UNetConfig,
+    tc: TileConfig,
+    frame_spatial: Tuple[int, ...],
+    jit: bool = True,
+) -> Callable:
+    """Build ``infer(params, state, frame) -> (probs, labels)`` for one shape.
+
+    ``frame``: (*frame_spatial,) or (*frame_spatial, C_in). The returned
+    callable is a single fused jit graph: normalize, tile, batched U-Net
+    forward over all patches, stitch-blend of softmax maps, argmax.
+
+    Softmax is applied per-patch BEFORE stitching so overlap blending
+    averages probabilities, keeping stitched maps in the simplex (spec
+    decision; SURVEY.md §2 'Weighted stitch-blend' blends softmax outputs).
+    """
+    nd = len(frame_spatial)
+    grid = tiling.tile_grid(frame_spatial, tc.patch, tc.overlap)
+
+    def infer(params, state, frame):
+        if frame.ndim == nd:
+            frame = frame[..., None]
+        x = _normalize(frame, tc)
+        patches = tiling.extract_patches(x, grid, tc.patch)  # (T, *patch, C)
+
+        def forward(batch):
+            logits, _ = unet.apply(cfg, params, state, batch, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        t = patches.shape[0]
+        if tc.patch_batch is None or tc.patch_batch >= t:
+            probs_patches = forward(patches)
+        else:
+            # chunked patch batches via lax.map to bound peak HBM
+            b = tc.patch_batch
+            pad = (-t) % b
+            padded = jnp.concatenate(
+                [patches, jnp.zeros((pad,) + patches.shape[1:], patches.dtype)]
+            )
+            chunks = padded.reshape((padded.shape[0] // b, b) + patches.shape[1:])
+            probs_patches = jax.lax.map(forward, chunks).reshape(
+                (-1,) + tc.patch + (cfg.num_classes,)
+            )[:t]
+
+        probs = tiling.stitch_patches(
+            probs_patches, grid, frame_spatial, tc.overlap, tc.window
+        )
+        labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        return probs, labels
+
+    return jax.jit(infer) if jit else infer
+
+
+def infer_stack(
+    infer_fn: Callable,
+    params,
+    state,
+    frames: Iterable[np.ndarray],
+    prefetch: int = 2,
+) -> Iterator[InferenceResult]:
+    """Stream a timelapse stack through ``infer_fn`` with H2D double-buffering.
+
+    ``frames`` yields host arrays. Transfers are issued ``prefetch`` frames
+    ahead of compute; jax dispatch is async, so while frame i's graph runs on
+    the TPU, frame i+1's host->HBM copy is already in flight — ingest never
+    starves the device (SURVEY.md §7 hard part (e)).
+    """
+    frames = iter(frames)
+    device = jax.devices()[0]
+    queue = []  # (device_frame, pending_result)
+
+    def launch(host_frame):
+        dev = jax.device_put(np.asarray(host_frame), device)
+        return infer_fn(params, state, dev)
+
+    # warm the pipeline
+    for _ in range(prefetch):
+        try:
+            queue.append(launch(next(frames)))
+        except StopIteration:
+            break
+
+    while queue:
+        probs, labels = queue.pop(0)
+        try:
+            queue.append(launch(next(frames)))
+        except StopIteration:
+            pass
+        yield InferenceResult(probs=probs, labels=labels)

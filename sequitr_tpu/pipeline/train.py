@@ -1,0 +1,248 @@
+"""Training drivers: U-Net segmentation and GAN enhancement.
+
+Rebuilds sequitr's per-network training loops (SURVEY.md §3.2/§3.4):
+records in -> on-device augmentation -> forward -> weighted-CE (or
+adversarial+L1) -> Adam -> periodic checkpoints. The whole step is one jit
+graph; augmentation runs on device (vmapped over the batch), optimizer is
+optax Adam, checkpoints are orbax (SURVEY.md §5 'Checkpoint / resume').
+
+Data-parallel sharding of these steps over a TPU mesh lives in
+``sequitr_tpu.parallel.mesh``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sequitr_tpu.models import gan as gan_lib
+from sequitr_tpu.models import unet
+from sequitr_tpu.ops import augment as aug
+from sequitr_tpu.ops import losses
+
+__all__ = [
+    "TrainConfig",
+    "TrainState",
+    "create_unet_state",
+    "make_unet_train_step",
+    "GANTrainState",
+    "create_gan_state",
+    "make_gan_train_step",
+    "save_checkpoint",
+    "restore_checkpoint",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    beta1: float = 0.9  # GAN drivers typically want 0.5 (pix2pix default)
+    weight_decay: float = 0.0
+    grad_clip: Optional[float] = 1.0
+    augment: bool = True
+    elastic_alpha: float = 20.0
+    elastic_grid: int = 4
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        tx = [optax.clip_by_global_norm(self.grad_clip)] if self.grad_clip else []
+        if self.weight_decay:
+            tx.append(
+                optax.adamw(
+                    self.learning_rate, b1=self.beta1, weight_decay=self.weight_decay
+                )
+            )
+        else:
+            tx.append(optax.adam(self.learning_rate, b1=self.beta1))
+        return optax.chain(*tx)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    model_state: Any  # batch-norm moving stats
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_unet_state(
+    key: jax.Array, cfg: unet.UNetConfig, tc: TrainConfig
+) -> TrainState:
+    params, model_state = unet.init(key, cfg)
+    opt_state = tc.make_optimizer().init(params)
+    return TrainState(params, model_state, opt_state, jnp.zeros((), jnp.int32))
+
+
+def _augment_batch(key, images, labels, weights, tc: TrainConfig):
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(
+        lambda k, i, l, w: aug.augment_example(
+            k, i, l, w, elastic_alpha=tc.elastic_alpha, elastic_grid=tc.elastic_grid
+        )
+    )(keys, images, labels, weights)
+
+
+def make_unet_train_step(cfg: unet.UNetConfig, tc: TrainConfig, jit: bool = True):
+    """Build ``step(state, batch, key) -> (state, metrics)``.
+
+    ``batch``: dict with ``image`` (N, *s, C), ``labels`` (N, *s) int,
+    optional ``weights`` (N, *s). One fused jit graph: augment -> forward ->
+    weighted CE -> Adam update (+ BN stats update).
+    """
+    optimizer = tc.make_optimizer()
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        images = batch["image"]
+        labels = batch["labels"]
+        weights = batch.get("weights")
+        if tc.augment and cfg.dims == 2:
+            w_in = weights if weights is not None else jnp.ones(labels.shape, jnp.float32)
+            images, labels, w_out = _augment_batch(key, images, labels, w_in, tc)
+            weights = w_out if weights is not None else None
+
+        def loss_fn(params):
+            logits, new_ms = unet.apply(
+                cfg, params, state.model_state, images, train=True
+            )
+            loss = losses.weighted_softmax_cross_entropy(logits, labels, weights)
+            return loss, (logits, new_ms)
+
+        (loss, (logits, new_ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        metrics = {
+            "loss": loss,
+            "accuracy": jnp.mean((preds == labels).astype(jnp.float32)),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(new_params, new_ms, new_opt, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=0) if jit else step
+
+
+# ---------------------------------------------------------------------------
+# GAN training (alternating G/D steps fused into one update)
+# ---------------------------------------------------------------------------
+
+
+class GANTrainState(NamedTuple):
+    params: Any  # {'gen': ..., 'disc': ...}
+    model_state: Any
+    gen_opt_state: Any
+    disc_opt_state: Any
+    step: jnp.ndarray
+
+
+def create_gan_state(
+    key: jax.Array, cfg: gan_lib.GANConfig, tc: TrainConfig
+) -> GANTrainState:
+    params, model_state = gan_lib.init(key, cfg)
+    opt = tc.make_optimizer()
+    return GANTrainState(
+        params,
+        model_state,
+        opt.init(params["gen"]),
+        opt.init(params["disc"]),
+        jnp.zeros((), jnp.int32),
+    )
+
+
+def make_gan_train_step(
+    cfg: gan_lib.GANConfig, tc: TrainConfig, l1_weight: float = 100.0, jit: bool = True
+):
+    """Build ``step(state, batch, key) -> (state, metrics)``.
+
+    ``batch``: dict with ``input`` (N, H, W, C_in) raw and ``target``
+    (N, H, W, C_out) clean images. One jit graph performs the classic
+    alternating update: D on (real, fake-detached), then G on
+    adversarial + lambda*L1 (SURVEY.md §3.4).
+    """
+    optimizer = tc.make_optimizer()
+
+    def step(state: GANTrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        x, y_real = batch["input"], batch["target"]
+
+        # --- discriminator update (generator frozen) ---
+        fake, _ = gan_lib.generator_apply(cfg, state.params, state.model_state, x)
+        fake = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(disc_params):
+            p = {"gen": state.params["gen"], "disc": disc_params}
+            real_logits = gan_lib.discriminator_apply(cfg, p, x, y_real)
+            fake_logits = gan_lib.discriminator_apply(cfg, p, x, fake)
+            return losses.gan_discriminator_loss(real_logits, fake_logits)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.params["disc"])
+        d_updates, new_d_opt = optimizer.update(
+            d_grads, state.disc_opt_state, state.params["disc"]
+        )
+        new_disc = optax.apply_updates(state.params["disc"], d_updates)
+
+        # --- generator update (new discriminator frozen) ---
+        def g_loss_fn(gen_params):
+            p = {"gen": gen_params, "disc": new_disc}
+            fake_g, new_ms = gan_lib.generator_apply(
+                cfg, p, state.model_state, x, train=True
+            )
+            fake_logits = gan_lib.discriminator_apply(cfg, p, x, fake_g)
+            loss = losses.gan_generator_loss(fake_logits, fake_g, y_real, l1_weight)
+            return loss, new_ms
+
+        (g_loss, new_ms), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.params["gen"]
+        )
+        g_updates, new_g_opt = optimizer.update(
+            g_grads, state.gen_opt_state, state.params["gen"]
+        )
+        new_gen = optax.apply_updates(state.params["gen"], g_updates)
+
+        metrics = {"d_loss": d_loss, "g_loss": g_loss}
+        new_state = GANTrainState(
+            {"gen": new_gen, "disc": new_disc},
+            new_ms,
+            new_g_opt,
+            new_d_opt,
+            state.step + 1,
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=0) if jit else step
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, state) -> None:
+    """Save a train state pytree with orbax (atomic directory write)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.tree.map(jnp.asarray, state), force=True)
+
+
+def restore_checkpoint(path: str, target):
+    """Restore into the structure of ``target`` (a template train state).
+
+    ``target`` supplies both the pytree structure and the restore shardings
+    (via ``construct_restore_args``), so checkpoints restore correctly even
+    on a different topology/backend than they were saved on (e.g. saved
+    during CPU training, served on TPU).
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if target is None:
+            return ckptr.restore(path)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(
+            jax.tree.map(jnp.asarray, target)
+        )
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(item=target, restore_args=restore_args)
+        )

@@ -1,0 +1,147 @@
+"""Filesystem job queue: schema, atomic claim/complete/fail transitions.
+
+The reference's public contract is a watched job directory: clients drop a
+JSON job description; the server picks it up, runs the named pipeline and
+writes results + a completion marker back (SURVEY.md §1 L6, §3.1). The
+reference schema is unavailable, so the rebuild's documented job schema is:
+
+    {
+      "module": "segmentation_unet2d",   # pipeline registry key (required)
+      "func":   "infer",                  # optional sub-operation
+      "params": {...},                    # pipeline-specific parameters
+      "input":  ["relative/or/abs.tif"],  # input data paths
+      "output": "results/"                # output directory
+    }
+
+filed as ``<jobs_dir>/job_<id>.json``. Lifecycle markers inside the job's
+output directory: ``status.json`` with state running/complete/failed (+
+timing, error traceback). All queue transitions are atomic
+write-temp-then-rename so a crashed server never leaves half-parsed jobs
+(SURVEY.md §5 'Race detection': atomic fs ops replace the reference's
+single-threaded assumption).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import tempfile
+import time
+from typing import Any, Dict, List, Optional
+
+__all__ = ["Job", "JobError", "scan_jobs", "claim_job", "write_status", "submit_job"]
+
+JOB_PREFIX = "job_"
+JOB_SUFFIX = ".json"
+CLAIMED_SUFFIX = ".running"
+
+
+class JobError(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass
+class Job:
+    id: str
+    module: str
+    func: str
+    params: Dict[str, Any]
+    input: List[str]
+    output: str
+    path: str = ""  # queue file path once claimed
+
+    @classmethod
+    def from_file(cls, path: str) -> "Job":
+        with open(path) as f:
+            data = json.load(f)
+        if "module" not in data:
+            raise JobError(f"job {path} missing required field 'module'")
+        stem = os.path.basename(path)
+        for suffix in (CLAIMED_SUFFIX, JOB_SUFFIX):
+            if stem.endswith(suffix):
+                stem = stem[: -len(suffix)]
+        if stem.startswith(JOB_PREFIX):
+            stem = stem[len(JOB_PREFIX) :]
+        return cls(
+            id=str(data.get("id", stem)),
+            module=data["module"],
+            func=data.get("func", "run"),
+            params=data.get("params", {}),
+            input=list(data.get("input", [])),
+            output=data.get("output", ""),
+            path=path,
+        )
+
+
+def _atomic_write(path: str, text: str) -> None:
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def submit_job(jobs_dir: str, spec: Dict[str, Any], job_id: Optional[str] = None) -> str:
+    """Client-side: atomically file a job JSON into the queue; returns its id."""
+    job_id = job_id or f"{int(time.time() * 1000):x}"
+    path = os.path.join(jobs_dir, f"{JOB_PREFIX}{job_id}{JOB_SUFFIX}")
+    _atomic_write(path, json.dumps(spec, indent=2))
+    return job_id
+
+
+def scan_jobs(jobs_dir: str) -> List[str]:
+    """Unclaimed job files, oldest first."""
+    try:
+        names = os.listdir(jobs_dir)
+    except FileNotFoundError:
+        return []
+    paths = [
+        os.path.join(jobs_dir, n)
+        for n in names
+        if n.startswith(JOB_PREFIX) and n.endswith(JOB_SUFFIX)
+    ]
+    return sorted(paths, key=lambda p: os.path.getmtime(p))
+
+
+def claim_job(path: str) -> Optional[Job]:
+    """Atomically claim a queued job by renaming it; None if already taken."""
+    claimed = path[: -len(JOB_SUFFIX)] + CLAIMED_SUFFIX
+    try:
+        os.rename(path, claimed)
+    except (FileNotFoundError, OSError):
+        return None
+    job = Job.from_file(claimed)
+    job.path = claimed
+    return job
+
+
+def write_status(
+    job: Job,
+    state: str,
+    started: float,
+    error: Optional[str] = None,
+    outputs: Optional[Dict[str, str]] = None,
+) -> None:
+    """Atomically write the job's status marker into its output directory."""
+    status = {
+        "id": job.id,
+        "module": job.module,
+        "func": job.func,
+        "state": state,
+        "started": started,
+        "updated": time.time(),
+        "elapsed_s": round(time.time() - started, 3),
+    }
+    if error is not None:
+        status["error"] = error
+    if outputs is not None:
+        status["outputs"] = outputs
+    out_dir = job.output or os.path.dirname(job.path)
+    _atomic_write(os.path.join(out_dir, "status.json"), json.dumps(status, indent=2))

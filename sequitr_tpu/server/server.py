@@ -1,0 +1,326 @@
+"""The image server: watched-dir loop, pipeline registry, built-in pipelines.
+
+Rebuilds sequitr's long-lived GPU image server (SURVEY.md §3.1) on the TPU
+stack: a single-process loop scans the jobs directory, atomically claims
+each job, dispatches to the registered pipeline and writes results plus a
+status marker into the job's output directory. Client and server still
+communicate only via the filesystem — the reference's public contract.
+
+Built-in pipelines (registry keys are the rebuild's documented API):
+  * ``segmentation_unet2d`` / ``segmentation_unet3d`` — tiled sliding-window
+    segmentation of a TIFF stack; writes label-map TIFF, probability TIFF
+    (optional) and btrack HDF5 localizations.
+  * ``enhancement_gan`` — pix2pix generator pass over a TIFF stack.
+
+Model weights are orbax checkpoints under ``models_dir/<name>``, saved with
+matching config JSON (``config.json``) so the server can rebuild the net.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+import traceback
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from sequitr_tpu.config import ServerConfiguration
+from sequitr_tpu.server import jobs as jobs_lib
+from sequitr_tpu.server.jobs import Job
+
+log = logging.getLogger("sequitr_tpu.server")
+
+__all__ = ["PipelineRegistry", "ImageServer", "REGISTRY", "register"]
+
+
+class PipelineRegistry:
+    """Name -> pipeline callable(job, config) registry."""
+
+    def __init__(self):
+        self._pipelines: Dict[str, Callable] = {}
+
+    def register(self, name: str):
+        def deco(fn):
+            self._pipelines[name] = fn
+            return fn
+
+        return deco
+
+    def get(self, name: str) -> Callable:
+        if name not in self._pipelines:
+            raise jobs_lib.JobError(
+                f"unknown pipeline {name!r}; available: {sorted(self._pipelines)}"
+            )
+        return self._pipelines[name]
+
+    def names(self):
+        return sorted(self._pipelines)
+
+
+REGISTRY = PipelineRegistry()
+register = REGISTRY.register
+
+
+class ImageServer:
+    """Long-lived job server (SURVEY.md §3.1 rebuild)."""
+
+    def __init__(self, config: ServerConfiguration, registry: PipelineRegistry = REGISTRY):
+        self.config = config
+        self.registry = registry
+        config.ensure_dirs()
+
+    def run_forever(self) -> None:  # pragma: no cover - interactive loop
+        log.info("server watching %s (pipelines: %s)", self.config.jobs_dir, self.registry.names())
+        while True:
+            if not self.poll_once():
+                time.sleep(self.config.poll_interval)
+
+    def poll_once(self) -> bool:
+        """Claim and run at most one queued job. Returns True if one ran.
+
+        A job file that cannot be parsed (invalid JSON, missing ``module``)
+        is quarantined as ``<name>.rejected`` instead of crashing the loop —
+        a malformed client submission must never take the server down.
+        """
+        for path in jobs_lib.scan_jobs(self.config.jobs_dir):
+            try:
+                job = jobs_lib.claim_job(path)
+            except (jobs_lib.JobError, ValueError) as e:
+                claimed = path[: -len(jobs_lib.JOB_SUFFIX)] + jobs_lib.CLAIMED_SUFFIX
+                rejected = path + ".rejected"
+                for cand in (claimed, path):
+                    if os.path.exists(cand):
+                        os.replace(cand, rejected)
+                        break
+                log.error("rejected malformed job %s: %s", path, e)
+                continue
+            if job is None:
+                continue
+            self._execute(job)
+            return True
+        return False
+
+    def _execute(self, job: Job) -> None:
+        started = time.time()
+        os.makedirs(job.output or ".", exist_ok=True)
+        jobs_lib.write_status(job, "running", started)
+        attempts = 0
+        while True:
+            attempts += 1
+            try:
+                pipeline = self.registry.get(job.module)
+                outputs = pipeline(job, self.config) or {}
+                jobs_lib.write_status(job, "complete", started, outputs=outputs)
+                os.unlink(job.path)
+                log.info("job %s complete in %.2fs", job.id, time.time() - started)
+                return
+            except Exception:
+                err = traceback.format_exc()
+                if attempts > self.config.max_retries:
+                    jobs_lib.write_status(job, "failed", started, error=err)
+                    log.error("job %s failed:\n%s", job.id, err)
+                    return
+                log.warning("job %s attempt %d failed, retrying", job.id, attempts)
+
+
+# ---------------------------------------------------------------------------
+# model loading
+# ---------------------------------------------------------------------------
+
+
+def save_model(models_dir: str, name: str, kind: str, cfg, params, state) -> str:
+    """Persist a model (config JSON + orbax checkpoint) for server use."""
+    from sequitr_tpu.pipeline import train as train_lib
+
+    model_dir = os.path.join(models_dir, name)
+    os.makedirs(model_dir, exist_ok=True)
+    cfg_dict = dataclasses.asdict(cfg)
+    cfg_dict["__kind__"] = kind
+    cfg_dict["compute_dtype"] = str(np.dtype(cfg.compute_dtype).name)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(cfg_dict, f, indent=2)
+    train_lib.save_checkpoint(
+        os.path.join(model_dir, "ckpt"), {"params": params, "state": state}
+    )
+    return model_dir
+
+
+def load_model(models_dir: str, name: str):
+    """Load (kind, cfg, params, state) saved by ``save_model``."""
+    import jax.numpy as jnp
+
+    from sequitr_tpu.models import gan as gan_lib
+    from sequitr_tpu.models import unet
+    from sequitr_tpu.pipeline import train as train_lib
+
+    model_dir = os.path.join(models_dir, name)
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg_dict = json.load(f)
+    kind = cfg_dict.pop("__kind__")
+    cfg_dict["compute_dtype"] = jnp.dtype(cfg_dict["compute_dtype"])
+    cfg_cls = {"unet": unet.UNetConfig, "gan": gan_lib.GANConfig}[kind]
+    cfg = cfg_cls(**cfg_dict)
+    # orbax needs a concrete restore template (structure + shardings):
+    # rebuild one from the config — init is cheap relative to inference
+    import jax
+
+    init_fn = {"unet": unet.init, "gan": gan_lib.init}[kind]
+    t_params, t_state = init_fn(jax.random.PRNGKey(0), cfg)
+    restored = train_lib.restore_checkpoint(
+        os.path.join(model_dir, "ckpt"), {"params": t_params, "state": t_state}
+    )
+    return kind, cfg, restored["params"], restored["state"]
+
+
+# ---------------------------------------------------------------------------
+# built-in pipelines
+# ---------------------------------------------------------------------------
+
+
+def _resolve_inputs(job: Job):
+    if not job.input:
+        raise jobs_lib.JobError(f"job {job.id}: no input paths")
+    for p in job.input:
+        if not os.path.exists(p):
+            raise jobs_lib.JobError(f"job {job.id}: input not found: {p}")
+    return job.input
+
+
+def _tile_config(params: dict, dims: int = 2):
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    patch = tuple(params.get("patch", (256, 256) if dims == 2 else (16, 128, 128)))
+    overlap = tuple(params.get("overlap", (64, 64) if dims == 2 else (4, 32, 32)))
+    return infer_lib.TileConfig(
+        patch=patch,
+        overlap=overlap,
+        window=params.get("window", "hann"),
+        normalize=params.get("normalize", "fast"),
+        p_lo=float(params.get("p_lo", 5.0)),
+        p_hi=float(params.get("p_hi", 99.5)),
+    )
+
+
+@register("segmentation_unet2d")
+def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Tiled UNet2D segmentation of a (T, H, W) TIFF stack.
+
+    params: model (name under models_dir), patch, overlap, window,
+    normalize, p_lo, p_hi, save_probs (bool), localize (bool, default True),
+    min_area.
+    Outputs: labels.tif (+ probs.tif), objects.h5 (btrack layout).
+    """
+    from sequitr_tpu import localize as loc_lib
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    (path,) = _resolve_inputs(job)[:1]
+    stack = np.asarray(tiff.read_stack(path), dtype=np.float32)
+    if stack.ndim == 2:
+        stack = stack[None]
+
+    kind, cfg, params, state = load_model(config.models_dir, job.params["model"])
+    assert kind == "unet", f"model {job.params['model']} is not a unet"
+    tc = _tile_config(job.params, dims=2)
+    fn = infer_lib.make_frame_inferrer(cfg, tc, stack.shape[1:])
+
+    labels_out = np.empty(stack.shape, dtype=np.int32)
+    probs_list = [] if job.params.get("save_probs") else None
+    objects = []
+    for t, result in enumerate(
+        infer_lib.infer_stack(fn, params, state, stack)
+    ):
+        labels_np = np.asarray(result.labels)
+        labels_out[t] = labels_np
+        if probs_list is not None:
+            probs_list.append(np.asarray(result.probs))
+        if job.params.get("localize", True):
+            objects.extend(
+                loc_lib.localize_frame(
+                    labels_np,
+                    t=t,
+                    intensity=stack[t],
+                    min_area=int(job.params.get("min_area", 1)),
+                )
+            )
+
+    outputs = {}
+    labels_path = os.path.join(job.output, "labels.tif")
+    tiff.write_stack(labels_path, labels_out.astype(np.uint16))
+    outputs["labels"] = labels_path
+    if probs_list is not None:
+        probs_path = os.path.join(job.output, "probs.tif")
+        # store foreground-probability planes per frame (sum of classes > 0)
+        fg = np.stack([1.0 - p[..., 0] for p in probs_list]).astype(np.float32)
+        tiff.write_stack(probs_path, fg)
+        outputs["probs"] = probs_path
+    if job.params.get("localize", True):
+        h5_path = os.path.join(job.output, "objects.h5")
+        loc_lib.export_btrack_h5(h5_path, objects)
+        outputs["objects"] = h5_path
+    return outputs
+
+
+@register("enhancement_gan")
+def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """GAN generator enhancement pass over a TIFF stack (SURVEY.md §3.4).
+
+    params: model, patch, overlap, window, normalize.
+    Outputs: enhanced.tif (float32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.models import gan as gan_lib
+    from sequitr_tpu.ops import tiling
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    (path,) = _resolve_inputs(job)[:1]
+    stack = np.asarray(tiff.read_stack(path), dtype=np.float32)
+    if stack.ndim == 2:
+        stack = stack[None]
+
+    kind, cfg, params, state = load_model(config.models_dir, job.params["model"])
+    assert kind == "gan", f"model {job.params['model']} is not a gan"
+    tc = _tile_config(job.params, dims=2)
+    spatial = stack.shape[1:]
+    grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
+
+    @jax.jit
+    def enhance(frame):
+        x = infer_lib._normalize(frame[..., None], tc)
+        patches = tiling.extract_patches(x, grid, tc.patch)
+        out, _ = gan_lib.generator_apply(cfg, params, state, patches)
+        return tiling.stitch_patches(out, grid, spatial, tc.overlap, tc.window)
+
+    frames = [np.asarray(enhance(jnp.asarray(f)))[..., 0] for f in stack]
+    out_path = os.path.join(job.output, "enhanced.tif")
+    tiff.write_stack(out_path, np.stack(frames).astype(np.float32))
+    return {"enhanced": out_path}
+
+
+@register("segmentation_unet3d")
+def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Tiled UNet3D segmentation of a (Z, H, W) volume (BASELINE config #4)."""
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    (path,) = _resolve_inputs(job)[:1]
+    vol = np.asarray(tiff.read_stack(path), dtype=np.float32)
+    if vol.ndim != 3:
+        raise jobs_lib.JobError(f"unet3d expects a (Z, H, W) stack, got {vol.shape}")
+
+    kind, cfg, params, state = load_model(config.models_dir, job.params["model"])
+    assert kind == "unet" and cfg.dims == 3
+    tc = _tile_config(job.params, dims=3)
+    fn = infer_lib.make_frame_inferrer(cfg, tc, vol.shape)
+    probs, labels = fn(params, state, vol)
+
+    labels_path = os.path.join(job.output, "labels.tif")
+    tiff.write_stack(labels_path, np.asarray(labels).astype(np.uint16))
+    return {"labels": labels_path}

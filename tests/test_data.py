@@ -1,0 +1,165 @@
+"""Tests: TIFF codec, TFRecord-compatible records, native helpers, prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sequitr_tpu import native
+from sequitr_tpu.data import records, tiff
+from sequitr_tpu.data.prefetch import batch_iterator, prefetch_to_device
+
+
+class TestTiff:
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.uint32, np.float32])
+    def test_roundtrip(self, tmp_path, dtype):
+        stack = (np.random.default_rng(0).random((3, 32, 48)) * 200).astype(dtype)
+        p = str(tmp_path / "s.tif")
+        tiff.write_stack(p, stack)
+        np.testing.assert_array_equal(tiff.read_stack(p), stack)
+
+    def test_single_frame_squeeze(self, tmp_path):
+        frame = np.arange(64, dtype=np.uint16).reshape(8, 8)
+        p = str(tmp_path / "f.tif")
+        tiff.write_stack(p, frame)
+        out = tiff.read_stack(p)
+        assert out.shape == (8, 8)
+        np.testing.assert_array_equal(out, frame)
+
+    def test_pil_can_read_ours(self, tmp_path):
+        from PIL import Image
+
+        stack = (np.random.default_rng(1).random((2, 16, 16)) * 255).astype(np.uint8)
+        p = str(tmp_path / "s.tif")
+        tiff.write_stack(p, stack)
+        img = Image.open(p)
+        assert getattr(img, "n_frames", 1) == 2
+        img.seek(1)
+        np.testing.assert_array_equal(np.asarray(img), stack[1])
+
+    def test_reads_pil_written(self, tmp_path):
+        from PIL import Image
+
+        arr = (np.random.default_rng(2).random((16, 16)) * 255).astype(np.uint8)
+        p = str(tmp_path / "pil.tif")
+        Image.fromarray(arr).save(p)
+        np.testing.assert_array_equal(tiff.read_stack(p), arr)
+
+    def test_rejects_garbage(self, tmp_path):
+        p = str(tmp_path / "x.tif")
+        with open(p, "wb") as f:
+            f.write(b"not a tiff at all")
+        with pytest.raises(ValueError):
+            tiff.read_stack(p)
+
+
+class TestRecords:
+    def test_crc32c_known_vector(self):
+        # RFC 3720 test vector
+        assert records.crc32c(b"123456789") == 0xE3069283
+        assert records.crc32c(b"") == 0
+
+    def test_native_crc_matches_python(self):
+        data = np.random.default_rng(0).bytes(10000)
+        assert records.crc32c(data) == native.crc32c(data)
+
+    def test_example_encode_decode(self):
+        feats = {
+            "img": b"\x00\x01\x02",
+            "shape": [3, 4, 5],
+            "scale": [1.5, 2.5],
+            "name": b"hello",
+        }
+        out = records.decode_example(records.encode_example(feats))
+        assert out["img"] == [b"\x00\x01\x02"]
+        assert out["shape"] == [3, 4, 5]
+        np.testing.assert_allclose(out["scale"], [1.5, 2.5])
+        assert out["name"] == [b"hello"]
+
+    def test_record_framing_roundtrip(self, tmp_path):
+        p = str(tmp_path / "r.tfrecord")
+        payloads = [b"a" * 10, b"b" * 1000, b""]
+        with records.RecordWriter(p) as w:
+            for pl in payloads:
+                w.write(pl)
+        assert list(records.read_records(p)) == payloads
+
+    def test_corruption_detected(self, tmp_path):
+        p = str(tmp_path / "r.tfrecord")
+        with records.RecordWriter(p) as w:
+            w.write(b"hello world payload")
+        raw = bytearray(open(p, "rb").read())
+        raw[-6] ^= 0xFF  # flip a payload byte
+        open(p, "wb").write(bytes(raw))
+        with pytest.raises(IOError):
+            list(records.read_records(p))
+
+    def test_segmentation_shards(self, tmp_path):
+        rng = np.random.default_rng(0)
+        exs = [
+            records.SegExample(
+                rng.random((8, 8)).astype(np.float32),
+                rng.integers(0, 3, (8, 8)),
+                rng.random((8, 8)).astype(np.float32),
+            )
+            for _ in range(7)
+        ]
+        paths = records.write_segmentation_shards(
+            str(tmp_path / "train"), exs, shard_size=3
+        )
+        assert len(paths) == 3
+        back = list(records.read_segmentation_examples(paths))
+        assert len(back) == 7
+        np.testing.assert_array_equal(back[2].image, exs[2].image)
+        np.testing.assert_array_equal(back[2].labels, exs[2].labels)
+        np.testing.assert_array_equal(back[2].weights, exs[2].weights)
+
+
+class TestNative:
+    def test_build_and_label(self):
+        assert native.build()
+        mask = np.zeros((32, 32), bool)
+        mask[2:8, 2:8] = True
+        mask[20:30, 5:25] = True
+        mask[0, 31] = True
+        lab = native.label_components(mask)
+        assert lab.max() == 3
+        from scipy import ndimage
+
+        ref, n = ndimage.label(mask)
+        assert n == 3
+        # same partition (labels may be permuted)
+        for i in range(1, 4):
+            region = lab == i
+            assert len(np.unique(ref[region])) == 1
+
+    def test_label_stats(self):
+        mask = np.zeros((16, 16), bool)
+        mask[4:8, 4:8] = True
+        lab = native.label_components(mask)
+        areas, cy, cx = native.label_stats(lab, 1)
+        assert areas[0] == 16
+        np.testing.assert_allclose([cy[0], cx[0]], [5.5, 5.5])
+
+    def test_snake_pattern(self):
+        # worst case for union-find: serpentine requiring many merges
+        mask = np.zeros((16, 16), bool)
+        mask[::2, :] = True
+        mask[1::2, 0] = True  # connect rows on the left edge
+        lab = native.label_components(mask)
+        assert lab.max() == 1
+
+
+class TestPrefetch:
+    def test_batch_iterator(self):
+        exs = [{"x": np.full((2,), i)} for i in range(10)]
+        batches = list(batch_iterator(exs, 4))
+        assert len(batches) == 2  # drop remainder
+        assert batches[0]["x"].shape == (4, 2)
+
+    def test_prefetch_preserves_order_and_values(self):
+        items = [{"x": np.full((3,), i)} for i in range(6)]
+        out = list(prefetch_to_device(iter(items), depth=3))
+        assert len(out) == 6
+        for i, o in enumerate(out):
+            np.testing.assert_array_equal(np.asarray(o["x"]), items[i]["x"])

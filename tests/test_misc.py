@@ -1,0 +1,107 @@
+"""Tests: PSF utilities, weight converter, config."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sequitr_tpu import psf
+from sequitr_tpu.config import ServerConfiguration
+from sequitr_tpu.models import convert, unet
+
+
+class TestPSF:
+    def test_gaussian_psf_normalized(self):
+        k = psf.gaussian_psf_2d(15, 2.0)
+        np.testing.assert_allclose(float(jnp.sum(k)), 1.0, rtol=1e-6)
+        # peak at center
+        assert np.unravel_index(np.argmax(np.asarray(k)), k.shape) == (7, 7)
+
+    def test_psf_convolve_preserves_mass(self):
+        img = jnp.zeros((32, 32)).at[16, 16].set(100.0)
+        k = psf.gaussian_psf_2d(9, 1.5)
+        out = psf.psf_convolve(img, k)
+        np.testing.assert_allclose(float(jnp.sum(out)), 100.0, rtol=1e-4)
+        # point source spreads to the PSF (centered)
+        assert np.unravel_index(np.argmax(np.asarray(out)), out.shape) == (16, 16)
+
+    def test_richardson_lucy_sharpens(self):
+        img = jnp.zeros((32, 32)).at[16, 16].set(100.0)
+        k = psf.gaussian_psf_2d(9, 2.0)
+        blurred = psf.psf_convolve(img, k)
+        deconv = psf.richardson_lucy(blurred, k, iterations=30)
+        # deconvolution concentrates energy back toward the point
+        assert float(jnp.max(deconv)) > float(jnp.max(blurred)) * 2
+
+    def test_3d_psf(self):
+        k = psf.gaussian_psf_3d(9, 5, 1.5, 2.5)
+        assert k.shape == (5, 9, 9)
+        np.testing.assert_allclose(float(jnp.sum(k)), 1.0, rtol=1e-5)
+
+    def test_sigma_from_na(self):
+        s = psf.gaussian_sigma_from_na(510.0, 1.4, 65.0)
+        assert 1.0 < s < 1.3  # ~1.18 px for GFP at NA 1.4, 65nm px
+
+
+class TestConvert:
+    def _cfg(self):
+        return unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+
+    def test_flatten_unflatten_roundtrip(self):
+        cfg = self._cfg()
+        params, _ = unet.init(jax.random.PRNGKey(0), cfg)
+        flat = convert.flatten_params(params)
+        assert any(k.startswith("enc/0/conv1/") for k in flat)
+        back = convert.unflatten_like(params, flat)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_missing_weight_raises(self):
+        cfg = self._cfg()
+        params, _ = unet.init(jax.random.PRNGKey(0), cfg)
+        flat = convert.flatten_params(params)
+        flat.pop(sorted(flat)[0])
+        try:
+            convert.unflatten_like(params, flat)
+            assert False, "should have raised"
+        except ValueError as e:
+            assert "missing" in str(e)
+
+    def test_npz_loading(self, tmp_path):
+        cfg = self._cfg()
+        params, _ = unet.init(jax.random.PRNGKey(1), cfg)
+        flat = convert.flatten_params(params)
+        p = str(tmp_path / "w.npz")
+        np.savez(p, **flat)
+        loaded = convert.load_npz_weights(p, params)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_kernel_layout_converters(self):
+        w = np.random.default_rng(0).random((4, 6, 3, 3))  # torch OIHW
+        out = convert.torch_kernel_to_jax(w)
+        assert out.shape == (3, 3, 6, 4)
+        wt = np.random.default_rng(0).random((3, 3, 8, 4))  # TF transpose HWOI
+        out2 = convert.tf_transpose_kernel_to_jax(wt)
+        assert out2.shape == (3, 3, 4, 8)
+
+
+class TestConfig:
+    def test_json_roundtrip(self, tmp_path):
+        cfg = ServerConfiguration(jobs_dir=str(tmp_path / "j"), poll_interval=0.5)
+        p = str(tmp_path / "server.json")
+        cfg.to_json(p)
+        cfg2 = ServerConfiguration.from_json(p)
+        assert cfg2.jobs_dir == cfg.jobs_dir
+        assert cfg2.poll_interval == 0.5
+
+    def test_ignores_unknown_fields(self, tmp_path):
+        p = str(tmp_path / "server.json")
+        with open(p, "w") as f:
+            json.dump({"jobs_dir": "x", "gpu_id": 3}, f)
+        cfg = ServerConfiguration.from_json(p)
+        assert cfg.jobs_dir == "x"

@@ -1,0 +1,204 @@
+"""Unit tests for dense ops: normalize, tiling, stitch, losses, augment.
+
+Mirrors the rebuild test strategy in SURVEY.md §4: per-kernel unit tests
+with round-trip/identity properties and golden numpy cross-checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sequitr_tpu import ops
+
+
+class TestNormalize:
+    def test_exact_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        x = rng.gamma(2.0, 100.0, size=(64, 64)).astype(np.float32)
+        out = ops.percentile_normalize(jnp.asarray(x), 5.0, 99.5)
+        lo, hi = np.percentile(x, [5.0, 99.5])
+        ref = np.clip((x - lo) / (hi - lo + 1e-8), 0, 1)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_fast_close_to_exact(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(500.0, 120.0, size=(256, 256)).astype(np.float32)
+        exact = ops.percentile_normalize(jnp.asarray(x))
+        fast = ops.percentile_normalize_fast(jnp.asarray(x), bins=4096)
+        # histogram quantile error <= ~1 bin of the intensity range
+        assert float(jnp.max(jnp.abs(exact - fast))) < 0.01
+
+    def test_channel_axis(self):
+        rng = np.random.default_rng(2)
+        x = rng.uniform(0, 1000, size=(32, 32, 3)).astype(np.float32)
+        out = ops.percentile_normalize(jnp.asarray(x), channel_axis=True)
+        for c in range(3):
+            lo, hi = np.percentile(x[..., c], [5.0, 99.5])
+            ref = np.clip((x[..., c] - lo) / (hi - lo + 1e-8), 0, 1)
+            np.testing.assert_allclose(np.asarray(out[..., c]), ref, atol=1e-4)
+
+    def test_jit_and_vmap(self):
+        x = jnp.ones((4, 64, 64)) * jnp.arange(1, 5)[:, None, None]
+        out = jax.jit(jax.vmap(ops.percentile_normalize))(x)
+        assert out.shape == (4, 64, 64)
+
+
+class TestTiling:
+    def test_offsets_cover_and_clamp(self):
+        offs = ops.tile_offsets(1024, 256, 64)
+        assert offs[0] == 0 and offs[-1] == 1024 - 256
+        # every pixel covered
+        covered = np.zeros(1024, bool)
+        for o in offs:
+            covered[o : o + 256] = True
+        assert covered.all()
+
+    def test_offsets_nondivisible(self):
+        offs = ops.tile_offsets(1000, 256, 64)
+        assert offs[-1] == 1000 - 256
+        covered = np.zeros(1000, bool)
+        for o in offs:
+            covered[o : o + 256] = True
+        assert covered.all()
+
+    def test_extract_shapes(self):
+        img = jnp.zeros((128, 128, 2))
+        grid = ops.tile_grid((128, 128), (64, 64), (16, 16))
+        patches = ops.extract_patches(img, grid, (64, 64))
+        assert patches.shape == (len(grid), 64, 64, 2)
+
+    @pytest.mark.parametrize("window", ["flat", "tri", "hann"])
+    def test_tile_stitch_roundtrip_identity(self, window):
+        """Stitching tiles of any field reproduces it exactly (weights cancel)."""
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.normal(size=(100, 120, 3)).astype(np.float32))
+        patch, overlap = (48, 48), (16, 24)
+        grid = ops.tile_grid((100, 120), patch, overlap)
+        patches = ops.extract_patches(img, grid, patch)
+        out = ops.stitch_patches(patches, grid, (100, 120), overlap, window)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-4)
+
+    def test_stitch_jit(self):
+        img = jnp.ones((64, 64, 1))
+        grid = ops.tile_grid((64, 64), (32, 32), (8, 8))
+
+        @jax.jit
+        def f(im):
+            p = ops.extract_patches(im, grid, (32, 32))
+            return ops.stitch_patches(p, grid, (64, 64), (8, 8))
+
+        np.testing.assert_allclose(np.asarray(f(img)), 1.0, atol=1e-5)
+
+    def test_3d_roundtrip(self):
+        rng = np.random.default_rng(4)
+        vol = jnp.asarray(rng.normal(size=(16, 48, 48)).astype(np.float32))
+        patch, overlap = (8, 24, 24), (4, 8, 8)
+        grid = ops.tile_grid((16, 48, 48), patch, overlap)
+        patches = ops.extract_patches(vol, grid, patch)
+        out = ops.stitch_patches(patches, grid, (16, 48, 48), overlap)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-4)
+
+
+class TestLosses:
+    def test_weighted_ce_uniform_weights_equals_plain(self):
+        key = jax.random.PRNGKey(0)
+        logits = jax.random.normal(key, (4, 8, 8, 3))
+        labels = jax.random.randint(key, (4, 8, 8), 0, 3)
+        a = ops.weighted_softmax_cross_entropy(logits, labels)
+        b = ops.weighted_softmax_cross_entropy(logits, labels, jnp.ones((4, 8, 8)))
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+    def test_ce_perfect_prediction_near_zero(self):
+        labels = jnp.array([[0, 1], [2, 1]])
+        logits = jax.nn.one_hot(labels, 3) * 100.0
+        assert float(ops.weighted_softmax_cross_entropy(logits, labels)) < 1e-5
+
+    def test_bce_matches_torch_formula(self):
+        logits = jnp.array([-3.0, 0.0, 2.5])
+        targets = jnp.array([0.0, 1.0, 1.0])
+        ref = np.mean(
+            np.maximum(logits, 0) - logits * targets + np.log1p(np.exp(-np.abs(logits)))
+        )
+        np.testing.assert_allclose(
+            float(ops.sigmoid_bce_with_logits(logits, targets)), ref, rtol=1e-5
+        )
+
+    def test_iou_identity(self):
+        labels = jnp.asarray(np.random.default_rng(5).integers(0, 3, (32, 32)))
+        np.testing.assert_allclose(np.asarray(ops.iou(labels, labels, 3)), 1.0)
+
+    def test_softmax_label_map(self):
+        logits = jnp.asarray([[[[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]]]])
+        probs, labels = ops.softmax_label_map(logits)
+        assert probs.shape == logits.shape
+        np.testing.assert_array_equal(np.asarray(labels), [[[0, 1]]])
+
+
+class TestAugment:
+    def test_flip_deterministic_under_key(self):
+        key = jax.random.PRNGKey(7)
+        x = jnp.arange(16.0).reshape(4, 4)
+        a = ops.random_flip(key, x)
+        b = ops.random_flip(key, x)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_flip_consistent_across_arrays(self):
+        key = jax.random.PRNGKey(8)
+        x = jnp.arange(16.0).reshape(4, 4)
+        a, b = ops.random_flip(key, x, x)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rot90_consistent(self):
+        key = jax.random.PRNGKey(9)
+        x = jnp.arange(16.0).reshape(4, 4)
+        a, b = ops.random_rot90(key, x, x)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_elastic_zero_field_is_identity(self):
+        x = jnp.arange(64.0).reshape(8, 8)
+        out = ops.elastic_warp(x, jnp.zeros((8, 8)), jnp.zeros((8, 8)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+    def test_augment_example_shapes_and_label_dtype(self):
+        key = jax.random.PRNGKey(10)
+        img = jnp.ones((32, 32, 1))
+        lab = jnp.zeros((32, 32), jnp.int32).at[8:16, 8:16].set(1)
+        w = jnp.ones((32, 32))
+        oi, ol, ow = ops.augment_example(key, img, lab, w)
+        assert oi.shape == (32, 32, 1) and ol.shape == (32, 32) and ow.shape == (32, 32)
+        assert ol.dtype == jnp.int32
+        # labels stay in the valid set under NN warp
+        assert set(np.unique(np.asarray(ol))) <= {0, 1}
+
+    def test_augment_jit(self):
+        key = jax.random.PRNGKey(11)
+        f = jax.jit(lambda k, im: ops.augment_example(k, im)[0])
+        out = f(key, jnp.ones((16, 16, 1)))
+        assert out.shape == (16, 16, 1)
+
+
+class TestWeightMaps:
+    def test_border_peak_between_objects(self):
+        inst = np.zeros((32, 32), np.int32)
+        inst[8:14, 8:24] = 1
+        inst[18:24, 8:24] = 2
+        wb = ops.weightmaps.border_weights(inst, w0=10.0, sigma=3.0)
+        # the gap row (y=16) should carry more weight than a far corner
+        assert wb[16, 16] > wb[0, 0]
+        assert wb.max() <= 10.0 + 1e-5
+
+    def test_class_balance_mean_one(self):
+        labels = np.zeros((64, 64), np.int32)
+        labels[:8, :8] = 1
+        w = ops.weightmaps.class_balance_weights(labels, 2)
+        np.testing.assert_allclose(w.mean(), 1.0, rtol=1e-5)
+        assert w[0, 0] > w[-1, -1]  # rare class weighted up
+
+    def test_unet_weight_map_full(self):
+        labels = np.zeros((32, 32), np.int32)
+        labels[4:12, 4:12] = 1
+        labels[16:24, 4:12] = 1
+        wm = ops.weightmaps.unet_weight_map(labels)
+        assert wm.shape == (32, 32) and wm.dtype == np.float32
+        assert np.isfinite(wm).all()

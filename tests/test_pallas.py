@@ -1,0 +1,33 @@
+"""Pallas kernel tests (interpreter mode on the CPU backend; SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sequitr_tpu.ops import normalize
+from sequitr_tpu.ops.pallas import pallas_quantiles
+
+
+class TestPallasHistogram:
+    def test_quantiles_close_to_exact(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.gamma(2.0, 100.0, (256, 256)).astype(np.float32))
+        q = pallas_quantiles(x, [0.05, 0.995], interpret=True)
+        ref = np.percentile(np.asarray(x), [5.0, 99.5])
+        span = float(np.asarray(x).max() - np.asarray(x).min())
+        # max error ~ one bin of the range
+        np.testing.assert_allclose(np.asarray(q), ref, atol=span / 1024 * 2)
+
+    def test_padded_rows(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(100, 20, (100, 128)).astype(np.float32))
+        q = pallas_quantiles(x, [0.05, 0.995], interpret=True)
+        ref = np.percentile(np.asarray(x), [5.0, 99.5])
+        span = float(np.asarray(x).max() - np.asarray(x).min())
+        np.testing.assert_allclose(np.asarray(q), ref, atol=span / 1024 * 2)
+
+    def test_normalize_pallas_close_to_exact(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.gamma(2.0, 80.0, (128, 256)).astype(np.float32))
+        out = normalize.percentile_normalize_pallas(x, interpret=True)
+        exact = normalize.percentile_normalize(x)
+        assert float(jnp.max(jnp.abs(out - exact))) < 5e-3

@@ -1,0 +1,201 @@
+"""Integration tests: fused tiled inference, training steps, GAN, DP sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sequitr_tpu.models import gan as gan_lib
+from sequitr_tpu.models import unet
+from sequitr_tpu.pipeline import infer as infer_lib
+from sequitr_tpu.pipeline import train as train_lib
+from sequitr_tpu import parallel
+
+
+def small_cfg(**kw):
+    base = dict(
+        in_channels=1, num_classes=3, depth=3, base_features=4,
+        compute_dtype=jnp.float32,
+    )
+    base.update(kw)
+    return unet.UNetConfig(**base)
+
+
+class TestTiledInference:
+    def test_frame_inferrer_shapes(self):
+        cfg = small_cfg()
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        tc = infer_lib.TileConfig(patch=(32, 32), overlap=(8, 8))
+        fn = infer_lib.make_frame_inferrer(cfg, tc, (64, 64))
+        probs, labels = fn(params, state, jnp.ones((64, 64)))
+        assert probs.shape == (64, 64, 3)
+        assert labels.shape == (64, 64)
+        np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
+
+    def test_tiled_matches_whole_frame(self):
+        """On a frame the net can swallow whole, tiling must not change the
+        answer in tile interiors (SAME-padding halo effects only at seams)."""
+        cfg = small_cfg(norm="none")
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        frame = jax.random.normal(jax.random.PRNGKey(1), (64, 64))
+
+        tc = infer_lib.TileConfig(
+            patch=(64, 64), overlap=(0, 0), normalize="none"
+        )  # single tile == whole frame
+        fn = infer_lib.make_frame_inferrer(cfg, tc, (64, 64))
+        probs_tiled, _ = fn(params, state, frame)
+
+        logits, _ = unet.apply(cfg, params, state, frame[None, ..., None])
+        probs_whole = jax.nn.softmax(logits[0], axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(probs_tiled), np.asarray(probs_whole), atol=1e-5
+        )
+
+    def test_patch_batching_equivalent(self):
+        cfg = small_cfg(norm="none")
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        frame = jax.random.normal(jax.random.PRNGKey(2), (64, 64))
+        tc_all = infer_lib.TileConfig(patch=(32, 32), overlap=(8, 8), normalize="none")
+        tc_chunk = infer_lib.TileConfig(
+            patch=(32, 32), overlap=(8, 8), normalize="none", patch_batch=2
+        )
+        p_all, _ = infer_lib.make_frame_inferrer(cfg, tc_all, (64, 64))(
+            params, state, frame
+        )
+        p_chunk, _ = infer_lib.make_frame_inferrer(cfg, tc_chunk, (64, 64))(
+            params, state, frame
+        )
+        np.testing.assert_allclose(np.asarray(p_all), np.asarray(p_chunk), atol=1e-5)
+
+    def test_infer_stack_streaming(self):
+        cfg = small_cfg()
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        tc = infer_lib.TileConfig(patch=(32, 32), overlap=(8, 8))
+        fn = infer_lib.make_frame_inferrer(cfg, tc, (32, 32))
+        frames = [np.random.default_rng(i).normal(size=(32, 32)) for i in range(5)]
+        results = list(infer_lib.infer_stack(fn, params, state, frames))
+        assert len(results) == 5
+        for r in results:
+            assert r.labels.shape == (32, 32)
+
+
+class TestUNetTraining:
+    def _batch(self, n=2, s=16):
+        rng = np.random.default_rng(0)
+        return {
+            "image": jnp.asarray(rng.normal(size=(n, s, s, 1)).astype(np.float32)),
+            "labels": jnp.asarray(rng.integers(0, 3, (n, s, s)).astype(np.int32)),
+            "weights": jnp.ones((n, s, s), jnp.float32),
+        }
+
+    def test_loss_decreases(self):
+        cfg = small_cfg(depth=2)
+        tc = train_lib.TrainConfig(learning_rate=1e-2, augment=False)
+        state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        step = train_lib.make_unet_train_step(cfg, tc)
+        batch = self._batch()
+        key = jax.random.PRNGKey(1)
+        _, m0 = step(state, batch, key)
+        state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        losses = []
+        for i in range(20):
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 20
+
+    def test_train_step_with_augment(self):
+        cfg = small_cfg(depth=2)
+        tc = train_lib.TrainConfig(augment=True)
+        state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        step = train_lib.make_unet_train_step(cfg, tc)
+        state, m = step(state, self._batch(), jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = small_cfg(depth=2)
+        tc = train_lib.TrainConfig()
+        state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        path = str(tmp_path / "ckpt")
+        train_lib.save_checkpoint(path, state)
+        restored = train_lib.restore_checkpoint(path, state)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestGAN:
+    def test_generator_discriminator_shapes(self):
+        cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(0), cfg)
+        x = jnp.ones((1, 16, 16, 1))
+        y, _ = gan_lib.generator_apply(cfg, params, state, x)
+        assert y.shape == (1, 16, 16, 1)
+        assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh range
+        logits = gan_lib.discriminator_apply(cfg, params, x, y)
+        assert logits.shape == (1, 4, 4, 1)  # two stride-2 layers
+
+    def test_gan_train_step_runs(self):
+        cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        tc = train_lib.TrainConfig(learning_rate=1e-3, beta1=0.5)
+        state = train_lib.create_gan_state(jax.random.PRNGKey(0), cfg, tc)
+        step = train_lib.make_gan_train_step(cfg, tc, l1_weight=10.0)
+        batch = {
+            "input": jnp.ones((2, 16, 16, 1)),
+            "target": jnp.zeros((2, 16, 16, 1)),
+        }
+        for i in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+        assert int(state.step) == 3
+
+
+class TestDataParallel:
+    def test_mesh_has_8_virtual_devices(self):
+        assert len(jax.devices()) == 8  # conftest forces the virtual CPU mesh
+
+    def test_dp_inference_matches_single(self):
+        cfg = small_cfg()
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        tc = infer_lib.TileConfig(patch=(32, 32), overlap=(8, 8))
+        single = infer_lib.make_frame_inferrer(cfg, tc, (32, 32), jit=False)
+
+        mesh = parallel.make_mesh()
+        dp = parallel.make_dp_frame_inferrer(single, mesh)
+        frames = jnp.asarray(
+            np.random.default_rng(0).normal(size=(8, 32, 32)).astype(np.float32)
+        )
+        probs_dp, labels_dp = dp(params, state, frames)
+        assert probs_dp.shape == (8, 32, 32, 3)
+        ref_probs, ref_labels = jax.jit(single)(params, state, frames[3])
+        np.testing.assert_allclose(
+            np.asarray(probs_dp[3]), np.asarray(ref_probs), atol=1e-4
+        )
+
+    def test_dp_train_step_matches_single_chip(self):
+        cfg = small_cfg(depth=2, norm="none")
+        tc = train_lib.TrainConfig(augment=False)
+        step = train_lib.make_unet_train_step(cfg, tc, jit=False)
+        mesh = parallel.make_mesh()
+        dp_step = parallel.make_dp_train_step(step, mesh)
+
+        rng = np.random.default_rng(1)
+        batch = {
+            "image": jnp.asarray(rng.normal(size=(8, 16, 16, 1)).astype(np.float32)),
+            "labels": jnp.asarray(rng.integers(0, 3, (8, 16, 16)).astype(np.int32)),
+        }
+        key = jax.random.PRNGKey(0)
+
+        s1 = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        s1b, m1 = jax.jit(step)(s1, batch, key)
+
+        s2 = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        s2b, m2 = dp_step(s2, batch, key)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1b.params), jax.tree.leaves(s2b.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -1,0 +1,183 @@
+"""Job-queue + server integration tests (SURVEY.md §4 'Integration').
+
+End-to-end: drop a job JSON + tiny TIFF into the watched dir, assert masks
+and HDF5 objects appear with a complete status marker.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sequitr_tpu import localize
+from sequitr_tpu.config import ServerConfiguration
+from sequitr_tpu.data import tiff
+from sequitr_tpu.models import gan as gan_lib
+from sequitr_tpu.models import unet
+from sequitr_tpu.server import (
+    ImageServer,
+    Job,
+    JobError,
+    claim_job,
+    save_model,
+    scan_jobs,
+    submit_job,
+)
+
+
+@pytest.fixture
+def server_env(tmp_path):
+    cfg = ServerConfiguration(
+        jobs_dir=str(tmp_path / "jobs"), models_dir=str(tmp_path / "models")
+    )
+    cfg.ensure_dirs()
+    return cfg, tmp_path
+
+
+class TestJobQueue:
+    def test_submit_scan_claim(self, server_env):
+        cfg, tmp = server_env
+        jid = submit_job(
+            cfg.jobs_dir, {"module": "m", "input": [], "output": str(tmp / "o")}
+        )
+        paths = scan_jobs(cfg.jobs_dir)
+        assert len(paths) == 1
+        job = claim_job(paths[0])
+        assert job is not None and job.id == jid and job.module == "m"
+        # second claim of the same file fails (atomic rename)
+        assert claim_job(paths[0]) is None
+        assert scan_jobs(cfg.jobs_dir) == []
+
+    def test_job_missing_module_rejected(self, tmp_path):
+        p = str(tmp_path / "job_x.json")
+        with open(p, "w") as f:
+            json.dump({"params": {}}, f)
+        with pytest.raises(JobError):
+            Job.from_file(p)
+
+    def test_unknown_pipeline_fails_with_marker(self, server_env):
+        cfg, tmp = server_env
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir, {"module": "nope", "input": [], "output": out}
+        )
+        srv = ImageServer(cfg)
+        assert srv.poll_once()
+        status = json.load(open(os.path.join(out, "status.json")))
+        assert status["state"] == "failed"
+        assert "unknown pipeline" in status["error"]
+
+
+class TestSegmentationPipeline:
+    def test_end_to_end(self, server_env):
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "seg2d", "unet", net_cfg, params, state)
+
+        stack = (np.random.default_rng(0).random((2, 32, 32)) * 1000).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "stack.tif")
+        tiff.write_stack(stack_path, stack)
+        out_dir = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": {"model": "seg2d", "patch": [16, 16], "overlap": [4, 4]},
+                "input": [stack_path],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        labels = tiff.read_stack(status["outputs"]["labels"])
+        assert labels.shape == (2, 32, 32)
+        import h5py
+
+        with h5py.File(status["outputs"]["objects"]) as f:
+            coords = f["objects/obj_type_1/coords"][:]
+            assert coords.shape[1] == 5
+
+
+class TestGANPipeline:
+    def test_end_to_end(self, server_env):
+        cfg_srv, tmp = server_env
+        g_cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2, disc_base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(0), g_cfg)
+        save_model(cfg_srv.models_dir, "enh", "gan", g_cfg, params, state)
+
+        stack = (np.random.default_rng(1).random((1, 32, 32)) * 500).astype(np.float32)
+        stack_path = str(tmp / "s.tif")
+        tiff.write_stack(stack_path, stack)
+        out_dir = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "enhancement_gan",
+                "params": {"model": "enh", "patch": [16, 16], "overlap": [4, 4]},
+                "input": [stack_path],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        enhanced = tiff.read_stack(status["outputs"]["enhanced"])
+        assert enhanced.shape == (32, 32)
+        assert np.abs(enhanced).max() <= 1.0 + 1e-5
+
+
+class TestLocalize:
+    def test_two_objects(self):
+        cm = np.zeros((64, 64), np.int32)
+        cm[5:15, 5:15] = 1
+        cm[30:40, 30:42] = 2
+        objs = localize.localize_frame(cm, t=3, intensity=np.ones((64, 64)))
+        assert len(objs) == 2
+        by_label = {o.label: o for o in objs}
+        assert by_label[1].area == 100
+        assert by_label[2].area == 120
+        np.testing.assert_allclose([by_label[1].y, by_label[1].x], [9.5, 9.5])
+        assert all(o.t == 3 for o in objs)
+
+    def test_min_area_filter(self):
+        cm = np.zeros((16, 16), np.int32)
+        cm[0, 0] = 1
+        cm[4:12, 4:12] = 1
+        objs = localize.localize_frame(cm, min_area=5)
+        assert len(objs) == 1 and objs[0].area == 64
+
+    def test_h5_export_layout(self, tmp_path):
+        import h5py
+
+        objs = [
+            localize.LocalizedObject(t=t, x=1.0, y=2.0, z=0.0, label=1, area=10)
+            for t in (0, 0, 2)
+        ]
+        p = str(tmp_path / "o.h5")
+        localize.export_btrack_h5(p, objs)
+        with h5py.File(p) as f:
+            coords = f["objects/obj_type_1/coords"][:]
+            fmap = f["objects/obj_type_1/map"][:]
+        assert coords.shape == (3, 5)
+        np.testing.assert_array_equal(fmap, [[0, 2], [2, 2], [2, 3]])
+
+    def test_empty_export(self, tmp_path):
+        import h5py
+
+        p = str(tmp_path / "e.h5")
+        localize.export_btrack_h5(p, [])
+        with h5py.File(p) as f:
+            assert f["objects/obj_type_1/coords"][:].shape == (0, 5)
