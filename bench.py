@@ -88,10 +88,14 @@ def measure_cpu_baseline() -> float:
 
 
 def load_cpu_baseline() -> float:
+    """Reference baseline fps: prefer the TF re-derivation measurement
+    (``python -m sequitr_tpu.models.tf_reference``) — the closest stand-in
+    for the TF-1.x reference — falling back to the jax-CPU measurement."""
     path = os.path.join(os.path.dirname(__file__) or ".", "baseline_cpu.json")
     if os.path.exists(path):
         with open(path) as f:
-            return float(json.load(f)["cpu_fps"])
+            data = json.load(f)
+        return float(data.get("tf_cpu_fps", data.get("cpu_fps", _DEFAULT_CPU_FPS)))
     return _DEFAULT_CPU_FPS
 
 

@@ -113,15 +113,22 @@ def _conv(x, p, cfg: UNetConfig, stride: int = 1):
 
 
 def _conv_transpose(x, p, cfg: UNetConfig):
-    """Learned 2x upsampling: kernel-2 stride-2 transposed conv (exact 2x)."""
+    """Learned 2x upsampling: kernel-2 stride-2 transposed conv (exact 2x).
+
+    ``transpose_kernel=True`` (with the kernel's channel axes swapped at
+    apply time) reproduces TF ``conv2d_transpose`` semantics bit-for-bit —
+    required for weight-level parity with the TF reference (verified in
+    tests/test_parity.py). Stored layout stays (k..., c_in, c_out).
+    """
     dn = ("NHWC", "HWIO", "NHWC") if cfg.dims == 2 else ("NDHWC", "DHWIO", "NDHWC")
-    w = p["w"].astype(cfg.compute_dtype)
+    w = jnp.swapaxes(p["w"].astype(cfg.compute_dtype), -1, -2)
     y = jax.lax.conv_transpose(
         x.astype(cfg.compute_dtype),
         w,
         strides=(2,) * cfg.dims,
         padding="VALID",
         dimension_numbers=dn,
+        transpose_kernel=True,
         preferred_element_type=jnp.float32,
     )
     return y + p["b"]
@@ -269,3 +276,39 @@ def apply(
 
 def param_count(params: Params) -> int:
     return sum(p.size for p in jax.tree.leaves(params))
+
+
+def fold_batchnorm(
+    cfg: UNetConfig, params: Params, state: State
+) -> Tuple[UNetConfig, Params, State]:
+    """Fold inference-mode batch norm into the preceding conv weights.
+
+    BN(conv(x; w, b)) == conv(x; w*g, (b-mean)*g + beta) with
+    g = scale / sqrt(var + eps) broadcast over the output-channel axis —
+    numerically identical at inference, and it removes every BN elementwise
+    pass (and its float32 activation materialization) from the hot path.
+    Returns an equivalent ``norm='none'`` (cfg, params, state) triple.
+    """
+    if cfg.norm != "batch":
+        return cfg, params, state
+
+    def fold_block(bp: Params, bs: State) -> Params:
+        out = {}
+        for i in (1, 2):
+            conv = bp[f"conv{i}"]
+            bn, sn = bp[f"bn{i}"], bs[f"bn{i}"]
+            g = bn["scale"] * jax.lax.rsqrt(sn["var"] + cfg.bn_eps)
+            out[f"conv{i}"] = {
+                "w": conv["w"] * g,  # broadcasts over trailing O axis
+                "b": (conv["b"] - sn["mean"]) * g + bn["bias"],
+            }
+        return out
+
+    folded: Params = {
+        "enc": [fold_block(p, s) for p, s in zip(params["enc"], state["enc"])],
+        "dec": [fold_block(p, s) for p, s in zip(params["dec"], state["dec"])],
+        "up": [dict(p) for p in params["up"]],
+        "head": dict(params["head"]),
+    }
+    folded_cfg = dataclasses.replace(cfg, norm="none")
+    return folded_cfg, folded, {"enc": [{} for _ in params["enc"]], "dec": [{} for _ in params["dec"]]}

@@ -76,8 +76,17 @@ def make_frame_inferrer(
     """
     nd = len(frame_spatial)
     grid = tiling.tile_grid(frame_spatial, tc.patch, tc.overlap)
+    fold = cfg.norm == "batch"
+    if fold:
+        # inference-mode BN folds exactly into the conv weights — removes
+        # every BN elementwise pass from the hot graph (models.unet.fold_batchnorm)
+        cfg = dataclasses.replace(cfg, norm="none")
 
     def infer(params, state, frame):
+        if fold:
+            _, params, state = unet.fold_batchnorm(
+                dataclasses.replace(cfg, norm="batch"), params, state
+            )
         if frame.ndim == nd:
             frame = frame[..., None]
         x = _normalize(frame, tc)
