@@ -98,14 +98,14 @@ def _init_norm_state(c: int) -> State:
     return {"mean": jnp.zeros((c,), jnp.float32), "var": jnp.ones((c,), jnp.float32)}
 
 
-def _conv(x, p, cfg: UNetConfig, stride: int = 1):
+def _conv(x, p, cfg: UNetConfig, stride: int = 1, padding="SAME"):
     dn = _conv_dim_numbers(cfg.dims)
     w = p["w"].astype(cfg.compute_dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(cfg.compute_dtype),
         w,
         window_strides=(stride,) * cfg.dims,
-        padding="SAME",
+        padding=padding,
         dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )

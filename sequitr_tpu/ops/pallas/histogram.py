@@ -24,11 +24,17 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["histogram_2d", "pallas_quantiles"]
 
 
-def _hist_kernel(x_ref, lo_ref, scale_ref, hist_ref, *, bins: int, chunk: int):
+def _hist_kernel(x_ref, lo_ref, scale_ref, hist_ref, *, bins: int, block_rows: int):
     """Accumulate a histogram of one row-block into ``hist_ref``.
 
     x_ref: (block_rows, W) f32 VMEM; lo/scale: (1, 1) f32 SMEM;
-    hist_ref: (1, bins) f32 VMEM output, accumulated across the grid.
+    hist_ref: (1, bins) f32 VMEM output, accumulated across the grid
+    (sequential on a TPU core, so the += carries).
+
+    Rows are visited with a STATIC Python loop (Mosaic cannot lower
+    dynamic_slice over traced offsets inside the kernel); each row's bucket
+    indices are compared against a bin iota and reduced — pure VPU
+    compare-and-accumulate at streaming bandwidth.
     """
     step = pl.program_id(0)
 
@@ -40,22 +46,17 @@ def _hist_kernel(x_ref, lo_ref, scale_ref, hist_ref, *, bins: int, chunk: int):
     lo = lo_ref[0, 0]
     scale = scale_ref[0, 0]
     idx = jnp.clip(((x - lo) * scale), 0.0, float(bins - 1)).astype(jnp.int32)
-    flat = idx.reshape(-1)  # (block_rows * W,)
-    n = flat.shape[0]
-    bin_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, bins), 1)
-
-    def body(c, acc):
-        part = jax.lax.dynamic_slice(flat, (c * chunk,), (chunk,))
-        onehot = (part[:, None] == bin_iota).astype(jnp.float32)
-        return acc + jnp.sum(onehot, axis=0, keepdims=True)
-
-    hist_ref[:] += jax.lax.fori_loop(
-        0, n // chunk, body, jnp.zeros((1, bins), jnp.float32)
-    )
+    w = idx.shape[1]
+    bin_iota = jax.lax.broadcasted_iota(jnp.int32, (w, bins), 1)
+    acc = jnp.zeros((1, bins), jnp.float32)
+    for r in range(block_rows):  # static unroll
+        onehot = (idx[r][:, None] == bin_iota).astype(jnp.float32)
+        acc += jnp.sum(onehot, axis=0, keepdims=True)
+    hist_ref[:] += acc
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bins", "block_rows", "chunk", "interpret")
+    jax.jit, static_argnames=("bins", "block_rows", "interpret")
 )
 def histogram_2d(
     x: jnp.ndarray,
@@ -63,21 +64,18 @@ def histogram_2d(
     scale: jnp.ndarray,
     bins: int = 1024,
     block_rows: int = 8,
-    chunk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Histogram of ``x`` (H, W) f32 with bucket = clip((v-lo)*scale, 0, bins-1).
 
-    Returns (bins,) float32 counts. ``H*W`` must be divisible by
-    ``block_rows*chunk`` after padding (the caller pads; see
-    ``pallas_quantiles``).
+    Returns (bins,) float32 counts. ``H`` must be divisible by
+    ``block_rows`` (the caller pads; see ``pallas_quantiles``).
     """
     h, w = x.shape
-    assert (block_rows * w) % chunk == 0, (h, w, block_rows, chunk)
     assert h % block_rows == 0, (h, block_rows)
     grid = (h // block_rows,)
     hist = pl.pallas_call(
-        functools.partial(_hist_kernel, bins=bins, chunk=chunk),
+        functools.partial(_hist_kernel, bins=bins, block_rows=block_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -114,10 +112,6 @@ def pallas_quantiles(
     x = x.astype(jnp.float32)
     h, w = x.shape
     block_rows = 8
-    # pick a chunk dividing block_rows*w
-    chunk = 512
-    while (block_rows * w) % chunk:
-        chunk //= 2
     pad_rows = (-h) % block_rows
     n_pad = pad_rows * w
     if pad_rows:
@@ -127,7 +121,7 @@ def pallas_quantiles(
     hi = jnp.max(jnp.where(jnp.isfinite(x), x, -jnp.inf))
     scale = (bins - 1) / jnp.maximum(hi - lo, 1e-20)
     hist = histogram_2d(
-        x, lo, scale, bins=bins, block_rows=block_rows, chunk=chunk,
+        x, lo, scale, bins=bins, block_rows=block_rows,
         interpret=interpret,
     )
     if pad_rows:

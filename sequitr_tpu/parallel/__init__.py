@@ -1,5 +1,6 @@
-"""Multi-chip parallelism: mesh construction, DP sharding helpers."""
+"""Multi-chip parallelism: mesh, DP sharding, spatial halo-exchange."""
 
+from sequitr_tpu.parallel import spatial  # noqa: F401
 from sequitr_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicated,

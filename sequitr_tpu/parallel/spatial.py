@@ -1,0 +1,157 @@
+"""Spatially-sharded U-Net inference: halo exchange over ICI.
+
+The reference has no distributed execution; this is the rebuild's
+"CP-for-images" extension (SURVEY.md §5 'Long-context / sequence
+parallelism' analogue): a single large frame's H axis is sharded across the
+mesh and every 3x3 conv exchanges one boundary row with each neighbor over
+ICI (``lax.ppermute`` inside ``shard_map``), so the result is **exactly**
+the whole-frame forward — not an overlap-stitch approximation:
+
+* interior shard boundaries receive true neighbor rows (== SAME conv's view
+  of adjacent pixels);
+* global top/bottom edges receive zeros (== SAME zero padding);
+* max-pool halves rows locally (local row count stays even by construction);
+* the kernel-2/stride-2 transposed conv maps local rows to local rows with
+  no cross-boundary dependency, so the decoder needs no halo.
+
+Use when one frame is too large for a chip's HBM (e.g. 16k x 16k
+slide-scanner mosaics) or to cut single-frame latency ~Dx. Inference-mode
+only: batch-norm must be folded (``unet.fold_batchnorm``) or absent —
+training-time batch stats would need a psum not implemented here.
+
+Requirements: H divisible by n_devices, and H/n_devices divisible by
+2^(depth-1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sequitr_tpu.models import unet
+from sequitr_tpu.models.unet import _conv, _conv_transpose, _upsample
+
+__all__ = ["spatial_unet2d_infer"]
+
+
+def _neighbor_rows(x: jnp.ndarray, axis_name: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fetch (last row of previous shard, first row of next shard).
+
+    Edge shards get zero rows — reproducing SAME zero padding globally.
+    ``x``: (H_loc, W, C).
+    """
+    n = jax.lax.axis_size(axis_name)
+    i = jax.lax.axis_index(axis_name)
+    fwd = [(j, (j + 1) % n) for j in range(n)]  # send to next: receive from prev
+    bwd = [(j, (j - 1) % n) for j in range(n)]  # send to prev: receive from next
+    from_prev = jax.lax.ppermute(x[-1:], axis_name, fwd)
+    from_next = jax.lax.ppermute(x[:1], axis_name, bwd)
+    zero = jnp.zeros_like(from_prev)
+    from_prev = jnp.where(i == 0, zero, from_prev)
+    from_next = jnp.where(i == n - 1, zero, from_next)
+    return from_prev, from_next
+
+
+def _conv3x3_halo(x, p, cfg, axis_name):
+    """SAME 3x3 conv on an H-sharded (H_loc, W, C) tensor via halo exchange."""
+    top, bot = _neighbor_rows(x, axis_name)
+    padded = jnp.concatenate([top, x, bot], axis=0)
+    # H has its halo: VALID on H, SAME(1,1) on W
+    y = _conv(
+        padded[None], p, cfg, padding=((0, 0), (1, 1))
+    )
+    return y[0]
+
+
+def _block_halo(x, p, cfg, axis_name):
+    for i in (1, 2):
+        x = _conv3x3_halo(x, p[f"conv{i}"], cfg, axis_name)
+        x = jax.nn.relu(x)
+    return x
+
+
+def _maxpool_rows(x):
+    """2x2 max pool on (H_loc, W, C) — local because H_loc stays even."""
+    h, w, c = x.shape
+    x = x.reshape(h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(1, 3))
+
+
+def spatial_unet2d_infer(
+    cfg: unet.UNetConfig,
+    params,
+    state,
+    mesh: Mesh,
+    frame_spatial: Tuple[int, int],
+    axis_name: str = "data",
+):
+    """Build ``fn(params, state, frame) -> (probs, labels)``, H-sharded.
+
+    ``frame``: (H, W) float32, already normalized (run percentile
+    normalization beforehand — it is global-reduction work that XLA handles
+    well unsharded, or shard it separately). Output matches the unsharded
+    ``unet.apply`` exactly (f32 compute) up to float reassociation.
+    """
+    if cfg.dims != 2:
+        raise ValueError("spatial sharding is 2D-only")
+    n = mesh.devices.size
+    h, w = frame_spatial
+    if h % n:
+        raise ValueError(f"H={h} not divisible by {n} devices")
+    h_loc = h // n
+    if h_loc % cfg.min_input_multiple:
+        raise ValueError(
+            f"H/device={h_loc} not divisible by {cfg.min_input_multiple}"
+        )
+    if cfg.upsample != "transpose":
+        raise NotImplementedError("spatial sharding supports transpose upsampling")
+
+    # fold BN so the sharded graph is pure conv/relu
+    if cfg.norm == "batch":
+        run_cfg, fold = cfg, True
+    else:
+        run_cfg, fold = cfg, False
+
+    def local_forward(params_l, x_local):
+        # x_local: (H_loc, W) -> add channel
+        x = x_local[..., None].astype(jnp.float32)
+        skips = []
+        for lvl in range(cfg.depth):
+            if lvl > 0:
+                x = _maxpool_rows(x)
+            x = _block_halo(x, params_l["enc"][lvl], run_cfg, axis_name)
+            if lvl < cfg.depth - 1:
+                skips.append(x)
+        for i, lvl in enumerate(reversed(range(cfg.depth - 1))):
+            skip = skips[lvl]
+            x = _conv_transpose(x[None], params_l["up"][i], run_cfg)[0]
+            x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
+            x = _block_halo(x, params_l["dec"][i], run_cfg, axis_name)
+        logits = _conv(x[None], params_l["head"], run_cfg)[0]
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        return probs, labels
+
+    sharded = shard_map(
+        local_forward,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name, None)),
+        out_specs=(P(axis_name, None, None), P(axis_name, None)),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def fn(params_in, state_in, frame):
+        if fold:
+            _, p_run, _ = unet.fold_batchnorm(cfg, params_in, state_in)
+        else:
+            p_run = params_in
+        return sharded(p_run, frame)
+
+    return fn

@@ -38,7 +38,7 @@ class TileConfig:
     patch: Tuple[int, ...] = (256, 256)
     overlap: Tuple[int, ...] = (64, 64)
     window: str = "hann"
-    normalize: str = "fast"  # "fast" | "exact" | "none"
+    normalize: str = "auto"  # "auto" | "pallas" | "fast" | "exact" | "none"
     p_lo: float = 5.0
     p_hi: float = 99.5
     patch_batch: Optional[int] = None  # chunk patches to bound HBM (None = all)
@@ -51,10 +51,23 @@ class InferenceResult:
 
 
 def _normalize(frame: jnp.ndarray, tc: TileConfig) -> jnp.ndarray:
-    if tc.normalize == "none":
+    """Frame arrives (*spatial, C); percentiles are per-frame over all pixels.
+
+    ``auto`` picks the Pallas streaming-histogram kernel on TPU for
+    single-channel 2D frames (~6x faster than XLA's bincount lowering) and
+    the XLA histogram path elsewhere.
+    """
+    mode = tc.normalize
+    if mode == "none":
         return frame.astype(jnp.float32)
-    if tc.normalize == "exact":
+    if mode == "exact":
         return norm_ops.percentile_normalize(frame, tc.p_lo, tc.p_hi)
+    if mode == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        mode = "pallas" if (on_tpu and frame.ndim == 3 and frame.shape[-1] == 1) else "fast"
+    if mode == "pallas":
+        out = norm_ops.percentile_normalize_pallas(frame[..., 0], tc.p_lo, tc.p_hi)
+        return out[..., None]
     return norm_ops.percentile_normalize_fast(frame, tc.p_lo, tc.p_hi)
 
 

@@ -228,27 +228,38 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     tc = _tile_config(job.params, dims=2)
     fn = infer_lib.make_frame_inferrer(cfg, tc, stack.shape[1:])
 
+    from sequitr_tpu.utils import PhaseTimer
+
+    timer = PhaseTimer()
     labels_out = np.empty(stack.shape, dtype=np.int32)
     probs_list = [] if job.params.get("save_probs") else None
     objects = []
-    for t, result in enumerate(
-        infer_lib.infer_stack(fn, params, state, stack)
-    ):
-        labels_np = np.asarray(result.labels)
+    with timer.phase("infer"):
+        results = list(infer_lib.infer_stack(fn, params, state, stack))
+    for t, result in enumerate(results):
+        with timer.phase("fetch"):
+            labels_np = np.asarray(result.labels)
         labels_out[t] = labels_np
         if probs_list is not None:
             probs_list.append(np.asarray(result.probs))
         if job.params.get("localize", True):
-            objects.extend(
-                loc_lib.localize_frame(
-                    labels_np,
-                    t=t,
-                    intensity=stack[t],
-                    min_area=int(job.params.get("min_area", 1)),
+            with timer.phase("localize"):
+                objects.extend(
+                    loc_lib.localize_frame(
+                        labels_np,
+                        t=t,
+                        intensity=stack[t],
+                        min_area=int(job.params.get("min_area", 1)),
+                    )
                 )
-            )
 
-    outputs = {}
+    outputs: Dict[str, str] = {}
+    metrics = dict(timer.summary(), n_frames=len(stack), n_objects=len(objects))
+    # dispatch is async: throughput = frames over dispatch + result-fetch time
+    total_s = sum(timer._acc.get(k, 0.0) for k in ("infer", "fetch"))
+    if total_s > 0:
+        metrics["frames_per_sec"] = round(len(stack) / total_s, 3)
+    outputs["metrics"] = json.dumps(metrics)
     labels_path = os.path.join(job.output, "labels.tif")
     tiff.write_stack(labels_path, labels_out.astype(np.uint16))
     outputs["labels"] = labels_path
@@ -302,6 +313,108 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     out_path = os.path.join(job.output, "enhanced.tif")
     tiff.write_stack(out_path, np.stack(frames).astype(np.float32))
     return {"enhanced": out_path}
+
+
+@register("build_records")
+def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Build training record shards from image + label TIFF stacks.
+
+    The reference computes U-Net weight maps at record-creation time
+    (SURVEY.md §3.2); this pipeline mirrors that: input = [images.tif,
+    labels.tif], params: weight_maps (bool, default True), w0, sigma,
+    shard_size, num_classes. Output: ``train-*.tfrecord`` shards.
+    """
+    from sequitr_tpu.data import records, tiff
+    from sequitr_tpu.ops import weightmaps
+
+    img_path, lab_path = _resolve_inputs(job)[:2]
+    images = np.asarray(tiff.read_stack(img_path), dtype=np.float32)
+    labels = np.asarray(tiff.read_stack(lab_path)).astype(np.int32)
+    if images.ndim == 2:
+        images, labels = images[None], labels[None]
+    if images.shape != labels.shape:
+        raise jobs_lib.JobError(
+            f"image/label shape mismatch: {images.shape} vs {labels.shape}"
+        )
+    p = job.params
+    num_classes = int(p.get("num_classes", labels.max() + 1))
+    exs = []
+    for img, lab in zip(images, labels):
+        w = None
+        if p.get("weight_maps", True):
+            w = weightmaps.unet_weight_map(
+                lab, num_classes=num_classes,
+                w0=float(p.get("w0", 10.0)), sigma=float(p.get("sigma", 5.0)),
+            )
+        exs.append(records.SegExample(img, lab, w))
+    paths = records.write_segmentation_shards(
+        os.path.join(job.output, "train"), exs,
+        shard_size=int(p.get("shard_size", 128)),
+    )
+    return {"shards": os.path.join(job.output, "train-*.tfrecord"),
+            "n_examples": str(len(exs)), "n_shards": str(len(paths))}
+
+
+@register("train_unet2d")
+def train_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Train a 2D U-Net from record shards and register it as a model.
+
+    input: record shard paths (globs allowed). params: model (output name),
+    architecture (num_classes, depth, base_features, norm), training
+    (steps, batch_size, learning_rate, patch augment flags).
+    """
+    import glob as glob_lib
+
+    import jax.numpy as jnp
+
+    from sequitr_tpu.pipeline import fit as fit_lib
+    from sequitr_tpu.pipeline import train as train_lib
+
+    shard_paths: list = []
+    for pattern in _resolve_globs(job):
+        shard_paths.extend(sorted(glob_lib.glob(pattern)))
+    if not shard_paths:
+        raise jobs_lib.JobError(f"job {job.id}: no record shards found")
+    p = job.params
+    cfg = unet_config_from_params(p)
+    tc = train_lib.TrainConfig(
+        learning_rate=float(p.get("learning_rate", 1e-4)),
+        augment=bool(p.get("augment", True)),
+    )
+    fc = fit_lib.FitConfig(
+        steps=int(p.get("steps", 1000)),
+        batch_size=int(p.get("batch_size", 8)),
+        checkpoint_every=int(p.get("checkpoint_every", 500)),
+    )
+    state = fit_lib.fit_unet(
+        cfg, tc, fc, shard_paths, ckpt_dir=os.path.join(job.output, "ckpts")
+    )
+    model_dir = save_model(
+        config.models_dir, p["model"], "unet", cfg, state.params, state.model_state
+    )
+    return {"model": model_dir}
+
+
+def unet_config_from_params(p: dict):
+    import jax.numpy as jnp
+
+    from sequitr_tpu.models import unet
+
+    return unet.UNetConfig(
+        in_channels=int(p.get("in_channels", 1)),
+        num_classes=int(p.get("num_classes", 3)),
+        depth=int(p.get("depth", 4)),
+        base_features=int(p.get("base_features", 32)),
+        dims=int(p.get("dims", 2)),
+        norm=p.get("norm", "batch"),
+        compute_dtype=jnp.dtype(p.get("compute_dtype", "bfloat16")),
+    )
+
+
+def _resolve_globs(job: Job):
+    if not job.input:
+        raise jobs_lib.JobError(f"job {job.id}: no input paths")
+    return job.input
 
 
 @register("segmentation_unet3d")

@@ -1,0 +1,61 @@
+"""Spatially-sharded (halo-exchange) U-Net inference tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sequitr_tpu import parallel
+from sequitr_tpu.models import unet
+from sequitr_tpu.parallel import spatial
+
+
+def _cfg(norm="batch"):
+    return unet.UNetConfig(
+        in_channels=1, num_classes=3, depth=3, base_features=4,
+        norm=norm, compute_dtype=jnp.float32,
+    )
+
+
+class TestSpatialSharding:
+    def test_matches_whole_frame_exactly(self):
+        cfg = _cfg()
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        state = jax.tree.map(
+            lambda a: a
+            + 0.05 * np.random.default_rng(1).random(a.shape).astype(np.float32),
+            state,
+        )
+        frame = jnp.asarray(
+            np.random.default_rng(2).normal(size=(64, 32)).astype(np.float32)
+        )
+        ref_logits, _ = unet.apply(cfg, params, state, frame[None, ..., None])
+        ref_probs = jax.nn.softmax(ref_logits[0], axis=-1)
+
+        mesh = parallel.make_mesh()
+        fn = spatial.spatial_unet2d_infer(cfg, params, state, mesh, (64, 32))
+        probs, labels = fn(params, state, frame)
+        assert float(jnp.max(jnp.abs(probs - ref_probs))) < 1e-5
+        np.testing.assert_array_equal(
+            np.asarray(labels), np.asarray(jnp.argmax(ref_probs, -1))
+        )
+
+    def test_norm_none_variant(self):
+        cfg = _cfg(norm="none")
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        frame = jnp.asarray(
+            np.random.default_rng(3).normal(size=(32, 32)).astype(np.float32)
+        )
+        mesh = parallel.make_mesh()
+        fn = spatial.spatial_unet2d_infer(cfg, params, state, mesh, (32, 32))
+        probs, labels = fn(params, state, frame)
+        ref_logits, _ = unet.apply(cfg, params, state, frame[None, ..., None])
+        ref_probs = jax.nn.softmax(ref_logits[0], axis=-1)
+        assert float(jnp.max(jnp.abs(probs - ref_probs))) < 1e-5
+
+    def test_rejects_bad_shapes(self):
+        cfg = _cfg()
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        mesh = parallel.make_mesh()
+        with pytest.raises(ValueError):
+            spatial.spatial_unet2d_infer(cfg, params, state, mesh, (60, 32))
