@@ -1,13 +1,18 @@
-"""North-star benchmark: 1024x1024 UNet2D tiled inference frames/sec/chip.
+"""Benchmarks for the BASELINE.json configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default run prints ONE JSON line for the north-star metric (config #1,
+1024x1024 UNet2D segmentation frames/sec/chip):
+    {"metric", "value", "unit", "vs_baseline"}
 
-The baseline is the CPU reference throughput for the same chain. The
-reference (TF-1.x) is not installable here; BASELINE.md directs us to anchor
-the 10x target by measuring a CPU re-derivation ourselves. ``--baseline``
-re-measures the identical fused chain on the jax CPU backend and caches the
-number in ``baseline_cpu.json``; the default run loads the cache (or uses a
-recorded constant) and reports vs_baseline = tpu_fps / cpu_fps.
+``--config`` selects the other BASELINE configs (timelapse, train, unet3d,
+gan); ``--all`` prints one JSON line per config. ``--baseline`` re-measures
+the CPU anchor (see BASELINE.md; the TF re-derivation baseline comes from
+``python -m sequitr_tpu.models.tf_reference``).
+
+Timing methodology: device queues execute in order, so each measurement
+dispatches N steps and forces a dependent scalar fetch of the last output
+(``_force``) — honest on machines where the TPU sits behind a relay tunnel
+and ``block_until_ready`` does not synchronize (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -19,82 +24,207 @@ import time
 
 import numpy as np
 
-# Recorded on this machine's CPU (1 core) via `python bench.py --baseline`;
-# see baseline_cpu.json for the live cache.
-_DEFAULT_CPU_FPS = 0.5
+_DEFAULT_CPU_FPS = 0.5  # overridden by baseline_cpu.json when present
 
 FRAME = (1024, 1024)
 
 
-def _build(device_kind: str):
+def _force(out) -> float:
     import jax
     import jax.numpy as jnp
-    from sequitr_tpu.models import unet
-    from sequitr_tpu.pipeline import infer as infer_lib
 
-    compute_dtype = jnp.bfloat16 if device_kind == "tpu" else jnp.float32
-    cfg = unet.UNetConfig(
-        in_channels=1, num_classes=3, depth=4, base_features=32,
-        compute_dtype=compute_dtype,
-    )
-    params, state = unet.init(jax.random.PRNGKey(0), cfg)
-    # BASELINE config #1 is a single whole 1024^2 frame: it fits HBM, so the
-    # fastest correct plan is untiled (tiling pays ~1.56x redundant conv work
-    # at 256/64 patch/overlap and is reserved for frames larger than memory)
-    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
-    fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
-    frame = jnp.asarray(
-        np.random.default_rng(0).gamma(2.0, 100.0, FRAME).astype(np.float32)
-    )
-    return fn, params, state, frame
+    leaves = jax.tree.leaves(out)
+    return float(jnp.sum(leaves[-1].astype(jnp.float32)))
 
 
-def _force(out) -> float:
-    """Force execution of everything queued before ``out`` and return a
-    checksum. Uses a dependent scalar fetch rather than block_until_ready:
-    device queues execute in order, so materializing a scalar reduction of
-    the last output proves all prior work finished — and moves 8 bytes
-    host-ward instead of the full 16MB result (which would swamp the
-    measurement on remote-tunneled devices)."""
-    import jax.numpy as jnp
-
-    _probs, labels = out
-    return float(jnp.sum(labels))
-
-
-def _measure(fn, params, state, frame, iters: int, warmup: int = 2) -> float:
+def _rate(step, iters: int, warmup: int = 2) -> float:
+    """steps/sec of ``step()`` with dependent-scalar forcing."""
+    out = None
     for _ in range(warmup):
-        out = fn(params, state, frame)
+        out = step()
     _force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(params, state, frame)
+        out = step()
     _force(out)
     return iters / (time.perf_counter() - t0)
 
 
+def _dtype(device_kind: str):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if device_kind == "tpu" else jnp.float32
+
+
+def _unet_cfg(device_kind: str, **kw):
+    from sequitr_tpu.models import unet
+
+    base = dict(
+        in_channels=1, num_classes=3, depth=4, base_features=32,
+        compute_dtype=_dtype(device_kind),
+    )
+    base.update(kw)
+    return unet.UNetConfig(**base)
+
+
+def _frame(shape=FRAME, seed=0):
+    import jax.numpy as jnp
+
+    return jnp.asarray(
+        np.random.default_rng(seed).gamma(2.0, 100.0, shape).astype(np.float32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# configs
+# ---------------------------------------------------------------------------
+
+
+def bench_inference(device_kind: str, iters: int):
+    """Config #1: single whole 1024^2 frame (untiled — it fits HBM)."""
+    import jax
+    from sequitr_tpu.models import unet
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg = _unet_cfg(device_kind)
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
+    fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
+    frame = _frame()
+    fps = _rate(lambda: fn(params, state, frame), iters)
+    return {"metric": "unet2d_1024_inference", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
+def bench_timelapse(device_kind: str, iters: int):
+    """Config #2: tiled sliding-window w/ overlap-blend over a stack."""
+    import jax
+    from sequitr_tpu.models import unet
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg = _unet_cfg(device_kind)
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    tc = infer_lib.TileConfig(patch=(256, 256), overlap=(64, 64))
+    fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
+    frame = _frame()
+    fps = _rate(lambda: fn(params, state, frame), iters)
+    return {"metric": "unet2d_1024_tiled_timelapse", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
+def bench_train(device_kind: str, iters: int):
+    """Config #3: weighted-CE training step w/ on-device augmentation."""
+    import jax
+    import jax.numpy as jnp
+    from sequitr_tpu.pipeline import train as train_lib
+
+    cfg = _unet_cfg(device_kind)
+    tc = train_lib.TrainConfig(augment=True)
+    state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+    step = train_lib.make_unet_train_step(cfg, tc)
+    rng = np.random.default_rng(0)
+    b, s = 8, 256
+    batch = {
+        "image": jnp.asarray(rng.random((b, s, s, 1)).astype(np.float32)),
+        "labels": jnp.asarray(rng.integers(0, 3, (b, s, s)).astype(np.int32)),
+        "weights": jnp.ones((b, s, s), jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+    holder = {"state": state}
+
+    def one():
+        holder["state"], metrics = step(holder["state"], batch, key)
+        return metrics["loss"]
+
+    sps = _rate(one, iters)
+    return {"metric": "unet2d_train_step_256px_b8", "value": round(sps * b, 3),
+            "unit": "patches/sec/chip"}
+
+
+def bench_unet3d(device_kind: str, iters: int):
+    """Config #4: volumetric 3D U-Net over a z-stack."""
+    import jax
+    from sequitr_tpu.models import unet
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg = _unet_cfg(device_kind, dims=3, depth=3, features_cap=256)
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    vol_shape = (32, 512, 512)
+    tc = infer_lib.TileConfig(
+        patch=vol_shape, overlap=(0, 0, 0)
+    )
+    fn = infer_lib.make_frame_inferrer(cfg, tc, vol_shape)
+    vol = _frame(vol_shape)
+    vps = _rate(lambda: fn(params, state, vol), max(2, iters // 4))
+    mvox = np.prod(vol_shape) / 1e6
+    return {"metric": "unet3d_512_z32_inference", "value": round(vps * mvox, 3),
+            "unit": "Mvoxels/sec/chip"}
+
+
+def bench_gan(device_kind: str, iters: int):
+    """Config #5a: GAN generator enhancement pass on a 1024^2 frame."""
+    import jax
+    from sequitr_tpu.models import gan as gan_lib
+    from sequitr_tpu.ops import normalize as norm_ops
+
+    cfg = gan_lib.GANConfig(compute_dtype=_dtype(device_kind))
+    params, state = gan_lib.init(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def enhance(frame):
+        x = norm_ops.percentile_normalize_fast(frame)[None, ..., None]
+        y, _ = gan_lib.generator_apply(cfg, params, state, x)
+        return y[0, ..., 0]
+
+    frame = _frame()
+    fps = _rate(lambda: enhance(frame), iters)
+    return {"metric": "gan_enhance_1024", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
+CONFIGS = {
+    "inference": bench_inference,
+    "timelapse": bench_timelapse,
+    "train": bench_train,
+    "unet3d": bench_unet3d,
+    "gan": bench_gan,
+}
+
+
+# ---------------------------------------------------------------------------
+# baseline handling
+# ---------------------------------------------------------------------------
+
+
 def measure_cpu_baseline() -> float:
-    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     # this machine's sitecustomize force-registers the TPU plugin and
     # overrides JAX_PLATFORMS; pin the config value itself
     jax.config.update("jax_platforms", "cpu")
-    fn, params, state, frame = _build("cpu")
-    fps = _measure(fn, params, state, frame, iters=3, warmup=1)
-    with open(os.path.join(os.path.dirname(__file__) or ".", "baseline_cpu.json"), "w") as f:
-        json.dump({"cpu_fps": fps, "frame": FRAME}, f)
+    from sequitr_tpu.models import unet
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg = _unet_cfg("cpu")
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
+    fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
+    frame = _frame()
+    fps = _rate(lambda: fn(params, state, frame), iters=3, warmup=1)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "baseline_cpu.json")
+    data = {}
+    if os.path.exists(path):
+        data = json.load(open(path))
+    data.update({"cpu_fps": fps, "frame": list(FRAME)})
+    json.dump(data, open(path, "w"))
     return fps
 
 
 def load_cpu_baseline() -> float:
-    """Reference baseline fps: prefer the TF re-derivation measurement
-    (``python -m sequitr_tpu.models.tf_reference``) — the closest stand-in
-    for the TF-1.x reference — falling back to the jax-CPU measurement."""
-    path = os.path.join(os.path.dirname(__file__) or ".", "baseline_cpu.json")
+    """Prefer the TF re-derivation measurement (the reference stand-in)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "baseline_cpu.json")
     if os.path.exists(path):
-        with open(path) as f:
-            data = json.load(f)
+        data = json.load(open(path))
         return float(data.get("tf_cpu_fps", data.get("cpu_fps", _DEFAULT_CPU_FPS)))
     return _DEFAULT_CPU_FPS
 
@@ -102,6 +232,8 @@ def load_cpu_baseline() -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline", action="store_true", help="measure CPU baseline")
+    ap.add_argument("--config", choices=sorted(CONFIGS), default="inference")
+    ap.add_argument("--all", action="store_true", help="run every config")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
@@ -112,21 +244,17 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-
-    fn, params, state, frame = _build(jax.default_backend())
-    fps = _measure(fn, params, state, frame, iters=args.iters)
-    cpu_fps = load_cpu_baseline()
-    print(
-        json.dumps(
-            {
-                "metric": "unet2d_1024_inference",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / cpu_fps, 2),
-            }
-        )
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
+    device_kind = jax.default_backend()
+    names = sorted(CONFIGS) if args.all else [args.config]
+    for name in names:
+        result = CONFIGS[name](device_kind, args.iters)
+        if name == "inference":
+            result["vs_baseline"] = round(result["value"] / load_cpu_baseline(), 2)
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

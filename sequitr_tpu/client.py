@@ -1,0 +1,64 @@
+"""Client-side helpers for the filesystem job API.
+
+The reference's clients (notebooks, ImageJ/napari-side scripts — SURVEY.md
+§1 L7) talk to the server purely through the filesystem: write a job JSON,
+poll for the status marker. This module wraps that contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+from sequitr_tpu.server import jobs as jobs_lib
+
+__all__ = ["run_job", "wait_for_job", "JobFailed", "JobTimeout"]
+
+
+class JobFailed(RuntimeError):
+    def __init__(self, status: Dict[str, Any]):
+        super().__init__(status.get("error", "job failed"))
+        self.status = status
+
+
+class JobTimeout(TimeoutError):
+    pass
+
+
+def wait_for_job(
+    output_dir: str, timeout: float = 3600.0, poll: float = 0.5
+) -> Dict[str, Any]:
+    """Poll ``output_dir/status.json`` until complete/failed; return status."""
+    deadline = time.time() + timeout
+    path = os.path.join(output_dir, "status.json")
+    while time.time() < deadline:
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    status = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                status = None  # mid-rename; retry
+            if status and status.get("state") == "complete":
+                return status
+            if status and status.get("state") == "failed":
+                raise JobFailed(status)
+        time.sleep(poll)
+    raise JobTimeout(f"job did not finish within {timeout}s ({output_dir})")
+
+
+def run_job(
+    jobs_dir: str,
+    spec: Dict[str, Any],
+    timeout: float = 3600.0,
+    job_id: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Submit a job spec and block until it finishes. Returns the status.
+
+    ``spec`` must include ``module`` and ``output`` (the polled directory).
+    """
+    if "output" not in spec:
+        raise ValueError("job spec needs an 'output' directory to poll")
+    jobs_lib.submit_job(jobs_dir, spec, job_id=job_id)
+    return wait_for_job(spec["output"], timeout=timeout)

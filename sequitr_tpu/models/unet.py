@@ -98,6 +98,17 @@ def _init_norm_state(c: int) -> State:
     return {"mean": jnp.zeros((c,), jnp.float32), "var": jnp.ones((c,), jnp.float32)}
 
 
+def _preferred(cfg: UNetConfig):
+    """Accumulation dtype exposed by convs.
+
+    f32 compute: expose f32 (exact parity path). bf16 compute: let the conv
+    output bf16 (MXU still accumulates f32 internally) and upcast through an
+    explicit astype — keeping primal and cotangent dtypes consistent so the
+    conv transpose rules differentiate cleanly under mixed precision.
+    """
+    return jnp.float32 if cfg.compute_dtype == jnp.float32 else None
+
+
 def _conv(x, p, cfg: UNetConfig, stride: int = 1, padding="SAME"):
     dn = _conv_dim_numbers(cfg.dims)
     w = p["w"].astype(cfg.compute_dtype)
@@ -107,9 +118,9 @@ def _conv(x, p, cfg: UNetConfig, stride: int = 1, padding="SAME"):
         window_strides=(stride,) * cfg.dims,
         padding=padding,
         dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_preferred(cfg),
     )
-    return y + p["b"]
+    return y.astype(jnp.float32) + p["b"]
 
 
 def _conv_transpose(x, p, cfg: UNetConfig):
@@ -129,9 +140,9 @@ def _conv_transpose(x, p, cfg: UNetConfig):
         padding="VALID",
         dimension_numbers=dn,
         transpose_kernel=True,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_preferred(cfg),
     )
-    return y + p["b"]
+    return y.astype(jnp.float32) + p["b"]
 
 
 def _batch_norm(x, p, s, cfg: UNetConfig, train: bool):

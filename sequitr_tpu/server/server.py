@@ -339,7 +339,15 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     p = job.params
     num_classes = int(p.get("num_classes", labels.max() + 1))
     exs = []
+    p_lo, p_hi = float(p.get("p_lo", 5.0)), float(p.get("p_hi", 99.5))
     for img, lab in zip(images, labels):
+        if p.get("normalize", True):
+            # records store normalized intensities so training sees the same
+            # distribution tiled inference feeds the net (SURVEY.md §3.2/3.3)
+            lo, hi = np.percentile(img, [p_lo, p_hi])
+            img = np.clip((img - lo) / max(hi - lo, 1e-8), 0.0, 1.0).astype(
+                np.float32
+            )
         w = None
         if p.get("weight_maps", True):
             w = weightmaps.unet_weight_map(

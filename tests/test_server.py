@@ -181,3 +181,96 @@ class TestLocalize:
         localize.export_btrack_h5(p, [])
         with h5py.File(p) as f:
             assert f["objects/obj_type_1/coords"][:].shape == (0, 5)
+
+
+class TestUNet3DPipeline:
+    def test_end_to_end(self, server_env):
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2, dims=3,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "seg3d", "unet", net_cfg, params, state)
+
+        vol = (np.random.default_rng(2).random((8, 32, 32)) * 800).astype(np.float32)
+        vol_path = str(tmp / "vol.tif")
+        tiff.write_stack(vol_path, vol)
+        out_dir = str(tmp / "out3d")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet3d",
+                "params": {
+                    "model": "seg3d",
+                    "patch": [4, 16, 16],
+                    "overlap": [2, 4, 4],
+                },
+                "input": [vol_path],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        labels = tiff.read_stack(status["outputs"]["labels"])
+        assert labels.shape == (8, 32, 32)
+
+
+class TestTrainPipelines:
+    def test_build_records_then_train(self, server_env):
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(0)
+        images = rng.normal(0.1, 0.05, (4, 16, 16)).astype(np.float32)
+        labels = np.zeros((4, 16, 16), np.int32)
+        for i in range(4):
+            images[i, 4:10, 4:10] += 1.0
+            labels[i, 4:10, 4:10] = 1
+        img_path, lab_path = str(tmp / "img.tif"), str(tmp / "lab.tif")
+        tiff.write_stack(img_path, images)
+        tiff.write_stack(lab_path, labels.astype(np.uint16))
+
+        rec_dir = str(tmp / "recs")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "build_records",
+                "params": {"num_classes": 2, "shard_size": 2},
+                "input": [img_path, lab_path],
+                "output": rec_dir,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        status = json.load(open(os.path.join(rec_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        assert status["outputs"]["n_examples"] == "4"
+
+        train_out = str(tmp / "train_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "train_unet2d",
+                "params": {
+                    "model": "trained2d",
+                    "num_classes": 2,
+                    "depth": 2,
+                    "base_features": 2,
+                    "norm": "none",
+                    "compute_dtype": "float32",
+                    "steps": 3,
+                    "batch_size": 2,
+                    "augment": False,
+                },
+                "input": [status["outputs"]["shards"]],
+                "output": train_out,
+            },
+        )
+        assert srv.poll_once()
+        status2 = json.load(open(os.path.join(train_out, "status.json")))
+        assert status2["state"] == "complete", status2.get("error")
+        # trained model is registered and loadable
+        from sequitr_tpu.server import load_model
+
+        kind, cfg, params, state = load_model(cfg_srv.models_dir, "trained2d")
+        assert kind == "unet"
