@@ -88,13 +88,13 @@ def _map_coordinates_2d(img: jnp.ndarray, coords_y, coords_x, order: int) -> jnp
         return jax.scipy.ndimage.map_coordinates(
             img, [coords_y, coords_x], order=order, mode="nearest"
         )
-    warped = [
-        jax.scipy.ndimage.map_coordinates(
-            img[..., c], [coords_y, coords_x], order=order, mode="nearest"
-        )
-        for c in range(img.shape[-1])
-    ]
-    return jnp.stack(warped, axis=-1)
+    return jax.vmap(
+        lambda plane: jax.scipy.ndimage.map_coordinates(
+            plane, [coords_y, coords_x], order=order, mode="nearest"
+        ),
+        in_axes=-1,
+        out_axes=-1,
+    )(img)
 
 
 def elastic_warp(

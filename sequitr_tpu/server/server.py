@@ -394,11 +394,109 @@ def train_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         batch_size=int(p.get("batch_size", 8)),
         checkpoint_every=int(p.get("checkpoint_every", 500)),
     )
+    ckpt_dir = os.path.join(job.output, "ckpts")
+    init_state = None
+    final_ckpt = os.path.join(ckpt_dir, "final")
+    if p.get("resume", True) and os.path.isdir(final_ckpt):
+        # crash/requeue recovery: resume from the last full checkpoint
+        import jax
+
+        template = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        init_state = train_lib.restore_checkpoint(final_ckpt, template)
     state = fit_lib.fit_unet(
-        cfg, tc, fc, shard_paths, ckpt_dir=os.path.join(job.output, "ckpts")
+        cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir, init_state=init_state
     )
     model_dir = save_model(
         config.models_dir, p["model"], "unet", cfg, state.params, state.model_state
+    )
+    return {"model": model_dir}
+
+
+@register("build_gan_pairs")
+def build_gan_pairs(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Build GAN training pair shards from (raw, target) TIFF stacks.
+
+    input: [raw.tif, target.tif] (same shape). params: normalize (bool),
+    p_lo/p_hi, shard_size. Output: ``pairs-*.tfrecord``-style shard files.
+    """
+    from sequitr_tpu.data import records, tiff
+    from sequitr_tpu.pipeline import fit as fit_lib
+
+    raw_path, tgt_path = _resolve_inputs(job)[:2]
+    raw = np.asarray(tiff.read_stack(raw_path), dtype=np.float32)
+    tgt = np.asarray(tiff.read_stack(tgt_path), dtype=np.float32)
+    if raw.ndim == 2:
+        raw, tgt = raw[None], tgt[None]
+    if raw.shape != tgt.shape:
+        raise jobs_lib.JobError(f"shape mismatch: {raw.shape} vs {tgt.shape}")
+    p = job.params
+    p_lo, p_hi = float(p.get("p_lo", 5.0)), float(p.get("p_hi", 99.5))
+
+    def norm(img):
+        lo, hi = np.percentile(img, [p_lo, p_hi])
+        return np.clip((img - lo) / max(hi - lo, 1e-8), 0.0, 1.0).astype(np.float32)
+
+    os.makedirs(job.output, exist_ok=True)
+    shard_size = int(p.get("shard_size", 128))
+    payloads = []
+    for x, y in zip(raw, tgt):
+        if p.get("normalize", True):
+            x, y = norm(x), norm(y)
+        payloads.append(fit_lib.encode_pair(x, y))
+    n_shards = max(1, -(-len(payloads) // shard_size))
+    for s in range(n_shards):
+        path = os.path.join(job.output, f"pairs-{s:05d}-of-{n_shards:05d}.tfrecord")
+        with records.RecordWriter(path) as w:
+            for pl_ in payloads[s * shard_size : (s + 1) * shard_size]:
+                w.write(pl_)
+    return {"shards": os.path.join(job.output, "pairs-*.tfrecord"),
+            "n_examples": str(len(payloads))}
+
+
+@register("train_gan")
+def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Train the enhancement GAN from pair shards; registers the model.
+
+    input: pair shard globs. params: model (output name), gen_depth,
+    gen_base_features, disc_layers, steps, batch_size, learning_rate,
+    l1_weight, compute_dtype.
+    """
+    import glob as glob_lib
+
+    import jax.numpy as jnp
+
+    from sequitr_tpu.models import gan as gan_lib
+    from sequitr_tpu.pipeline import fit as fit_lib
+    from sequitr_tpu.pipeline import train as train_lib
+
+    shard_paths: list = []
+    for pattern in _resolve_globs(job):
+        shard_paths.extend(sorted(glob_lib.glob(pattern)))
+    if not shard_paths:
+        raise jobs_lib.JobError(f"job {job.id}: no pair shards found")
+    p = job.params
+    cfg = gan_lib.GANConfig(
+        in_channels=int(p.get("in_channels", 1)),
+        out_channels=int(p.get("out_channels", 1)),
+        gen_depth=int(p.get("gen_depth", 4)),
+        gen_base_features=int(p.get("gen_base_features", 32)),
+        disc_layers=int(p.get("disc_layers", 3)),
+        disc_base_features=int(p.get("disc_base_features", 64)),
+        compute_dtype=jnp.dtype(p.get("compute_dtype", "bfloat16")),
+    )
+    tc = train_lib.TrainConfig(
+        learning_rate=float(p.get("learning_rate", 2e-4)), beta1=0.5
+    )
+    fc = fit_lib.FitConfig(
+        steps=int(p.get("steps", 1000)),
+        batch_size=int(p.get("batch_size", 4)),
+        checkpoint_every=int(p.get("checkpoint_every", 500)),
+    )
+    state = fit_lib.fit_gan(
+        cfg, tc, fc, shard_paths, ckpt_dir=os.path.join(job.output, "ckpts")
+    )
+    model_dir = save_model(
+        config.models_dir, p["model"], "gan", cfg, state.params, state.model_state
     )
     return {"model": model_dir}
 

@@ -274,3 +274,112 @@ class TestTrainPipelines:
 
         kind, cfg, params, state = load_model(cfg_srv.models_dir, "trained2d")
         assert kind == "unet"
+
+
+class TestGanTrainPipelines:
+    def test_build_pairs_then_train_gan(self, server_env):
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(0)
+        raw = (rng.random((4, 16, 16)) * 900).astype(np.float32)
+        clean = raw * 0.5
+        raw_p, tgt_p = str(tmp / "raw.tif"), str(tmp / "clean.tif")
+        tiff.write_stack(raw_p, raw)
+        tiff.write_stack(tgt_p, clean)
+
+        pairs_out = str(tmp / "pairs")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "build_gan_pairs",
+                "params": {"shard_size": 2},
+                "input": [raw_p, tgt_p],
+                "output": pairs_out,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        status = json.load(open(os.path.join(pairs_out, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        assert status["outputs"]["n_examples"] == "4"
+
+        train_out = str(tmp / "gtrain")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "train_gan",
+                "params": {
+                    "model": "gan_demo",
+                    "gen_depth": 2,
+                    "gen_base_features": 2,
+                    "disc_layers": 2,
+                    "disc_base_features": 2,
+                    "compute_dtype": "float32",
+                    "steps": 2,
+                    "batch_size": 2,
+                },
+                "input": [status["outputs"]["shards"]],
+                "output": train_out,
+            },
+        )
+        assert srv.poll_once()
+        status2 = json.load(open(os.path.join(train_out, "status.json")))
+        assert status2["state"] == "complete", status2.get("error")
+        from sequitr_tpu.server import load_model
+
+        kind, _, _, _ = load_model(cfg_srv.models_dir, "gan_demo")
+        assert kind == "gan"
+
+    def test_train_resume_from_checkpoint(self, server_env, tmp_path):
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(1)
+        images = rng.random((4, 16, 16)).astype(np.float32)
+        labels = (images > 0.5).astype(np.int32)
+        img_p, lab_p = str(tmp / "i.tif"), str(tmp / "l.tif")
+        tiff.write_stack(img_p, images)
+        tiff.write_stack(lab_p, labels.astype(np.uint16))
+        srv = ImageServer(cfg_srv)
+
+        rec_out = str(tmp / "recs")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "build_records",
+                "params": {"num_classes": 2, "weight_maps": False},
+                "input": [img_p, lab_p],
+                "output": rec_out,
+            },
+        )
+        assert srv.poll_once()
+        shards = json.load(open(os.path.join(rec_out, "status.json")))["outputs"]["shards"]
+
+        train_params = {
+            "model": "resume_demo",
+            "num_classes": 2,
+            "depth": 2,
+            "base_features": 2,
+            "norm": "none",
+            "compute_dtype": "float32",
+            "steps": 2,
+            "batch_size": 2,
+            "augment": False,
+            "checkpoint_every": 1,
+        }
+        out1 = str(tmp / "t1")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_unet2d", "params": train_params,
+             "input": [shards], "output": out1},
+        )
+        assert srv.poll_once()
+        s1 = json.load(open(os.path.join(out1, "status.json")))
+        assert s1["state"] == "complete", s1.get("error")
+
+        # resubmit with the same output dir: resumes from ckpts/final
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_unet2d", "params": train_params,
+             "input": [shards], "output": out1},
+        )
+        assert srv.poll_once()
+        s2 = json.load(open(os.path.join(out1, "status.json")))
+        assert s2["state"] == "complete", s2.get("error")
