@@ -71,3 +71,16 @@ class TestPallasConvKernels:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(self._ref(x, w, b)), atol=1e-4
         )
+
+    def test_gemm2_conv_matches_lax(self):
+        from sequitr_tpu.ops.pallas import conv2d_gemm2 as g2
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(32, 120, 16)).astype(np.float32))
+        w = jnp.asarray((rng.normal(size=(3, 3, 16, 8)) * 0.1).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+        yf = g2.conv3x3_gemm2(g2.flatten_chw2(x), w, b, 32, 120, interpret=True)
+        out = g2.unflatten_chw2(yf, 32, 120)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(self._ref(x, w, b)), atol=1e-4
+        )
