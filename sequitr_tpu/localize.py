@@ -102,6 +102,47 @@ def localize_frame(
     return out
 
 
+def localize_volume(
+    class_map: np.ndarray,
+    t: int = 0,
+    intensity: Optional[np.ndarray] = None,
+    min_area: int = 1,
+) -> List[LocalizedObject]:
+    """3D variant: per-object centroids from a (Z, H, W) class label map.
+
+    Instances from 3D connected components of the foreground; ``z`` is the
+    centroid plane (BASELINE config #4's volumetric output feeding btrack).
+    """
+    class_map = np.asarray(class_map)
+    if class_map.ndim != 3:
+        raise ValueError(f"expected (Z, H, W), got {class_map.shape}")
+    structure = ndimage.generate_binary_structure(3, 1)
+    inst, n = ndimage.label(class_map > 0, structure=structure)
+    if n == 0:
+        return []
+    ids = np.arange(1, n + 1)
+    areas = ndimage.sum_labels(np.ones_like(inst), inst, ids)
+    coms = ndimage.center_of_mass(np.ones_like(inst), inst, ids)
+    means = (
+        ndimage.mean(intensity, inst, ids) if intensity is not None else np.zeros(n)
+    )
+    classes = ndimage.labeled_comprehension(
+        class_map, inst, ids, lambda v: np.bincount(v.astype(np.int64)).argmax(), int, 0
+    )
+    out = []
+    for i, (cz, cy, cx) in enumerate(coms):
+        if areas[i] < min_area:
+            continue
+        out.append(
+            LocalizedObject(
+                t=t, x=float(cx), y=float(cy), z=float(cz),
+                label=int(classes[i]), area=int(areas[i]),
+                intensity_mean=float(means[i]),
+            )
+        )
+    return out
+
+
 def export_btrack_h5(
     path: str,
     objects: Sequence[LocalizedObject],

@@ -2,5 +2,7 @@
 
 from sequitr_tpu.models import unet  # noqa: F401
 from sequitr_tpu.models import gan  # noqa: F401
+from sequitr_tpu.models import convert  # noqa: F401
+from sequitr_tpu.models import zoo  # noqa: F401
 from sequitr_tpu.models.unet import UNetConfig  # noqa: F401
 from sequitr_tpu.models.gan import GANConfig  # noqa: F401

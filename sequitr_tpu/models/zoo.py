@@ -1,0 +1,64 @@
+"""Named model presets — the rebuilt analogue of sequitr's preconfigured nets.
+
+The reference shipped task-specific network configurations (2D/3D
+segmentation variants, the enhancement GAN) selected by name in job specs
+(SURVEY.md §2; exact reference names unavailable — these presets are the
+rebuild's documented defaults). ``get(name)`` returns a ready config;
+``create(name, key)`` also initializes parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sequitr_tpu.models import gan as gan_lib
+from sequitr_tpu.models import unet
+
+__all__ = ["PRESETS", "get", "create", "names"]
+
+
+def _unet(**kw) -> unet.UNetConfig:
+    base: Dict[str, Any] = dict(
+        in_channels=1, num_classes=3, depth=4, base_features=32,
+        norm="batch", compute_dtype=jnp.bfloat16,
+    )
+    base.update(kw)
+    return unet.UNetConfig(**base)
+
+
+PRESETS: Dict[str, Any] = {
+    # binary cell/background segmentation
+    "unet2d_binary": _unet(num_classes=2),
+    # background / interphase / mitotic — the classic sequitr 3-class task
+    "unet2d_3class": _unet(num_classes=3),
+    # 5-class cell-state segmentation
+    "unet2d_5class": _unet(num_classes=5),
+    # volumetric segmentation over z-stacks (shallower: HBM-conscious)
+    "unet3d_binary": _unet(num_classes=2, dims=3, depth=3, features_cap=256),
+    "unet3d_3class": _unet(num_classes=3, dims=3, depth=3, features_cap=256),
+    # pix2pix-style enhancement/denoising GAN
+    "gan_enhance": gan_lib.GANConfig(compute_dtype=jnp.bfloat16),
+}
+
+
+def names():
+    return sorted(PRESETS)
+
+
+def get(name: str):
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {names()}")
+    return PRESETS[name]
+
+
+def create(name: str, key: jax.Array) -> Tuple[Any, Any, Any]:
+    """(config, params, state) for a named preset."""
+    cfg = get(name)
+    if isinstance(cfg, gan_lib.GANConfig):
+        params, state = gan_lib.init(key, cfg)
+    else:
+        params, state = unet.init(key, cfg)
+    return cfg, params, state

@@ -506,6 +506,10 @@ def unet_config_from_params(p: dict):
 
     from sequitr_tpu.models import unet
 
+    if "preset" in p:
+        from sequitr_tpu.models import zoo
+
+        return zoo.get(p["preset"])
     return unet.UNetConfig(
         in_channels=int(p.get("in_channels", 1)),
         num_classes=int(p.get("num_classes", 3)),

@@ -105,3 +105,38 @@ class TestConfig:
             json.dump({"jobs_dir": "x", "gpu_id": 3}, f)
         cfg = ServerConfiguration.from_json(p)
         assert cfg.jobs_dir == "x"
+
+
+class TestZoo:
+    def test_presets_create(self):
+        from sequitr_tpu.models import zoo
+
+        assert "unet2d_3class" in zoo.names()
+        cfg, params, state = zoo.create("unet2d_binary", jax.random.PRNGKey(0))
+        assert cfg.num_classes == 2
+        cfg3d = zoo.get("unet3d_binary")
+        assert cfg3d.dims == 3
+
+    def test_unknown_preset(self):
+        from sequitr_tpu.models import zoo
+
+        try:
+            zoo.get("nope")
+            assert False
+        except KeyError as e:
+            assert "available" in str(e)
+
+
+class TestLocalizeVolume:
+    def test_3d_objects(self):
+        from sequitr_tpu import localize
+
+        cm = np.zeros((8, 32, 32), np.int32)
+        cm[2:5, 5:15, 5:15] = 1
+        cm[5:8, 20:28, 20:28] = 2
+        objs = localize.localize_volume(cm, t=1)
+        assert len(objs) == 2
+        by_label = {o.label: o for o in objs}
+        np.testing.assert_allclose(by_label[1].z, 3.0)
+        np.testing.assert_allclose([by_label[1].y, by_label[1].x], [9.5, 9.5])
+        assert by_label[2].area == 3 * 8 * 8

@@ -84,3 +84,31 @@ class TestPallasConvKernels:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(self._ref(x, w, b)), atol=1e-4
         )
+
+
+class TestWinograd:
+    def test_matches_direct_conv(self):
+        from sequitr_tpu.ops.winograd import winograd_conv3x3
+        import jax
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 16, 24, 8)).astype(np.float32))
+        w = jnp.asarray((rng.normal(size=(3, 3, 8, 4)) * 0.2).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+        out = winograd_conv3x3(x, w, b)
+        dn = jax.lax.conv_dimension_numbers(
+            (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
+        )
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn
+        ) + b
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_differentiable(self):
+        from sequitr_tpu.ops.winograd import winograd_conv3x3
+        import jax
+
+        x = jnp.ones((1, 8, 8, 2))
+        w = jnp.ones((3, 3, 2, 2)) * 0.1
+        g = jax.grad(lambda ww: float(0) + jnp.sum(winograd_conv3x3(x, ww) ** 2))(w)
+        assert bool(jnp.all(jnp.isfinite(g)))
