@@ -18,7 +18,6 @@ reference feature keys unavailable; keys are documented constants below).
 
 from __future__ import annotations
 
-import os
 import struct
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Union
 

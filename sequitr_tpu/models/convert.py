@@ -3,9 +3,11 @@
 The parity bar requires running *identical* weights through the reference
 and the TPU path (BASELINE.json; SURVEY.md §5 'Checkpoint / resume': "a
 TF->jax weight converter so parity runs use identical reference weights").
-TensorFlow is not installed in this image, so the interchange format is a
-flat ``.npz``: export reference variables to npz elsewhere (a 5-line TF
-script, documented below), then load here.
+The interchange format is a flat ``.npz``: export reference variables to
+npz (a 5-line TF script, documented below), then load here. For in-process
+parity against the re-derived TF architecture, see
+``sequitr_tpu.models.tf_reference`` (injects our pytrees directly into a
+Keras clone).
 
 Interchange conventions
 -----------------------
@@ -30,7 +32,7 @@ Export snippet for the reference side (run where TF 1.x exists)::
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+from typing import Any, Callable, Dict, Mapping, Optional
 
 import jax
 import numpy as np

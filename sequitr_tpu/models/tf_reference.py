@@ -20,7 +20,7 @@ depends on it.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import numpy as np
 

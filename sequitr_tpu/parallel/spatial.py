@@ -25,17 +25,15 @@ Requirements: H divisible by n_devices, and H/n_devices divisible by
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from sequitr_tpu.models import unet
-from sequitr_tpu.models.unet import _conv, _conv_transpose, _upsample
+from sequitr_tpu.models.unet import _conv, _conv_transpose
 
 __all__ = ["spatial_unet2d_infer"]
 

@@ -17,7 +17,6 @@ module is the single-chip building block it shards.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Iterable, Iterator, Optional, Tuple
 
 import jax

@@ -13,7 +13,7 @@ Data-parallel sharding of these steps over a TPU mesh lives in
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

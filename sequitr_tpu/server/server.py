@@ -24,7 +24,7 @@ import logging
 import os
 import time
 import traceback
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 
@@ -195,13 +195,15 @@ def _tile_config(params: dict, dims: int = 2):
 
     patch = tuple(params.get("patch", (256, 256) if dims == 2 else (16, 128, 128)))
     overlap = tuple(params.get("overlap", (64, 64) if dims == 2 else (4, 32, 32)))
+    pb = params.get("patch_batch")
     return infer_lib.TileConfig(
         patch=patch,
         overlap=overlap,
         window=params.get("window", "hann"),
-        normalize=params.get("normalize", "fast"),
+        normalize=params.get("normalize", "auto"),
         p_lo=float(params.get("p_lo", 5.0)),
         p_hi=float(params.get("p_hi", 99.5)),
+        patch_batch=int(pb) if pb else None,
     )
 
 
@@ -226,7 +228,6 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     kind, cfg, params, state = load_model(config.models_dir, job.params["model"])
     assert kind == "unet", f"model {job.params['model']} is not a unet"
     tc = _tile_config(job.params, dims=2)
-    fn = infer_lib.make_frame_inferrer(cfg, tc, stack.shape[1:])
 
     from sequitr_tpu.utils import PhaseTimer
 
@@ -235,7 +236,7 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     probs_list = [] if job.params.get("save_probs") else None
     objects = []
     with timer.phase("infer"):
-        results = list(infer_lib.infer_stack(fn, params, state, stack))
+        results = _run_frames(cfg, tc, params, state, stack, job.params)
     for t, result in enumerate(results):
         with timer.phase("fetch"):
             labels_np = np.asarray(result.labels)
@@ -313,6 +314,44 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     out_path = os.path.join(job.output, "enhanced.tif")
     tiff.write_stack(out_path, np.stack(frames).astype(np.float32))
     return {"enhanced": out_path}
+
+
+def _run_frames(cfg, tc, params, state, stack, job_params):
+    """Run a frame stack through tiled inference.
+
+    ``data_parallel: true`` shards frames over all devices of a mesh (each
+    chip runs the full fused per-frame graph on its shard — zero inter-chip
+    traffic; SURVEY.md §3.3) and falls back to single-chip streaming when
+    only one device exists. Default: H2D-double-buffered streaming.
+    """
+    import jax
+
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    spatial = stack.shape[1:]
+    if job_params.get("data_parallel") and jax.device_count() > 1:
+        from sequitr_tpu import parallel
+
+        mesh = parallel.make_mesh()
+        n_dev = mesh.devices.size
+        fn = infer_lib.make_frame_inferrer(cfg, tc, spatial, jit=False)
+        dp = parallel.make_dp_frame_inferrer(fn, mesh)
+        results = []
+        for start in range(0, len(stack), n_dev):
+            chunk = stack[start : start + n_dev]
+            pad = n_dev - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            import jax.numpy as jnp
+
+            probs, labels = dp(params, state, jnp.asarray(chunk))
+            for k in range(len(chunk) - pad):
+                results.append(
+                    infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
+                )
+        return results
+    fn = infer_lib.make_frame_inferrer(cfg, tc, spatial)
+    return list(infer_lib.infer_stack(fn, params, state, stack))
 
 
 @register("build_records")

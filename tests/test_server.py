@@ -383,3 +383,41 @@ class TestGanTrainPipelines:
         assert srv.poll_once()
         s2 = json.load(open(os.path.join(out1, "status.json")))
         assert s2["state"] == "complete", s2.get("error")
+
+
+class TestDataParallelServing:
+    def test_dp_matches_streaming(self, server_env):
+        """data_parallel=true shards frames over the 8-device mesh and must
+        produce the same labels as single-chip streaming."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "dp_seg", "unet", net_cfg, params, state)
+
+        stack = (np.random.default_rng(5).random((5, 32, 32)) * 1000).astype(np.float32)
+        stack_path = str(tmp / "dp.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+
+        outs = {}
+        for name, dp in (("serial", False), ("dp", True)):
+            out_dir = str(tmp / f"out_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {
+                    "module": "segmentation_unet2d",
+                    "params": {"model": "dp_seg", "patch": [16, 16],
+                               "overlap": [4, 4], "localize": False,
+                               "data_parallel": dp},
+                    "input": [stack_path],
+                    "output": out_dir,
+                },
+            )
+            assert srv.poll_once()
+            status = json.load(open(os.path.join(out_dir, "status.json")))
+            assert status["state"] == "complete", status.get("error")
+            outs[name] = tiff.read_stack(status["outputs"]["labels"])
+        np.testing.assert_array_equal(outs["serial"], outs["dp"])
