@@ -104,7 +104,9 @@ def bench_timelapse(device_kind: str, iters: int):
 
     cfg = _unet_cfg(device_kind)
     params, state = unet.init(jax.random.PRNGKey(0), cfg)
-    tc = infer_lib.TileConfig(patch=(256, 256), overlap=(64, 64))
+    # 384/64 tiling: 9 patches -> 1.27x overlap overhead (vs 1.56x at
+    # 256/64) at the same 64-px blend margin — the efficient grid for 1024²
+    tc = infer_lib.TileConfig(patch=(384, 384), overlap=(64, 64))
     fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
     frame = _frame()
     fps = _rate(lambda: fn(params, state, frame), iters)

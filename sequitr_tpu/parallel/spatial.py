@@ -144,12 +144,26 @@ def spatial_unet2d_infer(
         check_rep=False,
     )
 
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    row_sharded = NamedSharding(mesh, P(axis_name, None))
+
     @jax.jit
-    def fn(params_in, state_in, frame):
+    def _fn(params_in, state_in, frame):
         if fold:
             _, p_run, _ = unet.fold_batchnorm(cfg, params_in, state_in)
         else:
             p_run = params_in
         return sharded(p_run, frame)
+
+    def fn(params_in, state_in, frame):
+        # explicit placement: params/state replicated across the mesh,
+        # the frame row-sharded — callers may hand us single-device arrays
+        # (e.g. fresh from an orbax restore)
+        params_in = jax.device_put(params_in, rep)
+        state_in = jax.device_put(state_in, rep)
+        frame = jax.device_put(frame, row_sharded)
+        return _fn(params_in, state_in, frame)
 
     return fn

@@ -329,6 +329,22 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
     from sequitr_tpu.pipeline import infer as infer_lib
 
     spatial = stack.shape[1:]
+    if job_params.get("spatial_parallel") and jax.device_count() > 1:
+        # one huge frame sharded across chips (halo exchange, exact result);
+        # use when a single frame exceeds one chip's HBM (SURVEY.md §5)
+        import jax.numpy as jnp
+
+        from sequitr_tpu import parallel
+        from sequitr_tpu.parallel import spatial as spatial_lib
+
+        mesh = parallel.make_mesh()
+        sp_fn = spatial_lib.spatial_unet2d_infer(cfg, params, state, mesh, spatial)
+        results = []
+        for frame in stack:
+            frame_n = infer_lib._normalize(jnp.asarray(frame)[..., None], tc)[..., 0]
+            probs, labels = sp_fn(params, state, frame_n)
+            results.append(infer_lib.InferenceResult(probs=probs, labels=labels))
+        return results
     if job_params.get("data_parallel") and jax.device_count() > 1:
         from sequitr_tpu import parallel
 

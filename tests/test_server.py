@@ -421,3 +421,38 @@ class TestDataParallelServing:
             assert status["state"] == "complete", status.get("error")
             outs[name] = tiff.read_stack(status["outputs"]["labels"])
         np.testing.assert_array_equal(outs["serial"], outs["dp"])
+
+    def test_spatial_parallel_serving(self, server_env):
+        """spatial_parallel=true shards one frame's H axis across the mesh."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(1), net_cfg)
+        save_model(cfg_srv.models_dir, "sp_seg", "unet", net_cfg, params, state)
+
+        # H=64 divisible by 8 devices * min_input_multiple 2
+        stack = (np.random.default_rng(7).random((2, 64, 32)) * 900).astype(np.float32)
+        stack_path = str(tmp / "sp.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, sp in (("serial", False), ("spatial", True)):
+            out_dir = str(tmp / f"sp_out_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {
+                    "module": "segmentation_unet2d",
+                    "params": {"model": "sp_seg", "patch": [64, 32],
+                               "overlap": [0, 0], "localize": False,
+                               "spatial_parallel": sp},
+                    "input": [stack_path],
+                    "output": out_dir,
+                },
+            )
+            assert srv.poll_once()
+            status = json.load(open(os.path.join(out_dir, "status.json")))
+            assert status["state"] == "complete", status.get("error")
+            outs[name] = tiff.read_stack(status["outputs"]["labels"])
+        np.testing.assert_array_equal(outs["serial"], outs["spatial"])
