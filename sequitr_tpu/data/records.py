@@ -188,6 +188,11 @@ def _decode_feature(buf: bytes):
         if field == 3:  # Int64List
             p = 0
             ivals: List[int] = []
+
+            def signed(v: int) -> int:
+                # protobuf int64 is two's complement in a 64-bit varint
+                return v - (1 << 64) if v >= (1 << 63) else v
+
             while p < len(body):
                 t, p = _read_varint(body, p)
                 if (t & 7) == 2:  # packed
@@ -195,10 +200,10 @@ def _decode_feature(buf: bytes):
                     end = p + l2
                     while p < end:
                         v, p = _read_varint(body, p)
-                        ivals.append(v)
+                        ivals.append(signed(v))
                 else:
                     v, p = _read_varint(body, p)
-                    ivals.append(v)
+                    ivals.append(signed(v))
             return ivals
     return []
 
