@@ -52,14 +52,21 @@ class UNetConfig:
     compute_dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
+    # space-to-depth factor (2D only). s>1 runs the net at (H/s, W/s) with
+    # s^2 x input channels and an s^2 x num_classes head rearranged back to
+    # full resolution — externally identical I/O, internally wider channels
+    # for better MXU utilization (the round-1 conv study's conclusion that
+    # thin channels bound throughput; BASELINE.md). A DIFFERENT model from
+    # s=1: weights are not interchangeable and it must be trained as such.
+    space_to_depth: int = 1
 
     def features(self, level: int) -> int:
         return min(self.base_features * (2**level), self.features_cap)
 
     @property
     def min_input_multiple(self) -> int:
-        """Spatial size must be divisible by this (pool factor)."""
-        return 2 ** (self.depth - 1)
+        """Spatial size must be divisible by this (pool factor x s2d)."""
+        return self.space_to_depth * 2 ** (self.depth - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -222,7 +229,10 @@ def init(key: jax.Array, cfg: UNetConfig) -> Tuple[Params, State]:
     keys = jax.random.split(key, 3 * cfg.depth + 1)
     ki = iter(keys)
 
-    c_prev = cfg.in_channels
+    s2d = cfg.space_to_depth
+    if s2d > 1 and cfg.dims != 2:
+        raise ValueError("space_to_depth is 2D-only")
+    c_prev = cfg.in_channels * s2d * s2d
     for lvl in range(cfg.depth):
         c = cfg.features(lvl)
         p, s = _init_block(next(ki), c_prev, c, cfg)
@@ -243,8 +253,25 @@ def init(key: jax.Array, cfg: UNetConfig) -> Tuple[Params, State]:
         state["dec"].append(s)
         c_prev = c_skip
 
-    params["head"] = _init_conv(next(ki), 1, c_prev, cfg.num_classes, cfg.dims)
+    params["head"] = _init_conv(
+        next(ki), 1, c_prev, cfg.num_classes * s2d * s2d, cfg.dims
+    )
     return params, state
+
+
+def _space_to_depth(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/s, W/s, C*s*s)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // s, s, w // s, s, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // s, w // s, s * s * c)
+
+
+def _depth_to_space(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(N, h, w, C*s*s) -> (N, h*s, w*s, C) — inverse of _space_to_depth."""
+    n, h, w, cs = x.shape
+    c = cs // (s * s)
+    x = x.reshape(n, h, w, s, s, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * s, w * s, c)
 
 
 def apply(
@@ -264,6 +291,9 @@ def apply(
             raise ValueError(
                 f"spatial dim {d} not divisible by {cfg.min_input_multiple}"
             )
+    s2d = cfg.space_to_depth
+    if s2d > 1:
+        x = _space_to_depth(x, s2d)
     new_state: State = {"enc": [], "dec": []}
     skips = []
     for lvl in range(cfg.depth):
@@ -282,6 +312,8 @@ def apply(
         new_state["dec"].append(s)
 
     logits = _conv(x, params["head"], cfg)
+    if s2d > 1:
+        logits = _depth_to_space(logits, s2d)
     return logits.astype(jnp.float32), new_state
 
 

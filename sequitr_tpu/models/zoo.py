@@ -41,6 +41,13 @@ PRESETS: Dict[str, Any] = {
     "unet3d_3class": _unet(num_classes=3, dims=3, depth=3, features_cap=256),
     # pix2pix-style enhancement/denoising GAN
     "gan_enhance": gan_lib.GANConfig(compute_dtype=jnp.bfloat16),
+    # FAST variants: space-to-depth x2 input (4x channels at half
+    # resolution) with doubled base width — the round-1 conv study showed
+    # thin channels bound MXU throughput (BASELINE.md); these trade exact
+    # architecture parity for ~2-3x frame rate and must be trained as
+    # their own models
+    "unet2d_3class_fast": _unet(num_classes=3, space_to_depth=2, base_features=64),
+    "unet2d_binary_fast": _unet(num_classes=2, space_to_depth=2, base_features=64),
 }
 
 

@@ -132,3 +132,36 @@ def test_param_count_positive():
     cfg = small_cfg()
     params, _ = unet.init(jax.random.PRNGKey(0), cfg)
     assert unet.param_count(params) > 1000
+
+
+class TestSpaceToDepth:
+    def test_roundtrip_rearrange(self):
+        x = jnp.asarray(np.arange(2 * 8 * 8 * 3).reshape(2, 8, 8, 3).astype(np.float32))
+        rt = unet._depth_to_space(unet._space_to_depth(x, 2), 2)
+        np.testing.assert_array_equal(np.asarray(rt), np.asarray(x))
+
+    def test_fast_variant_shapes_and_grad(self):
+        cfg = small_cfg(space_to_depth=2, norm="none")
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        logits, _ = unet.apply(cfg, params, state, jnp.ones((1, 32, 32, 1)))
+        assert logits.shape == (1, 32, 32, 3)
+
+        def loss(p):
+            out, _ = unet.apply(cfg, p, state, jnp.ones((1, 16, 16, 1)))
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+    def test_min_input_multiple_accounts_for_s2d(self):
+        cfg = small_cfg(space_to_depth=2)
+        assert cfg.min_input_multiple == 2 * 2**2
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError):
+            unet.apply(cfg, params, state, jnp.ones((1, 12, 12, 1)))
+
+    def test_3d_rejects_s2d(self):
+        with pytest.raises(ValueError):
+            unet.init(
+                jax.random.PRNGKey(0), small_cfg(dims=3, space_to_depth=2)
+            )
