@@ -93,3 +93,23 @@ class TestGanPairs:
         fc = fit_lib.FitConfig(steps=3, batch_size=4, log_every=10)
         state = fit_lib.fit_gan(cfg, tc, fc, [path])
         assert int(state.step) == 3
+
+
+class TestFastModelTrains:
+    def test_s2d_variant_learns(self, tmp_path):
+        """The space-to-depth fast preset must train end-to-end too."""
+        paths = _make_shards(tmp_path)
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=8,
+            norm="none", compute_dtype=jnp.float32, space_to_depth=2,
+        )
+        tc = train_lib.TrainConfig(learning_rate=3e-3, augment=False)
+        fc = fit_lib.FitConfig(steps=40, batch_size=4, log_every=20)
+        state = fit_lib.fit_unet(cfg, tc, fc, paths)
+        img = np.random.default_rng(99).normal(0.1, 0.05, (16, 16)).astype(np.float32)
+        img[4:10, 4:10] += 1.0
+        logits, _ = unet.apply(
+            cfg, state.params, state.model_state, jnp.asarray(img)[None, ..., None]
+        )
+        pred = np.asarray(jnp.argmax(logits[0], -1))
+        assert pred[5:9, 5:9].mean() > 0.6

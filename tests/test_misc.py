@@ -140,3 +140,26 @@ class TestLocalizeVolume:
         np.testing.assert_allclose(by_label[1].z, 3.0)
         np.testing.assert_allclose([by_label[1].y, by_label[1].x], [9.5, 9.5])
         assert by_label[2].area == 3 * 8 * 8
+
+
+class TestUtils:
+    def test_phase_timer(self):
+        import time as _time
+
+        from sequitr_tpu.utils import PhaseTimer
+
+        t = PhaseTimer()
+        with t.phase("a"):
+            _time.sleep(0.01)
+        with t.phase("a"):
+            pass
+        s = t.summary()
+        assert s["a_s"] >= 0.01
+        assert t.rate("a", 10) > 0
+        assert t.rate("missing", 10) is None
+
+    def test_device_sync(self):
+        from sequitr_tpu.utils import device_sync
+
+        val = device_sync({"x": jnp.ones((4,)), "y": jnp.full((2,), 3.0)})
+        assert val == 6.0
