@@ -30,17 +30,27 @@ __all__ = ["build_tf_unet", "inject_weights", "tf_forward", "measure_tf_cpu_fps"
 
 
 def build_tf_unet(cfg: unet.UNetConfig, spatial):
-    """Keras functional model mirroring ``unet.apply`` (2D only)."""
+    """Keras functional model mirroring ``unet.apply`` (2D and 3D)."""
     import tensorflow as tf
 
-    if cfg.dims != 2:
-        raise NotImplementedError("TF reference parity model is 2D")
+    if cfg.dims == 2:
+        Conv, ConvT, Pool = (
+            tf.keras.layers.Conv2D,
+            tf.keras.layers.Conv2DTranspose,
+            tf.keras.layers.MaxPool2D,
+        )
+    elif cfg.dims == 3:
+        Conv, ConvT, Pool = (
+            tf.keras.layers.Conv3D,
+            tf.keras.layers.Conv3DTranspose,
+            tf.keras.layers.MaxPool3D,
+        )
+    else:
+        raise NotImplementedError(f"dims={cfg.dims}")
 
     def block(x, c, name):
         for i in (1, 2):
-            x = tf.keras.layers.Conv2D(
-                c, 3, padding="same", use_bias=True, name=f"{name}_conv{i}"
-            )(x)
+            x = Conv(c, 3, padding="same", use_bias=True, name=f"{name}_conv{i}")(x)
             if cfg.norm == "batch":
                 x = tf.keras.layers.BatchNormalization(
                     momentum=cfg.bn_momentum, epsilon=cfg.bn_eps, name=f"{name}_bn{i}"
@@ -53,21 +63,57 @@ def build_tf_unet(cfg: unet.UNetConfig, spatial):
     skips = []
     for lvl in range(cfg.depth):
         if lvl > 0:
-            x = tf.keras.layers.MaxPool2D(2)(x)
+            x = Pool(2)(x)
         x = block(x, cfg.features(lvl), f"enc{lvl}")
         if lvl < cfg.depth - 1:
             skips.append(x)
 
     for i, lvl in enumerate(reversed(range(cfg.depth - 1))):
         c_skip = cfg.features(lvl)
-        x = tf.keras.layers.Conv2DTranspose(
-            c_skip, 2, strides=2, padding="valid", name=f"up{i}"
-        )(x)
+        x = ConvT(c_skip, 2, strides=2, padding="valid", name=f"up{i}")(x)
         x = tf.keras.layers.Concatenate()([skips[lvl], x])
         x = block(x, c_skip, f"dec{i}")
 
-    logits = tf.keras.layers.Conv2D(cfg.num_classes, 1, name="head")(x)
+    logits = Conv(cfg.num_classes, 1, name="head")(x)
     return tf.keras.Model(inp, logits)
+
+
+def build_tf_patchgan(gcfg, spatial):
+    """Keras mirror of ``models.gan.discriminator_apply`` (PatchGAN)."""
+    import tensorflow as tf
+
+    inp = tf.keras.Input(
+        shape=tuple(spatial) + (gcfg.in_channels + gcfg.out_channels,)
+    )
+    x = inp
+    c = gcfg.disc_base_features
+    for i in range(gcfg.disc_layers):
+        x = tf.keras.layers.Conv2D(
+            c, 4, strides=2, padding="same", name=f"disc_conv{i}"
+        )(x)
+        x = tf.keras.layers.LeakyReLU(0.2)(x)
+        c = min(c * 2, 512)
+    x = tf.keras.layers.Conv2D(c, 4, padding="same", name="disc_penult")(x)
+    x = tf.keras.layers.LeakyReLU(0.2)(x)
+    logits = tf.keras.layers.Conv2D(1, 4, padding="same", name="disc_head")(x)
+    return tf.keras.Model(inp, logits)
+
+
+def inject_patchgan_weights(model, gcfg, params) -> None:
+    """Copy our GAN discriminator pytree into the Keras PatchGAN."""
+
+    def np32(a):
+        return np.asarray(a, dtype=np.float32)
+
+    disc = params["disc"]
+    for i, p in enumerate(disc["convs"]):
+        model.get_layer(f"disc_conv{i}").set_weights([np32(p["w"]), np32(p["b"])])
+    model.get_layer("disc_penult").set_weights(
+        [np32(disc["penultimate"]["w"]), np32(disc["penultimate"]["b"])]
+    )
+    model.get_layer("disc_head").set_weights(
+        [np32(disc["head"]["w"]), np32(disc["head"]["b"])]
+    )
 
 
 def inject_weights(model, cfg: unet.UNetConfig, params: Any, state: Any) -> None:
@@ -85,8 +131,11 @@ def inject_weights(model, cfg: unet.UNetConfig, params: Any, state: Any) -> None
         model.get_layer(layer_name).set_weights([np32(p["w"]), np32(p["b"])])
 
     def set_convT(layer_name, p):
-        w = np32(p["w"]).transpose(0, 1, 3, 2)
-        model.get_layer(layer_name).set_weights([w, np32(p["b"])])
+        # Keras Conv{2,3}DTranspose kernels are (k..., c_out, c_in):
+        # swap our trailing (c_in, c_out) axes
+        w = np32(p["w"])
+        axes = tuple(range(w.ndim - 2)) + (w.ndim - 1, w.ndim - 2)
+        model.get_layer(layer_name).set_weights([w.transpose(axes), np32(p["b"])])
 
     def set_bn(layer_name, p, s):
         model.get_layer(layer_name).set_weights(

@@ -77,3 +77,43 @@ def test_parity_bf16_within_tolerance():
     assert np.max(np.abs(jax_probs - tf_probs)) < 0.05
     agree = np.mean(np.argmax(jax_probs, -1) == np.argmax(tf_probs, -1))
     assert agree > 0.99
+
+
+def test_unet3d_parity():
+    """Volumetric variant: identical weights through TF Conv3D stack."""
+    cfg = unet.UNetConfig(
+        in_channels=1, num_classes=2, depth=2, base_features=4, dims=3,
+        norm="none", compute_dtype=jnp.float32,
+    )
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    model = tf_reference.build_tf_unet(cfg, (8, 16, 16))
+    tf_reference.inject_weights(model, cfg, params, state)
+
+    x = np.random.default_rng(4).normal(size=(1, 8, 16, 16, 1)).astype(np.float32)
+    jax_logits, _ = unet.apply(cfg, params, state, jnp.asarray(x))
+    tf_logits = tf_reference.tf_forward(model, x)
+    jax_probs = np.asarray(jax.nn.softmax(jax_logits, axis=-1))
+    tf_probs = np.asarray(tf.nn.softmax(tf_logits, axis=-1))
+    assert np.max(np.abs(jax_probs - tf_probs)) < 1e-4
+
+
+def test_patchgan_discriminator_parity():
+    """GAN discriminator: identical weights through the Keras PatchGAN."""
+    from sequitr_tpu.models import gan as gan_lib
+
+    gcfg = gan_lib.GANConfig(
+        gen_depth=2, gen_base_features=4, disc_layers=2, disc_base_features=8,
+        compute_dtype=jnp.float32,
+    )
+    params, _ = gan_lib.init(jax.random.PRNGKey(0), gcfg)
+    model = tf_reference.build_tf_patchgan(gcfg, (16, 16))
+    tf_reference.inject_patchgan_weights(model, gcfg, params)
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 16, 16, 1)).astype(np.float32)
+    y = rng.normal(size=(2, 16, 16, 1)).astype(np.float32)
+    jax_logits = np.asarray(
+        gan_lib.discriminator_apply(gcfg, params, jnp.asarray(x), jnp.asarray(y))
+    )
+    tf_logits = tf_reference.tf_forward(model, np.concatenate([x, y], axis=-1))
+    assert np.max(np.abs(jax_logits - tf_logits)) < 1e-4
