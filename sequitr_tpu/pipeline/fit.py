@@ -141,11 +141,12 @@ def fit_gan(
     shard_paths: Sequence[str],
     ckpt_dir: Optional[str] = None,
     init_state: Optional[train_lib.GANTrainState] = None,
+    l1_weight: float = 100.0,
 ) -> train_lib.GANTrainState:
     """Train the enhancement GAN from (input, target) pair shards."""
     key = jax.random.PRNGKey(fc.seed)
     state = init_state or train_lib.create_gan_state(key, cfg, tc)
-    step = train_lib.make_gan_train_step(cfg, tc)
+    step = train_lib.make_gan_train_step(cfg, tc, l1_weight=l1_weight)
     it = ShardIterator(
         shard_paths, _decode_pair, fc.batch_size, seed=fc.seed,
         shuffle_buffer=fc.shuffle_buffer,

@@ -548,7 +548,8 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         checkpoint_every=int(p.get("checkpoint_every", 500)),
     )
     state = fit_lib.fit_gan(
-        cfg, tc, fc, shard_paths, ckpt_dir=os.path.join(job.output, "ckpts")
+        cfg, tc, fc, shard_paths, ckpt_dir=os.path.join(job.output, "ckpts"),
+        l1_weight=float(p.get("l1_weight", 100.0)),
     )
     model_dir = save_model(
         config.models_dir, p["model"], "gan", cfg, state.params, state.model_state
