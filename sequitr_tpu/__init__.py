@@ -28,4 +28,21 @@ __version__ = "0.1.0"
 from sequitr_tpu import ops  # noqa: F401
 from sequitr_tpu import models  # noqa: F401
 
-__all__ = ["ops", "models", "__version__"]
+_LAZY = (
+    "data", "pipeline", "parallel", "server", "client", "localize",
+    "psf", "utils", "native", "config",
+)
+
+__all__ = ["ops", "models", "__version__", *_LAZY]
+
+
+def __getattr__(name):
+    # lazy subpackage access: `sequitr_tpu.pipeline` etc. import on first
+    # touch so `import sequitr_tpu` stays light (optax/orbax/h5py deferred)
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(f"sequitr_tpu.{name}")
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module 'sequitr_tpu' has no attribute {name!r}")

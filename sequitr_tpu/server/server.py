@@ -8,9 +8,14 @@ communicate only via the filesystem — the reference's public contract.
 
 Built-in pipelines (registry keys are the rebuild's documented API):
   * ``segmentation_unet2d`` / ``segmentation_unet3d`` — tiled sliding-window
-    segmentation of a TIFF stack; writes label-map TIFF, probability TIFF
-    (optional) and btrack HDF5 localizations.
+    segmentation of a TIFF stack (options: data_parallel, spatial_parallel,
+    save_probs, localize); writes label-map TIFF, probability TIFF and
+    btrack HDF5 localizations.
   * ``enhancement_gan`` — pix2pix generator pass over a TIFF stack.
+  * ``build_records`` / ``build_gan_pairs`` — training-shard builders
+    (normalization + U-Net weight maps at record-creation time).
+  * ``train_unet2d`` / ``train_gan`` — training jobs that register the
+    resulting model under ``models_dir`` (resume from ckpts/final).
 
 Model weights are orbax checkpoints under ``models_dir/<name>``, saved with
 matching config JSON (``config.json``) so the server can rebuild the net.
@@ -122,6 +127,12 @@ class ImageServer:
                 err = traceback.format_exc()
                 if attempts > self.config.max_retries:
                     jobs_lib.write_status(job, "failed", started, error=err)
+                    # keep the claimed file as an inspectable .failed marker
+                    # rather than leaving .running litter in the queue dir
+                    try:
+                        os.replace(job.path, job.path + ".failed")
+                    except OSError:
+                        pass
                     log.error("job %s failed:\n%s", job.id, err)
                     return
                 log.warning("job %s attempt %d failed, retrying", job.id, attempts)
