@@ -202,3 +202,25 @@ class TestWeightMaps:
         wm = ops.weightmaps.unet_weight_map(labels)
         assert wm.shape == (32, 32) and wm.dtype == np.float32
         assert np.isfinite(wm).all()
+
+
+class TestTilingEdgeCases:
+    def test_patch_equals_size(self):
+        assert ops.tile_offsets(64, 64, 0) == (0,)
+        assert ops.tile_offsets(64, 64, 16) == (0,)
+
+    def test_zero_overlap_exact_partition(self):
+        offs = ops.tile_offsets(128, 32, 0)
+        assert offs == (0, 32, 64, 96)
+
+    def test_patch_larger_than_size_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            ops.tile_offsets(16, 32, 0)
+
+    def test_overlap_ge_patch_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            ops.tile_offsets(64, 16, 16)

@@ -456,3 +456,51 @@ class TestDataParallelServing:
             assert status["state"] == "complete", status.get("error")
             outs[name] = tiff.read_stack(status["outputs"]["labels"])
         np.testing.assert_array_equal(outs["serial"], outs["spatial"])
+
+
+class TestQueueSemantics:
+    def test_jobs_claimed_oldest_first(self, server_env):
+        import time as _time
+
+        cfg, tmp = server_env
+        ids = []
+        for i in range(3):
+            ids.append(
+                submit_job(cfg.jobs_dir, {"module": "m", "output": str(tmp / f"o{i}")},
+                           job_id=f"j{i}")
+            )
+            _time.sleep(0.02)  # distinct mtimes
+        order = [claim_job(p).id for p in scan_jobs(cfg.jobs_dir)]
+        assert order == ids
+
+    def test_custom_registry_isolated(self, server_env):
+        from sequitr_tpu.server import PipelineRegistry
+
+        cfg, tmp = server_env
+        reg = PipelineRegistry()
+
+        @reg.register("echo")
+        def echo(job, config):
+            return {"echo": job.params.get("msg", "")}
+
+        out = str(tmp / "echo_out")
+        submit_job(cfg.jobs_dir, {"module": "echo", "params": {"msg": "hi"},
+                                  "input": [], "output": out})
+        srv = ImageServer(cfg, registry=reg)
+        assert srv.poll_once()
+        status = json.load(open(os.path.join(out, "status.json")))
+        assert status["state"] == "complete"
+        assert status["outputs"]["echo"] == "hi"
+        # builtin pipelines are NOT in the custom registry
+        assert "segmentation_unet2d" not in reg.names()
+
+    def test_failed_job_leaves_marker_file(self, server_env):
+        cfg, tmp = server_env
+        out = str(tmp / "failout")
+        submit_job(cfg.jobs_dir, {"module": "segmentation_unet2d",
+                                  "params": {"model": "missing"},
+                                  "input": [], "output": out})
+        assert ImageServer(cfg).poll_once()
+        leftovers = os.listdir(cfg.jobs_dir)
+        assert any(n.endswith(".failed") for n in leftovers)
+        assert not any(n.endswith(".running") for n in leftovers)
