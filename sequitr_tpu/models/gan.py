@@ -43,7 +43,11 @@ class GANConfig:
     disc_layers: int = 3  # strided conv layers => 70x70-receptive-field PatchGAN
     disc_base_features: int = 64
     compute_dtype: Any = jnp.bfloat16
-    output_activation: str = "tanh"  # "tanh" | "linear" | "sigmoid"
+    # "sigmoid" | "tanh" | "linear". Default sigmoid: the server's pair
+    # builder and enhancement pipeline normalize data to [0, 1], so the
+    # generator's range must match (pix2pix's tanh convention assumes
+    # [-1, 1]-scaled data, which this pipeline does not use).
+    output_activation: str = "sigmoid"
 
     @property
     def generator_config(self) -> unet.UNetConfig:

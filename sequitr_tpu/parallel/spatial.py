@@ -98,6 +98,12 @@ def spatial_unet2d_infer(
     """
     if cfg.dims != 2:
         raise ValueError("spatial sharding is 2D-only")
+    if cfg.space_to_depth > 1:
+        # local_forward feeds raw single-channel rows into the encoder; an
+        # s2d config expects in_channels*s^2 at H/s — not wired up here
+        raise NotImplementedError(
+            "spatial sharding does not support space_to_depth (fast) configs"
+        )
     n = mesh.devices.size
     h, w = frame_spatial
     if h % n:
@@ -107,6 +113,10 @@ def spatial_unet2d_infer(
         raise ValueError(
             f"H/device={h_loc} not divisible by {cfg.min_input_multiple}"
         )
+    pool = 2 ** (cfg.depth - 1)
+    if w % pool:
+        # W is unsharded but still pooled depth-1 times locally
+        raise ValueError(f"W={w} not divisible by pool factor {pool}")
     if cfg.upsample != "transpose":
         raise NotImplementedError("spatial sharding supports transpose upsampling")
 

@@ -25,7 +25,7 @@ from sequitr_tpu.pipeline import train as train_lib
 
 log = logging.getLogger("sequitr_tpu.fit")
 
-__all__ = ["FitConfig", "fit_unet", "fit_gan"]
+__all__ = ["FitConfig", "fit_unet", "fit_gan", "latest_checkpoint"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +50,23 @@ def _decode_seg(payload: bytes) -> Dict[str, np.ndarray]:
     return out
 
 
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Most recent checkpoint under ``ckpt_dir``: ``final`` if the run
+    completed, else the highest periodic ``step_*`` directory (crash/requeue
+    recovery — a mid-training crash must not restart from scratch)."""
+    final = os.path.join(ckpt_dir, "final")
+    if os.path.isdir(final):
+        return final
+    try:
+        steps = sorted(
+            n for n in os.listdir(ckpt_dir)
+            if n.startswith("step_") and os.path.isdir(os.path.join(ckpt_dir, n))
+        )
+    except FileNotFoundError:
+        return None
+    return os.path.join(ckpt_dir, steps[-1]) if steps else None
+
+
 def _run_loop(
     state,
     step_fn: Callable,
@@ -59,27 +76,35 @@ def _run_loop(
     key: jax.Array,
     metric_keys: Sequence[str],
 ):
+    """Drive ``step_fn`` for up to ``fc.steps`` TOTAL steps.
+
+    ``fc.steps`` is the global target: a state restored from a periodic
+    checkpoint (``state.step`` > 0) runs only the remaining steps, and
+    periodic checkpoints are named by global step so a resumed run never
+    rewinds or overwrites earlier progress.
+    """
+    start = int(jax.device_get(state.step))
+    todo = max(0, fc.steps - start)
     t0 = time.time()
     seen = 0
     for i, batch in enumerate(batches):
-        if i >= fc.steps:
+        if i >= todo:
             break
-        state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
+        g = start + i + 1  # global step after this update
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, g - 1))
         seen += 1
-        if (i + 1) % fc.log_every == 0 or i + 1 == fc.steps:
+        if g % fc.log_every == 0 or i + 1 == todo:
             vals = {k: float(metrics[k]) for k in metric_keys if k in metrics}
             rate = seen / (time.time() - t0)
             log.info(
                 "step %d/%d %s (%.2f steps/s)",
-                i + 1,
+                g,
                 fc.steps,
                 " ".join(f"{k}={v:.4f}" for k, v in vals.items()),
                 rate,
             )
-        if ckpt_dir and (i + 1) % fc.checkpoint_every == 0:
-            train_lib.save_checkpoint(
-                os.path.join(ckpt_dir, f"step_{i + 1:08d}"), state
-            )
+        if ckpt_dir and g % fc.checkpoint_every == 0:
+            train_lib.save_checkpoint(os.path.join(ckpt_dir, f"step_{g:08d}"), state)
     if ckpt_dir:
         train_lib.save_checkpoint(os.path.join(ckpt_dir, "final"), state)
     return state

@@ -25,10 +25,13 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 import tempfile
 import time
 from typing import Any, Dict, List, Optional
+
+log = logging.getLogger("sequitr_tpu.jobs")
 
 __all__ = ["Job", "JobError", "scan_jobs", "claim_job", "write_status", "submit_job"]
 
@@ -89,33 +92,74 @@ def _atomic_write(path: str, text: str) -> None:
 
 
 def submit_job(jobs_dir: str, spec: Dict[str, Any], job_id: Optional[str] = None) -> str:
-    """Client-side: atomically file a job JSON into the queue; returns its id."""
-    job_id = job_id or f"{int(time.time() * 1000):x}"
-    path = os.path.join(jobs_dir, f"{JOB_PREFIX}{job_id}{JOB_SUFFIX}")
-    _atomic_write(path, json.dumps(spec, indent=2))
-    return job_id
+    """Client-side: atomically file a job JSON into the queue; returns its id.
+
+    Auto-generated ids are timestamp-based; two submissions in the same
+    millisecond (or from two clients) must not overwrite each other, so the
+    queue file is created with link(2) — atomic and exclusive — retrying
+    with a suffix on collision.
+    """
+    text = json.dumps(spec, indent=2)
+    if job_id is not None:
+        path = os.path.join(jobs_dir, f"{JOB_PREFIX}{job_id}{JOB_SUFFIX}")
+        _atomic_write(path, text)
+        return job_id
+    os.makedirs(jobs_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=jobs_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        base = int(time.time() * 1000)
+        for n in range(10000):
+            job_id = f"{base:x}" if n == 0 else f"{base:x}-{n:x}"
+            path = os.path.join(jobs_dir, f"{JOB_PREFIX}{job_id}{JOB_SUFFIX}")
+            try:
+                os.link(tmp, path)  # atomic exclusive create
+                return job_id
+            except FileExistsError:
+                continue
+        raise JobError(f"could not find a free job id in {jobs_dir}")
+    finally:
+        os.unlink(tmp)
 
 
 def scan_jobs(jobs_dir: str) -> List[str]:
-    """Unclaimed job files, oldest first."""
+    """Unclaimed job files, oldest first.
+
+    A concurrent claimer (or a client withdrawing a job) may rename/delete a
+    file between the directory scan and the stat — such entries are skipped
+    rather than letting FileNotFoundError kill the server poll loop.
+    """
+    entries = []
     try:
-        names = os.listdir(jobs_dir)
+        with os.scandir(jobs_dir) as it:
+            for e in it:
+                if not (e.name.startswith(JOB_PREFIX) and e.name.endswith(JOB_SUFFIX)):
+                    continue
+                try:
+                    entries.append((e.stat().st_mtime, e.path))
+                except FileNotFoundError:
+                    continue  # vanished mid-scan: someone else claimed it
     except FileNotFoundError:
         return []
-    paths = [
-        os.path.join(jobs_dir, n)
-        for n in names
-        if n.startswith(JOB_PREFIX) and n.endswith(JOB_SUFFIX)
-    ]
-    return sorted(paths, key=lambda p: os.path.getmtime(p))
+    return [p for _, p in sorted(entries)]
 
 
 def claim_job(path: str) -> Optional[Job]:
-    """Atomically claim a queued job by renaming it; None if already taken."""
+    """Atomically claim a queued job by renaming it; None if already taken.
+
+    Only FileNotFoundError is the benign claim-race case. Any other OSError
+    (e.g. EACCES on the queue dir) is logged loudly — swallowing it silently
+    would make every job invisible while the server rescans the same file
+    forever.
+    """
     claimed = path[: -len(JOB_SUFFIX)] + CLAIMED_SUFFIX
     try:
         os.rename(path, claimed)
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
+        return None
+    except OSError as e:
+        log.error("cannot claim job %s: %s", path, e)
         return None
     job = Job.from_file(claimed)
     job.path = claimed

@@ -462,13 +462,15 @@ def train_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     )
     ckpt_dir = os.path.join(job.output, "ckpts")
     init_state = None
-    final_ckpt = os.path.join(ckpt_dir, "final")
-    if p.get("resume", True) and os.path.isdir(final_ckpt):
-        # crash/requeue recovery: resume from the last full checkpoint
+    ckpt = fit_lib.latest_checkpoint(ckpt_dir) if p.get("resume", True) else None
+    if ckpt:
+        # crash/requeue recovery: resume from the newest checkpoint (final,
+        # or the highest periodic step_* after a mid-training crash) — the
+        # fit loop then runs only the remaining steps
         import jax
 
         template = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
-        init_state = train_lib.restore_checkpoint(final_ckpt, template)
+        init_state = train_lib.restore_checkpoint(ckpt, template)
     state = fit_lib.fit_unet(
         cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir, init_state=init_state
     )
@@ -558,8 +560,17 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         batch_size=int(p.get("batch_size", 4)),
         checkpoint_every=int(p.get("checkpoint_every", 500)),
     )
+    ckpt_dir = os.path.join(job.output, "ckpts")
+    init_state = None
+    ckpt = fit_lib.latest_checkpoint(ckpt_dir) if p.get("resume", True) else None
+    if ckpt:
+        import jax
+
+        template = train_lib.create_gan_state(jax.random.PRNGKey(0), cfg, tc)
+        init_state = train_lib.restore_checkpoint(ckpt, template)
     state = fit_lib.fit_gan(
-        cfg, tc, fc, shard_paths, ckpt_dir=os.path.join(job.output, "ckpts"),
+        cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir,
+        init_state=init_state,
         l1_weight=float(p.get("l1_weight", 100.0)),
     )
     model_dir = save_model(

@@ -67,6 +67,44 @@ class TestFitUnet:
         assert int(state.step) == 3
 
 
+class TestResume:
+    def test_resume_from_periodic_checkpoint(self, tmp_path):
+        """A crash between periodic checkpoints resumes from the newest
+        step_* and runs only the remaining steps to the global target."""
+        import shutil
+
+        paths = _make_shards(tmp_path, n=8)
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        tc = train_lib.TrainConfig(augment=False)
+        ck = str(tmp_path / "ck")
+        fc = fit_lib.FitConfig(steps=4, batch_size=2, checkpoint_every=2, log_every=10)
+        fit_lib.fit_unet(cfg, tc, fc, paths, ckpt_dir=ck)
+        # simulate a crash after step 2: drop final and the step-4 checkpoint
+        shutil.rmtree(os.path.join(ck, "final"))
+        shutil.rmtree(os.path.join(ck, "step_00000004"))
+        latest = fit_lib.latest_checkpoint(ck)
+        assert latest and latest.endswith("step_00000002")
+
+        template = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        restored = train_lib.restore_checkpoint(latest, template)
+        assert int(restored.step) == 2
+        state = fit_lib.fit_unet(cfg, tc, fc, paths, ckpt_dir=ck, init_state=restored)
+        assert int(state.step) == 4  # global target, not 2 + 4
+        assert os.path.isdir(os.path.join(ck, "final"))
+        # periodic names are global steps: step 4 re-written, not step 2
+        assert os.path.isdir(os.path.join(ck, "step_00000004"))
+
+    def test_latest_checkpoint_prefers_final(self, tmp_path):
+        ck = str(tmp_path / "ck")
+        os.makedirs(os.path.join(ck, "step_00000002"))
+        os.makedirs(os.path.join(ck, "final"))
+        assert fit_lib.latest_checkpoint(ck).endswith("final")
+        assert fit_lib.latest_checkpoint(str(tmp_path / "missing")) is None
+
+
 class TestGanPairs:
     def test_encode_decode_pair(self):
         x = np.random.default_rng(0).random((8, 8)).astype(np.float32)

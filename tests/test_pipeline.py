@@ -132,7 +132,8 @@ class TestGAN:
         x = jnp.ones((1, 16, 16, 1))
         y, _ = gan_lib.generator_apply(cfg, params, state, x)
         assert y.shape == (1, 16, 16, 1)
-        assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh range
+        assert float(jnp.max(jnp.abs(y))) <= 1.0  # sigmoid range (default)
+        assert float(jnp.min(y)) >= 0.0  # matches the [0,1] pair pipeline
         logits = gan_lib.discriminator_apply(cfg, params, x, y)
         assert logits.shape == (1, 4, 4, 1)  # two stride-2 layers
 

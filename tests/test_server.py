@@ -51,6 +51,53 @@ class TestJobQueue:
         assert claim_job(paths[0]) is None
         assert scan_jobs(cfg.jobs_dir) == []
 
+    def test_same_millisecond_submits_do_not_collide(self, server_env):
+        cfg, tmp = server_env
+        ids = {
+            submit_job(cfg.jobs_dir, {"module": "m", "input": [], "output": ""})
+            for _ in range(5)
+        }
+        assert len(ids) == 5
+        assert len(scan_jobs(cfg.jobs_dir)) == 5
+
+    def test_scan_survives_concurrent_claim(self, server_env, monkeypatch):
+        """A job file vanishing between the directory scan and the stat
+        (concurrent claimer) must be skipped, not raise into the poll loop."""
+        import os as os_mod
+
+        cfg, tmp = server_env
+        submit_job(cfg.jobs_dir, {"module": "a", "input": [], "output": ""}, job_id="a")
+        submit_job(cfg.jobs_dir, {"module": "b", "input": [], "output": ""}, job_id="b")
+
+        real_scandir = os_mod.scandir
+
+        class VanishingEntry:
+            def __init__(self, e, vanish):
+                self._e, self._vanish = e, vanish
+                self.name, self.path = e.name, e.path
+
+            def stat(self):
+                if self._vanish:
+                    raise FileNotFoundError(self.path)
+                return self._e.stat()
+
+        class ScanDir:
+            def __init__(self, path):
+                self._it = real_scandir(path)
+
+            def __enter__(self):
+                entries = list(self._it)
+                return iter(
+                    [VanishingEntry(e, i == 0) for i, e in enumerate(entries)]
+                )
+
+            def __exit__(self, *a):
+                return False
+
+        monkeypatch.setattr(os_mod, "scandir", ScanDir)
+        paths = scan_jobs(cfg.jobs_dir)
+        assert len(paths) == 1  # the vanished entry skipped, the rest kept
+
     def test_job_missing_module_rejected(self, tmp_path):
         p = str(tmp_path / "job_x.json")
         with open(p, "w") as f:

@@ -59,3 +59,16 @@ class TestSpatialSharding:
         mesh = parallel.make_mesh()
         with pytest.raises(ValueError):
             spatial.spatial_unet2d_infer(cfg, params, state, mesh, (60, 32))
+        # W is unsharded but still pooled: odd W must fail at build time,
+        # not with a cryptic reshape error inside shard_map
+        with pytest.raises(ValueError):
+            spatial.spatial_unet2d_infer(cfg, params, state, mesh, (64, 30))
+
+    def test_rejects_space_to_depth(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(_cfg(), space_to_depth=2, base_features=8)
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        mesh = parallel.make_mesh()
+        with pytest.raises(NotImplementedError):
+            spatial.spatial_unet2d_infer(cfg, params, state, mesh, (64, 32))
