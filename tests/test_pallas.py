@@ -31,84 +31,3 @@ class TestPallasHistogram:
         out = normalize.percentile_normalize_pallas(x, interpret=True)
         exact = normalize.percentile_normalize(x)
         assert float(jnp.max(jnp.abs(out - exact))) < 5e-3
-
-
-class TestPallasConvKernels:
-    """Experimental conv kernels — numerics validated in interpreter mode."""
-
-    def _ref(self, x, w, b):
-        import jax
-
-        dn = jax.lax.conv_dimension_numbers(
-            (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
-        )
-        y = jax.lax.conv_general_dilated(
-            x[None], w, (1, 1), "SAME", dimension_numbers=dn
-        )[0] + b
-        return jnp.maximum(y, 0)
-
-    def test_im2col_conv_matches_lax(self):
-        from sequitr_tpu.ops.pallas.conv2d import conv3x3_bias_act
-
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(size=(64, 128, 16)).astype(np.float32))
-        w = jnp.asarray((rng.normal(size=(3, 3, 16, 8)) * 0.1).astype(np.float32))
-        b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
-        out = conv3x3_bias_act(x, w, b, interpret=True)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(self._ref(x, w, b)), atol=1e-4
-        )
-
-    def test_gemm_conv_matches_lax(self):
-        from sequitr_tpu.ops.pallas import conv2d_gemm as g
-
-        rng = np.random.default_rng(1)
-        x = jnp.asarray(rng.normal(size=(64, 64, 32)).astype(np.float32))
-        w = jnp.asarray((rng.normal(size=(3, 3, 32, 16)) * 0.1).astype(np.float32))
-        b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
-        yf = g.conv3x3_gemm(g.flatten_chw(x), w, b, 64, 64, interpret=True)
-        out = g.unflatten_chw(yf, 64, 64)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(self._ref(x, w, b)), atol=1e-4
-        )
-
-    def test_gemm2_conv_matches_lax(self):
-        from sequitr_tpu.ops.pallas import conv2d_gemm2 as g2
-
-        rng = np.random.default_rng(2)
-        x = jnp.asarray(rng.normal(size=(32, 120, 16)).astype(np.float32))
-        w = jnp.asarray((rng.normal(size=(3, 3, 16, 8)) * 0.1).astype(np.float32))
-        b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
-        yf = g2.conv3x3_gemm2(g2.flatten_chw2(x), w, b, 32, 120, interpret=True)
-        out = g2.unflatten_chw2(yf, 32, 120)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(self._ref(x, w, b)), atol=1e-4
-        )
-
-
-class TestWinograd:
-    def test_matches_direct_conv(self):
-        from sequitr_tpu.ops.winograd import winograd_conv3x3
-        import jax
-
-        rng = np.random.default_rng(3)
-        x = jnp.asarray(rng.normal(size=(2, 16, 24, 8)).astype(np.float32))
-        w = jnp.asarray((rng.normal(size=(3, 3, 8, 4)) * 0.2).astype(np.float32))
-        b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
-        out = winograd_conv3x3(x, w, b)
-        dn = jax.lax.conv_dimension_numbers(
-            (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
-        )
-        ref = jax.lax.conv_general_dilated(
-            x, w, (1, 1), "SAME", dimension_numbers=dn
-        ) + b
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
-
-    def test_differentiable(self):
-        from sequitr_tpu.ops.winograd import winograd_conv3x3
-        import jax
-
-        x = jnp.ones((1, 8, 8, 2))
-        w = jnp.ones((3, 3, 2, 2)) * 0.1
-        g = jax.grad(lambda ww: float(0) + jnp.sum(winograd_conv3x3(x, ww) ** 2))(w)
-        assert bool(jnp.all(jnp.isfinite(g)))
