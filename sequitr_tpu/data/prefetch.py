@@ -16,7 +16,7 @@ from typing import Any, Callable, Iterable, Iterator, Optional, Sequence
 import jax
 import numpy as np
 
-__all__ = ["prefetch_to_device", "batch_iterator", "ShardIterator"]
+__all__ = ["prefetch_to_device", "batch_iterator", "ShardIterator", "load_holdout"]
 
 
 def prefetch_to_device(
@@ -68,6 +68,10 @@ class ShardIterator:
 
     ``decode`` maps a raw record payload to a pytree example; batches are
     stacked and can be fed through ``prefetch_to_device`` for streaming.
+
+    ``holdout_every`` > 0 reserves every k-th example (by position within
+    its shard file — a stable, restart-deterministic split) for evaluation:
+    the training iterator skips them; ``load_holdout`` collects them.
     """
 
     def __init__(
@@ -77,12 +81,14 @@ class ShardIterator:
         batch_size: int,
         seed: int = 0,
         shuffle_buffer: int = 512,
+        holdout_every: int = 0,
     ):
         self.paths = list(paths)
         self.decode = decode
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.shuffle_buffer = shuffle_buffer
+        self.holdout_every = holdout_every
 
     def __iter__(self):
         from sequitr_tpu.data import records
@@ -92,7 +98,9 @@ class ShardIterator:
             order = list(self.paths)
             self.rng.shuffle(order)
             for path in order:
-                for payload in records.read_records(path):
+                for i, payload in enumerate(records.read_records(path)):
+                    if self.holdout_every and (i + 1) % self.holdout_every == 0:
+                        continue  # reserved for the eval split
                     buf.append(self.decode(payload))
                     if len(buf) >= self.shuffle_buffer:
                         self.rng.shuffle(buf)
@@ -100,3 +108,33 @@ class ShardIterator:
                             chunk = buf[: self.batch_size]
                             del buf[: self.batch_size]
                             yield jax.tree.map(lambda *xs: np.stack(xs), *chunk)
+
+
+def load_holdout(
+    paths: Sequence[str],
+    decode: Callable[[bytes], Any],
+    holdout_every: int,
+    limit: int = 32,
+) -> Optional[Any]:
+    """Collect the eval split ``ShardIterator`` skips, stacked as one batch.
+
+    Returns None when the split is empty (too few examples). The split is
+    every ``holdout_every``-th example per shard, in deterministic shard
+    order, capped at ``limit`` examples.
+    """
+    from sequitr_tpu.data import records
+
+    if holdout_every <= 0:
+        return None
+    out = []
+    for path in sorted(paths):
+        for i, payload in enumerate(records.read_records(path)):
+            if (i + 1) % holdout_every == 0:
+                out.append(decode(payload))
+                if len(out) >= limit:
+                    break
+        if len(out) >= limit:
+            break
+    if not out:
+        return None
+    return jax.tree.map(lambda *xs: np.stack(xs), *out)

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from sequitr_tpu.data import records as records_lib
-from sequitr_tpu.data.prefetch import ShardIterator, prefetch_to_device
+from sequitr_tpu.data.prefetch import ShardIterator, load_holdout, prefetch_to_device
 from sequitr_tpu.models import gan as gan_lib
 from sequitr_tpu.models import unet
 from sequitr_tpu.pipeline import train as train_lib
@@ -37,6 +37,44 @@ class FitConfig:
     seed: int = 0
     shuffle_buffer: int = 512
     prefetch_depth: int = 2
+    # --- observability (the rebuild's tf.summary equivalent) ---
+    # every k-th record example is held out of training for evaluation
+    holdout_every: int = 0
+    # run holdout eval every N steps (0 = only if holdout_every is set,
+    # then defaults to checkpoint_every)
+    eval_every: int = 0
+    eval_limit: int = 16  # max holdout examples evaluated
+    # JSONL stream of per-step train metrics + eval series (None = off)
+    metrics_path: Optional[str] = None
+    # write the first holdout example's predicted label map alongside the
+    # metrics file at each eval (TIFF) — the tf.summary image-dump analogue
+    dump_eval_images: bool = False
+
+
+class MetricsLogger:
+    """Append-only JSONL metric stream (one object per line, flushed).
+
+    The rebuild's persistent equivalent of the reference's TensorBoard
+    scalar summaries (SURVEY.md §5 'Metrics / logging'): each train entry is
+    ``{"kind": "train", "step": N, "wall": t, ...metrics}``; eval entries
+    use ``kind: "eval"``. JSONL keeps the stream appendable across resumed
+    runs and trivially parseable without TF."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._f = open(path, "a")
+        self._t0 = time.time()
+
+    def write(self, kind: str, step: int, metrics: Dict[str, float]) -> None:
+        import json
+
+        rec = {"kind": kind, "step": step, "wall": round(time.time() - self._t0, 3)}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
 
 
 def _decode_seg(payload: bytes) -> Dict[str, np.ndarray]:
@@ -75,6 +113,7 @@ def _run_loop(
     ckpt_dir: Optional[str],
     key: jax.Array,
     metric_keys: Sequence[str],
+    eval_fn: Optional[Callable] = None,
 ):
     """Drive ``step_fn`` for up to ``fc.steps`` TOTAL steps.
 
@@ -82,32 +121,113 @@ def _run_loop(
     checkpoint (``state.step`` > 0) runs only the remaining steps, and
     periodic checkpoints are named by global step so a resumed run never
     rewinds or overwrites earlier progress.
+
+    ``eval_fn(state, global_step) -> dict`` (if given) runs every
+    ``fc.eval_every`` steps (default: every checkpoint) and once at the end;
+    its metrics land in the JSONL stream as ``kind: "eval"`` entries.
     """
+    logger = MetricsLogger(fc.metrics_path) if fc.metrics_path else None
+    eval_every = fc.eval_every or fc.checkpoint_every
     start = int(jax.device_get(state.step))
     todo = max(0, fc.steps - start)
     t0 = time.time()
     seen = 0
-    for i, batch in enumerate(batches):
-        if i >= todo:
-            break
-        g = start + i + 1  # global step after this update
-        state, metrics = step_fn(state, batch, jax.random.fold_in(key, g - 1))
-        seen += 1
-        if g % fc.log_every == 0 or i + 1 == todo:
-            vals = {k: float(metrics[k]) for k in metric_keys if k in metrics}
-            rate = seen / (time.time() - t0)
-            log.info(
-                "step %d/%d %s (%.2f steps/s)",
-                g,
-                fc.steps,
-                " ".join(f"{k}={v:.4f}" for k, v in vals.items()),
-                rate,
-            )
-        if ckpt_dir and g % fc.checkpoint_every == 0:
-            train_lib.save_checkpoint(os.path.join(ckpt_dir, f"step_{g:08d}"), state)
-    if ckpt_dir:
-        train_lib.save_checkpoint(os.path.join(ckpt_dir, "final"), state)
+
+    def run_eval(g):
+        if eval_fn is None:
+            return
+        ev = {k: float(v) for k, v in eval_fn(state, g).items()}
+        log.info("eval @ step %d: %s", g, " ".join(f"{k}={v:.4f}" for k, v in ev.items()))
+        if logger:
+            logger.write("eval", g, ev)
+
+    try:
+        for i, batch in enumerate(batches):
+            if i >= todo:
+                break
+            g = start + i + 1  # global step after this update
+            state, metrics = step_fn(state, batch, jax.random.fold_in(key, g - 1))
+            seen += 1
+            if g % fc.log_every == 0 or i + 1 == todo:
+                vals = {k: float(metrics[k]) for k in metric_keys if k in metrics}
+                rate = seen / (time.time() - t0)
+                log.info(
+                    "step %d/%d %s (%.2f steps/s)",
+                    g,
+                    fc.steps,
+                    " ".join(f"{k}={v:.4f}" for k, v in vals.items()),
+                    rate,
+                )
+                if logger:
+                    logger.write("train", g, dict(vals, steps_per_sec=rate))
+            if g % eval_every == 0 and g < fc.steps:
+                run_eval(g)
+            if ckpt_dir and g % fc.checkpoint_every == 0:
+                train_lib.save_checkpoint(os.path.join(ckpt_dir, f"step_{g:08d}"), state)
+        run_eval(int(jax.device_get(state.step)))
+        if ckpt_dir:
+            train_lib.save_checkpoint(os.path.join(ckpt_dir, "final"), state)
+    finally:
+        if logger:
+            logger.close()
     return state
+
+
+def _dump_dir(fc: FitConfig) -> Optional[str]:
+    if fc.dump_eval_images and fc.metrics_path:
+        return os.path.dirname(os.path.abspath(fc.metrics_path))
+    return None
+
+
+def _make_unet_evaluator(
+    cfg: unet.UNetConfig, fc: FitConfig, shard_paths: Sequence[str]
+) -> Optional[Callable]:
+    """Holdout evaluator: weighted-CE loss, accuracy, per-class + mean IoU.
+
+    The holdout split is the examples ``ShardIterator`` skips, so eval never
+    sees training data. Optionally dumps the first holdout prediction as a
+    TIFF per eval — the image-summary analogue."""
+    import jax.numpy as jnp
+
+    from sequitr_tpu.ops import losses
+
+    holdout = load_holdout(shard_paths, _decode_seg, fc.holdout_every, fc.eval_limit)
+    if holdout is None:
+        log.warning("holdout_every=%d produced no eval examples", fc.holdout_every)
+        return None
+    images = jnp.asarray(holdout["image"])
+    labels = jnp.asarray(holdout["labels"])
+    weights = jnp.asarray(holdout["weights"]) if "weights" in holdout else None
+    dump = _dump_dir(fc)
+
+    @jax.jit
+    def _eval(params, model_state):
+        logits, _ = unet.apply(cfg, params, model_state, images, train=False)
+        loss = losses.weighted_softmax_cross_entropy(logits, labels, weights)
+        preds = jnp.argmax(logits, axis=-1)
+        acc = jnp.mean((preds == labels).astype(jnp.float32))
+        per_class = losses.iou(preds, labels, cfg.num_classes)
+        return loss, acc, per_class, preds
+
+    def eval_fn(state, g):
+        loss, acc, per_class, preds = _eval(state.params, state.model_state)
+        out = {
+            "eval_loss": loss,
+            "eval_accuracy": acc,
+            "eval_miou": float(np.mean(np.asarray(per_class))),
+        }
+        for k, v in enumerate(np.asarray(per_class)):
+            out[f"eval_iou_{k}"] = float(v)
+        if dump:
+            from sequitr_tpu.data import tiff
+
+            tiff.write_stack(
+                os.path.join(dump, f"eval_pred_{g:08d}.tif"),
+                np.asarray(preds[0]).astype(np.uint16),
+            )
+        return out
+
+    return eval_fn
 
 
 def fit_unet(
@@ -131,11 +251,13 @@ def fit_unet(
         sharding = parallel.batch_sharded(mesh)
     it = ShardIterator(
         shard_paths, _decode_seg, fc.batch_size, seed=fc.seed,
-        shuffle_buffer=fc.shuffle_buffer,
+        shuffle_buffer=fc.shuffle_buffer, holdout_every=fc.holdout_every,
     )
+    eval_fn = _make_unet_evaluator(cfg, fc, shard_paths) if fc.holdout_every else None
     batches = prefetch_to_device(iter(it), depth=fc.prefetch_depth, sharding=sharding)
     return _run_loop(
-        state, step, batches, fc, ckpt_dir, key, ("loss", "accuracy", "grad_norm")
+        state, step, batches, fc, ckpt_dir, key,
+        ("loss", "accuracy", "grad_norm"), eval_fn=eval_fn,
     )
 
 
@@ -159,6 +281,44 @@ def encode_pair(x: np.ndarray, y: np.ndarray) -> bytes:
     )
 
 
+def _make_gan_evaluator(
+    cfg: gan_lib.GANConfig, fc: FitConfig, shard_paths: Sequence[str]
+) -> Optional[Callable]:
+    """Holdout evaluator for the GAN: generator L1 and PSNR vs targets."""
+    import jax.numpy as jnp
+
+    holdout = load_holdout(shard_paths, _decode_pair, fc.holdout_every, fc.eval_limit)
+    if holdout is None:
+        log.warning("holdout_every=%d produced no eval examples", fc.holdout_every)
+        return None
+    x = jnp.asarray(holdout["input"])
+    y = jnp.asarray(holdout["target"])
+    dump = _dump_dir(fc)
+
+    @jax.jit
+    def _eval(params, model_state):
+        fake, _ = gan_lib.generator_apply(cfg, params, model_state, x)
+        fake = fake.astype(jnp.float32)
+        l1 = jnp.mean(jnp.abs(fake - y))
+        mse = jnp.mean((fake - y) ** 2)
+        return l1, mse, fake
+
+    def eval_fn(state, g):
+        l1, mse, fake = _eval(state.params, state.model_state)
+        # data is [0,1]-normalized, so PSNR peak = 1
+        psnr = -10.0 * np.log10(max(float(mse), 1e-12))
+        if dump:
+            from sequitr_tpu.data import tiff
+
+            tiff.write_stack(
+                os.path.join(dump, f"eval_enhanced_{g:08d}.tif"),
+                np.asarray(fake[0, ..., 0], dtype=np.float32),
+            )
+        return {"eval_l1": float(l1), "eval_psnr": psnr}
+
+    return eval_fn
+
+
 def fit_gan(
     cfg: gan_lib.GANConfig,
     tc: train_lib.TrainConfig,
@@ -174,7 +334,11 @@ def fit_gan(
     step = train_lib.make_gan_train_step(cfg, tc, l1_weight=l1_weight)
     it = ShardIterator(
         shard_paths, _decode_pair, fc.batch_size, seed=fc.seed,
-        shuffle_buffer=fc.shuffle_buffer,
+        shuffle_buffer=fc.shuffle_buffer, holdout_every=fc.holdout_every,
     )
+    eval_fn = _make_gan_evaluator(cfg, fc, shard_paths) if fc.holdout_every else None
     batches = prefetch_to_device(iter(it), depth=fc.prefetch_depth)
-    return _run_loop(state, step, batches, fc, ckpt_dir, key, ("d_loss", "g_loss"))
+    return _run_loop(
+        state, step, batches, fc, ckpt_dir, key, ("d_loss", "g_loss"),
+        eval_fn=eval_fn,
+    )

@@ -459,6 +459,11 @@ def train_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         steps=int(p.get("steps", 1000)),
         batch_size=int(p.get("batch_size", 8)),
         checkpoint_every=int(p.get("checkpoint_every", 500)),
+        log_every=int(p.get("log_every", 50)),
+        holdout_every=int(p.get("holdout_every", 0)),
+        eval_every=int(p.get("eval_every", 0)),
+        metrics_path=os.path.join(job.output, "metrics.jsonl"),
+        dump_eval_images=bool(p.get("dump_eval_images", False)),
     )
     ckpt_dir = os.path.join(job.output, "ckpts")
     init_state = None
@@ -477,7 +482,7 @@ def train_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     model_dir = save_model(
         config.models_dir, p["model"], "unet", cfg, state.params, state.model_state
     )
-    return {"model": model_dir}
+    return {"model": model_dir, "metrics_file": fc.metrics_path}
 
 
 @register("build_gan_pairs")
@@ -559,6 +564,11 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         steps=int(p.get("steps", 1000)),
         batch_size=int(p.get("batch_size", 4)),
         checkpoint_every=int(p.get("checkpoint_every", 500)),
+        log_every=int(p.get("log_every", 50)),
+        holdout_every=int(p.get("holdout_every", 0)),
+        eval_every=int(p.get("eval_every", 0)),
+        metrics_path=os.path.join(job.output, "metrics.jsonl"),
+        dump_eval_images=bool(p.get("dump_eval_images", False)),
     )
     ckpt_dir = os.path.join(job.output, "ckpts")
     init_state = None
@@ -576,7 +586,7 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     model_dir = save_model(
         config.models_dir, p["model"], "gan", cfg, state.params, state.model_state
     )
-    return {"model": model_dir}
+    return {"model": model_dir, "metrics_file": fc.metrics_path}
 
 
 def unet_config_from_params(p: dict):

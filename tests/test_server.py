@@ -321,6 +321,11 @@ class TestTrainPipelines:
 
         kind, cfg, params, state = load_model(cfg_srv.models_dir, "trained2d")
         assert kind == "unet"
+        # training observability: metrics JSONL stream written alongside
+        mfile = status2["outputs"]["metrics_file"]
+        assert os.path.exists(mfile)
+        rows = [json.loads(l) for l in open(mfile)]
+        assert any(r["kind"] == "train" and "loss" in r for r in rows)
 
 
 class TestGanTrainPipelines:
