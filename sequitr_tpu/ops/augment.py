@@ -112,6 +112,18 @@ def elastic_warp(
     return _map_coordinates_2d(img, yy, xx, order)
 
 
+def _elastic_warp_nd(arr: jnp.ndarray, dy, dx, order: int, dims: int) -> jnp.ndarray:
+    """Warp a 2D (H, W[, C]) plane or 3D (Z, H, W[, C]) volume in-plane.
+
+    3D volumes apply the SAME (dy, dx) field to every z-plane: microscopy
+    deformation is dominantly lateral (xy); a z-consistent field keeps
+    structures coherent across the stack (spec decision — the reference's
+    3D augmentation parameters are unavailable)."""
+    if dims == 2:
+        return elastic_warp(arr, dy, dx, order)
+    return jax.vmap(lambda plane: elastic_warp(plane, dy, dx, order))(arr)
+
+
 def augment_example(
     key: jax.Array,
     image: jnp.ndarray,
@@ -120,12 +132,16 @@ def augment_example(
     elastic_alpha: float = 20.0,
     elastic_grid: int = 4,
     p_elastic: float = 0.5,
+    dims: int = 2,
 ):
     """Full sequitr-style augmentation of one (image, labels, weights) example.
 
-    ``image``: (H, W, C) float; ``labels``: (H, W) int; ``weights``: (H, W).
-    The same geometric transform is applied to all three. Returns the same
-    structure with ``None`` passed through.
+    2D (``dims=2``): ``image`` (H, W, C) float, ``labels`` (H, W) int,
+    ``weights`` (H, W). 3D (``dims=3``): ``image`` (Z, H, W, C), ``labels``/
+    ``weights`` (Z, H, W); flips act on all three spatial axes, rotations and
+    the elastic warp act in-plane (the same field on every z-slice). The
+    same geometric transform is applied to image/labels/weights; ``None``
+    passes through.
     """
     k_flip, k_rot, k_el, k_p = jax.random.split(key, 4)
     arrays = [image]
@@ -134,23 +150,36 @@ def augment_example(
     if weights is not None:
         arrays.append(weights)
 
-    arrays = list(random_flip(k_flip, *arrays)) if len(arrays) > 1 else [random_flip(k_flip, arrays[0])]
-    arrays = list(random_rot90(k_rot, *arrays)) if len(arrays) > 1 else [random_rot90(k_rot, arrays[0])]
+    flip_axes = (0, 1) if dims == 2 else (0, 1, 2)
+    rot_axes = (0, 1) if dims == 2 else (1, 2)
+    arrays = (
+        list(random_flip(k_flip, *arrays, axes=flip_axes))
+        if len(arrays) > 1
+        else [random_flip(k_flip, arrays[0], axes=flip_axes)]
+    )
+    arrays = (
+        list(random_rot90(k_rot, *arrays, axes=rot_axes))
+        if len(arrays) > 1
+        else [random_rot90(k_rot, arrays[0], axes=rot_axes)]
+    )
 
-    dy, dx = elastic_fields(k_el, image.shape[:2], elastic_alpha, elastic_grid)
+    plane_shape = image.shape[:2] if dims == 2 else image.shape[1:3]
+    dy, dx = elastic_fields(k_el, plane_shape, elastic_alpha, elastic_grid)
     do_el = jax.random.bernoulli(k_p, p_elastic)
     dy = jnp.where(do_el, dy, 0.0)
     dx = jnp.where(do_el, dx, 0.0)
 
-    out_image = elastic_warp(arrays[0], dy, dx, order=1)
+    out_image = _elastic_warp_nd(arrays[0], dy, dx, order=1, dims=dims)
     idx = 1
     out_labels = None
     out_weights = None
     if labels is not None:
-        out_labels = elastic_warp(
-            arrays[idx].astype(jnp.float32), dy, dx, order=0
+        out_labels = _elastic_warp_nd(
+            arrays[idx].astype(jnp.float32), dy, dx, order=0, dims=dims
         ).astype(labels.dtype)
         idx += 1
     if weights is not None:
-        out_weights = elastic_warp(arrays[idx].astype(jnp.float32), dy, dx, order=1)
+        out_weights = _elastic_warp_nd(
+            arrays[idx].astype(jnp.float32), dy, dx, order=1, dims=dims
+        )
     return out_image, out_labels, out_weights

@@ -41,19 +41,21 @@ def border_weights(
 ) -> np.ndarray:
     """Border-emphasis term from per-instance distance transforms.
 
-    ``instance_labels``: (H, W) int map with 0 = background and each object
-    a distinct positive id (e.g. from connected components). For every
-    pixel, d1/d2 are the distances to the two nearest distinct instances;
-    the weight peaks in the thin gaps between touching cells — exactly the
-    pixels a segmentation net must get right for downstream tracking.
+    ``instance_labels``: (H, W) — or (Z, H, W) for volumetric training —
+    int map with 0 = background and each object a distinct positive id
+    (e.g. from connected components). For every pixel, d1/d2 are the
+    distances to the two nearest distinct instances; the weight peaks in
+    the thin gaps between touching cells — exactly the pixels a
+    segmentation net must get right for downstream tracking. Distance
+    transforms are N-D (scipy EDT), so the 3D variant is exact, just
+    proportionally more host precompute at record-build time.
     """
     instance_labels = np.asarray(instance_labels)
     ids = np.unique(instance_labels)
     ids = ids[ids != 0][:max_instances]
-    h, w = instance_labels.shape
     if len(ids) < 2:
-        return np.zeros((h, w), dtype=np.float32)
-    dists = np.empty((len(ids), h, w), dtype=np.float32)
+        return np.zeros(instance_labels.shape, dtype=np.float32)
+    dists = np.empty((len(ids),) + instance_labels.shape, dtype=np.float32)
     for i, obj in enumerate(ids):
         dists[i] = ndimage.distance_transform_edt(instance_labels != obj)
     dists.partition(1, axis=0)  # two smallest along instance axis

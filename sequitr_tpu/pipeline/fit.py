@@ -80,7 +80,8 @@ class MetricsLogger:
 def _decode_seg(payload: bytes) -> Dict[str, np.ndarray]:
     ex = records_lib._decode_seg(payload)
     img = ex.image
-    if img.ndim == 2:
+    # add the channel axis when absent: (H, W) 2D or (Z, H, W) 3D examples
+    if img.ndim == ex.labels.ndim:
         img = img[..., None]
     out = {"image": img.astype(np.float32), "labels": ex.labels.astype(np.int32)}
     if ex.weights is not None:

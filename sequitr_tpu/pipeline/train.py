@@ -75,11 +75,13 @@ def create_unet_state(
     return TrainState(params, model_state, opt_state, jnp.zeros((), jnp.int32))
 
 
-def _augment_batch(key, images, labels, weights, tc: TrainConfig):
+def _augment_batch(key, images, labels, weights, tc: TrainConfig, dims: int = 2):
     keys = jax.random.split(key, images.shape[0])
     return jax.vmap(
         lambda k, i, l, w: aug.augment_example(
-            k, i, l, w, elastic_alpha=tc.elastic_alpha, elastic_grid=tc.elastic_grid
+            k, i, l, w,
+            elastic_alpha=tc.elastic_alpha, elastic_grid=tc.elastic_grid,
+            dims=dims,
         )
     )(keys, images, labels, weights)
 
@@ -97,9 +99,11 @@ def make_unet_train_step(cfg: unet.UNetConfig, tc: TrainConfig, jit: bool = True
         images = batch["image"]
         labels = batch["labels"]
         weights = batch.get("weights")
-        if tc.augment and cfg.dims == 2:
+        if tc.augment:
             w_in = weights if weights is not None else jnp.ones(labels.shape, jnp.float32)
-            images, labels, w_out = _augment_batch(key, images, labels, w_in, tc)
+            images, labels, w_out = _augment_batch(
+                key, images, labels, w_in, tc, dims=cfg.dims
+            )
             weights = w_out if weights is not None else None
 
         def loss_fn(params):

@@ -13,9 +13,11 @@ Built-in pipelines (registry keys are the rebuild's documented API):
     btrack HDF5 localizations.
   * ``enhancement_gan`` — pix2pix generator pass over a TIFF stack.
   * ``build_records`` / ``build_gan_pairs`` — training-shard builders
-    (normalization + U-Net weight maps at record-creation time).
-  * ``train_unet2d`` / ``train_gan`` — training jobs that register the
-    resulting model under ``models_dir`` (resume from ckpts/final).
+    (normalization + U-Net weight maps at record-creation time; 2D frames
+    or 3D volumes, optional random patch crops).
+  * ``train_unet2d`` / ``train_unet3d`` / ``train_gan`` — training jobs
+    that register the resulting model under ``models_dir`` (resume from
+    the newest checkpoint; JSONL metrics + holdout eval).
 
 Model weights are orbax checkpoints under ``models_dir/<name>``, saved with
 matching config JSON (``config.json``) so the server can rebuild the net.
@@ -388,7 +390,11 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     The reference computes U-Net weight maps at record-creation time
     (SURVEY.md §3.2); this pipeline mirrors that: input = [images.tif,
     labels.tif], params: weight_maps (bool, default True), w0, sigma,
-    shard_size, num_classes. Output: ``train-*.tfrecord`` shards.
+    shard_size, num_classes, dims (2: each frame of a (T, H, W) stack is
+    one example; 3: the whole (Z, H, W) stack is one volumetric example),
+    patch + patches_per_example (random-crop sub-examples, e.g. 256x256
+    patches from 1024x1024 frames or sub-volumes from a z-stack), seed.
+    Output: ``train-*.tfrecord`` shards.
     """
     from sequitr_tpu.data import records, tiff
     from sequitr_tpu.ops import weightmaps
@@ -403,10 +409,26 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             f"image/label shape mismatch: {images.shape} vs {labels.shape}"
         )
     p = job.params
+    dims = int(p.get("dims", 2))
+    if dims == 3:
+        if images.ndim != 3:
+            raise jobs_lib.JobError(
+                f"dims=3 expects one (Z, H, W) stack, got {images.shape}"
+            )
+        pairs = [(images, labels)]  # the whole stack is one volume example
+    else:
+        pairs = list(zip(images, labels))
+
+    patch = tuple(int(v) for v in p["patch"]) if "patch" in p else None
+    if patch is not None and len(patch) != dims:
+        raise jobs_lib.JobError(f"patch {patch} must have {dims} axes")
+    n_crops = int(p.get("patches_per_example", 4))
+    rng = np.random.default_rng(int(p.get("seed", 0)))
+
     num_classes = int(p.get("num_classes", labels.max() + 1))
     exs = []
     p_lo, p_hi = float(p.get("p_lo", 5.0)), float(p.get("p_hi", 99.5))
-    for img, lab in zip(images, labels):
+    for img, lab in pairs:
         if p.get("normalize", True):
             # records store normalized intensities so training sees the same
             # distribution tiled inference feeds the net (SURVEY.md §3.2/3.3)
@@ -414,13 +436,29 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             img = np.clip((img - lo) / max(hi - lo, 1e-8), 0.0, 1.0).astype(
                 np.float32
             )
-        w = None
-        if p.get("weight_maps", True):
-            w = weightmaps.unet_weight_map(
-                lab, num_classes=num_classes,
-                w0=float(p.get("w0", 10.0)), sigma=float(p.get("sigma", 5.0)),
-            )
-        exs.append(records.SegExample(img, lab, w))
+        if patch is not None:
+            if any(ps > s for s, ps in zip(img.shape, patch)):
+                raise jobs_lib.JobError(
+                    f"patch {patch} larger than example {img.shape}"
+                )
+            crops = []
+            for _ in range(n_crops):
+                starts = [
+                    int(rng.integers(0, s - ps + 1))
+                    for s, ps in zip(img.shape, patch)
+                ]
+                sl = tuple(slice(st, st + ps) for st, ps in zip(starts, patch))
+                crops.append((img[sl], lab[sl]))
+        else:
+            crops = [(img, lab)]
+        for ci, cl in crops:
+            w = None
+            if p.get("weight_maps", True):
+                w = weightmaps.unet_weight_map(
+                    cl, num_classes=num_classes,
+                    w0=float(p.get("w0", 10.0)), sigma=float(p.get("sigma", 5.0)),
+                )
+            exs.append(records.SegExample(ci, cl, w))
     paths = records.write_segmentation_shards(
         os.path.join(job.output, "train"), exs,
         shard_size=int(p.get("shard_size", 128)),
@@ -435,8 +473,27 @@ def train_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     input: record shard paths (globs allowed). params: model (output name),
     architecture (num_classes, depth, base_features, norm), training
-    (steps, batch_size, learning_rate, patch augment flags).
+    (steps, batch_size, learning_rate, patch augment flags), observability
+    (holdout_every, eval_every, dump_eval_images).
     """
+    return _train_unet(job, config)
+
+
+@register("train_unet3d")
+def train_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Train a volumetric 3D U-Net from record shards (SURVEY.md §2 UNet3D).
+
+    Same parameters as ``train_unet2d``; ``dims`` defaults to 3 (records
+    must hold (Z, H, W) volume examples, e.g. from ``build_records`` with
+    ``dims: 3``). Augmentation runs volumetrically: 3-axis flips, in-plane
+    rotations and a z-consistent elastic warp.
+    """
+    job.params = dict(job.params)
+    job.params.setdefault("dims", 3)
+    return _train_unet(job, config)
+
+
+def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     import glob as glob_lib
 
     import jax.numpy as jnp

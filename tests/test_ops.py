@@ -177,6 +177,41 @@ class TestAugment:
         out = f(key, jnp.ones((16, 16, 1)))
         assert out.shape == (16, 16, 1)
 
+    def test_augment_example_3d_shapes_and_labels(self):
+        key = jax.random.PRNGKey(12)
+        img = jnp.ones((6, 16, 16, 1))
+        lab = jnp.zeros((6, 16, 16), jnp.int32).at[2:4, 4:8, 4:8].set(1)
+        w = jnp.ones((6, 16, 16))
+        oi, ol, ow = ops.augment_example(key, img, lab, w, dims=3)
+        assert oi.shape == (6, 16, 16, 1)
+        assert ol.shape == (6, 16, 16) and ol.dtype == jnp.int32
+        assert ow.shape == (6, 16, 16)
+        assert set(np.unique(np.asarray(ol))) <= {0, 1}
+        # object mass is preserved up to warp resampling at edges
+        assert 0 < int(np.asarray(ol).sum()) <= 2 * 2 * 4 * 4
+
+    def test_augment_3d_elastic_z_consistent(self):
+        """The elastic field is identical on every z-plane: identical input
+        planes must stay identical after augmentation."""
+        key = jax.random.PRNGKey(13)
+        plane = jnp.asarray(
+            np.random.default_rng(0).random((16, 16, 1)).astype(np.float32)
+        )
+        vol = jnp.stack([plane] * 4)
+        out, _, _ = ops.augment_example(key, vol, dims=3)
+        out = np.asarray(out)
+        for z in range(1, 4):
+            np.testing.assert_allclose(out[z], out[0], atol=1e-6)
+
+    def test_augment_3d_jit_vmap(self):
+        key = jax.random.PRNGKey(14)
+        f = jax.jit(
+            jax.vmap(lambda k, im: ops.augment_example(k, im, dims=3)[0])
+        )
+        keys = jax.random.split(key, 2)
+        out = f(keys, jnp.ones((2, 4, 8, 8, 1)))
+        assert out.shape == (2, 4, 8, 8, 1)
+
 
 class TestWeightMaps:
     def test_border_peak_between_objects(self):
@@ -202,6 +237,22 @@ class TestWeightMaps:
         wm = ops.weightmaps.unet_weight_map(labels)
         assert wm.shape == (32, 32) and wm.dtype == np.float32
         assert np.isfinite(wm).all()
+
+    def test_border_weights_3d(self):
+        inst = np.zeros((6, 16, 16), np.int32)
+        inst[1:5, 3:7, 3:13] = 1
+        inst[1:5, 10:14, 3:13] = 2
+        wb = ops.weightmaps.border_weights(inst, w0=10.0, sigma=3.0)
+        assert wb.shape == (6, 16, 16)
+        # gap plane between the two slabs outweighs a far corner
+        assert wb[3, 8, 8] > wb[0, 0, 0]
+
+    def test_unet_weight_map_3d(self):
+        labels = np.zeros((4, 16, 16), np.int32)
+        labels[1:3, 2:6, 2:6] = 1
+        labels[1:3, 9:13, 9:13] = 1
+        wm = ops.weightmaps.unet_weight_map(labels)
+        assert wm.shape == (4, 16, 16) and np.isfinite(wm).all()
 
 
 class TestTilingEdgeCases:

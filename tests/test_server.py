@@ -328,6 +328,82 @@ class TestTrainPipelines:
         assert any(r["kind"] == "train" and "loss" in r for r in rows)
 
 
+class TestTrain3DPipeline:
+    def test_build_3d_records_train_then_serve(self, server_env):
+        """VERDICT r1 item 3: 3D records (volume + random sub-volume crops)
+        -> train_unet3d (volumetric augmentation on) -> loss decreases ->
+        serve through segmentation_unet3d."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(0)
+        vol = rng.normal(0.1, 0.05, (8, 16, 16)).astype(np.float32)
+        lab = np.zeros((8, 16, 16), np.int32)
+        vol[2:6, 4:12, 4:12] += 1.0
+        lab[2:6, 4:12, 4:12] = 1
+        img_p, lab_p = str(tmp / "vol.tif"), str(tmp / "vlab.tif")
+        tiff.write_stack(img_p, vol)
+        tiff.write_stack(lab_p, lab.astype(np.uint16))
+        srv = ImageServer(cfg_srv)
+
+        rec_out = str(tmp / "recs3d")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "build_records",
+                "params": {
+                    "dims": 3, "num_classes": 2, "weight_maps": True,
+                    "patch": [4, 8, 8], "patches_per_example": 10,
+                    "shard_size": 5,
+                },
+                "input": [img_p, lab_p],
+                "output": rec_out,
+            },
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(rec_out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        assert st["outputs"]["n_examples"] == "10"
+
+        train_out = str(tmp / "t3d")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "train_unet3d",
+                "params": {
+                    "model": "seg3d_trained", "num_classes": 2, "depth": 2,
+                    "base_features": 2, "norm": "none",
+                    "compute_dtype": "float32", "steps": 8, "batch_size": 2,
+                    "learning_rate": 3e-3, "log_every": 2, "augment": True,
+                },
+                "input": [st["outputs"]["shards"]],
+                "output": train_out,
+            },
+        )
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(train_out, "status.json")))
+        assert st2["state"] == "complete", st2.get("error")
+        rows = [json.loads(l) for l in open(st2["outputs"]["metrics_file"])]
+        losses = [r["loss"] for r in rows if r["kind"] == "train"]
+        assert losses[-1] < losses[0]  # learning with 3D augmentation on
+
+        # serve the trained 3D model
+        seg_out = str(tmp / "seg3d_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet3d",
+                "params": {"model": "seg3d_trained", "patch": [4, 8, 8],
+                           "overlap": [2, 4, 4]},
+                "input": [img_p],
+                "output": seg_out,
+            },
+        )
+        assert srv.poll_once()
+        st3 = json.load(open(os.path.join(seg_out, "status.json")))
+        assert st3["state"] == "complete", st3.get("error")
+        out_labels = tiff.read_stack(st3["outputs"]["labels"])
+        assert out_labels.shape == (8, 16, 16)
+
+
 class TestGanTrainPipelines:
     def test_build_pairs_then_train_gan(self, server_env):
         cfg_srv, tmp = server_env
