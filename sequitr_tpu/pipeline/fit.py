@@ -326,19 +326,30 @@ def fit_gan(
     fc: FitConfig,
     shard_paths: Sequence[str],
     ckpt_dir: Optional[str] = None,
+    mesh=None,
     init_state: Optional[train_lib.GANTrainState] = None,
     l1_weight: float = 100.0,
 ) -> train_lib.GANTrainState:
-    """Train the enhancement GAN from (input, target) pair shards."""
+    """Train the enhancement GAN from (input, target) pair shards.
+
+    ``mesh``: data-parallel sharding over a device mesh — state replicated,
+    the pair batch sharded on its leading axis; XLA inserts the gradient
+    all-reduces over ICI (same pattern as ``fit_unet``)."""
     key = jax.random.PRNGKey(fc.seed)
     state = init_state or train_lib.create_gan_state(key, cfg, tc)
-    step = train_lib.make_gan_train_step(cfg, tc, l1_weight=l1_weight)
+    step = train_lib.make_gan_train_step(cfg, tc, l1_weight=l1_weight, jit=mesh is None)
+    sharding = None
+    if mesh is not None:
+        from sequitr_tpu import parallel
+
+        step = parallel.make_dp_train_step(step, mesh)
+        sharding = parallel.batch_sharded(mesh)
     it = ShardIterator(
         shard_paths, _decode_pair, fc.batch_size, seed=fc.seed,
         shuffle_buffer=fc.shuffle_buffer, holdout_every=fc.holdout_every,
     )
     eval_fn = _make_gan_evaluator(cfg, fc, shard_paths) if fc.holdout_every else None
-    batches = prefetch_to_device(iter(it), depth=fc.prefetch_depth)
+    batches = prefetch_to_device(iter(it), depth=fc.prefetch_depth, sharding=sharding)
     return _run_loop(
         state, step, batches, fc, ckpt_dir, key, ("d_loss", "g_loss"),
         eval_fn=eval_fn,

@@ -534,7 +534,8 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         template = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
         init_state = train_lib.restore_checkpoint(ckpt, template)
     state = fit_lib.fit_unet(
-        cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir, init_state=init_state
+        cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir, init_state=init_state,
+        mesh=_train_mesh(p, fc.batch_size),
     )
     model_dir = save_model(
         config.models_dir, p["model"], "unet", cfg, state.params, state.model_state
@@ -639,11 +640,35 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir,
         init_state=init_state,
         l1_weight=float(p.get("l1_weight", 100.0)),
+        mesh=_train_mesh(p, fc.batch_size),
     )
     model_dir = save_model(
         config.models_dir, p["model"], "gan", cfg, state.params, state.model_state
     )
     return {"model": model_dir, "metrics_file": fc.metrics_path}
+
+
+def _train_mesh(p: dict, batch_size: int):
+    """Mesh for ``data_parallel: true`` training jobs (SURVEY.md:151-152).
+
+    Shards the batch over all devices; falls back to single-chip when only
+    one device exists. The batch must divide evenly over the mesh — raise
+    up front instead of letting XLA fail mid-job with a sharding error."""
+    if not p.get("data_parallel"):
+        return None
+    import jax
+
+    if jax.device_count() <= 1:
+        return None
+    from sequitr_tpu import parallel
+
+    mesh = parallel.make_mesh()
+    n = mesh.devices.size
+    if batch_size % n:
+        raise jobs_lib.JobError(
+            f"data_parallel: batch_size {batch_size} not divisible by {n} devices"
+        )
+    return mesh
 
 
 def unet_config_from_params(p: dict):

@@ -175,6 +175,25 @@ class TestGanPairs:
         np.testing.assert_array_equal(out["input"][..., 0], x)
         np.testing.assert_array_equal(out["target"][..., 0], y)
 
+    def test_fit_gan_dp_mesh(self, tmp_path):
+        from sequitr_tpu import parallel
+        from sequitr_tpu.models import gan as gan_lib
+
+        rng = np.random.default_rng(1)
+        path = str(tmp_path / "pairs.tfrecord")
+        with records.RecordWriter(path) as w:
+            for _ in range(8):
+                x = rng.random((16, 16)).astype(np.float32)
+                w.write(fit_lib.encode_pair(x, np.clip(x * 1.5, 0, 1)))
+        cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2, disc_base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        tc = train_lib.TrainConfig(learning_rate=1e-3, beta1=0.5)
+        fc = fit_lib.FitConfig(steps=2, batch_size=8, log_every=10)
+        state = fit_lib.fit_gan(cfg, tc, fc, [path], mesh=parallel.make_mesh())
+        assert int(state.step) == 2
+
     def test_fit_gan_runs(self, tmp_path):
         from sequitr_tpu.models import gan as gan_lib
 

@@ -457,6 +457,58 @@ class TestGanTrainPipelines:
         kind, _, _, _ = load_model(cfg_srv.models_dir, "gan_demo")
         assert kind == "gan"
 
+    def test_train_data_parallel_job(self, server_env):
+        """train_unet2d with data_parallel: true shards the batch over the
+        8-device virtual mesh and completes (SURVEY.md:151-152)."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(3)
+        images = rng.normal(0.1, 0.05, (8, 16, 16)).astype(np.float32)
+        labels = (images > 0.4).astype(np.int32)
+        img_p, lab_p = str(tmp / "dpi.tif"), str(tmp / "dpl.tif")
+        tiff.write_stack(img_p, images)
+        tiff.write_stack(lab_p, labels.astype(np.uint16))
+        srv = ImageServer(cfg_srv)
+        rec_out = str(tmp / "dprecs")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "build_records",
+             "params": {"num_classes": 2, "weight_maps": False},
+             "input": [img_p, lab_p], "output": rec_out},
+        )
+        assert srv.poll_once()
+        shards = json.load(open(os.path.join(rec_out, "status.json")))["outputs"]["shards"]
+        out = str(tmp / "dptrain")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_unet2d",
+             "params": {"model": "dp_model", "num_classes": 2, "depth": 2,
+                        "base_features": 2, "norm": "none",
+                        "compute_dtype": "float32", "steps": 2,
+                        "batch_size": 8, "augment": False,
+                        "data_parallel": True},
+             "input": [shards], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+
+        # indivisible batch fails fast with a clear error
+        out2 = str(tmp / "dptrain_bad")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_unet2d",
+             "params": {"model": "dp_bad", "num_classes": 2, "depth": 2,
+                        "base_features": 2, "norm": "none",
+                        "compute_dtype": "float32", "steps": 1,
+                        "batch_size": 3, "augment": False,
+                        "data_parallel": True},
+             "input": [shards], "output": out2},
+        )
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(out2, "status.json")))
+        assert st2["state"] == "failed"
+        assert "not divisible" in st2["error"]
+
     def test_train_resume_from_checkpoint(self, server_env, tmp_path):
         cfg_srv, tmp = server_env
         rng = np.random.default_rng(1)
