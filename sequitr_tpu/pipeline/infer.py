@@ -27,7 +27,13 @@ from sequitr_tpu.models import unet
 from sequitr_tpu.ops import normalize as norm_ops
 from sequitr_tpu.ops import tiling
 
-__all__ = ["TileConfig", "make_frame_inferrer", "infer_stack", "InferenceResult"]
+__all__ = [
+    "TileConfig",
+    "make_frame_inferrer",
+    "infer_stack",
+    "stream_frames",
+    "InferenceResult",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +47,10 @@ class TileConfig:
     p_lo: float = 5.0
     p_hi: float = 99.5
     patch_batch: Optional[int] = None  # chunk patches to bound HBM (None = all)
+    # dtype of the emitted label map. The server passes "uint16": the cast
+    # happens on device inside the fused graph, halving every label-map
+    # D2H transfer (this machine's relay D2H is ~1 s/MB, BASELINE.md)
+    labels_dtype: str = "int32"
 
 
 @dataclasses.dataclass
@@ -126,10 +136,46 @@ def make_frame_inferrer(
         probs = tiling.stitch_patches(
             probs_patches, grid, frame_spatial, tc.overlap, tc.window
         )
-        labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        labels = jnp.argmax(probs, axis=-1).astype(jnp.dtype(tc.labels_dtype))
         return probs, labels
 
     return jax.jit(infer) if jit else infer
+
+
+def stream_frames(
+    fn: Callable,
+    frames: Iterable[np.ndarray],
+    prefetch: int = 2,
+) -> Iterator:
+    """Stream host frames through a per-frame device function, H2D overlapped.
+
+    ``fn(device_frame) -> result`` is dispatched ``prefetch`` frames ahead of
+    consumption; jax dispatch is async, so while frame i's graph runs on the
+    TPU, frame i+1's host->HBM copy is already in flight — ingest never
+    starves the device (SURVEY.md §7 hard part (e)). Yields each frame's
+    (still device-resident) result in order.
+    """
+    frames = iter(frames)
+    device = jax.devices()[0]
+    queue = []
+
+    def launch(host_frame):
+        return fn(jax.device_put(np.asarray(host_frame), device))
+
+    # warm the pipeline
+    for _ in range(prefetch):
+        try:
+            queue.append(launch(next(frames)))
+        except StopIteration:
+            break
+
+    while queue:
+        out = queue.pop(0)
+        try:
+            queue.append(launch(next(frames)))
+        except StopIteration:
+            pass
+        yield out
 
 
 def infer_stack(
@@ -141,30 +187,10 @@ def infer_stack(
 ) -> Iterator[InferenceResult]:
     """Stream a timelapse stack through ``infer_fn`` with H2D double-buffering.
 
-    ``frames`` yields host arrays. Transfers are issued ``prefetch`` frames
-    ahead of compute; jax dispatch is async, so while frame i's graph runs on
-    the TPU, frame i+1's host->HBM copy is already in flight — ingest never
-    starves the device (SURVEY.md §7 hard part (e)).
+    ``infer_fn(params, state, frame) -> (probs, labels)``; see
+    ``stream_frames`` for the overlap mechanics.
     """
-    frames = iter(frames)
-    device = jax.devices()[0]
-    queue = []  # (device_frame, pending_result)
-
-    def launch(host_frame):
-        dev = jax.device_put(np.asarray(host_frame), device)
-        return infer_fn(params, state, dev)
-
-    # warm the pipeline
-    for _ in range(prefetch):
-        try:
-            queue.append(launch(next(frames)))
-        except StopIteration:
-            break
-
-    while queue:
-        probs, labels = queue.pop(0)
-        try:
-            queue.append(launch(next(frames)))
-        except StopIteration:
-            pass
+    for probs, labels in stream_frames(
+        lambda f: infer_fn(params, state, f), frames, prefetch
+    ):
         yield InferenceResult(probs=probs, labels=labels)

@@ -217,6 +217,9 @@ def _tile_config(params: dict, dims: int = 2):
         p_lo=float(params.get("p_lo", 5.0)),
         p_hi=float(params.get("p_hi", 99.5)),
         patch_batch=int(pb) if pb else None,
+        # labels leave the device as uint16 (the on-disk format), halving
+        # the per-frame label D2H next to int32
+        labels_dtype="uint16",
     )
 
 
@@ -245,17 +248,18 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     from sequitr_tpu.utils import PhaseTimer
 
     timer = PhaseTimer()
-    labels_out = np.empty(stack.shape, dtype=np.int32)
+    labels_out = np.empty(stack.shape, dtype=np.uint16)
     probs_list = [] if job.params.get("save_probs") else None
     objects = []
     with timer.phase("infer"):
         results = _run_frames(cfg, tc, params, state, stack, job.params)
     for t, result in enumerate(results):
         with timer.phase("fetch"):
-            labels_np = np.asarray(result.labels)
+            labels_np = np.asarray(result.labels)  # uint16 on device already
         labels_out[t] = labels_np
         if probs_list is not None:
-            probs_list.append(np.asarray(result.probs))
+            with timer.phase("fetch"):
+                probs_list.append(np.asarray(result.probs))
         if job.params.get("localize", True):
             with timer.phase("localize"):
                 objects.extend(
@@ -275,14 +279,18 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         metrics["frames_per_sec"] = round(len(stack) / total_s, 3)
     outputs["metrics"] = json.dumps(metrics)
     labels_path = os.path.join(job.output, "labels.tif")
-    tiff.write_stack(labels_path, labels_out.astype(np.uint16))
+    tiff.write_stack(labels_path, labels_out)
     outputs["labels"] = labels_path
     if probs_list is not None:
         probs_path = os.path.join(job.output, "probs.tif")
-        # store foreground-probability planes per frame (sum of classes > 0)
-        fg = np.stack([1.0 - p[..., 0] for p in probs_list]).astype(np.float32)
-        tiff.write_stack(probs_path, fg)
+        # full softmax label maps (the reference's output contract): page
+        # t*K + k holds frame t's class-k probability plane, frame-major
+        k = probs_list[0].shape[-1]
+        full = np.stack(probs_list).astype(np.float32)  # (T, H, W, K)
+        planes = np.moveaxis(full, -1, 1).reshape(-1, *full.shape[1:3])
+        tiff.write_stack(probs_path, planes)
         outputs["probs"] = probs_path
+        outputs["probs_layout"] = f"pages=(T={len(stack)})*(K={k}), frame-major"
     if job.params.get("localize", True):
         h5_path = os.path.join(job.output, "objects.h5")
         loc_lib.export_btrack_h5(h5_path, objects)
@@ -298,7 +306,6 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     Outputs: enhanced.tif (float32).
     """
     import jax
-    import jax.numpy as jnp
 
     from sequitr_tpu.data import tiff
     from sequitr_tpu.models import gan as gan_lib
@@ -321,12 +328,28 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         x = infer_lib._normalize(frame[..., None], tc)
         patches = tiling.extract_patches(x, grid, tc.patch)
         out, _ = gan_lib.generator_apply(cfg, params, state, patches)
-        return tiling.stitch_patches(out, grid, spatial, tc.overlap, tc.window)
+        return tiling.stitch_patches(out, grid, spatial, tc.overlap, tc.window)[..., 0]
 
-    frames = [np.asarray(enhance(jnp.asarray(f)))[..., 0] for f in stack]
+    from sequitr_tpu.utils import PhaseTimer
+
+    timer = PhaseTimer()
+    # same streaming treatment as segmentation: dispatch runs prefetch
+    # frames ahead so frame i+1's H2D copy overlaps frame i's compute;
+    # total_s < fetch_s + per-frame compute is the overlap evidence
+    frames = np.empty(stack.shape, dtype=np.float32)
+    t0 = time.time()
+    for t, out in enumerate(infer_lib.stream_frames(enhance, stack)):
+        with timer.phase("fetch"):
+            frames[t] = np.asarray(out)
+    total_s = time.time() - t0
     out_path = os.path.join(job.output, "enhanced.tif")
-    tiff.write_stack(out_path, np.stack(frames).astype(np.float32))
-    return {"enhanced": out_path}
+    tiff.write_stack(out_path, frames)
+    metrics = dict(
+        timer.summary(), total_s=round(total_s, 4), n_frames=len(stack)
+    )
+    if total_s > 0:
+        metrics["frames_per_sec"] = round(len(stack) / total_s, 3)
+    return {"enhanced": out_path, "metrics": json.dumps(metrics)}
 
 
 def _run_frames(cfg, tc, params, state, stack, job_params):

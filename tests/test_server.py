@@ -154,6 +154,46 @@ class TestSegmentationPipeline:
             coords = f["objects/obj_type_1/coords"][:]
             assert coords.shape[1] == 5
 
+    def test_save_probs_full_per_class_maps(self, server_env):
+        """save_probs stores ALL K softmax planes (frame-major pages), and
+        each frame's planes sum to 1 — the reference's label-map contract."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "seg2dp", "unet", net_cfg, params, state)
+        stack = (np.random.default_rng(1).random((2, 32, 32)) * 1000).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "stackp.tif")
+        tiff.write_stack(stack_path, stack)
+        out_dir = str(tmp / "outp")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": {"model": "seg2dp", "patch": [16, 16],
+                           "overlap": [4, 4], "save_probs": True,
+                           "localize": False},
+                "input": [stack_path],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        probs = tiff.read_stack(status["outputs"]["probs"])
+        assert probs.shape == (2 * 3, 32, 32)  # T*K frame-major planes
+        assert "frame-major" in status["outputs"]["probs_layout"]
+        per_frame = probs.reshape(2, 3, 32, 32)
+        np.testing.assert_allclose(per_frame.sum(axis=1), 1.0, atol=1e-4)
+        # argmax over the saved planes reproduces the saved label map
+        labels = tiff.read_stack(status["outputs"]["labels"])
+        assert labels.dtype == np.uint16
+        np.testing.assert_array_equal(per_frame.argmax(axis=1), labels)
+
 
 class TestGANPipeline:
     def test_end_to_end(self, server_env):
@@ -184,6 +224,9 @@ class TestGANPipeline:
         enhanced = tiff.read_stack(status["outputs"]["enhanced"])
         assert enhanced.shape == (32, 32)
         assert np.abs(enhanced).max() <= 1.0 + 1e-5
+        # streamed path reports phase-timer metrics (fetch + throughput)
+        metrics = json.loads(status["outputs"]["metrics"])
+        assert {"fetch_s", "total_s", "frames_per_sec"} <= set(metrics)
 
 
 class TestLocalize:
