@@ -22,13 +22,22 @@ class ServerConfiguration:
     ``jobs_dir``: watched directory clients drop job JSON files into.
     ``models_dir``: root for named model checkpoints (orbax directories).
     ``poll_interval``: seconds between job-directory scans.
-    ``max_retries``: per-job retry budget before a failure marker is written.
+    ``max_retries``: per-job retry budget before a failure marker is written
+    (malformed-job ``JobError``s never retry — they are deterministic).
+    ``retry_backoff``: seconds slept before retry attempt N is N*backoff.
+    ``job_timeout``: wall-clock seconds a single job may run before the
+    server marks it failed and moves on (None = unlimited). The timed-out
+    work runs on a daemon thread that cannot be force-killed in-process; the
+    watchdog guarantees the QUEUE keeps moving, not that the stuck
+    computation stops consuming the device.
     """
 
     jobs_dir: str = "./jobs"
     models_dir: str = "./models"
     poll_interval: float = 1.0
     max_retries: int = 1
+    retry_backoff: float = 1.0
+    job_timeout: Optional[float] = None
     log_dir: Optional[str] = None
 
     @classmethod

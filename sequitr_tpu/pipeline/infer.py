@@ -95,9 +95,25 @@ def make_frame_inferrer(
     Softmax is applied per-patch BEFORE stitching so overlap blending
     averages probabilities, keeping stitched maps in the simplex (spec
     decision; SURVEY.md §2 'Weighted stitch-blend' blends softmax outputs).
+
+    Frames smaller than the patch on any axis are auto-padded (mirror
+    reflection at the trailing edge — natural image statistics, no sharp
+    zero border) up to the patch size and the outputs cropped back, so a
+    200x200 FOV serves under the default 256^2 patch instead of failing.
+    Normalization runs BEFORE padding: percentile stats come from real
+    pixels only.
     """
     nd = len(frame_spatial)
-    grid = tiling.tile_grid(frame_spatial, tc.patch, tc.overlap)
+    edge_pad = tuple(max(0, p - s) for s, p in zip(frame_spatial, tc.patch))
+    padded_spatial = tuple(s + d for s, d in zip(frame_spatial, edge_pad))
+    # "symmetric" allows pad == size (whole-frame mirror); beyond that the
+    # frame is less than half a patch — replicate the edge for the rest
+    pad_mode = (
+        "symmetric"
+        if all(d <= s for s, d in zip(frame_spatial, edge_pad))
+        else "edge"
+    )
+    grid = tiling.tile_grid(padded_spatial, tc.patch, tc.overlap)
     fold = cfg.norm == "batch"
     if fold:
         # inference-mode BN folds exactly into the conv weights — removes
@@ -112,6 +128,8 @@ def make_frame_inferrer(
         if frame.ndim == nd:
             frame = frame[..., None]
         x = _normalize(frame, tc)
+        if any(edge_pad):
+            x = jnp.pad(x, [(0, d) for d in edge_pad] + [(0, 0)], mode=pad_mode)
         patches = tiling.extract_patches(x, grid, tc.patch)  # (T, *patch, C)
 
         def forward(batch):
@@ -134,8 +152,10 @@ def make_frame_inferrer(
             )[:t]
 
         probs = tiling.stitch_patches(
-            probs_patches, grid, frame_spatial, tc.overlap, tc.window
+            probs_patches, grid, padded_spatial, tc.overlap, tc.window
         )
+        if any(edge_pad):
+            probs = probs[tuple(slice(0, s) for s in frame_spatial)]
         labels = jnp.argmax(probs, axis=-1).astype(jnp.dtype(tc.labels_dtype))
         return probs, labels
 

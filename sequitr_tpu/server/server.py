@@ -41,28 +41,44 @@ from sequitr_tpu.server.jobs import Job
 
 log = logging.getLogger("sequitr_tpu.server")
 
-__all__ = ["PipelineRegistry", "ImageServer", "REGISTRY", "register"]
+__all__ = ["PipelineRegistry", "ImageServer", "REGISTRY", "register", "JobTimeout"]
+
+
+class JobTimeout(RuntimeError):
+    """A job exceeded the server's per-job wall-clock budget."""
 
 
 class PipelineRegistry:
-    """Name -> pipeline callable(job, config) registry."""
+    """(module, func) -> pipeline callable(job, config) registry.
+
+    Jobs name a module plus an optional sub-operation ``func`` (SURVEY.md §1
+    L6 job schema: "module, function/pipeline"). Pipelines register under a
+    module name with ``func="run"`` by default; a module may register
+    several funcs (e.g. aliases for API compatibility). Unknown module or
+    func is a deterministic JobError listing what exists.
+    """
 
     def __init__(self):
-        self._pipelines: Dict[str, Callable] = {}
+        self._pipelines: Dict[str, Dict[str, Callable]] = {}
 
-    def register(self, name: str):
+    def register(self, name: str, func: str = "run"):
         def deco(fn):
-            self._pipelines[name] = fn
+            self._pipelines.setdefault(name, {})[func] = fn
             return fn
 
         return deco
 
-    def get(self, name: str) -> Callable:
+    def get(self, name: str, func: str = "run") -> Callable:
         if name not in self._pipelines:
             raise jobs_lib.JobError(
                 f"unknown pipeline {name!r}; available: {sorted(self._pipelines)}"
             )
-        return self._pipelines[name]
+        funcs = self._pipelines[name]
+        if func not in funcs:
+            raise jobs_lib.JobError(
+                f"pipeline {name!r} has no func {func!r}; available: {sorted(funcs)}"
+            )
+        return funcs[func]
 
     def names(self):
         return sorted(self._pipelines)
@@ -119,25 +135,69 @@ class ImageServer:
         while True:
             attempts += 1
             try:
-                pipeline = self.registry.get(job.module)
-                outputs = pipeline(job, self.config) or {}
+                pipeline = self.registry.get(job.module, job.func)
+                outputs = self._run_with_watchdog(pipeline, job) or {}
                 jobs_lib.write_status(job, "complete", started, outputs=outputs)
                 os.unlink(job.path)
                 log.info("job %s complete in %.2fs", job.id, time.time() - started)
                 return
-            except Exception:
+            except Exception as e:
                 err = traceback.format_exc()
-                if attempts > self.config.max_retries:
-                    jobs_lib.write_status(job, "failed", started, error=err)
-                    # keep the claimed file as an inspectable .failed marker
-                    # rather than leaving .running litter in the queue dir
-                    try:
-                        os.replace(job.path, job.path + ".failed")
-                    except OSError:
-                        pass
-                    log.error("job %s failed:\n%s", job.id, err)
+                # deterministic failures (bad module/func/params/inputs) and
+                # watchdog timeouts never retry: re-running cannot succeed
+                final = (
+                    attempts > self.config.max_retries
+                    or isinstance(e, (jobs_lib.JobError, JobTimeout))
+                )
+                if final:
+                    self._fail(job, started, err)
                     return
                 log.warning("job %s attempt %d failed, retrying", job.id, attempts)
+                time.sleep(self.config.retry_backoff * attempts)
+
+    def _fail(self, job: Job, started: float, err: str) -> None:
+        jobs_lib.write_status(job, "failed", started, error=err)
+        # keep the claimed file as an inspectable .failed marker rather
+        # than leaving .running litter in the queue dir
+        try:
+            os.replace(job.path, job.path + ".failed")
+        except OSError:
+            pass
+        log.error("job %s failed:\n%s", job.id, err)
+
+    def _run_with_watchdog(self, pipeline, job: Job):
+        """Run the pipeline, bounded by ``config.job_timeout`` wall seconds.
+
+        The pipeline runs on a daemon worker thread; on timeout the server
+        raises JobTimeout and moves on to the next job. The abandoned thread
+        cannot be force-killed in-process (a wedged jit compile keeps its
+        core), but the queue no longer blocks forever behind it — the
+        failure mode the reference's single-threaded loop had."""
+        timeout = self.config.job_timeout
+        if not timeout:
+            return pipeline(job, self.config)
+        import threading
+
+        result: list = []
+        error: list = []
+
+        def work():
+            try:
+                result.append(pipeline(job, self.config))
+            except BaseException as e:  # propagated below
+                error.append(e)
+
+        t = threading.Thread(target=work, daemon=True, name=f"job-{job.id}")
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            raise JobTimeout(
+                f"job {job.id} exceeded job_timeout={timeout}s; "
+                "abandoning worker thread and failing the job"
+            )
+        if error:
+            raise error[0]
+        return result[0]
 
 
 # ---------------------------------------------------------------------------

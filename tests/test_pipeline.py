@@ -50,6 +50,26 @@ class TestTiledInference:
             np.asarray(probs_tiled), np.asarray(probs_whole), atol=1e-5
         )
 
+    def test_sub_patch_frame_autopad(self):
+        """Frames smaller than the patch are mirror-padded and cropped back:
+        output keeps the frame shape and equals inference on an explicitly
+        symmetric-padded frame."""
+        cfg = small_cfg(norm="none")
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        frame = jax.random.normal(jax.random.PRNGKey(2), (20, 28))
+
+        tc = infer_lib.TileConfig(patch=(32, 32), overlap=(8, 8), normalize="none")
+        fn = infer_lib.make_frame_inferrer(cfg, tc, (20, 28))
+        probs, labels = fn(params, state, frame)
+        assert probs.shape == (20, 28, 3) and labels.shape == (20, 28)
+
+        padded = jnp.pad(frame, ((0, 12), (0, 4)), mode="symmetric")
+        ref_fn = infer_lib.make_frame_inferrer(cfg, tc, (32, 32))
+        ref_probs, _ = ref_fn(params, state, padded)
+        np.testing.assert_allclose(
+            np.asarray(probs), np.asarray(ref_probs[:20, :28]), atol=1e-5
+        )
+
     def test_patch_batching_equivalent(self):
         cfg = small_cfg(norm="none")
         params, state = unet.init(jax.random.PRNGKey(0), cfg)

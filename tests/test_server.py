@@ -6,6 +6,7 @@ and HDF5 objects appear with a complete status marker.
 
 import json
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -193,6 +194,137 @@ class TestSegmentationPipeline:
         labels = tiff.read_stack(status["outputs"]["labels"])
         assert labels.dtype == np.uint16
         np.testing.assert_array_equal(per_frame.argmax(axis=1), labels)
+
+
+    def test_frame_smaller_than_patch_autopads(self, server_env):
+        """A 20x28 FOV serves under a 32^2 patch (reflect-pad + crop)."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "seg_small", "unet", net_cfg, params, state)
+        stack = (np.random.default_rng(2).random((2, 20, 28)) * 800).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "small.tif")
+        tiff.write_stack(stack_path, stack)
+        out_dir = str(tmp / "outsmall")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": {"model": "seg_small", "patch": [32, 32],
+                           "overlap": [8, 8], "localize": False},
+                "input": [stack_path],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        labels = tiff.read_stack(status["outputs"]["labels"])
+        assert labels.shape == (2, 20, 28)
+
+
+class TestJobRobustness:
+    def test_watchdog_times_out_wedged_job(self, server_env):
+        """A wedged job fails after job_timeout with a .failed marker and
+        the queue keeps moving (VERDICT r1 weak #5)."""
+        import dataclasses as dc
+
+        from sequitr_tpu.server.server import PipelineRegistry
+
+        cfg_srv, tmp = server_env
+        cfg_srv = dc.replace(cfg_srv, job_timeout=0.5, max_retries=2)
+        reg = PipelineRegistry()
+
+        @reg.register("sleepy")
+        def sleepy(job, config):
+            import time as time_mod
+
+            time_mod.sleep(30)
+
+        @reg.register("quick")
+        def quick(job, config):
+            return {"ok": "1"}
+
+        srv = ImageServer(cfg_srv, registry=reg)
+        out1, out2 = str(tmp / "o1"), str(tmp / "o2")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "sleepy", "input": [], "output": out1},
+                   job_id="a")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "quick", "input": [], "output": out2},
+                   job_id="b")
+        t0 = time.time()
+        assert srv.poll_once()  # sleepy: times out, no retry
+        assert time.time() - t0 < 5  # not 30s, not retried 3x
+        st = json.load(open(os.path.join(out1, "status.json")))
+        assert st["state"] == "failed" and "job_timeout" in st["error"]
+        assert os.path.exists(
+            os.path.join(cfg_srv.jobs_dir, "job_a.running.failed")
+        )
+        # queue advances to the next job
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(out2, "status.json")))
+        assert st2["state"] == "complete"
+
+    def test_deterministic_joberror_does_not_retry(self, server_env):
+        """JobError (bad inputs) fails fast instead of burning retries."""
+        import dataclasses as dc
+
+        cfg_srv, tmp = server_env
+        cfg_srv = dc.replace(cfg_srv, max_retries=3, retry_backoff=5.0)
+        out = str(tmp / "o")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "segmentation_unet2d", "params": {"model": "x"},
+             "input": ["/nonexistent.tif"], "output": out},
+        )
+        t0 = time.time()
+        assert ImageServer(cfg_srv).poll_once()
+        # would be >= 3 * 5s of backoff if retried
+        assert time.time() - t0 < 4
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed" and "input not found" in st["error"]
+
+    def test_func_dispatch(self, server_env):
+        """func names a registered sub-operation; unknown funcs fail with a
+        deterministic error listing what exists (SURVEY.md job schema)."""
+        from sequitr_tpu.server.server import PipelineRegistry
+
+        cfg_srv, tmp = server_env
+        reg = PipelineRegistry()
+
+        @reg.register("mymod")
+        def run_fn(job, config):
+            return {"via": "run"}
+
+        @reg.register("mymod", func="stats")
+        def stats_fn(job, config):
+            return {"via": "stats"}
+
+        srv = ImageServer(cfg_srv, registry=reg)
+        outs = [str(tmp / f"f{i}") for i in range(3)]
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "mymod", "input": [], "output": outs[0]},
+                   job_id="r")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "mymod", "func": "stats", "input": [],
+                    "output": outs[1]}, job_id="s")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "mymod", "func": "nope", "input": [],
+                    "output": outs[2]}, job_id="n")
+        for _ in range(3):
+            assert srv.poll_once()
+        st0 = json.load(open(os.path.join(outs[0], "status.json")))
+        st1 = json.load(open(os.path.join(outs[1], "status.json")))
+        st2 = json.load(open(os.path.join(outs[2], "status.json")))
+        assert st0["outputs"]["via"] == "run"
+        assert st1["outputs"]["via"] == "stats"
+        assert st2["state"] == "failed" and "no func 'nope'" in st2["error"]
 
 
 class TestGANPipeline:
