@@ -184,12 +184,37 @@ def bench_gan(device_kind: str, iters: int):
             "unit": "frames/sec/chip"}
 
 
+def bench_fast(device_kind: str, iters: int):
+    """Fast-model family: the zoo's space-to-depth preset at 1024^2.
+
+    The architecture the distillation recipe trains (fit.Distill /
+    train_unet2d's distill_from): s2d=2 input rearrangement with doubled
+    base width — wider MXU-friendly channels at half resolution. Weights
+    here are random; throughput is weight-independent, and quality evidence
+    for TRAINED fast models is tests/test_fit.py::TestDistillFast (student
+    IoU >= teacher on the synthetic task).
+    """
+    import jax
+    from sequitr_tpu.models import unet
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg = _unet_cfg(device_kind, space_to_depth=2, base_features=64)
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
+    fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
+    frame = _frame()
+    fps = _rate(lambda: fn(params, state, frame), iters)
+    return {"metric": "unet2d_1024_fast_s2d2_inference", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
 CONFIGS = {
     "inference": bench_inference,
     "timelapse": bench_timelapse,
     "train": bench_train,
     "unet3d": bench_unet3d,
     "gan": bench_gan,
+    "fast": bench_fast,
 }
 
 

@@ -25,7 +25,7 @@ from sequitr_tpu.pipeline import train as train_lib
 
 log = logging.getLogger("sequitr_tpu.fit")
 
-__all__ = ["FitConfig", "fit_unet", "fit_gan", "latest_checkpoint"]
+__all__ = ["FitConfig", "Distill", "fit_unet", "fit_gan", "latest_checkpoint"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -174,6 +174,20 @@ def _run_loop(
     return state
 
 
+@dataclasses.dataclass
+class Distill:
+    """Teacher spec for knowledge-distillation training (fast presets).
+
+    ``alpha`` weights the hard-label CE term; ``1 - alpha`` the soft-target
+    KL at ``temperature`` (see ``train.make_unet_distill_step``)."""
+
+    teacher_cfg: unet.UNetConfig
+    teacher_params: object
+    teacher_state: object
+    alpha: float = 0.5
+    temperature: float = 2.0
+
+
 def _dump_dir(fc: FitConfig) -> Optional[str]:
     if fc.dump_eval_images and fc.metrics_path:
         return os.path.dirname(os.path.abspath(fc.metrics_path))
@@ -239,11 +253,25 @@ def fit_unet(
     ckpt_dir: Optional[str] = None,
     mesh=None,
     init_state: Optional[train_lib.TrainState] = None,
+    distill: Optional[Distill] = None,
 ) -> train_lib.TrainState:
-    """Train a U-Net from segmentation record shards; returns final state."""
+    """Train a U-Net from segmentation record shards; returns final state.
+
+    ``distill``: train against a teacher (CE + soft-target KL) — the recipe
+    for the space-to-depth fast presets."""
     key = jax.random.PRNGKey(fc.seed)
     state = init_state or train_lib.create_unet_state(key, cfg, tc)
-    step = train_lib.make_unet_train_step(cfg, tc, jit=mesh is None)
+    if distill is not None:
+        step = train_lib.make_unet_distill_step(
+            cfg, distill.teacher_cfg, tc,
+            distill.teacher_params, distill.teacher_state,
+            alpha=distill.alpha, temperature=distill.temperature,
+            jit=mesh is None,
+        )
+        metric_keys = ("loss", "ce", "kd", "accuracy", "grad_norm")
+    else:
+        step = train_lib.make_unet_train_step(cfg, tc, jit=mesh is None)
+        metric_keys = ("loss", "accuracy", "grad_norm")
     sharding = None
     if mesh is not None:
         from sequitr_tpu import parallel
@@ -257,8 +285,7 @@ def fit_unet(
     eval_fn = _make_unet_evaluator(cfg, fc, shard_paths) if fc.holdout_every else None
     batches = prefetch_to_device(iter(it), depth=fc.prefetch_depth, sharding=sharding)
     return _run_loop(
-        state, step, batches, fc, ckpt_dir, key,
-        ("loss", "accuracy", "grad_norm"), eval_fn=eval_fn,
+        state, step, batches, fc, ckpt_dir, key, metric_keys, eval_fn=eval_fn,
     )
 
 

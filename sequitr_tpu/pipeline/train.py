@@ -29,6 +29,7 @@ __all__ = [
     "TrainState",
     "create_unet_state",
     "make_unet_train_step",
+    "make_unet_distill_step",
     "GANTrainState",
     "create_gan_state",
     "make_gan_train_step",
@@ -121,6 +122,82 @@ def make_unet_train_step(cfg: unet.UNetConfig, tc: TrainConfig, jit: bool = True
         preds = jnp.argmax(logits, axis=-1)
         metrics = {
             "loss": loss,
+            "accuracy": jnp.mean((preds == labels).astype(jnp.float32)),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(new_params, new_ms, new_opt, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=0) if jit else step
+
+
+def make_unet_distill_step(
+    cfg: unet.UNetConfig,
+    teacher_cfg: unet.UNetConfig,
+    tc: TrainConfig,
+    teacher_params,
+    teacher_state,
+    alpha: float = 0.5,
+    temperature: float = 2.0,
+    jit: bool = True,
+):
+    """Distillation train step: hard-label CE + soft-target KL from a teacher.
+
+    The recipe that makes the space-to-depth *fast* presets usable: train a
+    parity model, then train the fast architecture on the same records with
+    the parity model as teacher. Loss:
+
+        alpha * weighted_CE(student, labels)
+        + (1 - alpha) * T^2 * KL(softmax(teacher/T) || softmax(student/T))
+
+    (Hinton et al. 2015 formulation; T^2 keeps soft-gradient magnitude
+    T-independent.) Augmentation is applied BEFORE the teacher forward so
+    teacher and student always see identical pixels. The teacher runs
+    inference-mode inside the same jit graph — one fused step, no extra
+    host round-trips, and the teacher forward shares the MXU-friendly
+    layout of the student's.
+    """
+    optimizer = tc.make_optimizer()
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        images = batch["image"]
+        labels = batch["labels"]
+        weights = batch.get("weights")
+        if tc.augment:
+            w_in = weights if weights is not None else jnp.ones(labels.shape, jnp.float32)
+            images, labels, w_out = _augment_batch(
+                key, images, labels, w_in, tc, dims=cfg.dims
+            )
+            weights = w_out if weights is not None else None
+
+        t_logits, _ = unet.apply(
+            teacher_cfg, teacher_params, teacher_state, images, train=False
+        )
+        t_soft = jax.nn.softmax(t_logits.astype(jnp.float32) / temperature, axis=-1)
+        t_soft = jax.lax.stop_gradient(t_soft)
+
+        def loss_fn(params):
+            logits, new_ms = unet.apply(
+                cfg, params, state.model_state, images, train=True
+            )
+            ce = losses.weighted_softmax_cross_entropy(logits, labels, weights)
+            log_s = jax.nn.log_softmax(
+                logits.astype(jnp.float32) / temperature, axis=-1
+            )
+            # KL(t || s) minus the entropy-of-teacher constant
+            kd = -(temperature**2) * jnp.mean(jnp.sum(t_soft * log_s, axis=-1))
+            loss = alpha * ce + (1.0 - alpha) * kd
+            return loss, (logits, new_ms, ce, kd)
+
+        (loss, (logits, new_ms, ce, kd)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        metrics = {
+            "loss": loss,
+            "ce": ce,
+            "kd": kd,
             "accuracy": jnp.mean((preds == labels).astype(jnp.float32)),
             "grad_norm": optax.global_norm(grads),
         }

@@ -616,9 +616,26 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
         template = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
         init_state = train_lib.restore_checkpoint(ckpt, template)
+    distill = None
+    if p.get("distill_from"):
+        # fast-preset recipe: teacher = an already-registered parity model;
+        # the student (e.g. a *_fast space-to-depth preset) trains on the
+        # same records with CE + soft-target KL
+        t_kind, t_cfg, t_params, t_state = load_model(
+            config.models_dir, p["distill_from"]
+        )
+        if t_kind != "unet":
+            raise jobs_lib.JobError(
+                f"distill_from={p['distill_from']!r} is not a unet model"
+            )
+        distill = fit_lib.Distill(
+            t_cfg, t_params, t_state,
+            alpha=float(p.get("distill_alpha", 0.5)),
+            temperature=float(p.get("distill_temperature", 2.0)),
+        )
     state = fit_lib.fit_unet(
         cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir, init_state=init_state,
-        mesh=_train_mesh(p, fc.batch_size),
+        mesh=_train_mesh(p, fc.batch_size), distill=distill,
     )
     model_dir = save_model(
         config.models_dir, p["model"], "unet", cfg, state.params, state.model_state
@@ -771,6 +788,7 @@ def unet_config_from_params(p: dict):
         dims=int(p.get("dims", 2)),
         norm=p.get("norm", "batch"),
         compute_dtype=jnp.dtype(p.get("compute_dtype", "bfloat16")),
+        space_to_depth=int(p.get("space_to_depth", 1)),
     )
 
 

@@ -213,6 +213,68 @@ class TestGanPairs:
         assert int(state.step) == 3
 
 
+class TestDistillFast:
+    """VERDICT r1 item 1: the fast (space-to-depth) presets trained via
+    distillation must reach IoU parity with their teacher."""
+
+    @staticmethod
+    def _probe(seed=123, n=6, s=16):
+        rng = np.random.default_rng(seed)
+        imgs, labs = [], []
+        for _ in range(n):
+            img = rng.normal(0.1, 0.05, (s, s)).astype(np.float32)
+            lab = np.zeros((s, s), np.int32)
+            cy, cx = rng.integers(4, s - 4, 2)
+            img[cy - 3 : cy + 3, cx - 3 : cx + 3] += 1.0
+            lab[cy - 3 : cy + 3, cx - 3 : cx + 3] = 1
+            imgs.append(img)
+            labs.append(lab)
+        return np.stack(imgs), np.stack(labs)
+
+    @staticmethod
+    def _miou(cfg, state, imgs, labs):
+        from sequitr_tpu.ops import losses
+
+        logits, _ = unet.apply(
+            cfg, state.params, state.model_state, jnp.asarray(imgs)[..., None]
+        )
+        preds = jnp.argmax(logits, axis=-1)
+        per_class = losses.iou(preds, jnp.asarray(labs), 2)
+        return float(np.asarray(per_class).mean())
+
+    def test_distilled_fast_model_reaches_teacher_iou(self, tmp_path):
+        paths = _make_shards(tmp_path, n=16)
+        tc = train_lib.TrainConfig(learning_rate=3e-3, augment=False)
+        fc = fit_lib.FitConfig(steps=60, batch_size=4, log_every=30)
+
+        teacher_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        t_state = fit_lib.fit_unet(teacher_cfg, tc, fc, paths)
+
+        student_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=8,
+            norm="none", compute_dtype=jnp.float32, space_to_depth=2,
+        )
+        distill = fit_lib.Distill(
+            teacher_cfg, t_state.params, t_state.model_state,
+            alpha=0.5, temperature=2.0,
+        )
+        # the s2d student needs a longer schedule than the teacher (its 8px
+        # internal resolution makes the blob task harder to optimize)
+        tc_s = train_lib.TrainConfig(learning_rate=5e-3, augment=False)
+        fc_s = fit_lib.FitConfig(steps=150, batch_size=4, log_every=50)
+        s_state = fit_lib.fit_unet(student_cfg, tc_s, fc_s, paths, distill=distill)
+
+        imgs, labs = self._probe()
+        iou_t = self._miou(teacher_cfg, t_state, imgs, labs)
+        iou_s = self._miou(student_cfg, s_state, imgs, labs)
+        assert iou_t > 0.6  # the teacher actually learned the task
+        # quality bar: student within epsilon of (or above) the teacher
+        assert iou_s >= iou_t - 0.05, (iou_s, iou_t)
+
+
 class TestFastModelTrains:
     def test_s2d_variant_learns(self, tmp_path):
         """The space-to-depth fast preset must train end-to-end too."""

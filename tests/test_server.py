@@ -632,6 +632,57 @@ class TestGanTrainPipelines:
         kind, _, _, _ = load_model(cfg_srv.models_dir, "gan_demo")
         assert kind == "gan"
 
+    def test_distill_fast_preset_job(self, server_env):
+        """train_unet2d with distill_from: teacher-guided fast-preset
+        training through the job API (metrics carry ce/kd terms)."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(4)
+        images = rng.normal(0.1, 0.05, (6, 16, 16)).astype(np.float32)
+        labels = (images > 0.4).astype(np.int32)
+        img_p, lab_p = str(tmp / "di.tif"), str(tmp / "dl.tif")
+        tiff.write_stack(img_p, images)
+        tiff.write_stack(lab_p, labels.astype(np.uint16))
+        srv = ImageServer(cfg_srv)
+
+        # register a (tiny, untrained-is-fine) teacher
+        t_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        t_params, t_state = unet.init(jax.random.PRNGKey(0), t_cfg)
+        save_model(cfg_srv.models_dir, "teacher", "unet", t_cfg, t_params, t_state)
+
+        rec_out = str(tmp / "drecs")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "build_records",
+             "params": {"num_classes": 2, "weight_maps": False},
+             "input": [img_p, lab_p], "output": rec_out},
+        )
+        assert srv.poll_once()
+        shards = json.load(open(os.path.join(rec_out, "status.json")))["outputs"]["shards"]
+        out = str(tmp / "dtrain")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_unet2d",
+             "params": {"model": "fast_student", "num_classes": 2, "depth": 2,
+                        "base_features": 8, "space_to_depth": 2,
+                        "norm": "none", "compute_dtype": "float32",
+                        "steps": 3, "batch_size": 2, "augment": False,
+                        "distill_from": "teacher"},
+             "input": [shards], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        rows = [json.loads(l) for l in open(st["outputs"]["metrics_file"])]
+        train_rows = [r for r in rows if r["kind"] == "train"]
+        assert {"ce", "kd"} <= set(train_rows[-1])
+        from sequitr_tpu.server import load_model
+
+        kind, s_cfg, _, _ = load_model(cfg_srv.models_dir, "fast_student")
+        assert kind == "unet" and s_cfg.space_to_depth == 2
+
     def test_train_data_parallel_job(self, server_env):
         """train_unet2d with data_parallel: true shards the batch over the
         8-device virtual mesh and completes (SURVEY.md:151-152)."""
