@@ -14,6 +14,59 @@ import logging
 import sys
 
 
+def _serve_workers(args) -> int:
+    """Supervise N single-claimer worker processes over one jobs dir.
+
+    The queue's atomic rename-claims make concurrent claimers safe, so
+    scaling serving across accelerators is one process per chip sharing the
+    watched directory (the reference was single-process/single-GPU). Each
+    worker gets SEQUITR_WORKER_ID=<i> and, with --pin-env VAR, VAR=<i>
+    (e.g. TPU_VISIBLE_DEVICES) so each binds one chip. Crashed workers are
+    restarted with a capped budget; SIGINT tears everyone down.
+    """
+    import os
+    import subprocess
+    import time
+
+    base = [
+        sys.executable, "-m", "sequitr_tpu", "serve",
+        "--jobs-dir", args.jobs_dir, "--models-dir", args.models_dir,
+        "--poll-interval", str(args.poll_interval), "--workers", "1",
+    ]
+    if args.config:
+        base += ["--config", args.config]
+    log = logging.getLogger("sequitr_tpu.supervisor")
+
+    def spawn(i):
+        env = dict(os.environ, SEQUITR_WORKER_ID=str(i))
+        if args.pin_env:
+            env[args.pin_env] = str(i)
+        return subprocess.Popen(base, env=env)
+
+    procs = {i: spawn(i) for i in range(args.workers)}
+    restarts = {i: 0 for i in procs}
+    log.info("supervising %d workers on %s", args.workers, args.jobs_dir)
+    try:
+        while True:
+            for i, p in list(procs.items()):
+                code = p.poll()
+                if code is None:
+                    continue
+                if restarts[i] >= 3:
+                    log.error("worker %d exited (%s); restart budget spent", i, code)
+                    continue
+                restarts[i] += 1
+                log.warning("worker %d exited (%s); restarting", i, code)
+                procs[i] = spawn(i)
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        for p in procs.values():
+            p.terminate()
+        for p in procs.values():
+            p.wait()
+        return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sequitr_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -23,6 +76,16 @@ def main(argv=None) -> int:
     ap_serve.add_argument("--jobs-dir", default="./jobs")
     ap_serve.add_argument("--models-dir", default="./models")
     ap_serve.add_argument("--poll-interval", type=float, default=1.0)
+    ap_serve.add_argument(
+        "--workers", type=int, default=1,
+        help="worker processes sharing the queue (claims are atomic, so one"
+             " claimer per accelerator scales serving across chips)",
+    )
+    ap_serve.add_argument(
+        "--pin-env", default=None, metavar="VAR",
+        help="env var set to the worker index in each worker, e.g."
+             " TPU_VISIBLE_DEVICES to pin one chip per worker",
+    )
 
     ap_submit = sub.add_parser("submit", help="submit a job JSON")
     ap_submit.add_argument("--jobs-dir", default="./jobs")
@@ -46,6 +109,8 @@ def main(argv=None) -> int:
                 models_dir=args.models_dir,
                 poll_interval=args.poll_interval,
             )
+        if args.workers > 1:
+            return _serve_workers(args)
         ImageServer(cfg).run_forever()
         return 0
 

@@ -11,7 +11,11 @@ mount empty; built here as a compact capability-parity module). Provides:
   (jit-safe, runs on TPU via XLA's FFT);
 * ``richardson_lucy`` — iterative deconvolution with a fixed iteration
   count (``lax.fori_loop`` — compiler-friendly, no data-dependent Python
-  control flow).
+  control flow);
+* ``detect_peaks`` / ``fit_peaks_gaussian`` / ``localize_emitters`` —
+  single-molecule sub-pixel localization: max-pool NMS + top_k candidate
+  selection (static shapes) and vmapped Gaussian-mask centroid refinement
+  (Thompson et al. 2002), the whole chain one jit graph.
 """
 
 from __future__ import annotations
@@ -25,6 +29,9 @@ __all__ = [
     "gaussian_psf_3d",
     "psf_convolve",
     "richardson_lucy",
+    "detect_peaks",
+    "fit_peaks_gaussian",
+    "localize_emitters",
 ]
 
 
@@ -92,3 +99,118 @@ def richardson_lucy(
 
     est0 = jnp.full_like(image, jnp.mean(image) + eps)
     return jax.lax.fori_loop(0, iterations, body, est0)
+
+
+# ---------------------------------------------------------------------------
+# single-molecule sub-pixel localization
+# ---------------------------------------------------------------------------
+
+
+def detect_peaks(
+    image: jnp.ndarray,
+    threshold: float,
+    max_peaks: int = 256,
+    min_distance: int = 2,
+):
+    """Candidate emitter pixels: local maxima above ``threshold``.
+
+    TPU-first formulation: non-maximum suppression is a max-pool compare
+    (reduce_window) and candidate selection is one ``top_k`` — fixed output
+    shape (``max_peaks``), no data-dependent shapes, fully jit-safe.
+
+    Returns ``(yx, valid)``: (max_peaks, 2) int32 pixel coordinates and a
+    boolean mask (False rows are padding below threshold).
+    """
+    img = image.astype(jnp.float32)
+    k = 2 * min_distance + 1
+    pooled = jax.lax.reduce_window(
+        img, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME"
+    )
+    is_peak = (img == pooled) & (img > threshold)
+    score = jnp.where(is_peak, img, -jnp.inf).reshape(-1)
+    vals, idx = jax.lax.top_k(score, max_peaks)
+    yx = jnp.stack([idx // img.shape[1], idx % img.shape[1]], axis=-1)
+    return yx.astype(jnp.int32), jnp.isfinite(vals)
+
+
+def fit_peaks_gaussian(
+    image: jnp.ndarray,
+    yx: jnp.ndarray,
+    window: int = 7,
+    sigma: float = 1.5,
+    iterations: int = 8,
+):
+    """Sub-pixel emitter positions via iterative Gaussian-mask centroids.
+
+    Thompson, Larson & Webb (Biophys J 2002): iterate a Gaussian-weighted,
+    background-subtracted centroid inside a ``window``x``window`` crop —
+    converges to well under 0.1 px on Gaussian spots and needs no
+    matrix solves, so it vmaps over all candidates as one fused graph on
+    the VPU. Background = mean of the crop border.
+
+    Returns dict with ``y``/``x`` (float sub-pixel, image coordinates),
+    ``amplitude`` (background-subtracted peak mass under the mask) and
+    ``background``.
+    """
+    img = image.astype(jnp.float32)
+    h, w = img.shape
+    half = window // 2
+    rel = jnp.arange(window, dtype=jnp.float32)
+
+    def fit_one(p):
+        # clamp so the crop stays in bounds (static shape)
+        y0 = jnp.clip(p[0] - half, 0, h - window)
+        x0 = jnp.clip(p[1] - half, 0, w - window)
+        crop = jax.lax.dynamic_slice(img, (y0, x0), (window, window))
+        border = jnp.concatenate(
+            [crop[0], crop[-1], crop[1:-1, 0], crop[1:-1, -1]]
+        )
+        bg = jnp.mean(border)
+        signal = jnp.maximum(crop - bg, 0.0)
+        yy = rel[:, None] + jnp.zeros_like(crop)
+        xx = rel[None, :] + jnp.zeros_like(crop)
+
+        def body(_, c):
+            cy, cx = c
+            wgt = jnp.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2.0 * sigma**2)
+            )
+            m = wgt * signal
+            tot = jnp.maximum(jnp.sum(m), 1e-12)
+            return jnp.sum(m * yy) / tot, jnp.sum(m * xx) / tot
+
+        cy, cx = jax.lax.fori_loop(
+            0, iterations, body, (jnp.float32(half), jnp.float32(half))
+        )
+        wgt = jnp.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2.0 * sigma**2))
+        amp = jnp.sum(wgt * signal) / jnp.maximum(jnp.sum(wgt**2), 1e-12)
+        return cy + y0, cx + x0, amp, bg
+
+    ys, xs, amps, bgs = jax.vmap(fit_one)(yx)
+    return {"y": ys, "x": xs, "amplitude": amps, "background": bgs}
+
+
+def localize_emitters(
+    image,
+    threshold: float,
+    max_peaks: int = 256,
+    min_distance: int = 2,
+    window: int = 7,
+    sigma: float = 1.5,
+):
+    """Detect + sub-pixel-fit emitters in one jit graph; host-facing.
+
+    Returns a dict of numpy arrays (y, x, amplitude, background) holding
+    only the valid detections, sorted brightest-first (top_k order).
+    """
+    import numpy as np
+
+    @jax.jit
+    def run(img):
+        yx, valid = detect_peaks(img, threshold, max_peaks, min_distance)
+        fits = fit_peaks_gaussian(img, yx, window=window, sigma=sigma)
+        return yx, valid, fits
+
+    _, valid, fits = run(jnp.asarray(image))
+    valid = np.asarray(valid)
+    return {k: np.asarray(v)[valid] for k, v in fits.items()}

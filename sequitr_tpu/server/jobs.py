@@ -52,6 +52,7 @@ class Job:
     params: Dict[str, Any]
     input: List[str]
     output: str
+    priority: int = 0  # higher runs first; ties oldest-first
     path: str = ""  # queue file path once claimed
 
     @classmethod
@@ -73,6 +74,7 @@ class Job:
             params=data.get("params", {}),
             input=list(data.get("input", [])),
             output=data.get("output", ""),
+            priority=int(data.get("priority", 0)),
             path=path,
         )
 
@@ -124,7 +126,10 @@ def submit_job(jobs_dir: str, spec: Dict[str, Any], job_id: Optional[str] = None
 
 
 def scan_jobs(jobs_dir: str) -> List[str]:
-    """Unclaimed job files, oldest first.
+    """Unclaimed job files: highest priority first, oldest first within a
+    priority level (priority is the job JSON's optional ``priority`` int,
+    default 0 — an unparseable file sorts as 0 and is quarantined at claim
+    time).
 
     A concurrent claimer (or a client withdrawing a job) may rename/delete a
     file between the directory scan and the stat — such entries are skipped
@@ -137,12 +142,19 @@ def scan_jobs(jobs_dir: str) -> List[str]:
                 if not (e.name.startswith(JOB_PREFIX) and e.name.endswith(JOB_SUFFIX)):
                     continue
                 try:
-                    entries.append((e.stat().st_mtime, e.path))
+                    mtime = e.stat().st_mtime
                 except FileNotFoundError:
                     continue  # vanished mid-scan: someone else claimed it
+                prio = 0
+                try:
+                    with open(e.path) as f:
+                        prio = int(json.load(f).get("priority", 0))
+                except (OSError, ValueError, TypeError, AttributeError):
+                    pass  # malformed: claim-time quarantine handles it
+                entries.append((-prio, mtime, e.path))
     except FileNotFoundError:
         return []
-    return [p for _, p in sorted(entries)]
+    return [p for _, _, p in sorted(entries)]
 
 
 def claim_job(path: str) -> Optional[Job]:

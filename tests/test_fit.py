@@ -274,6 +274,16 @@ class TestDistillFast:
         # quality bar: student within epsilon of (or above) the teacher
         assert iou_s >= iou_t - 0.05, (iou_s, iou_t)
 
+        # the s2d=4 preset family (4x4 rearrangement, 16x width) distills
+        # to the same bar
+        s4_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=16,
+            norm="none", compute_dtype=jnp.float32, space_to_depth=4,
+        )
+        s4_state = fit_lib.fit_unet(s4_cfg, tc_s, fc_s, paths, distill=distill)
+        iou_s4 = self._miou(s4_cfg, s4_state, imgs, labs)
+        assert iou_s4 >= iou_t - 0.05, (iou_s4, iou_t)
+
 
 class TestFastModelTrains:
     def test_s2d_variant_learns(self, tmp_path):

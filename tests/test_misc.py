@@ -11,6 +11,47 @@ from sequitr_tpu.config import ServerConfiguration
 from sequitr_tpu.models import convert, unet
 
 
+class TestEmitterLocalization:
+    """Single-molecule sub-pixel localization (SURVEY.md §2 'PSF modelling';
+    VERDICT r1 missing #6)."""
+
+    def test_subpixel_accuracy(self):
+        rng = np.random.default_rng(0)
+        H = W = 64
+        truth = np.array([[12.3, 20.7], [40.25, 10.5], [50.8, 50.1], [25.0, 45.6]])
+        sigma = 1.5
+        yy, xx = np.mgrid[0:H, 0:W]
+        img = np.zeros((H, W), np.float32)
+        for cy, cx in truth:
+            img += 100.0 * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2)
+            )
+        img += 10.0 + rng.normal(0, 0.5, (H, W)).astype(np.float32)
+        out = psf.localize_emitters(img, threshold=30.0, sigma=sigma)
+        pts = np.stack([out["y"], out["x"]], -1)
+        assert len(pts) == 4
+        for t in truth:
+            err = float(np.min(np.linalg.norm(pts - t, axis=1)))
+            assert err < 0.05, (t, err)
+        assert (out["amplitude"] > 0).all()
+
+    def test_detect_peaks_static_shapes_and_mask(self):
+        import jax
+
+        img = jnp.zeros((32, 32)).at[8, 8].set(5.0).at[20, 24].set(3.0)
+        yx, valid = jax.jit(
+            lambda im: psf.detect_peaks(im, threshold=1.0, max_peaks=16)
+        )(img)
+        assert yx.shape == (16, 2) and valid.shape == (16,)
+        assert int(valid.sum()) == 2
+        found = {tuple(map(int, p)) for p in np.asarray(yx)[np.asarray(valid)]}
+        assert found == {(8, 8), (20, 24)}
+
+    def test_no_peaks_below_threshold(self):
+        out = psf.localize_emitters(np.ones((16, 16), np.float32), threshold=5.0)
+        assert len(out["y"]) == 0
+
+
 class TestPSF:
     def test_gaussian_psf_normalized(self):
         k = psf.gaussian_psf_2d(15, 2.0)

@@ -290,6 +290,19 @@ class TestJobRobustness:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed" and "input not found" in st["error"]
 
+    def test_priority_ordering(self, server_env):
+        """Higher-priority jobs claim first; ties run oldest-first."""
+        cfg, tmp = server_env
+        submit_job(cfg.jobs_dir, {"module": "m", "input": [], "output": ""},
+                   job_id="old_low")
+        submit_job(cfg.jobs_dir,
+                   {"module": "m", "priority": 5, "input": [], "output": ""},
+                   job_id="urgent")
+        submit_job(cfg.jobs_dir, {"module": "m", "input": [], "output": ""},
+                   job_id="new_low")
+        order = [claim_job(p).id for p in scan_jobs(cfg.jobs_dir)]
+        assert order == ["urgent", "old_low", "new_low"]
+
     def test_func_dispatch(self, server_env):
         """func names a registered sub-operation; unknown funcs fail with a
         deterministic error listing what exists (SURVEY.md job schema)."""
