@@ -17,6 +17,7 @@ module is the single-chip building block it shards.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Iterable, Iterator, Optional, Tuple
 
 import jax
@@ -30,6 +31,7 @@ from sequitr_tpu.ops import tiling
 __all__ = [
     "TileConfig",
     "make_frame_inferrer",
+    "cached_frame_inferrer",
     "infer_stack",
     "stream_frames",
     "InferenceResult",
@@ -160,6 +162,24 @@ def make_frame_inferrer(
         return probs, labels
 
     return jax.jit(infer) if jit else infer
+
+
+@functools.lru_cache(maxsize=32)
+def cached_frame_inferrer(
+    cfg: unet.UNetConfig,
+    tc: TileConfig,
+    frame_spatial: Tuple[int, ...],
+) -> Callable:
+    """Process-wide cache of jitted frame inferrers.
+
+    The server builds an inferrer per job; without this, every job for the
+    same (architecture, tiling, frame shape) re-traces and re-jits the full
+    fused graph (seconds of host work even with XLA's on-disk compilation
+    cache, since tracing happens before the cache is consulted). Keyed on
+    the frozen configs + shape — weights are per-call arguments, so one
+    cached graph serves every registered model of the same architecture.
+    """
+    return make_frame_inferrer(cfg, tc, frame_spatial)
 
 
 def stream_frames(

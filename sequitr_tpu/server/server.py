@@ -263,11 +263,46 @@ def _resolve_inputs(job: Job):
     return job.input
 
 
-def _tile_config(params: dict, dims: int = 2):
+# frames up to this many pixels/voxels run whole-frame when the client did
+# not request a tiling: ~2048^2 activations fit a v5e chip's HBM comfortably
+# and the untiled graph is ~2.1x faster than 384/64 tiling at 1024^2
+# (BASELINE.md round-2 sweep: 60.3 vs 28.8 fps)
+_WHOLE_FRAME_BUDGET = 4_400_000
+
+
+def _tile_config(
+    params: dict,
+    dims: int = 2,
+    frame_spatial=None,
+    min_multiple: int = 1,
+    exact_only: bool = False,
+):
+    """Tiling policy for a job.
+
+    Explicit ``patch``/``overlap`` params always win. Otherwise, frames
+    within the HBM budget run as ONE whole-frame patch (rounded up to the
+    model's pooling multiple — the inferrer mirror-pads and crops), which
+    is both faster and exact (no overlap-blend seams); larger frames fall
+    back to the default sliding-window grid. ``exact_only``: only take the
+    whole-frame path when no rounding is needed (the GAN pass has no
+    auto-pad stage).
+    """
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    patch = tuple(params.get("patch", (256, 256) if dims == 2 else (16, 128, 128)))
-    overlap = tuple(params.get("overlap", (64, 64) if dims == 2 else (4, 32, 32)))
+    default_patch = (256, 256) if dims == 2 else (16, 128, 128)
+    default_overlap = (64, 64) if dims == 2 else (4, 32, 32)
+    patch = params.get("patch")
+    overlap = params.get("overlap")
+    if patch is None and frame_spatial is not None:
+        rounded = tuple(
+            -(-s // min_multiple) * min_multiple for s in frame_spatial
+        )
+        fits = np.prod(rounded) <= _WHOLE_FRAME_BUDGET
+        if fits and (not exact_only or rounded == tuple(frame_spatial)):
+            patch = rounded
+            overlap = overlap or (0,) * dims
+    patch = tuple(patch) if patch is not None else default_patch
+    overlap = tuple(overlap) if overlap is not None else default_overlap
     pb = params.get("patch_batch")
     return infer_lib.TileConfig(
         patch=patch,
@@ -303,7 +338,10 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
 
     kind, cfg, params, state = load_model(config.models_dir, job.params["model"])
     assert kind == "unet", f"model {job.params['model']} is not a unet"
-    tc = _tile_config(job.params, dims=2)
+    tc = _tile_config(
+        job.params, dims=2,
+        frame_spatial=stack.shape[1:], min_multiple=cfg.min_input_multiple,
+    )
 
     from sequitr_tpu.utils import PhaseTimer
 
@@ -379,7 +417,11 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     kind, cfg, params, state = load_model(config.models_dir, job.params["model"])
     assert kind == "gan", f"model {job.params['model']} is not a gan"
-    tc = _tile_config(job.params, dims=2)
+    tc = _tile_config(
+        job.params, dims=2,
+        frame_spatial=stack.shape[1:], min_multiple=cfg.min_input_multiple,
+        exact_only=True,
+    )
     spatial = stack.shape[1:]
     grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
 
@@ -462,7 +504,7 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
                     infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
                 )
         return results
-    fn = infer_lib.make_frame_inferrer(cfg, tc, spatial)
+    fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(spatial))
     return list(infer_lib.infer_stack(fn, params, state, stack))
 
 
@@ -811,8 +853,11 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
 
     kind, cfg, params, state = load_model(config.models_dir, job.params["model"])
     assert kind == "unet" and cfg.dims == 3
-    tc = _tile_config(job.params, dims=3)
-    fn = infer_lib.make_frame_inferrer(cfg, tc, vol.shape)
+    tc = _tile_config(
+        job.params, dims=3,
+        frame_spatial=vol.shape, min_multiple=cfg.min_input_multiple,
+    )
+    fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(vol.shape))
     probs, labels = fn(params, state, vol)
 
     labels_path = os.path.join(job.output, "labels.tif")

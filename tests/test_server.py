@@ -196,6 +196,63 @@ class TestSegmentationPipeline:
         np.testing.assert_array_equal(per_frame.argmax(axis=1), labels)
 
 
+    def test_auto_whole_frame_policy(self):
+        """No explicit patch: small frames run whole-frame (rounded to the
+        pool multiple, overlap 0); big frames fall back to the grid."""
+        from sequitr_tpu.server.server import _WHOLE_FRAME_BUDGET, _tile_config
+
+        tc = _tile_config({}, dims=2, frame_spatial=(1000, 1000), min_multiple=8)
+        assert tc.patch == (1000, 1000) and tc.overlap == (0, 0)
+        tc = _tile_config({}, dims=2, frame_spatial=(1001, 1000), min_multiple=8)
+        assert tc.patch == (1008, 1000)  # inferrer mirror-pads + crops
+        # exact_only (GAN path, no auto-pad): rounding needed -> default grid
+        tc = _tile_config(
+            {}, dims=2, frame_spatial=(1001, 1000), min_multiple=8,
+            exact_only=True,
+        )
+        assert tc.patch == (256, 256)
+        # over budget -> default grid
+        big = int(np.sqrt(_WHOLE_FRAME_BUDGET)) + 64
+        tc = _tile_config({}, dims=2, frame_spatial=(big, big), min_multiple=8)
+        assert tc.patch == (256, 256) and tc.overlap == (64, 64)
+        # explicit patch always wins
+        tc = _tile_config(
+            {"patch": [128, 128]}, dims=2, frame_spatial=(512, 512),
+            min_multiple=8,
+        )
+        assert tc.patch == (128, 128)
+
+    def test_inferrer_cache_reused_across_jobs(self, server_env):
+        """Two jobs with the same architecture/shape reuse one jitted graph."""
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "segc", "unet", net_cfg, params, state)
+        stack = np.random.default_rng(0).random((1, 16, 16)).astype(np.float32)
+        stack_path = str(tmp / "c.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+        infer_lib.cached_frame_inferrer.cache_clear()
+        for i in range(2):
+            out = str(tmp / f"c{i}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "segmentation_unet2d",
+                 "params": {"model": "segc", "localize": False},
+                 "input": [stack_path], "output": out},
+                job_id=f"c{i}",
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+        info = infer_lib.cached_frame_inferrer.cache_info()
+        assert info.hits >= 1 and info.misses == 1
+
     def test_frame_smaller_than_patch_autopads(self, server_env):
         """A 20x28 FOV serves under a 32^2 patch (reflect-pad + crop)."""
         cfg_srv, tmp = server_env
