@@ -136,6 +136,8 @@ class ImageServer:
             attempts += 1
             try:
                 pipeline = self.registry.get(job.module, job.func)
+                if job.params.get("profile"):
+                    pipeline = _profiled(pipeline)
                 outputs = self._run_with_watchdog(pipeline, job) or {}
                 jobs_lib.write_status(job, "complete", started, outputs=outputs)
                 os.unlink(job.path)
@@ -198,6 +200,26 @@ class ImageServer:
         if error:
             raise error[0]
         return result[0]
+
+
+def _profiled(pipeline):
+    """Wrap a pipeline in a jax profiler trace (job param ``profile: true``).
+
+    The XProf/Perfetto trace lands in ``<job output>/profile`` and the path
+    is added to the job outputs — the rebuild's answer to the reference's
+    TensorBoard profiling, but per job and on demand (SURVEY.md §5
+    'Tracing/profiling')."""
+
+    def run(job, config):
+        from sequitr_tpu import utils
+
+        pdir = os.path.join(job.output or ".", "profile")
+        with utils.trace(pdir):
+            outputs = pipeline(job, config) or {}
+        outputs.setdefault("profile", pdir)
+        return outputs
+
+    return run
 
 
 # ---------------------------------------------------------------------------

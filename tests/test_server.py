@@ -347,6 +347,32 @@ class TestJobRobustness:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed" and "input not found" in st["error"]
 
+    def test_profile_option_writes_trace(self, server_env):
+        """params.profile: true captures a jax profiler trace per job."""
+        from sequitr_tpu.server.server import PipelineRegistry
+
+        cfg_srv, tmp = server_env
+        reg = PipelineRegistry()
+
+        @reg.register("tiny")
+        def tiny(job, config):
+            import jax.numpy as jnp
+
+            return {"sum": str(float(jnp.arange(8.0).sum()))}
+
+        out = str(tmp / "prof")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "tiny", "params": {"profile": True},
+                    "input": [], "output": out}, job_id="p")
+        assert ImageServer(cfg_srv, registry=reg).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        pdir = st["outputs"]["profile"]
+        assert os.path.isdir(pdir)
+        # a trace actually landed (plugins/profile/... files)
+        found = [f for _, _, fs in os.walk(pdir) for f in fs]
+        assert found, "profiler trace directory is empty"
+
     def test_priority_ordering(self, server_env):
         """Higher-priority jobs claim first; ties run oldest-first."""
         cfg, tmp = server_env
