@@ -864,7 +864,13 @@ def _resolve_globs(job: Job):
 
 @register("segmentation_unet3d")
 def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
-    """Tiled UNet3D segmentation of a (Z, H, W) volume (BASELINE config #4)."""
+    """Tiled UNet3D segmentation of a (Z, H, W) volume (BASELINE config #4).
+
+    Same output contract as the 2D pipeline: labels.tif (uint16), optional
+    per-class probs.tif (``save_probs``), and btrack objects.h5 with 3D
+    centroids (``localize``, default True; SURVEY.md §3.5).
+    """
+    from sequitr_tpu import localize as loc_lib
     from sequitr_tpu.data import tiff
     from sequitr_tpu.pipeline import infer as infer_lib
 
@@ -881,7 +887,28 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     )
     fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(vol.shape))
     probs, labels = fn(params, state, vol)
+    labels_np = np.asarray(labels)
 
+    outputs: Dict[str, str] = {}
     labels_path = os.path.join(job.output, "labels.tif")
-    tiff.write_stack(labels_path, np.asarray(labels).astype(np.uint16))
-    return {"labels": labels_path}
+    tiff.write_stack(labels_path, labels_np.astype(np.uint16))
+    outputs["labels"] = labels_path
+    if job.params.get("save_probs"):
+        probs_np = np.asarray(probs, dtype=np.float32)  # (Z, H, W, K)
+        planes = np.moveaxis(probs_np, -1, 1).reshape(-1, *probs_np.shape[1:3])
+        probs_path = os.path.join(job.output, "probs.tif")
+        tiff.write_stack(probs_path, planes)
+        outputs["probs"] = probs_path
+        outputs["probs_layout"] = (
+            f"pages=(Z={vol.shape[0]})*(K={probs_np.shape[-1]}), plane-major"
+        )
+    if job.params.get("localize", True):
+        objects = loc_lib.localize_volume(
+            labels_np, t=int(job.params.get("t", 0)), intensity=vol,
+            min_area=int(job.params.get("min_area", 1)),
+        )
+        h5_path = os.path.join(job.output, "objects.h5")
+        loc_lib.export_btrack_h5(h5_path, objects)
+        outputs["objects"] = h5_path
+        outputs["n_objects"] = str(len(objects))
+    return outputs

@@ -523,6 +523,7 @@ class TestUNet3DPipeline:
                     "model": "seg3d",
                     "patch": [4, 16, 16],
                     "overlap": [2, 4, 4],
+                    "save_probs": True,
                 },
                 "input": [vol_path],
                 "output": out_dir,
@@ -532,7 +533,16 @@ class TestUNet3DPipeline:
         status = json.load(open(os.path.join(out_dir, "status.json")))
         assert status["state"] == "complete", status.get("error")
         labels = tiff.read_stack(status["outputs"]["labels"])
-        assert labels.shape == (8, 32, 32)
+        assert labels.shape == (8, 32, 32) and labels.dtype == np.uint16
+        # 3D output contract matches 2D: per-class probs + btrack objects
+        probs = tiff.read_stack(status["outputs"]["probs"])
+        assert probs.shape == (8 * 2, 32, 32)
+        per_plane = probs.reshape(8, 2, 32, 32)
+        np.testing.assert_allclose(per_plane.sum(axis=1), 1.0, atol=1e-4)
+        import h5py
+
+        with h5py.File(status["outputs"]["objects"]) as f:
+            assert "objects" in f
 
 
 class TestTrainPipelines:
