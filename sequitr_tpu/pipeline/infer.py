@@ -182,6 +182,29 @@ def cached_frame_inferrer(
     return make_frame_inferrer(cfg, tc, frame_spatial)
 
 
+@functools.lru_cache(maxsize=32)
+def cached_batch_inferrer(
+    cfg: unet.UNetConfig,
+    tc: TileConfig,
+    frame_spatial: Tuple[int, ...],
+    batch: int,
+) -> Callable:
+    """Jitted inferrer vmapped over a leading frame axis of size ``batch``.
+
+    Small frames are dispatch-bound one at a time (measured on v5e: 256^2
+    frames run 501 fps dispatched singly, 1170 fps in batches of 8 —
+    BASELINE.md round-2); batching amortizes the per-dispatch host/relay
+    cost and fills the MXU with more parallel work. ``batch`` is static —
+    callers pad the tail chunk and slice the results.
+    """
+    single = make_frame_inferrer(cfg, tc, frame_spatial, jit=False)
+    return jax.jit(
+        lambda params, state, frames: jax.vmap(
+            lambda f: single(params, state, f)
+        )(frames)
+    )
+
+
 def stream_frames(
     fn: Callable,
     frames: Iterable[np.ndarray],

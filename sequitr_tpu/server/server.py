@@ -526,8 +526,39 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
                     infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
                 )
         return results
+    fb = job_params.get("frame_batch")
+    fb = int(fb) if fb else _auto_frame_batch(spatial)
+    if fb > 1 and len(stack) > 1:
+        # small frames are dispatch-bound singly; batch them per dispatch
+        # (measured 2.3x at 256^2 — BASELINE.md round 2), keeping the same
+        # prefetch-ahead H2D overlap over batch chunks
+        bfn = infer_lib.cached_batch_inferrer(cfg, tc, tuple(spatial), fb)
+        chunks = []
+        for start in range(0, len(stack), fb):
+            chunk = stack[start : start + fb]
+            if len(chunk) < fb:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], fb - len(chunk), 0)])
+            chunks.append(chunk)
+        results = []
+        n_left = len(stack)
+        for probs, labels in infer_lib.stream_frames(
+            lambda c: bfn(params, state, c), chunks
+        ):
+            for k in range(min(fb, n_left)):
+                results.append(
+                    infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
+                )
+            n_left -= fb
+        return results
     fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(spatial))
     return list(infer_lib.infer_stack(fn, params, state, stack))
+
+
+def _auto_frame_batch(spatial) -> int:
+    """Frames per dispatch for single-chip streaming: enough pixels in
+    flight to amortize dispatch overhead (~1M px/dispatch), capped at 8."""
+    px = int(np.prod(spatial))
+    return int(max(1, min(8, 1_000_000 // max(px, 1))))
 
 
 @register("build_records")

@@ -253,6 +253,47 @@ class TestSegmentationPipeline:
         info = infer_lib.cached_frame_inferrer.cache_info()
         assert info.hits >= 1 and info.misses == 1
 
+    def test_frame_batching_matches_per_frame(self, server_env):
+        """Auto frame batching (small frames, one dispatch per chunk) must
+        produce identical labels to per-frame streaming."""
+        from sequitr_tpu.server.server import _auto_frame_batch
+
+        assert _auto_frame_batch((256, 256)) == 8
+        assert _auto_frame_batch((512, 512)) == 3
+        assert _auto_frame_batch((1024, 1024)) == 1
+
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "segb", "unet", net_cfg, params, state)
+        # 5 frames with batch 2 exercises the padded tail chunk
+        stack = (np.random.default_rng(3).random((5, 32, 32)) * 900).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "b.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, fb in (("batched", 2), ("single", 1)):
+            out = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "segmentation_unet2d",
+                 "params": {"model": "segb", "localize": False,
+                            "frame_batch": fb},
+                 "input": [stack_path], "output": out},
+                job_id=name,
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[name] = tiff.read_stack(st["outputs"]["labels"])
+        np.testing.assert_array_equal(outs["batched"], outs["single"])
+        assert outs["batched"].shape == (5, 32, 32)
+
     def test_frame_smaller_than_patch_autopads(self, server_env):
         """A 20x28 FOV serves under a 32^2 patch (reflect-pad + crop)."""
         cfg_srv, tmp = server_env
