@@ -447,8 +447,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     spatial = stack.shape[1:]
     grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
 
-    @jax.jit
-    def enhance(frame):
+    def enhance_one(frame):
         x = infer_lib._normalize(frame[..., None], tc)
         patches = tiling.extract_patches(x, grid, tc.patch)
         out, _ = gan_lib.generator_apply(cfg, params, state, patches)
@@ -459,12 +458,28 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     timer = PhaseTimer()
     # same streaming treatment as segmentation: dispatch runs prefetch
     # frames ahead so frame i+1's H2D copy overlaps frame i's compute;
-    # total_s < fetch_s + per-frame compute is the overlap evidence
+    # total_s < fetch_s + per-frame compute is the overlap evidence.
+    # Small frames additionally batch per dispatch (see _auto_frame_batch).
+    fb = job.params.get("frame_batch")
+    fb = int(fb) if fb else _auto_frame_batch(spatial)
+    fb = max(1, min(fb, len(stack)))
     frames = np.empty(stack.shape, dtype=np.float32)
     t0 = time.time()
-    for t, out in enumerate(infer_lib.stream_frames(enhance, stack)):
-        with timer.phase("fetch"):
-            frames[t] = np.asarray(out)
+    if fb > 1:
+        benhance = jax.jit(jax.vmap(enhance_one))
+        chunks = _pad_chunks(stack, fb)
+        t = 0
+        for out in infer_lib.stream_frames(benhance, chunks):
+            with timer.phase("fetch"):
+                got = np.asarray(out)
+            take = min(fb, len(stack) - t)
+            frames[t : t + take] = got[:take]
+            t += take
+    else:
+        enhance = jax.jit(enhance_one)
+        for t, out in enumerate(infer_lib.stream_frames(enhance, stack)):
+            with timer.phase("fetch"):
+                frames[t] = np.asarray(out)
     total_s = time.time() - t0
     out_path = os.path.join(job.output, "enhanced.tif")
     tiff.write_stack(out_path, frames)
@@ -533,12 +548,7 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
         # (measured 2.3x at 256^2 — BASELINE.md round 2), keeping the same
         # prefetch-ahead H2D overlap over batch chunks
         bfn = infer_lib.cached_batch_inferrer(cfg, tc, tuple(spatial), fb)
-        chunks = []
-        for start in range(0, len(stack), fb):
-            chunk = stack[start : start + fb]
-            if len(chunk) < fb:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], fb - len(chunk), 0)])
-            chunks.append(chunk)
+        chunks = _pad_chunks(stack, fb)
         results = []
         n_left = len(stack)
         for probs, labels in infer_lib.stream_frames(
@@ -559,6 +569,18 @@ def _auto_frame_batch(spatial) -> int:
     flight to amortize dispatch overhead (~1M px/dispatch), capped at 8."""
     px = int(np.prod(spatial))
     return int(max(1, min(8, 1_000_000 // max(px, 1))))
+
+
+def _pad_chunks(stack: np.ndarray, fb: int) -> list:
+    """Split a frame stack into size-``fb`` chunks, repeating the last
+    frame to pad the tail (callers slice the padding back off)."""
+    chunks = []
+    for start in range(0, len(stack), fb):
+        chunk = stack[start : start + fb]
+        if len(chunk) < fb:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], fb - len(chunk), 0)])
+        chunks.append(chunk)
+    return chunks
 
 
 @register("build_records")

@@ -497,6 +497,38 @@ class TestGANPipeline:
         metrics = json.loads(status["outputs"]["metrics"])
         assert {"fetch_s", "total_s", "frames_per_sec"} <= set(metrics)
 
+    def test_gan_frame_batching_matches_per_frame(self, server_env):
+        cfg_srv, tmp = server_env
+        g_cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2, disc_base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(0), g_cfg)
+        save_model(cfg_srv.models_dir, "enhb", "gan", g_cfg, params, state)
+        stack = (np.random.default_rng(2).random((3, 32, 32)) * 500).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "sb.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, fb in (("b2", 2), ("b1", 1)):
+            out = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "enhancement_gan",
+                 "params": {"model": "enhb", "patch": [16, 16],
+                            "overlap": [4, 4], "frame_batch": fb},
+                 "input": [stack_path], "output": out},
+                job_id=name,
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[name] = tiff.read_stack(st["outputs"]["enhanced"])
+        np.testing.assert_array_equal(outs["b2"], outs["b1"])
+        assert outs["b2"].shape == (3, 32, 32)
+
 
 class TestLocalize:
     def test_two_objects(self):
