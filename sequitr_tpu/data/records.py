@@ -293,6 +293,7 @@ def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
 # Feature keys (spec decision — reference keys unavailable; documented here)
 K_IMAGE, K_LABELS, K_WEIGHTS = "image/encoded", "labels/encoded", "weights/encoded"
 K_SHAPE, K_IMAGE_DTYPE = "image/shape", "image/dtype"
+K_LABELS_SHAPE = "labels/shape"  # written only when != image shape (C>1)
 
 
 class SegExample:
@@ -312,6 +313,9 @@ def _encode_seg(ex: SegExample) -> bytes:
         K_SHAPE: list(img.shape),
         K_IMAGE_DTYPE: b"float32",
     }
+    if ex.labels.shape != img.shape:
+        # multi-channel images: labels/weights cover the spatial axes only
+        feats[K_LABELS_SHAPE] = list(ex.labels.shape)
     if ex.weights is not None:
         feats[K_WEIGHTS] = ex.weights.astype("<f4").tobytes()
     return encode_example(feats)
@@ -320,12 +324,14 @@ def _encode_seg(ex: SegExample) -> bytes:
 def _decode_seg(payload: bytes) -> SegExample:
     f = decode_example(payload)
     shape = tuple(int(v) for v in f[K_SHAPE])
+    lab_shape = (
+        tuple(int(v) for v in f[K_LABELS_SHAPE]) if K_LABELS_SHAPE in f else shape
+    )
     image = np.frombuffer(f[K_IMAGE][0], dtype="<f4").reshape(shape)
-    labels = np.frombuffer(f[K_LABELS][0], dtype="<i4").reshape(shape[: len(shape)])
-    labels = labels.reshape(shape)
+    labels = np.frombuffer(f[K_LABELS][0], dtype="<i4").reshape(lab_shape)
     weights = None
     if K_WEIGHTS in f:
-        weights = np.frombuffer(f[K_WEIGHTS][0], dtype="<f4").reshape(shape)
+        weights = np.frombuffer(f[K_WEIGHTS][0], dtype="<f4").reshape(lab_shape)
     return SegExample(image, labels, weights)
 
 

@@ -69,17 +69,24 @@ def _normalize(frame: jnp.ndarray, tc: TileConfig) -> jnp.ndarray:
     the XLA histogram path elsewhere.
     """
     mode = tc.normalize
+    # multi-channel frames normalize each channel independently (different
+    # fluorophores have unrelated intensity scales)
+    per_channel = frame.shape[-1] > 1
     if mode == "none":
         return frame.astype(jnp.float32)
     if mode == "exact":
-        return norm_ops.percentile_normalize(frame, tc.p_lo, tc.p_hi)
+        return norm_ops.percentile_normalize(
+            frame, tc.p_lo, tc.p_hi, channel_axis=per_channel
+        )
     if mode == "auto":
         on_tpu = jax.default_backend() == "tpu"
         mode = "pallas" if (on_tpu and frame.ndim == 3 and frame.shape[-1] == 1) else "fast"
     if mode == "pallas":
         out = norm_ops.percentile_normalize_pallas(frame[..., 0], tc.p_lo, tc.p_hi)
         return out[..., None]
-    return norm_ops.percentile_normalize_fast(frame, tc.p_lo, tc.p_hi)
+    return norm_ops.percentile_normalize_fast(
+        frame, tc.p_lo, tc.p_hi, channel_axis=per_channel
+    )
 
 
 def make_frame_inferrer(

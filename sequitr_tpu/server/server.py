@@ -353,22 +353,40 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     from sequitr_tpu.data import tiff
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    (path,) = _resolve_inputs(job)[:1]
-    stack = np.asarray(tiff.read_stack(path), dtype=np.float32)
-    if stack.ndim == 2:
-        stack = stack[None]
+    paths = _resolve_inputs(job)
+    channels = []
+    for p_ in paths:
+        ch = np.asarray(tiff.read_stack(p_), dtype=np.float32)
+        channels.append(ch[None] if ch.ndim == 2 else ch)
+    if len(channels) > 1:
+        # multi-channel: one TIFF stack per channel, stacked on the trailing
+        # axis (normalization runs per channel; the net must be built with
+        # in_channels == len(inputs))
+        if len({c.shape for c in channels}) != 1:
+            raise jobs_lib.JobError(
+                f"channel stacks disagree in shape: {[c.shape for c in channels]}"
+            )
+        stack = np.stack(channels, axis=-1)
+    else:
+        stack = channels[0]
+    spatial = stack.shape[1:3]
 
     kind, cfg, params, state = load_model(config.models_dir, job.params["model"])
     assert kind == "unet", f"model {job.params['model']} is not a unet"
+    n_ch = stack.shape[-1] if stack.ndim == 4 else 1
+    if cfg.in_channels != n_ch:
+        raise jobs_lib.JobError(
+            f"model expects {cfg.in_channels} channel(s), got {n_ch} input stack(s)"
+        )
     tc = _tile_config(
         job.params, dims=2,
-        frame_spatial=stack.shape[1:], min_multiple=cfg.min_input_multiple,
+        frame_spatial=spatial, min_multiple=cfg.min_input_multiple,
     )
 
     from sequitr_tpu.utils import PhaseTimer
 
     timer = PhaseTimer()
-    labels_out = np.empty(stack.shape, dtype=np.uint16)
+    labels_out = np.empty((len(stack),) + spatial, dtype=np.uint16)
     probs_list = [] if job.params.get("save_probs") else None
     objects = []
     with timer.phase("infer"):
@@ -382,11 +400,13 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
                 probs_list.append(np.asarray(result.probs))
         if job.params.get("localize", True):
             with timer.phase("localize"):
+                # per-object mean intensity: channel-mean for multi-channel
+                inten = stack[t] if stack.ndim == 3 else stack[t].mean(axis=-1)
                 objects.extend(
                     loc_lib.localize_frame(
                         labels_np,
                         t=t,
-                        intensity=stack[t],
+                        intensity=inten,
                         min_area=int(job.params.get("min_area", 1)),
                     )
                 )
@@ -503,7 +523,12 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
 
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    spatial = stack.shape[1:]
+    # stack is (T, H, W) or (T, H, W, C) — spatial excludes channels
+    spatial = stack.shape[1:3] if stack.ndim == 4 else stack.shape[1:]
+    if stack.ndim == 4 and job_params.get("spatial_parallel"):
+        raise jobs_lib.JobError(
+            "spatial_parallel does not support multi-channel stacks"
+        )
     if job_params.get("spatial_parallel") and jax.device_count() > 1:
         # one huge frame sharded across chips (halo exchange, exact result);
         # use when a single frame exceeds one chip's HBM (SURVEY.md §5)
@@ -599,21 +624,30 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     from sequitr_tpu.data import records, tiff
     from sequitr_tpu.ops import weightmaps
 
-    img_path, lab_path = _resolve_inputs(job)[:2]
-    images = np.asarray(tiff.read_stack(img_path), dtype=np.float32)
+    paths = _resolve_inputs(job)
+    if len(paths) < 2:
+        raise jobs_lib.JobError("build_records needs [*image stacks, labels]")
+    *img_paths, lab_path = paths
+    chans = [np.asarray(tiff.read_stack(ip), dtype=np.float32) for ip in img_paths]
     labels = np.asarray(tiff.read_stack(lab_path)).astype(np.int32)
-    if images.ndim == 2:
-        images, labels = images[None], labels[None]
-    if images.shape != labels.shape:
-        raise jobs_lib.JobError(
-            f"image/label shape mismatch: {images.shape} vs {labels.shape}"
-        )
+    if labels.ndim == 2:
+        labels = labels[None]
+        chans = [c[None] if c.ndim == 2 else c for c in chans]
+    for c in chans:
+        if c.shape != labels.shape:
+            raise jobs_lib.JobError(
+                f"image/label shape mismatch: {c.shape} vs {labels.shape}"
+            )
+    # multiple image stacks = channels on the trailing axis (the serving
+    # pipeline's multi-channel convention); single stack stays (T, H, W)
+    images = np.stack(chans, axis=-1) if len(chans) > 1 else chans[0]
     p = job.params
     dims = int(p.get("dims", 2))
+    multi_channel = images.ndim == labels.ndim + 1
     if dims == 3:
-        if images.ndim != 3:
+        if labels.ndim != 3:
             raise jobs_lib.JobError(
-                f"dims=3 expects one (Z, H, W) stack, got {images.shape}"
+                f"dims=3 expects one (Z, H, W) stack, got {labels.shape}"
             )
         pairs = [(images, labels)]  # the whole stack is one volume example
     else:
@@ -631,24 +665,28 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     for img, lab in pairs:
         if p.get("normalize", True):
             # records store normalized intensities so training sees the same
-            # distribution tiled inference feeds the net (SURVEY.md §3.2/3.3)
-            lo, hi = np.percentile(img, [p_lo, p_hi])
-            img = np.clip((img - lo) / max(hi - lo, 1e-8), 0.0, 1.0).astype(
-                np.float32
-            )
+            # distribution tiled inference feeds the net (SURVEY.md §3.2/3.3);
+            # multi-channel stacks normalize per channel (independent gains)
+            axes = tuple(range(lab.ndim))  # spatial axes only
+            lo = np.percentile(img, p_lo, axis=axes, keepdims=True)
+            hi = np.percentile(img, p_hi, axis=axes, keepdims=True)
+            img = np.clip(
+                (img - lo) / np.maximum(hi - lo, 1e-8), 0.0, 1.0
+            ).astype(np.float32)
         if patch is not None:
-            if any(ps > s for s, ps in zip(img.shape, patch)):
+            if any(ps > s for s, ps in zip(lab.shape, patch)):
                 raise jobs_lib.JobError(
-                    f"patch {patch} larger than example {img.shape}"
+                    f"patch {patch} larger than example {lab.shape}"
                 )
             crops = []
             for _ in range(n_crops):
                 starts = [
                     int(rng.integers(0, s - ps + 1))
-                    for s, ps in zip(img.shape, patch)
+                    for s, ps in zip(lab.shape, patch)
                 ]
                 sl = tuple(slice(st, st + ps) for st, ps in zip(starts, patch))
-                crops.append((img[sl], lab[sl]))
+                img_sl = sl + (slice(None),) if multi_channel else sl
+                crops.append((img[img_sl], lab[sl]))
         else:
             crops = [(img, lab)]
         for ci, cl in crops:
