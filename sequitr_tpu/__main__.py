@@ -47,18 +47,23 @@ def _serve_workers(args) -> int:
     restarts = {i: 0 for i in procs}
     log.info("supervising %d workers on %s", args.workers, args.jobs_dir)
     try:
-        while True:
+        while procs:
             for i, p in list(procs.items()):
                 code = p.poll()
                 if code is None:
                     continue
                 if restarts[i] >= 3:
+                    # budget spent: give this worker up for good instead of
+                    # re-logging a dead Popen every tick
                     log.error("worker %d exited (%s); restart budget spent", i, code)
+                    del procs[i]
                     continue
                 restarts[i] += 1
                 log.warning("worker %d exited (%s); restarting", i, code)
                 procs[i] = spawn(i)
             time.sleep(1.0)
+        log.error("all workers dead; supervisor exiting")
+        return 1
     except KeyboardInterrupt:
         for p in procs.values():
             p.terminate()
@@ -94,6 +99,12 @@ def main(argv=None) -> int:
     ap_status = sub.add_parser("status", help="read a job output status")
     ap_status.add_argument("output_dir")
 
+    ap_models = sub.add_parser("models", help="list registered models")
+    ap_models.add_argument("--models-dir", default="./models")
+
+    ap_queue = sub.add_parser("queue", help="show the job queue state")
+    ap_queue.add_argument("--jobs-dir", default="./jobs")
+
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
 
@@ -127,6 +138,53 @@ def main(argv=None) -> int:
 
         path = os.path.join(args.output_dir, "status.json")
         print(open(path).read())
+        return 0
+
+    if args.cmd == "models":
+        import os
+
+        rows = []
+        for name in sorted(os.listdir(args.models_dir)) if os.path.isdir(args.models_dir) else []:
+            cfg_path = os.path.join(args.models_dir, name, "config.json")
+            if not os.path.exists(cfg_path):
+                continue
+            cfg = json.load(open(cfg_path))
+            kind = cfg.get("__kind__", "?")
+            desc = {
+                k: cfg[k]
+                for k in ("num_classes", "depth", "base_features", "dims",
+                          "space_to_depth", "in_channels", "gen_depth")
+                if k in cfg and cfg[k] not in (None,)
+            }
+            rows.append((name, kind, desc))
+        if not rows:
+            print("(no models registered)")
+        for name, kind, desc in rows:
+            print(f"{name:24s} {kind:5s} " + " ".join(f"{k}={v}" for k, v in desc.items()))
+        return 0
+
+    if args.cmd == "queue":
+        import os
+
+        from sequitr_tpu.server import scan_jobs
+
+        pending = scan_jobs(args.jobs_dir)
+        names = sorted(os.listdir(args.jobs_dir)) if os.path.isdir(args.jobs_dir) else []
+        running = [n for n in names if n.endswith(".running")]
+        failed = [n for n in names if n.endswith(".failed")]
+        rejected = [n for n in names if n.endswith(".rejected")]
+        print(f"pending:  {len(pending)}")
+        for p in pending:
+            print(f"  {os.path.basename(p)}")
+        print(f"running:  {len(running)}")
+        for n in running:
+            print(f"  {n}")
+        print(f"failed:   {len(failed)}")
+        for n in failed:
+            print(f"  {n}")
+        print(f"rejected: {len(rejected)}")
+        for n in rejected:
+            print(f"  {n}")
         return 0
 
     return 1

@@ -120,21 +120,34 @@ def load_holdout(
 
     Returns None when the split is empty (too few examples). The split is
     every ``holdout_every``-th example per shard, in deterministic shard
-    order, capped at ``limit`` examples.
+    order, capped at ``limit`` examples. Reserved examples BEYOND the cap
+    are still excluded from training (the split rule is positional), so a
+    warning is logged when the cap truncates — raise ``limit`` or
+    ``holdout_every`` if that data matters.
     """
+    import logging
+
     from sequitr_tpu.data import records
 
     if holdout_every <= 0:
         return None
     out = []
+    truncated = 0
     for path in sorted(paths):
         for i, payload in enumerate(records.read_records(path)):
             if (i + 1) % holdout_every == 0:
-                out.append(decode(payload))
                 if len(out) >= limit:
-                    break
-        if len(out) >= limit:
-            break
+                    truncated += 1
+                    continue
+                out.append(decode(payload))
+    if truncated:
+        logging.getLogger("sequitr_tpu.data").warning(
+            "holdout split has %d examples beyond eval limit %d — they are "
+            "excluded from training but never evaluated; raise eval_limit "
+            "or holdout_every",
+            truncated,
+            limit,
+        )
     if not out:
         return None
     return jax.tree.map(lambda *xs: np.stack(xs), *out)

@@ -128,6 +128,7 @@ def detect_peaks(
     )
     is_peak = (img == pooled) & (img > threshold)
     score = jnp.where(is_peak, img, -jnp.inf).reshape(-1)
+    max_peaks = min(max_peaks, score.size)  # top_k requires k <= size
     vals, idx = jax.lax.top_k(score, max_peaks)
     yx = jnp.stack([idx // img.shape[1], idx % img.shape[1]], axis=-1)
     return yx.astype(jnp.int32), jnp.isfinite(vals)

@@ -29,7 +29,7 @@ import logging
 import os
 import tempfile
 import time
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 log = logging.getLogger("sequitr_tpu.jobs")
 
@@ -59,6 +59,8 @@ class Job:
     def from_file(cls, path: str) -> "Job":
         with open(path) as f:
             data = json.load(f)
+        if not isinstance(data, dict):
+            raise JobError(f"job {path}: spec must be a JSON object")
         if "module" not in data:
             raise JobError(f"job {path} missing required field 'module'")
         stem = os.path.basename(path)
@@ -67,16 +69,22 @@ class Job:
                 stem = stem[: -len(suffix)]
         if stem.startswith(JOB_PREFIX):
             stem = stem[len(JOB_PREFIX) :]
-        return cls(
-            id=str(data.get("id", stem)),
-            module=data["module"],
-            func=data.get("func", "run"),
-            params=data.get("params", {}),
-            input=list(data.get("input", [])),
-            output=data.get("output", ""),
-            priority=int(data.get("priority", 0)),
-            path=path,
-        )
+        try:
+            # any malformed field (priority: null, input: 5, ...) must
+            # surface as JobError so the server quarantines instead of
+            # crashing its poll loop
+            return cls(
+                id=str(data.get("id", stem)),
+                module=str(data["module"]),
+                func=str(data.get("func") or "run"),
+                params=dict(data.get("params") or {}),
+                input=list(data.get("input") or []),
+                output=str(data.get("output") or ""),
+                priority=int(data.get("priority") or 0),
+                path=path,
+            )
+        except (TypeError, ValueError) as e:
+            raise JobError(f"job {path}: malformed field: {e}")
 
 
 def _atomic_write(path: str, text: str) -> None:
@@ -125,6 +133,13 @@ def submit_job(jobs_dir: str, spec: Dict[str, Any], job_id: Optional[str] = None
         os.unlink(tmp)
 
 
+# priority cache for scan_jobs: path -> (mtime, priority). Queued files are
+# immutable once submitted (atomic create), so one parse per file suffices;
+# without this a long backlog would be re-opened and re-JSON-parsed on
+# every poll tick.
+_prio_cache: Dict[str, Tuple[float, int]] = {}
+
+
 def scan_jobs(jobs_dir: str) -> List[str]:
     """Unclaimed job files: highest priority first, oldest first within a
     priority level (priority is the job JSON's optional ``priority`` int,
@@ -136,6 +151,7 @@ def scan_jobs(jobs_dir: str) -> List[str]:
     rather than letting FileNotFoundError kill the server poll loop.
     """
     entries = []
+    seen = set()
     try:
         with os.scandir(jobs_dir) as it:
             for e in it:
@@ -145,15 +161,24 @@ def scan_jobs(jobs_dir: str) -> List[str]:
                     mtime = e.stat().st_mtime
                 except FileNotFoundError:
                     continue  # vanished mid-scan: someone else claimed it
-                prio = 0
-                try:
-                    with open(e.path) as f:
-                        prio = int(json.load(f).get("priority", 0))
-                except (OSError, ValueError, TypeError, AttributeError):
-                    pass  # malformed: claim-time quarantine handles it
+                seen.add(e.path)
+                cached = _prio_cache.get(e.path)
+                if cached is not None and cached[0] == mtime:
+                    prio = cached[1]
+                else:
+                    prio = 0
+                    try:
+                        with open(e.path) as f:
+                            prio = int(json.load(f).get("priority") or 0)
+                    except (OSError, ValueError, TypeError, AttributeError):
+                        pass  # malformed: claim-time quarantine handles it
+                    _prio_cache[e.path] = (mtime, prio)
                 entries.append((-prio, mtime, e.path))
     except FileNotFoundError:
         return []
+    # drop cache entries for files no longer queued (claimed/removed)
+    for stale in set(_prio_cache) - seen:
+        _prio_cache.pop(stale, None)
     return [p for _, _, p in sorted(entries)]
 
 

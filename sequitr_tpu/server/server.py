@@ -285,6 +285,30 @@ def _resolve_inputs(job: Job):
     return job.input
 
 
+def _require_model(job: Job, config: ServerConfiguration, expect_kind: str):
+    """Load the job's model, raising deterministic JobErrors (never retried)
+    for a missing param, an unregistered name, or the wrong model kind."""
+    name = job.params.get("model")
+    if not name:
+        raise jobs_lib.JobError(f"job {job.id}: missing required param 'model'")
+    try:
+        kind, cfg, params, state = load_model(config.models_dir, name)
+    except (FileNotFoundError, KeyError) as e:
+        raise jobs_lib.JobError(f"job {job.id}: model {name!r} not loadable: {e!r}")
+    if kind != expect_kind:
+        raise jobs_lib.JobError(
+            f"job {job.id}: model {name!r} is kind {kind!r}, expected {expect_kind!r}"
+        )
+    return cfg, params, state
+
+
+def _require_param(job: Job, key: str):
+    val = job.params.get(key)
+    if not val:
+        raise jobs_lib.JobError(f"job {job.id}: missing required param {key!r}")
+    return val
+
+
 # frames up to this many pixels/voxels run whole-frame when the client did
 # not request a tiling: ~2048^2 activations fit a v5e chip's HBM comfortably
 # and the untiled graph is ~2.1x faster than 384/64 tiling at 1024^2
@@ -356,7 +380,11 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     paths = _resolve_inputs(job)
     channels = []
     for p_ in paths:
-        ch = np.asarray(tiff.read_stack(p_), dtype=np.float32)
+        try:
+            ch = np.asarray(tiff.read_stack(p_), dtype=np.float32)
+        except ValueError as e:
+            # unreadable input is deterministic — fail fast, never retry
+            raise jobs_lib.JobError(f"job {job.id}: cannot read {p_}: {e}")
         channels.append(ch[None] if ch.ndim == 2 else ch)
     if len(channels) > 1:
         # multi-channel: one TIFF stack per channel, stacked on the trailing
@@ -371,8 +399,7 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         stack = channels[0]
     spatial = stack.shape[1:3]
 
-    kind, cfg, params, state = load_model(config.models_dir, job.params["model"])
-    assert kind == "unet", f"model {job.params['model']} is not a unet"
+    cfg, params, state = _require_model(job, config, "unet")
     n_ch = stack.shape[-1] if stack.ndim == 4 else 1
     if cfg.in_channels != n_ch:
         raise jobs_lib.JobError(
@@ -457,8 +484,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     if stack.ndim == 2:
         stack = stack[None]
 
-    kind, cfg, params, state = load_model(config.models_dir, job.params["model"])
-    assert kind == "gan", f"model {job.params['model']} is not a gan"
+    cfg, params, state = _require_model(job, config, "gan")
     tc = _tile_config(
         job.params, dims=2,
         frame_spatial=stack.shape[1:], min_multiple=cfg.min_input_multiple,
@@ -568,7 +594,8 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
         return results
     fb = job_params.get("frame_batch")
     fb = int(fb) if fb else _auto_frame_batch(spatial)
-    if fb > 1 and len(stack) > 1:
+    fb = max(1, min(fb, len(stack)))  # never compute padded frames nobody asked for
+    if fb > 1:
         # small frames are dispatch-bound singly; batch them per dispatch
         # (measured 2.3x at 256^2 — BASELINE.md round 2), keeping the same
         # prefetch-ahead H2D overlap over batch chunks
@@ -793,7 +820,8 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         mesh=_train_mesh(p, fc.batch_size), distill=distill,
     )
     model_dir = save_model(
-        config.models_dir, p["model"], "unet", cfg, state.params, state.model_state
+        config.models_dir, _require_param(job, "model"), "unet", cfg,
+        state.params, state.model_state
     )
     return {"model": model_dir, "metrics_file": fc.metrics_path}
 
@@ -898,7 +926,8 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         mesh=_train_mesh(p, fc.batch_size),
     )
     model_dir = save_model(
-        config.models_dir, p["model"], "gan", cfg, state.params, state.model_state
+        config.models_dir, _require_param(job, "model"), "gan", cfg,
+        state.params, state.model_state
     )
     return {"model": model_dir, "metrics_file": fc.metrics_path}
 
@@ -970,8 +999,9 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     if vol.ndim != 3:
         raise jobs_lib.JobError(f"unet3d expects a (Z, H, W) stack, got {vol.shape}")
 
-    kind, cfg, params, state = load_model(config.models_dir, job.params["model"])
-    assert kind == "unet" and cfg.dims == 3
+    cfg, params, state = _require_model(job, config, "unet")
+    if cfg.dims != 3:
+        raise jobs_lib.JobError(f"job {job.id}: model is {cfg.dims}D, expected 3D")
     tc = _tile_config(
         job.params, dims=3,
         frame_spatial=vol.shape, min_multiple=cfg.min_input_multiple,

@@ -28,14 +28,30 @@ def force_cpu() -> None:
 
 @contextlib.contextmanager
 def trace(log_dir: str) -> Iterator[None]:
-    """Capture a jax profiler trace (XProf/Perfetto) around a block."""
+    """Capture a jax profiler trace (XProf/Perfetto) around a block.
+
+    Robust to a stale trace left active by an abandoned thread (e.g. a
+    watchdog-timed-out profiled job): a failed start stops the stale trace
+    and retakes the profiler, and a failed stop (someone else already
+    stopped it) never masks the block's own result.
+    """
     import jax
 
-    jax.profiler.start_trace(log_dir)
+    try:
+        jax.profiler.start_trace(log_dir)
+    except Exception:
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
+        jax.profiler.start_trace(log_dir)
     try:
         yield
     finally:
-        jax.profiler.stop_trace()
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
 
 
 def device_sync(tree: Any) -> float:

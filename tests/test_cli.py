@@ -106,3 +106,42 @@ class TestMultiWorkerServe:
         finally:
             proc.terminate()
             proc.wait(timeout=30)
+
+
+class TestModelsQueueCommands:
+    def test_models_lists_registered(self, tmp_path, capsys):
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.models import unet
+        from sequitr_tpu.server.server import save_model
+
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        md = str(tmp_path / "models")
+        save_model(md, "demo", "unet", cfg, params, state)
+        assert main(["models", "--models-dir", md]) == 0
+        out = capsys.readouterr().out
+        assert "demo" in out and "unet" in out and "num_classes=2" in out
+
+    def test_models_empty(self, tmp_path, capsys):
+        assert main(["models", "--models-dir", str(tmp_path / "none")]) == 0
+        assert "no models" in capsys.readouterr().out
+
+    def test_queue_states(self, tmp_path, capsys):
+        from sequitr_tpu.server import submit_job
+
+        jobs = str(tmp_path / "jobs")
+        os.makedirs(jobs)
+        submit_job(jobs, {"module": "m", "input": [], "output": ""}, job_id="p1")
+        open(os.path.join(jobs, "job_r1.running"), "w").write("{}")
+        open(os.path.join(jobs, "job_f1.running.failed"), "w").write("{}")
+        open(os.path.join(jobs, "job_x.json.rejected"), "w").write("junk")
+        assert main(["queue", "--jobs-dir", jobs]) == 0
+        out = capsys.readouterr().out
+        assert "pending:  1" in out and "job_p1.json" in out
+        assert "running:  1" in out and "failed:   1" in out
+        assert "rejected: 1" in out

@@ -51,6 +51,14 @@ class TestEmitterLocalization:
         out = psf.localize_emitters(np.ones((16, 16), np.float32), threshold=5.0)
         assert len(out["y"]) == 0
 
+    def test_image_smaller_than_max_peaks(self):
+        """top_k's k must clamp to the pixel count for tiny ROIs."""
+        img = np.zeros((10, 10), np.float32)
+        img[4, 5] = 9.0
+        out = psf.localize_emitters(img, threshold=1.0, max_peaks=256)
+        assert len(out["y"]) == 1
+        assert abs(float(out["y"][0]) - 4) < 0.5 and abs(float(out["x"][0]) - 5) < 0.5
+
 
 class TestPSF:
     def test_gaussian_psf_normalized(self):

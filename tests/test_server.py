@@ -99,6 +99,60 @@ class TestJobQueue:
         paths = scan_jobs(cfg.jobs_dir)
         assert len(paths) == 1  # the vanished entry skipped, the rest kept
 
+    def test_malformed_priority_quarantined_not_crash(self, server_env):
+        """priority: null (or any bad field type) must quarantine the job,
+        not kill the poll loop with a TypeError."""
+        cfg, tmp = server_env
+        import json as json_mod
+
+        p = os.path.join(cfg.jobs_dir, "job_badprio.json")
+        with open(p, "w") as f:
+            json_mod.dump({"module": "m", "priority": None, "input": 5,
+                           "output": ""}, f)
+        srv = ImageServer(cfg)
+        srv.poll_once()  # must not raise
+        assert os.path.exists(p + ".rejected") or not os.path.exists(p)
+
+    def test_non_dict_job_spec_quarantined(self, server_env):
+        cfg, tmp = server_env
+        p = os.path.join(cfg.jobs_dir, "job_notdict.json")
+        with open(p, "w") as f:
+            f.write("5")
+        ImageServer(cfg).poll_once()
+        assert os.path.exists(p + ".rejected")
+
+    def test_missing_model_param_fails_fast(self, server_env):
+        import dataclasses as dc
+
+        cfg, tmp = server_env
+        cfg = dc.replace(cfg, max_retries=3, retry_backoff=5.0)
+        stack_path = str(tmp / "s.tif")
+        tiff.write_stack(stack_path, np.zeros((1, 8, 8), np.float32))
+        out = str(tmp / "nm")
+        submit_job(cfg.jobs_dir,
+                   {"module": "segmentation_unet2d", "params": {},
+                    "input": [stack_path], "output": out})
+        t0 = time.time()
+        assert ImageServer(cfg).poll_once()
+        assert time.time() - t0 < 4  # JobError: no retries, no backoff
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed" and "param 'model'" in st["error"]
+
+    def test_unreadable_input_fails_fast(self, server_env):
+        import dataclasses as dc
+
+        cfg, tmp = server_env
+        cfg = dc.replace(cfg, max_retries=3, retry_backoff=5.0)
+        out = str(tmp / "ni")
+        submit_job(cfg.jobs_dir,
+                   {"module": "segmentation_unet2d", "params": {"model": "x"},
+                    "input": [__file__], "output": out})
+        t0 = time.time()
+        assert ImageServer(cfg).poll_once()
+        assert time.time() - t0 < 4
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed" and "cannot read" in st["error"]
+
     def test_job_missing_module_rejected(self, tmp_path):
         p = str(tmp_path / "job_x.json")
         with open(p, "w") as f:
