@@ -82,19 +82,46 @@ def elastic_fields(
     return field[0], field[1]
 
 
-def _map_coordinates_2d(img: jnp.ndarray, coords_y, coords_x, order: int) -> jnp.ndarray:
-    """Warp a (H, W) or (H, W, C) array by sampling at (coords_y, coords_x)."""
-    if img.ndim == 2:
-        return jax.scipy.ndimage.map_coordinates(
-            img, [coords_y, coords_x], order=order, mode="nearest"
-        )
-    return jax.vmap(
-        lambda plane: jax.scipy.ndimage.map_coordinates(
-            plane, [coords_y, coords_x], order=order, mode="nearest"
-        ),
-        in_axes=-1,
-        out_axes=-1,
-    )(img)
+def _flat_bilinear(arr: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear resample of ``arr`` (H, W, C) at float coords (H, W).
+
+    Formulated as four flat 1-D ``take``s on row-major indices instead of a
+    2-axis coordinate gather (``map_coordinates``): measured 1.5x faster on
+    TPU at 256² and exact to float round-off (BASELINE.md round-2
+    augmentation study). Boundary handling: clamp (== map_coordinates
+    mode="nearest")."""
+    h, w = arr.shape[:2]
+    yy = jnp.clip(yy, 0.0, h - 1.0)
+    xx = jnp.clip(xx, 0.0, w - 1.0)
+    y0 = jnp.floor(yy).astype(jnp.int32)
+    x0 = jnp.floor(xx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = (yy - y0)[..., None]
+    fx = (xx - x0)[..., None]
+    flat = arr.reshape(h * w, -1)
+
+    def g(yi, xi):
+        return jnp.take(flat, yi * w + xi, axis=0)
+
+    top = g(y0, x0) * (1 - fx) + g(y0, x1) * fx
+    bot = g(y1, x0) * (1 - fx) + g(y1, x1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _flat_nearest(arr: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor resample of ``arr`` (H, W, C) — one flat take."""
+    h, w = arr.shape[:2]
+    yi = jnp.clip(jnp.round(yy).astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip(jnp.round(xx).astype(jnp.int32), 0, w - 1)
+    return jnp.take(arr.reshape(h * w, -1), yi * w + xi, axis=0)
+
+
+def _warp_coords(shape, dy, dx):
+    h, w = shape
+    yy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None] + dy, (h, w))
+    xx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :] + dx, (h, w))
+    return yy, xx
 
 
 def elastic_warp(
@@ -104,24 +131,50 @@ def elastic_warp(
     order: int = 1,
 ) -> jnp.ndarray:
     """Warp ``img`` (H, W[, C]) by the displacement field (bilinear or NN)."""
-    h, w = img.shape[:2]
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None] + dy
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :] + dx
-    yy = jnp.broadcast_to(yy, (h, w))
-    xx = jnp.broadcast_to(xx, (h, w))
-    return _map_coordinates_2d(img, yy, xx, order)
+    yy, xx = _warp_coords(img.shape[:2], dy, dx)
+    squeeze = img.ndim == 2
+    arr = img[..., None] if squeeze else img
+    out = _flat_bilinear(arr, yy, xx) if order else _flat_nearest(arr, yy, xx)
+    return out[..., 0] if squeeze else out
 
 
-def _elastic_warp_nd(arr: jnp.ndarray, dy, dx, order: int, dims: int) -> jnp.ndarray:
-    """Warp a 2D (H, W[, C]) plane or 3D (Z, H, W[, C]) volume in-plane.
+def _warp_example(image, labels, weights, dy, dx, dims: int):
+    """Warp (image, labels, weights) by one field with minimal gather work.
 
-    3D volumes apply the SAME (dy, dx) field to every z-plane: microscopy
-    deformation is dominantly lateral (xy); a z-consistent field keeps
-    structures coherent across the stack (spec decision — the reference's
-    3D augmentation parameters are unavailable)."""
+    Image channels and the weight map share ONE bilinear resample (the
+    extra channel is nearly free — the four flat takes dominate, measured
+    round 2); labels take a single nearest-neighbor gather. 3D volumes
+    apply the SAME (dy, dx) field to every z-plane: microscopy deformation
+    is dominantly lateral (xy); a z-consistent field keeps structures
+    coherent across the stack (spec decision — the reference's 3D
+    augmentation parameters are unavailable)."""
+
+    def plane(img2, lab2, w2):
+        yy, xx = _warp_coords(img2.shape[:2], dy, dx)
+        stacked = jnp.concatenate(
+            [img2.astype(jnp.float32), w2.astype(jnp.float32)[..., None]], -1
+        )
+        warped = _flat_bilinear(stacked, yy, xx)
+        out_lab = _flat_nearest(lab2[..., None], yy, xx)[..., 0]
+        return warped[..., :-1], out_lab, warped[..., -1]
+
+    # vmap cannot carry None leaves: substitute dummies, drop them after
+    # (labels/weights are always present on the training hot path)
+    lab_in = (
+        labels if labels is not None else jnp.zeros(image.shape[:dims], jnp.int32)
+    )
+    w_in = (
+        weights if weights is not None else jnp.ones(image.shape[:dims], jnp.float32)
+    )
     if dims == 2:
-        return elastic_warp(arr, dy, dx, order)
-    return jax.vmap(lambda plane: elastic_warp(plane, dy, dx, order))(arr)
+        out_img, out_lab, out_w = plane(image, lab_in, w_in)
+    else:
+        out_img, out_lab, out_w = jax.vmap(plane)(image, lab_in, w_in)
+    return (
+        out_img,
+        out_lab if labels is not None else None,
+        out_w if weights is not None else None,
+    )
 
 
 def augment_example(
@@ -169,17 +222,12 @@ def augment_example(
     dy = jnp.where(do_el, dy, 0.0)
     dx = jnp.where(do_el, dx, 0.0)
 
-    out_image = _elastic_warp_nd(arrays[0], dy, dx, order=1, dims=dims)
     idx = 1
-    out_labels = None
-    out_weights = None
+    lab_in = None
+    w_in = None
     if labels is not None:
-        out_labels = _elastic_warp_nd(
-            arrays[idx].astype(jnp.float32), dy, dx, order=0, dims=dims
-        ).astype(labels.dtype)
+        lab_in = arrays[idx]
         idx += 1
     if weights is not None:
-        out_weights = _elastic_warp_nd(
-            arrays[idx].astype(jnp.float32), dy, dx, order=1, dims=dims
-        )
-    return out_image, out_labels, out_weights
+        w_in = arrays[idx]
+    return _warp_example(arrays[0], lab_in, w_in, dy, dx, dims)
