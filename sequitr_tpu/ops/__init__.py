@@ -18,7 +18,9 @@ from sequitr_tpu.ops.tiling import (  # noqa: F401
     tile_grid,
     blend_window,
     extract_patches,
+    extract_patches_scan,
     stitch_patches,
+    stitch_patches_scan,
 )
 from sequitr_tpu.ops.losses import (  # noqa: F401
     weighted_softmax_cross_entropy,

@@ -47,11 +47,22 @@ def _hist_kernel(x_ref, lo_ref, scale_ref, hist_ref, *, bins: int, block_rows: i
     scale = scale_ref[0, 0]
     idx = jnp.clip(((x - lo) * scale), 0.0, float(bins - 1)).astype(jnp.int32)
     w = idx.shape[1]
-    bin_iota = jax.lax.broadcasted_iota(jnp.int32, (w, bins), 1)
+    # chunk the row so the (chunk, bins) one-hot stays within the 16 MB
+    # scoped-VMEM budget at any frame width: Mosaic keeps several unrolled
+    # iterations' temporaries live on the stack, so a 4096-wide (or even
+    # 1024-wide at 4096² frames) one-hot OOMs the compile. 256 is the
+    # measured sweet spot (128 paradoxically allocates MORE — the stack
+    # allocator is non-monotonic in chunk count; BASELINE.md round 2)
+    chunk = min(w, 256)
+    assert w % chunk == 0, (w, chunk)
+    bin_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, bins), 1)
     acc = jnp.zeros((1, bins), jnp.float32)
     for r in range(block_rows):  # static unroll
-        onehot = (idx[r][:, None] == bin_iota).astype(jnp.float32)
-        acc += jnp.sum(onehot, axis=0, keepdims=True)
+        for c0 in range(0, w, chunk):
+            onehot = (idx[r, c0 : c0 + chunk][:, None] == bin_iota).astype(
+                jnp.float32
+            )
+            acc += jnp.sum(onehot, axis=0, keepdims=True)
     hist_ref[:] += acc
 
 
@@ -106,25 +117,33 @@ def pallas_quantiles(
     """Approximate quantiles of a 2D frame via the Pallas histogram.
 
     Returns (len(qs),) float32. Max error ~ one bin of the value range.
-    Pads rows to a block multiple with +inf (landing in the top bin, then
-    subtracted from its count).
+    Pads rows to a block multiple and columns to the kernel's chunk
+    multiple with +inf (landing in the top bin, then subtracted from its
+    count).
     """
     x = x.astype(jnp.float32)
     h, w = x.shape
     block_rows = 8
     pad_rows = (-h) % block_rows
-    n_pad = pad_rows * w
+    pad_cols = (-w) % min(w, 1024) if w else 0
+    if pad_cols:
+        x = jnp.concatenate(
+            [x, jnp.full((h, pad_cols), jnp.inf, jnp.float32)], axis=1
+        )
     if pad_rows:
-        x = jnp.concatenate([x, jnp.full((pad_rows, w), jnp.inf, jnp.float32)])
+        x = jnp.concatenate(
+            [x, jnp.full((pad_rows, x.shape[1]), jnp.inf, jnp.float32)]
+        )
+    n_pad = x.size - h * w
 
-    lo = jnp.min(x[: h or 1])
+    lo = jnp.min(x[: h or 1, :w])
     hi = jnp.max(jnp.where(jnp.isfinite(x), x, -jnp.inf))
     scale = (bins - 1) / jnp.maximum(hi - lo, 1e-20)
     hist = histogram_2d(
         x, lo, scale, bins=bins, block_rows=block_rows,
         interpret=interpret,
     )
-    if pad_rows:
+    if n_pad:
         hist = hist.at[bins - 1].add(-float(n_pad))
     total = h * w
     cdf = jnp.cumsum(hist) / total

@@ -33,7 +33,9 @@ __all__ = [
     "tile_grid",
     "blend_window",
     "extract_patches",
+    "extract_patches_scan",
     "stitch_patches",
+    "stitch_patches_scan",
 ]
 
 
@@ -171,4 +173,72 @@ def stitch_patches(
     wacc = wacc.reshape(wacc.shape + (1,) * len(trailing))
     # exact masked divide: an additive eps would bias low-weight window
     # corners (hann corner weight ~1e-5) far beyond the fidelity bar
+    return jnp.where(wacc > 0, acc / jnp.maximum(wacc, 1e-30), 0.0)
+
+
+def extract_patches_scan(
+    image: jnp.ndarray,
+    offsets: Sequence[Sequence[int]],
+    patch: Sequence[int],
+) -> jnp.ndarray:
+    """``extract_patches`` as one rolled ``lax.map`` over an offsets array.
+
+    Identical output to the unrolled version, but the HLO is O(1) in tile
+    count instead of O(T): a 4096² frame's 169-tile grid unrolls to a graph
+    the remote compile helper on this machine cannot build (BASELINE.md),
+    while the rolled form compiles fine. Use for large grids; the unrolled
+    form remains preferable for small ones (XLA can schedule the slices
+    freely).
+    """
+    nd = len(patch)
+    off_arr = jnp.asarray(offsets, dtype=jnp.int32)
+    sizes = tuple(patch) + image.shape[nd:]
+
+    def one(off):
+        starts = tuple(off[i] for i in range(nd)) + (0,) * (image.ndim - nd)
+        return jax.lax.dynamic_slice(image, starts, sizes)
+
+    return jax.lax.map(one, off_arr)
+
+
+def stitch_patches_scan(
+    patches: jnp.ndarray,
+    offsets: Sequence[Sequence[int]],
+    out_spatial: Sequence[int],
+    overlap: Sequence[int],
+    window: str = "hann",
+) -> jnp.ndarray:
+    """``stitch_patches`` as one rolled ``lax.scan`` (O(1) HLO in tiles).
+
+    Read-modify-write per tile: dynamic_slice the accumulator region, add
+    the windowed tile, dynamic_update_slice it back. Sequential by
+    construction — which is also what makes overlapping accumulation
+    race-free — and numerically identical to the unrolled form (f32
+    accumulation, same masked divide).
+    """
+    nd = len(out_spatial)
+    patch = patches.shape[1 : 1 + nd]
+    trailing = patches.shape[1 + nd :]
+    w = blend_window(patch, overlap, window)
+    w_b = w.reshape(w.shape + (1,) * len(trailing))
+    off_arr = jnp.asarray(offsets, dtype=jnp.int32)
+
+    acc0 = jnp.zeros(tuple(out_spatial) + trailing, dtype=jnp.float32)
+    wacc0 = jnp.zeros(tuple(out_spatial), dtype=jnp.float32)
+
+    def body(carry, xs):
+        acc, wacc = carry
+        tile, off = xs
+        starts = tuple(off[i] for i in range(nd))
+        a_starts = starts + (0,) * len(trailing)
+        region = jax.lax.dynamic_slice(acc, a_starts, patch + trailing)
+        acc = jax.lax.dynamic_update_slice(
+            acc, region + tile.astype(jnp.float32) * w_b, a_starts
+        )
+        wregion = jax.lax.dynamic_slice(wacc, starts, patch)
+        wacc = jax.lax.dynamic_update_slice(wacc, wregion + w, starts)
+        return (acc, wacc), None
+
+    (acc, wacc), _ = jax.lax.scan(body, (acc0, wacc0), (patches, off_arr))
+    wacc = wacc.reshape(wacc.shape + (1,) * len(trailing))
     return jnp.where(wacc > 0, acc / jnp.maximum(wacc, 1e-30), 0.0)

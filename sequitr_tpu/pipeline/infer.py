@@ -123,6 +123,10 @@ def make_frame_inferrer(
         else "edge"
     )
     grid = tiling.tile_grid(padded_spatial, tc.patch, tc.overlap)
+    # large grids use the rolled (scan) tiling forms: the unrolled HLO is
+    # O(tiles) and a 169-tile 4096^2 graph exceeds this machine's remote
+    # compile helper; small grids stay unrolled (freely schedulable slices)
+    rolled = len(grid) > 32
     fold = cfg.norm == "batch"
     if fold:
         # inference-mode BN folds exactly into the conv weights — removes
@@ -139,7 +143,8 @@ def make_frame_inferrer(
         x = _normalize(frame, tc)
         if any(edge_pad):
             x = jnp.pad(x, [(0, d) for d in edge_pad] + [(0, 0)], mode=pad_mode)
-        patches = tiling.extract_patches(x, grid, tc.patch)  # (T, *patch, C)
+        extract = tiling.extract_patches_scan if rolled else tiling.extract_patches
+        patches = extract(x, grid, tc.patch)  # (T, *patch, C)
 
         def forward(batch):
             logits, _ = unet.apply(cfg, params, state, batch, train=False)
@@ -160,9 +165,8 @@ def make_frame_inferrer(
                 (-1,) + tc.patch + (cfg.num_classes,)
             )[:t]
 
-        probs = tiling.stitch_patches(
-            probs_patches, grid, padded_spatial, tc.overlap, tc.window
-        )
+        stitch = tiling.stitch_patches_scan if rolled else tiling.stitch_patches
+        probs = stitch(probs_patches, grid, padded_spatial, tc.overlap, tc.window)
         if any(edge_pad):
             probs = probs[tuple(slice(0, s) for s in frame_spatial)]
         labels = jnp.argmax(probs, axis=-1).astype(jnp.dtype(tc.labels_dtype))

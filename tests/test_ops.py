@@ -100,6 +100,72 @@ class TestTiling:
         np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-4)
 
 
+class TestScanTiling:
+    def test_extract_scan_matches_unrolled(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((40, 56, 2)).astype(np.float32))
+        grid = ops.tile_grid((40, 56), (16, 16), (4, 4))
+        a = ops.extract_patches(img, grid, (16, 16))
+        b = ops.extract_patches_scan(img, grid, (16, 16))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_stitch_scan_matches_unrolled(self):
+        rng = np.random.default_rng(1)
+        grid = ops.tile_grid((40, 56), (16, 16), (4, 4))
+        patches = jnp.asarray(
+            rng.random((len(grid), 16, 16, 3)).astype(np.float32)
+        )
+        a = ops.stitch_patches(patches, grid, (40, 56), (4, 4))
+        b = ops.stitch_patches_scan(patches, grid, (40, 56), (4, 4))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_scan_roundtrip_identity(self):
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.random((32, 32)).astype(np.float32))
+        grid = ops.tile_grid((32, 32), (16, 16), (8, 8))
+        patches = ops.extract_patches_scan(img[..., None], grid, (16, 16))
+        out = ops.stitch_patches_scan(patches, grid, (32, 32), (8, 8))
+        np.testing.assert_allclose(
+            np.asarray(out[..., 0]), np.asarray(img), atol=1e-6
+        )
+
+    def test_rolled_inferrer_matches_unrolled(self):
+        """A grid just over the rolled threshold must give the same answer
+        as a sub-threshold unrolled run on the same pixels."""
+        import dataclasses as dc
+
+        from sequitr_tpu.models import unet as unet_lib
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        cfg = unet_lib.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet_lib.init(jax.random.PRNGKey(0), cfg)
+        frame = jnp.asarray(
+            np.random.default_rng(3).random((80, 80)).astype(np.float32)
+        )
+        # 8x8 grid of 16² tiles with 8 overlap -> 81 tiles (rolled)
+        tc = infer_lib.TileConfig(patch=(16, 16), overlap=(8, 8), normalize="none")
+        fn_rolled = infer_lib.make_frame_inferrer(cfg, tc, (80, 80))
+        # same tiling forced unrolled via the library functions
+        from sequitr_tpu.ops import tiling as t
+
+        grid = t.tile_grid((80, 80), (16, 16), (8, 8))
+        assert len(grid) > 32
+
+        def unrolled(frame):
+            x = frame[..., None]
+            patches = t.extract_patches(x, grid, (16, 16))
+            logits, _ = unet_lib.apply(cfg, params, state, patches, train=False)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return t.stitch_patches(probs, grid, (80, 80), (8, 8))
+
+        p1, _ = fn_rolled(params, state, frame)
+        p2 = jax.jit(unrolled)(frame)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
 class TestLosses:
     def test_weighted_ce_uniform_weights_equals_plain(self):
         key = jax.random.PRNGKey(0)

@@ -25,6 +25,18 @@ class TestPallasHistogram:
         span = float(np.asarray(x).max() - np.asarray(x).min())
         np.testing.assert_allclose(np.asarray(q), ref, atol=span / 1024 * 2)
 
+    def test_wide_frame_column_chunking(self):
+        """Frames wider than the kernel's 1024-lane chunk (e.g. 4096² —
+        which OOMed scoped VMEM before chunking) and non-multiple widths
+        (column padding) both stay correct."""
+        rng = np.random.default_rng(3)
+        for shape in ((64, 2048), (64, 1500)):
+            x = jnp.asarray(rng.gamma(2.0, 50.0, shape).astype(np.float32))
+            q = pallas_quantiles(x, [0.05, 0.995], interpret=True)
+            ref = np.percentile(np.asarray(x), [5.0, 99.5])
+            span = float(np.asarray(x).max() - np.asarray(x).min())
+            np.testing.assert_allclose(np.asarray(q), ref, atol=span / 1024 * 2)
+
     def test_normalize_pallas_close_to_exact(self):
         rng = np.random.default_rng(2)
         x = jnp.asarray(rng.gamma(2.0, 80.0, (128, 256)).astype(np.float32))
