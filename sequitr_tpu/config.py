@@ -39,6 +39,11 @@ class ServerConfiguration:
     retry_backoff: float = 1.0
     job_timeout: Optional[float] = None
     log_dir: Optional[str] = None
+    # persistent XLA compilation cache: a restarted server re-serves known
+    # (model, shape) graphs without recompiling (on machines with a remote
+    # compile helper that is minutes per graph). None disables; the default
+    # keeps caches per user.
+    compilation_cache_dir: Optional[str] = "~/.cache/sequitr_tpu/xla"
 
     @classmethod
     def from_json(cls, path: str) -> "ServerConfiguration":

@@ -95,6 +95,17 @@ class ImageServer:
         self.config = config
         self.registry = registry
         config.ensure_dirs()
+        if config.compilation_cache_dir:
+            # a restarted server must not pay minutes of recompilation for
+            # graphs it has served before (SURVEY.md §5 failure recovery)
+            import jax
+
+            path = os.path.expanduser(config.compilation_cache_dir)
+            os.makedirs(path, exist_ok=True)
+            try:
+                jax.config.update("jax_compilation_cache_dir", path)
+            except Exception:  # pragma: no cover - config name drift
+                log.warning("could not enable the XLA compilation cache")
 
     def run_forever(self) -> None:  # pragma: no cover - interactive loop
         log.info("server watching %s (pipelines: %s)", self.config.jobs_dir, self.registry.names())
@@ -418,25 +429,35 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     objects = []
     with timer.phase("infer"):
         results = _run_frames(cfg, tc, params, state, stack, job.params)
-    for t, result in enumerate(results):
-        with timer.phase("fetch"):
-            labels_np = np.asarray(result.labels)  # uint16 on device already
-        labels_out[t] = labels_np
-        if probs_list is not None:
+    # localization is host CPU work; frame fetches are relay/PCIe IO waits.
+    # Run localization on one worker thread so frame t's CCL overlaps frame
+    # t+1's D2H instead of serializing after it (localize_s below is the
+    # NON-overlapped wait at the end of the loop).
+    from concurrent.futures import ThreadPoolExecutor
+
+    do_localize = job.params.get("localize", True)
+    min_area = int(job.params.get("min_area", 1))
+    futures = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for t, result in enumerate(results):
             with timer.phase("fetch"):
-                probs_list.append(np.asarray(result.probs))
-        if job.params.get("localize", True):
-            with timer.phase("localize"):
+                labels_np = np.asarray(result.labels)  # uint16 on device already
+            labels_out[t] = labels_np
+            if probs_list is not None:
+                with timer.phase("fetch"):
+                    probs_list.append(np.asarray(result.probs))
+            if do_localize:
                 # per-object mean intensity: channel-mean for multi-channel
                 inten = stack[t] if stack.ndim == 3 else stack[t].mean(axis=-1)
-                objects.extend(
-                    loc_lib.localize_frame(
-                        labels_np,
-                        t=t,
-                        intensity=inten,
-                        min_area=int(job.params.get("min_area", 1)),
+                futures.append(
+                    pool.submit(
+                        loc_lib.localize_frame, labels_np, t=t,
+                        intensity=inten, min_area=min_area,
                     )
                 )
+        with timer.phase("localize"):
+            for f in futures:
+                objects.extend(f.result())
 
     outputs: Dict[str, str] = {}
     metrics = dict(timer.summary(), n_frames=len(stack), n_objects=len(objects))
