@@ -117,3 +117,60 @@ def test_patchgan_discriminator_parity():
     )
     tf_logits = tf_reference.tf_forward(model, np.concatenate([x, y], axis=-1))
     assert np.max(np.abs(jax_logits - tf_logits)) < 1e-4
+
+
+def test_trained_checkpoint_parity():
+    """Parity on TRAINED weights, not random init (NEXT.md round-3 item).
+
+    Random-init parity can hide scale-dependent divergence: trained
+    checkpoints have realistic weight magnitudes and, crucially, batch-norm
+    moving stats accumulated over real updates. Train a small norm="batch"
+    U-Net on the synthetic blob task (full augmentation on, so the trained
+    weights passed through the production train step), then push the
+    checkpoint through the TF re-derivation — both the train-form model and
+    the folded-BN serving form must match per-pixel.
+    """
+    from sequitr_tpu.pipeline import train as train_lib
+
+    cfg = unet.UNetConfig(
+        in_channels=1, num_classes=2, depth=2, base_features=4,
+        norm="batch", compute_dtype=jnp.float32,
+    )
+    tc = train_lib.TrainConfig(learning_rate=1e-2, augment=True)
+    state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+    step = train_lib.make_unet_train_step(cfg, tc, jit=True)
+
+    rng = np.random.default_rng(7)
+    key = jax.random.PRNGKey(1)
+    for _ in range(60):
+        imgs = rng.normal(0.1, 0.05, (4, 32, 32, 1)).astype(np.float32)
+        labs = np.zeros((4, 32, 32), np.int32)
+        for b in range(4):
+            cy, cx = rng.integers(6, 26, 2)
+            imgs[b, cy - 4 : cy + 4, cx - 4 : cx + 4] += 1.0
+            labs[b, cy - 4 : cy + 4, cx - 4 : cx + 4] = 1
+        key, sub = jax.random.split(key)
+        batch = {"image": jnp.asarray(imgs), "labels": jnp.asarray(labs)}
+        state, metrics = step(state, batch, sub)
+    assert float(metrics["loss"]) < 0.4  # it actually trained
+    assert float(metrics["accuracy"]) > 0.97
+
+    params = jax.device_get(state.params)
+    model_state = jax.device_get(state.model_state)
+    model = tf_reference.build_tf_unet(cfg, (32, 32))
+    tf_reference.inject_weights(model, cfg, params, model_state)
+
+    x = rng.normal(0.1, 0.3, (2, 32, 32, 1)).astype(np.float32)
+    tf_probs = np.asarray(
+        tf.nn.softmax(tf_reference.tf_forward(model, x), axis=-1)
+    )
+
+    jax_logits, _ = unet.apply(cfg, params, model_state, jnp.asarray(x))
+    jax_probs = np.asarray(jax.nn.softmax(jax_logits, axis=-1))
+    assert np.max(np.abs(jax_probs - tf_probs)) < 1e-4
+
+    # the folded-BN serving form (what segmentation_unet2d actually runs)
+    fcfg, fparams, fstate = unet.fold_batchnorm(cfg, params, model_state)
+    fold_logits, _ = unet.apply(fcfg, fparams, fstate, jnp.asarray(x))
+    fold_probs = np.asarray(jax.nn.softmax(fold_logits, axis=-1))
+    assert np.max(np.abs(fold_probs - tf_probs)) < 1e-4
