@@ -167,14 +167,18 @@ def bench_gan(device_kind: str, iters: int):
     """Config #5a: GAN generator enhancement pass on a 1024^2 frame."""
     import jax
     from sequitr_tpu.models import gan as gan_lib
-    from sequitr_tpu.ops import normalize as norm_ops
+    from sequitr_tpu.pipeline import infer as infer_lib
 
     cfg = gan_lib.GANConfig(compute_dtype=_dtype(device_kind))
     params, state = gan_lib.init(jax.random.PRNGKey(0), cfg)
+    cfg, params, state = gan_lib.fold_generator(cfg, params, state)
+    # the production normalize (auto: Pallas streaming histogram on TPU) —
+    # what the enhancement_gan server pipeline actually runs per frame
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
 
     @jax.jit
     def enhance(frame):
-        x = norm_ops.percentile_normalize_fast(frame)[None, ..., None]
+        x = infer_lib._normalize(frame[..., None], tc)[None]
         y, _ = gan_lib.generator_apply(cfg, params, state, x)
         return y[0, ..., 0]
 

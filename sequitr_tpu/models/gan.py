@@ -31,6 +31,7 @@ __all__ = [
     "init",
     "generator_apply",
     "discriminator_apply",
+    "fold_generator",
 ]
 
 
@@ -48,6 +49,9 @@ class GANConfig:
     # generator's range must match (pix2pix's tanh convention assumes
     # [-1, 1]-scaled data, which this pipeline does not use).
     output_activation: str = "sigmoid"
+    # generator norm layer; training uses "batch", inference-serving paths
+    # fold it into the conv weights via ``fold_generator`` (=> "none")
+    gen_norm: str = "batch"
 
     @property
     def generator_config(self) -> unet.UNetConfig:
@@ -56,7 +60,7 @@ class GANConfig:
             num_classes=self.out_channels,
             depth=self.gen_depth,
             base_features=self.gen_base_features,
-            norm="batch",
+            norm=self.gen_norm,
             compute_dtype=self.compute_dtype,
         )
 
@@ -121,3 +125,27 @@ def discriminator_apply(
         h = _leaky_relu(_conv(h, p, ccfg, stride=2))
     h = _leaky_relu(_conv(h, params["disc"]["penultimate"], ccfg, stride=1))
     return _conv(h, params["disc"]["head"], ccfg, stride=1).astype(jnp.float32)
+
+
+def fold_generator(
+    cfg: GANConfig, params: Params, state: State
+) -> Tuple[GANConfig, Params, State]:
+    """Fold the generator's inference-mode batch norm into its conv weights.
+
+    Numerically identical to the unfolded generator at inference (see
+    ``models.unet.fold_batchnorm``) and removes every BN elementwise pass
+    (plus its float32 activation materialization) from the serving graph —
+    the segmentation path has always folded; this brings the GAN pass to
+    parity. Returns an equivalent ``gen_norm='none'`` triple; discriminator
+    params pass through untouched.
+    """
+    if cfg.gen_norm != "batch":
+        return cfg, params, state
+    gcfg = cfg.generator_config
+    _, gen_params, gen_state = unet.fold_batchnorm(
+        gcfg, params["gen"], state["gen"]
+    )
+    folded_cfg = dataclasses.replace(cfg, gen_norm="none")
+    folded_params = dict(params)
+    folded_params["gen"] = gen_params
+    return folded_cfg, folded_params, {"gen": gen_state}

@@ -269,6 +269,17 @@ def load_model(models_dir: str, name: str):
     kind = cfg_dict.pop("__kind__")
     cfg_dict["compute_dtype"] = jnp.dtype(cfg_dict["compute_dtype"])
     cfg_cls = {"unet": unet.UNetConfig, "gan": gan_lib.GANConfig}[kind]
+    # forward compatibility: a model saved by a newer version may carry
+    # config fields this version doesn't know. New fields default on save,
+    # so dropping them (with a warning) beats refusing to load the model.
+    known = {f.name for f in dataclasses.fields(cfg_cls)}
+    unknown = sorted(set(cfg_dict) - known)
+    if unknown:
+        log.warning(
+            "model %s: ignoring unknown config fields %s "
+            "(saved by a newer version?)", name, unknown
+        )
+        cfg_dict = {k: v for k, v in cfg_dict.items() if k in known}
     cfg = cfg_cls(**cfg_dict)
     # orbax needs a concrete restore template (structure + shardings):
     # rebuild one from the config — init is cheap relative to inference
@@ -506,6 +517,9 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         stack = stack[None]
 
     cfg, params, state = _require_model(job, config, "gan")
+    # inference-mode BN folds exactly into the generator conv weights —
+    # same treatment the segmentation path gets (models.gan.fold_generator)
+    cfg, params, state = gan_lib.fold_generator(cfg, params, state)
     tc = _tile_config(
         job.params, dims=2,
         frame_spatial=stack.shape[1:], min_multiple=cfg.min_input_multiple,

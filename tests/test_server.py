@@ -1225,3 +1225,31 @@ class TestQueueSemantics:
         leftovers = os.listdir(cfg.jobs_dir)
         assert any(n.endswith(".failed") for n in leftovers)
         assert not any(n.endswith(".running") for n in leftovers)
+
+
+class TestModelForwardCompat:
+    def test_load_model_ignores_unknown_config_fields(self, tmp_path, caplog):
+        """A model saved by a NEWER version may carry config fields this
+        version doesn't know; load_model must drop them with a warning
+        instead of refusing to load (new fields default on save)."""
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.models import unet
+        from sequitr_tpu.server import load_model, save_model
+
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        mdir = save_model(str(tmp_path), "fwd", "unet", cfg, params, state)
+
+        cfg_path = os.path.join(mdir, "config.json")
+        d = json.load(open(cfg_path))
+        d["frobnication_mode"] = "aggressive"  # field from "the future"
+        json.dump(d, open(cfg_path, "w"))
+
+        kind, cfg2, params2, _ = load_model(str(tmp_path), "fwd")
+        assert kind == "unet" and cfg2 == cfg
+        assert any("frobnication_mode" in r.message for r in caplog.records)

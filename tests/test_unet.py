@@ -165,3 +165,33 @@ class TestSpaceToDepth:
             unet.init(
                 jax.random.PRNGKey(0), small_cfg(dims=3, space_to_depth=2)
             )
+
+
+class TestFoldGenerator:
+    def test_folded_generator_matches_unfolded(self):
+        """models.gan.fold_generator is numerically identical at inference."""
+        from sequitr_tpu.models import gan as gan_lib
+
+        cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2,
+            compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(3), cfg)
+        # non-trivial BN moving stats so folding is actually exercised
+        state = jax.tree.map(
+            lambda a: a + 0.1 * np.random.default_rng(4).random(a.shape).astype(np.float32),
+            state,
+        )
+        x = jnp.asarray(
+            np.random.default_rng(5).normal(size=(2, 16, 16, 1)).astype(np.float32)
+        )
+        y_ref, _ = gan_lib.generator_apply(cfg, params, state, x)
+
+        fcfg, fparams, fstate = gan_lib.fold_generator(cfg, params, state)
+        assert fcfg.gen_norm == "none"
+        y_fold, _ = gan_lib.generator_apply(fcfg, fparams, fstate, x)
+        np.testing.assert_allclose(
+            np.asarray(y_fold), np.asarray(y_ref), atol=1e-5
+        )
+        # idempotent on an already-folded triple
+        assert gan_lib.fold_generator(fcfg, fparams, fstate)[0] is fcfg
