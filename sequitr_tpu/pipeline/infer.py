@@ -65,8 +65,8 @@ def _normalize(frame: jnp.ndarray, tc: TileConfig) -> jnp.ndarray:
     """Frame arrives (*spatial, C); percentiles are per-frame over all pixels.
 
     ``auto`` picks the Pallas streaming-histogram kernel on TPU for
-    single-channel 2D frames (~6x faster than XLA's bincount lowering) and
-    the XLA histogram path elsewhere.
+    single-channel 2D frames and 3D volumes (~6-7x faster than XLA's
+    bincount lowering) and the XLA histogram path elsewhere.
     """
     mode = tc.normalize
     # multi-channel frames normalize each channel independently (different
@@ -80,7 +80,13 @@ def _normalize(frame: jnp.ndarray, tc: TileConfig) -> jnp.ndarray:
         )
     if mode == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        mode = "pallas" if (on_tpu and frame.ndim == 3 and frame.shape[-1] == 1) else "fast"
+        # single-channel 2D frames AND 3D volumes: the histogram kernel is
+        # row-layout-agnostic (per-frame percentiles over the pixel multiset)
+        mode = (
+            "pallas"
+            if (on_tpu and frame.ndim in (3, 4) and frame.shape[-1] == 1)
+            else "fast"
+        )
     if mode == "pallas":
         out = norm_ops.percentile_normalize_pallas(frame[..., 0], tc.p_lo, tc.p_hi)
         return out[..., None]

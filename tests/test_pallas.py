@@ -43,3 +43,17 @@ class TestPallasHistogram:
         out = normalize.percentile_normalize_pallas(x, interpret=True)
         exact = normalize.percentile_normalize(x)
         assert float(jnp.max(jnp.abs(out - exact))) < 5e-3
+
+    def test_normalize_pallas_3d_volume(self):
+        """(Z, H, W) volumes fold into histogram rows — same pixel multiset,
+        so the result matches the exact path within one-bin tolerance."""
+        import numpy as np
+
+        from sequitr_tpu.ops import normalize
+
+        rng = np.random.default_rng(6)
+        vol = rng.gamma(2.0, 1.0, (4, 32, 64)).astype(np.float32)
+        out = normalize.percentile_normalize_pallas(vol, interpret=True)
+        ref = normalize.percentile_normalize(vol)
+        assert out.shape == vol.shape
+        assert float(np.max(np.abs(np.asarray(out) - np.asarray(ref)))) < 0.02
