@@ -194,11 +194,17 @@ def _warp_example(image, labels, weights, dy, dx, dims: int):
 
     def plane(img2, lab2, w2):
         yy, xx = _warp_coords(img2.shape[:2], dy, dx)
+        squeeze = img2.ndim == 2  # channel-less images are accepted (H, W)
+        if squeeze:
+            img2 = img2[..., None]
         stacked = jnp.concatenate(
             [img2.astype(jnp.float32), w2.astype(jnp.float32)[..., None]], -1
         )
         warped, out_lab = _quad_warp(stacked, lab2, yy, xx)
-        return warped[..., :-1], out_lab, warped[..., -1]
+        out_img = warped[..., :-1]
+        if squeeze:
+            out_img = out_img[..., 0]
+        return out_img, out_lab, warped[..., -1]
 
     # vmap cannot carry None leaves: substitute dummies, drop them after
     # (labels/weights are always present on the training hot path)

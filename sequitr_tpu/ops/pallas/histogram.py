@@ -125,7 +125,10 @@ def pallas_quantiles(
     h, w = x.shape
     block_rows = 8
     pad_rows = (-h) % block_rows
-    pad_cols = (-w) % min(w, 1024) if w else 0
+    # must match _hist_kernel's chunk = min(w, 256): widths that are not a
+    # chunk multiple (e.g. 480, 640) pad up to one; larger widths pad to a
+    # 256 multiple (not 1024 — that nearly doubled work at e.g. w=1280)
+    pad_cols = (-w) % min(w, 256) if w else 0
     if pad_cols:
         x = jnp.concatenate(
             [x, jnp.full((h, pad_cols), jnp.inf, jnp.float32)], axis=1

@@ -95,6 +95,50 @@ def _normalize(frame: jnp.ndarray, tc: TileConfig) -> jnp.ndarray:
     )
 
 
+def tiled_apply(
+    forward: Callable,
+    x: jnp.ndarray,
+    grid,
+    spatial: Tuple[int, ...],
+    tc: TileConfig,
+    out_channels: int,
+) -> jnp.ndarray:
+    """extract patches -> (chunked) ``forward`` -> stitch, for any network.
+
+    The shared tiling machinery behind both the segmentation inferrer and
+    the GAN enhancement pass:
+
+    * large grids (>32 tiles) use the rolled ``lax.scan`` extract/stitch
+      forms — the unrolled HLO is O(tiles) and a 169-tile 4096^2 graph
+      exceeds this machine's remote compile helper (BASELINE.md round 2);
+      small grids stay unrolled (freely schedulable slices);
+    * ``tc.patch_batch`` bounds peak HBM by running patches in fixed-size
+      ``lax.map`` chunks; when unset, grids >32 tiles default to chunks of
+      8 so giant frames never materialize every patch activation at once.
+
+    ``forward``: (N, *patch, C_in) -> (N, *patch, out_channels).
+    """
+    rolled = len(grid) > 32
+    extract = tiling.extract_patches_scan if rolled else tiling.extract_patches
+    patches = extract(x, grid, tc.patch)  # (T, *patch, C)
+    t = patches.shape[0]
+    patch_batch = tc.patch_batch or (8 if t > 32 else None)
+    if patch_batch is None or patch_batch >= t:
+        out_patches = forward(patches)
+    else:
+        b = patch_batch
+        pad = (-t) % b
+        padded = jnp.concatenate(
+            [patches, jnp.zeros((pad,) + patches.shape[1:], patches.dtype)]
+        )
+        chunks = padded.reshape((padded.shape[0] // b, b) + patches.shape[1:])
+        out_patches = jax.lax.map(forward, chunks).reshape(
+            (-1,) + tc.patch + (out_channels,)
+        )[:t]
+    stitch = tiling.stitch_patches_scan if rolled else tiling.stitch_patches
+    return stitch(out_patches, grid, spatial, tc.overlap, tc.window)
+
+
 def make_frame_inferrer(
     cfg: unet.UNetConfig,
     tc: TileConfig,
@@ -129,10 +173,6 @@ def make_frame_inferrer(
         else "edge"
     )
     grid = tiling.tile_grid(padded_spatial, tc.patch, tc.overlap)
-    # large grids use the rolled (scan) tiling forms: the unrolled HLO is
-    # O(tiles) and a 169-tile 4096^2 graph exceeds this machine's remote
-    # compile helper; small grids stay unrolled (freely schedulable slices)
-    rolled = len(grid) > 32
     fold = cfg.norm == "batch"
     if fold:
         # inference-mode BN folds exactly into the conv weights — removes
@@ -149,30 +189,13 @@ def make_frame_inferrer(
         x = _normalize(frame, tc)
         if any(edge_pad):
             x = jnp.pad(x, [(0, d) for d in edge_pad] + [(0, 0)], mode=pad_mode)
-        extract = tiling.extract_patches_scan if rolled else tiling.extract_patches
-        patches = extract(x, grid, tc.patch)  # (T, *patch, C)
-
         def forward(batch):
             logits, _ = unet.apply(cfg, params, state, batch, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
-        t = patches.shape[0]
-        if tc.patch_batch is None or tc.patch_batch >= t:
-            probs_patches = forward(patches)
-        else:
-            # chunked patch batches via lax.map to bound peak HBM
-            b = tc.patch_batch
-            pad = (-t) % b
-            padded = jnp.concatenate(
-                [patches, jnp.zeros((pad,) + patches.shape[1:], patches.dtype)]
-            )
-            chunks = padded.reshape((padded.shape[0] // b, b) + patches.shape[1:])
-            probs_patches = jax.lax.map(forward, chunks).reshape(
-                (-1,) + tc.patch + (cfg.num_classes,)
-            )[:t]
-
-        stitch = tiling.stitch_patches_scan if rolled else tiling.stitch_patches
-        probs = stitch(probs_patches, grid, padded_spatial, tc.overlap, tc.window)
+        probs = tiled_apply(
+            forward, x, grid, padded_spatial, tc, cfg.num_classes
+        )
         if any(edge_pad):
             probs = probs[tuple(slice(0, s) for s in frame_spatial)]
         labels = jnp.argmax(probs, axis=-1).astype(jnp.dtype(tc.labels_dtype))

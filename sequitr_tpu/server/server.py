@@ -100,12 +100,16 @@ class ImageServer:
             # graphs it has served before (SURVEY.md §5 failure recovery)
             import jax
 
-            path = os.path.expanduser(config.compilation_cache_dir)
-            os.makedirs(path, exist_ok=True)
             try:
+                path = os.path.expanduser(config.compilation_cache_dir)
+                os.makedirs(path, exist_ok=True)
                 jax.config.update("jax_compilation_cache_dir", path)
-            except Exception:  # pragma: no cover - config name drift
-                log.warning("could not enable the XLA compilation cache")
+            except Exception:
+                # never refuse to start over the (optional) cache — e.g. a
+                # read-only HOME, a file squatting the path, or config drift
+                log.warning(
+                    "could not enable the XLA compilation cache", exc_info=True
+                )
 
     def run_forever(self) -> None:  # pragma: no cover - interactive loop
         log.info("server watching %s (pipelines: %s)", self.config.jobs_dir, self.registry.names())
@@ -530,9 +534,16 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     def enhance_one(frame):
         x = infer_lib._normalize(frame[..., None], tc)
-        patches = tiling.extract_patches(x, grid, tc.patch)
-        out, _ = gan_lib.generator_apply(cfg, params, state, patches)
-        return tiling.stitch_patches(out, grid, spatial, tc.overlap, tc.window)[..., 0]
+
+        def forward(batch):
+            out, _ = gan_lib.generator_apply(cfg, params, state, batch)
+            return out
+
+        # shared tiling machinery with segmentation: rolled scan forms for
+        # giant grids + patch_batch HBM bounding (infer_lib.tiled_apply)
+        return infer_lib.tiled_apply(
+            forward, x, grid, spatial, tc, cfg.out_channels
+        )[..., 0]
 
     from sequitr_tpu.utils import PhaseTimer
 

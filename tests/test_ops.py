@@ -341,3 +341,22 @@ class TestTilingEdgeCases:
 
         with pytest.raises(ValueError):
             ops.tile_offsets(64, 16, 16)
+
+
+class TestAugmentChannelless:
+    def test_augment_example_2d_channelless(self):
+        """(H, W) images without a channel axis are accepted (code-review
+        regression: the quad-warp rewrite briefly required a channel axis)."""
+        key = jax.random.PRNGKey(20)
+        img = jnp.ones((16, 16))
+        lab = jnp.zeros((16, 16), jnp.int32)
+        w = jnp.ones((16, 16))
+        oi, ol, ow = ops.augment_example(key, img, lab, w)
+        assert oi.shape == (16, 16) and ol.shape == (16, 16)
+        assert ow.shape == (16, 16)
+
+    def test_augment_example_3d_channelless(self):
+        key = jax.random.PRNGKey(21)
+        img = jnp.ones((4, 16, 16))
+        oi, _, _ = ops.augment_example(key, img, dims=3)
+        assert oi.shape == (4, 16, 16)

@@ -57,3 +57,18 @@ class TestPallasHistogram:
         ref = normalize.percentile_normalize(vol)
         assert out.shape == vol.shape
         assert float(np.max(np.abs(np.asarray(out) - np.asarray(ref)))) < 0.02
+
+    def test_quantiles_non_chunk_multiple_width(self):
+        """Widths in 257..1023 that are not 256-multiples (e.g. 480, 640)
+        must pad to the kernel's chunk multiple, not crash (code-review
+        regression: pad modulus was 1024, kernel chunk is 256)."""
+        import numpy as np
+
+        from sequitr_tpu.ops.pallas import pallas_quantiles
+
+        for w in (480, 640, 257):
+            rng = np.random.default_rng(w)
+            x = rng.random((8, w)).astype(np.float32)
+            q = pallas_quantiles(x, [0.05, 0.995], interpret=True)
+            ref = np.quantile(x, [0.05, 0.995])
+            assert np.max(np.abs(np.asarray(q) - ref)) < 0.01, w

@@ -249,3 +249,44 @@ class TestDataParallel:
         # between the sharded and unsharded reductions legitimately flips
         # low-magnitude update signs. Loss equality is the DP invariant.
         assert int(s1b.step) == int(s2b.step) == 1
+
+
+class TestTiledApply:
+    """Shared tiling machinery (infer.tiled_apply) — both serving paths."""
+
+    def _run(self, patch_batch):
+        from sequitr_tpu.ops import tiling
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.random((48, 48, 1)).astype(np.float32))
+        tc = infer_lib.TileConfig(
+            patch=(8, 8), overlap=(4, 4), patch_batch=patch_batch
+        )
+        grid = tiling.tile_grid((48, 48), tc.patch, tc.overlap)
+        assert len(grid) > 32  # exercises the rolled scan forms
+
+        def forward(batch):  # cheap stand-in network, shape-preserving
+            return batch * 2.0 + 1.0
+
+        return grid, np.asarray(
+            infer_lib.tiled_apply(forward, x, grid, (48, 48), tc, 1)
+        ), np.asarray(x)
+
+    def test_rolled_chunked_matches_dense(self):
+        """Rolled + default-chunked output == the plain unrolled pipeline
+        (code-review: enhancement_gan previously bypassed the rolled forms
+        and materialized every patch activation at once)."""
+        from sequitr_tpu.ops import tiling
+
+        grid, out, x = self._run(patch_batch=None)
+        patches = tiling.extract_patches(jnp.asarray(x), grid, (8, 8))
+        ref = np.asarray(
+            tiling.stitch_patches(patches * 2.0 + 1.0, grid, (48, 48), (4, 4), "hann")
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_explicit_patch_batch_matches(self):
+        _, a, _ = self._run(patch_batch=None)
+        _, b, _ = self._run(patch_batch=3)
+        np.testing.assert_allclose(a, b, atol=1e-5)

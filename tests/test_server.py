@@ -1253,3 +1253,20 @@ class TestModelForwardCompat:
         kind, cfg2, params2, _ = load_model(str(tmp_path), "fwd")
         assert kind == "unet" and cfg2 == cfg
         assert any("frobnication_mode" in r.message for r in caplog.records)
+
+    def test_server_starts_with_unusable_cache_dir(self, tmp_path, caplog):
+        """An unwritable/occupied compilation cache path must degrade to a
+        warning, never block server startup (the cache is an optimization)."""
+        from sequitr_tpu.config import ServerConfiguration
+        from sequitr_tpu.server import ImageServer
+
+        squatter = tmp_path / "cachefile"
+        squatter.write_text("not a directory")
+        cfg = ServerConfiguration(
+            jobs_dir=str(tmp_path / "jobs"),
+            models_dir=str(tmp_path / "models"),
+            compilation_cache_dir=str(squatter),  # a FILE, makedirs fails
+        )
+        srv = ImageServer(cfg)  # must not raise
+        assert srv.poll_once() is False
+        assert any("compilation cache" in r.message for r in caplog.records)
