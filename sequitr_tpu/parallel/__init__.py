@@ -3,6 +3,7 @@
 from sequitr_tpu.parallel import spatial  # noqa: F401
 from sequitr_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    make_mesh2d,
     replicated,
     batch_sharded,
     shard_batch,

@@ -42,6 +42,16 @@ def make_mesh(
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_mesh2d(
+    shape: tuple,
+    axis_names: tuple = ("data", "space"),
+) -> Mesh:
+    """2-D mesh, e.g. (2, 4) = 2-way data x 4-way spatial (hybrid serving)."""
+    n = int(np.prod(shape))
+    devs = np.asarray(jax.devices()[:n]).reshape(shape)
+    return Mesh(devs, axis_names)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

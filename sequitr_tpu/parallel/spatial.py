@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sequitr_tpu.models import unet
 from sequitr_tpu.models.unet import _conv, _conv_transpose
 
-__all__ = ["spatial_unet2d_infer"]
+__all__ = ["spatial_unet2d_infer", "hybrid_unet2d_infer"]
 
 
 def _neighbor_rows(x: jnp.ndarray, axis_name: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -81,50 +81,8 @@ def _maxpool_rows(x):
     return jnp.max(x, axis=(1, 3))
 
 
-def spatial_unet2d_infer(
-    cfg: unet.UNetConfig,
-    params,
-    state,
-    mesh: Mesh,
-    frame_spatial: Tuple[int, int],
-    axis_name: str = "data",
-):
-    """Build ``fn(params, state, frame) -> (probs, labels)``, H-sharded.
-
-    ``frame``: (H, W) float32, already normalized (run percentile
-    normalization beforehand — it is global-reduction work that XLA handles
-    well unsharded, or shard it separately). Output matches the unsharded
-    ``unet.apply`` exactly (f32 compute) up to float reassociation.
-    """
-    if cfg.dims != 2:
-        raise ValueError("spatial sharding is 2D-only")
-    if cfg.space_to_depth > 1:
-        # local_forward feeds raw single-channel rows into the encoder; an
-        # s2d config expects in_channels*s^2 at H/s — not wired up here
-        raise NotImplementedError(
-            "spatial sharding does not support space_to_depth (fast) configs"
-        )
-    n = mesh.devices.size
-    h, w = frame_spatial
-    if h % n:
-        raise ValueError(f"H={h} not divisible by {n} devices")
-    h_loc = h // n
-    if h_loc % cfg.min_input_multiple:
-        raise ValueError(
-            f"H/device={h_loc} not divisible by {cfg.min_input_multiple}"
-        )
-    pool = 2 ** (cfg.depth - 1)
-    if w % pool:
-        # W is unsharded but still pooled depth-1 times locally
-        raise ValueError(f"W={w} not divisible by pool factor {pool}")
-    if cfg.upsample != "transpose":
-        raise NotImplementedError("spatial sharding supports transpose upsampling")
-
-    # fold BN so the sharded graph is pure conv/relu
-    if cfg.norm == "batch":
-        run_cfg, fold = cfg, True
-    else:
-        run_cfg, fold = cfg, False
+def _make_local_forward(cfg: unet.UNetConfig, run_cfg, axis_name: str):
+    """Per-shard U-Net forward over (H_loc, W) rows with halo-exchange convs."""
 
     def local_forward(params_l, x_local):
         # x_local: (H_loc, W) -> add channel
@@ -145,6 +103,60 @@ def spatial_unet2d_infer(
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
         return probs, labels
+
+    return local_forward
+
+
+def _validate_spatial(cfg: unet.UNetConfig, n: int, frame_spatial):
+    if cfg.dims != 2:
+        raise ValueError("spatial sharding is 2D-only")
+    if cfg.space_to_depth > 1:
+        # local_forward feeds raw single-channel rows into the encoder; an
+        # s2d config expects in_channels*s^2 at H/s — not wired up here
+        raise NotImplementedError(
+            "spatial sharding does not support space_to_depth (fast) configs"
+        )
+    h, w = frame_spatial
+    if h % n:
+        raise ValueError(f"H={h} not divisible by {n} devices")
+    h_loc = h // n
+    if h_loc % cfg.min_input_multiple:
+        raise ValueError(
+            f"H/device={h_loc} not divisible by {cfg.min_input_multiple}"
+        )
+    pool = 2 ** (cfg.depth - 1)
+    if w % pool:
+        # W is unsharded but still pooled depth-1 times locally
+        raise ValueError(f"W={w} not divisible by pool factor {pool}")
+    if cfg.upsample != "transpose":
+        raise NotImplementedError("spatial sharding supports transpose upsampling")
+
+
+def spatial_unet2d_infer(
+    cfg: unet.UNetConfig,
+    params,
+    state,
+    mesh: Mesh,
+    frame_spatial: Tuple[int, int],
+    axis_name: str = "data",
+):
+    """Build ``fn(params, state, frame) -> (probs, labels)``, H-sharded.
+
+    ``frame``: (H, W) float32, already normalized (run percentile
+    normalization beforehand — it is global-reduction work that XLA handles
+    well unsharded, or shard it separately). Output matches the unsharded
+    ``unet.apply`` exactly (f32 compute) up to float reassociation.
+    """
+    n = mesh.devices.size
+    _validate_spatial(cfg, n, frame_spatial)
+
+    # fold BN so the sharded graph is pure conv/relu
+    if cfg.norm == "batch":
+        run_cfg, fold = cfg, True
+    else:
+        run_cfg, fold = cfg, False
+
+    local_forward = _make_local_forward(cfg, run_cfg, axis_name)
 
     sharded = shard_map(
         local_forward,
@@ -175,5 +187,72 @@ def spatial_unet2d_infer(
         state_in = jax.device_put(state_in, rep)
         frame = jax.device_put(frame, row_sharded)
         return _fn(params_in, state_in, frame)
+
+    return fn
+
+
+def hybrid_unet2d_infer(
+    cfg: unet.UNetConfig,
+    params,
+    state,
+    mesh: Mesh,
+    frame_spatial: Tuple[int, int],
+    batch: int,
+    data_axis: str = "data",
+    space_axis: str = "space",
+):
+    """Build ``fn(params, state, frames) -> (probs, labels)`` on a 2D mesh.
+
+    Composed parallelism for timelapse serving of giant frames: the frame
+    BATCH is data-parallel over ``data_axis`` while each frame's rows are
+    spatially sharded over ``space_axis`` — e.g. 8 chips = 2 frames in
+    flight x 4-way halo-exchange within each (DP x CP-for-images; the
+    reference has neither — SURVEY.md §2 'Parallelism strategies'
+    extension). ``frames``: (batch, H, W) float32, already normalized.
+    Exactly equal to the unsharded per-frame forward, like
+    ``spatial_unet2d_infer`` (same local kernel, vmapped over the local
+    batch; ppermute halos move only within each data slice).
+    """
+    d = mesh.shape[data_axis]
+    s = mesh.shape[space_axis]
+    _validate_spatial(cfg, s, frame_spatial)
+    if batch % d:
+        raise ValueError(f"batch={batch} not divisible by {d} data shards")
+
+    run_cfg, fold = cfg, cfg.norm == "batch"
+    local_forward = _make_local_forward(cfg, run_cfg, space_axis)
+
+    def local_batch(params_l, x_local):  # x_local: (B_loc, H_loc, W)
+        return jax.vmap(local_forward, in_axes=(None, 0))(params_l, x_local)
+
+    sharded = shard_map(
+        local_batch,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis, space_axis, None)),
+        out_specs=(
+            P(data_axis, space_axis, None, None),
+            P(data_axis, space_axis, None),
+        ),
+        check_rep=False,
+    )
+
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    sharded_in = NamedSharding(mesh, P(data_axis, space_axis, None))
+
+    @jax.jit
+    def _fn(params_in, state_in, frames):
+        if fold:
+            _, p_run, _ = unet.fold_batchnorm(cfg, params_in, state_in)
+        else:
+            p_run = params_in
+        return sharded(p_run, frames)
+
+    def fn(params_in, state_in, frames):
+        params_in = jax.device_put(params_in, rep)
+        state_in = jax.device_put(state_in, rep)
+        frames = jax.device_put(frames, sharded_in)
+        return _fn(params_in, state_in, frames)
 
     return fn

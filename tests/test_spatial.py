@@ -72,3 +72,43 @@ class TestSpatialSharding:
         mesh = parallel.make_mesh()
         with pytest.raises(NotImplementedError):
             spatial.spatial_unet2d_infer(cfg, params, state, mesh, (64, 32))
+
+
+class TestHybridSharding:
+    def test_hybrid_matches_per_frame_apply(self):
+        """DP x spatial on a (2, 4) mesh == the unsharded per-frame forward
+        (composed parallelism: 2 frames in flight, 4-way halo exchange)."""
+        from sequitr_tpu.parallel.mesh import make_mesh2d
+
+        cfg = _cfg()
+        params, state = unet.init(jax.random.PRNGKey(3), cfg)
+        state = jax.tree.map(
+            lambda a: a
+            + 0.05 * np.random.default_rng(4).random(a.shape).astype(np.float32),
+            state,
+        )
+        frames = jnp.asarray(
+            np.random.default_rng(5).normal(size=(4, 32, 16)).astype(np.float32)
+        )
+        ref_logits, _ = unet.apply(cfg, params, state, frames[..., None])
+        ref_probs = jax.nn.softmax(ref_logits, axis=-1)
+
+        mesh = make_mesh2d((2, 4))
+        fn = spatial.hybrid_unet2d_infer(cfg, params, state, mesh, (32, 16), batch=4)
+        probs, labels = fn(params, state, frames)
+        assert probs.shape == ref_probs.shape
+        assert float(jnp.max(jnp.abs(probs - ref_probs))) < 1e-5
+        np.testing.assert_array_equal(
+            np.asarray(labels), np.asarray(jnp.argmax(ref_probs, -1))
+        )
+
+    def test_hybrid_validates_batch(self):
+        from sequitr_tpu.parallel.mesh import make_mesh2d
+
+        cfg = _cfg(norm="none")
+        params, state = unet.init(jax.random.PRNGKey(6), cfg)
+        mesh = make_mesh2d((2, 4))
+        with pytest.raises(ValueError, match="batch"):
+            spatial.hybrid_unet2d_infer(
+                cfg, params, state, mesh, (32, 16), batch=3
+            )
