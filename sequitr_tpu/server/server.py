@@ -8,9 +8,10 @@ communicate only via the filesystem — the reference's public contract.
 
 Built-in pipelines (registry keys are the rebuild's documented API):
   * ``segmentation_unet2d`` / ``segmentation_unet3d`` — tiled sliding-window
-    segmentation of a TIFF stack (options: data_parallel, spatial_parallel,
-    save_probs, localize); writes label-map TIFF, probability TIFF and
-    btrack HDF5 localizations.
+    segmentation of a TIFF stack (options: data_parallel, spatial_parallel
+    — true = all chips per frame, int S = S-way spatial x n/S-way data
+    hybrid — save_probs, localize); writes label-map TIFF, probability
+    TIFF and btrack HDF5 localizations.
   * ``enhancement_gan`` — pix2pix generator pass over a TIFF stack.
   * ``build_records`` / ``build_gan_pairs`` — training-shard builders
     (normalization + U-Net weight maps at record-creation time; 2D frames
@@ -601,20 +602,52 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
         raise jobs_lib.JobError(
             "spatial_parallel does not support multi-channel stacks"
         )
-    if job_params.get("spatial_parallel") and jax.device_count() > 1:
-        # one huge frame sharded across chips (halo exchange, exact result);
-        # use when a single frame exceeds one chip's HBM (SURVEY.md §5)
+    sp = job_params.get("spatial_parallel")
+    if sp and jax.device_count() > 1:
+        # huge frames sharded across chips (halo exchange, exact result);
+        # use when a single frame exceeds one chip's HBM (SURVEY.md §5).
+        # ``true`` = all chips on one frame at a time; an integer S = S-way
+        # spatial x (n/S)-way data-parallel HYBRID — S chips split each
+        # frame while n/S frames run concurrently (timelapse of giants)
         import jax.numpy as jnp
 
         from sequitr_tpu import parallel
         from sequitr_tpu.parallel import spatial as spatial_lib
 
-        mesh = parallel.make_mesh()
-        sp_fn = spatial_lib.spatial_unet2d_infer(cfg, params, state, mesh, spatial)
+        n_dev = jax.device_count()
+        s_ways = n_dev if sp is True else int(sp)
+        if s_ways < 2 or n_dev % s_ways:
+            raise jobs_lib.JobError(
+                f"spatial_parallel={sp!r} must be >=2 and divide the "
+                f"{n_dev} available devices"
+            )
+        d_ways = n_dev // s_ways
+
+        def norm(frame):
+            return infer_lib._normalize(jnp.asarray(frame)[..., None], tc)[..., 0]
+
         results = []
+        if d_ways > 1 and len(stack) > 1:
+            mesh2 = parallel.make_mesh2d((d_ways, s_ways))
+            hy_fn = spatial_lib.hybrid_unet2d_infer(
+                cfg, params, state, mesh2, spatial, batch=d_ways
+            )
+            for start in range(0, len(stack), d_ways):
+                chunk = stack[start : start + d_ways]
+                pad = d_ways - len(chunk)
+                if pad:
+                    chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+                frames_n = jnp.stack([norm(f) for f in chunk])
+                probs, labels = hy_fn(params, state, frames_n)
+                for k in range(len(chunk) - pad):
+                    results.append(
+                        infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
+                    )
+            return results
+        mesh = parallel.make_mesh(s_ways)
+        sp_fn = spatial_lib.spatial_unet2d_infer(cfg, params, state, mesh, spatial)
         for frame in stack:
-            frame_n = infer_lib._normalize(jnp.asarray(frame)[..., None], tc)[..., 0]
-            probs, labels = sp_fn(params, state, frame_n)
+            probs, labels = sp_fn(params, state, norm(frame))
             results.append(infer_lib.InferenceResult(probs=probs, labels=labels))
         return results
     if job_params.get("data_parallel") and jax.device_count() > 1:

@@ -1178,6 +1178,44 @@ class TestDataParallelServing:
             outs[name] = tiff.read_stack(status["outputs"]["labels"])
         np.testing.assert_array_equal(outs["serial"], outs["spatial"])
 
+    def test_hybrid_spatial_parallel_serving(self, server_env):
+        """spatial_parallel=S (int) = S-way spatial x n/S-way data hybrid;
+        labels must match the serial path exactly."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(2), net_cfg)
+        save_model(cfg_srv.models_dir, "hy_seg", "unet", net_cfg, params, state)
+
+        # H=32 divisible by 4 spatial ways * min_input_multiple 2; 3 frames
+        # exercise the padded tail chunk (2-way data axis)
+        stack = (np.random.default_rng(8).random((3, 32, 16)) * 900).astype(np.float32)
+        stack_path = str(tmp / "hy.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, sp in (("serial", False), ("hybrid", 4)):
+            out_dir = str(tmp / f"hy_out_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {
+                    "module": "segmentation_unet2d",
+                    "params": {"model": "hy_seg", "patch": [32, 16],
+                               "overlap": [0, 0], "localize": False,
+                               "spatial_parallel": sp},
+                    "input": [stack_path],
+                    "output": out_dir,
+                },
+            )
+            assert srv.poll_once()
+            status = json.load(open(os.path.join(out_dir, "status.json")))
+            assert status["state"] == "complete", status.get("error")
+            outs[name] = tiff.read_stack(status["outputs"]["labels"])
+        np.testing.assert_array_equal(outs["serial"], outs["hybrid"])
+
+
 
 class TestQueueSemantics:
     def test_jobs_claimed_oldest_first(self, server_env):
