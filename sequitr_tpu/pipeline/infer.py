@@ -79,15 +79,16 @@ def _normalize(frame: jnp.ndarray, tc: TileConfig) -> jnp.ndarray:
             frame, tc.p_lo, tc.p_hi, channel_axis=per_channel
         )
     if mode == "auto":
+        # 2D frames and 3D volumes, any channel count: the histogram kernel
+        # is row-layout-agnostic (per-frame percentiles over the pixel
+        # multiset) and vmaps over channels in one launch
         on_tpu = jax.default_backend() == "tpu"
-        # single-channel 2D frames AND 3D volumes: the histogram kernel is
-        # row-layout-agnostic (per-frame percentiles over the pixel multiset)
-        mode = (
-            "pallas"
-            if (on_tpu and frame.ndim in (3, 4) and frame.shape[-1] == 1)
-            else "fast"
-        )
+        mode = "pallas" if (on_tpu and frame.ndim in (3, 4)) else "fast"
     if mode == "pallas":
+        if per_channel:
+            return norm_ops.percentile_normalize_pallas(
+                frame, tc.p_lo, tc.p_hi, channel_axis=True
+            )
         out = norm_ops.percentile_normalize_pallas(frame[..., 0], tc.p_lo, tc.p_hi)
         return out[..., None]
     return norm_ops.percentile_normalize_fast(

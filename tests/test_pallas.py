@@ -72,3 +72,23 @@ class TestPallasHistogram:
             q = pallas_quantiles(x, [0.05, 0.995], interpret=True)
             ref = np.quantile(x, [0.05, 0.995])
             assert np.max(np.abs(np.asarray(q) - ref)) < 0.01, w
+
+    def test_normalize_pallas_multichannel(self):
+        """channel_axis=True: per-channel percentiles, one vmapped launch —
+        must match the exact per-channel path within one-bin tolerance."""
+        import numpy as np
+
+        from sequitr_tpu.ops import normalize
+
+        rng = np.random.default_rng(11)
+        # channels with wildly different scales (different fluorophores)
+        x = np.stack(
+            [rng.gamma(2.0, 1.0, (32, 64)), rng.gamma(2.0, 500.0, (32, 64))],
+            axis=-1,
+        ).astype(np.float32)
+        out = normalize.percentile_normalize_pallas(
+            x, interpret=True, channel_axis=True
+        )
+        ref = normalize.percentile_normalize(x, channel_axis=True)
+        assert out.shape == x.shape
+        assert float(np.max(np.abs(np.asarray(out) - np.asarray(ref)))) < 0.02

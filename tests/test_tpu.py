@@ -53,6 +53,24 @@ class TestPallasOnChip:
 
 
 class TestFusedInferenceBf16:
+    def test_normalize_pallas_multichannel_compiled(self):
+        """The vmapped (channel-grid) Mosaic lowering of the histogram
+        kernel compiles and matches the exact path on the chip."""
+        import numpy as np
+
+        from sequitr_tpu.ops import normalize
+
+        rng = np.random.default_rng(12)
+        x = np.stack(
+            [rng.gamma(2.0, 1.0, (256, 256)), rng.gamma(2.0, 500.0, (256, 256))],
+            axis=-1,
+        ).astype(np.float32)
+        out = np.asarray(
+            normalize.percentile_normalize_pallas(x, channel_axis=True)
+        )
+        ref = np.asarray(normalize.percentile_normalize(x, channel_axis=True))
+        assert np.max(np.abs(out - ref)) < 0.02
+
     def test_tiled_1024_vs_cpu_f32_golden(self):
         """North-star graph in bf16 on the chip vs f32 on the CPU backend.
 
