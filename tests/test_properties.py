@@ -1,0 +1,119 @@
+"""Seeded property tests: randomized round-trip invariants.
+
+The unit suites pin specific shapes; these sweep randomized configurations
+of the load-bearing invariants (codec exactness, tile->stitch identity,
+augmentation determinism) so shape-dependent edge cases (odd sizes,
+non-divisible grids, tiny frames) can't regress silently.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from sequitr_tpu.data import records, tiff  # noqa: E402
+from sequitr_tpu.ops import augment, tiling  # noqa: E402
+
+
+class TestTiffRoundTrip:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_stack_exact(self, tmp_path, seed):
+        rng = np.random.default_rng(seed)
+        t = int(rng.integers(1, 4))
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        dtype = rng.choice([np.uint8, np.uint16, np.float32])
+        if dtype == np.float32:
+            stack = rng.normal(size=(t, h, w)).astype(np.float32)
+        else:
+            stack = rng.integers(0, np.iinfo(dtype).max, (t, h, w)).astype(dtype)
+        path = str(tmp_path / f"s{seed}.tif")
+        tiff.write_stack(path, stack)
+        back = np.asarray(tiff.read_stack(path))
+        assert back.dtype == stack.dtype, (seed, stack.shape, dtype)
+        np.testing.assert_array_equal(back.reshape(stack.shape), stack)
+
+
+class TestRecordsRoundTrip:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_examples_exact(self, tmp_path, seed):
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(1, 5))
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        c = int(rng.choice([1, 2, 3]))
+        exs = []
+        for _ in range(n):
+            img = rng.normal(size=(h, w, c)).astype(np.float32)
+            img = img[..., 0] if c == 1 else img
+            lab = rng.integers(0, 5, (h, w)).astype(np.int32)
+            wm = rng.random((h, w)).astype(np.float32)
+            exs.append(records.SegExample(img, lab, wm))
+        paths = records.write_segmentation_shards(
+            str(tmp_path / "t"), exs, shard_size=int(rng.integers(1, n + 1))
+        )
+        back = list(records.read_segmentation_examples(paths))
+        assert len(back) == n
+        for a, b in zip(exs, back):
+            img_a = a.image if a.image.ndim == 3 else a.image[..., None]
+            img_b = b.image if b.image.ndim == 3 else b.image[..., None]
+            np.testing.assert_array_equal(img_b, img_a)
+            np.testing.assert_array_equal(b.labels, a.labels)
+            np.testing.assert_array_equal(b.weights, a.weights)
+
+
+class TestTileStitchIdentity:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_constant_field_identity_2d(self, seed):
+        """Stitching softmax-like patches of a constant field reproduces the
+        field for ANY (frame, patch, overlap) combination — the invariant
+        the weighted blend is built on."""
+        rng = np.random.default_rng(200 + seed)
+        ph = int(rng.choice([8, 16, 24]))
+        pw = int(rng.choice([8, 16, 24]))
+        h = ph + int(rng.integers(0, 33))
+        w = pw + int(rng.integers(0, 33))
+        oy = int(rng.integers(0, ph // 2 + 1))
+        ox = int(rng.integers(0, pw // 2 + 1))
+        grid = tiling.tile_grid((h, w), (ph, pw), (oy, ox))
+        field = jnp.asarray(rng.random((h, w, 3)).astype(np.float32))
+        patches = tiling.extract_patches(field, grid, (ph, pw))
+        out = tiling.stitch_patches(patches, grid, (h, w), (oy, ox), "hann")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(field), atol=1e-5,
+            err_msg=f"h={h} w={w} patch=({ph},{pw}) ov=({oy},{ox})",
+        )
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_scan_forms_match_unrolled(self, seed):
+        rng = np.random.default_rng(300 + seed)
+        h = w = 40
+        grid = tiling.tile_grid((h, w), (8, 8), (4, 4))
+        field = jnp.asarray(rng.random((h, w, 2)).astype(np.float32))
+        pa = tiling.extract_patches(field, grid, (8, 8))
+        pb = tiling.extract_patches_scan(field, grid, (8, 8))
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=0)
+        sa = tiling.stitch_patches(pa, grid, (h, w), (4, 4), "hann")
+        sb = tiling.stitch_patches_scan(pa, grid, (h, w), (4, 4), "hann")
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-6)
+
+
+class TestAugmentProperties:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_deterministic_and_label_preserving(self, seed):
+        rng = np.random.default_rng(400 + seed)
+        h = int(rng.choice([16, 24, 32]))
+        key = jax.random.PRNGKey(seed)
+        img = jnp.asarray(rng.random((h, h, 1)).astype(np.float32))
+        lab = jnp.asarray(rng.integers(0, 3, (h, h)).astype(np.int32))
+        wm = jnp.asarray(rng.random((h, h)).astype(np.float32) + 0.5)
+        a = augment.augment_example(key, img, lab, wm)
+        b = augment.augment_example(key, img, lab, wm)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # labels stay in the input's value set (NN resample, no blending)
+        assert set(np.unique(np.asarray(a[1]))) <= set(np.unique(np.asarray(lab)))
+        # weights stay within the input range (convex bilinear combination)
+        assert float(jnp.min(a[2])) >= float(jnp.min(wm)) - 1e-5
+        assert float(jnp.max(a[2])) <= float(jnp.max(wm)) + 1e-5
