@@ -212,12 +212,42 @@ def bench_fast(device_kind: str, iters: int):
             "unit": "frames/sec/chip"}
 
 
+def bench_gan_train(device_kind: str, iters: int):
+    """Config #5a training: alternating D/G pix2pix step (adv + L1)."""
+    import jax
+    import jax.numpy as jnp
+    from sequitr_tpu.models import gan as gan_lib
+    from sequitr_tpu.pipeline import train as train_lib
+
+    cfg = gan_lib.GANConfig(compute_dtype=_dtype(device_kind))
+    tc = train_lib.TrainConfig(learning_rate=2e-4, beta1=0.5)
+    state = train_lib.create_gan_state(jax.random.PRNGKey(0), cfg, tc)
+    step = train_lib.make_gan_train_step(cfg, tc)
+    rng = np.random.default_rng(0)
+    b, s = 8, 256
+    batch = {
+        "input": jnp.asarray(rng.random((b, s, s, 1)).astype(np.float32)),
+        "target": jnp.asarray(rng.random((b, s, s, 1)).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(1)
+    holder = {"state": state}
+
+    def one():
+        holder["state"], metrics = step(holder["state"], batch, key)
+        return metrics["g_loss"]
+
+    sps = _rate(one, iters)
+    return {"metric": "gan_train_step_256px_b8", "value": round(sps * b, 3),
+            "unit": "pairs/sec/chip"}
+
+
 CONFIGS = {
     "inference": bench_inference,
     "timelapse": bench_timelapse,
     "train": bench_train,
     "unet3d": bench_unet3d,
     "gan": bench_gan,
+    "gantrain": bench_gan_train,
     "fast": bench_fast,
 }
 

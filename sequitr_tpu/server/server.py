@@ -1085,9 +1085,15 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         job.params, dims=3,
         frame_spatial=vol.shape, min_multiple=cfg.min_input_multiple,
     )
+    from sequitr_tpu.utils import PhaseTimer
+
+    timer = PhaseTimer()
+    t0 = time.time()
     fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(vol.shape))
-    probs, labels = fn(params, state, vol)
-    labels_np = np.asarray(labels)
+    with timer.phase("infer"):
+        probs, labels = fn(params, state, vol)
+    with timer.phase("fetch"):
+        labels_np = np.asarray(labels)
 
     outputs: Dict[str, str] = {}
     labels_path = os.path.join(job.output, "labels.tif")
@@ -1103,12 +1109,21 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
             f"pages=(Z={vol.shape[0]})*(K={probs_np.shape[-1]}), plane-major"
         )
     if job.params.get("localize", True):
-        objects = loc_lib.localize_volume(
-            labels_np, t=int(job.params.get("t", 0)), intensity=vol,
-            min_area=int(job.params.get("min_area", 1)),
-        )
-        h5_path = os.path.join(job.output, "objects.h5")
-        loc_lib.export_btrack_h5(h5_path, objects)
+        with timer.phase("localize"):
+            objects = loc_lib.localize_volume(
+                labels_np, t=int(job.params.get("t", 0)), intensity=vol,
+                min_area=int(job.params.get("min_area", 1)),
+            )
+            h5_path = os.path.join(job.output, "objects.h5")
+            loc_lib.export_btrack_h5(h5_path, objects)
         outputs["objects"] = h5_path
         outputs["n_objects"] = str(len(objects))
+    total_s = time.time() - t0
+    mvox = float(np.prod(vol.shape)) / 1e6
+    outputs["metrics"] = json.dumps(
+        dict(
+            timer.summary(), total_s=round(total_s, 4),
+            mvox_per_sec=round(mvox / max(total_s, 1e-9), 3),
+        )
+    )
     return outputs
