@@ -4,6 +4,9 @@ Commands (the operational surface of the reference's server scripts):
   serve   — run the watched-directory image server
   submit  — file a job JSON into a server's jobs directory
   status  — print a job's status marker
+  models  — list registered models
+  queue   — show pending/running/failed/rejected jobs
+  cancel  — remove a queued job before a server claims it
 """
 
 from __future__ import annotations
@@ -105,6 +108,12 @@ def main(argv=None) -> int:
     ap_queue = sub.add_parser("queue", help="show the job queue state")
     ap_queue.add_argument("--jobs-dir", default="./jobs")
 
+    ap_cancel = sub.add_parser(
+        "cancel", help="remove a QUEUED job before a server claims it"
+    )
+    ap_cancel.add_argument("--jobs-dir", default="./jobs")
+    ap_cancel.add_argument("job_id")
+
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
 
@@ -186,6 +195,25 @@ def main(argv=None) -> int:
         for n in rejected:
             print(f"  {n}")
         return 0
+
+    if args.cmd == "cancel":
+        import os
+
+        # cancellation uses the same atomicity as claiming: whoever renames
+        # the queued file first wins, so cancel can never yank a job out
+        # from under a server that already claimed it (it gets ENOENT and
+        # reports "already claimed" instead)
+        path = os.path.join(args.jobs_dir, f"job_{args.job_id}.json")
+        try:
+            os.rename(path, path + ".cancelled")
+            print(f"cancelled {args.job_id}")
+            return 0
+        except FileNotFoundError:
+            print(
+                f"{args.job_id}: not in the queue (already claimed, done, "
+                "or never submitted)", file=sys.stderr,
+            )
+            return 1
 
     return 1
 

@@ -47,17 +47,44 @@ class TrainConfig:
     augment: bool = True
     elastic_alpha: float = 20.0
     elastic_grid: int = 4
+    # learning-rate schedule (the reference trained with constant-LR Adam
+    # [K]; schedules are a rebuild extension). "constant" | "cosine" |
+    # "exponential"; cosine/exponential decay over ``lr_decay_steps`` to
+    # ``lr_end_factor`` * peak, optionally after a linear warmup.
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 0
+    lr_end_factor: float = 0.01
 
-    def make_optimizer(self) -> optax.GradientTransformation:
-        tx = [optax.clip_by_global_norm(self.grad_clip)] if self.grad_clip else []
-        if self.weight_decay:
-            tx.append(
-                optax.adamw(
-                    self.learning_rate, b1=self.beta1, weight_decay=self.weight_decay
-                )
+    def learning_rate_schedule(self):
+        """Scalar or optax schedule implementing the configured LR plan."""
+        peak = self.learning_rate
+        if self.lr_schedule == "constant":
+            if not self.lr_warmup_steps:
+                return peak
+            sched = optax.constant_schedule(peak)
+        elif self.lr_schedule == "cosine":
+            sched = optax.cosine_decay_schedule(
+                peak, max(1, self.lr_decay_steps), alpha=self.lr_end_factor
+            )
+        elif self.lr_schedule == "exponential":
+            sched = optax.exponential_decay(
+                peak, max(1, self.lr_decay_steps), self.lr_end_factor
             )
         else:
-            tx.append(optax.adam(self.learning_rate, b1=self.beta1))
+            raise ValueError(f"unknown lr_schedule {self.lr_schedule!r}")
+        if self.lr_warmup_steps:
+            warmup = optax.linear_schedule(0.0, peak, self.lr_warmup_steps)
+            sched = optax.join_schedules([warmup, sched], [self.lr_warmup_steps])
+        return sched
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        lr = self.learning_rate_schedule()
+        tx = [optax.clip_by_global_norm(self.grad_clip)] if self.grad_clip else []
+        if self.weight_decay:
+            tx.append(optax.adamw(lr, b1=self.beta1, weight_decay=self.weight_decay))
+        else:
+            tx.append(optax.adam(lr, b1=self.beta1))
         return optax.chain(*tx)
 
 

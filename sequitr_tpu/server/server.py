@@ -852,12 +852,17 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         raise jobs_lib.JobError(f"job {job.id}: no record shards found")
     p = job.params
     cfg = unet_config_from_params(p)
+    steps = int(p.get("steps", 1000))
     tc = train_lib.TrainConfig(
         learning_rate=float(p.get("learning_rate", 1e-4)),
         augment=bool(p.get("augment", True)),
+        lr_schedule=str(p.get("lr_schedule", "constant")),
+        lr_warmup_steps=int(p.get("lr_warmup_steps", 0)),
+        lr_decay_steps=int(p.get("lr_decay_steps", steps)),
+        lr_end_factor=float(p.get("lr_end_factor", 0.01)),
     )
     fc = fit_lib.FitConfig(
-        steps=int(p.get("steps", 1000)),
+        steps=steps,
         batch_size=int(p.get("batch_size", 8)),
         checkpoint_every=int(p.get("checkpoint_every", 500)),
         log_every=int(p.get("log_every", 50)),
@@ -865,6 +870,7 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         eval_every=int(p.get("eval_every", 0)),
         metrics_path=os.path.join(job.output, "metrics.jsonl"),
         dump_eval_images=bool(p.get("dump_eval_images", False)),
+        seed=int(p.get("seed", 0)),
     )
     ckpt_dir = os.path.join(job.output, "ckpts")
     init_state = None
@@ -977,11 +983,16 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         disc_base_features=int(p.get("disc_base_features", 64)),
         compute_dtype=jnp.dtype(p.get("compute_dtype", "bfloat16")),
     )
+    steps = int(p.get("steps", 1000))
     tc = train_lib.TrainConfig(
-        learning_rate=float(p.get("learning_rate", 2e-4)), beta1=0.5
+        learning_rate=float(p.get("learning_rate", 2e-4)), beta1=0.5,
+        lr_schedule=str(p.get("lr_schedule", "constant")),
+        lr_warmup_steps=int(p.get("lr_warmup_steps", 0)),
+        lr_decay_steps=int(p.get("lr_decay_steps", steps)),
+        lr_end_factor=float(p.get("lr_end_factor", 0.01)),
     )
     fc = fit_lib.FitConfig(
-        steps=int(p.get("steps", 1000)),
+        steps=steps,
         batch_size=int(p.get("batch_size", 4)),
         checkpoint_every=int(p.get("checkpoint_every", 500)),
         log_every=int(p.get("log_every", 50)),
@@ -989,6 +1000,7 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         eval_every=int(p.get("eval_every", 0)),
         metrics_path=os.path.join(job.output, "metrics.jsonl"),
         dump_eval_images=bool(p.get("dump_eval_images", False)),
+        seed=int(p.get("seed", 0)),
     )
     ckpt_dir = os.path.join(job.output, "ckpts")
     init_state = None

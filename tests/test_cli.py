@@ -145,3 +145,26 @@ class TestModelsQueueCommands:
         assert "pending:  1" in out and "job_p1.json" in out
         assert "running:  1" in out and "failed:   1" in out
         assert "rejected: 1" in out
+
+
+class TestCancelCommand:
+    def test_cancel_queued_job(self, tmp_path, capsys):
+        from sequitr_tpu.__main__ import main
+        from sequitr_tpu.server import scan_jobs, submit_job
+
+        jobs = str(tmp_path / "jobs")
+        jid = submit_job(jobs, {"module": "m", "output": str(tmp_path / "o")})
+        assert len(scan_jobs(jobs)) == 1
+        assert main(["cancel", "--jobs-dir", jobs, jid]) == 0
+        assert "cancelled" in capsys.readouterr().out
+        # the queue no longer offers it; the tombstone records the action
+        assert scan_jobs(jobs) == []
+        assert (tmp_path / "jobs" / f"job_{jid}.json.cancelled").exists()
+
+    def test_cancel_unknown_job_fails(self, tmp_path, capsys):
+        from sequitr_tpu.__main__ import main
+
+        jobs = str(tmp_path / "jobs")
+        os.makedirs(jobs)
+        assert main(["cancel", "--jobs-dir", jobs, "deadbeef"]) == 1
+        assert "not in the queue" in capsys.readouterr().err
