@@ -49,6 +49,10 @@ class FitConfig:
     # write the first holdout example's predicted label map alongside the
     # metrics file at each eval (TIFF) — the tf.summary image-dump analogue
     dump_eval_images: bool = False
+    # track the named eval metric (higher = better, e.g. "eval_miou" /
+    # "eval_psnr") and keep a "best" checkpoint alongside the periodic
+    # ones whenever it improves ("" = off; requires holdout_every)
+    keep_best_metric: str = ""
 
 
 class MetricsLogger:
@@ -134,6 +138,8 @@ def _run_loop(
     t0 = time.time()
     seen = 0
 
+    best = {"value": None}
+
     def run_eval(g):
         if eval_fn is None:
             return
@@ -141,6 +147,18 @@ def _run_loop(
         log.info("eval @ step %d: %s", g, " ".join(f"{k}={v:.4f}" for k, v in ev.items()))
         if logger:
             logger.write("eval", g, ev)
+        m = fc.keep_best_metric
+        if m and ckpt_dir:
+            if m not in ev:
+                raise ValueError(
+                    f"keep_best_metric={m!r} not among eval metrics {sorted(ev)}"
+                )
+            if best["value"] is None or ev[m] > best["value"]:
+                best["value"] = ev[m]
+                train_lib.save_checkpoint(os.path.join(ckpt_dir, "best"), state)
+                log.info("new best %s=%.4f @ step %d", m, ev[m], g)
+                if logger:
+                    logger.write("best", g, {m: ev[m]})
 
     try:
         for i, batch in enumerate(batches):

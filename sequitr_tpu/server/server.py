@@ -871,7 +871,15 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         metrics_path=os.path.join(job.output, "metrics.jsonl"),
         dump_eval_images=bool(p.get("dump_eval_images", False)),
         seed=int(p.get("seed", 0)),
+        keep_best_metric=(
+            str(p.get("keep_best_metric", "eval_miou"))
+            if p.get("keep_best") else ""
+        ),
     )
+    if fc.keep_best_metric and not fc.holdout_every:
+        raise jobs_lib.JobError(
+            "keep_best requires holdout_every > 0 (no eval metric to track)"
+        )
     ckpt_dir = os.path.join(job.output, "ckpts")
     init_state = None
     ckpt = fit_lib.latest_checkpoint(ckpt_dir) if p.get("resume", True) else None
@@ -904,6 +912,10 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir, init_state=init_state,
         mesh=_train_mesh(p, fc.batch_size), distill=distill,
     )
+    best_path = os.path.join(ckpt_dir, "best")
+    if fc.keep_best_metric and os.path.isdir(best_path):
+        # register the checkpoint with the best holdout metric, not the last
+        state = train_lib.restore_checkpoint(best_path, state)
     model_dir = save_model(
         config.models_dir, _require_param(job, "model"), "unet", cfg,
         state.params, state.model_state
@@ -1001,7 +1013,15 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         metrics_path=os.path.join(job.output, "metrics.jsonl"),
         dump_eval_images=bool(p.get("dump_eval_images", False)),
         seed=int(p.get("seed", 0)),
+        keep_best_metric=(
+            str(p.get("keep_best_metric", "eval_psnr"))
+            if p.get("keep_best") else ""
+        ),
     )
+    if fc.keep_best_metric and not fc.holdout_every:
+        raise jobs_lib.JobError(
+            "keep_best requires holdout_every > 0 (no eval metric to track)"
+        )
     ckpt_dir = os.path.join(job.output, "ckpts")
     init_state = None
     ckpt = fit_lib.latest_checkpoint(ckpt_dir) if p.get("resume", True) else None
@@ -1016,6 +1036,9 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         l1_weight=float(p.get("l1_weight", 100.0)),
         mesh=_train_mesh(p, fc.batch_size),
     )
+    best_path = os.path.join(ckpt_dir, "best")
+    if fc.keep_best_metric and os.path.isdir(best_path):
+        state = train_lib.restore_checkpoint(best_path, state)
     model_dir = save_model(
         config.models_dir, _require_param(job, "model"), "gan", cfg,
         state.params, state.model_state

@@ -39,7 +39,7 @@ class TestFitUnet:
         tc = train_lib.TrainConfig(learning_rate=3e-3, augment=False)
         fc = fit_lib.FitConfig(steps=40, batch_size=4, log_every=20, checkpoint_every=1000)
         state = fit_lib.fit_unet(cfg, tc, fc, paths, ckpt_dir=str(tmp_path / "ck"))
-        assert int(state.step) == 60
+        assert int(state.step) == 40
         # final checkpoint written
         assert os.path.isdir(str(tmp_path / "ck" / "final"))
 
@@ -357,3 +357,48 @@ class TestLRSchedules:
         )
         pred = _np.asarray(jnp.argmax(logits[0], -1))
         assert pred[6, 6] == 1 and pred[0, 0] == 0
+
+
+class TestKeepBest:
+    def test_best_checkpoint_written_and_tracked(self, tmp_path):
+        paths = _make_shards(tmp_path)
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        tc = train_lib.TrainConfig(learning_rate=3e-3, augment=False)
+        mpath = str(tmp_path / "metrics.jsonl")
+        fc = fit_lib.FitConfig(
+            steps=30, batch_size=4, log_every=10, checkpoint_every=10,
+            holdout_every=4, eval_every=10, metrics_path=mpath,
+            keep_best_metric="eval_miou",
+        )
+        ck = str(tmp_path / "ck")
+        fit_lib.fit_unet(cfg, tc, fc, paths, ckpt_dir=ck)
+        assert os.path.isdir(os.path.join(ck, "best"))
+        import json as _json
+
+        rows = [_json.loads(l) for l in open(mpath)]
+        bests = [r for r in rows if r["kind"] == "best"]
+        assert bests and all("eval_miou" in r for r in bests)
+        # the best series is non-decreasing (only improvements are recorded)
+        vals = [r["eval_miou"] for r in bests]
+        assert vals == sorted(vals)
+        # resume ignores the best checkpoint (it is not a recovery point)
+        assert os.path.basename(fit_lib.latest_checkpoint(ck)) != "best"
+
+    def test_unknown_best_metric_raises(self, tmp_path):
+        import pytest
+
+        paths = _make_shards(tmp_path)
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        tc = train_lib.TrainConfig(augment=False)
+        fc = fit_lib.FitConfig(
+            steps=10, batch_size=4, checkpoint_every=5, holdout_every=4,
+            eval_every=5, keep_best_metric="eval_sharpness",
+        )
+        with pytest.raises(ValueError, match="keep_best_metric"):
+            fit_lib.fit_unet(cfg, tc, fc, paths, ckpt_dir=str(tmp_path / "ck"))

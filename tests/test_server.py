@@ -735,6 +735,55 @@ class TestTrainPipelines:
         rows = [json.loads(l) for l in open(mfile)]
         assert any(r["kind"] == "train" and "loss" in r for r in rows)
 
+    def test_keep_best_registers_best_checkpoint(self, server_env):
+        """keep_best: true tracks holdout mIoU and registers the best
+        checkpoint; without holdout_every it fails fast."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(0)
+        images = rng.normal(0.1, 0.05, (8, 16, 16)).astype(np.float32)
+        labels = np.zeros((8, 16, 16), np.int32)
+        for i in range(8):
+            images[i, 4:10, 4:10] += 1.0
+            labels[i, 4:10, 4:10] = 1
+        img_path, lab_path = str(tmp / "kb_img.tif"), str(tmp / "kb_lab.tif")
+        tiff.write_stack(img_path, images)
+        tiff.write_stack(lab_path, labels.astype(np.uint16))
+        srv = ImageServer(cfg_srv)
+        rec_out = str(tmp / "kb_recs")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "build_records",
+                    "params": {"num_classes": 2, "weight_maps": False},
+                    "input": [img_path, lab_path], "output": rec_out})
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(rec_out, "status.json")))
+
+        params = {"model": "kb2d", "num_classes": 2, "depth": 2,
+                  "base_features": 2, "norm": "none",
+                  "compute_dtype": "float32", "steps": 8, "batch_size": 2,
+                  "augment": False, "keep_best": True,
+                  "checkpoint_every": 4, "holdout_every": 4, "eval_every": 4}
+        out1 = str(tmp / "kb_train")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "train_unet2d", "params": params,
+                    "input": [st["outputs"]["shards"]], "output": out1})
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(out1, "status.json")))
+        assert st2["state"] == "complete", st2.get("error")
+        assert os.path.isdir(os.path.join(out1, "ckpts", "best"))
+
+        # without holdout_every: deterministic fail-fast, no retry burn
+        bad = dict(params, model="kb_bad")
+        bad.pop("holdout_every")
+        out2 = str(tmp / "kb_bad")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "train_unet2d", "params": bad,
+                    "input": [st["outputs"]["shards"]], "output": out2})
+        assert srv.poll_once()
+        st3 = json.load(open(os.path.join(out2, "status.json")))
+        assert st3["state"] == "failed"
+        assert "keep_best requires" in st3["error"]
+
+
 
 class TestMultiChannelPipeline:
     def test_two_channel_records_train_serve(self, server_env):
