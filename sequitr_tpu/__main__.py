@@ -199,11 +199,16 @@ def main(argv=None) -> int:
     if args.cmd == "cancel":
         import os
 
+        from sequitr_tpu.server import jobs as jobs_lib
+
         # cancellation uses the same atomicity as claiming: whoever renames
         # the queued file first wins, so cancel can never yank a job out
         # from under a server that already claimed it (it gets ENOENT and
         # reports "already claimed" instead)
-        path = os.path.join(args.jobs_dir, f"job_{args.job_id}.json")
+        path = os.path.join(
+            args.jobs_dir,
+            f"{jobs_lib.JOB_PREFIX}{args.job_id}{jobs_lib.JOB_SUFFIX}",
+        )
         try:
             os.rename(path, path + ".cancelled")
             print(f"cancelled {args.job_id}")

@@ -48,8 +48,12 @@ def make_mesh2d(
 ) -> Mesh:
     """2-D mesh, e.g. (2, 4) = 2-way data x 4-way spatial (hybrid serving)."""
     n = int(np.prod(shape))
-    devs = np.asarray(jax.devices()[:n]).reshape(shape)
-    return Mesh(devs, axis_names)
+    devs = jax.devices()
+    if len(devs) < n:
+        raise ValueError(
+            f"mesh shape {shape} needs {n} devices, only {len(devs)} available"
+        )
+    return Mesh(np.asarray(devs[:n]).reshape(shape), axis_names)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

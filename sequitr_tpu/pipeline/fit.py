@@ -138,7 +138,22 @@ def _run_loop(
     t0 = time.time()
     seen = 0
 
+    # seed the best-tracker from the persistent metric stream so a resumed
+    # run (crash/requeue) cannot overwrite a better pre-crash checkpoint
+    # with a worse post-resume eval
     best = {"value": None}
+    if fc.keep_best_metric and fc.metrics_path and os.path.exists(fc.metrics_path):
+        import json
+
+        for line in open(fc.metrics_path):
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            if row.get("kind") == "best" and fc.keep_best_metric in row:
+                v = float(row[fc.keep_best_metric])
+                if best["value"] is None or v > best["value"]:
+                    best["value"] = v
 
     def run_eval(g):
         if eval_fn is None:

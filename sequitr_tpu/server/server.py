@@ -632,17 +632,19 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
             hy_fn = spatial_lib.hybrid_unet2d_infer(
                 cfg, params, state, mesh2, spatial, batch=d_ways
             )
-            for start in range(0, len(stack), d_ways):
-                chunk = stack[start : start + d_ways]
-                pad = d_ways - len(chunk)
-                if pad:
-                    chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-                frames_n = jnp.stack([norm(f) for f in chunk])
-                probs, labels = hy_fn(params, state, frames_n)
-                for k in range(len(chunk) - pad):
+            # one vmapped dispatch normalizes the whole chunk (per-frame
+            # percentiles preserved by the vmap axis)
+            batch_norm = jax.jit(
+                jax.vmap(lambda f: infer_lib._normalize(f[..., None], tc)[..., 0])
+            )
+            n_left = len(stack)
+            for chunk in _pad_chunks(stack, d_ways):
+                probs, labels = hy_fn(params, state, batch_norm(jnp.asarray(chunk)))
+                for k in range(min(d_ways, n_left)):
                     results.append(
                         infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
                     )
+                n_left -= d_ways
             return results
         mesh = parallel.make_mesh(s_ways)
         sp_fn = spatial_lib.spatial_unet2d_infer(cfg, params, state, mesh, spatial)
@@ -653,23 +655,21 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
     if job_params.get("data_parallel") and jax.device_count() > 1:
         from sequitr_tpu import parallel
 
+        import jax.numpy as jnp
+
         mesh = parallel.make_mesh()
         n_dev = mesh.devices.size
         fn = infer_lib.make_frame_inferrer(cfg, tc, spatial, jit=False)
         dp = parallel.make_dp_frame_inferrer(fn, mesh)
         results = []
-        for start in range(0, len(stack), n_dev):
-            chunk = stack[start : start + n_dev]
-            pad = n_dev - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            import jax.numpy as jnp
-
+        n_left = len(stack)
+        for chunk in _pad_chunks(stack, n_dev):
             probs, labels = dp(params, state, jnp.asarray(chunk))
-            for k in range(len(chunk) - pad):
+            for k in range(min(n_dev, n_left)):
                 results.append(
                     infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
                 )
+            n_left -= n_dev
         return results
     fb = job_params.get("frame_batch")
     fb = int(fb) if fb else _auto_frame_batch(spatial)
@@ -858,7 +858,12 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         augment=bool(p.get("augment", True)),
         lr_schedule=str(p.get("lr_schedule", "constant")),
         lr_warmup_steps=int(p.get("lr_warmup_steps", 0)),
-        lr_decay_steps=int(p.get("lr_decay_steps", steps)),
+        # decay horizon defaults to the steps AFTER warmup so the schedule
+        # actually reaches lr_end_factor*peak by the end of the run
+        lr_decay_steps=int(
+            p.get("lr_decay_steps",
+                  max(1, steps - int(p.get("lr_warmup_steps", 0))))
+        ),
         lr_end_factor=float(p.get("lr_end_factor", 0.01)),
     )
     fc = fit_lib.FitConfig(
@@ -1000,7 +1005,12 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         learning_rate=float(p.get("learning_rate", 2e-4)), beta1=0.5,
         lr_schedule=str(p.get("lr_schedule", "constant")),
         lr_warmup_steps=int(p.get("lr_warmup_steps", 0)),
-        lr_decay_steps=int(p.get("lr_decay_steps", steps)),
+        # decay horizon defaults to the steps AFTER warmup so the schedule
+        # actually reaches lr_end_factor*peak by the end of the run
+        lr_decay_steps=int(
+            p.get("lr_decay_steps",
+                  max(1, steps - int(p.get("lr_warmup_steps", 0))))
+        ),
         lr_end_factor=float(p.get("lr_end_factor", 0.01)),
     )
     fc = fit_lib.FitConfig(

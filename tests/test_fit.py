@@ -402,3 +402,35 @@ class TestKeepBest:
         )
         with pytest.raises(ValueError, match="keep_best_metric"):
             fit_lib.fit_unet(cfg, tc, fc, paths, ckpt_dir=str(tmp_path / "ck"))
+
+    def test_best_tracker_survives_resume(self, tmp_path):
+        """A resumed run must not overwrite a better pre-crash best
+        checkpoint with a worse post-resume eval (code-review finding):
+        the tracker re-seeds from the persistent metrics.jsonl stream."""
+        mpath = str(tmp_path / "metrics.jsonl")
+        ck = str(tmp_path / "ck")
+        os.makedirs(ck)
+        # simulate a pre-crash run that recorded best eval_miou = 0.9
+        import json as _json
+
+        with open(mpath, "w") as f:
+            f.write(_json.dumps({"kind": "best", "step": 4, "eval_miou": 0.9}) + "\n")
+
+        paths = _make_shards(tmp_path, n=8)
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        # zero LR: the fresh run can never beat 0.9, so no best ckpt is
+        # (re)written — the pre-crash winner stands
+        tc = train_lib.TrainConfig(learning_rate=0.0, augment=False)
+        fc = fit_lib.FitConfig(
+            steps=4, batch_size=2, checkpoint_every=2, holdout_every=4,
+            eval_every=2, metrics_path=mpath, keep_best_metric="eval_miou",
+        )
+        fit_lib.fit_unet(cfg, tc, fc, paths, ckpt_dir=ck)
+        assert not os.path.isdir(os.path.join(ck, "best"))
+        rows = [_json.loads(l) for l in open(mpath)]
+        assert [r for r in rows if r["kind"] == "best"] == [
+            {"kind": "best", "step": 4, "eval_miou": 0.9}
+        ]
