@@ -18,7 +18,11 @@ Built-in pipelines (registry keys are the rebuild's documented API):
     or 3D volumes, optional random patch crops).
   * ``train_unet2d`` / ``train_unet3d`` / ``train_gan`` — training jobs
     that register the resulting model under ``models_dir`` (resume from
-    the newest checkpoint; JSONL metrics + holdout eval).
+    the newest checkpoint; JSONL metrics + holdout eval + keep_best).
+  * ``evaluate_unet2d`` — score a registered model against ground-truth
+    labels (per-class IoU/dice, mIoU, pixel accuracy).
+  * ``localize_emitters`` — single-molecule sub-pixel localization over a
+    stack (PSF subsystem; no model required).
 
 Model weights are orbax checkpoints under ``models_dir/<name>``, saved with
 matching config JSON (``config.json``) so the server can rebuild the net.
@@ -1172,3 +1176,129 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         )
     )
     return outputs
+
+
+@register("evaluate_unet2d")
+def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Score a registered model against ground-truth labels.
+
+    The post-training counterpart of the train jobs' holdout eval: segment
+    a stack with the named model and compare to provided label maps.
+    input: [image.tif, labels.tif] (same (T, H, W)). params: model, the
+    usual tiling params, ``per_frame: true`` for a per-frame mIoU series,
+    ``save_labels: true`` to also write the predicted label maps.
+    Outputs: ``metrics`` JSON with per-class IoU, mIoU, dice and pixel
+    accuracy over the whole stack.
+    """
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.ops import losses
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    img_path, lab_path = _resolve_inputs(job)[:2]
+    stack = np.asarray(tiff.read_stack(img_path), dtype=np.float32)
+    truth = np.asarray(tiff.read_stack(lab_path)).astype(np.int32)
+    if stack.ndim == 2:
+        stack, truth = stack[None], truth[None]
+    if stack.shape != truth.shape:
+        raise jobs_lib.JobError(
+            f"image/label shape mismatch: {stack.shape} vs {truth.shape}"
+        )
+
+    cfg, params, state = _require_model(job, config, "unet")
+    if cfg.dims != 2:
+        raise jobs_lib.JobError(f"job {job.id}: model is {cfg.dims}D, expected 2D")
+    tc = _tile_config(
+        job.params, dims=2,
+        frame_spatial=stack.shape[1:], min_multiple=cfg.min_input_multiple,
+    )
+    results = _run_frames(cfg, tc, params, state, stack, job.params)
+    preds = np.stack([np.asarray(r.labels) for r in results]).astype(np.int32)
+
+    k = cfg.num_classes
+    ious = np.asarray(losses.iou(jnp.asarray(preds), jnp.asarray(truth), k))
+    dices = np.asarray(losses.dice(jnp.asarray(preds), jnp.asarray(truth), k))
+    metrics = {
+        "miou": round(float(np.mean(ious)), 6),
+        "pixel_accuracy": round(float((preds == truth).mean()), 6),
+        "n_frames": len(stack),
+    }
+    for i in range(k):
+        metrics[f"iou_{i}"] = round(float(ious[i]), 6)
+        metrics[f"dice_{i}"] = round(float(dices[i]), 6)
+    if job.params.get("per_frame"):
+        series = [
+            round(float(np.mean(np.asarray(
+                losses.iou(jnp.asarray(p), jnp.asarray(t), k)
+            ))), 6)
+            for p, t in zip(preds, truth)
+        ]
+        metrics["per_frame_miou"] = series
+
+    outputs: Dict[str, str] = {"metrics": json.dumps(metrics)}
+    if job.params.get("save_labels"):
+        out_path = os.path.join(job.output, "labels.tif")
+        tiff.write_stack(out_path, preds.astype(np.uint16))
+        outputs["labels"] = out_path
+    return outputs
+
+
+@register("localize_emitters")
+def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Single-molecule sub-pixel emitter localization over a TIFF stack.
+
+    Exposes the PSF subsystem (SURVEY.md §2 'PSF modelling';
+    ``psf.localize_emitters``: max-pool NMS detection + vmapped
+    Gaussian-mask fits, <0.01 px on synthetic emitters) through the job
+    API — no model required. params: ``threshold`` (absolute intensity)
+    or ``threshold_sigmas`` (robust per-frame: median + k*MAD, default 5),
+    ``max_peaks``, ``min_distance``, ``window``, ``sigma``.
+    Outputs: emitters.csv with columns t,y,x,amplitude,background
+    (sub-pixel y/x, brightest-first within each frame).
+    """
+    from sequitr_tpu import psf
+    from sequitr_tpu.data import tiff
+
+    (path,) = _resolve_inputs(job)[:1]
+    stack = np.asarray(tiff.read_stack(path), dtype=np.float32)
+    if stack.ndim == 2:
+        stack = stack[None]
+
+    p = job.params
+    max_peaks = int(p.get("max_peaks", 256))
+    min_distance = int(p.get("min_distance", 2))
+    window = int(p.get("window", 7))
+    sigma = float(p.get("sigma", 1.5))
+    thr_abs = p.get("threshold")
+    k_sig = float(p.get("threshold_sigmas", 5.0))
+
+    rows = []
+    for t, frame in enumerate(stack):
+        if thr_abs is not None:
+            thr = float(thr_abs)
+        else:
+            med = float(np.median(frame))
+            mad = float(np.median(np.abs(frame - med))) * 1.4826
+            thr = med + k_sig * max(mad, 1e-12)
+        fits = psf.localize_emitters(
+            frame, thr, max_peaks=max_peaks, min_distance=min_distance,
+            window=window, sigma=sigma,
+        )
+        for y, x, a, b in zip(
+            fits["y"], fits["x"], fits["amplitude"], fits["background"]
+        ):
+            rows.append((t, float(y), float(x), float(a), float(b)))
+
+    out_path = os.path.join(job.output, "emitters.csv")
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("t,y,x,amplitude,background\n")
+        for r in rows:
+            f.write(f"{r[0]},{r[1]:.4f},{r[2]:.4f},{r[3]:.4f},{r[4]:.4f}\n")
+    os.replace(tmp, out_path)
+    return {
+        "emitters": out_path,
+        "n_emitters": str(len(rows)),
+        "n_frames": str(len(stack)),
+    }

@@ -1266,6 +1266,103 @@ class TestDataParallelServing:
 
 
 
+class TestEvaluatePipeline:
+    def test_evaluate_against_own_predictions_is_perfect(self, server_env):
+        """segment a stack, then evaluate the same model against its own
+        predicted labels: every IoU must be exactly 1.0 — proves the whole
+        evaluate plumbing (tiling config, label decode, scoring)."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(3), net_cfg)
+        save_model(cfg_srv.models_dir, "ev2d", "unet", net_cfg, params, state)
+        stack = (np.random.default_rng(9).random((3, 32, 32)) * 900).astype(np.float32)
+        stack_path = str(tmp / "ev.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+
+        seg_out = str(tmp / "ev_seg")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "segmentation_unet2d",
+                    "params": {"model": "ev2d", "patch": [32, 32],
+                               "overlap": [0, 0], "localize": False},
+                    "input": [stack_path], "output": seg_out})
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(seg_out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+
+        ev_out = str(tmp / "ev_eval")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "evaluate_unet2d",
+                    "params": {"model": "ev2d", "patch": [32, 32],
+                               "overlap": [0, 0], "per_frame": True,
+                               "save_labels": True},
+                    "input": [stack_path, st["outputs"]["labels"]],
+                    "output": ev_out})
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(ev_out, "status.json")))
+        assert st2["state"] == "complete", st2.get("error")
+        m = json.loads(st2["outputs"]["metrics"])
+        assert m["miou"] == 1.0 and m["pixel_accuracy"] == 1.0
+        assert m["per_frame_miou"] == [1.0, 1.0, 1.0]
+        assert {"iou_0", "iou_2", "dice_1"} <= set(m)
+        assert os.path.exists(st2["outputs"]["labels"])
+
+    def test_evaluate_shape_mismatch_fails_fast(self, server_env):
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(4), net_cfg)
+        save_model(cfg_srv.models_dir, "ev_bad", "unet", net_cfg, params, state)
+        a, b = str(tmp / "a.tif"), str(tmp / "b.tif")
+        tiff.write_stack(a, np.zeros((2, 16, 16), np.float32))
+        tiff.write_stack(b, np.zeros((2, 8, 8), np.uint16))
+        out = str(tmp / "ev_bad_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "evaluate_unet2d", "params": {"model": "ev_bad"},
+                    "input": [a, b], "output": out})
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed" and "shape mismatch" in st["error"]
+
+
+class TestEmitterPipeline:
+    def test_localize_emitters_job(self, server_env):
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(0)
+        frames = rng.normal(10.0, 0.5, (2, 64, 64)).astype(np.float32)
+        truth = [(12.3, 40.6), (33.8, 15.2), (50.1, 50.9)]
+        yy, xx = np.mgrid[:64, :64]
+        for cy, cx in truth:
+            g = 80.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 1.5**2))
+            frames[0] += g
+            frames[1] += g  # same emitters in both frames
+        path = str(tmp / "emitters.tif")
+        tiff.write_stack(path, frames)
+        out = str(tmp / "em_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "localize_emitters",
+                    "params": {"threshold_sigmas": 8, "sigma": 1.5},
+                    "input": [path], "output": out})
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        assert int(st["outputs"]["n_emitters"]) == 6  # 3 per frame
+        rows = open(st["outputs"]["emitters"]).read().strip().split("\n")
+        assert rows[0] == "t,y,x,amplitude,background"
+        got = [tuple(map(float, r.split(","))) for r in rows[1:]]
+        for t, y, x, a, b in got:
+            best = min((abs(y - cy) + abs(x - cx)) for cy, cx in truth)
+            assert best < 0.2, (t, y, x, best)
+
+
+
 class TestQueueSemantics:
     def test_jobs_claimed_oldest_first(self, server_env):
         import time as _time
