@@ -19,8 +19,9 @@ Built-in pipelines (registry keys are the rebuild's documented API):
   * ``train_unet2d`` / ``train_unet3d`` / ``train_gan`` — training jobs
     that register the resulting model under ``models_dir`` (resume from
     the newest checkpoint; JSONL metrics + holdout eval + keep_best).
-  * ``evaluate_unet2d`` — score a registered model against ground-truth
-    labels (per-class IoU/dice, mIoU, pixel accuracy).
+  * ``evaluate_unet2d`` / ``evaluate_unet3d`` / ``evaluate_gan`` — score a
+    registered model against ground truth (per-class IoU/dice, mIoU and
+    pixel/voxel accuracy for segmentation; L1/PSNR for enhancement).
   * ``localize_emitters`` — single-molecule sub-pixel localization over a
     stack (PSF subsystem; no model required).
 
@@ -1302,3 +1303,131 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         "n_emitters": str(len(rows)),
         "n_frames": str(len(stack)),
     }
+
+
+@register("evaluate_unet3d")
+def evaluate_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Volumetric counterpart of ``evaluate_unet2d``.
+
+    input: [volume.tif, labels.tif] ((Z, H, W) stacks). params: model,
+    3-axis tiling params, ``save_labels``. Outputs per-class IoU/dice,
+    mIoU and voxel accuracy over the volume.
+    """
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.ops import losses
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    vol_path, lab_path = _resolve_inputs(job)[:2]
+    vol = np.asarray(tiff.read_stack(vol_path), dtype=np.float32)
+    truth = np.asarray(tiff.read_stack(lab_path)).astype(np.int32)
+    if vol.shape != truth.shape or vol.ndim != 3:
+        raise jobs_lib.JobError(
+            f"volume/label shape mismatch: {vol.shape} vs {truth.shape}"
+        )
+
+    cfg, params, state = _require_model(job, config, "unet")
+    if cfg.dims != 3:
+        raise jobs_lib.JobError(f"job {job.id}: model is {cfg.dims}D, expected 3D")
+    tc = _tile_config(
+        job.params, dims=3,
+        frame_spatial=vol.shape, min_multiple=cfg.min_input_multiple,
+    )
+    fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(vol.shape))
+    _, labels = fn(params, state, vol)
+    preds = np.asarray(labels).astype(np.int32)
+
+    k = cfg.num_classes
+    ious = np.asarray(losses.iou(jnp.asarray(preds), jnp.asarray(truth), k))
+    dices = np.asarray(losses.dice(jnp.asarray(preds), jnp.asarray(truth), k))
+    metrics = {
+        "miou": round(float(np.mean(ious)), 6),
+        "voxel_accuracy": round(float((preds == truth).mean()), 6),
+    }
+    for i in range(k):
+        metrics[f"iou_{i}"] = round(float(ious[i]), 6)
+        metrics[f"dice_{i}"] = round(float(dices[i]), 6)
+
+    outputs: Dict[str, str] = {"metrics": json.dumps(metrics)}
+    if job.params.get("save_labels"):
+        out_path = os.path.join(job.output, "labels.tif")
+        tiff.write_stack(out_path, preds.astype(np.uint16))
+        outputs["labels"] = out_path
+    return outputs
+
+
+@register("evaluate_gan")
+def evaluate_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Score a GAN enhancement model against clean target frames.
+
+    input: [raw.tif, target.tif] (same (T, H, W)). params: model, tiling
+    params. Outputs mean L1 and PSNR over the normalized [0, 1] frames
+    plus per-frame PSNR — the serving-time counterpart of the GAN train
+    jobs' holdout eval (fit._make_gan_evaluator).
+    """
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.models import gan as gan_lib
+    from sequitr_tpu.ops import normalize as norm_ops
+    from sequitr_tpu.ops import tiling
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    raw_path, tgt_path = _resolve_inputs(job)[:2]
+    raw = np.asarray(tiff.read_stack(raw_path), dtype=np.float32)
+    tgt = np.asarray(tiff.read_stack(tgt_path), dtype=np.float32)
+    if raw.ndim == 2:
+        raw, tgt = raw[None], tgt[None]
+    if raw.shape != tgt.shape:
+        raise jobs_lib.JobError(
+            f"raw/target shape mismatch: {raw.shape} vs {tgt.shape}"
+        )
+
+    cfg, params, state = _require_model(job, config, "gan")
+    cfg, params, state = gan_lib.fold_generator(cfg, params, state)
+    tc = _tile_config(
+        job.params, dims=2,
+        frame_spatial=raw.shape[1:], min_multiple=cfg.min_input_multiple,
+        exact_only=True,
+    )
+    spatial = raw.shape[1:]
+    grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def enhance_one(frame):
+        x = infer_lib._normalize(frame[..., None], tc)
+
+        def forward(batch):
+            out, _ = gan_lib.generator_apply(cfg, params, state, batch)
+            return out
+
+        return infer_lib.tiled_apply(
+            forward, x, grid, spatial, tc, cfg.out_channels
+        )[..., 0]
+
+    psnrs = []
+    l1s = []
+    for frame, target in zip(raw, tgt):
+        fake = np.asarray(enhance_one(jnp.asarray(frame)), dtype=np.float32)
+        # score in the generator's own [0, 1] space (targets normalized
+        # the same way build_gan_pairs does)
+        t01 = np.asarray(
+            norm_ops.percentile_normalize_fast(
+                jnp.asarray(target), tc.p_lo, tc.p_hi
+            ),
+            dtype=np.float32,
+        )
+        err = fake - t01
+        l1s.append(float(np.mean(np.abs(err))))
+        mse = float(np.mean(err * err))
+        psnrs.append(round(10.0 * float(np.log10(1.0 / max(mse, 1e-12))), 4))
+
+    metrics = {
+        "l1": round(float(np.mean(l1s)), 6),
+        "psnr": round(float(np.mean(psnrs)), 4),
+        "per_frame_psnr": psnrs,
+        "n_frames": len(raw),
+    }
+    return {"metrics": json.dumps(metrics)}

@@ -1330,6 +1330,69 @@ class TestEvaluatePipeline:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed" and "shape mismatch" in st["error"]
 
+    def test_evaluate_unet3d_against_own_predictions(self, server_env):
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            dims=3, norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(5), net_cfg)
+        save_model(cfg_srv.models_dir, "ev3d", "unet", net_cfg, params, state)
+        vol = (np.random.default_rng(6).random((4, 16, 16)) * 900).astype(np.float32)
+        vol_path = str(tmp / "ev3.tif")
+        tiff.write_stack(vol_path, vol)
+        srv = ImageServer(cfg_srv)
+        seg_out = str(tmp / "ev3_seg")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "segmentation_unet3d",
+                    "params": {"model": "ev3d", "patch": [4, 16, 16],
+                               "overlap": [0, 0, 0], "localize": False},
+                    "input": [vol_path], "output": seg_out})
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(seg_out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        ev_out = str(tmp / "ev3_eval")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "evaluate_unet3d",
+                    "params": {"model": "ev3d", "patch": [4, 16, 16],
+                               "overlap": [0, 0, 0]},
+                    "input": [vol_path, st["outputs"]["labels"]],
+                    "output": ev_out})
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(ev_out, "status.json")))
+        assert st2["state"] == "complete", st2.get("error")
+        m = json.loads(st2["outputs"]["metrics"])
+        assert m["miou"] == 1.0 and m["voxel_accuracy"] == 1.0
+
+    def test_evaluate_gan_scores_enhancement(self, server_env):
+        """evaluate_gan on (raw, raw) targets: PSNR of the untrained
+        generator is finite and the metric plumbing works end-to-end."""
+        from sequitr_tpu.models import gan as gan_lib
+
+        cfg_srv, tmp = server_env
+        gcfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=2, disc_layers=2,
+            compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(7), gcfg)
+        save_model(cfg_srv.models_dir, "evg", "gan", gcfg, params, state)
+        raw = (np.random.default_rng(8).random((2, 16, 16)) * 900).astype(np.float32)
+        rp, tp = str(tmp / "evg_raw.tif"), str(tmp / "evg_tgt.tif")
+        tiff.write_stack(rp, raw)
+        tiff.write_stack(tp, raw * 1.1 + 5.0)
+        out = str(tmp / "evg_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "evaluate_gan", "params": {"model": "evg"},
+                    "input": [rp, tp], "output": out})
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_frames"] == 2 and len(m["per_frame_psnr"]) == 2
+        assert 0.0 < m["l1"] < 1.0 and np.isfinite(m["psnr"])
+
+
 
 class TestEmitterPipeline:
     def test_localize_emitters_job(self, server_env):
