@@ -49,6 +49,16 @@ def _serve_workers(args) -> int:
     procs = {i: spawn(i) for i in range(args.workers)}
     restarts = {i: 0 for i in procs}
     log.info("supervising %d workers on %s", args.workers, args.jobs_dir)
+
+    # SIGTERM (systemd stop, subprocess .terminate(), docker stop) must tear
+    # the workers down exactly like Ctrl-C — otherwise they outlive the
+    # supervisor as orphans still claiming jobs
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         while procs:
             for i, p in list(procs.items()):
