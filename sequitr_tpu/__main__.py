@@ -46,20 +46,24 @@ def _serve_workers(args) -> int:
             env[args.pin_env] = str(i)
         return subprocess.Popen(base, env=env)
 
-    procs = {i: spawn(i) for i in range(args.workers)}
-    restarts = {i: 0 for i in procs}
-    log.info("supervising %d workers on %s", args.workers, args.jobs_dir)
-
     # SIGTERM (systemd stop, subprocess .terminate(), docker stop) must tear
     # the workers down exactly like Ctrl-C — otherwise they outlive the
-    # supervisor as orphans still claiming jobs
+    # supervisor as orphans still claiming jobs. Installed BEFORE spawning
+    # so there is no startup window where a TERM orphans fresh workers.
     import signal
 
     def _term(signum, frame):
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGTERM, _term)
+
+    procs = {}
+    restarts = {}
     try:
+        for i in range(args.workers):
+            procs[i] = spawn(i)
+            restarts[i] = 0
+        log.info("supervising %d workers on %s", args.workers, args.jobs_dir)
         while procs:
             for i, p in list(procs.items()):
                 code = p.poll()

@@ -20,6 +20,8 @@ mount empty; built here as a compact capability-parity module). Provides:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -203,15 +205,25 @@ def localize_emitters(
 
     Returns a dict of numpy arrays (y, x, amplitude, background) holding
     only the valid detections, sorted brightest-first (top_k order).
+    The threshold is a TRACED argument of one module-level jitted graph,
+    so stacks with per-frame (data-dependent) thresholds compile once and
+    dispatch per frame — not one retrace+compile per frame.
     """
     import numpy as np
 
-    @jax.jit
-    def run(img):
-        yx, valid = detect_peaks(img, threshold, max_peaks, min_distance)
-        fits = fit_peaks_gaussian(img, yx, window=window, sigma=sigma)
-        return yx, valid, fits
-
-    _, valid, fits = run(jnp.asarray(image))
+    _, valid, fits = _detect_and_fit(
+        jnp.asarray(image), jnp.float32(threshold),
+        max_peaks=max_peaks, min_distance=min_distance,
+        window=window, sigma=sigma,
+    )
     valid = np.asarray(valid)
     return {k: np.asarray(v)[valid] for k, v in fits.items()}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_peaks", "min_distance", "window", "sigma")
+)
+def _detect_and_fit(img, threshold, *, max_peaks, min_distance, window, sigma):
+    yx, valid = detect_peaks(img, threshold, max_peaks, min_distance)
+    fits = fit_peaks_gaussian(img, yx, window=window, sigma=sigma)
+    return yx, valid, fits

@@ -317,6 +317,17 @@ def _resolve_inputs(job: Job):
     return job.input
 
 
+def _read_stack_or_fail(job: Job, path: str, dtype=np.float32) -> np.ndarray:
+    """Read a TIFF stack; unreadable input is deterministic — fail fast."""
+    from sequitr_tpu.data import tiff
+
+    try:
+        arr = tiff.read_stack(path)
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read {path}: {e}")
+    return np.asarray(arr, dtype=dtype) if dtype is not None else np.asarray(arr)
+
+
 def _require_model(job: Job, config: ServerConfiguration, expect_kind: str):
     """Load the job's model, raising deterministic JobErrors (never retried)
     for a missing param, an unregistered name, or the wrong model kind."""
@@ -507,6 +518,45 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     return outputs
 
 
+def _gan_enhance_fn(job: Job, config: ServerConfiguration, spatial):
+    """Shared per-frame generator pass for enhancement_gan / evaluate_gan.
+
+    Loads + BN-folds the model, builds the tile config/grid, and returns
+    ``(tc, enhance_one)`` where ``enhance_one(frame) -> enhanced`` runs the
+    normalize -> tiled generator -> stitch chain through the same
+    machinery as segmentation (infer_lib.tiled_apply: rolled scan forms
+    for giant grids + patch_batch HBM bounding).
+    """
+    from sequitr_tpu.models import gan as gan_lib
+    from sequitr_tpu.ops import tiling
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg, params, state = _require_model(job, config, "gan")
+    # inference-mode BN folds exactly into the generator conv weights —
+    # same treatment the segmentation path gets (models.gan.fold_generator)
+    cfg, params, state = gan_lib.fold_generator(cfg, params, state)
+    tc = _tile_config(
+        job.params, dims=2,
+        frame_spatial=spatial, min_multiple=cfg.min_input_multiple,
+        exact_only=True,
+    )
+    spatial = tuple(spatial)
+    grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
+
+    def enhance_one(frame):
+        x = infer_lib._normalize(frame[..., None], tc)
+
+        def forward(batch):
+            out, _ = gan_lib.generator_apply(cfg, params, state, batch)
+            return out
+
+        return infer_lib.tiled_apply(
+            forward, x, grid, spatial, tc, cfg.out_channels
+        )[..., 0]
+
+    return tc, enhance_one
+
+
 @register("enhancement_gan")
 def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """GAN generator enhancement pass over a TIFF stack (SURVEY.md §3.4).
@@ -517,39 +567,14 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     import jax
 
     from sequitr_tpu.data import tiff
-    from sequitr_tpu.models import gan as gan_lib
-    from sequitr_tpu.ops import tiling
     from sequitr_tpu.pipeline import infer as infer_lib
 
     (path,) = _resolve_inputs(job)[:1]
-    stack = np.asarray(tiff.read_stack(path), dtype=np.float32)
+    stack = _read_stack_or_fail(job, path)
     if stack.ndim == 2:
         stack = stack[None]
 
-    cfg, params, state = _require_model(job, config, "gan")
-    # inference-mode BN folds exactly into the generator conv weights —
-    # same treatment the segmentation path gets (models.gan.fold_generator)
-    cfg, params, state = gan_lib.fold_generator(cfg, params, state)
-    tc = _tile_config(
-        job.params, dims=2,
-        frame_spatial=stack.shape[1:], min_multiple=cfg.min_input_multiple,
-        exact_only=True,
-    )
-    spatial = stack.shape[1:]
-    grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
-
-    def enhance_one(frame):
-        x = infer_lib._normalize(frame[..., None], tc)
-
-        def forward(batch):
-            out, _ = gan_lib.generator_apply(cfg, params, state, batch)
-            return out
-
-        # shared tiling machinery with segmentation: rolled scan forms for
-        # giant grids + patch_batch HBM bounding (infer_lib.tiled_apply)
-        return infer_lib.tiled_apply(
-            forward, x, grid, spatial, tc, cfg.out_channels
-        )[..., 0]
+    tc, enhance_one = _gan_enhance_fn(job, config, stack.shape[1:])
 
     from sequitr_tpu.utils import PhaseTimer
 
@@ -559,7 +584,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     # total_s < fetch_s + per-frame compute is the overlap evidence.
     # Small frames additionally batch per dispatch (see _auto_frame_batch).
     fb = job.params.get("frame_batch")
-    fb = int(fb) if fb else _auto_frame_batch(spatial)
+    fb = int(fb) if fb else _auto_frame_batch(stack.shape[1:])
     fb = max(1, min(fb, len(stack)))
     frames = np.empty(stack.shape, dtype=np.float32)
     t0 = time.time()
@@ -1185,34 +1210,51 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     The post-training counterpart of the train jobs' holdout eval: segment
     a stack with the named model and compare to provided label maps.
-    input: [image.tif, labels.tif] (same (T, H, W)). params: model, the
-    usual tiling params, ``per_frame: true`` for a per-frame mIoU series,
-    ``save_labels: true`` to also write the predicted label maps.
-    Outputs: ``metrics`` JSON with per-class IoU, mIoU, dice and pixel
-    accuracy over the whole stack.
+    input: [image.tif, ..., labels.tif] — channel stack(s) following the
+    ``segmentation_unet2d`` convention (one TIFF per channel), LAST path
+    is the ground-truth labels. params: model, the usual tiling params,
+    ``per_frame: true`` for a per-frame mIoU series, ``save_labels: true``
+    to also write the predicted label maps. Outputs: ``metrics`` JSON with
+    per-class IoU, mIoU, dice and pixel accuracy over the whole stack.
     """
     import jax.numpy as jnp
 
     from sequitr_tpu.data import tiff
     from sequitr_tpu.ops import losses
-    from sequitr_tpu.pipeline import infer as infer_lib
 
-    img_path, lab_path = _resolve_inputs(job)[:2]
-    stack = np.asarray(tiff.read_stack(img_path), dtype=np.float32)
-    truth = np.asarray(tiff.read_stack(lab_path)).astype(np.int32)
-    if stack.ndim == 2:
-        stack, truth = stack[None], truth[None]
-    if stack.shape != truth.shape:
+    paths = _resolve_inputs(job)
+    if len(paths) < 2:
         raise jobs_lib.JobError(
-            f"image/label shape mismatch: {stack.shape} vs {truth.shape}"
+            f"job {job.id}: need [image(s)..., labels], got {len(paths)} input(s)"
+        )
+    channels = []
+    for p_ in paths[:-1]:
+        ch = _read_stack_or_fail(job, p_)
+        channels.append(ch[None] if ch.ndim == 2 else ch)
+    if len({c.shape for c in channels}) != 1:
+        raise jobs_lib.JobError(
+            f"channel stacks disagree in shape: {[c.shape for c in channels]}"
+        )
+    stack = np.stack(channels, axis=-1) if len(channels) > 1 else channels[0]
+    truth = _read_stack_or_fail(job, paths[-1], dtype=None).astype(np.int32)
+    if truth.ndim == 2:
+        truth = truth[None]
+    if stack.shape[:3] != truth.shape:
+        raise jobs_lib.JobError(
+            f"image/label shape mismatch: {stack.shape[:3]} vs {truth.shape}"
         )
 
     cfg, params, state = _require_model(job, config, "unet")
     if cfg.dims != 2:
         raise jobs_lib.JobError(f"job {job.id}: model is {cfg.dims}D, expected 2D")
+    n_ch = stack.shape[-1] if stack.ndim == 4 else 1
+    if cfg.in_channels != n_ch:
+        raise jobs_lib.JobError(
+            f"model expects {cfg.in_channels} channel(s), got {n_ch} input stack(s)"
+        )
     tc = _tile_config(
         job.params, dims=2,
-        frame_spatial=stack.shape[1:], min_multiple=cfg.min_input_multiple,
+        frame_spatial=stack.shape[1:3], min_multiple=cfg.min_input_multiple,
     )
     results = _run_frames(cfg, tc, params, state, stack, job.params)
     preds = np.stack([np.asarray(r.labels) for r in results]).astype(np.int32)
@@ -1259,10 +1301,9 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     (sub-pixel y/x, brightest-first within each frame).
     """
     from sequitr_tpu import psf
-    from sequitr_tpu.data import tiff
 
     (path,) = _resolve_inputs(job)[:1]
-    stack = np.asarray(tiff.read_stack(path), dtype=np.float32)
+    stack = _read_stack_or_fail(job, path)
     if stack.ndim == 2:
         stack = stack[None]
 
@@ -1320,9 +1361,11 @@ def evaluate_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     from sequitr_tpu.pipeline import infer as infer_lib
 
     vol_path, lab_path = _resolve_inputs(job)[:2]
-    vol = np.asarray(tiff.read_stack(vol_path), dtype=np.float32)
-    truth = np.asarray(tiff.read_stack(lab_path)).astype(np.int32)
-    if vol.shape != truth.shape or vol.ndim != 3:
+    vol = _read_stack_or_fail(job, vol_path)
+    truth = _read_stack_or_fail(job, lab_path, dtype=None).astype(np.int32)
+    if vol.ndim != 3:
+        raise jobs_lib.JobError(f"unet3d expects a (Z, H, W) stack, got {vol.shape}")
+    if vol.shape != truth.shape:
         raise jobs_lib.JobError(
             f"volume/label shape mismatch: {vol.shape} vs {truth.shape}"
         )
@@ -1366,15 +1409,14 @@ def evaluate_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     plus per-frame PSNR — the serving-time counterpart of the GAN train
     jobs' holdout eval (fit._make_gan_evaluator).
     """
-    from sequitr_tpu.data import tiff
-    from sequitr_tpu.models import gan as gan_lib
-    from sequitr_tpu.ops import normalize as norm_ops
-    from sequitr_tpu.ops import tiling
+    import jax
+    import jax.numpy as jnp
+
     from sequitr_tpu.pipeline import infer as infer_lib
 
     raw_path, tgt_path = _resolve_inputs(job)[:2]
-    raw = np.asarray(tiff.read_stack(raw_path), dtype=np.float32)
-    tgt = np.asarray(tiff.read_stack(tgt_path), dtype=np.float32)
+    raw = _read_stack_or_fail(job, raw_path)
+    tgt = _read_stack_or_fail(job, tgt_path)
     if raw.ndim == 2:
         raw, tgt = raw[None], tgt[None]
     if raw.shape != tgt.shape:
@@ -1382,43 +1424,18 @@ def evaluate_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             f"raw/target shape mismatch: {raw.shape} vs {tgt.shape}"
         )
 
-    cfg, params, state = _require_model(job, config, "gan")
-    cfg, params, state = gan_lib.fold_generator(cfg, params, state)
-    tc = _tile_config(
-        job.params, dims=2,
-        frame_spatial=raw.shape[1:], min_multiple=cfg.min_input_multiple,
-        exact_only=True,
-    )
-    spatial = raw.shape[1:]
-    grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
-
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def enhance_one(frame):
-        x = infer_lib._normalize(frame[..., None], tc)
-
-        def forward(batch):
-            out, _ = gan_lib.generator_apply(cfg, params, state, batch)
-            return out
-
-        return infer_lib.tiled_apply(
-            forward, x, grid, spatial, tc, cfg.out_channels
-        )[..., 0]
+    tc, enhance_fn = _gan_enhance_fn(job, config, raw.shape[1:])
+    enhance_one = jax.jit(enhance_fn)
+    # targets go through the SAME normalize mode as the raw frames (the
+    # job's `normalize` param is honored on both sides), so L1/PSNR always
+    # compare matched intensity spaces
+    norm_target = jax.jit(lambda t: infer_lib._normalize(t[..., None], tc)[..., 0])
 
     psnrs = []
     l1s = []
     for frame, target in zip(raw, tgt):
         fake = np.asarray(enhance_one(jnp.asarray(frame)), dtype=np.float32)
-        # score in the generator's own [0, 1] space (targets normalized
-        # the same way build_gan_pairs does)
-        t01 = np.asarray(
-            norm_ops.percentile_normalize_fast(
-                jnp.asarray(target), tc.p_lo, tc.p_hi
-            ),
-            dtype=np.float32,
-        )
+        t01 = np.asarray(norm_target(jnp.asarray(target)), dtype=np.float32)
         err = fake - t01
         l1s.append(float(np.mean(np.abs(err))))
         mse = float(np.mean(err * err))

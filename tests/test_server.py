@@ -1393,6 +1393,75 @@ class TestEvaluatePipeline:
         assert 0.0 < m["l1"] < 1.0 and np.isfinite(m["psnr"])
 
 
+    def test_evaluate_multichannel_and_channel_mismatch(self, server_env):
+        """Multi-channel evaluation follows the segmentation input
+        convention (channels..., labels last); a channel-count mismatch is
+        a clear deterministic failure, not garbage metrics (code-review)."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=2, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(8), net_cfg)
+        save_model(cfg_srv.models_dir, "evmc", "unet", net_cfg, params, state)
+        rng = np.random.default_rng(10)
+        c0 = (rng.random((2, 16, 16)) * 900).astype(np.float32)
+        c1 = (rng.random((2, 16, 16)) * 5).astype(np.float32)
+        lab = rng.integers(0, 2, (2, 16, 16)).astype(np.uint16)
+        p0, p1, pl = (str(tmp / n) for n in ("mc0.tif", "mc1.tif", "mcl.tif"))
+        tiff.write_stack(p0, c0)
+        tiff.write_stack(p1, c1)
+        tiff.write_stack(pl, lab)
+        srv = ImageServer(cfg_srv)
+
+        out = str(tmp / "evmc_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "evaluate_unet2d",
+                    "params": {"model": "evmc", "patch": [16, 16],
+                               "overlap": [0, 0]},
+                    "input": [p0, p1, pl], "output": out})
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert 0.0 <= m["miou"] <= 1.0
+
+        # single channel stack against the 2-channel model: fail fast
+        out2 = str(tmp / "evmc_bad")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "evaluate_unet2d", "params": {"model": "evmc"},
+                    "input": [p0, pl], "output": out2})
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(out2, "status.json")))
+        assert st2["state"] == "failed"
+        assert "expects 2 channel(s)" in st2["error"]
+
+    def test_evaluate_corrupt_input_fails_fast(self, server_env):
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(9), net_cfg)
+        save_model(cfg_srv.models_dir, "evcr", "unet", net_cfg, params, state)
+        bad = str(tmp / "corrupt.tif")
+        open(bad, "wb").write(b"not a tiff at all")
+        out = str(tmp / "evcr_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "evaluate_unet2d", "params": {"model": "evcr"},
+                    "input": [bad, bad], "output": out})
+        srv = ImageServer(cfg_srv)
+        import time as _t
+
+        t0 = _t.time()
+        assert srv.poll_once()
+        elapsed = _t.time() - t0
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed" and "cannot read" in st["error"]
+        # deterministic: no retry/backoff burn (default backoff is 2s/try)
+        assert elapsed < cfg_srv.retry_backoff + 1.0
+
+
 
 class TestEmitterPipeline:
     def test_localize_emitters_job(self, server_env):
