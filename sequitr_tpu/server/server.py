@@ -1298,7 +1298,10 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     or ``threshold_sigmas`` (robust per-frame: median + k*MAD, default 5),
     ``max_peaks``, ``min_distance``, ``window``, ``sigma``.
     Outputs: emitters.csv with columns t,y,x,amplitude,background
-    (sub-pixel y/x, brightest-first within each frame).
+    (sub-pixel y/x, brightest-first within each frame); ``btrack: true``
+    additionally writes objects.h5 in btrack's object layout so the
+    localizations feed straight into single-particle tracking (the same
+    handoff the segmentation pipelines use for cells).
     """
     from sequitr_tpu import psf
 
@@ -1339,11 +1342,24 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         for r in rows:
             f.write(f"{r[0]},{r[1]:.4f},{r[2]:.4f},{r[3]:.4f},{r[4]:.4f}\n")
     os.replace(tmp, out_path)
-    return {
+    outputs = {
         "emitters": out_path,
         "n_emitters": str(len(rows)),
         "n_frames": str(len(stack)),
     }
+    if p.get("btrack"):
+        from sequitr_tpu import localize as loc_lib
+
+        objects = [
+            loc_lib.LocalizedObject(
+                t=t, x=x, y=y, z=0.0, label=0, area=1, intensity_mean=amp
+            )
+            for t, y, x, amp, _bg in rows
+        ]
+        h5_path = os.path.join(job.output, "objects.h5")
+        loc_lib.export_btrack_h5(h5_path, objects)
+        outputs["objects"] = h5_path
+    return outputs
 
 
 @register("evaluate_unet3d")

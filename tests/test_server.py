@@ -1493,6 +1493,35 @@ class TestEmitterPipeline:
             best = min((abs(y - cy) + abs(x - cx)) for cy, cx in truth)
             assert best < 0.2, (t, y, x, best)
 
+    def test_emitters_btrack_output(self, server_env):
+        """btrack: true writes the same object layout the segmentation
+        pipelines use — single-particle tracking handoff."""
+        import h5py
+
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(1)
+        frames = rng.normal(10.0, 0.5, (2, 32, 32)).astype(np.float32)
+        yy, xx = np.mgrid[:32, :32]
+        frames += 80.0 * np.exp(-((yy - 15.5) ** 2 + (xx - 20.2) ** 2) / (2 * 1.5**2))
+        path = str(tmp / "em_bt.tif")
+        tiff.write_stack(path, frames)
+        out = str(tmp / "em_bt_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "localize_emitters",
+                    "params": {"threshold_sigmas": 8, "btrack": True},
+                    "input": [path], "output": out})
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        with h5py.File(st["outputs"]["objects"]) as f:
+            coords = f["objects/obj_type_1/coords"][:]
+            fmap = f["objects/obj_type_1/map"][:]
+        assert coords.shape == (2, 5)  # one emitter per frame, [t,x,y,z,label]
+        np.testing.assert_allclose(coords[:, 2], 15.5, atol=0.1)  # y
+        np.testing.assert_allclose(coords[:, 1], 20.2, atol=0.1)  # x
+        assert fmap.shape[0] == 2  # per-frame slices
+
 
 
 class TestQueueSemantics:
