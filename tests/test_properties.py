@@ -85,6 +85,25 @@ class TestTileStitchIdentity:
             err_msg=f"h={h} w={w} patch=({ph},{pw}) ov=({oy},{ox})",
         )
 
+    @pytest.mark.parametrize("seed", range(4))
+    def test_constant_field_identity_3d(self, seed):
+        """The volumetric grid (Z, H, W) stitches exactly too — the 3D
+        serving path's multi-tile correctness, independent of any net."""
+        rng = np.random.default_rng(500 + seed)
+        pz, ph, pw = 4, 8, 8
+        z = pz + int(rng.integers(0, 9))
+        h = ph + int(rng.integers(0, 17))
+        w = pw + int(rng.integers(0, 17))
+        ov = (int(rng.integers(0, 3)), int(rng.integers(0, 5)), int(rng.integers(0, 5)))
+        grid = tiling.tile_grid((z, h, w), (pz, ph, pw), ov)
+        field = jnp.asarray(rng.random((z, h, w, 2)).astype(np.float32))
+        patches = tiling.extract_patches(field, grid, (pz, ph, pw))
+        out = tiling.stitch_patches(patches, grid, (z, h, w), ov, "hann")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(field), atol=1e-5,
+            err_msg=f"zhw=({z},{h},{w}) ov={ov} tiles={len(grid)}",
+        )
+
     @pytest.mark.parametrize("seed", range(3))
     def test_scan_forms_match_unrolled(self, seed):
         rng = np.random.default_rng(300 + seed)
