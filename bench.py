@@ -212,6 +212,22 @@ def bench_fast(device_kind: str, iters: int):
             "unit": "frames/sec/chip"}
 
 
+def bench_fast4(device_kind: str, iters: int):
+    """The x4 space-to-depth preset (zoo unet2d_*_fast4) at 1024^2."""
+    import jax
+    from sequitr_tpu.models import unet
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg = _unet_cfg(device_kind, space_to_depth=4, base_features=64)
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
+    fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
+    frame = _frame()
+    fps = _rate(lambda: fn(params, state, frame), iters)
+    return {"metric": "unet2d_1024_fast_s2d4_inference", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
 def bench_gan_train(device_kind: str, iters: int):
     """Config #5a training: alternating D/G pix2pix step (adv + L1)."""
     import jax
@@ -249,6 +265,7 @@ CONFIGS = {
     "gan": bench_gan,
     "gantrain": bench_gan_train,
     "fast": bench_fast,
+    "fast4": bench_fast4,
 }
 
 

@@ -48,6 +48,11 @@ PRESETS: Dict[str, Any] = {
     # their own models
     "unet2d_3class_fast": _unet(num_classes=3, space_to_depth=2, base_features=64),
     "unet2d_binary_fast": _unet(num_classes=2, space_to_depth=2, base_features=64),
+    # x4 rearrangement (16x input channels at quarter resolution): the
+    # fastest family member (measured 2.8x the parity model at 1024^2);
+    # distillation evidence: tests/test_fit.py::TestDistillFast
+    "unet2d_3class_fast4": _unet(num_classes=3, space_to_depth=4, base_features=64),
+    "unet2d_binary_fast4": _unet(num_classes=2, space_to_depth=4, base_features=64),
 }
 
 
