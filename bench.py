@@ -202,30 +202,28 @@ def bench_fast(device_kind: str, iters: int):
     from sequitr_tpu.models import unet
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    cfg = _unet_cfg(device_kind, space_to_depth=2, base_features=64)
-    params, state = unet.init(jax.random.PRNGKey(0), cfg)
-    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
-    fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
-    frame = _frame()
-    fps = _rate(lambda: fn(params, state, frame), iters)
-    return {"metric": "unet2d_1024_fast_s2d2_inference", "value": round(fps, 3),
-            "unit": "frames/sec/chip"}
+    return _bench_fast_family(device_kind, iters, s2d=2)
 
 
 def bench_fast4(device_kind: str, iters: int):
     """The x4 space-to-depth preset (zoo unet2d_*_fast4) at 1024^2."""
+    return _bench_fast_family(device_kind, iters, s2d=4)
+
+
+def _bench_fast_family(device_kind: str, iters: int, s2d: int):
+    """Shared fast-family methodology — one place for both s2d variants."""
     import jax
     from sequitr_tpu.models import unet
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    cfg = _unet_cfg(device_kind, space_to_depth=4, base_features=64)
+    cfg = _unet_cfg(device_kind, space_to_depth=s2d, base_features=64)
     params, state = unet.init(jax.random.PRNGKey(0), cfg)
     tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
     fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
     frame = _frame()
     fps = _rate(lambda: fn(params, state, frame), iters)
-    return {"metric": "unet2d_1024_fast_s2d4_inference", "value": round(fps, 3),
-            "unit": "frames/sec/chip"}
+    return {"metric": f"unet2d_1024_fast_s2d{s2d}_inference",
+            "value": round(fps, 3), "unit": "frames/sec/chip"}
 
 
 def bench_gan_train(device_kind: str, iters: int):

@@ -147,6 +147,7 @@ def export_btrack_h5(
     path: str,
     objects: Sequence[LocalizedObject],
     obj_type: int = 1,
+    n_frames: Optional[int] = None,
 ) -> None:
     """Write objects to HDF5 in btrack's object-file layout.
 
@@ -155,7 +156,11 @@ def export_btrack_h5(
       /objects/obj_type_{N}/map    : (n_frames, 2) int32 per-frame
                                      [start, end) slices into coords
     Objects are sorted by t; properties (area, intensity) are stored
-    alongside under .../properties.
+    alongside under .../properties. Pass ``n_frames`` (the SOURCE stack's
+    frame count) so trailing object-free frames still get (empty) map
+    rows — otherwise a per-frame consumer sees a shorter movie and
+    misaligns tracks with the stack; without it the map ends at the last
+    detected object's frame.
     """
     import h5py
 
@@ -166,10 +171,16 @@ def export_btrack_h5(
     area = np.asarray([o.area for o in objs], dtype=np.int32)
     imean = np.asarray([o.intensity_mean for o in objs], dtype=np.float32)
 
-    if len(objs):
-        tmax = int(max(o.t for o in objs))
-        starts = np.searchsorted(coords[:, 0], np.arange(tmax + 1), side="left")
-        ends = np.searchsorted(coords[:, 0], np.arange(tmax + 1), side="right")
+    nf = int(n_frames) if n_frames is not None else (
+        int(max(o.t for o in objs)) + 1 if objs else 0
+    )
+    if objs and nf <= int(max(o.t for o in objs)):
+        raise ValueError(
+            f"n_frames={nf} but objects reach t={int(max(o.t for o in objs))}"
+        )
+    if nf:
+        starts = np.searchsorted(coords[:, 0], np.arange(nf), side="left")
+        ends = np.searchsorted(coords[:, 0], np.arange(nf), side="right")
         fmap = np.stack([starts, ends], axis=1).astype(np.int32)
     else:
         fmap = np.zeros((0, 2), dtype=np.int32)

@@ -513,7 +513,7 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         outputs["probs_layout"] = f"pages=(T={len(stack)})*(K={k}), frame-major"
     if job.params.get("localize", True):
         h5_path = os.path.join(job.output, "objects.h5")
-        loc_lib.export_btrack_h5(h5_path, objects)
+        loc_lib.export_btrack_h5(h5_path, objects, n_frames=len(stack))
         outputs["objects"] = h5_path
     return outputs
 
@@ -1190,7 +1190,10 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
                 min_area=int(job.params.get("min_area", 1)),
             )
             h5_path = os.path.join(job.output, "objects.h5")
-            loc_lib.export_btrack_h5(h5_path, objects)
+            # a volume is one timepoint (t param); map has that single row
+            loc_lib.export_btrack_h5(
+                h5_path, objects, n_frames=int(job.params.get("t", 0)) + 1
+            )
         outputs["objects"] = h5_path
         outputs["n_objects"] = str(len(objects))
     total_s = time.time() - t0
@@ -1357,7 +1360,7 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
             for t, y, x, amp, _bg in rows
         ]
         h5_path = os.path.join(job.output, "objects.h5")
-        loc_lib.export_btrack_h5(h5_path, objects)
+        loc_lib.export_btrack_h5(h5_path, objects, n_frames=len(stack))
         outputs["objects"] = h5_path
     return outputs
 

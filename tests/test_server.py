@@ -1615,3 +1615,32 @@ class TestModelForwardCompat:
         srv = ImageServer(cfg)  # must not raise
         assert srv.poll_once() is False
         assert any("compilation cache" in r.message for r in caplog.records)
+
+    def test_emitters_btrack_trailing_empty_frames(self, server_env):
+        """Frames after the last detection still get (empty) map rows so a
+        per-frame consumer sees the full movie (code-review finding)."""
+        import h5py
+
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(2)
+        frames = rng.normal(10.0, 0.5, (4, 32, 32)).astype(np.float32)
+        yy, xx = np.mgrid[:32, :32]
+        # emitters only in frame 0; frames 1-3 are background
+        frames[0] += 80.0 * np.exp(-((yy - 16.0) ** 2 + (xx - 16.0) ** 2) / (2 * 1.5**2))
+        path = str(tmp / "em_tail.tif")
+        tiff.write_stack(path, frames)
+        out = str(tmp / "em_tail_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "localize_emitters",
+                    "params": {"threshold_sigmas": 8, "btrack": True},
+                    "input": [path], "output": out})
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        with h5py.File(st["outputs"]["objects"]) as f:
+            fmap = f["objects/obj_type_1/map"][:]
+        assert fmap.shape == (4, 2)  # ALL source frames, not just tmax+1
+        assert fmap[0].tolist() == [0, 1]
+        for row in fmap[1:]:
+            assert row[0] == row[1] == 1  # empty per-frame slices
