@@ -210,6 +210,27 @@ def bench_fast4(device_kind: str, iters: int):
     return _bench_fast_family(device_kind, iters, s2d=4)
 
 
+def bench_giant(device_kind: str, iters: int):
+    """4096^2 slide-scanner-scale frame, single chip: rolled scan tiling
+    (O(1) HLO in the 169-tile grid) + patch_batch HBM bounding."""
+    import jax
+    from sequitr_tpu.models import unet
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg = _unet_cfg(device_kind)
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    shape = (4096, 4096)
+    tc = infer_lib.TileConfig(patch=(384, 384), overlap=(64, 64), patch_batch=8)
+    fn = infer_lib.make_frame_inferrer(cfg, tc, shape)
+    frame = _frame(shape)
+    # never fewer than 6 timed iterations: 2-iteration runs measured 20x
+    # low once on this machine's relay (dispatch jitter dominates)
+    fps = _rate(lambda: fn(params, state, frame), max(6, iters // 8))
+    mpx = np.prod(shape) / 1e6
+    return {"metric": "unet2d_4096_tiled_inference", "value": round(fps * mpx, 3),
+            "unit": "Mpx/sec/chip"}
+
+
 def _bench_fast_family(device_kind: str, iters: int, s2d: int):
     """Shared fast-family methodology — one place for both s2d variants."""
     import jax
@@ -264,6 +285,7 @@ CONFIGS = {
     "gantrain": bench_gan_train,
     "fast": bench_fast,
     "fast4": bench_fast4,
+    "giant": bench_giant,
 }
 
 
