@@ -332,7 +332,11 @@ def main():
     ap.add_argument("--baseline", action="store_true", help="measure CPU baseline")
     ap.add_argument("--config", choices=sorted(CONFIGS), default="inference")
     ap.add_argument("--all", action="store_true", help="run every config")
-    ap.add_argument("--iters", type=int, default=20)
+    # 48 iterations per measurement: on this machine's relay tunnel the
+    # per-dispatch jitter biases short runs LOW by a few percent (measured:
+    # 20-iter north star reads ~60 fps, 48-iter ~64); longer windows
+    # amortize it without changing the dependent-fetch methodology
+    ap.add_argument("--iters", type=int, default=48)
     args = ap.parse_args()
 
     if args.baseline:
