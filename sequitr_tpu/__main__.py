@@ -82,6 +82,10 @@ def _serve_workers(args) -> int:
         log.error("all workers dead; supervisor exiting")
         return 1
     except KeyboardInterrupt:
+        # a second SIGTERM during teardown must not re-raise mid-loop and
+        # skip terminate()/wait() for the remaining workers (orphans) —
+        # ignore further TERMs once cleanup has begun
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
         for p in procs.values():
             p.terminate()
         for p in procs.values():
@@ -225,6 +229,10 @@ def main(argv=None) -> int:
         )
         try:
             os.rename(path, path + ".cancelled")
+            # the rename won the race, so no server holds this job — delete
+            # the marker instead of accumulating .cancelled litter that the
+            # `queue` command would never show
+            os.remove(path + ".cancelled")
             print(f"cancelled {args.job_id}")
             return 0
         except FileNotFoundError:

@@ -145,15 +145,16 @@ def _run_loop(
     if fc.keep_best_metric and fc.metrics_path and os.path.exists(fc.metrics_path):
         import json
 
-        for line in open(fc.metrics_path):
-            try:
-                row = json.loads(line)
-            except ValueError:
-                continue
-            if row.get("kind") == "best" and fc.keep_best_metric in row:
-                v = float(row[fc.keep_best_metric])
-                if best["value"] is None or v > best["value"]:
-                    best["value"] = v
+        with open(fc.metrics_path) as mf:
+            for line in mf:
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                if row.get("kind") == "best" and fc.keep_best_metric in row:
+                    v = float(row[fc.keep_best_metric])
+                    if best["value"] is None or v > best["value"]:
+                        best["value"] = v
 
     def run_eval(g):
         if eval_fn is None:
@@ -278,6 +279,19 @@ def _make_unet_evaluator(
     return eval_fn
 
 
+def _check_keep_best(fc: FitConfig, known: set) -> None:
+    """Reject a typo'd ``keep_best_metric`` BEFORE any training happens.
+
+    The best-tracker only consults the metric at the first eval — up to
+    ``eval_every`` steps in — so a bad name would waste that whole stretch
+    of training before failing."""
+    if fc.keep_best_metric and fc.keep_best_metric not in known:
+        raise ValueError(
+            f"keep_best_metric={fc.keep_best_metric!r} is not an eval metric "
+            f"this trainer produces; choose from {sorted(known)}"
+        )
+
+
 def fit_unet(
     cfg: unet.UNetConfig,
     tc: train_lib.TrainConfig,
@@ -292,6 +306,11 @@ def fit_unet(
 
     ``distill``: train against a teacher (CE + soft-target KL) — the recipe
     for the space-to-depth fast presets."""
+    _check_keep_best(
+        fc,
+        {"eval_loss", "eval_accuracy", "eval_miou"}
+        | {f"eval_iou_{k}" for k in range(cfg.num_classes)},
+    )
     key = jax.random.PRNGKey(fc.seed)
     state = init_state or train_lib.create_unet_state(key, cfg, tc)
     if distill is not None:
@@ -395,6 +414,7 @@ def fit_gan(
     ``mesh``: data-parallel sharding over a device mesh — state replicated,
     the pair batch sharded on its leading axis; XLA inserts the gradient
     all-reduces over ICI (same pattern as ``fit_unet``)."""
+    _check_keep_best(fc, {"eval_l1", "eval_psnr"})
     key = jax.random.PRNGKey(fc.seed)
     state = init_state or train_lib.create_gan_state(key, cfg, tc)
     step = train_lib.make_gan_train_step(cfg, tc, l1_weight=l1_weight, jit=mesh is None)

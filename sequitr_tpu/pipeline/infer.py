@@ -54,6 +54,14 @@ class TileConfig:
     # D2H transfer (this machine's relay D2H is ~1 s/MB, BASELINE.md)
     labels_dtype: str = "int32"
 
+    def __post_init__(self):
+        # patch_batch=0 is a plausible "disable chunking" spelling; accept
+        # only None (auto) or >=1 rather than silently treating 0 as auto
+        if self.patch_batch is not None and self.patch_batch < 1:
+            raise ValueError(
+                f"patch_batch must be None (auto) or >= 1, got {self.patch_batch}"
+            )
+
 
 @dataclasses.dataclass
 class InferenceResult:
@@ -123,7 +131,7 @@ def tiled_apply(
     extract = tiling.extract_patches_scan if rolled else tiling.extract_patches
     patches = extract(x, grid, tc.patch)  # (T, *patch, C)
     t = patches.shape[0]
-    patch_batch = tc.patch_batch or (8 if t > 32 else None)
+    patch_batch = tc.patch_batch if tc.patch_batch is not None else (8 if t > 32 else None)
     if patch_batch is None or patch_batch >= t:
         # Mosaic pads the conv batch axis to a multiple of 8, so a 25-patch
         # batch costs the same as 32 (measured: 19.3 vs 14.4 ms for 24 at

@@ -393,6 +393,12 @@ def _tile_config(
     patch = tuple(patch) if patch is not None else default_patch
     overlap = tuple(overlap) if overlap is not None else default_overlap
     pb = params.get("patch_batch")
+    if pb is not None:
+        pb = int(pb)
+        if pb < 1:
+            raise jobs_lib.JobError(
+                f"patch_batch must be >= 1 (omit it for auto), got {pb}"
+            )
     return infer_lib.TileConfig(
         patch=patch,
         overlap=overlap,
@@ -400,7 +406,7 @@ def _tile_config(
         normalize=params.get("normalize", "auto"),
         p_lo=float(params.get("p_lo", 5.0)),
         p_hi=float(params.get("p_hi", 99.5)),
-        patch_batch=int(pb) if pb else None,
+        patch_batch=pb,
         # labels leave the device as uint16 (the on-disk format), halving
         # the per-frame label D2H next to int32
         labels_dtype="uint16",

@@ -157,9 +157,11 @@ class TestCancelCommand:
         assert len(scan_jobs(jobs)) == 1
         assert main(["cancel", "--jobs-dir", jobs, jid]) == 0
         assert "cancelled" in capsys.readouterr().out
-        # the queue no longer offers it; the tombstone records the action
+        # the queue no longer offers it, and no .cancelled litter accumulates
+        # in the jobs dir (the rename already won the race vs any claimer)
         assert scan_jobs(jobs) == []
-        assert (tmp_path / "jobs" / f"job_{jid}.json.cancelled").exists()
+        assert not (tmp_path / "jobs" / f"job_{jid}.json.cancelled").exists()
+        assert not (tmp_path / "jobs" / f"job_{jid}.json").exists()
 
     def test_cancel_unknown_job_fails(self, tmp_path, capsys):
         from sequitr_tpu.__main__ import main

@@ -402,6 +402,9 @@ class TestKeepBest:
         )
         with pytest.raises(ValueError, match="keep_best_metric"):
             fit_lib.fit_unet(cfg, tc, fc, paths, ckpt_dir=str(tmp_path / "ck"))
+        # the typo is rejected BEFORE any training runs (ADVICE r2): no
+        # checkpoints were written on the way to the failure
+        assert not os.path.exists(str(tmp_path / "ck"))
 
     def test_best_tracker_survives_resume(self, tmp_path):
         """A resumed run must not overwrite a better pre-crash best

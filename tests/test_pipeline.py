@@ -86,6 +86,16 @@ class TestTiledInference:
         )
         np.testing.assert_allclose(np.asarray(p_all), np.asarray(p_chunk), atol=1e-5)
 
+    def test_patch_batch_zero_rejected(self):
+        # 0 is a plausible "disable chunking" spelling — reject it up front
+        # instead of silently substituting the auto default (ADVICE r2)
+        import pytest
+
+        with pytest.raises(ValueError, match="patch_batch"):
+            infer_lib.TileConfig(patch=(32, 32), patch_batch=0)
+        with pytest.raises(ValueError, match="patch_batch"):
+            infer_lib.TileConfig(patch=(32, 32), patch_batch=-1)
+
     def test_infer_stack_streaming(self):
         cfg = small_cfg()
         params, state = unet.init(jax.random.PRNGKey(0), cfg)
