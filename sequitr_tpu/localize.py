@@ -21,7 +21,15 @@ from typing import List, Optional, Sequence
 import numpy as np
 from scipy import ndimage
 
-__all__ = ["LocalizedObject", "label_components", "localize_frame", "export_btrack_h5"]
+__all__ = [
+    "LocalizedObject",
+    "FrameTable",
+    "label_components",
+    "localize_frame",
+    "localize_frame_table",
+    "export_btrack_h5",
+    "export_btrack_h5_tables",
+]
 
 
 @dataclasses.dataclass
@@ -55,6 +63,75 @@ def label_components(mask: np.ndarray, connectivity: int = 1) -> np.ndarray:
     return labelled.astype(np.int32)
 
 
+@dataclasses.dataclass
+class FrameTable:
+    """Compact per-frame localization table (plain numpy columns).
+
+    The serving hot path keeps objects in these instead of per-object
+    ``LocalizedObject`` instances: a noisy frame can carry hundreds of
+    objects, and Python dataclass overhead is ~20x the 24 bytes of actual
+    feature data per object (a measured 21 MB transient for a 96-frame
+    synthetic serve — round-3 streaming work).
+    """
+
+    coords: np.ndarray  # (n, 5) float32 [t, x, y, z, label]
+    area: np.ndarray  # (n,) int32
+    intensity_mean: np.ndarray  # (n,) float32
+
+    def __len__(self) -> int:
+        return len(self.coords)
+
+    @staticmethod
+    def empty() -> "FrameTable":
+        return FrameTable(
+            coords=np.zeros((0, 5), np.float32),
+            area=np.zeros(0, np.int32),
+            intensity_mean=np.zeros(0, np.float32),
+        )
+
+
+def localize_frame_table(
+    class_map: np.ndarray,
+    t: int = 0,
+    intensity: Optional[np.ndarray] = None,
+    min_area: int = 1,
+    z: float = 0.0,
+    n_classes: Optional[int] = None,
+) -> FrameTable:
+    """Per-object features of a 2D class label map as a compact table.
+
+    Foreground = ``class_map > 0``; instances come from connected components
+    of the foreground; each object's semantic ``label`` is the majority
+    class over its pixels (spec decision). Area, centroid, mean intensity
+    and majority class all come from ONE native sweep over the frame
+    (``native.label_full_stats``; scipy fallback inside).
+    """
+    from sequitr_tpu import native
+
+    class_map = np.asarray(class_map)
+    inst = label_components(class_map > 0)
+    n = int(inst.max())
+    if n == 0:
+        return FrameTable.empty()
+    k = int(n_classes) if n_classes is not None else int(class_map.max()) + 1
+    areas, cy, cx, imean, classes = native.label_full_stats(
+        inst, class_map, intensity, n, k
+    )
+    keep = areas >= min_area
+    kept = int(keep.sum())
+    coords = np.empty((kept, 5), dtype=np.float32)
+    coords[:, 0] = t
+    coords[:, 1] = cx[keep]
+    coords[:, 2] = cy[keep]
+    coords[:, 3] = z
+    coords[:, 4] = classes[keep]
+    return FrameTable(
+        coords=coords,
+        area=areas[keep].astype(np.int32),
+        intensity_mean=imean[keep].astype(np.float32),
+    )
+
+
 def localize_frame(
     class_map: np.ndarray,
     t: int = 0,
@@ -64,42 +141,24 @@ def localize_frame(
 ) -> List[LocalizedObject]:
     """Extract per-object centroids/features from a 2D class label map.
 
-    Foreground = ``class_map > 0``; instances come from connected components
-    of the foreground; each object's semantic ``label`` is the majority
-    class over its pixels (spec decision).
+    Object-list convenience wrapper over ``localize_frame_table`` (the
+    serving pipelines use the table form directly).
     """
-    class_map = np.asarray(class_map)
-    inst = label_components(class_map > 0)
-    n = int(inst.max())
-    if n == 0:
-        return []
-    ids = np.arange(1, n + 1)
-    areas = ndimage.sum_labels(np.ones_like(inst), inst, ids)
-    cys, cxs = zip(*ndimage.center_of_mass(np.ones_like(inst), inst, ids))
-    if intensity is not None:
-        means = ndimage.mean(intensity, inst, ids)
-    else:
-        means = np.zeros(n)
-    # majority semantic class per instance
-    classes = ndimage.labeled_comprehension(
-        class_map, inst, ids, lambda v: np.bincount(v.astype(np.int64)).argmax(), int, 0
+    tbl = localize_frame_table(
+        class_map, t=t, intensity=intensity, min_area=min_area, z=z
     )
-    out = []
-    for i in range(n):
-        if areas[i] < min_area:
-            continue
-        out.append(
-            LocalizedObject(
-                t=t,
-                x=float(cxs[i]),
-                y=float(cys[i]),
-                z=z,
-                label=int(classes[i]),
-                area=int(areas[i]),
-                intensity_mean=float(means[i]),
-            )
+    return [
+        LocalizedObject(
+            t=int(c[0]),
+            x=float(c[1]),
+            y=float(c[2]),
+            z=float(c[3]),
+            label=int(c[4]),
+            area=int(a),
+            intensity_mean=float(m),
         )
-    return out
+        for c, a, m in zip(tbl.coords, tbl.area, tbl.intensity_mean)
+    ]
 
 
 def localize_volume(
@@ -162,22 +221,54 @@ def export_btrack_h5(
     misaligns tracks with the stack; without it the map ends at the last
     detected object's frame.
     """
-    import h5py
-
     objs = sorted(objects, key=lambda o: o.t)
     coords = np.asarray(
         [[o.t, o.x, o.y, o.z, o.label] for o in objs], dtype=np.float32
     ).reshape(-1, 5)
     area = np.asarray([o.area for o in objs], dtype=np.int32)
     imean = np.asarray([o.intensity_mean for o in objs], dtype=np.float32)
+    _write_btrack(path, coords, area, imean, n_frames, obj_type)
 
-    nf = int(n_frames) if n_frames is not None else (
-        int(max(o.t for o in objs)) + 1 if objs else 0
-    )
-    if objs and nf <= int(max(o.t for o in objs)):
-        raise ValueError(
-            f"n_frames={nf} but objects reach t={int(max(o.t for o in objs))}"
-        )
+
+def export_btrack_h5_tables(
+    path: str,
+    tables: Sequence[FrameTable],
+    obj_type: int = 1,
+    n_frames: Optional[int] = None,
+) -> int:
+    """Write per-frame ``FrameTable``s (in t order) to the btrack layout.
+
+    The zero-Python-object export path the streaming server uses; returns
+    the total object count. Same file layout as ``export_btrack_h5``.
+    """
+    if tables:
+        coords = np.concatenate([tb.coords for tb in tables])
+        area = np.concatenate([tb.area for tb in tables])
+        imean = np.concatenate([tb.intensity_mean for tb in tables])
+    else:
+        e = FrameTable.empty()
+        coords, area, imean = e.coords, e.area, e.intensity_mean
+    if len(coords) and np.any(np.diff(coords[:, 0]) < 0):
+        order = np.argsort(coords[:, 0], kind="stable")
+        coords, area, imean = coords[order], area[order], imean[order]
+    _write_btrack(path, coords, area, imean, n_frames, obj_type)
+    return len(coords)
+
+
+def _write_btrack(
+    path: str,
+    coords: np.ndarray,
+    area: np.ndarray,
+    imean: np.ndarray,
+    n_frames: Optional[int],
+    obj_type: int,
+) -> None:
+    import h5py
+
+    t_max = int(coords[:, 0].max()) if len(coords) else -1
+    nf = int(n_frames) if n_frames is not None else t_max + 1
+    if len(coords) and nf <= t_max:
+        raise ValueError(f"n_frames={nf} but objects reach t={t_max}")
     if nf:
         starts = np.searchsorted(coords[:, 0], np.arange(nf), side="left")
         ends = np.searchsorted(coords[:, 0], np.arange(nf), side="right")

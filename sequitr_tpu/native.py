@@ -26,7 +26,13 @@ _lib: Optional[ctypes.CDLL] = None
 _lock = threading.Lock()
 _build_failed = False
 
-__all__ = ["available", "build", "label_components", "label_stats", "crc32c"]
+__all__ = [
+    "available",
+    "build",
+    "label_components",
+    "label_full_stats",
+    "crc32c",
+]
 
 
 def build(force: bool = False) -> bool:
@@ -69,15 +75,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
-        lib.seq_label_stats.restype = None
-        lib.seq_label_stats.argtypes = [
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_double),
+        lib.seq_label_full_stats.restype = None
+        lib.seq_label_full_stats.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),   # labels
+            ctypes.POINTER(ctypes.c_int32),   # class_map
+            ctypes.POINTER(ctypes.c_float),   # intensity (may be null)
+            ctypes.c_int32,                   # h
+            ctypes.c_int32,                   # w
+            ctypes.c_int32,                   # n_labels
+            ctypes.c_int32,                   # n_classes
+            ctypes.POINTER(ctypes.c_int64),   # counts scratch
+            ctypes.POINTER(ctypes.c_int64),   # areas
+            ctypes.POINTER(ctypes.c_double),  # cy
+            ctypes.POINTER(ctypes.c_double),  # cx
+            ctypes.POINTER(ctypes.c_double),  # imean
+            ctypes.POINTER(ctypes.c_int32),   # cls_out
         ]
         lib.seq_crc32c.restype = ctypes.c_uint32
         lib.seq_crc32c.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
@@ -109,8 +121,21 @@ def label_components(mask: np.ndarray) -> np.ndarray:
     return out
 
 
-def label_stats(labels: np.ndarray, n_labels: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-label (areas, centroid_y, centroid_x) for labels 1..n_labels."""
+def label_full_stats(
+    labels: np.ndarray,
+    class_map: np.ndarray,
+    intensity: Optional[np.ndarray],
+    n_labels: int,
+    n_classes: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Single-pass per-label (areas, cy, cx, intensity_mean, majority_class).
+
+    The localization tail of a serving job previously made four scipy
+    passes per frame (sum_labels, center_of_mass, mean,
+    labeled_comprehension) — the measured non-overlapped 0.6 s of a warm
+    8x1024^2 job. The native path fuses them into one sweep; the scipy
+    fallback preserves behavior without the toolchain.
+    """
     lib = _load()
     labels = np.ascontiguousarray(np.asarray(labels, dtype=np.int32))
     h, w = labels.shape
@@ -118,27 +143,56 @@ def label_stats(labels: np.ndarray, n_labels: int) -> Tuple[np.ndarray, np.ndarr
         from scipy import ndimage
 
         ids = np.arange(1, n_labels + 1)
-        areas = ndimage.sum_labels(np.ones_like(labels), labels, ids).astype(np.int64)
+        areas = ndimage.sum_labels(
+            np.ones_like(labels), labels, ids
+        ).astype(np.int64)
         if n_labels:
             com = ndimage.center_of_mass(np.ones_like(labels), labels, ids)
             cy = np.asarray([c[0] for c in com])
             cx = np.asarray([c[1] for c in com])
+            means = (
+                np.asarray(ndimage.mean(intensity, labels, ids))
+                if intensity is not None else np.zeros(n_labels)
+            )
+            classes = ndimage.labeled_comprehension(
+                class_map, labels, ids,
+                lambda v: np.bincount(
+                    v.astype(np.int64), minlength=n_classes
+                ).argmax(),
+                np.int32, 0,
+            )
         else:
-            cy = cx = np.zeros(0)
-        return areas, cy, cx
+            cy = cx = means = np.zeros(0)
+            classes = np.zeros(0, dtype=np.int32)
+        return areas, cy, cx, means, np.asarray(classes, dtype=np.int32)
+    class_map = np.ascontiguousarray(np.asarray(class_map, dtype=np.int32))
+    if intensity is not None:
+        intensity = np.ascontiguousarray(np.asarray(intensity, dtype=np.float32))
+        inten_ptr = intensity.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    else:
+        inten_ptr = ctypes.POINTER(ctypes.c_float)()
+    counts = np.zeros(max(n_labels * n_classes, 1), dtype=np.int64)
     areas = np.zeros(n_labels, dtype=np.int64)
     cy = np.zeros(n_labels, dtype=np.float64)
     cx = np.zeros(n_labels, dtype=np.float64)
-    lib.seq_label_stats(
+    imean = np.zeros(n_labels, dtype=np.float64)
+    classes = np.zeros(n_labels, dtype=np.int32)
+    lib.seq_label_full_stats(
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        class_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        inten_ptr,
         h,
         w,
         n_labels,
+        n_classes,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         areas.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         cy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         cx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        imean.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        classes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
-    return areas, cy, cx
+    return areas, cy, cx, imean, classes
 
 
 def crc32c(data: bytes) -> int:

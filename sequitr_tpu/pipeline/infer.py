@@ -32,6 +32,7 @@ __all__ = [
     "TileConfig",
     "make_frame_inferrer",
     "cached_frame_inferrer",
+    "cached_gan_enhancer",
     "infer_stack",
     "stream_frames",
     "InferenceResult",
@@ -261,6 +262,52 @@ def cached_batch_inferrer(
     return jax.jit(
         lambda params, state, frames: jax.vmap(
             lambda f: single(params, state, f)
+        )(frames)
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def cached_gan_enhancer(
+    cfg,  # gan.GANConfig (frozen dataclass), already BN-folded
+    tc: TileConfig,
+    frame_spatial: Tuple[int, ...],
+    batch: Optional[int] = None,
+) -> Callable:
+    """Cross-job cache of jitted GAN generator passes.
+
+    The GAN analogue of ``cached_frame_inferrer``: keyed on the (folded)
+    architecture config + tiling + frame shape, with weights as per-call
+    arguments — so a warm server's second enhancement job for the same
+    architecture pays zero retrace/recompile (the ~70x warm-server win the
+    segmentation path measured in round 2, previously missing here).
+
+    Returns ``enhance(params, state, frame) -> (H, W, C_out)`` for
+    ``batch=None``, else the vmapped
+    ``enhance(params, state, frames) -> (batch, H, W, C_out)`` form.
+    Frames arrive (H, W) single-channel or (H, W, C_in).
+    """
+    from sequitr_tpu.models import gan as gan_lib
+
+    spatial = tuple(frame_spatial)
+    grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
+    nd = len(spatial)
+
+    def enhance_one(params, state, frame):
+        if frame.ndim == nd:
+            frame = frame[..., None]
+        x = _normalize(frame, tc)
+
+        def forward(patches):
+            out, _ = gan_lib.generator_apply(cfg, params, state, patches)
+            return out
+
+        return tiled_apply(forward, x, grid, spatial, tc, cfg.out_channels)
+
+    if batch is None:
+        return jax.jit(enhance_one)
+    return jax.jit(
+        lambda params, state, frames: jax.vmap(
+            lambda f: enhance_one(params, state, f)
         )(frames)
     )
 

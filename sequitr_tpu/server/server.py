@@ -328,6 +328,39 @@ def _read_stack_or_fail(job: Job, path: str, dtype=np.float32) -> np.ndarray:
     return np.asarray(arr, dtype=dtype) if dtype is not None else np.asarray(arr)
 
 
+# (stamp, loaded) per model dir. A warm server re-loading the same model
+# every job pays ~50 MB of transient tensorstore buffers and ~0.5 s of
+# orbax restore per job; weights are immutable jax arrays, so sharing one
+# loaded copy across jobs is safe. Invalidation: config.json + ckpt mtimes
+# (save_model rewrites both when a model is re-registered).
+_MODEL_CACHE: Dict[str, tuple] = {}
+_MODEL_CACHE_MAX = 8
+
+
+def _model_stamp(model_dir: str):
+    try:
+        cfg_ns = os.stat(os.path.join(model_dir, "config.json")).st_mtime_ns
+        ckpt_ns = os.stat(os.path.join(model_dir, "ckpt")).st_mtime_ns
+    except OSError:
+        return None
+    return (cfg_ns, ckpt_ns)
+
+
+def load_model_cached(models_dir: str, name: str):
+    """``load_model`` with a cross-job cache (stale entries re-load)."""
+    model_dir = os.path.abspath(os.path.join(models_dir, name))
+    stamp = _model_stamp(model_dir)
+    entry = _MODEL_CACHE.get(model_dir)
+    if entry is not None and stamp is not None and entry[0] == stamp:
+        return entry[1]
+    loaded = load_model(models_dir, name)
+    if stamp is not None:
+        if len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+            _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
+        _MODEL_CACHE[model_dir] = (stamp, loaded)
+    return loaded
+
+
 def _require_model(job: Job, config: ServerConfiguration, expect_kind: str):
     """Load the job's model, raising deterministic JobErrors (never retried)
     for a missing param, an unregistered name, or the wrong model kind."""
@@ -335,7 +368,7 @@ def _require_model(job: Job, config: ServerConfiguration, expect_kind: str):
     if not name:
         raise jobs_lib.JobError(f"job {job.id}: missing required param 'model'")
     try:
-        kind, cfg, params, state = load_model(config.models_dir, name)
+        kind, cfg, params, state = load_model_cached(config.models_dir, name)
     except (FileNotFoundError, KeyError) as e:
         raise jobs_lib.JobError(f"job {job.id}: model {name!r} not loadable: {e!r}")
     if kind != expect_kind:
@@ -424,204 +457,246 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     """
     from sequitr_tpu import localize as loc_lib
     from sequitr_tpu.data import tiff
-    from sequitr_tpu.pipeline import infer as infer_lib
+    from sequitr_tpu.data.source import FrameSource
 
     paths = _resolve_inputs(job)
-    channels = []
-    for p_ in paths:
-        try:
-            ch = np.asarray(tiff.read_stack(p_), dtype=np.float32)
-        except ValueError as e:
-            # unreadable input is deterministic — fail fast, never retry
-            raise jobs_lib.JobError(f"job {job.id}: cannot read {p_}: {e}")
-        channels.append(ch[None] if ch.ndim == 2 else ch)
-    if len(channels) > 1:
-        # multi-channel: one TIFF stack per channel, stacked on the trailing
-        # axis (normalization runs per channel; the net must be built with
-        # in_channels == len(inputs))
-        if len({c.shape for c in channels}) != 1:
-            raise jobs_lib.JobError(
-                f"channel stacks disagree in shape: {[c.shape for c in channels]}"
-            )
-        stack = np.stack(channels, axis=-1)
-    else:
-        stack = channels[0]
-    spatial = stack.shape[1:3]
+    try:
+        # lazy per-frame ingest: host memory stays O(frames in flight), so a
+        # timelapse larger than host RAM serves end-to-end (SURVEY.md §7(e))
+        source = FrameSource(paths=paths)
+    except ValueError as e:
+        # unreadable input is deterministic — fail fast, never retry
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
 
     cfg, params, state = _require_model(job, config, "unet")
-    n_ch = stack.shape[-1] if stack.ndim == 4 else 1
-    if cfg.in_channels != n_ch:
+    if cfg.in_channels != source.n_channels:
         raise jobs_lib.JobError(
-            f"model expects {cfg.in_channels} channel(s), got {n_ch} input stack(s)"
+            f"model expects {cfg.in_channels} channel(s), "
+            f"got {source.n_channels} input stack(s)"
         )
     tc = _tile_config(
         job.params, dims=2,
-        frame_spatial=spatial, min_multiple=cfg.min_input_multiple,
+        frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
     )
 
     from sequitr_tpu.utils import PhaseTimer
 
     timer = PhaseTimer()
-    labels_out = np.empty((len(stack),) + spatial, dtype=np.uint16)
-    probs_list = [] if job.params.get("save_probs") else None
-    objects = []
-    with timer.phase("infer"):
-        results = _run_frames(cfg, tc, params, state, stack, job.params)
+    n_frames = len(source)
+    tables = []  # compact per-frame localization tables (t order)
     # localization is host CPU work; frame fetches are relay/PCIe IO waits.
     # Run localization on one worker thread so frame t's CCL overlaps frame
     # t+1's D2H instead of serializing after it (localize_s below is the
-    # NON-overlapped wait at the end of the loop).
+    # NON-overlapped wait at the end of the loop). Output TIFFs append page
+    # by page as results arrive — encoding overlaps inference and no output
+    # stack is ever whole in RAM.
     from concurrent.futures import ThreadPoolExecutor
 
+    from collections import deque
+
     do_localize = job.params.get("localize", True)
+    save_probs = bool(job.params.get("save_probs"))
     min_area = int(job.params.get("min_area", 1))
-    futures = []
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        for t, result in enumerate(results):
-            with timer.phase("fetch"):
-                labels_np = np.asarray(result.labels)  # uint16 on device already
-            labels_out[t] = labels_np
-            if probs_list is not None:
+    labels_path = os.path.join(job.output, "labels.tif")
+    probs_path = os.path.join(job.output, "probs.tif")
+    # bounded: each pending future pins its frame's label + intensity
+    # arrays, so an unbounded backlog would quietly re-buffer the stack
+    futures: deque = deque()
+    max_pending = 8
+    n_classes = cfg.num_classes
+    labels_w = tiff.TiffAppendWriter(labels_path)
+    probs_w = tiff.TiffAppendWriter(probs_path) if save_probs else None
+    try:
+        with ThreadPoolExecutor(max_workers=1) as pool, source:
+            # the generator dispatches lazily: each next() is the dispatch
+            # (+ H2D) work, each np.asarray the D2H result wait
+            results = _run_frames(cfg, tc, params, state, source, job.params)
+            for t in range(n_frames):
+                with timer.phase("infer"):
+                    result = next(results)
                 with timer.phase("fetch"):
-                    probs_list.append(np.asarray(result.probs))
-            if do_localize:
-                # per-object mean intensity: channel-mean for multi-channel
-                inten = stack[t] if stack.ndim == 3 else stack[t].mean(axis=-1)
-                futures.append(
-                    pool.submit(
-                        loc_lib.localize_frame, labels_np, t=t,
-                        intensity=inten, min_area=min_area,
+                    # uint16 on device in the default path; the spatial-
+                    # parallel shard_map path still emits int32 — cast here
+                    labels_np = np.asarray(result.labels).astype(
+                        np.uint16, copy=False
                     )
-                )
-        with timer.phase("localize"):
-            for f in futures:
-                objects.extend(f.result())
+                with timer.phase("write"):
+                    labels_w.append(labels_np)
+                if probs_w is not None:
+                    with timer.phase("fetch"):
+                        probs_np = np.asarray(result.probs, dtype=np.float32)
+                    with timer.phase("write"):
+                        # softmax label maps, frame-major (the reference's
+                        # output contract): page t*K + k = frame t, class k
+                        for k in range(n_classes):
+                            probs_w.append(probs_np[..., k])
+                if do_localize:
+                    # per-object mean intensity; channel-mean if multi-channel
+                    inten = source.frame(t)
+                    if inten.ndim == 3:
+                        inten = inten.mean(axis=-1)
+                    futures.append(
+                        pool.submit(
+                            loc_lib.localize_frame_table, labels_np, t=t,
+                            intensity=inten, min_area=min_area,
+                            n_classes=n_classes,
+                        )
+                    )
+                    while len(futures) > max_pending:
+                        with timer.phase("localize"):
+                            tables.append(futures.popleft().result())
+            with timer.phase("localize"):
+                while futures:
+                    tables.append(futures.popleft().result())
+    except BaseException:
+        labels_w.abort()
+        if probs_w is not None:
+            probs_w.abort()
+        raise
+    labels_w.close()
+    if probs_w is not None:
+        probs_w.close()
 
     outputs: Dict[str, str] = {}
-    metrics = dict(timer.summary(), n_frames=len(stack), n_objects=len(objects))
+    n_objects = sum(len(tb) for tb in tables)
+    metrics = dict(timer.summary(), n_frames=n_frames, n_objects=n_objects)
     # dispatch is async: throughput = frames over dispatch + result-fetch time
     total_s = sum(timer._acc.get(k, 0.0) for k in ("infer", "fetch"))
     if total_s > 0:
-        metrics["frames_per_sec"] = round(len(stack) / total_s, 3)
+        metrics["frames_per_sec"] = round(n_frames / total_s, 3)
     outputs["metrics"] = json.dumps(metrics)
-    labels_path = os.path.join(job.output, "labels.tif")
-    tiff.write_stack(labels_path, labels_out)
     outputs["labels"] = labels_path
-    if probs_list is not None:
-        probs_path = os.path.join(job.output, "probs.tif")
-        # full softmax label maps (the reference's output contract): page
-        # t*K + k holds frame t's class-k probability plane, frame-major
-        k = probs_list[0].shape[-1]
-        full = np.stack(probs_list).astype(np.float32)  # (T, H, W, K)
-        planes = np.moveaxis(full, -1, 1).reshape(-1, *full.shape[1:3])
-        tiff.write_stack(probs_path, planes)
+    if save_probs:
         outputs["probs"] = probs_path
-        outputs["probs_layout"] = f"pages=(T={len(stack)})*(K={k}), frame-major"
-    if job.params.get("localize", True):
+        outputs["probs_layout"] = (
+            f"pages=(T={n_frames})*(K={n_classes}), frame-major"
+        )
+    if do_localize:
         h5_path = os.path.join(job.output, "objects.h5")
-        loc_lib.export_btrack_h5(h5_path, objects, n_frames=len(stack))
+        loc_lib.export_btrack_h5_tables(h5_path, tables, n_frames=n_frames)
         outputs["objects"] = h5_path
     return outputs
 
 
-def _gan_enhance_fn(job: Job, config: ServerConfiguration, spatial):
-    """Shared per-frame generator pass for enhancement_gan / evaluate_gan.
+def _gan_setup(job: Job, config: ServerConfiguration, source):
+    """Load + BN-fold the job's GAN model and build its tile config.
 
-    Loads + BN-folds the model, builds the tile config/grid, and returns
-    ``(tc, enhance_one)`` where ``enhance_one(frame) -> enhanced`` runs the
-    normalize -> tiled generator -> stitch chain through the same
-    machinery as segmentation (infer_lib.tiled_apply: rolled scan forms
-    for giant grids + patch_batch HBM bounding).
+    Folding the inference-mode batch norm into the generator conv weights
+    is the same treatment the segmentation path gets
+    (``models.gan.fold_generator``); the folded config is what keys the
+    cross-job ``cached_gan_enhancer``. The channel-count check turns a
+    mismatched multi-channel submission into a deterministic JobError
+    instead of a conv shape error deep inside the generator.
     """
     from sequitr_tpu.models import gan as gan_lib
-    from sequitr_tpu.ops import tiling
-    from sequitr_tpu.pipeline import infer as infer_lib
 
     cfg, params, state = _require_model(job, config, "gan")
-    # inference-mode BN folds exactly into the generator conv weights —
-    # same treatment the segmentation path gets (models.gan.fold_generator)
+    if cfg.in_channels != source.n_channels:
+        raise jobs_lib.JobError(
+            f"model expects {cfg.in_channels} channel(s), "
+            f"got {source.n_channels} input stack(s)"
+        )
     cfg, params, state = gan_lib.fold_generator(cfg, params, state)
     tc = _tile_config(
         job.params, dims=2,
-        frame_spatial=spatial, min_multiple=cfg.min_input_multiple,
+        frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
         exact_only=True,
     )
-    spatial = tuple(spatial)
-    grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
-
-    def enhance_one(frame):
-        x = infer_lib._normalize(frame[..., None], tc)
-
-        def forward(batch):
-            out, _ = gan_lib.generator_apply(cfg, params, state, batch)
-            return out
-
-        return infer_lib.tiled_apply(
-            forward, x, grid, spatial, tc, cfg.out_channels
-        )[..., 0]
-
-    return tc, enhance_one
+    return cfg, params, state, tc
 
 
 @register("enhancement_gan")
 def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """GAN generator enhancement pass over a TIFF stack (SURVEY.md §3.4).
 
-    params: model, patch, overlap, window, normalize.
-    Outputs: enhanced.tif (float32).
+    input: one TIFF per input channel (multi-fluorophore models follow the
+    segmentation convention: channels stacked on the trailing axis, one
+    stack per path). params: model, patch, overlap, window, normalize,
+    frame_batch. Outputs: enhanced.tif (float32; multi-channel output is
+    frame-major paged, see ``enhanced_layout``).
     """
-    import jax
-
     from sequitr_tpu.data import tiff
+    from sequitr_tpu.data.source import FrameSource
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    (path,) = _resolve_inputs(job)[:1]
-    stack = _read_stack_or_fail(job, path)
-    if stack.ndim == 2:
-        stack = stack[None]
+    paths = _resolve_inputs(job)
+    try:
+        source = FrameSource(paths=paths)
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
 
-    tc, enhance_one = _gan_enhance_fn(job, config, stack.shape[1:])
+    cfg, params, state, tc = _gan_setup(job, config, source)
 
     from sequitr_tpu.utils import PhaseTimer
 
     timer = PhaseTimer()
     # same streaming treatment as segmentation: dispatch runs prefetch
-    # frames ahead so frame i+1's H2D copy overlaps frame i's compute;
-    # total_s < fetch_s + per-frame compute is the overlap evidence.
-    # Small frames additionally batch per dispatch (see _auto_frame_batch).
+    # frames ahead so frame i+1's H2D copy overlaps frame i's compute, and
+    # enhanced frames append to disk as they arrive (no output stack in
+    # RAM). Small frames additionally batch per dispatch (_auto_frame_batch).
+    n_frames = len(source)
     fb = job.params.get("frame_batch")
-    fb = int(fb) if fb else _auto_frame_batch(stack.shape[1:])
-    fb = max(1, min(fb, len(stack)))
-    frames = np.empty(stack.shape, dtype=np.float32)
-    t0 = time.time()
-    if fb > 1:
-        benhance = jax.jit(jax.vmap(enhance_one))
-        chunks = _pad_chunks(stack, fb)
-        t = 0
-        for out in infer_lib.stream_frames(benhance, chunks):
-            with timer.phase("fetch"):
-                got = np.asarray(out)
-            take = min(fb, len(stack) - t)
-            frames[t : t + take] = got[:take]
-            t += take
-    else:
-        enhance = jax.jit(enhance_one)
-        for t, out in enumerate(infer_lib.stream_frames(enhance, stack)):
-            with timer.phase("fetch"):
-                frames[t] = np.asarray(out)
-    total_s = time.time() - t0
+    fb = int(fb) if fb else _auto_frame_batch(source.spatial)
+    fb = max(1, min(fb, n_frames))
+    c_out = cfg.out_channels
     out_path = os.path.join(job.output, "enhanced.tif")
-    tiff.write_stack(out_path, frames)
+    writer = tiff.TiffAppendWriter(out_path)
+
+    def write_frame(got):  # (H, W, C_out) float32
+        with timer.phase("write"):
+            for c in range(c_out):
+                writer.append(got[..., c])
+
+    t0 = time.time()
+    try:
+        with source:
+            if fb > 1:
+                benhance = infer_lib.cached_gan_enhancer(
+                    cfg, tc, source.spatial, batch=fb
+                )
+                n_left = n_frames
+                for out in infer_lib.stream_frames(
+                    lambda ch: benhance(params, state, ch), source.chunks(fb)
+                ):
+                    with timer.phase("fetch"):
+                        got = np.asarray(out, dtype=np.float32)
+                    for k in range(min(fb, n_left)):
+                        write_frame(got[k])
+                    n_left -= fb
+            else:
+                enhance = infer_lib.cached_gan_enhancer(cfg, tc, source.spatial)
+                for out in infer_lib.stream_frames(
+                    lambda f: enhance(params, state, f), source.frames()
+                ):
+                    with timer.phase("fetch"):
+                        got = np.asarray(out, dtype=np.float32)
+                    write_frame(got)
+    except BaseException:
+        writer.abort()
+        raise
+    writer.close()
+    total_s = time.time() - t0
     metrics = dict(
-        timer.summary(), total_s=round(total_s, 4), n_frames=len(stack)
+        timer.summary(), total_s=round(total_s, 4), n_frames=n_frames
     )
     if total_s > 0:
-        metrics["frames_per_sec"] = round(len(stack) / total_s, 3)
-    return {"enhanced": out_path, "metrics": json.dumps(metrics)}
+        metrics["frames_per_sec"] = round(n_frames / total_s, 3)
+    outputs = {"enhanced": out_path, "metrics": json.dumps(metrics)}
+    if c_out > 1:
+        outputs["enhanced_layout"] = (
+            f"pages=(T={n_frames})*(C={c_out}), frame-major"
+        )
+    return outputs
 
 
-def _run_frames(cfg, tc, params, state, stack, job_params):
-    """Run a frame stack through tiled inference.
+def _run_frames(cfg, tc, params, state, source, job_params):
+    """Stream a frame source through tiled inference; yields results in order.
+
+    ``source`` is a ``FrameSource`` (lazy disk readers or an in-memory
+    array). This is a GENERATOR: each yielded ``InferenceResult`` holds
+    device-resident outputs that the consumer fetches and drops, so neither
+    host RAM nor HBM ever holds the whole stack's outputs (round-3
+    streaming serving).
 
     ``data_parallel: true`` shards frames over all devices of a mesh (each
     chip runs the full fused per-frame graph on its shard — zero inter-chip
@@ -632,9 +707,9 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
 
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    # stack is (T, H, W) or (T, H, W, C) — spatial excludes channels
-    spatial = stack.shape[1:3] if stack.ndim == 4 else stack.shape[1:]
-    if stack.ndim == 4 and job_params.get("spatial_parallel"):
+    spatial = source.spatial
+    n_frames = len(source)
+    if source.n_channels > 1 and job_params.get("spatial_parallel"):
         raise jobs_lib.JobError(
             "spatial_parallel does not support multi-channel stacks"
         )
@@ -662,8 +737,7 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
         def norm(frame):
             return infer_lib._normalize(jnp.asarray(frame)[..., None], tc)[..., 0]
 
-        results = []
-        if d_ways > 1 and len(stack) > 1:
+        if d_ways > 1 and n_frames > 1:
             mesh2 = parallel.make_mesh2d((d_ways, s_ways))
             hy_fn = spatial_lib.hybrid_unet2d_infer(
                 cfg, params, state, mesh2, spatial, batch=d_ways
@@ -673,21 +747,19 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
             batch_norm = jax.jit(
                 jax.vmap(lambda f: infer_lib._normalize(f[..., None], tc)[..., 0])
             )
-            n_left = len(stack)
-            for chunk in _pad_chunks(stack, d_ways):
+            n_left = n_frames
+            for chunk in source.chunks(d_ways):
                 probs, labels = hy_fn(params, state, batch_norm(jnp.asarray(chunk)))
                 for k in range(min(d_ways, n_left)):
-                    results.append(
-                        infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
-                    )
+                    yield infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
                 n_left -= d_ways
-            return results
+            return
         mesh = parallel.make_mesh(s_ways)
         sp_fn = spatial_lib.spatial_unet2d_infer(cfg, params, state, mesh, spatial)
-        for frame in stack:
+        for frame in source.frames():
             probs, labels = sp_fn(params, state, norm(frame))
-            results.append(infer_lib.InferenceResult(probs=probs, labels=labels))
-        return results
+            yield infer_lib.InferenceResult(probs=probs, labels=labels)
+        return
     if job_params.get("data_parallel") and jax.device_count() > 1:
         from sequitr_tpu import parallel
 
@@ -697,38 +769,31 @@ def _run_frames(cfg, tc, params, state, stack, job_params):
         n_dev = mesh.devices.size
         fn = infer_lib.make_frame_inferrer(cfg, tc, spatial, jit=False)
         dp = parallel.make_dp_frame_inferrer(fn, mesh)
-        results = []
-        n_left = len(stack)
-        for chunk in _pad_chunks(stack, n_dev):
+        n_left = n_frames
+        for chunk in source.chunks(n_dev):
             probs, labels = dp(params, state, jnp.asarray(chunk))
             for k in range(min(n_dev, n_left)):
-                results.append(
-                    infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
-                )
+                yield infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
             n_left -= n_dev
-        return results
+        return
     fb = job_params.get("frame_batch")
     fb = int(fb) if fb else _auto_frame_batch(spatial)
-    fb = max(1, min(fb, len(stack)))  # never compute padded frames nobody asked for
+    fb = max(1, min(fb, n_frames))  # never compute padded frames nobody asked for
     if fb > 1:
         # small frames are dispatch-bound singly; batch them per dispatch
         # (measured 2.3x at 256^2 — BASELINE.md round 2), keeping the same
         # prefetch-ahead H2D overlap over batch chunks
         bfn = infer_lib.cached_batch_inferrer(cfg, tc, tuple(spatial), fb)
-        chunks = _pad_chunks(stack, fb)
-        results = []
-        n_left = len(stack)
+        n_left = n_frames
         for probs, labels in infer_lib.stream_frames(
-            lambda c: bfn(params, state, c), chunks
+            lambda c: bfn(params, state, c), source.chunks(fb)
         ):
             for k in range(min(fb, n_left)):
-                results.append(
-                    infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
-                )
+                yield infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
             n_left -= fb
-        return results
+        return
     fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(spatial))
-    return list(infer_lib.infer_stack(fn, params, state, stack))
+    yield from infer_lib.infer_stack(fn, params, state, source.frames())
 
 
 def _auto_frame_batch(spatial) -> int:
@@ -736,18 +801,6 @@ def _auto_frame_batch(spatial) -> int:
     flight to amortize dispatch overhead (~1M px/dispatch), capped at 8."""
     px = int(np.prod(spatial))
     return int(max(1, min(8, 1_000_000 // max(px, 1))))
-
-
-def _pad_chunks(stack: np.ndarray, fb: int) -> list:
-    """Split a frame stack into size-``fb`` chunks, repeating the last
-    frame to pad the tail (callers slice the padding back off)."""
-    chunks = []
-    for start in range(0, len(stack), fb):
-        chunk = stack[start : start + fb]
-        if len(chunk) < fb:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], fb - len(chunk), 0)])
-        chunks.append(chunk)
-    return chunks
 
 
 @register("build_records")
@@ -937,7 +990,7 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         # fast-preset recipe: teacher = an already-registered parity model;
         # the student (e.g. a *_fast space-to-depth preset) trains on the
         # same records with CE + soft-target KL
-        t_kind, t_cfg, t_params, t_state = load_model(
+        t_kind, t_cfg, t_params, t_state = load_model_cached(
             config.models_dir, p["distill_from"]
         )
         if t_kind != "unet":
@@ -1154,23 +1207,41 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     from sequitr_tpu.data import tiff
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    (path,) = _resolve_inputs(job)[:1]
-    vol = np.asarray(tiff.read_stack(path), dtype=np.float32)
-    if vol.ndim != 3:
-        raise jobs_lib.JobError(f"unet3d expects a (Z, H, W) stack, got {vol.shape}")
+    # one TIFF per channel, stacked on the trailing axis — the same
+    # multi-fluorophore convention as the 2D pipeline (SURVEY.md §2)
+    paths = _resolve_inputs(job)
+    vols = []
+    for p_ in paths:
+        v = _read_stack_or_fail(job, p_)
+        if v.ndim != 3:
+            raise jobs_lib.JobError(
+                f"unet3d expects (Z, H, W) stacks, got {v.shape} from {p_}"
+            )
+        vols.append(v)
+    if len({v.shape for v in vols}) != 1:
+        raise jobs_lib.JobError(
+            f"channel stacks disagree in shape: {[v.shape for v in vols]}"
+        )
+    vol = np.stack(vols, axis=-1) if len(vols) > 1 else vols[0]
+    vol_spatial = vol.shape[:3]
 
     cfg, params, state = _require_model(job, config, "unet")
     if cfg.dims != 3:
         raise jobs_lib.JobError(f"job {job.id}: model is {cfg.dims}D, expected 3D")
+    n_ch = vol.shape[-1] if vol.ndim == 4 else 1
+    if cfg.in_channels != n_ch:
+        raise jobs_lib.JobError(
+            f"model expects {cfg.in_channels} channel(s), got {n_ch} input stack(s)"
+        )
     tc = _tile_config(
         job.params, dims=3,
-        frame_spatial=vol.shape, min_multiple=cfg.min_input_multiple,
+        frame_spatial=vol_spatial, min_multiple=cfg.min_input_multiple,
     )
     from sequitr_tpu.utils import PhaseTimer
 
     timer = PhaseTimer()
     t0 = time.time()
-    fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(vol.shape))
+    fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(vol_spatial))
     with timer.phase("infer"):
         probs, labels = fn(params, state, vol)
     with timer.phase("fetch"):
@@ -1191,8 +1262,10 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         )
     if job.params.get("localize", True):
         with timer.phase("localize"):
+            # per-object mean intensity; channel-mean for multi-channel
+            inten = vol.mean(axis=-1) if vol.ndim == 4 else vol
             objects = loc_lib.localize_volume(
-                labels_np, t=int(job.params.get("t", 0)), intensity=vol,
+                labels_np, t=int(job.params.get("t", 0)), intensity=inten,
                 min_area=int(job.params.get("min_area", 1)),
             )
             h5_path = os.path.join(job.output, "objects.h5")
@@ -1203,7 +1276,7 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         outputs["objects"] = h5_path
         outputs["n_objects"] = str(len(objects))
     total_s = time.time() - t0
-    mvox = float(np.prod(vol.shape)) / 1e6
+    mvox = float(np.prod(vol_spatial)) / 1e6
     outputs["metrics"] = json.dumps(
         dict(
             timer.summary(), total_s=round(total_s, 4),
@@ -1231,42 +1304,41 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     from sequitr_tpu.data import tiff
     from sequitr_tpu.ops import losses
 
+    from sequitr_tpu.data.source import FrameSource
+
     paths = _resolve_inputs(job)
     if len(paths) < 2:
         raise jobs_lib.JobError(
             f"job {job.id}: need [image(s)..., labels], got {len(paths)} input(s)"
         )
-    channels = []
-    for p_ in paths[:-1]:
-        ch = _read_stack_or_fail(job, p_)
-        channels.append(ch[None] if ch.ndim == 2 else ch)
-    if len({c.shape for c in channels}) != 1:
-        raise jobs_lib.JobError(
-            f"channel stacks disagree in shape: {[c.shape for c in channels]}"
-        )
-    stack = np.stack(channels, axis=-1) if len(channels) > 1 else channels[0]
+    try:
+        source = FrameSource(paths=paths[:-1])
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
     truth = _read_stack_or_fail(job, paths[-1], dtype=None).astype(np.int32)
     if truth.ndim == 2:
         truth = truth[None]
-    if stack.shape[:3] != truth.shape:
+    shape = (len(source),) + source.spatial
+    if shape != truth.shape:
         raise jobs_lib.JobError(
-            f"image/label shape mismatch: {stack.shape[:3]} vs {truth.shape}"
+            f"image/label shape mismatch: {shape} vs {truth.shape}"
         )
 
     cfg, params, state = _require_model(job, config, "unet")
     if cfg.dims != 2:
         raise jobs_lib.JobError(f"job {job.id}: model is {cfg.dims}D, expected 2D")
-    n_ch = stack.shape[-1] if stack.ndim == 4 else 1
-    if cfg.in_channels != n_ch:
+    if cfg.in_channels != source.n_channels:
         raise jobs_lib.JobError(
-            f"model expects {cfg.in_channels} channel(s), got {n_ch} input stack(s)"
+            f"model expects {cfg.in_channels} channel(s), "
+            f"got {source.n_channels} input stack(s)"
         )
     tc = _tile_config(
         job.params, dims=2,
-        frame_spatial=stack.shape[1:3], min_multiple=cfg.min_input_multiple,
+        frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
     )
-    results = _run_frames(cfg, tc, params, state, stack, job.params)
-    preds = np.stack([np.asarray(r.labels) for r in results]).astype(np.int32)
+    with source:
+        results = _run_frames(cfg, tc, params, state, source, job.params)
+        preds = np.stack([np.asarray(r.labels) for r in results]).astype(np.int32)
 
     k = cfg.num_classes
     ious = np.asarray(losses.iou(jnp.asarray(preds), jnp.asarray(truth), k))
@@ -1274,7 +1346,7 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     metrics = {
         "miou": round(float(np.mean(ious)), 6),
         "pixel_accuracy": round(float((preds == truth).mean()), 6),
-        "n_frames": len(stack),
+        "n_frames": len(preds),
     }
     for i in range(k):
         metrics[f"iou_{i}"] = round(float(ious[i]), 6)
@@ -1385,24 +1457,45 @@ def evaluate_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     from sequitr_tpu.ops import losses
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    vol_path, lab_path = _resolve_inputs(job)[:2]
-    vol = _read_stack_or_fail(job, vol_path)
-    truth = _read_stack_or_fail(job, lab_path, dtype=None).astype(np.int32)
-    if vol.ndim != 3:
-        raise jobs_lib.JobError(f"unet3d expects a (Z, H, W) stack, got {vol.shape}")
-    if vol.shape != truth.shape:
+    paths = _resolve_inputs(job)
+    if len(paths) < 2:
         raise jobs_lib.JobError(
-            f"volume/label shape mismatch: {vol.shape} vs {truth.shape}"
+            f"job {job.id}: need [volume channel(s)..., labels], "
+            f"got {len(paths)} input(s)"
+        )
+    vols = []
+    for p_ in paths[:-1]:
+        v = _read_stack_or_fail(job, p_)
+        if v.ndim != 3:
+            raise jobs_lib.JobError(
+                f"unet3d expects (Z, H, W) stacks, got {v.shape} from {p_}"
+            )
+        vols.append(v)
+    if len({v.shape for v in vols}) != 1:
+        raise jobs_lib.JobError(
+            f"channel stacks disagree in shape: {[v.shape for v in vols]}"
+        )
+    vol = np.stack(vols, axis=-1) if len(vols) > 1 else vols[0]
+    vol_spatial = vol.shape[:3]
+    truth = _read_stack_or_fail(job, paths[-1], dtype=None).astype(np.int32)
+    if vol_spatial != truth.shape:
+        raise jobs_lib.JobError(
+            f"volume/label shape mismatch: {vol_spatial} vs {truth.shape}"
         )
 
     cfg, params, state = _require_model(job, config, "unet")
     if cfg.dims != 3:
         raise jobs_lib.JobError(f"job {job.id}: model is {cfg.dims}D, expected 3D")
+    n_ch = vol.shape[-1] if vol.ndim == 4 else 1
+    if cfg.in_channels != n_ch:
+        raise jobs_lib.JobError(
+            f"model expects {cfg.in_channels} channel(s), got {n_ch} input stack(s)"
+        )
     tc = _tile_config(
         job.params, dims=3,
-        frame_spatial=vol.shape, min_multiple=cfg.min_input_multiple,
+        frame_spatial=vol_spatial, min_multiple=cfg.min_input_multiple,
     )
-    fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(vol.shape))
+    fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(vol_spatial))
     _, labels = fn(params, state, vol)
     preds = np.asarray(labels).astype(np.int32)
 
@@ -1429,47 +1522,83 @@ def evaluate_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 def evaluate_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Score a GAN enhancement model against clean target frames.
 
-    input: [raw.tif, target.tif] (same (T, H, W)). params: model, tiling
-    params. Outputs mean L1 and PSNR over the normalized [0, 1] frames
-    plus per-frame PSNR — the serving-time counterpart of the GAN train
-    jobs' holdout eval (fit._make_gan_evaluator).
+    input: the model's ``in_channels`` raw channel stacks followed by its
+    ``out_channels`` target stacks (single-channel models: [raw.tif,
+    target.tif], same (T, H, W)). params: model, tiling params,
+    frame_batch. Outputs mean L1 and PSNR over the normalized [0, 1]
+    frames plus per-frame PSNR — the serving-time counterpart of the GAN
+    train jobs' holdout eval (fit._make_gan_evaluator). Runs through the
+    same cached, frame-batched, H2D-overlapped machinery as
+    ``enhancement_gan``.
     """
     import jax
-    import jax.numpy as jnp
 
+    from sequitr_tpu.data.source import FrameSource
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    raw_path, tgt_path = _resolve_inputs(job)[:2]
-    raw = _read_stack_or_fail(job, raw_path)
-    tgt = _read_stack_or_fail(job, tgt_path)
-    if raw.ndim == 2:
-        raw, tgt = raw[None], tgt[None]
-    if raw.shape != tgt.shape:
+    paths = _resolve_inputs(job)
+    # the model determines the input split, so load it first
+    cfg0, _, _ = _require_model(job, config, "gan")
+    want = cfg0.in_channels + cfg0.out_channels
+    if len(paths) != want:
         raise jobs_lib.JobError(
-            f"raw/target shape mismatch: {raw.shape} vs {tgt.shape}"
+            f"job {job.id}: model needs {cfg0.in_channels} raw channel "
+            f"stack(s) then {cfg0.out_channels} target stack(s) "
+            f"({want} paths), got {len(paths)}"
+        )
+    try:
+        source = FrameSource(paths=paths[: cfg0.in_channels])
+        tsource = FrameSource(paths=paths[cfg0.in_channels :])
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    if (len(source),) + source.spatial != (len(tsource),) + tsource.spatial:
+        raise jobs_lib.JobError(
+            f"raw/target shape mismatch: {(len(source),) + source.spatial} "
+            f"vs {(len(tsource),) + tsource.spatial}"
         )
 
-    tc, enhance_fn = _gan_enhance_fn(job, config, raw.shape[1:])
-    enhance_one = jax.jit(enhance_fn)
+    cfg, params, state, tc = _gan_setup(job, config, source)
+
+    n_frames = len(source)
+    fb = job.params.get("frame_batch")
+    fb = int(fb) if fb else _auto_frame_batch(source.spatial)
+    fb = max(1, min(fb, n_frames))
+    benhance = infer_lib.cached_gan_enhancer(cfg, tc, source.spatial, batch=fb)
+
     # targets go through the SAME normalize mode as the raw frames (the
     # job's `normalize` param is honored on both sides), so L1/PSNR always
     # compare matched intensity spaces
-    norm_target = jax.jit(lambda t: infer_lib._normalize(t[..., None], tc)[..., 0])
+    @jax.jit
+    def norm_targets(chunk):
+        def one(t):
+            t = t[..., None] if t.ndim == 2 else t
+            return infer_lib._normalize(t, tc)
+
+        return jax.vmap(one)(chunk)
 
     psnrs = []
     l1s = []
-    for frame, target in zip(raw, tgt):
-        fake = np.asarray(enhance_one(jnp.asarray(frame)), dtype=np.float32)
-        t01 = np.asarray(norm_target(jnp.asarray(target)), dtype=np.float32)
-        err = fake - t01
-        l1s.append(float(np.mean(np.abs(err))))
-        mse = float(np.mean(err * err))
-        psnrs.append(round(10.0 * float(np.log10(1.0 / max(mse, 1e-12))), 4))
+    n_left = n_frames
+    with source, tsource:
+        tchunks = tsource.chunks(fb)
+        for out in infer_lib.stream_frames(
+            lambda ch: benhance(params, state, ch), source.chunks(fb)
+        ):
+            t01 = np.asarray(norm_targets(next(tchunks)), dtype=np.float32)
+            fake = np.asarray(out, dtype=np.float32)
+            for k in range(min(fb, n_left)):
+                err = fake[k] - t01[k]
+                l1s.append(float(np.mean(np.abs(err))))
+                mse = float(np.mean(err * err))
+                psnrs.append(
+                    round(10.0 * float(np.log10(1.0 / max(mse, 1e-12))), 4)
+                )
+            n_left -= fb
 
     metrics = {
         "l1": round(float(np.mean(l1s)), 6),
         "psnr": round(float(np.mean(psnrs)), 4),
         "per_frame_psnr": psnrs,
-        "n_frames": len(raw),
+        "n_frames": n_frames,
     }
     return {"metrics": json.dumps(metrics)}

@@ -15,7 +15,7 @@ from typing import Any, Dict, Iterator, Optional
 
 log = logging.getLogger("sequitr_tpu.utils")
 
-__all__ = ["force_cpu", "trace", "PhaseTimer", "device_sync"]
+__all__ = ["force_cpu", "trace", "PhaseTimer"]
 
 
 def force_cpu() -> None:
@@ -52,18 +52,6 @@ def trace(log_dir: str) -> Iterator[None]:
             jax.profiler.stop_trace()
         except Exception:
             pass
-
-
-def device_sync(tree: Any) -> float:
-    """Force execution of everything queued before ``tree``; returns a
-    checksum. Device queues execute in order, so a dependent scalar fetch
-    of the last output proves all prior work finished — and moves bytes,
-    not buffers, across the host link (see BASELINE.md methodology)."""
-    import jax
-    import jax.numpy as jnp
-
-    leaves = jax.tree.leaves(tree)
-    return float(jnp.sum(leaves[-1].astype(jnp.float32)))
 
 
 class PhaseTimer:

@@ -53,6 +53,97 @@ class TestTiff:
             tiff.read_stack(p)
 
 
+class TestTiffStreaming:
+    """Lazy per-frame reader + incremental append writer (round-3 streaming
+    serving: stacks larger than host RAM must serve with bounded buffers)."""
+
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.uint32, np.float32])
+    def test_lazy_reader_matches_read_stack(self, tmp_path, dtype):
+        stack = (np.random.default_rng(0).random((4, 24, 40)) * 200).astype(dtype)
+        p = str(tmp_path / "s.tif")
+        tiff.write_stack(p, stack)
+        with tiff.TiffReader(p) as r:
+            assert r.n_frames == 4
+            assert r.shape == (4, 24, 40)
+            assert r.dtype == np.dtype(dtype)
+            for t in range(4):
+                np.testing.assert_array_equal(r.read_frame(t), stack[t])
+            np.testing.assert_array_equal(np.stack(list(r)), stack)
+
+    def test_lazy_reader_reads_pil_written(self, tmp_path):
+        from PIL import Image
+
+        frames = [
+            (np.random.default_rng(i).random((16, 16)) * 255).astype(np.uint8)
+            for i in range(3)
+        ]
+        p = str(tmp_path / "pil.tif")
+        Image.fromarray(frames[0]).save(
+            p, save_all=True, append_images=[Image.fromarray(f) for f in frames[1:]]
+        )
+        with tiff.TiffReader(p) as r:
+            for t in range(3):
+                np.testing.assert_array_equal(r.read_frame(t), frames[t])
+
+    def test_lazy_reader_rejects_compressed(self, tmp_path):
+        from PIL import Image
+
+        arr = (np.random.default_rng(2).random((16, 16)) * 255).astype(np.uint8)
+        p = str(tmp_path / "lzw.tif")
+        Image.fromarray(arr).save(p, compression="tiff_lzw")
+        with pytest.raises(ValueError):
+            tiff.TiffReader(p)
+        # the slurping reader still handles it (PIL fallback)
+        np.testing.assert_array_equal(tiff.read_stack(p), arr)
+
+    @pytest.mark.parametrize("dtype", [np.uint16, np.float32])
+    def test_append_writer_bit_identical_to_write_stack(self, tmp_path, dtype):
+        stack = (np.random.default_rng(1).random((5, 20, 28)) * 99).astype(dtype)
+        p_bulk = str(tmp_path / "bulk.tif")
+        p_inc = str(tmp_path / "inc.tif")
+        tiff.write_stack(p_bulk, stack)
+        with tiff.TiffAppendWriter(p_inc) as w:
+            for frame in stack:
+                w.append(frame)
+        with open(p_bulk, "rb") as a, open(p_inc, "rb") as b:
+            assert a.read() == b.read()
+
+    def test_append_writer_atomic(self, tmp_path):
+        p = str(tmp_path / "out.tif")
+        w = tiff.TiffAppendWriter(p)
+        w.append(np.zeros((8, 8), np.uint16))
+        assert not os.path.exists(p)  # only the .tmp exists while streaming
+        w.close()
+        assert os.path.exists(p) and not os.path.exists(p + ".tmp")
+
+    def test_append_writer_abort_removes_tmp(self, tmp_path):
+        p = str(tmp_path / "out.tif")
+        with pytest.raises(RuntimeError):
+            with tiff.TiffAppendWriter(p) as w:
+                w.append(np.zeros((8, 8), np.uint16))
+                raise RuntimeError("job died mid-stream")
+        assert not os.path.exists(p) and not os.path.exists(p + ".tmp")
+
+    def test_append_writer_empty_raises(self, tmp_path):
+        p = str(tmp_path / "never.tif")
+        w = tiff.TiffAppendWriter(p)
+        with pytest.raises(ValueError):
+            w.close()
+        assert not os.path.exists(p) and not os.path.exists(p + ".tmp")
+
+    def test_mixed_dtypes_per_page(self, tmp_path):
+        # each page carries its own dtype tags; the reader honors them
+        p = str(tmp_path / "mix.tif")
+        a = np.arange(64, dtype=np.uint16).reshape(8, 8)
+        b = (np.random.default_rng(0).random((8, 8))).astype(np.float32)
+        with tiff.TiffAppendWriter(p) as w:
+            w.append(a)
+            w.append(b)
+        with tiff.TiffReader(p) as r:
+            np.testing.assert_array_equal(r.read_frame(0), a)
+            np.testing.assert_array_equal(r.read_frame(1), b)
+
+
 class TestRecords:
     def test_crc32c_known_vector(self):
         # RFC 3720 test vector
@@ -133,13 +224,39 @@ class TestNative:
             region = lab == i
             assert len(np.unique(ref[region])) == 1
 
-    def test_label_stats(self):
-        mask = np.zeros((16, 16), bool)
-        mask[4:8, 4:8] = True
-        lab = native.label_components(mask)
-        areas, cy, cx = native.label_stats(lab, 1)
+    def test_label_full_stats_native_matches_scipy(self):
+        """The single-pass C++ stats (area/centroid/intensity/majority
+        class) agree exactly with the four-pass scipy fallback."""
+        rng = np.random.default_rng(0)
+        cm = rng.integers(0, 4, size=(64, 64)).astype(np.int32)
+        inten = rng.random((64, 64)).astype(np.float32)
+        inst = native.label_components(cm > 0)
+        n = int(inst.max())
+        assert n > 0
+        nat = native.label_full_stats(inst, cm, inten, n, 4)
+        # force the scipy fallback on the same inputs
+        saved_lib, saved_failed = native._lib, native._build_failed
+        try:
+            native._lib, native._build_failed = None, True
+            ref = native.label_full_stats(inst, cm, inten, n, 4)
+        finally:
+            native._lib, native._build_failed = saved_lib, saved_failed
+        np.testing.assert_array_equal(nat[0], ref[0])  # areas
+        np.testing.assert_allclose(nat[1], ref[1], atol=1e-9)  # cy
+        np.testing.assert_allclose(nat[2], ref[2], atol=1e-9)  # cx
+        np.testing.assert_allclose(nat[3], ref[3], atol=1e-6)  # imean
+        np.testing.assert_array_equal(nat[4], ref[4])  # majority class
+
+    def test_label_full_stats_simple_square(self):
+        cm = np.zeros((16, 16), np.int32)
+        cm[4:8, 4:8] = 2
+        inst = native.label_components(cm > 0)
+        areas, cy, cx, imean, cls = native.label_full_stats(
+            inst, cm, None, 1, 3
+        )
         assert areas[0] == 16
         np.testing.assert_allclose([cy[0], cx[0]], [5.5, 5.5])
+        assert cls[0] == 2 and imean[0] == 0.0
 
     def test_snake_pattern(self):
         # worst case for union-find: serpentine requiring many merges

@@ -207,8 +207,3 @@ class TestUtils:
         assert t.rate("a", 10) > 0
         assert t.rate("missing", 10) is None
 
-    def test_device_sync(self):
-        from sequitr_tpu.utils import device_sync
-
-        val = device_sync({"x": jnp.ones((4,)), "y": jnp.full((2,), 3.0)})
-        assert val == 6.0
