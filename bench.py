@@ -97,7 +97,15 @@ def bench_inference(device_kind: str, iters: int):
 
 
 def bench_timelapse(device_kind: str, iters: int):
-    """Config #2: tiled sliding-window w/ overlap-blend over a stack."""
+    """Config #2: stream a HOST-resident timelapse through tiled inference.
+
+    Measures what ``segmentation_unet2d`` actually does per frame (minus
+    disk): host -> HBM copy (overlapped via ``infer_stack``'s prefetch),
+    the tiled sliding-window graph, and the uint16 label-map D2H fetch —
+    all inside the timed window. The previous form re-dispatched one
+    device-resident frame (no H2D, no stack) and overstated the timelapse
+    number; renamed to mark the semantic change (round-2 verdict weak #4).
+    """
     import jax
     from sequitr_tpu.models import unet
     from sequitr_tpu.pipeline import infer as infer_lib
@@ -106,11 +114,26 @@ def bench_timelapse(device_kind: str, iters: int):
     params, state = unet.init(jax.random.PRNGKey(0), cfg)
     # 384/64 tiling: 9 patches -> 1.27x overlap overhead (vs 1.56x at
     # 256/64) at the same 64-px blend margin — the efficient grid for 1024²
-    tc = infer_lib.TileConfig(patch=(384, 384), overlap=(64, 64))
+    tc = infer_lib.TileConfig(
+        patch=(384, 384), overlap=(64, 64), labels_dtype="uint16"
+    )
     fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
-    frame = _frame()
-    fps = _rate(lambda: fn(params, state, frame), iters)
-    return {"metric": "unet2d_1024_tiled_timelapse", "value": round(fps, 3),
+    n = max(6, iters // 4)
+    rng = np.random.default_rng(0)
+    stack = rng.gamma(2.0, 100.0, (n,) + FRAME).astype(np.float32)  # host
+
+    def one_pass(frames):
+        got = 0
+        for r in infer_lib.infer_stack(fn, params, state, frames):
+            np.asarray(r.labels)  # per-frame D2H, as the server does
+            got += 1
+        return got
+
+    one_pass(stack[:2])  # warmup: compile + cache
+    t0 = time.perf_counter()
+    served = one_pass(stack)
+    fps = served / (time.perf_counter() - t0)
+    return {"metric": "unet2d_1024_timelapse_stream", "value": round(fps, 3),
             "unit": "frames/sec/chip"}
 
 

@@ -69,6 +69,17 @@ def _serve_workers(args) -> int:
                 code = p.poll()
                 if code is None:
                     continue
+                from sequitr_tpu.server.server import EXIT_RECYCLE
+
+                if code == EXIT_RECYCLE:
+                    # deliberate post-watchdog recycle: the worker freed its
+                    # chip from a wedged job's abandoned thread. The job is
+                    # already marked failed; respawn WITHOUT charging the
+                    # crash budget (each recycle makes queue progress, so
+                    # this cannot loop on one job).
+                    log.warning("worker %d recycled after job timeout; respawning", i)
+                    procs[i] = spawn(i)
+                    continue
                 if restarts[i] >= 3:
                     # budget spent: give this worker up for good instead of
                     # re-logging a dead Popen every tick
@@ -94,6 +105,17 @@ def _serve_workers(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("SEQUITR_FORCE_CPU"):
+        # pin the CPU backend for ops/test tooling. Must happen via
+        # jax.config BEFORE any backend initialization: site customizations
+        # that pre-register accelerator plugins override the JAX_PLATFORMS
+        # env var, but not a config update made before first use.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser(prog="sequitr_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -30,6 +30,12 @@ class ServerConfiguration:
     work runs on a daemon thread that cannot be force-killed in-process; the
     watchdog guarantees the QUEUE keeps moving, not that the stuck
     computation stops consuming the device.
+    ``recycle_on_timeout``: after a watchdog timeout, exit the process with
+    code 43 (``EXIT_RECYCLE``) once the failure marker is written, so a
+    supervisor (``--workers`` or systemd Restart=) replaces the worker with
+    a clean process and the chip is actually freed from the abandoned
+    thread. None (default) = auto: recycle exactly when running under the
+    built-in supervisor (``SEQUITR_WORKER_ID`` set).
     """
 
     jobs_dir: str = "./jobs"
@@ -38,6 +44,7 @@ class ServerConfiguration:
     max_retries: int = 1
     retry_backoff: float = 1.0
     job_timeout: Optional[float] = None
+    recycle_on_timeout: Optional[bool] = None
     log_dir: Optional[str] = None
     # persistent XLA compilation cache: a restarted server re-serves known
     # (model, shape) graphs without recompiling (on machines with a remote

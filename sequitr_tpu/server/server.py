@@ -54,6 +54,11 @@ class JobTimeout(RuntimeError):
     """A job exceeded the server's per-job wall-clock budget."""
 
 
+# process exit code for a deliberate post-timeout worker recycle; the
+# supervisor restarts these without charging the crash-restart budget
+EXIT_RECYCLE = 43
+
+
 class PipelineRegistry:
     """(module, func) -> pipeline callable(job, config) registry.
 
@@ -174,9 +179,27 @@ class ImageServer:
                 )
                 if final:
                     self._fail(job, started, err)
+                    if isinstance(e, JobTimeout) and self._recycle_on_timeout():
+                        # the wedged thread still owns the chip; a worker
+                        # under a supervisor frees it by dying and letting
+                        # the supervisor respawn a clean process. Failure
+                        # marker + status are already on disk (atomic
+                        # renames), so os._exit's abruptness loses nothing.
+                        log.error(
+                            "job %s timed out; recycling worker (exit %d)",
+                            job.id, EXIT_RECYCLE,
+                        )
+                        os._exit(EXIT_RECYCLE)
                     return
                 log.warning("job %s attempt %d failed, retrying", job.id, attempts)
                 time.sleep(self.config.retry_backoff * attempts)
+
+    def _recycle_on_timeout(self) -> bool:
+        cfg = self.config.recycle_on_timeout
+        if cfg is not None:
+            return bool(cfg)
+        # auto: recycle exactly when a supervisor exists to respawn us
+        return os.environ.get("SEQUITR_WORKER_ID") is not None
 
     def _fail(self, job: Job, started: float, err: str) -> None:
         jobs_lib.write_status(job, "failed", started, error=err)
@@ -945,6 +968,11 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     tc = train_lib.TrainConfig(
         learning_rate=float(p.get("learning_rate", 1e-4)),
         augment=bool(p.get("augment", True)),
+        # augmentation-strength knobs (ADVICE r2: previously only tunable
+        # by editing code) — defaults match TrainConfig
+        elastic_alpha=float(p.get("elastic_alpha", 20.0)),
+        elastic_grid=int(p.get("elastic_grid", 4)),
+        p_elastic=float(p.get("p_elastic", 0.5)),
         lr_schedule=str(p.get("lr_schedule", "constant")),
         lr_warmup_steps=int(p.get("lr_warmup_steps", 0)),
         # decay horizon defaults to the steps AFTER warmup so the schedule
@@ -1441,6 +1469,14 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         loc_lib.export_btrack_h5(h5_path, objects, n_frames=len(stack))
         outputs["objects"] = h5_path
     return outputs
+
+
+if os.environ.get("SEQUITR_TEST_WEDGE"):  # pragma: no cover - subprocess only
+    # test hook: a pipeline that never returns, for exercising the watchdog
+    # -> worker-recycle path end-to-end from a real supervisor subprocess
+    @register("__test_wedge__")
+    def _test_wedge(job: Job, config: ServerConfiguration):
+        time.sleep(3600)
 
 
 @register("evaluate_unet3d")
