@@ -276,10 +276,11 @@ class TiffReader:
 
     def read_frame(self, t: int) -> np.ndarray:
         h, w, dt, offs, counts = self._frames[t]
-        parts = []
-        for o, c in zip(offs, counts):
-            self._f.seek(o)
-            parts.append(self._f.read(c))
+        # os.pread: positional reads share no seek state, so a reader
+        # thread (stream prefetch) and the consumer (localization
+        # intensity re-reads) can fetch frames concurrently
+        fd = self._f.fileno()
+        parts = [os.pread(fd, c, o) for o, c in zip(offs, counts)]
         data = parts[0] if len(parts) == 1 else b"".join(parts)
         return (
             np.frombuffer(data, dtype=dt)

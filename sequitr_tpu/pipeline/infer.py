@@ -312,6 +312,44 @@ def cached_gan_enhancer(
     )
 
 
+class _ReadError:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def _iter_read_ahead(it: Iterator, depth: int) -> Iterator:
+    """Pull items from ``it`` on a daemon thread, up to ``depth`` ahead.
+
+    The serving frame sources read from disk inside ``next()``; without
+    this, every disk read serializes against the dispatch loop. A bounded
+    queue keeps memory at ``depth`` items while frame t+1's read overlaps
+    frame t's H2D + compute. Exceptions in the producer re-raise at the
+    consumer's ``next()``.
+    """
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, depth))
+    done = object()
+
+    def produce():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:  # re-raised consumer-side
+            q.put(_ReadError(e))
+
+    threading.Thread(target=produce, daemon=True, name="frame-reader").start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, _ReadError):
+            raise item.exc
+        yield item
+
+
 def stream_frames(
     fn: Callable,
     frames: Iterable[np.ndarray],
@@ -322,10 +360,12 @@ def stream_frames(
     ``fn(device_frame) -> result`` is dispatched ``prefetch`` frames ahead of
     consumption; jax dispatch is async, so while frame i's graph runs on the
     TPU, frame i+1's host->HBM copy is already in flight — ingest never
-    starves the device (SURVEY.md §7 hard part (e)). Yields each frame's
-    (still device-resident) result in order.
+    starves the device (SURVEY.md §7 hard part (e)). Disk reads inside the
+    ``frames`` iterator run on a reader thread the same distance ahead, so
+    ingest IO also overlaps compute. Yields each frame's (still
+    device-resident) result in order.
     """
-    frames = iter(frames)
+    frames = _iter_read_ahead(iter(frames), depth=prefetch)
     device = jax.devices()[0]
     queue = []
 

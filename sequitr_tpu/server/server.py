@@ -771,7 +771,7 @@ def _run_frames(cfg, tc, params, state, source, job_params):
                 jax.vmap(lambda f: infer_lib._normalize(f[..., None], tc)[..., 0])
             )
             n_left = n_frames
-            for chunk in source.chunks(d_ways):
+            for chunk in infer_lib._iter_read_ahead(source.chunks(d_ways), 2):
                 probs, labels = hy_fn(params, state, batch_norm(jnp.asarray(chunk)))
                 for k in range(min(d_ways, n_left)):
                     yield infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
@@ -793,7 +793,7 @@ def _run_frames(cfg, tc, params, state, source, job_params):
         fn = infer_lib.make_frame_inferrer(cfg, tc, spatial, jit=False)
         dp = parallel.make_dp_frame_inferrer(fn, mesh)
         n_left = n_frames
-        for chunk in source.chunks(n_dev):
+        for chunk in infer_lib._iter_read_ahead(source.chunks(n_dev), 2):
             probs, labels = dp(params, state, jnp.asarray(chunk))
             for k in range(min(n_dev, n_left)):
                 yield infer_lib.InferenceResult(probs=probs[k], labels=labels[k])

@@ -86,6 +86,23 @@ class TestTiledInference:
         )
         np.testing.assert_allclose(np.asarray(p_all), np.asarray(p_chunk), atol=1e-5)
 
+    def test_read_ahead_iterator_order_and_errors(self):
+        # ordering preserved through the reader thread
+        out = list(infer_lib._iter_read_ahead(iter(range(20)), depth=3))
+        assert out == list(range(20))
+
+        # producer exceptions surface at the consumer
+        def boom():
+            yield 1
+            raise IOError("disk gone")
+
+        import pytest
+
+        it = infer_lib._iter_read_ahead(boom(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(IOError, match="disk gone"):
+            list(it)
+
     def test_patch_batch_zero_rejected(self):
         # 0 is a plausible "disable chunking" spelling — reject it up front
         # instead of silently substituting the auto default (ADVICE r2)

@@ -1984,25 +1984,35 @@ class TestSupervisorRecycleE2E:
         )
         try:
             deadline = time.time() + 240
-            st2 = None
+            st1 = st2 = None
             recycled = False
-            while time.time() < deadline:
-                p2 = out2 / "status.json"
-                if st2 is None and p2.exists():
-                    got = json.loads(p2.read_text())
+
+            def read_terminal(out_dir):
+                p = out_dir / "status.json"
+                if p.exists():
+                    got = json.loads(p.read_text())
                     if got.get("state") in ("complete", "failed"):
-                        st2 = got
+                        return got
+                return None
+
+            while time.time() < deadline:
+                st1 = st1 or read_terminal(out1)
+                st2 = st2 or read_terminal(out2)
                 recycled = recycled or (
                     "recycled after job timeout"
                     in (tmp_path / "supervisor.log").read_text()
                 )
-                if st2 is not None and recycled:
+                if st1 is not None and st2 is not None and recycled:
                     break
                 time.sleep(1.0)
-            st1 = json.loads((out1 / "status.json").read_text())
-            assert st1["state"] == "failed" and "job_timeout" in st1["error"]
-            assert st2 is not None and st2["state"] == "complete", st2
-            assert recycled
+            log_txt = (tmp_path / "supervisor.log").read_text()
+            assert st1 is not None and st1["state"] == "failed" and (
+                "job_timeout" in st1["error"]
+            ), (st1, log_txt[-2000:])
+            assert st2 is not None and st2["state"] == "complete", (
+                st2, log_txt[-2000:]
+            )
+            assert recycled, log_txt[-2000:]
         finally:
             proc.terminate()
             proc.wait(timeout=30)
