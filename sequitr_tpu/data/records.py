@@ -18,6 +18,7 @@ reference feature keys unavailable; keys are documented constants below).
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Union
 
@@ -338,15 +339,46 @@ def _decode_seg(payload: bytes) -> SegExample:
 def write_segmentation_shards(
     prefix: str, examples: Iterable[SegExample], shard_size: int = 128
 ) -> List[str]:
-    """Write examples to ``{prefix}-00000-of-NNNNN.tfrecord`` shards."""
-    examples = list(examples)
-    n_shards = max(1, -(-len(examples) // shard_size))
+    """Write examples to ``{prefix}-00000-of-NNNNN.tfrecord`` shards.
+
+    Streams: examples may be a generator — each shard is written as it
+    fills (O(shard) memory) to a temporary name, and all shards rename to
+    their final ``-of-NNNNN`` names once the total is known (atomic per
+    file; readers never see a partial set under the final glob).
+    """
+    tmp_paths: List[str] = []
+    w: RecordWriter = None  # type: ignore[assignment]
+    count = 0
+    try:
+        for ex in examples:
+            if count % shard_size == 0:
+                if w is not None:
+                    w.close()
+                tmp = f"{prefix}-{len(tmp_paths):05d}.tfrecord.tmp"
+                tmp_paths.append(tmp)
+                w = RecordWriter(tmp)
+            w.write(_encode_seg(ex))
+            count += 1
+        if w is not None:
+            w.close()
+        if not tmp_paths:  # zero examples: one (empty) shard, as before
+            tmp = f"{prefix}-00000.tfrecord.tmp"
+            RecordWriter(tmp).close()
+            tmp_paths.append(tmp)
+    except BaseException:
+        if w is not None:
+            w.close()
+        for t in tmp_paths:
+            try:
+                os.unlink(t)
+            except OSError:
+                pass
+        raise
+    n_shards = len(tmp_paths)
     paths = []
-    for s in range(n_shards):
+    for s, tmp in enumerate(tmp_paths):
         path = f"{prefix}-{s:05d}-of-{n_shards:05d}.tfrecord"
-        with RecordWriter(path) as w:
-            for ex in examples[s * shard_size : (s + 1) * shard_size]:
-                w.write(_encode_seg(ex))
+        os.replace(tmp, path)
         paths.append(path)
     return paths
 

@@ -125,3 +125,56 @@ def dice(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int) -> jnp.ndarra
         total = jnp.sum(p) + jnp.sum(t)
         scores.append(jnp.where(total == 0, 1.0, 2.0 * inter / jnp.maximum(total, 1)))
     return jnp.stack(scores).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# streaming segmentation metrics (host-side numpy)
+# ---------------------------------------------------------------------------
+
+
+def confusion_matrix_np(pred, target, num_classes: int):
+    """(K+1, K) int64 confusion counts: rows = target class (row K collects
+    out-of-range target labels), cols = predicted class (must be in [0, K)).
+
+    The streaming evaluators accumulate one of these per frame instead of
+    buffering every predicted label map: summing matrices over frames then
+    applying ``metrics_from_confusion`` reproduces the whole-stack
+    ``iou``/``dice``/accuracy exactly (including the vacuous-class = 1.0
+    rule and union counts for predictions at malformed target pixels).
+    """
+    import numpy as np
+
+    k = int(num_classes)
+    pred = np.asarray(pred).ravel().astype(np.int64)
+    target = np.asarray(target).ravel().astype(np.int64)
+    t_row = np.where((target >= 0) & (target < k), target, k)
+    return np.bincount(t_row * k + pred, minlength=(k + 1) * k).reshape(
+        k + 1, k
+    )
+
+
+def metrics_from_confusion(cm):
+    """Per-class IoU/dice + pixel accuracy from a (K+1, K) confusion matrix.
+
+    Matches ``iou``/``dice`` on the concatenated label maps: intersection =
+    diagonal, union = target-row + prediction-column - diagonal (the
+    prediction column includes the out-of-range-target overflow row, as the
+    elementwise definition does), vacuous classes score 1.0.
+    """
+    import numpy as np
+
+    cm = np.asarray(cm, dtype=np.int64)
+    k = cm.shape[1]
+    inter = np.diagonal(cm[:k])
+    row = cm[:k].sum(axis=1)  # target pixels per class
+    col = cm.sum(axis=0)  # predicted pixels per class (incl. overflow row)
+    union = row + col - inter
+    total = row + col
+    ious = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    dices = np.where(total == 0, 1.0, 2.0 * inter / np.maximum(total, 1))
+    accuracy = float(inter.sum()) / max(int(cm.sum()), 1)
+    return (
+        ious.astype(np.float64),
+        dices.astype(np.float64),
+        accuracy,
+    )

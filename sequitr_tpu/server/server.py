@@ -840,36 +840,77 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     Output: ``train-*.tfrecord`` shards.
     """
     from sequitr_tpu.data import records, tiff
+    from sequitr_tpu.data.source import FrameSource
     from sequitr_tpu.ops import weightmaps
 
     paths = _resolve_inputs(job)
     if len(paths) < 2:
         raise jobs_lib.JobError("build_records needs [*image stacks, labels]")
     *img_paths, lab_path = paths
-    chans = [np.asarray(tiff.read_stack(ip), dtype=np.float32) for ip in img_paths]
-    labels = np.asarray(tiff.read_stack(lab_path)).astype(np.int32)
-    if labels.ndim == 2:
-        labels = labels[None]
-        chans = [c[None] if c.ndim == 2 else c for c in chans]
-    for c in chans:
-        if c.shape != labels.shape:
-            raise jobs_lib.JobError(
-                f"image/label shape mismatch: {c.shape} vs {labels.shape}"
-            )
-    # multiple image stacks = channels on the trailing axis (the serving
-    # pipeline's multi-channel convention); single stack stays (T, H, W)
-    images = np.stack(chans, axis=-1) if len(chans) > 1 else chans[0]
     p = job.params
     dims = int(p.get("dims", 2))
-    multi_channel = images.ndim == labels.ndim + 1
+
     if dims == 3:
-        if labels.ndim != 3:
+        # the whole (Z, H, W) stack is ONE volume example — eager read
+        chans = [
+            np.asarray(tiff.read_stack(ip), dtype=np.float32)
+            for ip in img_paths
+        ]
+        labels3 = np.asarray(tiff.read_stack(lab_path)).astype(np.int32)
+        if labels3.ndim != 3:
             raise jobs_lib.JobError(
-                f"dims=3 expects one (Z, H, W) stack, got {labels.shape}"
+                f"dims=3 expects one (Z, H, W) stack, got {labels3.shape}"
             )
-        pairs = [(images, labels)]  # the whole stack is one volume example
+        for c in chans:
+            if c.shape != labels3.shape:
+                raise jobs_lib.JobError(
+                    f"image/label shape mismatch: {c.shape} vs {labels3.shape}"
+                )
+        images3 = np.stack(chans, axis=-1) if len(chans) > 1 else chans[0]
+        multi_channel = len(chans) > 1
+        n_frames = 1
+
+        def pair_iter():
+            yield images3, labels3
+
+        default_classes = int(labels3.max()) + 1 if "num_classes" not in p else 0
     else:
-        pairs = list(zip(images, labels))
+        # dims=2: stream frame pairs lazily — a timelapse larger than host
+        # RAM builds records with O(frame) memory (round-3 streaming)
+        try:
+            source = FrameSource(paths=img_paths)
+        except ValueError as e:
+            raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+        try:
+            l_reader = tiff.TiffReader(lab_path)
+            l_shape = l_reader.shape
+            read_lab = lambda i: np.asarray(
+                l_reader.read_frame(i)
+            ).astype(np.int32)
+        except ValueError:
+            arr = np.asarray(tiff.read_stack(lab_path)).astype(np.int32)
+            if arr.ndim == 2:
+                arr = arr[None]
+            l_shape = arr.shape
+            read_lab = lambda i: arr[i]
+        if (len(source),) + source.spatial != tuple(l_shape):
+            raise jobs_lib.JobError(
+                f"image/label shape mismatch: "
+                f"{(len(source),) + source.spatial} vs {tuple(l_shape)}"
+            )
+        multi_channel = source.n_channels > 1
+        n_frames = len(source)
+
+        def pair_iter():
+            for t in range(n_frames):
+                yield source.frame(t), read_lab(t)
+
+        default_classes = 0
+        if "num_classes" not in p:
+            # one bounded pass over the (small) label stack for the default
+            default_classes = 1 + max(
+                int(read_lab(t).max()) for t in range(n_frames)
+            )
 
     patch = tuple(int(v) for v in p["patch"]) if "patch" in p else None
     if patch is not None and len(patch) != dims:
@@ -877,50 +918,57 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     n_crops = int(p.get("patches_per_example", 4))
     rng = np.random.default_rng(int(p.get("seed", 0)))
 
-    num_classes = int(p.get("num_classes", labels.max() + 1))
-    exs = []
+    num_classes = int(p.get("num_classes", default_classes))
     p_lo, p_hi = float(p.get("p_lo", 5.0)), float(p.get("p_hi", 99.5))
-    for img, lab in pairs:
-        if p.get("normalize", True):
-            # records store normalized intensities so training sees the same
-            # distribution tiled inference feeds the net (SURVEY.md §3.2/3.3);
-            # multi-channel stacks normalize per channel (independent gains)
-            axes = tuple(range(lab.ndim))  # spatial axes only
-            lo = np.percentile(img, p_lo, axis=axes, keepdims=True)
-            hi = np.percentile(img, p_hi, axis=axes, keepdims=True)
-            img = np.clip(
-                (img - lo) / np.maximum(hi - lo, 1e-8), 0.0, 1.0
-            ).astype(np.float32)
-        if patch is not None:
-            if any(ps > s for s, ps in zip(lab.shape, patch)):
-                raise jobs_lib.JobError(
-                    f"patch {patch} larger than example {lab.shape}"
-                )
-            crops = []
-            for _ in range(n_crops):
-                starts = [
-                    int(rng.integers(0, s - ps + 1))
-                    for s, ps in zip(lab.shape, patch)
-                ]
-                sl = tuple(slice(st, st + ps) for st, ps in zip(starts, patch))
-                img_sl = sl + (slice(None),) if multi_channel else sl
-                crops.append((img[img_sl], lab[sl]))
-        else:
-            crops = [(img, lab)]
-        for ci, cl in crops:
-            w = None
-            if p.get("weight_maps", True):
-                w = weightmaps.unet_weight_map(
-                    cl, num_classes=num_classes,
-                    w0=float(p.get("w0", 10.0)), sigma=float(p.get("sigma", 5.0)),
-                )
-            exs.append(records.SegExample(ci, cl, w))
-    paths = records.write_segmentation_shards(
-        os.path.join(job.output, "train"), exs,
+    counter = {"n": 0}
+
+    def gen_examples():
+        for img, lab in pair_iter():
+            if p.get("normalize", True):
+                # records store normalized intensities so training sees the
+                # same distribution tiled inference feeds the net (SURVEY.md
+                # §3.2/3.3); multi-channel normalizes per channel
+                axes = tuple(range(lab.ndim))  # spatial axes only
+                lo = np.percentile(img, p_lo, axis=axes, keepdims=True)
+                hi = np.percentile(img, p_hi, axis=axes, keepdims=True)
+                img = np.clip(
+                    (img - lo) / np.maximum(hi - lo, 1e-8), 0.0, 1.0
+                ).astype(np.float32)
+            if patch is not None:
+                if any(ps > s for s, ps in zip(lab.shape, patch)):
+                    raise jobs_lib.JobError(
+                        f"patch {patch} larger than example {lab.shape}"
+                    )
+                crops = []
+                for _ in range(n_crops):
+                    starts = [
+                        int(rng.integers(0, s - ps + 1))
+                        for s, ps in zip(lab.shape, patch)
+                    ]
+                    sl = tuple(
+                        slice(st, st + ps) for st, ps in zip(starts, patch)
+                    )
+                    img_sl = sl + (slice(None),) if multi_channel else sl
+                    crops.append((img[img_sl], lab[sl]))
+            else:
+                crops = [(img, lab)]
+            for ci, cl in crops:
+                w = None
+                if p.get("weight_maps", True):
+                    w = weightmaps.unet_weight_map(
+                        cl, num_classes=num_classes,
+                        w0=float(p.get("w0", 10.0)),
+                        sigma=float(p.get("sigma", 5.0)),
+                    )
+                counter["n"] += 1
+                yield records.SegExample(ci, cl, w)
+
+    shard_paths = records.write_segmentation_shards(
+        os.path.join(job.output, "train"), gen_examples(),
         shard_size=int(p.get("shard_size", 128)),
     )
     return {"shards": os.path.join(job.output, "train-*.tfrecord"),
-            "n_examples": str(len(exs)), "n_shards": str(len(paths))}
+            "n_examples": str(counter["n"]), "n_shards": str(len(shard_paths))}
 
 
 @register("train_unet2d")
@@ -1327,12 +1375,9 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     to also write the predicted label maps. Outputs: ``metrics`` JSON with
     per-class IoU, mIoU, dice and pixel accuracy over the whole stack.
     """
-    import jax.numpy as jnp
-
     from sequitr_tpu.data import tiff
-    from sequitr_tpu.ops import losses
-
     from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.ops import losses
 
     paths = _resolve_inputs(job)
     if len(paths) < 2:
@@ -1343,13 +1388,24 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         source = FrameSource(paths=paths[:-1])
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
-    truth = _read_stack_or_fail(job, paths[-1], dtype=None).astype(np.int32)
-    if truth.ndim == 2:
-        truth = truth[None]
+    # ground-truth labels stream lazily too (int dtype preserved); eager
+    # fallback for layouts the lazy reader cannot parse
+    try:
+        t_reader = tiff.TiffReader(paths[-1])
+        t_shape = t_reader.shape
+        read_truth = lambda i: np.asarray(
+            t_reader.read_frame(i), dtype=np.int64
+        )
+    except ValueError:
+        arr = _read_stack_or_fail(job, paths[-1], dtype=None).astype(np.int64)
+        if arr.ndim == 2:
+            arr = arr[None]
+        t_shape = arr.shape
+        read_truth = lambda i: arr[i]
     shape = (len(source),) + source.spatial
-    if shape != truth.shape:
+    if shape != tuple(t_shape):
         raise jobs_lib.JobError(
-            f"image/label shape mismatch: {shape} vs {truth.shape}"
+            f"image/label shape mismatch: {shape} vs {tuple(t_shape)}"
         )
 
     cfg, params, state = _require_model(job, config, "unet")
@@ -1364,35 +1420,50 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         job.params, dims=2,
         frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
     )
-    with source:
-        results = _run_frames(cfg, tc, params, state, source, job.params)
-        preds = np.stack([np.asarray(r.labels) for r in results]).astype(np.int32)
-
     k = cfg.num_classes
-    ious = np.asarray(losses.iou(jnp.asarray(preds), jnp.asarray(truth), k))
-    dices = np.asarray(losses.dice(jnp.asarray(preds), jnp.asarray(truth), k))
+    # streaming evaluation: one (K+1, K) confusion matrix accumulates per
+    # frame — identical metrics to the buffered whole-stack form without
+    # holding every predicted label map in RAM
+    cm = np.zeros((k + 1, k), dtype=np.int64)
+    per_frame = [] if job.params.get("per_frame") else None
+    n_frames = len(source)
+    labels_w = (
+        tiff.TiffAppendWriter(os.path.join(job.output, "labels.tif"))
+        if job.params.get("save_labels") else None
+    )
+    try:
+        with source:
+            results = _run_frames(cfg, tc, params, state, source, job.params)
+            for t in range(n_frames):
+                pred = np.asarray(next(results).labels)
+                fcm = losses.confusion_matrix_np(pred, read_truth(t), k)
+                cm += fcm
+                if per_frame is not None:
+                    f_ious, _, _ = losses.metrics_from_confusion(fcm)
+                    per_frame.append(round(float(np.mean(f_ious)), 6))
+                if labels_w is not None:
+                    labels_w.append(pred.astype(np.uint16, copy=False))
+    except BaseException:
+        if labels_w is not None:
+            labels_w.abort()
+        raise
+
+    ious, dices, accuracy = losses.metrics_from_confusion(cm)
     metrics = {
         "miou": round(float(np.mean(ious)), 6),
-        "pixel_accuracy": round(float((preds == truth).mean()), 6),
-        "n_frames": len(preds),
+        "pixel_accuracy": round(accuracy, 6),
+        "n_frames": n_frames,
     }
     for i in range(k):
         metrics[f"iou_{i}"] = round(float(ious[i]), 6)
         metrics[f"dice_{i}"] = round(float(dices[i]), 6)
-    if job.params.get("per_frame"):
-        series = [
-            round(float(np.mean(np.asarray(
-                losses.iou(jnp.asarray(p), jnp.asarray(t), k)
-            ))), 6)
-            for p, t in zip(preds, truth)
-        ]
-        metrics["per_frame_miou"] = series
+    if per_frame is not None:
+        metrics["per_frame_miou"] = per_frame
 
     outputs: Dict[str, str] = {"metrics": json.dumps(metrics)}
-    if job.params.get("save_labels"):
-        out_path = os.path.join(job.output, "labels.tif")
-        tiff.write_stack(out_path, preds.astype(np.uint16))
-        outputs["labels"] = out_path
+    if labels_w is not None:
+        labels_w.close()
+        outputs["labels"] = os.path.join(job.output, "labels.tif")
     return outputs
 
 

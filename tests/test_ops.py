@@ -167,6 +167,33 @@ class TestScanTiling:
 
 
 class TestLosses:
+    def test_confusion_metrics_match_whole_stack(self):
+        """Per-frame confusion accumulation (the streaming evaluator's
+        form) reproduces iou/dice/accuracy over the concatenated stack —
+        including vacuous classes and out-of-range target labels."""
+        from sequitr_tpu.ops import losses
+
+        rng = np.random.default_rng(0)
+        k = 4
+        preds = rng.integers(0, k, (6, 24, 24)).astype(np.int32)
+        truth = rng.integers(0, k, (6, 24, 24)).astype(np.int32)
+        truth[1, :4, :4] = 7  # malformed labels beyond K
+        preds[truth == 2] = 2  # some real agreement
+        truth[truth == 3] = 0
+        preds[preds == 3] = 0  # class 3 vacuous -> must score 1.0
+
+        cm = np.zeros((k + 1, k), np.int64)
+        for p, t in zip(preds, truth):
+            cm += losses.confusion_matrix_np(p, t, k)
+        ious, dices, acc = losses.metrics_from_confusion(cm)
+
+        ref_iou = np.asarray(losses.iou(jnp.asarray(preds), jnp.asarray(truth), k))
+        ref_dice = np.asarray(losses.dice(jnp.asarray(preds), jnp.asarray(truth), k))
+        np.testing.assert_allclose(ious, ref_iou, atol=1e-6)
+        np.testing.assert_allclose(dices, ref_dice, atol=1e-6)
+        assert ious[3] == 1.0  # vacuous rule preserved
+        np.testing.assert_allclose(acc, (preds == truth).mean(), atol=1e-9)
+
     def test_weighted_ce_uniform_weights_equals_plain(self):
         key = jax.random.PRNGKey(0)
         logits = jax.random.normal(key, (4, 8, 8, 3))
