@@ -33,6 +33,7 @@ _DTYPES = {
     np.dtype("uint8"): (8, 1),
     np.dtype("uint16"): (16, 1),
     np.dtype("uint32"): (32, 1),
+    np.dtype("float16"): (16, 3),
     np.dtype("float32"): (32, 3),
 }
 _INV_DTYPES = {
@@ -56,7 +57,7 @@ def write_stack(path: str, stack: np.ndarray) -> None:
         raise ValueError(f"expected (T, H, W) or (H, W), got {stack.shape}")
     dt = stack.dtype
     if dt not in _DTYPES:
-        raise ValueError(f"unsupported dtype {dt}; use uint8/16/32 or float32")
+        raise ValueError(f"unsupported dtype {dt}; use uint8/16/32 or float16/32")
     bits, sample_format = _DTYPES[dt]
     t, h, w = stack.shape
 
@@ -335,7 +336,7 @@ class TiffAppendWriter:
             raise ValueError(f"append expects one (H, W) frame, got {frame.shape}")
         dt = frame.dtype
         if dt not in _DTYPES:
-            raise ValueError(f"unsupported dtype {dt}; use uint8/16/32 or float32")
+            raise ValueError(f"unsupported dtype {dt}; use uint8/16/32 or float16/32")
         bits, sample_format = _DTYPES[dt]
         h, w = frame.shape
         data = np.ascontiguousarray(frame).astype("<" + dt.str[1:]).tobytes()

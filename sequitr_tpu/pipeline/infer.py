@@ -54,8 +54,17 @@ class TileConfig:
     # happens on device inside the fused graph, halving every label-map
     # D2H transfer (this machine's relay D2H is ~1 s/MB, BASELINE.md)
     labels_dtype: str = "int32"
+    # dtype of the emitted softmax maps. "float16" halves the probs D2H
+    # (the dominant transfer of a save_probs job: K planes per frame) and
+    # the on-disk probs.tif. argmax runs on the f32 maps BEFORE the cast,
+    # so the label output is unaffected.
+    probs_dtype: str = "float32"
 
     def __post_init__(self):
+        if self.probs_dtype not in ("float32", "float16"):
+            raise ValueError(
+                f"probs_dtype must be 'float32' or 'float16', got {self.probs_dtype!r}"
+            )
         # patch_batch=0 is a plausible "disable chunking" spelling; accept
         # only None (auto) or >=1 rather than silently treating 0 as auto
         if self.patch_batch is not None and self.patch_batch < 1:
@@ -220,7 +229,7 @@ def make_frame_inferrer(
         if any(edge_pad):
             probs = probs[tuple(slice(0, s) for s in frame_spatial)]
         labels = jnp.argmax(probs, axis=-1).astype(jnp.dtype(tc.labels_dtype))
-        return probs, labels
+        return probs.astype(jnp.dtype(tc.probs_dtype)), labels
 
     return jax.jit(infer) if jit else infer
 

@@ -455,18 +455,25 @@ def _tile_config(
             raise jobs_lib.JobError(
                 f"patch_batch must be >= 1 (omit it for auto), got {pb}"
             )
-    return infer_lib.TileConfig(
-        patch=patch,
-        overlap=overlap,
-        window=params.get("window", "hann"),
-        normalize=params.get("normalize", "auto"),
-        p_lo=float(params.get("p_lo", 5.0)),
-        p_hi=float(params.get("p_hi", 99.5)),
-        patch_batch=pb,
-        # labels leave the device as uint16 (the on-disk format), halving
-        # the per-frame label D2H next to int32
-        labels_dtype="uint16",
-    )
+    try:
+        return infer_lib.TileConfig(
+            patch=patch,
+            overlap=overlap,
+            window=params.get("window", "hann"),
+            normalize=params.get("normalize", "auto"),
+            p_lo=float(params.get("p_lo", 5.0)),
+            p_hi=float(params.get("p_hi", 99.5)),
+            patch_batch=pb,
+            # labels leave the device as uint16 (the on-disk format),
+            # halving the per-frame label D2H next to int32
+            labels_dtype="uint16",
+            # job param probs_dtype: "float16" halves probs D2H + disk for
+            # save_probs jobs (argmax happens before the cast — labels exact)
+            probs_dtype=str(params.get("probs_dtype", "float32")),
+        )
+    except ValueError as e:
+        # bad tiling/dtype params are deterministic — fail fast, never retry
+        raise jobs_lib.JobError(str(e))
 
 
 @register("segmentation_unet2d")
@@ -547,7 +554,9 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
                     labels_w.append(labels_np)
                 if probs_w is not None:
                     with timer.phase("fetch"):
-                        probs_np = np.asarray(result.probs, dtype=np.float32)
+                        # native dtype: float16 pages stay half-size on the
+                        # wire AND on disk when probs_dtype requests it
+                        probs_np = np.asarray(result.probs)
                     with timer.phase("write"):
                         # softmax label maps, frame-major (the reference's
                         # output contract): page t*K + k = frame t, class k
@@ -1328,7 +1337,7 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     tiff.write_stack(labels_path, labels_np.astype(np.uint16))
     outputs["labels"] = labels_path
     if job.params.get("save_probs"):
-        probs_np = np.asarray(probs, dtype=np.float32)  # (Z, H, W, K)
+        probs_np = np.asarray(probs)  # (Z, H, W, K), tc.probs_dtype
         planes = np.moveaxis(probs_np, -1, 1).reshape(-1, *probs_np.shape[1:3])
         probs_path = os.path.join(job.output, "probs.tif")
         tiff.write_stack(probs_path, planes)

@@ -11,7 +11,9 @@ from sequitr_tpu.data.prefetch import batch_iterator, prefetch_to_device
 
 
 class TestTiff:
-    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.uint32, np.float32])
+    @pytest.mark.parametrize(
+        "dtype", [np.uint8, np.uint16, np.uint32, np.float16, np.float32]
+    )
     def test_roundtrip(self, tmp_path, dtype):
         stack = (np.random.default_rng(0).random((3, 32, 48)) * 200).astype(dtype)
         p = str(tmp_path / "s.tif")

@@ -756,6 +756,66 @@ class TestStreamingServing:
         # localization ran on the streamed frames
         assert os.path.exists(st["outputs"]["objects"])
 
+    def test_probs_dtype_float16(self, server_env):
+        """probs_dtype: float16 halves the probs wire/disk size; labels are
+        unaffected (argmax runs on the f32 maps before the cast)."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "segh", "unet", net_cfg, params, state)
+        stack = (np.random.default_rng(11).random((2, 32, 32)) * 900).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "h.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, dt in (("h32", "float32"), ("h16", "float16")):
+            out = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "segmentation_unet2d",
+                 "params": {"model": "segh", "patch": [16, 16],
+                            "overlap": [4, 4], "save_probs": True,
+                            "localize": False, "probs_dtype": dt},
+                 "input": [stack_path], "output": out},
+                job_id=name,
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[name] = st
+        p32 = tiff.read_stack(outs["h32"]["outputs"]["probs"])
+        p16 = tiff.read_stack(outs["h16"]["outputs"]["probs"])
+        assert p32.dtype == np.float32 and p16.dtype == np.float16
+        np.testing.assert_allclose(
+            p16.astype(np.float32), p32, atol=1e-3
+        )
+        # f16 pages are half the bytes on disk
+        s32 = os.path.getsize(outs["h32"]["outputs"]["probs"])
+        s16 = os.path.getsize(outs["h16"]["outputs"]["probs"])
+        assert s16 < 0.6 * s32
+        # labels identical across dtypes
+        np.testing.assert_array_equal(
+            tiff.read_stack(outs["h32"]["outputs"]["labels"]),
+            tiff.read_stack(outs["h16"]["outputs"]["labels"]),
+        )
+        # a bogus dtype is a deterministic JobError
+        out = str(tmp / "hbad")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "segmentation_unet2d",
+             "params": {"model": "segh", "probs_dtype": "float8",
+                        "localize": False},
+             "input": [stack_path], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed" and "probs_dtype" in st["error"]
+
     def test_model_cache_reuse_and_invalidation(self, server_env):
         """A warm server reuses the loaded model across jobs (no per-job
         orbax restore); re-registering the model invalidates the entry."""
