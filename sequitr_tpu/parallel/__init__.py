@@ -9,4 +9,5 @@ from sequitr_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     make_dp_train_step,
     make_dp_frame_inferrer,
+    make_dp_frame_mapper,
 )

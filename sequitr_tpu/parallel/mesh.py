@@ -29,6 +29,7 @@ __all__ = [
     "shard_batch",
     "make_dp_train_step",
     "make_dp_frame_inferrer",
+    "make_dp_frame_mapper",
 ]
 
 
@@ -116,4 +117,26 @@ def make_dp_frame_inferrer(
         )(frames),
         in_shardings=(rep, rep, shd),
         out_shardings=(shd, shd),
+    )
+
+
+def make_dp_frame_mapper(
+    fn: Callable, mesh: Mesh, axis_name: str = "data"
+) -> Callable:
+    """DP form of a SINGLE-output per-frame function.
+
+    Same pattern as ``make_dp_frame_inferrer`` but for functions returning
+    one array — e.g. the GAN enhancement pass
+    (``infer.make_gan_enhancer``): frames (D, *spatial[, C]) sharded over
+    ``data``, output (D, ...) sharded, weights replicated, zero inter-chip
+    traffic.
+    """
+    rep = replicated(mesh)
+    shd = batch_sharded(mesh, axis_name)
+    return jax.jit(
+        lambda params, state, frames: jax.vmap(
+            lambda f: fn(params, state, f)
+        )(frames),
+        in_shardings=(rep, rep, shd),
+        out_shardings=shd,
     )

@@ -275,24 +275,16 @@ def cached_batch_inferrer(
     )
 
 
-@functools.lru_cache(maxsize=32)
-def cached_gan_enhancer(
+def make_gan_enhancer(
     cfg,  # gan.GANConfig (frozen dataclass), already BN-folded
     tc: TileConfig,
     frame_spatial: Tuple[int, ...],
-    batch: Optional[int] = None,
 ) -> Callable:
-    """Cross-job cache of jitted GAN generator passes.
+    """Un-jitted ``enhance(params, state, frame) -> (H, W, C_out)``.
 
-    The GAN analogue of ``cached_frame_inferrer``: keyed on the (folded)
-    architecture config + tiling + frame shape, with weights as per-call
-    arguments — so a warm server's second enhancement job for the same
-    architecture pays zero retrace/recompile (the ~70x warm-server win the
-    segmentation path measured in round 2, previously missing here).
-
-    Returns ``enhance(params, state, frame) -> (H, W, C_out)`` for
-    ``batch=None``, else the vmapped
-    ``enhance(params, state, frames) -> (batch, H, W, C_out)`` form.
+    The GAN counterpart of ``make_frame_inferrer(jit=False)``: the fused
+    normalize -> tiled generator -> stitch chain as a plain traceable
+    function, for callers that wrap it themselves (jit, vmap, DP sharding).
     Frames arrive (H, W) single-channel or (H, W, C_in).
     """
     from sequitr_tpu.models import gan as gan_lib
@@ -312,6 +304,29 @@ def cached_gan_enhancer(
 
         return tiled_apply(forward, x, grid, spatial, tc, cfg.out_channels)
 
+    return enhance_one
+
+
+@functools.lru_cache(maxsize=32)
+def cached_gan_enhancer(
+    cfg,  # gan.GANConfig (frozen dataclass), already BN-folded
+    tc: TileConfig,
+    frame_spatial: Tuple[int, ...],
+    batch: Optional[int] = None,
+) -> Callable:
+    """Cross-job cache of jitted GAN generator passes.
+
+    The GAN analogue of ``cached_frame_inferrer``: keyed on the (folded)
+    architecture config + tiling + frame shape, with weights as per-call
+    arguments — so a warm server's second enhancement job for the same
+    architecture pays zero retrace/recompile (the ~70x warm-server win the
+    segmentation path measured in round 2, previously missing here).
+
+    Returns ``enhance(params, state, frame) -> (H, W, C_out)`` for
+    ``batch=None``, else the vmapped
+    ``enhance(params, state, frames) -> (batch, H, W, C_out)`` form.
+    """
+    enhance_one = make_gan_enhancer(cfg, tc, frame_spatial)
     if batch is None:
         return jax.jit(enhance_one)
     return jax.jit(

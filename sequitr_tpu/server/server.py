@@ -644,8 +644,9 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     input: one TIFF per input channel (multi-fluorophore models follow the
     segmentation convention: channels stacked on the trailing axis, one
     stack per path). params: model, patch, overlap, window, normalize,
-    frame_batch. Outputs: enhanced.tif (float32; multi-channel output is
-    frame-major paged, see ``enhanced_layout``).
+    frame_batch, data_parallel (frames sharded over all chips). Outputs:
+    enhanced.tif (float32; multi-channel output is frame-major paged, see
+    ``enhanced_layout``).
     """
     from sequitr_tpu.data import tiff
     from sequitr_tpu.data.source import FrameSource
@@ -680,9 +681,33 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 writer.append(got[..., c])
 
     t0 = time.time()
+    import jax
+
     try:
         with source:
-            if fb > 1:
+            if job.params.get("data_parallel") and jax.device_count() > 1:
+                # frames sharded over all chips, weights replicated — the
+                # same zero-traffic DP pattern as segmentation serving
+                from sequitr_tpu import parallel
+
+                mesh = parallel.make_mesh()
+                n_dev = mesh.devices.size
+                dp = parallel.make_dp_frame_mapper(
+                    infer_lib.make_gan_enhancer(cfg, tc, source.spatial), mesh
+                )
+                n_left = n_frames
+                for chunk in infer_lib._iter_read_ahead(
+                    source.chunks(n_dev), 2
+                ):
+                    import jax.numpy as jnp
+
+                    out = dp(params, state, jnp.asarray(chunk))
+                    with timer.phase("fetch"):
+                        got = np.asarray(out, dtype=np.float32)
+                    for k in range(min(n_dev, n_left)):
+                        write_frame(got[k])
+                    n_left -= n_dev
+            elif fb > 1:
                 benhance = infer_lib.cached_gan_enhancer(
                     cfg, tc, source.spatial, batch=fb
                 )

@@ -1667,6 +1667,40 @@ class TestDataParallelServing:
             outs[name] = tiff.read_stack(status["outputs"]["labels"])
         np.testing.assert_array_equal(outs["serial"], outs["dp"])
 
+    def test_gan_dp_matches_streaming(self, server_env):
+        """data_parallel on enhancement_gan: frames sharded over the
+        8-device mesh produce identical output to single-chip streaming."""
+        cfg_srv, tmp = server_env
+        g_cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(0), g_cfg)
+        save_model(cfg_srv.models_dir, "dp_gan", "gan", g_cfg, params, state)
+        stack = (np.random.default_rng(6).random((5, 32, 32)) * 900).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "dpg.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, dp in (("serial", False), ("dp", True)):
+            out_dir = str(tmp / f"g_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "enhancement_gan",
+                 "params": {"model": "dp_gan", "patch": [16, 16],
+                            "overlap": [4, 4], "data_parallel": dp},
+                 "input": [stack_path], "output": out_dir},
+                job_id=f"g{name}",
+            )
+            assert srv.poll_once()
+            status = json.load(open(os.path.join(out_dir, "status.json")))
+            assert status["state"] == "complete", status.get("error")
+            outs[name] = tiff.read_stack(status["outputs"]["enhanced"])
+        np.testing.assert_array_equal(outs["serial"], outs["dp"])
+        assert outs["dp"].shape == (5, 32, 32)
+
     def test_spatial_parallel_serving(self, server_env):
         """spatial_parallel=true shards one frame's H axis across the mesh."""
         cfg_srv, tmp = server_env
