@@ -85,8 +85,10 @@ def _make_local_forward(cfg: unet.UNetConfig, run_cfg, axis_name: str):
     """Per-shard U-Net forward over (H_loc, W) rows with halo-exchange convs."""
 
     def local_forward(params_l, x_local):
-        # x_local: (H_loc, W) -> add channel
-        x = x_local[..., None].astype(jnp.float32)
+        # x_local: (H_loc, W) single-channel or (H_loc, W, C)
+        if x_local.ndim == 2:
+            x_local = x_local[..., None]
+        x = x_local.astype(jnp.float32)
         skips = []
         for lvl in range(cfg.depth):
             if lvl > 0:
@@ -142,10 +144,12 @@ def spatial_unet2d_infer(
 ):
     """Build ``fn(params, state, frame) -> (probs, labels)``, H-sharded.
 
-    ``frame``: (H, W) float32, already normalized (run percentile
-    normalization beforehand — it is global-reduction work that XLA handles
-    well unsharded, or shard it separately). Output matches the unsharded
-    ``unet.apply`` exactly (f32 compute) up to float reassociation.
+    ``frame``: (H, W) float32 — or (H, W, C) when the model is
+    multi-channel (``cfg.in_channels > 1``) — already normalized (run
+    percentile normalization beforehand — it is global-reduction work that
+    XLA handles well unsharded, or shard it separately). Output matches the
+    unsharded ``unet.apply`` exactly (f32 compute) up to float
+    reassociation.
     """
     n = mesh.devices.size
     _validate_spatial(cfg, n, frame_spatial)
@@ -158,10 +162,14 @@ def spatial_unet2d_infer(
 
     local_forward = _make_local_forward(cfg, run_cfg, axis_name)
 
+    # channels (if any) ride unsharded on a trailing axis
+    in_spec = (
+        P(axis_name, None) if cfg.in_channels == 1 else P(axis_name, None, None)
+    )
     sharded = shard_map(
         local_forward,
         mesh=mesh,
-        in_specs=(P(), P(axis_name, None)),
+        in_specs=(P(), in_spec),
         out_specs=(P(axis_name, None, None), P(axis_name, None)),
         check_rep=False,
     )
@@ -169,7 +177,7 @@ def spatial_unet2d_infer(
     from jax.sharding import NamedSharding
 
     rep = NamedSharding(mesh, P())
-    row_sharded = NamedSharding(mesh, P(axis_name, None))
+    row_sharded = NamedSharding(mesh, in_spec)
 
     @jax.jit
     def _fn(params_in, state_in, frame):
@@ -208,10 +216,11 @@ def hybrid_unet2d_infer(
     spatially sharded over ``space_axis`` — e.g. 8 chips = 2 frames in
     flight x 4-way halo-exchange within each (DP x CP-for-images; the
     reference has neither — SURVEY.md §2 'Parallelism strategies'
-    extension). ``frames``: (batch, H, W) float32, already normalized.
-    Exactly equal to the unsharded per-frame forward, like
-    ``spatial_unet2d_infer`` (same local kernel, vmapped over the local
-    batch; ppermute halos move only within each data slice).
+    extension). ``frames``: (batch, H, W) float32 — (batch, H, W, C) for
+    multi-channel models — already normalized. Exactly equal to the
+    unsharded per-frame forward, like ``spatial_unet2d_infer`` (same local
+    kernel, vmapped over the local batch; ppermute halos move only within
+    each data slice).
     """
     d = mesh.shape[data_axis]
     s = mesh.shape[space_axis]
@@ -222,13 +231,18 @@ def hybrid_unet2d_infer(
     run_cfg, fold = cfg, cfg.norm == "batch"
     local_forward = _make_local_forward(cfg, run_cfg, space_axis)
 
-    def local_batch(params_l, x_local):  # x_local: (B_loc, H_loc, W)
+    def local_batch(params_l, x_local):  # x_local: (B_loc, H_loc, W[, C])
         return jax.vmap(local_forward, in_axes=(None, 0))(params_l, x_local)
 
+    in_spec = (
+        P(data_axis, space_axis, None)
+        if cfg.in_channels == 1
+        else P(data_axis, space_axis, None, None)
+    )
     sharded = shard_map(
         local_batch,
         mesh=mesh,
-        in_specs=(P(), P(data_axis, space_axis, None)),
+        in_specs=(P(), in_spec),
         out_specs=(
             P(data_axis, space_axis, None, None),
             P(data_axis, space_axis, None),
@@ -239,7 +253,7 @@ def hybrid_unet2d_infer(
     from jax.sharding import NamedSharding
 
     rep = NamedSharding(mesh, P())
-    sharded_in = NamedSharding(mesh, P(data_axis, space_axis, None))
+    sharded_in = NamedSharding(mesh, in_spec)
 
     @jax.jit
     def _fn(params_in, state_in, frames):

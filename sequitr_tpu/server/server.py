@@ -766,10 +766,6 @@ def _run_frames(cfg, tc, params, state, source, job_params):
 
     spatial = source.spatial
     n_frames = len(source)
-    if source.n_channels > 1 and job_params.get("spatial_parallel"):
-        raise jobs_lib.JobError(
-            "spatial_parallel does not support multi-channel stacks"
-        )
     sp = job_params.get("spatial_parallel")
     if sp and jax.device_count() > 1:
         # huge frames sharded across chips (halo exchange, exact result);
@@ -792,7 +788,11 @@ def _run_frames(cfg, tc, params, state, source, job_params):
         d_ways = n_dev // s_ways
 
         def norm(frame):
-            return infer_lib._normalize(jnp.asarray(frame)[..., None], tc)[..., 0]
+            # (H, W) single-channel or (H, W, C) — per-channel percentiles
+            f = jnp.asarray(frame)
+            if f.ndim == 2:
+                return infer_lib._normalize(f[..., None], tc)[..., 0]
+            return infer_lib._normalize(f, tc)
 
         if d_ways > 1 and n_frames > 1:
             mesh2 = parallel.make_mesh2d((d_ways, s_ways))
@@ -801,9 +801,7 @@ def _run_frames(cfg, tc, params, state, source, job_params):
             )
             # one vmapped dispatch normalizes the whole chunk (per-frame
             # percentiles preserved by the vmap axis)
-            batch_norm = jax.jit(
-                jax.vmap(lambda f: infer_lib._normalize(f[..., None], tc)[..., 0])
-            )
+            batch_norm = jax.jit(jax.vmap(norm))
             n_left = n_frames
             for chunk in infer_lib._iter_read_ahead(source.chunks(d_ways), 2):
                 probs, labels = hy_fn(params, state, batch_norm(jnp.asarray(chunk)))

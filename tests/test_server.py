@@ -1667,6 +1667,45 @@ class TestDataParallelServing:
             outs[name] = tiff.read_stack(status["outputs"]["labels"])
         np.testing.assert_array_equal(outs["serial"], outs["dp"])
 
+    def test_spatial_parallel_multichannel_serving(self, server_env):
+        """2-channel stacks serve under spatial_parallel (halo exchange
+        with channels riding the trailing axis) and match the default
+        streaming path exactly."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=2, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(2), net_cfg)
+        save_model(cfg_srv.models_dir, "sp2c", "unet", net_cfg, params, state)
+        rng = np.random.default_rng(12)
+        c0 = (rng.random((2, 64, 32)) * 800).astype(np.float32)
+        c1 = (rng.random((2, 64, 32)) * 300).astype(np.float32)
+        p0, p1 = str(tmp / "sp0.tif"), str(tmp / "sp1.tif")
+        tiff.write_stack(p0, c0)
+        tiff.write_stack(p1, c1)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, extra in (
+            ("plain", {}),
+            ("spatial", {"spatial_parallel": True}),
+        ):
+            out_dir = str(tmp / f"sp_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "segmentation_unet2d",
+                 "params": dict({"model": "sp2c", "patch": [64, 32],
+                                 "overlap": [0, 0], "localize": False},
+                                **extra),
+                 "input": [p0, p1], "output": out_dir},
+                job_id=f"sp{name}",
+            )
+            assert srv.poll_once()
+            status = json.load(open(os.path.join(out_dir, "status.json")))
+            assert status["state"] == "complete", status.get("error")
+            outs[name] = tiff.read_stack(status["outputs"]["labels"])
+        np.testing.assert_array_equal(outs["plain"], outs["spatial"])
+
     def test_gan_dp_matches_streaming(self, server_env):
         """data_parallel on enhancement_gan: frames sharded over the
         8-device mesh produce identical output to single-chip streaming."""
