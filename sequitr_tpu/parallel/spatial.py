@@ -19,8 +19,13 @@ slide-scanner mosaics) or to cut single-frame latency ~Dx. Inference-mode
 only: batch-norm must be folded (``unet.fold_batchnorm``) or absent —
 training-time batch stats would need a psum not implemented here.
 
-Requirements: H divisible by n_devices, and H/n_devices divisible by
-2^(depth-1).
+Multi-channel frames ride their channel axis unsharded; space-to-depth
+(fast-preset) configs shard too — the block rearrangement is shard-local
+whenever H/device divides the s2d factor (always true under the
+requirements below).
+
+Requirements: H divisible by n_devices, and H/n_devices (and W) divisible
+by ``cfg.min_input_multiple`` (pool factor x space_to_depth).
 """
 
 from __future__ import annotations
@@ -89,6 +94,16 @@ def _make_local_forward(cfg: unet.UNetConfig, run_cfg, axis_name: str):
         if x_local.ndim == 2:
             x_local = x_local[..., None]
         x = x_local.astype(jnp.float32)
+        s2d = cfg.space_to_depth
+        if s2d > 1:
+            # space-to-depth is a non-overlapping block rearrangement, so
+            # applying it per shard == the global op whenever H_loc % s2d
+            # == 0 (guaranteed: H_loc % min_input_multiple == 0, which
+            # includes the s2d factor). Halos are then exchanged at the
+            # reduced resolution, exactly as the unsharded graph convolves.
+            from sequitr_tpu.models.unet import _space_to_depth
+
+            x = _space_to_depth(x[None], s2d)[0]
         skips = []
         for lvl in range(cfg.depth):
             if lvl > 0:
@@ -102,6 +117,10 @@ def _make_local_forward(cfg: unet.UNetConfig, run_cfg, axis_name: str):
             x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
             x = _block_halo(x, params_l["dec"][i], run_cfg, axis_name)
         logits = _conv(x[None], params_l["head"], run_cfg)[0]
+        if s2d > 1:
+            from sequitr_tpu.models.unet import _depth_to_space
+
+            logits = _depth_to_space(logits[None], s2d)[0]
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
         return probs, labels
@@ -112,12 +131,6 @@ def _make_local_forward(cfg: unet.UNetConfig, run_cfg, axis_name: str):
 def _validate_spatial(cfg: unet.UNetConfig, n: int, frame_spatial):
     if cfg.dims != 2:
         raise ValueError("spatial sharding is 2D-only")
-    if cfg.space_to_depth > 1:
-        # local_forward feeds raw single-channel rows into the encoder; an
-        # s2d config expects in_channels*s^2 at H/s — not wired up here
-        raise NotImplementedError(
-            "spatial sharding does not support space_to_depth (fast) configs"
-        )
     h, w = frame_spatial
     if h % n:
         raise ValueError(f"H={h} not divisible by {n} devices")
@@ -126,10 +139,12 @@ def _validate_spatial(cfg: unet.UNetConfig, n: int, frame_spatial):
         raise ValueError(
             f"H/device={h_loc} not divisible by {cfg.min_input_multiple}"
         )
-    pool = 2 ** (cfg.depth - 1)
-    if w % pool:
-        # W is unsharded but still pooled depth-1 times locally
-        raise ValueError(f"W={w} not divisible by pool factor {pool}")
+    if w % cfg.min_input_multiple:
+        # W is unsharded but still s2d-rearranged and pooled locally
+        raise ValueError(
+            f"W={w} not divisible by {cfg.min_input_multiple} "
+            "(pool factor x space_to_depth)"
+        )
     if cfg.upsample != "transpose":
         raise NotImplementedError("spatial sharding supports transpose upsampling")
 

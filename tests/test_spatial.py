@@ -85,14 +85,26 @@ class TestSpatialSharding:
         with pytest.raises(ValueError):
             spatial.spatial_unet2d_infer(cfg, params, state, mesh, (64, 30))
 
-    def test_rejects_space_to_depth(self):
+    def test_space_to_depth_matches_whole_frame(self):
+        """Fast (s2d) presets shard spatially too: the block rearrangement
+        is shard-local when H_loc divides the s2d factor, so the sharded
+        forward equals the unsharded one (was a NotImplementedError)."""
         import dataclasses
 
         cfg = dataclasses.replace(_cfg(), space_to_depth=2, base_features=8)
-        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        params, state = unet.init(jax.random.PRNGKey(11), cfg)
+        frame = jnp.asarray(
+            np.random.default_rng(12).normal(size=(64, 32)).astype(np.float32)
+        )
+        ref_logits, _ = unet.apply(cfg, params, state, frame[None, ..., None])
+        ref_probs = jax.nn.softmax(ref_logits[0], axis=-1)
         mesh = parallel.make_mesh()
-        with pytest.raises(NotImplementedError):
-            spatial.spatial_unet2d_infer(cfg, params, state, mesh, (64, 32))
+        fn = spatial.spatial_unet2d_infer(cfg, params, state, mesh, (64, 32))
+        probs, labels = fn(params, state, frame)
+        assert float(jnp.max(jnp.abs(probs - ref_probs))) < 1e-5
+        np.testing.assert_array_equal(
+            np.asarray(labels), np.asarray(jnp.argmax(ref_probs, -1))
+        )
 
 
 class TestHybridSharding:
