@@ -40,7 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sequitr_tpu.models import unet
 from sequitr_tpu.models.unet import _conv, _conv_transpose
 
-__all__ = ["spatial_unet2d_infer", "hybrid_unet2d_infer"]
+__all__ = ["spatial_unet2d_infer", "spatial_unet3d_infer", "hybrid_unet2d_infer"]
 
 
 def _neighbor_rows(x: jnp.ndarray, axis_name: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -62,13 +62,17 @@ def _neighbor_rows(x: jnp.ndarray, axis_name: str) -> Tuple[jnp.ndarray, jnp.nda
 
 
 def _conv3x3_halo(x, p, cfg, axis_name):
-    """SAME 3x3 conv on an H-sharded (H_loc, W, C) tensor via halo exchange."""
+    """SAME 3^dims conv on an axis-0-sharded local tensor via halo exchange.
+
+    ``x``: (S_loc, *rest, C) — rows for 2D (H-sharded), planes for 3D
+    (Z-sharded); ``_neighbor_rows`` slices axis 0, so the exchange is
+    rank-agnostic. The sharded axis gets its halo (VALID), the unsharded
+    spatial axes keep SAME(1,1).
+    """
     top, bot = _neighbor_rows(x, axis_name)
     padded = jnp.concatenate([top, x, bot], axis=0)
-    # H has its halo: VALID on H, SAME(1,1) on W
-    y = _conv(
-        padded[None], p, cfg, padding=((0, 0), (1, 1))
-    )
+    pad = ((0, 0),) + ((1, 1),) * (cfg.dims - 1)
+    y = _conv(padded[None], p, cfg, padding=pad)
     return y[0]
 
 
@@ -79,19 +83,24 @@ def _block_halo(x, p, cfg, axis_name):
     return x
 
 
-def _maxpool_rows(x):
-    """2x2 max pool on (H_loc, W, C) — local because H_loc stays even."""
-    h, w, c = x.shape
-    x = x.reshape(h // 2, 2, w // 2, 2, c)
-    return jnp.max(x, axis=(1, 3))
+def _maxpool_local(x, dims):
+    """2^dims max pool on a local (S_loc, *rest, C) tensor — local on the
+    sharded axis because S_loc stays even through every level."""
+    if dims == 2:
+        h, w, c = x.shape
+        x = x.reshape(h // 2, 2, w // 2, 2, c)
+        return jnp.max(x, axis=(1, 3))
+    z, h, w, c = x.shape
+    x = x.reshape(z // 2, 2, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(1, 3, 5))
 
 
 def _make_local_forward(cfg: unet.UNetConfig, run_cfg, axis_name: str):
     """Per-shard U-Net forward over (H_loc, W) rows with halo-exchange convs."""
 
     def local_forward(params_l, x_local):
-        # x_local: (H_loc, W) single-channel or (H_loc, W, C)
-        if x_local.ndim == 2:
+        # x_local: (*spatial_loc,) single-channel or (*spatial_loc, C)
+        if x_local.ndim == cfg.dims:
             x_local = x_local[..., None]
         x = x_local.astype(jnp.float32)
         s2d = cfg.space_to_depth
@@ -107,7 +116,7 @@ def _make_local_forward(cfg: unet.UNetConfig, run_cfg, axis_name: str):
         skips = []
         for lvl in range(cfg.depth):
             if lvl > 0:
-                x = _maxpool_rows(x)
+                x = _maxpool_local(x, cfg.dims)
             x = _block_halo(x, params_l["enc"][lvl], run_cfg, axis_name)
             if lvl < cfg.depth - 1:
                 skips.append(x)
@@ -129,22 +138,27 @@ def _make_local_forward(cfg: unet.UNetConfig, run_cfg, axis_name: str):
 
 
 def _validate_spatial(cfg: unet.UNetConfig, n: int, frame_spatial):
-    if cfg.dims != 2:
-        raise ValueError("spatial sharding is 2D-only")
-    h, w = frame_spatial
-    if h % n:
-        raise ValueError(f"H={h} not divisible by {n} devices")
-    h_loc = h // n
-    if h_loc % cfg.min_input_multiple:
+    if cfg.dims != len(frame_spatial):
         raise ValueError(
-            f"H/device={h_loc} not divisible by {cfg.min_input_multiple}"
+            f"model is {cfg.dims}D but frame_spatial has "
+            f"{len(frame_spatial)} axes"
         )
-    if w % cfg.min_input_multiple:
-        # W is unsharded but still s2d-rearranged and pooled locally
+    s0, *rest = frame_spatial
+    axis0 = "H" if cfg.dims == 2 else "Z"
+    if s0 % n:
+        raise ValueError(f"{axis0}={s0} not divisible by {n} devices")
+    s_loc = s0 // n
+    if s_loc % cfg.min_input_multiple:
         raise ValueError(
-            f"W={w} not divisible by {cfg.min_input_multiple} "
-            "(pool factor x space_to_depth)"
+            f"{axis0}/device={s_loc} not divisible by {cfg.min_input_multiple}"
         )
+    for s in rest:
+        # unsharded axes are still s2d-rearranged and pooled locally
+        if s % cfg.min_input_multiple:
+            raise ValueError(
+                f"axis size {s} not divisible by {cfg.min_input_multiple} "
+                "(pool factor x space_to_depth)"
+            )
     if cfg.upsample != "transpose":
         raise NotImplementedError("spatial sharding supports transpose upsampling")
 
@@ -166,6 +180,30 @@ def spatial_unet2d_infer(
     unsharded ``unet.apply`` exactly (f32 compute) up to float
     reassociation.
     """
+    return _spatial_unet_infer(cfg, params, state, mesh, frame_spatial, axis_name)
+
+
+def spatial_unet3d_infer(
+    cfg: unet.UNetConfig,
+    params,
+    state,
+    mesh: Mesh,
+    vol_spatial: Tuple[int, int, int],
+    axis_name: str = "data",
+):
+    """Volumetric variant: a (Z, H, W[, C]) volume Z-sharded across chips.
+
+    For z-stacks whose activations exceed one chip's HBM (SURVEY.md §5
+    memory-wall analogue): every 3x3x3 conv exchanges one boundary PLANE
+    with each neighbor over ICI; pooling and the kernel-2/stride-2
+    transposed conv stay plane-local, so the result is exactly the
+    unsharded 3D forward. Requirements mirror the 2D form with Z as the
+    sharded axis.
+    """
+    return _spatial_unet_infer(cfg, params, state, mesh, vol_spatial, axis_name)
+
+
+def _spatial_unet_infer(cfg, params, state, mesh, frame_spatial, axis_name):
     n = mesh.devices.size
     _validate_spatial(cfg, n, frame_spatial)
 
@@ -177,15 +215,17 @@ def spatial_unet2d_infer(
 
     local_forward = _make_local_forward(cfg, run_cfg, axis_name)
 
-    # channels (if any) ride unsharded on a trailing axis
-    in_spec = (
-        P(axis_name, None) if cfg.in_channels == 1 else P(axis_name, None, None)
-    )
+    # axis 0 sharded; other spatial axes and channels (if any) unsharded
+    nd = cfg.dims + (0 if cfg.in_channels == 1 else 1)
+    in_spec = P(axis_name, *([None] * (nd - 1)))
     sharded = shard_map(
         local_forward,
         mesh=mesh,
         in_specs=(P(), in_spec),
-        out_specs=(P(axis_name, None, None), P(axis_name, None)),
+        out_specs=(
+            P(axis_name, *([None] * cfg.dims)),
+            P(axis_name, *([None] * (cfg.dims - 1))),
+        ),
         check_rep=False,
     )
 

@@ -1349,9 +1349,40 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
 
     timer = PhaseTimer()
     t0 = time.time()
-    fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(vol_spatial))
-    with timer.phase("infer"):
-        probs, labels = fn(params, state, vol)
+    sp = job.params.get("spatial_parallel")
+    import jax
+
+    if sp and jax.device_count() > 1:
+        # volume Z-sharded across chips (plane halo exchange, exact):
+        # for z-stacks whose activations exceed one chip's HBM
+        import jax.numpy as jnp
+
+        from sequitr_tpu import parallel
+        from sequitr_tpu.parallel import spatial as spatial_lib
+
+        n_dev = jax.device_count()
+        s_ways = n_dev if sp is True else int(sp)
+        if s_ways < 2 or s_ways > n_dev:
+            raise jobs_lib.JobError(
+                f"spatial_parallel={sp!r} must be 2..{n_dev} for a volume"
+            )
+        mesh = parallel.make_mesh(s_ways)
+
+        def norm(v):
+            vv = jnp.asarray(v)
+            if vv.ndim == 3:
+                return infer_lib._normalize(vv[..., None], tc)[..., 0]
+            return infer_lib._normalize(vv, tc)
+
+        sp_fn = spatial_lib.spatial_unet3d_infer(
+            cfg, params, state, mesh, tuple(vol_spatial)
+        )
+        with timer.phase("infer"):
+            probs, labels = sp_fn(params, state, jax.jit(norm)(vol))
+    else:
+        fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(vol_spatial))
+        with timer.phase("infer"):
+            probs, labels = fn(params, state, vol)
     with timer.phase("fetch"):
         labels_np = np.asarray(labels)
 

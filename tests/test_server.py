@@ -1706,6 +1706,44 @@ class TestDataParallelServing:
             outs[name] = tiff.read_stack(status["outputs"]["labels"])
         np.testing.assert_array_equal(outs["plain"], outs["spatial"])
 
+    def test_spatial_parallel_3d_volume_serving(self, server_env):
+        """spatial_parallel on a 3D volume job: Z-sharded halo-exchange
+        inference matches the single-chip path exactly."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4, dims=3,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(4), net_cfg)
+        save_model(cfg_srv.models_dir, "sp3d", "unet", net_cfg, params, state)
+        vol = (np.random.default_rng(13).random((16, 16, 16)) * 700).astype(
+            np.float32
+        )
+        vol_path = str(tmp / "spv.tif")
+        tiff.write_stack(vol_path, vol)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, extra in (
+            ("plain", {}),
+            ("spatial", {"spatial_parallel": True}),
+        ):
+            out_dir = str(tmp / f"v_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "segmentation_unet3d",
+                 "params": dict({"model": "sp3d", "patch": [16, 16, 16],
+                                 "overlap": [0, 0, 0], "localize": False},
+                                **extra),
+                 "input": [vol_path], "output": out_dir},
+                job_id=f"v{name}",
+            )
+            assert srv.poll_once()
+            status = json.load(open(os.path.join(out_dir, "status.json")))
+            assert status["state"] == "complete", status.get("error")
+            outs[name] = tiff.read_stack(status["outputs"]["labels"])
+        np.testing.assert_array_equal(outs["plain"], outs["spatial"])
+        assert outs["spatial"].shape == (16, 16, 16)
+
     def test_gan_dp_matches_streaming(self, server_env):
         """data_parallel on enhancement_gan: frames sharded over the
         8-device mesh produce identical output to single-chip streaming."""

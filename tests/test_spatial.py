@@ -107,6 +107,62 @@ class TestSpatialSharding:
         )
 
 
+class TestSpatial3D:
+    def test_volume_matches_whole_volume_exactly(self):
+        """Z-sharded 3D inference (plane halo exchange) == the unsharded
+        volumetric forward — the memory-wall path for giant z-stacks."""
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            dims=3, norm="batch", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        state = jax.tree.map(
+            lambda a: a
+            + 0.05 * np.random.default_rng(1).random(a.shape).astype(np.float32),
+            state,
+        )
+        vol = jnp.asarray(
+            np.random.default_rng(2).normal(size=(16, 8, 8)).astype(np.float32)
+        )
+        ref_logits, _ = unet.apply(cfg, params, state, vol[None, ..., None])
+        ref_probs = jax.nn.softmax(ref_logits[0], axis=-1)
+        mesh = parallel.make_mesh()
+        fn = spatial.spatial_unet3d_infer(cfg, params, state, mesh, (16, 8, 8))
+        probs, labels = fn(params, state, vol)
+        assert float(jnp.max(jnp.abs(probs - ref_probs))) < 1e-5
+        np.testing.assert_array_equal(
+            np.asarray(labels), np.asarray(jnp.argmax(ref_probs, -1))
+        )
+
+    def test_multichannel_volume(self):
+        cfg = unet.UNetConfig(
+            in_channels=2, num_classes=2, depth=2, base_features=4,
+            dims=3, norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(3), cfg)
+        vol = jnp.asarray(
+            np.random.default_rng(4).normal(size=(16, 8, 8, 2)).astype(
+                np.float32
+            )
+        )
+        ref_logits, _ = unet.apply(cfg, params, state, vol[None])
+        ref_probs = jax.nn.softmax(ref_logits[0], axis=-1)
+        mesh = parallel.make_mesh()
+        fn = spatial.spatial_unet3d_infer(cfg, params, state, mesh, (16, 8, 8))
+        probs, _ = fn(params, state, vol)
+        assert float(jnp.max(jnp.abs(probs - ref_probs))) < 1e-5
+
+    def test_rejects_bad_z(self):
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            dims=3, norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(5), cfg)
+        mesh = parallel.make_mesh()
+        with pytest.raises(ValueError):
+            spatial.spatial_unet3d_infer(cfg, params, state, mesh, (12, 8, 8))
+
+
 class TestHybridSharding:
     def test_hybrid_matches_per_frame_apply(self):
         """DP x spatial on a (2, 4) mesh == the unsharded per-frame forward
