@@ -120,7 +120,10 @@ def bench_timelapse(device_kind: str, iters: int):
     fn = infer_lib.make_frame_inferrer(cfg, tc, FRAME)
     n = max(6, iters // 4)
     rng = np.random.default_rng(0)
-    stack = rng.gamma(2.0, 100.0, (n,) + FRAME).astype(np.float32)  # host
+    # uint16 — the storage dtype of real microscopy stacks; frames ship
+    # 2-byte pixels to the device (half the H2D of a host-side f32 cast)
+    # and the fused graph casts on device, exactly as FrameSource serves
+    stack = rng.gamma(2.0, 100.0, (n,) + FRAME).astype(np.uint16)  # host
 
     def one_pass(frames):
         got = 0

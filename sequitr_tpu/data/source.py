@@ -2,9 +2,11 @@
 
 The serving north star streams timelapse stacks disk -> host -> HBM -> disk
 (SURVEY.md §3.3, §7(e)). ``FrameSource`` is the host half of that chain: it
-presents one or more channel TIFF stacks as an ordered sequence of float32
-frames WITHOUT materializing the stack — each ``frame(t)`` reads exactly one
-frame per channel through ``tiff.TiffReader``'s per-frame strip directory.
+presents one or more channel TIFF stacks as an ordered sequence of frames
+(NATIVE dtype — uint16 stacks ship 2-byte pixels to the device, where the
+fused graph casts; half the H2D of a host-side float32 cast) WITHOUT
+materializing the stack — each ``frame(t)`` reads exactly one frame per
+channel through ``tiff.TiffReader``'s per-frame strip directory.
 
 Peak host memory for a serve is therefore O(frames in flight) — the prefetch
 window plus one output frame — instead of O(stack), so a timelapse larger
@@ -27,7 +29,7 @@ __all__ = ["FrameSource"]
 
 
 class FrameSource:
-    """Ordered float32 frames from channel TIFF stacks or an array.
+    """Ordered native-dtype frames from channel TIFF stacks or an array.
 
     * ``FrameSource(paths=[...])`` — one TIFF per channel (the serving
       pipelines' multi-channel convention). Single channel yields (H, W)
@@ -46,7 +48,7 @@ class FrameSource:
         self._readers: List[tiff.TiffReader] = []
         self._eager: List[np.ndarray] = []  # per-channel fallback stacks
         if array is not None:
-            arr = np.asarray(array, dtype=np.float32)
+            arr = np.asarray(array)
             if arr.ndim == 2:
                 arr = arr[None]
             if arr.ndim == 3:
@@ -66,7 +68,7 @@ class FrameSource:
                     self._shapes.append(r.shape)
                 except ValueError:
                     # unsupported layout: eager per-channel fallback (PIL)
-                    arr = np.asarray(tiff.read_stack(p), dtype=np.float32)
+                    arr = np.asarray(tiff.read_stack(p))
                     if arr.ndim == 2:
                         arr = arr[None]
                     if arr.ndim != 3:
@@ -95,12 +97,17 @@ class FrameSource:
     # -- access ------------------------------------------------------------
 
     def _channel_frame(self, c: int, t: int) -> np.ndarray:
+        # NATIVE dtype on purpose: microscopy stacks are typically uint16,
+        # and shipping 2-byte pixels host->HBM is half the transfer of a
+        # host-side float32 cast — the device casts for free inside the
+        # fused graph (infer._normalize). Consumers doing host math cast
+        # explicitly.
         if self._readers and self._readers[c] is not None:
-            return np.asarray(self._readers[c].read_frame(t), dtype=np.float32)
-        return np.asarray(self._eager[c][t], dtype=np.float32)
+            return np.asarray(self._readers[c].read_frame(t))
+        return np.asarray(self._eager[c][t])
 
     def frame(self, t: int) -> np.ndarray:
-        """Frame t as float32: (H, W) single-channel, else (H, W, C)."""
+        """Frame t in its native dtype: (H, W) single-channel, (H, W, C) else."""
         if self.n_channels == 1:
             return self._channel_frame(0, t)
         return np.stack(

@@ -33,6 +33,9 @@ _DTYPES = {
     np.dtype("uint8"): (8, 1),
     np.dtype("uint16"): (16, 1),
     np.dtype("uint32"): (32, 1),
+    np.dtype("int8"): (8, 2),
+    np.dtype("int16"): (16, 2),
+    np.dtype("int32"): (32, 2),
     np.dtype("float16"): (16, 3),
     np.dtype("float32"): (32, 3),
 }
@@ -40,8 +43,12 @@ _INV_DTYPES = {
     (8, 1): np.uint8,
     (16, 1): np.uint16,
     (32, 1): np.uint32,
+    (8, 2): np.int8,
+    (16, 2): np.int16,
+    (32, 2): np.int32,
     (16, 3): np.float16,
     (32, 3): np.float32,
+    (64, 3): np.float64,
 }
 
 _II = b"II"
@@ -100,14 +107,14 @@ def write_stack(path: str, stack: np.ndarray) -> None:
 
 def _read_entry_value(buf, offset_pos, typ, count, endian):
     raw = buf[offset_pos : offset_pos + 4]
-    if typ == _TYPE_SHORT and count == 1:
-        return struct.unpack(endian + "H", raw[:2])[0]
-    if typ == _TYPE_LONG and count == 1:
-        return struct.unpack(endian + "I", raw)[0]
-    # value is an offset to an array
-    off = struct.unpack(endian + "I", raw)[0]
     size = 2 if typ == _TYPE_SHORT else 4
     fmt = "H" if typ == _TYPE_SHORT else "I"
+    # TIFF6: values of <= 4 bytes are stored INLINE (e.g. two SHORTs for a
+    # two-strip page), not behind an offset
+    if size * count <= 4:
+        vals = struct.unpack(endian + fmt * count, raw[: size * count])
+        return vals[0] if count == 1 else list(vals)
+    off = struct.unpack(endian + "I", raw)[0]
     return list(
         struct.unpack(endian + fmt * count, buf[off : off + size * count])
     )
@@ -198,20 +205,28 @@ class TiffReader:
                 raise ValueError("not a baseline TIFF")
             # (h, w, dtype, offsets, counts) per frame
             self._frames: List[Tuple[int, int, np.dtype, list, list]] = []
-            while ifd:
-                ifd = self._parse_ifd(ifd)
+            try:
+                while ifd:
+                    ifd = self._parse_ifd(ifd)
+            except (KeyError, struct.error, IndexError) as e:
+                # unknown dtype tags / truncated or exotic layouts must
+                # surface as ValueError: that is the documented contract
+                # callers (FrameSource, the server's lazy readers) key
+                # their read_stack/PIL fallback on
+                raise ValueError(f"unsupported TIFF layout: {e!r}")
         except Exception:
             self._f.close()
             raise
 
     def _entry_value(self, raw: bytes, typ: int, count: int):
-        if typ == _TYPE_SHORT and count == 1:
-            return struct.unpack(self._endian + "H", raw[:2])[0]
-        if typ == _TYPE_LONG and count == 1:
-            return struct.unpack(self._endian + "I", raw)[0]
-        off = struct.unpack(self._endian + "I", raw)[0]
         size = 2 if typ == _TYPE_SHORT else 4
         fmt = "H" if typ == _TYPE_SHORT else "I"
+        # TIFF6: values of <= 4 bytes are stored INLINE (e.g. two SHORTs
+        # for a two-strip page), not behind an offset
+        if size * count <= 4:
+            vals = struct.unpack(self._endian + fmt * count, raw[: size * count])
+            return vals[0] if count == 1 else list(vals)
+        off = struct.unpack(self._endian + "I", raw)[0]
         self._f.seek(off)
         return list(
             struct.unpack(
@@ -344,6 +359,16 @@ class TiffAppendWriter:
         n_entries = 9
         ifd_size = 2 + n_entries * 12 + 4
         data_offset = self._offset + ifd_size
+        if data_offset + len(data) > 0xFFFFFFFF:
+            # classic (non-Big) TIFF carries 32-bit offsets; fail with a
+            # clear error at the boundary instead of a struct.error hours
+            # into a stream. Callers should split the stack across files
+            # (or halve probs bytes with probs_dtype=float16).
+            raise ValueError(
+                f"appending frame {self._n} would exceed the classic-TIFF "
+                f"4 GiB offset limit in {self.path}; split the output "
+                "across files"
+            )
 
         if self._patch_pos is not None:
             # link the previous frame's IFD to this one

@@ -95,8 +95,18 @@ def _maxpool_local(x, dims):
     return jnp.max(x, axis=(1, 3, 5))
 
 
-def _make_local_forward(cfg: unet.UNetConfig, run_cfg, axis_name: str):
-    """Per-shard U-Net forward over (H_loc, W) rows with halo-exchange convs."""
+def _make_local_forward(
+    cfg: unet.UNetConfig,
+    run_cfg,
+    axis_name: str,
+    probs_dtype: str = "float32",
+    labels_dtype: str = "int32",
+):
+    """Per-shard U-Net forward over (H_loc, W) rows with halo-exchange convs.
+
+    ``probs_dtype``/``labels_dtype`` cast the outputs ON DEVICE (argmax
+    runs on the f32 maps first), matching the streaming path's D2H-halving
+    TileConfig knobs."""
 
     def local_forward(params_l, x_local):
         # x_local: (*spatial_loc,) single-channel or (*spatial_loc, C)
@@ -131,8 +141,8 @@ def _make_local_forward(cfg: unet.UNetConfig, run_cfg, axis_name: str):
 
             logits = _depth_to_space(logits[None], s2d)[0]
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-        return probs, labels
+        labels = jnp.argmax(probs, axis=-1).astype(jnp.dtype(labels_dtype))
+        return probs.astype(jnp.dtype(probs_dtype)), labels
 
     return local_forward
 
@@ -170,6 +180,8 @@ def spatial_unet2d_infer(
     mesh: Mesh,
     frame_spatial: Tuple[int, int],
     axis_name: str = "data",
+    probs_dtype: str = "float32",
+    labels_dtype: str = "int32",
 ):
     """Build ``fn(params, state, frame) -> (probs, labels)``, H-sharded.
 
@@ -180,7 +192,10 @@ def spatial_unet2d_infer(
     unsharded ``unet.apply`` exactly (f32 compute) up to float
     reassociation.
     """
-    return _spatial_unet_infer(cfg, params, state, mesh, frame_spatial, axis_name)
+    return _spatial_unet_infer(
+        cfg, params, state, mesh, frame_spatial, axis_name,
+        probs_dtype, labels_dtype,
+    )
 
 
 def spatial_unet3d_infer(
@@ -190,6 +205,8 @@ def spatial_unet3d_infer(
     mesh: Mesh,
     vol_spatial: Tuple[int, int, int],
     axis_name: str = "data",
+    probs_dtype: str = "float32",
+    labels_dtype: str = "int32",
 ):
     """Volumetric variant: a (Z, H, W[, C]) volume Z-sharded across chips.
 
@@ -200,10 +217,16 @@ def spatial_unet3d_infer(
     unsharded 3D forward. Requirements mirror the 2D form with Z as the
     sharded axis.
     """
-    return _spatial_unet_infer(cfg, params, state, mesh, vol_spatial, axis_name)
+    return _spatial_unet_infer(
+        cfg, params, state, mesh, vol_spatial, axis_name,
+        probs_dtype, labels_dtype,
+    )
 
 
-def _spatial_unet_infer(cfg, params, state, mesh, frame_spatial, axis_name):
+def _spatial_unet_infer(
+    cfg, params, state, mesh, frame_spatial, axis_name,
+    probs_dtype="float32", labels_dtype="int32",
+):
     n = mesh.devices.size
     _validate_spatial(cfg, n, frame_spatial)
 
@@ -213,7 +236,9 @@ def _spatial_unet_infer(cfg, params, state, mesh, frame_spatial, axis_name):
     else:
         run_cfg, fold = cfg, False
 
-    local_forward = _make_local_forward(cfg, run_cfg, axis_name)
+    local_forward = _make_local_forward(
+        cfg, run_cfg, axis_name, probs_dtype, labels_dtype
+    )
 
     # axis 0 sharded; other spatial axes and channels (if any) unsharded
     nd = cfg.dims + (0 if cfg.in_channels == 1 else 1)
@@ -263,6 +288,8 @@ def hybrid_unet2d_infer(
     batch: int,
     data_axis: str = "data",
     space_axis: str = "space",
+    probs_dtype: str = "float32",
+    labels_dtype: str = "int32",
 ):
     """Build ``fn(params, state, frames) -> (probs, labels)`` on a 2D mesh.
 
@@ -284,7 +311,9 @@ def hybrid_unet2d_infer(
         raise ValueError(f"batch={batch} not divisible by {d} data shards")
 
     run_cfg, fold = cfg, cfg.norm == "batch"
-    local_forward = _make_local_forward(cfg, run_cfg, space_axis)
+    local_forward = _make_local_forward(
+        cfg, run_cfg, space_axis, probs_dtype, labels_dtype
+    )
 
     def local_batch(params_l, x_local):  # x_local: (B_loc, H_loc, W[, C])
         return jax.vmap(local_forward, in_axes=(None, 0))(params_l, x_local)

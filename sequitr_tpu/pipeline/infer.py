@@ -87,11 +87,14 @@ def _normalize(frame: jnp.ndarray, tc: TileConfig) -> jnp.ndarray:
     bincount lowering) and the XLA histogram path elsewhere.
     """
     mode = tc.normalize
+    # frames may arrive in their storage dtype (uint16 stacks transfer
+    # half the bytes of a host-side f32 cast); cast on device first
+    frame = frame.astype(jnp.float32)
     # multi-channel frames normalize each channel independently (different
     # fluorophores have unrelated intensity scales)
     per_channel = frame.shape[-1] > 1
     if mode == "none":
-        return frame.astype(jnp.float32)
+        return frame
     if mode == "exact":
         return norm_ops.percentile_normalize(
             frame, tc.p_lo, tc.p_hi, channel_axis=per_channel
@@ -348,30 +351,48 @@ def _iter_read_ahead(it: Iterator, depth: int) -> Iterator:
     this, every disk read serializes against the dispatch loop. A bounded
     queue keeps memory at ``depth`` items while frame t+1's read overlaps
     frame t's H2D + compute. Exceptions in the producer re-raise at the
-    consumer's ``next()``.
+    consumer's ``next()``. If the CONSUMER abandons the generator (an
+    error downstream in a serving loop), the finally-block stops the
+    producer — otherwise each failed streaming job would leak a thread
+    pinning ``depth`` frame chunks for the life of a long-lived server.
     """
     import queue as queue_mod
     import threading
 
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
     done = object()
+
+    def _put(item) -> bool:
+        """Put unless the consumer has gone away; False = stop."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def produce():
         try:
             for item in it:
-                q.put(item)
-            q.put(done)
+                if not _put(item):
+                    return
+            _put(done)
         except BaseException as e:  # re-raised consumer-side
-            q.put(_ReadError(e))
+            _put(_ReadError(e))
 
     threading.Thread(target=produce, daemon=True, name="frame-reader").start()
-    while True:
-        item = q.get()
-        if item is done:
-            return
-        if isinstance(item, _ReadError):
-            raise item.exc
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, _ReadError):
+                raise item.exc
+            yield item
+    finally:
+        stop.set()
 
 
 def stream_frames(

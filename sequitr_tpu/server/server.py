@@ -796,9 +796,14 @@ def _run_frames(cfg, tc, params, state, source, job_params):
 
         if d_ways > 1 and n_frames > 1:
             mesh2 = parallel.make_mesh2d((d_ways, s_ways))
-            hy_fn = spatial_lib.hybrid_unet2d_infer(
-                cfg, params, state, mesh2, spatial, batch=d_ways
-            )
+            try:
+                hy_fn = spatial_lib.hybrid_unet2d_infer(
+                    cfg, params, state, mesh2, spatial, batch=d_ways,
+                    probs_dtype=tc.probs_dtype, labels_dtype=tc.labels_dtype,
+                )
+            except (ValueError, NotImplementedError) as e:
+                # bad shape/config for sharding is deterministic — no retry
+                raise jobs_lib.JobError(str(e))
             # one vmapped dispatch normalizes the whole chunk (per-frame
             # percentiles preserved by the vmap axis)
             batch_norm = jax.jit(jax.vmap(norm))
@@ -810,7 +815,13 @@ def _run_frames(cfg, tc, params, state, source, job_params):
                 n_left -= d_ways
             return
         mesh = parallel.make_mesh(s_ways)
-        sp_fn = spatial_lib.spatial_unet2d_infer(cfg, params, state, mesh, spatial)
+        try:
+            sp_fn = spatial_lib.spatial_unet2d_infer(
+                cfg, params, state, mesh, spatial,
+                probs_dtype=tc.probs_dtype, labels_dtype=tc.labels_dtype,
+            )
+        except (ValueError, NotImplementedError) as e:
+            raise jobs_lib.JobError(str(e))
         for frame in source.frames():
             probs, labels = sp_fn(params, state, norm(frame))
             yield infer_lib.InferenceResult(probs=probs, labels=labels)
@@ -881,6 +892,7 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     *img_paths, lab_path = paths
     p = job.params
     dims = int(p.get("dims", 2))
+    closers: list = []  # lazy readers to close once the shards are written
 
     if dims == 3:
         # the whole (Z, H, W) stack is ONE volume example — eager read
@@ -913,8 +925,10 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             source = FrameSource(paths=img_paths)
         except ValueError as e:
             raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+        closers.append(source.close)
         try:
             l_reader = tiff.TiffReader(lab_path)
+            closers.append(l_reader.close)
             l_shape = l_reader.shape
             read_lab = lambda i: np.asarray(
                 l_reader.read_frame(i)
@@ -956,6 +970,8 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     def gen_examples():
         for img, lab in pair_iter():
+            # frames arrive in storage dtype; records store float32
+            img = np.asarray(img, dtype=np.float32)
             if p.get("normalize", True):
                 # records store normalized intensities so training sees the
                 # same distribution tiled inference feeds the net (SURVEY.md
@@ -995,10 +1011,14 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 counter["n"] += 1
                 yield records.SegExample(ci, cl, w)
 
-    shard_paths = records.write_segmentation_shards(
-        os.path.join(job.output, "train"), gen_examples(),
-        shard_size=int(p.get("shard_size", 128)),
-    )
+    try:
+        shard_paths = records.write_segmentation_shards(
+            os.path.join(job.output, "train"), gen_examples(),
+            shard_size=int(p.get("shard_size", 128)),
+        )
+    finally:
+        for close in closers:
+            close()
     return {"shards": os.path.join(job.output, "train-*.tfrecord"),
             "n_examples": str(counter["n"]), "n_shards": str(len(shard_paths))}
 
@@ -1374,9 +1394,14 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
                 return infer_lib._normalize(vv[..., None], tc)[..., 0]
             return infer_lib._normalize(vv, tc)
 
-        sp_fn = spatial_lib.spatial_unet3d_infer(
-            cfg, params, state, mesh, tuple(vol_spatial)
-        )
+        try:
+            sp_fn = spatial_lib.spatial_unet3d_infer(
+                cfg, params, state, mesh, tuple(vol_spatial),
+                probs_dtype=tc.probs_dtype, labels_dtype=tc.labels_dtype,
+            )
+        except (ValueError, NotImplementedError) as e:
+            # bad shape/config for sharding is deterministic — no retry
+            raise jobs_lib.JobError(str(e))
         with timer.phase("infer"):
             probs, labels = sp_fn(params, state, jax.jit(norm)(vol))
     else:
@@ -1453,6 +1478,7 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
     # ground-truth labels stream lazily too (int dtype preserved); eager
     # fallback for layouts the lazy reader cannot parse
+    t_reader = None
     try:
         t_reader = tiff.TiffReader(paths[-1])
         t_shape = t_reader.shape
@@ -1510,6 +1536,9 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         if labels_w is not None:
             labels_w.abort()
         raise
+    finally:
+        if t_reader is not None:
+            t_reader.close()
 
     ious, dices, accuracy = losses.metrics_from_confusion(cm)
     metrics = {

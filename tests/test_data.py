@@ -133,6 +133,99 @@ class TestTiffStreaming:
             w.close()
         assert not os.path.exists(p) and not os.path.exists(p + ".tmp")
 
+    @pytest.mark.parametrize("dtype", [np.int16, np.int32])
+    def test_signed_int_roundtrip(self, tmp_path, dtype):
+        # externally-produced label maps are often signed ints
+        stack = np.arange(2 * 8 * 8, dtype=dtype).reshape(2, 8, 8) - 5
+        p = str(tmp_path / "si.tif")
+        tiff.write_stack(p, stack)
+        np.testing.assert_array_equal(tiff.read_stack(p), stack)
+        with tiff.TiffReader(p) as r:
+            np.testing.assert_array_equal(r.read_frame(1), stack[1])
+
+    def test_unknown_dtype_raises_valueerror_not_keyerror(self, tmp_path):
+        """The lazy reader's fallback contract is ValueError; an exotic
+        dtype tag (float64 SampleFormat) must not leak a KeyError that
+        the server would classify as retryable (code-review r3)."""
+        p = str(tmp_path / "weird.tif")
+        frame = np.zeros((4, 4), np.float32)
+        tiff.write_stack(p, frame)
+        # corrupt BitsPerSample to an unsupported (24, 1) combination
+        with open(p, "r+b") as f:
+            buf = bytearray(f.read())
+            # IFD at 8; entry 2 (BitsPerSample) value at 8+2+2*12+8
+            off = 8 + 2 + 2 * 12 + 8
+            buf[off:off + 2] = (24).to_bytes(2, "little")
+            f.seek(0)
+            f.write(buf)
+        with pytest.raises(ValueError):
+            tiff.TiffReader(p)
+
+    def test_inline_short_strip_entries(self, tmp_path):
+        """TIFF6 stores values of <= 4 bytes INLINE: a two-strip page with
+        SHORT-typed StripOffsets/ByteCounts (count=2) must parse, not be
+        misread as an offset (code-review r3)."""
+        import struct
+
+        h, w = 2, 4
+        rows = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+        # hand-build: header + one IFD with SHORT count=2 strip entries
+        n_entries = 8
+        ifd_start = 8
+        data_offset = ifd_start + 2 + n_entries * 12 + 4
+        strip0, strip1 = data_offset, data_offset + w  # one row per strip
+
+        def entry(tag, typ, count, raw4):
+            return struct.pack("<HHI4s", tag, typ, count, raw4)
+
+        short1 = lambda v: struct.pack("<HH", v, 0)
+        short2 = lambda a, b: struct.pack("<HH", a, b)
+        long1 = lambda v: struct.pack("<I", v)
+        entries = [
+            entry(256, 3, 1, short1(w)),
+            entry(257, 3, 1, short1(h)),
+            entry(258, 3, 1, short1(8)),
+            entry(259, 3, 1, short1(1)),
+            entry(262, 3, 1, short1(1)),
+            entry(273, 3, 2, short2(strip0, strip1)),  # inline SHORT x2
+            entry(278, 4, 1, long1(1)),  # one row per strip
+            entry(279, 3, 2, short2(w, w)),  # inline SHORT x2
+        ]
+        p = str(tmp_path / "strips.tif")
+        with open(p, "wb") as f:
+            f.write(b"II" + struct.pack("<HI", 42, 8))
+            f.write(struct.pack("<H", n_entries))
+            f.write(b"".join(entries))
+            f.write(struct.pack("<I", 0))
+            f.write(rows.tobytes())
+        np.testing.assert_array_equal(tiff.read_stack(p), rows)
+        with tiff.TiffReader(p) as r:
+            np.testing.assert_array_equal(r.read_frame(0), rows)
+
+    def test_append_writer_4gib_guard(self, tmp_path):
+        """Past the classic-TIFF 32-bit offset limit the writer fails with
+        a clear ValueError, not a struct.error hours into a stream."""
+        p = str(tmp_path / "big.tif")
+        w = tiff.TiffAppendWriter(p)
+        w.append(np.zeros((4, 4), np.uint16))
+        w._offset = 0xFFFFFFF0  # simulate ~4 GiB written
+        with pytest.raises(ValueError, match="4 GiB"):
+            w.append(np.zeros((4, 4), np.uint16))
+        w.abort()
+
+    def test_frame_source_preserves_native_dtype(self, tmp_path):
+        stack = (np.random.default_rng(0).random((3, 8, 8)) * 900).astype(
+            np.uint16
+        )
+        p = str(tmp_path / "u16.tif")
+        tiff.write_stack(p, stack)
+        from sequitr_tpu.data.source import FrameSource
+
+        with FrameSource(paths=[p]) as src:
+            f = src.frame(1)
+            assert f.dtype == np.uint16  # 2-byte pixels ship to the device
+            np.testing.assert_array_equal(f, stack[1])
+
     def test_mixed_dtypes_per_page(self, tmp_path):
         # each page carries its own dtype tags; the reader honors them
         p = str(tmp_path / "mix.tif")

@@ -86,6 +86,27 @@ class TestTiledInference:
         )
         np.testing.assert_allclose(np.asarray(p_all), np.asarray(p_chunk), atol=1e-5)
 
+    def test_read_ahead_producer_stops_when_consumer_abandons(self):
+        """An abandoned generator must stop its reader thread instead of
+        leaking it (one per failed streaming job in a long server)."""
+        import time as time_mod
+
+        pulled = {"n": 0}
+
+        def slow_source():
+            for i in range(1000):
+                pulled["n"] += 1
+                yield i
+
+        it = infer_lib._iter_read_ahead(slow_source(), depth=2)
+        assert next(it) == 0
+        it.close()  # consumer abandons (exception path in a serving loop)
+        time_mod.sleep(0.3)
+        n_after = pulled["n"]
+        time_mod.sleep(0.3)
+        assert pulled["n"] == n_after  # producer stopped pulling
+        assert pulled["n"] < 20  # and never ran far ahead
+
     def test_read_ahead_iterator_order_and_errors(self):
         # ordering preserved through the reader thread
         out = list(infer_lib._iter_read_ahead(iter(range(20)), depth=3))
