@@ -399,6 +399,7 @@ def stream_frames(
     fn: Callable,
     frames: Iterable[np.ndarray],
     prefetch: int = 2,
+    prefetch_host: Optional[Callable] = None,
 ) -> Iterator:
     """Stream host frames through a per-frame device function, H2D overlapped.
 
@@ -409,13 +410,22 @@ def stream_frames(
     ``frames`` iterator run on a reader thread the same distance ahead, so
     ingest IO also overlaps compute. Yields each frame's (still
     device-resident) result in order.
+
+    ``prefetch_host(result)``: called right after each dispatch — callers
+    start async D2H (``arr.copy_to_host_async()``) for exactly the outputs
+    they will fetch, so frame t's device->host copy overlaps frame t+1's
+    compute instead of serializing at ``np.asarray`` time. Selective on
+    purpose: a blanket copy would move e.g. unneeded softmax planes.
     """
     frames = _iter_read_ahead(iter(frames), depth=prefetch)
     device = jax.devices()[0]
     queue = []
 
     def launch(host_frame):
-        return fn(jax.device_put(np.asarray(host_frame), device))
+        out = fn(jax.device_put(np.asarray(host_frame), device))
+        if prefetch_host is not None:
+            prefetch_host(out)
+        return out
 
     # warm the pipeline
     for _ in range(prefetch):
@@ -439,13 +449,30 @@ def infer_stack(
     state,
     frames: Iterable[np.ndarray],
     prefetch: int = 2,
+    fetch_probs: bool = False,
 ) -> Iterator[InferenceResult]:
     """Stream a timelapse stack through ``infer_fn`` with H2D double-buffering.
 
     ``infer_fn(params, state, frame) -> (probs, labels)``; see
-    ``stream_frames`` for the overlap mechanics.
+    ``stream_frames`` for the overlap mechanics. Label maps (and softmax
+    maps too when ``fetch_probs``) start their async D2H copy at dispatch,
+    so the transfer overlaps the next frame's compute.
     """
+
+    def prefetch_host(out):
+        _copy_to_host_async(out[1])
+        if fetch_probs:
+            _copy_to_host_async(out[0])
+
     for probs, labels in stream_frames(
-        lambda f: infer_fn(params, state, f), frames, prefetch
+        lambda f: infer_fn(params, state, f), frames, prefetch,
+        prefetch_host=prefetch_host,
     ):
         yield InferenceResult(probs=probs, labels=labels)
+
+
+def _copy_to_host_async(arr) -> None:
+    try:
+        arr.copy_to_host_async()
+    except AttributeError:  # non-jax arrays in tests/fallbacks
+        pass

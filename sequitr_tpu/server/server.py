@@ -713,7 +713,8 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 )
                 n_left = n_frames
                 for out in infer_lib.stream_frames(
-                    lambda ch: benhance(params, state, ch), source.chunks(fb)
+                    lambda ch: benhance(params, state, ch), source.chunks(fb),
+                    prefetch_host=infer_lib._copy_to_host_async,
                 ):
                     with timer.phase("fetch"):
                         got = np.asarray(out, dtype=np.float32)
@@ -723,7 +724,8 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             else:
                 enhance = infer_lib.cached_gan_enhancer(cfg, tc, source.spatial)
                 for out in infer_lib.stream_frames(
-                    lambda f: enhance(params, state, f), source.frames()
+                    lambda f: enhance(params, state, f), source.frames(),
+                    prefetch_host=infer_lib._copy_to_host_async,
                 ):
                     with timer.phase("fetch"):
                         got = np.asarray(out, dtype=np.float32)
@@ -845,21 +847,32 @@ def _run_frames(cfg, tc, params, state, source, job_params):
     fb = job_params.get("frame_batch")
     fb = int(fb) if fb else _auto_frame_batch(spatial)
     fb = max(1, min(fb, n_frames))  # never compute padded frames nobody asked for
+    want_probs = bool(job_params.get("save_probs"))
     if fb > 1:
         # small frames are dispatch-bound singly; batch them per dispatch
         # (measured 2.3x at 256^2 — BASELINE.md round 2), keeping the same
         # prefetch-ahead H2D overlap over batch chunks
+
+        def _host_prefetch(out):
+            # start async D2H at dispatch for exactly what gets fetched
+            infer_lib._copy_to_host_async(out[1])
+            if want_probs:
+                infer_lib._copy_to_host_async(out[0])
+
         bfn = infer_lib.cached_batch_inferrer(cfg, tc, tuple(spatial), fb)
         n_left = n_frames
         for probs, labels in infer_lib.stream_frames(
-            lambda c: bfn(params, state, c), source.chunks(fb)
+            lambda c: bfn(params, state, c), source.chunks(fb),
+            prefetch_host=_host_prefetch,
         ):
             for k in range(min(fb, n_left)):
                 yield infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
             n_left -= fb
         return
     fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(spatial))
-    yield from infer_lib.infer_stack(fn, params, state, source.frames())
+    yield from infer_lib.infer_stack(
+        fn, params, state, source.frames(), fetch_probs=want_probs
+    )
 
 
 def _auto_frame_batch(spatial) -> int:
@@ -1781,7 +1794,8 @@ def evaluate_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     with source, tsource:
         tchunks = tsource.chunks(fb)
         for out in infer_lib.stream_frames(
-            lambda ch: benhance(params, state, ch), source.chunks(fb)
+            lambda ch: benhance(params, state, ch), source.chunks(fb),
+            prefetch_host=infer_lib._copy_to_host_async,
         ):
             t01 = np.asarray(norm_targets(next(tchunks)), dtype=np.float32)
             fake = np.asarray(out, dtype=np.float32)
