@@ -40,7 +40,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sequitr_tpu.models import unet
 from sequitr_tpu.models.unet import _conv, _conv_transpose
 
-__all__ = ["spatial_unet2d_infer", "spatial_unet3d_infer", "hybrid_unet2d_infer"]
+__all__ = [
+    "spatial_unet2d_infer",
+    "spatial_unet3d_infer",
+    "spatial_gan_enhance",
+    "hybrid_unet2d_infer",
+]
 
 
 def _neighbor_rows(x: jnp.ndarray, axis_name: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -95,20 +100,14 @@ def _maxpool_local(x, dims):
     return jnp.max(x, axis=(1, 3, 5))
 
 
-def _make_local_forward(
-    cfg: unet.UNetConfig,
-    run_cfg,
-    axis_name: str,
-    probs_dtype: str = "float32",
-    labels_dtype: str = "int32",
-):
-    """Per-shard U-Net forward over (H_loc, W) rows with halo-exchange convs.
+def _make_local_logits(cfg: unet.UNetConfig, run_cfg, axis_name: str):
+    """Per-shard U-Net logits over an axis-0-sharded local tensor.
 
-    ``probs_dtype``/``labels_dtype`` cast the outputs ON DEVICE (argmax
-    runs on the f32 maps first), matching the streaming path's D2H-halving
-    TileConfig knobs."""
+    The shared halo-exchange core behind both the segmentation forward
+    (softmax/argmax head) and the GAN generator pass (activation head).
+    """
 
-    def local_forward(params_l, x_local):
+    def local_logits(params_l, x_local):
         # x_local: (*spatial_loc,) single-channel or (*spatial_loc, C)
         if x_local.ndim == cfg.dims:
             x_local = x_local[..., None]
@@ -140,6 +139,27 @@ def _make_local_forward(
             from sequitr_tpu.models.unet import _depth_to_space
 
             logits = _depth_to_space(logits[None], s2d)[0]
+        return logits
+
+    return local_logits
+
+
+def _make_local_forward(
+    cfg: unet.UNetConfig,
+    run_cfg,
+    axis_name: str,
+    probs_dtype: str = "float32",
+    labels_dtype: str = "int32",
+):
+    """Per-shard U-Net forward over (H_loc, W) rows with halo-exchange convs.
+
+    ``probs_dtype``/``labels_dtype`` cast the outputs ON DEVICE (argmax
+    runs on the f32 maps first), matching the streaming path's D2H-halving
+    TileConfig knobs."""
+    local_logits = _make_local_logits(cfg, run_cfg, axis_name)
+
+    def local_forward(params_l, x_local):
+        logits = local_logits(params_l, x_local)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         labels = jnp.argmax(probs, axis=-1).astype(jnp.dtype(labels_dtype))
         return probs.astype(jnp.dtype(probs_dtype)), labels
@@ -273,6 +293,72 @@ def _spatial_unet_infer(
         # (e.g. fresh from an orbax restore)
         params_in = jax.device_put(params_in, rep)
         state_in = jax.device_put(state_in, rep)
+        frame = jax.device_put(frame, row_sharded)
+        return _fn(params_in, state_in, frame)
+
+    return fn
+
+
+def spatial_gan_enhance(
+    gan_cfg,
+    params,
+    state,
+    mesh: Mesh,
+    frame_spatial: Tuple[int, int],
+    axis_name: str = "data",
+    out_dtype: str = "float32",
+):
+    """H-sharded GAN generator pass: giant enhancement frames across chips.
+
+    The pix2pix generator IS the U-Net core plus an output activation
+    (``models.gan.generator_apply``), so the same halo-exchange local
+    kernel serves it: rows sharded, every 3x3 conv exchanging boundary
+    rows over ICI, exactly the whole-frame generator output. Fold the
+    generator BN first (``gan.fold_generator``) — the caller passes the
+    FOLDED (cfg, params); batch-stats BN is rejected.
+
+    Returns ``fn(params, state, frame) -> (H, W, C_out)``; ``frame`` is
+    (H, W) or (H, W, C_in), already normalized.
+    """
+    ucfg = gan_cfg.generator_config
+    n = mesh.devices.size
+    _validate_spatial(ucfg, n, frame_spatial)
+    if ucfg.norm == "batch":
+        raise ValueError(
+            "fold the generator first (models.gan.fold_generator)"
+        )
+    local_logits = _make_local_logits(ucfg, ucfg, axis_name)
+    activation = gan_cfg.output_activation
+
+    def local_enhance(gen_params_l, x_local):
+        y = local_logits(gen_params_l, x_local).astype(jnp.float32)
+        if activation == "tanh":
+            y = jnp.tanh(y)
+        elif activation == "sigmoid":
+            y = jax.nn.sigmoid(y)
+        return y.astype(jnp.dtype(out_dtype))
+
+    nd = ucfg.dims + (0 if ucfg.in_channels == 1 else 1)
+    in_spec = P(axis_name, *([None] * (nd - 1)))
+    sharded = shard_map(
+        local_enhance,
+        mesh=mesh,
+        in_specs=(P(), in_spec),
+        out_specs=P(axis_name, None, None),
+        check_rep=False,
+    )
+
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    row_sharded = NamedSharding(mesh, in_spec)
+
+    @jax.jit
+    def _fn(params_in, state_in, frame):
+        return sharded(params_in["gen"], frame)
+
+    def fn(params_in, state_in, frame):
+        params_in = jax.device_put(params_in, rep)
         frame = jax.device_put(frame, row_sharded)
         return _fn(params_in, state_in, frame)
 

@@ -685,7 +685,43 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     try:
         with source:
-            if job.params.get("data_parallel") and jax.device_count() > 1:
+            sp = job.params.get("spatial_parallel")
+            if sp and jax.device_count() > 1:
+                # giant enhancement frames sharded across chips: same halo
+                # exchange as segmentation, generator head
+                import jax.numpy as jnp
+
+                from sequitr_tpu import parallel
+                from sequitr_tpu.parallel import spatial as spatial_lib
+
+                n_dev = jax.device_count()
+                s_ways = n_dev if sp is True else int(sp)
+                if s_ways < 2 or s_ways > n_dev:
+                    raise jobs_lib.JobError(
+                        f"spatial_parallel={sp!r} must be 2..{n_dev}"
+                    )
+                mesh = parallel.make_mesh(s_ways)
+                try:
+                    sp_enh = spatial_lib.spatial_gan_enhance(
+                        cfg, params, state, mesh, source.spatial
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    raise jobs_lib.JobError(str(e))
+
+                @jax.jit
+                def _norm_one(f):
+                    # single-channel frames stay (H, W): the sharded input
+                    # spec has no channel axis for C_in == 1
+                    if f.ndim == 2:
+                        return infer_lib._normalize(f[..., None], tc)[..., 0]
+                    return infer_lib._normalize(f, tc)
+
+                for frame in source.frames():
+                    out = sp_enh(params, state, _norm_one(jnp.asarray(frame)))
+                    with timer.phase("fetch"):
+                        got = np.asarray(out, dtype=np.float32)
+                    write_frame(got)
+            elif job.params.get("data_parallel") and jax.device_count() > 1:
                 # frames sharded over all chips, weights replicated — the
                 # same zero-traffic DP pattern as segmentation serving
                 from sequitr_tpu import parallel

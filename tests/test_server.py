@@ -1744,6 +1744,44 @@ class TestDataParallelServing:
         np.testing.assert_array_equal(outs["plain"], outs["spatial"])
         assert outs["spatial"].shape == (16, 16, 16)
 
+    def test_gan_spatial_parallel_matches_streaming(self, server_env):
+        """spatial_parallel on enhancement_gan: the H-sharded generator
+        matches single-chip streaming output."""
+        cfg_srv, tmp = server_env
+        g_cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(7), g_cfg)
+        save_model(cfg_srv.models_dir, "sp_gan", "gan", g_cfg, params, state)
+        stack = (np.random.default_rng(14).random((2, 64, 32)) * 900).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "spg.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, extra in (
+            ("plain", {}),
+            ("spatial", {"spatial_parallel": True}),
+        ):
+            out_dir = str(tmp / f"sg_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "enhancement_gan",
+                 "params": dict({"model": "sp_gan", "patch": [64, 32],
+                                 "overlap": [0, 0]}, **extra),
+                 "input": [stack_path], "output": out_dir},
+                job_id=f"sg{name}",
+            )
+            assert srv.poll_once()
+            status = json.load(open(os.path.join(out_dir, "status.json")))
+            assert status["state"] == "complete", status.get("error")
+            outs[name] = tiff.read_stack(status["outputs"]["enhanced"])
+        np.testing.assert_allclose(
+            outs["plain"], outs["spatial"], atol=1e-5
+        )
+
     def test_gan_dp_matches_streaming(self, server_env):
         """data_parallel on enhancement_gan: frames sharded over the
         8-device mesh produce identical output to single-chip streaming."""

@@ -163,6 +163,41 @@ class TestSpatial3D:
             spatial.spatial_unet3d_infer(cfg, params, state, mesh, (12, 8, 8))
 
 
+class TestSpatialGAN:
+    def test_enhance_matches_whole_frame(self):
+        """The H-sharded generator pass equals the unsharded
+        generator_apply exactly (giant enhancement frames across chips)."""
+        from sequitr_tpu.models import gan as gan_lib
+
+        g_cfg = gan_lib.GANConfig(
+            gen_depth=3, gen_base_features=4, disc_layers=2,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(0), g_cfg)
+        cfg_f, p_f, s_f = gan_lib.fold_generator(g_cfg, params, state)
+        frame = jnp.asarray(
+            np.random.default_rng(2).normal(size=(64, 32)).astype(np.float32)
+        )
+        ref, _ = gan_lib.generator_apply(cfg_f, p_f, s_f, frame[None, ..., None])
+        mesh = parallel.make_mesh()
+        fn = spatial.spatial_gan_enhance(cfg_f, p_f, s_f, mesh, (64, 32))
+        out = fn(p_f, s_f, frame)
+        assert out.shape == (64, 32, 1)
+        assert float(jnp.max(jnp.abs(out - ref[0]))) < 1e-5
+
+    def test_unfolded_batchnorm_rejected(self):
+        from sequitr_tpu.models import gan as gan_lib
+
+        g_cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(1), g_cfg)
+        mesh = parallel.make_mesh()
+        with pytest.raises(ValueError, match="fold"):
+            spatial.spatial_gan_enhance(g_cfg, params, state, mesh, (64, 32))
+
+
 class TestHybridSharding:
     def test_hybrid_matches_per_frame_apply(self):
         """DP x spatial on a (2, 4) mesh == the unsharded per-frame forward
