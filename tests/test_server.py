@@ -2161,9 +2161,12 @@ class TestSupervisorRecycleE2E:
         models = tmp_path / "models"
         os.makedirs(jobs, exist_ok=True)
         cfgp = tmp_path / "server.json"
+        # job_timeout must outlast the LEGIT job's cold jax compile on a
+        # loaded 1-core host (measured >3 s under full-suite pressure) while
+        # still tripping on the wedge (which sleeps 3600 s)
         ServerConfiguration(
             jobs_dir=str(jobs), models_dir=str(models), poll_interval=0.3,
-            job_timeout=3.0,
+            job_timeout=45.0,
         ).to_json(str(cfgp))
         out1, out2 = tmp_path / "o1", tmp_path / "o2"
         submit_job(
@@ -2192,7 +2195,9 @@ class TestSupervisorRecycleE2E:
             env=env, cwd="/root/repo", stdout=log_f, stderr=log_f,
         )
         try:
-            deadline = time.time() + 240
+            # generous: under full-suite memory pressure on a 1-core host,
+            # two worker jax startups (~40 s each unloaded) stretch a lot
+            deadline = time.time() + 420
             st1 = st2 = None
             recycled = False
 
