@@ -1625,11 +1625,15 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     handoff the segmentation pipelines use for cells).
     """
     from sequitr_tpu import psf
+    from sequitr_tpu.data.source import FrameSource
 
     (path,) = _resolve_inputs(job)[:1]
-    stack = _read_stack_or_fail(job, path)
-    if stack.ndim == 2:
-        stack = stack[None]
+    try:
+        # lazy per-frame ingest like the other serving pipelines; rows
+        # stream into emitters.csv as each frame is processed
+        source = FrameSource(paths=[path])
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read {path}: {e}")
 
     p = job.params
     max_peaks = int(p.get("max_peaks", 256))
@@ -1638,47 +1642,73 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     sigma = float(p.get("sigma", 1.5))
     thr_abs = p.get("threshold")
     k_sig = float(p.get("threshold_sigmas", 5.0))
+    want_btrack = bool(p.get("btrack"))
+    n_frames = len(source)
 
-    rows = []
-    for t, frame in enumerate(stack):
-        if thr_abs is not None:
-            thr = float(thr_abs)
-        else:
-            med = float(np.median(frame))
-            mad = float(np.median(np.abs(frame - med))) * 1.4826
-            thr = med + k_sig * max(mad, 1e-12)
-        fits = psf.localize_emitters(
-            frame, thr, max_peaks=max_peaks, min_distance=min_distance,
-            window=window, sigma=sigma,
-        )
-        for y, x, a, b in zip(
-            fits["y"], fits["x"], fits["amplitude"], fits["background"]
-        ):
-            rows.append((t, float(y), float(x), float(a), float(b)))
+    from sequitr_tpu.pipeline import infer as infer_lib
 
     out_path = os.path.join(job.output, "emitters.csv")
     tmp = out_path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write("t,y,x,amplitude,background\n")
-        for r in rows:
-            f.write(f"{r[0]},{r[1]:.4f},{r[2]:.4f},{r[3]:.4f},{r[4]:.4f}\n")
+    n_rows = 0
+    tables = [] if want_btrack else None
+    try:
+        with source, open(tmp, "w") as f:
+            f.write("t,y,x,amplitude,background\n")
+            frames = infer_lib._iter_read_ahead(source.frames(), 2)
+            for t, frame in enumerate(frames):
+                frame = np.asarray(frame, dtype=np.float32)
+                if frame.ndim == 3:
+                    raise jobs_lib.JobError(
+                        "localize_emitters expects a single-channel stack"
+                    )
+                if thr_abs is not None:
+                    thr = float(thr_abs)
+                else:
+                    med = float(np.median(frame))
+                    mad = float(np.median(np.abs(frame - med))) * 1.4826
+                    thr = med + k_sig * max(mad, 1e-12)
+                fits = psf.localize_emitters(
+                    frame, thr, max_peaks=max_peaks,
+                    min_distance=min_distance, window=window, sigma=sigma,
+                )
+                ys = np.asarray(fits["y"], dtype=np.float64)
+                xs = np.asarray(fits["x"], dtype=np.float64)
+                amps = np.asarray(fits["amplitude"], dtype=np.float64)
+                bgs = np.asarray(fits["background"], dtype=np.float64)
+                for y, x, a, b in zip(ys, xs, amps, bgs):
+                    f.write(f"{t},{y:.4f},{x:.4f},{a:.4f},{b:.4f}\n")
+                n_rows += len(ys)
+                if tables is not None:
+                    from sequitr_tpu import localize as loc_lib
+
+                    coords = np.zeros((len(ys), 5), dtype=np.float32)
+                    coords[:, 0] = t
+                    coords[:, 1] = xs
+                    coords[:, 2] = ys
+                    tables.append(
+                        loc_lib.FrameTable(
+                            coords=coords,
+                            area=np.ones(len(ys), np.int32),
+                            intensity_mean=amps.astype(np.float32),
+                        )
+                    )
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     os.replace(tmp, out_path)
     outputs = {
         "emitters": out_path,
-        "n_emitters": str(len(rows)),
-        "n_frames": str(len(stack)),
+        "n_emitters": str(n_rows),
+        "n_frames": str(n_frames),
     }
-    if p.get("btrack"):
+    if tables is not None:
         from sequitr_tpu import localize as loc_lib
 
-        objects = [
-            loc_lib.LocalizedObject(
-                t=t, x=x, y=y, z=0.0, label=0, area=1, intensity_mean=amp
-            )
-            for t, y, x, amp, _bg in rows
-        ]
         h5_path = os.path.join(job.output, "objects.h5")
-        loc_lib.export_btrack_h5(h5_path, objects, n_frames=len(stack))
+        loc_lib.export_btrack_h5_tables(h5_path, tables, n_frames=n_frames)
         outputs["objects"] = h5_path
     return outputs
 
@@ -1689,6 +1719,95 @@ if os.environ.get("SEQUITR_TEST_WEDGE"):  # pragma: no cover - subprocess only
     @register("__test_wedge__")
     def _test_wedge(job: Job, config: ServerConfiguration):
         time.sleep(3600)
+
+
+@register("deconvolve")
+def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Richardson–Lucy deconvolution of a TIFF stack (PSF subsystem).
+
+    Exposes ``psf.richardson_lucy`` through the job API — no model
+    required. 2D mode deconvolves each frame of a (T, H, W) stack with a
+    Gaussian PSF; ``dims: 3`` treats the input as one (Z, H, W) volume
+    with an anisotropic 3D PSF. params: ``iterations`` (default 20),
+    ``sigma`` (in-plane PSF sigma, px, default 1.5), ``psf_size`` (default
+    9), and for 3D ``sigma_z``/``psf_size_z``. Frames stream with H2D
+    overlap and page-append output (bounded memory, like every serving
+    pipeline). Outputs: deconvolved.tif (float32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sequitr_tpu import psf
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    (path,) = _resolve_inputs(job)[:1]
+    p = job.params
+    iterations = int(p.get("iterations", 20))
+    sigma = float(p.get("sigma", 1.5))
+    psf_size = int(p.get("psf_size", 9))
+    dims = int(p.get("dims", 2))
+    if iterations < 1:
+        raise jobs_lib.JobError(f"iterations must be >= 1, got {iterations}")
+
+    from sequitr_tpu.utils import PhaseTimer
+
+    timer = PhaseTimer()
+    t0 = time.time()
+    out_path = os.path.join(job.output, "deconvolved.tif")
+    if dims == 3:
+        vol = _read_stack_or_fail(job, path)
+        if vol.ndim != 3:
+            raise jobs_lib.JobError(
+                f"dims=3 expects one (Z, H, W) stack, got {vol.shape}"
+            )
+        kernel = psf.gaussian_psf_3d(
+            psf_size, int(p.get("psf_size_z", 5)),
+            sigma, float(p.get("sigma_z", sigma * 2.0)),
+        )
+        with timer.phase("infer"):
+            out = jax.jit(
+                lambda v: psf.richardson_lucy(v, kernel, iterations)
+            )(vol)
+        with timer.phase("fetch"):
+            got = np.asarray(out, dtype=np.float32)
+        tiff.write_stack(out_path, got)
+        n_frames = vol.shape[0]
+    else:
+        try:
+            source = FrameSource(paths=[path])
+        except ValueError as e:
+            raise jobs_lib.JobError(f"job {job.id}: cannot read {path}: {e}")
+        if source.n_channels != 1:
+            raise jobs_lib.JobError("deconvolve expects a single-channel stack")
+        kernel = psf.gaussian_psf_2d(psf_size, sigma)
+        deconv = jax.jit(
+            lambda f: psf.richardson_lucy(
+                f.astype(jnp.float32), kernel, iterations
+            )
+        )
+        n_frames = len(source)
+        writer = tiff.TiffAppendWriter(out_path)
+        try:
+            with source:
+                for out in infer_lib.stream_frames(
+                    deconv, source.frames(),
+                    prefetch_host=infer_lib._copy_to_host_async,
+                ):
+                    with timer.phase("fetch"):
+                        got = np.asarray(out, dtype=np.float32)
+                    with timer.phase("write"):
+                        writer.append(got)
+        except BaseException:
+            writer.abort()
+            raise
+        writer.close()
+    total_s = time.time() - t0
+    metrics = dict(timer.summary(), total_s=round(total_s, 4), n_frames=n_frames)
+    if total_s > 0:
+        metrics["frames_per_sec"] = round(n_frames / total_s, 3)
+    return {"deconvolved": out_path, "metrics": json.dumps(metrics)}
 
 
 @register("evaluate_unet3d")

@@ -2233,6 +2233,82 @@ class TestSupervisorRecycleE2E:
             log_f.close()
 
 
+class TestDeconvolvePipeline:
+    def test_deconvolve_sharpens_blurred_points(self, server_env):
+        """RL deconvolution through the job API: a Gaussian-blurred point
+        source gets sharper (higher peak, same location)."""
+        from sequitr_tpu import psf
+
+        cfg_srv, tmp = server_env
+        import jax.numpy as jnp_
+
+        rng = np.random.default_rng(0)
+        clean = np.zeros((2, 48, 48), np.float32)
+        clean[0, 16, 20] = 100.0
+        clean[1, 30, 10] = 80.0
+        kernel = np.asarray(psf.gaussian_psf_2d(9, 1.5))
+        blurred = np.stack(
+            [np.asarray(psf.psf_convolve(jnp_.asarray(f), jnp_.asarray(kernel)))
+             for f in clean]
+        ).astype(np.float32)
+        stack_path = str(tmp / "blur.tif")
+        tiff.write_stack(stack_path, blurred)
+        out = str(tmp / "dc")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "deconvolve",
+             "params": {"iterations": 30, "sigma": 1.5, "psf_size": 9},
+             "input": [stack_path], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        deconv = tiff.read_stack(st["outputs"]["deconvolved"])
+        assert deconv.shape == (2, 48, 48)
+        for t in range(2):
+            # peak sharpens substantially and stays put
+            assert deconv[t].max() > 2.0 * blurred[t].max()
+            np.testing.assert_array_equal(
+                np.unravel_index(deconv[t].argmax(), deconv[t].shape),
+                np.unravel_index(clean[t].argmax(), clean[t].shape),
+            )
+
+    def test_deconvolve_3d_volume(self, server_env):
+        cfg_srv, tmp = server_env
+        vol = np.zeros((8, 16, 16), np.float32)
+        vol[4, 8, 8] = 50.0
+        vol_path = str(tmp / "v.tif")
+        tiff.write_stack(vol_path, vol)
+        out = str(tmp / "dc3")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "deconvolve",
+             "params": {"dims": 3, "iterations": 5, "sigma": 1.0,
+                        "psf_size": 5, "psf_size_z": 3, "sigma_z": 1.0},
+             "input": [vol_path], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        deconv = tiff.read_stack(st["outputs"]["deconvolved"])
+        assert deconv.shape == (8, 16, 16)
+        assert np.all(np.isfinite(deconv))
+
+    def test_bad_iterations_fails_fast(self, server_env):
+        cfg_srv, tmp = server_env
+        p = str(tmp / "x.tif")
+        tiff.write_stack(p, np.zeros((1, 8, 8), np.float32))
+        out = str(tmp / "dcx")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "deconvolve", "params": {"iterations": 0},
+             "input": [p], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed" and "iterations" in st["error"]
+
+
 class TestQueueSemantics:
     def test_jobs_claimed_oldest_first(self, server_env):
         import time as _time
