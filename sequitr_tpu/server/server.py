@@ -24,6 +24,8 @@ Built-in pipelines (registry keys are the rebuild's documented API):
     pixel/voxel accuracy for segmentation; L1/PSNR for enhancement).
   * ``localize_emitters`` — single-molecule sub-pixel localization over a
     stack (PSF subsystem; no model required).
+  * ``deconvolve`` — Richardson-Lucy deconvolution (2D per-frame streamed
+    or a 3D volume; Gaussian PSF; no model required).
 
 Model weights are orbax checkpoints under ``models_dir/<name>``, saved with
 matching config JSON (``config.json``) so the server can rebuild the net.
