@@ -48,6 +48,9 @@ class TrainConfig:
     elastic_alpha: float = 20.0
     elastic_grid: int = 4
     p_elastic: float = 0.5
+    # micro-batch gradient accumulation (optax.MultiSteps): effective
+    # batch = grad_accum * batch_size with one micro-batch resident
+    grad_accum: int = 1
     # learning-rate schedule (the reference trained with constant-LR Adam
     # [K]; schedules are a rebuild extension). "constant" | "cosine" |
     # "exponential"; cosine/exponential decay over ``lr_decay_steps`` to
@@ -86,7 +89,16 @@ class TrainConfig:
             tx.append(optax.adamw(lr, b1=self.beta1, weight_decay=self.weight_decay))
         else:
             tx.append(optax.adam(lr, b1=self.beta1))
-        return optax.chain(*tx)
+        opt = optax.chain(*tx)
+        if self.grad_accum > 1:
+            # micro-batch accumulation: gradients average over grad_accum
+            # consecutive step() calls and the update applies on the last —
+            # an effective batch of grad_accum * batch_size on one chip's
+            # HBM budget (large patches / 3D volumes). Composes with DP
+            # (each chip accumulates its shard; the psum happens per
+            # micro-step as usual).
+            opt = optax.MultiSteps(opt, every_k_schedule=self.grad_accum)
+        return opt
 
 
 class TrainState(NamedTuple):

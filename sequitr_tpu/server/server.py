@@ -1124,6 +1124,7 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         elastic_alpha=float(p.get("elastic_alpha", 20.0)),
         elastic_grid=int(p.get("elastic_grid", 4)),
         p_elastic=float(p.get("p_elastic", 0.5)),
+        grad_accum=int(p.get("grad_accum", 1)),
         lr_schedule=str(p.get("lr_schedule", "constant")),
         lr_warmup_steps=int(p.get("lr_warmup_steps", 0)),
         # decay horizon defaults to the steps AFTER warmup so the schedule

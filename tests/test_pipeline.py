@@ -171,6 +171,30 @@ class TestUNetTraining:
         assert losses[-1] < losses[0]
         assert int(state.step) == 20
 
+    def test_grad_accum_applies_every_k(self):
+        """grad_accum=2: updates accumulate across micro-steps and apply on
+        every second call (optax.MultiSteps) — effective batch 2x on the
+        same HBM footprint."""
+        cfg = small_cfg(depth=2)
+        tc = train_lib.TrainConfig(
+            learning_rate=1e-2, augment=False, grad_accum=2
+        )
+        state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        step = train_lib.make_unet_train_step(cfg, tc)
+        batch = self._batch()
+        # the jitted step donates its input state — copy to host FIRST
+        p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+        s1, m1 = step(state, batch, jax.random.PRNGKey(1))
+        p1 = np.asarray(jax.tree_util.tree_leaves(s1.params)[0]).copy()
+        np.testing.assert_array_equal(p0, p1)
+        s2, m2 = step(s1, batch, jax.random.PRNGKey(2))
+        p2 = np.asarray(jax.tree_util.tree_leaves(s2.params)[0]).copy()
+        assert np.abs(p2 - p1).max() > 0
+        # a longer accumulated run still learns
+        for i in range(20):
+            s2, m = step(s2, batch, jax.random.fold_in(jax.random.PRNGKey(3), i))
+        assert float(m["loss"]) < float(m1["loss"])
+
     def test_train_step_with_augment(self):
         cfg = small_cfg(depth=2)
         tc = train_lib.TrainConfig(augment=True)
