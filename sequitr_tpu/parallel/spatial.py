@@ -45,6 +45,7 @@ __all__ = [
     "spatial_unet3d_infer",
     "spatial_gan_enhance",
     "hybrid_unet2d_infer",
+    "hybrid_gan_enhance",
 ]
 
 
@@ -436,6 +437,78 @@ def hybrid_unet2d_infer(
     def fn(params_in, state_in, frames):
         params_in = jax.device_put(params_in, rep)
         state_in = jax.device_put(state_in, rep)
+        frames = jax.device_put(frames, sharded_in)
+        return _fn(params_in, state_in, frames)
+
+    return fn
+
+
+def hybrid_gan_enhance(
+    gan_cfg,
+    params,
+    state,
+    mesh: Mesh,
+    frame_spatial: Tuple[int, int],
+    batch: int,
+    data_axis: str = "data",
+    space_axis: str = "space",
+    out_dtype: str = "float32",
+):
+    """DP x spatial GAN enhancement on a 2-D mesh (timelapses of giants).
+
+    The generator counterpart of ``hybrid_unet2d_infer``: ``batch`` frames
+    in flight on the data axis, each H-sharded ``space``-ways with halo
+    exchange. Pass the FOLDED (cfg, params) (``gan.fold_generator``).
+    ``frames``: (batch, H, W[, C_in]) float32, already normalized ->
+    (batch, H, W, C_out).
+    """
+    ucfg = gan_cfg.generator_config
+    d = mesh.shape[data_axis]
+    s = mesh.shape[space_axis]
+    _validate_spatial(ucfg, s, frame_spatial)
+    if batch % d:
+        raise ValueError(f"batch={batch} not divisible by {d} data shards")
+    if ucfg.norm == "batch":
+        raise ValueError("fold the generator first (models.gan.fold_generator)")
+
+    local_logits = _make_local_logits(ucfg, ucfg, space_axis)
+    activation = gan_cfg.output_activation
+
+    def local_enhance(gen_params_l, x_local):
+        y = local_logits(gen_params_l, x_local).astype(jnp.float32)
+        if activation == "tanh":
+            y = jnp.tanh(y)
+        elif activation == "sigmoid":
+            y = jax.nn.sigmoid(y)
+        return y.astype(jnp.dtype(out_dtype))
+
+    def local_batch(gen_params_l, x_local):  # (B_loc, H_loc, W[, C])
+        return jax.vmap(local_enhance, in_axes=(None, 0))(gen_params_l, x_local)
+
+    in_spec = (
+        P(data_axis, space_axis, None)
+        if ucfg.in_channels == 1
+        else P(data_axis, space_axis, None, None)
+    )
+    sharded = shard_map(
+        local_batch,
+        mesh=mesh,
+        in_specs=(P(), in_spec),
+        out_specs=P(data_axis, space_axis, None, None),
+        check_rep=False,
+    )
+
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    sharded_in = NamedSharding(mesh, in_spec)
+
+    @jax.jit
+    def _fn(params_in, state_in, frames):
+        return sharded(params_in["gen"], frames)
+
+    def fn(params_in, state_in, frames):
+        params_in = jax.device_put(params_in, rep)
         frames = jax.device_put(frames, sharded_in)
         return _fn(params_in, state_in, frames)
 

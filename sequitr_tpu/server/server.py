@@ -690,7 +690,9 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             sp = job.params.get("spatial_parallel")
             if sp and jax.device_count() > 1:
                 # giant enhancement frames sharded across chips: same halo
-                # exchange as segmentation, generator head
+                # exchange as segmentation, generator head. ``true`` = all
+                # chips per frame; integer S = S-way spatial x (n/S)-way
+                # data-parallel HYBRID over a 2-D mesh
                 import jax.numpy as jnp
 
                 from sequitr_tpu import parallel
@@ -698,19 +700,13 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
                 n_dev = jax.device_count()
                 s_ways = n_dev if sp is True else int(sp)
-                if s_ways < 2 or s_ways > n_dev:
+                if s_ways < 2 or n_dev % s_ways:
                     raise jobs_lib.JobError(
-                        f"spatial_parallel={sp!r} must be 2..{n_dev}"
+                        f"spatial_parallel={sp!r} must be >=2 and divide "
+                        f"the {n_dev} available devices"
                     )
-                mesh = parallel.make_mesh(s_ways)
-                try:
-                    sp_enh = spatial_lib.spatial_gan_enhance(
-                        cfg, params, state, mesh, source.spatial
-                    )
-                except (ValueError, NotImplementedError) as e:
-                    raise jobs_lib.JobError(str(e))
+                d_ways = n_dev // s_ways
 
-                @jax.jit
                 def _norm_one(f):
                     # single-channel frames stay (H, W): the sharded input
                     # spec has no channel axis for C_in == 1
@@ -718,11 +714,42 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                         return infer_lib._normalize(f[..., None], tc)[..., 0]
                     return infer_lib._normalize(f, tc)
 
-                for frame in source.frames():
-                    out = sp_enh(params, state, _norm_one(jnp.asarray(frame)))
-                    with timer.phase("fetch"):
-                        got = np.asarray(out, dtype=np.float32)
-                    write_frame(got)
+                if d_ways > 1 and n_frames > 1:
+                    mesh2 = parallel.make_mesh2d((d_ways, s_ways))
+                    try:
+                        hy_enh = spatial_lib.hybrid_gan_enhance(
+                            cfg, params, state, mesh2, source.spatial,
+                            batch=d_ways,
+                        )
+                    except (ValueError, NotImplementedError) as e:
+                        raise jobs_lib.JobError(str(e))
+                    batch_norm = jax.jit(jax.vmap(_norm_one))
+                    n_left = n_frames
+                    for chunk in infer_lib._iter_read_ahead(
+                        source.chunks(d_ways), 2
+                    ):
+                        out = hy_enh(
+                            params, state, batch_norm(jnp.asarray(chunk))
+                        )
+                        with timer.phase("fetch"):
+                            got = np.asarray(out, dtype=np.float32)
+                        for k in range(min(d_ways, n_left)):
+                            write_frame(got[k])
+                        n_left -= d_ways
+                else:
+                    mesh = parallel.make_mesh(s_ways)
+                    try:
+                        sp_enh = spatial_lib.spatial_gan_enhance(
+                            cfg, params, state, mesh, source.spatial
+                        )
+                    except (ValueError, NotImplementedError) as e:
+                        raise jobs_lib.JobError(str(e))
+                    norm_one = jax.jit(_norm_one)
+                    for frame in source.frames():
+                        out = sp_enh(params, state, norm_one(jnp.asarray(frame)))
+                        with timer.phase("fetch"):
+                            got = np.asarray(out, dtype=np.float32)
+                        write_frame(got)
             elif job.params.get("data_parallel") and jax.device_count() > 1:
                 # frames sharded over all chips, weights replicated — the
                 # same zero-traffic DP pattern as segmentation serving

@@ -1764,6 +1764,7 @@ class TestDataParallelServing:
         for name, extra in (
             ("plain", {}),
             ("spatial", {"spatial_parallel": True}),
+            ("hybrid", {"spatial_parallel": 4}),  # 2-way DP x 4-way spatial
         ):
             out_dir = str(tmp / f"sg_{name}")
             submit_job(
@@ -1780,6 +1781,9 @@ class TestDataParallelServing:
             outs[name] = tiff.read_stack(status["outputs"]["enhanced"])
         np.testing.assert_allclose(
             outs["plain"], outs["spatial"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            outs["plain"], outs["hybrid"], atol=1e-5
         )
 
     def test_gan_dp_matches_streaming(self, server_env):

@@ -185,6 +185,27 @@ class TestSpatialGAN:
         assert out.shape == (64, 32, 1)
         assert float(jnp.max(jnp.abs(out - ref[0]))) < 1e-5
 
+    def test_hybrid_gan_matches_per_frame(self):
+        """DP x spatial GAN on a (2, 4) mesh == the unsharded generator."""
+        from sequitr_tpu.models import gan as gan_lib
+        from sequitr_tpu.parallel.mesh import make_mesh2d
+
+        g_cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(3), g_cfg)
+        cfg_f, p_f, s_f = gan_lib.fold_generator(g_cfg, params, state)
+        frames = jnp.asarray(
+            np.random.default_rng(4).normal(size=(2, 32, 16)).astype(np.float32)
+        )
+        ref, _ = gan_lib.generator_apply(cfg_f, p_f, s_f, frames[..., None])
+        mesh = make_mesh2d((2, 4))
+        fn = spatial.hybrid_gan_enhance(cfg_f, p_f, s_f, mesh, (32, 16), batch=2)
+        out = fn(p_f, s_f, frames)
+        assert out.shape == (2, 32, 16, 1)
+        assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
+
     def test_unfolded_batchnorm_rejected(self):
         from sequitr_tpu.models import gan as gan_lib
 
