@@ -326,6 +326,35 @@ class TestRolledTilingOnChip:
         assert max_dp < 5e-3, f"rolled vs unrolled drifted: {max_dp}"
 
 
+class TestDeconvolveOnChip:
+    def test_richardson_lucy_vs_cpu(self):
+        """The FFT-based RL deconvolution loop compiled on the chip vs the
+        CPU backend (the `deconvolve` pipeline's compute graph)."""
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu import psf
+
+        rng = np.random.default_rng(8)
+        clean = np.zeros((512, 512), np.float32)
+        ys, xs = rng.integers(32, 480, (2, 40))
+        clean[ys, xs] = rng.uniform(50, 150, 40).astype(np.float32)
+        kernel = psf.gaussian_psf_2d(9, 1.6)
+        blurred = np.asarray(
+            psf.psf_convolve(jnp.asarray(clean), kernel), dtype=np.float32
+        )
+
+        fn = jax.jit(lambda f: psf.richardson_lucy(f, kernel, 20))
+        out_tpu = np.asarray(fn(jnp.asarray(blurred)))
+        with jax.default_device(_cpu_device()):
+            fn_cpu = jax.jit(lambda f: psf.richardson_lucy(f, kernel, 20))
+            out_cpu = np.asarray(fn_cpu(jax.device_put(blurred, _cpu_device())))
+        assert np.all(np.isfinite(out_tpu))
+        max_d = float(np.max(np.abs(out_tpu - out_cpu)))
+        scale = float(np.abs(out_cpu).max())
+        assert max_d < 5e-3 * scale, f"RL drifted: {max_d} vs scale {scale}"
+
+
 class TestTrainStepOnChip:
     def test_bf16_train_step_runs_and_learns_signal(self):
         import jax
