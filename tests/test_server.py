@@ -756,6 +756,42 @@ class TestStreamingServing:
         # localization ran on the streamed frames
         assert os.path.exists(st["outputs"]["objects"])
 
+    def test_uint16_stack_serves_identically(self, server_env):
+        """A uint16 stack (the native microscopy dtype, shipped 2-byte to
+        the device) produces EXACTLY the labels of the same values served
+        as float32 — the on-device cast is lossless for 16-bit data."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "segu", "unet", net_cfg, params, state)
+        vals = (np.random.default_rng(15).random((3, 32, 32)) * 60000).astype(
+            np.uint16
+        )
+        p16 = str(tmp / "u16.tif")
+        p32 = str(tmp / "f32.tif")
+        tiff.write_stack(p16, vals)
+        tiff.write_stack(p32, vals.astype(np.float32))
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, path in (("u16", p16), ("f32", p32)):
+            out = str(tmp / f"u_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "segmentation_unet2d",
+                 "params": {"model": "segu", "patch": [16, 16],
+                            "overlap": [4, 4], "localize": False},
+                 "input": [path], "output": out},
+                job_id=f"u{name}",
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[name] = tiff.read_stack(st["outputs"]["labels"])
+        np.testing.assert_array_equal(outs["u16"], outs["f32"])
+
     def test_probs_dtype_float16(self, server_env):
         """probs_dtype: float16 halves the probs wire/disk size; labels are
         unaffected (argmax runs on the f32 maps before the cast)."""
