@@ -273,6 +273,45 @@ def _bench_fast_family(device_kind: str, iters: int, s2d: int):
             "value": round(fps, 3), "unit": "frames/sec/chip"}
 
 
+def bench_gan_stream(device_kind: str, iters: int):
+    """Streamed GAN enhancement: host uint16 frames in, f32 frames out.
+
+    The enhancement_gan product path minus disk — H2D, the fused
+    normalize->generator graph, and the enhanced-frame D2H all inside the
+    timed window, with read-ahead + async D2H overlap (the honest
+    counterpart of `gan` the way `timelapse` is of `inference`).
+    """
+    import jax
+    from sequitr_tpu.models import gan as gan_lib
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg = gan_lib.GANConfig(compute_dtype=_dtype(device_kind))
+    params, state = gan_lib.init(jax.random.PRNGKey(0), cfg)
+    cfg, params, state = gan_lib.fold_generator(cfg, params, state)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
+    enhance = infer_lib.cached_gan_enhancer(cfg, tc, FRAME)
+    n = max(6, iters // 4)
+    rng = np.random.default_rng(0)
+    stack = rng.gamma(2.0, 100.0, (n,) + FRAME).astype(np.uint16)
+
+    def one_pass(frames):
+        got = 0
+        for out in infer_lib.stream_frames(
+            lambda f: enhance(params, state, f), frames,
+            prefetch_host=infer_lib._copy_to_host_async,
+        ):
+            np.asarray(out)
+            got += 1
+        return got
+
+    one_pass(stack[:2])
+    t0 = time.perf_counter()
+    served = one_pass(stack)
+    fps = served / (time.perf_counter() - t0)
+    return {"metric": "gan_enhance_1024_stream", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
 def bench_gan_train(device_kind: str, iters: int):
     """Config #5a training: alternating D/G pix2pix step (adv + L1)."""
     import jax
@@ -308,6 +347,7 @@ CONFIGS = {
     "train": bench_train,
     "unet3d": bench_unet3d,
     "gan": bench_gan,
+    "ganstream": bench_gan_stream,
     "gantrain": bench_gan_train,
     "fast": bench_fast,
     "fast4": bench_fast4,
