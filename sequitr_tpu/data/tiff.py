@@ -52,7 +52,9 @@ _INV_DTYPES = {
 }
 
 _II = b"II"
-_TYPE_SHORT, _TYPE_LONG = 3, 4
+_TYPE_SHORT, _TYPE_LONG, _TYPE_LONG8 = 3, 4, 16
+_TYPE_SIZES = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_LONG8: 8}
+_TYPE_FMTS = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_LONG8: "Q"}
 
 
 def write_stack(path: str, stack: np.ndarray) -> None:
@@ -105,72 +107,19 @@ def write_stack(path: str, stack: np.ndarray) -> None:
             offset = data_offset + len(data)
 
 
-def _read_entry_value(buf, offset_pos, typ, count, endian):
-    raw = buf[offset_pos : offset_pos + 4]
-    size = 2 if typ == _TYPE_SHORT else 4
-    fmt = "H" if typ == _TYPE_SHORT else "I"
-    # TIFF6: values of <= 4 bytes are stored INLINE (e.g. two SHORTs for a
-    # two-strip page), not behind an offset
-    if size * count <= 4:
-        vals = struct.unpack(endian + fmt * count, raw[: size * count])
-        return vals[0] if count == 1 else list(vals)
-    off = struct.unpack(endian + "I", raw)[0]
-    return list(
-        struct.unpack(endian + fmt * count, buf[off : off + size * count])
-    )
-
-
 def read_stack(path: str) -> np.ndarray:
-    """Read a multi-page grayscale TIFF into (T, H, W); (H, W) if T == 1."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    if buf[:2] == b"II":
-        endian = "<"
-    elif buf[:2] == b"MM":
-        endian = ">"
-    else:
-        raise ValueError("not a TIFF file")
-    magic, first_ifd = struct.unpack(endian + "HI", buf[2:8])
-    if magic != 42:
-        raise ValueError("not a baseline TIFF")
+    """Read a multi-page grayscale TIFF into (T, H, W); (H, W) if T == 1.
 
-    frames: List[np.ndarray] = []
-    ifd = first_ifd
+    Delegates to the lazy ``TiffReader`` (classic AND BigTIFF); layouts it
+    cannot parse (compressed, RGB, exotic dtypes, mixed frame shapes) fall
+    back to PIL.
+    """
     try:
-        while ifd:
-            n = struct.unpack(endian + "H", buf[ifd : ifd + 2])[0]
-            tags = {}
-            for j in range(n):
-                e = ifd + 2 + j * 12
-                tag, typ, count = struct.unpack(endian + "HHI", buf[e : e + 8])
-                tags[tag] = _read_entry_value(buf, e + 8, typ, count, endian)
-            ifd = struct.unpack(
-                endian + "I", buf[ifd + 2 + n * 12 : ifd + 6 + n * 12]
-            )[0]
-
-            if tags.get(259, 1) != 1:
-                raise ValueError("compressed TIFF; falling back to PIL")
-            w, h = tags[256], tags[257]
-            bits = tags.get(258, 8)
-            bits = bits[0] if isinstance(bits, list) else bits
-            fmt = tags.get(339, 1)
-            fmt = fmt[0] if isinstance(fmt, list) else fmt
-            spp = tags.get(277, 1)
-            if spp != 1:
-                raise ValueError("non-grayscale TIFF; falling back to PIL")
-            dt = np.dtype(_INV_DTYPES[(bits, fmt)]).newbyteorder(endian)
-            offs = tags[273]
-            counts = tags[279]
-            offs = offs if isinstance(offs, list) else [offs]
-            counts = counts if isinstance(counts, list) else [counts]
-            data = b"".join(buf[o : o + c] for o, c in zip(offs, counts))
-            frames.append(
-                np.frombuffer(data, dtype=dt).reshape(h, w).astype(dt.newbyteorder("="))
-            )
-    except (ValueError, KeyError):
+        with TiffReader(path) as r:
+            frames = [r.read_frame(t) for t in range(r.n_frames)]
+            stack = np.stack(frames)
+    except ValueError:
         return _read_with_pil(path)
-
-    stack = np.stack(frames)
     return stack[0] if stack.shape[0] == 1 else stack
 
 
@@ -193,15 +142,26 @@ class TiffReader:
         self.path = path
         self._f = open(path, "rb")
         try:
-            head = self._f.read(8)
+            head = self._f.read(16)
             if head[:2] == b"II":
                 self._endian = "<"
             elif head[:2] == b"MM":
                 self._endian = ">"
             else:
                 raise ValueError("not a TIFF file")
-            magic, ifd = struct.unpack(self._endian + "HI", head[2:8])
-            if magic != 42:
+            magic = struct.unpack(self._endian + "H", head[2:4])[0]
+            if magic == 42:
+                self._big = False
+                ifd = struct.unpack(self._endian + "I", head[4:8])[0]
+            elif magic == 43:
+                # BigTIFF: 8-byte offsets (our streaming writers emit this
+                # past the classic 4 GiB limit)
+                self._big = True
+                bytesize, zero = struct.unpack(self._endian + "HH", head[4:8])
+                if bytesize != 8 or zero != 0:
+                    raise ValueError("malformed BigTIFF header")
+                ifd = struct.unpack(self._endian + "Q", head[8:16])[0]
+            else:
                 raise ValueError("not a baseline TIFF")
             # (h, w, dtype, offsets, counts) per frame
             self._frames: List[Tuple[int, int, np.dtype, list, list]] = []
@@ -219,14 +179,15 @@ class TiffReader:
             raise
 
     def _entry_value(self, raw: bytes, typ: int, count: int):
-        size = 2 if typ == _TYPE_SHORT else 4
-        fmt = "H" if typ == _TYPE_SHORT else "I"
-        # TIFF6: values of <= 4 bytes are stored INLINE (e.g. two SHORTs
-        # for a two-strip page), not behind an offset
-        if size * count <= 4:
+        size = _TYPE_SIZES[typ]
+        fmt = _TYPE_FMTS[typ]
+        inline = 8 if self._big else 4
+        # TIFF6/BigTIFF: values fitting the value field are stored INLINE
+        # (e.g. two SHORTs for a two-strip page), not behind an offset
+        if size * count <= inline:
             vals = struct.unpack(self._endian + fmt * count, raw[: size * count])
             return vals[0] if count == 1 else list(vals)
-        off = struct.unpack(self._endian + "I", raw)[0]
+        off = struct.unpack(self._endian + ("Q" if self._big else "I"), raw)[0]
         self._f.seek(off)
         return list(
             struct.unpack(
@@ -237,17 +198,31 @@ class TiffReader:
     def _parse_ifd(self, ifd: int) -> int:
         f = self._f
         f.seek(ifd)
-        n = struct.unpack(self._endian + "H", f.read(2))[0]
-        block = f.read(n * 12 + 4)
+        if self._big:
+            n = struct.unpack(self._endian + "Q", f.read(8))[0]
+            esz, csz = 20, 8
+        else:
+            n = struct.unpack(self._endian + "H", f.read(2))[0]
+            esz, csz = 12, 4
+        block = f.read(n * esz + csz)
         tags = {}
         for j in range(n):
-            e = j * 12
-            tag, typ, count = struct.unpack(
-                self._endian + "HHI", block[e : e + 8]
-            )
+            e = j * esz
+            if self._big:
+                tag, typ, count = struct.unpack(
+                    self._endian + "HHQ", block[e : e + 12]
+                )
+                raw = block[e + 12 : e + 20]
+            else:
+                tag, typ, count = struct.unpack(
+                    self._endian + "HHI", block[e : e + 8]
+                )
+                raw = block[e + 8 : e + 12]
             if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 339):
-                tags[tag] = (typ, count, block[e + 8 : e + 12])
-        next_ifd = struct.unpack(self._endian + "I", block[n * 12 :])[0]
+                tags[tag] = (typ, count, raw)
+        next_ifd = struct.unpack(
+            self._endian + ("Q" if self._big else "I"), block[n * esz :]
+        )[0]
 
         def get(tag, default=None):
             if tag not in tags:
@@ -335,12 +310,20 @@ class TiffAppendWriter:
     a half-written stack.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, bigtiff: bool = False):
         self.path = path
+        self.bigtiff = bool(bigtiff)
         self._tmp = path + ".tmp"
         self._f = open(self._tmp, "wb")
-        self._f.write(_II + struct.pack("<HI", 42, 8))
-        self._offset = 8  # where the next IFD will start
+        if self.bigtiff:
+            # BigTIFF (version 43): 8-byte offsets everywhere — for output
+            # stacks past the classic 4 GiB limit (long save_probs runs).
+            # Header: II + 43 + offset-bytesize(8) + 0 + first-IFD offset.
+            self._f.write(_II + struct.pack("<HHHQ", 43, 8, 0, 16))
+            self._offset = 16
+        else:
+            self._f.write(_II + struct.pack("<HI", 42, 8))
+            self._offset = 8  # where the next IFD will start
         self._patch_pos: Optional[int] = None  # previous IFD's next-ptr position
         self._n = 0
         self._closed = False
@@ -357,48 +340,71 @@ class TiffAppendWriter:
         data = np.ascontiguousarray(frame).astype("<" + dt.str[1:]).tobytes()
 
         n_entries = 9
-        ifd_size = 2 + n_entries * 12 + 4
+        if self.bigtiff:
+            ifd_size = 8 + n_entries * 20 + 8
+        else:
+            ifd_size = 2 + n_entries * 12 + 4
         data_offset = self._offset + ifd_size
-        if data_offset + len(data) > 0xFFFFFFFF:
+        if not self.bigtiff and data_offset + len(data) > 0xFFFFFFFF:
             # classic (non-Big) TIFF carries 32-bit offsets; fail with a
             # clear error at the boundary instead of a struct.error hours
-            # into a stream. Callers should split the stack across files
-            # (or halve probs bytes with probs_dtype=float16).
+            # into a stream. Writers that may exceed it should be opened
+            # with bigtiff=True (the server estimates output size up
+            # front), or halve probs bytes with probs_dtype=float16.
             raise ValueError(
                 f"appending frame {self._n} would exceed the classic-TIFF "
-                f"4 GiB offset limit in {self.path}; split the output "
-                "across files"
+                f"4 GiB offset limit in {self.path}; open the writer with "
+                "bigtiff=True or split the output across files"
             )
 
         if self._patch_pos is not None:
             # link the previous frame's IFD to this one
             self._f.seek(self._patch_pos)
-            self._f.write(struct.pack("<I", self._offset))
+            self._f.write(
+                struct.pack("<Q" if self.bigtiff else "<I", self._offset)
+            )
             self._f.seek(self._offset)
 
-        def entry(tag, typ, count, value):
-            return struct.pack("<HHI4s", tag, typ, count, value)
+        if self.bigtiff:
+            def entry(tag, typ, count, value):
+                return struct.pack("<HHQ8s", tag, typ, count, value)
 
-        def val(v, typ=_TYPE_LONG):
-            if typ == _TYPE_SHORT:
-                return struct.pack("<HH", v, 0)
-            return struct.pack("<I", v)
+            def val(v, typ=_TYPE_LONG):
+                if typ == _TYPE_SHORT:
+                    return struct.pack("<HHHH", v, 0, 0, 0)
+                # LONG values still fit the 8-byte inline field
+                return struct.pack("<Q", v)
+        else:
+            def entry(tag, typ, count, value):
+                return struct.pack("<HHI4s", tag, typ, count, value)
 
+            def val(v, typ=_TYPE_LONG):
+                if typ == _TYPE_SHORT:
+                    return struct.pack("<HH", v, 0)
+                return struct.pack("<I", v)
+
+        off_typ = _TYPE_LONG8 if self.bigtiff else _TYPE_LONG
         entries = [
             entry(256, _TYPE_LONG, 1, val(w)),
             entry(257, _TYPE_LONG, 1, val(h)),
             entry(258, _TYPE_SHORT, 1, val(bits, _TYPE_SHORT)),
             entry(259, _TYPE_SHORT, 1, val(1, _TYPE_SHORT)),
             entry(262, _TYPE_SHORT, 1, val(1, _TYPE_SHORT)),
-            entry(273, _TYPE_LONG, 1, val(data_offset)),
+            entry(273, off_typ, 1, val(data_offset)),
             entry(278, _TYPE_LONG, 1, val(h)),
-            entry(279, _TYPE_LONG, 1, val(len(data))),
+            entry(279, off_typ, 1, val(len(data))),
             entry(339, _TYPE_SHORT, 1, val(sample_format, _TYPE_SHORT)),
         ]
-        self._f.write(struct.pack("<H", n_entries))
-        self._f.write(b"".join(entries))
-        self._patch_pos = self._f.tell()
-        self._f.write(struct.pack("<I", 0))  # next IFD; patched on next append
+        if self.bigtiff:
+            self._f.write(struct.pack("<Q", n_entries))
+            self._f.write(b"".join(entries))
+            self._patch_pos = self._f.tell()
+            self._f.write(struct.pack("<Q", 0))
+        else:
+            self._f.write(struct.pack("<H", n_entries))
+            self._f.write(b"".join(entries))
+            self._patch_pos = self._f.tell()
+            self._f.write(struct.pack("<I", 0))  # next IFD; patched on append
         self._f.write(data)
         self._offset = data_offset + len(data)
         self._n += 1
@@ -443,10 +449,18 @@ def _read_with_pil(path: str) -> np.ndarray:
         from PIL import Image
     except ImportError as e:  # pragma: no cover
         raise ValueError(f"unsupported TIFF and PIL unavailable: {path}") from e
-    img = Image.open(path)
-    frames = []
-    for i in range(getattr(img, "n_frames", 1)):
-        img.seek(i)
-        frames.append(np.asarray(img))
-    stack = np.stack(frames)
+    try:
+        img = Image.open(path)
+        frames = []
+        for i in range(getattr(img, "n_frames", 1)):
+            img.seek(i)
+            frames.append(np.asarray(img))
+        stack = np.stack(frames)
+    except ValueError:
+        raise
+    except Exception as e:
+        # PIL raises its own exception types (UnidentifiedImageError, OS
+        # errors on truncated files); the codec contract is ValueError —
+        # that is what callers key their deterministic fail-fast on
+        raise ValueError(f"unreadable image {path}: {e!r}")
     return stack[0] if stack.shape[0] == 1 else stack

@@ -410,6 +410,15 @@ def _require_param(job: Job, key: str):
     return val
 
 
+def _append_writer(path: str, est_bytes: float):
+    """Page-append writer, BigTIFF when the estimated output could brush
+    the classic 4 GiB offset limit (long save_probs runs over big stacks).
+    The ~3.25 GiB threshold leaves headroom for IFD overhead."""
+    from sequitr_tpu.data import tiff
+
+    return tiff.TiffAppendWriter(path, bigtiff=est_bytes > 0xD0000000)
+
+
 # frames up to this many pixels/voxels run whole-frame when the client did
 # not request a tiling: ~2048^2 activations fit a v5e chip's HBM comfortably
 # and the untiled graph is ~2.1x faster than 384/64 tiling at 1024^2
@@ -536,8 +545,15 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     futures: deque = deque()
     max_pending = 8
     n_classes = cfg.num_classes
-    labels_w = tiff.TiffAppendWriter(labels_path)
-    probs_w = tiff.TiffAppendWriter(probs_path) if save_probs else None
+    px = float(n_frames) * np.prod(source.spatial)
+    labels_w = _append_writer(labels_path, px * 2)
+    probs_w = (
+        _append_writer(
+            probs_path,
+            px * n_classes * np.dtype(tc.probs_dtype).itemsize,
+        )
+        if save_probs else None
+    )
     try:
         with ThreadPoolExecutor(max_workers=1) as pool, source:
             # the generator dispatches lazily: each next() is the dispatch
@@ -675,7 +691,9 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     fb = max(1, min(fb, n_frames))
     c_out = cfg.out_channels
     out_path = os.path.join(job.output, "enhanced.tif")
-    writer = tiff.TiffAppendWriter(out_path)
+    writer = _append_writer(
+        out_path, float(n_frames) * np.prod(source.spatial) * c_out * 4
+    )
 
     def write_frame(got):  # (H, W, C_out) float32
         with timer.phase("write"):
@@ -1596,7 +1614,10 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     per_frame = [] if job.params.get("per_frame") else None
     n_frames = len(source)
     labels_w = (
-        tiff.TiffAppendWriter(os.path.join(job.output, "labels.tif"))
+        _append_writer(
+            os.path.join(job.output, "labels.tif"),
+            float(n_frames) * np.prod(source.spatial) * 2,
+        )
         if job.params.get("save_labels") else None
     )
     try:
@@ -1818,7 +1839,9 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             )
         )
         n_frames = len(source)
-        writer = tiff.TiffAppendWriter(out_path)
+        writer = _append_writer(
+            out_path, float(n_frames) * np.prod(source.spatial) * 4
+        )
         try:
             with source:
                 for out in infer_lib.stream_frames(

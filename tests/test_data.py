@@ -226,6 +226,46 @@ class TestTiffStreaming:
             assert f.dtype == np.uint16  # 2-byte pixels ship to the device
             np.testing.assert_array_equal(f, stack[1])
 
+    @pytest.mark.parametrize("dtype", [np.uint16, np.float32])
+    def test_bigtiff_roundtrip(self, tmp_path, dtype):
+        """BigTIFF (version 43, 8-byte offsets) round-trips through both
+        readers — the streaming writers' format past the 4 GiB limit."""
+        stack = (np.random.default_rng(2).random((4, 20, 28)) * 99).astype(
+            dtype
+        )
+        p = str(tmp_path / "big.tif")
+        with tiff.TiffAppendWriter(p, bigtiff=True) as w:
+            for frame in stack:
+                w.append(frame)
+        with open(p, "rb") as f:
+            assert f.read(4)[2:4] == (43).to_bytes(2, "little")  # version 43
+        with tiff.TiffReader(p) as r:
+            assert r.shape == (4, 20, 28)
+            np.testing.assert_array_equal(np.stack(list(r)), stack)
+        np.testing.assert_array_equal(tiff.read_stack(p), stack)
+
+    def test_bigtiff_offsets_past_4gib_pack(self, tmp_path):
+        # the 8-byte offset field accepts positions beyond 2^32 (the
+        # classic writer raises there — tested above)
+        p = str(tmp_path / "huge.tif")
+        w = tiff.TiffAppendWriter(p, bigtiff=True)
+        w.append(np.zeros((4, 4), np.uint16))
+        w._offset = 0x1_0000_0010
+        w.append(np.zeros((4, 4), np.uint16))  # must not raise
+        w.abort()
+
+    def test_append_writer_size_policy(self):
+        from sequitr_tpu.server.server import _append_writer
+
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            small = _append_writer(os.path.join(d, "s.tif"), 1e9)
+            big = _append_writer(os.path.join(d, "b.tif"), 6e9)
+            assert not small.bigtiff and big.bigtiff
+            small.abort()
+            big.abort()
+
     def test_mixed_dtypes_per_page(self, tmp_path):
         # each page carries its own dtype tags; the reader honors them
         p = str(tmp_path / "mix.tif")
