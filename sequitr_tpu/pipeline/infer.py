@@ -144,7 +144,9 @@ def tiled_apply(
     extract = tiling.extract_patches_scan if rolled else tiling.extract_patches
     patches = extract(x, grid, tc.patch)  # (T, *patch, C)
     t = patches.shape[0]
-    patch_batch = tc.patch_batch if tc.patch_batch is not None else (8 if t > 32 else None)
+    # auto chunk width 16 for giant grids: measured 70.2 vs 65.2 Mpx/s at
+    # patch_batch 8 on the 4096^2 config (24 regresses to 57.9) — round 3
+    patch_batch = tc.patch_batch if tc.patch_batch is not None else (16 if t > 32 else None)
     if patch_batch is None or patch_batch >= t:
         # Mosaic pads the conv batch axis to a multiple of 8, so a 25-patch
         # batch costs the same as 32 (measured: 19.3 vs 14.4 ms for 24 at
@@ -305,7 +307,11 @@ def make_gan_enhancer(
             out, _ = gan_lib.generator_apply(cfg, params, state, patches)
             return out
 
-        return tiled_apply(forward, x, grid, spatial, tc, cfg.out_channels)
+        out = tiled_apply(forward, x, grid, spatial, tc, cfg.out_channels)
+        # tc.probs_dtype doubles as the enhanced-map output dtype: float16
+        # halves the dominant D2H of a streamed enhancement job (the
+        # enhanced frame is 2x the input bytes at f32)
+        return out.astype(jnp.dtype(tc.probs_dtype))
 
     return enhance_one
 

@@ -647,8 +647,13 @@ def _gan_setup(job: Job, config: ServerConfiguration, source):
             f"got {source.n_channels} input stack(s)"
         )
     cfg, params, state = gan_lib.fold_generator(cfg, params, state)
+    # ``out_dtype: float16`` halves the enhanced-frame D2H + disk (maps to
+    # the TileConfig output-dtype knob; the cast happens on device)
+    p = dict(job.params)
+    if "out_dtype" in p:
+        p["probs_dtype"] = p["out_dtype"]
     tc = _tile_config(
-        job.params, dims=2,
+        p, dims=2,
         frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
         exact_only=True,
     )
@@ -737,7 +742,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     try:
                         hy_enh = spatial_lib.hybrid_gan_enhance(
                             cfg, params, state, mesh2, source.spatial,
-                            batch=d_ways,
+                            batch=d_ways, out_dtype=tc.probs_dtype,
                         )
                     except (ValueError, NotImplementedError) as e:
                         raise jobs_lib.JobError(str(e))
@@ -750,7 +755,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                             params, state, batch_norm(jnp.asarray(chunk))
                         )
                         with timer.phase("fetch"):
-                            got = np.asarray(out, dtype=np.float32)
+                            got = np.asarray(out)
                         for k in range(min(d_ways, n_left)):
                             write_frame(got[k])
                         n_left -= d_ways
@@ -758,7 +763,8 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     mesh = parallel.make_mesh(s_ways)
                     try:
                         sp_enh = spatial_lib.spatial_gan_enhance(
-                            cfg, params, state, mesh, source.spatial
+                            cfg, params, state, mesh, source.spatial,
+                            out_dtype=tc.probs_dtype,
                         )
                     except (ValueError, NotImplementedError) as e:
                         raise jobs_lib.JobError(str(e))
@@ -766,7 +772,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     for frame in source.frames():
                         out = sp_enh(params, state, norm_one(jnp.asarray(frame)))
                         with timer.phase("fetch"):
-                            got = np.asarray(out, dtype=np.float32)
+                            got = np.asarray(out)
                         write_frame(got)
             elif job.params.get("data_parallel") and jax.device_count() > 1:
                 # frames sharded over all chips, weights replicated — the
@@ -786,7 +792,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
                     out = dp(params, state, jnp.asarray(chunk))
                     with timer.phase("fetch"):
-                        got = np.asarray(out, dtype=np.float32)
+                        got = np.asarray(out)
                     for k in range(min(n_dev, n_left)):
                         write_frame(got[k])
                     n_left -= n_dev
@@ -800,7 +806,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     prefetch_host=infer_lib._copy_to_host_async,
                 ):
                     with timer.phase("fetch"):
-                        got = np.asarray(out, dtype=np.float32)
+                        got = np.asarray(out)
                     for k in range(min(fb, n_left)):
                         write_frame(got[k])
                     n_left -= fb
@@ -811,7 +817,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     prefetch_host=infer_lib._copy_to_host_async,
                 ):
                     with timer.phase("fetch"):
-                        got = np.asarray(out, dtype=np.float32)
+                        got = np.asarray(out)
                     write_frame(got)
     except BaseException:
         writer.abort()

@@ -914,6 +914,43 @@ class TestStreamingServing:
         info = infer_lib.cached_gan_enhancer.cache_info()
         assert info.hits >= 1 and info.misses == 1
 
+    def test_gan_out_dtype_float16(self, server_env):
+        """out_dtype: float16 halves the enhanced-frame D2H + disk while
+        staying numerically close to the float32 run."""
+        cfg_srv, tmp = server_env
+        g_cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(9), g_cfg)
+        save_model(cfg_srv.models_dir, "enh16", "gan", g_cfg, params, state)
+        stack = (np.random.default_rng(16).random((2, 32, 32)) * 500).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "e16.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, dt in (("e32", "float32"), ("e16", "float16")):
+            out = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "enhancement_gan",
+                 "params": {"model": "enh16", "patch": [16, 16],
+                            "overlap": [4, 4], "out_dtype": dt},
+                 "input": [stack_path], "output": out},
+                job_id=name,
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[name] = tiff.read_stack(st["outputs"]["enhanced"])
+        assert outs["e32"].dtype == np.float32
+        assert outs["e16"].dtype == np.float16
+        np.testing.assert_allclose(
+            outs["e16"].astype(np.float32), outs["e32"], atol=1e-3
+        )
+
     def test_gan_output_is_atomic_on_failure(self, server_env):
         """A mid-stream failure must not leave a partial enhanced.tif."""
         cfg_srv, tmp = server_env
