@@ -355,13 +355,16 @@ def spatial_gan_enhance(
     row_sharded = NamedSharding(mesh, in_spec)
 
     @jax.jit
-    def _fn(params_in, state_in, frame):
-        return sharded(params_in["gen"], frame)
+    def _fn(gen_params, frame):
+        return sharded(gen_params, frame)
 
     def fn(params_in, state_in, frame):
-        params_in = jax.device_put(params_in, rep)
+        # replicate ONLY the generator weights — the discriminator stack
+        # is never read by the sharded pass and would waste HBM on every
+        # chip (code-review r3)
+        gen = jax.device_put(params_in["gen"], rep)
         frame = jax.device_put(frame, row_sharded)
-        return _fn(params_in, state_in, frame)
+        return _fn(gen, frame)
 
     return fn
 
@@ -504,12 +507,12 @@ def hybrid_gan_enhance(
     sharded_in = NamedSharding(mesh, in_spec)
 
     @jax.jit
-    def _fn(params_in, state_in, frames):
-        return sharded(params_in["gen"], frames)
+    def _fn(gen_params, frames):
+        return sharded(gen_params, frames)
 
     def fn(params_in, state_in, frames):
-        params_in = jax.device_put(params_in, rep)
+        gen = jax.device_put(params_in["gen"], rep)  # generator only
         frames = jax.device_put(frames, sharded_in)
-        return _fn(params_in, state_in, frames)
+        return _fn(gen, frames)
 
     return fn

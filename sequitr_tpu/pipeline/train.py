@@ -83,7 +83,22 @@ class TrainConfig:
         return sched
 
     def make_optimizer(self) -> optax.GradientTransformation:
-        lr = self.learning_rate_schedule()
+        sched_cfg = self
+        if self.grad_accum > 1 and self.lr_schedule != "constant":
+            # MultiSteps advances the inner optimizer's count once per
+            # APPLIED update (every grad_accum micro-steps), while the
+            # schedule horizons arrive in micro-steps (the job's `steps`).
+            # Convert so warmup/decay complete over the same wall training
+            # run instead of stretching grad_accum-fold.
+            import dataclasses as _dc
+
+            ga = self.grad_accum
+            sched_cfg = _dc.replace(
+                self,
+                lr_warmup_steps=-(-self.lr_warmup_steps // ga),
+                lr_decay_steps=max(1, -(-self.lr_decay_steps // ga)),
+            )
+        lr = sched_cfg.learning_rate_schedule()
         tx = [optax.clip_by_global_norm(self.grad_clip)] if self.grad_clip else []
         if self.weight_decay:
             tx.append(optax.adamw(lr, b1=self.beta1, weight_decay=self.weight_decay))

@@ -697,7 +697,9 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     c_out = cfg.out_channels
     out_path = os.path.join(job.output, "enhanced.tif")
     writer = _append_writer(
-        out_path, float(n_frames) * np.prod(source.spatial) * c_out * 4
+        out_path,
+        float(n_frames) * np.prod(source.spatial) * c_out
+        * np.dtype(tc.probs_dtype).itemsize,
     )
 
     def write_frame(got):  # (H, W, C_out) float32
@@ -722,12 +724,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 from sequitr_tpu.parallel import spatial as spatial_lib
 
                 n_dev = jax.device_count()
-                s_ways = n_dev if sp is True else int(sp)
-                if s_ways < 2 or n_dev % s_ways:
-                    raise jobs_lib.JobError(
-                        f"spatial_parallel={sp!r} must be >=2 and divide "
-                        f"the {n_dev} available devices"
-                    )
+                s_ways = _spatial_ways(sp, n_dev)
                 d_ways = n_dev // s_ways
 
                 def _norm_one(f):
@@ -769,7 +766,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     except (ValueError, NotImplementedError) as e:
                         raise jobs_lib.JobError(str(e))
                     norm_one = jax.jit(_norm_one)
-                    for frame in source.frames():
+                    for frame in infer_lib._iter_read_ahead(source.frames(), 2):
                         out = sp_enh(params, state, norm_one(jnp.asarray(frame)))
                         with timer.phase("fetch"):
                             got = np.asarray(out)
@@ -870,12 +867,7 @@ def _run_frames(cfg, tc, params, state, source, job_params):
         from sequitr_tpu.parallel import spatial as spatial_lib
 
         n_dev = jax.device_count()
-        s_ways = n_dev if sp is True else int(sp)
-        if s_ways < 2 or n_dev % s_ways:
-            raise jobs_lib.JobError(
-                f"spatial_parallel={sp!r} must be >=2 and divide the "
-                f"{n_dev} available devices"
-            )
+        s_ways = _spatial_ways(sp, n_dev)
         d_ways = n_dev // s_ways
 
         def norm(frame):
@@ -913,7 +905,7 @@ def _run_frames(cfg, tc, params, state, source, job_params):
             )
         except (ValueError, NotImplementedError) as e:
             raise jobs_lib.JobError(str(e))
-        for frame in source.frames():
+        for frame in infer_lib._iter_read_ahead(source.frames(), 2):
             probs, labels = sp_fn(params, state, norm(frame))
             yield infer_lib.InferenceResult(probs=probs, labels=labels)
         return
@@ -962,6 +954,28 @@ def _run_frames(cfg, tc, params, state, source, job_params):
     yield from infer_lib.infer_stack(
         fn, params, state, source.frames(), fetch_probs=want_probs
     )
+
+
+def _spatial_ways(sp, n_dev: int, divide: bool = True) -> int:
+    """Parse the ``spatial_parallel`` job param into a shard count.
+
+    Malformed values (non-integer strings, counts that don't fit the
+    device mesh) are deterministic JobErrors — never retried."""
+    if sp is True:
+        return n_dev
+    try:
+        s_ways = int(sp)
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"spatial_parallel={sp!r} must be true or an integer"
+        )
+    if s_ways < 2 or (divide and n_dev % s_ways) or s_ways > n_dev:
+        raise jobs_lib.JobError(
+            f"spatial_parallel={sp!r} must be >=2 and "
+            + ("divide" if divide else "fit")
+            + f" the {n_dev} available devices"
+        )
+    return s_ways
 
 
 def _auto_frame_batch(spatial) -> int:
@@ -1484,11 +1498,7 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         from sequitr_tpu.parallel import spatial as spatial_lib
 
         n_dev = jax.device_count()
-        s_ways = n_dev if sp is True else int(sp)
-        if s_ways < 2 or s_ways > n_dev:
-            raise jobs_lib.JobError(
-                f"spatial_parallel={sp!r} must be 2..{n_dev} for a volume"
-            )
+        s_ways = _spatial_ways(sp, n_dev, divide=False)
         mesh = parallel.make_mesh(s_ways)
 
         def norm(v):
@@ -1714,10 +1724,6 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
             frames = infer_lib._iter_read_ahead(source.frames(), 2)
             for t, frame in enumerate(frames):
                 frame = np.asarray(frame, dtype=np.float32)
-                if frame.ndim == 3:
-                    raise jobs_lib.JobError(
-                        "localize_emitters expects a single-channel stack"
-                    )
                 if thr_abs is not None:
                     thr = float(thr_abs)
                 else:
@@ -1829,7 +1835,17 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             )(vol)
         with timer.phase("fetch"):
             got = np.asarray(out, dtype=np.float32)
-        tiff.write_stack(out_path, got)
+        # page-append with tmp/rename (and automatic BigTIFF for >4 GiB
+        # volumes) — same output semantics as every other pipeline
+        writer = _append_writer(out_path, float(got.nbytes))
+        try:
+            with timer.phase("write"):
+                for plane in got:
+                    writer.append(plane)
+        except BaseException:
+            writer.abort()
+            raise
+        writer.close()
         n_frames = vol.shape[0]
     else:
         try:

@@ -195,6 +195,28 @@ class TestUNetTraining:
             s2, m = step(s2, batch, jax.random.fold_in(jax.random.PRNGKey(3), i))
         assert float(m["loss"]) < float(m1["loss"])
 
+    def test_grad_accum_lr_schedule_compresses_horizon(self):
+        """With grad_accum, LR-schedule horizons arrive in micro-steps but
+        the inner optimizer counts applied updates — the conversion must
+        let decay complete over the same training run (code-review r3)."""
+        tc = train_lib.TrainConfig(
+            learning_rate=1e-2, lr_schedule="cosine", lr_decay_steps=100,
+            lr_end_factor=0.01, grad_accum=4, grad_clip=None,
+        )
+        opt = tc.make_optimizer()
+        params = {"w": jnp.ones((4,))}
+        st = opt.init(params)
+        grads = {"w": jnp.ones((4,))}
+        deltas = []
+        for _ in range(100):  # 100 micro-steps = 25 applied updates
+            upd, st = opt.update(grads, st, params)
+            deltas.append(float(jnp.abs(upd["w"]).max()))
+        applied = [d for d in deltas if d > 0]
+        assert len(applied) == 25
+        # cosine decay completed: the last applied update is tiny next to
+        # the first (would be ~0.7x if the horizon stayed in micro-steps)
+        assert applied[-1] < 0.1 * applied[0]
+
     def test_train_step_with_augment(self):
         cfg = small_cfg(depth=2)
         tc = train_lib.TrainConfig(augment=True)

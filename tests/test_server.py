@@ -1740,6 +1740,25 @@ class TestDataParallelServing:
             outs[name] = tiff.read_stack(status["outputs"]["labels"])
         np.testing.assert_array_equal(outs["serial"], outs["dp"])
 
+    def test_spatial_ways_param_fails_fast(self):
+        """Malformed spatial_parallel values are deterministic JobErrors,
+        never retried (code-review r3)."""
+        import pytest
+
+        from sequitr_tpu.server.server import _spatial_ways
+
+        assert _spatial_ways(True, 8) == 8
+        assert _spatial_ways(4, 8) == 4
+        assert _spatial_ways(3, 8, divide=False) == 3
+        with pytest.raises(JobError):
+            _spatial_ways("all", 8)
+        with pytest.raises(JobError):
+            _spatial_ways(3, 8)  # does not divide
+        with pytest.raises(JobError):
+            _spatial_ways(16, 8)  # exceeds devices
+        with pytest.raises(JobError):
+            _spatial_ways(1, 8)
+
     def test_spatial_parallel_multichannel_serving(self, server_env):
         """2-channel stacks serve under spatial_parallel (halo exchange
         with channels riding the trailing axis) and match the default
