@@ -154,6 +154,34 @@ def main(argv=None) -> int:
     ap_cancel.add_argument("--jobs-dir", default="./jobs")
     ap_cancel.add_argument("job_id")
 
+    ap_imp = sub.add_parser(
+        "import-model",
+        help="register external weights (flat npz) as a served model — the"
+             " reference-migration entry point (see docs/MIGRATION.md)",
+    )
+    ap_imp.add_argument("--models-dir", default="./models")
+    ap_imp.add_argument("--npz", required=True, help="flat npz of weights")
+    ap_imp.add_argument(
+        "--arch", required=True,
+        help="architecture JSON (same fields as the train jobs: preset or"
+             " num_classes/depth/base_features/... ; for --kind gan:"
+             " gen_depth/gen_base_features/disc_layers/...)",
+    )
+    ap_imp.add_argument("--kind", choices=["unet", "gan"], default="unet")
+    ap_imp.add_argument(
+        "--layout", choices=["jax", "tf", "torch"], default="jax",
+        help="source kernel layout; tf/torch kernels are transposed to the"
+             " canonical HWIO / (k..,in,out) forms (models.convert maps)",
+    )
+    ap_imp.add_argument("name", help="model name to register")
+
+    ap_exp = sub.add_parser(
+        "export-model", help="dump a registered model's weights as flat npz"
+    )
+    ap_exp.add_argument("--models-dir", default="./models")
+    ap_exp.add_argument("name")
+    ap_exp.add_argument("out", help="output .npz path")
+
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
 
@@ -234,6 +262,77 @@ def main(argv=None) -> int:
         print(f"rejected: {len(rejected)}")
         for n in rejected:
             print(f"  {n}")
+        return 0
+
+    if args.cmd == "import-model":
+        import jax
+        import numpy as np
+
+        from sequitr_tpu.models import convert as convert_lib
+        from sequitr_tpu.server.server import (
+            save_model, unet_config_from_params,
+        )
+
+        with open(args.arch) as f:
+            arch = json.load(f)
+        if args.kind == "unet":
+            from sequitr_tpu.models import unet as unet_lib
+
+            cfg = unet_config_from_params(arch)
+            t_params, t_state = unet_lib.init(jax.random.PRNGKey(0), cfg)
+        else:
+            import jax.numpy as jnp
+
+            from sequitr_tpu.models import gan as gan_lib
+
+            cfg = gan_lib.GANConfig(
+                in_channels=int(arch.get("in_channels", 1)),
+                out_channels=int(arch.get("out_channels", 1)),
+                gen_depth=int(arch.get("gen_depth", 4)),
+                gen_base_features=int(arch.get("gen_base_features", 32)),
+                disc_layers=int(arch.get("disc_layers", 3)),
+                disc_base_features=int(arch.get("disc_base_features", 64)),
+                compute_dtype=jnp.dtype(arch.get("compute_dtype", "bfloat16")),
+            )
+            t_params, t_state = gan_lib.init(jax.random.PRNGKey(0), cfg)
+
+        kernel_map = None
+        if args.layout == "tf":
+            # transposed-conv kernels differ between TF and the canonical
+            # layout; regular convs are HWIO in both
+            kernel_map = lambda path, w: (
+                convert_lib.tf_transpose_kernel_to_jax(w)
+                if "/up/" in f"/{path}/" and path.endswith("/w") and w.ndim >= 4
+                else w
+            )
+        elif args.layout == "torch":
+            kernel_map = lambda path, w: (
+                convert_lib.torch_transpose_kernel_to_jax(w)
+                if "/up/" in f"/{path}/" and path.endswith("/w") and w.ndim >= 4
+                else (
+                    convert_lib.torch_kernel_to_jax(w)
+                    if path.endswith("/w") and w.ndim >= 4 else w
+                )
+            )
+        params = convert_lib.load_npz_weights(
+            args.npz, t_params, kernel_map=kernel_map
+        )
+        model_dir = save_model(
+            args.models_dir, args.name, args.kind, cfg, params, t_state
+        )
+        print(model_dir)
+        return 0
+
+    if args.cmd == "export-model":
+        import numpy as np
+
+        from sequitr_tpu.models import convert as convert_lib
+        from sequitr_tpu.server.server import load_model
+
+        kind, cfg, params, state = load_model(args.models_dir, args.name)
+        flat = convert_lib.flatten_params(params)
+        np.savez(args.out, **flat)
+        print(f"{args.out}: {len(flat)} arrays ({kind})")
         return 0
 
     if args.cmd == "cancel":

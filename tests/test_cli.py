@@ -3,6 +3,8 @@
 import json
 import os
 
+import numpy as np
+
 from sequitr_tpu.__main__ import main
 from sequitr_tpu.server import scan_jobs
 
@@ -145,6 +147,81 @@ class TestModelsQueueCommands:
         assert "pending:  1" in out and "job_p1.json" in out
         assert "running:  1" in out and "failed:   1" in out
         assert "rejected: 1" in out
+
+
+class TestModelInterchange:
+    def test_export_then_import_roundtrip(self, tmp_path, capsys):
+        """export-model -> import-model reproduces identical weights (the
+        reference-migration workflow through the CLI)."""
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.__main__ import main
+        from sequitr_tpu.models import unet
+        from sequitr_tpu.server.server import load_model, save_model
+
+        models = str(tmp_path / "models")
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(3), cfg)
+        save_model(models, "orig", "unet", cfg, params, state)
+
+        npz = str(tmp_path / "w.npz")
+        assert main(["export-model", "--models-dir", models, "orig", npz]) == 0
+        arch = str(tmp_path / "arch.json")
+        with open(arch, "w") as f:
+            json.dump({"in_channels": 1, "num_classes": 2, "depth": 2,
+                       "base_features": 4, "norm": "none",
+                       "compute_dtype": "float32"}, f)
+        assert main(["import-model", "--models-dir", models, "--npz", npz,
+                     "--arch", arch, "imported"]) == 0
+        _, _, p2, _ = load_model(models, "imported")
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_import_tf_layout_transposes_up_kernels(self, tmp_path):
+        """--layout tf applies the transposed-conv kernel map on up/*
+        kernels only, so a TF-exported checkpoint lands correctly."""
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.__main__ import main
+        from sequitr_tpu.models import convert as convert_lib
+        from sequitr_tpu.models import unet
+        from sequitr_tpu.server.server import load_model
+
+        models = str(tmp_path / "models")
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, _ = unet.init(jax.random.PRNGKey(4), cfg)
+        flat = convert_lib.flatten_params(params)
+        # simulate a TF export: up kernels in TF's transposed layout
+        tf_flat = {
+            k: (convert_lib.tf_transpose_kernel_to_jax(v)
+                if "/up/" in f"/{k}/" and k.endswith("/w") and v.ndim >= 4
+                else v)
+            for k, v in flat.items()
+        }
+        npz = str(tmp_path / "tf.npz")
+        np.savez(npz, **tf_flat)
+        arch = str(tmp_path / "arch.json")
+        with open(arch, "w") as f:
+            json.dump({"in_channels": 1, "num_classes": 2, "depth": 2,
+                       "base_features": 4, "norm": "none",
+                       "compute_dtype": "float32"}, f)
+        assert main(["import-model", "--models-dir", models, "--npz", npz,
+                     "--arch", arch, "--layout", "tf", "fromtf"]) == 0
+        _, _, p2, _ = load_model(models, "fromtf")
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
 
 class TestCancelCommand:
