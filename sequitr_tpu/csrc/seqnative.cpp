@@ -123,6 +123,57 @@ void seq_label_full_stats(const int32_t* labels, const int32_t* class_map,
   }
 }
 
+// Volumetric variant: one sweep over a (Z, H, W) instance map. cz/cy/cx are
+// centroid plane/row/col; other outputs as in seq_label_full_stats.
+void seq_label_full_stats_3d(const int32_t* labels, const int32_t* class_map,
+                             const float* intensity, int32_t z, int32_t h,
+                             int32_t w, int32_t n_labels, int32_t n_classes,
+                             int64_t* counts, int64_t* areas, double* cz,
+                             double* cy, double* cx, double* imean,
+                             int32_t* cls_out) {
+  std::memset(areas, 0, sizeof(int64_t) * n_labels);
+  std::memset(cz, 0, sizeof(double) * n_labels);
+  std::memset(cy, 0, sizeof(double) * n_labels);
+  std::memset(cx, 0, sizeof(double) * n_labels);
+  std::memset(imean, 0, sizeof(double) * n_labels);
+  std::memset(counts, 0, sizeof(int64_t) * n_labels * n_classes);
+  for (int32_t p = 0; p < z; ++p) {
+    for (int32_t y = 0; y < h; ++y) {
+      for (int32_t x = 0; x < w; ++x) {
+        const int64_t i = ((int64_t)p * h + y) * w + x;
+        const int32_t l = labels[i];
+        if (l <= 0 || l > n_labels) continue;
+        const int32_t k = l - 1;
+        areas[k] += 1;
+        cz[k] += p;
+        cy[k] += y;
+        cx[k] += x;
+        if (intensity) imean[k] += intensity[i];
+        const int32_t c = class_map[i];
+        if (c >= 0 && c < n_classes) counts[(int64_t)k * n_classes + c] += 1;
+      }
+    }
+  }
+  for (int32_t k = 0; k < n_labels; ++k) {
+    if (areas[k]) {
+      cz[k] /= (double)areas[k];
+      cy[k] /= (double)areas[k];
+      cx[k] /= (double)areas[k];
+      imean[k] /= (double)areas[k];
+    }
+    int64_t best = -1;
+    int32_t best_c = 0;
+    for (int32_t c = 0; c < n_classes; ++c) {
+      const int64_t v = counts[(int64_t)k * n_classes + c];
+      if (v > best) {
+        best = v;
+        best_c = c;
+      }
+    }
+    cls_out[k] = best_c;
+  }
+}
+
 // ---------------------------------------------------------------------------
 // crc32c (Castagnoli) — slice-by-8 table-driven
 // ---------------------------------------------------------------------------

@@ -166,12 +166,17 @@ def localize_volume(
     t: int = 0,
     intensity: Optional[np.ndarray] = None,
     min_area: int = 1,
+    n_classes: Optional[int] = None,
 ) -> List[LocalizedObject]:
     """3D variant: per-object centroids from a (Z, H, W) class label map.
 
     Instances from 3D connected components of the foreground; ``z`` is the
     centroid plane (BASELINE config #4's volumetric output feeding btrack).
+    All per-object features come from ONE native sweep
+    (``native.label_full_stats_3d``; scipy fallback inside).
     """
+    from sequitr_tpu import native
+
     class_map = np.asarray(class_map)
     if class_map.ndim != 3:
         raise ValueError(f"expected (Z, H, W), got {class_map.shape}")
@@ -179,22 +184,17 @@ def localize_volume(
     inst, n = ndimage.label(class_map > 0, structure=structure)
     if n == 0:
         return []
-    ids = np.arange(1, n + 1)
-    areas = ndimage.sum_labels(np.ones_like(inst), inst, ids)
-    coms = ndimage.center_of_mass(np.ones_like(inst), inst, ids)
-    means = (
-        ndimage.mean(intensity, inst, ids) if intensity is not None else np.zeros(n)
-    )
-    classes = ndimage.labeled_comprehension(
-        class_map, inst, ids, lambda v: np.bincount(v.astype(np.int64)).argmax(), int, 0
+    k = int(n_classes) if n_classes is not None else int(class_map.max()) + 1
+    areas, cz, cy, cx, means, classes = native.label_full_stats_3d(
+        inst, class_map, intensity, n, k
     )
     out = []
-    for i, (cz, cy, cx) in enumerate(coms):
+    for i in range(n):
         if areas[i] < min_area:
             continue
         out.append(
             LocalizedObject(
-                t=t, x=float(cx), y=float(cy), z=float(cz),
+                t=t, x=float(cx[i]), y=float(cy[i]), z=float(cz[i]),
                 label=int(classes[i]), area=int(areas[i]),
                 intensity_mean=float(means[i]),
             )

@@ -31,6 +31,7 @@ __all__ = [
     "build",
     "label_components",
     "label_full_stats",
+    "label_full_stats_3d",
     "crc32c",
 ]
 
@@ -86,6 +87,24 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,                   # n_classes
             ctypes.POINTER(ctypes.c_int64),   # counts scratch
             ctypes.POINTER(ctypes.c_int64),   # areas
+            ctypes.POINTER(ctypes.c_double),  # cy
+            ctypes.POINTER(ctypes.c_double),  # cx
+            ctypes.POINTER(ctypes.c_double),  # imean
+            ctypes.POINTER(ctypes.c_int32),   # cls_out
+        ]
+        lib.seq_label_full_stats_3d.restype = None
+        lib.seq_label_full_stats_3d.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),   # labels
+            ctypes.POINTER(ctypes.c_int32),   # class_map
+            ctypes.POINTER(ctypes.c_float),   # intensity (may be null)
+            ctypes.c_int32,                   # z
+            ctypes.c_int32,                   # h
+            ctypes.c_int32,                   # w
+            ctypes.c_int32,                   # n_labels
+            ctypes.c_int32,                   # n_classes
+            ctypes.POINTER(ctypes.c_int64),   # counts scratch
+            ctypes.POINTER(ctypes.c_int64),   # areas
+            ctypes.POINTER(ctypes.c_double),  # cz
             ctypes.POINTER(ctypes.c_double),  # cy
             ctypes.POINTER(ctypes.c_double),  # cx
             ctypes.POINTER(ctypes.c_double),  # imean
@@ -193,6 +212,81 @@ def label_full_stats(
         classes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return areas, cy, cx, imean, classes
+
+
+def label_full_stats_3d(
+    labels: np.ndarray,
+    class_map: np.ndarray,
+    intensity: Optional[np.ndarray],
+    n_labels: int,
+    n_classes: int,
+):
+    """3D single-pass per-label stats: (areas, cz, cy, cx, imean, classes).
+
+    Volumetric counterpart of ``label_full_stats`` for (Z, H, W) instance
+    maps (the ``localize_volume`` hot loop); scipy fallback preserved.
+    """
+    lib = _load()
+    labels = np.ascontiguousarray(np.asarray(labels, dtype=np.int32))
+    z, h, w = labels.shape
+    if lib is None:
+        from scipy import ndimage
+
+        ids = np.arange(1, n_labels + 1)
+        areas = ndimage.sum_labels(
+            np.ones_like(labels), labels, ids
+        ).astype(np.int64)
+        if n_labels:
+            com = ndimage.center_of_mass(np.ones_like(labels), labels, ids)
+            cz = np.asarray([c[0] for c in com])
+            cy = np.asarray([c[1] for c in com])
+            cx = np.asarray([c[2] for c in com])
+            means = (
+                np.asarray(ndimage.mean(intensity, labels, ids))
+                if intensity is not None else np.zeros(n_labels)
+            )
+            classes = ndimage.labeled_comprehension(
+                class_map, labels, ids,
+                lambda v: np.bincount(
+                    v.astype(np.int64), minlength=n_classes
+                ).argmax(),
+                np.int32, 0,
+            )
+        else:
+            cz = cy = cx = means = np.zeros(0)
+            classes = np.zeros(0, dtype=np.int32)
+        return areas, cz, cy, cx, means, np.asarray(classes, dtype=np.int32)
+    class_map = np.ascontiguousarray(np.asarray(class_map, dtype=np.int32))
+    if intensity is not None:
+        intensity = np.ascontiguousarray(np.asarray(intensity, dtype=np.float32))
+        inten_ptr = intensity.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    else:
+        inten_ptr = ctypes.POINTER(ctypes.c_float)()
+    counts = np.zeros(max(n_labels * n_classes, 1), dtype=np.int64)
+    areas = np.zeros(n_labels, dtype=np.int64)
+    cz = np.zeros(n_labels, dtype=np.float64)
+    cy = np.zeros(n_labels, dtype=np.float64)
+    cx = np.zeros(n_labels, dtype=np.float64)
+    imean = np.zeros(n_labels, dtype=np.float64)
+    classes = np.zeros(n_labels, dtype=np.int32)
+    lib.seq_label_full_stats_3d(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        class_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        inten_ptr,
+        z,
+        h,
+        w,
+        n_labels,
+        n_classes,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        areas.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cz.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        imean.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        classes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return areas, cz, cy, cx, imean, classes
 
 
 def crc32c(data: bytes) -> int:

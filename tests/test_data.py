@@ -393,6 +393,29 @@ class TestNative:
         np.testing.assert_allclose([cy[0], cx[0]], [5.5, 5.5])
         assert cls[0] == 2 and imean[0] == 0.0
 
+    def test_label_full_stats_3d_native_matches_scipy(self):
+        from scipy import ndimage
+
+        rng = np.random.default_rng(1)
+        cm = rng.integers(0, 3, size=(8, 16, 16)).astype(np.int32)
+        inten = rng.random((8, 16, 16)).astype(np.float32)
+        inst, n = ndimage.label(
+            cm > 0, structure=ndimage.generate_binary_structure(3, 1)
+        )
+        assert n > 0
+        nat = native.label_full_stats_3d(inst, cm, inten, n, 3)
+        saved_lib, saved_failed = native._lib, native._build_failed
+        try:
+            native._lib, native._build_failed = None, True
+            ref = native.label_full_stats_3d(inst, cm, inten, n, 3)
+        finally:
+            native._lib, native._build_failed = saved_lib, saved_failed
+        np.testing.assert_array_equal(nat[0], ref[0])  # areas
+        for i in (1, 2, 3):  # cz, cy, cx
+            np.testing.assert_allclose(nat[i], ref[i], atol=1e-9)
+        np.testing.assert_allclose(nat[4], ref[4], atol=1e-6)  # imean
+        np.testing.assert_array_equal(nat[5], ref[5])  # majority class
+
     def test_snake_pattern(self):
         # worst case for union-find: serpentine requiring many merges
         mask = np.zeros((16, 16), bool)
