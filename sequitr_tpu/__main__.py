@@ -154,6 +154,13 @@ def main(argv=None) -> int:
     ap_cancel.add_argument("--jobs-dir", default="./jobs")
     ap_cancel.add_argument("job_id")
 
+    ap_retry = sub.add_parser(
+        "retry", help="re-queue a FAILED job (moves its .failed marker back"
+                      " into the queue)"
+    )
+    ap_retry.add_argument("--jobs-dir", default="./jobs")
+    ap_retry.add_argument("job_id")
+
     ap_imp = sub.add_parser(
         "import-model",
         help="register external weights (flat npz) as a served model — the"
@@ -263,6 +270,30 @@ def main(argv=None) -> int:
         for n in rejected:
             print(f"  {n}")
         return 0
+
+    if args.cmd == "retry":
+        import os
+
+        from sequitr_tpu.server import jobs as jobs_lib
+
+        failed = os.path.join(
+            args.jobs_dir,
+            f"{jobs_lib.JOB_PREFIX}{args.job_id}.running.failed",
+        )
+        queued = os.path.join(
+            args.jobs_dir,
+            f"{jobs_lib.JOB_PREFIX}{args.job_id}{jobs_lib.JOB_SUFFIX}",
+        )
+        try:
+            os.rename(failed, queued)
+            print(f"re-queued {args.job_id}")
+            return 0
+        except FileNotFoundError:
+            print(
+                f"{args.job_id}: no failed marker in {args.jobs_dir}",
+                file=sys.stderr,
+            )
+            return 1
 
     if args.cmd == "import-model":
         import jax

@@ -149,6 +149,30 @@ class TestModelsQueueCommands:
         assert "rejected: 1" in out
 
 
+class TestRetryCommand:
+    def test_retry_requeues_failed_job(self, tmp_path, capsys):
+        """retry moves a .failed marker back into the queue; the server
+        then claims it like any fresh submission."""
+        from sequitr_tpu.server import claim_job
+
+        jobs = str(tmp_path / "jobs")
+        os.makedirs(jobs)
+        spec = {"module": "m", "input": [], "output": str(tmp_path / "o")}
+        with open(os.path.join(jobs, "job_x1.running.failed"), "w") as f:
+            json.dump(dict(spec, id="x1"), f)
+        assert main(["retry", "--jobs-dir", jobs, "x1"]) == 0
+        paths = scan_jobs(jobs)
+        assert len(paths) == 1
+        job = claim_job(paths[0])
+        assert job is not None and job.module == "m"
+
+    def test_retry_unknown_job_fails(self, tmp_path, capsys):
+        jobs = str(tmp_path / "jobs")
+        os.makedirs(jobs)
+        assert main(["retry", "--jobs-dir", jobs, "nope"]) == 1
+        assert "no failed marker" in capsys.readouterr().err
+
+
 class TestModelInterchange:
     def test_export_then_import_roundtrip(self, tmp_path, capsys):
         """export-model -> import-model reproduces identical weights (the

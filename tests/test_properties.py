@@ -35,6 +35,66 @@ class TestTiffRoundTrip:
         np.testing.assert_array_equal(back.reshape(stack.shape), stack)
 
 
+class TestStreamingTiffProperties:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_append_writer_lazy_reader_roundtrip(self, tmp_path, seed):
+        """Random stacks through the STREAMING writer + lazy reader (both
+        classic and BigTIFF) round-trip exactly."""
+        rng = np.random.default_rng(100 + seed)
+        t = int(rng.integers(1, 5))
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        dtype = rng.choice([np.uint8, np.uint16, np.int32, np.float16, np.float32])
+        big = bool(rng.integers(0, 2))
+        if np.issubdtype(dtype, np.floating):
+            stack = rng.normal(size=(t, h, w)).astype(dtype)
+        else:
+            info = np.iinfo(dtype)
+            stack = rng.integers(info.min, info.max, (t, h, w)).astype(dtype)
+        path = str(tmp_path / f"s{seed}.tif")
+        with tiff.TiffAppendWriter(path, bigtiff=big) as wtr:
+            for frame in stack:
+                wtr.append(frame)
+        with tiff.TiffReader(path) as r:
+            assert r.shape == (t, h, w)
+            got = np.stack(list(r))
+        assert got.dtype == stack.dtype
+        np.testing.assert_array_equal(got, stack)
+        np.testing.assert_array_equal(
+            np.asarray(tiff.read_stack(path)).reshape(stack.shape), stack
+        )
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_frame_source_multichannel_roundtrip(self, tmp_path, seed):
+        """FrameSource over N channel files reproduces the stacked array
+        in native dtype, frame by frame and in chunks."""
+        from sequitr_tpu.data.source import FrameSource
+
+        rng = np.random.default_rng(200 + seed)
+        t = int(rng.integers(2, 6))
+        h, w = int(rng.integers(4, 40)), int(rng.integers(4, 40))
+        c = int(rng.integers(1, 4))
+        chans = [
+            (rng.random((t, h, w)) * 999).astype(np.uint16) for _ in range(c)
+        ]
+        paths = []
+        for i, ch in enumerate(chans):
+            p = str(tmp_path / f"c{seed}_{i}.tif")
+            tiff.write_stack(p, ch)
+            paths.append(p)
+        expect = np.stack(chans, axis=-1) if c > 1 else chans[0]
+        with FrameSource(paths=paths) as src:
+            assert len(src) == t and src.spatial == (h, w)
+            assert src.n_channels == c
+            for i in range(t):
+                f = src.frame(i)
+                assert f.dtype == np.uint16
+                np.testing.assert_array_equal(f, expect[i])
+            fb = int(rng.integers(1, t + 2))
+            got = np.concatenate(list(src.chunks(fb)))[:t]
+            np.testing.assert_array_equal(got, expect)
+
+
 class TestRecordsRoundTrip:
     @pytest.mark.parametrize("seed", range(4))
     def test_random_examples_exact(self, tmp_path, seed):
