@@ -169,6 +169,37 @@ def bench_train(device_kind: str, iters: int):
             "unit": "patches/sec/chip"}
 
 
+def bench_train3d(device_kind: str, iters: int):
+    """Volumetric training step: weighted-CE + 3D augmentation (3-axis
+    flips, z-consistent elastic) on (16, 64, 64) sub-volumes, batch 2."""
+    import jax
+    import jax.numpy as jnp
+    from sequitr_tpu.pipeline import train as train_lib
+
+    cfg = _unet_cfg(device_kind, dims=3, depth=3, features_cap=256)
+    tc = train_lib.TrainConfig(augment=True)
+    state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+    step = train_lib.make_unet_train_step(cfg, tc)
+    rng = np.random.default_rng(0)
+    b, z, s = 2, 16, 64
+    batch = {
+        "image": jnp.asarray(rng.random((b, z, s, s, 1)).astype(np.float32)),
+        "labels": jnp.asarray(rng.integers(0, 3, (b, z, s, s)).astype(np.int32)),
+        "weights": jnp.ones((b, z, s, s), jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+    holder = {"state": state}
+
+    def one():
+        holder["state"], metrics = step(holder["state"], batch, key)
+        return metrics["loss"]
+
+    sps = _rate(one, max(4, iters // 4))
+    vox = b * z * s * s / 1e6
+    return {"metric": "unet3d_train_step_16x64x64_b2",
+            "value": round(sps * vox, 3), "unit": "Mvoxels/sec/chip"}
+
+
 def bench_unet3d(device_kind: str, iters: int):
     """Config #4: volumetric 3D U-Net over a z-stack."""
     import jax
@@ -346,6 +377,7 @@ CONFIGS = {
     "inference": bench_inference,
     "timelapse": bench_timelapse,
     "train": bench_train,
+    "train3d": bench_train3d,
     "unet3d": bench_unet3d,
     "gan": bench_gan,
     "ganstream": bench_gan_stream,
