@@ -278,7 +278,8 @@ def main(argv=None) -> int:
 
         failed = os.path.join(
             args.jobs_dir,
-            f"{jobs_lib.JOB_PREFIX}{args.job_id}.running.failed",
+            f"{jobs_lib.JOB_PREFIX}{args.job_id}"
+            f"{jobs_lib.CLAIMED_SUFFIX}.failed",
         )
         queued = os.path.join(
             args.jobs_dir,
@@ -327,6 +328,8 @@ def main(argv=None) -> int:
             )
             t_params, t_state = gan_lib.init(jax.random.PRNGKey(0), cfg)
 
+        raw_names = list(np.load(args.npz).files)
+        has_state = any(n.startswith("state/") for n in raw_names)
         kernel_map = None
         if args.layout == "tf":
             # transposed-conv kernels differ between TF and the canonical
@@ -346,10 +349,34 @@ def main(argv=None) -> int:
                 )
             )
         params = convert_lib.load_npz_weights(
-            args.npz, t_params, kernel_map=kernel_map
+            args.npz, t_params,
+            name_map=lambda n: None if n.startswith("state/") else n,
+            kernel_map=kernel_map,
         )
+        if has_state:
+            # batch-norm running statistics round-trip under a state/ prefix
+            state = convert_lib.load_npz_weights(
+                args.npz, t_state,
+                name_map=lambda n: (
+                    n[len("state/"):] if n.startswith("state/") else None
+                ),
+            )
+        else:
+            state = t_state
+            norm_batch = (
+                cfg.norm == "batch" if args.kind == "unet"
+                else cfg.gen_norm == "batch"
+            )
+            if norm_batch:
+                print(
+                    "warning: npz carries no state/ entries — batch-norm "
+                    "running statistics default to mean=0/var=1, which will "
+                    "NOT match a trained checkpoint. Export with this CLI "
+                    "(which includes them) or add state/... keys.",
+                    file=sys.stderr,
+                )
         model_dir = save_model(
-            args.models_dir, args.name, args.kind, cfg, params, t_state
+            args.models_dir, args.name, args.kind, cfg, params, state
         )
         print(model_dir)
         return 0
@@ -362,8 +389,15 @@ def main(argv=None) -> int:
 
         kind, cfg, params, state = load_model(args.models_dir, args.name)
         flat = convert_lib.flatten_params(params)
-        np.savez(args.out, **flat)
-        print(f"{args.out}: {len(flat)} arrays ({kind})")
+        state_flat = {
+            f"state/{k}": v
+            for k, v in convert_lib.flatten_params(state).items()
+        }
+        np.savez(args.out, **flat, **state_flat)
+        print(
+            f"{args.out}: {len(flat)} weight + {len(state_flat)} state "
+            f"arrays ({kind})"
+        )
         return 0
 
     if args.cmd == "cancel":

@@ -38,6 +38,10 @@ def build_torch_unet(cfg: unet.UNetConfig):
 
     if cfg.space_to_depth > 1:
         raise NotImplementedError("torch reference covers s2d=1 configs")
+    if cfg.upsample != "transpose":
+        raise NotImplementedError(
+            "torch reference covers transpose-upsample configs"
+        )
     if cfg.dims == 2:
         Conv, ConvT, Pool, BN = nn.Conv2d, nn.ConvTranspose2d, nn.MaxPool2d, nn.BatchNorm2d
     elif cfg.dims == 3:
@@ -108,8 +112,6 @@ def inject_weights_torch(model, cfg: unet.UNetConfig, params: Any, state: Any) -
     BN maps scale/bias/mean/var onto weight/bias/running_mean/running_var.
     """
     import torch
-
-    nd = cfg.dims
 
     def t32(a):
         return torch.from_numpy(np.asarray(a, dtype=np.float32).copy())

@@ -37,9 +37,16 @@ __all__ = [
 
 
 def build(force: bool = False) -> bool:
-    """Compile the native library with g++. Returns True on success."""
+    """Compile the native library with g++. Returns True on success.
+
+    A cached ``.so`` older than the source is rebuilt — otherwise an
+    upgraded checkout would load a stale library missing new symbols."""
     global _build_failed
-    if os.path.exists(_LIB) and not force:
+    if (
+        os.path.exists(_LIB)
+        and not force
+        and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+    ):
         return True
     try:
         subprocess.run(
@@ -62,58 +69,74 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB) and not build():
+        if not build():  # rebuilds stale cached .so too (mtime check)
             return None
         try:
             lib = ctypes.CDLL(_LIB)
+            _bind(lib)
         except OSError:
             _build_failed = True
             return None
-        lib.seq_label_components.restype = ctypes.c_int32
-        lib.seq_label_components.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.seq_label_full_stats.restype = None
-        lib.seq_label_full_stats.argtypes = [
-            ctypes.POINTER(ctypes.c_int32),   # labels
-            ctypes.POINTER(ctypes.c_int32),   # class_map
-            ctypes.POINTER(ctypes.c_float),   # intensity (may be null)
-            ctypes.c_int32,                   # h
-            ctypes.c_int32,                   # w
-            ctypes.c_int32,                   # n_labels
-            ctypes.c_int32,                   # n_classes
-            ctypes.POINTER(ctypes.c_int64),   # counts scratch
-            ctypes.POINTER(ctypes.c_int64),   # areas
-            ctypes.POINTER(ctypes.c_double),  # cy
-            ctypes.POINTER(ctypes.c_double),  # cx
-            ctypes.POINTER(ctypes.c_double),  # imean
-            ctypes.POINTER(ctypes.c_int32),   # cls_out
-        ]
-        lib.seq_label_full_stats_3d.restype = None
-        lib.seq_label_full_stats_3d.argtypes = [
-            ctypes.POINTER(ctypes.c_int32),   # labels
-            ctypes.POINTER(ctypes.c_int32),   # class_map
-            ctypes.POINTER(ctypes.c_float),   # intensity (may be null)
-            ctypes.c_int32,                   # z
-            ctypes.c_int32,                   # h
-            ctypes.c_int32,                   # w
-            ctypes.c_int32,                   # n_labels
-            ctypes.c_int32,                   # n_classes
-            ctypes.POINTER(ctypes.c_int64),   # counts scratch
-            ctypes.POINTER(ctypes.c_int64),   # areas
-            ctypes.POINTER(ctypes.c_double),  # cz
-            ctypes.POINTER(ctypes.c_double),  # cy
-            ctypes.POINTER(ctypes.c_double),  # cx
-            ctypes.POINTER(ctypes.c_double),  # imean
-            ctypes.POINTER(ctypes.c_int32),   # cls_out
-        ]
-        lib.seq_crc32c.restype = ctypes.c_uint32
-        lib.seq_crc32c.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        except AttributeError:
+            # a stale .so missing new symbols that somehow survived the
+            # mtime check (e.g. copied into place): rebuild once, then
+            # fall back to scipy for good rather than poisoning every call
+            if not build(force=True):
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+                _bind(lib)
+            except (OSError, AttributeError):
+                _build_failed = True
+                return None
         _lib = lib
         return _lib
+
+
+def _bind(lib) -> None:
+    lib.seq_label_components.restype = ctypes.c_int32
+    lib.seq_label_components.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.seq_label_full_stats.restype = None
+    lib.seq_label_full_stats.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # labels
+        ctypes.POINTER(ctypes.c_int32),   # class_map
+        ctypes.POINTER(ctypes.c_float),   # intensity (may be null)
+        ctypes.c_int32,                   # h
+        ctypes.c_int32,                   # w
+        ctypes.c_int32,                   # n_labels
+        ctypes.c_int32,                   # n_classes
+        ctypes.POINTER(ctypes.c_int64),   # counts scratch
+        ctypes.POINTER(ctypes.c_int64),   # areas
+        ctypes.POINTER(ctypes.c_double),  # cy
+        ctypes.POINTER(ctypes.c_double),  # cx
+        ctypes.POINTER(ctypes.c_double),  # imean
+        ctypes.POINTER(ctypes.c_int32),   # cls_out
+    ]
+    lib.seq_label_full_stats_3d.restype = None
+    lib.seq_label_full_stats_3d.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # labels
+        ctypes.POINTER(ctypes.c_int32),   # class_map
+        ctypes.POINTER(ctypes.c_float),   # intensity (may be null)
+        ctypes.c_int32,                   # z
+        ctypes.c_int32,                   # h
+        ctypes.c_int32,                   # w
+        ctypes.c_int32,                   # n_labels
+        ctypes.c_int32,                   # n_classes
+        ctypes.POINTER(ctypes.c_int64),   # counts scratch
+        ctypes.POINTER(ctypes.c_int64),   # areas
+        ctypes.POINTER(ctypes.c_double),  # cz
+        ctypes.POINTER(ctypes.c_double),  # cy
+        ctypes.POINTER(ctypes.c_double),  # cx
+        ctypes.POINTER(ctypes.c_double),  # imean
+        ctypes.POINTER(ctypes.c_int32),   # cls_out
+    ]
+    lib.seq_crc32c.restype = ctypes.c_uint32
+    lib.seq_crc32c.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
 
 
 def available() -> bool:
@@ -140,6 +163,16 @@ def label_components(mask: np.ndarray) -> np.ndarray:
     return out
 
 
+def _majority(v: np.ndarray, k: int) -> int:
+    """Majority class among ids in [0, k) — matches the C sweep, which
+    ignores out-of-range class ids (the scipy bincount argmax would not)."""
+    v = np.asarray(v).astype(np.int64).ravel()
+    v = v[(v >= 0) & (v < k)]
+    if v.size == 0:
+        return 0
+    return int(np.bincount(v, minlength=k).argmax())
+
+
 def label_full_stats(
     labels: np.ndarray,
     class_map: np.ndarray,
@@ -157,6 +190,17 @@ def label_full_stats(
     """
     lib = _load()
     labels = np.ascontiguousarray(np.asarray(labels, dtype=np.int32))
+    class_map = np.asarray(class_map)
+    if class_map.shape != labels.shape:
+        raise ValueError(
+            f"class_map shape {class_map.shape} != labels {labels.shape}"
+        )
+    if intensity is not None:
+        intensity = np.asarray(intensity)
+        if intensity.shape != labels.shape:
+            raise ValueError(
+                f"intensity shape {intensity.shape} != labels {labels.shape}"
+            )
     h, w = labels.shape
     if lib is None:
         from scipy import ndimage
@@ -175,10 +219,7 @@ def label_full_stats(
             )
             classes = ndimage.labeled_comprehension(
                 class_map, labels, ids,
-                lambda v: np.bincount(
-                    v.astype(np.int64), minlength=n_classes
-                ).argmax(),
-                np.int32, 0,
+                lambda v: _majority(v, n_classes), np.int32, 0,
             )
         else:
             cy = cx = means = np.zeros(0)
@@ -228,6 +269,17 @@ def label_full_stats_3d(
     """
     lib = _load()
     labels = np.ascontiguousarray(np.asarray(labels, dtype=np.int32))
+    class_map = np.asarray(class_map)
+    if class_map.shape != labels.shape:
+        raise ValueError(
+            f"class_map shape {class_map.shape} != labels {labels.shape}"
+        )
+    if intensity is not None:
+        intensity = np.asarray(intensity)
+        if intensity.shape != labels.shape:
+            raise ValueError(
+                f"intensity shape {intensity.shape} != labels {labels.shape}"
+            )
     z, h, w = labels.shape
     if lib is None:
         from scipy import ndimage
@@ -247,10 +299,7 @@ def label_full_stats_3d(
             )
             classes = ndimage.labeled_comprehension(
                 class_map, labels, ids,
-                lambda v: np.bincount(
-                    v.astype(np.int64), minlength=n_classes
-                ).argmax(),
-                np.int32, 0,
+                lambda v: _majority(v, n_classes), np.int32, 0,
             )
         else:
             cz = cy = cx = means = np.zeros(0)

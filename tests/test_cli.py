@@ -175,8 +175,10 @@ class TestRetryCommand:
 
 class TestModelInterchange:
     def test_export_then_import_roundtrip(self, tmp_path, capsys):
-        """export-model -> import-model reproduces identical weights (the
-        reference-migration workflow through the CLI)."""
+        """export-model -> import-model reproduces identical weights AND
+        batch-norm running statistics (the reference-migration workflow
+        through the CLI; a trained BN model must not silently lose its
+        moving stats — code-review r3)."""
         import jax
         import jax.numpy as jnp
 
@@ -187,9 +189,15 @@ class TestModelInterchange:
         models = str(tmp_path / "models")
         cfg = unet.UNetConfig(
             in_channels=1, num_classes=2, depth=2, base_features=4,
-            norm="none", compute_dtype=jnp.float32,
+            norm="batch", compute_dtype=jnp.float32,
         )
         params, state = unet.init(jax.random.PRNGKey(3), cfg)
+        # non-trivial running stats, as a trained checkpoint would carry
+        state = jax.tree.map(
+            lambda a: a
+            + 0.3 * np.random.default_rng(5).random(a.shape).astype(np.float32),
+            state,
+        )
         save_model(models, "orig", "unet", cfg, params, state)
 
         npz = str(tmp_path / "w.npz")
@@ -197,15 +205,44 @@ class TestModelInterchange:
         arch = str(tmp_path / "arch.json")
         with open(arch, "w") as f:
             json.dump({"in_channels": 1, "num_classes": 2, "depth": 2,
-                       "base_features": 4, "norm": "none",
+                       "base_features": 4, "norm": "batch",
                        "compute_dtype": "float32"}, f)
         assert main(["import-model", "--models-dir", models, "--npz", npz,
                      "--arch", arch, "imported"]) == 0
-        _, _, p2, _ = load_model(models, "imported")
+        _, _, p2, s2 = load_model(models, "imported")
         for a, b in zip(
             jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(s2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_import_without_state_warns_for_bn(self, tmp_path, capsys):
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.__main__ import main
+        from sequitr_tpu.models import convert as convert_lib
+        from sequitr_tpu.models import unet
+
+        models = str(tmp_path / "models")
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            norm="batch", compute_dtype=jnp.float32,
+        )
+        params, _ = unet.init(jax.random.PRNGKey(6), cfg)
+        npz = str(tmp_path / "nostate.npz")
+        np.savez(npz, **convert_lib.flatten_params(params))
+        arch = str(tmp_path / "arch.json")
+        with open(arch, "w") as f:
+            json.dump({"in_channels": 1, "num_classes": 2, "depth": 2,
+                       "base_features": 4, "norm": "batch",
+                       "compute_dtype": "float32"}, f)
+        assert main(["import-model", "--models-dir", models, "--npz", npz,
+                     "--arch", arch, "nostate"]) == 0
+        assert "running statistics" in capsys.readouterr().err
 
     def test_import_tf_layout_transposes_up_kernels(self, tmp_path):
         """--layout tf applies the transposed-conv kernel map on up/*
