@@ -158,6 +158,61 @@ def inject_weights_torch(model, cfg: unet.UNetConfig, params: Any, state: Any) -
     set_conv(model.head, params["head"])
 
 
+def build_torch_patchgan(gcfg):
+    """torch mirror of ``models.gan.discriminator_apply`` (PatchGAN)."""
+    import torch
+    import torch.nn as nn
+
+    class TorchPatchGAN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            c_in = gcfg.in_channels + gcfg.out_channels
+            self.convs = nn.ModuleList()
+            c = gcfg.disc_base_features
+            for _ in range(gcfg.disc_layers):
+                # stride-2 k=4 SAME on even inputs pads (1, 1) — torch's
+                # symmetric padding=1 matches XLA exactly
+                self.convs.append(nn.Conv2d(c_in, c, 4, stride=2, padding=1))
+                c_in, c = c, min(c * 2, 512)
+            # stride-1 k=4 SAME pads (1, 2) ASYMMETRICALLY; torch Conv2d
+            # only pads symmetrically, so these convs pad manually
+            self.penultimate = nn.Conv2d(c_in, c_in, 4, padding=0)
+            self.head = nn.Conv2d(c_in, 1, 4, padding=0)
+            self.lrelu = nn.LeakyReLU(0.2)
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            for conv in self.convs:
+                x = self.lrelu(conv(x))
+            x = self.lrelu(self.penultimate(F.pad(x, (1, 2, 1, 2))))
+            return self.head(F.pad(x, (1, 2, 1, 2)))
+
+    model = TorchPatchGAN()
+    model.eval()
+    return model
+
+
+def inject_patchgan_weights_torch(model, gcfg, params) -> None:
+    """Copy our GAN discriminator pytree into the torch PatchGAN."""
+    import torch
+
+    def t32(a):
+        return torch.from_numpy(np.asarray(a, dtype=np.float32).copy())
+
+    def set_conv(mod, p):
+        w = np.asarray(p["w"], np.float32)
+        axes = (w.ndim - 1, w.ndim - 2) + tuple(range(w.ndim - 2))
+        mod.weight.data = t32(np.transpose(w, axes))
+        mod.bias.data = t32(p["b"])
+
+    disc = params["disc"]
+    for mod, p in zip(model.convs, disc["convs"]):
+        set_conv(mod, p)
+    set_conv(model.penultimate, disc["penultimate"])
+    set_conv(model.head, disc["head"])
+
+
 def torch_forward(model, x: np.ndarray) -> np.ndarray:
     """Inference-mode forward: (N, *s, C) channel-last in/out logits."""
     import torch

@@ -236,3 +236,30 @@ class TestTorchParity:
         np.testing.assert_allclose(ours, keras_out, atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(ours, torch_out, atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(keras_out, torch_out, atol=1e-4, rtol=1e-4)
+
+    def test_torch_patchgan_parity(self):
+        """PatchGAN discriminator: jax == torch on identical weights
+        (asymmetric SAME padding for the stride-1 k=4 convs reproduced
+        with manual F.pad)."""
+        from sequitr_tpu.models import gan as gan_lib
+        from sequitr_tpu.models import torch_reference
+
+        g_cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=3,
+            disc_base_features=8, compute_dtype=jnp.float32,
+        )
+        params, _ = gan_lib.init(jax.random.PRNGKey(11), g_cfg)
+        rng = np.random.default_rng(12)
+        x = rng.normal(size=(1, 32, 32, 1)).astype(np.float32)
+        y = rng.normal(size=(1, 32, 32, 1)).astype(np.float32)
+        ours = np.asarray(
+            gan_lib.discriminator_apply(
+                g_cfg, params, jnp.asarray(x), jnp.asarray(y)
+            )
+        )
+        model = torch_reference.build_torch_patchgan(g_cfg)
+        torch_reference.inject_patchgan_weights_torch(model, g_cfg, params)
+        pair = np.concatenate([x, y], axis=-1)
+        theirs = torch_reference.torch_forward(model, pair)
+        assert theirs.shape == ours.shape
+        np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
