@@ -154,6 +154,12 @@ def main(argv=None) -> int:
     ap_cancel.add_argument("--jobs-dir", default="./jobs")
     ap_cancel.add_argument("job_id")
 
+    ap_info = sub.add_parser(
+        "info", help="print version, backend/devices, native status,"
+                     " registered pipelines"
+    )
+    ap_info.add_argument("--models-dir", default="./models")
+
     ap_retry = sub.add_parser(
         "retry", help="re-queue a FAILED job (moves its .failed marker back"
                       " into the queue)"
@@ -269,6 +275,34 @@ def main(argv=None) -> int:
         print(f"rejected: {len(rejected)}")
         for n in rejected:
             print(f"  {n}")
+        return 0
+
+    if args.cmd == "info":
+        import os
+
+        import jax
+
+        from sequitr_tpu import native
+        from sequitr_tpu.server.server import REGISTRY
+
+        try:
+            from importlib.metadata import version as _v
+
+            ver = _v("sequitr-tpu")
+        except Exception:
+            ver = "(source tree)"
+        print(f"sequitr-tpu {ver}")
+        print(f"jax {jax.__version__} backend={jax.default_backend()} "
+              f"devices={len(jax.devices())}")
+        print(f"native helpers: {'available' if native.available() else 'scipy fallback'}")
+        print(f"pipelines: {', '.join(REGISTRY.names())}")
+        n_models = 0
+        if os.path.isdir(args.models_dir):
+            n_models = sum(
+                os.path.exists(os.path.join(args.models_dir, d, "config.json"))
+                for d in os.listdir(args.models_dir)
+            )
+        print(f"models in {args.models_dir}: {n_models}")
         return 0
 
     if args.cmd == "retry":

@@ -93,10 +93,29 @@ class FrameSource:
         self.n_frames = t
         self.spatial: Tuple[int, int] = (h, w)
         self.n_channels = max(len(self._readers), len(self._eager))
+        self._start = 0
+
+    def select(self, start: int, stop: Optional[int] = None) -> "FrameSource":
+        """Restrict to frames [start, stop) of the underlying stack.
+
+        Reprocessing a segment of a long timelapse reads ONLY those frames
+        (lazy readers make the skip free). Returns self for chaining."""
+        total = self._shapes[0][0]
+        stop = total if stop is None else int(stop)
+        start = int(start)
+        if not (0 <= start < stop <= total):
+            raise ValueError(
+                f"frame range [{start}, {stop}) out of bounds for "
+                f"{total} frames"
+            )
+        self._start = start
+        self.n_frames = stop - start
+        return self
 
     # -- access ------------------------------------------------------------
 
     def _channel_frame(self, c: int, t: int) -> np.ndarray:
+        t = t + self._start
         # NATIVE dtype on purpose: microscopy stacks are typically uint16,
         # and shipping 2-byte pixels host->HBM is half the transfer of a
         # host-side float32 cast — the device casts for free inside the

@@ -49,6 +49,10 @@ class FitConfig:
     # write the first holdout example's predicted label map alongside the
     # metrics file at each eval (TIFF) — the tf.summary image-dump analogue
     dump_eval_images: bool = False
+    # periodic step_* checkpoints kept on disk (oldest pruned after each
+    # save; 0 = keep all). "final" and "best" are never pruned — retention
+    # bounds long-training disk growth without losing crash-resume.
+    keep_checkpoints: int = 3
     # track the named eval metric (higher = better, e.g. "eval_miou" /
     # "eval_psnr") and keep a "best" checkpoint alongside the periodic
     # ones whenever it improves ("" = off; requires holdout_every)
@@ -108,6 +112,24 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     except FileNotFoundError:
         return None
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
+
+
+def _prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    """Delete the oldest periodic ``step_*`` checkpoints beyond ``keep``.
+
+    ``final`` and ``best`` are never touched; 0 disables pruning. Bounds
+    disk growth over long training runs while keeping the newest periodic
+    checkpoints for crash/requeue resume."""
+    if not keep:
+        return
+    import shutil
+
+    steps = sorted(
+        n for n in os.listdir(ckpt_dir)
+        if n.startswith("step_") and os.path.isdir(os.path.join(ckpt_dir, n))
+    )
+    for name in steps[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
 
 
 def _run_loop(
@@ -199,6 +221,7 @@ def _run_loop(
                 run_eval(g)
             if ckpt_dir and g % fc.checkpoint_every == 0:
                 train_lib.save_checkpoint(os.path.join(ckpt_dir, f"step_{g:08d}"), state)
+                _prune_checkpoints(ckpt_dir, fc.keep_checkpoints)
         run_eval(int(jax.device_get(state.step)))
         if ckpt_dir:
             train_lib.save_checkpoint(os.path.join(ckpt_dir, "final"), state)

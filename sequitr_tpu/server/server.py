@@ -508,6 +508,7 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     except ValueError as e:
         # unreadable input is deterministic — fail fast, never retry
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    source = _apply_frame_range(job, source)
 
     cfg, params, state = _require_model(job, config, "unet")
     if cfg.in_channels != source.n_channels:
@@ -680,6 +681,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         source = FrameSource(paths=paths)
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    source = _apply_frame_range(job, source)
 
     cfg, params, state, tc = _gan_setup(job, config, source)
 
@@ -956,6 +958,26 @@ def _run_frames(cfg, tc, params, state, source, job_params):
     )
 
 
+def _apply_frame_range(job: Job, source):
+    """Restrict a FrameSource to the job's ``frame_range: [start, stop]``
+    (stop exclusive; omitted stop = end of stack). Lazy readers make the
+    skip free — reprocessing a segment of a long timelapse reads only it."""
+    fr = job.params.get("frame_range")
+    if fr is None:
+        return source
+    try:
+        start = int(fr[0])
+        stop = int(fr[1]) if len(fr) > 1 and fr[1] is not None else None
+    except (TypeError, ValueError, IndexError):
+        raise jobs_lib.JobError(
+            f"frame_range={fr!r} must be [start, stop] (stop exclusive)"
+        )
+    try:
+        return source.select(start, stop)
+    except ValueError as e:
+        raise jobs_lib.JobError(str(e))
+
+
 def _spatial_ways(sp, n_dev: int, divide: bool = True) -> int:
     """Parse the ``spatial_parallel`` job param into a shard count.
 
@@ -1210,6 +1232,7 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         metrics_path=os.path.join(job.output, "metrics.jsonl"),
         dump_eval_images=bool(p.get("dump_eval_images", False)),
         seed=int(p.get("seed", 0)),
+        keep_checkpoints=int(p.get("keep_checkpoints", 3)),
         keep_best_metric=(
             str(p.get("keep_best_metric", "eval_miou"))
             if p.get("keep_best") else ""
@@ -1357,6 +1380,7 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         metrics_path=os.path.join(job.output, "metrics.jsonl"),
         dump_eval_images=bool(p.get("dump_eval_images", False)),
         seed=int(p.get("seed", 0)),
+        keep_checkpoints=int(p.get("keep_checkpoints", 3)),
         keep_best_metric=(
             str(p.get("keep_best_metric", "eval_psnr"))
             if p.get("keep_best") else ""
@@ -1701,6 +1725,7 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         source = FrameSource(paths=[path])
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read {path}: {e}")
+    source = _apply_frame_range(job, source)
 
     p = job.params
     max_peaks = int(p.get("max_peaks", 256))

@@ -149,6 +149,15 @@ class TestModelsQueueCommands:
         assert "rejected: 1" in out
 
 
+class TestInfoCommand:
+    def test_info_prints_surface(self, tmp_path, capsys):
+        assert main(["info", "--models-dir", str(tmp_path / "m")]) == 0
+        out = capsys.readouterr().out
+        assert "sequitr-tpu" in out and "pipelines:" in out
+        assert "segmentation_unet2d" in out and "deconvolve" in out
+        assert "backend=" in out
+
+
 class TestRetryCommand:
     def test_retry_requeues_failed_job(self, tmp_path, capsys):
         """retry moves a .failed marker back into the queue; the server

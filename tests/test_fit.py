@@ -128,6 +128,28 @@ class TestObservability:
         assert g.glob(str(tmp_path / "eval_pred_*.tif"))
 
 
+class TestCheckpointRetention:
+    def test_old_periodic_checkpoints_pruned(self, tmp_path):
+        """keep_checkpoints bounds disk growth: only the newest N step_*
+        dirs survive; final is untouched; resume still finds the newest."""
+        paths = _make_shards(tmp_path, n=16)
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        tc = train_lib.TrainConfig(augment=False)
+        fc = fit_lib.FitConfig(
+            steps=10, batch_size=4, checkpoint_every=2, log_every=100,
+            keep_checkpoints=2,
+        )
+        ck = str(tmp_path / "ck")
+        fit_lib.fit_unet(cfg, tc, fc, paths, ckpt_dir=ck)
+        steps = sorted(n for n in os.listdir(ck) if n.startswith("step_"))
+        assert steps == ["step_00000008", "step_00000010"]
+        assert os.path.isdir(os.path.join(ck, "final"))
+        assert fit_lib.latest_checkpoint(ck).endswith("final")
+
+
 class TestResume:
     def test_resume_from_periodic_checkpoint(self, tmp_path):
         """A crash between periodic checkpoints resumes from the newest

@@ -756,6 +756,48 @@ class TestStreamingServing:
         # localization ran on the streamed frames
         assert os.path.exists(st["outputs"]["objects"])
 
+    def test_frame_range_serves_segment(self, server_env):
+        """frame_range: [start, stop) serves exactly that segment of the
+        stack (lazy readers skip the rest), matching a full serve's
+        corresponding frames; bad ranges fail fast."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "segfr", "unet", net_cfg, params, state)
+        stack = (np.random.default_rng(17).random((6, 32, 32)) * 900).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "fr.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+
+        def serve(name, extra):
+            out = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "segmentation_unet2d",
+                 "params": dict({"model": "segfr", "patch": [16, 16],
+                                 "overlap": [4, 4], "localize": False},
+                                **extra),
+                 "input": [stack_path], "output": out},
+                job_id=name,
+            )
+            assert srv.poll_once()
+            return json.load(open(os.path.join(out, "status.json")))
+
+        full = serve("frfull", {})
+        seg = serve("frseg", {"frame_range": [2, 5]})
+        assert seg["state"] == "complete", seg.get("error")
+        labels_full = tiff.read_stack(full["outputs"]["labels"])
+        labels_seg = tiff.read_stack(seg["outputs"]["labels"])
+        assert labels_seg.shape == (3, 32, 32)
+        np.testing.assert_array_equal(labels_seg, labels_full[2:5])
+        bad = serve("frbad", {"frame_range": [4, 99]})
+        assert bad["state"] == "failed" and "out of bounds" in bad["error"]
+
     def test_uint16_stack_serves_identically(self, server_env):
         """A uint16 stack (the native microscopy dtype, shipped 2-byte to
         the device) produces EXACTLY the labels of the same values served
