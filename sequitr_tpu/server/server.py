@@ -170,6 +170,7 @@ class ImageServer:
                 jobs_lib.write_status(job, "complete", started, outputs=outputs)
                 os.unlink(job.path)
                 log.info("job %s complete in %.2fs", job.id, time.time() - started)
+                self._ledger(job, "complete", started, attempts)
                 return
             except Exception as e:
                 err = traceback.format_exc()
@@ -181,6 +182,7 @@ class ImageServer:
                 )
                 if final:
                     self._fail(job, started, err)
+                    self._ledger(job, "failed", started, attempts)
                     if isinstance(e, JobTimeout) and self._recycle_on_timeout():
                         # the wedged thread still owns the chip; a worker
                         # under a supervisor frees it by dying and letting
@@ -195,6 +197,33 @@ class ImageServer:
                     return
                 log.warning("job %s attempt %d failed, retrying", job.id, attempts)
                 time.sleep(self.config.retry_backoff * attempts)
+
+    def _ledger(self, job: Job, state: str, started: float, attempts: int) -> None:
+        """Append one JSONL row per finished job to ``log_dir/jobs.jsonl``.
+
+        The server-wide operational record (which jobs ran, how long, how
+        many attempts) that per-job status.json files cannot give without
+        crawling every output dir. Enabled by setting ``log_dir``; single
+        O_APPEND line writes need no locking across workers."""
+        if not self.config.log_dir:
+            return
+        row = {
+            "id": job.id,
+            "module": job.module,
+            "func": job.func,
+            "state": state,
+            "elapsed_s": round(time.time() - started, 3),
+            "attempts": attempts,
+            "finished": time.time(),
+            "worker": os.environ.get("SEQUITR_WORKER_ID"),
+        }
+        try:
+            with open(
+                os.path.join(self.config.log_dir, "jobs.jsonl"), "a"
+            ) as f:
+                f.write(json.dumps(row) + "\n")
+        except OSError:
+            log.warning("could not append to the jobs ledger", exc_info=True)
 
     def _recycle_on_timeout(self) -> bool:
         cfg = self.config.recycle_on_timeout

@@ -2371,6 +2371,46 @@ class TestSupervisorRecycleE2E:
             log_f.close()
 
 
+class TestJobsLedger:
+    def test_ledger_records_outcomes(self, server_env, tmp_path):
+        """log_dir enables a server-wide jobs.jsonl ledger: one row per
+        finished job with state/elapsed/attempts."""
+        import dataclasses as dc
+
+        from sequitr_tpu.server.server import PipelineRegistry
+
+        cfg_srv, tmp = server_env
+        log_dir = str(tmp / "logs")
+        os.makedirs(log_dir)
+        cfg_srv = dc.replace(cfg_srv, log_dir=log_dir, max_retries=0)
+        reg = PipelineRegistry()
+
+        @reg.register("ok")
+        def ok(job, config):
+            return {"x": "1"}
+
+        @reg.register("boom")
+        def boom(job, config):
+            raise RuntimeError("nope")
+
+        srv = ImageServer(cfg_srv, registry=reg)
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "ok", "input": [], "output": str(tmp / "l1")},
+                   job_id="l1")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "boom", "input": [], "output": str(tmp / "l2")},
+                   job_id="l2")
+        assert srv.poll_once() and srv.poll_once()
+        rows = [
+            json.loads(line)
+            for line in open(os.path.join(log_dir, "jobs.jsonl"))
+        ]
+        by_id = {r["id"]: r for r in rows}
+        assert by_id["l1"]["state"] == "complete"
+        assert by_id["l2"]["state"] == "failed"
+        assert all("elapsed_s" in r and "attempts" in r for r in rows)
+
+
 class TestDeconvolvePipeline:
     def test_deconvolve_sharpens_blurred_points(self, server_env):
         """RL deconvolution through the job API: a Gaussian-blurred point
