@@ -112,6 +112,13 @@ class FrameSource:
         self.n_frames = stop - start
         return self
 
+    @property
+    def frame_offset(self) -> int:
+        """Index of the first served frame in the underlying stack (0
+        unless ``select`` narrowed the range) — consumers producing
+        per-frame records keep ABSOLUTE indices with it."""
+        return self._start
+
     # -- access ------------------------------------------------------------
 
     def _channel_frame(self, c: int, t: int) -> np.ndarray:

@@ -28,7 +28,13 @@ import numpy as np
 
 from sequitr_tpu.models import unet
 
-__all__ = ["build_torch_unet", "inject_weights_torch", "torch_forward"]
+__all__ = [
+    "build_torch_unet",
+    "inject_weights_torch",
+    "build_torch_patchgan",
+    "inject_patchgan_weights_torch",
+    "torch_forward",
+]
 
 
 def build_torch_unet(cfg: unet.UNetConfig):
@@ -174,10 +180,12 @@ def build_torch_patchgan(gcfg):
                 # symmetric padding=1 matches XLA exactly
                 self.convs.append(nn.Conv2d(c_in, c, 4, stride=2, padding=1))
                 c_in, c = c, min(c * 2, 512)
+            # widths mirror models.gan.init exactly: penultimate widens
+            # c_in -> c (the next doubled width), head maps c -> 1.
             # stride-1 k=4 SAME pads (1, 2) ASYMMETRICALLY; torch Conv2d
             # only pads symmetrically, so these convs pad manually
-            self.penultimate = nn.Conv2d(c_in, c_in, 4, padding=0)
-            self.head = nn.Conv2d(c_in, 1, 4, padding=0)
+            self.penultimate = nn.Conv2d(c_in, c, 4, padding=0)
+            self.head = nn.Conv2d(c, 1, 4, padding=0)
             self.lrelu = nn.LeakyReLU(0.2)
 
         def forward(self, x):
@@ -203,7 +211,15 @@ def inject_patchgan_weights_torch(model, gcfg, params) -> None:
     def set_conv(mod, p):
         w = np.asarray(p["w"], np.float32)
         axes = (w.ndim - 1, w.ndim - 2) + tuple(range(w.ndim - 2))
-        mod.weight.data = t32(np.transpose(w, axes))
+        wt = np.transpose(w, axes)
+        if tuple(mod.weight.shape) != wt.shape:
+            # .data assignment would silently accept a mismatched tensor;
+            # fail loudly if the torch mirror ever drifts from gan.init
+            raise ValueError(
+                f"kernel shape {wt.shape} does not match torch module "
+                f"{tuple(mod.weight.shape)}"
+            )
+        mod.weight.data = t32(wt)
         mod.bias.data = t32(p["b"])
 
     disc = params["disc"]

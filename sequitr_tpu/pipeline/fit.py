@@ -105,30 +105,34 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if os.path.isdir(final):
         return final
     try:
-        steps = sorted(
-            n for n in os.listdir(ckpt_dir)
-            if n.startswith("step_") and os.path.isdir(os.path.join(ckpt_dir, n))
-        )
+        steps = _step_dirs(ckpt_dir)
     except FileNotFoundError:
         return None
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
 
-def _prune_checkpoints(ckpt_dir: str, keep: int) -> None:
-    """Delete the oldest periodic ``step_*`` checkpoints beyond ``keep``.
-
-    ``final`` and ``best`` are never touched; 0 disables pruning. Bounds
-    disk growth over long training runs while keeping the newest periodic
-    checkpoints for crash/requeue resume."""
-    if not keep:
-        return
-    import shutil
-
-    steps = sorted(
+def _step_dirs(ckpt_dir: str):
+    """Sorted periodic ``step_*`` checkpoint directory names (shared by
+    resume and retention so their views of the directory cannot drift)."""
+    return sorted(
         n for n in os.listdir(ckpt_dir)
         if n.startswith("step_") and os.path.isdir(os.path.join(ckpt_dir, n))
     )
-    for name in steps[:-keep]:
+
+
+def _prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    """Delete the oldest periodic ``step_*`` checkpoints beyond ``keep``.
+
+    ``final`` and ``best`` are never touched; 0 (or any value < 1 — e.g.
+    a typo'd negative job param) disables pruning rather than eating the
+    just-saved checkpoint. Bounds disk growth over long training runs
+    while keeping the newest periodic checkpoints for crash/requeue
+    resume."""
+    if keep < 1:
+        return
+    import shutil
+
+    for name in _step_dirs(ckpt_dir)[:-keep]:
         shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
 
 

@@ -554,6 +554,7 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
 
     timer = PhaseTimer()
     n_frames = len(source)
+    frame_offset = source.frame_offset
     tables = []  # compact per-frame localization tables (t order)
     # localization is host CPU work; frame fetches are relay/PCIe IO waits.
     # Run localization on one worker thread so frame t's CCL overlaps frame
@@ -617,7 +618,10 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
                         inten = inten.mean(axis=-1)
                     futures.append(
                         pool.submit(
-                            loc_lib.localize_frame_table, labels_np, t=t,
+                            loc_lib.localize_frame_table, labels_np,
+                            # ABSOLUTE frame index, so frame_range segments
+                            # splice back into full-timelapse tracks
+                            t=t + source.frame_offset,
                             intensity=inten, min_area=min_area,
                             n_classes=n_classes,
                         )
@@ -653,7 +657,9 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         )
     if do_localize:
         h5_path = os.path.join(job.output, "objects.h5")
-        loc_lib.export_btrack_h5_tables(h5_path, tables, n_frames=n_frames)
+        loc_lib.export_btrack_h5_tables(
+            h5_path, tables, n_frames=frame_offset + n_frames
+        )
         outputs["objects"] = h5_path
     return outputs
 
@@ -990,14 +996,21 @@ def _run_frames(cfg, tc, params, state, source, job_params):
 def _apply_frame_range(job: Job, source):
     """Restrict a FrameSource to the job's ``frame_range: [start, stop]``
     (stop exclusive; omitted stop = end of stack). Lazy readers make the
-    skip free — reprocessing a segment of a long timelapse reads only it."""
+    skip free — reprocessing a segment of a long timelapse reads only it.
+    Localization outputs keep ABSOLUTE frame indices (``t`` offsets by
+    ``start``) so segment results splice back into full-timelapse tracks."""
     fr = job.params.get("frame_range")
     if fr is None:
         return source
+    if not isinstance(fr, (list, tuple)) or not 1 <= len(fr) <= 2:
+        # strings would silently iterate characters; dicts would KeyError
+        raise jobs_lib.JobError(
+            f"frame_range={fr!r} must be [start, stop] (stop exclusive)"
+        )
     try:
         start = int(fr[0])
         stop = int(fr[1]) if len(fr) > 1 and fr[1] is not None else None
-    except (TypeError, ValueError, IndexError):
+    except (TypeError, ValueError):
         raise jobs_lib.JobError(
             f"frame_range={fr!r} must be [start, stop] (stop exclusive)"
         )
@@ -1776,7 +1789,8 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         with source, open(tmp, "w") as f:
             f.write("t,y,x,amplitude,background\n")
             frames = infer_lib._iter_read_ahead(source.frames(), 2)
-            for t, frame in enumerate(frames):
+            for rel_t, frame in enumerate(frames):
+                t = rel_t + source.frame_offset  # absolute frame index
                 frame = np.asarray(frame, dtype=np.float32)
                 if thr_abs is not None:
                     thr = float(thr_abs)
@@ -1825,7 +1839,9 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         from sequitr_tpu import localize as loc_lib
 
         h5_path = os.path.join(job.output, "objects.h5")
-        loc_lib.export_btrack_h5_tables(h5_path, tables, n_frames=n_frames)
+        loc_lib.export_btrack_h5_tables(
+            h5_path, tables, n_frames=source.frame_offset + n_frames
+        )
         outputs["objects"] = h5_path
     return outputs
 
@@ -1874,6 +1890,10 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     t0 = time.time()
     out_path = os.path.join(job.output, "deconvolved.tif")
     if dims == 3:
+        if job.params.get("frame_range") is not None:
+            raise jobs_lib.JobError(
+                "frame_range applies to 2D frame streams, not dims=3 volumes"
+            )
         vol = _read_stack_or_fail(job, path)
         if vol.ndim != 3:
             raise jobs_lib.JobError(
@@ -1906,6 +1926,7 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             source = FrameSource(paths=[path])
         except ValueError as e:
             raise jobs_lib.JobError(f"job {job.id}: cannot read {path}: {e}")
+        source = _apply_frame_range(job, source)
         if source.n_channels != 1:
             raise jobs_lib.JobError("deconvolve expects a single-channel stack")
         kernel = psf.gaussian_psf_2d(psf_size, sigma)

@@ -789,14 +789,27 @@ class TestStreamingServing:
             return json.load(open(os.path.join(out, "status.json")))
 
         full = serve("frfull", {})
-        seg = serve("frseg", {"frame_range": [2, 5]})
+        seg = serve("frseg", {"frame_range": [2, 5], "localize": True})
         assert seg["state"] == "complete", seg.get("error")
         labels_full = tiff.read_stack(full["outputs"]["labels"])
         labels_seg = tiff.read_stack(seg["outputs"]["labels"])
         assert labels_seg.shape == (3, 32, 32)
         np.testing.assert_array_equal(labels_seg, labels_full[2:5])
+        # localizations keep ABSOLUTE frame indices so segments splice
+        # back into full-timelapse tracks
+        import h5py
+
+        with h5py.File(seg["outputs"]["objects"]) as f:
+            coords = f["objects/obj_type_1/coords"][:]
+            fmap = f["objects/obj_type_1/map"][:]
+        if len(coords):
+            ts = np.unique(coords[:, 0].astype(int))
+            assert ts.min() >= 2 and ts.max() <= 4, ts
+        assert fmap.shape[0] == 5  # map rows cover frames 0..4
         bad = serve("frbad", {"frame_range": [4, 99]})
         assert bad["state"] == "failed" and "out of bounds" in bad["error"]
+        bad2 = serve("frbad2", {"frame_range": {"start": 1}})
+        assert bad2["state"] == "failed" and "frame_range" in bad2["error"]
 
     def test_uint16_stack_serves_identically(self, server_env):
         """A uint16 stack (the native microscopy dtype, shipped 2-byte to
