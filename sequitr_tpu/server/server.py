@@ -1655,6 +1655,7 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         source = FrameSource(paths=paths[:-1])
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    source = _apply_frame_range(job, source)
     # ground-truth labels stream lazily too (int dtype preserved); eager
     # fallback for layouts the lazy reader cannot parse
     t_reader = None
@@ -1670,10 +1671,12 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             arr = arr[None]
         t_shape = arr.shape
         read_truth = lambda i: arr[i]
-    shape = (len(source),) + source.spatial
-    if shape != tuple(t_shape):
+    # truth must cover the UNDERLYING stack; comparisons below index it
+    # at absolute frame positions (frame_range offsets apply)
+    shape = (source.frame_offset + len(source),) + source.spatial
+    if tuple(t_shape)[1:] != source.spatial or t_shape[0] < shape[0]:
         raise jobs_lib.JobError(
-            f"image/label shape mismatch: {shape} vs {tuple(t_shape)}"
+            f"image/label shape mismatch: need >= {shape}, got {tuple(t_shape)}"
         )
 
     cfg, params, state = _require_model(job, config, "unet")
@@ -1707,7 +1710,9 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             results = _run_frames(cfg, tc, params, state, source, job.params)
             for t in range(n_frames):
                 pred = np.asarray(next(results).labels)
-                fcm = losses.confusion_matrix_np(pred, read_truth(t), k)
+                fcm = losses.confusion_matrix_np(
+                    pred, read_truth(t + source.frame_offset), k
+                )
                 cm += fcm
                 if per_frame is not None:
                     f_ious, _, _ = losses.metrics_from_confusion(fcm)

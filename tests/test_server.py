@@ -2085,6 +2085,52 @@ class TestEvaluatePipeline:
         assert {"iou_0", "iou_2", "dice_1"} <= set(m)
         assert os.path.exists(st2["outputs"]["labels"])
 
+    def test_evaluate_frame_range_scores_segment(self, server_env):
+        """frame_range on evaluate_unet2d scores only that segment against
+        the CORRESPONDING truth frames (absolute indexing)."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(1), net_cfg)
+        save_model(cfg_srv.models_dir, "evfr", "unet", net_cfg, params, state)
+        rng = np.random.default_rng(18)
+        stack = (rng.random((4, 16, 16)) * 900).astype(np.float32)
+        img_p = str(tmp / "ev.tif")
+        tiff.write_stack(img_p, stack)
+        srv = ImageServer(cfg_srv)
+        # truth = the model's own full-stack predictions -> segment eval
+        # against it must be perfect iff indexing is absolute
+        out_pred = str(tmp / "evpred")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "segmentation_unet2d",
+             "params": {"model": "evfr", "patch": [16, 16], "overlap": [0, 0],
+                        "localize": False},
+             "input": [img_p], "output": out_pred},
+            job_id="evpred",
+        )
+        assert srv.poll_once()
+        pred_path = json.load(
+            open(os.path.join(out_pred, "status.json"))
+        )["outputs"]["labels"]
+        out_ev = str(tmp / "evseg")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "evaluate_unet2d",
+             "params": {"model": "evfr", "patch": [16, 16], "overlap": [0, 0],
+                        "frame_range": [1, 3]},
+             "input": [img_p, pred_path], "output": out_ev},
+            job_id="evseg",
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out_ev, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        metrics = json.loads(st["outputs"]["metrics"])
+        assert metrics["n_frames"] == 2
+        assert metrics["pixel_accuracy"] == 1.0  # absolute truth indexing
+
     def test_evaluate_shape_mismatch_fails_fast(self, server_env):
         cfg_srv, tmp = server_env
         net_cfg = unet.UNetConfig(
