@@ -1880,7 +1880,15 @@ def parity_check(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     from sequitr_tpu.models import unet
 
-    cfg, params, state = _require_model(job, config, "unet")
+    name = job.params.get("model")
+    if not name:
+        raise jobs_lib.JobError(f"job {job.id}: missing required param 'model'")
+    try:
+        kind, cfg, params, state = load_model_cached(config.models_dir, name)
+    except (FileNotFoundError, KeyError) as e:
+        raise jobs_lib.JobError(f"job {job.id}: model {name!r} not loadable: {e!r}")
+    if kind == "gan":
+        return _parity_check_gan(job, cfg, params, state)
     p = job.params
     ref = str(p.get("reference", "torch"))
     spatial = tuple(int(v) for v in p.get("spatial", (64, 64)))
@@ -1946,6 +1954,86 @@ def parity_check(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             f"(metrics: {json.dumps(metrics)})"
         )
     return outputs
+
+
+def _parity_check_gan(job: Job, cfg, params, state) -> Dict[str, str]:
+    """GAN branch of ``parity_check``: generator AND discriminator vs the
+    torch re-derivations on identical weights (torch only — the keras
+    mirror covers the PatchGAN; the generator rides the U-Net check)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from sequitr_tpu.models import gan as gan_lib
+    from sequitr_tpu.models import torch_reference
+
+    p = job.params
+    ref = str(p.get("reference", "torch"))
+    if ref != "torch":
+        raise jobs_lib.JobError(
+            "parity_check for GAN models supports reference='torch'"
+        )
+    spatial = tuple(int(v) for v in p.get("spatial", (64, 64)))
+    if any(s % cfg.min_input_multiple for s in spatial):
+        raise jobs_lib.JobError(
+            f"spatial {spatial} must divide {cfg.min_input_multiple}"
+        )
+    n_probes = int(p.get("n_probes", 4))
+    tolerance = float(p.get("tolerance", 1e-3))
+    rng = np.random.default_rng(int(p.get("seed", 0)))
+    cfg32 = dc.replace(cfg, compute_dtype=jnp.dtype("float32"))
+    x = rng.normal(size=(n_probes,) + spatial + (cfg.in_channels,)).astype(
+        np.float32
+    )
+    y = rng.normal(size=(n_probes,) + spatial + (cfg.out_channels,)).astype(
+        np.float32
+    )
+
+    try:
+        ours_g, _ = gan_lib.generator_apply(cfg32, params, state, jnp.asarray(x))
+        ours_g = np.asarray(ours_g, dtype=np.float32)
+        gen_model = torch_reference.build_torch_unet(cfg32.generator_config)
+        torch_reference.inject_weights_torch(
+            gen_model, cfg32.generator_config, params["gen"], state["gen"]
+        )
+        theirs_g = torch_reference.torch_forward(gen_model, x)
+        if cfg.output_activation == "tanh":
+            theirs_g = np.tanh(theirs_g)
+        elif cfg.output_activation == "sigmoid":
+            theirs_g = 1.0 / (1.0 + np.exp(-theirs_g))
+
+        ours_d = np.asarray(
+            gan_lib.discriminator_apply(
+                cfg32, params, jnp.asarray(x), jnp.asarray(y)
+            ),
+            dtype=np.float32,
+        )
+        disc_model = torch_reference.build_torch_patchgan(cfg32)
+        torch_reference.inject_patchgan_weights_torch(disc_model, cfg32, params)
+        theirs_d = torch_reference.torch_forward(
+            disc_model, np.concatenate([x, y], axis=-1)
+        )
+    except (NotImplementedError, ImportError) as e:
+        raise jobs_lib.JobError(f"reference 'torch' unavailable: {e}")
+
+    dg = np.abs(ours_g - theirs_g)
+    dd = np.abs(ours_d - theirs_d)
+    metrics = {
+        "reference": "torch",
+        "max_abs_dgen": round(float(dg.max()), 8),
+        "mean_abs_dgen": round(float(dg.mean()), 8),
+        "max_abs_ddisc": round(float(dd.max()), 8),
+        "n_probes": n_probes,
+        "spatial": list(spatial),
+    }
+    worst = max(float(dg.max()), float(dd.max()))
+    if worst > tolerance:
+        raise jobs_lib.JobError(
+            f"parity FAILED: max |d| {worst:.3e} > tolerance "
+            f"{tolerance:.1e} vs the torch reference "
+            f"(metrics: {json.dumps(metrics)})"
+        )
+    return {"metrics": json.dumps(metrics)}
 
 
 @register("deconvolve")

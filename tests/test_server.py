@@ -2495,6 +2495,29 @@ class TestParityCheckPipeline:
         assert m["max_abs_dlogits"] < 1e-3
         assert m["label_agreement"] > 0.999
 
+    def test_parity_check_gan_model(self, server_env):
+        """GAN models validate too: generator AND discriminator vs torch."""
+        cfg_srv, tmp = server_env
+        g_cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(2), g_cfg)
+        save_model(cfg_srv.models_dir, "pcgan", "gan", g_cfg, params, state)
+        out = str(tmp / "pcg")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "parity_check",
+             "params": {"model": "pcgan", "spatial": [32, 32],
+                        "n_probes": 2},
+             "input": [], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["max_abs_dgen"] < 1e-3 and m["max_abs_ddisc"] < 1e-3
+
     def test_parity_check_fails_on_corrupted_weights(self, server_env):
         """Corrupt one kernel after registration: the check must FAIL
         deterministically with the delta in the error."""
