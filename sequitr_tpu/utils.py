@@ -11,7 +11,7 @@ from __future__ import annotations
 import contextlib
 import logging
 import time
-from typing import Any, Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional
 
 log = logging.getLogger("sequitr_tpu.utils")
 
