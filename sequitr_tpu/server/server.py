@@ -417,9 +417,11 @@ def load_model_cached(models_dir: str, name: str):
     return loaded
 
 
-def _require_model(job: Job, config: ServerConfiguration, expect_kind: str):
+def _require_model(job: Job, config: ServerConfiguration, expect_kind=None):
     """Load the job's model, raising deterministic JobErrors (never retried)
-    for a missing param, an unregistered name, or the wrong model kind."""
+    for a missing param, an unregistered name, or the wrong model kind.
+    ``expect_kind=None`` accepts any kind and returns it as the first
+    element (kind-dispatching pipelines like parity_check)."""
     name = job.params.get("model")
     if not name:
         raise jobs_lib.JobError(f"job {job.id}: missing required param 'model'")
@@ -427,6 +429,8 @@ def _require_model(job: Job, config: ServerConfiguration, expect_kind: str):
         kind, cfg, params, state = load_model_cached(config.models_dir, name)
     except (FileNotFoundError, KeyError) as e:
         raise jobs_lib.JobError(f"job {job.id}: model {name!r} not loadable: {e!r}")
+    if expect_kind is None:
+        return kind, cfg, params, state
     if kind != expect_kind:
         raise jobs_lib.JobError(
             f"job {job.id}: model {name!r} is kind {kind!r}, expected {expect_kind!r}"
@@ -1880,13 +1884,7 @@ def parity_check(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     from sequitr_tpu.models import unet
 
-    name = job.params.get("model")
-    if not name:
-        raise jobs_lib.JobError(f"job {job.id}: missing required param 'model'")
-    try:
-        kind, cfg, params, state = load_model_cached(config.models_dir, name)
-    except (FileNotFoundError, KeyError) as e:
-        raise jobs_lib.JobError(f"job {job.id}: model {name!r} not loadable: {e!r}")
+    kind, cfg, params, state = _require_model(job, config, expect_kind=None)
     if kind == "gan":
         return _parity_check_gan(job, cfg, params, state)
     p = job.params
@@ -1898,9 +1896,12 @@ def parity_check(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         )
     if any(s % cfg.min_input_multiple for s in spatial):
         raise jobs_lib.JobError(
-            f"spatial {spatial} must divide {cfg.min_input_multiple}"
+            f"every spatial axis of {spatial} must be divisible by "
+            f"{cfg.min_input_multiple}"
         )
     n_probes = int(p.get("n_probes", 4))
+    if n_probes < 1:
+        raise jobs_lib.JobError(f"n_probes must be >= 1, got {n_probes}")
     tolerance = float(p.get("tolerance", 1e-3))
     rng = np.random.default_rng(int(p.get("seed", 0)))
     probes = rng.normal(
@@ -1957,9 +1958,8 @@ def parity_check(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
 
 def _parity_check_gan(job: Job, cfg, params, state) -> Dict[str, str]:
-    """GAN branch of ``parity_check``: generator AND discriminator vs the
-    torch re-derivations on identical weights (torch only — the keras
-    mirror covers the PatchGAN; the generator rides the U-Net check)."""
+    """GAN branch of ``parity_check``: generator AND discriminator vs an
+    independent re-derivation (torch or keras) on identical weights."""
     import dataclasses as dc
 
     import jax.numpy as jnp
@@ -1969,16 +1969,23 @@ def _parity_check_gan(job: Job, cfg, params, state) -> Dict[str, str]:
 
     p = job.params
     ref = str(p.get("reference", "torch"))
-    if ref != "torch":
+    if ref not in ("torch", "keras"):
         raise jobs_lib.JobError(
-            "parity_check for GAN models supports reference='torch'"
+            f"reference={ref!r} must be 'torch' or 'keras'"
         )
     spatial = tuple(int(v) for v in p.get("spatial", (64, 64)))
+    if len(spatial) != 2:
+        raise jobs_lib.JobError(
+            f"spatial {spatial} must be [H, W] (the GAN family is 2D)"
+        )
     if any(s % cfg.min_input_multiple for s in spatial):
         raise jobs_lib.JobError(
-            f"spatial {spatial} must divide {cfg.min_input_multiple}"
+            f"every spatial axis of {spatial} must be divisible by "
+            f"{cfg.min_input_multiple}"
         )
     n_probes = int(p.get("n_probes", 4))
+    if n_probes < 1:
+        raise jobs_lib.JobError(f"n_probes must be >= 1, got {n_probes}")
     tolerance = float(p.get("tolerance", 1e-3))
     rng = np.random.default_rng(int(p.get("seed", 0)))
     cfg32 = dc.replace(cfg, compute_dtype=jnp.dtype("float32"))
@@ -1992,34 +1999,48 @@ def _parity_check_gan(job: Job, cfg, params, state) -> Dict[str, str]:
     try:
         ours_g, _ = gan_lib.generator_apply(cfg32, params, state, jnp.asarray(x))
         ours_g = np.asarray(ours_g, dtype=np.float32)
-        gen_model = torch_reference.build_torch_unet(cfg32.generator_config)
-        torch_reference.inject_weights_torch(
-            gen_model, cfg32.generator_config, params["gen"], state["gen"]
-        )
-        theirs_g = torch_reference.torch_forward(gen_model, x)
-        if cfg.output_activation == "tanh":
-            theirs_g = np.tanh(theirs_g)
-        elif cfg.output_activation == "sigmoid":
-            theirs_g = 1.0 / (1.0 + np.exp(-theirs_g))
-
         ours_d = np.asarray(
             gan_lib.discriminator_apply(
                 cfg32, params, jnp.asarray(x), jnp.asarray(y)
             ),
             dtype=np.float32,
         )
-        disc_model = torch_reference.build_torch_patchgan(cfg32)
-        torch_reference.inject_patchgan_weights_torch(disc_model, cfg32, params)
-        theirs_d = torch_reference.torch_forward(
-            disc_model, np.concatenate([x, y], axis=-1)
-        )
+        pair = np.concatenate([x, y], axis=-1)
+        if ref == "torch":
+            gen_model = torch_reference.build_torch_unet(cfg32.generator_config)
+            torch_reference.inject_weights_torch(
+                gen_model, cfg32.generator_config, params["gen"], state["gen"]
+            )
+            theirs_g = torch_reference.torch_forward(gen_model, x)
+            disc_model = torch_reference.build_torch_patchgan(cfg32)
+            torch_reference.inject_patchgan_weights_torch(
+                disc_model, cfg32, params
+            )
+            theirs_d = torch_reference.torch_forward(disc_model, pair)
+        else:
+            from sequitr_tpu.models import tf_reference
+
+            gen_model = tf_reference.build_tf_unet(
+                cfg32.generator_config, spatial
+            )
+            tf_reference.inject_weights(
+                gen_model, cfg32.generator_config, params["gen"], state["gen"]
+            )
+            theirs_g = tf_reference.tf_forward(gen_model, x)
+            disc_model = tf_reference.build_tf_patchgan(cfg32, spatial)
+            tf_reference.inject_patchgan_weights(disc_model, cfg32, params)
+            theirs_d = tf_reference.tf_forward(disc_model, pair)
+        if cfg.output_activation == "tanh":
+            theirs_g = np.tanh(theirs_g)
+        elif cfg.output_activation == "sigmoid":
+            theirs_g = 1.0 / (1.0 + np.exp(-theirs_g))
     except (NotImplementedError, ImportError) as e:
-        raise jobs_lib.JobError(f"reference 'torch' unavailable: {e}")
+        raise jobs_lib.JobError(f"reference {ref!r} unavailable: {e}")
 
     dg = np.abs(ours_g - theirs_g)
     dd = np.abs(ours_d - theirs_d)
     metrics = {
-        "reference": "torch",
+        "reference": ref,
         "max_abs_dgen": round(float(dg.max()), 8),
         "mean_abs_dgen": round(float(dg.mean()), 8),
         "max_abs_ddisc": round(float(dd.max()), 8),

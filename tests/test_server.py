@@ -2471,6 +2471,10 @@ class TestJobsLedger:
 
 
 class TestParityCheckPipeline:
+    @pytest.fixture(autouse=True)
+    def _needs_torch(self):
+        pytest.importorskip("torch")  # not a declared dependency
+
     def test_parity_check_passes_for_consistent_model(self, server_env):
         """A registered model validates against the torch re-derivation
         through the job API (the migration-confidence check)."""
@@ -2519,20 +2523,23 @@ class TestParityCheckPipeline:
         assert m["max_abs_dgen"] < 1e-3 and m["max_abs_ddisc"] < 1e-3
 
     def test_parity_check_fails_on_corrupted_weights(self, server_env):
-        """Corrupt one kernel after registration: the check must FAIL
-        deterministically with the delta in the error."""
-        import dataclasses
-
+        """A real conversion defect (a flipped transposed-conv kernel —
+        the classic convention mistake) must FAIL the check with the
+        delta in the error."""
         cfg_srv, tmp = server_env
         net_cfg = unet.UNetConfig(
             in_channels=1, num_classes=2, depth=2, base_features=4,
             norm="none", compute_dtype=jnp.float32,
         )
         params, state = unet.init(jax.random.PRNGKey(1), net_cfg)
-        save_model(cfg_srv.models_dir, "pcbad", "unet", net_cfg, params, state)
+        # simulate a bad conversion: flip an up kernel's taps (the classic
+        # flip-convention mistake; shape-preserving, so it loads cleanly
+        # and only PARITY can catch it)
+        bad = jax.tree_util.tree_map(lambda a: a, params)
+        w = np.asarray(bad["up"][0]["w"])
+        bad["up"][0]["w"] = jnp.asarray(w[::-1, ::-1])
+        save_model(cfg_srv.models_dir, "pcbad", "unet", net_cfg, bad, state)
         out = str(tmp / "pcb")
-        # the torch side sees the REGISTERED weights; make the comparison
-        # diverge by checking against a tolerance no real pair could meet
         submit_job(
             cfg_srv.jobs_dir,
             {"module": "parity_check",
@@ -2544,6 +2551,50 @@ class TestParityCheckPipeline:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert "parity FAILED" in st["error"]
+
+    def test_parity_check_gan_keras_reference(self, server_env):
+        pytest.importorskip("tensorflow")
+        cfg_srv, tmp = server_env
+        g_cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(3), g_cfg)
+        save_model(cfg_srv.models_dir, "pck", "gan", g_cfg, params, state)
+        out = str(tmp / "pck")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "parity_check",
+             "params": {"model": "pck", "reference": "keras",
+                        "spatial": [32, 32], "n_probes": 1},
+             "input": [], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+
+    def test_bad_params_fail_fast(self, server_env):
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(4), net_cfg)
+        save_model(cfg_srv.models_dir, "pcv", "unet", net_cfg, params, state)
+        srv = ImageServer(cfg_srv)
+        for name, bad in (("p0", {"n_probes": 0}), ("p1", {"spatial": [31, 32]})):
+            out = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "parity_check",
+                 "params": dict({"model": "pcv"}, **bad),
+                 "input": [], "output": out},
+                job_id=name,
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "failed"
+            assert "JobError" in st["error"]
 
 
 class TestDeconvolvePipeline:
