@@ -149,7 +149,9 @@ def main(argv=None) -> int:
     ap_queue.add_argument("--jobs-dir", default="./jobs")
 
     ap_cancel = sub.add_parser(
-        "cancel", help="remove a QUEUED job before a server claims it"
+        "cancel",
+        help="cancel a job: removes it from the queue, or — if already "
+        "claimed — asks the running worker to stop at its next frame/step",
     )
     ap_cancel.add_argument("--jobs-dir", default="./jobs")
     ap_cancel.add_argument("job_id")
@@ -228,6 +230,15 @@ def main(argv=None) -> int:
 
         path = os.path.join(args.output_dir, "status.json")
         print(open(path).read())
+        # a running job's live progress (progress.json updates every ~2 s
+        # while frames/steps are flowing; status.json only at the end)
+        ppath = os.path.join(args.output_dir, "progress.json")
+        try:
+            status = json.load(open(path))
+            if status.get("state") == "running" and os.path.exists(ppath):
+                print(open(ppath).read())
+        except (OSError, ValueError):
+            pass
         return 0
 
     if args.cmd == "models":
@@ -456,8 +467,21 @@ def main(argv=None) -> int:
             print(f"cancelled {args.job_id}")
             return 0
         except FileNotFoundError:
+            # already claimed: ask the running worker to stop cooperatively
+            # (round-4 in-flight cancellation). The worker polls the marker
+            # between frames/steps; training checkpoints before stopping.
+            claimed = (
+                path[: -len(jobs_lib.JOB_SUFFIX)] + jobs_lib.CLAIMED_SUFFIX
+            )
+            if os.path.exists(claimed):
+                jobs_lib.request_cancel(args.jobs_dir, args.job_id)
+                print(
+                    f"{args.job_id}: running — cancel requested; the worker "
+                    "will stop at its next frame/step"
+                )
+                return 0
             print(
-                f"{args.job_id}: not in the queue (already claimed, done, "
+                f"{args.job_id}: not in the queue or running (done, failed, "
                 "or never submitted)", file=sys.stderr,
             )
             return 1

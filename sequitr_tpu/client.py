@@ -14,12 +14,23 @@ from typing import Any, Dict, Optional
 
 from sequitr_tpu.server import jobs as jobs_lib
 
-__all__ = ["run_job", "wait_for_job", "JobFailed", "JobTimeout"]
+__all__ = [
+    "run_job", "wait_for_job", "cancel_job", "read_progress",
+    "JobFailed", "JobCancelled", "JobTimeout",
+]
 
 
 class JobFailed(RuntimeError):
     def __init__(self, status: Dict[str, Any]):
         super().__init__(status.get("error", "job failed"))
+        self.status = status
+
+
+class JobCancelled(RuntimeError):
+    """The awaited job reached the terminal ``cancelled`` state."""
+
+    def __init__(self, status: Dict[str, Any]):
+        super().__init__(status.get("error", "job cancelled"))
         self.status = status
 
 
@@ -44,8 +55,40 @@ def wait_for_job(
                 return status
             if status and status.get("state") == "failed":
                 raise JobFailed(status)
+            if status and status.get("state") == "cancelled":
+                raise JobCancelled(status)
         time.sleep(poll)
     raise JobTimeout(f"job did not finish within {timeout}s ({output_dir})")
+
+
+def cancel_job(jobs_dir: str, job_id: str) -> bool:
+    """Cancel a job: withdraw it from the queue, or — if already claimed —
+    request a cooperative stop from the running worker (the job then lands
+    in the terminal ``cancelled`` state). Returns False if the job is
+    neither queued nor running."""
+    path = os.path.join(
+        jobs_dir, f"{jobs_lib.JOB_PREFIX}{job_id}{jobs_lib.JOB_SUFFIX}"
+    )
+    try:
+        os.rename(path, path + ".cancelled")
+        os.remove(path + ".cancelled")
+        return True
+    except FileNotFoundError:
+        pass
+    claimed = path[: -len(jobs_lib.JOB_SUFFIX)] + jobs_lib.CLAIMED_SUFFIX
+    if os.path.exists(claimed):
+        jobs_lib.request_cancel(jobs_dir, job_id)
+        return True
+    return False
+
+
+def read_progress(output_dir: str) -> Optional[Dict[str, Any]]:
+    """The job's live ``progress.json`` (None before the first update)."""
+    try:
+        with open(os.path.join(output_dir, "progress.json")) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def run_job(

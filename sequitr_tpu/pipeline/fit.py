@@ -136,6 +136,16 @@ def _prune_checkpoints(ckpt_dir: str, keep: int) -> None:
         shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
 
 
+class TrainingCancelled(RuntimeError):
+    """Raised by the fit loop when ``should_stop`` fires.
+
+    Raised AFTER a checkpoint is saved (if a ckpt_dir exists), so a
+    cancelled multi-hour training keeps its progress and can be resumed by
+    re-submitting the same job (resume-from-newest). The server maps this
+    to the job-level ``cancelled`` state (round-4 verdict item 4).
+    """
+
+
 def _run_loop(
     state,
     step_fn: Callable,
@@ -145,6 +155,8 @@ def _run_loop(
     key: jax.Array,
     metric_keys: Sequence[str],
     eval_fn: Optional[Callable] = None,
+    should_stop: Optional[Callable[[], bool]] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
 ):
     """Drive ``step_fn`` for up to ``fc.steps`` TOTAL steps.
 
@@ -206,9 +218,22 @@ def _run_loop(
         for i, batch in enumerate(batches):
             if i >= todo:
                 break
+            if should_stop is not None and should_stop():
+                # keep the work: checkpoint at the global step reached, then
+                # surface the cancellation (a re-submitted job resumes here)
+                g = start + i
+                if ckpt_dir:
+                    train_lib.save_checkpoint(
+                        os.path.join(ckpt_dir, f"step_{g:08d}"), state
+                    )
+                raise TrainingCancelled(
+                    f"training cancelled at step {g}/{fc.steps}"
+                )
             g = start + i + 1  # global step after this update
             state, metrics = step_fn(state, batch, jax.random.fold_in(key, g - 1))
             seen += 1
+            if progress is not None:
+                progress(g, fc.steps)
             if g % fc.log_every == 0 or i + 1 == todo:
                 vals = {k: float(metrics[k]) for k in metric_keys if k in metrics}
                 rate = seen / (time.time() - t0)
@@ -328,11 +353,16 @@ def fit_unet(
     mesh=None,
     init_state: Optional[train_lib.TrainState] = None,
     distill: Optional[Distill] = None,
+    should_stop: Optional[Callable[[], bool]] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
 ) -> train_lib.TrainState:
     """Train a U-Net from segmentation record shards; returns final state.
 
     ``distill``: train against a teacher (CE + soft-target KL) — the recipe
-    for the space-to-depth fast presets."""
+    for the space-to-depth fast presets. ``should_stop``: polled every step;
+    when it returns True the loop checkpoints and raises TrainingCancelled.
+    ``progress(step, total)``: per-step callback (the server's live
+    progress.json hook)."""
     _check_keep_best(
         fc,
         {"eval_loss", "eval_accuracy", "eval_miou"}
@@ -365,6 +395,7 @@ def fit_unet(
     batches = prefetch_to_device(iter(it), depth=fc.prefetch_depth, sharding=sharding)
     return _run_loop(
         state, step, batches, fc, ckpt_dir, key, metric_keys, eval_fn=eval_fn,
+        should_stop=should_stop, progress=progress,
     )
 
 
@@ -435,6 +466,8 @@ def fit_gan(
     mesh=None,
     init_state: Optional[train_lib.GANTrainState] = None,
     l1_weight: float = 100.0,
+    should_stop: Optional[Callable[[], bool]] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
 ) -> train_lib.GANTrainState:
     """Train the enhancement GAN from (input, target) pair shards.
 
@@ -459,5 +492,5 @@ def fit_gan(
     batches = prefetch_to_device(iter(it), depth=fc.prefetch_depth, sharding=sharding)
     return _run_loop(
         state, step, batches, fc, ckpt_dir, key, ("d_loss", "g_loss"),
-        eval_fn=eval_fn,
+        eval_fn=eval_fn, should_stop=should_stop, progress=progress,
     )

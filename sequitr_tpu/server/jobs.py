@@ -33,15 +33,31 @@ from typing import Any, Dict, List, Optional, Tuple
 
 log = logging.getLogger("sequitr_tpu.jobs")
 
-__all__ = ["Job", "JobError", "scan_jobs", "claim_job", "write_status", "submit_job"]
+__all__ = [
+    "Job", "JobError", "JobCancelled", "scan_jobs", "claim_job",
+    "write_status", "submit_job", "request_cancel", "cancel_requested",
+    "clear_cancel", "track", "ProgressReporter",
+]
 
 JOB_PREFIX = "job_"
 JOB_SUFFIX = ".json"
 CLAIMED_SUFFIX = ".running"
+CANCEL_SUFFIX = ".cancel"
 
 
 class JobError(RuntimeError):
     pass
+
+
+class JobCancelled(RuntimeError):
+    """Raised inside a pipeline when the job's cancel marker appears.
+
+    The server maps it to a terminal ``cancelled`` state — no retry, no
+    worker recycle (the chip stays warm for the next job). Round-4 verdict
+    item 4: before this, ``cancel`` could only withdraw *queued* jobs; a
+    running multi-hour serve or training was unstoppable short of killing
+    the worker.
+    """
 
 
 @dataclasses.dataclass
@@ -226,3 +242,124 @@ def write_status(
         status["outputs"] = outputs
     out_dir = job.output or os.path.dirname(job.path)
     _atomic_write(os.path.join(out_dir, "status.json"), json.dumps(status, indent=2))
+
+
+# ---------------------------------------------------------------------------
+# in-flight cancellation + live progress (round-4 verdict items 4/5)
+# ---------------------------------------------------------------------------
+
+
+def _cancel_marker(jobs_dir: str, job_id: str) -> str:
+    return os.path.join(jobs_dir, f"{JOB_PREFIX}{job_id}{CANCEL_SUFFIX}")
+
+
+def request_cancel(jobs_dir: str, job_id: str) -> str:
+    """Client-side: ask a RUNNING job to stop at its next safe point.
+
+    Drops an atomic marker file the worker polls between frames/steps.
+    Idempotent; returns the marker path. (Queued jobs are cancelled by
+    renaming the queue file instead — see the ``cancel`` CLI.)
+    """
+    path = _cancel_marker(jobs_dir, job_id)
+    _atomic_write(path, json.dumps({"requested": time.time()}))
+    return path
+
+
+def cancel_requested(job: Job) -> bool:
+    """Worker-side poll: has anyone asked this job to stop?"""
+    if not job.path:
+        return False
+    return os.path.exists(_cancel_marker(os.path.dirname(job.path), job.id))
+
+
+def clear_cancel(job: Job) -> None:
+    """Remove the job's cancel marker (terminal transitions), if any."""
+    if not job.path:
+        return
+    try:
+        os.unlink(_cancel_marker(os.path.dirname(job.path), job.id))
+    except OSError:
+        pass
+
+
+class ProgressReporter:
+    """Rate-limited ``progress.json`` writer + cancellation checkpoint.
+
+    Serving jobs used to be a black box until completion (status.json is
+    written at job end); this gives a 10k-frame streaming serve a live,
+    atomically-updated ``{done, total, rate}`` file at bounded write cost
+    (at most one write per ``every_s`` seconds, plus the final one).
+    ``step()`` doubles as the cancellation poll so every pipeline that
+    reports progress is cancellable for free.
+    """
+
+    def __init__(self, job: Job, total: Optional[int], phase: str = "frames",
+                 every_s: float = 2.0, raise_on_cancel: bool = True):
+        self.job = job
+        self.total = total
+        self.phase = phase
+        self.every_s = every_s
+        # False when another layer owns the cancel poll (e.g. the fit
+        # loop's should_stop, which checkpoints before raising) — this
+        # reporter then only writes progress
+        self.raise_on_cancel = raise_on_cancel
+        self.started = time.time()
+        self._last_write = 0.0
+        self._done = 0
+
+    def step(self, done: Optional[int] = None) -> None:
+        """Record one unit done; raises JobCancelled on a cancel marker."""
+        self._done = self._done + 1 if done is None else done
+        if self.raise_on_cancel and cancel_requested(self.job):
+            self.write()  # leave an accurate last progress line behind
+            raise JobCancelled(
+                f"job {self.job.id} cancelled after {self._done} {self.phase}"
+            )
+        now = time.time()
+        if now - self._last_write >= self.every_s:
+            self.write(now)
+
+    def write(self, now: Optional[float] = None) -> None:
+        now = now or time.time()
+        self._last_write = now
+        elapsed = now - self.started
+        row = {
+            "id": self.job.id,
+            "phase": self.phase,
+            "done": self._done,
+            "elapsed_s": round(elapsed, 3),
+            "updated": now,
+        }
+        if self.total is not None:
+            row["total"] = self.total
+        if elapsed > 0 and self._done:
+            row[f"{self.phase}_per_sec"] = round(self._done / elapsed, 3)
+        out_dir = self.job.output or os.path.dirname(self.job.path)
+        try:
+            _atomic_write(os.path.join(out_dir, "progress.json"), json.dumps(row, indent=2))
+        except OSError:
+            log.warning("could not write progress.json", exc_info=True)
+
+    def finish(self) -> None:
+        self.write()
+
+
+def track(job: Job, iterable, total: Optional[int] = None,
+          phase: str = "frames", every_s: float = 2.0):
+    """Wrap a per-frame result iterator with progress + cancellation.
+
+    Checks the cancel marker after each item is produced and BEFORE it is
+    yielded — a cancelled job never does another frame's device work, and
+    the exception propagates out of the pipeline's consumption loop to the
+    server, which marks the job ``cancelled``.
+    """
+    rep = ProgressReporter(job, total, phase=phase, every_s=every_s)
+    for item in iterable:
+        if cancel_requested(job):
+            rep.write()
+            raise JobCancelled(
+                f"job {job.id} cancelled after {rep._done} {phase}"
+            )
+        yield item
+        rep.step()
+    rep.finish()

@@ -171,8 +171,22 @@ class ImageServer:
                 outputs = self._run_with_watchdog(pipeline, job) or {}
                 jobs_lib.write_status(job, "complete", started, outputs=outputs)
                 os.unlink(job.path)
+                jobs_lib.clear_cancel(job)  # late marker must not leak to a reused id
                 log.info("job %s complete in %.2fs", job.id, time.time() - started)
                 self._ledger(job, "complete", started, attempts)
+                return
+            except jobs_lib.JobCancelled as e:
+                # a cooperative stop, not a failure: terminal `cancelled`
+                # state, queue file removed, no retry, no worker recycle —
+                # the chip stays warm for the next job (round-4 item 4)
+                jobs_lib.write_status(job, "cancelled", started, error=str(e))
+                try:
+                    os.unlink(job.path)
+                except OSError:
+                    pass
+                jobs_lib.clear_cancel(job)
+                log.info("job %s cancelled in %.2fs", job.id, time.time() - started)
+                self._ledger(job, "cancelled", started, attempts)
                 return
             except Exception as e:
                 err = traceback.format_exc()
@@ -236,6 +250,7 @@ class ImageServer:
 
     def _fail(self, job: Job, started: float, err: str) -> None:
         jobs_lib.write_status(job, "failed", started, error=err)
+        jobs_lib.clear_cancel(job)
         # keep the claimed file as an inspectable .failed marker rather
         # than leaving .running litter in the queue dir
         try:
@@ -591,6 +606,9 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         )
         if save_probs else None
     )
+    # live progress + cooperative cancellation, checked once per frame
+    # (rate-limited progress.json; JobCancelled aborts the partial writers)
+    rep = jobs_lib.ProgressReporter(job, n_frames)
     try:
         with ThreadPoolExecutor(max_workers=1) as pool, source:
             # the generator dispatches lazily: each next() is the dispatch
@@ -635,9 +653,11 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
                     while len(futures) > max_pending:
                         with timer.phase("localize"):
                             tables.append(futures.popleft().result())
+                rep.step()
             with timer.phase("localize"):
                 while futures:
                     tables.append(futures.popleft().result())
+            rep.finish()
     except BaseException:
         labels_w.abort()
         if probs_w is not None:
@@ -745,10 +765,15 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         * np.dtype(tc.probs_dtype).itemsize,
     )
 
+    # every serving branch funnels through write_frame, so progress +
+    # cancellation ride it: one check per enhanced frame
+    rep = jobs_lib.ProgressReporter(job, n_frames)
+
     def write_frame(got):  # (H, W, C_out) float32
         with timer.phase("write"):
             for c in range(c_out):
                 writer.append(got[..., c])
+        rep.step()
 
     t0 = time.time()
     import jax
@@ -863,6 +888,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         writer.abort()
         raise
     writer.close()
+    rep.finish()
     total_s = time.time() - t0
     metrics = dict(
         timer.summary(), total_s=round(total_s, 4), n_frames=n_frames
@@ -1155,7 +1181,9 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     counter = {"n": 0}
 
     def gen_examples():
-        for img, lab in pair_iter():
+        for img, lab in jobs_lib.track(
+            job, pair_iter(), total=n_frames, phase="frames"
+        ):
             # frames arrive in storage dtype; records store float32
             img = np.asarray(img, dtype=np.float32)
             if p.get("normalize", True):
@@ -1318,10 +1346,21 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             alpha=float(p.get("distill_alpha", 0.5)),
             temperature=float(p.get("distill_temperature", 2.0)),
         )
-    state = fit_lib.fit_unet(
-        cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir, init_state=init_state,
-        mesh=_train_mesh(p, fc.batch_size), distill=distill,
-    )
+    # the fit loop owns the cancel poll (it checkpoints before raising);
+    # this reporter only publishes live step progress
+    rep = jobs_lib.ProgressReporter(job, steps, phase="steps", raise_on_cancel=False)
+    try:
+        state = fit_lib.fit_unet(
+            cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir, init_state=init_state,
+            mesh=_train_mesh(p, fc.batch_size), distill=distill,
+            should_stop=lambda: jobs_lib.cancel_requested(job),
+            progress=lambda s, _t: rep.step(s),
+        )
+    except fit_lib.TrainingCancelled as e:
+        # progress is checkpointed (fit saved step_* before raising);
+        # surface the job-level terminal state
+        raise jobs_lib.JobCancelled(str(e))
+    rep.finish()
     best_path = os.path.join(ckpt_dir, "best")
     if fc.keep_best_metric and os.path.isdir(best_path):
         # register the checkpoint with the best holdout metric, not the last
@@ -1446,12 +1485,19 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
         template = train_lib.create_gan_state(jax.random.PRNGKey(0), cfg, tc)
         init_state = train_lib.restore_checkpoint(ckpt, template)
-    state = fit_lib.fit_gan(
-        cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir,
-        init_state=init_state,
-        l1_weight=float(p.get("l1_weight", 100.0)),
-        mesh=_train_mesh(p, fc.batch_size),
-    )
+    rep = jobs_lib.ProgressReporter(job, fc.steps, phase="steps", raise_on_cancel=False)
+    try:
+        state = fit_lib.fit_gan(
+            cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir,
+            init_state=init_state,
+            l1_weight=float(p.get("l1_weight", 100.0)),
+            mesh=_train_mesh(p, fc.batch_size),
+            should_stop=lambda: jobs_lib.cancel_requested(job),
+            progress=lambda s, _t: rep.step(s),
+        )
+    except fit_lib.TrainingCancelled as e:
+        raise jobs_lib.JobCancelled(str(e))
+    rep.finish()
     best_path = os.path.join(ckpt_dir, "best")
     if fc.keep_best_metric and os.path.isdir(best_path):
         state = train_lib.restore_checkpoint(best_path, state)
@@ -1711,6 +1757,7 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         )
         if job.params.get("save_labels") else None
     )
+    rep = jobs_lib.ProgressReporter(job, n_frames)
     try:
         with source:
             results = _run_frames(cfg, tc, params, state, source, job.params)
@@ -1725,6 +1772,8 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     per_frame.append(round(float(np.mean(f_ious)), 6))
                 if labels_w is not None:
                     labels_w.append(pred.astype(np.uint16, copy=False))
+                rep.step()
+            rep.finish()
     except BaseException:
         if labels_w is not None:
             labels_w.abort()
@@ -1799,7 +1848,10 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     try:
         with source, open(tmp, "w") as f:
             f.write("t,y,x,amplitude,background\n")
-            frames = infer_lib._iter_read_ahead(source.frames(), 2)
+            frames = jobs_lib.track(
+                job, infer_lib._iter_read_ahead(source.frames(), 2),
+                total=n_frames,
+            )
             for rel_t, frame in enumerate(frames):
                 t = rel_t + source.frame_offset  # absolute frame index
                 frame = np.asarray(frame, dtype=np.float32)
@@ -2144,9 +2196,13 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         )
         try:
             with source:
-                for out in infer_lib.stream_frames(
-                    deconv, source.frames(),
-                    prefetch_host=infer_lib._copy_to_host_async,
+                for out in jobs_lib.track(
+                    job,
+                    infer_lib.stream_frames(
+                        deconv, source.frames(),
+                        prefetch_host=infer_lib._copy_to_host_async,
+                    ),
+                    total=n_frames,
                 ):
                     with timer.phase("fetch"):
                         got = np.asarray(out, dtype=np.float32)
@@ -2301,9 +2357,13 @@ def evaluate_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     n_left = n_frames
     with source, tsource:
         tchunks = tsource.chunks(fb)
-        for out in infer_lib.stream_frames(
-            lambda ch: benhance(params, state, ch), source.chunks(fb),
-            prefetch_host=infer_lib._copy_to_host_async,
+        for out in jobs_lib.track(
+            job,
+            infer_lib.stream_frames(
+                lambda ch: benhance(params, state, ch), source.chunks(fb),
+                prefetch_host=infer_lib._copy_to_host_async,
+            ),
+            total=-(-n_frames // fb), phase="chunks",
         ):
             t01 = np.asarray(norm_targets(next(tchunks)), dtype=np.float32)
             fake = np.asarray(out, dtype=np.float32)

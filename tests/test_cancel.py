@@ -1,0 +1,357 @@
+"""In-flight cancellation + live progress (round-4 verdict item 4).
+
+Covers the whole chain: marker files + ProgressReporter/track units, the
+fit loop's checkpoint-then-stop behavior, the CLI/client entry points, and
+the end-to-end path — a running serve cancelled mid-stack lands in the
+terminal ``cancelled`` state and the worker takes the next job without a
+recycle.
+"""
+
+import json
+import os
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sequitr_tpu import client as client_lib
+from sequitr_tpu.config import ServerConfiguration
+from sequitr_tpu.data import records, tiff
+from sequitr_tpu.models import unet
+from sequitr_tpu.pipeline import fit as fit_lib
+from sequitr_tpu.pipeline import train as train_lib
+from sequitr_tpu.server import ImageServer, save_model, submit_job
+from sequitr_tpu.server import jobs as jobs_lib
+
+
+@pytest.fixture
+def server_env(tmp_path):
+    cfg = ServerConfiguration(
+        jobs_dir=str(tmp_path / "jobs"), models_dir=str(tmp_path / "models")
+    )
+    cfg.ensure_dirs()
+    return cfg, tmp_path
+
+
+def _job(jobs_dir, job_id, output) -> jobs_lib.Job:
+    return jobs_lib.Job(
+        id=job_id, module="m", func="run", params={}, input=[],
+        output=output, path=os.path.join(jobs_dir, f"job_{job_id}.running"),
+    )
+
+
+class TestCancelPrimitives:
+    def test_request_and_clear_marker(self, tmp_path):
+        jobs_dir = str(tmp_path)
+        job = _job(jobs_dir, "j1", str(tmp_path / "out"))
+        assert not jobs_lib.cancel_requested(job)
+        marker = jobs_lib.request_cancel(jobs_dir, "j1")
+        assert os.path.exists(marker)
+        assert jobs_lib.cancel_requested(job)
+        jobs_lib.clear_cancel(job)
+        assert not jobs_lib.cancel_requested(job)
+        jobs_lib.clear_cancel(job)  # idempotent
+
+    def test_track_raises_before_yielding_next_item(self, tmp_path):
+        jobs_dir = str(tmp_path)
+        job = _job(jobs_dir, "j2", str(tmp_path / "out"))
+        got = []
+
+        def run():
+            for item in jobs_lib.track(job, iter(range(100)), total=100):
+                got.append(item)
+                if item == 2:
+                    jobs_lib.request_cancel(jobs_dir, "j2")
+
+        with pytest.raises(jobs_lib.JobCancelled):
+            run()
+        # item 3 was never yielded: cancellation wins before the next frame
+        assert got == [0, 1, 2]
+        # the final progress line reflects the consumed count
+        prog = json.load(open(tmp_path / "out" / "progress.json"))
+        assert prog["done"] == 3 and prog["total"] == 100
+
+    def test_progress_reporter_rate_limit_and_final_write(self, tmp_path):
+        job = _job(str(tmp_path), "j3", str(tmp_path / "out"))
+        rep = jobs_lib.ProgressReporter(job, 10, every_s=3600.0)
+        path = tmp_path / "out" / "progress.json"
+        rep.step()  # _last_write=0 -> first step always writes
+        first = json.load(open(path))
+        assert first["done"] == 1 and first["phase"] == "frames"
+        for _ in range(8):
+            rep.step()  # rate-limited: no writes
+        assert json.load(open(path))["done"] == 1
+        rep.finish()  # final state always lands
+        final = json.load(open(path))
+        assert final["done"] == 9
+        assert final["frames_per_sec"] > 0
+
+    def test_reporter_non_raising_mode(self, tmp_path):
+        jobs_dir = str(tmp_path)
+        job = _job(jobs_dir, "j4", str(tmp_path / "out"))
+        jobs_lib.request_cancel(jobs_dir, "j4")
+        rep = jobs_lib.ProgressReporter(job, 5, raise_on_cancel=False)
+        rep.step()  # must NOT raise: the fit loop owns the cancel poll
+        assert json.load(open(tmp_path / "out" / "progress.json"))["done"] == 1
+
+
+class TestFitCancellation:
+    def _shards(self, tmp_path, n=12, s=16):
+        rng = np.random.default_rng(0)
+        exs = []
+        for _ in range(n):
+            img = rng.normal(0.1, 0.05, (s, s)).astype(np.float32)
+            lab = np.zeros((s, s), np.int32)
+            img[4:10, 4:10] += 1.0
+            lab[4:10, 4:10] = 1
+            exs.append(records.SegExample(img, lab, np.ones((s, s), np.float32)))
+        return records.write_segmentation_shards(
+            str(tmp_path / "train"), exs, shard_size=6
+        )
+
+    def test_should_stop_checkpoints_then_raises(self, tmp_path):
+        paths = self._shards(tmp_path)
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        tc = train_lib.TrainConfig(augment=False)
+        fc = fit_lib.FitConfig(steps=50, batch_size=4, checkpoint_every=10**9)
+        fired = {"n": 0}
+
+        def stop_after_5():
+            fired["n"] += 1
+            return fired["n"] > 5
+
+        ckpt_dir = str(tmp_path / "ck")
+        with pytest.raises(fit_lib.TrainingCancelled):
+            fit_lib.fit_unet(
+                cfg, tc, fc, paths, ckpt_dir=ckpt_dir, should_stop=stop_after_5
+            )
+        # progress kept: a step_* checkpoint exists at the stop point and
+        # resume-from-newest picks it up
+        ck = fit_lib.latest_checkpoint(ckpt_dir)
+        assert ck is not None and "step_" in ck
+        template = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        restored = train_lib.restore_checkpoint(ck, template)
+        assert int(restored.step) == 5
+
+    def test_progress_callback_sees_global_steps(self, tmp_path):
+        paths = self._shards(tmp_path)
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        tc = train_lib.TrainConfig(augment=False)
+        fc = fit_lib.FitConfig(steps=4, batch_size=4, checkpoint_every=10**9)
+        seen = []
+        fit_lib.fit_unet(
+            cfg, tc, fc, paths, progress=lambda s, t: seen.append((s, t))
+        )
+        assert seen == [(1, 4), (2, 4), (3, 4), (4, 4)]
+
+
+def _register_tiny_model(cfg_srv, name="segc"):
+    net_cfg = unet.UNetConfig(
+        in_channels=1, num_classes=2, depth=2, base_features=2,
+        compute_dtype=jnp.float32,
+    )
+    params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+    save_model(cfg_srv.models_dir, name, "unet", net_cfg, params, state)
+
+
+class TestCancelServeE2E:
+    def test_preplaced_marker_cancels_first_frame(self, server_env):
+        """Deterministic form: marker present before the job starts — the
+        serve stops at its first frame, status lands `cancelled`, partial
+        writers are aborted, and the worker then completes the NEXT job
+        (no recycle)."""
+        cfg_srv, tmp = server_env
+        _register_tiny_model(cfg_srv)
+        stack = (np.random.default_rng(0).random((6, 32, 32)) * 1000).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "stack.tif")
+        tiff.write_stack(stack_path, stack)
+        out_dir = str(tmp / "out")
+        jid = submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": {"model": "segc", "patch": [16, 16], "overlap": [4, 4]},
+                "input": [stack_path],
+                "output": out_dir,
+            },
+        )
+        jobs_lib.request_cancel(cfg_srv.jobs_dir, jid)
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "cancelled"
+        # aborted writers leave no partial output stack behind
+        assert not os.path.exists(os.path.join(out_dir, "labels.tif"))
+        # queue is clean: no .running/.failed litter, marker cleared
+        litter = [
+            f for f in os.listdir(cfg_srv.jobs_dir) if f.startswith("job_")
+        ]
+        assert litter == []
+
+        # the worker is healthy: next job completes normally
+        out2 = str(tmp / "out2")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": {"model": "segc", "patch": [16, 16], "overlap": [4, 4]},
+                "input": [stack_path],
+                "output": out2,
+            },
+        )
+        assert srv.poll_once()
+        status2 = json.load(open(os.path.join(out2, "status.json")))
+        assert status2["state"] == "complete", status2.get("error")
+
+    def test_cancel_mid_stack_from_another_thread(self, server_env):
+        """The realistic form: a long serve is cancelled WHILE running —
+        the client watches progress.json appear, requests the cancel, and
+        the job stops partway (round-4 verdict 'done' criterion)."""
+        cfg_srv, tmp = server_env
+        _register_tiny_model(cfg_srv)
+        n_frames = 400
+        stack = (np.random.default_rng(0).random((n_frames, 32, 32)) * 1000
+                 ).astype(np.float32)
+        stack_path = str(tmp / "stack.tif")
+        tiff.write_stack(stack_path, stack)
+        out_dir = str(tmp / "out")
+        jid = submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": {"model": "segc", "patch": [16, 16], "overlap": [4, 4],
+                           "localize": False},
+                "input": [stack_path],
+                "output": out_dir,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        t = threading.Thread(target=srv.poll_once)
+        t.start()
+        try:
+            # wait for the first live progress update (written at frame 1)
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if client_lib.read_progress(out_dir):
+                    break
+                time.sleep(0.01)
+            assert client_lib.read_progress(out_dir) is not None, "no progress"
+            assert client_lib.cancel_job(cfg_srv.jobs_dir, jid)
+        finally:
+            t.join(timeout=120)
+        assert not t.is_alive()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "cancelled", status
+        prog = json.load(open(os.path.join(out_dir, "progress.json")))
+        # genuinely mid-stack: at least one frame done, not all of them
+        assert 1 <= prog["done"] < n_frames
+
+
+class TestCancelTrainingE2E:
+    def test_cancelled_training_keeps_checkpoint(self, server_env, tmp_path):
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(0)
+        exs = [
+            records.SegExample(
+                rng.random((16, 16)).astype(np.float32),
+                rng.integers(0, 2, (16, 16)).astype(np.int32),
+                np.ones((16, 16), np.float32),
+            )
+            for _ in range(8)
+        ]
+        shards = records.write_segmentation_shards(
+            str(tmp / "rec"), exs, shard_size=8
+        )
+        out_dir = str(tmp / "tout")
+        jid = submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "train_unet2d",
+                "params": {
+                    "model": "trained", "steps": 400, "batch_size": 4,
+                    "num_classes": 2, "depth": 2, "base_features": 2,
+                    "norm": "none", "augment": False,
+                    "compute_dtype": "float32",
+                },
+                "input": shards,
+                "output": out_dir,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        t = threading.Thread(target=srv.poll_once)
+        t.start()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                prog = client_lib.read_progress(out_dir)
+                if prog and prog.get("done", 0) >= 1:
+                    break
+                time.sleep(0.01)
+            assert client_lib.cancel_job(cfg_srv.jobs_dir, jid)
+        finally:
+            t.join(timeout=180)
+        assert not t.is_alive()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "cancelled", status
+        # the cancelled run checkpointed its progress for a future resume
+        ck = fit_lib.latest_checkpoint(os.path.join(out_dir, "ckpts"))
+        assert ck is not None
+        # the model was NOT registered (training did not finish)
+        assert not os.path.isdir(os.path.join(cfg_srv.models_dir, "trained"))
+
+
+class TestCancelClientAndCLI:
+    def test_client_cancel_queued_withdraws(self, server_env):
+        cfg_srv, tmp = server_env
+        jid = submit_job(
+            cfg_srv.jobs_dir, {"module": "m", "input": [], "output": ""}
+        )
+        assert client_lib.cancel_job(cfg_srv.jobs_dir, jid)
+        from sequitr_tpu.server import scan_jobs
+
+        assert scan_jobs(cfg_srv.jobs_dir) == []
+
+    def test_client_cancel_unknown_returns_false(self, server_env):
+        cfg_srv, _ = server_env
+        assert not client_lib.cancel_job(cfg_srv.jobs_dir, "nope")
+
+    def test_wait_for_job_surfaces_cancelled_state(self, tmp_path):
+        out = tmp_path / "o"
+        out.mkdir()
+        (out / "status.json").write_text(json.dumps(
+            {"state": "cancelled", "error": "cancelled after 3 frames"}
+        ))
+        with pytest.raises(client_lib.JobCancelled):
+            client_lib.wait_for_job(str(out), timeout=5)
+
+    def test_cli_cancel_running_requests_marker(self, server_env, capsys):
+        from sequitr_tpu.__main__ import main as cli_main
+        import sys
+
+        cfg_srv, tmp = server_env
+        jid = submit_job(
+            cfg_srv.jobs_dir, {"module": "m", "input": [], "output": ""}
+        )
+        # simulate a server having claimed it
+        qpath = os.path.join(cfg_srv.jobs_dir, f"job_{jid}.json")
+        os.rename(qpath, qpath[: -len(".json")] + ".running")
+        old = sys.argv
+        try:
+            sys.argv = ["sequitr", "cancel", "--jobs-dir", cfg_srv.jobs_dir, jid]
+            assert cli_main() == 0
+        finally:
+            sys.argv = old
+        assert "cancel requested" in capsys.readouterr().out
+        job = _job(cfg_srv.jobs_dir, jid, "")
+        assert jobs_lib.cancel_requested(job)
