@@ -36,6 +36,12 @@ class ServerConfiguration:
     a clean process and the chip is actually freed from the abandoned
     thread. None (default) = auto: recycle exactly when running under the
     built-in supervisor (``SEQUITR_WORKER_ID`` set).
+    ``stale_claim_timeout``: seconds without a heartbeat after which another
+    worker may reclaim a ``.running`` job whose owner died (SIGKILL, OOM,
+    host crash) by renaming it back into the queue. Workers heartbeat their
+    claimed file's mtime every few seconds while the job runs, so the
+    default 300 s means ~60 missed beats — a dead owner, not a slow one.
+    None disables reclaim (a crashed worker's job stays claimed forever).
     """
 
     jobs_dir: str = "./jobs"
@@ -45,6 +51,7 @@ class ServerConfiguration:
     retry_backoff: float = 1.0
     job_timeout: Optional[float] = None
     recycle_on_timeout: Optional[bool] = None
+    stale_claim_timeout: Optional[float] = 300.0
     log_dir: Optional[str] = None
     # persistent XLA compilation cache: a restarted server re-serves known
     # (model, shape) graphs without recompiling (on machines with a remote

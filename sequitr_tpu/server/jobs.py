@@ -36,7 +36,8 @@ log = logging.getLogger("sequitr_tpu.jobs")
 __all__ = [
     "Job", "JobError", "JobCancelled", "scan_jobs", "claim_job",
     "write_status", "submit_job", "request_cancel", "cancel_requested",
-    "clear_cancel", "track", "ProgressReporter",
+    "clear_cancel", "track", "ProgressReporter", "heartbeat",
+    "reclaim_stale_claims",
 ]
 
 JOB_PREFIX = "job_"
@@ -214,9 +215,70 @@ def claim_job(path: str) -> Optional[Job]:
     except OSError as e:
         log.error("cannot claim job %s: %s", path, e)
         return None
+    # rename preserves the submit-time mtime; stamp the claim so the
+    # stale-claim reclaimer's heartbeat clock starts NOW, not at submit
+    # (a job queued for an hour must not look instantly orphaned)
+    try:
+        os.utime(claimed)
+    except OSError:
+        pass
     job = Job.from_file(claimed)
     job.path = claimed
     return job
+
+
+def heartbeat(job: Job) -> None:
+    """Refresh the claimed file's mtime — the owner-is-alive signal.
+
+    Called every few seconds by the server's job-supervision loop while a
+    pipeline runs. Cheap (one utimensat) and atomic; failure is harmless
+    (the job merely looks staler than it is).
+    """
+    try:
+        os.utime(job.path)
+    except OSError:
+        pass
+
+
+def reclaim_stale_claims(jobs_dir: str, timeout: float) -> List[str]:
+    """Re-queue ``.running`` jobs whose owner stopped heartbeating.
+
+    A worker killed hard (SIGKILL, OOM, host crash) leaves its claimed job
+    as ``.running`` litter no scan ever revisits — the queue would silently
+    lose it (SURVEY.md §5 failure detection). Any live worker calls this on
+    its poll tick: claimed files whose mtime is older than ``timeout`` are
+    atomically renamed back into the queue (the rename race between
+    multiple reclaimers has exactly one winner). The re-queued job re-runs
+    from scratch — every pipeline's outputs are write-temp-rename atomic,
+    so a partial first attempt cannot corrupt the re-run.
+    """
+    reclaimed: List[str] = []
+    now = time.time()
+    try:
+        with os.scandir(jobs_dir) as it:
+            entries = list(it)
+    except FileNotFoundError:
+        return reclaimed
+    for e in entries:
+        if not (e.name.startswith(JOB_PREFIX) and e.name.endswith(CLAIMED_SUFFIX)):
+            continue
+        try:
+            mtime = e.stat().st_mtime
+        except FileNotFoundError:
+            continue  # finished mid-scan
+        if now - mtime <= timeout:
+            continue
+        target = e.path[: -len(CLAIMED_SUFFIX)] + JOB_SUFFIX
+        try:
+            os.rename(e.path, target)
+        except OSError:
+            continue  # another reclaimer won, or the owner just finished
+        log.warning(
+            "reclaimed stale job %s (no heartbeat for > %.0f s; owner "
+            "presumed dead)", e.name, timeout,
+        )
+        reclaimed.append(target)
+    return reclaimed
 
 
 def write_status(
@@ -334,6 +396,9 @@ class ProgressReporter:
             row["total"] = self.total
         if elapsed > 0 and self._done:
             row[f"{self.phase}_per_sec"] = round(self._done / elapsed, 3)
+        worker = os.environ.get("SEQUITR_WORKER_ID")
+        if worker is not None:
+            row["worker"] = worker  # which worker/chip is serving this job
         out_dir = self.job.output or os.path.dirname(self.job.path)
         try:
             _atomic_write(os.path.join(out_dir, "progress.json"), json.dumps(row, indent=2))

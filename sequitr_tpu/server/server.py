@@ -139,6 +139,12 @@ class ImageServer:
         is quarantined as ``<name>.rejected`` instead of crashing the loop —
         a malformed client submission must never take the server down.
         """
+        if self.config.stale_claim_timeout:
+            # rescue jobs orphaned by a hard-killed worker before scanning,
+            # so a reclaimed job is claimable in this same tick
+            jobs_lib.reclaim_stale_claims(
+                self.config.jobs_dir, self.config.stale_claim_timeout
+            )
         for path in jobs_lib.scan_jobs(self.config.jobs_dir):
             try:
                 job = jobs_lib.claim_job(path)
@@ -170,7 +176,18 @@ class ImageServer:
                     pipeline = _profiled(pipeline)
                 outputs = self._run_with_watchdog(pipeline, job) or {}
                 jobs_lib.write_status(job, "complete", started, outputs=outputs)
-                os.unlink(job.path)
+                try:
+                    os.unlink(job.path)
+                except FileNotFoundError:
+                    # a reclaimer decided we were dead (heartbeat starved
+                    # longer than stale_claim_timeout) and re-queued the job
+                    # while we finished it. At-least-once semantics: the
+                    # re-run overwrites the same outputs atomically. The
+                    # success must NOT be turned into a failure over this.
+                    log.warning(
+                        "job %s finished but its claim was reclaimed "
+                        "(heartbeat starved?); the job may run again", job.id,
+                    )
                 jobs_lib.clear_cancel(job)  # late marker must not leak to a reused id
                 log.info("job %s complete in %.2fs", job.id, time.time() - started)
                 self._ledger(job, "complete", started, attempts)
@@ -262,14 +279,15 @@ class ImageServer:
     def _run_with_watchdog(self, pipeline, job: Job):
         """Run the pipeline, bounded by ``config.job_timeout`` wall seconds.
 
-        The pipeline runs on a daemon worker thread; on timeout the server
-        raises JobTimeout and moves on to the next job. The abandoned thread
-        cannot be force-killed in-process (a wedged jit compile keeps its
-        core), but the queue no longer blocks forever behind it — the
+        The pipeline runs on a daemon worker thread while the server thread
+        supervises it: every few seconds it heartbeats the claimed file's
+        mtime (the liveness signal ``stale_claim_timeout`` reclaim keys on)
+        and, when a ``job_timeout`` is set, enforces it. On timeout the
+        server raises JobTimeout and moves on to the next job. The abandoned
+        thread cannot be force-killed in-process (a wedged jit compile keeps
+        its core), but the queue no longer blocks forever behind it — the
         failure mode the reference's single-threaded loop had."""
         timeout = self.config.job_timeout
-        if not timeout:
-            return pipeline(job, self.config)
         import threading
 
         result: list = []
@@ -283,12 +301,27 @@ class ImageServer:
 
         t = threading.Thread(target=work, daemon=True, name=f"job-{job.id}")
         t.start()
-        t.join(timeout)
-        if t.is_alive():
-            raise JobTimeout(
-                f"job {job.id} exceeded job_timeout={timeout}s; "
-                "abandoning worker thread and failing the job"
-            )
+        # heartbeat well inside the reclaim window (default 5 s vs 300 s);
+        # tests with tiny stale_claim_timeouts get a proportional beat
+        hb = 5.0
+        if self.config.stale_claim_timeout:
+            hb = min(hb, self.config.stale_claim_timeout / 6.0)
+        deadline = time.monotonic() + timeout if timeout else None
+        while True:
+            wait = hb
+            if deadline is not None:
+                # never oversleep the deadline: a sub-second job_timeout
+                # must fire on time, not at the next heartbeat tick
+                wait = min(hb, max(deadline - time.monotonic(), 0.0))
+            t.join(wait)
+            if not t.is_alive():
+                break
+            jobs_lib.heartbeat(job)
+            if deadline is not None and time.monotonic() >= deadline:
+                raise JobTimeout(
+                    f"job {job.id} exceeded job_timeout={timeout}s; "
+                    "abandoning worker thread and failing the job"
+                )
         if error:
             raise error[0]
         return result[0]
@@ -1915,6 +1948,25 @@ if os.environ.get("SEQUITR_TEST_WEDGE"):  # pragma: no cover - subprocess only
     @register("__test_wedge__")
     def _test_wedge(job: Job, config: ServerConfiguration):
         time.sleep(3600)
+
+
+if os.environ.get("SEQUITR_TEST_SLOW"):  # pragma: no cover - subprocess only
+    # test hook for the multi-worker e2e: a job slow enough to SIGKILL its
+    # owner mid-run. Writes the worker's pid so the test kills exactly that
+    # process; the reclaimed RE-run sees the pid file already present and
+    # finishes fast (the rescue, not the sleep, is what's under test).
+    @register("__test_slow__")
+    def _test_slow(job: Job, config: ServerConfiguration):
+        out = job.output or "."
+        os.makedirs(out, exist_ok=True)
+        pid_file = os.path.join(out, "worker_pid.txt")
+        rerun = os.path.exists(pid_file)
+        with open(pid_file, "w") as f:
+            f.write(str(os.getpid()))
+        end = time.time() + (0.5 if rerun else float(job.params.get("sleep", 10.0)))
+        while time.time() < end:
+            time.sleep(0.2)
+        return {"rerun": str(rerun)}
 
 
 @register("parity_check")
