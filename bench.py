@@ -373,6 +373,28 @@ def bench_gan_train(device_kind: str, iters: int):
             "unit": "pairs/sec/chip"}
 
 
+def bench_emitters(device_kind: str, iters: int):
+    """Emitter-localization throughput: max-pool NMS detection + vmapped
+    Gaussian-mask sub-pixel fits, one fused jit graph per frame (the
+    localize_emitters pipeline's compute path, minus disk)."""
+    import jax.numpy as jnp
+    from sequitr_tpu import psf
+    from sequitr_tpu.data import synthetic
+
+    img, _ = synthetic.emitter_frame(0, (512, 512), n=120)
+    jimg = jnp.asarray(img)
+    thr = jnp.float32(120.0)
+
+    def one():
+        return psf._detect_and_fit(
+            jimg, thr, max_peaks=256, min_distance=2, window=7, sigma=1.5
+        )
+
+    fps = _rate(one, iters)
+    return {"metric": "emitter_localize_512", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
 CONFIGS = {
     "inference": bench_inference,
     "timelapse": bench_timelapse,
@@ -385,7 +407,65 @@ CONFIGS = {
     "fast": bench_fast,
     "fast4": bench_fast4,
     "giant": bench_giant,
+    "emitters": bench_emitters,
 }
+
+
+# ---------------------------------------------------------------------------
+# fidelity: the accuracy half of each row (round-4 verdict item 1)
+# ---------------------------------------------------------------------------
+
+
+def _fidelity_spec(name: str):
+    """(cache_key, thunk) for a config's fidelity measurement, or None.
+
+    Rows sharing one production graph family share one measurement (e.g.
+    `timelapse` streams the same trained 1024² graph `inference` times), so
+    an --all sweep pays each CPU-f32 reference exactly once.
+    """
+    from sequitr_tpu import fidelity as fid
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    specs = {
+        "inference": ("seg1024", lambda: fid.seg_fidelity(
+            "unet2d_cells", (1024, 1024), n=4)),
+        "timelapse": ("seg1024", lambda: fid.seg_fidelity(
+            "unet2d_cells", (1024, 1024), n=4)),
+        "fast": ("seg1024_fast", lambda: fid.seg_fidelity(
+            "unet2d_cells_fast", (1024, 1024), n=4)),
+        "fast4": ("seg1024_fast4", lambda: fid.seg_fidelity(
+            "unet2d_cells_fast4", (1024, 1024), n=4)),
+        # 2048²: big enough to engage the rolled-scan tiled grid the giant
+        # config exercises, small enough for a CPU-f32 reference pass
+        "giant": ("seg2048_tiled", lambda: fid.seg_fidelity(
+            "unet2d_cells", (2048, 2048),
+            tc=infer_lib.TileConfig(
+                patch=(384, 384), overlap=(64, 64), patch_batch=16
+            ),
+            n=2)),
+        "unet3d": ("seg3d", lambda: fid.seg_fidelity(
+            "unet3d_cells", (16, 128, 128), n=2)),
+        "gan": ("gan1024", lambda: fid.gan_fidelity(n=2)),
+        "ganstream": ("gan1024", lambda: fid.gan_fidelity(n=2)),
+        "train": ("train2d", lambda: fid.train_fidelity("unet2d")),
+        "train3d": ("train3d", lambda: fid.train_fidelity("unet3d")),
+        "gantrain": ("traingan", lambda: fid.train_fidelity("gan")),
+        "emitters": ("emit", lambda: fid.emitter_fidelity()),
+    }
+    return specs.get(name)
+
+
+def attach_fidelity(name: str, result: dict, cache: dict) -> None:
+    spec = _fidelity_spec(name)
+    if spec is None:
+        return
+    key, thunk = spec
+    if key not in cache:
+        try:
+            cache[key] = thunk()
+        except Exception as e:  # a missing fixture must not sink the sweep
+            cache[key] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    result["fidelity"] = cache[key]
 
 
 # ---------------------------------------------------------------------------
@@ -436,6 +516,10 @@ def main():
     # 20-iter north star reads ~60 fps, 48-iter ~64); longer windows
     # amortize it without changing the dependent-fetch methodology
     ap.add_argument("--iters", type=int, default=48)
+    ap.add_argument(
+        "--no-fidelity", action="store_true",
+        help="throughput only (skip the accuracy half of each row)",
+    )
     args = ap.parse_args()
 
     if args.baseline:
@@ -451,10 +535,13 @@ def main():
     )
     device_kind = jax.default_backend()
     names = sorted(CONFIGS) if args.all else [args.config]
+    fid_cache: dict = {}
     for name in names:
         result = CONFIGS[name](device_kind, args.iters)
         if name == "inference":
             result["vs_baseline"] = round(result["value"] / load_cpu_baseline(), 2)
+        if not args.no_fidelity:
+            attach_fidelity(name, result, fid_cache)
         print(json.dumps(result), flush=True)
 
 

@@ -1,0 +1,161 @@
+"""Deterministic synthetic microscopy scenes.
+
+The reference validated against real fluorescence data that cannot ship in
+this repo; the rebuild needs *reproducible* scenes for three jobs:
+
+* training the committed fixture checkpoints (``tools/make_fixtures.py``),
+* the per-config fidelity measurements in ``bench.py`` (mIoU / PSNR of the
+  production TPU path vs the CPU-f32 exact reference on identical weights),
+* end-to-end tests that want non-degenerate masks.
+
+Scenes model the classic sequitr 3-class task (SURVEY.md §2 UNet2D row:
+background / interphase / mitotic): a noisy gamma-distributed background,
+round dim "interphase" cells (class 1) and brighter, elongated "mitotic"
+cells (class 2), with intensities in the uint16-ish range real stacks use,
+so the percentile-normalize path sees realistic dynamics. Everything is a
+pure function of the seed (numpy ``default_rng``) — the same seed yields
+byte-identical scenes on every platform, which is what lets bench.py
+compare TPU and CPU paths on the *same* pixels.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+__all__ = ["cells_frame", "cells_stack", "cells_volume", "emitter_frame"]
+
+
+def _add_cell(img, lab, rng, cls: int) -> None:
+    """Stamp one cell into (img, lab) in place, in a local window."""
+    h, w = lab.shape
+    cy = float(rng.uniform(8, h - 8))
+    cx = float(rng.uniform(8, w - 8))
+    if cls == 1:  # interphase: round, dim
+        r_a = r_b = float(rng.uniform(5.0, 11.0))
+        amp = float(rng.uniform(350.0, 700.0))
+    else:  # mitotic: elongated, bright (condensed chromatin)
+        r_a = float(rng.uniform(7.0, 12.0))
+        r_b = r_a * float(rng.uniform(0.35, 0.55))
+        amp = float(rng.uniform(900.0, 1600.0))
+    theta = float(rng.uniform(0.0, np.pi))
+    ct, st = np.cos(theta), np.sin(theta)
+
+    # local window: 3 sigma of the larger axis
+    ext = int(np.ceil(3.0 * max(r_a, r_b)))
+    y0, y1 = max(0, int(cy) - ext), min(h, int(cy) + ext + 1)
+    x0, x1 = max(0, int(cx) - ext), min(w, int(cx) + ext + 1)
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    dy, dx = yy - cy, xx - cx
+    u = ct * dx + st * dy
+    v = -st * dx + ct * dy
+    q = (u / r_a) ** 2 + (v / r_b) ** 2
+    profile = amp * np.exp(-0.5 * q * 4.0)  # steep falloff: crisp boundary
+    img[y0:y1, x0:x1] += profile.astype(np.float32)
+    # label where the profile dominates the background (~35% of peak)
+    lab[y0:y1, x0:x1] = np.where(q < 0.525, cls, lab[y0:y1, x0:x1])
+
+
+def cells_frame(
+    seed: int, shape: Tuple[int, int] = (256, 256), density: float = 1 / 4096.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One synthetic fluorescence frame.
+
+    Returns ``(image float32, labels int32)`` with labels in {0, 1, 2}:
+    background / interphase / mitotic. ``density`` is cells per pixel
+    (default: one cell per 64x64 area).
+    """
+    rng = np.random.default_rng(seed)
+    h, w = shape
+    img = rng.gamma(2.0, 60.0, shape).astype(np.float32)  # autofluorescence
+    lab = np.zeros(shape, np.int32)
+    n = max(3, int(h * w * density))
+    for _ in range(n):
+        cls = 1 if rng.random() < 0.7 else 2
+        _add_cell(img, lab, rng, cls)
+    # shot-noise-like perturbation on top of the rendered scene
+    img += rng.normal(0.0, 1.0, shape).astype(np.float32) * np.sqrt(
+        np.maximum(img, 0.0)
+    ) * 0.5
+    return np.maximum(img, 0.0), lab
+
+
+def cells_stack(
+    seed: int, n: int, shape: Tuple[int, int] = (256, 256)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """``n`` independent frames: (n, H, W) images + labels."""
+    imgs = np.empty((n,) + tuple(shape), np.float32)
+    labs = np.empty((n,) + tuple(shape), np.int32)
+    for i in range(n):
+        imgs[i], labs[i] = cells_frame(seed * 10_000 + i, shape)
+    return imgs, labs
+
+
+def cells_volume(
+    seed: int, shape: Tuple[int, int, int] = (16, 128, 128)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """A z-stack with z-extended cells (the UNet3D task).
+
+    Cells live on a central plane and decay over ±2 neighbouring planes
+    (defocus blur); labels extend one plane either side — enough z
+    structure that a 3D net beats plane-wise 2D.
+    """
+    rng = np.random.default_rng(seed)
+    nz, h, w = shape
+    vol = rng.gamma(2.0, 60.0, shape).astype(np.float32)
+    lab = np.zeros(shape, np.int32)
+    n = max(3, int(h * w / 4096))
+    for _ in range(n):
+        cz = int(rng.integers(2, nz - 2))
+        img2, lab2 = np.zeros((h, w), np.float32), np.zeros((h, w), np.int32)
+        cls = 1 if rng.random() < 0.7 else 2
+        _add_cell(img2, lab2, rng, cls)
+        for dz, gain in ((-2, 0.2), (-1, 0.55), (0, 1.0), (1, 0.55), (2, 0.2)):
+            z = cz + dz
+            if 0 <= z < nz:
+                vol[z] += img2 * gain
+        for dz in (-1, 0, 1):
+            z = cz + dz
+            if 0 <= z < nz:
+                lab[z] = np.where(lab2 > 0, lab2, lab[z])
+    return vol, lab
+
+
+def emitter_frame(
+    seed: int,
+    shape: Tuple[int, int] = (256, 256),
+    n: int = 40,
+    sigma: float = 1.5,
+    amp: float = 400.0,
+    background: float = 20.0,
+    min_sep: float = 8.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sparse sub-pixel point emitters (the single-molecule task).
+
+    Returns ``(image float32, positions (n, 2) float64)`` with positions in
+    (y, x) pixel coordinates. Emitters are rejected-sampled to keep
+    ``min_sep`` pixels apart so detection/fitting is unambiguous and the
+    centroid-RMSE fidelity metric measures the fitter, not collisions.
+    """
+    rng = np.random.default_rng(seed)
+    h, w = shape
+    pos = []
+    for _ in range(10_000):
+        if len(pos) == n:
+            break
+        p = rng.uniform([6.0, 6.0], [h - 6.0, w - 6.0])
+        if all((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 >= min_sep**2 for q in pos):
+            pos.append(p)
+    pos_arr = np.asarray(pos, np.float64)
+    img = np.full(shape, background, np.float32)
+    ext = int(np.ceil(4 * sigma))
+    for cy, cx in pos_arr:
+        y0, y1 = max(0, int(cy) - ext), min(h, int(cy) + ext + 1)
+        x0, x1 = max(0, int(cx) - ext), min(w, int(cx) + ext + 1)
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        img[y0:y1, x0:x1] += amp * np.exp(
+            -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2)
+        ).astype(np.float32)
+    img += rng.normal(0.0, 3.0, shape).astype(np.float32)
+    return np.maximum(img, 0.0), pos_arr
