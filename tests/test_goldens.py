@@ -1,0 +1,174 @@
+"""Committed golden-file regression tests (round-4 verdict item 2).
+
+Each golden npz under ``tests/goldens/`` freezes a graph family's output on
+fixed inputs + fixed weights, generated CPU-f32 by ``tools/make_goldens.py``
+(SURVEY.md §4 "Golden-file tests on small fixed inputs"). Unlike the
+recompute-both-paths checks elsewhere, these compare against COMMITTED
+BYTES — an op-semantics change that shifts every live path together (a jax
+upgrade changing a lowering, an accidental edit to a core op) fails here
+and nowhere else. If a test fails after a deliberate, understood change,
+regenerate with the tool and commit the diff with the explanation.
+
+Tolerance tiers: conv-free ops (normalize, augment, quantiles) compare at
+~1e-6 — effectively exact. Full-network outputs compare at atol 5e-3 with
+a <=0.2% label-flip allowance: this machine's shared XLA compilation
+cache can serve AOT executables vectorized differently from a fresh
+compile (observed: ~3e-3 wobble on softmax outputs, 2/98k labels), which
+is instruction-selection jitter, not semantics — any real graph change
+(padding, BN fold, stitch weights, loss form) moves outputs orders of
+magnitude more.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+
+def _labels_close(got, want, frac: float = 0.002):
+    got, want = np.asarray(got), np.asarray(want)
+    flips = np.mean(got != want)
+    assert flips <= frac, f"label flip fraction {flips:.4%} > {frac:.2%}"
+
+
+def _load(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not generated (tools/make_goldens.py)")
+    return np.load(path)
+
+
+class TestInferenceGoldens:
+    def test_unet2d_fused_and_tiled(self):
+        from sequitr_tpu.models import fixtures
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        g = _load("unet2d_infer")
+        _, cfg, params, state, _ = fixtures.load("unet2d_cells")
+        tc = infer_lib.TileConfig(patch=(128, 128), overlap=(0, 0), normalize="exact")
+        probs, labels = infer_lib.make_frame_inferrer(cfg, tc, (128, 128))(
+            params, state, jnp.asarray(g["image"])
+        )
+        _labels_close(labels, g["labels"])
+        np.testing.assert_allclose(
+            np.asarray(probs, np.float32), g["probs"], atol=5e-3
+        )
+        tc_t = infer_lib.TileConfig(patch=(96, 96), overlap=(32, 32), normalize="exact")
+        probs_t, labels_t = infer_lib.make_frame_inferrer(cfg, tc_t, (128, 128))(
+            params, state, jnp.asarray(g["image"])
+        )
+        _labels_close(labels_t, g["labels_tiled"])
+        np.testing.assert_allclose(
+            np.asarray(probs_t, np.float32), g["probs_tiled"], atol=5e-3
+        )
+
+    def test_unet3d(self):
+        from sequitr_tpu.models import fixtures
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        g = _load("unet3d_infer")
+        _, cfg, params, state, _ = fixtures.load("unet3d_cells")
+        tc = infer_lib.TileConfig(
+            patch=(8, 64, 64), overlap=(0, 0, 0), normalize="exact"
+        )
+        probs, labels = infer_lib.make_frame_inferrer(cfg, tc, (8, 64, 64))(
+            params, state, jnp.asarray(g["volume"])
+        )
+        _labels_close(labels, g["labels"])
+        # 5e-3 covers the float16 storage rounding + the cache wobble
+        np.testing.assert_allclose(
+            np.asarray(probs, np.float32), g["probs"].astype(np.float32),
+            atol=5e-3,
+        )
+
+    def test_gan_generator(self):
+        from sequitr_tpu.models import fixtures, gan as gan_lib
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        g = _load("gan_generator")
+        _, cfg, params, state, _ = fixtures.load("gan_denoise")
+        fcfg, fparams, fstate = gan_lib.fold_generator(cfg, params, state)
+        tc = infer_lib.TileConfig(patch=(128, 128), overlap=(0, 0), normalize="exact")
+        x = infer_lib._normalize(jnp.asarray(g["image"])[..., None], tc)[None]
+        y, _ = gan_lib.generator_apply(fcfg, fparams, fstate, x)
+        np.testing.assert_allclose(
+            np.asarray(y[0, ..., 0], np.float32), g["output"], atol=5e-3
+        )
+
+
+class TestTrainGolden:
+    def test_loss_trajectory(self):
+        from sequitr_tpu.data import synthetic
+        from sequitr_tpu.models import unet
+        from sequitr_tpu.pipeline import train as train_lib
+
+        g = _load("train2d_losses")
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=3, base_features=16,
+            compute_dtype=jnp.float32,
+        )
+        tc = train_lib.TrainConfig(augment=False)
+        state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        step = train_lib.make_unet_train_step(cfg, tc)
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for s in range(4):
+            imgs, labs = [], []
+            for b in range(2):
+                img, lab = synthetic.cells_frame(50_000 + s * 2 + b, (64, 64))
+                lo, hi = np.percentile(img, [5.0, 99.5])
+                imgs.append(
+                    np.clip((img - lo) / (hi - lo), 0, 1).astype(np.float32)
+                )
+                labs.append(lab)
+            batch = {
+                "image": jnp.asarray(np.stack(imgs))[..., None],
+                "labels": jnp.asarray(np.stack(labs), jnp.int32),
+                "weights": jnp.ones((2, 64, 64), jnp.float32),
+            }
+            state, metrics = step(state, batch, jax.random.fold_in(key, s))
+            losses.append(float(metrics["loss"]))
+        np.testing.assert_allclose(losses, g["losses"], rtol=5e-4)
+
+
+class TestOpGoldens:
+    def test_augment_elastic(self):
+        from sequitr_tpu.data import synthetic
+        from sequitr_tpu.ops import augment
+
+        g = _load("augment_elastic")
+        img, lab = synthetic.cells_frame(60_001, (96, 96))
+        w = np.linspace(0, 1, 96 * 96, dtype=np.float32).reshape(96, 96)
+        a_img, a_lab, a_w = augment.augment_example(
+            jax.random.PRNGKey(7), jnp.asarray(img)[..., None],
+            jnp.asarray(lab), jnp.asarray(w), p_elastic=1.0,
+        )
+        np.testing.assert_array_equal(np.asarray(a_lab), g["labels"])
+        np.testing.assert_allclose(
+            np.asarray(a_img, np.float32), g["image"], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_w, np.float32), g["weights"], atol=1e-6
+        )
+
+    def test_normalize_quantiles(self):
+        from sequitr_tpu.data import synthetic
+        from sequitr_tpu.ops import normalize as norm_ops
+
+        g = _load("normalize_quantiles")
+        img, _ = synthetic.cells_frame(70_001, (256, 256))
+        x = jnp.asarray(img)[..., None]
+        lohi = [np.percentile(img, 5.0), np.percentile(img, 99.5)]
+        np.testing.assert_allclose(lohi, g["lohi_exact"], rtol=1e-6)
+        qs = jnp.asarray([0.05, 0.995], jnp.float32)
+        fast = np.asarray(
+            norm_ops.histogram_quantiles(x.reshape(-1, 1), qs, bins=4096)
+        )[:, 0]
+        np.testing.assert_allclose(fast, g["lohi_fast"], rtol=1e-5)
+        out = np.asarray(norm_ops.percentile_normalize(x, 5.0, 99.5), np.float32)
+        np.testing.assert_allclose(out, g["normalized"], atol=1e-6)

@@ -1,0 +1,212 @@
+"""Generate the committed golden files under ``tests/goldens/``.
+
+Round-4 verdict item 2: through round 3, on-chip goldens were recomputed
+from the CPU-f32 path each run, so an op-semantics change that shifts BOTH
+paths together (e.g. a jax upgrade changing a lowering) passed silently.
+These npz files freeze each graph family's outputs on fixed inputs and
+fixed weights (the committed trained fixtures where available, PRNGKey(0)
+init elsewhere); ``tests/test_goldens.py`` compares fresh recomputation
+against the committed bytes with tight tolerances — a deliberate one-ULP
+change in a core op fails the suite.
+
+Everything is generated CPU-pinned float32 (the suite's platform, so the
+comparison is apples-to-apples; the TPU lane keeps its separate
+bf16-vs-CPU cross-checks):
+
+    python tools/make_goldens.py            # all families
+    python tools/make_goldens.py --only unet2d_infer gan_generator
+
+Regenerate ONLY when an output change is intended and understood; the
+point of the files is that silent drift fails loudly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "goldens"
+)
+
+
+def _save(name: str, **arrays) -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    np.savez_compressed(path, **arrays)
+    kb = os.path.getsize(path) / 1024
+    print(f"{name}: {', '.join(sorted(arrays))} ({kb:.0f} KiB)")
+
+
+def make_unet2d_infer():
+    """Fused whole-frame AND tiled 2D inference on the trained teacher."""
+    from sequitr_tpu.data import synthetic
+    from sequitr_tpu.models import fixtures
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    _, cfg, params, state, _ = fixtures.load("unet2d_cells")
+    img, _ = synthetic.cells_frame(31_337, (128, 128))
+    tc = infer_lib.TileConfig(patch=(128, 128), overlap=(0, 0), normalize="exact")
+    probs, labels = infer_lib.make_frame_inferrer(cfg, tc, (128, 128))(
+        params, state, jnp.asarray(img)
+    )
+    # tiled: 96/32 grid exercises tile + hann stitch-blend on the same frame
+    tc_t = infer_lib.TileConfig(patch=(96, 96), overlap=(32, 32), normalize="exact")
+    probs_t, labels_t = infer_lib.make_frame_inferrer(cfg, tc_t, (128, 128))(
+        params, state, jnp.asarray(img)
+    )
+    _save(
+        "unet2d_infer", image=img,
+        probs=np.asarray(probs, np.float32), labels=np.asarray(labels),
+        probs_tiled=np.asarray(probs_t, np.float32),
+        labels_tiled=np.asarray(labels_t),
+    )
+
+
+def make_unet3d_infer():
+    from sequitr_tpu.data import synthetic
+    from sequitr_tpu.models import fixtures
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    _, cfg, params, state, _ = fixtures.load("unet3d_cells")
+    vol, _ = synthetic.cells_volume(31_338, (8, 64, 64))
+    tc = infer_lib.TileConfig(patch=(8, 64, 64), overlap=(0, 0, 0), normalize="exact")
+    probs, labels = infer_lib.make_frame_inferrer(cfg, tc, (8, 64, 64))(
+        params, state, jnp.asarray(vol)
+    )
+    # float16 storage halves the file; the test tolerance (2e-3) still
+    # catches any real semantic change
+    _save(
+        "unet3d_infer", volume=vol,
+        probs=np.asarray(probs, np.float16), labels=np.asarray(labels),
+    )
+
+
+def make_gan_generator():
+    from sequitr_tpu.data import synthetic
+    from sequitr_tpu.models import fixtures, gan as gan_lib
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    try:
+        _, cfg, params, state, _ = fixtures.load("gan_denoise")
+    except KeyError:
+        print("gan_generator: SKIPPED (gan_denoise fixture not trained yet)")
+        return
+    fcfg, fparams, fstate = gan_lib.fold_generator(cfg, params, state)
+    img, _ = synthetic.cells_frame(31_339, (128, 128))
+    tc = infer_lib.TileConfig(patch=(128, 128), overlap=(0, 0), normalize="exact")
+    x = infer_lib._normalize(jnp.asarray(img)[..., None], tc)[None]
+    y, _ = gan_lib.generator_apply(fcfg, fparams, fstate, x)
+    _save(
+        "gan_generator", image=img,
+        output=np.asarray(y[0, ..., 0], np.float32),
+    )
+
+
+def make_train2d_losses():
+    """Loss trajectory of 4 deterministic train steps from PRNGKey(0) init.
+
+    Covers init + weighted-CE loss + backward + adam update in one golden;
+    augmentation is deliberately OFF (it has its own golden below)."""
+    from sequitr_tpu.data import synthetic
+    from sequitr_tpu.models import unet
+    from sequitr_tpu.pipeline import train as train_lib
+
+    cfg = unet.UNetConfig(
+        in_channels=1, num_classes=3, depth=3, base_features=16,
+        compute_dtype=jnp.float32,
+    )
+    tc = train_lib.TrainConfig(augment=False)
+    state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+    step = train_lib.make_unet_train_step(cfg, tc)
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for s in range(4):
+        imgs, labs = [], []
+        for b in range(2):
+            img, lab = synthetic.cells_frame(50_000 + s * 2 + b, (64, 64))
+            lo, hi = np.percentile(img, [5.0, 99.5])
+            imgs.append(np.clip((img - lo) / (hi - lo), 0, 1).astype(np.float32))
+            labs.append(lab)
+        batch = {
+            "image": jnp.asarray(np.stack(imgs))[..., None],
+            "labels": jnp.asarray(np.stack(labs), jnp.int32),
+            "weights": jnp.ones((2, 64, 64), jnp.float32),
+        }
+        state, metrics = step(state, batch, jax.random.fold_in(key, s))
+        losses.append(float(metrics["loss"]))
+    _save("train2d_losses", losses=np.asarray(losses, np.float64))
+
+
+def make_augment_elastic():
+    """One fixed-key full augmentation (flip+rot90+elastic ON)."""
+    from sequitr_tpu.data import synthetic
+    from sequitr_tpu.ops import augment
+
+    img, lab = synthetic.cells_frame(60_001, (96, 96))
+    w = np.linspace(0, 1, 96 * 96, dtype=np.float32).reshape(96, 96)
+    out = augment.augment_example(
+        jax.random.PRNGKey(7), jnp.asarray(img)[..., None],
+        jnp.asarray(lab), jnp.asarray(w), p_elastic=1.0,
+    )
+    a_img, a_lab, a_w = out
+    _save(
+        "augment_elastic",
+        image=np.asarray(a_img, np.float32), labels=np.asarray(a_lab),
+        weights=np.asarray(a_w, np.float32),
+    )
+
+
+def make_normalize_quantiles():
+    """Exact (sort) and fast (histogram) percentile paths on one frame."""
+    from sequitr_tpu.data import synthetic
+    from sequitr_tpu.ops import normalize as norm_ops
+
+    img, _ = synthetic.cells_frame(70_001, (256, 256))
+    x = jnp.asarray(img)[..., None]
+    flat = x.reshape(-1, 1)
+    qs = jnp.asarray([0.05, 0.995], jnp.float32)
+    lohi_exact = np.asarray(
+        [np.percentile(img, 5.0), np.percentile(img, 99.5)], np.float64
+    )
+    lohi_fast = np.asarray(
+        norm_ops.histogram_quantiles(flat, qs, bins=4096), np.float64
+    )[:, 0]
+    out_exact = np.asarray(norm_ops.percentile_normalize(x, 5.0, 99.5), np.float32)
+    _save(
+        "normalize_quantiles",
+        lohi_exact=lohi_exact, lohi_fast=lohi_fast, normalized=out_exact,
+    )
+
+
+FAMILIES = {
+    "unet2d_infer": make_unet2d_infer,
+    "unet3d_infer": make_unet3d_infer,
+    "gan_generator": make_gan_generator,
+    "train2d_losses": make_train2d_losses,
+    "augment_elastic": make_augment_elastic,
+    "normalize_quantiles": make_normalize_quantiles,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None, choices=sorted(FAMILIES))
+    args = ap.parse_args()
+    for name in args.only or sorted(FAMILIES):
+        FAMILIES[name]()
+
+
+if __name__ == "__main__":
+    main()
