@@ -1,6 +1,7 @@
 """Multi-chip parallelism: mesh, DP sharding, spatial halo-exchange."""
 
 from sequitr_tpu.parallel import spatial  # noqa: F401
+from sequitr_tpu.parallel import spatial_train  # noqa: F401
 from sequitr_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_mesh2d,

@@ -15,9 +15,11 @@ the whole-frame forward — not an overlap-stitch approximation:
   no cross-boundary dependency, so the decoder needs no halo.
 
 Use when one frame is too large for a chip's HBM (e.g. 16k x 16k
-slide-scanner mosaics) or to cut single-frame latency ~Dx. Inference-mode
-only: batch-norm must be folded (``unet.fold_batchnorm``) or absent —
-training-time batch stats would need a psum not implemented here.
+slide-scanner mosaics) or to cut single-frame latency ~Dx. This module is
+the inference-mode path: batch-norm must be folded
+(``unet.fold_batchnorm``) or absent. TRAINING on spatially-sharded frames
+(halo-exchange backward + psum'd BN batch statistics) lives in
+``sequitr_tpu.parallel.spatial_train``.
 
 Multi-channel frames ride their channel axis unsharded; space-to-depth
 (fast-preset) configs shard too — the block rearrangement is shard-local
