@@ -25,7 +25,8 @@ from sequitr_tpu.pipeline import train as train_lib
 
 log = logging.getLogger("sequitr_tpu.fit")
 
-__all__ = ["FitConfig", "Distill", "fit_unet", "fit_gan", "latest_checkpoint"]
+__all__ = ["FitConfig", "Distill", "fit_unet", "fit_gan",
+           "fit_unet_spatial", "latest_checkpoint"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -493,4 +494,45 @@ def fit_gan(
     return _run_loop(
         state, step, batches, fc, ckpt_dir, key, ("d_loss", "g_loss"),
         eval_fn=eval_fn, should_stop=should_stop, progress=progress,
+    )
+
+
+def fit_unet_spatial(
+    cfg: unet.UNetConfig,
+    tc: train_lib.TrainConfig,
+    fc: FitConfig,
+    batches,
+    mesh,
+    frame_spatial,
+    ckpt_dir: Optional[str] = None,
+    init_state: Optional[train_lib.TrainState] = None,
+    data_axis: Optional[str] = None,
+    space_axis: str = "data",
+    should_stop: Optional[Callable[[], bool]] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> train_lib.TrainState:
+    """Finetune on WHOLE giant frames, rows halo-sharded across the mesh.
+
+    The training counterpart of the ``spatial_parallel`` serving path:
+    instead of record patches, each step consumes ``batches`` of full
+    (batch, *frame_spatial) frames whose activations would not fit one
+    chip's HBM — the step is ``parallel.spatial_train.make_spatial_train_step``
+    (halo-exchange convs, psum'd BN batch statistics, one replicated Adam
+    update; augmentation must be off — pre-augment on the host if needed).
+    Checkpointing, resume, metrics JSONL, cancellation and progress all
+    ride the shared ``_run_loop``.
+    """
+    _check_keep_best(fc, set())
+    from sequitr_tpu.parallel import spatial_train
+
+    key = jax.random.PRNGKey(fc.seed)
+    state = init_state or train_lib.create_unet_state(key, cfg, tc)
+    step = spatial_train.make_spatial_train_step(
+        cfg, tc, mesh, tuple(frame_spatial), fc.batch_size,
+        space_axis=space_axis, data_axis=data_axis,
+    )
+    return _run_loop(
+        state, step, batches, fc, ckpt_dir, key,
+        ("loss", "accuracy", "grad_norm"),
+        should_stop=should_stop, progress=progress,
     )

@@ -1405,6 +1405,204 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     return {"model": model_dir, "metrics_file": fc.metrics_path}
 
 
+@register("finetune_spatial")
+def finetune_spatial(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Finetune a U-Net on WHOLE giant frames, rows sharded across chips.
+
+    The training counterpart of the ``spatial_parallel`` serving option
+    (round-3 verdict item 7 operationalized): frames too large to train
+    as one-chip batches — 16k x 16k slide-scanner mosaics — train with
+    their rows halo-sharded over the device mesh
+    (``parallel.spatial_train``: exact whole-frame semantics, psum'd BN
+    batch statistics). No record shards: the job consumes stacks directly.
+
+    input: [*image stacks (one per channel), labels stack]. params:
+    ``model`` (output name, required), ``from_model`` (registered model
+    to start from; omit to train from scratch using the architecture
+    params), ``weights_input`` (optional per-pixel loss-weight stack
+    path), ``steps``, ``batch_size`` (default 1), ``learning_rate``,
+    ``data_ways`` (hybrid DP x spatial: shard the batch this many ways
+    and rows over the rest; default 1 = pure spatial), ``normalize``
+    (default true; percentile [p_lo, p_hi] -> [0,1] per frame, matching
+    ``build_records``), ``checkpoint_every``, ``log_every``, ``seed``,
+    ``resume`` (default true). Frame heights must divide the spatial
+    ways x the model's pooling multiple. Cancellation checkpoints first;
+    a re-submitted job resumes. Augmentation is off by design (geometric
+    warps cross shard boundaries — see parallel.spatial_train).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu import parallel
+    from sequitr_tpu.pipeline import fit as fit_lib
+    from sequitr_tpu.pipeline import train as train_lib
+
+    paths = _resolve_inputs(job)
+    if len(paths) < 2:
+        raise jobs_lib.JobError(
+            "finetune_spatial needs [*image stacks, labels]"
+        )
+    *img_paths, lab_path = paths
+    p = job.params
+    try:
+        source = FrameSource(paths=img_paths)
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    labels = np.asarray(tiff.read_stack(lab_path)).astype(np.int32)
+    if labels.ndim == 2:
+        labels = labels[None]
+    if (len(source),) + source.spatial != labels.shape:
+        raise jobs_lib.JobError(
+            f"image/label shape mismatch: "
+            f"{(len(source),) + source.spatial} vs {labels.shape}"
+        )
+    weights = None
+    if p.get("weights_input"):
+        weights = np.asarray(
+            tiff.read_stack(str(p["weights_input"]))
+        ).astype(np.float32)
+        if weights.ndim == 2:
+            weights = weights[None]
+        if weights.shape != labels.shape:
+            raise jobs_lib.JobError(
+                f"weights/label shape mismatch: {weights.shape} vs "
+                f"{labels.shape}"
+            )
+
+    steps = int(p.get("steps", 100))
+    batch_size = int(p.get("batch_size", 1))
+    tc = train_lib.TrainConfig(
+        learning_rate=float(p.get("learning_rate", 1e-5)),
+        augment=False,
+        grad_accum=int(p.get("grad_accum", 1)),
+    )
+    if p.get("from_model"):
+        kind, cfg, params, model_state = load_model_cached(
+            config.models_dir, str(p["from_model"])
+        )
+        if kind != "unet":
+            raise jobs_lib.JobError(
+                f"from_model={p['from_model']!r} is not a unet model"
+            )
+        if cfg.compute_dtype != jnp.float32:
+            # halo-exchange training runs f32 (gradient fidelity on giant
+            # frames); serving re-casts to bf16 via the normal load path
+            import dataclasses as dc
+
+            cfg = dc.replace(cfg, compute_dtype=jnp.float32)
+        init = train_lib.TrainState(
+            params, model_state, tc.make_optimizer().init(params),
+            jnp.zeros((), jnp.int32),
+        )
+    else:
+        cfg = unet_config_from_params(p)
+        init = None
+
+    d_ways = int(p.get("data_ways", 1))
+    n_dev = jax.device_count()
+    if d_ways > 1:
+        if n_dev % d_ways:
+            raise jobs_lib.JobError(
+                f"data_ways={d_ways} does not divide {n_dev} devices"
+            )
+        mesh = parallel.make_mesh2d((d_ways, n_dev // d_ways))
+        data_axis, space_axis = "data", "space"
+    else:
+        mesh = parallel.make_mesh()
+        data_axis, space_axis = None, "data"
+    if batch_size > len(source):
+        raise jobs_lib.JobError(
+            f"batch_size={batch_size} exceeds the {len(source)}-frame stack"
+        )
+    try:
+        # fail fast with a deterministic JobError on mesh/shape mismatch
+        # (H divisibility, pooling multiple, hybrid batch factor) instead
+        # of a retried traceback from inside the fit loop
+        from sequitr_tpu.parallel.spatial import _validate_spatial
+
+        _validate_spatial(cfg, mesh.shape[space_axis], source.spatial)
+        if batch_size % (mesh.shape[data_axis] if data_axis else 1):
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by {d_ways} data shards"
+            )
+    except (ValueError, NotImplementedError) as e:
+        raise jobs_lib.JobError(str(e))
+
+    fc = fit_lib.FitConfig(
+        steps=steps,
+        batch_size=batch_size,
+        checkpoint_every=int(p.get("checkpoint_every", 500)),
+        log_every=int(p.get("log_every", 50)),
+        metrics_path=os.path.join(job.output, "metrics.jsonl"),
+        seed=int(p.get("seed", 0)),
+        keep_checkpoints=int(p.get("keep_checkpoints", 3)),
+    )
+    ckpt_dir = os.path.join(job.output, "ckpts")
+    ckpt = fit_lib.latest_checkpoint(ckpt_dir) if p.get("resume", True) else None
+    if ckpt:
+        template = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        init = train_lib.restore_checkpoint(ckpt, template)
+
+    normalize = bool(p.get("normalize", True))
+    p_lo, p_hi = float(p.get("p_lo", 5.0)), float(p.get("p_hi", 99.5))
+    n_frames = len(source)
+
+    def frame_batches():
+        """Cycle whole frames in batches forever (_run_loop bounds steps).
+
+        Frames normalize per visit — giant stacks are not cached in host
+        RAM (same percentile mapping as build_records, so a finetuned
+        model sees serving's input distribution)."""
+        order_rng = np.random.default_rng(fc.seed)
+        while True:
+            order = order_rng.permutation(n_frames)
+            for s in range(0, n_frames - batch_size + 1, batch_size):
+                idx = order[s : s + batch_size]
+                imgs = []
+                for t in idx:
+                    img = np.asarray(source.frame(int(t)), dtype=np.float32)
+                    if normalize:
+                        axes = tuple(range(len(source.spatial)))
+                        lo = np.percentile(img, p_lo, axis=axes, keepdims=True)
+                        hi = np.percentile(img, p_hi, axis=axes, keepdims=True)
+                        img = np.clip(
+                            (img - lo) / np.maximum(hi - lo, 1e-8), 0.0, 1.0
+                        ).astype(np.float32)
+                    imgs.append(img)
+                batch = {
+                    "image": np.stack(imgs),
+                    "labels": labels[idx],
+                }
+                if weights is not None:
+                    batch["weights"] = weights[idx]
+                yield batch
+
+    rep = jobs_lib.ProgressReporter(
+        job, steps, phase="steps", raise_on_cancel=False
+    )
+    try:
+        try:
+            state = fit_lib.fit_unet_spatial(
+                cfg, tc, fc, frame_batches(), mesh, source.spatial,
+                ckpt_dir=ckpt_dir, init_state=init,
+                data_axis=data_axis, space_axis=space_axis,
+                should_stop=lambda: jobs_lib.cancel_requested(job),
+                progress=lambda s, _t: rep.step(s),
+            )
+        except fit_lib.TrainingCancelled as e:
+            raise jobs_lib.JobCancelled(str(e))
+    finally:
+        source.close()
+    rep.finish()
+    model_dir = save_model(
+        config.models_dir, _require_param(job, "model"), "unet", cfg,
+        state.params, state.model_state
+    )
+    return {"model": model_dir, "metrics_file": fc.metrics_path}
+
+
 @register("build_gan_pairs")
 def build_gan_pairs(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Build GAN training pair shards from (raw, target) TIFF stacks.

@@ -2793,3 +2793,99 @@ class TestModelForwardCompat:
         assert fmap[0].tolist() == [0, 1]
         for row in fmap[1:]:
             assert row[0] == row[1] == 1  # empty per-frame slices
+
+
+class TestFinetuneSpatial:
+    """finetune_spatial: giant-frame training through the job API
+    (round-4 extension of verdict item 7 — the spatial_parallel TRAIN
+    counterpart)."""
+
+    def _register(self, cfg_srv, name="giant"):
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.models import unet as unet_lib
+        from sequitr_tpu.server.server import save_model
+
+        mcfg = unet_lib.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="batch", compute_dtype=jnp.float32,
+        )
+        params, state = unet_lib.init(jax.random.PRNGKey(0), mcfg)
+        save_model(cfg_srv.models_dir, name, "unet", mcfg, params, state)
+        return mcfg
+
+    def _stack(self, tmp, h=32, w=16, n=2):
+        rng = np.random.default_rng(3)
+        images = rng.gamma(2.0, 50.0, (n, h, w)).astype(np.float32)
+        labels = (images > np.median(images)).astype(np.uint16)
+        img_path, lab_path = str(tmp / "gi.tif"), str(tmp / "gl.tif")
+        tiff.write_stack(img_path, images)
+        tiff.write_stack(lab_path, labels)
+        return img_path, lab_path
+
+    def test_finetune_from_registered_model(self, server_env):
+        cfg_srv, tmp = server_env
+        self._register(cfg_srv)
+        img_path, lab_path = self._stack(tmp)
+        out = str(tmp / "ft_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "finetune_spatial",
+                "params": {
+                    "model": "giant_ft", "from_model": "giant",
+                    "steps": 3, "learning_rate": 1e-4, "log_every": 1,
+                },
+                "input": [img_path, lab_path],
+                "output": out,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        status = json.load(open(os.path.join(out, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        from sequitr_tpu.server import load_model
+
+        kind, mcfg, params, state = load_model(cfg_srv.models_dir, "giant_ft")
+        assert kind == "unet"
+        rows = [
+            json.loads(l)
+            for l in open(status["outputs"]["metrics_file"])
+        ]
+        train_rows = [r for r in rows if r["kind"] == "train"]
+        assert train_rows and np.isfinite(train_rows[-1]["loss"])
+        # the finetuned weights moved away from the source model
+        _, _, src_params, _ = load_model(cfg_srv.models_dir, "giant")
+        import jax
+
+        deltas = [
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(src_params))
+        ]
+        assert max(deltas) > 0
+
+    def test_bad_height_is_deterministic_joberror(self, server_env):
+        """An H not divisible by mesh x pooling fails fast (no retry)."""
+        import dataclasses as dc
+
+        cfg_srv, tmp = server_env
+        cfg_srv = dc.replace(cfg_srv, max_retries=3)
+        self._register(cfg_srv)
+        img_path, lab_path = self._stack(tmp, h=24)
+        out = str(tmp / "bad_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "finetune_spatial",
+                "params": {"model": "x_ft", "from_model": "giant", "steps": 2},
+                "input": [img_path, lab_path],
+                "output": out,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        status = json.load(open(os.path.join(out, "status.json")))
+        assert status["state"] == "failed"
+        assert "divisible" in status["error"]
+        assert status.get("attempts", 1) == 1  # JobError: never retried
