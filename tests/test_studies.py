@@ -86,3 +86,21 @@ class TestWinograd:
         w = jnp.ones((3, 3, 2, 2)) * 0.1
         g = jax.grad(lambda ww: float(0) + jnp.sum(winograd_conv3x3(x, ww) ** 2))(w)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestRoofline:
+    def test_roofline_runs_and_accounts(self):
+        """Smoke the per-level roofline study at a tiny size on CPU: every
+        pipeline stage produces a row, FLOP accounting sums to the whole
+        graph's, and the fused reference runs (round-4 verdict item 3's
+        artifact stays executable)."""
+        from sequitr_tpu.studies import roofline
+
+        rows, summary = roofline.run(size=64, iters=2)
+        stages = [r["stage"] for r in rows]
+        assert stages[0] == "normalize" and "head" in stages[-1]
+        assert len(stages) == 9  # norm + enc0-3 + dec2-0 + head
+        assert all(r["ms"] > 0 for r in rows)
+        assert summary["fused_ms"] > 0
+        # analytic FLOP total consistent between sliced rows and summary
+        assert abs(sum(r["gflop"] for r in rows) - summary["gflop"]) < 0.1
