@@ -1450,25 +1450,40 @@ def finetune_spatial(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         source = FrameSource(paths=img_paths)
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
-    labels = np.asarray(tiff.read_stack(lab_path)).astype(np.int32)
-    if labels.ndim == 2:
-        labels = labels[None]
-    if (len(source),) + source.spatial != labels.shape:
+    def lazy_stack(path, dtype):
+        """Per-frame lazy reader (giant stacks must not load eagerly —
+        the whole point of this pipeline), bulk fallback for exotic
+        layouts; returns (shape, read_fn, close_fn)."""
+        try:
+            r = tiff.TiffReader(path)
+            return (
+                tuple(r.shape),
+                lambda i: np.asarray(r.read_frame(i)).astype(dtype),
+                r.close,
+            )
+        except ValueError:
+            arr = np.asarray(tiff.read_stack(path)).astype(dtype)
+            if arr.ndim == 2:
+                arr = arr[None]
+            return tuple(arr.shape), (lambda i: arr[i]), (lambda: None)
+
+    closers = [source.close]
+    lab_shape, read_lab, close_lab = lazy_stack(lab_path, np.int32)
+    closers.append(close_lab)
+    if (len(source),) + source.spatial != lab_shape:
         raise jobs_lib.JobError(
             f"image/label shape mismatch: "
-            f"{(len(source),) + source.spatial} vs {labels.shape}"
+            f"{(len(source),) + source.spatial} vs {lab_shape}"
         )
-    weights = None
+    read_w = None
     if p.get("weights_input"):
-        weights = np.asarray(
-            tiff.read_stack(str(p["weights_input"]))
-        ).astype(np.float32)
-        if weights.ndim == 2:
-            weights = weights[None]
-        if weights.shape != labels.shape:
+        w_shape, read_w, close_w = lazy_stack(
+            str(p["weights_input"]), np.float32
+        )
+        closers.append(close_w)
+        if w_shape != lab_shape:
             raise jobs_lib.JobError(
-                f"weights/label shape mismatch: {weights.shape} vs "
-                f"{labels.shape}"
+                f"weights/label shape mismatch: {w_shape} vs {lab_shape}"
             )
 
     steps = int(p.get("steps", 100))
@@ -1486,18 +1501,19 @@ def finetune_spatial(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             raise jobs_lib.JobError(
                 f"from_model={p['from_model']!r} is not a unet model"
             )
+        save_cfg = cfg  # re-register with the SOURCE serving dtype
         if cfg.compute_dtype != jnp.float32:
             # halo-exchange training runs f32 (gradient fidelity on giant
-            # frames); serving re-casts to bf16 via the normal load path
-            import dataclasses as dc
-
-            cfg = dc.replace(cfg, compute_dtype=jnp.float32)
+            # frames) but the finetuned model re-registers with the source
+            # model's compute dtype so serving keeps its bf16 speed
+            cfg = dataclasses.replace(cfg, compute_dtype=jnp.float32)
         init = train_lib.TrainState(
             params, model_state, tc.make_optimizer().init(params),
             jnp.zeros((), jnp.int32),
         )
     else:
         cfg = unet_config_from_params(p)
+        save_cfg = cfg
         init = None
 
     d_ways = int(p.get("data_ways", 1))
@@ -1573,10 +1589,12 @@ def finetune_spatial(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     imgs.append(img)
                 batch = {
                     "image": np.stack(imgs),
-                    "labels": labels[idx],
+                    "labels": np.stack([read_lab(int(t)) for t in idx]),
                 }
-                if weights is not None:
-                    batch["weights"] = weights[idx]
+                if read_w is not None:
+                    batch["weights"] = np.stack(
+                        [read_w(int(t)) for t in idx]
+                    )
                 yield batch
 
     rep = jobs_lib.ProgressReporter(
@@ -1594,10 +1612,11 @@ def finetune_spatial(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         except fit_lib.TrainingCancelled as e:
             raise jobs_lib.JobCancelled(str(e))
     finally:
-        source.close()
+        for close in closers:
+            close()
     rep.finish()
     model_dir = save_model(
-        config.models_dir, _require_param(job, "model"), "unet", cfg,
+        config.models_dir, _require_param(job, "model"), "unet", save_cfg,
         state.params, state.model_state
     )
     return {"model": model_dir, "metrics_file": fc.metrics_path}
