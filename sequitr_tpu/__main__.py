@@ -446,45 +446,25 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "cancel":
-        import os
+        from sequitr_tpu import client as client_lib
 
-        from sequitr_tpu.server import jobs as jobs_lib
-
-        # cancellation uses the same atomicity as claiming: whoever renames
-        # the queued file first wins, so cancel can never yank a job out
-        # from under a server that already claimed it (it gets ENOENT and
-        # reports "already claimed" instead)
-        path = os.path.join(
-            args.jobs_dir,
-            f"{jobs_lib.JOB_PREFIX}{args.job_id}{jobs_lib.JOB_SUFFIX}",
-        )
-        try:
-            os.rename(path, path + ".cancelled")
-            # the rename won the race, so no server holds this job — delete
-            # the marker instead of accumulating .cancelled litter that the
-            # `queue` command would never show
-            os.remove(path + ".cancelled")
+        got = client_lib.cancel_job(args.jobs_dir, args.job_id)
+        if got == "cancelled":
             print(f"cancelled {args.job_id}")
             return 0
-        except FileNotFoundError:
-            # already claimed: ask the running worker to stop cooperatively
-            # (round-4 in-flight cancellation). The worker polls the marker
-            # between frames/steps; training checkpoints before stopping.
-            claimed = (
-                path[: -len(jobs_lib.JOB_SUFFIX)] + jobs_lib.CLAIMED_SUFFIX
-            )
-            if os.path.exists(claimed):
-                jobs_lib.request_cancel(args.jobs_dir, args.job_id)
-                print(
-                    f"{args.job_id}: running — cancel requested; the worker "
-                    "will stop at its next frame/step"
-                )
-                return 0
+        if got == "requested":
+            # already claimed: the worker polls the marker between
+            # frames/steps; training checkpoints before stopping
             print(
-                f"{args.job_id}: not in the queue or running (done, failed, "
-                "or never submitted)", file=sys.stderr,
+                f"{args.job_id}: running — cancel requested; the worker "
+                "will stop at its next frame/step"
             )
-            return 1
+            return 0
+        print(
+            f"{args.job_id}: not in the queue or running (done, failed, "
+            "or never submitted)", file=sys.stderr,
+        )
+        return 1
 
     return 1
 

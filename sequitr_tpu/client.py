@@ -61,25 +61,34 @@ def wait_for_job(
     raise JobTimeout(f"job did not finish within {timeout}s ({output_dir})")
 
 
-def cancel_job(jobs_dir: str, job_id: str) -> bool:
+def cancel_job(jobs_dir: str, job_id: str) -> Optional[str]:
     """Cancel a job: withdraw it from the queue, or — if already claimed —
     request a cooperative stop from the running worker (the job then lands
-    in the terminal ``cancelled`` state). Returns False if the job is
-    neither queued nor running."""
+    in the terminal ``cancelled`` state).
+
+    Returns ``"cancelled"`` (withdrawn before any server claimed it),
+    ``"requested"`` (running; the worker stops at its next frame/step), or
+    None if the job is neither queued nor running. Cancellation uses the
+    same atomicity as claiming: whoever renames the queued file first wins,
+    so this can never yank a job out from under a server that already
+    claimed it.
+    """
     path = os.path.join(
         jobs_dir, f"{jobs_lib.JOB_PREFIX}{job_id}{jobs_lib.JOB_SUFFIX}"
     )
     try:
         os.rename(path, path + ".cancelled")
+        # the rename won the race, so no server holds this job — delete the
+        # marker instead of accumulating .cancelled litter
         os.remove(path + ".cancelled")
-        return True
+        return "cancelled"
     except FileNotFoundError:
         pass
     claimed = path[: -len(jobs_lib.JOB_SUFFIX)] + jobs_lib.CLAIMED_SUFFIX
     if os.path.exists(claimed):
         jobs_lib.request_cancel(jobs_dir, job_id)
-        return True
-    return False
+        return "requested"
+    return None
 
 
 def read_progress(output_dir: str) -> Optional[Dict[str, Any]]:

@@ -37,13 +37,17 @@ __all__ = [
     "Job", "JobError", "JobCancelled", "scan_jobs", "claim_job",
     "write_status", "submit_job", "request_cancel", "cancel_requested",
     "clear_cancel", "track", "ProgressReporter", "heartbeat",
-    "reclaim_stale_claims",
+    "reclaim_stale_claims", "owns_claim",
 ]
 
 JOB_PREFIX = "job_"
 JOB_SUFFIX = ".json"
 CLAIMED_SUFFIX = ".running"
 CANCEL_SUFFIX = ".cancel"
+# intermediate suffix used by reclaim_stale_claims so the rename race among
+# multiple reclaimers has one winner AND requeueing never clobbers a freshly
+# re-submitted same-id spec (link(2) is exclusive; rename is not)
+RECLAIM_SUFFIX = CLAIMED_SUFFIX + ".reclaim"
 
 
 class JobError(RuntimeError):
@@ -71,6 +75,10 @@ class Job:
     output: str
     priority: int = 0  # higher runs first; ties oldest-first
     path: str = ""  # queue file path once claimed
+    # wall time of this worker's last successful heartbeat on the claim.
+    # ``owns_claim`` compares it against the file's mtime to detect that a
+    # heartbeat-starved claim was reclaimed and re-claimed by someone else.
+    last_beat: float = 0.0
 
     @classmethod
     def from_file(cls, path: str) -> "Job":
@@ -90,8 +98,13 @@ class Job:
             # any malformed field (priority: null, input: 5, ...) must
             # surface as JobError so the server quarantines instead of
             # crashing its poll loop
+            # the id is ALWAYS the queue filename's stem — the string
+            # submit_job returned to the client and the key every marker
+            # file (.cancel, .failed) derives from. A spec-level "id" field
+            # must not override it or the cancel/clear paths would key on
+            # different names than the CLI/client use.
             return cls(
-                id=str(data.get("id", stem)),
+                id=stem,
                 module=str(data["module"]),
                 func=str(data.get("func") or "run"),
                 params=dict(data.get("params") or {}),
@@ -208,6 +221,14 @@ def claim_job(path: str) -> Optional[Job]:
     forever.
     """
     claimed = path[: -len(JOB_SUFFIX)] + CLAIMED_SUFFIX
+    # stamp the heartbeat clock BEFORE the rename (rename preserves mtime,
+    # so the fresh stamp travels with it): a job queued longer than
+    # stale_claim_timeout must never exist as an instantly-stale .running
+    # file, or a concurrent reclaimer could yank it back mid-claim
+    try:
+        os.utime(path)
+    except OSError:
+        pass  # racing claimer already took it; the rename below settles it
     try:
         os.rename(path, claimed)
     except FileNotFoundError:
@@ -215,15 +236,25 @@ def claim_job(path: str) -> Optional[Job]:
     except OSError as e:
         log.error("cannot claim job %s: %s", path, e)
         return None
-    # rename preserves the submit-time mtime; stamp the claim so the
-    # stale-claim reclaimer's heartbeat clock starts NOW, not at submit
-    # (a job queued for an hour must not look instantly orphaned)
+    now = time.time()
     try:
         os.utime(claimed)
     except OSError:
         pass
-    job = Job.from_file(claimed)
+    try:
+        job = Job.from_file(claimed)
+    except FileNotFoundError:
+        # only possible under a sub-second stale_claim_timeout: a reclaimer
+        # decided the freshly-stamped claim was already stale. Benign — the
+        # requeued job will be claimed on a later tick.
+        return None
     job.path = claimed
+    job.last_beat = now
+    # a cancel marker left over from a PREVIOUS run of this id (written in
+    # the race window after that run's terminal clear) must not instantly
+    # cancel the fresh claim. A FRESH marker is kept: it is a genuine
+    # cancel request that raced this claim by moments.
+    _clear_stale_cancel(job)
     return job
 
 
@@ -237,7 +268,55 @@ def heartbeat(job: Job) -> None:
     try:
         os.utime(job.path)
     except OSError:
+        return  # claim gone (reclaimed/finished): not a fresh beat
+    job.last_beat = time.time()
+
+
+def owns_claim(job: Job) -> bool:
+    """Best-effort: is the ``.running`` file still THIS worker's claim?
+
+    A worker that starves its heartbeat past ``stale_claim_timeout``
+    (SIGSTOP, VM pause, a minutes-long host stall) may have had its job
+    reclaimed and re-claimed by another worker. Rename preserves the inode,
+    so the discriminator is time: the new owner's claim stamp/heartbeats
+    set the file's mtime far NEWER than this worker's own last beat.
+    Terminal transitions consult this before unlinking/renaming the claim —
+    deleting someone else's live claim marker would make their job
+    unreclaimable if THEY then die.
+
+    Jobs not claimed through ``claim_job`` (``last_beat`` == 0, e.g. tests
+    constructing Jobs directly) are always considered owned.
+    """
+    if not job.last_beat:
+        return True
+    try:
+        mtime = os.stat(job.path).st_mtime
+    except OSError:
+        return False  # claim vanished: reclaimed (and maybe re-running)
+    # 1 s of grace covers filesystem timestamp granularity vs time.time();
+    # a genuine new owner stamps at least stale_claim_timeout later
+    return mtime <= job.last_beat + 1.0
+
+
+def _requeue_exclusive(tmp_path: str, target: str) -> bool:
+    """Move a reclaim-tmp file back into the queue without clobbering.
+
+    link(2) is exclusive where rename is not: if a client re-submitted a
+    fresh spec under the same id while the stale claim sat orphaned, the
+    fresh spec wins and the stale claim is dropped (returns False).
+    """
+    requeued = True
+    try:
+        os.link(tmp_path, target)
+    except FileExistsError:
+        requeued = False  # superseded by a freshly queued same-id spec
+    except OSError:
+        return False  # leave the tmp for a later sweep
+    try:
+        os.unlink(tmp_path)
+    except OSError:
         pass
+    return requeued
 
 
 def reclaim_stale_claims(jobs_dir: str, timeout: float) -> List[str]:
@@ -246,11 +325,12 @@ def reclaim_stale_claims(jobs_dir: str, timeout: float) -> List[str]:
     A worker killed hard (SIGKILL, OOM, host crash) leaves its claimed job
     as ``.running`` litter no scan ever revisits — the queue would silently
     lose it (SURVEY.md §5 failure detection). Any live worker calls this on
-    its poll tick: claimed files whose mtime is older than ``timeout`` are
-    atomically renamed back into the queue (the rename race between
-    multiple reclaimers has exactly one winner). The re-queued job re-runs
-    from scratch — every pipeline's outputs are write-temp-rename atomic,
-    so a partial first attempt cannot corrupt the re-run.
+    its poll tick. Two-step transition: the stale claim is first renamed to
+    a ``.reclaim`` tmp (one winner among concurrent reclaimers), then
+    link(2)-moved back into the queue so a freshly re-submitted same-id
+    spec is never overwritten. The re-queued job re-runs from scratch —
+    every pipeline's outputs are write-temp-rename atomic, so a partial
+    first attempt cannot corrupt the re-run.
     """
     reclaimed: List[str] = []
     now = time.time()
@@ -260,7 +340,7 @@ def reclaim_stale_claims(jobs_dir: str, timeout: float) -> List[str]:
     except FileNotFoundError:
         return reclaimed
     for e in entries:
-        if not (e.name.startswith(JOB_PREFIX) and e.name.endswith(CLAIMED_SUFFIX)):
+        if not e.name.startswith(JOB_PREFIX):
             continue
         try:
             mtime = e.stat().st_mtime
@@ -268,11 +348,24 @@ def reclaim_stale_claims(jobs_dir: str, timeout: float) -> List[str]:
             continue  # finished mid-scan
         if now - mtime <= timeout:
             continue
+        if e.name.endswith(RECLAIM_SUFFIX):
+            # a reclaimer crashed between its rename and requeue: finish
+            # the transition it started
+            target = e.path[: -len(RECLAIM_SUFFIX)] + JOB_SUFFIX
+            if _requeue_exclusive(e.path, target):
+                log.warning("requeued orphaned reclaim tmp %s", e.name)
+                reclaimed.append(target)
+            continue
+        if not e.name.endswith(CLAIMED_SUFFIX):
+            continue
         target = e.path[: -len(CLAIMED_SUFFIX)] + JOB_SUFFIX
+        tmp = e.path[: -len(CLAIMED_SUFFIX)] + RECLAIM_SUFFIX
         try:
-            os.rename(e.path, target)
+            os.rename(e.path, tmp)
         except OSError:
             continue  # another reclaimer won, or the owner just finished
+        if not _requeue_exclusive(tmp, target):
+            continue
         log.warning(
             "reclaimed stale job %s (no heartbeat for > %.0f s; owner "
             "presumed dead)", e.name, timeout,
@@ -325,6 +418,33 @@ def request_cancel(jobs_dir: str, job_id: str) -> str:
     path = _cancel_marker(jobs_dir, job_id)
     _atomic_write(path, json.dumps({"requested": time.time()}))
     return path
+
+
+def _clear_stale_cancel(job: Job, grace: float = 2.0) -> None:
+    """Drop a cancel marker that predates this claim by more than ``grace``.
+
+    Markers older than the grace window are leftovers from a previous run
+    of the same id (written in the race window after that run's terminal
+    clear); honoring one would instantly cancel the fresh claim — the
+    documented resume-by-resubmitting workflow. Markers younger than the
+    grace are genuine requests racing the claim and are honored.
+    """
+    marker = _cancel_marker(os.path.dirname(job.path), job.id)
+    try:
+        with open(marker) as f:
+            requested = float(json.load(f).get("requested") or 0.0)
+    except (OSError, ValueError, TypeError):
+        return
+    if time.time() - requested <= grace:
+        return
+    try:
+        os.unlink(marker)
+    except OSError:
+        pass
+    log.warning(
+        "job %s: dropped a stale cancel marker from a previous run "
+        "(requested %.0f s ago)", job.id, time.time() - requested,
+    )
 
 
 def cancel_requested(job: Job) -> bool:
@@ -413,18 +533,14 @@ def track(job: Job, iterable, total: Optional[int] = None,
           phase: str = "frames", every_s: float = 2.0):
     """Wrap a per-frame result iterator with progress + cancellation.
 
-    Checks the cancel marker after each item is produced and BEFORE it is
-    yielded — a cancelled job never does another frame's device work, and
-    the exception propagates out of the pipeline's consumption loop to the
-    server, which marks the job ``cancelled``.
+    ``ProgressReporter.step()`` (the single source of the cancel poll) runs
+    after each yielded item is consumed — a cancel marker stops the job
+    before the NEXT frame's device work, and the JobCancelled propagates
+    out of the pipeline's consumption loop to the server, which marks the
+    job ``cancelled``.
     """
     rep = ProgressReporter(job, total, phase=phase, every_s=every_s)
     for item in iterable:
-        if cancel_requested(job):
-            rep.write()
-            raise JobCancelled(
-                f"job {job.id} cancelled after {rep._done} {phase}"
-            )
         yield item
         rep.step()
     rep.finish()

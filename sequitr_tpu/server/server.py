@@ -166,6 +166,18 @@ class ImageServer:
     def _execute(self, job: Job) -> None:
         started = time.time()
         os.makedirs(job.output or ".", exist_ok=True)
+        # a previous run into the same output dir (the documented
+        # resume-by-resubmitting flow) leaves its last progress.json behind;
+        # without this the status CLI would report the dead run's counters
+        # as THIS run's live progress until the first rate-limited update
+        try:
+            os.unlink(
+                os.path.join(
+                    job.output or os.path.dirname(job.path), "progress.json"
+                )
+            )
+        except OSError:
+            pass
         jobs_lib.write_status(job, "running", started)
         attempts = 0
         while True:
@@ -176,19 +188,26 @@ class ImageServer:
                     pipeline = _profiled(pipeline)
                 outputs = self._run_with_watchdog(pipeline, job) or {}
                 jobs_lib.write_status(job, "complete", started, outputs=outputs)
-                try:
-                    os.unlink(job.path)
-                except FileNotFoundError:
+                if jobs_lib.owns_claim(job):
+                    try:
+                        os.unlink(job.path)
+                    except OSError:
+                        pass
+                    # late marker must not leak to a reused id
+                    jobs_lib.clear_cancel(job)
+                else:
                     # a reclaimer decided we were dead (heartbeat starved
                     # longer than stale_claim_timeout) and re-queued the job
-                    # while we finished it. At-least-once semantics: the
-                    # re-run overwrites the same outputs atomically. The
-                    # success must NOT be turned into a failure over this.
+                    # while we finished it; another worker may hold a LIVE
+                    # claim on the same path now — leave the claim file and
+                    # the cancel marker alone (they are theirs, not ours).
+                    # At-least-once semantics: the re-run overwrites the
+                    # same outputs atomically. The success must NOT be
+                    # turned into a failure over this.
                     log.warning(
                         "job %s finished but its claim was reclaimed "
                         "(heartbeat starved?); the job may run again", job.id,
                     )
-                jobs_lib.clear_cancel(job)  # late marker must not leak to a reused id
                 log.info("job %s complete in %.2fs", job.id, time.time() - started)
                 self._ledger(job, "complete", started, attempts)
                 return
@@ -197,11 +216,12 @@ class ImageServer:
                 # state, queue file removed, no retry, no worker recycle —
                 # the chip stays warm for the next job (round-4 item 4)
                 jobs_lib.write_status(job, "cancelled", started, error=str(e))
-                try:
-                    os.unlink(job.path)
-                except OSError:
-                    pass
-                jobs_lib.clear_cancel(job)
+                if jobs_lib.owns_claim(job):
+                    try:
+                        os.unlink(job.path)
+                    except OSError:
+                        pass
+                    jobs_lib.clear_cancel(job)
                 log.info("job %s cancelled in %.2fs", job.id, time.time() - started)
                 self._ledger(job, "cancelled", started, attempts)
                 return
@@ -267,13 +287,14 @@ class ImageServer:
 
     def _fail(self, job: Job, started: float, err: str) -> None:
         jobs_lib.write_status(job, "failed", started, error=err)
-        jobs_lib.clear_cancel(job)
-        # keep the claimed file as an inspectable .failed marker rather
-        # than leaving .running litter in the queue dir
-        try:
-            os.replace(job.path, job.path + ".failed")
-        except OSError:
-            pass
+        if jobs_lib.owns_claim(job):
+            jobs_lib.clear_cancel(job)
+            # keep the claimed file as an inspectable .failed marker rather
+            # than leaving .running litter in the queue dir
+            try:
+                os.replace(job.path, job.path + ".failed")
+            except OSError:
+                pass
         log.error("job %s failed:\n%s", job.id, err)
 
     def _run_with_watchdog(self, pipeline, job: Job):

@@ -89,6 +89,49 @@ class TestCancelPrimitives:
         assert final["done"] == 9
         assert final["frames_per_sec"] > 0
 
+    def test_marker_key_is_the_queue_filename_id(self, tmp_path):
+        """The cancel marker must key on the id submit_job returned (the
+        queue filename's stem) even when the spec carries its own "id"
+        field — otherwise the CLI writes one marker name and the worker
+        polls another, and the job is uncancellable while the CLI reports
+        success."""
+        jobs_dir = str(tmp_path)
+        jid = jobs_lib.submit_job(
+            jobs_dir, {"module": "m", "id": "vanity-name", "output": ""}
+        )
+        job = jobs_lib.claim_job(
+            os.path.join(jobs_dir, f"job_{jid}.json")
+        )
+        assert job.id == jid  # the filename stem, not the spec field
+        jobs_lib.request_cancel(jobs_dir, jid)  # what the CLI/client write
+        assert jobs_lib.cancel_requested(job)
+
+    def test_stale_marker_cleared_at_claim(self, tmp_path):
+        """A marker orphaned by the previous run's terminal race must not
+        instantly cancel the NEXT job submitted under the same id (the
+        documented resume-by-resubmitting workflow). A FRESH marker (a
+        cancel racing the claim by moments) is honored."""
+        jobs_dir = str(tmp_path)
+        marker = jobs_lib.request_cancel(jobs_dir, "reuse")  # run-1 leftover
+        old = time.time() - 60
+        with open(marker, "w") as f:
+            json.dump({"requested": old}, f)
+        jobs_lib.submit_job(jobs_dir, {"module": "m", "output": ""},
+                            job_id="reuse")
+        job = jobs_lib.claim_job(os.path.join(jobs_dir, "job_reuse.json"))
+        assert job is not None
+        assert not jobs_lib.cancel_requested(job)
+        assert not os.path.exists(marker)
+
+    def test_fresh_marker_survives_claim(self, tmp_path):
+        jobs_dir = str(tmp_path)
+        jobs_lib.request_cancel(jobs_dir, "fresh")  # racing the claim NOW
+        jobs_lib.submit_job(jobs_dir, {"module": "m", "output": ""},
+                            job_id="fresh")
+        job = jobs_lib.claim_job(os.path.join(jobs_dir, "job_fresh.json"))
+        assert job is not None
+        assert jobs_lib.cancel_requested(job)
+
     def test_reporter_non_raising_mode(self, tmp_path):
         jobs_dir = str(tmp_path)
         job = _job(jobs_dir, "j4", str(tmp_path / "out"))
@@ -309,6 +352,40 @@ class TestCancelTrainingE2E:
         assert ck is not None
         # the model was NOT registered (training did not finish)
         assert not os.path.isdir(os.path.join(cfg_srv.models_dir, "trained"))
+
+
+class TestStaleProgress:
+    def test_previous_runs_progress_removed_at_job_start(self, tmp_path):
+        """Re-running into the same output dir (the resume flow) must not
+        leave the DEAD run's progress.json where the status CLI would
+        report it as the new run's live progress."""
+        from sequitr_tpu.server.server import PipelineRegistry
+
+        cfg = ServerConfiguration(
+            jobs_dir=str(tmp_path / "jobs"),
+            models_dir=str(tmp_path / "models"),
+        )
+        cfg.ensure_dirs()
+        out = tmp_path / "out"
+        out.mkdir()
+        (out / "progress.json").write_text(
+            json.dumps({"done": 812, "total": 1000})
+        )
+        submit_job(cfg.jobs_dir, {"module": "noprog", "output": str(out)},
+                   job_id="np1")
+        reg = PipelineRegistry()
+        seen = []
+
+        @reg.register("noprog")
+        def _noprog(job, config):
+            # a pipeline that never reports progress: the stale file must
+            # already be gone while the job runs
+            seen.append(os.path.exists(out / "progress.json"))
+            return {}
+
+        ImageServer(cfg, reg).poll_once()
+        assert seen == [False]
+        assert not os.path.exists(out / "progress.json")
 
 
 class TestCancelClientAndCLI:

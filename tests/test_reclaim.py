@@ -86,6 +86,122 @@ class TestReclaimPrimitives:
         job = jobs_lib.claim_job(requeued)
         assert job is not None and job.id == "dead" and job.params == {"x": 1}
 
+    def test_queue_file_mtime_is_fresh_even_without_post_rename_stamp(
+        self, tmp_path, monkeypatch
+    ):
+        """The heartbeat clock is stamped on the QUEUE file before the
+        claim rename (rename preserves mtime), so there is no window in
+        which an hour-old submission exists as an instantly-stale .running
+        file a concurrent reclaimer could yank back mid-claim."""
+        jobs_dir = str(tmp_path)
+        submit_job(jobs_dir, {"module": "m"}, job_id="aged2")
+        qpath = os.path.join(jobs_dir, "job_aged2.json")
+        old = time.time() - 3600
+        os.utime(qpath, (old, old))
+        real_utime = os.utime
+
+        def utime_queue_only(path, *a, **kw):
+            if path.endswith(jobs_lib.CLAIMED_SUFFIX):
+                raise OSError("simulated: post-rename stamp lost")
+            return real_utime(path, *a, **kw)
+
+        monkeypatch.setattr(os, "utime", utime_queue_only)
+        job = jobs_lib.claim_job(qpath)
+        assert job is not None
+        assert time.time() - os.stat(job.path).st_mtime < 30
+
+    def test_reclaim_never_clobbers_resubmitted_spec(self, tmp_path):
+        """A stale claim whose id was re-submitted with a corrected spec is
+        DROPPED, not renamed over the fresh queue file (rename clobbers;
+        the reclaimer must not replace the corrected spec with the old
+        one)."""
+        jobs_dir = str(tmp_path)
+        _orphan_claim(jobs_dir, "fix", {"module": "m", "params": {"v": "old"}},
+                      age_s=100)
+        submit_job(jobs_dir, {"module": "m", "params": {"v": "new"}},
+                   job_id="fix")
+        got = jobs_lib.reclaim_stale_claims(jobs_dir, timeout=30.0)
+        assert got == []  # superseded, not reclaimed
+        qpath = os.path.join(jobs_dir, "job_fix.json")
+        assert json.load(open(qpath))["params"] == {"v": "new"}
+        assert [n for n in os.listdir(jobs_dir)] == ["job_fix.json"]
+
+    def test_orphaned_reclaim_tmp_is_swept(self, tmp_path):
+        """A reclaimer that crashed between its rename and the requeue
+        leaves a .reclaim tmp; a later sweep finishes the transition."""
+        jobs_dir = str(tmp_path)
+        tmp = os.path.join(jobs_dir, f"job_crash{jobs_lib.RECLAIM_SUFFIX}")
+        with open(tmp, "w") as f:
+            json.dump({"module": "m"}, f)
+        old = time.time() - 100
+        os.utime(tmp, (old, old))
+        got = jobs_lib.reclaim_stale_claims(jobs_dir, timeout=30.0)
+        assert got == [os.path.join(jobs_dir, "job_crash.json")]
+        assert os.path.exists(got[0]) and not os.path.exists(tmp)
+
+
+class TestClaimOwnership:
+    def test_owns_claim_lifecycle(self, tmp_path):
+        jobs_dir = str(tmp_path)
+        submit_job(jobs_dir, {"module": "m"}, job_id="own")
+        job = jobs_lib.claim_job(os.path.join(jobs_dir, "job_own.json"))
+        assert jobs_lib.owns_claim(job)
+        jobs_lib.heartbeat(job)
+        assert jobs_lib.owns_claim(job)
+        # another worker re-claimed after a reclaim: its stamp is far newer
+        # than our last beat
+        future = time.time() + 300
+        os.utime(job.path, (future, future))
+        assert not jobs_lib.owns_claim(job)
+        # claim vanished entirely (reclaimed, still queued): not ours
+        os.unlink(job.path)
+        assert not jobs_lib.owns_claim(job)
+
+    def test_handmade_job_is_always_owned(self, tmp_path):
+        job = jobs_lib.Job(id="x", module="m", func="run", params={},
+                           input=[], output="", path=str(tmp_path / "f"))
+        assert jobs_lib.owns_claim(job)  # last_beat == 0: not via claim_job
+
+    def test_zombie_completion_leaves_new_owners_claim_alone(self, tmp_path):
+        """The reclaim horror story: worker A is suspended past the stale
+        timeout, its job is reclaimed and re-claimed by worker B, then A
+        resumes and finishes. A's terminal transition must NOT delete B's
+        live claim marker (that would make B's job unreclaimable if B then
+        dies) and must NOT clear B's cancel marker."""
+        cfg = ServerConfiguration(
+            jobs_dir=str(tmp_path / "jobs"),
+            models_dir=str(tmp_path / "models"),
+            stale_claim_timeout=30.0,
+        )
+        cfg.ensure_dirs()
+        out = tmp_path / "out"
+        submit_job(cfg.jobs_dir, {"module": "zomb", "output": str(out)},
+                   job_id="z1")
+        reg = PipelineRegistry()
+
+        @reg.register("zomb")
+        def _zomb(job, config):
+            # simulate: A stalls, reclaim + B's re-claim happen mid-run
+            # (same path, far-newer stamp), B also gets a cancel request
+            future = time.time() + 300
+            os.utime(job.path, (future, future))
+            jobs_lib.request_cancel(cfg.jobs_dir, job.id)
+            return {}
+
+        srv = ImageServer(cfg, reg)
+        assert srv.poll_once()
+        st = json.loads((out / "status.json").read_text())
+        assert st["state"] == "complete"  # A's success is kept
+        claimed = os.path.join(
+            cfg.jobs_dir, f"job_z1{jobs_lib.CLAIMED_SUFFIX}"
+        )
+        assert os.path.exists(claimed), "B's live claim marker was deleted"
+        fake_b = jobs_lib.Job(id="z1", module="zomb", func="run", params={},
+                              input=[], output=str(out), path=claimed)
+        assert jobs_lib.cancel_requested(fake_b), (
+            "B's cancel marker was cleared by the zombie"
+        )
+
 
 class TestReclaimServer:
     def _cfg(self, tmp_path, **kw):
