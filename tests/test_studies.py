@@ -88,6 +88,78 @@ class TestWinograd:
         assert bool(jnp.all(jnp.isfinite(g)))
 
 
+class TestPTQUNet:
+    """Parked int8 PTQ recipe (studies/ptq_unet.py): the full quantize ->
+    calibrate -> int8 forward chain is numerically sound even though the
+    measured chip gives it no speedup (studies/int8_conv.py verdict)."""
+
+    def _model(self, seed=0):
+        import jax
+        from sequitr_tpu.models import unet
+
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=3, base_features=8,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(seed), cfg)
+        return cfg, params, state
+
+    def test_quantized_forward_tracks_f32(self):
+        import jax
+        from sequitr_tpu.models import unet
+        from sequitr_tpu.studies import ptq_unet
+
+        cfg, params, state = self._model()
+        rng = np.random.default_rng(0)
+        calib = [rng.random((2, 32, 32, 1)).astype(np.float32) for _ in range(3)]
+        qcfg, qparams = ptq_unet.quantize(cfg, params, state, calib)
+        assert qcfg.norm == "none"
+        x = jnp.asarray(rng.random((2, 32, 32, 1)).astype(np.float32))
+        logits_q = ptq_unet.apply(qcfg, qparams, x)
+        fcfg, fparams, fstate = unet.fold_batchnorm(cfg, params, state)
+        logits_f, _ = unet.apply(fcfg, fparams, fstate, x, train=False)
+        # int8 PTQ bar: labels nearly identical, logits close in scale
+        agree = float(
+            jnp.mean(
+                (jnp.argmax(logits_q, -1) == jnp.argmax(logits_f, -1))
+                .astype(jnp.float32)
+            )
+        )
+        assert agree > 0.98, agree
+        err = float(jnp.max(jnp.abs(logits_q - logits_f)))
+        ref = float(jnp.max(jnp.abs(logits_f)))
+        assert err < 0.15 * max(ref, 1.0), (err, ref)
+
+    def test_template_matches_quantized_structure(self):
+        import jax
+        from sequitr_tpu.studies import ptq_unet
+
+        cfg, params, state = self._model(1)
+        rng = np.random.default_rng(1)
+        qcfg, qparams = ptq_unet.quantize(
+            cfg, params, state, [rng.random((1, 16, 16, 1)).astype(np.float32)]
+        )
+        tmpl = ptq_unet.template(qcfg)
+        ts = jax.tree.structure(tmpl)
+        qs = jax.tree.structure(qparams)
+        assert ts == qs
+        same = jax.tree.map(
+            lambda a, b: (a.shape == b.shape and a.dtype == b.dtype),
+            tmpl, qparams,
+        )
+        assert all(jax.tree.leaves(same))
+
+    def test_calibration_requires_batches(self):
+        import pytest
+        from sequitr_tpu.studies import ptq_unet
+        from sequitr_tpu.models import unet
+
+        cfg, params, state = self._model(2)
+        fcfg, fparams, _ = unet.fold_batchnorm(cfg, params, state)
+        with pytest.raises(ValueError):
+            ptq_unet.calibrate(fcfg, fparams, [])
+
+
 class TestRoofline:
     def test_roofline_runs_and_accounts(self):
         """Smoke the per-level roofline study at a tiny size on CPU: every
