@@ -162,6 +162,12 @@ def main(argv=None) -> int:
     )
     ap_info.add_argument("--models-dir", default="./models")
 
+    ap_stats = sub.add_parser(
+        "stats", help="summarize a server's jobs.jsonl ledger (enable with"
+                      " log_dir in the server config)"
+    )
+    ap_stats.add_argument("ledger", help="path to jobs.jsonl or its log dir")
+
     ap_retry = sub.add_parser(
         "retry", help="re-queue a FAILED job (moves its .failed marker back"
                       " into the queue)"
@@ -271,7 +277,12 @@ def main(argv=None) -> int:
 
         pending = scan_jobs(args.jobs_dir)
         names = sorted(os.listdir(args.jobs_dir)) if os.path.isdir(args.jobs_dir) else []
-        running = [n for n in names if n.endswith(".running")]
+        # .running.reclaim = a dead owner's claim mid-rescue: still "running"
+        # from the operator's view (it requeues on the next worker tick)
+        running = [
+            n for n in names
+            if n.endswith(".running") or n.endswith(".running.reclaim")
+        ]
         failed = [n for n in names if n.endswith(".failed")]
         rejected = [n for n in names if n.endswith(".rejected")]
         print(f"pending:  {len(pending)}")
@@ -314,6 +325,58 @@ def main(argv=None) -> int:
                 for d in os.listdir(args.models_dir)
             )
         print(f"models in {args.models_dir}: {n_models}")
+        return 0
+
+    if args.cmd == "stats":
+        import os
+        from collections import Counter, defaultdict
+
+        path = args.ledger
+        if os.path.isdir(path):
+            path = os.path.join(path, "jobs.jsonl")
+        try:
+            lines = open(path).read().splitlines()
+        except OSError as e:
+            print(f"cannot read ledger: {e}", file=sys.stderr)
+            return 1
+        rows = []
+        for line in lines:
+            try:
+                rows.append(json.loads(line))
+            except ValueError:
+                continue  # torn tail line from a live server
+        if not rows:
+            print("(empty ledger)")
+            return 0
+        by_state = Counter(r.get("state", "?") for r in rows)
+        by_module = defaultdict(lambda: {"n": 0, "s": 0.0, "failed": 0})
+        retried = sum(1 for r in rows if (r.get("attempts") or 1) > 1)
+        workers = Counter(
+            str(r.get("worker")) for r in rows if r.get("worker") is not None
+        )
+        for r in rows:
+            m = by_module[r.get("module", "?")]
+            m["n"] += 1
+            m["s"] += float(r.get("elapsed_s") or 0.0)
+            m["failed"] += r.get("state") == "failed"
+        span = max(r.get("finished", 0.0) for r in rows) - min(
+            r.get("finished", 0.0) for r in rows
+        )
+        print(f"jobs: {len(rows)} "
+              + " ".join(f"{k}={v}" for k, v in sorted(by_state.items())))
+        if span > 0:
+            print(f"span: {span/3600:.2f} h ({len(rows)/span*3600:.1f} jobs/h)")
+        if retried:
+            print(f"retried: {retried}")
+        if workers:
+            print("workers: "
+                  + " ".join(f"{k}:{v}" for k, v in sorted(workers.items())))
+        print(f"{'module':28s} {'n':>5s} {'failed':>6s} {'mean s':>8s} {'total h':>8s}")
+        for name, m in sorted(by_module.items(), key=lambda kv: -kv[1]["s"]):
+            print(
+                f"{name:28s} {m['n']:5d} {m['failed']:6d} "
+                f"{m['s']/m['n']:8.2f} {m['s']/3600:8.2f}"
+            )
         return 0
 
     if args.cmd == "retry":

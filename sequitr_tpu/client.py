@@ -76,18 +76,29 @@ def cancel_job(jobs_dir: str, job_id: str) -> Optional[str]:
     path = os.path.join(
         jobs_dir, f"{jobs_lib.JOB_PREFIX}{job_id}{jobs_lib.JOB_SUFFIX}"
     )
-    try:
-        os.rename(path, path + ".cancelled")
-        # the rename won the race, so no server holds this job — delete the
-        # marker instead of accumulating .cancelled litter
-        os.remove(path + ".cancelled")
-        return "cancelled"
-    except FileNotFoundError:
-        pass
-    claimed = path[: -len(jobs_lib.JOB_SUFFIX)] + jobs_lib.CLAIMED_SUFFIX
-    if os.path.exists(claimed):
-        jobs_lib.request_cancel(jobs_dir, job_id)
-        return "requested"
+    stem = path[: -len(jobs_lib.JOB_SUFFIX)]
+    # two attempts bridge the microsecond windows of the queue's two-step
+    # transitions (claim rename -> stamp; reclaim rename -> requeue link):
+    # a live job must never be told "not found" because it was mid-rename
+    for attempt in (0, 1):
+        if attempt:
+            time.sleep(0.05)
+        try:
+            os.rename(path, path + ".cancelled")
+            # the rename won the race, so no server holds this job — delete
+            # the marker instead of accumulating .cancelled litter
+            os.remove(path + ".cancelled")
+            return "cancelled"
+        except FileNotFoundError:
+            pass
+        # claimed, or mid-reclaim (a .reclaim tmp is a dead owner's claim
+        # being rescued; the marker survives the requeue and the re-claim
+        # honors it — jobs.reclaim_stale_claims/_clear_stale_cancel)
+        if os.path.exists(stem + jobs_lib.CLAIMED_SUFFIX) or os.path.exists(
+            stem + jobs_lib.RECLAIM_SUFFIX
+        ):
+            jobs_lib.request_cancel(jobs_dir, job_id)
+            return "requested"
     return None
 
 

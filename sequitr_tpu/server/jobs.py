@@ -221,6 +221,14 @@ def claim_job(path: str) -> Optional[Job]:
     forever.
     """
     claimed = path[: -len(JOB_SUFFIX)] + CLAIMED_SUFFIX
+    # the queue file's mtime before we touch it: the submit time (or, for
+    # a reclaimed job, the dead owner's last heartbeat). Cancel markers
+    # OLDER than this moment target a previous run of the id and are
+    # dropped below; newer ones are genuine requests for THIS job.
+    try:
+        queued_mtime = os.stat(path).st_mtime
+    except OSError:
+        queued_mtime = None
     # stamp the heartbeat clock BEFORE the rename (rename preserves mtime,
     # so the fresh stamp travels with it): a job queued longer than
     # stale_claim_timeout must never exist as an instantly-stale .running
@@ -252,9 +260,9 @@ def claim_job(path: str) -> Optional[Job]:
     job.last_beat = now
     # a cancel marker left over from a PREVIOUS run of this id (written in
     # the race window after that run's terminal clear) must not instantly
-    # cancel the fresh claim. A FRESH marker is kept: it is a genuine
-    # cancel request that raced this claim by moments.
-    _clear_stale_cancel(job)
+    # cancel the fresh claim; a marker NEWER than the queue file is a
+    # genuine request for this job and is kept.
+    _clear_stale_cancel(job, queued_mtime)
     return job
 
 
@@ -263,8 +271,15 @@ def heartbeat(job: Job) -> None:
 
     Called every few seconds by the server's job-supervision loop while a
     pipeline runs. Cheap (one utimensat) and atomic; failure is harmless
-    (the job merely looks staler than it is).
+    (the job merely looks staler than it is). A worker that starved past
+    ``stale_claim_timeout`` must NOT resume beating: the claim file may be
+    another worker's by now (reclaim + re-claim), and re-stamping it would
+    both corrupt the new owner's liveness signal and flip this worker's
+    own ``owns_claim`` back to True — ``owns_claim`` is therefore checked
+    first, making a lost claim stay lost.
     """
+    if not owns_claim(job):
+        return
     try:
         os.utime(job.path)
     except OSError:
@@ -319,6 +334,42 @@ def _requeue_exclusive(tmp_path: str, target: str) -> bool:
     return requeued
 
 
+def _finish_cancelled_reclaim(tmp_path: str, jobs_dir: str) -> bool:
+    """Terminal-cancel a reclaimed job whose owner died with a cancel
+    pending, instead of re-queueing it.
+
+    The user's cancel was acknowledged ("the worker will stop at its next
+    frame/step") before the owner was killed; re-running the job to
+    completion would silently override that. Returns True if the pending
+    cancel was honored (tmp + marker consumed, status written when the
+    spec is readable)."""
+    stem = os.path.basename(tmp_path)[len(JOB_PREFIX):-len(RECLAIM_SUFFIX)]
+    marker = _cancel_marker(jobs_dir, stem)
+    if not os.path.exists(marker):
+        return False
+    try:
+        job = Job.from_file(tmp_path)
+        job.id = stem  # from_file cannot strip the .reclaim suffix
+        job.path = tmp_path
+        write_status(
+            job, "cancelled", time.time(),
+            error=f"job {stem} cancelled (owner died before stopping; "
+                  "honored at reclaim)",
+        )
+    except (JobError, ValueError, OSError):
+        pass  # unreadable spec: still consume the claim + marker below
+    for path in (tmp_path, marker):
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+    log.warning(
+        "reclaimed job %s had a pending cancel: honored (terminal "
+        "cancelled, not re-queued)", stem,
+    )
+    return True
+
+
 def reclaim_stale_claims(jobs_dir: str, timeout: float) -> List[str]:
     """Re-queue ``.running`` jobs whose owner stopped heartbeating.
 
@@ -351,6 +402,8 @@ def reclaim_stale_claims(jobs_dir: str, timeout: float) -> List[str]:
         if e.name.endswith(RECLAIM_SUFFIX):
             # a reclaimer crashed between its rename and requeue: finish
             # the transition it started
+            if _finish_cancelled_reclaim(e.path, jobs_dir):
+                continue
             target = e.path[: -len(RECLAIM_SUFFIX)] + JOB_SUFFIX
             if _requeue_exclusive(e.path, target):
                 log.warning("requeued orphaned reclaim tmp %s", e.name)
@@ -364,6 +417,10 @@ def reclaim_stale_claims(jobs_dir: str, timeout: float) -> List[str]:
             os.rename(e.path, tmp)
         except OSError:
             continue  # another reclaimer won, or the owner just finished
+        if _finish_cancelled_reclaim(tmp, jobs_dir):
+            # owner died with an acknowledged cancel pending: terminal
+            # 'cancelled', not a re-run
+            continue
         if not _requeue_exclusive(tmp, target):
             continue
         log.warning(
@@ -420,30 +477,37 @@ def request_cancel(jobs_dir: str, job_id: str) -> str:
     return path
 
 
-def _clear_stale_cancel(job: Job, grace: float = 2.0) -> None:
-    """Drop a cancel marker that predates this claim by more than ``grace``.
+def _clear_stale_cancel(job: Job, queued_mtime, slack: float = 1.0) -> None:
+    """Drop a cancel marker that PREDATES this job's queue entry.
 
-    Markers older than the grace window are leftovers from a previous run
-    of the same id (written in the race window after that run's terminal
-    clear); honoring one would instantly cancel the fresh claim — the
-    documented resume-by-resubmitting workflow. Markers younger than the
-    grace are genuine requests racing the claim and are honored.
+    ``queued_mtime`` is the queue file's mtime before the claim touched it
+    (submit time; for a reclaimed job, the dead owner's last heartbeat). A
+    marker requested before that moment targets a previous run of the same
+    id — a leftover from the race window after that run's terminal clear —
+    and honoring it would instantly cancel the fresh claim (the documented
+    resume-by-resubmitting workflow). A marker requested after it is a
+    genuine request for THIS job (racing the claim, or filed against the
+    crashed run a reclaim rescued) and is kept.
     """
     marker = _cancel_marker(os.path.dirname(job.path), job.id)
     try:
         with open(marker) as f:
             requested = float(json.load(f).get("requested") or 0.0)
-    except (OSError, ValueError, TypeError):
+    except (OSError, ValueError, TypeError, AttributeError):
+        # unreadable/hand-written marker (valid JSON need not be an
+        # object): treat as fresh — honoring a cancel is the safe default,
+        # and crashing the claim path on a malformed marker is not
         return
-    if time.time() - requested <= grace:
+    if queued_mtime is None or requested >= queued_mtime - slack:
         return
     try:
         os.unlink(marker)
     except OSError:
         pass
     log.warning(
-        "job %s: dropped a stale cancel marker from a previous run "
-        "(requested %.0f s ago)", job.id, time.time() - requested,
+        "job %s: dropped a cancel marker from a previous run of this id "
+        "(requested %.0f s before this submission)",
+        job.id, queued_mtime - requested,
     )
 
 
@@ -533,14 +597,22 @@ def track(job: Job, iterable, total: Optional[int] = None,
           phase: str = "frames", every_s: float = 2.0):
     """Wrap a per-frame result iterator with progress + cancellation.
 
-    ``ProgressReporter.step()`` (the single source of the cancel poll) runs
-    after each yielded item is consumed — a cancel marker stops the job
-    before the NEXT frame's device work, and the JobCancelled propagates
-    out of the pipeline's consumption loop to the server, which marks the
-    job ``cancelled``.
+    The cancel poll runs once per item, BETWEEN items: after an item is
+    produced and before it is yielded. A marker can therefore never flip a
+    job whose final item already completed into ``cancelled`` (the loop
+    exits via StopIteration without a further poll), while a mid-stack
+    cancel stops the job before the next frame is consumed. The reporter
+    runs in non-raising mode — this loop owns the single poll.
     """
-    rep = ProgressReporter(job, total, phase=phase, every_s=every_s)
+    rep = ProgressReporter(
+        job, total, phase=phase, every_s=every_s, raise_on_cancel=False
+    )
     for item in iterable:
+        if cancel_requested(job):
+            rep.write()  # leave an accurate last progress line behind
+            raise JobCancelled(
+                f"job {job.id} cancelled after {rep._done} {phase}"
+            )
         yield item
         rep.step()
     rep.finish()

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 from typing import Tuple
 
 import numpy as np
@@ -48,26 +47,18 @@ SHAPES = [
 
 
 def _rate_scan(fn, args, iters: int) -> float:
-    """Per-iteration seconds with dispatch amortized inside ONE jit."""
-    import jax
-    import jax.numpy as jnp
+    """Per-iteration seconds, dispatch amortized — the roofline's harness.
 
-    @jax.jit
-    def run_(eps, args):
-        def body(carry, _):
-            a0 = (args[0] + carry.astype(args[0].dtype)).astype(args[0].dtype)
-            out = fn(a0, *args[1:])
-            leaf = jax.tree.leaves(out)[-1]
-            new_carry = leaf.ravel()[0].astype(jnp.int32) & jnp.int32(1)
-            return new_carry, ()
+    One shared implementation (roofline._rate_scan) so a methodology fix
+    there applies to any future int8 re-measurement here. Its float
+    carry-perturbation casts to the input dtype, which preserves the
+    loop-carried data dependence for int8 inputs too (the carry is a
+    traced runtime value; XLA cannot hoist the add even when it rounds
+    to zero).
+    """
+    from sequitr_tpu.studies.roofline import _rate_scan as rate_scan
 
-        c, _ = jax.lax.scan(body, eps, None, length=iters)
-        return c
-
-    int(run_(jnp.int32(0), args))  # compile + warm
-    t0 = time.perf_counter()
-    int(run_(jnp.int32(0), args))
-    return (time.perf_counter() - t0) / iters
+    return rate_scan(fn, args, iters)
 
 
 def _conv(x, w, out_dtype):

@@ -132,6 +132,51 @@ class TestCancelPrimitives:
         assert job is not None
         assert jobs_lib.cancel_requested(job)
 
+    def test_marker_newer_than_requeued_job_survives_late_claim(self, tmp_path):
+        """The staleness rule is marker-vs-submission time, NOT wall-clock
+        age: a cancel filed while the job sat (re)queued is honored even if
+        no worker claims it for minutes."""
+        jobs_dir = str(tmp_path)
+        jobs_lib.submit_job(jobs_dir, {"module": "m", "output": ""},
+                            job_id="late")
+        qpath = os.path.join(jobs_dir, "job_late.json")
+        old = time.time() - 100  # queued (or requeued by reclaim) long ago
+        os.utime(qpath, (old, old))
+        jobs_lib.request_cancel(jobs_dir, "late")
+        time.sleep(0.01)
+        job = jobs_lib.claim_job(qpath)  # "minutes" after the request
+        assert job is not None
+        assert jobs_lib.cancel_requested(job)
+
+    def test_malformed_marker_never_crashes_claim(self, tmp_path):
+        """A hand-written marker holding valid-but-non-object JSON must not
+        crash the claim path (the filesystem queue is the public client
+        contract); it is treated as a fresh cancel request."""
+        jobs_dir = str(tmp_path)
+        marker = os.path.join(jobs_dir, "job_odd.cancel")
+        os.makedirs(jobs_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write('["cancel"]')
+        jobs_lib.submit_job(jobs_dir, {"module": "m", "output": ""},
+                            job_id="odd")
+        job = jobs_lib.claim_job(os.path.join(jobs_dir, "job_odd.json"))
+        assert job is not None
+        assert jobs_lib.cancel_requested(job)
+
+    def test_track_marker_after_final_item_still_completes(self, tmp_path):
+        """A cancel landing while the FINAL item is being consumed must not
+        flip a fully-finished job to 'cancelled'."""
+        jobs_dir = str(tmp_path)
+        job = _job(jobs_dir, "j5", str(tmp_path / "out"))
+        got = []
+        for item in jobs_lib.track(job, iter(range(3)), total=3):
+            got.append(item)
+            if item == 2:  # last item: the work is already done
+                jobs_lib.request_cancel(jobs_dir, "j5")
+        assert got == [0, 1, 2]  # no JobCancelled raised
+        prog = json.load(open(tmp_path / "out" / "progress.json"))
+        assert prog["done"] == 3
+
     def test_reporter_non_raising_mode(self, tmp_path):
         jobs_dir = str(tmp_path)
         job = _job(jobs_dir, "j4", str(tmp_path / "out"))

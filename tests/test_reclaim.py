@@ -157,6 +157,54 @@ class TestClaimOwnership:
         os.unlink(job.path)
         assert not jobs_lib.owns_claim(job)
 
+    def test_heartbeat_never_restamps_a_stolen_claim(self, tmp_path):
+        """A worker that starved past the stale timeout must STAY
+        disowned: its next heartbeat must not re-stamp the file another
+        worker now owns (that would corrupt the new owner's liveness
+        signal and flip owns_claim back to True)."""
+        jobs_dir = str(tmp_path)
+        submit_job(jobs_dir, {"module": "m"}, job_id="steal")
+        job = jobs_lib.claim_job(os.path.join(jobs_dir, "job_steal.json"))
+        # another worker re-claimed after a reclaim: far-newer stamp
+        future = time.time() + 300
+        os.utime(job.path, (future, future))
+        assert not jobs_lib.owns_claim(job)
+        jobs_lib.heartbeat(job)  # must be a no-op on a stolen claim
+        assert not jobs_lib.owns_claim(job)
+        assert os.stat(job.path).st_mtime == future
+
+    def test_reclaim_honors_pending_cancel(self, tmp_path):
+        """Owner died AFTER a cancel was acknowledged: the reclaim must
+        land the job in terminal 'cancelled', not silently re-run it."""
+        jobs_dir = str(tmp_path / "jobs")
+        out = tmp_path / "out"
+        _orphan_claim(
+            jobs_dir, "dead",
+            {"module": "m", "output": str(out)}, age_s=100,
+        )
+        jobs_lib.request_cancel(jobs_dir, "dead")
+        got = jobs_lib.reclaim_stale_claims(jobs_dir, timeout=30.0)
+        assert got == []  # cancelled, not requeued
+        assert os.listdir(jobs_dir) == []  # claim + marker both consumed
+        st = json.loads((out / "status.json").read_text())
+        assert st["state"] == "cancelled"
+        assert "honored at reclaim" in st["error"]
+
+    def test_orphaned_tmp_with_pending_cancel_is_cancelled(self, tmp_path):
+        jobs_dir = str(tmp_path / "jobs")
+        out = tmp_path / "out"
+        os.makedirs(jobs_dir)
+        tmp = os.path.join(jobs_dir, f"job_c1{jobs_lib.RECLAIM_SUFFIX}")
+        with open(tmp, "w") as f:
+            json.dump({"module": "m", "output": str(out)}, f)
+        old = time.time() - 100
+        os.utime(tmp, (old, old))
+        jobs_lib.request_cancel(jobs_dir, "c1")
+        assert jobs_lib.reclaim_stale_claims(jobs_dir, timeout=30.0) == []
+        assert os.listdir(jobs_dir) == []
+        st = json.loads((out / "status.json").read_text())
+        assert st["state"] == "cancelled"
+
     def test_handmade_job_is_always_owned(self, tmp_path):
         job = jobs_lib.Job(id="x", module="m", func="run", params={},
                            input=[], output="", path=str(tmp_path / "f"))
