@@ -149,6 +149,49 @@ class TestModelsQueueCommands:
         assert "rejected: 1" in out
 
 
+class TestStatsCommand:
+    def test_stats_summarizes_ledger(self, tmp_path, capsys):
+        import json as _json
+        import time as _time
+
+        logd = tmp_path / "logs"
+        logd.mkdir()
+        now = _time.time()
+        rows = [
+            {"id": "a", "module": "segmentation_unet2d", "state": "complete",
+             "elapsed_s": 10.0, "attempts": 1, "finished": now - 3600,
+             "worker": "0"},
+            {"id": "b", "module": "segmentation_unet2d", "state": "failed",
+             "elapsed_s": 2.0, "attempts": 2, "finished": now - 1800,
+             "worker": "1"},
+            {"id": "c", "module": "train_unet2d", "state": "complete",
+             "elapsed_s": 100.0, "attempts": 1, "finished": now,
+             "worker": "0"},
+        ]
+        with open(logd / "jobs.jsonl", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+            f.write('{"torn tail')  # live server mid-write: must be skipped
+        # accepts the log DIR or the file itself
+        assert main(["stats", str(logd)]) == 0
+        out = capsys.readouterr().out
+        assert "jobs: 3" in out and "complete=2" in out and "failed=1" in out
+        assert "retried: 1" in out
+        assert "0:2" in out and "1:1" in out  # per-worker counts
+        assert "train_unet2d" in out and "segmentation_unet2d" in out
+        assert main(["stats", str(logd / "jobs.jsonl")]) == 0
+
+    def test_stats_missing_ledger(self, tmp_path, capsys):
+        assert main(["stats", str(tmp_path / "nope")]) == 1
+        assert "cannot read ledger" in capsys.readouterr().err
+
+    def test_stats_empty_ledger(self, tmp_path, capsys):
+        p = tmp_path / "jobs.jsonl"
+        p.write_text("")
+        assert main(["stats", str(p)]) == 0
+        assert "empty ledger" in capsys.readouterr().out
+
+
 class TestInfoCommand:
     def test_info_prints_surface(self, tmp_path, capsys):
         assert main(["info", "--models-dir", str(tmp_path / "m")]) == 0
