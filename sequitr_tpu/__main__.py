@@ -57,6 +57,27 @@ def _serve_workers(args) -> int:
 
     signal.signal(signal.SIGTERM, _term)
 
+    # SIGUSR1 = graceful drain (rolling restart): forward it to every live
+    # worker (each finishes its current job, then exits 0 — see
+    # ImageServer.run_forever), stop respawning, and return once all have
+    # left. The queue is untouched; a new supervisor picks it up.
+    draining = {"on": False}
+
+    def _drain(signum, frame):
+        draining["on"] = True
+        log.info("drain requested: forwarding to workers, no respawns")
+        for p in procs.values():
+            if p.poll() is None:
+                try:
+                    p.send_signal(signal.SIGUSR1)
+                except OSError:
+                    pass
+
+    try:
+        signal.signal(signal.SIGUSR1, _drain)
+    except (ValueError, OSError, AttributeError):
+        pass
+
     procs = {}
     restarts = {}
     try:
@@ -68,6 +89,10 @@ def _serve_workers(args) -> int:
             for i, p in list(procs.items()):
                 code = p.poll()
                 if code is None:
+                    continue
+                if draining["on"]:
+                    log.info("worker %d drained (exit %s)", i, code)
+                    del procs[i]
                     continue
                 from sequitr_tpu.server.server import EXIT_RECYCLE
 
@@ -90,6 +115,9 @@ def _serve_workers(args) -> int:
                 log.warning("worker %d exited (%s); restarting", i, code)
                 procs[i] = spawn(i)
             time.sleep(1.0)
+        if draining["on"]:
+            log.info("all workers drained; supervisor exiting")
+            return 0
         log.error("all workers dead; supervisor exiting")
         return 1
     except KeyboardInterrupt:

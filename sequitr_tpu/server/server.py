@@ -127,10 +127,36 @@ class ImageServer:
                 )
 
     def run_forever(self) -> None:  # pragma: no cover - interactive loop
+        """Poll loop with graceful drain.
+
+        SIGUSR1 = drain: finish the job currently running (jobs are only
+        checked BETWEEN polls, so nothing is interrupted), then exit 0
+        leaving the queue untouched — the rolling-restart signal. SIGTERM/
+        SIGINT keep their abrupt semantics (the stale-claim reclaimer
+        rescues an interrupted job, but it re-runs from scratch).
+        """
+        import signal
+
+        def _drain(signum, frame):
+            self._draining = True
+            log.info("drain requested: finishing the current job, then exiting")
+
+        self._draining = False
+        try:
+            signal.signal(signal.SIGUSR1, _drain)
+        except (ValueError, OSError, AttributeError):
+            pass  # non-main thread or platform without SIGUSR1
         log.info("server watching %s (pipelines: %s)", self.config.jobs_dir, self.registry.names())
-        while True:
-            if not self.poll_once():
+        # the while-top check means a drain arriving while idle (sleep is
+        # interrupted by the signal) exits WITHOUT claiming another job;
+        # the post-poll check covers a drain arriving mid-job
+        while not self._draining:
+            ran = self.poll_once()
+            if self._draining:
+                break
+            if not ran:
                 time.sleep(self.config.poll_interval)
+        log.info("drained: exiting cleanly")
 
     def poll_once(self) -> bool:
         """Claim and run at most one queued job. Returns True if one ran.

@@ -1,0 +1,131 @@
+"""Graceful drain (SIGUSR1): finish the running job, leave the queue, exit.
+
+The rolling-restart story: SIGTERM/SIGKILL abandon the running job to the
+stale-claim reclaimer (it re-runs from scratch); SIGUSR1 lets an operator
+replace a server without losing work — the worker finishes its current
+job, does NOT claim the next one, and exits 0. The supervisor
+(``serve --workers N``) forwards the signal to every worker and stops
+respawning. Real-subprocess e2e, signals sent by exact pid.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+from sequitr_tpu.config import ServerConfiguration
+from sequitr_tpu.server import submit_job
+
+
+def _read_state(out_dir):
+    p = out_dir / "status.json"
+    if not p.exists():
+        return None
+    try:
+        return json.loads(p.read_text()).get("state")
+    except ValueError:
+        return None
+
+
+class TestDrainE2E:
+    def test_sigusr1_finishes_job_leaves_queue_exits_zero(self, tmp_path):
+        jobs = tmp_path / "jobs"
+        models = tmp_path / "models"
+        os.makedirs(jobs, exist_ok=True)
+        slow_out = tmp_path / "slow"
+        queued_out = tmp_path / "queued"
+        # the running job: slow enough to still be in flight at drain time
+        submit_job(
+            str(jobs),
+            {"module": "__test_slow__", "params": {"sleep": 12},
+             "input": [], "output": str(slow_out)},
+            job_id="slowj",
+        )
+        # a second job behind it: must stay QUEUED through the drain
+        submit_job(
+            str(jobs),
+            {"module": "__test_slow__", "params": {"sleep": 0.1},
+             "input": [], "output": str(queued_out)},
+            job_id="afterj",
+        )
+        env = dict(os.environ, SEQUITR_TEST_SLOW="1", SEQUITR_FORCE_CPU="1")
+        log_f = open(tmp_path / "server.log", "w")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "sequitr_tpu", "serve",
+             "--jobs-dir", str(jobs), "--models-dir", str(models),
+             "--poll-interval", "0.2"],
+            env=env, cwd="/root/repo", stdout=log_f, stderr=log_f,
+        )
+        try:
+            # wait until the slow job is genuinely running
+            deadline = time.time() + 240
+            pid_file = slow_out / "worker_pid.txt"
+            while time.time() < deadline and not pid_file.exists():
+                time.sleep(0.2)
+            assert pid_file.exists(), (
+                (tmp_path / "server.log").read_text()[-2000:]
+            )
+            proc.send_signal(signal.SIGUSR1)
+            code = proc.wait(timeout=120)
+            assert code == 0
+            # the in-flight job finished normally...
+            assert _read_state(slow_out) == "complete"
+            # ...and the queued one was never claimed
+            assert _read_state(queued_out) is None
+            names = sorted(os.listdir(jobs))
+            assert names == ["job_afterj.json"], names
+            log_txt = (tmp_path / "server.log").read_text()
+            assert "drain requested" in log_txt and "drained" in log_txt
+        finally:
+            if proc.poll() is None:
+                proc.terminate()
+                proc.wait(timeout=30)
+            log_f.close()
+
+    def test_supervisor_forwards_drain_to_workers(self, tmp_path):
+        jobs = tmp_path / "jobs"
+        models = tmp_path / "models"
+        os.makedirs(jobs, exist_ok=True)
+        slow_out = tmp_path / "slow"
+        submit_job(
+            str(jobs),
+            {"module": "__test_slow__", "params": {"sleep": 12},
+             "input": [], "output": str(slow_out)},
+            job_id="slowj",
+        )
+        env = dict(os.environ, SEQUITR_TEST_SLOW="1", SEQUITR_FORCE_CPU="1")
+        log_f = open(tmp_path / "supervisor.log", "w")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "sequitr_tpu", "serve", "--workers", "2",
+             "--jobs-dir", str(jobs), "--models-dir", str(models),
+             "--poll-interval", "0.2"],
+            env=env, cwd="/root/repo", stdout=log_f, stderr=log_f,
+        )
+        try:
+            deadline = time.time() + 300
+            pid_file = slow_out / "worker_pid.txt"
+            while time.time() < deadline and not pid_file.exists():
+                time.sleep(0.2)
+            assert pid_file.exists(), (
+                (tmp_path / "supervisor.log").read_text()[-2000:]
+            )
+            proc.send_signal(signal.SIGUSR1)
+            code = proc.wait(timeout=180)
+            assert code == 0
+            assert _read_state(slow_out) == "complete"
+            log_txt = (tmp_path / "supervisor.log").read_text()
+            assert "all workers drained" in log_txt, log_txt[-2000:]
+            # no claims left behind
+            leftovers = [
+                n for n in os.listdir(jobs) if not n.endswith(".json")
+            ]
+            assert leftovers == [], leftovers
+        finally:
+            if proc.poll() is None:
+                proc.terminate()
+                proc.wait(timeout=30)
+            log_f.close()
