@@ -169,6 +169,15 @@ def main(argv=None) -> int:
 
     ap_status = sub.add_parser("status", help="read a job output status")
     ap_status.add_argument("output_dir")
+    ap_status.add_argument(
+        "--follow", action="store_true",
+        help="live-tail the job: print each progress update until the job"
+             " reaches a terminal state (exit 0 = complete, 1 otherwise)",
+    )
+    ap_status.add_argument(
+        "--poll", type=float, default=1.0,
+        help="seconds between --follow polls (default 1)",
+    )
 
     ap_models = sub.add_parser("models", help="list registered models")
     ap_models.add_argument("--models-dir", default="./models")
@@ -261,19 +270,49 @@ def main(argv=None) -> int:
 
     if args.cmd == "status":
         import os
+        import time
 
         path = os.path.join(args.output_dir, "status.json")
-        print(open(path).read())
-        # a running job's live progress (progress.json updates every ~2 s
-        # while frames/steps are flowing; status.json only at the end)
         ppath = os.path.join(args.output_dir, "progress.json")
-        try:
-            status = json.load(open(path))
-            if status.get("state") == "running" and os.path.exists(ppath):
-                print(open(ppath).read())
-        except (OSError, ValueError):
-            pass
-        return 0
+        if not args.follow:
+            print(open(path).read())
+            # a running job's live progress (progress.json updates every
+            # ~2 s while frames/steps flow; status.json only at the end)
+            try:
+                status = json.load(open(path))
+                if status.get("state") == "running" and os.path.exists(ppath):
+                    print(open(ppath).read())
+            except (OSError, ValueError):
+                pass
+            return 0
+        # --follow: one line per progress update until a terminal state
+        last_update = None
+        while True:
+            try:
+                status = json.load(open(path))
+            except (OSError, ValueError):
+                status = None  # not started yet (or mid-write)
+            try:
+                prog = json.load(open(ppath))
+            except (OSError, ValueError):
+                prog = None
+            if prog and prog.get("updated") != last_update:
+                last_update = prog.get("updated")
+                done = prog.get("done", 0)
+                total = prog.get("total")
+                rate_key = f"{prog.get('phase', 'frames')}_per_sec"
+                rate = prog.get(rate_key)
+                line = f"{prog.get('phase', 'frames')} {done}"
+                if total is not None:
+                    line += f"/{total}"
+                if rate is not None:
+                    line += f"  ({rate}/s)"
+                print(line, flush=True)
+            state = (status or {}).get("state")
+            if state in ("complete", "failed", "cancelled"):
+                print(json.dumps(status, indent=2))
+                return 0 if state == "complete" else 1
+            time.sleep(args.poll)
 
     if args.cmd == "models":
         import os

@@ -149,6 +149,50 @@ class TestModelsQueueCommands:
         assert "rejected: 1" in out
 
 
+class TestStatusFollow:
+    def test_follow_prints_updates_until_terminal(self, tmp_path, capsys):
+        import json as _json
+        import threading
+        import time as _time
+
+        out = tmp_path / "out"
+        out.mkdir()
+        (out / "status.json").write_text(_json.dumps({"state": "running"}))
+
+        def driver():
+            for done in (3, 7):
+                (out / "progress.json").write_text(_json.dumps(
+                    {"phase": "frames", "done": done, "total": 10,
+                     "frames_per_sec": 2.5, "updated": _time.time()}
+                ))
+                _time.sleep(0.25)
+            (out / "status.json").write_text(_json.dumps(
+                {"state": "complete", "outputs": {}}
+            ))
+
+        t = threading.Thread(target=driver)
+        t.start()
+        try:
+            rc = main(["status", str(out), "--follow", "--poll", "0.1"])
+        finally:
+            t.join()
+        assert rc == 0
+        got = capsys.readouterr().out
+        assert "frames 3/10" in got and "frames 7/10" in got
+        assert '"state": "complete"' in got
+
+    def test_follow_failed_job_exits_nonzero(self, tmp_path, capsys):
+        import json as _json
+
+        out = tmp_path / "out"
+        out.mkdir()
+        (out / "status.json").write_text(_json.dumps(
+            {"state": "failed", "error": "boom"}
+        ))
+        assert main(["status", str(out), "--follow", "--poll", "0.05"]) == 1
+        assert '"state": "failed"' in capsys.readouterr().out
+
+
 class TestStatsCommand:
     def test_stats_summarizes_ledger(self, tmp_path, capsys):
         import json as _json
