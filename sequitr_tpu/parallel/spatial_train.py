@@ -212,9 +212,16 @@ def make_spatial_train_step(
 
     def local_value_and_grads(params, model_state, images, labels, weights):
         def loss_fn(p):
-            logits, new_ms = _local_apply_train(
-                cfg, p, model_state, images, space_axis, stat_axes
+            fwd = lambda pp, x: _local_apply_train(
+                cfg, pp, model_state, x, space_axis, stat_axes
             )
+            if tc.remat:
+                # giant frames are exactly the memory-bound case: recompute
+                # the per-level shard activations (incl. re-running the
+                # halo ppermutes) in the backward instead of holding every
+                # level of a huge frame in HBM — same math, same gradients
+                fwd = jax.checkpoint(fwd)
+            logits, new_ms = fwd(p, images)
             logp = jax.nn.log_softmax(logits, axis=-1)
             onehot = jax.nn.one_hot(labels, cfg.num_classes, dtype=jnp.float32)
             ce = -jnp.sum(onehot * logp, axis=-1)

@@ -51,6 +51,13 @@ class TrainConfig:
     # micro-batch gradient accumulation (optax.MultiSteps): effective
     # batch = grad_accum * batch_size with one micro-batch resident
     grad_accum: int = 1
+    # activation rematerialization (jax.checkpoint around the forward):
+    # the backward pass recomputes activations instead of holding every
+    # level's feature maps in HBM — ~1/3 extra forward FLOPs buy the
+    # encoder/decoder activation memory back, so bigger patches or batches
+    # fit one chip (SURVEY.md north-star hardware levers). Composes with
+    # grad_accum (remat shrinks the micro-batch's footprint too).
+    remat: bool = False
     # learning-rate schedule (the reference trained with constant-LR Adam
     # [K]; schedules are a rebuild extension). "constant" | "cosine" |
     # "exponential"; cosine/exponential decay over ``lr_decay_steps`` to
@@ -163,9 +170,15 @@ def make_unet_train_step(cfg: unet.UNetConfig, tc: TrainConfig, jit: bool = True
             weights = w_out if weights is not None else None
 
         def loss_fn(params):
-            logits, new_ms = unet.apply(
-                cfg, params, state.model_state, images, train=True
+            fwd = lambda p, x: unet.apply(
+                cfg, p, state.model_state, x, train=True
             )
+            if tc.remat:
+                # recompute the forward during the backward pass instead of
+                # materializing every level's activations (same math, same
+                # op order — gradients are identical; see TrainConfig.remat)
+                fwd = jax.checkpoint(fwd)
+            logits, new_ms = fwd(params, images)
             loss = losses.weighted_softmax_cross_entropy(logits, labels, weights)
             return loss, (logits, new_ms)
 

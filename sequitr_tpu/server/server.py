@@ -1323,8 +1323,10 @@ def train_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     input: record shard paths (globs allowed). params: model (output name),
     architecture (num_classes, depth, base_features, norm), training
-    (steps, batch_size, learning_rate, patch augment flags), observability
-    (holdout_every, eval_every, dump_eval_images).
+    (steps, batch_size, learning_rate, patch augment flags, ``grad_accum``,
+    ``remat`` — rematerialize activations in the backward pass so bigger
+    patches/batches fit one chip's HBM at ~1/3 extra forward FLOPs),
+    observability (holdout_every, eval_every, dump_eval_images).
     """
     return _train_unet(job, config)
 
@@ -1368,6 +1370,7 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         elastic_grid=int(p.get("elastic_grid", 4)),
         p_elastic=float(p.get("p_elastic", 0.5)),
         grad_accum=int(p.get("grad_accum", 1)),
+        remat=bool(p.get("remat", False)),
         lr_schedule=str(p.get("lr_schedule", "constant")),
         lr_warmup_steps=int(p.get("lr_warmup_steps", 0)),
         # decay horizon defaults to the steps AFTER warmup so the schedule
@@ -1539,6 +1542,7 @@ def finetune_spatial(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         learning_rate=float(p.get("learning_rate", 1e-5)),
         augment=False,
         grad_accum=int(p.get("grad_accum", 1)),
+        remat=bool(p.get("remat", False)),
     )
     if p.get("from_model"):
         kind, cfg, params, model_state = load_model_cached(

@@ -171,6 +171,33 @@ class TestUNetTraining:
         assert losses[-1] < losses[0]
         assert int(state.step) == 20
 
+    def test_remat_step_matches_plain_step_exactly(self):
+        """remat=True recomputes the forward in the backward pass — same
+        math, same op order, so params/metrics match the plain step to
+        float tolerance (memory is the only difference)."""
+        cfg = small_cfg(depth=3)
+        batch = self._batch(n=2, s=32)
+        key = jax.random.PRNGKey(3)
+        results = []
+        for remat in (False, True):
+            tc = train_lib.TrainConfig(
+                learning_rate=1e-3, augment=False, remat=remat
+            )
+            state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+            step = train_lib.make_unet_train_step(cfg, tc, jit=False)
+            for i in range(3):
+                state, m = step(state, batch, jax.random.fold_in(key, i))
+            results.append((state, m))
+        (s0, m0), (s1, m1) = results
+        assert np.isclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-6)
+        assert np.isclose(
+            float(m0["grad_norm"]), float(m1["grad_norm"]), rtol=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+
     def test_grad_accum_applies_every_k(self):
         """grad_accum=2: updates accumulate across micro-steps and apply on
         every second call (optax.MultiSteps) — effective batch 2x on the

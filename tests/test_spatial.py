@@ -372,6 +372,38 @@ class TestSpatialTraining:
             self._compare(st_sp, m_sp, st_ref, m_ref,
                           skip_bn_conv_bias=True, skip_bn_mean_state=i > 0)
 
+    def test_remat_spatial_step_matches_plain(self):
+        """remat=True inside the sharded step (recomputing the halo
+        ppermutes in the backward) leaves loss/params unchanged — it is a
+        memory trade only."""
+        import dataclasses as dc
+
+        from sequitr_tpu.parallel import spatial_train
+        from sequitr_tpu.pipeline import train as train_lib
+
+        cfg = _cfg()
+        tc, state, batch = self._setup(cfg, seed=5)
+        mesh = parallel.make_mesh()
+        plain = spatial_train.make_spatial_train_step(
+            cfg, tc, mesh, (32, 16), batch=1
+        )
+        rstep = spatial_train.make_spatial_train_step(
+            cfg, dc.replace(tc, remat=True), mesh, (32, 16), batch=1
+        )
+        st_a, st_b = state, state
+        for _ in range(2):
+            st_a, m_a = plain(st_a, batch)
+            st_b, m_b = rstep(st_b, batch)
+        np.testing.assert_allclose(
+            float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6
+        )
+        for a, b in zip(
+            jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+
     def test_unweighted_loss_matches(self):
         from sequitr_tpu.parallel import spatial_train
         from sequitr_tpu.pipeline import train as train_lib
