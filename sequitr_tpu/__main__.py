@@ -61,7 +61,22 @@ def _serve_workers(args) -> int:
     # worker (each finishes its current job, then exits 0 — see
     # ImageServer.run_forever), stop respawning, and return once all have
     # left. The queue is untouched; a new supervisor picks it up.
-    draining = {"on": False}
+    # procs/restarts are bound BEFORE the handler is installed (a signal
+    # in the gap must not hit an unbound name), and spawn() re-forwards
+    # the signal to any worker created while the drain was already on
+    # (a respawn racing the handler would otherwise never hear it).
+    procs = {}
+    restarts = {}
+    draining = {"on": False, "dirty": False}
+
+    def spawn_tracked(i):
+        p = spawn(i)
+        if draining["on"]:
+            try:
+                p.send_signal(signal.SIGUSR1)
+            except OSError:
+                pass
+        return p
 
     def _drain(signum, frame):
         draining["on"] = True
@@ -78,11 +93,9 @@ def _serve_workers(args) -> int:
     except (ValueError, OSError, AttributeError):
         pass
 
-    procs = {}
-    restarts = {}
     try:
         for i in range(args.workers):
-            procs[i] = spawn(i)
+            procs[i] = spawn_tracked(i)
             restarts[i] = 0
         log.info("supervising %d workers on %s", args.workers, args.jobs_dir)
         while procs:
@@ -91,7 +104,17 @@ def _serve_workers(args) -> int:
                 if code is None:
                     continue
                 if draining["on"]:
-                    log.info("worker %d drained (exit %s)", i, code)
+                    if code == 0:
+                        log.info("worker %d drained (exit 0)", i)
+                    else:
+                        # a crash DURING the drain: its in-flight job was
+                        # not finished (it awaits stale-claim reclaim) —
+                        # the drain's exit code must not attest success
+                        log.error(
+                            "worker %d exited %s during drain; its job "
+                            "(if any) awaits reclaim", i, code,
+                        )
+                        draining["dirty"] = True
                     del procs[i]
                     continue
                 from sequitr_tpu.server.server import EXIT_RECYCLE
@@ -103,7 +126,7 @@ def _serve_workers(args) -> int:
                     # crash budget (each recycle makes queue progress, so
                     # this cannot loop on one job).
                     log.warning("worker %d recycled after job timeout; respawning", i)
-                    procs[i] = spawn(i)
+                    procs[i] = spawn_tracked(i)
                     continue
                 if restarts[i] >= 3:
                     # budget spent: give this worker up for good instead of
@@ -113,9 +136,12 @@ def _serve_workers(args) -> int:
                     continue
                 restarts[i] += 1
                 log.warning("worker %d exited (%s); restarting", i, code)
-                procs[i] = spawn(i)
+                procs[i] = spawn_tracked(i)
             time.sleep(1.0)
         if draining["on"]:
+            if draining["dirty"]:
+                log.error("drain finished with crashed worker(s); exit 1")
+                return 1
             log.info("all workers drained; supervisor exiting")
             return 0
         log.error("all workers dead; supervisor exiting")
@@ -134,6 +160,22 @@ def _serve_workers(args) -> int:
 
 def main(argv=None) -> int:
     import os
+
+    # install the drain-flag handler BEFORE anything slow (jax init on a
+    # worker takes tens of seconds): a SIGUSR1 arriving while the process
+    # is still booting must set the flag, not hit the default action
+    # (terminate) — ImageServer.run_forever later re-installs its own
+    # handler and consumes this early flag. Harmless for the quick CLI
+    # commands.
+    early_drain = {"drain": False}
+    try:
+        import signal as _signal
+
+        _signal.signal(
+            _signal.SIGUSR1, lambda s, f: early_drain.update(drain=True)
+        )
+    except (ValueError, OSError, AttributeError):
+        pass  # non-main thread or platform without SIGUSR1
 
     if os.environ.get("SEQUITR_FORCE_CPU"):
         # pin the CPU backend for ops/test tooling. Must happen via
@@ -257,7 +299,7 @@ def main(argv=None) -> int:
             )
         if args.workers > 1:
             return _serve_workers(args)
-        ImageServer(cfg).run_forever()
+        ImageServer(cfg).run_forever(early_drain=early_drain)
         return 0
 
     if args.cmd == "submit":
@@ -287,11 +329,20 @@ def main(argv=None) -> int:
             return 0
         # --follow: one line per progress update until a terminal state
         last_update = None
+        waiting_noted = False
         while True:
             try:
                 status = json.load(open(path))
             except (OSError, ValueError):
                 status = None  # not started yet (or mid-write)
+            if status is None and not waiting_noted:
+                # a mistyped path and a not-yet-claimed job look the same;
+                # say so once instead of hanging silently forever
+                print(
+                    f"waiting for {path} (job not started yet, or wrong "
+                    "output dir?)", file=sys.stderr,
+                )
+                waiting_noted = True
             try:
                 prog = json.load(open(ppath))
             except (OSError, ValueError):

@@ -126,7 +126,7 @@ class ImageServer:
                     "could not enable the XLA compilation cache", exc_info=True
                 )
 
-    def run_forever(self) -> None:  # pragma: no cover - interactive loop
+    def run_forever(self, early_drain=None) -> None:  # pragma: no cover - interactive loop
         """Poll loop with graceful drain.
 
         SIGUSR1 = drain: finish the job currently running (jobs are only
@@ -134,6 +134,12 @@ class ImageServer:
         leaving the queue untouched — the rolling-restart signal. SIGTERM/
         SIGINT keep their abrupt semantics (the stale-claim reclaimer
         rescues an interrupted job, but it re-runs from scratch).
+
+        ``early_drain``: optional ``{"drain": bool}`` dict populated by a
+        boot-time handler (the CLI installs one before the slow jax init)
+        so a signal that arrived while the process was still starting is
+        not lost — it is consumed here, after this loop's own handler is
+        installed.
         """
         import signal
 
@@ -146,16 +152,26 @@ class ImageServer:
             signal.signal(signal.SIGUSR1, _drain)
         except (ValueError, OSError, AttributeError):
             pass  # non-main thread or platform without SIGUSR1
+        if early_drain and early_drain.get("drain"):
+            self._draining = True
         log.info("server watching %s (pipelines: %s)", self.config.jobs_dir, self.registry.names())
-        # the while-top check means a drain arriving while idle (sleep is
-        # interrupted by the signal) exits WITHOUT claiming another job;
-        # the post-poll check covers a drain arriving mid-job
+        # a drain arriving while idle exits WITHOUT claiming another job:
+        # the idle sleep runs in short chunks (PEP 475 would otherwise
+        # RESUME a long sleep after the handler, delaying the exit by up
+        # to poll_interval), poll_once itself re-checks the flag before
+        # every claim, and the post-poll check covers a drain that
+        # arrived mid-job
         while not self._draining:
             ran = self.poll_once()
             if self._draining:
                 break
             if not ran:
-                time.sleep(self.config.poll_interval)
+                deadline = time.monotonic() + self.config.poll_interval
+                while not self._draining:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    time.sleep(min(left, 0.2))
         log.info("drained: exiting cleanly")
 
     def poll_once(self) -> bool:
@@ -172,6 +188,12 @@ class ImageServer:
                 self.config.jobs_dir, self.config.stale_claim_timeout
             )
         for path in jobs_lib.scan_jobs(self.config.jobs_dir):
+            if getattr(self, "_draining", False):
+                # a drain that lands during the reclaim/scan phase (which
+                # can be long on a large jobs dir) must not claim one more
+                # job — "finish the job currently running" means exactly
+                # the one already claimed
+                return False
             try:
                 job = jobs_lib.claim_job(path)
             except (jobs_lib.JobError, ValueError) as e:

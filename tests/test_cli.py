@@ -158,14 +158,21 @@ class TestStatusFollow:
         out = tmp_path / "out"
         out.mkdir()
         (out / "status.json").write_text(_json.dumps({"state": "running"}))
+        # the first update exists BEFORE the follower starts (no race: its
+        # very first poll must see it); the driver then waits long enough
+        # for several 0.05 s polls before each further transition
+        (out / "progress.json").write_text(_json.dumps(
+            {"phase": "frames", "done": 3, "total": 10,
+             "frames_per_sec": 2.5, "updated": _time.time()}
+        ))
 
         def driver():
-            for done in (3, 7):
-                (out / "progress.json").write_text(_json.dumps(
-                    {"phase": "frames", "done": done, "total": 10,
-                     "frames_per_sec": 2.5, "updated": _time.time()}
-                ))
-                _time.sleep(0.25)
+            _time.sleep(1.0)
+            (out / "progress.json").write_text(_json.dumps(
+                {"phase": "frames", "done": 7, "total": 10,
+                 "frames_per_sec": 2.5, "updated": _time.time()}
+            ))
+            _time.sleep(1.0)
             (out / "status.json").write_text(_json.dumps(
                 {"state": "complete", "outputs": {}}
             ))
@@ -173,7 +180,7 @@ class TestStatusFollow:
         t = threading.Thread(target=driver)
         t.start()
         try:
-            rc = main(["status", str(out), "--follow", "--poll", "0.1"])
+            rc = main(["status", str(out), "--follow", "--poll", "0.05"])
         finally:
             t.join()
         assert rc == 0

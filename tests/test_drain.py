@@ -20,6 +20,10 @@ import numpy as np
 from sequitr_tpu.config import ServerConfiguration
 from sequitr_tpu.server import submit_job
 
+# the repo root, wherever this checkout lives (worker subprocesses import
+# the package by cwd)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def _read_state(out_dir):
     p = out_dir / "status.json"
@@ -29,6 +33,26 @@ def _read_state(out_dir):
         return json.loads(p.read_text()).get("state")
     except ValueError:
         return None
+
+
+class TestDrainUnits:
+    def test_poll_once_never_claims_after_drain_flag(self, tmp_path):
+        """A drain landing during the (possibly long) reclaim/scan phase
+        must not claim one more job: poll_once re-checks the flag before
+        every claim."""
+        from sequitr_tpu.server import ImageServer
+        from sequitr_tpu.server.server import PipelineRegistry
+
+        cfg = ServerConfiguration(
+            jobs_dir=str(tmp_path / "jobs"),
+            models_dir=str(tmp_path / "models"),
+        )
+        cfg.ensure_dirs()
+        submit_job(cfg.jobs_dir, {"module": "m", "output": ""}, job_id="q1")
+        srv = ImageServer(cfg, PipelineRegistry())
+        srv._draining = True
+        assert srv.poll_once() is False
+        assert sorted(os.listdir(cfg.jobs_dir)) == ["job_q1.json"]
 
 
 class TestDrainE2E:
@@ -58,7 +82,7 @@ class TestDrainE2E:
             [sys.executable, "-m", "sequitr_tpu", "serve",
              "--jobs-dir", str(jobs), "--models-dir", str(models),
              "--poll-interval", "0.2"],
-            env=env, cwd="/root/repo", stdout=log_f, stderr=log_f,
+            env=env, cwd=REPO_ROOT, stdout=log_f, stderr=log_f,
         )
         try:
             # wait until the slow job is genuinely running
@@ -103,7 +127,7 @@ class TestDrainE2E:
             [sys.executable, "-m", "sequitr_tpu", "serve", "--workers", "2",
              "--jobs-dir", str(jobs), "--models-dir", str(models),
              "--poll-interval", "0.2"],
-            env=env, cwd="/root/repo", stdout=log_f, stderr=log_f,
+            env=env, cwd=REPO_ROOT, stdout=log_f, stderr=log_f,
         )
         try:
             deadline = time.time() + 300

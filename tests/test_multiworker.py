@@ -30,6 +30,10 @@ from sequitr_tpu.config import ServerConfiguration
 from sequitr_tpu.data import tiff
 from sequitr_tpu.server import submit_job
 
+# the repo root, wherever this checkout lives (worker subprocesses import
+# the package by cwd)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 class TestMultiWorkerE2E:
     def test_shared_queue_drains_and_survives_sigkill(self, tmp_path):
@@ -76,7 +80,7 @@ class TestMultiWorkerE2E:
             [sys.executable, "-m", "sequitr_tpu", "serve", "--workers", "2",
              "--jobs-dir", str(jobs), "--models-dir", str(models),
              "--config", str(cfgp), "--poll-interval", "0.3"],
-            env=env, cwd="/root/repo", stdout=log_f, stderr=log_f,
+            env=env, cwd=REPO_ROOT, stdout=log_f, stderr=log_f,
         )
         try:
             # phase 1: wait for the victim to be claimed and report its pid

@@ -2389,7 +2389,7 @@ class TestSupervisorRecycleE2E:
             [sys.executable, "-m", "sequitr_tpu", "serve", "--workers", "2",
              "--jobs-dir", str(jobs), "--models-dir", str(models),
              "--config", str(cfgp), "--poll-interval", "0.3"],
-            env=env, cwd="/root/repo", stdout=log_f, stderr=log_f,
+            env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), stdout=log_f, stderr=log_f,
         )
         try:
             # generous: under full-suite memory pressure on a 1-core host,
