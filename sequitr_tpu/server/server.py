@@ -2255,6 +2255,12 @@ if os.environ.get("SEQUITR_TEST_SLOW"):  # pragma: no cover - subprocess only
             f.write(str(os.getpid()))
         end = time.time() + (0.5 if rerun else float(job.params.get("sleep", 10.0)))
         while time.time() < end:
+            # poll the cancel marker like every real pipeline does between
+            # frames/steps, so lifecycle tests can cancel this job too
+            if jobs_lib.cancel_requested(job):
+                raise jobs_lib.JobCancelled(
+                    f"job {job.id} cancelled mid-sleep"
+                )
             time.sleep(0.2)
         return {"rerun": str(rerun)}
 
