@@ -448,6 +448,27 @@ class TestCancelClientAndCLI:
         cfg_srv, _ = server_env
         assert not client_lib.cancel_job(cfg_srv.jobs_dir, "nope")
 
+    def test_client_cancel_during_reclaim_window(self, server_env):
+        """A job mid-reclaim (its claim renamed to the .reclaim tmp, not
+        yet requeued) is still a live job: cancel must say 'requested',
+        never 'not found' — the reclaimer honors the marker."""
+        cfg_srv, _ = server_env
+        tmp = os.path.join(
+            cfg_srv.jobs_dir, f"job_rw1{jobs_lib.RECLAIM_SUFFIX}"
+        )
+        with open(tmp, "w") as f:
+            json.dump({"module": "m"}, f)
+        assert client_lib.cancel_job(cfg_srv.jobs_dir, "rw1") == "requested"
+        # the marker the reclaimer will consume exists
+        assert os.path.exists(
+            os.path.join(cfg_srv.jobs_dir, "job_rw1.cancel")
+        )
+        # and reclaim indeed honors it instead of requeueing
+        old = time.time() - 100
+        os.utime(tmp, (old, old))
+        got = jobs_lib.reclaim_stale_claims(cfg_srv.jobs_dir, timeout=30.0)
+        assert got == [] and not os.path.exists(tmp)
+
     def test_wait_for_job_surfaces_cancelled_state(self, tmp_path):
         out = tmp_path / "o"
         out.mkdir()
