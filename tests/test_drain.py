@@ -8,31 +8,16 @@ job, does NOT claim the next one, and exits 0. The supervisor
 respawning. Real-subprocess e2e, signals sent by exact pid.
 """
 
-import json
 import os
 import signal
 import subprocess
 import sys
 import time
 
-import numpy as np
+from e2e_utils import REPO_ROOT, read_state as _read_state
 
 from sequitr_tpu.config import ServerConfiguration
 from sequitr_tpu.server import submit_job
-
-# the repo root, wherever this checkout lives (worker subprocesses import
-# the package by cwd)
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _read_state(out_dir):
-    p = out_dir / "status.json"
-    if not p.exists():
-        return None
-    try:
-        return json.loads(p.read_text()).get("state")
-    except ValueError:
-        return None
 
 
 class TestDrainUnits:

@@ -22,18 +22,11 @@ import subprocess
 import sys
 import time
 
+from e2e_utils import REPO_ROOT, read_state as _state
+
 from sequitr_tpu.config import ServerConfiguration
 from sequitr_tpu.server import jobs as jobs_lib
 from sequitr_tpu.server import submit_job
-
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _state(out_dir):
-    try:
-        return json.loads((out_dir / "status.json").read_text()).get("state")
-    except (OSError, ValueError):
-        return None
 
 
 class TestLifecycleSoak:
@@ -121,12 +114,35 @@ class TestLifecycleSoak:
             vst = json.loads((outs["victim"] / "status.json").read_text())
             assert vst["outputs"]["rerun"] == "True"
 
-            # 3) drain with fresh jobs queued: they must survive untouched
+            # 3) drain with fresh jobs queued: they must survive untouched.
+            # Occupy BOTH workers with slow holds first — the drain flag
+            # must be set while they are busy, or an idle worker could
+            # legitimately claim a leftover in the signal-propagation
+            # window (poll_once only re-checks the flag before claims)
+            submit("hold0", 20)
+            submit("hold1", 20)
+
+            def both_holds_running():
+                return all(
+                    (outs[h] / "worker_pid.txt").exists()
+                    and _state(outs[h]) == "running"
+                    for h in ("hold0", "hold1")
+                )
+
+            deadline = time.time() + 240
+            while time.time() < deadline and not both_holds_running():
+                time.sleep(0.2)
+            assert both_holds_running(), (
+                (tmp_path / "supervisor.log").read_text()[-2000:]
+            )
             submit("leftover0", 0.1)
             submit("leftover1", 0.1)
             proc.send_signal(signal.SIGUSR1)
             code = proc.wait(timeout=180)
+            log_txt = (tmp_path / "supervisor.log").read_text()
             assert code == 0, log_txt[-3000:]
+            for j in ("hold0", "hold1"):
+                assert _state(outs[j]) == "complete", (j, log_txt[-3000:])
             for j in ("leftover0", "leftover1"):
                 assert _state(outs[j]) is None  # never claimed
             # queue holds exactly the two leftover specs, no litter
