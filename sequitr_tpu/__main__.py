@@ -247,6 +247,22 @@ def main(argv=None) -> int:
     )
     ap_stats.add_argument("ledger", help="path to jobs.jsonl or its log dir")
 
+    ap_drain = sub.add_parser(
+        "drain",
+        help="gracefully drain the serve process watching a jobs dir: it"
+             " finishes running jobs, claims nothing further, and exits"
+             " with the queue untouched (rolling restarts)",
+    )
+    ap_drain.add_argument("--jobs-dir", default="./jobs")
+    ap_drain.add_argument(
+        "--wait", action="store_true",
+        help="block until the serve process has exited",
+    )
+    ap_drain.add_argument(
+        "--timeout", type=float, default=None,
+        help="with --wait: give up after this many seconds (exit 1)",
+    )
+
     ap_retry = sub.add_parser(
         "retry", help="re-queue a FAILED job (moves its .failed marker back"
                       " into the queue)"
@@ -297,10 +313,35 @@ def main(argv=None) -> int:
                 models_dir=args.models_dir,
                 poll_interval=args.poll_interval,
             )
-        if args.workers > 1:
-            return _serve_workers(args)
-        ImageServer(cfg).run_forever(early_drain=early_drain)
-        return 0
+        # pidfile: lets `sequitr_tpu drain` find this serve process without
+        # the operator hunting pids. One serve entry (supervisor OR single
+        # worker) per jobs dir is the deployment model; a stale file from a
+        # crashed serve is overwritten here and tolerated by `drain`.
+        pidfile = os.path.join(args.jobs_dir, ".serve.pid")
+        if os.environ.get("SEQUITR_WORKER_ID") is not None:
+            pidfile = None  # a supervised worker: the supervisor owns it
+        else:
+            try:
+                os.makedirs(args.jobs_dir, exist_ok=True)
+                with open(pidfile, "w") as f:
+                    f.write(str(os.getpid()))
+            except OSError:
+                pidfile = None
+        try:
+            if args.workers > 1:
+                return _serve_workers(args)
+            ImageServer(cfg).run_forever(early_drain=early_drain)
+            return 0
+        finally:
+            if pidfile:
+                try:
+                    # only remove our own pidfile (a replacement serve may
+                    # have already overwritten it)
+                    with open(pidfile) as f:
+                        if f.read().strip() == str(os.getpid()):
+                            os.unlink(pidfile)
+                except (OSError, ValueError):
+                    pass
 
     if args.cmd == "submit":
         from sequitr_tpu.server import submit_job
@@ -495,6 +536,74 @@ def main(argv=None) -> int:
                 f"{name:28s} {m['n']:5d} {m['failed']:6d} "
                 f"{m['s']/m['n']:8.2f} {m['s']/3600:8.2f}"
             )
+        return 0
+
+    if args.cmd == "drain":
+        import os
+        import signal as signal_lib
+        import time
+
+        pidfile = os.path.join(args.jobs_dir, ".serve.pid")
+        try:
+            pid = int(open(pidfile).read().strip())
+        except (OSError, ValueError):
+            print(
+                f"no serve process found for {args.jobs_dir} (no readable "
+                f"{pidfile})", file=sys.stderr,
+            )
+            return 1
+
+        def alive():
+            # NOT os.kill(pid, 0): that succeeds on a ZOMBIE — an exited
+            # serve whose parent has not reaped it yet (observed: --wait
+            # spun for its full timeout on an already-drained server).
+            # /proc state Z means exited-for-our-purposes.
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    state = f.read().rsplit(")", 1)[1].split()[0]
+                return state != "Z"
+            except (OSError, IndexError):
+                pass  # no /proc (or racing exit): fall back to kill(0)
+            try:
+                os.kill(pid, 0)
+                return True
+            except ProcessLookupError:
+                return False
+            except PermissionError:
+                return True  # exists, owned by someone else
+
+        if not alive():
+            # stale pidfile from a crashed serve: clean it up and say so
+            try:
+                os.unlink(pidfile)
+            except OSError:
+                pass
+            print(
+                f"serve process {pid} is not running (stale pidfile "
+                "removed)", file=sys.stderr,
+            )
+            return 1
+        try:
+            os.kill(pid, signal_lib.SIGUSR1)
+        except OSError as e:
+            print(f"cannot signal serve process {pid}: {e}", file=sys.stderr)
+            return 1
+        print(
+            f"drain requested (pid {pid}): running jobs finish, the queue "
+            "is left untouched"
+        )
+        if not args.wait:
+            return 0
+        deadline = time.time() + args.timeout if args.timeout else None
+        while alive():
+            if deadline is not None and time.time() > deadline:
+                print(
+                    f"serve process {pid} still draining after "
+                    f"{args.timeout:.0f}s", file=sys.stderr,
+                )
+                return 1
+            time.sleep(0.5)
+        print("drained")
         return 0
 
     if args.cmd == "retry":

@@ -40,6 +40,27 @@ class TestDrainUnits:
         assert sorted(os.listdir(cfg.jobs_dir)) == ["job_q1.json"]
 
 
+class TestDrainCLI:
+    def test_drain_without_server_fails_cleanly(self, tmp_path, capsys):
+        from sequitr_tpu.__main__ import main as cli_main
+
+        jobs = tmp_path / "jobs"
+        jobs.mkdir()
+        assert cli_main(["drain", "--jobs-dir", str(jobs)]) == 1
+        assert "no serve process" in capsys.readouterr().err
+
+    def test_drain_stale_pidfile_cleaned(self, tmp_path, capsys):
+        from sequitr_tpu.__main__ import main as cli_main
+
+        jobs = tmp_path / "jobs"
+        jobs.mkdir()
+        # a pid that cannot exist (beyond pid_max) = a crashed serve
+        (jobs / ".serve.pid").write_text("99999999")
+        assert cli_main(["drain", "--jobs-dir", str(jobs)]) == 1
+        assert "stale pidfile" in capsys.readouterr().err
+        assert not (jobs / ".serve.pid").exists()
+
+
 class TestDrainE2E:
     def test_sigusr1_finishes_job_leaves_queue_exits_zero(self, tmp_path):
         jobs = tmp_path / "jobs"
@@ -78,9 +99,17 @@ class TestDrainE2E:
             assert pid_file.exists(), (
                 (tmp_path / "server.log").read_text()[-2000:]
             )
-            proc.send_signal(signal.SIGUSR1)
-            code = proc.wait(timeout=120)
+            # drain through the CLI (pidfile discovery + SIGUSR1 + --wait)
+            cli = subprocess.run(
+                [sys.executable, "-m", "sequitr_tpu", "drain",
+                 "--jobs-dir", str(jobs), "--wait", "--timeout", "120"],
+                cwd=REPO_ROOT, capture_output=True, text=True, timeout=150,
+            )
+            assert cli.returncode == 0, (cli.stdout, cli.stderr)
+            assert "drain requested" in cli.stdout and "drained" in cli.stdout
+            code = proc.wait(timeout=30)
             assert code == 0
+            assert not (jobs / ".serve.pid").exists()  # pidfile cleaned up
             # the in-flight job finished normally...
             assert _read_state(slow_out) == "complete"
             # ...and the queued one was never claimed
