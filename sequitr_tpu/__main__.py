@@ -1,12 +1,20 @@
 """Command-line interface: ``python -m sequitr_tpu <command>``.
 
 Commands (the operational surface of the reference's server scripts):
-  serve   — run the watched-directory image server
-  submit  — file a job JSON into a server's jobs directory
-  status  — print a job's status marker
-  models  — list registered models
-  queue   — show pending/running/failed/rejected jobs
-  cancel  — remove a queued job before a server claims it
+  serve        — run the watched-directory image server (--workers N
+                 supervises one worker per chip)
+  submit       — file a job JSON into a server's jobs directory
+  status       — print a job's status (+ live progress; --follow tails it)
+  models       — list registered models
+  queue        — show pending/running/failed/rejected jobs
+  cancel       — withdraw a queued job, or stop a RUNNING one at its next
+                 frame/step
+  drain        — graceful rolling restart: finish running jobs, leave the
+                 queue, exit
+  retry        — re-queue a failed job
+  stats        — summarize the server's jobs.jsonl ledger
+  info         — version, backend/devices, native status, pipelines
+  import-model / export-model — weight interchange (TF/torch layouts)
 """
 
 from __future__ import annotations
