@@ -268,7 +268,7 @@ def main(argv=None) -> int:
     )
     ap_drain.add_argument(
         "--timeout", type=float, default=None,
-        help="with --wait: give up after this many seconds (exit 1)",
+        help="give up after this many seconds (exit 1); implies --wait",
     )
 
     ap_retry = sub.add_parser(
@@ -325,12 +325,14 @@ def main(argv=None) -> int:
         # the operator hunting pids. One serve entry (supervisor OR single
         # worker) per jobs dir is the deployment model; a stale file from a
         # crashed serve is overwritten here and tolerated by `drain`.
-        pidfile = os.path.join(args.jobs_dir, ".serve.pid")
+        # Written into the EFFECTIVE jobs dir (a --config file may point
+        # somewhere other than the --jobs-dir flag's default).
+        pidfile = os.path.join(cfg.jobs_dir, ".serve.pid")
         if os.environ.get("SEQUITR_WORKER_ID") is not None:
             pidfile = None  # a supervised worker: the supervisor owns it
         else:
             try:
-                os.makedirs(args.jobs_dir, exist_ok=True)
+                os.makedirs(cfg.jobs_dir, exist_ok=True)
                 with open(pidfile, "w") as f:
                     f.write(str(os.getpid()))
             except OSError:
@@ -580,15 +582,38 @@ def main(argv=None) -> int:
             except PermissionError:
                 return True  # exists, owned by someone else
 
-        if not alive():
-            # stale pidfile from a crashed serve: clean it up and say so
+        def is_ours():
+            # never signal a bystander: a SIGKILLed serve leaves its
+            # pidfile behind and the pid can be recycled by an unrelated
+            # process — whose default SIGUSR1 disposition is TERMINATE
             try:
-                os.unlink(pidfile)
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    return b"sequitr_tpu" in f.read()
+            except OSError:
+                return True  # no /proc: fall back to trusting the pidfile
+
+        def remove_stale():
+            # re-check content before unlinking: a replacement serve may
+            # have overwritten the pidfile since we read it
+            try:
+                with open(pidfile) as f:
+                    if f.read().strip() == str(pid):
+                        os.unlink(pidfile)
             except OSError:
                 pass
+
+        if not alive():
+            remove_stale()
             print(
                 f"serve process {pid} is not running (stale pidfile "
                 "removed)", file=sys.stderr,
+            )
+            return 1
+        if not is_ours():
+            remove_stale()
+            print(
+                f"pid {pid} is not a sequitr_tpu serve process (recycled "
+                "pid; stale pidfile removed)", file=sys.stderr,
             )
             return 1
         try:
@@ -600,11 +625,15 @@ def main(argv=None) -> int:
             f"drain requested (pid {pid}): running jobs finish, the queue "
             "is left untouched"
         )
-        if not args.wait:
+        if not args.wait and args.timeout is None:
             return 0
-        deadline = time.time() + args.timeout if args.timeout else None
+        # --timeout implies --wait (a bounded wait is still a wait)
+        deadline = (
+            time.monotonic() + args.timeout
+            if args.timeout is not None else None
+        )
         while alive():
-            if deadline is not None and time.time() > deadline:
+            if deadline is not None and time.monotonic() > deadline:
                 print(
                     f"serve process {pid} still draining after "
                     f"{args.timeout:.0f}s", file=sys.stderr,

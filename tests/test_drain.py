@@ -60,6 +60,20 @@ class TestDrainCLI:
         assert "stale pidfile" in capsys.readouterr().err
         assert not (jobs / ".serve.pid").exists()
 
+    def test_drain_never_signals_a_recycled_pid(self, tmp_path, capsys):
+        """A SIGKILLed serve leaves its pidfile; if the pid is later owned
+        by an UNRELATED process (default SIGUSR1 action: terminate), drain
+        must refuse rather than kill a bystander."""
+        from sequitr_tpu.__main__ import main as cli_main
+
+        jobs = tmp_path / "jobs"
+        jobs.mkdir()
+        # this very test process is alive but is not a serve process
+        (jobs / ".serve.pid").write_text(str(os.getpid()))
+        assert cli_main(["drain", "--jobs-dir", str(jobs)]) == 1
+        assert "not a sequitr_tpu serve" in capsys.readouterr().err
+        assert not (jobs / ".serve.pid").exists()
+
 
 class TestDrainE2E:
     def test_sigusr1_finishes_job_leaves_queue_exits_zero(self, tmp_path):
