@@ -28,7 +28,7 @@ is where the driver runs ``bench.py``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

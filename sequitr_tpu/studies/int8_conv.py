@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import argparse
 import json
-from typing import Tuple
 
 import numpy as np
 

@@ -37,7 +37,7 @@ Scheme — the standard production PTQ recipe:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,7 @@ import argparse
 import functools
 import json
 import time
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

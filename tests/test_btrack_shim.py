@@ -15,7 +15,6 @@ the trailing-empty-frames map case (``localize.py`` ``n_frames``
 handling) and the zero-object file.
 """
 
-import os
 
 import numpy as np
 import pytest
@@ -164,7 +163,7 @@ class TestBtrackRoundTrip:
 
         from sequitr_tpu.config import ServerConfiguration
         from sequitr_tpu.data import synthetic, tiff
-        from sequitr_tpu.models import fixtures, unet
+        from sequitr_tpu.models import fixtures
         from sequitr_tpu.server import ImageServer, save_model, submit_job
 
         cfg_srv = ServerConfiguration(

@@ -24,7 +24,6 @@ import sys
 import time
 
 import numpy as np
-import pytest
 
 from sequitr_tpu.config import ServerConfiguration
 from sequitr_tpu.data import tiff

@@ -14,8 +14,6 @@ import os
 import threading
 import time
 
-import numpy as np
-import pytest
 
 from sequitr_tpu.config import ServerConfiguration
 from sequitr_tpu.server import ImageServer, submit_job
