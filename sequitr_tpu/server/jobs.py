@@ -117,6 +117,65 @@ class Job:
             raise JobError(f"job {path}: malformed field: {e}")
 
 
+class ParamTracker(dict):
+    """A params dict that records which keys the pipeline actually read.
+
+    Misspelled job parameters (``lerning_rate``, ``spatial_ways`` on a
+    pipeline that has ``data_ways``) were silently ignored — the job ran
+    with defaults and the client never learned why. The server wraps
+    ``job.params`` in this before dispatch and reports never-read keys as
+    a ``warnings`` list in the final status. Whole-dict operations
+    (iteration, items, copy) conservatively mark everything read — a
+    pipeline that copies its params gets no warnings rather than false
+    ones.
+    """
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.accessed = set()
+        self.all_accessed = False
+
+    def __getitem__(self, key):
+        self.accessed.add(key)
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        self.accessed.add(key)
+        return super().get(key, default)
+
+    def __contains__(self, key):
+        self.accessed.add(key)
+        return super().__contains__(key)
+
+    def _mark_all(self):
+        self.all_accessed = True
+
+    def __iter__(self):
+        self._mark_all()
+        return super().__iter__()
+
+    def keys(self):
+        self._mark_all()
+        return super().keys()
+
+    def items(self):
+        self._mark_all()
+        return super().items()
+
+    def values(self):
+        self._mark_all()
+        return super().values()
+
+    def copy(self):
+        self._mark_all()
+        return dict(self)
+
+    def unread_keys(self):
+        if self.all_accessed:
+            return []
+        return sorted(set(super().keys()) - self.accessed)
+
+
 def _atomic_write(path: str, text: str) -> None:
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
@@ -437,6 +496,7 @@ def write_status(
     started: float,
     error: Optional[str] = None,
     outputs: Optional[Dict[str, str]] = None,
+    warnings: Optional[List[str]] = None,
 ) -> None:
     """Atomically write the job's status marker into its output directory."""
     status = {
@@ -452,6 +512,8 @@ def write_status(
         status["error"] = error
     if outputs is not None:
         status["outputs"] = outputs
+    if warnings:
+        status["warnings"] = list(warnings)
     out_dir = job.output or os.path.dirname(job.path)
     _atomic_write(os.path.join(out_dir, "status.json"), json.dumps(status, indent=2))
 

@@ -213,6 +213,10 @@ class ImageServer:
 
     def _execute(self, job: Job) -> None:
         started = time.time()
+        # track which params the pipeline actually reads so misspelled
+        # ones ("lerning_rate") surface as warnings instead of silently
+        # running with defaults
+        job.params = jobs_lib.ParamTracker(job.params)
         os.makedirs(job.output or ".", exist_ok=True)
         # a previous run into the same output dir (the documented
         # resume-by-resubmitting flow) leaves its last progress.json behind;
@@ -235,7 +239,24 @@ class ImageServer:
                 if job.params.get("profile"):
                     pipeline = _profiled(pipeline)
                 outputs = self._run_with_watchdog(pipeline, job) or {}
-                jobs_lib.write_status(job, "complete", started, outputs=outputs)
+                unread = (
+                    job.params.unread_keys()
+                    if isinstance(job.params, jobs_lib.ParamTracker) else []
+                )
+                warnings = None
+                if unread:
+                    warnings = [
+                        f"unknown param {k!r}: never read by "
+                        f"{job.module!r} (misspelled?)" for k in unread
+                    ]
+                    log.warning(
+                        "job %s: params never read by %s: %s",
+                        job.id, job.module, ", ".join(unread),
+                    )
+                jobs_lib.write_status(
+                    job, "complete", started, outputs=outputs,
+                    warnings=warnings,
+                )
                 if jobs_lib.owns_claim(job):
                     try:
                         os.unlink(job.path)
@@ -813,7 +834,11 @@ def _gan_setup(job: Job, config: ServerConfiguration, source):
     cfg, params, state = gan_lib.fold_generator(cfg, params, state)
     # ``out_dtype: float16`` halves the enhanced-frame D2H + disk (maps to
     # the TileConfig output-dtype knob; the cast happens on device)
-    p = dict(job.params)
+    # .copy() (not dict(...)) so a ParamTracker conservatively marks all
+    # params read — dict(subclass) bypasses the overridden methods and
+    # would leave this pipeline's reads invisible to the unknown-param
+    # warning
+    p = job.params.copy()
     if "out_dtype" in p:
         p["probs_dtype"] = p["out_dtype"]
     tc = _tile_config(
@@ -1362,7 +1387,8 @@ def train_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     ``dims: 3``). Augmentation runs volumetrically: 3-axis flips, in-plane
     rotations and a z-consistent elastic warp.
     """
-    job.params = dict(job.params)
+    # mutate in place (params are per-job) so the ParamTracker and its
+    # unknown-param warnings keep working for the 3D variant
     job.params.setdefault("dims", 3)
     return _train_unet(job, config)
 

@@ -27,6 +27,7 @@ from sequitr_tpu.server import (
     scan_jobs,
     submit_job,
 )
+from sequitr_tpu.server import server as server_mod
 
 
 @pytest.fixture
@@ -378,6 +379,71 @@ class TestSegmentationPipeline:
         assert status["state"] == "complete", status.get("error")
         labels = tiff.read_stack(status["outputs"]["labels"])
         assert labels.shape == (2, 20, 28)
+
+
+class TestUnknownParamWarnings:
+    def _run(self, tmp_path, params, reads=("threshold",)):
+        cfg = ServerConfiguration(
+            jobs_dir=str(tmp_path / "jobs"), models_dir=str(tmp_path / "m")
+        )
+        cfg.ensure_dirs()
+        out = tmp_path / "out"
+        reg = server_mod.PipelineRegistry()
+
+        @reg.register("probe")
+        def _probe(job, config):
+            for k in reads:
+                job.params.get(k)
+            return {}
+
+        submit_job(
+            cfg.jobs_dir,
+            {"module": "probe", "params": params, "output": str(out)},
+            job_id="p1",
+        )
+        srv = ImageServer(cfg, reg)
+        assert srv.poll_once()
+        return json.loads((out / "status.json").read_text())
+
+    def test_misspelled_param_surfaces_as_warning(self, tmp_path):
+        """A param the pipeline never reads ('treshold') would previously
+        run silently with defaults; it now lands in status warnings."""
+        st = self._run(tmp_path, {"threshold": 5, "treshold": 9})
+        assert st["state"] == "complete"
+        assert len(st["warnings"]) == 1
+        assert "treshold" in st["warnings"][0]
+        assert "misspelled" in st["warnings"][0]
+
+    def test_fully_read_params_produce_no_warnings(self, tmp_path):
+        st = self._run(tmp_path, {"threshold": 5})
+        assert st["state"] == "complete"
+        assert "warnings" not in st
+
+    def test_whole_dict_access_disables_warnings(self, tmp_path):
+        """A pipeline that copies/iterates its params conservatively marks
+        everything read — no false warnings."""
+        cfg = ServerConfiguration(
+            jobs_dir=str(tmp_path / "jobs"), models_dir=str(tmp_path / "m")
+        )
+        cfg.ensure_dirs()
+        out = tmp_path / "out"
+        reg = server_mod.PipelineRegistry()
+
+        @reg.register("copier")
+        def _copier(job, config):
+            p = job.params.copy()
+            p.get("anything")
+            return {}
+
+        submit_job(
+            cfg.jobs_dir,
+            {"module": "copier", "params": {"x": 1, "y": 2},
+             "output": str(out)},
+            job_id="c1",
+        )
+        assert ImageServer(cfg, reg).poll_once()
+        st = json.loads((out / "status.json").read_text())
+        assert st["state"] == "complete" and "warnings" not in st
 
 
 class TestJobRobustness:
