@@ -216,6 +216,11 @@ def main(argv=None) -> int:
     ap_submit = sub.add_parser("submit", help="submit a job JSON")
     ap_submit.add_argument("--jobs-dir", default="./jobs")
     ap_submit.add_argument("spec", help="job spec JSON file (or '-' for stdin)")
+    ap_submit.add_argument(
+        "--follow", action="store_true",
+        help="after submitting, live-tail the job (status --follow on the"
+             " spec's output dir); exit 0 = complete",
+    )
 
     ap_status = sub.add_parser("status", help="read a job output status")
     ap_status.add_argument("output_dir")
@@ -357,8 +362,18 @@ def main(argv=None) -> int:
         from sequitr_tpu.server import submit_job
 
         spec = json.load(sys.stdin if args.spec == "-" else open(args.spec))
+        if args.follow and not (
+            isinstance(spec, dict) and spec.get("output")
+        ):
+            print(
+                "--follow needs an 'output' dir in the spec to tail",
+                file=sys.stderr,
+            )
+            return 1
         job_id = submit_job(args.jobs_dir, spec)
         print(job_id)
+        if args.follow:
+            return main(["status", str(spec["output"]), "--follow"])
         return 0
 
     if args.cmd == "status":

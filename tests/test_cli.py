@@ -188,6 +188,34 @@ class TestStatusFollow:
         assert "frames 3/10" in got and "frames 7/10" in got
         assert '"state": "complete"' in got
 
+    def test_submit_follow_tails_to_terminal(self, tmp_path, capsys):
+        import json as _json
+
+        out = tmp_path / "out"
+        out.mkdir()
+        # terminal state already on disk: follow returns immediately
+        (out / "status.json").write_text(_json.dumps(
+            {"state": "complete", "outputs": {}}
+        ))
+        spec = tmp_path / "job.json"
+        spec.write_text(_json.dumps(
+            {"module": "m", "params": {}, "input": [], "output": str(out)}
+        ))
+        jobs = tmp_path / "jobs"
+        assert main(["submit", "--jobs-dir", str(jobs), str(spec),
+                     "--follow"]) == 0
+        got = capsys.readouterr().out
+        assert '"state": "complete"' in got
+
+    def test_submit_follow_requires_output(self, tmp_path, capsys):
+        import json as _json
+
+        spec = tmp_path / "job.json"
+        spec.write_text(_json.dumps({"module": "m", "params": {}}))
+        assert main(["submit", "--jobs-dir", str(tmp_path / "jobs"),
+                     str(spec), "--follow"]) == 1
+        assert "needs an 'output'" in capsys.readouterr().err
+
     def test_follow_failed_job_exits_nonzero(self, tmp_path, capsys):
         import json as _json
 
