@@ -166,6 +166,65 @@ def _serve_workers(args) -> int:
         return 0
 
 
+def _follow_job(output_dir: str, poll: float, expect_id=None) -> int:
+    """Live-tail a job: one line per progress update, final status, exit
+    code from the terminal state.
+
+    ``expect_id``: ignore status/progress rows from OTHER runs into the
+    same output dir — the resume-by-resubmitting flow leaves a previous
+    run's terminal status.json behind, and ``submit --follow`` must wait
+    for ITS job rather than exiting with the old run's result.
+    """
+    import os
+    import time
+
+    path = os.path.join(output_dir, "status.json")
+    ppath = os.path.join(output_dir, "progress.json")
+    last_update = None
+    waiting_noted = False
+    while True:
+        try:
+            status = json.load(open(path))
+        except (OSError, ValueError):
+            status = None  # not started yet (or mid-write)
+        if (
+            status is not None and expect_id is not None
+            and status.get("id") != expect_id
+        ):
+            status = None  # a PREVIOUS run's marker: keep waiting
+        if status is None and not waiting_noted:
+            # a mistyped path and a not-yet-claimed job look the same;
+            # say so once instead of hanging silently forever
+            print(
+                f"waiting for {path} (job not started yet, or wrong "
+                "output dir?)", file=sys.stderr,
+            )
+            waiting_noted = True
+        try:
+            prog = json.load(open(ppath))
+        except (OSError, ValueError):
+            prog = None
+        if prog and expect_id is not None and prog.get("id") != expect_id:
+            prog = None
+        if prog and prog.get("updated") != last_update:
+            last_update = prog.get("updated")
+            done = prog.get("done", 0)
+            total = prog.get("total")
+            rate_key = f"{prog.get('phase', 'frames')}_per_sec"
+            rate = prog.get(rate_key)
+            line = f"{prog.get('phase', 'frames')} {done}"
+            if total is not None:
+                line += f"/{total}"
+            if rate is not None:
+                line += f"  ({rate}/s)"
+            print(line, flush=True)
+        state = (status or {}).get("state")
+        if state in ("complete", "failed", "cancelled"):
+            print(json.dumps(status, indent=2))
+            return 0 if state == "complete" else 1
+        time.sleep(poll)
+
+
 def main(argv=None) -> int:
     import os
 
@@ -373,7 +432,10 @@ def main(argv=None) -> int:
         job_id = submit_job(args.jobs_dir, spec)
         print(job_id)
         if args.follow:
-            return main(["status", str(spec["output"]), "--follow"])
+            # expect_id: a previous run's terminal status.json in the same
+            # output dir (the resume flow) must not be mistaken for THIS
+            # job's result
+            return _follow_job(str(spec["output"]), 1.0, expect_id=job_id)
         return 0
 
     if args.cmd == "status":
@@ -393,43 +455,7 @@ def main(argv=None) -> int:
             except (OSError, ValueError):
                 pass
             return 0
-        # --follow: one line per progress update until a terminal state
-        last_update = None
-        waiting_noted = False
-        while True:
-            try:
-                status = json.load(open(path))
-            except (OSError, ValueError):
-                status = None  # not started yet (or mid-write)
-            if status is None and not waiting_noted:
-                # a mistyped path and a not-yet-claimed job look the same;
-                # say so once instead of hanging silently forever
-                print(
-                    f"waiting for {path} (job not started yet, or wrong "
-                    "output dir?)", file=sys.stderr,
-                )
-                waiting_noted = True
-            try:
-                prog = json.load(open(ppath))
-            except (OSError, ValueError):
-                prog = None
-            if prog and prog.get("updated") != last_update:
-                last_update = prog.get("updated")
-                done = prog.get("done", 0)
-                total = prog.get("total")
-                rate_key = f"{prog.get('phase', 'frames')}_per_sec"
-                rate = prog.get(rate_key)
-                line = f"{prog.get('phase', 'frames')} {done}"
-                if total is not None:
-                    line += f"/{total}"
-                if rate is not None:
-                    line += f"  ({rate}/s)"
-                print(line, flush=True)
-            state = (status or {}).get("state")
-            if state in ("complete", "failed", "cancelled"):
-                print(json.dumps(status, indent=2))
-                return 0 if state == "complete" else 1
-            time.sleep(args.poll)
+        return _follow_job(args.output_dir, args.poll)
 
     if args.cmd == "models":
         import os

@@ -147,6 +147,26 @@ class ParamTracker(dict):
         self.accessed.add(key)
         return super().__contains__(key)
 
+    def setdefault(self, key, default=None):
+        # a setdefault is semantically a read (+ a possible server-side
+        # write); either way the key must not be blamed on the client
+        self.accessed.add(key)
+        return super().setdefault(key, default)
+
+    def pop(self, key, *default):
+        self.accessed.add(key)
+        return super().pop(key, *default)
+
+    def update(self, *a, **kw):
+        # server-injected keys are not client typos
+        tmp = dict(*a, **kw)
+        self.accessed.update(tmp)
+        return super().update(tmp)
+
+    def popitem(self):
+        self._mark_all()
+        return super().popitem()
+
     def _mark_all(self):
         self.all_accessed = True
 

@@ -239,10 +239,7 @@ class ImageServer:
                 if job.params.get("profile"):
                     pipeline = _profiled(pipeline)
                 outputs = self._run_with_watchdog(pipeline, job) or {}
-                unread = (
-                    job.params.unread_keys()
-                    if isinstance(job.params, jobs_lib.ParamTracker) else []
-                )
+                unread = job.params.unread_keys()
                 warnings = None
                 if unread:
                     warnings = [

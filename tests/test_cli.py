@@ -188,24 +188,53 @@ class TestStatusFollow:
         assert "frames 3/10" in got and "frames 7/10" in got
         assert '"state": "complete"' in got
 
-    def test_submit_follow_tails_to_terminal(self, tmp_path, capsys):
+    def test_submit_follow_waits_for_ITS_job_not_a_stale_status(
+        self, tmp_path, capsys
+    ):
+        """The resume flow leaves a previous run's terminal status.json in
+        the output dir; submit --follow must wait for the NEW job's result
+        (matched by id) instead of exiting with the old one."""
         import json as _json
+        import threading
+        import time as _time
 
         out = tmp_path / "out"
         out.mkdir()
-        # terminal state already on disk: follow returns immediately
+        # a PREVIOUS run failed into this dir: must be ignored
         (out / "status.json").write_text(_json.dumps(
-            {"state": "complete", "outputs": {}}
+            {"id": "oldrun", "state": "failed", "error": "boom"}
         ))
         spec = tmp_path / "job.json"
         spec.write_text(_json.dumps(
             {"module": "m", "params": {}, "input": [], "output": str(out)}
         ))
         jobs = tmp_path / "jobs"
-        assert main(["submit", "--jobs-dir", str(jobs), str(spec),
-                     "--follow"]) == 0
+        jobs.mkdir()
+
+        def fake_server():
+            # claim-free stand-in: find the queued job's id, 'complete' it
+            deadline = _time.time() + 30
+            jid = None
+            while _time.time() < deadline and jid is None:
+                for n in os.listdir(jobs):
+                    if n.startswith("job_") and n.endswith(".json"):
+                        jid = n[len("job_"):-len(".json")]
+                _time.sleep(0.05)
+            _time.sleep(0.3)  # let the follower see (and ignore) oldrun
+            (out / "status.json").write_text(_json.dumps(
+                {"id": jid, "state": "complete", "outputs": {}}
+            ))
+
+        t = threading.Thread(target=fake_server)
+        t.start()
+        try:
+            rc = main(["submit", "--jobs-dir", str(jobs), str(spec),
+                       "--follow"])
+        finally:
+            t.join()
+        assert rc == 0  # the OLD 'failed' status did not decide the exit
         got = capsys.readouterr().out
-        assert '"state": "complete"' in got
+        assert '"state": "complete"' in got and "oldrun" not in got
 
     def test_submit_follow_requires_output(self, tmp_path, capsys):
         import json as _json

@@ -419,6 +419,19 @@ class TestUnknownParamWarnings:
         assert st["state"] == "complete"
         assert "warnings" not in st
 
+    def test_no_untracked_param_copies_in_pipelines(self):
+        """dict(job.params) bypasses ParamTracker's overridden methods at
+        the C level (unlike .copy()), silently producing false 'misspelled
+        param' warnings for every key read through the copy — forbid the
+        pattern in the pipeline source."""
+        import inspect
+
+        src = inspect.getsource(server_mod)
+        assert "dict(job.params)" not in src, (
+            "use job.params.copy() (tracking-aware) instead of "
+            "dict(job.params)"
+        )
+
     def test_whole_dict_access_disables_warnings(self, tmp_path):
         """A pipeline that copies/iterates its params conservatively marks
         everything read — no false warnings."""
