@@ -29,6 +29,7 @@ __all__ = [
     "localize_frame_table",
     "export_btrack_h5",
     "export_btrack_h5_tables",
+    "read_objects_h5",
 ]
 
 
@@ -253,6 +254,39 @@ def export_btrack_h5_tables(
         coords, area, imean = coords[order], area[order], imean[order]
     _write_btrack(path, coords, area, imean, n_frames, obj_type)
     return len(coords)
+
+
+def read_objects_h5(path: str, obj_type: int = 1) -> List[FrameTable]:
+    """Read an ``objects.h5`` (btrack object-file layout) back into
+    per-frame ``FrameTable``s.
+
+    The inverse of ``export_btrack_h5_tables`` and the library form of the
+    read semantics validated against the layout in
+    ``tests/test_btrack_shim.py``: per-frame object lists come from the
+    ``map`` dataset's [start, end) slices into ``coords``, with the
+    ``properties`` arrays joined by position. Trailing object-free frames
+    (map rows with start == end) yield empty tables, so ``len(result)``
+    is the SOURCE stack's frame count.
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        grp = f[f"objects/obj_type_{obj_type}"]
+        coords = np.asarray(grp["coords"], dtype=np.float32)
+        fmap = np.asarray(grp["map"], dtype=np.int64)
+        props = grp["properties"]
+        area = np.asarray(props["area"], dtype=np.int32)
+        imean = np.asarray(props["intensity_mean"], dtype=np.float32)
+    tables: List[FrameTable] = []
+    for start, end in fmap:
+        tables.append(
+            FrameTable(
+                coords=coords[start:end],
+                area=area[start:end],
+                intensity_mean=imean[start:end],
+            )
+        )
+    return tables
 
 
 def _write_btrack(

@@ -2480,6 +2480,76 @@ def _parity_check_gan(job: Job, cfg, params, state) -> Dict[str, str]:
     return {"metrics": json.dumps(metrics)}
 
 
+@register("track_objects")
+def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Link a serve's ``objects.h5`` into trajectories (tracks.csv).
+
+    A BUILT-IN lightweight linker (globally-optimal gated Hungarian
+    assignment per frame pair, short-gap closing — ``sequitr_tpu.tracking``)
+    for QC, motility statistics and emitter trajectories. The objects file
+    stays btrack-compatible; btrack remains the supported path for
+    lineage-grade tracking (divisions, Bayesian motion models). This
+    pipeline is an extension beyond the reference's capability list
+    (SURVEY.md §0: sequitr delegates ALL tracking to btrack).
+
+    input: [objects.h5] (a segmentation/emitter serve's output). params:
+    ``max_distance`` (linking gate in pixels, default 20), ``max_gap``
+    (frames a track may go undetected, default 0), ``obj_type`` (h5 group,
+    default 1), ``min_track_length`` (drop shorter tracks from the CSV,
+    default 1). Outputs: tracks.csv (+ metrics: n_tracks, n_linked,
+    mean/max track length).
+    """
+    from sequitr_tpu import localize as loc_lib
+    from sequitr_tpu import tracking
+
+    paths = _resolve_inputs(job)
+    if len(paths) != 1:
+        raise jobs_lib.JobError("track_objects needs exactly one objects.h5")
+    p = job.params
+    try:
+        tables = loc_lib.read_objects_h5(
+            paths[0], obj_type=int(p.get("obj_type", 1))
+        )
+    except (OSError, KeyError) as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read objects: {e!r}")
+    try:
+        track_ids, tracks = tracking.link_tables(
+            tables,
+            max_distance=float(p.get("max_distance", 20.0)),
+            max_gap=int(p.get("max_gap", 0)),
+        )
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: {e}")
+    min_len = int(p.get("min_track_length", 1))
+    if min_len > 1:
+        keep = {t.track_id for t in tracks if t.n_points >= min_len}
+        track_ids = [
+            np.where(np.isin(ids, list(keep)), ids, -1) for ids in track_ids
+        ]
+        # drop filtered detections from the CSV entirely
+        tables = [
+            loc_lib.FrameTable(
+                coords=tb.coords[ids >= 0],
+                area=tb.area[ids >= 0],
+                intensity_mean=tb.intensity_mean[ids >= 0],
+            )
+            for tb, ids in zip(tables, track_ids)
+        ]
+        track_ids = [ids[ids >= 0] for ids in track_ids]
+        tracks = [t for t in tracks if t.track_id in keep]
+    csv_path = os.path.join(job.output, "tracks.csv")
+    n_rows = tracking.write_tracks_csv(csv_path, tables, track_ids)
+    lens = [t.n_points for t in tracks] or [0]
+    metrics = {
+        "n_tracks": len(tracks),
+        "n_linked": n_rows,
+        "n_frames": len(tables),
+        "mean_track_len": round(float(np.mean(lens)), 2),
+        "max_track_len": int(np.max(lens)),
+    }
+    return {"tracks": csv_path, "metrics": json.dumps(metrics)}
+
+
 @register("deconvolve")
 def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Richardson–Lucy deconvolution of a TIFF stack (PSF subsystem).
