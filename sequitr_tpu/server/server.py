@@ -2539,6 +2539,8 @@ def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         tracks = [t for t in tracks if t.track_id in keep]
     csv_path = os.path.join(job.output, "tracks.csv")
     n_rows = tracking.write_tracks_csv(csv_path, tables, track_ids)
+    sum_path = os.path.join(job.output, "track_summaries.csv")
+    tracking.write_track_summaries_csv(sum_path, tables, track_ids, tracks)
     lens = [t.n_points for t in tracks] or [0]
     metrics = {
         "n_tracks": len(tracks),
@@ -2547,7 +2549,11 @@ def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         "mean_track_len": round(float(np.mean(lens)), 2),
         "max_track_len": int(np.max(lens)),
     }
-    return {"tracks": csv_path, "metrics": json.dumps(metrics)}
+    return {
+        "tracks": csv_path,
+        "track_summaries": sum_path,
+        "metrics": json.dumps(metrics),
+    }
 
 
 @register("deconvolve")

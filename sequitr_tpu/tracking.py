@@ -24,7 +24,8 @@ import numpy as np
 
 from sequitr_tpu.localize import FrameTable
 
-__all__ = ["Track", "link_tables", "write_tracks_csv"]
+__all__ = ["Track", "link_tables", "write_tracks_csv",
+           "write_track_summaries_csv"]
 
 
 @dataclasses.dataclass
@@ -36,6 +37,10 @@ class Track:
     t_end: int  # inclusive
     n_points: int
     length_px: float  # summed step length
+
+    @property
+    def duration(self) -> int:
+        return self.t_end - self.t_start + 1
 
 
 def _assign(cost: np.ndarray, gate: float) -> List[Tuple[int, int]]:
@@ -119,6 +124,43 @@ def link_tables(
         track_ids.append(ids)
     tracks = [summaries[k] for k in sorted(summaries)]
     return track_ids, tracks
+
+
+def write_track_summaries_csv(
+    path: str,
+    tables: Sequence[FrameTable],
+    track_ids: Sequence[np.ndarray],
+    tracks: Sequence[Track],
+) -> int:
+    """One row per TRACK: the QC table (lifetime, path length, net
+    displacement, mean speed, straightness). Returns the track count."""
+    first: dict = {}
+    last: dict = {}
+    for tb, ids in zip(tables, track_ids):
+        for i in range(len(tb)):
+            tid = int(ids[i])
+            xyz = tb.coords[i, 1:4]
+            if tid not in first:
+                first[tid] = xyz
+            last[tid] = xyz
+    with open(path, "w") as f:
+        f.write(
+            "track_id,t_start,t_end,n_points,length_px,"
+            "net_displacement_px,mean_speed_px_per_frame,straightness\n"
+        )
+        for tr in tracks:
+            net = float(
+                np.linalg.norm(
+                    last.get(tr.track_id, 0.0) - first.get(tr.track_id, 0.0)
+                )
+            )
+            speed = tr.length_px / max(tr.duration - 1, 1)
+            straight = net / tr.length_px if tr.length_px > 0 else 0.0
+            f.write(
+                f"{tr.track_id},{tr.t_start},{tr.t_end},{tr.n_points},"
+                f"{tr.length_px:.3f},{net:.3f},{speed:.3f},{straight:.3f}\n"
+            )
+    return len(tracks)
 
 
 def write_tracks_csv(

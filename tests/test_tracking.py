@@ -144,6 +144,32 @@ class TestTrackObjectsPipeline:
         assert sorted(set(ids)) == sorted({ids[0], ids[1]})
         assert all(ids.count(i) == 6 for i in set(ids))
 
+    def test_track_summaries_csv(self, tmp_path):
+        """One row per track: straight mover has straightness 1, a
+        stationary object speed ~0."""
+        tables = [
+            _table(t, [[10 + 4 * t, 10], [80, 80]]) for t in range(5)
+        ]
+        st, out = self._serve(tmp_path, {"max_distance": 6}, tables, 5)
+        assert st["state"] == "complete"
+        rows = (out / "track_summaries.csv").read_text().splitlines()
+        assert rows[0].startswith("track_id,t_start,t_end,n_points")
+        assert len(rows) == 3  # header + 2 tracks
+        by_id = {}
+        for r in rows[1:]:
+            (tid, t0, t1, n, length, net, speed, straight) = r.split(",")
+            by_id[tid] = dict(
+                n=int(n), length=float(length), net=float(net),
+                speed=float(speed), straight=float(straight),
+            )
+        vals = sorted(by_id.values(), key=lambda d: d["length"])
+        mover, still = vals[1], vals[0]
+        assert mover["length"] == pytest.approx(16.0, abs=0.01)  # 4 x 4 px
+        assert mover["straight"] == pytest.approx(1.0, abs=1e-3)
+        assert mover["speed"] == pytest.approx(4.0, abs=0.01)
+        assert still["length"] == pytest.approx(0.0, abs=1e-6)
+        assert still["n"] == 5
+
     def test_min_track_length_filters(self, tmp_path):
         tables = [
             _table(0, [[10, 10], [90, 90]]),
