@@ -277,6 +277,26 @@ def read_objects_h5(path: str, obj_type: int = 1) -> List[FrameTable]:
         props = grp["properties"]
         area = np.asarray(props["area"], dtype=np.int32)
         imean = np.asarray(props["intensity_mean"], dtype=np.float32)
+    # validate the layout contract UP FRONT so an out-of-spec file fails
+    # here (where the pipeline converts it to a deterministic JobError)
+    # instead of deep inside a consumer after the linking work is done
+    if coords.ndim != 2 or coords.shape[1] != 5:
+        raise ValueError(
+            f"{path}: coords must be (n, 5) [t, x, y, z, label], "
+            f"got {coords.shape}"
+        )
+    if fmap.ndim != 2 or fmap.shape[1] != 2:
+        raise ValueError(f"{path}: map must be (n_frames, 2), got {fmap.shape}")
+    n = len(coords)
+    if len(area) != n or len(imean) != n:
+        raise ValueError(
+            f"{path}: properties misaligned with coords "
+            f"({len(area)}/{len(imean)} vs {n})"
+        )
+    if len(fmap) and (
+        np.any(fmap < 0) or np.any(fmap > n) or np.any(fmap[:, 0] > fmap[:, 1])
+    ):
+        raise ValueError(f"{path}: map slices out of bounds for {n} objects")
     tables: List[FrameTable] = []
     for start, end in fmap:
         tables.append(

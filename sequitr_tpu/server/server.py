@@ -2510,7 +2510,8 @@ def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         tables = loc_lib.read_objects_h5(
             paths[0], obj_type=int(p.get("obj_type", 1))
         )
-    except (OSError, KeyError) as e:
+    except (OSError, KeyError, ValueError, TypeError) as e:
+        # any malformed file/params is deterministic: fail fast, no retry
         raise jobs_lib.JobError(f"job {job.id}: cannot read objects: {e!r}")
     try:
         track_ids, tracks = tracking.link_tables(
@@ -2522,29 +2523,33 @@ def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         raise jobs_lib.JobError(f"job {job.id}: {e}")
     min_len = int(p.get("min_track_length", 1))
     if min_len > 1:
-        keep = {t.track_id for t in tracks if t.n_points >= min_len}
-        track_ids = [
-            np.where(np.isin(ids, list(keep)), ids, -1) for ids in track_ids
-        ]
-        # drop filtered detections from the CSV entirely
+        keep = np.fromiter(
+            (t.track_id for t in tracks if t.n_points >= min_len), np.int32
+        )
+        masks = [np.isin(ids, keep) for ids in track_ids]
+        # drop filtered detections from the CSVs entirely
         tables = [
             loc_lib.FrameTable(
-                coords=tb.coords[ids >= 0],
-                area=tb.area[ids >= 0],
-                intensity_mean=tb.intensity_mean[ids >= 0],
+                coords=tb.coords[m],
+                area=tb.area[m],
+                intensity_mean=tb.intensity_mean[m],
             )
-            for tb, ids in zip(tables, track_ids)
+            for tb, m in zip(tables, masks)
         ]
-        track_ids = [ids[ids >= 0] for ids in track_ids]
-        tracks = [t for t in tracks if t.track_id in keep]
+        track_ids = [ids[m] for ids, m in zip(track_ids, masks)]
+        keep_set = set(int(k) for k in keep)
+        tracks = [t for t in tracks if t.track_id in keep_set]
     csv_path = os.path.join(job.output, "tracks.csv")
     n_rows = tracking.write_tracks_csv(csv_path, tables, track_ids)
     sum_path = os.path.join(job.output, "track_summaries.csv")
-    tracking.write_track_summaries_csv(sum_path, tables, track_ids, tracks)
+    tracking.write_track_summaries_csv(sum_path, tracks)
     lens = [t.n_points for t in tracks] or [0]
     metrics = {
         "n_tracks": len(tracks),
-        "n_linked": n_rows,
+        # links actually MADE (frame-to-frame assignments) vs detections
+        # written: a gate too tight shows n_links 0 even with many rows
+        "n_links": int(sum(t.n_links for t in tracks)),
+        "n_detections": n_rows,
         "n_frames": len(tables),
         "mean_track_len": round(float(np.mean(lens)), 2),
         "max_track_len": int(np.max(lens)),

@@ -37,10 +37,26 @@ class Track:
     t_end: int  # inclusive
     n_points: int
     length_px: float  # summed step length
+    net_displacement_px: float  # |last - first|
 
     @property
     def duration(self) -> int:
         return self.t_end - self.t_start + 1
+
+    @property
+    def n_links(self) -> int:
+        return max(self.n_points - 1, 0)
+
+    @property
+    def mean_speed(self) -> float:
+        return self.length_px / max(self.duration - 1, 1)
+
+    @property
+    def straightness(self) -> float:
+        return (
+            self.net_displacement_px / self.length_px
+            if self.length_px > 0 else 0.0
+        )
 
 
 def _assign(cost: np.ndarray, gate: float) -> List[Tuple[int, int]]:
@@ -84,81 +100,65 @@ def link_tables(
     if max_gap < 0:
         raise ValueError(f"max_gap must be >= 0, got {max_gap}")
     track_ids: List[np.ndarray] = []
-    # active tracks: id -> (last_xyz, last_t, n_points, length)
-    active: dict = {}
-    summaries: dict = {}
-    next_id = 0
+    # one record per track for its whole life (no per-frame dataclass
+    # churn — FrameTable's own rationale): [first_xyz, last_xyz, t0,
+    # last_t, n_points, length]
+    records: List[list] = []
+    active: set = set()  # ids still eligible for matching
     for t, tb in enumerate(tables):
         n = len(tb)
         ids = np.full(n, -1, np.int32)
         pts = tb.coords[:, 1:4].astype(np.float64) if n else np.zeros((0, 3))
-        # drop tracks whose gap budget is spent
-        for tid in [k for k, v in active.items() if t - v[1] > max_gap + 1]:
-            del active[tid]
+        # retire tracks whose gap budget is spent
+        active = {k for k in active if t - records[k][3] <= max_gap + 1}
         if n and active:
-            act_ids = list(active)
-            act_pts = np.stack([active[k][0] for k in act_ids])
+            act_ids = sorted(active)
+            act_pts = np.stack([records[k][1] for k in act_ids])
             cost = np.linalg.norm(
                 act_pts[:, None, :] - pts[None, :, :], axis=-1
             )
             for r, c in _assign(cost, max_distance):
                 tid = act_ids[r]
-                step = float(cost[r, c])
-                xyz, _, npts, length = active[tid]
-                active[tid] = (pts[c], t, npts + 1, length + step)
+                rec = records[tid]
+                rec[5] += float(cost[r, c])
+                rec[1] = pts[c]
+                rec[3] = t
+                rec[4] += 1
                 ids[c] = tid
         for c in range(n):
             if ids[c] < 0:  # unmatched detection: a new track is born
-                ids[c] = next_id
-                active[next_id] = (pts[c], t, 1, 0.0)
-                next_id += 1
-        for tid in set(int(i) for i in ids):
-            _, last_t, npts, length = active[tid]
-            summaries[tid] = Track(
-                track_id=tid,
-                t_start=summaries[tid].t_start if tid in summaries else t,
-                t_end=last_t,
-                n_points=npts,
-                length_px=round(length, 3),
-            )
+                ids[c] = len(records)
+                records.append([pts[c], pts[c], t, t, 1, 0.0])
+                active.add(int(ids[c]))
         track_ids.append(ids)
-    tracks = [summaries[k] for k in sorted(summaries)]
+    tracks = [
+        Track(
+            track_id=i,
+            t_start=r[2],
+            t_end=r[3],
+            n_points=r[4],
+            length_px=round(r[5], 3),
+            net_displacement_px=round(float(np.linalg.norm(r[1] - r[0])), 3),
+        )
+        for i, r in enumerate(records)
+    ]
     return track_ids, tracks
 
 
-def write_track_summaries_csv(
-    path: str,
-    tables: Sequence[FrameTable],
-    track_ids: Sequence[np.ndarray],
-    tracks: Sequence[Track],
-) -> int:
+def write_track_summaries_csv(path: str, tracks: Sequence[Track]) -> int:
     """One row per TRACK: the QC table (lifetime, path length, net
-    displacement, mean speed, straightness). Returns the track count."""
-    first: dict = {}
-    last: dict = {}
-    for tb, ids in zip(tables, track_ids):
-        for i in range(len(tb)):
-            tid = int(ids[i])
-            xyz = tb.coords[i, 1:4]
-            if tid not in first:
-                first[tid] = xyz
-            last[tid] = xyz
+    displacement, mean speed, straightness). Returns the track count.
+    (Endpoints live on ``Track`` — no re-walk of the detections.)"""
     with open(path, "w") as f:
         f.write(
             "track_id,t_start,t_end,n_points,length_px,"
             "net_displacement_px,mean_speed_px_per_frame,straightness\n"
         )
         for tr in tracks:
-            net = float(
-                np.linalg.norm(
-                    last.get(tr.track_id, 0.0) - first.get(tr.track_id, 0.0)
-                )
-            )
-            speed = tr.length_px / max(tr.duration - 1, 1)
-            straight = net / tr.length_px if tr.length_px > 0 else 0.0
             f.write(
                 f"{tr.track_id},{tr.t_start},{tr.t_end},{tr.n_points},"
-                f"{tr.length_px:.3f},{net:.3f},{speed:.3f},{straight:.3f}\n"
+                f"{tr.length_px:.3f},{tr.net_displacement_px:.3f},"
+                f"{tr.mean_speed:.3f},{tr.straightness:.3f}\n"
             )
     return len(tracks)
 

@@ -91,6 +91,67 @@ class TestLinkTables:
             tracking.link_tables([], max_distance=5.0, max_gap=-1)
 
 
+class TestObjectsValidation:
+    def _write(self, tmp_path, coords, fmap, n_props=None):
+        import h5py
+
+        path = str(tmp_path / "objects.h5")
+        n = n_props if n_props is not None else len(coords)
+        with h5py.File(path, "w") as f:
+            grp = f.create_group("objects/obj_type_1")
+            grp.create_dataset("coords", data=np.asarray(coords, np.float32))
+            grp.create_dataset("map", data=np.asarray(fmap, np.int32))
+            props = grp.create_group("properties")
+            props.create_dataset("area", data=np.ones(n, np.int32))
+            props.create_dataset(
+                "intensity_mean", data=np.ones(n, np.float32)
+            )
+        return path
+
+    def test_wrong_coords_width_rejected_up_front(self, tmp_path):
+        path = self._write(
+            tmp_path, np.zeros((3, 4)), [[0, 3]]
+        )
+        with pytest.raises(ValueError, match=r"coords must be \(n, 5\)"):
+            localize.read_objects_h5(path)
+
+    def test_one_dimensional_map_rejected(self, tmp_path):
+        path = self._write(tmp_path, np.zeros((2, 5)), [0, 2])
+        with pytest.raises(ValueError, match="map must be"):
+            localize.read_objects_h5(path)
+
+    def test_out_of_bounds_map_rejected(self, tmp_path):
+        path = self._write(tmp_path, np.zeros((2, 5)), [[0, 7]])
+        with pytest.raises(ValueError, match="out of bounds"):
+            localize.read_objects_h5(path)
+
+    def test_misaligned_properties_rejected(self, tmp_path):
+        path = self._write(tmp_path, np.zeros((3, 5)), [[0, 3]], n_props=2)
+        with pytest.raises(ValueError, match="misaligned"):
+            localize.read_objects_h5(path)
+
+    def test_pipeline_fails_fast_on_malformed_structure(self, tmp_path):
+        """Structurally-broken objects.h5 = deterministic JobError: one
+        attempt, no retry-with-backoff."""
+        path = self._write(tmp_path, np.zeros((3, 4)), [[0, 3]])
+        cfg = ServerConfiguration(
+            jobs_dir=str(tmp_path / "jobs"), models_dir=str(tmp_path / "m")
+        )
+        cfg.ensure_dirs()
+        out = tmp_path / "out"
+        submit_job(
+            cfg.jobs_dir,
+            {"module": "track_objects", "params": {},
+             "input": [path], "output": str(out)},
+            job_id="mal",
+        )
+        t0 = __import__("time").time()
+        assert ImageServer(cfg).poll_once()
+        st = json.loads((out / "status.json").read_text())
+        assert st["state"] == "failed" and "coords must be" in st["error"]
+        assert __import__("time").time() - t0 < 5  # no retry backoff
+
+
 class TestObjectsRoundTrip:
     def test_read_objects_h5_inverts_export(self, tmp_path):
         tables = [
@@ -134,7 +195,8 @@ class TestTrackObjectsPipeline:
         st, out = self._serve(tmp_path, {"max_distance": 6}, tables, 6)
         assert st["state"] == "complete", st
         m = json.loads(st["outputs"]["metrics"])
-        assert m["n_tracks"] == 2 and m["n_linked"] == 12
+        assert m["n_tracks"] == 2 and m["n_detections"] == 12
+        assert m["n_links"] == 10  # 2 tracks x 5 frame-to-frame links
         assert m["mean_track_len"] == 6.0
         rows = (out / "tracks.csv").read_text().splitlines()
         assert rows[0].startswith("track_id,t,x,y,z,label")
@@ -180,7 +242,7 @@ class TestTrackObjectsPipeline:
             tmp_path, {"max_distance": 5, "min_track_length": 2}, tables, 3
         )
         m = json.loads(st["outputs"]["metrics"])
-        assert m["n_tracks"] == 1 and m["n_linked"] == 3
+        assert m["n_tracks"] == 1 and m["n_detections"] == 3
         rows = (out / "tracks.csv").read_text().splitlines()[1:]
         assert len(rows) == 3
         assert len({r.split(",")[0] for r in rows}) == 1
