@@ -113,6 +113,21 @@ def main(base: str):
     print(f"objects for btrack: {n}; mask foreground fraction: "
           f"{(masks > 0).mean():.3f} (true: {(labels > 0).mean():.3f})")
 
+    # 4. built-in tracking over the objects (btrack stays the
+    # lineage-grade path; this is the quick QC linker)
+    trk_out = os.path.join(base, "tracks")
+    status = run(
+        {
+            "module": "track_objects",
+            "params": {"max_distance": 15, "max_gap": 1},
+            "input": [status["outputs"]["objects"]],
+            "output": trk_out,
+        }
+    )
+    print("tracking metrics:", json.loads(status["outputs"]["metrics"]))
+    with open(status["outputs"]["track_summaries"]) as f:
+        print("track summaries:", f.read().splitlines()[0])
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sequitr_demo")
