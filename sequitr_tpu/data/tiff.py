@@ -4,11 +4,14 @@ The reference reads/writes multi-frame TIFF stacks via tifffile (SURVEY.md
 §2 'TIFF/stack I/O'). tifffile is not in this environment, so this module
 implements a self-contained baseline-TIFF codec in numpy:
 
-* ``write_stack``: uncompressed little-endian grayscale TIFF, one IFD per
-  frame, single strip per frame — uint8/uint16/uint32/float32.
-* ``read_stack``: parses IFDs directly for uncompressed grayscale TIFFs
-  (the fast path for microscopy stacks); anything else (compressed, RGB,
-  big-endian) falls back to PIL if available.
+* ``write_stack``: little-endian grayscale TIFF, one IFD per frame, single
+  strip per frame — uint8/uint16/uint32/float32; optionally
+  Deflate-compressed (label maps compress ~50x).
+* ``read_stack``: parses IFDs directly for grayscale TIFFs — uncompressed
+  (the fast path for microscopy stacks) plus the three strip compressions
+  real acquisitions use (LZW, Deflate, PackBits, with horizontal-predictor
+  support); anything else (RGB, tiled, JPEG-in-TIFF) falls back to PIL if
+  available.
 
 Host-side by design: frames stream from here into the double-buffered
 host->HBM prefetch (``sequitr_tpu.data.prefetch``).
@@ -56,55 +59,119 @@ _TYPE_SHORT, _TYPE_LONG, _TYPE_LONG8 = 3, 4, 16
 _TYPE_SIZES = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_LONG8: 8}
 _TYPE_FMTS = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_LONG8: "Q"}
 
+# Compression tag (259) values we can decode in the streaming reader.
+_COMP_NONE = 1
+_COMP_LZW = 5
+_COMP_DEFLATE_ADOBE = 8
+_COMP_DEFLATE_OLD = 32946  # pre-TIFF6 "32946" deflate, same zlib stream
+_COMP_PACKBITS = 32773
 
-def write_stack(path: str, stack: np.ndarray) -> None:
-    """Write (T, H, W) or (H, W) array as a multi-page grayscale TIFF."""
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, ClearCode 256, EOI 257).
+
+    TIFF LZW uses the "early change" convention: the code width grows one
+    code EARLIER than vanilla LZW (when the table holds 2**bits - 1
+    entries) — matching libtiff, which wrote every LZW microscopy stack
+    this reader will ever meet. Pure Python; fine for the ingest fallback
+    path (uncompressed strips remain the documented fast path).
+    """
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: List[bytes] = []
+    nbits = 9
+    prev = b""
+    bitpos = 0
+    nbits_total = len(data) * 8
+    while bitpos + nbits <= nbits_total:
+        byte0 = bitpos >> 3
+        window = int.from_bytes(data[byte0 : byte0 + 4].ljust(4, b"\0"), "big")
+        code = (window >> (32 - nbits - (bitpos & 7))) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = b""
+            continue
+        if not table:
+            raise ValueError("LZW stream does not start with a clear code")
+        if prev:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW strip (code beyond table)")
+        else:
+            if code >= len(table):
+                raise ValueError("corrupt LZW strip (first code beyond table)")
+            entry = table[code]
+        out += entry
+        prev = entry
+        if len(table) == (1 << nbits) - 1 and nbits < 12:  # early change
+            nbits += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op per the spec
+    return bytes(out)
+
+
+def _decode_strip(data: bytes, compression: int, expected: int) -> bytes:
+    if compression == _COMP_NONE:
+        return data
+    if compression in (_COMP_DEFLATE_ADOBE, _COMP_DEFLATE_OLD):
+        import zlib
+
+        raw = zlib.decompress(data)
+    elif compression == _COMP_LZW:
+        raw = _lzw_decode(data)
+    elif compression == _COMP_PACKBITS:
+        raw = _packbits_decode(data, expected)
+    else:  # pragma: no cover - guarded at parse time
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    if len(raw) < expected:
+        raise ValueError(
+            f"truncated compressed strip: {len(raw)} < {expected} bytes"
+        )
+    # libtiff may round a strip up to a whole row; trim to the pixel count
+    return raw[:expected]
+
+
+def write_stack(path: str, stack: np.ndarray, compression: str = "none") -> None:
+    """Write (T, H, W) or (H, W) array as a multi-page grayscale TIFF.
+
+    Delegates to ``TiffAppendWriter`` (one IFD + one strip per frame, atomic
+    write-temp-rename), so bulk and streamed writes of the same stack are
+    byte-identical by construction. ``compression="deflate"`` zlib-compresses
+    each frame's strip — see ``TiffAppendWriter``.
+    """
     stack = np.asarray(stack)
     if stack.ndim == 2:
         stack = stack[None]
     if stack.ndim != 3:
         raise ValueError(f"expected (T, H, W) or (H, W), got {stack.shape}")
-    dt = stack.dtype
-    if dt not in _DTYPES:
-        raise ValueError(f"unsupported dtype {dt}; use uint8/16/32 or float16/32")
-    bits, sample_format = _DTYPES[dt]
-    t, h, w = stack.shape
-
-    def entry(tag, typ, count, value):
-        return struct.pack("<HHI4s", tag, typ, count, value)
-
-    with open(path, "wb") as f:
-        f.write(_II + struct.pack("<HI", 42, 8))
-        offset = 8
-        for i in range(t):
-            frame = np.ascontiguousarray(stack[i])
-            data = frame.astype("<" + dt.str[1:]).tobytes()
-            n_entries = 9
-            ifd_size = 2 + n_entries * 12 + 4
-            data_offset = offset + ifd_size
-            next_ifd = data_offset + len(data) if i < t - 1 else 0
-
-            def val(v, typ=_TYPE_LONG):
-                if typ == _TYPE_SHORT:
-                    return struct.pack("<HH", v, 0)
-                return struct.pack("<I", v)
-
-            entries = [
-                entry(256, _TYPE_LONG, 1, val(w)),  # ImageWidth
-                entry(257, _TYPE_LONG, 1, val(h)),  # ImageLength
-                entry(258, _TYPE_SHORT, 1, val(bits, _TYPE_SHORT)),  # BitsPerSample
-                entry(259, _TYPE_SHORT, 1, val(1, _TYPE_SHORT)),  # Compression=none
-                entry(262, _TYPE_SHORT, 1, val(1, _TYPE_SHORT)),  # Photometric=minisblack
-                entry(273, _TYPE_LONG, 1, val(data_offset)),  # StripOffsets
-                entry(278, _TYPE_LONG, 1, val(h)),  # RowsPerStrip
-                entry(279, _TYPE_LONG, 1, val(len(data))),  # StripByteCounts
-                entry(339, _TYPE_SHORT, 1, val(sample_format, _TYPE_SHORT)),
-            ]
-            f.write(struct.pack("<H", n_entries))
-            f.write(b"".join(entries))
-            f.write(struct.pack("<I", next_ifd))
-            f.write(data)
-            offset = data_offset + len(data)
+    if stack.shape[0] == 0:
+        raise ValueError("cannot write an empty (0, H, W) stack")
+    with TiffAppendWriter(path, compression=compression) as w:
+        for frame in stack:
+            w.append(frame)
 
 
 def read_stack(path: str) -> np.ndarray:
@@ -218,7 +285,7 @@ class TiffReader:
                     self._endian + "HHI", block[e : e + 8]
                 )
                 raw = block[e + 8 : e + 12]
-            if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 339):
+            if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 317, 324, 339):
                 tags[tag] = (typ, count, raw)
         next_ifd = struct.unpack(
             self._endian + ("Q" if self._big else "I"), block[n * esz :]
@@ -231,10 +298,23 @@ class TiffReader:
             v = self._entry_value(raw, typ, count)
             return v
 
-        if get(259, 1) != 1:
-            raise ValueError("compressed TIFF; use read_stack")
+        compression = get(259, 1)
+        if compression not in (
+            _COMP_NONE,
+            _COMP_LZW,
+            _COMP_DEFLATE_ADOBE,
+            _COMP_DEFLATE_OLD,
+            _COMP_PACKBITS,
+        ):
+            raise ValueError(f"unsupported TIFF compression {compression}")
         if get(277, 1) != 1:
             raise ValueError("non-grayscale TIFF; use read_stack")
+        if 324 in tags or 273 not in tags:
+            raise ValueError("tiled TIFF (no strip offsets); use read_stack")
+        predictor = get(317, 1)
+        if predictor not in (1, 2):
+            # 3 = floating-point horizontal differencing - rare, PIL path
+            raise ValueError(f"unsupported TIFF predictor {predictor}")
         w, h = get(256), get(257)
         bits = get(258, 8)
         bits = bits[0] if isinstance(bits, list) else bits
@@ -245,7 +325,15 @@ class TiffReader:
         counts = get(279)
         offs = offs if isinstance(offs, list) else [offs]
         counts = counts if isinstance(counts, list) else [counts]
-        self._frames.append((h, w, dt, offs, counts))
+        rows_per_strip = get(278, h)
+        rows_per_strip = (
+            rows_per_strip[0]
+            if isinstance(rows_per_strip, list)
+            else rows_per_strip
+        )
+        self._frames.append(
+            (h, w, dt, offs, counts, compression, predictor, rows_per_strip)
+        )
         return next_ifd
 
     @property
@@ -266,18 +354,28 @@ class TiffReader:
         return self._frames[0][2].newbyteorder("=")
 
     def read_frame(self, t: int) -> np.ndarray:
-        h, w, dt, offs, counts = self._frames[t]
+        h, w, dt, offs, counts, compression, predictor, rps = self._frames[t]
         # os.pread: positional reads share no seek state, so a reader
         # thread (stream prefetch) and the consumer (localization
         # intensity re-reads) can fetch frames concurrently
         fd = self._f.fileno()
         parts = [os.pread(fd, c, o) for o, c in zip(offs, counts)]
+        if compression != _COMP_NONE:
+            row_bytes = w * dt.itemsize
+            parts = [
+                _decode_strip(
+                    p, compression, min(rps, h - i * rps) * row_bytes
+                )
+                for i, p in enumerate(parts)
+            ]
         data = parts[0] if len(parts) == 1 else b"".join(parts)
-        return (
-            np.frombuffer(data, dtype=dt)
-            .reshape(h, w)
-            .astype(dt.newbyteorder("="))
-        )
+        frame = np.frombuffer(data, dtype=dt).reshape(h, w)
+        if predictor == 2:
+            # horizontal differencing: each pixel stores the delta to its
+            # left neighbour; undo with a wrapping per-row prefix sum
+            return np.cumsum(frame, axis=1, dtype=dt.newbyteorder("="))
+        # astype copies: frombuffer views are read-only, frames are not
+        return frame.astype(dt.newbyteorder("="))
 
     def __len__(self) -> int:
         return len(self._frames)
@@ -308,11 +406,24 @@ class TiffAppendWriter:
     Writes go to ``path + ".tmp"`` and move into place on close (the
     server's atomic write-temp-rename convention), so readers never observe
     a half-written stack.
+
+    ``compression="deflate"`` zlib-compresses each frame's strip (Adobe
+    Deflate, tag 259 = 8 — readable by ImageJ/Fiji, tifffile, PIL and this
+    module's reader). Segmentation label maps are mostly background and
+    compress ~50x; raw fluorescence is noisy and gains little, so the
+    default stays uncompressed (also the zero-decode mmap-friendly layout).
     """
 
-    def __init__(self, path: str, bigtiff: bool = False):
+    def __init__(
+        self, path: str, bigtiff: bool = False, compression: str = "none"
+    ):
+        if compression not in ("none", "deflate"):
+            raise ValueError(
+                f"compression must be 'none' or 'deflate', got {compression!r}"
+            )
         self.path = path
         self.bigtiff = bool(bigtiff)
+        self.compression = compression
         self._tmp = path + ".tmp"
         self._f = open(self._tmp, "wb")
         if self.bigtiff:
@@ -338,6 +449,12 @@ class TiffAppendWriter:
         bits, sample_format = _DTYPES[dt]
         h, w = frame.shape
         data = np.ascontiguousarray(frame).astype("<" + dt.str[1:]).tobytes()
+        if self.compression == "deflate":
+            import zlib
+
+            # fixed level -> deterministic bytes (the writers' byte-identity
+            # contract extends to compressed output)
+            data = zlib.compress(data, 6)
 
         n_entries = 9
         if self.bigtiff:
@@ -384,11 +501,14 @@ class TiffAppendWriter:
                 return struct.pack("<I", v)
 
         off_typ = _TYPE_LONG8 if self.bigtiff else _TYPE_LONG
+        comp_tag = (
+            _COMP_DEFLATE_ADOBE if self.compression == "deflate" else _COMP_NONE
+        )
         entries = [
             entry(256, _TYPE_LONG, 1, val(w)),
             entry(257, _TYPE_LONG, 1, val(h)),
             entry(258, _TYPE_SHORT, 1, val(bits, _TYPE_SHORT)),
-            entry(259, _TYPE_SHORT, 1, val(1, _TYPE_SHORT)),
+            entry(259, _TYPE_SHORT, 1, val(comp_tag, _TYPE_SHORT)),
             entry(262, _TYPE_SHORT, 1, val(1, _TYPE_SHORT)),
             entry(273, off_typ, 1, val(data_offset)),
             entry(278, _TYPE_LONG, 1, val(h)),

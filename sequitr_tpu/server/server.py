@@ -580,13 +580,25 @@ def _require_param(job: Job, key: str):
     return val
 
 
-def _append_writer(path: str, est_bytes: float):
+def _out_compression(job: Job) -> str:
+    """'deflate' when the job sets ``compress_output``: label maps are
+    mostly background and shrink ~50x (Adobe deflate — readable by
+    ImageJ/Fiji, tifffile, PIL and our reader). Default stays uncompressed:
+    raw fluorescence gains little and the zero-decode layout is the fastest
+    for downstream ingest."""
+    return "deflate" if job.params.get("compress_output") else "none"
+
+
+def _append_writer(path: str, est_bytes: float, compression: str = "none"):
     """Page-append writer, BigTIFF when the estimated output could brush
     the classic 4 GiB offset limit (long save_probs runs over big stacks).
-    The ~3.25 GiB threshold leaves headroom for IFD overhead."""
+    The ~3.25 GiB threshold leaves headroom for IFD overhead (est_bytes is
+    the UNCOMPRESSED size, so with deflate it simply stays conservative)."""
     from sequitr_tpu.data import tiff
 
-    return tiff.TiffAppendWriter(path, bigtiff=est_bytes > 0xD0000000)
+    return tiff.TiffAppendWriter(
+        path, bigtiff=est_bytes > 0xD0000000, compression=compression
+    )
 
 
 # frames up to this many pixels/voxels run whole-frame when the client did
@@ -718,11 +730,13 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     max_pending = 8
     n_classes = cfg.num_classes
     px = float(n_frames) * np.prod(source.spatial)
-    labels_w = _append_writer(labels_path, px * 2)
+    comp = _out_compression(job)
+    labels_w = _append_writer(labels_path, px * 2, comp)
     probs_w = (
         _append_writer(
             probs_path,
             px * n_classes * np.dtype(tc.probs_dtype).itemsize,
+            comp,
         )
         if save_probs else None
     )
@@ -887,6 +901,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         out_path,
         float(n_frames) * np.prod(source.spatial) * c_out
         * np.dtype(tc.probs_dtype).itemsize,
+        _out_compression(job),
     )
 
     # every serving branch funnels through write_frame, so progress +
@@ -1989,14 +2004,15 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         labels_np = np.asarray(labels)
 
     outputs: Dict[str, str] = {}
+    comp = _out_compression(job)
     labels_path = os.path.join(job.output, "labels.tif")
-    tiff.write_stack(labels_path, labels_np.astype(np.uint16))
+    tiff.write_stack(labels_path, labels_np.astype(np.uint16), compression=comp)
     outputs["labels"] = labels_path
     if job.params.get("save_probs"):
         probs_np = np.asarray(probs)  # (Z, H, W, K), tc.probs_dtype
         planes = np.moveaxis(probs_np, -1, 1).reshape(-1, *probs_np.shape[1:3])
         probs_path = os.path.join(job.output, "probs.tif")
-        tiff.write_stack(probs_path, planes)
+        tiff.write_stack(probs_path, planes, compression=comp)
         outputs["probs"] = probs_path
         outputs["probs_layout"] = (
             f"pages=(Z={vol.shape[0]})*(K={probs_np.shape[-1]}), plane-major"
@@ -2100,6 +2116,7 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         _append_writer(
             os.path.join(job.output, "labels.tif"),
             float(n_frames) * np.prod(source.spatial) * 2,
+            _out_compression(job),
         )
         if job.params.get("save_labels") else None
     )
@@ -2618,7 +2635,9 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             got = np.asarray(out, dtype=np.float32)
         # page-append with tmp/rename (and automatic BigTIFF for >4 GiB
         # volumes) — same output semantics as every other pipeline
-        writer = _append_writer(out_path, float(got.nbytes))
+        writer = _append_writer(
+            out_path, float(got.nbytes), _out_compression(job)
+        )
         try:
             with timer.phase("write"):
                 for plane in got:
@@ -2644,7 +2663,9 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         )
         n_frames = len(source)
         writer = _append_writer(
-            out_path, float(n_frames) * np.prod(source.spatial) * 4
+            out_path,
+            float(n_frames) * np.prod(source.spatial) * 4,
+            _out_compression(job),
         )
         try:
             with source:
@@ -2741,7 +2762,10 @@ def evaluate_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     outputs: Dict[str, str] = {"metrics": json.dumps(metrics)}
     if job.params.get("save_labels"):
         out_path = os.path.join(job.output, "labels.tif")
-        tiff.write_stack(out_path, preds.astype(np.uint16))
+        tiff.write_stack(
+            out_path, preds.astype(np.uint16),
+            compression=_out_compression(job),
+        )
         outputs["labels"] = out_path
     return outputs
 

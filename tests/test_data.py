@@ -87,16 +87,88 @@ class TestTiffStreaming:
             for t in range(3):
                 np.testing.assert_array_equal(r.read_frame(t), frames[t])
 
-    def test_lazy_reader_rejects_compressed(self, tmp_path):
+    @pytest.mark.parametrize("comp", ["tiff_lzw", "tiff_deflate", "packbits"])
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+    def test_lazy_reader_decodes_compressed(self, tmp_path, comp, dtype):
+        """Real acquisitions ship LZW/Deflate/PackBits strips; the lazy
+        reader decodes all three (libtiff-written via PIL as the oracle)."""
         from PIL import Image
 
-        arr = (np.random.default_rng(2).random((16, 16)) * 255).astype(np.uint8)
-        p = str(tmp_path / "lzw.tif")
-        Image.fromarray(arr).save(p, compression="tiff_lzw")
-        with pytest.raises(ValueError):
+        rng = np.random.default_rng(2)
+        stack = rng.poisson(30, (3, 33, 47)).astype(dtype)
+        p = str(tmp_path / "comp.tif")
+        ims = [Image.fromarray(f) for f in stack]
+        ims[0].save(p, compression=comp, save_all=True, append_images=ims[1:])
+        with tiff.TiffReader(p) as r:
+            got = np.stack([r.read_frame(t) for t in range(r.n_frames)])
+        assert got.dtype == stack.dtype
+        np.testing.assert_array_equal(got, stack)
+        np.testing.assert_array_equal(tiff.read_stack(p), stack)
+
+    @pytest.mark.parametrize("comp", ["tiff_lzw", "tiff_deflate"])
+    def test_lazy_reader_horizontal_predictor(self, tmp_path, comp):
+        """Predictor 2 (horizontal differencing, tag 317) is the common
+        companion of LZW/Deflate; undone by a wrapping per-row prefix sum."""
+        from PIL import Image
+
+        arr = np.random.default_rng(3).poisson(900, (41, 29)).astype(np.uint16)
+        p = str(tmp_path / "pred.tif")
+        Image.fromarray(arr).save(p, compression=comp, tiffinfo={317: 2})
+        with tiff.TiffReader(p) as r:
+            np.testing.assert_array_equal(r.read_frame(0), arr)
+
+    def test_lazy_reader_rejects_unknown_compression(self, tmp_path):
+        """Unsupported compression (e.g. JPEG-in-TIFF, tag value 7) raises
+        ValueError so callers take the read_stack/PIL fallback."""
+        arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        p = str(tmp_path / "weird.tif")
+        tiff.write_stack(p, arr)
+        raw = bytearray(open(p, "rb").read())
+        # tag 259 (compression) SHORT value: find the IFD entry and patch it
+        idx = raw.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+        assert idx > 0
+        raw[idx + 8 : idx + 10] = (7).to_bytes(2, "little")  # JPEG
+        open(p, "wb").write(bytes(raw))
+        with pytest.raises(ValueError, match="compression"):
             tiff.TiffReader(p)
-        # the slurping reader still handles it (PIL fallback)
-        np.testing.assert_array_equal(tiff.read_stack(p), arr)
+
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
+    def test_deflate_write_round_trip(self, tmp_path, dtype):
+        """Deflate output: smaller for label-like data, read back exactly by
+        our reader AND by PIL/libtiff (ImageJ-compatible Adobe deflate)."""
+        from PIL import Image
+
+        rng = np.random.default_rng(4)
+        stack = rng.poisson(2, (4, 48, 56)).astype(dtype)  # sparse, label-ish
+        p = str(tmp_path / "z.tif")
+        p_raw = str(tmp_path / "raw.tif")
+        tiff.write_stack(p, stack, compression="deflate")
+        tiff.write_stack(p_raw, stack)
+        assert os.path.getsize(p) < os.path.getsize(p_raw) // 2
+        back = tiff.read_stack(p)
+        assert back.dtype == stack.dtype
+        np.testing.assert_array_equal(back, stack)
+        img = Image.open(p)
+        pil = np.stack(
+            [(img.seek(i), np.asarray(img))[1] for i in range(img.n_frames)]
+        )
+        np.testing.assert_array_equal(pil, stack)
+
+    def test_deflate_append_bit_identical_to_bulk(self, tmp_path):
+        stack = np.random.default_rng(5).poisson(3, (3, 20, 24)).astype(np.uint16)
+        p_bulk = str(tmp_path / "bulk.tif")
+        p_inc = str(tmp_path / "inc.tif")
+        tiff.write_stack(p_bulk, stack, compression="deflate")
+        with tiff.TiffAppendWriter(p_inc, compression="deflate") as w:
+            for frame in stack:
+                w.append(frame)
+        with open(p_bulk, "rb") as a, open(p_inc, "rb") as b:
+            assert a.read() == b.read()
+
+    def test_writer_rejects_unknown_compression(self, tmp_path):
+        with pytest.raises(ValueError, match="compression"):
+            tiff.TiffAppendWriter(str(tmp_path / "x.tif"), compression="lzw")
+        assert not os.path.exists(str(tmp_path / "x.tif.tmp"))
 
     @pytest.mark.parametrize("dtype", [np.uint16, np.float32])
     def test_append_writer_bit_identical_to_write_stack(self, tmp_path, dtype):

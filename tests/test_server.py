@@ -251,6 +251,59 @@ class TestSegmentationPipeline:
         np.testing.assert_array_equal(per_frame.argmax(axis=1), labels)
 
 
+    def test_compress_output_and_compressed_input(self, server_env):
+        """compress_output=true deflates every output stack (same pixels,
+        much smaller file, ImageJ-readable Adobe deflate); compressed INPUT
+        stacks stream through the lazy reader without a PIL slurp."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "seg2dc", "unet", net_cfg, params, state)
+        stack = (np.random.default_rng(2).random((2, 32, 32)) * 1000).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "stackc.tif")
+        tiff.write_stack(stack_path, stack, compression="deflate")
+
+        outs = {}
+        for name, compress in [("plain", False), ("deflated", True)]:
+            out_dir = str(tmp / f"out_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {
+                    "module": "segmentation_unet2d",
+                    "params": {"model": "seg2dc", "patch": [16, 16],
+                               "overlap": [4, 4], "save_probs": True,
+                               "localize": False,
+                               "compress_output": compress},
+                    "input": [stack_path],
+                    "output": out_dir,
+                },
+            )
+            assert ImageServer(cfg_srv).poll_once()
+            status = json.load(open(os.path.join(out_dir, "status.json")))
+            assert status["state"] == "complete", status.get("error")
+            assert not status.get("warnings"), status.get("warnings")
+            outs[name] = status["outputs"]
+
+        for key in ("labels", "probs"):
+            np.testing.assert_array_equal(
+                tiff.read_stack(outs["deflated"][key]),
+                tiff.read_stack(outs["plain"][key]),
+            )
+        # labels are mostly one class here: deflate must shrink them a lot
+        assert (
+            os.path.getsize(outs["deflated"]["labels"])
+            < os.path.getsize(outs["plain"]["labels"]) // 2
+        )
+        with open(outs["deflated"]["labels"], "rb") as f:
+            raw = f.read()
+        idx = raw.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+        assert raw[idx + 8 : idx + 10] == (8).to_bytes(2, "little")  # deflate
+
     def test_auto_whole_frame_policy(self):
         """No explicit patch: small frames run whole-frame (rounded to the
         pool multiple, overlap 0); big frames fall back to the grid."""
