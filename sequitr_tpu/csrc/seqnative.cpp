@@ -175,6 +175,103 @@ void seq_label_full_stats_3d(const int32_t* labels, const int32_t* class_map,
 }
 
 // ---------------------------------------------------------------------------
+// TIFF LZW strip decode (MSB-first codes, ClearCode 256, EOI 257, libtiff
+// "early change"). The pure-Python decoder in data/tiff.py measures ~2.4 s
+// per 1024x1024 uint16 strip — far behind the serving rate — so compressed
+// ingest routes here. Emission walks the code chain backwards into a stack
+// buffer; max string length is bounded by the 4096-entry code space.
+//
+// Returns bytes written (<= n_dst; extra decoded bytes beyond n_dst are
+// row padding and are dropped), or -1 on malformed input.
+// ---------------------------------------------------------------------------
+
+int64_t seq_lzw_decode(const uint8_t* src, int64_t n_src, uint8_t* dst,
+                       int64_t n_dst) {
+  constexpr int kClear = 256, kEoi = 257, kMaxCodes = 4096;
+  int16_t prefix[kMaxCodes];
+  uint8_t suffix[kMaxCodes];
+  int32_t length[kMaxCodes];
+  uint8_t firstb[kMaxCodes];
+  uint8_t stackbuf[kMaxCodes + 4];
+  for (int i = 0; i < 256; ++i) {
+    prefix[i] = -1;
+    suffix[i] = (uint8_t)i;
+    length[i] = 1;
+    firstb[i] = (uint8_t)i;
+  }
+  int next_code = 258;
+  int nbits = 9;
+  int prev = -1;
+  bool started = false;
+  int64_t bitpos = 0;
+  const int64_t total_bits = n_src * 8;
+  int64_t out = 0;
+  while (bitpos + nbits <= total_bits && out < n_dst) {
+    const int64_t byte0 = bitpos >> 3;
+    uint32_t window = (uint32_t)src[byte0] << 16;
+    if (byte0 + 1 < n_src) window |= (uint32_t)src[byte0 + 1] << 8;
+    if (byte0 + 2 < n_src) window |= src[byte0 + 2];
+    const int shift = 24 - nbits - (int)(bitpos & 7);
+    const int code = (int)((window >> shift) & ((1u << nbits) - 1));
+    bitpos += nbits;
+    if (code == kEoi) break;
+    if (code == kClear) {
+      next_code = 258;
+      nbits = 9;
+      prev = -1;
+      started = true;
+      continue;
+    }
+    if (!started) return -1;  // stream must open with a clear code
+    int32_t l;
+    if (prev < 0) {
+      if (code >= 256) return -1;
+      l = 1;
+      stackbuf[0] = (uint8_t)code;
+    } else if (code < next_code) {
+      l = length[code];
+      int c = code;
+      int32_t pos = l;
+      while (c >= 0) {
+        stackbuf[--pos] = suffix[c];
+        c = prefix[c];
+      }
+      if (next_code < kMaxCodes) {
+        prefix[next_code] = (int16_t)prev;
+        suffix[next_code] = stackbuf[0];
+        length[next_code] = length[prev] + 1;
+        firstb[next_code] = firstb[prev];
+        ++next_code;
+      }
+    } else if (code == next_code && next_code < kMaxCodes) {
+      // the KwKwK case: current string = prev + first byte of prev
+      l = length[prev] + 1;
+      int c = prev;
+      int32_t pos = l - 1;
+      while (c >= 0) {
+        stackbuf[--pos] = suffix[c];
+        c = prefix[c];
+      }
+      stackbuf[l - 1] = firstb[prev];
+      prefix[next_code] = (int16_t)prev;
+      suffix[next_code] = firstb[prev];
+      length[next_code] = l;
+      firstb[next_code] = firstb[prev];
+      ++next_code;
+    } else {
+      return -1;  // code beyond the table: corrupt strip
+    }
+    const int64_t n = (out + l <= n_dst) ? l : n_dst - out;
+    std::memcpy(dst + out, stackbuf, (size_t)n);
+    out += n;
+    prev = code;
+    // early change: widen one code EARLIER than vanilla LZW (libtiff)
+    if (next_code == (1 << nbits) - 1 && nbits < 12) ++nbits;
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
 // crc32c (Castagnoli) — slice-by-8 table-driven
 // ---------------------------------------------------------------------------
 

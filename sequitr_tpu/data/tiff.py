@@ -141,7 +141,13 @@ def _decode_strip(data: bytes, compression: int, expected: int) -> bytes:
 
         raw = zlib.decompress(data)
     elif compression == _COMP_LZW:
-        raw = _lzw_decode(data)
+        from sequitr_tpu import native
+
+        # native sweep (~100x the Python decoder; see csrc/seqnative.cpp);
+        # None only when the toolchain is absent
+        raw = native.lzw_decode(data, expected)
+        if raw is None:
+            raw = _lzw_decode(data)
     elif compression == _COMP_PACKBITS:
         raw = _packbits_decode(data, expected)
     else:  # pragma: no cover - guarded at parse time

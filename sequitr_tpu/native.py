@@ -33,6 +33,7 @@ __all__ = [
     "label_full_stats",
     "label_full_stats_3d",
     "crc32c",
+    "lzw_decode",
 ]
 
 
@@ -137,6 +138,13 @@ def _bind(lib) -> None:
     ]
     lib.seq_crc32c.restype = ctypes.c_uint32
     lib.seq_crc32c.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.seq_lzw_decode.restype = ctypes.c_int64
+    lib.seq_lzw_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),  # src
+        ctypes.c_int64,                  # n_src
+        ctypes.POINTER(ctypes.c_uint8),  # dst
+        ctypes.c_int64,                  # n_dst
+    ]
 
 
 def available() -> bool:
@@ -336,6 +344,31 @@ def label_full_stats_3d(
         classes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return areas, cz, cy, cx, imean, classes
+
+
+def lzw_decode(data: bytes, expected: int) -> Optional[bytes]:
+    """Decode a TIFF LZW strip to exactly ``expected`` bytes.
+
+    Returns None when the native library is unavailable (callers fall back
+    to the pure-Python decoder in ``data.tiff`` — ~100x slower, same
+    output). Raises ValueError on a malformed or truncated strip.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = np.empty(expected, dtype=np.uint8)
+    n = lib.seq_lzw_decode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        expected,
+    )
+    if n < 0:
+        raise ValueError("corrupt LZW strip")
+    if n < expected:
+        raise ValueError(f"truncated compressed strip: {n} < {expected} bytes")
+    return dst.tobytes()
 
 
 def crc32c(data: bytes) -> int:

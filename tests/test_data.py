@@ -496,6 +496,44 @@ class TestNative:
         lab = native.label_components(mask)
         assert lab.max() == 1
 
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+    def test_lzw_native_matches_python(self, tmp_path, dtype):
+        """The C++ LZW decoder (the compressed-ingest hot path, ~100x the
+        Python form) produces byte-identical strips on libtiff output —
+        including multi-strip pages and the KwKwK code case that repeated
+        data provokes."""
+        from PIL import Image
+
+        from sequitr_tpu.data import tiff
+        from sequitr_tpu.data.tiff import _lzw_decode
+
+        rng = np.random.default_rng(7)
+        # low-entropy block structure maximizes dictionary reuse (KwKwK)
+        arr = np.repeat(
+            np.repeat(rng.integers(0, 9, (20, 26)), 7, axis=0), 7, axis=1
+        ).astype(dtype)
+        p = str(tmp_path / "l.tif")
+        Image.fromarray(arr).save(p, compression="tiff_lzw")
+        with tiff.TiffReader(p) as r:
+            np.testing.assert_array_equal(r.read_frame(0), arr)
+            h, w, dt, offs, counts, comp, pred, rps = r._frames[0]
+            fd = r._f.fileno()
+            for i, (o, c) in enumerate(zip(offs, counts)):
+                strip = os.pread(fd, c, o)
+                exp = min(rps, h - i * rps) * w * dt.itemsize
+                nat = native.lzw_decode(strip, exp)
+                assert nat is not None  # toolchain exists in CI
+                assert nat == _lzw_decode(strip)[:exp]
+
+    def test_lzw_native_rejects_corrupt(self):
+        # a code far beyond the table must raise, not scribble or hang
+        bad = b"\x80\x00\xff\xff\xff\xff\xff\xff"
+        with pytest.raises(ValueError):
+            native.lzw_decode(bad, 100)
+        # truncated stream: decodes short of `expected` -> ValueError
+        with pytest.raises(ValueError):
+            native.lzw_decode(b"\x80\x00\x40", 4096)
+
 
 class TestPrefetch:
     def test_batch_iterator(self):
