@@ -246,10 +246,26 @@ def decode_example(data: bytes) -> Dict[str, object]:
 
 
 class RecordWriter:
-    """Write TFRecord-framed byte records (context manager)."""
+    """Write TFRecord-framed byte records (context manager).
 
-    def __init__(self, path: str):
-        self._f = open(path, "wb")
+    ``compression="gzip"`` wraps the whole file in a gzip stream — exactly
+    TF's ``TFRecordOptions(compression_type="GZIP")`` layout, so gzip
+    shards interchange with TF both ways. mtime is pinned to 0 so output
+    bytes are deterministic.
+    """
+
+    def __init__(self, path: str, compression: Optional[str] = None):
+        if compression not in (None, "none", "gzip"):
+            raise ValueError(
+                f"compression must be None or 'gzip', got {compression!r}"
+            )
+        self._raw = open(path, "wb")
+        if compression == "gzip":
+            import gzip
+
+            self._f = gzip.GzipFile(fileobj=self._raw, mode="wb", mtime=0)
+        else:
+            self._f = self._raw
 
     def write(self, payload: bytes) -> None:
         header = struct.pack("<Q", len(payload))
@@ -259,7 +275,9 @@ class RecordWriter:
         self._f.write(struct.pack("<I", _masked_crc(payload)))
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not self._raw:
+            self._f.close()  # flush the gzip trailer first
+        self._raw.close()
 
     def __enter__(self):
         return self
@@ -269,8 +287,22 @@ class RecordWriter:
 
 
 def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
-    """Yield raw record payloads from a TFRecord file."""
-    with open(path, "rb") as f:
+    """Yield raw record payloads from a TFRecord file.
+
+    GZIP-compressed shards (TF's ``compression_type="GZIP"``, magic
+    ``1f 8b``) are detected by content and decompressed transparently, so
+    every consumer (training input pipelines, shard validation) accepts
+    both layouts.
+    """
+    with open(path, "rb") as raw:
+        if raw.read(2) == b"\x1f\x8b":
+            import gzip
+
+            raw.seek(0)
+            f = gzip.GzipFile(fileobj=raw, mode="rb")
+        else:
+            raw.seek(0)
+            f = raw
         while True:
             header = f.read(8)
             if len(header) < 8:
@@ -337,7 +369,10 @@ def _decode_seg(payload: bytes) -> SegExample:
 
 
 def write_segmentation_shards(
-    prefix: str, examples: Iterable[SegExample], shard_size: int = 128
+    prefix: str,
+    examples: Iterable[SegExample],
+    shard_size: int = 128,
+    compression: Optional[str] = None,
 ) -> List[str]:
     """Write examples to ``{prefix}-00000-of-NNNNN.tfrecord`` shards.
 
@@ -345,6 +380,8 @@ def write_segmentation_shards(
     fills (O(shard) memory) to a temporary name, and all shards rename to
     their final ``-of-NNNNN`` names once the total is known (atomic per
     file; readers never see a partial set under the final glob).
+    ``compression="gzip"`` writes TF-interchangeable gzip shards (readers
+    sniff the layout, so consumers need no flag).
     """
     tmp_paths: List[str] = []
     w: RecordWriter = None  # type: ignore[assignment]
@@ -356,14 +393,14 @@ def write_segmentation_shards(
                     w.close()
                 tmp = f"{prefix}-{len(tmp_paths):05d}.tfrecord.tmp"
                 tmp_paths.append(tmp)
-                w = RecordWriter(tmp)
+                w = RecordWriter(tmp, compression=compression)
             w.write(_encode_seg(ex))
             count += 1
         if w is not None:
             w.close()
         if not tmp_paths:  # zero examples: one (empty) shard, as before
             tmp = f"{prefix}-00000.tfrecord.tmp"
-            RecordWriter(tmp).close()
+            RecordWriter(tmp, compression=compression).close()
             tmp_paths.append(tmp)
     except BaseException:
         if w is not None:

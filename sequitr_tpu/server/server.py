@@ -1368,6 +1368,7 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         shard_paths = records.write_segmentation_shards(
             os.path.join(job.output, "train"), gen_examples(),
             shard_size=int(p.get("shard_size", 128)),
+            compression="gzip" if p.get("compress_records") else None,
         )
     finally:
         for close in closers:
@@ -1767,7 +1768,10 @@ def build_gan_pairs(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     n_shards = max(1, -(-len(payloads) // shard_size))
     for s in range(n_shards):
         path = os.path.join(job.output, f"pairs-{s:05d}-of-{n_shards:05d}.tfrecord")
-        with records.RecordWriter(path) as w:
+        with records.RecordWriter(
+            path,
+            compression="gzip" if job.params.get("compress_records") else None,
+        ) as w:
             for pl_ in payloads[s * shard_size : (s + 1) * shard_size]:
                 w.write(pl_)
     return {"shards": os.path.join(job.output, "pairs-*.tfrecord"),

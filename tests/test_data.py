@@ -382,6 +382,44 @@ class TestRecords:
                 w.write(pl)
         assert list(records.read_records(p)) == payloads
 
+    def test_gzip_records_roundtrip_and_sniff(self, tmp_path):
+        """GZIP shards (TF's compression_type='GZIP' layout) round-trip;
+        the reader sniffs the layout from the magic bytes, no flag."""
+        p = str(tmp_path / "g.tfrecord")
+        payloads = [b"x" * 500, b"y" * 500, b""]
+        with records.RecordWriter(p, compression="gzip") as w:
+            for pl in payloads:
+                w.write(pl)
+        with open(p, "rb") as f:
+            assert f.read(2) == b"\x1f\x8b"
+        assert list(records.read_records(p)) == payloads
+        # corruption inside the framed stream still raises through gzip
+        import gzip as _gzip
+
+        inner = bytearray(_gzip.decompress(open(p, "rb").read()))
+        inner[9] ^= 0xFF  # payload byte of the first record
+        open(p, "wb").write(_gzip.compress(bytes(inner)))
+        with pytest.raises(IOError):
+            list(records.read_records(p))
+
+    def test_gzip_segmentation_shards_readable(self, tmp_path):
+        rng = np.random.default_rng(3)
+        exs = [
+            records.SegExample(
+                rng.random((8, 8)).astype(np.float32),
+                rng.integers(0, 3, (8, 8)),
+            )
+            for _ in range(5)
+        ]
+        paths = records.write_segmentation_shards(
+            str(tmp_path / "gz"), iter(exs), shard_size=2, compression="gzip"
+        )
+        back = list(records.read_segmentation_examples(paths))
+        assert len(back) == 5
+        for a, b in zip(exs, back):
+            np.testing.assert_array_equal(a.image, b.image)
+            np.testing.assert_array_equal(a.labels, b.labels)
+
     def test_corruption_detected(self, tmp_path):
         p = str(tmp_path / "r.tfrecord")
         with records.RecordWriter(p) as w:

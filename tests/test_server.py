@@ -1374,7 +1374,8 @@ class TestUNet3DPipeline:
 
 
 class TestTrainPipelines:
-    def test_build_records_then_train(self, server_env):
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_build_records_then_train(self, server_env, compress):
         cfg_srv, tmp = server_env
         rng = np.random.default_rng(0)
         images = rng.normal(0.1, 0.05, (4, 16, 16)).astype(np.float32)
@@ -1391,7 +1392,8 @@ class TestTrainPipelines:
             cfg_srv.jobs_dir,
             {
                 "module": "build_records",
-                "params": {"num_classes": 2, "shard_size": 2},
+                "params": {"num_classes": 2, "shard_size": 2,
+                           "compress_records": compress},
                 "input": [img_path, lab_path],
                 "output": rec_dir,
             },
@@ -1401,6 +1403,12 @@ class TestTrainPipelines:
         status = json.load(open(os.path.join(rec_dir, "status.json")))
         assert status["state"] == "complete", status.get("error")
         assert status["outputs"]["n_examples"] == "4"
+        import glob as _glob
+
+        shard0 = sorted(_glob.glob(status["outputs"]["shards"]))[0]
+        with open(shard0, "rb") as f:
+            is_gzip = f.read(2) == b"\x1f\x8b"
+        assert is_gzip == compress
 
         train_out = str(tmp / "train_out")
         submit_job(

@@ -91,3 +91,42 @@ class TestTFToOurs:
         assert out["name"] == [b"cell"]
         assert out["count"] == [42, -1]  # incl. two's-complement negatives
         np.testing.assert_allclose(out["score"], [0.25])
+
+
+class TestGzipInterchange:
+    """GZIP-compressed shards (TFRecordOptions compression_type='GZIP')
+    interchange both ways — the other common on-disk layout."""
+
+    def test_tf_reads_our_gzip_records(self, tmp_path):
+        path = str(tmp_path / "ours_gz.tfrecord")
+        with records.RecordWriter(path, compression="gzip") as w:
+            w.write(records.encode_example({"idx": [3]}))
+            w.write(records.encode_example({"idx": [4]}))
+        ds = list(tf.data.TFRecordDataset([path], compression_type="GZIP"))
+        vals = [
+            list(
+                tf.train.Example.FromString(r.numpy())
+                .features.feature["idx"].int64_list.value
+            )
+            for r in ds
+        ]
+        assert vals == [[3], [4]]
+
+    def test_we_read_tf_gzip_records(self, tmp_path):
+        path = str(tmp_path / "tf_gz.tfrecord")
+        ex = tf.train.Example(
+            features=tf.train.Features(
+                feature={
+                    "n": tf.train.Feature(
+                        int64_list=tf.train.Int64List(value=[9])
+                    )
+                }
+            )
+        )
+        opts = tf.io.TFRecordOptions(compression_type="GZIP")
+        with tf.io.TFRecordWriter(path, opts) as w:
+            w.write(ex.SerializeToString())
+            w.write(ex.SerializeToString())
+        payloads = list(records.read_records(path))
+        assert len(payloads) == 2
+        assert records.decode_example(payloads[0])["n"] == [9]
