@@ -275,9 +275,14 @@ class RecordWriter:
         self._f.write(struct.pack("<I", _masked_crc(payload)))
 
     def close(self) -> None:
-        if self._f is not self._raw:
-            self._f.close()  # flush the gzip trailer first
-        self._raw.close()
+        try:
+            if self._f is not self._raw:
+                self._f.close()  # flush the gzip trailer first
+        finally:
+            # the raw fd must not leak even if the trailer flush raises
+            # (e.g. ENOSPC) - callers' cleanup paths rely on close()
+            # releasing the descriptor
+            self._raw.close()
 
     def __enter__(self):
         return self
@@ -295,13 +300,20 @@ def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
     both layouts.
     """
     with open(path, "rb") as raw:
-        if raw.read(2) == b"\x1f\x8b":
+        head = raw.read(12)
+        raw.seek(0)
+        # An uncompressed shard whose first record is ~35615 bytes also
+        # starts 1f 8b (little-endian length field) - so the plain-TFRecord
+        # interpretation is checked FIRST via its header crc, and gzip is
+        # only chosen when that fails AND the gzip magic matches.
+        plain_tfrecord = len(head) >= 12 and _masked_crc(
+            head[:8]
+        ) == struct.unpack("<I", head[8:12])[0]
+        if not plain_tfrecord and head[:2] == b"\x1f\x8b":
             import gzip
 
-            raw.seek(0)
             f = gzip.GzipFile(fileobj=raw, mode="rb")
         else:
-            raw.seek(0)
             f = raw
         while True:
             header = f.read(8)
@@ -404,7 +416,10 @@ def write_segmentation_shards(
             tmp_paths.append(tmp)
     except BaseException:
         if w is not None:
-            w.close()
+            try:
+                w.close()
+            except OSError:
+                pass  # e.g. ENOSPC on the gzip trailer; still unlink tmps
         for t in tmp_paths:
             try:
                 os.unlink(t)

@@ -12,9 +12,10 @@ Peak host memory for a serve is therefore O(frames in flight) — the prefetch
 window plus one output frame — instead of O(stack), so a timelapse larger
 than host RAM serves end-to-end (round-2 verdict, missing #2 / weak #2).
 
-TIFF layouts the lazy reader cannot parse (compressed, RGB) fall back to an
-eager whole-stack read per channel; correctness is preserved and the memory
-bound degrades gracefully to the old behavior.
+TIFF layouts the lazy reader cannot parse (RGB, tiled, exotic codecs —
+LZW/Deflate/PackBits strips ARE streamed) fall back to an eager whole-stack
+read per channel; correctness is preserved and the memory bound degrades
+gracefully to the old behavior.
 """
 
 from __future__ import annotations

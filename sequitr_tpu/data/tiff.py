@@ -183,9 +183,9 @@ def write_stack(path: str, stack: np.ndarray, compression: str = "none") -> None
 def read_stack(path: str) -> np.ndarray:
     """Read a multi-page grayscale TIFF into (T, H, W); (H, W) if T == 1.
 
-    Delegates to the lazy ``TiffReader`` (classic AND BigTIFF); layouts it
-    cannot parse (compressed, RGB, exotic dtypes, mixed frame shapes) fall
-    back to PIL.
+    Delegates to the lazy ``TiffReader`` (classic AND BigTIFF, incl.
+    LZW/Deflate/PackBits strips); layouts it cannot parse (RGB, tiled,
+    exotic dtypes/codecs, mixed frame shapes) fall back to PIL.
     """
     try:
         with TiffReader(path) as r:
@@ -206,8 +206,9 @@ class TiffReader:
     and reads exactly frame t's strips, so peak host memory for a serve is
     O(frames in flight), not O(stack).
 
-    Only the baseline uncompressed grayscale layout our writer produces (and
-    typical microscopy stacks use) is supported; anything else raises
+    Grayscale strip layouts are supported: uncompressed (our writer's
+    output and the fastest ingest path) plus LZW / Deflate / PackBits with
+    horizontal predictor. Anything else (RGB, tiled, JPEG-in-TIFF) raises
     ValueError — callers fall back to ``read_stack`` (whole-file + PIL).
     """
 
@@ -236,8 +237,9 @@ class TiffReader:
                 ifd = struct.unpack(self._endian + "Q", head[8:16])[0]
             else:
                 raise ValueError("not a baseline TIFF")
-            # (h, w, dtype, offsets, counts) per frame
-            self._frames: List[Tuple[int, int, np.dtype, list, list]] = []
+            # (h, w, dtype, offsets, counts, compression, predictor,
+            #  rows_per_strip) per frame
+            self._frames: List[tuple] = []
             try:
                 while ifd:
                     ifd = self._parse_ifd(ifd)
@@ -321,6 +323,16 @@ class TiffReader:
         if predictor not in (1, 2):
             # 3 = floating-point horizontal differencing - rare, PIL path
             raise ValueError(f"unsupported TIFF predictor {predictor}")
+        if compression not in (
+            _COMP_LZW,
+            _COMP_DEFLATE_ADOBE,
+            _COMP_DEFLATE_OLD,
+        ):
+            # libtiff applies the predictor only inside the LZW/Deflate
+            # codecs: a tag-317=2 file written uncompressed or PackBits
+            # carries UNdifferenced pixels, and libtiff ignores the tag on
+            # read. Honoring it here would silently corrupt such frames.
+            predictor = 1
         w, h = get(256), get(257)
         bits = get(258, 8)
         bits = bits[0] if isinstance(bits, list) else bits

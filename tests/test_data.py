@@ -117,6 +117,21 @@ class TestTiffStreaming:
         with tiff.TiffReader(p) as r:
             np.testing.assert_array_equal(r.read_frame(0), arr)
 
+    @pytest.mark.parametrize("comp", [None, "packbits"])
+    def test_predictor_tag_ignored_outside_lzw_deflate(self, tmp_path, comp):
+        """libtiff applies predictor 2 only inside the LZW/Deflate codecs;
+        a tag-317=2 file written uncompressed or PackBits carries
+        UNdifferenced pixels and must be read as-is (code-review finding:
+        honoring the tag cumsum-corrupted such frames)."""
+        from PIL import Image
+
+        arr = np.random.default_rng(9).poisson(300, (21, 17)).astype(np.uint16)
+        p = str(tmp_path / "ignored_pred.tif")
+        kw = {"compression": comp} if comp else {}
+        Image.fromarray(arr).save(p, tiffinfo={317: 2}, **kw)
+        with tiff.TiffReader(p) as r:
+            np.testing.assert_array_equal(r.read_frame(0), arr)
+
     def test_lazy_reader_rejects_unknown_compression(self, tmp_path):
         """Unsupported compression (e.g. JPEG-in-TIFF, tag value 7) raises
         ValueError so callers take the read_stack/PIL fallback."""
@@ -401,6 +416,20 @@ class TestRecords:
         open(p, "wb").write(_gzip.compress(bytes(inner)))
         with pytest.raises(IOError):
             list(records.read_records(p))
+
+    def test_gzip_sniff_not_fooled_by_record_length(self, tmp_path):
+        """An UNCOMPRESSED shard whose first record is 35615 bytes starts
+        with the gzip magic (little-endian length field = 1f 8b); the
+        sniff must validate the plain-TFRecord header crc first
+        (code-review finding: the 2-byte sniff crashed on valid data)."""
+        p = str(tmp_path / "fooled.tfrecord")
+        payloads = [b"q" * 0x8B1F, b"tail"]
+        with records.RecordWriter(p) as w:
+            for pl in payloads:
+                w.write(pl)
+        with open(p, "rb") as f:
+            assert f.read(2) == b"\x1f\x8b"  # the trap is armed
+        assert list(records.read_records(p)) == payloads
 
     def test_gzip_segmentation_shards_readable(self, tmp_path):
         rng = np.random.default_rng(3)
