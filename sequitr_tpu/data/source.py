@@ -20,7 +20,12 @@ gracefully to the old behavior.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+import glob as _glob
+import os
+import re
+from bisect import bisect_right
+from collections import OrderedDict
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -29,12 +34,144 @@ from sequitr_tpu.data import tiff
 __all__ = ["FrameSource"]
 
 
+def _natural_key(path: str):
+    """Sort key that orders img_2 before img_10 (the acquisition order of
+    ImageJ/Micro-Manager per-frame exports, which rarely zero-pad)."""
+    return [
+        int(p) if p.isdigit() else p
+        for p in re.split(r"(\d+)", os.path.basename(path))
+    ]
+
+
+def _expand_channel(path: str) -> List[str]:
+    """One channel input -> ordered file list.
+
+    A plain file stays itself; a directory or glob pattern expands to its
+    .tif/.tiff members in natural order — the per-frame-file timelapse
+    convention (one file per timepoint) served as a single stack.
+    """
+    if os.path.isdir(path):
+        names = [
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.lower().endswith((".tif", ".tiff"))
+        ]
+        if not names:
+            raise ValueError(f"{path}: directory contains no .tif files")
+        return sorted(names, key=_natural_key)
+    if any(ch in path for ch in "*?[") and not os.path.exists(path):
+        names = _glob.glob(path)
+        if not names:
+            raise ValueError(f"{path}: glob matched no files")
+        return sorted(names, key=_natural_key)
+    return [path]
+
+
+class _SequenceReader:
+    """TiffReader-compatible view over files concatenated along T.
+
+    Frame directories (shape, frames-per-file) are gathered once at init;
+    per-file readers open lazily with at most ``_MAX_OPEN`` file
+    descriptors held (a 10k-file sequence must not exhaust the fd table).
+    Files the lazy reader cannot parse fall back to an eager per-FILE read
+    — one file's frames in RAM, never the whole sequence.
+    """
+
+    _MAX_OPEN = 8
+
+    def __init__(self, files: Sequence[str]):
+        self._files = list(files)
+        self._live: "OrderedDict[int, Union[tiff.TiffReader, np.ndarray]]" = (
+            OrderedDict()
+        )
+        counts: List[int] = []
+        shapes = set()
+        dtype = None
+        for i in range(len(self._files)):
+            src = self._source(i)  # TiffReader and ndarray expose the same
+            t, h, w = src.shape    # (T, H, W) shape / dtype surface
+            dt = np.dtype(src.dtype)
+            counts.append(t)
+            shapes.add((h, w))
+            dtype = dt if dtype is None else dtype
+            if dt != dtype:
+                raise ValueError(
+                    f"sequence files disagree in dtype: {self._files[i]} is "
+                    f"{dt}, expected {dtype}"
+                )
+        if len(shapes) != 1:
+            raise ValueError(f"sequence files disagree in shape: {sorted(shapes)}")
+        self._hw = shapes.pop()
+        self._dtype = dtype
+        # cumulative frame offsets for bisect: file i covers
+        # [_offsets[i], _offsets[i+1])
+        self._offsets = [0]
+        for c in counts:
+            self._offsets.append(self._offsets[-1] + c)
+
+    def _source(self, i: int) -> Union[tiff.TiffReader, np.ndarray]:
+        src = self._live.get(i)
+        if src is not None:
+            self._live.move_to_end(i)
+            return src
+        try:
+            src = tiff.TiffReader(self._files[i])
+        except ValueError:
+            arr = np.asarray(tiff.read_stack(self._files[i]))
+            if arr.ndim == 2:
+                arr = arr[None]
+            if arr.ndim != 3:
+                raise ValueError(
+                    f"{self._files[i]}: expected a grayscale frame/stack, "
+                    f"got {arr.shape}"
+                )
+            src = arr
+        self._live[i] = src
+        while len(self._live) > self._MAX_OPEN:
+            _, old = self._live.popitem(last=False)
+            if isinstance(old, tiff.TiffReader):
+                old.close()
+        return src
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return (self._offsets[-1],) + self._hw
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self._dtype
+
+    @property
+    def n_frames(self) -> int:
+        return self._offsets[-1]
+
+    def read_frame(self, t: int) -> np.ndarray:
+        if not 0 <= t < self._offsets[-1]:
+            raise IndexError(f"frame {t} out of range {self._offsets[-1]}")
+        i = bisect_right(self._offsets, t) - 1
+        src = self._source(i)
+        local = t - self._offsets[i]
+        if isinstance(src, tiff.TiffReader):
+            return src.read_frame(local)
+        return np.asarray(src[local])
+
+    def close(self) -> None:
+        while self._live:
+            _, src = self._live.popitem(last=False)
+            if isinstance(src, tiff.TiffReader):
+                src.close()
+
+
 class FrameSource:
     """Ordered native-dtype frames from channel TIFF stacks or an array.
 
-    * ``FrameSource(paths=[...])`` — one TIFF per channel (the serving
+    * ``FrameSource(paths=[...])`` — one entry per channel (the serving
       pipelines' multi-channel convention). Single channel yields (H, W)
       frames; C > 1 yields (H, W, C) with channels on the trailing axis.
+      Each entry may be a stack FILE, or a DIRECTORY / GLOB pattern that
+      expands (natural sort, img_2 before img_10) to a per-frame file
+      sequence concatenated along T — the ImageJ/Micro-Manager
+      one-file-per-timepoint export served as one timelapse.
     * ``FrameSource(array=stack)`` — an in-memory (T, H, W[, C]) array
       (tests, synthetic data); frames are views, not copies.
     """
@@ -46,7 +183,7 @@ class FrameSource:
     ):
         if (paths is None) == (array is None):
             raise ValueError("exactly one of paths/array must be given")
-        self._readers: List[tiff.TiffReader] = []
+        self._readers: List[Union[tiff.TiffReader, _SequenceReader, None]] = []
         self._eager: List[np.ndarray] = []  # per-channel fallback stacks
         if array is not None:
             arr = np.asarray(array)
@@ -63,6 +200,14 @@ class FrameSource:
         else:
             self._shapes = []
             for p in paths:
+                files = _expand_channel(p)
+                if len(files) > 1:
+                    # per-frame file sequence: lazy, fd-capped, T-concat
+                    r = _SequenceReader(files)
+                    self._readers.append(r)
+                    self._shapes.append(r.shape)
+                    continue
+                p = files[0]
                 try:
                     r = tiff.TiffReader(p)
                     self._readers.append(r)

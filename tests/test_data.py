@@ -313,6 +313,79 @@ class TestTiffStreaming:
             assert f.dtype == np.uint16  # 2-byte pixels ship to the device
             np.testing.assert_array_equal(f, stack[1])
 
+    def test_frame_sequence_directory_natural_order(self, tmp_path):
+        """A directory of per-frame files (the ImageJ/Micro-Manager export
+        convention) serves as one timelapse, ordered img_2 before img_10."""
+        from sequitr_tpu.data.source import FrameSource
+
+        rng = np.random.default_rng(1)
+        d = tmp_path / "seq"
+        d.mkdir()
+        frames = [
+            (rng.random((9, 11)) * 900).astype(np.uint16) for _ in range(12)
+        ]
+        for i, f in enumerate(frames):
+            tiff.write_stack(str(d / f"img_{i}.tif"), f)  # NO zero padding
+        with FrameSource(paths=[str(d)]) as src:
+            assert src.n_frames == 12
+            assert src.spatial == (9, 11)
+            for t in range(12):
+                np.testing.assert_array_equal(src.frame(t), frames[t])
+
+    def test_frame_sequence_glob_mixed_pages_fd_cap(self, tmp_path):
+        """Glob expansion; files may hold >1 page (concatenated along T);
+        the open-reader LRU keeps the fd count bounded for long sequences."""
+        from sequitr_tpu.data.source import FrameSource, _SequenceReader
+
+        rng = np.random.default_rng(2)
+        d = tmp_path / "mix"
+        d.mkdir()
+        stacks = [
+            (rng.random((n, 6, 7)) * 99).astype(np.float32)
+            for n in (1, 3, 2)
+        ]
+        for i, s in enumerate(stacks):
+            tiff.write_stack(str(d / f"part{i}.tif"), s)
+        ref = np.concatenate(stacks)
+        with FrameSource(paths=[str(d / "part*.tif")]) as src:
+            assert src.n_frames == 6
+            got = np.stack(list(src.frames()))
+        np.testing.assert_array_equal(got, ref)
+        # fd cap: more files than _MAX_OPEN, all frames still readable
+        d2 = tmp_path / "many"
+        d2.mkdir()
+        n_files = _SequenceReader._MAX_OPEN + 5
+        for i in range(n_files):
+            tiff.write_stack(
+                str(d2 / f"f{i:03d}.tif"),
+                np.full((4, 4), i, dtype=np.uint16),
+            )
+        r = _SequenceReader(
+            [str(d2 / f"f{i:03d}.tif") for i in range(n_files)]
+        )
+        assert len(r._live) <= r._MAX_OPEN
+        for i in range(n_files):
+            assert int(r.read_frame(i)[0, 0]) == i
+            assert len(r._live) <= r._MAX_OPEN
+        r.close()
+        assert not r._live
+
+    def test_frame_sequence_shape_mismatch_raises(self, tmp_path):
+        from sequitr_tpu.data.source import FrameSource
+
+        d = tmp_path / "bad"
+        d.mkdir()
+        tiff.write_stack(str(d / "a.tif"), np.zeros((4, 4), np.uint16))
+        tiff.write_stack(str(d / "b.tif"), np.zeros((5, 5), np.uint16))
+        with pytest.raises(ValueError, match="disagree"):
+            FrameSource(paths=[str(d)])
+        with pytest.raises(ValueError, match="no .tif"):
+            empty = tmp_path / "empty"
+            empty.mkdir()
+            FrameSource(paths=[str(empty)])
+        with pytest.raises(ValueError, match="glob matched no files"):
+            FrameSource(paths=[str(tmp_path / "nope_*.tif")])
+
     @pytest.mark.parametrize("dtype", [np.uint16, np.float32])
     def test_bigtiff_roundtrip(self, tmp_path, dtype):
         """BigTIFF (version 43, 8-byte offsets) round-trips through both

@@ -304,6 +304,49 @@ class TestSegmentationPipeline:
         idx = raw.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
         assert raw[idx + 8 : idx + 10] == (8).to_bytes(2, "little")  # deflate
 
+    def test_per_frame_file_sequence_input(self, server_env):
+        """input may name a DIRECTORY of per-frame TIFFs (ImageJ-style
+        one-file-per-timepoint export): served as one timelapse, identical
+        outputs to the same frames in a single stack file."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "seg2ds", "unet", net_cfg, params, state)
+        stack = (np.random.default_rng(3).random((3, 32, 32)) * 1000).astype(
+            np.float32
+        )
+        seq_dir = tmp / "frames"
+        seq_dir.mkdir()
+        for i, frame in enumerate(stack):
+            tiff.write_stack(str(seq_dir / f"t{i}.tif"), frame)
+        stack_path = str(tmp / "whole.tif")
+        tiff.write_stack(stack_path, stack)
+
+        outs = {}
+        for name, inp in [("seq", str(seq_dir)), ("stack", stack_path)]:
+            out_dir = str(tmp / f"outs_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {
+                    "module": "segmentation_unet2d",
+                    "params": {"model": "seg2ds", "patch": [16, 16],
+                               "overlap": [4, 4]},
+                    "input": [inp],
+                    "output": out_dir,
+                },
+            )
+            assert ImageServer(cfg_srv).poll_once()
+            status = json.load(open(os.path.join(out_dir, "status.json")))
+            assert status["state"] == "complete", status.get("error")
+            outs[name] = status["outputs"]
+        np.testing.assert_array_equal(
+            tiff.read_stack(outs["seq"]["labels"]),
+            tiff.read_stack(outs["stack"]["labels"]),
+        )
+
     def test_auto_whole_frame_policy(self):
         """No explicit patch: small frames run whole-frame (rounded to the
         pool multiple, overlap 0); big frames fall back to the grid."""
