@@ -59,12 +59,19 @@ class TileConfig:
     # the on-disk probs.tif. argmax runs on the f32 maps BEFORE the cast,
     # so the label output is unaffected.
     probs_dtype: str = "float32"
+    # test-time augmentation: average softmax maps over 2/4/8 symmetry
+    # variants of the whole frame (flips; 8 adds the transpose in 2D —
+    # square frames only — or the z-flip in 3D). tta x the compute for a
+    # fidelity bump; stays ONE fused graph (variants unrolled inside it).
+    tta: int = 1
 
     def __post_init__(self):
         if self.probs_dtype not in ("float32", "float16"):
             raise ValueError(
                 f"probs_dtype must be 'float32' or 'float16', got {self.probs_dtype!r}"
             )
+        if self.tta not in (1, 2, 4, 8):
+            raise ValueError(f"tta must be 1, 2, 4 or 8, got {self.tta}")
         # patch_batch=0 is a plausible "disable chunking" spelling; accept
         # only None (auto) or >=1 rather than silently treating 0 as auto
         if self.patch_batch is not None and self.patch_batch < 1:
@@ -174,6 +181,40 @@ def tiled_apply(
     return stitch(out_patches, grid, spatial, tc.overlap, tc.window)
 
 
+def _tta_variants(nd: int, tta: int, spatial: Tuple[int, ...]):
+    """Symmetry variants as (flip_axes, transpose) pairs, identity first.
+
+    Each variant is an involution-composition: fwd = transpose∘flips,
+    inv = flips∘transpose, so inv(fwd(x)) == x. 2D tta=8 composes the 4
+    flips with the transpose (square frames only — the tiling grid must
+    be valid for the transposed frame); 3D tta=8 is the full 2^3 flip
+    group including z.
+    """
+    if tta == 1:
+        return [((), False)]
+    if nd == 2:
+        flips4 = [(), (0,), (1,), (0, 1)]
+        if tta == 2:
+            return [((), False), ((0,), False)]
+        if tta == 4:
+            return [(f, False) for f in flips4]
+        if spatial[0] != spatial[1]:
+            raise ValueError(
+                f"tta=8 in 2D adds the transpose and needs a square frame, "
+                f"got {spatial}"
+            )
+        return [(f, t) for t in (False, True) for f in flips4]
+    # 3D: in-plane axes are (1, 2); axis 0 is z
+    if tta == 2:
+        return [((), False), ((1,), False)]
+    if tta == 4:
+        return [(f, False) for f in [(), (1,), (2,), (1, 2)]]
+    return [
+        (f, False)
+        for f in [(), (0,), (1,), (2,), (0, 1), (0, 2), (1, 2), (0, 1, 2)]
+    ]
+
+
 def make_frame_inferrer(
     cfg: unet.UNetConfig,
     tc: TileConfig,
@@ -196,6 +237,12 @@ def make_frame_inferrer(
     200x200 FOV serves under the default 256^2 patch instead of failing.
     Normalization runs BEFORE padding: percentile stats come from real
     pixels only.
+
+    ``tc.tta > 1`` averages softmax maps over whole-frame symmetry
+    variants (``_tta_variants``) INSIDE the same fused graph — normalize
+    runs once (percentiles are flip-invariant), each variant re-runs
+    tile -> net -> stitch on the transformed frame and is inverse-
+    transformed before averaging; argmax sees the averaged maps.
     """
     nd = len(frame_spatial)
     edge_pad = tuple(max(0, p - s) for s, p in zip(frame_spatial, tc.patch))
@@ -208,6 +255,9 @@ def make_frame_inferrer(
         else "edge"
     )
     grid = tiling.tile_grid(padded_spatial, tc.patch, tc.overlap)
+    # TTA variants are fixed at trace time (checked against the PADDED
+    # spatial: the transposed frame must reuse the same tiling grid)
+    variants = _tta_variants(nd, tc.tta, padded_spatial)
     fold = cfg.norm == "batch"
     if fold:
         # inference-mode BN folds exactly into the conv weights — removes
@@ -228,9 +278,22 @@ def make_frame_inferrer(
             logits, _ = unet.apply(cfg, params, state, batch, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
-        probs = tiled_apply(
-            forward, x, grid, padded_spatial, tc, cfg.num_classes
-        )
+        acc = None
+        for flips, transpose in variants:
+            xi = x
+            for ax in flips:
+                xi = jnp.flip(xi, axis=ax)
+            if transpose:
+                xi = jnp.swapaxes(xi, 0, 1)
+            pi = tiled_apply(
+                forward, xi, grid, padded_spatial, tc, cfg.num_classes
+            )
+            if transpose:
+                pi = jnp.swapaxes(pi, 0, 1)
+            for ax in flips:
+                pi = jnp.flip(pi, axis=ax)
+            acc = pi if acc is None else acc + pi
+        probs = acc if len(variants) == 1 else acc / len(variants)
         if any(edge_pad):
             probs = probs[tuple(slice(0, s) for s in frame_spatial)]
         labels = jnp.argmax(probs, axis=-1).astype(jnp.dtype(tc.labels_dtype))
@@ -297,6 +360,9 @@ def make_gan_enhancer(
     spatial = tuple(frame_spatial)
     grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
     nd = len(spatial)
+    # TTA averages the ENHANCED maps over the same symmetry variants as
+    # segmentation (flip noise-averaging is the classic denoising trick)
+    variants = _tta_variants(nd, tc.tta, spatial)
 
     def enhance_one(params, state, frame):
         if frame.ndim == nd:
@@ -307,7 +373,20 @@ def make_gan_enhancer(
             out, _ = gan_lib.generator_apply(cfg, params, state, patches)
             return out
 
-        out = tiled_apply(forward, x, grid, spatial, tc, cfg.out_channels)
+        acc = None
+        for flips, transpose in variants:
+            xi = x
+            for ax in flips:
+                xi = jnp.flip(xi, axis=ax)
+            if transpose:
+                xi = jnp.swapaxes(xi, 0, 1)
+            oi = tiled_apply(forward, xi, grid, spatial, tc, cfg.out_channels)
+            if transpose:
+                oi = jnp.swapaxes(oi, 0, 1)
+            for ax in flips:
+                oi = jnp.flip(oi, axis=ax)
+            acc = oi if acc is None else acc + oi
+        out = acc if len(variants) == 1 else acc / len(variants)
         # tc.probs_dtype doubles as the enhanced-map output dtype: float16
         # halves the dominant D2H of a streamed enhancement job (the
         # enhanced frame is 2x the input bytes at f32)

@@ -663,6 +663,9 @@ def _tile_config(
             # job param probs_dtype: "float16" halves probs D2H + disk for
             # save_probs jobs (argmax happens before the cast — labels exact)
             probs_dtype=str(params.get("probs_dtype", "float32")),
+            # flip/transpose test-time augmentation: tta x the compute for
+            # a fidelity bump (fused into the same graph)
+            tta=int(params.get("tta", 1)),
         )
     except ValueError as e:
         # bad tiling/dtype params are deterministic — fail fast, never retry
@@ -931,7 +934,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 from sequitr_tpu.parallel import spatial as spatial_lib
 
                 n_dev = jax.device_count()
-                s_ways = _spatial_ways(sp, n_dev)
+                s_ways = _spatial_ways(sp, n_dev, tc=tc)
                 d_ways = n_dev // s_ways
 
                 def _norm_one(f):
@@ -1075,7 +1078,7 @@ def _run_frames(cfg, tc, params, state, source, job_params):
         from sequitr_tpu.parallel import spatial as spatial_lib
 
         n_dev = jax.device_count()
-        s_ways = _spatial_ways(sp, n_dev)
+        s_ways = _spatial_ways(sp, n_dev, tc=tc)
         d_ways = n_dev // s_ways
 
         def norm(frame):
@@ -1191,11 +1194,18 @@ def _apply_frame_range(job: Job, source):
         raise jobs_lib.JobError(str(e))
 
 
-def _spatial_ways(sp, n_dev: int, divide: bool = True) -> int:
+def _spatial_ways(sp, n_dev: int, divide: bool = True, tc=None) -> int:
     """Parse the ``spatial_parallel`` job param into a shard count.
 
     Malformed values (non-integer strings, counts that don't fit the
-    device mesh) are deterministic JobErrors — never retried."""
+    device mesh) are deterministic JobErrors — never retried. ``tc``:
+    reject combinations the halo-exchange graph does not implement
+    (currently tta) instead of silently ignoring them."""
+    if tc is not None and tc.tta != 1:
+        raise jobs_lib.JobError(
+            "tta is not supported with spatial_parallel (the halo-exchange "
+            "graph runs whole frames; use data_parallel or single-chip)"
+        )
     if sp is True:
         return n_dev
     try:
@@ -1981,7 +1991,7 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         from sequitr_tpu.parallel import spatial as spatial_lib
 
         n_dev = jax.device_count()
-        s_ways = _spatial_ways(sp, n_dev, divide=False)
+        s_ways = _spatial_ways(sp, n_dev, divide=False, tc=tc)
         mesh = parallel.make_mesh(s_ways)
 
         def norm(v):

@@ -50,6 +50,82 @@ class TestTiledInference:
             np.asarray(probs_tiled), np.asarray(probs_whole), atol=1e-5
         )
 
+    def test_tta_equals_mean_of_transformed_runs(self):
+        """tta=4 probs must equal the mean of the tta=1 inferrer run on
+        each flipped frame with the maps flipped back — the definition,
+        checked exactly (f32, same graph pieces)."""
+        cfg = small_cfg(norm="none")
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        frame = jax.random.normal(jax.random.PRNGKey(3), (48, 40))
+        tc1 = infer_lib.TileConfig(
+            patch=(32, 32), overlap=(8, 8), normalize="none"
+        )
+        tc4 = infer_lib.TileConfig(
+            patch=(32, 32), overlap=(8, 8), normalize="none", tta=4
+        )
+        base = infer_lib.make_frame_inferrer(cfg, tc1, (48, 40))
+        fn4 = infer_lib.make_frame_inferrer(cfg, tc4, (48, 40))
+        probs4, labels4 = fn4(params, state, frame)
+
+        acc = np.zeros((48, 40, 3), np.float64)
+        for flips in [(), (0,), (1,), (0, 1)]:
+            xi = frame
+            for ax in flips:
+                xi = jnp.flip(xi, axis=ax)
+            pi, _ = base(params, state, xi)
+            pi = np.asarray(pi)
+            for ax in flips:
+                pi = np.flip(pi, axis=ax)
+            acc += pi
+        np.testing.assert_allclose(
+            np.asarray(probs4), acc / 4.0, atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(labels4), (acc / 4.0).argmax(-1)
+        )
+
+    def test_tta8_transpose_square_only(self):
+        import pytest
+
+        cfg = small_cfg(norm="none")
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        tc8 = infer_lib.TileConfig(
+            patch=(32, 32), overlap=(8, 8), normalize="none", tta=8
+        )
+        with pytest.raises(ValueError, match="square"):
+            infer_lib.make_frame_inferrer(cfg, tc8, (48, 40))
+        fn8 = infer_lib.make_frame_inferrer(cfg, tc8, (48, 48))
+        frame = jax.random.normal(jax.random.PRNGKey(4), (48, 48))
+        probs8, _ = fn8(params, state, frame)
+        assert probs8.shape == (48, 48, 3)
+        np.testing.assert_allclose(np.asarray(probs8.sum(-1)), 1.0, atol=1e-4)
+        with pytest.raises(ValueError, match="tta"):
+            infer_lib.TileConfig(tta=3)
+
+    def test_tta_gan_enhancer(self):
+        """GAN TTA: enhanced map equals the mean of inverse-transformed
+        enhanced variants (tta=2 exact check)."""
+        gcfg = gan_lib.GANConfig(
+            in_channels=1, out_channels=1, gen_base_features=4, gen_depth=2,
+            compute_dtype=jnp.float32, gen_norm="none",
+        )
+        params, state = gan_lib.init(jax.random.PRNGKey(0), gcfg)
+        frame = jax.random.normal(jax.random.PRNGKey(5), (32, 32))
+        tc1 = infer_lib.TileConfig(
+            patch=(32, 32), overlap=(0, 0), normalize="none"
+        )
+        tc2 = infer_lib.TileConfig(
+            patch=(32, 32), overlap=(0, 0), normalize="none", tta=2
+        )
+        e1 = infer_lib.make_gan_enhancer(gcfg, tc1, (32, 32))
+        e2 = infer_lib.make_gan_enhancer(gcfg, tc2, (32, 32))
+        out1 = np.asarray(e1(params, state, frame))
+        out1f = np.flip(
+            np.asarray(e1(params, state, jnp.flip(frame, axis=0))), axis=0
+        )
+        out2 = np.asarray(e2(params, state, frame))
+        np.testing.assert_allclose(out2, (out1 + out1f) / 2.0, atol=1e-5)
+
     def test_sub_patch_frame_autopad(self):
         """Frames smaller than the patch are mirror-padded and cropped back:
         output keeps the frame shape and equals inference on an explicitly

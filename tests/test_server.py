@@ -304,6 +304,55 @@ class TestSegmentationPipeline:
         idx = raw.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
         assert raw[idx + 8 : idx + 10] == (8).to_bytes(2, "little")  # deflate
 
+    def test_tta_param(self, server_env):
+        """tta=4 serves (flip-averaged probs, same shapes, param consumed
+        without warnings); tta + spatial_parallel is a deterministic
+        JobError (the halo graph does not implement it)."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "seg2dt", "unet", net_cfg, params, state)
+        stack = (np.random.default_rng(5).random((2, 32, 32)) * 1000).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "stackt.tif")
+        tiff.write_stack(stack_path, stack)
+        out_dir = str(tmp / "out_tta")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": {"model": "seg2dt", "patch": [16, 16],
+                           "overlap": [4, 4], "tta": 4, "localize": False},
+                "input": [stack_path],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        assert not status.get("warnings"), status.get("warnings")
+        assert tiff.read_stack(status["outputs"]["labels"]).shape == (2, 32, 32)
+
+        out_dir2 = str(tmp / "out_tta_sp")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": {"model": "seg2dt", "tta": 4,
+                           "spatial_parallel": True},
+                "input": [stack_path],
+                "output": out_dir2,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status2 = json.load(open(os.path.join(out_dir2, "status.json")))
+        assert status2["state"] == "failed"
+        assert "tta is not supported with spatial_parallel" in status2["error"]
+
     def test_per_frame_file_sequence_input(self, server_env):
         """input may name a DIRECTORY of per-frame TIFFs (ImageJ-style
         one-file-per-timepoint export): served as one timelapse, identical
