@@ -743,6 +743,17 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         )
         if save_probs else None
     )
+    # per-pixel predictive uncertainty: normalized softmax entropy
+    # -sum(p log p)/log(K) in [0, 1] (1 = uniform). Computed on host from
+    # the probs the graph already returns - the QC map reviewers threshold
+    # to find frames/regions the model is unsure about.
+    save_entropy = bool(job.params.get("save_entropy"))
+    entropy_w = (
+        _append_writer(
+            os.path.join(job.output, "entropy.tif"), px * 4, comp
+        )
+        if save_entropy and n_classes > 1 else None
+    )
     # live progress + cooperative cancellation, checked once per frame
     # (rate-limited progress.json; JobCancelled aborts the partial writers)
     rep = jobs_lib.ProgressReporter(job, n_frames)
@@ -762,16 +773,24 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
                     )
                 with timer.phase("write"):
                     labels_w.append(labels_np)
-                if probs_w is not None:
+                if probs_w is not None or entropy_w is not None:
                     with timer.phase("fetch"):
                         # native dtype: float16 pages stay half-size on the
                         # wire AND on disk when probs_dtype requests it
                         probs_np = np.asarray(result.probs)
                     with timer.phase("write"):
-                        # softmax label maps, frame-major (the reference's
-                        # output contract): page t*K + k = frame t, class k
-                        for k in range(n_classes):
-                            probs_w.append(probs_np[..., k])
+                        if probs_w is not None:
+                            # softmax label maps, frame-major (the
+                            # reference's output contract):
+                            # page t*K + k = frame t, class k
+                            for k in range(n_classes):
+                                probs_w.append(probs_np[..., k])
+                        if entropy_w is not None:
+                            p32 = probs_np.astype(np.float32, copy=False)
+                            ent = -(
+                                p32 * np.log(np.maximum(p32, 1e-12))
+                            ).sum(axis=-1) / np.log(n_classes)
+                            entropy_w.append(ent.astype(np.float32))
                 if do_localize:
                     # per-object mean intensity; channel-mean if multi-channel
                     inten = source.frame(t)
@@ -799,10 +818,14 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         labels_w.abort()
         if probs_w is not None:
             probs_w.abort()
+        if entropy_w is not None:
+            entropy_w.abort()
         raise
     labels_w.close()
     if probs_w is not None:
         probs_w.close()
+    if entropy_w is not None:
+        entropy_w.close()
 
     outputs: Dict[str, str] = {}
     n_objects = sum(len(tb) for tb in tables)
@@ -818,6 +841,8 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         outputs["probs_layout"] = (
             f"pages=(T={n_frames})*(K={n_classes}), frame-major"
         )
+    if entropy_w is not None:
+        outputs["entropy"] = os.path.join(job.output, "entropy.tif")
     if do_localize:
         h5_path = os.path.join(job.output, "objects.h5")
         loc_lib.export_btrack_h5_tables(
@@ -2022,6 +2047,15 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     labels_path = os.path.join(job.output, "labels.tif")
     tiff.write_stack(labels_path, labels_np.astype(np.uint16), compression=comp)
     outputs["labels"] = labels_path
+    if job.params.get("save_entropy") and cfg.num_classes > 1:
+        # normalized softmax entropy per voxel (see the 2D path)
+        p32 = np.asarray(probs).astype(np.float32, copy=False)
+        ent = -(p32 * np.log(np.maximum(p32, 1e-12))).sum(axis=-1) / np.log(
+            cfg.num_classes
+        )
+        entropy_path = os.path.join(job.output, "entropy.tif")
+        tiff.write_stack(entropy_path, ent.astype(np.float32), compression=comp)
+        outputs["entropy"] = entropy_path
     if job.params.get("save_probs"):
         probs_np = np.asarray(probs)  # (Z, H, W, K), tc.probs_dtype
         planes = np.moveaxis(probs_np, -1, 1).reshape(-1, *probs_np.shape[1:3])

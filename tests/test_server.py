@@ -353,6 +353,46 @@ class TestSegmentationPipeline:
         assert status2["state"] == "failed"
         assert "tta is not supported with spatial_parallel" in status2["error"]
 
+    def test_save_entropy(self, server_env):
+        """save_entropy writes the normalized softmax entropy map in [0,1],
+        exactly -sum(p log p)/log K of the saved probs."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "seg2de", "unet", net_cfg, params, state)
+        stack = (np.random.default_rng(6).random((2, 32, 32)) * 1000).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "stacke.tif")
+        tiff.write_stack(stack_path, stack)
+        out_dir = str(tmp / "out_ent")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": {"model": "seg2de", "patch": [16, 16],
+                           "overlap": [4, 4], "save_probs": True,
+                           "save_entropy": True, "localize": False},
+                "input": [stack_path],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        assert not status.get("warnings"), status.get("warnings")
+        ent = tiff.read_stack(status["outputs"]["entropy"])
+        assert ent.shape == (2, 32, 32) and ent.dtype == np.float32
+        assert float(ent.min()) >= 0.0 and float(ent.max()) <= 1.0 + 1e-6
+        probs = tiff.read_stack(status["outputs"]["probs"]).reshape(
+            2, 3, 32, 32
+        )
+        ref = -(probs * np.log(np.maximum(probs, 1e-12))).sum(1) / np.log(3)
+        np.testing.assert_allclose(ent, ref, atol=1e-6)
+
     def test_per_frame_file_sequence_input(self, server_env):
         """input may name a DIRECTORY of per-frame TIFFs (ImageJ-style
         one-file-per-timepoint export): served as one timelapse, identical
@@ -1444,6 +1484,7 @@ class TestUNet3DPipeline:
                     "patch": [4, 16, 16],
                     "overlap": [2, 4, 4],
                     "save_probs": True,
+                    "save_entropy": True,
                 },
                 "input": [vol_path],
                 "output": out_dir,
@@ -1459,6 +1500,11 @@ class TestUNet3DPipeline:
         assert probs.shape == (8 * 2, 32, 32)
         per_plane = probs.reshape(8, 2, 32, 32)
         np.testing.assert_allclose(per_plane.sum(axis=1), 1.0, atol=1e-4)
+        ent = tiff.read_stack(status["outputs"]["entropy"])
+        ref = -(per_plane * np.log(np.maximum(per_plane, 1e-12))).sum(
+            axis=1
+        ) / np.log(2)
+        np.testing.assert_allclose(ent, ref, atol=1e-6)
         import h5py
 
         with h5py.File(status["outputs"]["objects"]) as f:
