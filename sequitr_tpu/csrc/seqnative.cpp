@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <vector>
 
 extern "C" {
@@ -173,6 +174,65 @@ void seq_label_full_stats_3d(const int32_t* labels, const int32_t* class_map,
     cls_out[k] = best_c;
   }
 }
+
+// ---------------------------------------------------------------------------
+// Marker-seeded watershed (Meyer's flooding, 4-connectivity) over a 2D
+// priority surface — the touching-cell splitter: flood DOWN the distance
+// transform from its local maxima so each basin becomes one instance.
+// (scikit-image is absent in this environment; this is the native
+// equivalent of skimage.segmentation.watershed for our use.)
+//   mask:     h*w uint8, nonzero = floodable foreground
+//   priority: h*w float32 (e.g. the EDT); higher floods first
+//   labels:   h*w int32 in/out — seeds 1..n on input, basins on output
+// Pop order among equal priorities is FIFO (insertion counter), making
+// the result deterministic for a given seed layout.
+// ---------------------------------------------------------------------------
+
+}  // extern "C" — template machinery below needs C++ linkage
+
+namespace {
+struct WsEntry {
+  float prio;
+  int64_t order;
+  int64_t idx;
+  int32_t label;
+};
+struct WsCmp {
+  bool operator()(const WsEntry& a, const WsEntry& b) const {
+    if (a.prio != b.prio) return a.prio < b.prio;  // max-heap on priority
+    return a.order > b.order;                      // FIFO on ties
+  }
+};
+}  // namespace
+
+extern "C" void seq_watershed(const uint8_t* mask, const float* priority,
+                              int32_t h, int32_t w, int32_t* labels) {
+  std::priority_queue<WsEntry, std::vector<WsEntry>, WsCmp> heap;
+  int64_t order = 0;
+  const int64_t n = (int64_t)h * w;
+  for (int64_t i = 0; i < n; ++i) {
+    if (labels[i] > 0 && mask[i]) {
+      heap.push({priority[i], order++, i, labels[i]});
+    }
+  }
+  while (!heap.empty()) {
+    const WsEntry e = heap.top();
+    heap.pop();
+    const int32_t y = (int32_t)(e.idx / w);
+    const int32_t x = (int32_t)(e.idx % w);
+    const int64_t nbrs[4] = {e.idx - w, e.idx + w, e.idx - 1, e.idx + 1};
+    const bool ok[4] = {y > 0, y + 1 < h, x > 0, x + 1 < w};
+    for (int k = 0; k < 4; ++k) {
+      if (!ok[k]) continue;
+      const int64_t j = nbrs[k];
+      if (!mask[j] || labels[j] != 0) continue;
+      labels[j] = e.label;
+      heap.push({priority[j], order++, j, e.label});
+    }
+  }
+}
+
+extern "C" {
 
 // ---------------------------------------------------------------------------
 // TIFF LZW strip decode (MSB-first codes, ClearCode 256, EOI 257, libtiff

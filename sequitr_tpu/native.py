@@ -34,6 +34,7 @@ __all__ = [
     "label_full_stats_3d",
     "crc32c",
     "lzw_decode",
+    "watershed",
 ]
 
 
@@ -144,6 +145,14 @@ def _bind(lib) -> None:
         ctypes.c_int64,                  # n_src
         ctypes.POINTER(ctypes.c_uint8),  # dst
         ctypes.c_int64,                  # n_dst
+    ]
+    lib.seq_watershed.restype = None
+    lib.seq_watershed.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # mask
+        ctypes.POINTER(ctypes.c_float),   # priority
+        ctypes.c_int32,                   # h
+        ctypes.c_int32,                   # w
+        ctypes.POINTER(ctypes.c_int32),   # labels (seeds in, basins out)
     ]
 
 
@@ -369,6 +378,65 @@ def lzw_decode(data: bytes, expected: int) -> Optional[bytes]:
     if n < expected:
         raise ValueError(f"truncated compressed strip: {n} < {expected} bytes")
     return dst.tobytes()
+
+
+def watershed(
+    mask: np.ndarray, priority: np.ndarray, seeds: np.ndarray
+) -> np.ndarray:
+    """Marker-seeded watershed (Meyer's flooding, 4-conn) over ``priority``.
+
+    Floods DOWN from high priority (pass the EDT to split touching blobs
+    at their distance-transform saddles). ``seeds``: int32 labels 1..n, 0
+    elsewhere; returns the basin label map covering ``mask``. Deterministic
+    (FIFO tie-break). skimage is the usual home of this algorithm but is
+    absent in this environment; a heapq fallback preserves behavior
+    without the toolchain.
+    """
+    mask = np.ascontiguousarray(np.asarray(mask, dtype=np.uint8))
+    priority = np.ascontiguousarray(np.asarray(priority, dtype=np.float32))
+    out = np.ascontiguousarray(np.asarray(seeds, dtype=np.int32)).copy()
+    if mask.shape != priority.shape or mask.shape != out.shape:
+        raise ValueError(
+            f"shape mismatch: mask {mask.shape}, priority {priority.shape}, "
+            f"seeds {out.shape}"
+        )
+    h, w = mask.shape
+    lib = _load()
+    if lib is not None:
+        lib.seq_watershed(
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            priority.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            h,
+            w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+    # pure-Python fallback: identical flood order (max priority, FIFO ties)
+    import heapq
+
+    heap = []
+    order = 0
+    mflat = mask.ravel()
+    pflat = priority.ravel()
+    lflat = out.ravel()
+    for i in np.flatnonzero((lflat > 0) & (mflat != 0)):
+        heapq.heappush(heap, (-float(pflat[i]), order, int(i)))
+        order += 1
+    while heap:
+        _, _, i = heapq.heappop(heap)
+        lab = lflat[i]
+        y, x = divmod(i, w)
+        for ok, j in (
+            (y > 0, i - w),
+            (y + 1 < h, i + w),
+            (x > 0, i - 1),
+            (x + 1 < w, i + 1),
+        ):
+            if ok and mflat[j] and lflat[j] == 0:
+                lflat[j] = lab
+                heapq.heappush(heap, (-float(pflat[j]), order, int(j)))
+                order += 1
+    return out
 
 
 def crc32c(data: bytes) -> int:

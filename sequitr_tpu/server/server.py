@@ -725,6 +725,10 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     do_localize = job.params.get("localize", True)
     save_probs = bool(job.params.get("save_probs"))
     min_area = int(job.params.get("min_area", 1))
+    # distance-transform watershed so abutting cells localize as separate
+    # objects (localize.split_touching_instances)
+    split_touching = bool(job.params.get("split_touching"))
+    min_distance = int(job.params.get("min_distance", 5))
     labels_path = os.path.join(job.output, "labels.tif")
     probs_path = os.path.join(job.output, "probs.tif")
     # bounded: each pending future pins its frame's label + intensity
@@ -804,6 +808,8 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
                             t=t + source.frame_offset,
                             intensity=inten, min_area=min_area,
                             n_classes=n_classes,
+                            split_touching=split_touching,
+                            min_distance=min_distance,
                         )
                     )
                     while len(futures) > max_pending:

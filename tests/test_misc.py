@@ -207,3 +207,86 @@ class TestUtils:
         assert t.rate("a", 10) > 0
         assert t.rate("missing", 10) is None
 
+
+
+class TestWatershedSplit:
+    def _two_disks(self, c1=(24, 20), c2=(24, 44), r=13, shape=(48, 64)):
+        yy, xx = np.mgrid[: shape[0], : shape[1]]
+        m1 = (yy - c1[0]) ** 2 + (xx - c1[1]) ** 2 <= r * r
+        m2 = (yy - c2[0]) ** 2 + (xx - c2[1]) ** 2 <= r * r
+        return (m1 | m2).astype(np.int32)
+
+    def test_touching_disks_split_into_two(self):
+        from sequitr_tpu import localize
+
+        cm = self._two_disks()
+        # plain CCL merges the overlapping disks into ONE object
+        assert int(localize.label_components(cm > 0).max()) == 1
+        inst = localize.split_touching_instances(cm, min_distance=5)
+        assert int(inst.max()) == 2
+        # the split covers exactly the foreground
+        np.testing.assert_array_equal(inst > 0, cm > 0)
+        # centroids land near the true disk centers
+        tb = localize.localize_frame_table(cm, split_touching=True)
+        assert len(tb) == 2
+        got = sorted((float(x), float(y)) for _, x, y, _, _ in tb.coords)
+        for (gx, gy), (cy, cx) in zip(got, [(24, 20), (24, 44)]):
+            assert abs(gx - cx) < 2.5 and abs(gy - cy) < 2.5
+
+    def test_isolated_blobs_unchanged(self):
+        """Non-touching blobs: watershed must reproduce plain CCL's
+        partition (same pixels per object, labels possibly permuted)."""
+        from sequitr_tpu import localize
+
+        cm = np.zeros((40, 40), np.int32)
+        cm[4:12, 4:12] = 1
+        cm[25:35, 22:36] = 2
+        ccl = localize.label_components(cm > 0)
+        inst = localize.split_touching_instances(cm, min_distance=3)
+        assert int(inst.max()) == int(ccl.max()) == 2
+        for i in (1, 2):
+            region = ccl == i
+            vals = np.unique(inst[region])
+            assert len(vals) == 1 and vals[0] > 0
+        np.testing.assert_array_equal(inst > 0, ccl > 0)
+
+    def test_native_matches_python_fallback(self):
+        from sequitr_tpu import native
+        from scipy import ndimage
+
+        assert native.available()
+        rng = np.random.default_rng(0)
+        # random blobby mask via thresholded smoothed noise
+        field = ndimage.gaussian_filter(rng.random((64, 64)), 4)
+        mask = field > np.percentile(field, 55)
+        edt = ndimage.distance_transform_edt(mask).astype(np.float32)
+        maxima = (edt >= ndimage.maximum_filter(edt, size=9)) & mask
+        from sequitr_tpu.localize import label_components
+
+        seeds = label_components(maxima)
+        nat = native.watershed(mask, edt, seeds)
+        # force the heapq fallback through the private entry
+        import sequitr_tpu.native as native_mod
+
+        orig = native_mod._load
+        try:
+            native_mod._load = lambda: None
+            py = native.watershed(mask, edt, seeds)
+        finally:
+            native_mod._load = orig
+        np.testing.assert_array_equal(nat, py)
+        assert int(nat.max()) == int(seeds.max())
+
+    def test_empty_and_shape_checks(self):
+        from sequitr_tpu import localize, native
+        import pytest
+
+        assert localize.split_touching_instances(
+            np.zeros((8, 8), np.int32)
+        ).max() == 0
+        with pytest.raises(ValueError, match="shape"):
+            native.watershed(
+                np.zeros((4, 4), np.uint8),
+                np.zeros((4, 5), np.float32),
+                np.zeros((4, 4), np.int32),
+            )

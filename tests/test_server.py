@@ -353,6 +353,41 @@ class TestSegmentationPipeline:
         assert status2["state"] == "failed"
         assert "tta is not supported with spatial_parallel" in status2["error"]
 
+    def test_split_touching_param(self, server_env):
+        """split_touching/min_distance reach the localization tail: the job
+        completes with the params consumed (no unknown-param warnings) and
+        objects.h5 is written. Splitting behavior itself is unit-tested
+        (tests/test_misc.py::TestWatershedSplit)."""
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "seg2dw", "unet", net_cfg, params, state)
+        stack = (np.random.default_rng(7).random((2, 32, 32)) * 1000).astype(
+            np.float32
+        )
+        stack_path = str(tmp / "stackw.tif")
+        tiff.write_stack(stack_path, stack)
+        out_dir = str(tmp / "out_ws")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": {"model": "seg2dw", "patch": [16, 16],
+                           "overlap": [4, 4], "split_touching": True,
+                           "min_distance": 3},
+                "input": [stack_path],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        assert not status.get("warnings"), status.get("warnings")
+        assert os.path.exists(status["outputs"]["objects"])
+
     def test_save_entropy(self, server_env):
         """save_entropy writes the normalized softmax entropy map in [0,1],
         exactly -sum(p log p)/log K of the saved probs."""
