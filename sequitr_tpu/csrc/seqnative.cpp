@@ -232,6 +232,40 @@ extern "C" void seq_watershed(const uint8_t* mask, const float* priority,
   }
 }
 
+// Volumetric variant: 6-connectivity over a (Z, H, W) grid — the
+// localize_volume splitter for z-stacks.
+extern "C" void seq_watershed_3d(const uint8_t* mask, const float* priority,
+                                 int32_t z, int32_t h, int32_t w,
+                                 int32_t* labels) {
+  std::priority_queue<WsEntry, std::vector<WsEntry>, WsCmp> heap;
+  int64_t order = 0;
+  const int64_t plane = (int64_t)h * w;
+  const int64_t n = (int64_t)z * plane;
+  for (int64_t i = 0; i < n; ++i) {
+    if (labels[i] > 0 && mask[i]) {
+      heap.push({priority[i], order++, i, labels[i]});
+    }
+  }
+  while (!heap.empty()) {
+    const WsEntry e = heap.top();
+    heap.pop();
+    const int32_t p = (int32_t)(e.idx / plane);
+    const int64_t rem = e.idx % plane;
+    const int32_t y = (int32_t)(rem / w);
+    const int32_t x = (int32_t)(rem % w);
+    const int64_t nbrs[6] = {e.idx - plane, e.idx + plane, e.idx - w,
+                             e.idx + w,     e.idx - 1,     e.idx + 1};
+    const bool ok[6] = {p > 0, p + 1 < z, y > 0, y + 1 < h, x > 0, x + 1 < w};
+    for (int k = 0; k < 6; ++k) {
+      if (!ok[k]) continue;
+      const int64_t j = nbrs[k];
+      if (!mask[j] || labels[j] != 0) continue;
+      labels[j] = e.label;
+      heap.push({priority[j], order++, j, e.label});
+    }
+  }
+}
+
 extern "C" {
 
 // ---------------------------------------------------------------------------

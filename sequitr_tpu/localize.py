@@ -69,15 +69,15 @@ def split_touching_instances(
     class_map: np.ndarray, min_distance: int = 5
 ) -> np.ndarray:
     """Instance map that SPLITS touching cells, via distance-transform
-    watershed.
+    watershed (2D frames or 3D volumes).
 
     Plain connected components merge abutting cells of any class into one
     object (confluent monolayers, dividing cells) — the classic failure
     feeding a tracker. The standard fix: Euclidean distance transform of
     the foreground, seeds at its local maxima (one per cell body,
     ``min_distance`` sets the scale), then marker-seeded watershed flooding
-    down the EDT so each basin becomes one instance
-    (``native.watershed`` — skimage is absent in this environment).
+    down the EDT so each basin becomes one instance (``native.watershed``,
+    4-conn in 2D / 6-conn in 3D — skimage is absent in this environment).
 
     Returns int32 instance labels 1..n covering ``class_map > 0``.
     """
@@ -206,10 +206,14 @@ def localize_volume(
     intensity: Optional[np.ndarray] = None,
     min_area: int = 1,
     n_classes: Optional[int] = None,
+    split_touching: bool = False,
+    min_distance: int = 5,
 ) -> List[LocalizedObject]:
     """3D variant: per-object centroids from a (Z, H, W) class label map.
 
-    Instances from 3D connected components of the foreground; ``z`` is the
+    Instances from 3D connected components of the foreground — or the 3D
+    distance-transform watershed with ``split_touching`` (6-connected
+    flooding; abutting nuclei in a z-stack count separately); ``z`` is the
     centroid plane (BASELINE config #4's volumetric output feeding btrack).
     All per-object features come from ONE native sweep
     (``native.label_full_stats_3d``; scipy fallback inside).
@@ -219,8 +223,12 @@ def localize_volume(
     class_map = np.asarray(class_map)
     if class_map.ndim != 3:
         raise ValueError(f"expected (Z, H, W), got {class_map.shape}")
-    structure = ndimage.generate_binary_structure(3, 1)
-    inst, n = ndimage.label(class_map > 0, structure=structure)
+    if split_touching:
+        inst = split_touching_instances(class_map, min_distance=min_distance)
+        n = int(inst.max())
+    else:
+        structure = ndimage.generate_binary_structure(3, 1)
+        inst, n = ndimage.label(class_map > 0, structure=structure)
     if n == 0:
         return []
     k = int(n_classes) if n_classes is not None else int(class_map.max()) + 1

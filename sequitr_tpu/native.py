@@ -154,6 +154,15 @@ def _bind(lib) -> None:
         ctypes.c_int32,                   # w
         ctypes.POINTER(ctypes.c_int32),   # labels (seeds in, basins out)
     ]
+    lib.seq_watershed_3d.restype = None
+    lib.seq_watershed_3d.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # mask
+        ctypes.POINTER(ctypes.c_float),   # priority
+        ctypes.c_int32,                   # z
+        ctypes.c_int32,                   # h
+        ctypes.c_int32,                   # w
+        ctypes.POINTER(ctypes.c_int32),   # labels (seeds in, basins out)
+    ]
 
 
 def available() -> bool:
@@ -386,7 +395,8 @@ def watershed(
     """Marker-seeded watershed (Meyer's flooding, 4-conn) over ``priority``.
 
     Floods DOWN from high priority (pass the EDT to split touching blobs
-    at their distance-transform saddles). ``seeds``: int32 labels 1..n, 0
+    at their distance-transform saddles). 2D arrays flood 4-connected,
+    3D (Z, H, W) volumes 6-connected. ``seeds``: int32 labels 1..n, 0
     elsewhere; returns the basin label map covering ``mask``. Deterministic
     (FIFO tie-break). skimage is the usual home of this algorithm but is
     absent in this environment; a heapq fallback preserves behavior
@@ -400,20 +410,34 @@ def watershed(
             f"shape mismatch: mask {mask.shape}, priority {priority.shape}, "
             f"seeds {out.shape}"
         )
-    h, w = mask.shape
+    if mask.ndim not in (2, 3):
+        raise ValueError(f"watershed expects a 2D or 3D array, got {mask.shape}")
     lib = _load()
     if lib is not None:
-        lib.seq_watershed(
-            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            priority.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            h,
-            w,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        )
+        if mask.ndim == 2:
+            lib.seq_watershed(
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                priority.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                mask.shape[0],
+                mask.shape[1],
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+        else:
+            lib.seq_watershed_3d(
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                priority.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                mask.shape[0],
+                mask.shape[1],
+                mask.shape[2],
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
         return out
     # pure-Python fallback: identical flood order (max priority, FIFO ties)
     import heapq
 
+    # neighbor index offsets + the coordinate axis each one steps along
+    strides = [int(np.prod(mask.shape[d + 1 :])) for d in range(mask.ndim)]
+    shape = mask.shape
     heap = []
     order = 0
     mflat = mask.ravel()
@@ -425,17 +449,20 @@ def watershed(
     while heap:
         _, _, i = heapq.heappop(heap)
         lab = lflat[i]
-        y, x = divmod(i, w)
-        for ok, j in (
-            (y > 0, i - w),
-            (y + 1 < h, i + w),
-            (x > 0, i - 1),
-            (x + 1 < w, i + 1),
-        ):
-            if ok and mflat[j] and lflat[j] == 0:
-                lflat[j] = lab
-                heapq.heappush(heap, (-float(pflat[j]), order, int(j)))
-                order += 1
+        rem = i
+        coords = []
+        for s in strides:
+            coords.append(rem // s)
+            rem %= s
+        for d, s in enumerate(strides):
+            for step, ok in ((-1, coords[d] > 0), (1, coords[d] + 1 < shape[d])):
+                if not ok:
+                    continue
+                j = i + step * s
+                if mflat[j] and lflat[j] == 0:
+                    lflat[j] = lab
+                    heapq.heappush(heap, (-float(pflat[j]), order, int(j)))
+                    order += 1
     return out
 
 

@@ -2078,6 +2078,8 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
             objects = loc_lib.localize_volume(
                 labels_np, t=int(job.params.get("t", 0)), intensity=inten,
                 min_area=int(job.params.get("min_area", 1)),
+                split_touching=bool(job.params.get("split_touching")),
+                min_distance=int(job.params.get("min_distance", 5)),
             )
             h5_path = os.path.join(job.output, "objects.h5")
             # a volume is one timepoint (t param); map has that single row

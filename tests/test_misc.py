@@ -277,6 +277,43 @@ class TestWatershedSplit:
         np.testing.assert_array_equal(nat, py)
         assert int(nat.max()) == int(seeds.max())
 
+    def test_3d_touching_spheres_split(self):
+        """3D: two overlapping spheres in a z-stack split 6-connected;
+        localize_volume(split_touching=True) reports two objects at the
+        true centers, native == heapq fallback."""
+        from sequitr_tpu import localize, native
+
+        zz, yy, xx = np.mgrid[:24, :24, :40]
+        c1, c2, r = (12, 12, 13), (12, 12, 27), 8
+        m1 = (zz - c1[0]) ** 2 + (yy - c1[1]) ** 2 + (xx - c1[2]) ** 2 <= r * r
+        m2 = (zz - c2[0]) ** 2 + (yy - c2[1]) ** 2 + (xx - c2[2]) ** 2 <= r * r
+        cm = (m1 | m2).astype(np.int32)
+        from scipy import ndimage
+
+        assert ndimage.label(cm > 0)[1] == 1  # CCL merges them
+        inst = localize.split_touching_instances(cm, min_distance=4)
+        assert int(inst.max()) == 2
+        np.testing.assert_array_equal(inst > 0, cm > 0)
+        objs = localize.localize_volume(cm, split_touching=True, min_distance=4)
+        assert len(objs) == 2
+        got = sorted((o.x, o.y, o.z) for o in objs)
+        for (gx, gy, gz), (cz, cy, cx) in zip(got, [c1, c2]):
+            assert abs(gx - cx) < 2 and abs(gy - cy) < 2 and abs(gz - cz) < 2
+        # native vs fallback parity in 3D
+        edt = ndimage.distance_transform_edt(cm > 0).astype(np.float32)
+        maxima = (edt >= ndimage.maximum_filter(edt, size=9)) & (cm > 0)
+        seeds = localize.label_components(maxima)
+        nat = native.watershed(cm > 0, edt, seeds)
+        import sequitr_tpu.native as native_mod
+
+        orig = native_mod._load
+        try:
+            native_mod._load = lambda: None
+            py = native.watershed(cm > 0, edt, seeds)
+        finally:
+            native_mod._load = orig
+        np.testing.assert_array_equal(nat, py)
+
     def test_empty_and_shape_checks(self):
         from sequitr_tpu import localize, native
         import pytest
