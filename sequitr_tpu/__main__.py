@@ -227,6 +227,31 @@ def _follow_job(output_dir: str, poll: float, expect_id=None) -> int:
         time.sleep(poll)
 
 
+def _proc_alive(pid: int) -> bool:
+    """Zombie-aware process liveness (shared by drain and doctor).
+
+    NOT bare os.kill(pid, 0): that succeeds on a ZOMBIE — an exited serve
+    whose parent has not reaped it yet — and raises PermissionError for a
+    LIVE process owned by someone else. /proc state Z means
+    exited-for-our-purposes; kill(0) is only the no-/proc fallback.
+    """
+    import os
+
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            state = f.read().rsplit(")", 1)[1].split()[0]
+        return state != "Z"
+    except (OSError, IndexError):
+        pass  # no /proc (or racing exit): fall back to kill(0)
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
 _DOCTOR_PROBE = """\
 import json, sys, time
 mode = sys.argv[1]
@@ -365,9 +390,11 @@ def _cmd_doctor(args) -> int:
             if os.path.exists(pidfile):
                 try:
                     pid = int(open(pidfile).read().strip())
-                    os.kill(pid, 0)
-                    emit(True, "serve process", f"pid {pid} alive")
                 except (ValueError, OSError):
+                    pid = None
+                if pid is not None and _proc_alive(pid):
+                    emit(True, "serve process", f"pid {pid} alive")
+                else:
                     emit(False, "serve process",
                          f"stale pidfile {pidfile} (no such process)",
                          warn=True)
@@ -786,23 +813,9 @@ def main(argv=None) -> int:
             return 1
 
         def alive():
-            # NOT os.kill(pid, 0): that succeeds on a ZOMBIE — an exited
-            # serve whose parent has not reaped it yet (observed: --wait
-            # spun for its full timeout on an already-drained server).
-            # /proc state Z means exited-for-our-purposes.
-            try:
-                with open(f"/proc/{pid}/stat") as f:
-                    state = f.read().rsplit(")", 1)[1].split()[0]
-                return state != "Z"
-            except (OSError, IndexError):
-                pass  # no /proc (or racing exit): fall back to kill(0)
-            try:
-                os.kill(pid, 0)
-                return True
-            except ProcessLookupError:
-                return False
-            except PermissionError:
-                return True  # exists, owned by someone else
+            # zombie-aware, shared with doctor (observed: --wait spun for
+            # its full timeout on an already-drained server under kill(0))
+            return _proc_alive(pid)
 
         def is_ours():
             # never signal a bystander: a SIGKILLed serve leaves its

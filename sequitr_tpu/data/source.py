@@ -36,10 +36,14 @@ __all__ = ["FrameSource"]
 
 def _natural_key(path: str):
     """Sort key that orders img_2 before img_10 (the acquisition order of
-    ImageJ/Micro-Manager per-frame exports, which rarely zero-pad)."""
+    ImageJ/Micro-Manager per-frame exports, which rarely zero-pad).
+
+    Keyed over the FULL path, not just the basename: a multi-directory
+    glob like ``pos*/img.tif`` has identical basenames, and a
+    basename-only key would leave frames in filesystem-dependent order.
+    """
     return [
-        int(p) if p.isdigit() else p
-        for p in re.split(r"(\d+)", os.path.basename(path))
+        int(p) if p.isdigit() else p for p in re.split(r"(\d+)", path)
     ]
 
 

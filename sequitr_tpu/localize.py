@@ -92,7 +92,17 @@ def split_touching_instances(
     seeds = label_components(maxima)
     if seeds.max() == 0:  # pragma: no cover - mask nonempty => maxima exist
         return label_components(mask)
-    return native.watershed(mask, edt, seeds)
+    out = native.watershed(mask, edt, seeds)
+    # A small component NEXT TO a bigger one can end up seedless: the
+    # maximum filter's window sees the neighbour's larger EDT, so no pixel
+    # of the small blob is a local max, and flooding cannot cross
+    # background to reach it. Such components must not vanish (plain CCL
+    # finds them) — label the leftovers as their own instances.
+    left = mask & (out == 0)
+    if left.any():
+        extra = label_components(left)
+        out = np.where(left, extra + np.int32(out.max()), out)
+    return out
 
 
 @dataclasses.dataclass

@@ -215,6 +215,27 @@ def _tta_variants(nd: int, tta: int, spatial: Tuple[int, ...]):
     ]
 
 
+def _tta_average(run: Callable, x: jnp.ndarray, variants) -> jnp.ndarray:
+    """Average ``run`` over symmetry variants: apply the transform to the
+    input, inverse-transform the output, accumulate (shared by the U-Net
+    and GAN inferrers — the variants and their inverses must stay in
+    lockstep)."""
+    acc = None
+    for flips, transpose in variants:
+        xi = x
+        for ax in flips:
+            xi = jnp.flip(xi, axis=ax)
+        if transpose:
+            xi = jnp.swapaxes(xi, 0, 1)
+        oi = run(xi)
+        if transpose:
+            oi = jnp.swapaxes(oi, 0, 1)
+        for ax in flips:
+            oi = jnp.flip(oi, axis=ax)
+        acc = oi if acc is None else acc + oi
+    return acc if len(variants) == 1 else acc / len(variants)
+
+
 def make_frame_inferrer(
     cfg: unet.UNetConfig,
     tc: TileConfig,
@@ -278,22 +299,13 @@ def make_frame_inferrer(
             logits, _ = unet.apply(cfg, params, state, batch, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
-        acc = None
-        for flips, transpose in variants:
-            xi = x
-            for ax in flips:
-                xi = jnp.flip(xi, axis=ax)
-            if transpose:
-                xi = jnp.swapaxes(xi, 0, 1)
-            pi = tiled_apply(
+        probs = _tta_average(
+            lambda xi: tiled_apply(
                 forward, xi, grid, padded_spatial, tc, cfg.num_classes
-            )
-            if transpose:
-                pi = jnp.swapaxes(pi, 0, 1)
-            for ax in flips:
-                pi = jnp.flip(pi, axis=ax)
-            acc = pi if acc is None else acc + pi
-        probs = acc if len(variants) == 1 else acc / len(variants)
+            ),
+            x,
+            variants,
+        )
         if any(edge_pad):
             probs = probs[tuple(slice(0, s) for s in frame_spatial)]
         labels = jnp.argmax(probs, axis=-1).astype(jnp.dtype(tc.labels_dtype))
@@ -373,20 +385,13 @@ def make_gan_enhancer(
             out, _ = gan_lib.generator_apply(cfg, params, state, patches)
             return out
 
-        acc = None
-        for flips, transpose in variants:
-            xi = x
-            for ax in flips:
-                xi = jnp.flip(xi, axis=ax)
-            if transpose:
-                xi = jnp.swapaxes(xi, 0, 1)
-            oi = tiled_apply(forward, xi, grid, spatial, tc, cfg.out_channels)
-            if transpose:
-                oi = jnp.swapaxes(oi, 0, 1)
-            for ax in flips:
-                oi = jnp.flip(oi, axis=ax)
-            acc = oi if acc is None else acc + oi
-        out = acc if len(variants) == 1 else acc / len(variants)
+        out = _tta_average(
+            lambda xi: tiled_apply(
+                forward, xi, grid, spatial, tc, cfg.out_channels
+            ),
+            x,
+            variants,
+        )
         # tc.probs_dtype doubles as the enhanced-map output dtype: float16
         # halves the dominant D2H of a streamed enhancement job (the
         # enhanced frame is 2x the input bytes at f32)

@@ -580,6 +580,15 @@ def _require_param(job: Job, key: str):
     return val
 
 
+def _normalized_entropy(probs: np.ndarray, n_classes: int) -> np.ndarray:
+    """-sum(p log p)/log(K) over the trailing class axis, float32 in [0,1]."""
+    p32 = probs.astype(np.float32, copy=False)
+    ent = -(p32 * np.log(np.maximum(p32, 1e-12))).sum(axis=-1) / np.log(
+        n_classes
+    )
+    return ent.astype(np.float32)
+
+
 def _out_compression(job: Job) -> str:
     """'deflate' when the job sets ``compress_output``: label maps are
     mostly background and shrink ~50x (Adobe deflate — readable by
@@ -641,6 +650,22 @@ def _tile_config(
             overlap = overlap or (0,) * dims
     patch = tuple(patch) if patch is not None else default_patch
     overlap = tuple(overlap) if overlap is not None else default_overlap
+    if (
+        int(params.get("tta", 1)) == 8
+        and dims == 2
+        and frame_spatial is not None
+    ):
+        # 2D tta=8 adds the transpose, which needs a square PADDED frame
+        # (the inferrer pads sub-patch axes up to the patch). Deterministic
+        # parameter error: fail fast here, never retry (a plain ValueError
+        # at trace time would be retried with a full re-trace per attempt).
+        padded = tuple(max(s, p) for s, p in zip(frame_spatial, patch))
+        if padded[0] != padded[1]:
+            raise jobs_lib.JobError(
+                f"tta=8 needs a square frame in 2D (transpose variant); "
+                f"frame is {tuple(frame_spatial)} -> padded {padded}. "
+                "Use tta=4 or a square crop."
+            )
     pb = params.get("patch_batch")
     if pb is not None:
         pb = int(pb)
@@ -752,11 +777,17 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     # the probs the graph already returns - the QC map reviewers threshold
     # to find frames/regions the model is unsure about.
     save_entropy = bool(job.params.get("save_entropy"))
+    if save_entropy and n_classes < 2:
+        # reject unsupported combos loudly (cf. tta + spatial_parallel):
+        # entropy of a single class is identically 0 and log(K)=0
+        raise jobs_lib.JobError(
+            "save_entropy requires a model with num_classes >= 2"
+        )
     entropy_w = (
         _append_writer(
             os.path.join(job.output, "entropy.tif"), px * 4, comp
         )
-        if save_entropy and n_classes > 1 else None
+        if save_entropy else None
     )
     # live progress + cooperative cancellation, checked once per frame
     # (rate-limited progress.json; JobCancelled aborts the partial writers)
@@ -790,11 +821,9 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
                             for k in range(n_classes):
                                 probs_w.append(probs_np[..., k])
                         if entropy_w is not None:
-                            p32 = probs_np.astype(np.float32, copy=False)
-                            ent = -(
-                                p32 * np.log(np.maximum(p32, 1e-12))
-                            ).sum(axis=-1) / np.log(n_classes)
-                            entropy_w.append(ent.astype(np.float32))
+                            entropy_w.append(
+                                _normalized_entropy(probs_np, n_classes)
+                            )
                 if do_localize:
                     # per-object mean intensity; channel-mean if multi-channel
                     inten = source.frame(t)
@@ -1170,7 +1199,12 @@ def _run_frames(cfg, tc, params, state, source, job_params):
     fb = job_params.get("frame_batch")
     fb = int(fb) if fb else _auto_frame_batch(spatial)
     fb = max(1, min(fb, n_frames))  # never compute padded frames nobody asked for
-    want_probs = bool(job_params.get("save_probs"))
+    # entropy maps are computed host-side from the probs, so they need the
+    # same async D2H prefetch save_probs gets — without it every frame
+    # does a blocking probs transfer after compute
+    want_probs = bool(
+        job_params.get("save_probs") or job_params.get("save_entropy")
+    )
     if fb > 1:
         # small frames are dispatch-bound singly; batch them per dispatch
         # (measured 2.3x at 256^2 — BASELINE.md round 2), keeping the same
@@ -2053,14 +2087,15 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     labels_path = os.path.join(job.output, "labels.tif")
     tiff.write_stack(labels_path, labels_np.astype(np.uint16), compression=comp)
     outputs["labels"] = labels_path
-    if job.params.get("save_entropy") and cfg.num_classes > 1:
+    if job.params.get("save_entropy"):
+        if cfg.num_classes < 2:
+            raise jobs_lib.JobError(
+                "save_entropy requires a model with num_classes >= 2"
+            )
         # normalized softmax entropy per voxel (see the 2D path)
-        p32 = np.asarray(probs).astype(np.float32, copy=False)
-        ent = -(p32 * np.log(np.maximum(p32, 1e-12))).sum(axis=-1) / np.log(
-            cfg.num_classes
-        )
+        ent = _normalized_entropy(np.asarray(probs), cfg.num_classes)
         entropy_path = os.path.join(job.output, "entropy.tif")
-        tiff.write_stack(entropy_path, ent.astype(np.float32), compression=comp)
+        tiff.write_stack(entropy_path, ent, compression=comp)
         outputs["entropy"] = entropy_path
     if job.params.get("save_probs"):
         probs_np = np.asarray(probs)  # (Z, H, W, K), tc.probs_dtype

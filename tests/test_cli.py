@@ -491,13 +491,9 @@ class TestDoctorCommand:
         assert "native helpers" in out
         assert "check(s) failed" in out
 
-    def test_doctor_healthy_path_cpu(self, tmp_path, capsys):
-        """With a generous timeout the CPU probe passes; only the backend
-        check's outcome decides the exit code (env-dependent), so assert
-        the cpu line and report shape rather than rc."""
+    def test_doctor_missing_jobs_dir_fails(self, tmp_path, capsys):
         from sequitr_tpu.__main__ import main
 
-        # missing jobs dir is a hard failure line
         rc = main([
             "doctor", "--jobs-dir", str(tmp_path / "nope"),
             "--timeout", "0.05",
@@ -505,3 +501,28 @@ class TestDoctorCommand:
         out = capsys.readouterr().out
         assert rc == 1
         assert "does not exist" in out
+
+    def test_doctor_healthy_path_exit_zero(self, tmp_path, capsys, monkeypatch):
+        """The success report: both probes pass (fast fake probe script),
+        live pidfile, writable queue -> every hard check ok, rc 0."""
+        import sequitr_tpu.__main__ as main_mod
+
+        monkeypatch.setattr(
+            main_mod, "_DOCTOR_PROBE",
+            "import json, sys; print(json.dumps({'backend': 'cpu',"
+            " 'n_devices': 1, 'kind': 'FakeDevice', 'init_s': 0.1,"
+            " 'compile_s': 0.2}))",
+        )
+        jobs = tmp_path / "jobs"
+        jobs.mkdir()
+        (jobs / ".serve.pid").write_text(str(os.getpid()))  # alive: us
+        rc = main_mod.main([
+            "doctor", "--jobs-dir", str(jobs),
+            "--models-dir", str(tmp_path / "models"),
+            "--timeout", "30",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert "all checks passed" in out
+        assert "FakeDevice" in out
+        assert f"pid {os.getpid()} alive" in out

@@ -370,6 +370,26 @@ class TestTiffStreaming:
         r.close()
         assert not r._live
 
+    def test_frame_sequence_multi_directory_glob_order(self, tmp_path):
+        """pos*/img.tif-style globs (identical basenames, one directory per
+        timepoint — the Micro-Manager layout) must order by the FULL path
+        naturally: pos2 before pos10 (code-review finding: a basename-only
+        key left filesystem order)."""
+        from sequitr_tpu.data.source import FrameSource
+
+        d = tmp_path / "mm"
+        d.mkdir()
+        order = [1, 2, 10, 11]
+        for i in order:
+            (d / f"pos{i}").mkdir()
+            tiff.write_stack(
+                str(d / f"pos{i}" / "img.tif"),
+                np.full((4, 4), i, dtype=np.uint16),
+            )
+        with FrameSource(paths=[str(d / "pos*" / "img.tif")]) as src:
+            got = [int(f[0, 0]) for f in src.frames()]
+        assert got == order
+
     def test_frame_sequence_shape_mismatch_raises(self, tmp_path):
         from sequitr_tpu.data.source import FrameSource
 

@@ -314,6 +314,25 @@ class TestWatershedSplit:
             native_mod._load = orig
         np.testing.assert_array_equal(nat, py)
 
+    def test_seedless_component_survives(self):
+        """A small blob next to a big one can get NO seed (the maximum
+        filter's window sees the neighbour's larger EDT) — it must still
+        come out as an object, not vanish (code-review finding)."""
+        from sequitr_tpu import localize
+
+        cm = np.zeros((40, 40), np.int32)
+        cm[5:35, 0:30] = 1   # big blob: EDT up to ~15
+        cm[18:21, 33:36] = 1  # tiny blob 3px away, inside the max window
+        assert int(localize.label_components(cm > 0).max()) == 2
+        inst = localize.split_touching_instances(cm, min_distance=5)
+        np.testing.assert_array_equal(inst > 0, cm > 0)  # full coverage
+        # the tiny blob is its own object, not dropped and not merged
+        tiny_labels = np.unique(inst[18:21, 33:36])
+        assert len(tiny_labels) == 1 and tiny_labels[0] > 0
+        assert tiny_labels[0] not in np.unique(inst[5:35, 0:30])
+        tb = localize.localize_frame_table(cm, split_touching=True)
+        assert len(tb) >= 2
+
     def test_empty_and_shape_checks(self):
         from sequitr_tpu import localize, native
         import pytest

@@ -353,6 +353,29 @@ class TestSegmentationPipeline:
         assert status2["state"] == "failed"
         assert "tta is not supported with spatial_parallel" in status2["error"]
 
+        # tta=8 on a non-square frame: deterministic JobError, ONE attempt
+        # (not retried with a re-trace per attempt — code-review finding)
+        rect = (np.random.default_rng(8).random((1, 16, 32)) * 100).astype(
+            np.float32
+        )
+        rect_path = str(tmp / "rect.tif")
+        tiff.write_stack(rect_path, rect)
+        out_dir3 = str(tmp / "out_tta8")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": {"model": "seg2dt", "tta": 8},
+                "input": [rect_path],
+                "output": out_dir3,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status3 = json.load(open(os.path.join(out_dir3, "status.json")))
+        assert status3["state"] == "failed"
+        assert "square" in status3["error"]
+        assert status3.get("attempts", 1) == 1
+
     def test_split_touching_param(self, server_env):
         """split_touching/min_distance reach the localization tail: the job
         completes with the params consumed (no unknown-param warnings) and
