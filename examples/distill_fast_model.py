@@ -17,7 +17,21 @@ The same flow runs through the job API with ``train_unet2d`` params
 ``{"space_to_depth": 2, "base_features": 64, "distill_from": "<teacher>"}``.
 """
 
+import os
 import sys
+
+# allow running straight from a source checkout: python examples/<name>.py
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+# honor JAX_PLATFORMS=cpu / SEQUITR_FORCE_CPU even where a sitecustomize
+# force-registers a TPU platform (it overrides the env var, so pin the
+# jax config value itself before any backend initializes)
+if os.environ.get("SEQUITR_FORCE_CPU") or os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

@@ -21,6 +21,19 @@ round-4 lifecycle surface (cancel / progress / ledger) end to end.
 import json
 import os
 import sys
+
+# allow running straight from a source checkout: python examples/<name>.py
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+# honor JAX_PLATFORMS=cpu / SEQUITR_FORCE_CPU even where a sitecustomize
+# force-registers a TPU platform (it overrides the env var, so pin the
+# jax config value itself before any backend initializes)
+if os.environ.get("SEQUITR_FORCE_CPU") or os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import threading
 import time
 
