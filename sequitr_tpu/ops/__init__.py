@@ -5,6 +5,7 @@
 - ``augment``: on-device flip/rot/elastic augmentation
 - ``losses``: weighted softmax CE, GAN losses, IoU/Dice metrics
 - ``weightmaps``: host-side Ronneberger weight-map precompute
+- ``registration``: FFT phase-correlation drift correction
 - ``pallas``: hand-written Pallas TPU kernels for the hot paths
 """
 
@@ -38,5 +39,11 @@ from sequitr_tpu.ops.augment import (  # noqa: F401
     elastic_fields,
     elastic_warp,
     augment_example,
+)
+from sequitr_tpu.ops.registration import (  # noqa: F401
+    phase_correlate,
+    apply_shift,
+    register_step,
+    common_crop,
 )
 from sequitr_tpu.ops import weightmaps  # noqa: F401

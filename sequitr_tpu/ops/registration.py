@@ -1,0 +1,248 @@
+"""Drift correction: FFT phase-correlation stack registration.
+
+Timelapse microscopy stacks drift (stage creep, thermal expansion); every
+downstream consumer — tracking (`sequitr_tpu.tracking`, btrack), per-pixel
+QC, training-pair construction — assumes a stationary field of view. The
+reference delegates registration to the surrounding Fiji/ImageJ tooling
+(no registration code exists in scope; SURVEY.md §2 — this module is an
+extension, documented as such in COMPONENTS.md), so the semantics here are
+the standard phase-correlation estimator (Kuglin & Hines 1975) with
+parabolic sub-pixel refinement.
+
+TPU-first design notes
+----------------------
+* The whole per-frame step — FFT, cross-power spectrum, correlation
+  surface, argmax + 3-point parabolic sub-pixel fit, Fourier-shift
+  resample — is ONE jitted graph (`register_step`). 2D FFTs lower to
+  batched matmuls on TPU (DFT-as-GEMM under XLA), so the hot work rides
+  the MXU; everything else is elementwise and fuses.
+* One FFT per frame is reused for BOTH the correlation against the
+  anchor frame and the sub-pixel resample of the frame itself (the
+  Fourier shift theorem applies a phase ramp to the already-computed
+  spectrum) — streaming a stack costs one forward and one inverse FFT
+  per frame plus one inverse FFT for the correlation surface.
+* No data-dependent Python control flow: the peak search is
+  `argmax` + gathers with wrapped neighbor indexing, and the sub-pixel
+  parabola is branchless (`jnp.where` guards), so the step compiles once
+  per frame shape and is reused for the whole stack.
+* Estimation runs in float32/complex64 (drift magnitudes are tens of
+  pixels; bf16's ~3 decimal digits would cost sub-pixel accuracy for no
+  meaningful speed win — the FFTs are small).
+
+Conventions
+-----------
+``phase_correlate(ref, mov)`` returns ``(dy, dx)`` such that
+``apply_shift(mov, (dy, dx)) ≈ ref``: the shift that moves the moving
+frame back onto the reference. Shifts are reported in pixels, positive =
+content moves down/right. ``apply_shift`` resamples via the Fourier
+shift theorem, which is exact for band-limited content and WRAPS at the
+frame edges (a frame drifting right re-enters on the left); integer-mode
+registration (`subpixel=False`) uses `jnp.roll` (also wrapping, exact).
+Callers that cannot tolerate wrapped borders crop to the common field of
+view afterwards (`common_crop` computes the slab).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "hann2d",
+    "phase_correlate",
+    "apply_shift",
+    "register_step",
+    "common_crop",
+]
+
+
+def hann2d(shape: Tuple[int, int]) -> jnp.ndarray:
+    """Separable 2D Hann window: damps spectral leakage from the
+    non-periodic frame borders before the correlation FFT."""
+    h, w = shape
+    wy = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(h) / h)
+    wx = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(w) / w)
+    return wy[:, None] * wx[None, :]
+
+
+def _wrap_to_signed(p: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Map a peak index in [0, n) to the signed shift in (-n/2, n/2]."""
+    return jnp.where(p > n // 2, p - n, p)
+
+
+def _parabolic_offset(cm: jnp.ndarray, c0: jnp.ndarray, cp: jnp.ndarray):
+    """3-point parabola vertex offset in [-0.5, 0.5] (branchless).
+
+    Guards the degenerate flat case (denominator ~ 0 => offset 0) so a
+    constant correlation surface — e.g. two identical blank frames —
+    yields shift 0 instead of NaN.
+    """
+    denom = cm - 2.0 * c0 + cp
+    off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (cm - cp) / denom, 0.0)
+    return jnp.clip(off, -0.5, 0.5)
+
+
+def _correlation_peak(surface: jnp.ndarray, subpixel: bool):
+    """Peak location of a correlation surface as a signed (dy, dx) shift,
+    plus the peak-sharpness response.
+
+    The response is the peak-to-sidelobe ratio (peak minus surface mean,
+    in surface standard deviations) — scale-invariant, so it stays a
+    usable confidence number under the whitening regularizer (raw peak
+    height shrinks with the fraction of informative frequencies). On real
+    content a correct lock measures >~10; unrelated frames ~5.
+    """
+    h, w = surface.shape
+    flat = jnp.argmax(surface)
+    py, px = flat // w, flat % w
+    peak = surface[py, px]
+    if subpixel:
+        oy = _parabolic_offset(
+            surface[(py - 1) % h, px], peak, surface[(py + 1) % h, px]
+        )
+        ox = _parabolic_offset(
+            surface[py, (px - 1) % w], peak, surface[py, (px + 1) % w]
+        )
+    else:
+        oy = ox = jnp.zeros(())
+    dy = _wrap_to_signed(py, h).astype(jnp.float32) + oy
+    dx = _wrap_to_signed(px, w).astype(jnp.float32) + ox
+    resp = (peak - surface.mean()) / jnp.maximum(surface.std(), 1e-30)
+    return jnp.stack([dy, dx]), resp
+
+
+def _cross_power_surface(ref_fft: jnp.ndarray, mov_fft: jnp.ndarray):
+    """Inverse FFT of the normalized cross-power spectrum.
+
+    Phase correlation proper: whitening (dividing out the magnitude)
+    makes the peak a delta at the displacement regardless of the image's
+    own spectrum, which is what makes the estimator robust to intensity
+    changes (photobleaching) between frames. The regularizer is RELATIVE
+    to the spectrum's scale: frequencies carrying ~zero energy (numerical
+    noise in smooth images) must not contribute their garbage phases at
+    full weight, which a tiny absolute epsilon would allow.
+    """
+    r = ref_fft * jnp.conj(mov_fft)
+    mag = jnp.abs(r)
+    r = r / (mag + 1e-4 * jnp.mean(mag) + 1e-30)
+    return jnp.fft.ifft2(r).real
+
+
+@partial(jax.jit, static_argnames=("subpixel", "window"))
+def phase_correlate(
+    ref: jnp.ndarray,
+    mov: jnp.ndarray,
+    *,
+    subpixel: bool = True,
+    window: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Translation of ``mov`` relative to ``ref`` by phase correlation.
+
+    Returns ``(shift, response)``: ``shift = (dy, dx)`` float32 such that
+    ``apply_shift(mov, shift) ≈ ref``; ``response`` is the correlation
+    peak-to-sidelobe ratio (see ``_correlation_peak``) — low values flag
+    unreliable estimates (blank frames, focus jumps, unrelated content).
+    """
+    ref = ref.astype(jnp.float32)
+    mov = mov.astype(jnp.float32)
+    if window:
+        win = hann2d(ref.shape)
+        ref, mov = ref * win, mov * win
+    surface = _cross_power_surface(jnp.fft.fft2(ref), jnp.fft.fft2(mov))
+    # mov(x) = ref(x - d)  =>  surface peaks at x ≡ -d, and the aligning
+    # shift (apply_shift(mov, s) = ref) is s = -d: the peak itself.
+    return _correlation_peak(surface, subpixel)
+
+
+def _shift_ramp(shape: Tuple[int, int], shift: jnp.ndarray) -> jnp.ndarray:
+    """Phase ramp implementing out(x) = in(x - shift) in the frequency
+    domain (the Fourier shift theorem)."""
+    h, w = shape
+    fy = jnp.fft.fftfreq(h)[:, None]
+    fx = jnp.fft.fftfreq(w)[None, :]
+    return jnp.exp(-2j * jnp.pi * (fy * shift[0] + fx * shift[1]))
+
+
+@jax.jit
+def apply_shift(frame: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """Translate ``frame`` by a (possibly sub-pixel) ``(dy, dx)`` shift.
+
+    Exact sinc interpolation via the Fourier shift theorem; content wraps
+    at the borders (see module docstring). Output is float32.
+    """
+    f = jnp.fft.fft2(frame.astype(jnp.float32))
+    shift = jnp.asarray(shift, jnp.float32)
+    return jnp.fft.ifft2(f * _shift_ramp(frame.shape, shift)).real
+
+
+@partial(jax.jit, static_argnames=("subpixel", "window"))
+def register_step(
+    anchor_fft: jnp.ndarray,
+    frame: jnp.ndarray,
+    cum_shift: jnp.ndarray,
+    *,
+    subpixel: bool = True,
+    window: bool = True,
+):
+    """One fused streaming-registration step.
+
+    Correlates ``frame`` against the anchor spectrum (previous frame for
+    drift mode, first frame for reference mode), accumulates the
+    trajectory, and resamples the frame by the cumulative shift — one
+    jit graph, one dispatch per frame.
+
+    Args:
+      anchor_fft: windowed FFT of the anchor frame (from a previous step).
+      frame: (H, W) new frame.
+      cum_shift: (2,) float32 cumulative shift of the ANCHOR frame.
+
+    Returns ``(frame_fft_win, new_cum, corrected, step_shift, response)``
+    where ``frame_fft_win`` is this frame's windowed spectrum (the next
+    step's anchor in drift mode), ``new_cum = cum_shift + step_shift`` is
+    the shift that moves this frame onto the stack's first frame, and
+    ``corrected = apply_shift(frame, new_cum)`` (sub-pixel) — integer
+    mode rolls instead, keeping pixel values bit-exact.
+    """
+    f32 = frame.astype(jnp.float32)
+    win = hann2d(frame.shape) if window else jnp.ones(frame.shape, jnp.float32)
+    frame_fft_win = jnp.fft.fft2(f32 * win)
+    surface = _cross_power_surface(anchor_fft, frame_fft_win)
+    # the peak is the aligning shift directly (see phase_correlate)
+    step_shift, resp = _correlation_peak(surface, subpixel)
+    new_cum = cum_shift + step_shift
+    if subpixel:
+        raw_fft = jnp.fft.fft2(f32)
+        corrected = jnp.fft.ifft2(
+            raw_fft * _shift_ramp(frame.shape, new_cum)
+        ).real
+    else:
+        r = jnp.round(new_cum).astype(jnp.int32)
+        corrected = jnp.roll(f32, (r[0], r[1]), axis=(0, 1))
+    return frame_fft_win, new_cum, corrected, step_shift, resp
+
+
+def common_crop(shifts: np.ndarray, shape: Tuple[int, int]):
+    """Slices of the field of view every registered frame actually covers.
+
+    ``shifts``: (T, 2) cumulative per-frame shifts as returned by the
+    registration loop. A frame shifted down by +d only has valid content
+    for rows >= d (the wrapped rows at the top are stale); the common
+    region trims the max positive shift off the leading edge and the max
+    negative shift off the trailing edge of each axis.
+    """
+    shifts = np.asarray(shifts, np.float64)
+    h, w = shape
+    y0 = int(np.ceil(max(0.0, shifts[:, 0].max())))
+    y1 = h + int(np.floor(min(0.0, shifts[:, 0].min())))
+    x0 = int(np.ceil(max(0.0, shifts[:, 1].max())))
+    x1 = w + int(np.floor(min(0.0, shifts[:, 1].min())))
+    if y0 >= y1 or x0 >= x1:
+        raise ValueError(
+            f"drift exceeds the frame: shifts span {shifts.min(0)}..{shifts.max(0)} "
+            f"for shape {shape}"
+        )
+    return slice(y0, y1), slice(x0, x1)

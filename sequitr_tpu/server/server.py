@@ -28,6 +28,12 @@ Built-in pipelines (registry keys are the rebuild's documented API):
     or a 3D volume; Gaussian PSF; no model required).
   * ``parity_check`` — validate a registered model against an independent
     re-derivation (torch/keras) on identical weights.
+  * ``finetune_spatial`` — giant-frame training: halo-exchange spatial
+    (or hybrid DPxspatial) sharding of the train step across the mesh.
+  * ``track_objects`` — gated-Hungarian frame linking over a serve's
+    objects.h5 (built-in QC tracks; btrack remains the lineage-grade path).
+  * ``register_stack`` — drift correction: FFT phase-correlation
+    registration of a timelapse (sub-pixel, streamed; no model required).
 
 Model weights are orbax checkpoints under ``models_dir/<name>``, saved with
 matching config JSON (``config.json``) so the server can rebuild the net.
@@ -2950,3 +2956,210 @@ def evaluate_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         "n_frames": n_frames,
     }
     return {"metrics": json.dumps(metrics)}
+
+
+@register("register_stack")
+def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Drift-correct a timelapse by FFT phase correlation (no model).
+
+    Exposes ``ops.registration`` through the job API: stage drift is
+    estimated frame-to-frame (or against the first frame), integrated,
+    and each frame is resampled back onto a stationary field of view —
+    the per-frame estimate+resample step is one fused jit graph whose
+    FFTs ride the MXU (registration.py design notes). params:
+
+    * ``mode``: ``"previous"`` (default) — frame-to-frame steps integrate
+      into the drift trajectory (robust when the scene evolves slowly);
+      ``"first"`` — every frame correlates against the stack's first
+      frame (no error accumulation; needs a persistent scene).
+    * ``subpixel`` (default true): Fourier-shift resample (float32
+      output); false = integer ``roll`` — lossless, output keeps the
+      input dtype (use for label stacks).
+    * ``window`` (default true): Hann window before correlation.
+    * ``crop`` (default false): write only the common field of view
+      (two passes: estimate, then apply+crop) instead of full frames
+      with wrapped borders.
+    * ``estimate_only`` (default false): write shifts.csv only.
+    * ``frame_range``: [start, stop) as in the serving pipelines.
+
+    Multi-channel (one TIFF per input entry): shifts are estimated on the
+    FIRST channel and applied to every channel. Outputs:
+    ``registered.tif`` (single channel) or ``registered_c{k}.tif``,
+    ``shifts.csv`` (frame, dy, dx, step_dy, step_dx, response — dy/dx are
+    the cumulative applied shift; response is the correlation
+    peak-to-sidelobe ratio, low = unreliable lock), and drift metrics.
+    """
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.ops import registration as reg_lib
+    from sequitr_tpu.utils import PhaseTimer
+
+    p = job.params
+    mode = p.get("mode", "previous")
+    if mode not in ("previous", "first"):
+        raise jobs_lib.JobError(
+            f"mode={mode!r} must be 'previous' or 'first'"
+        )
+    subpixel = bool(p.get("subpixel", True))
+    window = bool(p.get("window", True))
+    crop = bool(p.get("crop", False))
+    estimate_only = bool(p.get("estimate_only", False))
+
+    try:
+        source = FrameSource(paths=_resolve_inputs(job))
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    source = _apply_frame_range(job, source)
+    n_frames = len(source)
+    h, w = source.spatial
+    timer = PhaseTimer()
+    t0 = time.time()
+
+    def estimate_frames():
+        """Per-frame (native_frame, cum, step, resp) via the fused step."""
+        anchor = None
+        cum = jnp.zeros(2, jnp.float32)
+        zero = jnp.zeros(2, jnp.float32)
+        for frame in source.frames():
+            ch0 = frame[..., 0] if frame.ndim == 3 else frame
+            if anchor is None:
+                win = (
+                    reg_lib.hann2d((h, w))
+                    if window
+                    else jnp.ones((h, w), jnp.float32)
+                )
+                anchor = jnp.fft.fft2(ch0.astype(np.float32) * win)
+                yield frame, zero, zero, None
+                continue
+            fft_win, new_cum, _corr, step, resp = reg_lib.register_step(
+                anchor, jnp.asarray(ch0), cum if mode == "previous" else zero,
+                subpixel=subpixel, window=window,
+            )
+            if mode == "previous":
+                anchor, cum = fft_win, new_cum
+            yield frame, new_cum, step, resp
+
+    def apply_cum(frame: np.ndarray, cum) -> np.ndarray:
+        """Shift every channel of a native frame by the cumulative shift."""
+        if not subpixel:
+            r = np.round(np.asarray(cum)).astype(int)
+            return np.roll(frame, (r[0], r[1]), axis=(0, 1))
+        chans = frame[..., None] if frame.ndim == 2 else frame
+        out = np.stack(
+            [
+                np.asarray(reg_lib.apply_shift(jnp.asarray(chans[..., c]), cum))
+                for c in range(chans.shape[-1])
+            ],
+            axis=-1,
+        )
+        return out[..., 0] if frame.ndim == 2 else out
+
+    # integer mode is lossless: the output keeps the native input dtype
+    out_dtype = np.float32 if subpixel else source.frame(0).dtype
+    shifts_rows = []  # (t_abs, cum, step, resp)
+    writers = []
+
+    def open_writers(ys: slice = slice(0, h), xs: slice = slice(0, w)):
+        ch = source.n_channels
+        hh, ww = ys.stop - ys.start, xs.stop - xs.start
+        est = float(n_frames) * hh * ww * np.dtype(out_dtype).itemsize
+        names = (
+            ["registered.tif"]
+            if ch == 1
+            else [f"registered_c{c}.tif" for c in range(ch)]
+        )
+        for name in names:
+            writers.append(
+                _append_writer(
+                    os.path.join(job.output, name), est, _out_compression(job)
+                )
+            )
+        return names
+
+    def write_frame(frame: np.ndarray, ys: slice, xs: slice):
+        chans = frame[..., None] if frame.ndim == 2 else frame
+        for c, wr in enumerate(writers):
+            with timer.phase("write"):
+                wr.append(np.asarray(chans[ys, xs, c], dtype=out_dtype))
+
+    with source:
+        try:
+            if estimate_only or crop:
+                # pass 1: estimate the trajectory only
+                for frame, cum, step, resp in jobs_lib.track(
+                    job, estimate_frames(), total=n_frames, phase="estimate"
+                ):
+                    shifts_rows.append((np.asarray(cum), np.asarray(step), resp))
+                if not estimate_only:
+                    ys, xs = slice(0, h), slice(0, w)
+                    if crop:
+                        try:
+                            ys, xs = reg_lib.common_crop(
+                                np.stack([c for c, _, _ in shifts_rows]), (h, w)
+                            )
+                        except ValueError as e:
+                            raise jobs_lib.JobError(str(e))
+                    names = open_writers(ys, xs)
+                    # pass 2: apply + crop (lazy readers re-stream the stack)
+                    rows = iter(shifts_rows)
+                    for frame in jobs_lib.track(
+                        job, source.frames(), total=n_frames, phase="frames"
+                    ):
+                        cum, _, _ = next(rows)
+                        with timer.phase("infer"):
+                            shifted = apply_cum(frame, jnp.asarray(cum))
+                        write_frame(shifted, ys, xs)
+            else:
+                names = open_writers()
+                for frame, cum, step, resp in jobs_lib.track(
+                    job, estimate_frames(), total=n_frames, phase="frames"
+                ):
+                    with timer.phase("infer"):
+                        shifted = apply_cum(frame, cum)
+                    write_frame(shifted, slice(0, h), slice(0, w))
+                    shifts_rows.append((np.asarray(cum), np.asarray(step), resp))
+        except BaseException:
+            for wr in writers:
+                wr.abort()
+            raise
+    for wr in writers:
+        wr.close()
+
+    shifts_path = os.path.join(job.output, "shifts.csv")
+    tmp = shifts_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("frame,dy,dx,step_dy,step_dx,response\n")
+        for i, (cum, step, resp) in enumerate(shifts_rows):
+            r = "" if resp is None else f"{float(resp):.3f}"
+            f.write(
+                f"{source.frame_offset + i},{cum[0]:.4f},{cum[1]:.4f},"
+                f"{step[0]:.4f},{step[1]:.4f},{r}\n"
+            )
+    os.replace(tmp, shifts_path)
+
+    total_s = time.time() - t0
+    cums = np.stack([c for c, _, _ in shifts_rows])
+    steps = np.stack([s for _, s, _ in shifts_rows[1:]]) if len(shifts_rows) > 1 else np.zeros((0, 2))
+    resps = [float(r) for _, _, r in shifts_rows if r is not None]
+    metrics = dict(
+        timer.summary(),
+        total_s=round(total_s, 4),
+        n_frames=n_frames,
+        max_drift_px=round(float(np.hypot(cums[:, 0], cums[:, 1]).max()), 3),
+        rms_step_px=round(
+            float(np.sqrt(np.mean(np.hypot(steps[:, 0], steps[:, 1]) ** 2)))
+            if len(steps)
+            else 0.0,
+            3,
+        ),
+        min_response=round(min(resps), 3) if resps else None,
+    )
+    if total_s > 0:
+        metrics["frames_per_sec"] = round(n_frames / total_s, 3)
+    out = {"shifts": shifts_path, "metrics": json.dumps(metrics)}
+    if not estimate_only:
+        for name in names:
+            key = "registered" if name == "registered.tif" else name[:-4]
+            out[key] = os.path.join(job.output, name)
+    return out

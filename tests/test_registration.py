@@ -1,0 +1,334 @@
+"""Drift-correction tests: phase-correlation ops + the register_stack job.
+
+Ops semantics under test (ops/registration.py):
+  phase_correlate(ref, mov) -> (shift, response) with
+  apply_shift(mov, shift) ≈ ref; register_step fuses estimate + resample
+  for streaming; common_crop trims to the always-valid field of view.
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sequitr_tpu.config import ServerConfiguration
+from sequitr_tpu.data import tiff
+from sequitr_tpu.ops import registration as reg
+from sequitr_tpu.server import ImageServer, submit_job
+
+
+def smooth_image(shape=(64, 64), seed=0, sigma=0.08, offset=100.0):
+    """Band-limited random scene: low-passed noise + a realistic DC offset
+    (microscopy backgrounds are far from zero-mean)."""
+    rng = np.random.default_rng(seed)
+    f = np.fft.fft2(rng.normal(0, 1, shape))
+    fy = np.fft.fftfreq(shape[0])[:, None]
+    fx = np.fft.fftfreq(shape[1])[None, :]
+    img = np.fft.ifft2(f * np.exp(-(fy**2 + fx**2) / (2 * sigma**2))).real
+    return (img * 50.0 + offset).astype(np.float32)
+
+
+def fourier_shifted(img, dy, dx):
+    """Ground-truth sub-pixel translation (content moves by +dy/+dx)."""
+    return np.asarray(reg.apply_shift(jnp.asarray(img), jnp.asarray([dy, dx])))
+
+
+class TestPhaseCorrelate:
+    def test_integer_shift_exact(self):
+        """Broadband content, no window: the wrapped-roll case is exact."""
+        rng = np.random.default_rng(1)
+        img = rng.normal(0, 1, (48, 48)).astype(np.float32)
+        mov = np.roll(img, (5, -3), axis=(0, 1))
+        s, resp = reg.phase_correlate(
+            jnp.asarray(img), jnp.asarray(mov), subpixel=False, window=False
+        )
+        assert np.allclose(np.asarray(s), [-5.0, 3.0])
+        # and the returned shift aligns mov back onto ref
+        back = np.asarray(reg.apply_shift(jnp.asarray(mov), s))
+        assert np.abs(back - img).max() < 1e-3
+
+    def test_subpixel_recovery(self):
+        img = smooth_image(seed=2)
+        mov = fourier_shifted(img, 2.3, -1.7)
+        s, _ = reg.phase_correlate(
+            jnp.asarray(img), jnp.asarray(mov), window=False
+        )
+        assert np.abs(np.asarray(s) - [-2.3, 1.7]).max() < 0.05
+        # windowed: slightly biased but still sub-pixel
+        s_w, _ = reg.phase_correlate(jnp.asarray(img), jnp.asarray(mov))
+        assert np.abs(np.asarray(s_w) - [-2.3, 1.7]).max() < 0.15
+
+    def test_identical_frames_zero_shift(self):
+        img = smooth_image(seed=3)
+        s, _ = reg.phase_correlate(jnp.asarray(img), jnp.asarray(img))
+        assert np.abs(np.asarray(s)).max() < 1e-3
+
+    def test_blank_frames_no_nan(self):
+        """A constant (information-free) pair must yield a finite zero
+        shift, not NaN from the degenerate parabola/whitening."""
+        blank = jnp.full((32, 32), 7.0)
+        s, resp = reg.phase_correlate(blank, blank)
+        assert np.all(np.isfinite(np.asarray(s)))
+        assert np.isfinite(float(resp))
+
+    def test_response_separates_match_from_unrelated(self):
+        """Peak-to-sidelobe ratio: a genuine lock scores well above the
+        response for unrelated content — the serving confidence signal."""
+        img = smooth_image(seed=4)
+        other = smooth_image(seed=5)
+        _, r_match = reg.phase_correlate(
+            jnp.asarray(img), jnp.asarray(fourier_shifted(img, 1.0, 2.0))
+        )
+        _, r_bad = reg.phase_correlate(jnp.asarray(img), jnp.asarray(other))
+        assert float(r_match) > 1.5 * float(r_bad)
+
+    def test_in_scene_motion(self):
+        """Realistic drift: views cropped from a larger scene (content
+        enters/leaves the frame — nothing wraps)."""
+        big = smooth_image((160, 160), seed=6)
+        ref = big[48:112, 48:112]
+        mov = big[55:119, 44:108]  # true motion (7, -4)
+        s, _ = reg.phase_correlate(jnp.asarray(ref), jnp.asarray(mov))
+        assert np.abs(np.asarray(s) - [7.0, -4.0]).max() < 0.25
+
+
+class TestApplyShift:
+    def test_round_trip(self):
+        img = smooth_image(seed=7)
+        out = reg.apply_shift(
+            reg.apply_shift(jnp.asarray(img), jnp.asarray([1.3, -2.6])),
+            jnp.asarray([-1.3, 2.6]),
+        )
+        assert np.abs(np.asarray(out) - img).max() < 1e-3
+
+    def test_integer_shift_matches_roll(self):
+        img = smooth_image(seed=8)
+        out = np.asarray(reg.apply_shift(jnp.asarray(img), jnp.asarray([3.0, -2.0])))
+        assert np.abs(out - np.roll(img, (3, -2), axis=(0, 1))).max() < 1e-3
+
+
+class TestRegisterStep:
+    def _drifted(self, img, drift):
+        return [fourier_shifted(img, d[0], d[1]) for d in drift]
+
+    def test_previous_mode_integrates_drift(self):
+        img = smooth_image(seed=9)
+        drift = np.cumsum(np.random.default_rng(10).normal(0, 1.5, (5, 2)), 0)
+        anchor = jnp.fft.fft2(jnp.asarray(img) * reg.hann2d(img.shape))
+        cum = jnp.zeros(2)
+        for t, fr in enumerate(self._drifted(img, drift)):
+            anchor, cum, corr, step, resp = reg.register_step(
+                anchor, jnp.asarray(fr), cum
+            )
+            # cumulative estimate tracks -drift within per-step error budget
+            assert np.abs(np.asarray(cum) + drift[t]).max() < 0.12 * (t + 1)
+            # the corrected frame lands back on the original scene
+            assert np.abs(np.asarray(corr) - img).mean() < 0.3
+
+    def test_first_mode_no_accumulation(self):
+        """Reference mode: cum input stays zero, every frame correlates
+        against frame 0's spectrum — per-frame error doesn't compound."""
+        img = smooth_image(seed=11)
+        anchor0 = jnp.fft.fft2(jnp.asarray(img) * reg.hann2d(img.shape))
+        zero = jnp.zeros(2)
+        for dy, dx in [(4.2, -3.1), (-7.6, 5.5)]:
+            _, cum, corr, step, _ = reg.register_step(
+                anchor0, jnp.asarray(fourier_shifted(img, dy, dx)), zero
+            )
+            # windowed bias grows with shift magnitude; still sub-half-px,
+            # and the intensity residual scales with it (~1% of range here)
+            assert np.abs(np.asarray(cum) - [-dy, -dx]).max() < 0.3
+            assert np.abs(np.asarray(corr) - img).mean() < 1.0
+
+    def test_integer_mode_bit_exact(self):
+        rng = np.random.default_rng(12)
+        img = rng.normal(0, 1, (40, 40)).astype(np.float32)
+        mov = np.roll(img, (6, -2), axis=(0, 1))
+        anchor = jnp.fft.fft2(jnp.asarray(img))
+        _, cum, corr, _, _ = reg.register_step(
+            anchor, jnp.asarray(mov), jnp.zeros(2), subpixel=False, window=False
+        )
+        assert np.array_equal(np.asarray(cum), [-6.0, 2.0])
+        assert np.array_equal(np.asarray(corr), img)
+
+
+class TestCommonCrop:
+    def test_trims_extremes(self):
+        ys, xs = reg.common_crop(
+            np.array([[0.0, 0.0], [3.2, -1.5], [-2.0, 4.0]]), (32, 32)
+        )
+        assert (ys.start, ys.stop) == (4, 30)
+        assert (xs.start, xs.stop) == (4, 30)  # floor(-1.5) trims 2
+
+    def test_rejects_total_drift(self):
+        with pytest.raises(ValueError, match="drift exceeds"):
+            reg.common_crop(np.array([[0.0, 0.0], [40.0, 0.0]]), (32, 32))
+
+
+@pytest.fixture
+def server_env(tmp_path):
+    cfg = ServerConfiguration(
+        jobs_dir=str(tmp_path / "jobs"), models_dir=str(tmp_path / "models")
+    )
+    cfg.ensure_dirs()
+    return cfg, tmp_path
+
+
+def run_job(cfg, out_dir):
+    assert ImageServer(cfg).poll_once()
+    status = json.load(open(os.path.join(out_dir, "status.json")))
+    return status
+
+
+class TestRegisterStackPipeline:
+    def _write_drifting_stack(self, path, drift, seed=0, size=48):
+        """Integer-roll drift: correction can be verified bit-exactly."""
+        img = smooth_image((size, size), seed=seed)
+        frames = [np.roll(img, (int(d[0]), int(d[1])), (0, 1)) for d in drift]
+        tiff.write_stack(path, np.stack(frames))
+        return img
+
+    def test_integer_mode_recovers_exactly(self, server_env):
+        cfg, tmp = server_env
+        drift = [(0, 0), (3, -2), (5, 1), (-4, 6)]
+        img = self._write_drifting_stack(str(tmp / "stack.tif"), drift)
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"subpixel": False, "window": False},
+                "input": [str(tmp / "stack.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        got = tiff.read_stack(status["outputs"]["registered"])
+        assert got.dtype == np.float32  # input dtype preserved (float32 in)
+        for t in range(len(drift)):
+            np.testing.assert_array_equal(got[t], img)
+        # shifts.csv: cumulative = -drift, exactly
+        rows = open(status["outputs"]["shifts"]).read().strip().splitlines()
+        assert rows[0] == "frame,dy,dx,step_dy,step_dx,response"
+        assert len(rows) == 1 + len(drift)
+        for t, line in enumerate(rows[1:]):
+            vals = line.split(",")
+            assert int(vals[0]) == t
+            assert float(vals[1]) == -drift[t][0]
+            assert float(vals[2]) == -drift[t][1]
+        metrics = json.loads(status["outputs"]["metrics"])
+        assert metrics["n_frames"] == len(drift)
+        assert metrics["max_drift_px"] == pytest.approx(
+            max(np.hypot(d[0], d[1]) for d in drift), abs=1e-3  # metric is rounded
+        )
+
+    def test_subpixel_crop_mode(self, server_env):
+        cfg, tmp = server_env
+        img = smooth_image((48, 48), seed=3)
+        drift = np.array([[0.0, 0.0], [2.4, -1.6], [4.1, 2.3]])
+        frames = [fourier_shifted(img, d[0], d[1]) for d in drift]
+        tiff.write_stack(str(tmp / "stack.tif"), np.stack(frames))
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"crop": True},
+                "input": [str(tmp / "stack.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        got = tiff.read_stack(status["outputs"]["registered"])
+        # cropped to the common field of view: strictly smaller than input
+        assert got.shape[0] == 3
+        assert got.shape[1] < 48 and got.shape[2] < 48
+        # every registered frame matches frame 0's crop closely
+        for t in range(3):
+            assert np.abs(got[t] - got[0]).mean() < 0.5
+
+    def test_estimate_only(self, server_env):
+        cfg, tmp = server_env
+        self._write_drifting_stack(str(tmp / "stack.tif"), [(0, 0), (2, 2)])
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"estimate_only": True},
+                "input": [str(tmp / "stack.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        assert "registered" not in status["outputs"]
+        assert not os.path.exists(os.path.join(out, "registered.tif"))
+        assert os.path.exists(status["outputs"]["shifts"])
+
+    def test_multichannel_shifts_from_first_channel(self, server_env):
+        """Channel 1 rides channel 0's trajectory — the two stay aligned."""
+        cfg, tmp = server_env
+        drift = [(0, 0), (4, -3)]
+        img0 = self._write_drifting_stack(str(tmp / "c0.tif"), drift, seed=5)
+        img1 = self._write_drifting_stack(str(tmp / "c1.tif"), drift, seed=6)
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"subpixel": False, "window": False},
+                "input": [str(tmp / "c0.tif"), str(tmp / "c1.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        got0 = tiff.read_stack(status["outputs"]["registered_c0"])
+        got1 = tiff.read_stack(status["outputs"]["registered_c1"])
+        for t in range(len(drift)):
+            np.testing.assert_array_equal(got0[t], img0)
+            np.testing.assert_array_equal(got1[t], img1)
+
+    def test_uint16_integer_mode_preserves_dtype(self, server_env):
+        cfg, tmp = server_env
+        rng = np.random.default_rng(7)
+        img = (rng.random((32, 32)) * 60000).astype(np.uint16)
+        frames = np.stack([img, np.roll(img, (5, -4), (0, 1))])
+        tiff.write_stack(str(tmp / "stack.tif"), frames)
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"subpixel": False, "window": False},
+                "input": [str(tmp / "stack.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        got = tiff.read_stack(status["outputs"]["registered"])
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got[1], img)
+
+    def test_bad_mode_fails_fast(self, server_env):
+        cfg, tmp = server_env
+        self._write_drifting_stack(str(tmp / "stack.tif"), [(0, 0)])
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"mode": "sideways"},
+                "input": [str(tmp / "stack.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "failed"
+        assert "sideways" in status["error"]
