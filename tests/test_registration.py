@@ -60,6 +60,25 @@ class TestPhaseCorrelate:
         s_w, _ = reg.phase_correlate(jnp.asarray(img), jnp.asarray(mov))
         assert np.abs(np.asarray(s_w) - [-2.3, 1.7]).max() < 0.15
 
+    def test_refine_collapses_window_bias(self):
+        """The Hann window biases the estimate in proportion to the shift
+        (module docstring); refinement passes re-correlate at near-zero
+        residual where the bias vanishes. Assert the measured hierarchy:
+        single-pass ~0.1 px at a 10 px shift, refine=2 ~10x better,
+        refine=3 ~10x better again."""
+        img = smooth_image(seed=12)
+        mov = fourier_shifted(img, 10.4, -5.2)
+        errs = {}
+        for k in (1, 2, 3):
+            s, _ = reg.phase_correlate(
+                jnp.asarray(img), jnp.asarray(mov), refine=k
+            )
+            errs[k] = np.abs(np.asarray(s) - [-10.4, 5.2]).max()
+        assert errs[1] < 0.3
+        assert errs[2] < errs[1] / 4
+        assert errs[3] < errs[2] / 2
+        assert errs[3] < 0.01
+
     def test_identical_frames_zero_shift(self):
         img = smooth_image(seed=3)
         s, _ = reg.phase_correlate(jnp.asarray(img), jnp.asarray(img))
