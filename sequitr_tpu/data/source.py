@@ -263,6 +263,19 @@ class FrameSource:
         return self
 
     @property
+    def dtype(self) -> np.dtype:
+        """Native dtype of served frames without decoding one: the
+        readers carry it from their headers; multi-channel frames are
+        np.stack'd so mixed channel dtypes promote (`np.result_type`)."""
+        per_channel = [
+            np.dtype(self._readers[c].dtype)
+            if self._readers and self._readers[c] is not None
+            else self._eager[c].dtype
+            for c in range(self.n_channels)
+        ]
+        return np.result_type(*per_channel)
+
+    @property
     def frame_offset(self) -> int:
         """Index of the first served frame in the underlying stack (0
         unless ``select`` narrowed the range) — consumers producing

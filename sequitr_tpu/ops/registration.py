@@ -16,11 +16,14 @@ TPU-first design notes
   resample — is ONE jitted graph (`register_step`). 2D FFTs lower to
   batched matmuls on TPU (DFT-as-GEMM under XLA), so the hot work rides
   the MXU; everything else is elementwise and fuses.
-* One FFT per frame is reused for BOTH the correlation against the
-  anchor frame and the sub-pixel resample of the frame itself (the
-  Fourier shift theorem applies a phase ramp to the already-computed
-  spectrum) — streaming a stack costs one forward and one inverse FFT
-  per frame plus one inverse FFT for the correlation surface.
+* Streaming a stack costs two forward FFTs per frame (the windowed
+  spectrum for correlation, the raw spectrum for the resample — the raw
+  one also drives the refinement passes below) plus one inverse FFT each
+  for the correlation surface and the resample; the sub-pixel resample
+  itself is just a phase ramp on the already-computed raw spectrum (the
+  Fourier shift theorem). Callers that do not need the fused resample
+  (two-pass crop estimation, multi-channel trajectories) pass
+  ``resample=False`` and skip its inverse FFT.
 * No data-dependent Python control flow: the peak search is
   `argmax` + gathers with wrapped neighbor indexing, and the sub-pixel
   parabola is branchless (`jnp.where` guards), so the step compiles once
@@ -49,6 +52,16 @@ frame edges (a frame drifting right re-enters on the left); integer-mode
 registration (`subpixel=False`) uses `jnp.roll` (also wrapping, exact).
 Callers that cannot tolerate wrapped borders crop to the common field of
 view afterwards (`common_crop` computes the slab).
+
+Phase correlation is mod-N ambiguous: a true displacement ``d`` and
+``d - N`` produce identical spectra, and estimates are reported in the
+canonical interval (-N/2, N/2]. For the WRAPPING resample this is
+irrelevant (a ramp by ``d`` and ``d ± N`` are the same operator), but a
+trajectory consumer (``common_crop``, shifts.csv) needs the unwrapped
+physical drift. Drift is continuous in time, so `unwrap_trajectory`
+recovers it exactly like phase unwrapping — as long as no SINGLE
+estimate's true value exceeds N/2 (frame-to-frame motion beyond half a
+frame is unrecoverable by any correlation method).
 """
 
 from __future__ import annotations
@@ -65,6 +78,7 @@ __all__ = [
     "phase_correlate",
     "apply_shift",
     "register_step",
+    "unwrap_trajectory",
     "common_crop",
 ]
 
@@ -225,7 +239,9 @@ def apply_shift(frame: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.ifft2(f * _shift_ramp(frame.shape, shift)).real
 
 
-@partial(jax.jit, static_argnames=("subpixel", "window", "refine"))
+@partial(
+    jax.jit, static_argnames=("subpixel", "window", "refine", "resample")
+)
 def register_step(
     anchor_fft: jnp.ndarray,
     frame: jnp.ndarray,
@@ -234,6 +250,7 @@ def register_step(
     subpixel: bool = True,
     window: bool = True,
     refine: int = 2,
+    resample: bool = True,
 ):
     """One fused streaming-registration step.
 
@@ -253,7 +270,10 @@ def register_step(
     step's anchor in drift mode), ``new_cum = cum_shift + step_shift`` is
     the shift that moves this frame onto the stack's first frame, and
     ``corrected = apply_shift(frame, new_cum)`` (sub-pixel) — integer
-    mode rolls instead, keeping pixel values bit-exact.
+    mode rolls instead, keeping pixel values bit-exact. Estimation-only
+    callers (two-pass crop, multi-channel hosts that resample natively
+    per channel) pass ``resample=False``; ``corrected`` is then ``None``
+    and its inverse FFT never enters the graph.
     """
     f32 = frame.astype(jnp.float32)
     win = hann2d(frame.shape) if window else jnp.ones(frame.shape, jnp.float32)
@@ -264,7 +284,9 @@ def register_step(
         anchor_fft, frame_fft_win, raw_fft, win, subpixel, refine
     )
     new_cum = cum_shift + step_shift
-    if subpixel:
+    if not resample:
+        corrected = None
+    elif subpixel:
         corrected = jnp.fft.ifft2(
             raw_fft * _shift_ramp(frame.shape, new_cum)
         ).real
@@ -274,21 +296,47 @@ def register_step(
     return frame_fft_win, new_cum, corrected, step_shift, resp
 
 
+def unwrap_trajectory(shifts: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
+    """Resolve the mod-N ambiguity of a per-frame shift trajectory.
+
+    Each estimate is canonical in (-N/2, N/2]; when the true cumulative
+    drift crosses that boundary (first-frame mode on a long drift), the
+    reported value jumps by ~N between consecutive frames. Drift is
+    continuous, so the physical trajectory is the one whose successive
+    differences are minimal — exactly 1D phase unwrapping with period N
+    per axis. No-op for trajectories that never wrap (previous-mode
+    integration produces those by construction). Host-side: runs once
+    per stack on a (T, 2) array.
+    """
+    shifts = np.asarray(shifts, np.float64)
+    out = shifts.copy()
+    for ax, n in enumerate(shape):
+        d = np.diff(shifts[:, ax])
+        corr = np.cumsum(np.round(d / n)) * n
+        out[1:, ax] = shifts[1:, ax] - corr
+    return out
+
+
 def common_crop(shifts: np.ndarray, shape: Tuple[int, int]):
     """Slices of the field of view every registered frame actually covers.
 
     ``shifts``: (T, 2) cumulative per-frame shifts as returned by the
-    registration loop. A frame shifted down by +d only has valid content
+    registration loop, UNWRAPPED (`unwrap_trajectory`) — a mod-N wrapped
+    trajectory would select exactly the stale wrapped region instead of
+    the valid one. A frame shifted down by +d only has valid content
     for rows >= d (the wrapped rows at the top are stale); the common
     region trims the max positive shift off the leading edge and the max
     negative shift off the trailing edge of each axis.
     """
     shifts = np.asarray(shifts, np.float64)
     h, w = shape
-    y0 = int(np.ceil(max(0.0, shifts[:, 0].max())))
-    y1 = h + int(np.floor(min(0.0, shifts[:, 0].min())))
-    x0 = int(np.ceil(max(0.0, shifts[:, 1].max())))
-    x1 = w + int(np.floor(min(0.0, shifts[:, 1].min())))
+    # eps absorbs estimator noise: a 1e-6 px "shift" on the reference
+    # frame must not ceil into discarding a whole valid row
+    eps = 1e-3
+    y0 = int(np.ceil(max(0.0, shifts[:, 0].max()) - eps))
+    y1 = h + int(np.floor(min(0.0, shifts[:, 0].min()) + eps))
+    x0 = int(np.ceil(max(0.0, shifts[:, 1].max()) - eps))
+    x1 = w + int(np.floor(min(0.0, shifts[:, 1].min()) + eps))
     if y0 >= y1 or x0 >= x1:
         raise ValueError(
             f"drift exceeds the frame: shifts span {shifts.min(0)}..{shifts.max(0)} "

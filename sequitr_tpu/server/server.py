@@ -2990,7 +2990,9 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     FIRST channel and applied to every channel. Outputs:
     ``registered.tif`` (single channel) or ``registered_c{k}.tif``,
     ``shifts.csv`` (frame, dy, dx, step_dy, step_dx, response — dy/dx are
-    the cumulative applied shift; response is the correlation
+    the cumulative physical drift correction, mod-N unwrapped
+    (``registration.unwrap_trajectory``; the applied wrap-resample is
+    unaffected by unwrapping); response is the correlation
     peak-to-sidelobe ratio, low = unreliable lock), and drift metrics.
     """
     import jax.numpy as jnp
@@ -3013,8 +3015,9 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     crop = bool(p.get("crop", False))
     estimate_only = bool(p.get("estimate_only", False))
 
+    paths = _resolve_inputs(job)
     try:
-        source = FrameSource(paths=_resolve_inputs(job))
+        source = FrameSource(paths=paths)
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
     source = _apply_frame_range(job, source)
@@ -3023,12 +3026,16 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     timer = PhaseTimer()
     t0 = time.time()
 
-    def estimate_frames():
-        """Per-frame (native_frame, cum, step, resp) via the fused step."""
+    def estimate_frames(src, resample):
+        """Per-frame (frame, cum, step, resp, corrected) via the fused
+        step. ``src`` yields (H, W) or (H, W, C) frames; shifts are
+        estimated on channel 0. ``resample=True`` additionally returns
+        the fused on-device resample of channel 0 (None otherwise, and
+        its inverse FFT never enters the graph)."""
         anchor = None
         cum = jnp.zeros(2, jnp.float32)
         zero = jnp.zeros(2, jnp.float32)
-        for frame in source.frames():
+        for frame in src.frames():
             ch0 = frame[..., 0] if frame.ndim == 3 else frame
             if anchor is None:
                 win = (
@@ -3037,18 +3044,21 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     else jnp.ones((h, w), jnp.float32)
                 )
                 anchor = jnp.fft.fft2(ch0.astype(np.float32) * win)
-                yield frame, zero, zero, None
+                yield frame, zero, zero, None, None
                 continue
-            fft_win, new_cum, _corr, step, resp = reg_lib.register_step(
+            fft_win, new_cum, corr, step, resp = reg_lib.register_step(
                 anchor, jnp.asarray(ch0), cum if mode == "previous" else zero,
                 subpixel=subpixel, window=window, refine=refine,
+                resample=resample,
             )
             if mode == "previous":
                 anchor, cum = fft_win, new_cum
-            yield frame, new_cum, step, resp
+            yield frame, new_cum, step, resp, corr
 
     def apply_cum(frame: np.ndarray, cum) -> np.ndarray:
         """Shift every channel of a native frame by the cumulative shift."""
+        if not np.any(np.asarray(cum)):
+            return frame  # reference frame: exact, no resample round-trip
         if not subpixel:
             r = np.round(np.asarray(cum)).astype(int)
             return np.roll(frame, (r[0], r[1]), axis=(0, 1))
@@ -3063,7 +3073,7 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         return out[..., 0] if frame.ndim == 2 else out
 
     # integer mode is lossless: the output keeps the native input dtype
-    out_dtype = np.float32 if subpixel else source.frame(0).dtype
+    out_dtype = np.float32 if subpixel else source.dtype
     shifts_rows = []  # (t_abs, cum, step, resp)
     writers = []
 
@@ -3090,20 +3100,46 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             with timer.phase("write"):
                 wr.append(np.asarray(chans[ys, xs, c], dtype=out_dtype))
 
+    def unwrapped_cums():
+        """The physical (mod-N-resolved) trajectory; resampling is
+        unaffected by wrapping, but crop selection and shifts.csv are."""
+        return reg_lib.unwrap_trajectory(
+            np.stack([c for c, _, _ in shifts_rows]), (h, w)
+        )
+
     with source:
         try:
             if estimate_only or crop:
-                # pass 1: estimate the trajectory only
-                for frame, cum, step, resp in jobs_lib.track(
-                    job, estimate_frames(), total=n_frames, phase="estimate"
-                ):
-                    shifts_rows.append((np.asarray(cum), np.asarray(step), resp))
+                # pass 1: estimate the trajectory only — on channel 0
+                # alone (multi-channel stacks skip reading the rest),
+                # with the fused resample compiled out (resample=False)
+                if source.n_channels > 1:
+                    # separate channel-0 source: close after pass 1
+                    est_source = _apply_frame_range(
+                        job, FrameSource(paths=[paths[0]])
+                    )
+                else:
+                    # pass 2 re-streams `source`: it must stay open
+                    est_source = source
+                try:
+                    for _, cum, step, resp, _ in jobs_lib.track(
+                        job,
+                        estimate_frames(est_source, resample=False),
+                        total=n_frames,
+                        phase="estimate",
+                    ):
+                        shifts_rows.append(
+                            (np.asarray(cum), np.asarray(step), resp)
+                        )
+                finally:
+                    if est_source is not source:
+                        est_source.close()
                 if not estimate_only:
                     ys, xs = slice(0, h), slice(0, w)
                     if crop:
                         try:
                             ys, xs = reg_lib.common_crop(
-                                np.stack([c for c, _, _ in shifts_rows]), (h, w)
+                                unwrapped_cums(), (h, w)
                             )
                         except ValueError as e:
                             raise jobs_lib.JobError(str(e))
@@ -3119,11 +3155,22 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                         write_frame(shifted, ys, xs)
             else:
                 names = open_writers()
-                for frame, cum, step, resp in jobs_lib.track(
-                    job, estimate_frames(), total=n_frames, phase="frames"
+                # the fused on-device resample IS the output for
+                # single-channel sub-pixel serves; integer mode keeps the
+                # native dtype via a host roll, multi-channel resamples
+                # each channel from the estimated trajectory
+                use_fused = subpixel and source.n_channels == 1
+                for frame, cum, step, resp, corr in jobs_lib.track(
+                    job,
+                    estimate_frames(source, resample=use_fused),
+                    total=n_frames,
+                    phase="frames",
                 ):
                     with timer.phase("infer"):
-                        shifted = apply_cum(frame, cum)
+                        if use_fused and corr is not None:
+                            shifted = np.asarray(corr)
+                        else:
+                            shifted = apply_cum(frame, cum)
                     write_frame(shifted, slice(0, h), slice(0, w))
                     shifts_rows.append((np.asarray(cum), np.asarray(step), resp))
         except BaseException:
@@ -3133,20 +3180,20 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     for wr in writers:
         wr.close()
 
+    cums = unwrapped_cums()
     shifts_path = os.path.join(job.output, "shifts.csv")
     tmp = shifts_path + ".tmp"
     with open(tmp, "w") as f:
         f.write("frame,dy,dx,step_dy,step_dx,response\n")
-        for i, (cum, step, resp) in enumerate(shifts_rows):
+        for i, (_, step, resp) in enumerate(shifts_rows):
             r = "" if resp is None else f"{float(resp):.3f}"
             f.write(
-                f"{source.frame_offset + i},{cum[0]:.4f},{cum[1]:.4f},"
+                f"{source.frame_offset + i},{cums[i][0]:.4f},{cums[i][1]:.4f},"
                 f"{step[0]:.4f},{step[1]:.4f},{r}\n"
             )
     os.replace(tmp, shifts_path)
 
     total_s = time.time() - t0
-    cums = np.stack([c for c, _, _ in shifts_rows])
     steps = np.stack([s for _, s, _ in shifts_rows[1:]]) if len(shifts_rows) > 1 else np.zeros((0, 2))
     resps = [float(r) for _, _, r in shifts_rows if r is not None]
     metrics = dict(

@@ -309,9 +309,29 @@ class TestTiffStreaming:
         from sequitr_tpu.data.source import FrameSource
 
         with FrameSource(paths=[p]) as src:
+            # dtype is known from the header, no frame decode needed
+            assert src.dtype == np.uint16
             f = src.frame(1)
             assert f.dtype == np.uint16  # 2-byte pixels ship to the device
             np.testing.assert_array_equal(f, stack[1])
+
+    def test_frame_source_dtype_promotes_mixed_channels(self, tmp_path):
+        """Multi-channel frames np.stack, so .dtype reports the promoted
+        type the consumer will actually see."""
+        from sequitr_tpu.data.source import FrameSource
+
+        a = np.zeros((2, 4, 4), np.uint16)
+        b = np.zeros((2, 4, 4), np.float32)
+        tiff.write_stack(str(tmp_path / "a.tif"), a)
+        tiff.write_stack(str(tmp_path / "b.tif"), b)
+        with FrameSource(
+            paths=[str(tmp_path / "a.tif"), str(tmp_path / "b.tif")]
+        ) as src:
+            assert src.dtype == np.float32
+            assert src.frame(0).dtype == src.dtype
+        # array mode (no readers) reports the array's dtype
+        with FrameSource(array=a) as src:
+            assert src.dtype == np.uint16
 
     def test_frame_sequence_directory_natural_order(self, tmp_path):
         """A directory of per-frame files (the ImageJ/Micro-Manager export

@@ -161,6 +161,22 @@ class TestRegisterStep:
             assert np.abs(np.asarray(cum) - [-dy, -dx]).max() < 0.3
             assert np.abs(np.asarray(corr) - img).mean() < 1.0
 
+    def test_resample_false_skips_corrected(self):
+        """Estimation-only callers compile the resample out of the graph;
+        shifts are identical to the resampling step's."""
+        img = smooth_image(seed=13)
+        mov = fourier_shifted(img, 3.4, -2.2)
+        anchor = jnp.fft.fft2(jnp.asarray(img) * reg.hann2d(img.shape))
+        _, cum_a, corr, _, _ = reg.register_step(
+            anchor, jnp.asarray(mov), jnp.zeros(2)
+        )
+        _, cum_b, none, _, _ = reg.register_step(
+            anchor, jnp.asarray(mov), jnp.zeros(2), resample=False
+        )
+        assert none is None
+        assert corr is not None
+        assert np.array_equal(np.asarray(cum_a), np.asarray(cum_b))
+
     def test_integer_mode_bit_exact(self):
         rng = np.random.default_rng(12)
         img = rng.normal(0, 1, (40, 40)).astype(np.float32)
@@ -184,6 +200,34 @@ class TestCommonCrop:
     def test_rejects_total_drift(self):
         with pytest.raises(ValueError, match="drift exceeds"):
             reg.common_crop(np.array([[0.0, 0.0], [40.0, 0.0]]), (32, 32))
+
+
+class TestUnwrapTrajectory:
+    def test_recovers_wrapped_first_mode_drift(self):
+        """Estimates are canonical in (-N/2, N/2]; a monotonic drift past
+        half the frame wraps to the opposite sign (true -36 on a 64 px
+        axis reports as +28) and a wrapped trajectory would make
+        common_crop select exactly the stale region. Unwrapping restores
+        the physical trajectory from continuity."""
+        img = smooth_image((64, 64), seed=14)
+        true = [(0.0, 0.0), (-9.0, 2.0), (-18.0, 4.0), (-27.0, 6.0), (-36.0, 8.0)]
+        est = []
+        for dy, dx in true:
+            s, _ = reg.phase_correlate(
+                jnp.asarray(img), jnp.asarray(fourier_shifted(img, -dy, -dx))
+            )
+            est.append(np.asarray(s))
+        est = np.stack(est)
+        # the last estimate is wrapped: ~+28, not -36
+        assert est[-1][0] > 20
+        unwrapped = reg.unwrap_trajectory(est, (64, 64))
+        assert np.abs(unwrapped - np.asarray(true)).max() < 0.15
+        # and the crop computed from it selects the VALID leading rows
+        ys, xs = reg.common_crop(unwrapped, (64, 64))
+        assert ys.start == 0 and ys.stop <= 64 - 36
+        # wrapped trajectory is a no-op case for already-continuous input
+        cont = np.array([[0.0, 0.0], [3.0, -1.0], [5.5, -2.0]])
+        assert np.array_equal(reg.unwrap_trajectory(cont, (64, 64)), cont)
 
 
 @pytest.fixture
