@@ -471,6 +471,12 @@ def main(argv=None) -> int:
         help="after submitting, live-tail the job (status --follow on the"
              " spec's output dir); exit 0 = complete",
     )
+    ap_submit.add_argument(
+        "--after", action="append", metavar="OUTPUT_DIR",
+        help="chain: run only after this output dir holds a complete"
+             " status.json (repeatable; adds to the spec's depends_on —"
+             " a failed/cancelled dependency fails this job)",
+    )
 
     ap_status = sub.add_parser("status", help="read a job output status")
     ap_status.add_argument("output_dir")
@@ -626,6 +632,14 @@ def main(argv=None) -> int:
         from sequitr_tpu.server import submit_job
 
         spec = json.load(sys.stdin if args.spec == "-" else open(args.spec))
+        if args.after:
+            if not isinstance(spec, dict):
+                print("--after needs a JSON-object spec", file=sys.stderr)
+                return 1
+            deps = spec.get("depends_on") or []
+            if isinstance(deps, str):
+                deps = [deps]
+            spec["depends_on"] = list(deps) + list(args.after)
         if args.follow and not (
             isinstance(spec, dict) and spec.get("output")
         ):
@@ -700,9 +714,17 @@ def main(argv=None) -> int:
         ]
         failed = [n for n in names if n.endswith(".failed")]
         rejected = [n for n in names if n.endswith(".rejected")]
+        from sequitr_tpu.server import jobs as jobs_lib
+
         print(f"pending:  {len(pending)}")
         for p in pending:
-            print(f"  {os.path.basename(p)}")
+            state, detail = jobs_lib.check_dependencies(p)
+            note = ""
+            if state == "wait":
+                note = f"  [waiting on {detail}]"
+            elif state == "fail":
+                note = f"  [will fail: {detail}]"
+            print(f"  {os.path.basename(p)}{note}")
         print(f"running:  {len(running)}")
         for n in running:
             print(f"  {n}")

@@ -37,7 +37,7 @@ __all__ = [
     "Job", "JobError", "JobCancelled", "scan_jobs", "claim_job",
     "write_status", "submit_job", "request_cancel", "cancel_requested",
     "clear_cancel", "track", "ProgressReporter", "heartbeat",
-    "reclaim_stale_claims", "owns_claim",
+    "reclaim_stale_claims", "owns_claim", "check_dependencies",
 ]
 
 JOB_PREFIX = "job_"
@@ -74,6 +74,11 @@ class Job:
     input: List[str]
     output: str
     priority: int = 0  # higher runs first; ties oldest-first
+    # output DIRECTORIES this job waits on: it stays queued until each
+    # holds a status.json with state "complete"; a failed/cancelled
+    # dependency fails this job deterministically (see check_dependencies)
+    depends_on: List[str] = dataclasses.field(default_factory=list)
+    dep_timeout: Optional[float] = None  # max seconds to wait on deps
     path: str = ""  # queue file path once claimed
     # wall time of this worker's last successful heartbeat on the claim.
     # ``owns_claim`` compares it against the file's mtime to detect that a
@@ -111,10 +116,29 @@ class Job:
                 input=list(data.get("input") or []),
                 output=str(data.get("output") or ""),
                 priority=int(data.get("priority") or 0),
+                depends_on=_parse_depends_on(data.get("depends_on")),
+                dep_timeout=(
+                    None
+                    if data.get("dep_timeout") is None
+                    else float(data["dep_timeout"])
+                ),
                 path=path,
             )
         except (TypeError, ValueError) as e:
             raise JobError(f"job {path}: malformed field: {e}")
+
+
+def _parse_depends_on(raw) -> List[str]:
+    """``depends_on`` is one output dir or a list of them; anything else
+    is malformed (claim-time quarantine surfaces it)."""
+    if raw is None:
+        return []
+    if isinstance(raw, str):
+        return [raw]
+    out = [str(d) for d in list(raw)]
+    if not all(isinstance(d, str) and d for d in out):
+        raise ValueError(f"depends_on entries must be paths: {raw!r}")
+    return out
 
 
 class ParamTracker(dict):
@@ -242,11 +266,41 @@ def submit_job(jobs_dir: str, spec: Dict[str, Any], job_id: Optional[str] = None
         os.unlink(tmp)
 
 
-# priority cache for scan_jobs: path -> (mtime, priority). Queued files are
+# spec-summary cache for scan_jobs/check_dependencies:
+# path -> (mtime, priority, depends_on, dep_timeout). Queued files are
 # immutable once submitted (atomic create), so one parse per file suffices;
 # without this a long backlog would be re-opened and re-JSON-parsed on
 # every poll tick.
-_prio_cache: Dict[str, Tuple[float, int]] = {}
+_scan_cache: Dict[str, Tuple[float, int, Tuple[str, ...], Optional[float]]] = {}
+
+
+def _spec_summary(
+    path: str, mtime: Optional[float] = None
+) -> Tuple[int, Tuple[str, ...], Optional[float]]:
+    """(priority, depends_on, dep_timeout) of a queued file, cached by
+    mtime. Malformed specs summarize as (0, (), None): scheduling treats
+    them as ordinary claimable jobs and claim-time quarantine rejects
+    them with the real parse error."""
+    if mtime is None:
+        try:
+            mtime = os.stat(path).st_mtime
+        except OSError:
+            return 0, (), None
+    cached = _scan_cache.get(path)
+    if cached is not None and cached[0] == mtime:
+        return cached[1], cached[2], cached[3]
+    prio, deps, dep_timeout = 0, (), None
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        prio = int(data.get("priority") or 0)
+        deps = tuple(_parse_depends_on(data.get("depends_on")))
+        if data.get("dep_timeout") is not None:
+            dep_timeout = float(data["dep_timeout"])
+    except (OSError, ValueError, TypeError, AttributeError):
+        pass  # malformed: claim-time quarantine handles it
+    _scan_cache[path] = (mtime, prio, deps, dep_timeout)
+    return prio, deps, dep_timeout
 
 
 def scan_jobs(jobs_dir: str) -> List[str]:
@@ -271,24 +325,63 @@ def scan_jobs(jobs_dir: str) -> List[str]:
                 except FileNotFoundError:
                     continue  # vanished mid-scan: someone else claimed it
                 seen.add(e.path)
-                cached = _prio_cache.get(e.path)
-                if cached is not None and cached[0] == mtime:
-                    prio = cached[1]
-                else:
-                    prio = 0
-                    try:
-                        with open(e.path) as f:
-                            prio = int(json.load(f).get("priority") or 0)
-                    except (OSError, ValueError, TypeError, AttributeError):
-                        pass  # malformed: claim-time quarantine handles it
-                    _prio_cache[e.path] = (mtime, prio)
+                prio, _, _ = _spec_summary(e.path, mtime)
                 entries.append((-prio, mtime, e.path))
     except FileNotFoundError:
         return []
     # drop cache entries for files no longer queued (claimed/removed)
-    for stale in set(_prio_cache) - seen:
-        _prio_cache.pop(stale, None)
+    for stale in set(_scan_cache) - seen:
+        _scan_cache.pop(stale, None)
     return [p for _, _, p in sorted(entries)]
+
+
+def check_dependencies(path: str) -> Tuple[str, Optional[str]]:
+    """Scheduling gate for a queued job's ``depends_on`` output dirs.
+
+    Returns ``("ready", None)`` (claimable now — also the answer for jobs
+    with no dependencies), ``("wait", dir)`` (a dependency has not
+    completed yet; leave the job queued), or ``("fail", reason)`` (a
+    dependency terminally failed/cancelled, or ``dep_timeout`` seconds
+    passed since submission without the dependencies completing — claim
+    the job and fail it deterministically).
+
+    A dependency is an OUTPUT DIRECTORY: satisfied when it holds a
+    ``status.json`` with state ``complete`` — the same filesystem contract
+    clients poll. The check is content-based, not run-based: a dir holding
+    a previous run's complete result satisfies immediately (re-runs into
+    reused dirs should chain via fresh output dirs). The wait clock is the
+    queue file's mtime, which reclaim-requeue resets (the wait legitimately
+    restarts when a job is rescued).
+    """
+    _, deps, dep_timeout = _spec_summary(path)
+    if not deps:
+        return "ready", None
+    waiting_on = None
+    for d in deps:
+        try:
+            with open(os.path.join(d, "status.json")) as f:
+                state = json.load(f).get("state")
+        except (OSError, ValueError, AttributeError):
+            state = None  # missing/unreadable/garbage: not finished yet
+        if state == "complete":
+            continue
+        if state in ("failed", "cancelled"):
+            return "fail", f"dependency {d} is {state}"
+        waiting_on = d
+    if waiting_on is None:
+        return "ready", None
+    if dep_timeout is not None:
+        try:
+            queued_at = os.stat(path).st_mtime
+        except OSError:
+            return "wait", waiting_on  # claimed mid-check: moot
+        if time.time() - queued_at > dep_timeout:
+            return (
+                "fail",
+                f"dependency {waiting_on} did not complete within "
+                f"dep_timeout={dep_timeout:g}s",
+            )
+    return "wait", waiting_on
 
 
 def claim_job(path: str) -> Optional[Job]:

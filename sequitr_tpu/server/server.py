@@ -35,6 +35,13 @@ Built-in pipelines (registry keys are the rebuild's documented API):
   * ``register_stack`` — drift correction: FFT phase-correlation
     registration of a timelapse (sub-pixel, streamed; no model required).
 
+Jobs chain through the same filesystem contract: a spec's optional
+``depends_on`` lists output DIRECTORIES the job waits on — it stays queued
+until each holds a complete ``status.json``, fails deterministically if a
+dependency fails/cancels (cascading down chains), and ``dep_timeout``
+bounds the wait (jobs.check_dependencies). Submit a whole
+register -> segment -> track workflow up front; no client-side polling.
+
 Model weights are orbax checkpoints under ``models_dir/<name>``, saved with
 matching config JSON (``config.json``) so the server can rebuild the net.
 """
@@ -200,6 +207,13 @@ class ImageServer:
                 # job — "finish the job currently running" means exactly
                 # the one already claimed
                 return False
+            # dependency gate BEFORE claiming: a waiting job stays queued
+            # untouched (cancellable, visible to stats) instead of
+            # claim/requeue churn; the claim race below stays the only
+            # arbiter when several workers see the same verdict
+            dep_state, dep_detail = jobs_lib.check_dependencies(path)
+            if dep_state == "wait":
+                continue
             try:
                 job = jobs_lib.claim_job(path)
             except (jobs_lib.JobError, ValueError) as e:
@@ -212,6 +226,18 @@ class ImageServer:
                 log.error("rejected malformed job %s: %s", path, e)
                 continue
             if job is None:
+                continue
+            if dep_state == "fail":
+                # deterministic: a failed/cancelled/timed-out dependency
+                # cannot heal by retrying. Same terminal artifacts as any
+                # failure (status.json, .failed marker, ledger row) so the
+                # cascade is observable; keep scanning — another queued
+                # job may be runnable this tick.
+                started = time.time()
+                job.params = jobs_lib.ParamTracker(job.params)
+                os.makedirs(job.output or ".", exist_ok=True)
+                self._fail(job, started, f"job {job.id}: {dep_detail}")
+                self._ledger(job, "failed", started, 0)
                 continue
             self._execute(job)
             return True
