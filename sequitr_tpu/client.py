@@ -85,8 +85,25 @@ def cancel_job(jobs_dir: str, job_id: str) -> Optional[str]:
             time.sleep(0.05)
         try:
             os.rename(path, path + ".cancelled")
-            # the rename won the race, so no server holds this job — delete
-            # the marker instead of accumulating .cancelled litter
+            # the rename won the race, so no server holds this job. Leave
+            # the SAME terminal record a running-then-cancelled job leaves
+            # — a cancelled status.json in the output dir — so dependents
+            # chained on it via depends_on cascade-fail instead of waiting
+            # forever; then delete the marker (no .cancelled litter).
+            try:
+                job = jobs_lib.Job.from_file(path + ".cancelled")
+                # from_file derives ids from queue-file stems; this file
+                # carries the .cancelled suffix, so stamp the real id
+                job.id = job_id
+                if job.output:
+                    jobs_lib.write_status(
+                        job,
+                        "cancelled",
+                        time.time(),
+                        error="cancelled while queued",
+                    )
+            except (jobs_lib.JobError, OSError, ValueError):
+                pass  # malformed/outputless spec: nothing to record
             os.remove(path + ".cancelled")
             return "cancelled"
         except FileNotFoundError:

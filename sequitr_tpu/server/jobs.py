@@ -135,10 +135,10 @@ def _parse_depends_on(raw) -> List[str]:
         return []
     if isinstance(raw, str):
         return [raw]
-    out = [str(d) for d in list(raw)]
-    if not all(isinstance(d, str) and d for d in out):
+    items = list(raw)
+    if not all(isinstance(d, str) and d for d in items):
         raise ValueError(f"depends_on entries must be paths: {raw!r}")
-    return out
+    return items
 
 
 class ParamTracker(dict):
@@ -267,40 +267,52 @@ def submit_job(jobs_dir: str, spec: Dict[str, Any], job_id: Optional[str] = None
 
 
 # spec-summary cache for scan_jobs/check_dependencies:
-# path -> (mtime, priority, depends_on, dep_timeout). Queued files are
-# immutable once submitted (atomic create), so one parse per file suffices;
-# without this a long backlog would be re-opened and re-JSON-parsed on
-# every poll tick.
-_scan_cache: Dict[str, Tuple[float, int, Tuple[str, ...], Optional[float]]] = {}
+# path -> (mtime, priority, depends_on, dep_timeout, output). Queued files
+# are immutable once submitted (atomic create), so one parse per file
+# suffices; without this a long backlog would be re-opened and
+# re-JSON-parsed on every poll tick.
+_scan_cache: Dict[
+    str, Tuple[float, int, Tuple[str, ...], Optional[float], str]
+] = {}
 
 
 def _spec_summary(
     path: str, mtime: Optional[float] = None
-) -> Tuple[int, Tuple[str, ...], Optional[float]]:
-    """(priority, depends_on, dep_timeout) of a queued file, cached by
-    mtime. Malformed specs summarize as (0, (), None): scheduling treats
-    them as ordinary claimable jobs and claim-time quarantine rejects
-    them with the real parse error."""
+) -> Tuple[int, Tuple[str, ...], Optional[float], str]:
+    """(priority, depends_on, dep_timeout, output) of a queued file,
+    cached by mtime. Malformed specs summarize as (0, (), None, ""):
+    scheduling treats them as ordinary claimable jobs and claim-time
+    quarantine rejects them with the real parse error."""
     if mtime is None:
         try:
             mtime = os.stat(path).st_mtime
         except OSError:
-            return 0, (), None
+            return 0, (), None, ""
     cached = _scan_cache.get(path)
     if cached is not None and cached[0] == mtime:
-        return cached[1], cached[2], cached[3]
-    prio, deps, dep_timeout = 0, (), None
+        return cached[1], cached[2], cached[3], cached[4]
+    # parse into locals and assign ALL-or-nothing: a malformed spec must
+    # summarize fully as (0, (), None, "") — honoring a half-parsed
+    # depends_on while dropping its dep_timeout would wait unbounded on
+    # a job that claim-time quarantine is supposed to reject
+    prio, deps, dep_timeout, output = 0, (), None, ""
     try:
         with open(path) as f:
             data = json.load(f)
-        prio = int(data.get("priority") or 0)
-        deps = tuple(_parse_depends_on(data.get("depends_on")))
-        if data.get("dep_timeout") is not None:
-            dep_timeout = float(data["dep_timeout"])
+        p = int(data.get("priority") or 0)
+        d = tuple(_parse_depends_on(data.get("depends_on")))
+        t = (
+            None
+            if data.get("dep_timeout") is None
+            else float(data["dep_timeout"])
+        )
+        o = str(data.get("output") or "")
     except (OSError, ValueError, TypeError, AttributeError):
         pass  # malformed: claim-time quarantine handles it
-    _scan_cache[path] = (mtime, prio, deps, dep_timeout)
-    return prio, deps, dep_timeout
+    else:
+        prio, deps, dep_timeout, output = p, d, t, o
+    _scan_cache[path] = (mtime, prio, deps, dep_timeout, output)
+    return prio, deps, dep_timeout, output
 
 
 def scan_jobs(jobs_dir: str) -> List[str]:
@@ -325,7 +337,7 @@ def scan_jobs(jobs_dir: str) -> List[str]:
                 except FileNotFoundError:
                     continue  # vanished mid-scan: someone else claimed it
                 seen.add(e.path)
-                prio, _, _ = _spec_summary(e.path, mtime)
+                prio = _spec_summary(e.path, mtime)[0]
                 entries.append((-prio, mtime, e.path))
     except FileNotFoundError:
         return []
@@ -352,10 +364,21 @@ def check_dependencies(path: str) -> Tuple[str, Optional[str]]:
     reused dirs should chain via fresh output dirs). The wait clock is the
     queue file's mtime, which reclaim-requeue resets (the wait legitimately
     restarts when a job is rescued).
+
+    A job depending on its own output dir can never become ready and fails
+    immediately. Mutual cycles across jobs (A waits on B's dir, B on A's)
+    are not statically detected — they look identical to waiting on a job
+    someone will submit later, which is legal; bound them with
+    ``dep_timeout`` (the ``queue`` CLI shows what each job waits on).
     """
-    _, deps, dep_timeout = _spec_summary(path)
+    _, deps, dep_timeout, output = _spec_summary(path)
     if not deps:
         return "ready", None
+    if output:
+        own = os.path.abspath(output)
+        for d in deps:
+            if os.path.abspath(d) == own:
+                return "fail", f"job depends on its own output dir {d}"
     waiting_on = None
     for d in deps:
         try:

@@ -233,9 +233,9 @@ class ImageServer:
                 # failure (status.json, .failed marker, ledger row) so the
                 # cascade is observable; keep scanning — another queued
                 # job may be runnable this tick.
+                # no pipeline runs: _fail's status write creates the
+                # output dir itself and nothing reads job.params here
                 started = time.time()
-                job.params = jobs_lib.ParamTracker(job.params)
-                os.makedirs(job.output or ".", exist_ok=True)
                 self._fail(job, started, f"job {job.id}: {dep_detail}")
                 self._ledger(job, "failed", started, 0)
                 continue

@@ -243,15 +243,71 @@ class TestServerGate:
         assert cancel_job(cfg.jobs_dir, jid) == "cancelled"
         assert ImageServer(cfg).poll_once() is False
 
-    def test_malformed_depends_on_quarantined(self, server_env):
+    @pytest.mark.parametrize(
+        "spec_extra",
+        [
+            {"depends_on": 5},  # scalar non-string
+            {"depends_on": [5]},  # non-string list entry
+            {"depends_on": [None]},
+            {"depends_on": "dir", "dep_timeout": "abc"},  # bad timeout
+        ],
+    )
+    def test_malformed_depends_on_quarantined(self, server_env, spec_extra):
+        """Every malformed-spec shape must reach claim-time quarantine —
+        never be half-honored into an unbounded wait (e.g. a bad
+        dep_timeout silently dropped while its depends_on is obeyed)."""
         cfg, tmp = server_env
         jid = submit_job(
             cfg.jobs_dir,
-            {"module": "noop", "output": str(tmp / "o"), "depends_on": 5},
+            dict({"module": "noop", "output": str(tmp / "o")}, **spec_extra),
         )
         srv = ImageServer(cfg)
         srv.poll_once()
         assert os.path.exists(queued_path(cfg, jid) + ".rejected")
+
+    def test_self_dependency_fails_immediately(self, server_env):
+        """A job waiting on its OWN output dir can never become ready;
+        it must fail terminally, not deadlock the queue."""
+        cfg, tmp = server_env
+        out = str(tmp / "self")
+        jid = submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "noop",
+                "output": out,
+                # non-normalized spelling of the same dir still counts
+                "depends_on": [str(tmp / "x" / ".." / "self")],
+            },
+        )
+        ImageServer(cfg).poll_once()
+        status = json.load(open(os.path.join(out, "status.json")))
+        assert status["state"] == "failed"
+        assert "own output" in status["error"]
+        assert not os.path.exists(queued_path(cfg, jid))
+
+    def test_cancel_queued_dependency_cascades(self, server_env):
+        """Cancelling a STILL-QUEUED dependency must leave the same
+        terminal record as cancelling a running one — a cancelled
+        status.json — so dependents fail instead of waiting forever."""
+        from sequitr_tpu.client import cancel_job
+
+        cfg, tmp = server_env
+        a_out, b_out = str(tmp / "a"), str(tmp / "b")
+        ja = submit_job(
+            cfg.jobs_dir, {"module": "noop", "output": a_out}
+        )
+        submit_job(
+            cfg.jobs_dir,
+            {"module": "noop", "output": b_out, "depends_on": a_out},
+        )
+        assert cancel_job(cfg.jobs_dir, ja) == "cancelled"
+        status_a = json.load(open(os.path.join(a_out, "status.json")))
+        assert status_a["state"] == "cancelled"
+        assert status_a["id"] == ja
+        ImageServer(cfg).poll_once()
+        status_b = json.load(open(os.path.join(b_out, "status.json")))
+        assert status_b["state"] == "failed"
+        assert a_out in status_b["error"]
 
 
 class TestChainE2E:
