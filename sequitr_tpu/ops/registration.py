@@ -41,6 +41,12 @@ TPU-first design notes
   pixels; bf16's ~3 decimal digits would cost sub-pixel accuracy for no
   meaningful speed win — the FFTs are small).
 
+The estimator is N-dimensional: (H, W) frames give (dy, dx), (Z, H, W)
+volumes give (dz, dy, dx) — volumetric drift correction covers axial
+focus creep, which no per-plane 2D registration can see. All design
+notes above hold unchanged (fftn is separable, so the DFT-as-GEMM
+lowering and the cost model scale per axis).
+
 Conventions
 -----------
 ``phase_correlate(ref, mov)`` returns ``(dy, dx)`` such that
@@ -74,6 +80,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "hann_window",
     "hann2d",
     "phase_correlate",
     "apply_shift",
@@ -83,13 +90,21 @@ __all__ = [
 ]
 
 
+def hann_window(shape: Tuple[int, ...]) -> jnp.ndarray:
+    """Separable N-D Hann window: damps spectral leakage from the
+    non-periodic frame/volume borders before the correlation FFT."""
+    out = None
+    nd = len(shape)
+    for ax, n in enumerate(shape):
+        w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(n) / n)
+        w = w.reshape([-1 if i == ax else 1 for i in range(nd)])
+        out = w if out is None else out * w
+    return out
+
+
 def hann2d(shape: Tuple[int, int]) -> jnp.ndarray:
-    """Separable 2D Hann window: damps spectral leakage from the
-    non-periodic frame borders before the correlation FFT."""
-    h, w = shape
-    wy = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(h) / h)
-    wx = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(w) / w)
-    return wy[:, None] * wx[None, :]
+    """2D alias of ``hann_window`` (the original public name)."""
+    return hann_window(shape)
 
 
 def _wrap_to_signed(p: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -110,8 +125,8 @@ def _parabolic_offset(cm: jnp.ndarray, c0: jnp.ndarray, cp: jnp.ndarray):
 
 
 def _correlation_peak(surface: jnp.ndarray, subpixel: bool):
-    """Peak location of a correlation surface as a signed (dy, dx) shift,
-    plus the peak-sharpness response.
+    """Peak location of an N-D correlation surface as a signed per-axis
+    shift vector, plus the peak-sharpness response.
 
     The response is the peak-to-sidelobe ratio (peak minus surface mean,
     in surface standard deviations) — scale-invariant, so it stays a
@@ -119,23 +134,26 @@ def _correlation_peak(surface: jnp.ndarray, subpixel: bool):
     height shrinks with the fraction of informative frequencies). On real
     content a correct lock measures >~10; unrelated frames ~5.
     """
-    h, w = surface.shape
-    flat = jnp.argmax(surface)
-    py, px = flat // w, flat % w
-    peak = surface[py, px]
-    if subpixel:
-        oy = _parabolic_offset(
-            surface[(py - 1) % h, px], peak, surface[(py + 1) % h, px]
-        )
-        ox = _parabolic_offset(
-            surface[py, (px - 1) % w], peak, surface[py, (px + 1) % w]
-        )
-    else:
-        oy = ox = jnp.zeros(())
-    dy = _wrap_to_signed(py, h).astype(jnp.float32) + oy
-    dx = _wrap_to_signed(px, w).astype(jnp.float32) + ox
+    dims = surface.shape
+    idx = jnp.unravel_index(jnp.argmax(surface), dims)
+    peak = surface[idx]
+    comps = []
+    for ax, n in enumerate(dims):
+        if subpixel:
+            lo = tuple(
+                (idx[i] - 1) % n if i == ax else idx[i]
+                for i in range(len(dims))
+            )
+            hi = tuple(
+                (idx[i] + 1) % n if i == ax else idx[i]
+                for i in range(len(dims))
+            )
+            off = _parabolic_offset(surface[lo], peak, surface[hi])
+        else:
+            off = jnp.zeros(())
+        comps.append(_wrap_to_signed(idx[ax], n).astype(jnp.float32) + off)
     resp = (peak - surface.mean()) / jnp.maximum(surface.std(), 1e-30)
-    return jnp.stack([dy, dx]), resp
+    return jnp.stack(comps), resp
 
 
 def _cross_power_surface(ref_fft: jnp.ndarray, mov_fft: jnp.ndarray):
@@ -152,7 +170,7 @@ def _cross_power_surface(ref_fft: jnp.ndarray, mov_fft: jnp.ndarray):
     r = ref_fft * jnp.conj(mov_fft)
     mag = jnp.abs(r)
     r = r / (mag + 1e-4 * jnp.mean(mag) + 1e-30)
-    return jnp.fft.ifft2(r).real
+    return jnp.fft.ifftn(r).real
 
 
 def _refined_peak(
@@ -175,10 +193,10 @@ def _refined_peak(
     surface = _cross_power_surface(ref_fft_win, mov_fft_win)
     total, resp = _correlation_peak(surface, subpixel)
     for _ in range(max(0, refine - 1)):
-        shifted = jnp.fft.ifft2(
+        shifted = jnp.fft.ifftn(
             mov_fft_raw * _shift_ramp(mov_fft_raw.shape, total)
         ).real
-        surface = _cross_power_surface(ref_fft_win, jnp.fft.fft2(shifted * win))
+        surface = _cross_power_surface(ref_fft_win, jnp.fft.fftn(shifted * win))
         step, resp = _correlation_peak(surface, subpixel)
         total = total + step
     return total, resp
@@ -195,7 +213,9 @@ def phase_correlate(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Translation of ``mov`` relative to ``ref`` by phase correlation.
 
-    Returns ``(shift, response)``: ``shift = (dy, dx)`` float32 such that
+    N-dimensional: (H, W) frames give a 2-vector, (Z, H, W) volumes a
+    3-vector (volumetric drift incl. axial focus creep), one component
+    per axis. Returns ``(shift, response)``: ``shift`` float32 such that
     ``apply_shift(mov, shift) ≈ ref``; ``response`` is the correlation
     peak-to-sidelobe ratio (see ``_correlation_peak``) — low values flag
     unreliable estimates (blank frames, focus jumps, unrelated content).
@@ -204,13 +224,15 @@ def phase_correlate(
     """
     ref = ref.astype(jnp.float32)
     mov = mov.astype(jnp.float32)
-    win = hann2d(ref.shape) if window else jnp.ones(ref.shape, jnp.float32)
-    mov_fft_raw = jnp.fft.fft2(mov)
+    win = (
+        hann_window(ref.shape) if window else jnp.ones(ref.shape, jnp.float32)
+    )
+    mov_fft_raw = jnp.fft.fftn(mov)
     # mov(x) = ref(x - d)  =>  surface peaks at x ≡ -d, and the aligning
     # shift (apply_shift(mov, s) = ref) is s = -d: the peak itself.
     return _refined_peak(
-        jnp.fft.fft2(ref * win),
-        jnp.fft.fft2(mov * win),
+        jnp.fft.fftn(ref * win),
+        jnp.fft.fftn(mov * win),
         mov_fft_raw,
         win,
         subpixel,
@@ -218,25 +240,31 @@ def phase_correlate(
     )
 
 
-def _shift_ramp(shape: Tuple[int, int], shift: jnp.ndarray) -> jnp.ndarray:
+def _shift_ramp(shape: Tuple[int, ...], shift: jnp.ndarray) -> jnp.ndarray:
     """Phase ramp implementing out(x) = in(x - shift) in the frequency
-    domain (the Fourier shift theorem)."""
-    h, w = shape
-    fy = jnp.fft.fftfreq(h)[:, None]
-    fx = jnp.fft.fftfreq(w)[None, :]
-    return jnp.exp(-2j * jnp.pi * (fy * shift[0] + fx * shift[1]))
+    domain (the Fourier shift theorem), any rank."""
+    phase = None
+    nd = len(shape)
+    for ax, n in enumerate(shape):
+        f = jnp.fft.fftfreq(n).reshape(
+            [-1 if i == ax else 1 for i in range(nd)]
+        )
+        term = f * shift[ax]
+        phase = term if phase is None else phase + term
+    return jnp.exp(-2j * jnp.pi * phase)
 
 
 @jax.jit
 def apply_shift(frame: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
-    """Translate ``frame`` by a (possibly sub-pixel) ``(dy, dx)`` shift.
+    """Translate an N-D ``frame`` by a (possibly sub-pixel) per-axis
+    shift vector ((dy, dx) for frames, (dz, dy, dx) for volumes).
 
     Exact sinc interpolation via the Fourier shift theorem; content wraps
     at the borders (see module docstring). Output is float32.
     """
-    f = jnp.fft.fft2(frame.astype(jnp.float32))
+    f = jnp.fft.fftn(frame.astype(jnp.float32))
     shift = jnp.asarray(shift, jnp.float32)
-    return jnp.fft.ifft2(f * _shift_ramp(frame.shape, shift)).real
+    return jnp.fft.ifftn(f * _shift_ramp(frame.shape, shift)).real
 
 
 @partial(
@@ -262,8 +290,8 @@ def register_step(
 
     Args:
       anchor_fft: windowed FFT of the anchor frame (from a previous step).
-      frame: (H, W) new frame.
-      cum_shift: (2,) float32 cumulative shift of the ANCHOR frame.
+      frame: (H, W) new frame — or (Z, H, W) for volumetric registration.
+      cum_shift: (ndim,) float32 cumulative shift of the ANCHOR frame.
 
     Returns ``(frame_fft_win, new_cum, corrected, step_shift, response)``
     where ``frame_fft_win`` is this frame's windowed spectrum (the next
@@ -276,9 +304,13 @@ def register_step(
     and its inverse FFT never enters the graph.
     """
     f32 = frame.astype(jnp.float32)
-    win = hann2d(frame.shape) if window else jnp.ones(frame.shape, jnp.float32)
-    frame_fft_win = jnp.fft.fft2(f32 * win)
-    raw_fft = jnp.fft.fft2(f32)
+    win = (
+        hann_window(frame.shape)
+        if window
+        else jnp.ones(frame.shape, jnp.float32)
+    )
+    frame_fft_win = jnp.fft.fftn(f32 * win)
+    raw_fft = jnp.fft.fftn(f32)
     # the peak is the aligning shift directly (see phase_correlate)
     step_shift, resp = _refined_peak(
         anchor_fft, frame_fft_win, raw_fft, win, subpixel, refine
@@ -287,12 +319,16 @@ def register_step(
     if not resample:
         corrected = None
     elif subpixel:
-        corrected = jnp.fft.ifft2(
+        corrected = jnp.fft.ifftn(
             raw_fft * _shift_ramp(frame.shape, new_cum)
         ).real
     else:
         r = jnp.round(new_cum).astype(jnp.int32)
-        corrected = jnp.roll(f32, (r[0], r[1]), axis=(0, 1))
+        corrected = jnp.roll(
+            f32,
+            tuple(r[i] for i in range(f32.ndim)),
+            axis=tuple(range(f32.ndim)),
+        )
     return frame_fft_win, new_cum, corrected, step_shift, resp
 
 
@@ -306,7 +342,7 @@ def unwrap_trajectory(shifts: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
     differences are minimal — exactly 1D phase unwrapping with period N
     per axis. No-op for trajectories that never wrap (previous-mode
     integration produces those by construction). Host-side: runs once
-    per stack on a (T, 2) array.
+    per stack on a (T, ndim) array.
     """
     shifts = np.asarray(shifts, np.float64)
     out = shifts.copy()
@@ -317,10 +353,11 @@ def unwrap_trajectory(shifts: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
     return out
 
 
-def common_crop(shifts: np.ndarray, shape: Tuple[int, int]):
-    """Slices of the field of view every registered frame actually covers.
+def common_crop(shifts: np.ndarray, shape: Tuple[int, ...]):
+    """Per-axis slices of the field of view every registered frame (or
+    volume) actually covers.
 
-    ``shifts``: (T, 2) cumulative per-frame shifts as returned by the
+    ``shifts``: (T, ndim) cumulative per-frame shifts as returned by the
     registration loop, UNWRAPPED (`unwrap_trajectory`) — a mod-N wrapped
     trajectory would select exactly the stale wrapped region instead of
     the valid one. A frame shifted down by +d only has valid content
@@ -329,17 +366,17 @@ def common_crop(shifts: np.ndarray, shape: Tuple[int, int]):
     negative shift off the trailing edge of each axis.
     """
     shifts = np.asarray(shifts, np.float64)
-    h, w = shape
     # eps absorbs estimator noise: a 1e-6 px "shift" on the reference
     # frame must not ceil into discarding a whole valid row
     eps = 1e-3
-    y0 = int(np.ceil(max(0.0, shifts[:, 0].max()) - eps))
-    y1 = h + int(np.floor(min(0.0, shifts[:, 0].min()) + eps))
-    x0 = int(np.ceil(max(0.0, shifts[:, 1].max()) - eps))
-    x1 = w + int(np.floor(min(0.0, shifts[:, 1].min()) + eps))
-    if y0 >= y1 or x0 >= x1:
-        raise ValueError(
-            f"drift exceeds the frame: shifts span {shifts.min(0)}..{shifts.max(0)} "
-            f"for shape {shape}"
-        )
-    return slice(y0, y1), slice(x0, x1)
+    out = []
+    for ax, n in enumerate(shape):
+        lo = int(np.ceil(max(0.0, shifts[:, ax].max()) - eps))
+        hi = n + int(np.floor(min(0.0, shifts[:, ax].min()) + eps))
+        if lo >= hi:
+            raise ValueError(
+                f"drift exceeds the frame: shifts span "
+                f"{shifts.min(0)}..{shifts.max(0)} for shape {shape}"
+            )
+        out.append(slice(lo, hi))
+    return tuple(out)

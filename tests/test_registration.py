@@ -113,6 +113,75 @@ class TestPhaseCorrelate:
         assert np.abs(np.asarray(s) - [7.0, -4.0]).max() < 0.25
 
 
+def smooth_volume(shape=(24, 48, 48), seed=0, sigma=0.10, offset=100.0):
+    """Band-limited random 3D scene (z-stack analogue of smooth_image)."""
+    rng = np.random.default_rng(seed)
+    f = np.fft.fftn(rng.normal(0, 1, shape))
+    grids = np.meshgrid(
+        *[np.fft.fftfreq(n) for n in shape], indexing="ij"
+    )
+    r2 = sum(g**2 for g in grids)
+    vol = np.fft.ifftn(f * np.exp(-r2 / (2 * sigma**2))).real
+    return (vol * 50.0 + offset).astype(np.float32)
+
+
+class TestVolumetric:
+    """3D registration: axial (focus creep) + lateral drift in one
+    estimate — per-plane 2D registration cannot see the z component."""
+
+    def test_subpixel_recovery_3d(self):
+        vol = smooth_volume(seed=21)
+        mov = np.asarray(
+            reg.apply_shift(jnp.asarray(vol), jnp.asarray([1.6, -2.3, 0.8]))
+        )
+        s, resp = reg.phase_correlate(jnp.asarray(vol), jnp.asarray(mov))
+        # the short z axis (24 samples) carries proportionally more
+        # window bias per pixel of shift; refine=3 collapses it
+        assert np.abs(np.asarray(s) - [-1.6, 2.3, -0.8]).max() < 0.06
+        assert float(resp) > 10
+        s3, _ = reg.phase_correlate(
+            jnp.asarray(vol), jnp.asarray(mov), refine=3
+        )
+        assert np.abs(np.asarray(s3) - [-1.6, 2.3, -0.8]).max() < 0.015
+
+    def test_integer_mode_bit_exact_3d(self):
+        rng = np.random.default_rng(22)
+        vol = rng.normal(0, 1, (12, 20, 20)).astype(np.float32)
+        mov = np.roll(vol, (3, -4, 2), axis=(0, 1, 2))
+        anchor = jnp.fft.fftn(jnp.asarray(vol))
+        _, cum, corr, _, _ = reg.register_step(
+            anchor, jnp.asarray(mov), jnp.zeros(3),
+            subpixel=False, window=False,
+        )
+        assert np.array_equal(np.asarray(cum), [-3.0, 4.0, -2.0])
+        assert np.array_equal(np.asarray(corr), vol)
+
+    def test_register_step_integrates_3d_drift(self):
+        vol = smooth_volume(seed=23)
+        anchor = jnp.fft.fftn(jnp.asarray(vol) * reg.hann_window(vol.shape))
+        cum = jnp.zeros(3)
+        drift = np.cumsum(
+            np.random.default_rng(24).normal(0, 0.8, (4, 3)), 0
+        )
+        for t in range(4):
+            mov = np.asarray(
+                reg.apply_shift(jnp.asarray(vol), jnp.asarray(drift[t]))
+            )
+            anchor, cum, corr, _, _ = reg.register_step(
+                anchor, jnp.asarray(mov), cum
+            )
+            assert np.abs(np.asarray(cum) + drift[t]).max() < 0.1 * (t + 1)
+            assert np.abs(np.asarray(corr) - vol).mean() < 0.5
+
+    def test_common_crop_3d(self):
+        zs, ys, xs = reg.common_crop(
+            np.array([[0.0, 0.0, 0.0], [1.5, -2.0, 3.0]]), (16, 32, 32)
+        )
+        assert (zs.start, zs.stop) == (2, 16)
+        assert (ys.start, ys.stop) == (0, 30)
+        assert (xs.start, xs.stop) == (3, 32)
+
+
 class TestApplyShift:
     def test_round_trip(self):
         img = smooth_image(seed=7)
