@@ -31,7 +31,7 @@ import numpy as np
 
 from sequitr_tpu.data import tiff
 
-__all__ = ["FrameSource"]
+__all__ = ["FrameSource", "VolumeSequence"]
 
 
 def _natural_key(path: str):
@@ -325,6 +325,87 @@ class FrameSource:
 
     def __len__(self) -> int:
         return self.n_frames
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class VolumeSequence:
+    """Ordered (Z, H, W) volumes from per-timepoint stack files.
+
+    The registration/serving convention for TIMELAPSES OF VOLUMES: one
+    multi-page TIFF per timepoint (each file one z-stack), named so
+    natural sort orders them — the complement of ``FrameSource``, whose
+    sequence mode concatenates pages along T instead. ``entry`` is a
+    directory, glob, or single file (degenerate length-1 sequence);
+    volumes are read eagerly ONE AT A TIME (streaming over T, whole
+    volume in RAM — the same memory envelope as the 3D pipelines).
+    """
+
+    def __init__(self, entry: str):
+        self._files = _expand_channel(entry)
+        first = tiff.read_stack(self._files[0])
+        if first.ndim != 3:
+            raise ValueError(
+                f"{self._files[0]}: expected a (Z, H, W) volume stack, "
+                f"got shape {first.shape}"
+            )
+        self.spatial: Tuple[int, int, int] = first.shape
+        self.dtype = first.dtype
+        self._first = first  # reading it twice would double ingest I/O
+        self._start = 0
+        self.n_volumes = len(self._files)
+
+    def select(self, start: int, stop: Optional[int] = None) -> "VolumeSequence":
+        """Restrict to timepoints [start, stop); returns self."""
+        total = len(self._files)
+        stop = total if stop is None else int(stop)
+        start = int(start)
+        if not (0 <= start < stop <= total):
+            raise ValueError(
+                f"volume range [{start}, {stop}) out of bounds for "
+                f"{total} timepoints"
+            )
+        self._start = start
+        self.n_volumes = stop - start
+        return self
+
+    @property
+    def frame_offset(self) -> int:
+        """Absolute index of the first served timepoint."""
+        return self._start
+
+    def volume(self, t: int) -> np.ndarray:
+        """Timepoint t as a (Z, H, W) array in its native dtype."""
+        t_abs = t + self._start
+        if t_abs == 0 and self._first is not None:
+            return self._first
+        vol = np.asarray(tiff.read_stack(self._files[t_abs]))
+        if vol.shape != self.spatial:
+            raise ValueError(
+                f"{self._files[t_abs]}: volume shape {vol.shape} differs "
+                f"from the sequence's {self.spatial}"
+            )
+        if vol.dtype != self.dtype:
+            raise ValueError(
+                f"{self._files[t_abs]}: dtype {vol.dtype} differs from "
+                f"the sequence's {self.dtype}"
+            )
+        return vol
+
+    def volumes(self):
+        """Ordered volume iterator (the streaming ingest feed)."""
+        for t in range(self.n_volumes):
+            yield self.volume(t)
+
+    def __len__(self) -> int:
+        return self.n_volumes
+
+    def close(self) -> None:
+        self._first = None  # nothing held open; free the cached volume
 
     def __enter__(self):
         return self

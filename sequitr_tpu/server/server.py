@@ -3011,6 +3011,13 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       with wrapped borders.
     * ``estimate_only`` (default false): write shifts.csv only.
     * ``frame_range``: [start, stop) as in the serving pipelines.
+    * ``dims`` (default 2): 3 = VOLUMETRIC registration of a timelapse of
+      z-stacks — one multi-page TIFF per timepoint (directory/glob entry,
+      natural sort), one (dz, dy, dx) estimate per volume in a single 3D
+      correlation (axial focus creep included, which per-plane 2D
+      registration cannot see); outputs per-timepoint
+      ``registered_t{t:04d}[_c{k}].tif`` volumes and a dz/dy/dx
+      shifts.csv.
 
     Multi-channel (one TIFF per input entry): shifts are estimated on the
     FIRST channel and applied to every channel. Outputs:
@@ -3040,6 +3047,13 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         raise jobs_lib.JobError(f"refine={refine} must be in [1, 8]")
     crop = bool(p.get("crop", False))
     estimate_only = bool(p.get("estimate_only", False))
+    dims = int(p.get("dims", 2))
+    if dims == 3:
+        return _register_volumes(
+            job, mode, subpixel, window, refine, crop, estimate_only
+        )
+    if dims != 2:
+        raise jobs_lib.JobError(f"dims={dims} must be 2 or 3")
 
     paths = _resolve_inputs(job)
     try:
@@ -3242,4 +3256,209 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         for name in names:
             key = "registered" if name == "registered.tif" else name[:-4]
             out[key] = os.path.join(job.output, name)
+    return out
+
+
+def _register_volumes(
+    job: Job,
+    mode: str,
+    subpixel: bool,
+    window: bool,
+    refine: int,
+    crop: bool,
+    estimate_only: bool,
+) -> Dict[str, str]:
+    """Volumetric (dims=3) body of ``register_stack``: one 3D phase
+    correlation per timepoint over a sequence of (Z, H, W) volume files.
+
+    Ingest is one ``VolumeSequence`` per channel (one multi-page TIFF per
+    timepoint); channel 0 drives the estimate, every channel is resampled
+    by the shared trajectory. Volumes stream one timepoint at a time —
+    the same memory envelope as the 3D serving pipelines. Outputs
+    per-timepoint ``registered_t{t:04d}[_c{k}].tif`` files (atomic
+    write-then-rename each) mirroring the input convention, plus a
+    dz/dy/dx ``shifts.csv`` and drift metrics.
+    """
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data.source import VolumeSequence
+    from sequitr_tpu.ops import registration as reg_lib
+    from sequitr_tpu.utils import PhaseTimer
+
+    paths = _resolve_inputs(job)
+    try:
+        channels = [VolumeSequence(entry) for entry in paths]
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    shapes = {c.spatial for c in channels}
+    counts = {len(c) for c in channels}
+    if len(shapes) != 1 or len(counts) != 1:
+        raise jobs_lib.JobError(
+            f"job {job.id}: channel volume sequences disagree: shapes "
+            f"{sorted(shapes)}, timepoints {sorted(counts)}"
+        )
+    channels = [_apply_frame_range(job, c) for c in channels]
+    src = channels[0]
+    n_t = len(src)
+    if n_t < 2:
+        raise jobs_lib.JobError(
+            f"job {job.id}: registration needs >= 2 timepoints (one "
+            f"(Z, H, W) stack FILE per timepoint — a directory or glob "
+            f"input entry); got {n_t}"
+        )
+    zhw = src.spatial
+    timer = PhaseTimer()
+    t0 = time.time()
+
+    def estimate_volumes(resample):
+        """(cum, step, resp, corrected_ch0) per timepoint, fused step."""
+        anchor = None
+        cum = jnp.zeros(3, jnp.float32)
+        zero = jnp.zeros(3, jnp.float32)
+        for vol in src.volumes():
+            with timer.phase("read"):
+                v = np.asarray(vol)
+            if anchor is None:
+                win = (
+                    reg_lib.hann_window(zhw)
+                    if window
+                    else jnp.ones(zhw, jnp.float32)
+                )
+                anchor = jnp.fft.fftn(jnp.asarray(v, jnp.float32) * win)
+                yield zero, zero, None, None
+                continue
+            fft_win, new_cum, corr, step, resp = reg_lib.register_step(
+                anchor,
+                jnp.asarray(v),
+                cum if mode == "previous" else zero,
+                subpixel=subpixel,
+                window=window,
+                refine=refine,
+                resample=resample,
+            )
+            if mode == "previous":
+                anchor, cum = fft_win, new_cum
+            yield new_cum, step, resp, corr
+
+    out_dtype = np.float32 if subpixel else src.dtype
+
+    def apply_cum(vol: np.ndarray, cum) -> np.ndarray:
+        if not np.any(np.asarray(cum)):
+            return vol
+        if not subpixel:
+            r = np.round(np.asarray(cum)).astype(int)
+            return np.roll(vol, tuple(r), axis=(0, 1, 2))
+        return np.asarray(reg_lib.apply_shift(jnp.asarray(vol), cum))
+
+    def vol_name(t_abs: int, c: int) -> str:
+        suffix = "" if len(channels) == 1 else f"_c{c}"
+        return f"registered_t{t_abs:04d}{suffix}.tif"
+
+    def write_volume(t: int, vol_by_channel, sl) -> None:
+        from sequitr_tpu.data import tiff as tiff_lib
+
+        for c, v in enumerate(vol_by_channel):
+            with timer.phase("write"):
+                path = os.path.join(
+                    job.output, vol_name(src.frame_offset + t, c)
+                )
+                tmp = path + ".tmp"
+                tiff_lib.write_stack(
+                    tmp, np.asarray(v[sl], dtype=out_dtype)
+                )
+                os.replace(tmp, path)
+
+    shifts_rows = []  # (cum, step, resp)
+
+    def unwrapped_cums():
+        return reg_lib.unwrap_trajectory(
+            np.stack([c for c, _, _ in shifts_rows]), zhw
+        )
+
+    full = tuple(slice(0, n) for n in zhw)
+    if estimate_only or crop:
+        for cum, step, resp, _ in jobs_lib.track(
+            job, estimate_volumes(resample=False), total=n_t,
+            phase="estimate",
+        ):
+            shifts_rows.append((np.asarray(cum), np.asarray(step), resp))
+        if not estimate_only:
+            sl = full
+            if crop:
+                try:
+                    sl = reg_lib.common_crop(unwrapped_cums(), zhw)
+                except ValueError as e:
+                    raise jobs_lib.JobError(str(e))
+            rows = iter(shifts_rows)
+            for t in jobs_lib.track(
+                job, range(n_t), total=n_t, phase="volumes"
+            ):
+                cum, _, _ = next(rows)
+                with timer.phase("infer"):
+                    vols = [
+                        apply_cum(ch.volume(t), jnp.asarray(cum))
+                        for ch in channels
+                    ]
+                write_volume(t, vols, sl)
+    else:
+        use_fused = subpixel and len(channels) == 1
+        rows_iter = estimate_volumes(resample=use_fused)
+        for t, (cum, step, resp, corr) in enumerate(
+            jobs_lib.track(job, rows_iter, total=n_t, phase="volumes")
+        ):
+            with timer.phase("infer"):
+                if use_fused:
+                    vols = [
+                        np.asarray(corr)
+                        if corr is not None
+                        else src.volume(t)
+                    ]
+                else:
+                    vols = [
+                        apply_cum(ch.volume(t), cum) for ch in channels
+                    ]
+            write_volume(t, vols, full)
+            shifts_rows.append((np.asarray(cum), np.asarray(step), resp))
+
+    cums = unwrapped_cums()
+    shifts_path = os.path.join(job.output, "shifts.csv")
+    tmp = shifts_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("frame,dz,dy,dx,step_dz,step_dy,step_dx,response\n")
+        for i, (_, step, resp) in enumerate(shifts_rows):
+            r = "" if resp is None else f"{float(resp):.3f}"
+            f.write(
+                f"{src.frame_offset + i},"
+                f"{cums[i][0]:.4f},{cums[i][1]:.4f},{cums[i][2]:.4f},"
+                f"{step[0]:.4f},{step[1]:.4f},{step[2]:.4f},{r}\n"
+            )
+    os.replace(tmp, shifts_path)
+
+    total_s = time.time() - t0
+    steps = (
+        np.stack([s for _, s, _ in shifts_rows[1:]])
+        if len(shifts_rows) > 1
+        else np.zeros((0, 3))
+    )
+    resps = [float(r) for _, _, r in shifts_rows if r is not None]
+    metrics = dict(
+        timer.summary(),
+        total_s=round(total_s, 4),
+        n_volumes=n_t,
+        max_drift_px=round(
+            float(np.linalg.norm(cums, axis=1).max()), 3
+        ),
+        rms_step_px=round(
+            float(np.sqrt(np.mean(np.linalg.norm(steps, axis=1) ** 2)))
+            if len(steps)
+            else 0.0,
+            3,
+        ),
+        min_response=round(min(resps), 3) if resps else None,
+    )
+    if total_s > 0:
+        metrics["volumes_per_sec"] = round(n_t / total_s, 3)
+    out = {"shifts": shifts_path, "metrics": json.dumps(metrics)}
+    if not estimate_only:
+        out["registered"] = job.output
     return out

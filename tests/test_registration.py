@@ -182,6 +182,52 @@ class TestVolumetric:
         assert (xs.start, xs.stop) == (3, 32)
 
 
+class TestVolumeSequence:
+    def test_sequence_roundtrip_and_select(self, tmp_path):
+        from sequitr_tpu.data.source import VolumeSequence
+
+        rng = np.random.default_rng(30)
+        vols = [
+            (rng.random((5, 8, 8)) * 900).astype(np.uint16) for _ in range(4)
+        ]
+        from sequitr_tpu.data import tiff as tiff_lib
+
+        d = tmp_path / "vols"
+        d.mkdir()
+        for i, v in enumerate(vols):
+            tiff_lib.write_stack(str(d / f"t_{i}.tif"), v)
+        with VolumeSequence(str(d)) as seq:
+            assert len(seq) == 4
+            assert seq.spatial == (5, 8, 8)
+            assert seq.dtype == np.uint16
+            for t in range(4):
+                np.testing.assert_array_equal(seq.volume(t), vols[t])
+            seq.select(1, 3)
+            assert len(seq) == 2 and seq.frame_offset == 1
+            np.testing.assert_array_equal(seq.volume(0), vols[1])
+
+    def test_rejects_2d_and_mismatched(self, tmp_path):
+        from sequitr_tpu.data import tiff as tiff_lib
+        from sequitr_tpu.data.source import VolumeSequence
+
+        d = tmp_path / "vols"
+        d.mkdir()
+        tiff_lib.write_stack(
+            str(d / "t_0.tif"), np.zeros((4, 8, 8), np.uint16)
+        )
+        tiff_lib.write_stack(
+            str(d / "t_1.tif"), np.zeros((3, 8, 8), np.uint16)
+        )
+        seq = VolumeSequence(str(d))
+        with pytest.raises(ValueError, match="differs"):
+            seq.volume(1)
+        tiff_lib.write_stack(
+            str(tmp_path / "flat.tif"), np.zeros((8, 8), np.float32)
+        )
+        with pytest.raises(ValueError, match="volume"):
+            VolumeSequence(str(tmp_path / "flat.tif"))
+
+
 class TestApplyShift:
     def test_round_trip(self):
         img = smooth_image(seed=7)
@@ -464,3 +510,120 @@ class TestRegisterStackPipeline:
         status = run_job(cfg, out)
         assert status["state"] == "failed"
         assert "sideways" in status["error"]
+
+
+class TestRegisterVolumesPipeline:
+    """dims=3: volumetric registration of a timelapse of z-stack files."""
+
+    def _write_drifting_volumes(self, d, drift, seed=31, shape=(12, 24, 24)):
+        """One (Z, H, W) file per timepoint, Fourier-drifted in 3D."""
+        vol = smooth_volume(shape, seed=seed)
+        os.makedirs(d, exist_ok=True)
+        for t, s in enumerate(drift):
+            moved = np.asarray(
+                reg.apply_shift(jnp.asarray(vol), jnp.asarray(s, jnp.float32))
+            )
+            tiff.write_stack(os.path.join(d, f"t_{t}.tif"), moved)
+        return vol
+
+    def test_volumetric_crop_registration(self, server_env):
+        cfg, tmp = server_env
+        drift = [(0.0, 0.0, 0.0), (0.8, -1.2, 0.6), (1.6, -2.4, 1.2)]
+        d = str(tmp / "vols")
+        self._write_drifting_volumes(d, drift)
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                # refine=3: the tiny 12-px z axis carries proportionally
+                # more window bias (see TestVolumetric), the third pass
+                # collapses it
+                "params": {"dims": 3, "crop": True, "refine": 3},
+                "input": [d],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        vols = [
+            tiff.read_stack(os.path.join(out, f"registered_t{t:04d}.tif"))
+            for t in range(3)
+        ]
+        # cropped to the common region, all axes trimmed
+        assert vols[0].ndim == 3 and vols[0].shape < (12, 24, 24)
+        span = vols[0].max() - vols[0].min()
+        for v in vols[1:]:
+            assert v.shape == vols[0].shape
+            # tiny 12-px z axis: residual bias is worst-case ~2% at a
+            # few sharp voxels; the field as a whole is stationary
+            assert np.abs(v - vols[0]).mean() < 0.005 * span
+            assert np.abs(v - vols[0]).max() < 0.04 * span
+        # shifts.csv has the 3-axis schema with a z column
+        header = open(os.path.join(out, "shifts.csv")).readline().strip()
+        assert header == "frame,dz,dy,dx,step_dz,step_dy,step_dx,response"
+        rows = np.loadtxt(
+            os.path.join(out, "shifts.csv"),
+            delimiter=",", skiprows=1, usecols=(1, 2, 3),
+        )
+        # z bias scales with shift/N and the z axis is only 12 samples;
+        # lateral axes land within a few hundredths of a pixel
+        assert np.abs(rows[-1] - [-1.6, 2.4, -1.2]).max() < 0.12
+        assert np.abs(rows[-1][1:] - [2.4, -1.2]).max() < 0.04
+        metrics = json.loads(status["outputs"]["metrics"])
+        assert metrics["n_volumes"] == 3
+
+    def test_volumetric_integer_multichannel(self, server_env):
+        """Integer-roll drift on two channels: correction is bit-exact and
+        keeps the native dtype; channel 1 rides channel 0's trajectory."""
+        cfg, tmp = server_env
+        rng = np.random.default_rng(32)
+        base0 = (rng.random((6, 16, 16)) * 900).astype(np.uint16)
+        base1 = (rng.random((6, 16, 16)) * 900).astype(np.uint16)
+        drift = [(0, 0, 0), (2, -3, 1), (1, 4, -2)]
+        d0, d1 = str(tmp / "c0"), str(tmp / "c1")
+        os.makedirs(d0), os.makedirs(d1)
+        for t, s in enumerate(drift):
+            for d, b in ((d0, base0), (d1, base1)):
+                tiff.write_stack(
+                    os.path.join(d, f"t_{t}.tif"),
+                    np.roll(b, s, axis=(0, 1, 2)),
+                )
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"dims": 3, "subpixel": False, "window": False},
+                "input": [d0, d1],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        for t in range(3):
+            for c, b in ((0, base0), (1, base1)):
+                got = tiff.read_stack(
+                    os.path.join(out, f"registered_t{t:04d}_c{c}.tif")
+                )
+                assert got.dtype == np.uint16
+                np.testing.assert_array_equal(got, b)
+
+    def test_volumetric_needs_sequence(self, server_env):
+        cfg, tmp = server_env
+        tiff.write_stack(
+            str(tmp / "one.tif"), np.zeros((4, 8, 8), np.float32)
+        )
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"dims": 3},
+                "input": [str(tmp / "one.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "failed"
+        assert "timepoints" in status["error"]
