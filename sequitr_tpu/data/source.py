@@ -356,6 +356,26 @@ class VolumeSequence:
         self.spatial: Tuple[int, int, int] = first.shape
         self.dtype = first.dtype
         self._first = first  # reading it twice would double ingest I/O
+        # validate EVERY file up front (header-only where the lazy reader
+        # parses it) so a mismatched volume fails at init — inside the
+        # caller's deterministic-error wrapper — not hours into streaming
+        for f in self._files[1:]:
+            try:
+                with tiff.TiffReader(f) as r:
+                    shp, dt = tuple(r.shape), np.dtype(r.dtype)
+            except ValueError:
+                vol = np.asarray(tiff.read_stack(f))
+                shp, dt = vol.shape, vol.dtype
+            if shp != self.spatial:
+                raise ValueError(
+                    f"{f}: volume shape {shp} differs from the "
+                    f"sequence's {self.spatial}"
+                )
+            if dt != self.dtype:
+                raise ValueError(
+                    f"{f}: dtype {dt} differs from the sequence's "
+                    f"{self.dtype}"
+                )
         self._start = 0
         self.n_volumes = len(self._files)
 
@@ -380,6 +400,10 @@ class VolumeSequence:
 
     def volume(self, t: int) -> np.ndarray:
         """Timepoint t as a (Z, H, W) array in its native dtype."""
+        if not 0 <= t < self.n_volumes:
+            raise IndexError(
+                f"timepoint {t} out of range {self.n_volumes}"
+            )
         t_abs = t + self._start
         if t_abs == 0 and self._first is not None:
             return self._first

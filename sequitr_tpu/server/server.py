@@ -532,11 +532,19 @@ def load_model(models_dir: str, name: str):
 
 
 def _resolve_inputs(job: Job):
+    import glob as glob_lib
+
     if not job.input:
         raise jobs_lib.JobError(f"job {job.id}: no input paths")
     for p in job.input:
-        if not os.path.exists(p):
-            raise jobs_lib.JobError(f"job {job.id}: input not found: {p}")
+        if os.path.exists(p):
+            continue
+        # the documented glob convention (FrameSource/VolumeSequence
+        # expand entries like data/t_*.tif in natural order): a pattern
+        # that matches at least one file is a valid entry
+        if any(ch in p for ch in "*?[") and glob_lib.glob(p):
+            continue
+        raise jobs_lib.JobError(f"job {job.id}: input not found: {p}")
     return job.input
 
 
@@ -3310,14 +3318,24 @@ def _register_volumes(
     timer = PhaseTimer()
     t0 = time.time()
 
+    def read_volume(ch, t: int) -> np.ndarray:
+        """One timepoint read, timed, deterministic on corrupt data."""
+        with timer.phase("read"):
+            try:
+                return ch.volume(t)
+            except ValueError as e:
+                raise jobs_lib.JobError(f"job {job.id}: {e}")
+
     def estimate_volumes(resample):
-        """(cum, step, resp, corrected_ch0) per timepoint, fused step."""
+        """(vol_ch0, cum, step, resp, corrected_ch0) per timepoint.
+
+        Yields the volume it read so the single-pass apply loop never
+        re-reads the driving channel's file."""
         anchor = None
         cum = jnp.zeros(3, jnp.float32)
         zero = jnp.zeros(3, jnp.float32)
-        for vol in src.volumes():
-            with timer.phase("read"):
-                v = np.asarray(vol)
+        for t in range(n_t):
+            v = read_volume(src, t)
             if anchor is None:
                 win = (
                     reg_lib.hann_window(zhw)
@@ -3325,7 +3343,7 @@ def _register_volumes(
                     else jnp.ones(zhw, jnp.float32)
                 )
                 anchor = jnp.fft.fftn(jnp.asarray(v, jnp.float32) * win)
-                yield zero, zero, None, None
+                yield v, zero, zero, None, None
                 continue
             fft_win, new_cum, corr, step, resp = reg_lib.register_step(
                 anchor,
@@ -3338,9 +3356,16 @@ def _register_volumes(
             )
             if mode == "previous":
                 anchor, cum = fft_win, new_cum
-            yield new_cum, step, resp, corr
+            yield v, new_cum, step, resp, corr
 
-    out_dtype = np.float32 if subpixel else src.dtype
+    # integer mode keeps native values; mixed channel dtypes promote the
+    # same way FrameSource.dtype does for the 2D path (np.result_type),
+    # never silently truncating a float channel into channel 0's ints
+    out_dtype = (
+        np.float32
+        if subpixel
+        else np.result_type(*[c.dtype for c in channels])
+    )
 
     def apply_cum(vol: np.ndarray, cum) -> np.ndarray:
         if not np.any(np.asarray(cum)):
@@ -3355,18 +3380,26 @@ def _register_volumes(
         return f"registered_t{t_abs:04d}{suffix}.tif"
 
     def write_volume(t: int, vol_by_channel, sl) -> None:
-        from sequitr_tpu.data import tiff as tiff_lib
-
         for c, v in enumerate(vol_by_channel):
             with timer.phase("write"):
-                path = os.path.join(
-                    job.output, vol_name(src.frame_offset + t, c)
+                out = np.asarray(v[sl], dtype=out_dtype)
+                # TiffAppendWriter is already atomic (write-temp-rename)
+                # and goes BigTIFF when a volume could brush the classic
+                # 4 GiB offset limit; compress_output is honored as in 2D
+                w = _append_writer(
+                    os.path.join(
+                        job.output, vol_name(src.frame_offset + t, c)
+                    ),
+                    float(out.nbytes),
+                    _out_compression(job),
                 )
-                tmp = path + ".tmp"
-                tiff_lib.write_stack(
-                    tmp, np.asarray(v[sl], dtype=out_dtype)
-                )
-                os.replace(tmp, path)
+                try:
+                    for plane in out:
+                        w.append(plane)
+                except BaseException:
+                    w.abort()
+                    raise
+                w.close()
 
     shifts_rows = []  # (cum, step, resp)
 
@@ -3376,49 +3409,52 @@ def _register_volumes(
         )
 
     full = tuple(slice(0, n) for n in zhw)
-    if estimate_only or crop:
-        for cum, step, resp, _ in jobs_lib.track(
-            job, estimate_volumes(resample=False), total=n_t,
-            phase="estimate",
-        ):
-            shifts_rows.append((np.asarray(cum), np.asarray(step), resp))
-        if not estimate_only:
-            sl = full
-            if crop:
-                try:
-                    sl = reg_lib.common_crop(unwrapped_cums(), zhw)
-                except ValueError as e:
-                    raise jobs_lib.JobError(str(e))
-            rows = iter(shifts_rows)
-            for t in jobs_lib.track(
-                job, range(n_t), total=n_t, phase="volumes"
+    try:
+        if estimate_only or crop:
+            for _, cum, step, resp, _ in jobs_lib.track(
+                job, estimate_volumes(resample=False), total=n_t,
+                phase="estimate",
             ):
-                cum, _, _ = next(rows)
+                shifts_rows.append((np.asarray(cum), np.asarray(step), resp))
+            if not estimate_only:
+                sl = full
+                if crop:
+                    try:
+                        sl = reg_lib.common_crop(unwrapped_cums(), zhw)
+                    except ValueError as e:
+                        raise jobs_lib.JobError(str(e))
+                rows = iter(shifts_rows)
+                for t in jobs_lib.track(
+                    job, range(n_t), total=n_t, phase="volumes"
+                ):
+                    cum, _, _ = next(rows)
+                    vols = [read_volume(ch, t) for ch in channels]
+                    with timer.phase("infer"):
+                        vols = [
+                            apply_cum(v, jnp.asarray(cum)) for v in vols
+                        ]
+                    write_volume(t, vols, sl)
+        else:
+            use_fused = subpixel and len(channels) == 1
+            rows_iter = estimate_volumes(resample=use_fused)
+            for t, (v0, cum, step, resp, corr) in enumerate(
+                jobs_lib.track(job, rows_iter, total=n_t, phase="volumes")
+            ):
+                extra = [read_volume(ch, t) for ch in channels[1:]]
                 with timer.phase("infer"):
-                    vols = [
-                        apply_cum(ch.volume(t), jnp.asarray(cum))
-                        for ch in channels
-                    ]
-                write_volume(t, vols, sl)
-    else:
-        use_fused = subpixel and len(channels) == 1
-        rows_iter = estimate_volumes(resample=use_fused)
-        for t, (cum, step, resp, corr) in enumerate(
-            jobs_lib.track(job, rows_iter, total=n_t, phase="volumes")
-        ):
-            with timer.phase("infer"):
-                if use_fused:
-                    vols = [
-                        np.asarray(corr)
-                        if corr is not None
-                        else src.volume(t)
-                    ]
-                else:
-                    vols = [
-                        apply_cum(ch.volume(t), cum) for ch in channels
-                    ]
-            write_volume(t, vols, full)
-            shifts_rows.append((np.asarray(cum), np.asarray(step), resp))
+                    if use_fused:
+                        vols = [
+                            np.asarray(corr) if corr is not None else v0
+                        ]
+                    else:
+                        vols = [
+                            apply_cum(v, cum) for v in [v0] + extra
+                        ]
+                write_volume(t, vols, full)
+                shifts_rows.append((np.asarray(cum), np.asarray(step), resp))
+    finally:
+        for ch in channels:
+            ch.close()  # frees each sequence's cached first volume
 
     cums = unwrapped_cums()
     shifts_path = os.path.join(job.output, "shifts.csv")

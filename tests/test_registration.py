@@ -218,9 +218,11 @@ class TestVolumeSequence:
         tiff_lib.write_stack(
             str(d / "t_1.tif"), np.zeros((3, 8, 8), np.uint16)
         )
-        seq = VolumeSequence(str(d))
+        # mismatches surface at INIT (header-only scan), inside the
+        # pipeline's deterministic-JobError wrapper — never hours into
+        # a streaming pass
         with pytest.raises(ValueError, match="differs"):
-            seq.volume(1)
+            VolumeSequence(str(d))
         tiff_lib.write_stack(
             str(tmp_path / "flat.tif"), np.zeros((8, 8), np.float32)
         )
@@ -608,6 +610,50 @@ class TestRegisterVolumesPipeline:
                 )
                 assert got.dtype == np.uint16
                 np.testing.assert_array_equal(got, b)
+
+    def test_glob_input_and_compress(self, server_env):
+        """Glob entries pass _resolve_inputs (the documented convention)
+        and compress_output is honored for volume outputs."""
+        cfg, tmp = server_env
+        drift = [(0, 0, 0), (1, -2, 1)]
+        d = str(tmp / "vols")
+        os.makedirs(d)
+        # sparse label-like volume: the documented compress_output case
+        base = np.zeros((4, 16, 16), np.uint16)
+        base[1, 4:8, 4:8] = 7
+        base[2, 9:12, 2:5] = 9
+        for t, s in enumerate(drift):
+            tiff.write_stack(
+                os.path.join(d, f"t_{t}.tif"), np.roll(base, s, (0, 1, 2))
+            )
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {
+                    "dims": 3,
+                    "subpixel": False,
+                    "window": False,
+                    "compress_output": True,
+                },
+                "input": [os.path.join(d, "t_*.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        for t in range(2):
+            got = tiff.read_stack(
+                os.path.join(out, f"registered_t{t:04d}.tif")
+            )
+            np.testing.assert_array_equal(got, base)
+        # deflate output: sparse labels shrink well below raw size
+        raw = base.nbytes
+        assert (
+            os.path.getsize(os.path.join(out, "registered_t0000.tif"))
+            < raw / 2
+        )
 
     def test_volumetric_needs_sequence(self, server_env):
         cfg, tmp = server_env
