@@ -395,6 +395,26 @@ def bench_emitters(device_kind: str, iters: int):
             "unit": "frames/sec/chip"}
 
 
+def bench_register(device_kind: str, iters: int):
+    """Fused drift-registration step (register_stack's compute path):
+    one phase-correlation estimate (windowed FFT, whitened cross-power,
+    refine=2 debias passes) + Fourier resample per 1024² frame — the
+    FFTs lower to batched GEMMs on the MXU."""
+    import jax.numpy as jnp
+    from sequitr_tpu.ops import registration as reg
+
+    img = _frame()
+    anchor = jnp.fft.fft2(img * reg.hann_window(img.shape))
+    cum = jnp.zeros(2, jnp.float32)
+
+    def one():
+        return reg.register_step(anchor, img, cum)[2]
+
+    fps = _rate(one, iters)
+    return {"metric": "register_1024", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
 CONFIGS = {
     "inference": bench_inference,
     "timelapse": bench_timelapse,
@@ -408,6 +428,7 @@ CONFIGS = {
     "fast4": bench_fast4,
     "giant": bench_giant,
     "emitters": bench_emitters,
+    "register": bench_register,
 }
 
 
@@ -451,6 +472,7 @@ def _fidelity_spec(name: str):
         "train3d": ("train3d", lambda: fid.train_fidelity("unet3d")),
         "gantrain": ("traingan", lambda: fid.train_fidelity("gan")),
         "emitters": ("emit", lambda: fid.emitter_fidelity()),
+        "register": ("reg", lambda: fid.register_fidelity()),
     }
     return specs.get(name)
 
