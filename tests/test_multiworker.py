@@ -143,3 +143,86 @@ class TestMultiWorkerE2E:
             except subprocess.TimeoutExpired:
                 proc.kill()
             log_f.close()
+
+
+class TestMultiWorkerChainE2E:
+    def test_chain_order_under_contending_workers(self, tmp_path):
+        """A -> B -> C chain (submitted in REVERSE) + independent fillers,
+        drained by 2 real subprocess workers: dependents never start
+        before their dependency completes, even with an idle worker
+        polling the queue the whole time."""
+        jobs = tmp_path / "jobs"
+        models = tmp_path / "models"
+        logs = tmp_path / "logs"
+        for d in (jobs, models, logs):
+            os.makedirs(d, exist_ok=True)
+        cfgp = tmp_path / "server.json"
+        ServerConfiguration(
+            jobs_dir=str(jobs), models_dir=str(models), poll_interval=0.2,
+            log_dir=str(logs),
+        ).to_json(str(cfgp))
+
+        stack = np.zeros((1, 16, 16), np.float32)
+        stack[0, 8, 8] = 100.0
+        tiff.write_stack(str(tmp_path / "em.tif"), stack)
+
+        def spec(out, depends_on=None):
+            s = {
+                "module": "localize_emitters",
+                "params": {"threshold": 50},
+                "input": [str(tmp_path / "em.tif")],
+                "output": str(tmp_path / out),
+            }
+            if depends_on:
+                s["depends_on"] = str(tmp_path / depends_on)
+            return s
+
+        # reverse submission order: the gate, not queue order, must rule
+        submit_job(str(jobs), spec("c", depends_on="b"), job_id="c")
+        submit_job(str(jobs), spec("b", depends_on="a"), job_id="b")
+        for i in range(2):  # fillers keep the second worker busy
+            submit_job(str(jobs), spec(f"fill{i}"), job_id=f"fill{i}")
+        submit_job(str(jobs), spec("a"), job_id="a")
+
+        env = dict(os.environ, SEQUITR_FORCE_CPU="1")
+        log_f = open(tmp_path / "supervisor.log", "w")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "sequitr_tpu", "serve", "--workers", "2",
+             "--jobs-dir", str(jobs), "--models-dir", str(models),
+             "--config", str(cfgp), "--poll-interval", "0.2"],
+            env=env, cwd=REPO_ROOT, stdout=log_f, stderr=log_f,
+        )
+        try:
+            def status(name):
+                p = tmp_path / name / "status.json"
+                if not p.exists():
+                    return None
+                try:
+                    return json.loads(p.read_text())
+                except ValueError:
+                    return None  # mid-write
+
+            names = ["a", "b", "c", "fill0", "fill1"]
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                got = [status(n) for n in names]
+                if all(s and s.get("state") == "complete" for s in got):
+                    break
+                time.sleep(0.5)
+            log_txt = (tmp_path / "supervisor.log").read_text()
+            assert all(
+                (status(n) or {}).get("state") == "complete" for n in names
+            ), ([(n, (status(n) or {}).get("state")) for n in names],
+                log_txt[-3000:])
+            # the gate held: each dependent started only after its
+            # dependency's terminal write (same-host wall clock)
+            a, b, c = status("a"), status("b"), status("c")
+            assert b["started"] >= a["updated"], (a, b)
+            assert c["started"] >= b["updated"], (b, c)
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+            log_f.close()
