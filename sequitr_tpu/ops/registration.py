@@ -85,6 +85,7 @@ __all__ = [
     "phase_correlate",
     "apply_shift",
     "register_step",
+    "register_batch",
     "unwrap_trajectory",
     "common_crop",
 ]
@@ -330,6 +331,78 @@ def register_step(
             axis=tuple(range(f32.ndim)),
         )
     return frame_fft_win, new_cum, corrected, step_shift, resp
+
+
+def _register_batch_impl(
+    ref_fft_win: jnp.ndarray,
+    frames: jnp.ndarray,
+    win: jnp.ndarray,
+    subpixel: bool,
+    refine: int,
+    resample: bool,
+):
+    """vmapped body of ``register_batch`` (unjitted so callers control the
+    jit boundary — the DP wrapper re-jits it with mesh shardings)."""
+
+    def one(frame):
+        f32 = frame.astype(jnp.float32)
+        fft_w = jnp.fft.fftn(f32 * win)
+        raw = jnp.fft.fftn(f32)
+        shift, resp = _refined_peak(
+            ref_fft_win, fft_w, raw, win, subpixel, refine
+        )
+        if not resample:
+            corrected = jnp.zeros((), jnp.float32)  # uniform pytree leaf
+        elif subpixel:
+            corrected = jnp.fft.ifftn(
+                raw * _shift_ramp(frame.shape, shift)
+            ).real
+        else:
+            r = jnp.round(shift).astype(jnp.int32)
+            corrected = jnp.roll(
+                f32,
+                tuple(r[i] for i in range(f32.ndim)),
+                axis=tuple(range(f32.ndim)),
+            )
+        return shift, resp, corrected
+
+    return jax.vmap(one)(frames)
+
+
+@partial(
+    jax.jit, static_argnames=("subpixel", "window", "refine", "resample")
+)
+def register_batch(
+    ref: jnp.ndarray,
+    frames: jnp.ndarray,
+    *,
+    subpixel: bool = True,
+    window: bool = True,
+    refine: int = 2,
+    resample: bool = True,
+):
+    """First-frame-mode registration of a whole batch in ONE dispatch.
+
+    In ``first`` mode every frame correlates against the SAME reference —
+    there is no frame-to-frame dependency — so the estimate is
+    embarrassingly parallel: ``frames`` is (B, H, W) (or (B, Z, H, W));
+    returns ``(shifts, responses, corrected)`` with leading dim B. The
+    body is a vmap, so a device mesh shards B over chips with zero
+    inter-chip traffic (``parallel.mesh.make_dp_registerer`` supplies the
+    sharded-jit form). ``resample=False`` returns a dummy scalar batch in
+    the corrected slot and compiles the resample out.
+
+    The streaming ``register_step`` remains the tool for ``previous``
+    (drift-integration) mode, whose anchor chain is inherently serial.
+    """
+    ref = ref.astype(jnp.float32)
+    win = (
+        hann_window(ref.shape) if window else jnp.ones(ref.shape, jnp.float32)
+    )
+    ref_fft_win = jnp.fft.fftn(ref * win)
+    return _register_batch_impl(
+        ref_fft_win, frames, win, subpixel, refine, resample
+    )
 
 
 def unwrap_trajectory(shifts: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:

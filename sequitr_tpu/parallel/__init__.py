@@ -10,6 +10,7 @@ from sequitr_tpu.parallel.mesh import (  # noqa: F401
     make_dp_train_step,
     make_dp_frame_inferrer,
     make_dp_frame_mapper,
+    make_dp_registerer,
 )
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "make_dp_train_step",
     "make_dp_frame_inferrer",
     "make_dp_frame_mapper",
+    "make_dp_registerer",
 ]
 
 
@@ -139,4 +140,50 @@ def make_dp_frame_mapper(
         )(frames),
         in_shardings=(rep, rep, shd),
         out_shardings=shd,
+    )
+
+
+def make_dp_registerer(
+    mesh: Mesh,
+    *,
+    subpixel: bool = True,
+    window: bool = True,
+    refine: int = 2,
+    resample: bool = True,
+    axis_name: str = "data",
+) -> Callable:
+    """DP form of first-frame-mode drift registration.
+
+    ``registered(ref, frames)`` with ``ref`` (H, W) (or (Z, H, W))
+    replicated and ``frames`` (D, *spatial) sharded over ``data``: every
+    chip estimates + resamples its shard of frames against the shared
+    reference in one dispatch with zero inter-chip traffic (the estimate
+    is embarrassingly parallel in ``first`` mode — see
+    ``ops.registration.register_batch``). Returns (shifts, responses,
+    corrected), all batch-sharded.
+    """
+    import jax.numpy as jnp
+
+    from sequitr_tpu.ops import registration as reg
+
+    rep = replicated(mesh)
+    shd = batch_sharded(mesh, axis_name)
+
+    def body(ref, frames):
+        ref = ref.astype(jnp.float32)
+        win = (
+            reg.hann_window(ref.shape)
+            if window
+            else jnp.ones(ref.shape, jnp.float32)
+        )
+        return reg._register_batch_impl(
+            jnp.fft.fftn(ref * win), frames, win, subpixel, refine, resample
+        )
+
+    return jax.jit(
+        body,
+        in_shardings=(rep, shd),
+        # all three outputs carry the batch dim (resample=False returns a
+        # (B,) dummy scalar batch), so all shard over it
+        out_shardings=(shd, shd, shd),
     )

@@ -3019,6 +3019,13 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       with wrapped borders.
     * ``estimate_only`` (default false): write shifts.csv only.
     * ``frame_range``: [start, stop) as in the serving pipelines.
+    * ``data_parallel`` (default false): shard frames over all chips of
+      the mesh. ``first`` mode only — every frame correlates against the
+      same reference, so estimation (and the fused resample for
+      single-channel sub-pixel serves) is embarrassingly parallel, one
+      batched dispatch per device-count chunk with zero inter-chip
+      traffic. ``previous`` mode integrates an anchor chain serially and
+      rejects the flag. 2D only (volume sequences are few-timepoint).
     * ``dims`` (default 2): 3 = VOLUMETRIC registration of a timelapse of
       z-stacks — one multi-page TIFF per timepoint (directory/glob entry,
       natural sort), one (dz, dy, dx) estimate per volume in a single 3D
@@ -3056,12 +3063,27 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     crop = bool(p.get("crop", False))
     estimate_only = bool(p.get("estimate_only", False))
     dims = int(p.get("dims", 2))
+    dp_param = bool(p.get("data_parallel"))
     if dims == 3:
+        if dp_param:
+            raise jobs_lib.JobError(
+                "data_parallel registration is 2D-only (volume sequences "
+                "are few-timepoint; shifts ride channel 0 serially)"
+            )
         return _register_volumes(
             job, mode, subpixel, window, refine, crop, estimate_only
         )
     if dims != 2:
         raise jobs_lib.JobError(f"dims={dims} must be 2 or 3")
+    if dp_param and mode != "first":
+        raise jobs_lib.JobError(
+            "data_parallel registration needs mode='first': 'previous' "
+            "mode integrates a frame-to-frame anchor chain, which is "
+            "inherently serial"
+        )
+    import jax as _jax
+
+    use_dp = dp_param and _jax.device_count() > 1
 
     paths = _resolve_inputs(job)
     try:
@@ -3102,6 +3124,50 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             if mode == "previous":
                 anchor, cum = fft_win, new_cum
             yield frame, new_cum, step, resp, corr
+
+    def estimate_frames_dp(src, resample):
+        """DP form of ``estimate_frames`` (first mode only): device-count
+        chunks of frames, one batched sharded dispatch per chunk — every
+        chip correlates (and optionally resamples) its shard against the
+        replicated reference with zero inter-chip traffic. Yields the
+        SAME per-frame tuples, so the consumer loops don't care which
+        estimator ran."""
+        from sequitr_tpu import parallel
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        mesh = parallel.make_mesh()
+        n_dev = mesh.devices.size
+        dp = parallel.make_dp_registerer(
+            mesh, subpixel=subpixel, window=window, refine=refine,
+            resample=resample,
+        )
+        ref = None
+        zero = np.zeros(2, np.float32)
+        t, left = 0, len(src)
+        for chunk in infer_lib._iter_read_ahead(src.chunks(n_dev), 2):
+            ch0 = chunk[..., 0] if chunk.ndim == 4 else chunk
+            if ref is None:
+                ref = jnp.asarray(ch0[0])
+            shifts, resps, corrs = dp(ref, jnp.asarray(ch0))
+            shifts = np.asarray(shifts)
+            resps = np.asarray(resps)
+            for k in range(min(n_dev, left)):
+                if t == 0:
+                    # canonical reference-frame row: exact zeros, no
+                    # response, the ORIGINAL pixels (no FFT round-trip)
+                    yield chunk[0], zero, zero, None, None
+                else:
+                    yield (
+                        chunk[k],
+                        shifts[k],
+                        shifts[k],  # first mode: step == cum estimate
+                        float(resps[k]),
+                        corrs[k] if resample else None,
+                    )
+                t += 1
+            left -= n_dev
+
+    estimator = estimate_frames_dp if use_dp else estimate_frames
 
     def apply_cum(frame: np.ndarray, cum) -> np.ndarray:
         """Shift every channel of a native frame by the cumulative shift."""
@@ -3172,7 +3238,7 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 try:
                     for _, cum, step, resp, _ in jobs_lib.track(
                         job,
-                        estimate_frames(est_source, resample=False),
+                        estimator(est_source, resample=False),
                         total=n_frames,
                         phase="estimate",
                     ):
@@ -3210,7 +3276,7 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 use_fused = subpixel and source.n_channels == 1
                 for frame, cum, step, resp, corr in jobs_lib.track(
                     job,
-                    estimate_frames(source, resample=use_fused),
+                    estimator(source, resample=use_fused),
                     total=n_frames,
                     phase="frames",
                 ):

@@ -673,3 +673,124 @@ class TestRegisterVolumesPipeline:
         status = run_job(cfg, out)
         assert status["state"] == "failed"
         assert "timepoints" in status["error"]
+
+
+class TestRegisterBatchDP:
+    """First-frame-mode batched/DP registration: every frame correlates
+    against the same reference, so estimation shards over the mesh with
+    zero inter-chip traffic. Virtual 8-device mesh (conftest)."""
+
+    def _drifting(self, n=8, size=64, seed=40):
+        img = smooth_image((size, size), seed=seed)
+        truth = np.cumsum(
+            np.random.default_rng(seed + 1).normal(0, 1.0, (n, 2)), 0
+        )
+        truth[0] = 0.0
+        frames = np.stack(
+            [fourier_shifted(img, d[0], d[1]) for d in truth]
+        )
+        return img, frames, truth
+
+    def test_batch_matches_streaming_first_mode(self):
+        img, frames, _ = self._drifting()
+        # streaming first-mode reference
+        anchor = jnp.fft.fftn(jnp.asarray(frames[0]) * reg.hann_window(img.shape))
+        zero = jnp.zeros(2)
+        stream = []
+        for f in frames:
+            _, cum, corr, _, _ = reg.register_step(
+                anchor, jnp.asarray(f), zero
+            )
+            stream.append((np.asarray(cum), np.asarray(corr)))
+        shifts, resps, corrs = reg.register_batch(
+            jnp.asarray(frames[0]), jnp.asarray(frames)
+        )
+        for t in range(len(frames)):
+            assert np.abs(np.asarray(shifts)[t] - stream[t][0]).max() < 1e-4
+            assert np.abs(np.asarray(corrs)[t] - stream[t][1]).max() < 1e-3
+        assert np.all(np.asarray(resps)[1:] > 5)
+
+    def test_dp_sharded_matches_unsharded(self):
+        import jax
+
+        from sequitr_tpu import parallel
+
+        if jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        img, frames, _ = self._drifting(n=8)
+        mesh = parallel.make_mesh()
+        dp = parallel.make_dp_registerer(mesh)
+        s_dp, r_dp, c_dp = dp(jnp.asarray(frames[0]), jnp.asarray(frames))
+        s_1, r_1, c_1 = reg.register_batch(
+            jnp.asarray(frames[0]), jnp.asarray(frames)
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_dp), np.asarray(s_1), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_dp), np.asarray(c_1), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_dp), np.asarray(r_1), rtol=1e-4
+        )
+
+    def test_pipeline_dp_matches_streaming(self, server_env):
+        """register_stack with data_parallel=true produces the same
+        registered stack and trajectory as the single-chip streaming
+        run (first mode)."""
+        import jax
+
+        if jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        cfg, tmp = server_env
+        img, frames, _ = self._drifting(n=10, size=48, seed=41)
+        tiff.write_stack(str(tmp / "stack.tif"), frames)
+        outs = {}
+        for name, extra in (
+            ("dp", {"data_parallel": True}),
+            ("single", {}),
+        ):
+            out = str(tmp / name)
+            submit_job(
+                cfg.jobs_dir,
+                {
+                    "module": "register_stack",
+                    "params": dict({"mode": "first"}, **extra),
+                    "input": [str(tmp / "stack.tif")],
+                    "output": out,
+                },
+            )
+            status = run_job(cfg, out)
+            assert status["state"] == "complete", status.get("error")
+            outs[name] = out
+        a = tiff.read_stack(os.path.join(outs["dp"], "registered.tif"))
+        b = tiff.read_stack(os.path.join(outs["single"], "registered.tif"))
+        assert np.abs(a - b).max() < 1e-3
+        sa = np.loadtxt(
+            os.path.join(outs["dp"], "shifts.csv"),
+            delimiter=",", skiprows=1, usecols=(1, 2),
+        )
+        sb = np.loadtxt(
+            os.path.join(outs["single"], "shifts.csv"),
+            delimiter=",", skiprows=1, usecols=(1, 2),
+        )
+        assert np.abs(sa - sb).max() < 1e-3
+
+    def test_dp_rejects_previous_mode(self, server_env):
+        cfg, tmp = server_env
+        tiff.write_stack(
+            str(tmp / "s.tif"), np.zeros((3, 16, 16), np.float32)
+        )
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"data_parallel": True, "mode": "previous"},
+                "input": [str(tmp / "s.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "failed"
+        assert "serial" in status["error"]
