@@ -334,15 +334,22 @@ def register_step(
 
 
 def _register_batch_impl(
-    ref_fft_win: jnp.ndarray,
+    ref: jnp.ndarray,
     frames: jnp.ndarray,
-    win: jnp.ndarray,
     subpixel: bool,
+    window: bool,
     refine: int,
     resample: bool,
 ):
-    """vmapped body of ``register_batch`` (unjitted so callers control the
-    jit boundary — the DP wrapper re-jits it with mesh shardings)."""
+    """Full body of ``register_batch`` (unjitted so callers control the
+    jit boundary — the DP wrapper re-jits it with mesh shardings).
+    Owns the reference prep too, so the single-chip and DP paths cannot
+    diverge in windowing/normalization."""
+    ref = ref.astype(jnp.float32)
+    win = (
+        hann_window(ref.shape) if window else jnp.ones(ref.shape, jnp.float32)
+    )
+    ref_fft_win = jnp.fft.fftn(ref * win)
 
     def one(frame):
         f32 = frame.astype(jnp.float32)
@@ -395,13 +402,8 @@ def register_batch(
     The streaming ``register_step`` remains the tool for ``previous``
     (drift-integration) mode, whose anchor chain is inherently serial.
     """
-    ref = ref.astype(jnp.float32)
-    win = (
-        hann_window(ref.shape) if window else jnp.ones(ref.shape, jnp.float32)
-    )
-    ref_fft_win = jnp.fft.fftn(ref * win)
     return _register_batch_impl(
-        ref_fft_win, frames, win, subpixel, refine, resample
+        ref, frames, subpixel, window, refine, resample
     )
 
 

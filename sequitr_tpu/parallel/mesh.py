@@ -162,26 +162,15 @@ def make_dp_registerer(
     ``ops.registration.register_batch``). Returns (shifts, responses,
     corrected), all batch-sharded.
     """
-    import jax.numpy as jnp
-
     from sequitr_tpu.ops import registration as reg
 
     rep = replicated(mesh)
     shd = batch_sharded(mesh, axis_name)
 
-    def body(ref, frames):
-        ref = ref.astype(jnp.float32)
-        win = (
-            reg.hann_window(ref.shape)
-            if window
-            else jnp.ones(ref.shape, jnp.float32)
-        )
-        return reg._register_batch_impl(
-            jnp.fft.fftn(ref * win), frames, win, subpixel, refine, resample
-        )
-
     return jax.jit(
-        body,
+        lambda ref, frames: reg._register_batch_impl(
+            ref, frames, subpixel, window, refine, resample
+        ),
         in_shardings=(rep, shd),
         # all three outputs carry the batch dim (resample=False returns a
         # (B,) dummy scalar batch), so all shard over it

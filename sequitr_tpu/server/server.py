@@ -3151,6 +3151,9 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             shifts, resps, corrs = dp(ref, jnp.asarray(ch0))
             shifts = np.asarray(shifts)
             resps = np.asarray(resps)
+            # one bulk D2H per chunk, not one small sync per frame in
+            # the write loop (the dummy (B,) no-resample case is free)
+            corrs = np.asarray(corrs) if resample else None
             for k in range(min(n_dev, left)):
                 if t == 0:
                     # canonical reference-frame row: exact zeros, no
