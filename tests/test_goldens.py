@@ -172,3 +172,64 @@ class TestOpGoldens:
         np.testing.assert_allclose(fast, g["lohi_fast"], rtol=1e-5)
         out = np.asarray(norm_ops.percentile_normalize(x, 5.0, 99.5), np.float32)
         np.testing.assert_allclose(out, g["normalized"], atol=1e-6)
+
+    def test_register_step(self):
+        """Phase-correlation estimator numerics frozen: window, whitened
+        cross-power, refine passes, parabolic fit, Fourier resample (2D
+        step) and the volumetric batched estimate."""
+        from sequitr_tpu.ops import registration as reg
+
+        g = _load("register_step")
+        rng = np.random.default_rng(80_001)
+        f = np.fft.fft2(rng.normal(0, 1, (96, 96)))
+        fy = np.fft.fftfreq(96)[:, None]
+        fx = np.fft.fftfreq(96)[None, :]
+        base = (
+            np.fft.ifft2(
+                f * np.exp(-(fy**2 + fx**2) / (2 * 0.08**2))
+            ).real * 50 + 120
+        ).astype(np.float32)
+        mov = np.asarray(
+            reg.apply_shift(jnp.asarray(base), jnp.asarray([2.3, -1.7]))
+        )
+        anchor = jnp.fft.fftn(
+            jnp.asarray(base) * reg.hann_window(base.shape)
+        )
+        _, cum, corr, _, resp = reg.register_step(
+            anchor, jnp.asarray(mov), jnp.zeros(2)
+        )
+        np.testing.assert_allclose(
+            np.asarray(cum, np.float32), g["shift"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.float32(resp), g["response"], rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(corr, np.float32), g["corrected"], atol=1e-4
+        )
+        f3 = np.fft.fftn(rng.normal(0, 1, (8, 32, 32)))
+        grids = np.meshgrid(
+            *[np.fft.fftfreq(n) for n in (8, 32, 32)], indexing="ij"
+        )
+        r2 = sum(gr**2 for gr in grids)
+        vol = (
+            np.fft.ifftn(f3 * np.exp(-r2 / (2 * 0.12**2))).real * 50 + 120
+        ).astype(np.float32)
+        vols = jnp.stack(
+            [
+                reg.apply_shift(
+                    jnp.asarray(vol),
+                    jnp.asarray([0.4 * k, 0.9 * k, -0.6 * k]),
+                )
+                for k in range(3)
+            ]
+        )
+        shifts3, resps3, _ = reg.register_batch(
+            jnp.asarray(vol), vols, resample=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(shifts3, np.float32), g["shifts3"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(resps3, np.float32), g["responses3"], rtol=1e-4
+        )

@@ -190,6 +190,58 @@ def make_normalize_quantiles():
     )
 
 
+def make_register_step():
+    """One fused streaming-registration step (2D) and one volumetric
+    batch estimate on fixed band-limited scenes with a known sub-pixel
+    shift — freezes the phase-correlation estimator's numerics (window,
+    whitening, refine passes, parabolic fit, Fourier resample)."""
+    from sequitr_tpu.ops import registration as reg
+
+    rng = np.random.default_rng(80_001)
+    f = np.fft.fft2(rng.normal(0, 1, (96, 96)))
+    fy = np.fft.fftfreq(96)[:, None]
+    fx = np.fft.fftfreq(96)[None, :]
+    base = (
+        np.fft.ifft2(f * np.exp(-(fy**2 + fx**2) / (2 * 0.08**2))).real * 50
+        + 120
+    ).astype(np.float32)
+    mov = np.asarray(
+        reg.apply_shift(jnp.asarray(base), jnp.asarray([2.3, -1.7]))
+    )
+    anchor = jnp.fft.fftn(jnp.asarray(base) * reg.hann_window(base.shape))
+    _, cum, corr, _, resp = reg.register_step(
+        anchor, jnp.asarray(mov), jnp.zeros(2)
+    )
+    # volumetric batch: 3 drifted copies of a (8, 32, 32) scene
+    f3 = np.fft.fftn(rng.normal(0, 1, (8, 32, 32)))
+    grids = np.meshgrid(
+        *[np.fft.fftfreq(n) for n in (8, 32, 32)], indexing="ij"
+    )
+    r2 = sum(g**2 for g in grids)
+    vol = (
+        np.fft.ifftn(f3 * np.exp(-r2 / (2 * 0.12**2))).real * 50 + 120
+    ).astype(np.float32)
+    vols = jnp.stack(
+        [
+            reg.apply_shift(
+                jnp.asarray(vol), jnp.asarray([0.4 * k, 0.9 * k, -0.6 * k])
+            )
+            for k in range(3)
+        ]
+    )
+    shifts3, resps3, _ = reg.register_batch(
+        jnp.asarray(vol), vols, resample=False
+    )
+    _save(
+        "register_step",
+        shift=np.asarray(cum, np.float32),
+        response=np.asarray(resp, np.float32),
+        corrected=np.asarray(corr, np.float32),
+        shifts3=np.asarray(shifts3, np.float32),
+        responses3=np.asarray(resps3, np.float32),
+    )
+
+
 FAMILIES = {
     "unet2d_infer": make_unet2d_infer,
     "unet3d_infer": make_unet3d_infer,
@@ -197,6 +249,7 @@ FAMILIES = {
     "train2d_losses": make_train2d_losses,
     "augment_elastic": make_augment_elastic,
     "normalize_quantiles": make_normalize_quantiles,
+    "register_step": make_register_step,
 }
 
 
