@@ -386,3 +386,49 @@ class TestTrainStepOnChip:
             losses.append(float(metrics["loss"]))
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
+
+
+class TestRegistrationOnChip:
+    def test_register_step_vs_cpu_f32(self):
+        """The fused phase-correlation step compiled on the chip: FFTs
+        lower to batched GEMMs on the MXU (DFT-as-GEMM); the estimate and
+        resample must match the CPU-f32 path to float tolerance — the
+        estimator deliberately runs f32 everywhere, so any gap here is a
+        lowering difference, not a dtype policy."""
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.ops import registration as reg
+
+        rng = np.random.default_rng(90_001)
+        f = np.fft.fft2(rng.normal(0, 1, (512, 512)))
+        fy = np.fft.fftfreq(512)[:, None]
+        fx = np.fft.fftfreq(512)[None, :]
+        base = (
+            np.fft.ifft2(
+                f * np.exp(-(fy**2 + fx**2) / (2 * 0.06**2))
+            ).real * 50 + 120
+        ).astype(np.float32)
+        cpu = _cpu_device()
+        with jax.default_device(cpu):
+            mov = np.asarray(
+                reg.apply_shift(jnp.asarray(base), jnp.asarray([3.7, -2.2]))
+            )
+            anchor_cpu = jnp.fft.fftn(
+                jnp.asarray(base) * reg.hann_window(base.shape)
+            )
+            _, cum_cpu, corr_cpu, _, resp_cpu = reg.register_step(
+                anchor_cpu, jnp.asarray(mov), jnp.zeros(2)
+            )
+        # on-chip: same inputs through the compiled TPU graph
+        anchor = jnp.fft.fftn(jnp.asarray(base) * reg.hann_window(base.shape))
+        _, cum, corr, _, resp = reg.register_step(
+            anchor, jnp.asarray(mov), jnp.zeros(2)
+        )
+        assert np.abs(np.asarray(cum) - np.asarray(cum_cpu)).max() < 1e-3
+        assert abs(float(resp) - float(resp_cpu)) / float(resp_cpu) < 0.01
+        assert (
+            np.abs(np.asarray(corr) - np.asarray(corr_cpu)).max() < 0.05
+        )  # two FFT round-trips of float32 accumulation differences
+        # and the estimate is actually right
+        assert np.abs(np.asarray(cum) - [-3.7, 2.2]).max() < 0.02
