@@ -196,3 +196,75 @@ class TestAugmentProperties:
         # weights stay within the input range (convex bilinear combination)
         assert float(jnp.min(a[2])) >= float(jnp.min(wm)) - 1e-5
         assert float(jnp.max(a[2])) <= float(jnp.max(wm)) + 1e-5
+
+
+class TestRegistrationProperties:
+    """Randomized invariants of the phase-correlation estimator."""
+
+    def _scene(self, rng, shape):
+        f = np.fft.fftn(rng.normal(0, 1, shape))
+        grids = np.meshgrid(
+            *[np.fft.fftfreq(n) for n in shape], indexing="ij"
+        )
+        r2 = sum(g**2 for g in grids)
+        return (
+            np.fft.ifftn(f * np.exp(-r2 / (2 * 0.1**2))).real * 50 + 110
+        ).astype(np.float32)
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_estimate_inverts_random_subpixel_shift(self, seed):
+        """For any within-range shift s: estimating mov=shift(base, s)
+        against base recovers -s, and applying the estimate undoes the
+        motion — regardless of odd/even or non-square shapes."""
+        from sequitr_tpu.ops import registration as reg
+
+        rng = np.random.default_rng(seed)
+        shape = (int(rng.integers(33, 97)), int(rng.integers(33, 97)))
+        base = self._scene(rng, shape)
+        s = rng.uniform(-4, 4, 2).astype(np.float32)
+        mov = np.asarray(reg.apply_shift(jnp.asarray(base), jnp.asarray(s)))
+        est, resp = reg.phase_correlate(
+            jnp.asarray(base), jnp.asarray(mov), refine=3
+        )
+        assert np.abs(np.asarray(est) + s).max() < 0.05, (shape, s)
+        assert float(resp) > 5
+        back = np.asarray(reg.apply_shift(jnp.asarray(mov), est))
+        span = base.max() - base.min()
+        assert np.abs(back - base).mean() < 0.01 * span
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_antisymmetry(self, seed):
+        """phase_correlate(a, b) == -phase_correlate(b, a) (within the
+        estimator's own accuracy) — the estimate is a displacement, so
+        swapping roles must flip its sign, not change its magnitude."""
+        from sequitr_tpu.ops import registration as reg
+
+        rng = np.random.default_rng(100 + seed)
+        base = self._scene(rng, (64, 64))
+        s = rng.uniform(-3, 3, 2).astype(np.float32)
+        mov = np.asarray(reg.apply_shift(jnp.asarray(base), jnp.asarray(s)))
+        ab, _ = reg.phase_correlate(jnp.asarray(base), jnp.asarray(mov))
+        ba, _ = reg.phase_correlate(jnp.asarray(mov), jnp.asarray(base))
+        assert np.abs(np.asarray(ab) + np.asarray(ba)).max() < 0.02
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_unwrap_then_crop_never_selects_stale_rows(self, seed):
+        """Random monotonic drifts (possibly crossing N/2): unwrapped
+        trajectories are continuous (no ~N jumps) and common_crop bounds
+        stay inside the frame."""
+        from sequitr_tpu.ops import registration as reg
+
+        rng = np.random.default_rng(200 + seed)
+        n = int(rng.integers(40, 90))
+        steps = rng.uniform(-1.5, 1.5, 2) * np.ones((6, 2))
+        truth = np.vstack([[0.0, 0.0], np.cumsum(steps, 0)])
+        # wrap each estimate into the canonical interval like the
+        # estimator reports them
+        est = (truth + n / 2) % n - n / 2
+        unwrapped = reg.unwrap_trajectory(est, (n, n))
+        assert np.abs(np.diff(unwrapped, axis=0) - steps).max() < 1e-9
+        span = truth.max(0) - truth.min(0)
+        if (span < n - 2).all():
+            sly, slx = reg.common_crop(unwrapped, (n, n))
+            for sl in (sly, slx):
+                assert 0 <= sl.start < sl.stop <= n
