@@ -343,10 +343,54 @@ class VolumeSequence:
     directory, glob, or single file (degenerate length-1 sequence);
     volumes are read eagerly ONE AT A TIME (streaming over T, whole
     volume in RAM — the same memory envelope as the 3D pipelines).
+
+    ``z`` handles the OTHER acquisition convention — one single file of
+    T·Z pages (ImageJ hyperstack export flattened along pages): pass the
+    pages-per-volume and timepoint t is pages [t·z, (t+1)·z), read
+    lazily page-by-page (the whole file never materializes).
     """
 
-    def __init__(self, entry: str):
+    def __init__(self, entry: str, z: Optional[int] = None):
         self._files = _expand_channel(entry)
+        self._z = None
+        self._z_reader: Optional[tiff.TiffReader] = None
+        self._z_eager: Optional[np.ndarray] = None
+        if z is not None:
+            z = int(z)
+            if z < 1:
+                raise ValueError(f"z={z} (pages per volume) must be >= 1")
+            if len(self._files) != 1:
+                raise ValueError(
+                    "z (pages per volume) applies to a single stacked "
+                    f"file; {entry!r} is a {len(self._files)}-file "
+                    "sequence (already one volume per file)"
+                )
+            try:
+                r = tiff.TiffReader(self._files[0])
+                pages, h, w = r.shape
+                self._z_reader = r
+                self.dtype = np.dtype(r.dtype)
+            except ValueError:
+                arr = np.asarray(tiff.read_stack(self._files[0]))
+                if arr.ndim != 3:
+                    raise ValueError(
+                        f"{self._files[0]}: expected a (T*Z, H, W) page "
+                        f"stack, got shape {arr.shape}"
+                    )
+                pages, h, w = arr.shape
+                self._z_eager = arr
+                self.dtype = arr.dtype
+            if pages % z:
+                raise ValueError(
+                    f"{self._files[0]}: {pages} pages do not divide into "
+                    f"z={z} planes per volume"
+                )
+            self._z = z
+            self.spatial = (z, h, w)
+            self._first = None
+            self._start = 0
+            self.n_volumes = self._total = pages // z
+            return
         first = tiff.read_stack(self._files[0])
         if first.ndim != 3:
             raise ValueError(
@@ -377,11 +421,11 @@ class VolumeSequence:
                     f"{self.dtype}"
                 )
         self._start = 0
-        self.n_volumes = len(self._files)
+        self.n_volumes = self._total = len(self._files)
 
     def select(self, start: int, stop: Optional[int] = None) -> "VolumeSequence":
         """Restrict to timepoints [start, stop); returns self."""
-        total = len(self._files)
+        total = self._total
         stop = total if stop is None else int(stop)
         start = int(start)
         if not (0 <= start < stop <= total):
@@ -405,6 +449,16 @@ class VolumeSequence:
                 f"timepoint {t} out of range {self.n_volumes}"
             )
         t_abs = t + self._start
+        if self._z is not None:
+            lo = t_abs * self._z
+            if self._z_eager is not None:
+                return np.asarray(self._z_eager[lo:lo + self._z])
+            return np.stack(
+                [
+                    self._z_reader.read_frame(lo + k)
+                    for k in range(self._z)
+                ]
+            )
         if t_abs == 0 and self._first is not None:
             return self._first
         vol = np.asarray(tiff.read_stack(self._files[t_abs]))
@@ -429,7 +483,11 @@ class VolumeSequence:
         return self.n_volumes
 
     def close(self) -> None:
-        self._first = None  # nothing held open; free the cached volume
+        self._first = None  # free the cached volume
+        self._z_eager = None
+        if self._z_reader is not None:
+            self._z_reader.close()
+            self._z_reader = None
 
     def __enter__(self):
         return self

@@ -54,7 +54,7 @@ import logging
 import os
 import time
 import traceback
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import numpy as np
 
@@ -3033,6 +3033,10 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       registration cannot see); outputs per-timepoint
       ``registered_t{t:04d}[_c{k}].tif`` volumes and a dz/dy/dx
       shifts.csv.
+    * ``z`` (dims=3 only): pages per volume for the SINGLE-FILE
+      convention — one TIFF of T·Z pages (flattened hyperstack);
+      timepoint t is pages [t·z, (t+1)·z), read lazily. Outputs stay
+      per-timepoint files.
 
     Multi-channel (one TIFF per input entry): shifts are estimated on the
     FIRST channel and applied to every channel. Outputs:
@@ -3070,8 +3074,10 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 "data_parallel registration is 2D-only (volume sequences "
                 "are few-timepoint; shifts ride channel 0 serially)"
             )
+        z = p.get("z")
         return _register_volumes(
-            job, mode, subpixel, window, refine, crop, estimate_only
+            job, mode, subpixel, window, refine, crop, estimate_only,
+            z=None if z is None else int(z),
         )
     if dims != 2:
         raise jobs_lib.JobError(f"dims={dims} must be 2 or 3")
@@ -3344,6 +3350,7 @@ def _register_volumes(
     refine: int,
     crop: bool,
     estimate_only: bool,
+    z: Optional[int] = None,
 ) -> Dict[str, str]:
     """Volumetric (dims=3) body of ``register_stack``: one 3D phase
     correlation per timepoint over a sequence of (Z, H, W) volume files.
@@ -3364,7 +3371,7 @@ def _register_volumes(
 
     paths = _resolve_inputs(job)
     try:
-        channels = [VolumeSequence(entry) for entry in paths]
+        channels = [VolumeSequence(entry, z=z) for entry in paths]
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
     shapes = {c.spatial for c in channels}

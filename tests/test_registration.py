@@ -794,3 +794,56 @@ class TestRegisterBatchDP:
         status = run_job(cfg, out)
         assert status["state"] == "failed"
         assert "serial" in status["error"]
+
+
+class TestSingleFileVolumeTimelapse:
+    """z param: one TIFF of T*Z pages (flattened hyperstack) served as a
+    volume timelapse."""
+
+    def test_volume_sequence_z_mode(self, tmp_path):
+        from sequitr_tpu.data.source import VolumeSequence
+
+        rng = np.random.default_rng(50)
+        vols = [(rng.random((4, 8, 8)) * 900).astype(np.uint16) for _ in range(3)]
+        flat = np.concatenate(vols, axis=0)  # (12, 8, 8) pages
+        tiff.write_stack(str(tmp_path / "hyper.tif"), flat)
+        with VolumeSequence(str(tmp_path / "hyper.tif"), z=4) as seq:
+            assert len(seq) == 3
+            assert seq.spatial == (4, 8, 8)
+            assert seq.dtype == np.uint16
+            for t in range(3):
+                np.testing.assert_array_equal(seq.volume(t), vols[t])
+            seq.select(1, 3)
+            np.testing.assert_array_equal(seq.volume(0), vols[1])
+        with pytest.raises(ValueError, match="divide"):
+            VolumeSequence(str(tmp_path / "hyper.tif"), z=5)
+
+    def test_register_stack_z_mode(self, server_env):
+        cfg, tmp = server_env
+        rng = np.random.default_rng(51)
+        base = (rng.random((6, 24, 24)) * 900).astype(np.uint16)
+        drift = [(0, 0, 0), (1, -2, 1), (2, 3, -1)]
+        flat = np.concatenate(
+            [np.roll(base, s, axis=(0, 1, 2)) for s in drift], axis=0
+        )
+        tiff.write_stack(str(tmp / "hyper.tif"), flat)
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {
+                    "dims": 3, "z": 6, "subpixel": False, "window": False,
+                },
+                "input": [str(tmp / "hyper.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        for t in range(3):
+            got = tiff.read_stack(
+                os.path.join(out, f"registered_t{t:04d}.tif")
+            )
+            assert got.dtype == np.uint16
+            np.testing.assert_array_equal(got, base)
