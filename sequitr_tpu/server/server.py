@@ -531,6 +531,17 @@ def load_model(models_dir: str, name: str):
 # ---------------------------------------------------------------------------
 
 
+def _expand_inputs_entry(path: str):
+    """Ordered file list for one input entry (dir/glob expansion) — [path]
+    for a plain file; never raises (callers decide what emptiness means)."""
+    from sequitr_tpu.data.source import _expand_channel
+
+    try:
+        return _expand_channel(path)
+    except ValueError:
+        return [path]
+
+
 def _resolve_inputs(job: Job):
     import glob as glob_lib
 
@@ -2045,6 +2056,14 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     Same output contract as the 2D pipeline: labels.tif (uint16), optional
     per-class probs.tif (``save_probs``), and btrack objects.h5 with 3D
     centroids (``localize``, default True; SURVEY.md §3.5).
+
+    TIMELAPSES OF VOLUMES (3D + time): a directory/glob input entry (one
+    z-stack file per timepoint) or a single file with the ``z``
+    pages-per-volume param serves every timepoint through one cached
+    graph — per-timepoint ``labels_t{t:04d}.tif`` (+ probs/entropy) and
+    ONE ``objects.h5`` whose map covers all timepoints, ready for 3D
+    btrack tracking (or the built-in ``track_objects``). ``frame_range``
+    selects timepoints; streamed one volume at a time, cancellable.
     """
     from sequitr_tpu import localize as loc_lib
     from sequitr_tpu.data import tiff
@@ -2053,6 +2072,13 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     # one TIFF per channel, stacked on the trailing axis — the same
     # multi-fluorophore convention as the 2D pipeline (SURVEY.md §2)
     paths = _resolve_inputs(job)
+    z_param = job.params.get("z")
+    if z_param is not None or any(
+        len(_expand_inputs_entry(p_)) > 1 for p_ in paths
+    ):
+        return _segment_volume_timelapse(
+            job, config, paths, None if z_param is None else int(z_param)
+        )
     vols = []
     for p_ in paths:
         v = _read_stack_or_fail(job, p_)
@@ -3574,3 +3600,154 @@ def _register_volumes(
     if not estimate_only:
         out["registered"] = job.output
     return out
+
+
+def _segment_volume_timelapse(
+    job: Job,
+    config: ServerConfiguration,
+    paths,
+    z: Optional[int],
+) -> Dict[str, str]:
+    """Timelapse body of ``segmentation_unet3d``: stream a sequence of
+    (Z, H, W) volumes (one file per timepoint, or one T*Z-page file with
+    ``z``) through ONE cached fused graph; per-timepoint labels (+
+    probs/entropy) files and a single btrack objects.h5 spanning every
+    timepoint — the 3D+time workflow that feeds volumetric tracking.
+    """
+    import jax
+
+    from sequitr_tpu import localize as loc_lib
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.data.source import VolumeSequence
+    from sequitr_tpu.pipeline import infer as infer_lib
+    from sequitr_tpu.utils import PhaseTimer
+
+    try:
+        channels = [VolumeSequence(entry, z=z) for entry in paths]
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    shapes = {c.spatial for c in channels}
+    counts = {len(c) for c in channels}
+    if len(shapes) != 1 or len(counts) != 1:
+        raise jobs_lib.JobError(
+            f"job {job.id}: channel volume sequences disagree: shapes "
+            f"{sorted(shapes)}, timepoints {sorted(counts)}"
+        )
+    channels = [_apply_frame_range(job, c) for c in channels]
+    src = channels[0]
+    n_t = len(src)
+    zhw = src.spatial
+
+    cfg, params, state = _require_model(job, config, "unet")
+    if cfg.dims != 3:
+        raise jobs_lib.JobError(
+            f"job {job.id}: model is {cfg.dims}D, expected 3D"
+        )
+    if cfg.in_channels != len(channels):
+        raise jobs_lib.JobError(
+            f"model expects {cfg.in_channels} channel(s), got "
+            f"{len(channels)} input sequence(s)"
+        )
+    if job.params.get("spatial_parallel"):
+        raise jobs_lib.JobError(
+            "spatial_parallel is single-volume only; serve a volume "
+            "timelapse per-timepoint (the per-volume graph is cached "
+            "across timepoints) or split the range across workers with "
+            "frame_range"
+        )
+    tc = _tile_config(
+        job.params, dims=3,
+        frame_spatial=zhw, min_multiple=cfg.min_input_multiple,
+    )
+    timer = PhaseTimer()
+    t0 = time.time()
+    comp = _out_compression(job)
+    save_probs = bool(job.params.get("save_probs"))
+    save_entropy = bool(job.params.get("save_entropy"))
+    if save_entropy and cfg.num_classes < 2:
+        raise jobs_lib.JobError(
+            "save_entropy requires a model with num_classes >= 2"
+        )
+    do_localize = bool(job.params.get("localize", True))
+    min_area = int(job.params.get("min_area", 1))
+    split_touching = bool(job.params.get("split_touching"))
+    min_distance = int(job.params.get("min_distance", 5))
+
+    fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(zhw))
+    outputs: Dict[str, str] = {}
+    all_objects = []
+    try:
+        for t in jobs_lib.track(job, range(n_t), total=n_t, phase="volumes"):
+            with timer.phase("read"):
+                try:
+                    vols = [ch.volume(t) for ch in channels]
+                except ValueError as e:
+                    raise jobs_lib.JobError(f"job {job.id}: {e}")
+            vol = np.stack(vols, axis=-1) if len(vols) > 1 else vols[0]
+            with timer.phase("infer"):
+                probs, labels = fn(params, state, vol)
+            with timer.phase("fetch"):
+                labels_np = np.asarray(labels)
+            t_abs = src.frame_offset + t
+            with timer.phase("write"):
+                lp = os.path.join(job.output, f"labels_t{t_abs:04d}.tif")
+                tiff.write_stack(
+                    lp, labels_np.astype(np.uint16), compression=comp
+                )
+                if save_entropy:
+                    ent = _normalized_entropy(
+                        np.asarray(probs), cfg.num_classes
+                    )
+                    tiff.write_stack(
+                        os.path.join(
+                            job.output, f"entropy_t{t_abs:04d}.tif"
+                        ),
+                        ent, compression=comp,
+                    )
+                if save_probs:
+                    probs_np = np.asarray(probs)
+                    planes = np.moveaxis(probs_np, -1, 1).reshape(
+                        -1, *probs_np.shape[1:3]
+                    )
+                    tiff.write_stack(
+                        os.path.join(job.output, f"probs_t{t_abs:04d}.tif"),
+                        planes, compression=comp,
+                    )
+            if do_localize:
+                with timer.phase("localize"):
+                    inten = vol.mean(axis=-1) if vol.ndim == 4 else vol
+                    all_objects.extend(
+                        loc_lib.localize_volume(
+                            labels_np, t=t_abs, intensity=inten,
+                            min_area=min_area,
+                            split_touching=split_touching,
+                            min_distance=min_distance,
+                        )
+                    )
+    finally:
+        for ch in channels:
+            ch.close()
+    outputs["labels"] = job.output  # per-timepoint labels_t*.tif files
+    if save_probs:
+        outputs["probs_layout"] = (
+            f"per-timepoint probs_t*.tif: pages=(Z={zhw[0]})*"
+            f"(K={cfg.num_classes}), plane-major"
+        )
+    if do_localize:
+        h5_path = os.path.join(job.output, "objects.h5")
+        loc_lib.export_btrack_h5(
+            h5_path, all_objects, n_frames=src.frame_offset + n_t
+        )
+        outputs["objects"] = h5_path
+        outputs["n_objects"] = str(len(all_objects))
+    total_s = time.time() - t0
+    mvox = float(np.prod(zhw)) * n_t / 1e6
+    outputs["metrics"] = json.dumps(
+        dict(
+            timer.summary(), total_s=round(total_s, 4),
+            n_volumes=n_t,
+            mvox_per_sec=round(mvox / max(total_s, 1e-9), 3),
+            volumes_per_sec=round(n_t / max(total_s, 1e-9), 3),
+        )
+    )
+    return outputs

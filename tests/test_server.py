@@ -3225,3 +3225,140 @@ class TestFinetuneSpatial:
         assert status["state"] == "failed"
         assert "divisible" in status["error"]
         assert status.get("attempts", 1) == 1  # JobError: never retried
+
+
+class TestUNet3DTimelapse:
+    """3D + time: a sequence of volumes served through one cached graph,
+    one btrack objects.h5 spanning all timepoints."""
+
+    def _model(self, cfg_srv):
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2, dims=3,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(
+            cfg_srv.models_dir, "seg3dt", "unet", net_cfg, params, state
+        )
+
+    def _volumes(self, n=3, shape=(6, 24, 24), seed=5):
+        rng = np.random.default_rng(seed)
+        vols = []
+        for t in range(n):
+            v = rng.normal(80.0, 8.0, shape).astype(np.float32)
+            # one bright blob per volume, drifting over t
+            z0, y0, x0 = 2, 6 + 3 * t, 8 + 2 * t
+            v[z0 : z0 + 2, y0 : y0 + 6, x0 : x0 + 6] += 800.0
+            vols.append(v)
+        return vols
+
+    def test_directory_sequence_end_to_end(self, server_env):
+        cfg_srv, tmp = server_env
+        self._model(cfg_srv)
+        vols = self._volumes()
+        d = tmp / "tl"
+        d.mkdir()
+        for t, v in enumerate(vols):
+            tiff.write_stack(str(d / f"t_{t}.tif"), v)
+        out_dir = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet3d",
+                "params": {"model": "seg3dt", "patch": [4, 16, 16],
+                           "overlap": [2, 4, 4]},
+                "input": [str(d)],
+                "output": out_dir,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        metrics = json.loads(status["outputs"]["metrics"])
+        assert metrics["n_volumes"] == 3
+        # per-timepoint labels match the single-volume pipeline exactly
+        single_out = str(tmp / "single")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet3d",
+                "params": {"model": "seg3dt", "patch": [4, 16, 16],
+                           "overlap": [2, 4, 4]},
+                "input": [str(d / "t_1.tif")],
+                "output": single_out,
+            },
+        )
+        assert srv.poll_once()
+        s1 = json.load(open(os.path.join(single_out, "status.json")))
+        assert s1["state"] == "complete", s1.get("error")
+        lt1 = tiff.read_stack(os.path.join(out_dir, "labels_t0001.tif"))
+        ls = tiff.read_stack(s1["outputs"]["labels"])
+        np.testing.assert_array_equal(lt1, ls)
+        # ONE objects.h5 spanning all timepoints, t ascending with drift
+        import h5py
+
+        with h5py.File(status["outputs"]["objects"]) as f:
+            coords = f["objects/obj_type_1/coords"][:]
+            m = f["objects/obj_type_1/map"][:]
+        assert m.shape[0] == 3
+        assert set(np.unique(coords[:, 0].astype(int))) == {0, 1, 2}
+
+    def test_single_file_z_mode_and_frame_range(self, server_env):
+        cfg_srv, tmp = server_env
+        self._model(cfg_srv)
+        vols = self._volumes(n=4)
+        flat = np.concatenate(vols, axis=0)  # (4*6, 24, 24) pages
+        hyper = str(tmp / "hyper.tif")
+        tiff.write_stack(hyper, flat)
+        out_dir = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet3d",
+                "params": {
+                    "model": "seg3dt", "patch": [4, 16, 16],
+                    "overlap": [2, 4, 4], "z": 6, "frame_range": [1, 3],
+                },
+                "input": [hyper],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        # absolute timepoint naming and map rows through frame_range
+        names = sorted(
+            n for n in os.listdir(out_dir) if n.startswith("labels_t")
+        )
+        assert names == ["labels_t0001.tif", "labels_t0002.tif"]
+        import h5py
+
+        with h5py.File(status["outputs"]["objects"]) as f:
+            m = f["objects/obj_type_1/map"][:]
+            coords = f["objects/obj_type_1/coords"][:]
+        assert m.shape[0] == 3  # frames 0..2 (absolute), frame 0 empty
+        assert m[0, 0] == m[0, 1]  # no objects at the unserved frame 0
+        assert set(np.unique(coords[:, 0].astype(int))) == {1, 2}
+
+    def test_spatial_parallel_rejected_for_timelapse(self, server_env):
+        cfg_srv, tmp = server_env
+        self._model(cfg_srv)
+        d = tmp / "tl"
+        d.mkdir()
+        for t, v in enumerate(self._volumes(n=2)):
+            tiff.write_stack(str(d / f"t_{t}.tif"), v)
+        out_dir = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet3d",
+                "params": {"model": "seg3dt", "spatial_parallel": True},
+                "input": [str(d)],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "failed"
+        assert "single-volume" in status["error"]
