@@ -365,12 +365,17 @@ class VolumeSequence:
                     f"file; {entry!r} is a {len(self._files)}-file "
                     "sequence (already one volume per file)"
                 )
+            reader = None
             try:
-                r = tiff.TiffReader(self._files[0])
-                pages, h, w = r.shape
-                self._z_reader = r
-                self.dtype = np.dtype(r.dtype)
+                reader = tiff.TiffReader(self._files[0])
+                pages, h, w = reader.shape  # raises on mixed H/W
+                dts = reader.dtypes
             except ValueError:
+                # close the half-validated lazy reader before falling
+                # back; a warm worker must not leak an fd per malformed
+                # submission
+                if reader is not None:
+                    reader.close()
                 arr = np.asarray(tiff.read_stack(self._files[0]))
                 if arr.ndim != 3:
                     raise ValueError(
@@ -380,7 +385,18 @@ class VolumeSequence:
                 pages, h, w = arr.shape
                 self._z_eager = arr
                 self.dtype = arr.dtype
+            else:
+                if len(dts) != 1:
+                    reader.close()
+                    raise ValueError(
+                        f"{self._files[0]}: pages mix dtypes "
+                        f"{sorted(map(str, dts))} — a volume timelapse "
+                        f"must be dtype-uniform"
+                    )
+                self._z_reader = reader
+                self.dtype = np.dtype(reader.dtype)
             if pages % z:
+                self.close()
                 raise ValueError(
                     f"{self._files[0]}: {pages} pages do not divide into "
                     f"z={z} planes per volume"

@@ -371,6 +371,12 @@ class TiffReader:
     def dtype(self) -> np.dtype:
         return self._frames[0][2].newbyteorder("=")
 
+    @property
+    def dtypes(self) -> set:
+        """Distinct frame dtypes (native byte order) — consumers that
+        require a uniform stack validate len(dtypes) == 1 up front."""
+        return {f[2].newbyteorder("=") for f in self._frames}
+
     def read_frame(self, t: int) -> np.ndarray:
         h, w, dt, offs, counts, compression, predictor, rps = self._frames[t]
         # os.pread: positional reads share no seek state, so a reader

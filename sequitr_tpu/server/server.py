@@ -2073,12 +2073,18 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     # multi-fluorophore convention as the 2D pipeline (SURVEY.md §2)
     paths = _resolve_inputs(job)
     z_param = job.params.get("z")
+    # a dir/glob entry IS the timelapse convention even when it expands
+    # to a single file (a 1-timepoint sequence, not a bare volume file)
     if z_param is not None or any(
-        len(_expand_inputs_entry(p_)) > 1 for p_ in paths
+        _expand_inputs_entry(p_) != [p_] for p_ in paths
     ):
-        return _segment_volume_timelapse(
-            job, config, paths, None if z_param is None else int(z_param)
-        )
+        try:
+            z_val = None if z_param is None else int(z_param)
+        except (TypeError, ValueError):
+            raise jobs_lib.JobError(
+                f"z={z_param!r} must be an integer (pages per volume)"
+            )
+        return _segment_volume_timelapse(job, config, paths, z_val)
     vols = []
     for p_ in paths:
         v = _read_stack_or_fail(job, p_)
@@ -3101,9 +3107,14 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 "are few-timepoint; shifts ride channel 0 serially)"
             )
         z = p.get("z")
+        try:
+            z = None if z is None else int(z)
+        except (TypeError, ValueError):
+            raise jobs_lib.JobError(
+                f"z={z!r} must be an integer (pages per volume)"
+            )
         return _register_volumes(
-            job, mode, subpixel, window, refine, crop, estimate_only,
-            z=None if z is None else int(z),
+            job, mode, subpixel, window, refine, crop, estimate_only, z=z
         )
     if dims != 2:
         raise jobs_lib.JobError(f"dims={dims} must be 2 or 3")
@@ -3614,8 +3625,6 @@ def _segment_volume_timelapse(
     probs/entropy) files and a single btrack objects.h5 spanning every
     timepoint — the 3D+time workflow that feeds volumetric tracking.
     """
-    import jax
-
     from sequitr_tpu import localize as loc_lib
     from sequitr_tpu.data import tiff
     from sequitr_tpu.data.source import VolumeSequence
@@ -3689,15 +3698,16 @@ def _segment_volume_timelapse(
             with timer.phase("fetch"):
                 labels_np = np.asarray(labels)
             t_abs = src.frame_offset + t
+            if save_probs or save_entropy:
+                with timer.phase("fetch"):
+                    probs_np = np.asarray(probs)  # ONE D2H for both uses
             with timer.phase("write"):
                 lp = os.path.join(job.output, f"labels_t{t_abs:04d}.tif")
                 tiff.write_stack(
                     lp, labels_np.astype(np.uint16), compression=comp
                 )
                 if save_entropy:
-                    ent = _normalized_entropy(
-                        np.asarray(probs), cfg.num_classes
-                    )
+                    ent = _normalized_entropy(probs_np, cfg.num_classes)
                     tiff.write_stack(
                         os.path.join(
                             job.output, f"entropy_t{t_abs:04d}.tif"
@@ -3705,7 +3715,6 @@ def _segment_volume_timelapse(
                         ent, compression=comp,
                     )
                 if save_probs:
-                    probs_np = np.asarray(probs)
                     planes = np.moveaxis(probs_np, -1, 1).reshape(
                         -1, *probs_np.shape[1:3]
                     )
@@ -3727,8 +3736,14 @@ def _segment_volume_timelapse(
     finally:
         for ch in channels:
             ch.close()
-    outputs["labels"] = job.output  # per-timepoint labels_t*.tif files
+    # per-timepoint file families: the output keys point at the dir (the
+    # same keys every segmentation path sets, so consumers that iterate
+    # outputs find them; file naming is labels_t{t:04d}.tif etc.)
+    outputs["labels"] = job.output
+    if save_entropy:
+        outputs["entropy"] = job.output
     if save_probs:
+        outputs["probs"] = job.output
         outputs["probs_layout"] = (
             f"per-timepoint probs_t*.tif: pages=(Z={zhw[0]})*"
             f"(K={cfg.num_classes}), plane-major"

@@ -3341,6 +3341,53 @@ class TestUNet3DTimelapse:
         assert m[0, 0] == m[0, 1]  # no objects at the unserved frame 0
         assert set(np.unique(coords[:, 0].astype(int))) == {1, 2}
 
+    def test_single_file_directory_is_a_timelapse(self, server_env):
+        """A directory holding ONE volume file is a 1-timepoint
+        timelapse (per-timepoint naming), not the bare-volume path —
+        which would crash opening the directory as a file."""
+        cfg_srv, tmp = server_env
+        self._model(cfg_srv)
+        d = tmp / "tl"
+        d.mkdir()
+        tiff.write_stack(str(d / "t_0.tif"), self._volumes(n=1)[0])
+        out_dir = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet3d",
+                "params": {"model": "seg3dt", "patch": [4, 16, 16],
+                           "overlap": [2, 4, 4], "save_entropy": True},
+                "input": [str(d)],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        assert os.path.exists(os.path.join(out_dir, "labels_t0000.tif"))
+        assert os.path.exists(os.path.join(out_dir, "entropy_t0000.tif"))
+        # the standard output keys exist for consumers that iterate them
+        assert status["outputs"]["entropy"] == out_dir
+
+    def test_malformed_z_fails_fast(self, server_env):
+        cfg_srv, tmp = server_env
+        self._model(cfg_srv)
+        tiff.write_stack(str(tmp / "h.tif"), self._volumes(n=1)[0])
+        out_dir = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet3d",
+                "params": {"model": "seg3dt", "z": "six"},
+                "input": [str(tmp / "h.tif")],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        status = json.load(open(os.path.join(out_dir, "status.json")))
+        assert status["state"] == "failed"
+        assert "pages per volume" in status["error"]
+
     def test_spatial_parallel_rejected_for_timelapse(self, server_env):
         cfg_srv, tmp = server_env
         self._model(cfg_srv)
