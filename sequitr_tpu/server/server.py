@@ -2753,6 +2753,13 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     9), and for 3D ``sigma_z``/``psf_size_z``. Frames stream with H2D
     overlap and page-append output (bounded memory, like every serving
     pipeline). Outputs: deconvolved.tif (float32).
+
+    TIMELAPSES OF VOLUMES (dims=3): a directory/glob entry (one z-stack
+    file per timepoint) or a single T·Z-page file with ``z``
+    pages-per-volume deconvolves every timepoint through one cached
+    graph — per-timepoint ``deconvolved_t{t:04d}.tif`` outputs,
+    ``frame_range`` selects timepoints, streamed + cancellable (the same
+    convention as segmentation_unet3d and register_stack).
     """
     import jax
     import jax.numpy as jnp
@@ -2777,9 +2784,20 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     t0 = time.time()
     out_path = os.path.join(job.output, "deconvolved.tif")
     if dims == 3:
+        z_param = p.get("z")
+        try:
+            z_val = None if z_param is None else int(z_param)
+        except (TypeError, ValueError):
+            raise jobs_lib.JobError(
+                f"z={z_param!r} must be an integer (pages per volume)"
+            )
+        if z_val is not None or _expand_inputs_entry(path) != [path]:
+            return _deconvolve_volume_timelapse(job, path, z_val, timer, t0)
         if job.params.get("frame_range") is not None:
             raise jobs_lib.JobError(
-                "frame_range applies to 2D frame streams, not dims=3 volumes"
+                "frame_range applies to 2D frame streams or volume "
+                "TIMELAPSES (directory/glob or z input), not a single "
+                "dims=3 volume"
             )
         vol = _read_stack_or_fail(job, path)
         if vol.ndim != 3:
@@ -3766,3 +3784,71 @@ def _segment_volume_timelapse(
         )
     )
     return outputs
+
+
+def _deconvolve_volume_timelapse(
+    job: Job, path: str, z: Optional[int], timer, t0: float
+) -> Dict[str, str]:
+    """Timelapse body of ``deconvolve`` dims=3: one jitted
+    Richardson-Lucy graph reused across every (Z, H, W) timepoint of a
+    volume sequence; per-timepoint ``deconvolved_t{t:04d}.tif`` outputs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sequitr_tpu import psf
+    from sequitr_tpu.data.source import VolumeSequence
+
+    p = job.params
+    iterations = int(p.get("iterations", 20))
+    sigma = float(p.get("sigma", 1.5))
+    psf_size = int(p.get("psf_size", 9))
+    try:
+        seq = VolumeSequence(path, z=z)
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    seq = _apply_frame_range(job, seq)
+    kernel = psf.gaussian_psf_3d(
+        psf_size, int(p.get("psf_size_z", 5)),
+        sigma, float(p.get("sigma_z", sigma * 2.0)),
+    )
+    fn = jax.jit(
+        lambda v: psf.richardson_lucy(
+            v.astype(jnp.float32), kernel, iterations
+        )
+    )
+    comp = _out_compression(job)
+    n_t = len(seq)
+    vol_bytes = float(np.prod(seq.spatial)) * 4
+    try:
+        for t in jobs_lib.track(job, range(n_t), total=n_t, phase="volumes"):
+            with timer.phase("read"):
+                try:
+                    vol = seq.volume(t)
+                except ValueError as e:
+                    raise jobs_lib.JobError(f"job {job.id}: {e}")
+            with timer.phase("infer"):
+                out = fn(vol)
+            with timer.phase("fetch"):
+                got = np.asarray(out, dtype=np.float32)
+            t_abs = seq.frame_offset + t
+            writer = _append_writer(
+                os.path.join(job.output, f"deconvolved_t{t_abs:04d}.tif"),
+                vol_bytes, comp,
+            )
+            try:
+                with timer.phase("write"):
+                    for plane in got:
+                        writer.append(plane)
+            except BaseException:
+                writer.abort()
+                raise
+            writer.close()
+    finally:
+        seq.close()
+    total_s = time.time() - t0
+    metrics = dict(
+        timer.summary(), total_s=round(total_s, 4), n_volumes=n_t,
+        volumes_per_sec=round(n_t / max(total_s, 1e-9), 3),
+    )
+    return {"deconvolved": job.output, "metrics": json.dumps(metrics)}

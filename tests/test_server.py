@@ -2994,6 +2994,53 @@ class TestDeconvolvePipeline:
         assert deconv.shape == (8, 16, 16)
         assert np.all(np.isfinite(deconv))
 
+    def test_deconvolve_3d_timelapse(self, server_env):
+        """dims=3 over a volume SEQUENCE: per-timepoint outputs through
+        one cached graph, equal to the single-volume pipeline's result;
+        frame_range selects timepoints (absolute naming)."""
+        from sequitr_tpu import psf  # noqa: F401  (parity with single)
+
+        cfg_srv, tmp = server_env
+        d = tmp / "vols"
+        d.mkdir()
+        vols = []
+        for t in range(3):
+            v = np.zeros((8, 16, 16), np.float32)
+            v[4, 6 + 2 * t, 8] = 50.0
+            vols.append(v)
+            tiff.write_stack(str(d / f"t_{t}.tif"), v)
+        params = {"dims": 3, "iterations": 5, "sigma": 1.0,
+                  "psf_size": 5, "psf_size_z": 3, "sigma_z": 1.0}
+        out = str(tmp / "dct")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "deconvolve",
+             "params": dict(params, frame_range=[1, 3]),
+             "input": [str(d)], "output": out},
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        names = sorted(
+            n for n in os.listdir(out) if n.startswith("deconvolved_t")
+        )
+        assert names == ["deconvolved_t0001.tif", "deconvolved_t0002.tif"]
+        # per-timepoint result equals the single-volume pipeline's
+        single_out = str(tmp / "dc1")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "deconvolve", "params": params,
+             "input": [str(d / "t_1.tif")], "output": single_out},
+        )
+        assert srv.poll_once()
+        s1 = json.load(open(os.path.join(single_out, "status.json")))
+        assert s1["state"] == "complete", s1.get("error")
+        np.testing.assert_array_equal(
+            tiff.read_stack(os.path.join(out, "deconvolved_t0001.tif")),
+            tiff.read_stack(s1["outputs"]["deconvolved"]),
+        )
+
     def test_bad_iterations_fails_fast(self, server_env):
         cfg_srv, tmp = server_env
         p = str(tmp / "x.tif")
