@@ -3088,6 +3088,12 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       timepoint t is pages [t·z, (t+1)·z), read lazily. Outputs stay
       per-timepoint files.
 
+    * ``align_channels`` (2D, default false): also correct the STATIC
+      inter-channel offset (chromatic aberration / dual-camera
+      registration) — channel k's shift vs channel 0 is estimated as the
+      median over <=5 sampled frames and folded into every frame's
+      resample (and the crop bounds); offsets land in the metrics.
+
     Multi-channel (one TIFF per input entry): shifts are estimated on the
     FIRST channel and applied to every channel. Outputs:
     ``registered.tif`` (single channel) or ``registered_c{k}.tif``,
@@ -3119,6 +3125,11 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     dims = int(p.get("dims", 2))
     dp_param = bool(p.get("data_parallel"))
     if dims == 3:
+        if p.get("align_channels"):
+            raise jobs_lib.JobError(
+                "align_channels is 2D-only (volumetric chromatic "
+                "alignment is not implemented)"
+            )
         if dp_param:
             raise jobs_lib.JobError(
                 "data_parallel registration is 2D-only (volume sequences "
@@ -3233,21 +3244,56 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     estimator = estimate_frames_dp if use_dp else estimate_frames
 
+    # chromatic alignment: each channel k > 0 carries a STATIC offset vs
+    # channel 0 (chromatic aberration / camera registration); estimated
+    # once as the per-channel median over sampled frames, then folded
+    # into every frame's resample alongside the temporal drift
+    chan_offsets = np.zeros((source.n_channels, 2), np.float32)
+    if bool(p.get("align_channels", False)):
+        if source.n_channels < 2:
+            raise jobs_lib.JobError(
+                "align_channels needs >= 2 input channels (one TIFF per "
+                "channel)"
+            )
+        n_sample = min(5, n_frames)
+        per_t = np.zeros((n_sample, source.n_channels, 2), np.float32)
+        for i in range(n_sample):
+            fr = source.frame(i * (n_frames - 1) // max(n_sample - 1, 1))
+            ch0 = jnp.asarray(fr[..., 0])
+            for c in range(1, source.n_channels):
+                s_c, _ = reg_lib.phase_correlate(
+                    ch0, jnp.asarray(fr[..., c]),
+                    subpixel=subpixel, window=window, refine=refine,
+                )
+                per_t[i, c] = np.asarray(s_c)
+        chan_offsets = np.median(per_t, axis=0).astype(np.float32)
+
     def apply_cum(frame: np.ndarray, cum) -> np.ndarray:
-        """Shift every channel of a native frame by the cumulative shift."""
-        if not np.any(np.asarray(cum)):
+        """Shift every channel of a native frame by the cumulative shift
+        (+ that channel's static chromatic offset)."""
+        cum = np.asarray(cum, np.float32)
+        if not np.any(cum) and not np.any(chan_offsets):
             return frame  # reference frame: exact, no resample round-trip
-        if not subpixel:
-            r = np.round(np.asarray(cum)).astype(int)
-            return np.roll(frame, (r[0], r[1]), axis=(0, 1))
         chans = frame[..., None] if frame.ndim == 2 else frame
-        out = np.stack(
-            [
-                np.asarray(reg_lib.apply_shift(jnp.asarray(chans[..., c]), cum))
-                for c in range(chans.shape[-1])
-            ],
-            axis=-1,
-        )
+        per_chan = []
+        for c in range(chans.shape[-1]):
+            s = cum + chan_offsets[c]
+            if not np.any(s):
+                per_chan.append(np.asarray(chans[..., c]))
+            elif not subpixel:
+                r = np.round(s).astype(int)
+                per_chan.append(
+                    np.roll(chans[..., c], (r[0], r[1]), axis=(0, 1))
+                )
+            else:
+                per_chan.append(
+                    np.asarray(
+                        reg_lib.apply_shift(
+                            jnp.asarray(chans[..., c]), jnp.asarray(s)
+                        )
+                    )
+                )
+        out = np.stack(per_chan, axis=-1)
         return out[..., 0] if frame.ndim == 2 else out
 
     # integer mode is lossless: the output keeps the native input dtype
@@ -3315,9 +3361,14 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 if not estimate_only:
                     ys, xs = slice(0, h), slice(0, w)
                     if crop:
+                        # crop bounds cover every channel's TOTAL shift
+                        # (temporal drift + its chromatic offset)
+                        all_shifts = np.concatenate(
+                            [unwrapped_cums() + off for off in chan_offsets]
+                        )
                         try:
                             ys, xs = reg_lib.common_crop(
-                                unwrapped_cums(), (h, w)
+                                all_shifts, (h, w)
                             )
                         except ValueError as e:
                             raise jobs_lib.JobError(str(e))
@@ -3387,6 +3438,10 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         ),
         min_response=round(min(resps), 3) if resps else None,
     )
+    if np.any(chan_offsets):
+        metrics["chromatic_offsets_px"] = [
+            [round(float(v), 4) for v in off] for off in chan_offsets
+        ]
     if total_s > 0:
         metrics["frames_per_sec"] = round(n_frames / total_s, 3)
     out = {"shifts": shifts_path, "metrics": json.dumps(metrics)}

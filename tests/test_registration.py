@@ -847,3 +847,66 @@ class TestSingleFileVolumeTimelapse:
             )
             assert got.dtype == np.uint16
             np.testing.assert_array_equal(got, base)
+
+
+class TestAlignChannels:
+    def test_chromatic_offset_corrected(self, server_env):
+        """Two channels of the same scene, channel 1 carrying a constant
+        (2.0, -1.5) px chromatic offset on top of the shared stage
+        drift: align_channels folds the offset into the resample, so the
+        registered channels coincide AND are stationary."""
+        cfg, tmp = server_env
+        img = smooth_image((64, 64), seed=60)
+        offset = np.asarray([2.0, -1.5], np.float32)
+        c0, c1 = [], []
+        for t in range(5):
+            drift = np.asarray([0.7 * t, -0.4 * t], np.float32)
+            c0.append(fourier_shifted(img, *drift))
+            c1.append(fourier_shifted(img, *(drift + offset)))
+        tiff.write_stack(str(tmp / "c0.tif"), np.stack(c0))
+        tiff.write_stack(str(tmp / "c1.tif"), np.stack(c1))
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"align_channels": True, "crop": True,
+                           "refine": 3},
+                "input": [str(tmp / "c0.tif"), str(tmp / "c1.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        metrics = json.loads(status["outputs"]["metrics"])
+        est_off = np.asarray(metrics["chromatic_offsets_px"][1])
+        # the estimated chromatic offset is the ALIGNING shift (-offset)
+        assert np.abs(est_off + offset).max() < 0.02, est_off
+        r0 = tiff.read_stack(os.path.join(out, "registered_c0.tif"))
+        r1 = tiff.read_stack(os.path.join(out, "registered_c1.tif"))
+        span = r0[0].max() - r0[0].min()
+        # channels coincide after alignment...
+        assert np.abs(r1 - r0).max() < 0.02 * span
+        # ...and the stack is stationary
+        assert max(
+            float(np.abs(r0[t] - r0[0]).max()) for t in range(5)
+        ) < 0.02 * span
+
+    def test_align_channels_needs_multichannel(self, server_env):
+        cfg, tmp = server_env
+        tiff.write_stack(
+            str(tmp / "s.tif"), np.zeros((3, 16, 16), np.float32)
+        )
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"align_channels": True},
+                "input": [str(tmp / "s.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "failed"
+        assert "2 input channels" in status["error"]
