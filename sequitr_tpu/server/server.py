@@ -3092,7 +3092,10 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       inter-channel offset (chromatic aberration / dual-camera
       registration) — channel k's shift vs channel 0 is estimated as the
       median over <=5 sampled frames and folded into every frame's
-      resample (and the crop bounds); offsets land in the metrics.
+      resample (and the crop bounds); offsets land in the metrics. In
+      integer mode (``subpixel: false``) the offsets are quantized to
+      whole pixels (the roll is lossless; a sub-pixel remainder cannot
+      be) — the reported offset is always the APPLIED one.
 
     Multi-channel (one TIFF per input entry): shifts are estimated on the
     FIRST channel and applied to every channel. Outputs:
@@ -3247,14 +3250,18 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     # chromatic alignment: each channel k > 0 carries a STATIC offset vs
     # channel 0 (chromatic aberration / camera registration); estimated
     # once as the per-channel median over sampled frames, then folded
-    # into every frame's resample alongside the temporal drift
+    # into every frame's resample alongside the temporal drift. The
+    # array is filled IN PLACE inside the managed `with source:` scope
+    # below (the sampling reads frames); closures capture it here.
+    align_channels = bool(p.get("align_channels", False))
     chan_offsets = np.zeros((source.n_channels, 2), np.float32)
-    if bool(p.get("align_channels", False)):
-        if source.n_channels < 2:
-            raise jobs_lib.JobError(
-                "align_channels needs >= 2 input channels (one TIFF per "
-                "channel)"
-            )
+    if align_channels and source.n_channels < 2:
+        raise jobs_lib.JobError(
+            "align_channels needs >= 2 input channels (one TIFF per "
+            "channel)"
+        )
+
+    def measure_chan_offsets() -> None:
         n_sample = min(5, n_frames)
         per_t = np.zeros((n_sample, source.n_channels, 2), np.float32)
         for i in range(n_sample):
@@ -3266,7 +3273,13 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     subpixel=subpixel, window=window, refine=refine,
                 )
                 per_t[i, c] = np.asarray(s_c)
-        chan_offsets = np.median(per_t, axis=0).astype(np.float32)
+        est = np.median(per_t, axis=0)
+        if not subpixel:
+            # integer mode rolls whole pixels: quantize the offsets so
+            # the reported correction IS the applied correction (the
+            # sub-pixel remainder cannot be applied losslessly)
+            est = np.round(est)
+        chan_offsets[:] = est
 
     def apply_cum(frame: np.ndarray, cum) -> np.ndarray:
         """Shift every channel of a native frame by the cumulative shift
@@ -3333,6 +3346,8 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     with source:
         try:
+            if align_channels:
+                measure_chan_offsets()
             if estimate_only or crop:
                 # pass 1: estimate the trajectory only — on channel 0
                 # alone (multi-channel stacks skip reading the rest),
@@ -3363,8 +3378,11 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     if crop:
                         # crop bounds cover every channel's TOTAL shift
                         # (temporal drift + its chromatic offset)
-                        all_shifts = np.concatenate(
-                            [unwrapped_cums() + off for off in chan_offsets]
+                        u = unwrapped_cums()
+                        all_shifts = (
+                            np.concatenate([u + off for off in chan_offsets])
+                            if np.any(chan_offsets)
+                            else u
                         )
                         try:
                             ys, xs = reg_lib.common_crop(
@@ -3380,7 +3398,7 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     ):
                         cum, _, _ = next(rows)
                         with timer.phase("infer"):
-                            shifted = apply_cum(frame, jnp.asarray(cum))
+                            shifted = apply_cum(frame, cum)
                         write_frame(shifted, ys, xs)
             else:
                 names = open_writers()
@@ -3438,7 +3456,9 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         ),
         min_response=round(min(resps), 3) if resps else None,
     )
-    if np.any(chan_offsets):
+    if align_channels:
+        # keyed on the PARAM, not the value: a measured zero offset is a
+        # result ("already co-registered"), not an absent measurement
         metrics["chromatic_offsets_px"] = [
             [round(float(v), 4) for v in off] for off in chan_offsets
         ]
