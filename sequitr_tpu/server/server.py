@@ -3088,6 +3088,14 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       timepoint t is pages [t·z, (t+1)·z), read lazily. Outputs stay
       per-timepoint files.
 
+    * ``min_response`` (default 0 = off): confidence gate on the
+      correlation peak-to-sidelobe ratio — estimates below it (blank
+      frames, shutter drops, focus jumps; a healthy lock measures >~10,
+      unrelated content ~5) are REJECTED: the trajectory holds at the
+      last accepted shift and, in ``previous`` mode, the anchor is NOT
+      re-anchored onto the bad frame, so one corrupt frame cannot derail
+      the rest of the stack. Rejections stay visible (their low response
+      in shifts.csv; ``n_low_confidence`` in the metrics).
     * ``align_channels`` (2D, default false): also correct the STATIC
       inter-channel offset (chromatic aberration / dual-camera
       registration) — channel k's shift vs channel 0 is estimated as the
@@ -3125,6 +3133,13 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         raise jobs_lib.JobError(f"refine={refine} must be in [1, 8]")
     crop = bool(p.get("crop", False))
     estimate_only = bool(p.get("estimate_only", False))
+    try:
+        min_response = float(p.get("min_response", 0.0))
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"min_response={p.get('min_response')!r} must be a number"
+        )
+    reject_stats = {"n": 0}
     dims = int(p.get("dims", 2))
     dp_param = bool(p.get("data_parallel"))
     if dims == 3:
@@ -3146,7 +3161,8 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 f"z={z!r} must be an integer (pages per volume)"
             )
         return _register_volumes(
-            job, mode, subpixel, window, refine, crop, estimate_only, z=z
+            job, mode, subpixel, window, refine, crop, estimate_only,
+            z=z, min_response=min_response,
         )
     if dims != 2:
         raise jobs_lib.JobError(f"dims={dims} must be 2 or 3")
@@ -3176,10 +3192,18 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         step. ``src`` yields (H, W) or (H, W, C) frames; shifts are
         estimated on channel 0. ``resample=True`` additionally returns
         the fused on-device resample of channel 0 (None otherwise, and
-        its inverse FFT never enters the graph)."""
+        its inverse FFT never enters the graph).
+
+        ``min_response`` confidence gate: an estimate whose PSR falls
+        below it (blank frame, shutter drop, focus jump) is REJECTED —
+        the trajectory holds at the last accepted shift, the anchor is
+        NOT re-anchored onto the bad frame (one corrupt frame must not
+        derail the rest of the stack), and the fused resample is
+        discarded (the consumer re-applies the held shift)."""
         anchor = None
         cum = jnp.zeros(2, jnp.float32)
         zero = jnp.zeros(2, jnp.float32)
+        held = np.zeros(2, np.float32)
         for frame in src.frames():
             ch0 = frame[..., 0] if frame.ndim == 3 else frame
             if anchor is None:
@@ -3196,8 +3220,13 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 subpixel=subpixel, window=window, refine=refine,
                 resample=resample,
             )
+            if min_response and float(resp) < min_response:
+                reject_stats["n"] += 1
+                yield frame, held, np.zeros(2, np.float32), resp, None
+                continue
             if mode == "previous":
                 anchor, cum = fft_win, new_cum
+            held = np.asarray(new_cum, np.float32)
             yield frame, new_cum, step, resp, corr
 
     def estimate_frames_dp(src, resample):
@@ -3218,6 +3247,7 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         )
         ref = None
         zero = np.zeros(2, np.float32)
+        held = zero
         t, left = 0, len(src)
         for chunk in infer_lib._iter_read_ahead(src.chunks(n_dev), 2):
             ch0 = chunk[..., 0] if chunk.ndim == 4 else chunk
@@ -3234,7 +3264,16 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     # canonical reference-frame row: exact zeros, no
                     # response, the ORIGINAL pixels (no FFT round-trip)
                     yield chunk[0], zero, zero, None, None
+                elif min_response and float(resps[k]) < min_response:
+                    # confidence gate: hold the last accepted shift and
+                    # discard the fused (bad-shift) resample
+                    reject_stats["n"] += 1
+                    yield (
+                        chunk[k], held, np.zeros(2, np.float32),
+                        float(resps[k]), None,
+                    )
                 else:
+                    held = shifts[k]
                     yield (
                         chunk[k],
                         shifts[k],
@@ -3462,6 +3501,8 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         metrics["chromatic_offsets_px"] = [
             [round(float(v), 4) for v in off] for off in chan_offsets
         ]
+    if min_response:
+        metrics["n_low_confidence"] = reject_stats["n"]
     if total_s > 0:
         metrics["frames_per_sec"] = round(n_frames / total_s, 3)
     out = {"shifts": shifts_path, "metrics": json.dumps(metrics)}
@@ -3481,6 +3522,7 @@ def _register_volumes(
     crop: bool,
     estimate_only: bool,
     z: Optional[int] = None,
+    min_response: float = 0.0,
 ) -> Dict[str, str]:
     """Volumetric (dims=3) body of ``register_stack``: one 3D phase
     correlation per timepoint over a sequence of (Z, H, W) volume files.
@@ -3532,14 +3574,20 @@ def _register_volumes(
             except ValueError as e:
                 raise jobs_lib.JobError(f"job {job.id}: {e}")
 
+    reject_stats = {"n": 0}
+
     def estimate_volumes(resample):
         """(vol_ch0, cum, step, resp, corrected_ch0) per timepoint.
 
         Yields the volume it read so the single-pass apply loop never
-        re-reads the driving channel's file."""
+        re-reads the driving channel's file. The ``min_response`` gate
+        holds the trajectory (and the anchor) when an estimate's PSR is
+        below it — one blank/corrupt timepoint must not derail the
+        sequence (see the 2D estimator's docstring)."""
         anchor = None
         cum = jnp.zeros(3, jnp.float32)
         zero = jnp.zeros(3, jnp.float32)
+        held = np.zeros(3, np.float32)
         for t in range(n_t):
             v = read_volume(src, t)
             if anchor is None:
@@ -3560,8 +3608,13 @@ def _register_volumes(
                 refine=refine,
                 resample=resample,
             )
+            if min_response and float(resp) < min_response:
+                reject_stats["n"] += 1
+                yield v, held, np.zeros(3, np.float32), resp, None
+                continue
             if mode == "previous":
                 anchor, cum = fft_win, new_cum
+            held = np.asarray(new_cum, np.float32)
             yield v, new_cum, step, resp, corr
 
     # integer mode keeps native values; mixed channel dtypes promote the
@@ -3649,8 +3702,13 @@ def _register_volumes(
                 extra = [read_volume(ch, t) for ch in channels[1:]]
                 with timer.phase("infer"):
                     if use_fused:
+                        # corr is None for the reference row AND for
+                        # confidence-rejected timepoints — both resample
+                        # by the held cum (zero-shift short-circuits)
                         vols = [
-                            np.asarray(corr) if corr is not None else v0
+                            np.asarray(corr)
+                            if corr is not None
+                            else apply_cum(v0, cum)
                         ]
                     else:
                         vols = [
@@ -3698,6 +3756,8 @@ def _register_volumes(
         ),
         min_response=round(min(resps), 3) if resps else None,
     )
+    if min_response:
+        metrics["n_low_confidence"] = reject_stats["n"]
     if total_s > 0:
         metrics["volumes_per_sec"] = round(n_t / total_s, 3)
     out = {"shifts": shifts_path, "metrics": json.dumps(metrics)}

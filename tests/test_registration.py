@@ -910,3 +910,81 @@ class TestAlignChannels:
         status = run_job(cfg, out)
         assert status["state"] == "failed"
         assert "2 input channels" in status["error"]
+
+
+class TestMinResponseGate:
+    def test_blank_frame_does_not_derail_trajectory(self, server_env):
+        """previous mode with a BLANK frame mid-stack: ungated, the bogus
+        step poisons every later frame; with min_response the trajectory
+        holds, the anchor skips the bad frame, and later frames register
+        correctly. The rejection is visible in metrics + shifts.csv."""
+        cfg, tmp = server_env
+        img = smooth_image((64, 64), seed=70)
+        frames = []
+        for t in range(6):
+            if t == 3:
+                frames.append(np.zeros((64, 64), np.float32))  # shutter drop
+            else:
+                frames.append(fourier_shifted(img, 1.0 * t, -0.6 * t))
+        tiff.write_stack(str(tmp / "stack.tif"), np.stack(frames))
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"min_response": 8.0, "estimate_only": True},
+                "input": [str(tmp / "stack.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        metrics = json.loads(status["outputs"]["metrics"])
+        assert metrics["n_low_confidence"] == 1
+        # genfromtxt: row 0's response column is empty (reference frame)
+        rows = np.genfromtxt(
+            os.path.join(out, "shifts.csv"),
+            delimiter=",", skip_header=1, usecols=(1, 2, 5),
+        )
+        # the blank frame held the last accepted shift...
+        np.testing.assert_allclose(rows[3, :2], rows[2, :2])
+        assert rows[3, 2] < 8.0  # ...with its low response on record
+        # ...and frames AFTER it recovered the true trajectory: the
+        # anchor skipped the blank, so frame 4 correlates frame 2's
+        # content (two steps of drift in one estimate)
+        assert np.abs(rows[5, :2] - [-5.0, 3.0]).max() < 0.15
+
+    def test_first_mode_dp_gate(self, server_env):
+        """The gate in the data-parallel estimator: rejected frames hold
+        the last accepted estimate, accepted ones are unaffected."""
+        import jax
+
+        if jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        cfg, tmp = server_env
+        img = smooth_image((48, 48), seed=71)
+        frames = [fourier_shifted(img, 0.8 * t, 0.5 * t) for t in range(5)]
+        frames[2] = np.zeros((48, 48), np.float32)
+        tiff.write_stack(str(tmp / "stack.tif"), np.stack(frames))
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"mode": "first", "data_parallel": True,
+                           "min_response": 8.0, "estimate_only": True},
+                "input": [str(tmp / "stack.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        assert json.loads(status["outputs"]["metrics"])[
+            "n_low_confidence"
+        ] == 1
+        rows = np.loadtxt(
+            os.path.join(out, "shifts.csv"),
+            delimiter=",", skiprows=1, usecols=(1, 2),
+        )
+        np.testing.assert_allclose(rows[2], rows[1])  # held
+        assert np.abs(rows[4] - [-3.2, -2.0]).max() < 0.05  # unaffected
