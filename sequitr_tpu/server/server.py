@@ -531,6 +531,17 @@ def load_model(models_dir: str, name: str):
 # ---------------------------------------------------------------------------
 
 
+def _reject_low_confidence(resp, min_response: float, stats: dict) -> bool:
+    """The registration confidence gate, shared by the serial-2D, DP and
+    volumetric estimators so the hold policy cannot drift apart: True =
+    reject this estimate (counted in ``stats``) — the caller yields the
+    held trajectory and skips the anchor update."""
+    if min_response and float(resp) < min_response:
+        stats["n"] += 1
+        return True
+    return False
+
+
 def _expand_inputs_entry(path: str):
     """Ordered file list for one input entry (dir/glob expansion) — [path]
     for a plain file; never raises (callers decide what emptiness means)."""
@@ -3139,7 +3150,10 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         raise jobs_lib.JobError(
             f"min_response={p.get('min_response')!r} must be a number"
         )
-    reject_stats = {"n": 0}
+    if not 0.0 <= min_response < float("inf"):  # also catches NaN
+        raise jobs_lib.JobError(
+            f"min_response={min_response!r} must be a finite number >= 0"
+        )
     dims = int(p.get("dims", 2))
     dp_param = bool(p.get("data_parallel"))
     if dims == 3:
@@ -3175,6 +3189,7 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     import jax as _jax
 
     use_dp = dp_param and _jax.device_count() > 1
+    reject_stats = {"n": 0}  # min_response rejections (2D estimators)
 
     paths = _resolve_inputs(job)
     try:
@@ -3220,8 +3235,7 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 subpixel=subpixel, window=window, refine=refine,
                 resample=resample,
             )
-            if min_response and float(resp) < min_response:
-                reject_stats["n"] += 1
+            if _reject_low_confidence(resp, min_response, reject_stats):
                 yield frame, held, np.zeros(2, np.float32), resp, None
                 continue
             if mode == "previous":
@@ -3264,10 +3278,11 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     # canonical reference-frame row: exact zeros, no
                     # response, the ORIGINAL pixels (no FFT round-trip)
                     yield chunk[0], zero, zero, None, None
-                elif min_response and float(resps[k]) < min_response:
-                    # confidence gate: hold the last accepted shift and
-                    # discard the fused (bad-shift) resample
-                    reject_stats["n"] += 1
+                elif _reject_low_confidence(
+                    resps[k], min_response, reject_stats
+                ):
+                    # hold the last accepted shift and discard the
+                    # fused (bad-shift) resample
                     yield (
                         chunk[k], held, np.zeros(2, np.float32),
                         float(resps[k]), None,
@@ -3302,17 +3317,30 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     def measure_chan_offsets() -> None:
         n_sample = min(5, n_frames)
-        per_t = np.zeros((n_sample, source.n_channels, 2), np.float32)
+        # per channel: list of confident samples — the min_response gate
+        # applies here too (a shutter-drop sample must not drag every
+        # channel's static offset toward zero for the whole stack)
+        samples = [[] for _ in range(source.n_channels)]
         for i in range(n_sample):
             fr = source.frame(i * (n_frames - 1) // max(n_sample - 1, 1))
             ch0 = jnp.asarray(fr[..., 0])
             for c in range(1, source.n_channels):
-                s_c, _ = reg_lib.phase_correlate(
+                s_c, r_c = reg_lib.phase_correlate(
                     ch0, jnp.asarray(fr[..., c]),
                     subpixel=subpixel, window=window, refine=refine,
                 )
-                per_t[i, c] = np.asarray(s_c)
-        est = np.median(per_t, axis=0)
+                if min_response and float(r_c) < min_response:
+                    continue
+                samples[c].append(np.asarray(s_c))
+        est = np.zeros((source.n_channels, 2), np.float32)
+        for c in range(1, source.n_channels):
+            if not samples[c]:
+                raise jobs_lib.JobError(
+                    f"align_channels: no sampled frame reached "
+                    f"min_response={min_response:g} for channel {c} — "
+                    f"cannot measure its chromatic offset"
+                )
+            est[c] = np.median(np.stack(samples[c]), axis=0)
         if not subpixel:
             # integer mode rolls whole pixels: quantize the offsets so
             # the reported correction IS the applied correction (the
@@ -3608,8 +3636,7 @@ def _register_volumes(
                 refine=refine,
                 resample=resample,
             )
-            if min_response and float(resp) < min_response:
-                reject_stats["n"] += 1
+            if _reject_low_confidence(resp, min_response, reject_stats):
                 yield v, held, np.zeros(3, np.float32), resp, None
                 continue
             if mode == "previous":
