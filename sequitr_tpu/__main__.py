@@ -463,9 +463,18 @@ def main(argv=None) -> int:
              " TPU_VISIBLE_DEVICES to pin one chip per worker",
     )
 
-    ap_submit = sub.add_parser("submit", help="submit a job JSON")
+    ap_submit = sub.add_parser(
+        "submit",
+        help="submit a job JSON — or a WORKFLOW (a JSON list of specs, "
+             "each auto-chained on the previous step's output dir)",
+    )
     ap_submit.add_argument("--jobs-dir", default="./jobs")
-    ap_submit.add_argument("spec", help="job spec JSON file (or '-' for stdin)")
+    ap_submit.add_argument(
+        "spec",
+        help="job spec JSON file (or '-' for stdin); a JSON LIST is a "
+             "workflow: step k gets depends_on = step k-1's output unless "
+             "it sets its own (use [] to opt out)",
+    )
     ap_submit.add_argument(
         "--follow", action="store_true",
         help="after submitting, live-tail the job (status --follow on the"
@@ -632,29 +641,52 @@ def main(argv=None) -> int:
         from sequitr_tpu.server import submit_job
 
         spec = json.load(sys.stdin if args.spec == "-" else open(args.spec))
-        if args.after:
-            if not isinstance(spec, dict):
-                print("--after needs a JSON-object spec", file=sys.stderr)
-                return 1
-            deps = spec.get("depends_on") or []
-            if isinstance(deps, str):
-                deps = [deps]
-            spec["depends_on"] = list(deps) + list(args.after)
-        if args.follow and not (
-            isinstance(spec, dict) and spec.get("output")
-        ):
+        # a LIST is a WORKFLOW file: each spec auto-chains on the
+        # previous job's output dir (override with an explicit
+        # depends_on, including [] for "independent")
+        specs = spec if isinstance(spec, list) else [spec]
+        if not specs or not all(isinstance(s, dict) for s in specs):
             print(
-                "--follow needs an 'output' dir in the spec to tail",
+                "spec must be a JSON object or a non-empty list of them",
                 file=sys.stderr,
             )
             return 1
-        job_id = submit_job(args.jobs_dir, spec)
-        print(job_id)
+        for i, s in enumerate(specs):
+            if i > 0 and "depends_on" not in s:
+                prev_out = specs[i - 1].get("output")
+                if not prev_out:
+                    print(
+                        f"workflow step {i - 1} needs an 'output' dir for "
+                        f"step {i} to chain on (or give step {i} an "
+                        f"explicit depends_on)",
+                        file=sys.stderr,
+                    )
+                    return 1
+                s["depends_on"] = str(prev_out)
+        if args.after:
+            first = specs[0]
+            deps = first.get("depends_on") or []
+            if isinstance(deps, str):
+                deps = [deps]
+            first["depends_on"] = list(deps) + list(args.after)
+        if args.follow and not specs[-1].get("output"):
+            print(
+                "--follow needs an 'output' dir in the (last) spec to tail",
+                file=sys.stderr,
+            )
+            return 1
+        job_id = None
+        for s in specs:
+            job_id = submit_job(args.jobs_dir, s)
+            print(job_id)
         if args.follow:
-            # expect_id: a previous run's terminal status.json in the same
-            # output dir (the resume flow) must not be mistaken for THIS
-            # job's result
-            return _follow_job(str(spec["output"]), 1.0, expect_id=job_id)
+            # follows the LAST job of a workflow (its completion implies
+            # the chain's). expect_id: a previous run's terminal
+            # status.json in the same output dir (the resume flow) must
+            # not be mistaken for THIS job's result
+            return _follow_job(
+                str(specs[-1]["output"]), 1.0, expect_id=job_id
+            )
         return 0
 
     if args.cmd == "status":

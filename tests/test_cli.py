@@ -31,6 +31,48 @@ class TestCLI:
         assert rc == 0
         assert "complete" in capsys.readouterr().out
 
+    def test_submit_workflow_file_auto_chains(self, tmp_path, capsys):
+        """A LIST spec is a workflow: each step auto-chains on the
+        previous step's output dir unless it sets depends_on itself."""
+        from sequitr_tpu.server import jobs as jobs_lib
+
+        jobs_dir = str(tmp_path / "jobs")
+        os.makedirs(jobs_dir)
+        spec_path = str(tmp_path / "wf.json")
+        with open(spec_path, "w") as f:
+            json.dump(
+                [
+                    {"module": "a", "input": [], "output": str(tmp_path / "oa")},
+                    {"module": "b", "input": [], "output": str(tmp_path / "ob")},
+                    # explicit [] opts OUT of chaining
+                    {"module": "c", "input": [], "depends_on": [],
+                     "output": str(tmp_path / "oc")},
+                ],
+                f,
+            )
+        rc = main(["submit", "--jobs-dir", jobs_dir, spec_path])
+        assert rc == 0
+        ids = capsys.readouterr().out.split()
+        assert len(ids) == 3
+        paths = {p.split("job_")[-1][:-5]: p for p in scan_jobs(jobs_dir)}
+        jb = jobs_lib.Job.from_file(paths[ids[1]])
+        assert jb.depends_on == [str(tmp_path / "oa")]
+        jc = jobs_lib.Job.from_file(paths[ids[2]])
+        assert jc.depends_on == []
+
+    def test_submit_workflow_needs_output_to_chain(self, tmp_path, capsys):
+        jobs_dir = str(tmp_path / "jobs")
+        os.makedirs(jobs_dir)
+        spec_path = str(tmp_path / "wf.json")
+        with open(spec_path, "w") as f:
+            json.dump(
+                [{"module": "a", "input": []}, {"module": "b", "input": []}],
+                f,
+            )
+        rc = main(["submit", "--jobs-dir", jobs_dir, spec_path])
+        assert rc == 1
+        assert len(scan_jobs(jobs_dir)) == 0  # nothing half-submitted
+
     def test_submit_from_stdin(self, tmp_path, monkeypatch, capsys):
         import io
 
