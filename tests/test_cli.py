@@ -73,6 +73,33 @@ class TestCLI:
         assert rc == 1
         assert len(scan_jobs(jobs_dir)) == 0  # nothing half-submitted
 
+    def test_submit_after_flag_and_queue_annotation(self, tmp_path, capsys):
+        """--after injects a dependency; the queue CLI annotates what a
+        waiting job is blocked on."""
+        jobs_dir = str(tmp_path / "jobs")
+        os.makedirs(jobs_dir)
+        dep_dir = str(tmp_path / "dep")
+        spec_path = str(tmp_path / "spec.json")
+        with open(spec_path, "w") as f:
+            json.dump(
+                {"module": "m", "input": [], "output": str(tmp_path / "o")},
+                f,
+            )
+        rc = main(
+            ["submit", "--jobs-dir", jobs_dir, "--after", dep_dir, spec_path]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        assert main(["queue", "--jobs-dir", jobs_dir]) == 0
+        out = capsys.readouterr().out
+        assert f"[waiting on {dep_dir}]" in out
+        # dependency completes -> annotation disappears
+        os.makedirs(dep_dir)
+        with open(os.path.join(dep_dir, "status.json"), "w") as f:
+            json.dump({"state": "complete"}, f)
+        main(["queue", "--jobs-dir", jobs_dir])
+        assert "waiting on" not in capsys.readouterr().out
+
     def test_submit_from_stdin(self, tmp_path, monkeypatch, capsys):
         import io
 
