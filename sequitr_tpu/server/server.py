@@ -3107,14 +3107,16 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       re-anchored onto the bad frame, so one corrupt frame cannot derail
       the rest of the stack. Rejections stay visible (their low response
       in shifts.csv; ``n_low_confidence`` in the metrics).
-    * ``align_channels`` (2D, default false): also correct the STATIC
+    * ``align_channels`` (default false): also correct the STATIC
       inter-channel offset (chromatic aberration / dual-camera
       registration) — channel k's shift vs channel 0 is estimated as the
-      median over <=5 sampled frames and folded into every frame's
-      resample (and the crop bounds); offsets land in the metrics. In
-      integer mode (``subpixel: false``) the offsets are quantized to
-      whole pixels (the roll is lossless; a sub-pixel remainder cannot
-      be) — the reported offset is always the APPLIED one.
+      median over sampled frames (<=5 in 2D; <=3 volumes in dims=3,
+      where the offset is a full (dz, dy, dx) — axial chromatic shift
+      included) and folded into every frame's resample (and the crop
+      bounds); offsets land in the metrics. In integer mode
+      (``subpixel: false``) the offsets are quantized to whole pixels
+      (the roll is lossless; a sub-pixel remainder cannot be) — the
+      reported offset is always the APPLIED one.
 
     Multi-channel (one TIFF per input entry): shifts are estimated on the
     FIRST channel and applied to every channel. Outputs:
@@ -3157,11 +3159,6 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     dims = int(p.get("dims", 2))
     dp_param = bool(p.get("data_parallel"))
     if dims == 3:
-        if p.get("align_channels"):
-            raise jobs_lib.JobError(
-                "align_channels is 2D-only (volumetric chromatic "
-                "alignment is not implemented)"
-            )
         if dp_param:
             raise jobs_lib.JobError(
                 "data_parallel registration is 2D-only (volume sequences "
@@ -3177,6 +3174,7 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         return _register_volumes(
             job, mode, subpixel, window, refine, crop, estimate_only,
             z=z, min_response=min_response,
+            align_channels=bool(p.get("align_channels", False)),
         )
     if dims != 2:
         raise jobs_lib.JobError(f"dims={dims} must be 2 or 3")
@@ -3551,6 +3549,7 @@ def _register_volumes(
     estimate_only: bool,
     z: Optional[int] = None,
     min_response: float = 0.0,
+    align_channels: bool = False,
 ) -> Dict[str, str]:
     """Volumetric (dims=3) body of ``register_stack``: one 3D phase
     correlation per timepoint over a sequence of (Z, H, W) volume files.
@@ -3603,6 +3602,39 @@ def _register_volumes(
                 raise jobs_lib.JobError(f"job {job.id}: {e}")
 
     reject_stats = {"n": 0}
+
+    # static per-channel chromatic offsets (dz, dy, dx) vs channel 0 —
+    # the volumetric mirror of the 2D align_channels path (axial
+    # chromatic shift is real in multi-fluorophore z-stacks)
+    chan_offsets = np.zeros((len(channels), 3), np.float32)
+    if align_channels:
+        if len(channels) < 2:
+            raise jobs_lib.JobError(
+                "align_channels needs >= 2 input channels (one volume "
+                "sequence per channel)"
+            )
+        n_sample = min(3, n_t)
+        samples = [[] for _ in range(len(channels))]
+        for i in range(n_sample):
+            t_i = i * (n_t - 1) // max(n_sample - 1, 1)
+            v0 = jnp.asarray(read_volume(src, t_i))
+            for c in range(1, len(channels)):
+                s_c, r_c = reg_lib.phase_correlate(
+                    v0, jnp.asarray(read_volume(channels[c], t_i)),
+                    subpixel=subpixel, window=window, refine=refine,
+                )
+                if min_response and float(r_c) < min_response:
+                    continue
+                samples[c].append(np.asarray(s_c))
+        for c in range(1, len(channels)):
+            if not samples[c]:
+                raise jobs_lib.JobError(
+                    f"align_channels: no sampled timepoint reached "
+                    f"min_response={min_response:g} for channel {c}"
+                )
+            chan_offsets[c] = np.median(np.stack(samples[c]), axis=0)
+        if not subpixel:
+            chan_offsets = np.round(chan_offsets)  # lossless-roll quantum
 
     def estimate_volumes(resample):
         """(vol_ch0, cum, step, resp, corrected_ch0) per timepoint.
@@ -3706,7 +3738,13 @@ def _register_volumes(
                 sl = full
                 if crop:
                     try:
-                        sl = reg_lib.common_crop(unwrapped_cums(), zhw)
+                        u = unwrapped_cums()
+                        all_shifts = (
+                            np.concatenate([u + off for off in chan_offsets])
+                            if np.any(chan_offsets)
+                            else u
+                        )
+                        sl = reg_lib.common_crop(all_shifts, zhw)
                     except ValueError as e:
                         raise jobs_lib.JobError(str(e))
                 rows = iter(shifts_rows)
@@ -3717,7 +3755,8 @@ def _register_volumes(
                     vols = [read_volume(ch, t) for ch in channels]
                     with timer.phase("infer"):
                         vols = [
-                            apply_cum(v, jnp.asarray(cum)) for v in vols
+                            apply_cum(v, np.asarray(cum) + chan_offsets[ci])
+                            for ci, v in enumerate(vols)
                         ]
                     write_volume(t, vols, sl)
         else:
@@ -3739,7 +3778,8 @@ def _register_volumes(
                         ]
                     else:
                         vols = [
-                            apply_cum(v, cum) for v in [v0] + extra
+                            apply_cum(v, np.asarray(cum) + chan_offsets[ci])
+                            for ci, v in enumerate([v0] + extra)
                         ]
                 write_volume(t, vols, full)
                 shifts_rows.append((np.asarray(cum), np.asarray(step), resp))
@@ -3785,6 +3825,10 @@ def _register_volumes(
     )
     if min_response:
         metrics["n_low_confidence"] = reject_stats["n"]
+    if align_channels:
+        metrics["chromatic_offsets_px"] = [
+            [round(float(v), 4) for v in off] for off in chan_offsets
+        ]
     if total_s > 0:
         metrics["volumes_per_sec"] = round(n_t / total_s, 3)
     out = {"shifts": shifts_path, "metrics": json.dumps(metrics)}

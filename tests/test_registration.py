@@ -988,3 +988,56 @@ class TestMinResponseGate:
         )
         np.testing.assert_allclose(rows[2], rows[1])  # held
         assert np.abs(rows[4] - [-3.2, -2.0]).max() < 0.05  # unaffected
+
+
+class TestAlignChannels3D:
+    def test_volumetric_chromatic_offset(self, server_env):
+        """dims=3 align_channels: channel 1 carries a constant
+        (1, -2, 1) voxel offset (incl. AXIAL) on top of shared drift;
+        integer mode recovers both bit-exactly."""
+        cfg, tmp = server_env
+        rng = np.random.default_rng(80)
+        base0 = (rng.random((6, 20, 20)) * 900).astype(np.uint16)
+        # channels must SHARE structure for cross-channel correlation
+        # (real chromatic calibration uses beads/transmitted light);
+        # an intensity transform of the same scene models that
+        base1 = (base0 // 2 + 30).astype(np.uint16)
+        off = (1, -2, 1)
+        d0, d1 = str(tmp / "c0"), str(tmp / "c1")
+        os.makedirs(d0), os.makedirs(d1)
+        for t, s in enumerate([(0, 0, 0), (2, -1, 1), (1, 3, -2)]):
+            tiff.write_stack(
+                os.path.join(d0, f"t_{t}.tif"), np.roll(base0, s, (0, 1, 2))
+            )
+            tiff.write_stack(
+                os.path.join(d1, f"t_{t}.tif"),
+                np.roll(
+                    base1,
+                    tuple(a + b for a, b in zip(s, off)),
+                    (0, 1, 2),
+                ),
+            )
+        out = str(tmp / "out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {
+                    "dims": 3, "subpixel": False, "window": False,
+                    "align_channels": True,
+                },
+                "input": [d0, d1],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "complete", status.get("error")
+        metrics = json.loads(status["outputs"]["metrics"])
+        est = np.asarray(metrics["chromatic_offsets_px"][1])
+        np.testing.assert_allclose(est, [-1.0, 2.0, -1.0])  # aligning
+        for t in range(3):
+            for c, b in ((0, base0), (1, base1)):
+                got = tiff.read_stack(
+                    os.path.join(out, f"registered_t{t:04d}_c{c}.tif")
+                )
+                np.testing.assert_array_equal(got, b)
