@@ -23,7 +23,11 @@ Built-in pipelines (registry keys are the rebuild's documented API):
     registered model against ground truth (per-class IoU/dice, mIoU and
     pixel/voxel accuracy for segmentation; L1/PSNR for enhancement).
   * ``localize_emitters`` — single-molecule sub-pixel localization over a
-    stack (PSF subsystem; no model required).
+    stack (PSF subsystem; no model required). ``dims: 3`` localizes in
+    volume timelapses; ``astigmatism`` infers z from per-axis widths via
+    a cylindrical-lens calibration.
+  * ``calibrate_astigmatism`` — fit the width-vs-z calibration from a
+    bead z-scan (chains into ``localize_emitters`` via ``depends_on``).
   * ``deconvolve`` — Richardson-Lucy deconvolution (2D per-frame streamed
     or a 3D volume; Gaussian PSF; no model required).
   * ``parity_check`` — validate a registered model against an independent
@@ -2353,11 +2357,43 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     additionally writes objects.h5 in btrack's object layout so the
     localizations feed straight into single-particle tracking (the same
     handoff the segmentation pipelines use for cells).
+
+    3D MODES (both emit a z column in emitters.csv and fill the btrack
+    z coordinate, so track_objects links in full xyz):
+
+    * ``dims: 3`` — TRUE VOLUMETRIC localization over volumes
+      (``psf.localize_emitters_3d``: 3D max-pool NMS + anisotropic
+      Gaussian-mask centroids). Inputs follow the volume-timelapse
+      convention (directory/glob = one z-stack file per timepoint, or a
+      single T·Z-page file with ``z`` pages-per-volume; a bare single
+      file is a one-volume sequence). Extra params: ``min_distance_z``,
+      ``window_z``, ``sigma_z``; z is in voxels.
+    * ``astigmatism: <calibration>`` — single-frame 3D via a
+      cylindrical-lens width-vs-z calibration (elliptical fits +
+      calibration-curve inversion, ``psf.localize_emitters_astig``).
+      The value is a calibration-JSON path, the OUTPUT DIRECTORY of a
+      ``calibrate_astigmatism`` job (chains via ``depends_on``), or an
+      inline ``{qx, qy, z_range, window}`` dict. z is in calibration
+      units (whatever the bead scan's stage positions used); the csv
+      additionally carries sigma_y/sigma_x. 2D frame streams only.
     """
     from sequitr_tpu import psf
     from sequitr_tpu.data.source import FrameSource
 
     (path,) = _resolve_inputs(job)[:1]
+    p = job.params
+    dims = int(p.get("dims", 2))
+    calib = _load_astig_calibration(job)
+    if dims == 3 and calib is not None:
+        raise jobs_lib.JobError(
+            "astigmatism infers z from 2D frames; it does not combine "
+            "with dims=3 volumetric input"
+        )
+    if dims == 3:
+        return _localize_volume_timelapse(job, path)
+    if dims != 2:
+        raise jobs_lib.JobError(f"dims={dims} (expected 2 or 3)")
+
     try:
         # lazy per-frame ingest like the other serving pipelines; rows
         # stream into emitters.csv as each frame is processed
@@ -2366,7 +2402,6 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         raise jobs_lib.JobError(f"job {job.id}: cannot read {path}: {e}")
     source = _apply_frame_range(job, source)
 
-    p = job.params
     max_peaks = int(p.get("max_peaks", 256))
     min_distance = int(p.get("min_distance", 2))
     window = int(p.get("window", 7))
@@ -2382,9 +2417,13 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     tmp = out_path + ".tmp"
     n_rows = 0
     tables = [] if want_btrack else None
+    if calib is not None:
+        header = "t,z,y,x,sigma_y,sigma_x,amplitude,background\n"
+    else:
+        header = "t,y,x,amplitude,background\n"
     try:
         with source, open(tmp, "w") as f:
-            f.write("t,y,x,amplitude,background\n")
+            f.write(header)
             frames = jobs_lib.track(
                 job, infer_lib._iter_read_ahead(source.frames(), 2),
                 total=n_frames,
@@ -2398,16 +2437,37 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                     med = float(np.median(frame))
                     mad = float(np.median(np.abs(frame - med))) * 1.4826
                     thr = med + k_sig * max(mad, 1e-12)
-                fits = psf.localize_emitters(
-                    frame, thr, max_peaks=max_peaks,
-                    min_distance=min_distance, window=window, sigma=sigma,
-                )
+                if calib is not None:
+                    fits = psf.localize_emitters_astig(
+                        frame, thr, calib, max_peaks=max_peaks,
+                        min_distance=min_distance,
+                        window=None if "window" not in p else window,
+                    )
+                else:
+                    fits = psf.localize_emitters(
+                        frame, thr, max_peaks=max_peaks,
+                        min_distance=min_distance, window=window,
+                        sigma=sigma,
+                    )
                 ys = np.asarray(fits["y"], dtype=np.float64)
                 xs = np.asarray(fits["x"], dtype=np.float64)
                 amps = np.asarray(fits["amplitude"], dtype=np.float64)
                 bgs = np.asarray(fits["background"], dtype=np.float64)
-                for y, x, a, b in zip(ys, xs, amps, bgs):
-                    f.write(f"{t},{y:.4f},{x:.4f},{a:.4f},{b:.4f}\n")
+                if calib is not None:
+                    zs = np.asarray(fits["z"], dtype=np.float64)
+                    sy = np.asarray(fits["sigma_y"], dtype=np.float64)
+                    sx = np.asarray(fits["sigma_x"], dtype=np.float64)
+                    for z, y, x, wy, wx, a, b in zip(
+                        zs, ys, xs, sy, sx, amps, bgs
+                    ):
+                        f.write(
+                            f"{t},{z:.4f},{y:.4f},{x:.4f},{wy:.4f},"
+                            f"{wx:.4f},{a:.4f},{b:.4f}\n"
+                        )
+                else:
+                    zs = None
+                    for y, x, a, b in zip(ys, xs, amps, bgs):
+                        f.write(f"{t},{y:.4f},{x:.4f},{a:.4f},{b:.4f}\n")
                 n_rows += len(ys)
                 if tables is not None:
                     from sequitr_tpu import localize as loc_lib
@@ -2416,6 +2476,8 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                     coords[:, 0] = t
                     coords[:, 1] = xs
                     coords[:, 2] = ys
+                    if zs is not None:
+                        coords[:, 3] = zs
                     tables.append(
                         loc_lib.FrameTable(
                             coords=coords,
@@ -2444,6 +2506,237 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         )
         outputs["objects"] = h5_path
     return outputs
+
+
+def _load_astig_calibration(job: Job):
+    """Resolve the ``astigmatism`` param to an AstigCalibration (or None).
+
+    Accepts a calibration-JSON path, a directory holding
+    ``astig_calibration.json`` (the output dir of a
+    ``calibrate_astigmatism`` job — lets workflows chain calibrate ->
+    localize through plain ``depends_on``), or an inline dict.
+    """
+    from sequitr_tpu import psf
+
+    astig = job.params.get("astigmatism")
+    if astig is None:
+        return None
+    if isinstance(astig, dict):
+        try:
+            return psf.AstigCalibration.from_dict(astig)
+        except (TypeError, ValueError) as e:
+            raise jobs_lib.JobError(f"job {job.id}: bad astigmatism: {e}")
+    if not isinstance(astig, str):
+        raise jobs_lib.JobError(
+            f"job {job.id}: astigmatism must be a calibration path or "
+            f"dict, got {type(astig).__name__}"
+        )
+    path = astig
+    if os.path.isdir(path):
+        path = os.path.join(path, "astig_calibration.json")
+    try:
+        return psf.AstigCalibration.from_json(path)
+    except (OSError, ValueError, json.JSONDecodeError) as e:
+        raise jobs_lib.JobError(
+            f"job {job.id}: cannot load astigmatism calibration "
+            f"{astig!r}: {e}"
+        )
+
+
+def _localize_volume_timelapse(job: Job, path: str) -> Dict[str, str]:
+    """dims=3 body of ``localize_emitters``: volumetric detection+fitting
+    per (Z, H, W) timepoint of a volume sequence through one cached jit
+    graph; rows stream into emitters.csv (t,z,y,x in voxels)."""
+    from sequitr_tpu import psf
+    from sequitr_tpu.data.source import VolumeSequence
+
+    p = job.params
+    z_param = p.get("z")
+    try:
+        z_val = None if z_param is None else int(z_param)
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"z={z_param!r} must be an integer (pages per volume)"
+        )
+    try:
+        seq = VolumeSequence(path, z=z_val)
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    seq = _apply_frame_range(job, seq)
+
+    max_peaks = int(p.get("max_peaks", 256))
+    min_distance = int(p.get("min_distance", 2))
+    min_distance_z = int(p.get("min_distance_z", 1))
+    window = int(p.get("window", 7))
+    window_z = int(p.get("window_z", 5))
+    sigma = float(p.get("sigma", 1.5))
+    sigma_z = float(p.get("sigma_z", sigma))
+    thr_abs = p.get("threshold")
+    k_sig = float(p.get("threshold_sigmas", 5.0))
+    want_btrack = bool(p.get("btrack"))
+    n_t = len(seq)
+
+    out_path = os.path.join(job.output, "emitters.csv")
+    tmp = out_path + ".tmp"
+    n_rows = 0
+    tables = [] if want_btrack else None
+    try:
+        with open(tmp, "w") as f:
+            f.write("t,z,y,x,amplitude,background\n")
+            for rel_t in jobs_lib.track(
+                job, range(n_t), total=n_t, phase="volumes"
+            ):
+                try:
+                    vol = seq.volume(rel_t)
+                except ValueError as e:
+                    raise jobs_lib.JobError(f"job {job.id}: {e}")
+                t = rel_t + seq.frame_offset
+                vol = np.asarray(vol, dtype=np.float32)
+                if thr_abs is not None:
+                    thr = float(thr_abs)
+                else:
+                    med = float(np.median(vol))
+                    mad = float(np.median(np.abs(vol - med))) * 1.4826
+                    thr = med + k_sig * max(mad, 1e-12)
+                fits = psf.localize_emitters_3d(
+                    vol, thr, max_peaks=max_peaks,
+                    min_distance=min_distance,
+                    min_distance_z=min_distance_z,
+                    window=window, window_z=window_z,
+                    sigma=sigma, sigma_z=sigma_z,
+                )
+                zs = np.asarray(fits["z"], dtype=np.float64)
+                ys = np.asarray(fits["y"], dtype=np.float64)
+                xs = np.asarray(fits["x"], dtype=np.float64)
+                amps = np.asarray(fits["amplitude"], dtype=np.float64)
+                bgs = np.asarray(fits["background"], dtype=np.float64)
+                for z, y, x, a, b in zip(zs, ys, xs, amps, bgs):
+                    f.write(
+                        f"{t},{z:.4f},{y:.4f},{x:.4f},{a:.4f},{b:.4f}\n"
+                    )
+                n_rows += len(ys)
+                if tables is not None:
+                    from sequitr_tpu import localize as loc_lib
+
+                    coords = np.zeros((len(ys), 5), dtype=np.float32)
+                    coords[:, 0] = t
+                    coords[:, 1] = xs
+                    coords[:, 2] = ys
+                    coords[:, 3] = zs
+                    tables.append(
+                        loc_lib.FrameTable(
+                            coords=coords,
+                            area=np.ones(len(ys), np.int32),
+                            intensity_mean=amps.astype(np.float32),
+                        )
+                    )
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    finally:
+        seq.close()
+    os.replace(tmp, out_path)
+    outputs = {
+        "emitters": out_path,
+        "n_emitters": str(n_rows),
+        "n_frames": str(n_t),
+    }
+    if tables is not None:
+        from sequitr_tpu import localize as loc_lib
+
+        h5_path = os.path.join(job.output, "objects.h5")
+        loc_lib.export_btrack_h5_tables(
+            h5_path, tables, n_frames=seq.frame_offset + n_t
+        )
+        outputs["objects"] = h5_path
+    return outputs
+
+
+@register("calibrate_astigmatism")
+def calibrate_astigmatism_job(
+    job: Job, config: ServerConfiguration
+) -> Dict[str, str]:
+    """Fit an astigmatic width-vs-z calibration from a bead z-scan.
+
+    input: [bead_scan.tif] — a (Z, H, W) stack, one 2D frame of an
+    isolated bead per known stage position (the standard cylindrical-lens
+    calibration acquisition). The stage positions come from either
+    ``z_positions`` (explicit list) or ``z_start`` + ``z_step`` (uniform
+    scan); units are the user's (nm/µm) and carry through to every z the
+    calibration ever produces. params: ``window`` (elliptical-fit crop,
+    default 11), ``min_distance``, ``iterations``.
+
+    Outputs ``astig_calibration.json`` ({qx, qy, z_range, window} — the
+    exact file ``localize_emitters`` accepts via its ``astigmatism``
+    param; point that param at THIS JOB'S OUTPUT DIR to chain with
+    ``depends_on``) plus a self-check metric: the per-plane measured
+    widths are inverted back through the fitted curves
+    (``psf.z_from_widths``) and the round-trip z residual RMSE is
+    reported — a large residual means the scan does not follow the
+    quadratic defocus model (wrong z ordering, multiple beads, drift).
+    """
+    from sequitr_tpu import psf
+
+    (path,) = _resolve_inputs(job)[:1]
+    stack = _read_stack_or_fail(job, path)
+    if stack.ndim != 3:
+        raise jobs_lib.JobError(
+            f"bead scan must be a (Z, H, W) stack, got {stack.shape}"
+        )
+    p = job.params
+    zp = p.get("z_positions")
+    if zp is not None:
+        try:
+            zs = np.asarray([float(v) for v in zp], dtype=np.float64)
+        except (TypeError, ValueError):
+            raise jobs_lib.JobError(f"bad z_positions: {zp!r}")
+    elif "z_step" in p:
+        try:
+            z0 = float(p.get("z_start", 0.0))
+            dz = float(p["z_step"])
+        except (TypeError, ValueError):
+            raise jobs_lib.JobError("z_start/z_step must be numbers")
+        if dz == 0:
+            raise jobs_lib.JobError("z_step must be nonzero")
+        zs = z0 + dz * np.arange(stack.shape[0], dtype=np.float64)
+    else:
+        raise jobs_lib.JobError(
+            "calibrate_astigmatism needs z_positions (list) or "
+            "z_start + z_step"
+        )
+    try:
+        calib, diag = psf.calibrate_astigmatism(
+            stack, zs,
+            window=int(p.get("window", 11)),
+            min_distance=int(p.get("min_distance", 3)),
+            iterations=int(p.get("iterations", 12)),
+            diagnostics=True,
+        )
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: calibration failed: {e}")
+
+    # round-trip self-check: invert the measured widths through the
+    # fitted curves; the residual quantifies defocus-model adherence
+    z_hat = np.asarray(
+        psf.z_from_widths(diag["sigma_x"], diag["sigma_y"], calib)
+    )
+    rmse = float(np.sqrt(np.mean((z_hat - diag["z"]) ** 2)))
+    span = float(zs.max() - zs.min())
+
+    out_path = os.path.join(job.output, "astig_calibration.json")
+    tmp = out_path + ".tmp"
+    calib.to_json(tmp)
+    os.replace(tmp, out_path)
+    metrics = {
+        "n_planes": int(stack.shape[0]),
+        "z_range": [float(zs.min()), float(zs.max())],
+        "roundtrip_z_rmse": round(rmse, 4),
+        "roundtrip_z_rmse_frac": round(rmse / max(span, 1e-12), 6),
+    }
+    return {"calibration": out_path, "metrics": json.dumps(metrics)}
 
 
 if os.environ.get("SEQUITR_TEST_WEDGE"):  # pragma: no cover - subprocess only

@@ -2679,6 +2679,163 @@ class TestEmitterPipeline:
         np.testing.assert_allclose(coords[:, 1], 20.2, atol=0.1)  # x
         assert fmap.shape[0] == 2  # per-frame slices
 
+    @staticmethod
+    def _emitter_volume(truth, shape=(13, 40, 40), seed=0):
+        rng = np.random.default_rng(seed)
+        zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]]
+        vol = np.full(shape, 20.0)
+        for cz, cy, cx in truth:
+            vol += 300.0 * np.exp(
+                -((zz - cz) ** 2) / (2 * 1.4**2)
+                - ((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 1.4**2)
+            )
+        return (vol + rng.normal(0, 0.5, shape)).astype(np.float32)
+
+    def test_localize_emitters_3d_volume_timelapse(self, server_env):
+        """dims=3: per-timepoint volumetric localization over a volume
+        sequence (directory convention); emitters.csv carries z, and
+        btrack coords fill the z column for full-xyz tracking."""
+        import h5py
+
+        cfg_srv, tmp = server_env
+        vols = tmp / "vols"
+        os.makedirs(vols)
+        truth_t = [
+            [(4.3, 12.6, 25.1), (8.8, 30.2, 10.4)],  # t=0
+            [(5.1, 13.0, 25.5), (8.5, 29.8, 10.0)],  # t=1 (slight motion)
+        ]
+        for t, truth in enumerate(truth_t):
+            tiff.write_stack(
+                str(vols / f"vol_t{t}.tif"), self._emitter_volume(truth, seed=t)
+            )
+        out = str(tmp / "em3d_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "localize_emitters",
+                    "params": {"dims": 3, "threshold": 100, "btrack": True,
+                               "sigma": 1.4, "sigma_z": 1.4},
+                    "input": [str(vols)], "output": out})
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        assert int(st["outputs"]["n_emitters"]) == 4
+        rows = open(st["outputs"]["emitters"]).read().strip().split("\n")
+        assert rows[0] == "t,z,y,x,amplitude,background"
+        got = [tuple(map(float, r.split(","))) for r in rows[1:]]
+        for t, z, y, x, a, b in got:
+            best = min(
+                abs(z - cz) + abs(y - cy) + abs(x - cx)
+                for cz, cy, cx in truth_t[int(t)]
+            )
+            assert best < 0.3, (t, z, y, x, best)
+        with h5py.File(st["outputs"]["objects"]) as f:
+            coords = f["objects/obj_type_1/coords"][:]
+        assert coords.shape == (4, 5)
+        assert (coords[:, 3] > 3.0).all()  # z filled, not zero
+
+    @staticmethod
+    def _astig_widths(z):
+        # foci split +/-300 units: sx focuses above 0, sy below
+        sx = 1.3 * np.sqrt(1.0 + ((z - 300.0) / 400.0) ** 2)
+        sy = 1.3 * np.sqrt(1.0 + ((z + 300.0) / 400.0) ** 2)
+        return sy, sx
+
+    @classmethod
+    def _astig_frame(cls, truth, shape=(64, 64), seed=0):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[: shape[0], : shape[1]]
+        frame = np.full(shape, 20.0)
+        for cz, cy, cx in truth:
+            sy, sx = cls._astig_widths(cz)
+            frame += 3000.0 / (2 * np.pi * sx * sy) * np.exp(
+                -((yy - cy) ** 2) / (2 * sy**2)
+                - ((xx - cx) ** 2) / (2 * sx**2)
+            )
+        return (frame + rng.normal(0, 0.2, shape)).astype(np.float32)
+
+    def test_calibrate_then_localize_astig_chain(self, server_env):
+        """calibrate_astigmatism -> localize_emitters chained via
+        depends_on: the localize job points its astigmatism param at the
+        calibration job's OUTPUT DIR and recovers emitter z."""
+        cfg_srv, tmp = server_env
+        zs = np.linspace(-600, 600, 17)
+        scan = np.stack(
+            [self._astig_frame([(z, 15.7, 16.2)], (32, 32), seed=9)
+             for z in zs]
+        )
+        scan_path = str(tmp / "beads.tif")
+        tiff.write_stack(scan_path, scan)
+        cal_out = str(tmp / "cal_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "calibrate_astigmatism",
+                    "params": {"z_start": -600.0, "z_step": 75.0},
+                    "input": [scan_path], "output": cal_out},
+                   job_id="cal")
+        truth = [(250.0, 20.5, 40.2), (-380.0, 45.1, 18.7)]
+        frame_path = str(tmp / "astig_frames.tif")
+        tiff.write_stack(frame_path, self._astig_frame(truth)[None])
+        loc_out = str(tmp / "loc_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "localize_emitters",
+                    "params": {"astigmatism": cal_out, "threshold": 40,
+                               "btrack": True},
+                    "input": [frame_path], "output": loc_out,
+                    "depends_on": [cal_out]},
+                   job_id="loc")
+        srv = ImageServer(cfg_srv)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            srv.poll_once()
+            if os.path.exists(os.path.join(loc_out, "status.json")):
+                break
+            time.sleep(0.1)
+        st_cal = json.load(open(os.path.join(cal_out, "status.json")))
+        assert st_cal["state"] == "complete", st_cal.get("error")
+        metrics = json.loads(st_cal["outputs"]["metrics"])
+        assert metrics["roundtrip_z_rmse_frac"] < 0.02
+        calib = json.load(open(st_cal["outputs"]["calibration"]))
+        assert set(calib) >= {"qx", "qy", "z_range", "window"}
+
+        st = json.load(open(os.path.join(loc_out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        rows = open(st["outputs"]["emitters"]).read().strip().split("\n")
+        assert rows[0] == "t,z,y,x,sigma_y,sigma_x,amplitude,background"
+        got = [tuple(map(float, r.split(","))) for r in rows[1:]]
+        assert len(got) == 2
+        for cz, cy, cx in truth:
+            r = min(got, key=lambda g: abs(g[2] - cy) + abs(g[3] - cx))
+            assert abs(r[2] - cy) < 0.1 and abs(r[3] - cx) < 0.1
+            assert abs(r[1] - cz) < 60.0, (cz, r)  # 5% of 1200-unit range
+
+    def test_localize_astig_rejects_dims3(self, server_env):
+        cfg_srv, tmp = server_env
+        path = str(tmp / "x.tif")
+        tiff.write_stack(path, np.zeros((2, 16, 16), np.float32))
+        out = str(tmp / "bad_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "localize_emitters",
+                    "params": {"dims": 3, "astigmatism": {"qx": [0, 0, 1],
+                               "qy": [0, 0, 1], "z_range": [-1, 1]}},
+                    "input": [path], "output": out})
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "does not combine" in st["error"]
+
+    def test_calibrate_missing_z_params_fails_fast(self, server_env):
+        cfg_srv, tmp = server_env
+        path = str(tmp / "beads0.tif")
+        tiff.write_stack(path, np.zeros((5, 16, 16), np.float32))
+        out = str(tmp / "calbad_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "calibrate_astigmatism", "params": {},
+                    "input": [path], "output": out})
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "z_positions" in st["error"]
 
 
 class TestSupervisorRecycleE2E:
