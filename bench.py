@@ -395,6 +395,29 @@ def bench_emitters(device_kind: str, iters: int):
             "unit": "frames/sec/chip"}
 
 
+def bench_emitters3d(device_kind: str, iters: int):
+    """Volumetric emitter-localization throughput: 3D max-pool NMS +
+    vmapped anisotropic Gaussian-mask sub-voxel fits over a (16, 512,
+    512) volume — the localize_emitters dims=3 compute path, minus disk."""
+    import jax.numpy as jnp
+    from sequitr_tpu import psf
+    from sequitr_tpu.data import synthetic
+
+    vol, _ = synthetic.emitter_volume(1, (16, 512, 512), n=120)
+    jvol = jnp.asarray(vol)
+    thr = jnp.float32(120.0)
+
+    def one():
+        return psf._detect_and_fit_3d(
+            jvol, thr, max_peaks=256, min_distance=2, min_distance_z=1,
+            window=7, window_z=5, sigma=1.4, sigma_z=1.6,
+        )
+
+    vps = _rate(one, iters)
+    return {"metric": "emitter_localize3d_16x512", "value": round(vps, 3),
+            "unit": "volumes/sec/chip"}
+
+
 def bench_register(device_kind: str, iters: int):
     """Fused drift-registration step (register_stack's compute path):
     one phase-correlation estimate (windowed FFT, whitened cross-power,
@@ -428,6 +451,7 @@ CONFIGS = {
     "fast4": bench_fast4,
     "giant": bench_giant,
     "emitters": bench_emitters,
+    "emitters3d": bench_emitters3d,
     "register": bench_register,
 }
 
@@ -472,6 +496,7 @@ def _fidelity_spec(name: str):
         "train3d": ("train3d", lambda: fid.train_fidelity("unet3d")),
         "gantrain": ("traingan", lambda: fid.train_fidelity("gan")),
         "emitters": ("emit", lambda: fid.emitter_fidelity()),
+        "emitters3d": ("emit3d", lambda: fid.emitter3d_fidelity()),
         "register": ("reg", lambda: fid.register_fidelity()),
     }
     return specs.get(name)

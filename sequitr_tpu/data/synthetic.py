@@ -24,7 +24,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["cells_frame", "cells_stack", "cells_volume", "emitter_frame"]
+__all__ = ["cells_frame", "cells_stack", "cells_volume", "emitter_frame", "emitter_volume"]
 
 
 def _add_cell(img, lab, rng, cls: int) -> None:
@@ -159,3 +159,56 @@ def emitter_frame(
         ).astype(np.float32)
     img += rng.normal(0.0, 3.0, shape).astype(np.float32)
     return np.maximum(img, 0.0), pos_arr
+
+
+def emitter_volume(
+    seed: int,
+    shape: Tuple[int, int, int] = (16, 128, 128),
+    n: int = 20,
+    sigma: float = 1.4,
+    sigma_z: float = 1.6,
+    amp: float = 400.0,
+    background: float = 20.0,
+    min_sep: float = 8.0,
+    min_sep_z: float = 4.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sparse sub-voxel point emitters in a (Z, H, W) volume.
+
+    The volumetric counterpart of :func:`emitter_frame`: returns
+    ``(volume float32, positions (n, 3) float64)`` with positions in
+    (z, y, x) voxel coordinates. Rejection sampling keeps emitters
+    ``min_sep`` voxels apart laterally OR ``min_sep_z`` axially (an
+    anisotropic exclusion ellipsoid), so the 3D centroid-RMSE fidelity
+    metric measures the fitter, not collisions.
+    """
+    rng = np.random.default_rng(seed)
+    d, h, w = shape
+    pos = []
+    for _ in range(10_000):
+        if len(pos) == n:
+            break
+        p = rng.uniform(
+            [3.0, 6.0, 6.0], [d - 3.0, h - 6.0, w - 6.0]
+        )
+        if all(
+            ((p[0] - q[0]) / min_sep_z) ** 2
+            + ((p[1] - q[1]) ** 2 + (p[2] - q[2]) ** 2) / min_sep**2
+            >= 1.0
+            for q in pos
+        ):
+            pos.append(p)
+    pos_arr = np.asarray(pos, np.float64)
+    vol = np.full(shape, background, np.float32)
+    ext = int(np.ceil(4 * sigma))
+    ext_z = int(np.ceil(3 * sigma_z))
+    for cz, cy, cx in pos_arr:
+        z0, z1 = max(0, int(cz) - ext_z), min(d, int(cz) + ext_z + 1)
+        y0, y1 = max(0, int(cy) - ext), min(h, int(cy) + ext + 1)
+        x0, x1 = max(0, int(cx) - ext), min(w, int(cx) + ext + 1)
+        zz, yy, xx = np.mgrid[z0:z1, y0:y1, x0:x1]
+        vol[z0:z1, y0:y1, x0:x1] += amp * np.exp(
+            -((zz - cz) ** 2) / (2 * sigma_z**2)
+            - ((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2)
+        ).astype(np.float32)
+    vol += rng.normal(0.0, 3.0, shape).astype(np.float32)
+    return np.maximum(vol, 0.0), pos_arr

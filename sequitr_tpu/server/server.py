@@ -2376,6 +2376,12 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
       inline ``{qx, qy, z_range, window}`` dict. z is in calibration
       units (whatever the bead scan's stage positions used); the csv
       additionally carries sigma_y/sigma_x. 2D frame streams only.
+
+    ``z_scale`` (default 1.0) multiplies z ONLY in the btrack export so
+    z lands in xy-pixel units there (e.g. nm-per-z-unit / nm-per-pixel
+    for astigmatism, z-step / pixel size for anisotropic voxels) —
+    track_objects gates on euclidean xyz distance, so mixed units would
+    mis-weight the axial term. emitters.csv keeps native units.
     """
     from sequitr_tpu import psf
     from sequitr_tpu.data.source import FrameSource
@@ -2409,6 +2415,7 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     thr_abs = p.get("threshold")
     k_sig = float(p.get("threshold_sigmas", 5.0))
     want_btrack = bool(p.get("btrack"))
+    z_scale = float(p.get("z_scale", 1.0))
     n_frames = len(source)
 
     from sequitr_tpu.pipeline import infer as infer_lib
@@ -2477,7 +2484,7 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                     coords[:, 1] = xs
                     coords[:, 2] = ys
                     if zs is not None:
-                        coords[:, 3] = zs
+                        coords[:, 3] = zs * z_scale
                     tables.append(
                         loc_lib.FrameTable(
                             coords=coords,
@@ -2574,6 +2581,7 @@ def _localize_volume_timelapse(job: Job, path: str) -> Dict[str, str]:
     thr_abs = p.get("threshold")
     k_sig = float(p.get("threshold_sigmas", 5.0))
     want_btrack = bool(p.get("btrack"))
+    z_scale = float(p.get("z_scale", 1.0))
     n_t = len(seq)
 
     out_path = os.path.join(job.output, "emitters.csv")
@@ -2622,7 +2630,7 @@ def _localize_volume_timelapse(job: Job, path: str) -> Dict[str, str]:
                     coords[:, 0] = t
                     coords[:, 1] = xs
                     coords[:, 2] = ys
-                    coords[:, 3] = zs
+                    coords[:, 3] = zs * z_scale
                     tables.append(
                         loc_lib.FrameTable(
                             coords=coords,

@@ -91,6 +91,13 @@ class TestFidelityMeters:
         assert r["rmse_px"] < 0.05
         assert r["recall"] > 0.9 and r["precision"] > 0.9
 
+    def test_emitter3d_fidelity_subvoxel(self):
+        r = fidelity.emitter3d_fidelity(n=1, shape=(16, 128, 128),
+                                        n_emitters=15)
+        assert r["lateral_rmse_px"] < 0.05
+        assert r["axial_rmse_px"] < 0.15
+        assert r["recall"] > 0.9 and r["precision"] > 0.9
+
     def test_train_fidelity_parity_on_cpu(self):
         r = fidelity.train_fidelity("unet2d", steps=2, batch=2, size=64)
         # identical dtype + backend on the CPU suite: trajectories match

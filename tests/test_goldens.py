@@ -233,3 +233,45 @@ class TestOpGoldens:
         np.testing.assert_allclose(
             np.asarray(resps3, np.float32), g["responses3"], rtol=1e-4
         )
+
+    def test_localize3d_step(self):
+        """3D + astigmatic localization numerics frozen: detector
+        tie-break, anisotropic Gaussian-mask centroid, adaptive
+        elliptical width fit, z-inversion grid."""
+        from sequitr_tpu import psf
+        from sequitr_tpu.data import synthetic
+
+        g = _load("localize3d_step")
+        vol, _ = synthetic.emitter_volume(90_001, (12, 64, 64), n=8)
+        out = psf.localize_emitters_3d(
+            vol, 120.0, max_peaks=16, sigma=1.4, sigma_z=1.6
+        )
+        for k in ("z", "y", "x", "amplitude", "background"):
+            np.testing.assert_allclose(
+                np.asarray(out[k], np.float32), g[f"vol_{k}"],
+                atol=1e-4, rtol=1e-5, err_msg=k,
+            )
+
+        rng = np.random.default_rng(90_002)
+        yy, xx = np.mgrid[:64, :64].astype(np.float64)
+        frame = np.full((64, 64), 20.0)
+        for cz, cy, cx in [(250.0, 20.5, 40.2), (-380.0, 45.1, 18.7)]:
+            sx = 1.3 * np.sqrt(1.0 + ((cz - 300.0) / 400.0) ** 2)
+            sy = 1.3 * np.sqrt(1.0 + ((cz + 300.0) / 400.0) ** 2)
+            frame += 3000.0 / (2 * np.pi * sx * sy) * np.exp(
+                -((yy - cy) ** 2) / (2 * sy**2)
+                - ((xx - cx) ** 2) / (2 * sx**2)
+            )
+        frame = (frame + rng.normal(0, 0.2, frame.shape)).astype(np.float32)
+        calib = psf.AstigCalibration(
+            qx=(1.05625e-05, -0.0063375, 2.640625),
+            qy=(1.05625e-05, 0.0063375, 2.640625),
+            z_range=(-600.0, 600.0),
+        )
+        astig = psf.localize_emitters_astig(frame, 40.0, calib)
+        for k in ("z", "y", "x", "sigma_y", "sigma_x", "amplitude",
+                  "background"):
+            np.testing.assert_allclose(
+                np.asarray(astig[k], np.float32), g[f"astig_{k}"],
+                atol=1e-3, rtol=1e-5, err_msg=k,
+            )

@@ -2712,7 +2712,7 @@ class TestEmitterPipeline:
         submit_job(cfg_srv.jobs_dir,
                    {"module": "localize_emitters",
                     "params": {"dims": 3, "threshold": 100, "btrack": True,
-                               "sigma": 1.4, "sigma_z": 1.4},
+                               "sigma": 1.4, "sigma_z": 1.4, "z_scale": 2.0},
                     "input": [str(vols)], "output": out})
         srv = ImageServer(cfg_srv)
         assert srv.poll_once()
@@ -2731,7 +2731,11 @@ class TestEmitterPipeline:
         with h5py.File(st["outputs"]["objects"]) as f:
             coords = f["objects/obj_type_1/coords"][:]
         assert coords.shape == (4, 5)
-        assert (coords[:, 3] > 3.0).all()  # z filled, not zero
+        # btrack z = csv z * z_scale (csv stays native voxels)
+        csv_z = sorted(g[1] for g in got)
+        np.testing.assert_allclose(
+            sorted(coords[:, 3]), [2.0 * z for z in csv_z], rtol=1e-5
+        )
 
     @staticmethod
     def _astig_widths(z):

@@ -432,3 +432,57 @@ class TestRegistrationOnChip:
         )  # two FFT round-trips of float32 accumulation differences
         # and the estimate is actually right
         assert np.abs(np.asarray(cum) - [-3.7, 2.2]).max() < 0.02
+
+
+class TestLocalize3DOnChip:
+    def test_localize3d_and_astig_vs_cpu_f32(self):
+        """Volumetric + astigmatic localization compiled on the chip.
+        Detection is exact integer voxel selection (reduce_window +
+        top_k) and the fitters run f32 accumulation, so positions must
+        match the CPU-f32 path to sub-millipixel; a bigger gap is a
+        lowering difference (reduce_window tie-break, fori_loop fusion),
+        not dtype policy."""
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu import psf
+        from sequitr_tpu.data import synthetic
+
+        vol, _ = synthetic.emitter_volume(91_001, (16, 128, 128), n=12)
+        cpu = _cpu_device()
+        with jax.default_device(cpu):
+            ref = psf.localize_emitters_3d(
+                vol, 120.0, sigma=1.4, sigma_z=1.6
+            )
+        got = psf.localize_emitters_3d(vol, 120.0, sigma=1.4, sigma_z=1.6)
+        assert len(got["z"]) == len(ref["z"]) > 0
+        for k in ("z", "y", "x"):
+            assert np.abs(got[k] - ref[k]).max() < 1e-3, k
+        assert np.abs(got["amplitude"] - ref["amplitude"]).max() < 0.5
+
+        # astigmatic: elliptical widths + z inversion on the chip
+        rng = np.random.default_rng(91_002)
+        yy, xx = np.mgrid[:96, :96].astype(np.float64)
+        frame = np.full((96, 96), 20.0)
+        for cz, cy, cx in [(250.0, 30.5, 60.2), (-380.0, 70.1, 25.7)]:
+            sx = 1.3 * np.sqrt(1.0 + ((cz - 300.0) / 400.0) ** 2)
+            sy = 1.3 * np.sqrt(1.0 + ((cz + 300.0) / 400.0) ** 2)
+            frame += 3000.0 / (2 * np.pi * sx * sy) * np.exp(
+                -((yy - cy) ** 2) / (2 * sy**2)
+                - ((xx - cx) ** 2) / (2 * sx**2)
+            )
+        frame = (frame + rng.normal(0, 0.2, frame.shape)).astype(np.float32)
+        calib = psf.AstigCalibration(
+            qx=(1.05625e-05, -0.0063375, 2.640625),
+            qy=(1.05625e-05, 0.0063375, 2.640625),
+            z_range=(-600.0, 600.0),
+        )
+        with jax.default_device(cpu):
+            ref_a = psf.localize_emitters_astig(frame, 40.0, calib)
+        got_a = psf.localize_emitters_astig(frame, 40.0, calib)
+        assert len(got_a["z"]) == len(ref_a["z"]) == 2
+        for k in ("y", "x"):
+            assert np.abs(got_a[k] - ref_a[k]).max() < 1e-3, k
+        # z rides the width fits through a steep inversion: allow float
+        # accumulation differences scaled by the grid step (~5 units)
+        assert np.abs(got_a["z"] - ref_a["z"]).max() < 5.0

@@ -242,6 +242,51 @@ def make_register_step():
     )
 
 
+def make_localize3d_step():
+    """Volumetric + astigmatic emitter localization on fixed scenes —
+    freezes the 3D detector tie-break, the anisotropic Gaussian-mask
+    centroid, the adaptive elliptical width fit and the z-inversion
+    grid numerics."""
+    from sequitr_tpu import psf
+    from sequitr_tpu.data import synthetic
+
+    vol, _ = synthetic.emitter_volume(90_001, (12, 64, 64), n=8)
+    zyx, valid, fits = psf._detect_and_fit_3d(
+        jnp.asarray(vol), jnp.float32(120.0), max_peaks=16,
+        min_distance=2, min_distance_z=1, window=7, window_z=5,
+        sigma=1.4, sigma_z=1.6,
+    )
+    v = np.asarray(valid)
+    out3d = {
+        f"vol_{k}": np.asarray(val)[v].astype(np.float32)
+        for k, val in fits.items()
+    }
+
+    # astigmatic: fixed elliptical spots + a fixed analytic calibration
+    rng = np.random.default_rng(90_002)
+    yy, xx = np.mgrid[:64, :64].astype(np.float64)
+    frame = np.full((64, 64), 20.0)
+    for cz, cy, cx in [(250.0, 20.5, 40.2), (-380.0, 45.1, 18.7)]:
+        sx = 1.3 * np.sqrt(1.0 + ((cz - 300.0) / 400.0) ** 2)
+        sy = 1.3 * np.sqrt(1.0 + ((cz + 300.0) / 400.0) ** 2)
+        frame += 3000.0 / (2 * np.pi * sx * sy) * np.exp(
+            -((yy - cy) ** 2) / (2 * sy**2) - ((xx - cx) ** 2) / (2 * sx**2)
+        )
+    frame = (frame + rng.normal(0, 0.2, frame.shape)).astype(np.float32)
+    calib = psf.AstigCalibration(
+        qx=(1.05625e-05, -0.0063375, 2.640625),
+        qy=(1.05625e-05, 0.0063375, 2.640625),
+        z_range=(-600.0, 600.0),
+    )
+    astig = psf.localize_emitters_astig(frame, 40.0, calib)
+    _save(
+        "localize3d_step",
+        **out3d,
+        **{f"astig_{k}": np.asarray(v2, np.float32)
+           for k, v2 in astig.items()},
+    )
+
+
 FAMILIES = {
     "unet2d_infer": make_unet2d_infer,
     "unet3d_infer": make_unet3d_infer,
@@ -250,6 +295,7 @@ FAMILIES = {
     "augment_elastic": make_augment_elastic,
     "normalize_quantiles": make_normalize_quantiles,
     "register_step": make_register_step,
+    "localize3d_step": make_localize3d_step,
 }
 
 
