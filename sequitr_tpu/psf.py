@@ -607,8 +607,9 @@ def calibrate_astigmatism(
     calibration acquisition). Per plane the brightest local maximum is
     localized with :func:`fit_peaks_elliptical`; sigma²(z) is then fit per
     axis by linear least squares (quadratic in z — exact for the defocus
-    model, see :class:`AstigCalibration`). Host-facing; the per-plane fits
-    run as one vmapped jit batch.
+    model, see :class:`AstigCalibration`). Host-facing; ALL planes'
+    detections + elliptical fits run as one vmapped jit dispatch
+    (per-plane median thresholds are traced operands).
 
     Returns the :class:`AstigCalibration`; with ``diagnostics=True``
     returns ``(calib, diag)`` where ``diag`` carries the per-plane
@@ -628,20 +629,16 @@ def calibrate_astigmatism(
     if len(zs) < 5:
         raise ValueError("need >= 5 calibration planes for a stable fit")
 
-    sx = np.empty(len(zs))
-    sy = np.empty(len(zs))
-    for i, frame in enumerate(stack):
-        med = float(np.median(frame))
-        yx, valid = detect_peaks(
-            jnp.asarray(frame), med, max_peaks=1, min_distance=min_distance
-        )
-        if not bool(np.asarray(valid)[0]):
-            raise ValueError(f"no bead found in calibration plane {i}")
-        fits = fit_peaks_elliptical(
-            jnp.asarray(frame), yx, window=window, iterations=iterations
-        )
-        sy[i] = float(np.asarray(fits["sigma_y"])[0])
-        sx[i] = float(np.asarray(fits["sigma_x"])[0])
+    meds = np.median(stack, axis=(1, 2)).astype(np.float32)
+    valid, fits = _calibration_fits(
+        jnp.asarray(stack), jnp.asarray(meds),
+        min_distance=min_distance, window=window, iterations=iterations,
+    )
+    bad = np.flatnonzero(~np.asarray(valid)[:, 0])
+    if bad.size:
+        raise ValueError(f"no bead found in calibration plane {bad[0]}")
+    sy = np.asarray(fits["sigma_y"], np.float64)[:, 0]
+    sx = np.asarray(fits["sigma_x"], np.float64)[:, 0]
 
     A = np.stack([zs**2, zs, np.ones_like(zs)], axis=-1)
     qx, *_ = np.linalg.lstsq(A, sx**2, rcond=None)
@@ -655,6 +652,26 @@ def calibrate_astigmatism(
     if diagnostics:
         return calib, {"sigma_x": sx, "sigma_y": sy, "z": zs}
     return calib
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_distance", "window", "iterations")
+)
+def _calibration_fits(stack, thresholds, *, min_distance, window, iterations):
+    """Brightest-peak detection + elliptical width fit for every
+    calibration plane in one vmapped graph (thresholds traced, so a
+    rebuilt bead scan dispatches without retracing)."""
+
+    def one(frame, thr):
+        yx, valid = detect_peaks(
+            frame, thr, max_peaks=1, min_distance=min_distance
+        )
+        fits = fit_peaks_elliptical(
+            frame, yx, window=window, iterations=iterations
+        )
+        return valid, fits
+
+    return jax.vmap(one)(stack, thresholds)
 
 
 def z_from_widths(

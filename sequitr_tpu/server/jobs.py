@@ -84,6 +84,9 @@ class Job:
     # ``owns_claim`` compares it against the file's mtime to detect that a
     # heartbeat-starved claim was reclaimed and re-claimed by someone else.
     last_beat: float = 0.0
+    # non-fatal pipeline-surfaced issues; merged with the unknown-param
+    # warnings into the completed status.json's ``warnings`` list
+    runtime_warnings: List[str] = dataclasses.field(default_factory=list)
 
     @classmethod
     def from_file(cls, path: str) -> "Job":

@@ -276,9 +276,9 @@ class ImageServer:
                     pipeline = _profiled(pipeline)
                 outputs = self._run_with_watchdog(pipeline, job) or {}
                 unread = job.params.unread_keys()
-                warnings = None
+                warnings = list(job.runtime_warnings) or None
                 if unread:
-                    warnings = [
+                    warnings = (warnings or []) + [
                         f"unknown param {k!r}: never read by "
                         f"{job.module!r} (misspelled?)" for k in unread
                     ]
@@ -572,6 +572,27 @@ def _resolve_inputs(job: Job):
             continue
         raise jobs_lib.JobError(f"job {job.id}: input not found: {p}")
     return job.input
+
+
+def _parse_z_pages(job: Job):
+    """The ``z`` (pages-per-volume) param as int or None; bad values are
+    deterministic — fail fast (shared by every volume-timelapse pipeline)."""
+    z_param = job.params.get("z")
+    try:
+        return None if z_param is None else int(z_param)
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"z={z_param!r} must be an integer (pages per volume)"
+        )
+
+
+def _robust_threshold(arr: np.ndarray, thr_abs, k_sig: float) -> float:
+    """Absolute threshold if given, else robust per-frame median + k*MAD."""
+    if thr_abs is not None:
+        return float(thr_abs)
+    med = float(np.median(arr))
+    mad = float(np.median(np.abs(arr - med))) * 1.4826
+    return med + k_sig * max(mad, 1e-12)
 
 
 def _read_stack_or_fail(job: Job, path: str, dtype=np.float32) -> np.ndarray:
@@ -2093,13 +2114,7 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     if z_param is not None or any(
         _expand_inputs_entry(p_) != [p_] for p_ in paths
     ):
-        try:
-            z_val = None if z_param is None else int(z_param)
-        except (TypeError, ValueError):
-            raise jobs_lib.JobError(
-                f"z={z_param!r} must be an integer (pages per volume)"
-            )
-        return _segment_volume_timelapse(job, config, paths, z_val)
+        return _segment_volume_timelapse(job, config, paths, _parse_z_pages(job))
     vols = []
     for p_ in paths:
         v = _read_stack_or_fail(job, p_)
@@ -2416,6 +2431,15 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     k_sig = float(p.get("threshold_sigmas", 5.0))
     want_btrack = bool(p.get("btrack"))
     z_scale = float(p.get("z_scale", 1.0))
+    if calib is not None and want_btrack and "z_scale" not in p:
+        # calibration z is typically nm while x/y are pixels; an unscaled
+        # mix makes track_objects' euclidean gate axial-dominated
+        job.runtime_warnings.append(
+            "astigmatism z is in calibration units but btrack x/y are in "
+            "pixels; set z_scale (multiplied into z for the btrack export, "
+            "e.g. 1/pixel_size_nm for z in nm) so tracking gates on "
+            "consistent units"
+        )
     n_frames = len(source)
 
     from sequitr_tpu.pipeline import infer as infer_lib
@@ -2438,12 +2462,7 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
             for rel_t, frame in enumerate(frames):
                 t = rel_t + source.frame_offset  # absolute frame index
                 frame = np.asarray(frame, dtype=np.float32)
-                if thr_abs is not None:
-                    thr = float(thr_abs)
-                else:
-                    med = float(np.median(frame))
-                    mad = float(np.median(np.abs(frame - med))) * 1.4826
-                    thr = med + k_sig * max(mad, 1e-12)
+                thr = _robust_threshold(frame, thr_abs, k_sig)
                 if calib is not None:
                     fits = psf.localize_emitters_astig(
                         frame, thr, calib, max_peaks=max_peaks,
@@ -2515,6 +2534,22 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     return outputs
 
 
+def _reads_fail_fast(job: Job, it):
+    """Re-raise a source read ValueError as a deterministic JobError.
+
+    Read-ahead producers (``_iter_read_ahead``) surface their read
+    errors at the consumer's ``next()``; corrupt input is deterministic,
+    so it must not burn retries."""
+    while True:
+        try:
+            item = next(it)
+        except StopIteration:
+            return
+        except ValueError as e:
+            raise jobs_lib.JobError(f"job {job.id}: {e}")
+        yield item
+
+
 def _load_astig_calibration(job: Job):
     """Resolve the ``astigmatism`` param to an AstigCalibration (or None).
 
@@ -2543,7 +2578,9 @@ def _load_astig_calibration(job: Job):
         path = os.path.join(path, "astig_calibration.json")
     try:
         return psf.AstigCalibration.from_json(path)
-    except (OSError, ValueError, json.JSONDecodeError) as e:
+    # TypeError: structurally wrong JSON (e.g. "qx": 1 hits len() on an
+    # int) — as deterministic as a ValueError, must not burn retries
+    except (OSError, TypeError, ValueError, json.JSONDecodeError) as e:
         raise jobs_lib.JobError(
             f"job {job.id}: cannot load astigmatism calibration "
             f"{astig!r}: {e}"
@@ -2558,15 +2595,8 @@ def _localize_volume_timelapse(job: Job, path: str) -> Dict[str, str]:
     from sequitr_tpu.data.source import VolumeSequence
 
     p = job.params
-    z_param = p.get("z")
     try:
-        z_val = None if z_param is None else int(z_param)
-    except (TypeError, ValueError):
-        raise jobs_lib.JobError(
-            f"z={z_param!r} must be an integer (pages per volume)"
-        )
-    try:
-        seq = VolumeSequence(path, z=z_val)
+        seq = VolumeSequence(path, z=_parse_z_pages(job))
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
     seq = _apply_frame_range(job, seq)
@@ -2588,24 +2618,22 @@ def _localize_volume_timelapse(job: Job, path: str) -> Dict[str, str]:
     tmp = out_path + ".tmp"
     n_rows = 0
     tables = [] if want_btrack else None
+    from sequitr_tpu.pipeline import infer as infer_lib
+
     try:
         with open(tmp, "w") as f:
             f.write("t,z,y,x,amplitude,background\n")
-            for rel_t in jobs_lib.track(
-                job, range(n_t), total=n_t, phase="volumes"
-            ):
-                try:
-                    vol = seq.volume(rel_t)
-                except ValueError as e:
-                    raise jobs_lib.JobError(f"job {job.id}: {e}")
+            # read-ahead: volume t+1's disk read/decode overlaps volume
+            # t's localization dispatch, like every 2D serving loop; a
+            # producer-side read ValueError re-raises here at next()
+            vol_iter = jobs_lib.track(
+                job, infer_lib._iter_read_ahead(seq.volumes(), 2),
+                total=n_t, phase="volumes",
+            )
+            for rel_t, vol in _reads_fail_fast(job, enumerate(vol_iter)):
                 t = rel_t + seq.frame_offset
                 vol = np.asarray(vol, dtype=np.float32)
-                if thr_abs is not None:
-                    thr = float(thr_abs)
-                else:
-                    med = float(np.median(vol))
-                    mad = float(np.median(np.abs(vol - med))) * 1.4826
-                    thr = med + k_sig * max(mad, 1e-12)
+                thr = _robust_threshold(vol, thr_abs, k_sig)
                 fits = psf.localize_emitters_3d(
                     vol, thr, max_peaks=max_peaks,
                     min_distance=min_distance,
@@ -3096,13 +3124,7 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     t0 = time.time()
     out_path = os.path.join(job.output, "deconvolved.tif")
     if dims == 3:
-        z_param = p.get("z")
-        try:
-            z_val = None if z_param is None else int(z_param)
-        except (TypeError, ValueError):
-            raise jobs_lib.JobError(
-                f"z={z_param!r} must be an integer (pages per volume)"
-            )
+        z_val = _parse_z_pages(job)
         if z_val is not None or _expand_inputs_entry(path) != [path]:
             return _deconvolve_volume_timelapse(job, path, z_val, timer, t0)
         if job.params.get("frame_range") is not None:
@@ -3465,13 +3487,7 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 "data_parallel registration is 2D-only (volume sequences "
                 "are few-timepoint; shifts ride channel 0 serially)"
             )
-        z = p.get("z")
-        try:
-            z = None if z is None else int(z)
-        except (TypeError, ValueError):
-            raise jobs_lib.JobError(
-                f"z={z!r} must be an integer (pages per volume)"
-            )
+        z = _parse_z_pages(job)
         return _register_volumes(
             job, mode, subpixel, window, refine, crop, estimate_only,
             z=z, min_response=min_response,

@@ -2811,6 +2811,65 @@ class TestEmitterPipeline:
             assert abs(r[2] - cy) < 0.1 and abs(r[3] - cx) < 0.1
             assert abs(r[1] - cz) < 60.0, (cz, r)  # 5% of 1200-unit range
 
+    def test_astig_structurally_bad_calibration_fails_fast(self, server_env):
+        """'qx': 1 hits len() on an int (TypeError) — as deterministic as
+        a ValueError; must fail fast, not burn retries (review finding)."""
+        cfg_srv, tmp = server_env
+        path = str(tmp / "f.tif")
+        tiff.write_stack(path, np.zeros((1, 16, 16), np.float32))
+        cal = str(tmp / "bad_cal.json")
+        with open(cal, "w") as f:
+            json.dump({"qx": 1, "qy": [0, 0, 1], "z_range": [-1, 1]}, f)
+        out = str(tmp / "badcal_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "localize_emitters",
+                    "params": {"astigmatism": cal, "threshold": 5},
+                    "input": [path], "output": out})
+        srv = ImageServer(cfg_srv)
+        t0 = time.time()
+        assert srv.poll_once()
+        elapsed = time.time() - t0
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "astigmatism" in st["error"]
+        assert elapsed < cfg_srv.retry_backoff + 1.0  # no retry burn
+
+    def test_astig_btrack_without_z_scale_warns(self, server_env):
+        """Mixed units out of the box (calibration z next to pixel x/y)
+        surface as a status warning, not silently useless tracking."""
+        cfg_srv, tmp = server_env
+        frame_path = str(tmp / "aw.tif")
+        tiff.write_stack(frame_path, self._astig_frame([(100.0, 30.0, 30.0)]))
+        out = str(tmp / "aw_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "localize_emitters",
+                    "params": {"astigmatism": {
+                        "qx": [1.05625e-05, -0.0063375, 2.640625],
+                        "qy": [1.05625e-05, 0.0063375, 2.640625],
+                        "z_range": [-600.0, 600.0]},
+                        "threshold": 40, "btrack": True},
+                    "input": [frame_path], "output": out})
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        assert any("z_scale" in w for w in st.get("warnings", []))
+
+        # setting z_scale silences it
+        out2 = str(tmp / "aw2_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "localize_emitters",
+                    "params": {"astigmatism": {
+                        "qx": [1.05625e-05, -0.0063375, 2.640625],
+                        "qy": [1.05625e-05, 0.0063375, 2.640625],
+                        "z_range": [-600.0, 600.0]},
+                        "threshold": 40, "btrack": True, "z_scale": 0.01},
+                    "input": [frame_path], "output": out2})
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(out2, "status.json")))
+        assert st2["state"] == "complete", st2.get("error")
+        assert not any("z_scale" in w for w in st2.get("warnings", []))
+
     def test_localize_astig_rejects_dims3(self, server_env):
         cfg_srv, tmp = server_env
         path = str(tmp / "x.tif")
