@@ -11,6 +11,7 @@ from sequitr_tpu.parallel.mesh import (  # noqa: F401
     make_dp_frame_inferrer,
     make_dp_frame_mapper,
     make_dp_registerer,
+    make_dp_localizer,
 )
 
 

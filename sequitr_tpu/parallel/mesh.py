@@ -31,6 +31,7 @@ __all__ = [
     "make_dp_frame_inferrer",
     "make_dp_frame_mapper",
     "make_dp_registerer",
+    "make_dp_localizer",
 ]
 
 
@@ -175,4 +176,41 @@ def make_dp_registerer(
         # all three outputs carry the batch dim (resample=False returns a
         # (B,) dummy scalar batch), so all shard over it
         out_shardings=(shd, shd, shd),
+    )
+
+
+def make_dp_localizer(
+    mesh: Mesh,
+    *,
+    max_peaks: int = 256,
+    min_distance: int = 2,
+    window: int = 7,
+    sigma: float = 1.5,
+    axis_name: str = "data",
+) -> Callable:
+    """DP form of single-molecule emitter localization.
+
+    ``localize(frames, thresholds)`` with ``frames`` (D, H, W) and
+    per-frame ``thresholds`` (D,) both sharded over ``data``: every chip
+    runs detect (max-pool NMS + top_k) + vmapped Gaussian-mask fits on
+    its shard of frames in one dispatch with ZERO inter-chip traffic —
+    localization is per-frame independent, the same embarrassingly
+    parallel shape as first-mode registration. Thresholds are traced
+    operands, so per-frame robust (median+MAD) values dispatch without
+    retracing. Returns ``(yx, valid, fits)`` with every leaf carrying
+    the leading batch dim, all batch-sharded.
+    """
+    from sequitr_tpu import psf
+
+    shd = batch_sharded(mesh, axis_name)
+
+    def one(frame, thr):
+        yx, valid = psf.detect_peaks(frame, thr, max_peaks, min_distance)
+        fits = psf.fit_peaks_gaussian(frame, yx, window=window, sigma=sigma)
+        return yx, valid, fits
+
+    return jax.jit(
+        jax.vmap(one),
+        in_shardings=(shd, shd),
+        out_shardings=shd,
     )

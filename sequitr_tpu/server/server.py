@@ -2397,6 +2397,12 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     for astigmatism, z-step / pixel size for anisotropic voxels) —
     track_objects gates on euclidean xyz distance, so mixed units would
     mis-weight the axial term. emitters.csv keeps native units.
+
+    ``data_parallel: true`` (plain 2D mode) shards frames over all chips
+    of the mesh — per-frame localization is embarrassingly parallel, so
+    each chip runs detect+fit on its shard with zero inter-chip traffic
+    (``parallel.make_dp_localizer``); per-frame robust thresholds are
+    traced operands. Output identical to streaming.
     """
     from sequitr_tpu import psf
     from sequitr_tpu.data.source import FrameSource
@@ -2452,6 +2458,104 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         header = "t,z,y,x,sigma_y,sigma_x,amplitude,background\n"
     else:
         header = "t,y,x,amplitude,background\n"
+    def _emit_plain(f, t, ys, xs, amps, bgs):
+        """One frame's plain-mode rows + optional btrack table entry."""
+        nonlocal_rows = 0
+        for y, x, a, b in zip(ys, xs, amps, bgs):
+            f.write(f"{t},{y:.4f},{x:.4f},{a:.4f},{b:.4f}\n")
+            nonlocal_rows += 1
+        if tables is not None:
+            from sequitr_tpu import localize as loc_lib
+
+            coords = np.zeros((len(ys), 5), dtype=np.float32)
+            coords[:, 0] = t
+            coords[:, 1] = xs
+            coords[:, 2] = ys
+            tables.append(
+                loc_lib.FrameTable(
+                    coords=coords,
+                    area=np.ones(len(ys), np.int32),
+                    intensity_mean=np.asarray(amps, np.float32),
+                )
+            )
+        return nonlocal_rows
+
+    use_dp = bool(p.get("data_parallel"))
+    import jax
+
+    if use_dp and calib is not None:
+        raise jobs_lib.JobError(
+            "data_parallel localization supports the plain 2D mode only "
+            "(astigmatism runs per-frame)"
+        )
+    if use_dp and jax.device_count() > 1:
+        # frames sharded over all chips, zero inter-chip traffic — the
+        # same embarrassingly parallel DP shape as first-mode
+        # registration and GAN serving
+        import jax.numpy as jnp
+
+        from sequitr_tpu import parallel
+
+        mesh = parallel.make_mesh()
+        n_dev = int(mesh.devices.size)
+        dp = parallel.make_dp_localizer(
+            mesh, max_peaks=max_peaks, min_distance=min_distance,
+            window=window, sigma=sigma,
+        )
+        n_chunks = (n_frames + n_dev - 1) // n_dev
+        try:
+            with source, open(tmp, "w") as f:
+                f.write(header)
+                chunk_iter = jobs_lib.track(
+                    job,
+                    infer_lib._iter_read_ahead(source.chunks(n_dev), 2),
+                    total=n_chunks, phase="chunks",
+                )
+                done = 0
+                for chunk in _reads_fail_fast(job, iter(chunk_iter)):
+                    chunk = np.asarray(chunk, np.float32)
+                    thrs = np.asarray(
+                        [_robust_threshold(fr, thr_abs, k_sig)
+                         for fr in chunk],
+                        np.float32,
+                    )
+                    _, valid, fits = dp(
+                        jnp.asarray(chunk), jnp.asarray(thrs)
+                    )
+                    valid = np.asarray(valid)
+                    host = {k: np.asarray(v) for k, v in fits.items()}
+                    for k in range(min(n_dev, n_frames - done)):
+                        m = valid[k]
+                        n_rows += _emit_plain(
+                            f, source.frame_offset + done,
+                            host["y"][k][m], host["x"][k][m],
+                            host["amplitude"][k][m],
+                            host["background"][k][m],
+                        )
+                        done += 1
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        os.replace(tmp, out_path)
+        outputs = {
+            "emitters": out_path,
+            "n_emitters": str(n_rows),
+            "n_frames": str(n_frames),
+            "n_devices": str(n_dev),
+        }
+        if tables is not None:
+            from sequitr_tpu import localize as loc_lib
+
+            h5_path = os.path.join(job.output, "objects.h5")
+            loc_lib.export_btrack_h5_tables(
+                h5_path, tables, n_frames=source.frame_offset + n_frames
+            )
+            outputs["objects"] = h5_path
+        return outputs
+
     try:
         with source, open(tmp, "w") as f:
             f.write(header)
@@ -2475,25 +2579,25 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                         min_distance=min_distance, window=window,
                         sigma=sigma,
                     )
+                    n_rows += _emit_plain(
+                        f, t, fits["y"], fits["x"],
+                        fits["amplitude"], fits["background"],
+                    )
+                    continue
                 ys = np.asarray(fits["y"], dtype=np.float64)
                 xs = np.asarray(fits["x"], dtype=np.float64)
                 amps = np.asarray(fits["amplitude"], dtype=np.float64)
                 bgs = np.asarray(fits["background"], dtype=np.float64)
-                if calib is not None:
-                    zs = np.asarray(fits["z"], dtype=np.float64)
-                    sy = np.asarray(fits["sigma_y"], dtype=np.float64)
-                    sx = np.asarray(fits["sigma_x"], dtype=np.float64)
-                    for z, y, x, wy, wx, a, b in zip(
-                        zs, ys, xs, sy, sx, amps, bgs
-                    ):
-                        f.write(
-                            f"{t},{z:.4f},{y:.4f},{x:.4f},{wy:.4f},"
-                            f"{wx:.4f},{a:.4f},{b:.4f}\n"
-                        )
-                else:
-                    zs = None
-                    for y, x, a, b in zip(ys, xs, amps, bgs):
-                        f.write(f"{t},{y:.4f},{x:.4f},{a:.4f},{b:.4f}\n")
+                zs = np.asarray(fits["z"], dtype=np.float64)
+                sy = np.asarray(fits["sigma_y"], dtype=np.float64)
+                sx = np.asarray(fits["sigma_x"], dtype=np.float64)
+                for z, y, x, wy, wx, a, b in zip(
+                    zs, ys, xs, sy, sx, amps, bgs
+                ):
+                    f.write(
+                        f"{t},{z:.4f},{y:.4f},{x:.4f},{wy:.4f},"
+                        f"{wx:.4f},{a:.4f},{b:.4f}\n"
+                    )
                 n_rows += len(ys)
                 if tables is not None:
                     from sequitr_tpu import localize as loc_lib
@@ -2502,8 +2606,7 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                     coords[:, 0] = t
                     coords[:, 1] = xs
                     coords[:, 2] = ys
-                    if zs is not None:
-                        coords[:, 3] = zs * z_scale
+                    coords[:, 3] = zs * z_scale
                     tables.append(
                         loc_lib.FrameTable(
                             coords=coords,
