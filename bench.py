@@ -418,6 +418,35 @@ def bench_emitters3d(device_kind: str, iters: int):
             "unit": "volumes/sec/chip"}
 
 
+def bench_astig(device_kind: str, iters: int):
+    """Astigmatic 3D-from-2D localization throughput: NMS detection +
+    adaptive elliptical width fits + calibration-grid z inversion, one
+    fused jit graph per 512² frame (the localize_emitters astigmatism
+    compute path, minus disk)."""
+    import jax.numpy as jnp
+    from sequitr_tpu import psf
+    from sequitr_tpu.data import synthetic
+
+    img, _ = synthetic.astig_emitter_frame(2, (512, 512), n=80)
+    calib = psf.AstigCalibration(
+        qx=synthetic.ASTIG_QX, qy=synthetic.ASTIG_QY,
+        z_range=synthetic.ASTIG_Z_RANGE,
+    )
+    coef = jnp.asarray(calib.qx + calib.qy + calib.z_range, jnp.float32)
+    jimg = jnp.asarray(img)
+    thr = jnp.float32(25.0)
+
+    def one():
+        return psf._detect_and_fit_astig(
+            jimg, thr, coef, max_peaks=256, min_distance=2,
+            window=calib.window, n_grid=241,
+        )
+
+    fps = _rate(one, iters)
+    return {"metric": "emitter_astig_512", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
 def bench_register(device_kind: str, iters: int):
     """Fused drift-registration step (register_stack's compute path):
     one phase-correlation estimate (windowed FFT, whitened cross-power,
@@ -452,6 +481,7 @@ CONFIGS = {
     "giant": bench_giant,
     "emitters": bench_emitters,
     "emitters3d": bench_emitters3d,
+    "astig": bench_astig,
     "register": bench_register,
 }
 
@@ -497,6 +527,7 @@ def _fidelity_spec(name: str):
         "gantrain": ("traingan", lambda: fid.train_fidelity("gan")),
         "emitters": ("emit", lambda: fid.emitter_fidelity()),
         "emitters3d": ("emit3d", lambda: fid.emitter3d_fidelity()),
+        "astig": ("astig", lambda: fid.astig_fidelity()),
         "register": ("reg", lambda: fid.register_fidelity()),
     }
     return specs.get(name)

@@ -24,7 +24,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["cells_frame", "cells_stack", "cells_volume", "emitter_frame", "emitter_volume"]
+__all__ = ["cells_frame", "cells_stack", "cells_volume", "emitter_frame", "emitter_volume", "astig_emitter_frame", "astig_widths"]
 
 
 def _add_cell(img, lab, rng, cls: int) -> None:
@@ -212,3 +212,70 @@ def emitter_volume(
         ).astype(np.float32)
     vol += rng.normal(0.0, 3.0, shape).astype(np.float32)
     return np.maximum(vol, 0.0), pos_arr
+
+
+# analytic cylindrical-lens defocus curves used by the astigmatic
+# synthetic scenes: sigma(z) = 1.3*sqrt(1 + ((z -/+ 300)/400)^2), foci
+# split +/-300 units. sigma^2 is exactly quadratic in z, so the matching
+# AstigCalibration coefficients below are closed-form (see psf.py).
+ASTIG_QX = (1.05625e-05, -0.0063375, 2.640625)
+ASTIG_QY = (1.05625e-05, 0.0063375, 2.640625)
+ASTIG_Z_RANGE = (-600.0, 600.0)
+
+
+def astig_widths(z: float) -> Tuple[float, float]:
+    """(sigma_y, sigma_x) of the analytic defocus model at z."""
+    sx = 1.3 * np.sqrt(1.0 + ((z - 300.0) / 400.0) ** 2)
+    sy = 1.3 * np.sqrt(1.0 + ((z + 300.0) / 400.0) ** 2)
+    return sy, sx
+
+
+def astig_emitter_frame(
+    seed: int,
+    shape: Tuple[int, int] = (256, 256),
+    n: int = 40,
+    photons: float = 3000.0,
+    background: float = 20.0,
+    min_sep: float = 12.0,
+    z_span: float = 450.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sparse astigmatic emitters: widths encode known z.
+
+    Returns ``(image float32, positions (n, 3) float64)`` with positions
+    in (z, y, x) — z in calibration units over ``[-z_span, z_span]``,
+    y/x in pixels. Amplitude scales as 1/(2*pi*sx*sy) (constant photon
+    count), so defocused emitters are genuinely dimmer, like real SMLM
+    frames. ``min_sep`` is generous because defocused spots are wide.
+    """
+    rng = np.random.default_rng(seed)
+    h, w = shape
+    pos = []
+    for _ in range(10_000):
+        if len(pos) == n:
+            break
+        p = np.asarray([
+            rng.uniform(-z_span, z_span),
+            rng.uniform(10.0, h - 10.0),
+            rng.uniform(10.0, w - 10.0),
+        ])
+        if all(
+            (p[1] - q[1]) ** 2 + (p[2] - q[2]) ** 2 >= min_sep**2
+            for q in pos
+        ):
+            pos.append(p)
+    pos_arr = np.asarray(pos, np.float64)
+    img = np.full(shape, background, np.float32)
+    for cz, cy, cx in pos_arr:
+        sy, sx = astig_widths(cz)
+        ext = int(np.ceil(4 * max(sy, sx)))
+        y0, y1 = max(0, int(cy) - ext), min(h, int(cy) + ext + 1)
+        x0, x1 = max(0, int(cx) - ext), min(w, int(cx) + ext + 1)
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        img[y0:y1, x0:x1] += (
+            photons / (2 * np.pi * sx * sy) * np.exp(
+                -((yy - cy) ** 2) / (2 * sy**2)
+                - ((xx - cx) ** 2) / (2 * sx**2)
+            )
+        ).astype(np.float32)
+    img += rng.normal(0.0, 0.3, shape).astype(np.float32)
+    return np.maximum(img, 0.0), pos_arr

@@ -4424,6 +4424,7 @@ def _deconvolve_volume_timelapse(
 
     from sequitr_tpu import psf
     from sequitr_tpu.data.source import VolumeSequence
+    from sequitr_tpu.pipeline import infer as infer_lib
 
     p = job.params
     iterations = int(p.get("iterations", 20))
@@ -4447,12 +4448,13 @@ def _deconvolve_volume_timelapse(
     n_t = len(seq)
     vol_bytes = float(np.prod(seq.spatial)) * 4
     try:
-        for t in jobs_lib.track(job, range(n_t), total=n_t, phase="volumes"):
-            with timer.phase("read"):
-                try:
-                    vol = seq.volume(t)
-                except ValueError as e:
-                    raise jobs_lib.JobError(f"job {job.id}: {e}")
+        # read-ahead: volume t+1's decode overlaps volume t's compute,
+        # matching every other serving loop (read errors -> JobError)
+        vol_iter = jobs_lib.track(
+            job, infer_lib._iter_read_ahead(seq.volumes(), 2),
+            total=n_t, phase="volumes",
+        )
+        for t, vol in _reads_fail_fast(job, enumerate(vol_iter)):
             with timer.phase("infer"):
                 out = fn(vol)
             with timer.phase("fetch"):

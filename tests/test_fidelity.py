@@ -98,6 +98,12 @@ class TestFidelityMeters:
         assert r["axial_rmse_px"] < 0.15
         assert r["recall"] > 0.9 and r["precision"] > 0.9
 
+    def test_astig_fidelity_z_recovery(self):
+        r = fidelity.astig_fidelity(n=1, n_emitters=12)
+        assert r["lateral_rmse_px"] < 0.05
+        assert r["axial_rmse_frac"] < 0.05  # <5% of the calibrated range
+        assert r["recall"] > 0.9 and r["precision"] > 0.9
+
     def test_train_fidelity_parity_on_cpu(self):
         r = fidelity.train_fidelity("unet2d", steps=2, batch=2, size=64)
         # identical dtype + backend on the CPU suite: trajectories match
