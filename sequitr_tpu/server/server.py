@@ -2411,10 +2411,24 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     p = job.params
     dims = int(p.get("dims", 2))
     calib = _load_astig_calibration(job)
+    use_dp = bool(p.get("data_parallel"))
     if dims == 3 and calib is not None:
         raise jobs_lib.JobError(
             "astigmatism infers z from 2D frames; it does not combine "
             "with dims=3 volumetric input"
+        )
+    # unsupported data_parallel combinations fail loudly BEFORE any
+    # source opens — silently ignoring the requested parallelism would
+    # leave the user believing frames were sharded
+    if use_dp and calib is not None:
+        raise jobs_lib.JobError(
+            "data_parallel localization supports the plain 2D mode only "
+            "(astigmatism runs per-frame)"
+        )
+    if use_dp and dims == 3:
+        raise jobs_lib.JobError(
+            "data_parallel localization supports the plain 2D mode only "
+            "(volumetric runs per-volume)"
         )
     if dims == 3:
         return _localize_volume_timelapse(job, path)
@@ -2480,32 +2494,27 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
             )
         return nonlocal_rows
 
-    use_dp = bool(p.get("data_parallel"))
     import jax
 
-    if use_dp and calib is not None:
-        raise jobs_lib.JobError(
-            "data_parallel localization supports the plain 2D mode only "
-            "(astigmatism runs per-frame)"
-        )
-    if use_dp and jax.device_count() > 1:
-        # frames sharded over all chips, zero inter-chip traffic — the
-        # same embarrassingly parallel DP shape as first-mode
-        # registration and GAN serving
-        import jax.numpy as jnp
+    dp_devices = 0
+    try:
+        with source, open(tmp, "w") as f:
+            f.write(header)
+            if use_dp and jax.device_count() > 1:
+                # frames sharded over all chips, zero inter-chip traffic
+                # — the same embarrassingly parallel DP shape as
+                # first-mode registration and GAN serving
+                import jax.numpy as jnp
 
-        from sequitr_tpu import parallel
+                from sequitr_tpu import parallel
 
-        mesh = parallel.make_mesh()
-        n_dev = int(mesh.devices.size)
-        dp = parallel.make_dp_localizer(
-            mesh, max_peaks=max_peaks, min_distance=min_distance,
-            window=window, sigma=sigma,
-        )
-        n_chunks = (n_frames + n_dev - 1) // n_dev
-        try:
-            with source, open(tmp, "w") as f:
-                f.write(header)
+                mesh = parallel.make_mesh()
+                n_dev = dp_devices = int(mesh.devices.size)
+                dp = parallel.make_dp_localizer(
+                    mesh, max_peaks=max_peaks, min_distance=min_distance,
+                    window=window, sigma=sigma,
+                )
+                n_chunks = (n_frames + n_dev - 1) // n_dev
                 chunk_iter = jobs_lib.track(
                     job,
                     infer_lib._iter_read_ahead(source.chunks(n_dev), 2),
@@ -2533,87 +2542,63 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                             host["background"][k][m],
                         )
                         done += 1
-        except BaseException:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            raise
-        os.replace(tmp, out_path)
-        outputs = {
-            "emitters": out_path,
-            "n_emitters": str(n_rows),
-            "n_frames": str(n_frames),
-            "n_devices": str(n_dev),
-        }
-        if tables is not None:
-            from sequitr_tpu import localize as loc_lib
-
-            h5_path = os.path.join(job.output, "objects.h5")
-            loc_lib.export_btrack_h5_tables(
-                h5_path, tables, n_frames=source.frame_offset + n_frames
-            )
-            outputs["objects"] = h5_path
-        return outputs
-
-    try:
-        with source, open(tmp, "w") as f:
-            f.write(header)
-            frames = jobs_lib.track(
-                job, infer_lib._iter_read_ahead(source.frames(), 2),
-                total=n_frames,
-            )
-            for rel_t, frame in enumerate(frames):
-                t = rel_t + source.frame_offset  # absolute frame index
-                frame = np.asarray(frame, dtype=np.float32)
-                thr = _robust_threshold(frame, thr_abs, k_sig)
-                if calib is not None:
-                    fits = psf.localize_emitters_astig(
-                        frame, thr, calib, max_peaks=max_peaks,
-                        min_distance=min_distance,
-                        window=None if "window" not in p else window,
-                    )
-                else:
-                    fits = psf.localize_emitters(
-                        frame, thr, max_peaks=max_peaks,
-                        min_distance=min_distance, window=window,
-                        sigma=sigma,
-                    )
-                    n_rows += _emit_plain(
-                        f, t, fits["y"], fits["x"],
-                        fits["amplitude"], fits["background"],
-                    )
-                    continue
-                ys = np.asarray(fits["y"], dtype=np.float64)
-                xs = np.asarray(fits["x"], dtype=np.float64)
-                amps = np.asarray(fits["amplitude"], dtype=np.float64)
-                bgs = np.asarray(fits["background"], dtype=np.float64)
-                zs = np.asarray(fits["z"], dtype=np.float64)
-                sy = np.asarray(fits["sigma_y"], dtype=np.float64)
-                sx = np.asarray(fits["sigma_x"], dtype=np.float64)
-                for z, y, x, wy, wx, a, b in zip(
-                    zs, ys, xs, sy, sx, amps, bgs
-                ):
-                    f.write(
-                        f"{t},{z:.4f},{y:.4f},{x:.4f},{wy:.4f},"
-                        f"{wx:.4f},{a:.4f},{b:.4f}\n"
-                    )
-                n_rows += len(ys)
-                if tables is not None:
-                    from sequitr_tpu import localize as loc_lib
-
-                    coords = np.zeros((len(ys), 5), dtype=np.float32)
-                    coords[:, 0] = t
-                    coords[:, 1] = xs
-                    coords[:, 2] = ys
-                    coords[:, 3] = zs * z_scale
-                    tables.append(
-                        loc_lib.FrameTable(
-                            coords=coords,
-                            area=np.ones(len(ys), np.int32),
-                            intensity_mean=amps.astype(np.float32),
+            else:
+                frames = jobs_lib.track(
+                    job, infer_lib._iter_read_ahead(source.frames(), 2),
+                    total=n_frames,
+                )
+                stream = _reads_fail_fast(job, enumerate(frames))
+                for rel_t, frame in stream:
+                    t = rel_t + source.frame_offset  # absolute frame index
+                    frame = np.asarray(frame, dtype=np.float32)
+                    thr = _robust_threshold(frame, thr_abs, k_sig)
+                    if calib is not None:
+                        fits = psf.localize_emitters_astig(
+                            frame, thr, calib, max_peaks=max_peaks,
+                            min_distance=min_distance,
+                            window=None if "window" not in p else window,
                         )
-                    )
+                    else:
+                        fits = psf.localize_emitters(
+                            frame, thr, max_peaks=max_peaks,
+                            min_distance=min_distance, window=window,
+                            sigma=sigma,
+                        )
+                        n_rows += _emit_plain(
+                            f, t, fits["y"], fits["x"],
+                            fits["amplitude"], fits["background"],
+                        )
+                        continue
+                    ys = np.asarray(fits["y"], dtype=np.float64)
+                    xs = np.asarray(fits["x"], dtype=np.float64)
+                    amps = np.asarray(fits["amplitude"], dtype=np.float64)
+                    bgs = np.asarray(fits["background"], dtype=np.float64)
+                    zs = np.asarray(fits["z"], dtype=np.float64)
+                    sy = np.asarray(fits["sigma_y"], dtype=np.float64)
+                    sx = np.asarray(fits["sigma_x"], dtype=np.float64)
+                    for z, y, x, wy, wx, a, b in zip(
+                        zs, ys, xs, sy, sx, amps, bgs
+                    ):
+                        f.write(
+                            f"{t},{z:.4f},{y:.4f},{x:.4f},{wy:.4f},"
+                            f"{wx:.4f},{a:.4f},{b:.4f}\n"
+                        )
+                    n_rows += len(ys)
+                    if tables is not None:
+                        from sequitr_tpu import localize as loc_lib
+
+                        coords = np.zeros((len(ys), 5), dtype=np.float32)
+                        coords[:, 0] = t
+                        coords[:, 1] = xs
+                        coords[:, 2] = ys
+                        coords[:, 3] = zs * z_scale
+                        tables.append(
+                            loc_lib.FrameTable(
+                                coords=coords,
+                                area=np.ones(len(ys), np.int32),
+                                intensity_mean=amps.astype(np.float32),
+                            )
+                        )
     except BaseException:
         try:
             os.unlink(tmp)
@@ -2626,6 +2611,8 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         "n_emitters": str(n_rows),
         "n_frames": str(n_frames),
     }
+    if dp_devices:
+        outputs["n_devices"] = str(dp_devices)
     if tables is not None:
         from sequitr_tpu import localize as loc_lib
 

@@ -2859,6 +2859,52 @@ class TestEmitterPipeline:
                 fs["objects/obj_type_1/coords"][:], atol=1e-4,
             )
 
+    def test_localize_corrupt_midstream_fails_fast(self, server_env,
+                                                   monkeypatch):
+        """A read error mid-stream (corrupt page past the validated
+        headers) is deterministic: the streaming path must convert it to
+        a JobError and fail without burning retries (review finding)."""
+        from sequitr_tpu.data.source import FrameSource
+
+        cfg_srv, tmp = server_env
+        path = str(tmp / "mid.tif")
+        tiff.write_stack(path, np.zeros((3, 16, 16), np.float32))
+        orig = FrameSource.frame
+
+        def bad(self, i):
+            if i == 1:
+                raise ValueError("corrupt LZW strip in page 1")
+            return orig(self, i)
+
+        monkeypatch.setattr(FrameSource, "frame", bad)
+        out = str(tmp / "mid_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "localize_emitters", "params": {"threshold": 5},
+                    "input": [path], "output": out})
+        srv = ImageServer(cfg_srv)
+        t0 = time.time()
+        assert srv.poll_once()
+        elapsed = time.time() - t0
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "corrupt LZW strip" in st["error"]
+        assert elapsed < cfg_srv.retry_backoff + 1.0  # no retry burn
+
+    def test_localize_dp_rejects_dims3(self, server_env):
+        cfg_srv, tmp = server_env
+        path = str(tmp / "dpv.tif")
+        tiff.write_stack(path, np.zeros((2, 16, 16), np.float32))
+        out = str(tmp / "dpv_out")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "localize_emitters",
+                    "params": {"data_parallel": True, "dims": 3},
+                    "input": [path], "output": out})
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "plain 2D mode" in st["error"]
+
     def test_localize_dp_rejects_astig(self, server_env):
         cfg_srv, tmp = server_env
         path = str(tmp / "dpa.tif")
