@@ -447,7 +447,7 @@ def _detect_and_fit_3d(
 def fit_peaks_elliptical(
     image: jnp.ndarray,
     yx: jnp.ndarray,
-    window: int = 11,
+    window: int = 15,
     iterations: int = 12,
     min_sigma: float = 0.5,
     max_sigma: float = 6.0,
@@ -546,7 +546,7 @@ class AstigCalibration:
     qx: Tuple[float, float, float]
     qy: Tuple[float, float, float]
     z_range: Tuple[float, float]
-    window: int = 11
+    window: int = 15
 
     def sigma_x(self, z):
         a, b, e = self.qx
@@ -580,7 +580,7 @@ class AstigCalibration:
             qx=tuple(float(v) for v in d["qx"]),
             qy=tuple(float(v) for v in d["qy"]),
             z_range=tuple(float(v) for v in d["z_range"]),
-            window=int(d.get("window", 11)),
+            window=int(d.get("window", 15)),
         )
 
     @staticmethod
@@ -595,7 +595,7 @@ class AstigCalibration:
 def calibrate_astigmatism(
     bead_stack,
     z_positions,
-    window: int = 11,
+    window: int = 15,
     min_distance: int = 3,
     iterations: int = 12,
     diagnostics: bool = False,

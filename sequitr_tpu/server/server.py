@@ -2793,7 +2793,7 @@ def calibrate_astigmatism_job(
     ``z_positions`` (explicit list) or ``z_start`` + ``z_step`` (uniform
     scan); units are the user's (nm/µm) and carry through to every z the
     calibration ever produces. params: ``window`` (elliptical-fit crop,
-    default 11), ``min_distance``, ``iterations``.
+    default 15 — measured 6.8x the axial accuracy of 11 on synthetic defocus series, BASELINE.md round 4; defocused spots need the wider crop), ``min_distance``, ``iterations``.
 
     Outputs ``astig_calibration.json`` ({qx, qy, z_range, window} — the
     exact file ``localize_emitters`` accepts via its ``astigmatism``
@@ -2836,7 +2836,7 @@ def calibrate_astigmatism_job(
     try:
         calib, diag = psf.calibrate_astigmatism(
             stack, zs,
-            window=int(p.get("window", 11)),
+            window=int(p.get("window", 15)),
             min_distance=int(p.get("min_distance", 3)),
             iterations=int(p.get("iterations", 12)),
             diagnostics=True,

@@ -101,7 +101,7 @@ class TestFidelityMeters:
     def test_astig_fidelity_z_recovery(self):
         r = fidelity.astig_fidelity(n=1, n_emitters=12)
         assert r["lateral_rmse_px"] < 0.05
-        assert r["axial_rmse_frac"] < 0.05  # <5% of the calibrated range
+        assert r["axial_rmse_frac"] < 0.015  # window=15: measured ~0.4%
         assert r["recall"] > 0.9 and r["precision"] > 0.9
 
     def test_train_fidelity_parity_on_cpu(self):

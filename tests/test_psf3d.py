@@ -176,7 +176,7 @@ class TestAstigmatism:
         zs = np.linspace(-600, 600, 21)
         calib = psf.calibrate_astigmatism(_make_bead_scan(zs), zs)
         assert calib.z_range == (-600.0, 600.0)
-        assert calib.window == 11
+        assert calib.window == 15
         # curve sanity: sigma_x focus above 0, sigma_y below (our setup)
         zg = np.linspace(-500, 500, 101)
         sx = np.asarray(calib.sigma_x(jnp.asarray(zg)))
