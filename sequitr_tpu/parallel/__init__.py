@@ -12,6 +12,7 @@ from sequitr_tpu.parallel.mesh import (  # noqa: F401
     make_dp_frame_mapper,
     make_dp_registerer,
     make_dp_localizer,
+    make_dp_localizer3d,
 )
 
 

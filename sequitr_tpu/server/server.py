@@ -2398,11 +2398,13 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     track_objects gates on euclidean xyz distance, so mixed units would
     mis-weight the axial term. emitters.csv keeps native units.
 
-    ``data_parallel: true`` (plain 2D mode) shards frames over all chips
-    of the mesh — per-frame localization is embarrassingly parallel, so
+    ``data_parallel: true`` shards the work over all chips of the mesh —
+    per-frame/per-timepoint localization is embarrassingly parallel, so
     each chip runs detect+fit on its shard with zero inter-chip traffic
-    (``parallel.make_dp_localizer``); per-frame robust thresholds are
-    traced operands. Output identical to streaming.
+    (plain 2D: frames via ``parallel.make_dp_localizer``; dims=3:
+    TIMEPOINTS via ``make_dp_localizer3d``); per-frame robust thresholds
+    are traced operands. Output identical to streaming. Astigmatism runs
+    per-frame only (deterministic error if combined).
     """
     from sequitr_tpu import psf
     from sequitr_tpu.data.source import FrameSource
@@ -2424,11 +2426,6 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         raise jobs_lib.JobError(
             "data_parallel localization supports the plain 2D mode only "
             "(astigmatism runs per-frame)"
-        )
-    if use_dp and dims == 3:
-        raise jobs_lib.JobError(
-            "data_parallel localization supports the plain 2D mode only "
-            "(volumetric runs per-volume)"
         )
     if dims == 3:
         return _localize_volume_timelapse(job, path)
@@ -2710,51 +2707,105 @@ def _localize_volume_timelapse(job: Job, path: str) -> Dict[str, str]:
     tables = [] if want_btrack else None
     from sequitr_tpu.pipeline import infer as infer_lib
 
+    def _emit3d(f, t, zs, ys, xs, amps, bgs):
+        """One timepoint's rows + optional btrack table entry."""
+        count = 0
+        for z, y, x, a, b in zip(zs, ys, xs, amps, bgs):
+            f.write(f"{t},{z:.4f},{y:.4f},{x:.4f},{a:.4f},{b:.4f}\n")
+            count += 1
+        if tables is not None:
+            from sequitr_tpu import localize as loc_lib
+
+            coords = np.zeros((len(ys), 5), dtype=np.float32)
+            coords[:, 0] = t
+            coords[:, 1] = xs
+            coords[:, 2] = ys
+            coords[:, 3] = np.asarray(zs) * z_scale
+            tables.append(
+                loc_lib.FrameTable(
+                    coords=coords,
+                    area=np.ones(len(ys), np.int32),
+                    intensity_mean=np.asarray(amps, np.float32),
+                )
+            )
+        return count
+
+    import jax
+
+    use_dp = bool(p.get("data_parallel")) and jax.device_count() > 1
+    dp_devices = 0
     try:
         with open(tmp, "w") as f:
             f.write("t,z,y,x,amplitude,background\n")
-            # read-ahead: volume t+1's disk read/decode overlaps volume
-            # t's localization dispatch, like every 2D serving loop; a
-            # producer-side read ValueError re-raises here at next()
-            vol_iter = jobs_lib.track(
-                job, infer_lib._iter_read_ahead(seq.volumes(), 2),
-                total=n_t, phase="volumes",
-            )
-            for rel_t, vol in _reads_fail_fast(job, enumerate(vol_iter)):
-                t = rel_t + seq.frame_offset
-                vol = np.asarray(vol, dtype=np.float32)
-                thr = _robust_threshold(vol, thr_abs, k_sig)
-                fits = psf.localize_emitters_3d(
-                    vol, thr, max_peaks=max_peaks,
-                    min_distance=min_distance,
-                    min_distance_z=min_distance_z,
-                    window=window, window_z=window_z,
-                    sigma=sigma, sigma_z=sigma_z,
-                )
-                zs = np.asarray(fits["z"], dtype=np.float64)
-                ys = np.asarray(fits["y"], dtype=np.float64)
-                xs = np.asarray(fits["x"], dtype=np.float64)
-                amps = np.asarray(fits["amplitude"], dtype=np.float64)
-                bgs = np.asarray(fits["background"], dtype=np.float64)
-                for z, y, x, a, b in zip(zs, ys, xs, amps, bgs):
-                    f.write(
-                        f"{t},{z:.4f},{y:.4f},{x:.4f},{a:.4f},{b:.4f}\n"
-                    )
-                n_rows += len(ys)
-                if tables is not None:
-                    from sequitr_tpu import localize as loc_lib
+            if use_dp:
+                # timepoints sharded over the mesh: a volumetric SMLM
+                # timelapse is embarrassingly parallel over t exactly
+                # like 2D frames (zero inter-chip traffic)
+                import jax.numpy as jnp
 
-                    coords = np.zeros((len(ys), 5), dtype=np.float32)
-                    coords[:, 0] = t
-                    coords[:, 1] = xs
-                    coords[:, 2] = ys
-                    coords[:, 3] = zs * z_scale
-                    tables.append(
-                        loc_lib.FrameTable(
-                            coords=coords,
-                            area=np.ones(len(ys), np.int32),
-                            intensity_mean=amps.astype(np.float32),
+                from sequitr_tpu import parallel
+
+                mesh = parallel.make_mesh()
+                n_dev = dp_devices = int(mesh.devices.size)
+                dp = parallel.make_dp_localizer3d(
+                    mesh, max_peaks=max_peaks, min_distance=min_distance,
+                    min_distance_z=min_distance_z, window=window,
+                    window_z=window_z, sigma=sigma, sigma_z=sigma_z,
+                )
+                n_chunks = (n_t + n_dev - 1) // n_dev
+                chunk_iter = jobs_lib.track(
+                    job,
+                    infer_lib._iter_read_ahead(
+                        _volume_chunks(seq, n_dev), 2
+                    ),
+                    total=n_chunks, phase="chunks",
+                )
+                done = 0
+                for chunk in _reads_fail_fast(job, iter(chunk_iter)):
+                    thrs = np.asarray(
+                        [_robust_threshold(v, thr_abs, k_sig)
+                         for v in chunk],
+                        np.float32,
+                    )
+                    _, valid, fits = dp(
+                        jnp.asarray(chunk), jnp.asarray(thrs)
+                    )
+                    valid = np.asarray(valid)
+                    host = {k: np.asarray(v) for k, v in fits.items()}
+                    for k in range(min(n_dev, n_t - done)):
+                        m = valid[k]
+                        n_rows += _emit3d(
+                            f, seq.frame_offset + done,
+                            host["z"][k][m], host["y"][k][m],
+                            host["x"][k][m], host["amplitude"][k][m],
+                            host["background"][k][m],
                         )
+                        done += 1
+            else:
+                # read-ahead: volume t+1's disk read/decode overlaps
+                # volume t's localization dispatch, like every 2D
+                # serving loop; producer read ValueErrors re-raise at
+                # next()
+                vol_iter = jobs_lib.track(
+                    job, infer_lib._iter_read_ahead(seq.volumes(), 2),
+                    total=n_t, phase="volumes",
+                )
+                for rel_t, vol in _reads_fail_fast(
+                    job, enumerate(vol_iter)
+                ):
+                    t = rel_t + seq.frame_offset
+                    vol = np.asarray(vol, dtype=np.float32)
+                    thr = _robust_threshold(vol, thr_abs, k_sig)
+                    fits = psf.localize_emitters_3d(
+                        vol, thr, max_peaks=max_peaks,
+                        min_distance=min_distance,
+                        min_distance_z=min_distance_z,
+                        window=window, window_z=window_z,
+                        sigma=sigma, sigma_z=sigma_z,
+                    )
+                    n_rows += _emit3d(
+                        f, t, fits["z"], fits["y"], fits["x"],
+                        fits["amplitude"], fits["background"],
                     )
     except BaseException:
         try:
@@ -2770,6 +2821,8 @@ def _localize_volume_timelapse(job: Job, path: str) -> Dict[str, str]:
         "n_emitters": str(n_rows),
         "n_frames": str(n_t),
     }
+    if dp_devices:
+        outputs["n_devices"] = str(dp_devices)
     if tables is not None:
         from sequitr_tpu import localize as loc_lib
 
@@ -2779,6 +2832,21 @@ def _localize_volume_timelapse(job: Job, path: str) -> Dict[str, str]:
         )
         outputs["objects"] = h5_path
     return outputs
+
+
+def _volume_chunks(seq, n: int):
+    """Yield (n, Z, H, W) float32 chunks from a VolumeSequence, repeating
+    the last volume to pad the tail (callers slice the padding off) —
+    the volumetric analogue of ``FrameSource.chunks``."""
+    buf = []
+    for v in seq.volumes():
+        buf.append(np.asarray(v, np.float32))
+        if len(buf) == n:
+            yield np.stack(buf)
+            buf = []
+    if buf:
+        buf.extend(buf[-1:] * (n - len(buf)))
+        yield np.stack(buf)
 
 
 @register("calibrate_astigmatism")

@@ -2961,20 +2961,45 @@ class TestEmitterPipeline:
         assert "corrupt LZW strip" in st["error"]
         assert elapsed < cfg_srv.retry_backoff + 1.0  # no retry burn
 
-    def test_localize_dp_rejects_dims3(self, server_env):
+    def test_localize_3d_data_parallel_matches_streaming(self, server_env):
+        """dims=3 + data_parallel: TIMEPOINTS sharded over the virtual
+        mesh produce the same emitters as the streaming volumetric path
+        (11 timepoints over 8 devices: tail padding exercised)."""
         cfg_srv, tmp = server_env
-        path = str(tmp / "dpv.tif")
-        tiff.write_stack(path, np.zeros((2, 16, 16), np.float32))
-        out = str(tmp / "dpv_out")
-        submit_job(cfg_srv.jobs_dir,
-                   {"module": "localize_emitters",
-                    "params": {"data_parallel": True, "dims": 3},
-                    "input": [path], "output": out})
+        vols = tmp / "dp3d_vols"
+        os.makedirs(vols)
+        rng = np.random.default_rng(17)
+        n_t = 11
+        for t in range(n_t):
+            truth = [(4.0 + 0.2 * t, 12.0 + 0.5 * t, 25.0),
+                     (8.0, 30.0, 10.0 + 0.3 * t)]
+            tiff.write_stack(
+                str(vols / f"v_t{t:02d}.tif"),
+                self._emitter_volume(truth, seed=100 + t),
+            )
         srv = ImageServer(cfg_srv)
-        assert srv.poll_once()
-        st = json.load(open(os.path.join(out, "status.json")))
-        assert st["state"] == "failed"
-        assert "plain 2D mode" in st["error"]
+        outs = {}
+        for name, extra in (("st", {}), ("dp", {"data_parallel": True})):
+            out = str(tmp / f"dp3d_{name}_out")
+            submit_job(cfg_srv.jobs_dir,
+                       {"module": "localize_emitters",
+                        "params": {"dims": 3, "threshold": 100,
+                                   "sigma": 1.4, "sigma_z": 1.4, **extra},
+                        "input": [str(vols)], "output": out})
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[name] = st
+        assert int(outs["dp"]["outputs"]["n_devices"]) > 1
+        a = open(outs["dp"]["outputs"]["emitters"]).read()
+        b = open(outs["st"]["outputs"]["emitters"]).read()
+        assert a.split("\n")[0] == "t,z,y,x,amplitude,background"
+        ra = np.asarray([[float(v) for v in r.split(",")]
+                         for r in a.strip().split("\n")[1:]])
+        rb = np.asarray([[float(v) for v in r.split(",")]
+                         for r in b.strip().split("\n")[1:]])
+        assert ra.shape == rb.shape == (2 * n_t, 6)
+        np.testing.assert_allclose(ra, rb, atol=1e-4)
 
     def test_localize_dp_rejects_astig(self, server_env):
         cfg_srv, tmp = server_env
