@@ -467,6 +467,28 @@ def bench_register(device_kind: str, iters: int):
             "unit": "frames/sec/chip"}
 
 
+def bench_mosaic(device_kind: str, iters: int):
+    """Mosaic seam estimation (stitch_mosaic's device path): a 3x3 grid
+    of 512² tiles — all 6 horizontal seams phase-correlated in one
+    batched dispatch, all 6 vertical in a second (refine=2). The solve
+    and blend are host-side and excluded (they are O(µs) and O(HBM-free
+    numpy) respectively); this times the per-mosaic device work."""
+    from sequitr_tpu import mosaic as mosaic_lib
+
+    rng = np.random.default_rng(3)
+    tiles = rng.gamma(2.0, 100.0, (9, 512, 512)).astype(np.float32)
+    grid, ov = (3, 3), (96, 96)
+
+    def one():
+        _, offsets, _, _ = mosaic_lib.pair_offsets(tiles, grid, ov)
+        return offsets
+
+    n_tiles = len(tiles)
+    rate = _rate(one, iters=max(iters // 4, 2))
+    return {"metric": "mosaic_3x3_512", "value": round(rate * n_tiles, 3),
+            "unit": "tiles/sec/chip"}
+
+
 CONFIGS = {
     "inference": bench_inference,
     "timelapse": bench_timelapse,
@@ -483,6 +505,7 @@ CONFIGS = {
     "emitters3d": bench_emitters3d,
     "astig": bench_astig,
     "register": bench_register,
+    "mosaic": bench_mosaic,
 }
 
 
@@ -529,6 +552,7 @@ def _fidelity_spec(name: str):
         "emitters3d": ("emit3d", lambda: fid.emitter3d_fidelity()),
         "astig": ("astig", lambda: fid.astig_fidelity()),
         "register": ("reg", lambda: fid.register_fidelity()),
+        "mosaic": ("mosaic", lambda: fid.mosaic_fidelity()),
     }
     return specs.get(name)
 

@@ -4535,3 +4535,180 @@ def _deconvolve_volume_timelapse(
         volumes_per_sec=round(n_t / max(total_s, 1e-9), 3),
     )
     return {"deconvolved": job.output, "metrics": json.dumps(metrics)}
+
+
+@register("stitch_mosaic")
+def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Stitch a grid of overlapping fields of view into one mosaic.
+
+    Exposes ``sequitr_tpu.mosaic`` through the job API (no model).
+    Slide scanners / motorized stages acquire large samples as an
+    (R, C) grid of overlapping tiles; this produces the single
+    stationary composite every downstream pipeline wants (the reference
+    delegates this to Fiji's Grid/Collection stitching — an extension,
+    COMPONENTS.md). Pairwise seam offsets are measured with the
+    registration stack's phase correlator batched over ALL seams of a
+    direction in one dispatch, positions come from a weighted global
+    least-squares solve, and the composite is feather-blended
+    (mosaic.py design notes). params:
+
+    * ``grid``: [rows, cols] — REQUIRED; tiles arrive in acquisition
+      order as R*C single-frame TIFFs (directory/glob entry, natural
+      sort) or one R*C-page stack.
+    * ``overlap``: nominal seam overlap — px int, fraction of the tile
+      in (0, 1), or a per-axis [oy, ox] pair (default 0.1).
+    * ``order``: ``"row"`` (default) or ``"snake"`` (serpentine stage
+      scans: odd rows acquired right-to-left).
+    * ``subpixel`` (default true): sub-pixel seam estimates + batched
+      fractional Fourier-shift placement; false = whole-pixel (lossless
+      — use for label tiles).
+    * ``window`` (default true), ``refine`` (default 2): forwarded to
+      the phase correlator (same semantics as register_stack).
+    * ``min_response`` (default 0 = off): PSR confidence gate — seams
+      below it (featureless overlap: empty glass) fall back to nominal
+      grid spacing at near-zero weight instead of shearing the mosaic.
+    * ``estimate_only`` (default false): write positions/seams CSVs only.
+
+    Outputs: ``mosaic.tif`` (float32 composite; uncovered rim px are 0),
+    ``positions.csv`` (tile, row, col, y, x — canvas-coordinate tile
+    origins), ``seams.csv`` (i, j, dy, dx, response, used — the
+    per-seam measurements and their confidence; used=0 marks nominal
+    fallbacks), and metrics incl. ``rms_residual`` px (post-solve seam
+    disagreement — the stitch-consistency QC number; large values mean
+    stage nonlinearity, a wrong overlap hint, or sample motion).
+    """
+    from sequitr_tpu import mosaic as mosaic_lib
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.utils import PhaseTimer
+
+    p = job.params
+    grid = p.get("grid")
+    if (
+        not isinstance(grid, (list, tuple))
+        or len(grid) != 2
+        or not all(isinstance(v, int) and v >= 1 for v in grid)
+    ):
+        raise jobs_lib.JobError(
+            f"grid={grid!r} must be [rows, cols] with positive integers"
+        )
+    r, c = int(grid[0]), int(grid[1])
+    order = p.get("order", "row")
+    if order not in ("row", "snake"):
+        raise jobs_lib.JobError(f"order={order!r} must be 'row' or 'snake'")
+    subpixel = bool(p.get("subpixel", True))
+    window = bool(p.get("window", True))
+    refine = int(p.get("refine", 2))
+    if not 1 <= refine <= 8:
+        raise jobs_lib.JobError(f"refine={refine} must be in [1, 8]")
+    try:
+        min_response = float(p.get("min_response", 0.0))
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"min_response={p.get('min_response')!r} must be a number"
+        )
+    if not 0.0 <= min_response < float("inf"):
+        raise jobs_lib.JobError(
+            f"min_response={min_response!r} must be a finite number >= 0"
+        )
+    estimate_only = bool(p.get("estimate_only", False))
+
+    (path,) = _resolve_inputs(job)[:1]
+    try:
+        source = FrameSource(paths=[path])
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read {path}: {e}")
+    if source.n_channels != 1:
+        raise jobs_lib.JobError("stitch_mosaic expects single-channel tiles")
+    if len(source) != r * c:
+        raise jobs_lib.JobError(
+            f"{len(source)} tiles for a {r}x{c} grid (need {r * c})"
+        )
+    h, w = source.spatial
+    try:
+        overlap = mosaic_lib.normalize_overlap(
+            p.get("overlap", 0.1), (h, w)
+        )
+    except (TypeError, ValueError) as e:
+        raise jobs_lib.JobError(f"bad overlap: {e}")
+
+    timer = PhaseTimer()
+    t0 = time.time()
+    with timer.phase("read"):
+        tile_iter = jobs_lib.track(
+            job, source.frames(), total=r * c, phase="tiles"
+        )
+        tiles = np.stack(
+            [
+                np.asarray(t, np.float32)
+                for t in _reads_fail_fast(job, tile_iter)
+            ]
+        )
+    with timer.phase("estimate"):
+        result = mosaic_lib.stitch_grid(
+            tiles, (r, c), overlap=overlap, order=order,
+            subpixel=subpixel, window=window, refine=refine,
+            min_response=min_response, blend=False,
+        )
+    outputs: Dict[str, str] = {}
+    if not estimate_only:
+        with timer.phase("blend"):
+            composite = mosaic_lib.blend_mosaic(
+                tiles
+                if order == "row"
+                else mosaic_lib.snake_to_row_major(tiles, (r, c)),
+                result.positions, overlap, subpixel=subpixel,
+            )
+        mosaic_path = os.path.join(job.output, "mosaic.tif")
+        writer = _append_writer(
+            mosaic_path, float(composite.nbytes), _out_compression(job)
+        )
+        try:
+            with timer.phase("write"):
+                writer.append(composite)
+        except BaseException:
+            writer.abort()
+            raise
+        writer.close()
+        outputs["mosaic"] = mosaic_path
+
+    pos_path = os.path.join(job.output, "positions.csv")
+    tmp = pos_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("tile,row,col,y,x\n")
+        for k in range(r * c):
+            f.write(
+                f"{k},{k // c},{k % c},"
+                f"{result.positions[k, 0]:.4f},{result.positions[k, 1]:.4f}\n"
+            )
+    os.replace(tmp, pos_path)
+    seams_path = os.path.join(job.output, "seams.csv")
+    tmp = seams_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("i,j,dy,dx,response,used\n")
+        for e in range(len(result.edges)):
+            f.write(
+                f"{result.edges[e, 0]},{result.edges[e, 1]},"
+                f"{result.offsets[e, 0]:.4f},{result.offsets[e, 1]:.4f},"
+                f"{result.responses[e]:.3f},{int(result.used[e])}\n"
+            )
+    os.replace(tmp, seams_path)
+    outputs["positions"] = pos_path
+    outputs["seams"] = seams_path
+
+    total_s = time.time() - t0
+    n_low = int((~result.used).sum())
+    metrics = dict(
+        timer.summary(),
+        total_s=round(total_s, 4),
+        n_tiles=r * c,
+        tiles_per_sec=round(r * c / max(total_s, 1e-9), 3),
+        rms_residual_px=round(result.rms_residual, 5),
+        n_low_confidence=n_low,
+        overlap_y=overlap[0],
+        overlap_x=overlap[1],
+    )
+    if not estimate_only:
+        metrics["canvas_h"] = int(composite.shape[0])
+        metrics["canvas_w"] = int(composite.shape[1])
+    outputs["metrics"] = json.dumps(metrics)
+    return outputs

@@ -104,6 +104,14 @@ class TestFidelityMeters:
         assert r["axial_rmse_frac"] < 0.015  # window=15: measured ~0.4%
         assert r["recall"] > 0.9 and r["precision"] > 0.9
 
+    def test_mosaic_fidelity_subpixel(self):
+        r = fidelity.mosaic_fidelity(
+            grid=(2, 2), tile=(128, 128), overlap=28
+        )
+        assert r["position_rmse_px"] < 0.05
+        assert r["seam_rms_residual_px"] < 0.05
+        assert r["n_tiles"] == 4
+
     def test_train_fidelity_parity_on_cpu(self):
         r = fidelity.train_fidelity("unet2d", steps=2, batch=2, size=64)
         # identical dtype + backend on the CPU suite: trajectories match

@@ -1,0 +1,223 @@
+"""Mosaic stitching: pairwise strip estimates, global solve, blend.
+
+Fixtures are band-limited periodic scenes (FFT low-pass of white noise)
+so `registration.apply_shift`'s Fourier resample is EXACT when cutting
+sub-pixel-displaced tiles — estimator accuracy is then tested against
+analytic truth, not against another interpolator's error.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sequitr_tpu import mosaic
+from sequitr_tpu.ops import registration as reg_lib
+
+
+def _scene(shape, seed, sigma=0.10, amp=60.0, offset=120.0):
+    """Band-limited PERIODIC scene: low-pass random spectrum."""
+    rng = np.random.default_rng(seed)
+    white = rng.normal(0, 1, shape)
+    f = np.fft.fftn(white)
+    grids = np.meshgrid(
+        *[np.fft.fftfreq(n) for n in shape], indexing="ij"
+    )
+    r2 = sum(g**2 for g in grids)
+    f *= np.exp(-r2 / (2 * sigma**2))
+    img = np.fft.ifftn(f).real
+    img = (img - img.mean()) / max(img.std(), 1e-9)
+    return (offset + amp * img).astype(np.float32)
+
+
+def _cut_tiles(scene, grid, tile, overlap, jitter, seed):
+    """Cut (R*C, H, W) tiles at grid spacing + per-tile jitter using the
+    EXACT Fourier shift (tile 0 unjittered anchors the frame). Returns
+    (tiles, true_positions)."""
+    r, c = grid
+    h, w = tile
+    step_y, step_x = h - overlap, w - overlap
+    rng = np.random.default_rng(seed)
+    tiles, pos = [], []
+    margin = 8
+    for ri in range(r):
+        for ci in range(c):
+            jy = jx = 0.0
+            if (ri, ci) != (0, 0):
+                jy, jx = rng.uniform(-jitter, jitter, 2)
+            y0 = ri * step_y + jy + margin
+            x0 = ci * step_x + jx + margin
+            iy, ix = int(np.floor(y0)), int(np.floor(x0))
+            fy, fx = y0 - iy, x0 - ix
+            shifted = np.asarray(
+                reg_lib.apply_shift(
+                    jnp.asarray(scene), jnp.asarray([-fy, -fx], jnp.float32)
+                )
+            )
+            tiles.append(shifted[iy : iy + h, ix : ix + w])
+            pos.append((y0, x0))
+    return np.stack(tiles), np.asarray(pos, np.float64)
+
+
+class TestOverlapNormalization:
+    def test_int_fraction_pair(self):
+        assert mosaic.normalize_overlap(24, (128, 128)) == (24, 24)
+        assert mosaic.normalize_overlap(0.25, (128, 192)) == (32, 48)
+        assert mosaic.normalize_overlap([16, 0.125], (128, 192)) == (16, 24)
+
+    def test_float_integral_is_pixels(self):
+        assert mosaic.normalize_overlap(24.0, (128, 128)) == (24, 24)
+
+    @pytest.mark.parametrize(
+        "bad", [2, 100, 1.5, -0.1, [8, 8, 8]]
+    )
+    def test_rejects(self, bad):
+        with pytest.raises(ValueError):
+            mosaic.normalize_overlap(bad, (128, 128))
+
+
+class TestStitchGrid:
+    def test_integer_offsets_exact(self):
+        """Integer jitter + subpixel=False: positions exact, mosaic
+        reproduces the scene bit-for-bit wherever covered."""
+        scene = _scene((360, 420), seed=1)
+        r, c, h, w, ov = 2, 3, 140, 150, 28
+        step_y, step_x = h - ov, w - ov
+        rng = np.random.default_rng(2)
+        tiles, pos = [], []
+        for ri in range(r):
+            for ci in range(c):
+                jy, jx = (0, 0) if (ri, ci) == (0, 0) else rng.integers(
+                    -3, 4, 2
+                )
+                y0, x0 = ri * step_y + 8 + jy, ci * step_x + 8 + jx
+                tiles.append(scene[y0 : y0 + h, x0 : x0 + w])
+                pos.append((y0, x0))
+        tiles, pos = np.stack(tiles), np.asarray(pos, np.float64)
+        res = mosaic.stitch_grid(
+            tiles, (r, c), overlap=ov, subpixel=False
+        )
+        rel = pos - pos.min(axis=0, keepdims=True)
+        np.testing.assert_allclose(res.positions, rel, atol=1e-6)
+        # overlaps carry identical content, so the blend is exact
+        # wherever ANY tile covers the canvas (jitter leaves uncovered
+        # zeros at the rim)
+        oy, ox = (
+            int(pos[:, 0].min()),
+            int(pos[:, 1].min()),
+        )
+        want = scene[
+            oy : oy + res.mosaic.shape[0], ox : ox + res.mosaic.shape[1]
+        ]
+        covered = np.zeros(res.mosaic.shape, bool)
+        rel_i = res.positions.astype(np.int64)
+        for y0, x0 in rel_i:
+            covered[y0 : y0 + h, x0 : x0 + w] = True
+        assert covered.mean() > 0.9
+        np.testing.assert_allclose(
+            res.mosaic[covered], want[covered], atol=2e-4
+        )
+        assert res.used.all()
+        assert res.rms_residual < 0.02
+
+    def test_subpixel_recovery(self):
+        """Sub-pixel jitter recovered well under 0.05 px on exact
+        Fourier-cut tiles; composite matches the scene closely."""
+        scene = _scene((380, 400), seed=3)
+        tiles, pos = _cut_tiles(
+            scene, (2, 3), (150, 140), overlap=30, jitter=2.5, seed=4
+        )
+        res = mosaic.stitch_grid(tiles, (2, 3), overlap=30, refine=3)
+        rel = pos - pos.min(axis=0, keepdims=True)
+        assert np.abs(res.positions - rel).max() < 0.05
+        assert res.rms_residual < 0.05
+        assert res.responses.min() > 5.0
+        # composite vs scene (interior: away from the unblended rim)
+        oy = pos[:, 0].min()
+        ox = pos[:, 1].min()
+        iy, ix = int(np.floor(oy)), int(np.floor(ox))
+        hm, wm = res.mosaic.shape
+        want = scene[iy : iy + hm, ix : ix + wm]
+        inner = (slice(6, hm - 6), slice(6, wm - 6))
+        err = np.abs(res.mosaic[inner] - want[inner])
+        # positions are recovered to <0.05 px but the canvas is only
+        # integer-aligned to the scene; allow the sub-pixel residual
+        assert np.percentile(err, 95) < 0.40 * scene.std()
+
+    def test_snake_order(self):
+        """Serpentine acquisition stitches identically to row-major."""
+        scene = _scene((300, 300), seed=5)
+        tiles, pos = _cut_tiles(
+            scene, (2, 2), (140, 140), overlap=24, jitter=1.5, seed=6
+        )
+        row = mosaic.stitch_grid(tiles, (2, 2), overlap=24)
+        snake_in = tiles[[0, 1, 3, 2]]  # acquisition order, row 1 reversed
+        snake = mosaic.stitch_grid(
+            snake_in, (2, 2), overlap=24, order="snake"
+        )
+        np.testing.assert_allclose(snake.positions, row.positions)
+        np.testing.assert_allclose(snake.mosaic, row.mosaic)
+
+    def test_low_confidence_fallback(self):
+        """A featureless tile's seams fall back to nominal spacing: it
+        lands at grid spacing instead of shearing the mosaic."""
+        scene = _scene((300, 300), seed=7)
+        tiles, pos = _cut_tiles(
+            scene, (2, 2), (140, 140), overlap=24, jitter=1.0, seed=8
+        )
+        tiles = tiles.copy()
+        tiles[3] = 100.0  # blank field: empty glass
+        res = mosaic.stitch_grid(
+            tiles, (2, 2), overlap=24, min_response=8.0
+        )
+        assert not res.used.all()  # blank seams gated
+        # the blank tile sits at nominal spacing from its neighbours
+        nominal = np.asarray([116.0, 116.0])
+        blank_rel = res.positions[3] - res.positions[0]
+        assert np.abs(blank_rel - nominal).max() < 1.2
+        # confident tiles unaffected
+        rel = pos - pos.min(axis=0, keepdims=True)
+        assert np.abs(res.positions[:3] - rel[:3]).max() < 0.1
+
+    def test_estimate_only_and_single_tile(self):
+        scene = _scene((220, 300), seed=9)
+        tiles, _ = _cut_tiles(
+            scene, (1, 2), (140, 140), overlap=24, jitter=1.0, seed=10
+        )
+        res = mosaic.stitch_grid(tiles, (1, 2), overlap=24, blend=False)
+        assert res.mosaic is None and len(res.edges) == 1
+        one = mosaic.stitch_grid(tiles[:1], (1, 1), overlap=24)
+        np.testing.assert_allclose(one.mosaic, tiles[0])
+        assert len(one.edges) == 0
+
+    def test_validation_errors(self):
+        t = np.zeros((4, 64, 64), np.float32)
+        with pytest.raises(ValueError, match="grid"):
+            mosaic.stitch_grid(t, (2, 3), overlap=16)
+        with pytest.raises(ValueError, match="order"):
+            mosaic.stitch_grid(t, (2, 2), overlap=16, order="spiral")
+        with pytest.raises(ValueError, match="single-channel"):
+            mosaic.stitch_grid(
+                np.zeros((4, 64, 64, 2), np.float32), (2, 2), overlap=16
+            )
+
+
+class TestSolvePositions:
+    def test_overdetermined_consistency(self):
+        """A consistent synthetic offset set is reproduced exactly; an
+        inconsistent edge is split per weights and reported in the
+        residual."""
+        edges = np.asarray([[0, 1], [0, 2], [1, 3], [2, 3]])
+        true = np.asarray([[0, 0], [0, 100], [90, 0], [90, 100]], float)
+        d = true[edges[:, 1]] - true[edges[:, 0]]
+        nom = d.copy()
+        resp = np.full(4, 20.0)
+        p, used, rms = mosaic.solve_positions(4, edges, d, resp, nom)
+        np.testing.assert_allclose(p, true, atol=1e-9)
+        assert rms < 1e-9 and used.all()
+        d2 = d.copy()
+        d2[3, 1] += 2.0  # inconsistent loop
+        p2, _, rms2 = mosaic.solve_positions(4, edges, d2, resp, nom)
+        assert rms2 > 0.3
+        assert np.abs(p2 - true).max() < 2.0

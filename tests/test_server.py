@@ -3883,3 +3883,136 @@ class TestUNet3DTimelapse:
         status = json.load(open(os.path.join(out_dir, "status.json")))
         assert status["state"] == "failed"
         assert "single-volume" in status["error"]
+
+
+class TestMosaicPipeline:
+    """stitch_mosaic: grid-of-tiles composite through the job API."""
+
+    @staticmethod
+    def _scene(shape, seed):
+        rng = np.random.default_rng(seed)
+        f = np.fft.fftn(rng.normal(0, 1, shape))
+        gy, gx = np.meshgrid(
+            np.fft.fftfreq(shape[0]), np.fft.fftfreq(shape[1]),
+            indexing="ij",
+        )
+        f *= np.exp(-(gy**2 + gx**2) / (2 * 0.1**2))
+        img = np.fft.ifftn(f).real
+        img = (img - img.mean()) / max(img.std(), 1e-9)
+        return (120 + 60 * img).astype(np.float32)
+
+    def _write_grid(self, tmp, r=2, c=2, h=96, w=96, ov=20, seed=11):
+        """Integer-jittered grid cut from one scene; returns (dir, scene,
+        true row-major positions)."""
+        scene = self._scene((300, 300), seed)
+        d = tmp / f"tiles_{seed}"
+        os.makedirs(d)
+        rng = np.random.default_rng(seed + 1)
+        pos = []
+        for ri in range(r):
+            for ci in range(c):
+                jy, jx = (0, 0) if (ri, ci) == (0, 0) else rng.integers(
+                    -2, 3, 2
+                )
+                y0 = ri * (h - ov) + 6 + int(jy)
+                x0 = ci * (w - ov) + 6 + int(jx)
+                tiff.write_stack(
+                    str(d / f"tile_{ri}_{ci}.tif"),
+                    scene[None, y0 : y0 + h, x0 : x0 + w],
+                )
+                pos.append((y0, x0))
+        return d, scene, np.asarray(pos, float)
+
+    def test_stitch_e2e(self, server_env):
+        """Directory of tiles -> mosaic.tif + positions.csv + seams.csv;
+        integer mode reproduces the scene exactly where covered."""
+        cfg_srv, tmp = server_env
+        d, scene, pos = self._write_grid(tmp)
+        out = str(tmp / "mosaic_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": 20,
+                        "subpixel": False},
+             "input": [str(d)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["rms_residual_px"] < 0.05
+        assert m["n_low_confidence"] == 0
+        got_pos = np.loadtxt(
+            st["outputs"]["positions"], delimiter=",", skiprows=1
+        )[:, 3:]
+        rel = pos - pos.min(axis=0, keepdims=True)
+        np.testing.assert_allclose(got_pos, rel, atol=0.01)
+        mosaic_img = np.asarray(tiff.read_stack(st["outputs"]["mosaic"]))
+        if mosaic_img.ndim == 3:
+            mosaic_img = mosaic_img[0]
+        oy, ox = int(pos[:, 0].min()), int(pos[:, 1].min())
+        want = scene[oy : oy + m["canvas_h"], ox : ox + m["canvas_w"]]
+        covered = np.zeros(mosaic_img.shape, bool)
+        for y0, x0 in rel.astype(int):
+            covered[y0 : y0 + 96, x0 : x0 + 96] = True
+        np.testing.assert_allclose(
+            mosaic_img[covered], want[covered], atol=2e-4
+        )
+        seams = open(st["outputs"]["seams"]).read().strip().split("\n")
+        assert seams[0] == "i,j,dy,dx,response,used"
+        assert len(seams) == 1 + 4  # 2x2 grid: 2 horizontal + 2 vertical
+
+    def test_estimate_only_and_snake(self, server_env):
+        cfg_srv, tmp = server_env
+        d, _, pos = self._write_grid(tmp, seed=21)
+        # snake acquisition order: rename row-1 tiles in reverse order
+        # (acquisition order c=1 then c=0) and stitch with order=snake
+        snake_d = tmp / "snake_tiles"
+        os.makedirs(snake_d)
+        names = sorted(os.listdir(d))  # tile_0_0, 0_1, 1_0, 1_1
+        acq = [names[0], names[1], names[3], names[2]]
+        for k, n in enumerate(acq):
+            os.link(str(d / n), str(snake_d / f"acq_{k}.tif"))
+        out = str(tmp / "snake_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": 20, "order": "snake",
+                        "estimate_only": True, "subpixel": False},
+             "input": [str(snake_d)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        assert "mosaic" not in st["outputs"]
+        got_pos = np.loadtxt(
+            st["outputs"]["positions"], delimiter=",", skiprows=1
+        )[:, 3:]
+        rel = pos - pos.min(axis=0, keepdims=True)
+        np.testing.assert_allclose(got_pos, rel, atol=0.01)
+
+    @pytest.mark.parametrize(
+        "params,frag",
+        [
+            ({}, "grid"),
+            ({"grid": [2]}, "grid"),
+            ({"grid": [2, 2], "order": "spiral"}, "order"),
+            ({"grid": [2, 2], "overlap": 2}, "overlap"),
+            ({"grid": [2, 2], "refine": 0}, "refine"),
+            ({"grid": [2, 2], "min_response": "x"}, "min_response"),
+            ({"grid": [3, 2]}, "tiles"),
+        ],
+    )
+    def test_param_validation(self, server_env, params, frag):
+        cfg_srv, tmp = server_env
+        d, _, _ = self._write_grid(tmp, seed=31)
+        out = str(tmp / f"bad_{frag}_{len(params)}")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic", "params": params,
+             "input": [str(d)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert frag in st["error"]
