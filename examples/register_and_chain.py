@@ -45,14 +45,10 @@ def make_drifting_stack(path: str, t: int = 8, size: int = 96, seed: int = 0):
     from sequitr_tpu.data import tiff
     from sequitr_tpu.ops import registration as reg
 
+    from sequitr_tpu.data.synthetic import bandlimited_scene
+
     rng = np.random.default_rng(seed)
-    f = np.fft.fft2(rng.normal(0, 1, (size, size)))
-    fy = np.fft.fftfreq(size)[:, None]
-    fx = np.fft.fftfreq(size)[None, :]
-    base = (
-        np.fft.ifft2(f * np.exp(-(fy**2 + fx**2) / (2 * 0.08**2))).real * 50
-        + 120
-    ).astype(np.float32)
+    base = bandlimited_scene((size, size), rng)
     frames = [
         np.asarray(
             reg.apply_shift(

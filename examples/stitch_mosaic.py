@@ -46,18 +46,14 @@ def make_tile_grid(tile_dir: str, r=2, c=3, h=160, w=160, ov=32, seed=0):
     from sequitr_tpu.data import tiff
     from sequitr_tpu.ops import registration as reg
 
+    from sequitr_tpu.data.synthetic import bandlimited_scene
+
     size = (
         (r - 1) * (h - ov) + h + 16,
         (c - 1) * (w - ov) + w + 16,
     )
     rng = np.random.default_rng(seed)
-    f = np.fft.fft2(rng.normal(0, 1, size))
-    fy = np.fft.fftfreq(size[0])[:, None]
-    fx = np.fft.fftfreq(size[1])[None, :]
-    scene = (
-        np.fft.ifft2(f * np.exp(-(fy**2 + fx**2) / (2 * 0.08**2))).real * 50
-        + 120
-    ).astype(np.float32)
+    scene = bandlimited_scene(size, rng)
     os.makedirs(tile_dir, exist_ok=True)
     pos = []
     for ri in range(r):

@@ -24,7 +24,31 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["cells_frame", "cells_stack", "cells_volume", "emitter_frame", "emitter_volume", "astig_emitter_frame", "astig_widths"]
+__all__ = ["cells_frame", "cells_stack", "cells_volume", "emitter_frame", "emitter_volume", "astig_emitter_frame", "astig_widths", "bandlimited_scene"]
+
+
+def bandlimited_scene(
+    shape: Tuple[int, ...],
+    rng: np.random.Generator,
+    sigma: float = 0.08,
+    amp: float = 50.0,
+    offset: float = 120.0,
+) -> np.ndarray:
+    """Band-limited PERIODIC scene: gaussian low-pass of white noise.
+
+    The registration/mosaic fixture: periodicity + band limitation make
+    `registration.apply_shift`'s Fourier resample EXACT, so sub-pixel
+    estimators can be tested against analytic ground truth instead of
+    another interpolator's error. Consumes exactly one ``rng.normal``
+    field (callers interleaving more draws stay reproducible). N-D.
+    """
+    f = np.fft.fftn(rng.normal(0, 1, shape))
+    grids = np.meshgrid(
+        *[np.fft.fftfreq(n) for n in shape], indexing="ij"
+    )
+    r2 = sum(g**2 for g in grids)
+    img = np.fft.ifftn(f * np.exp(-r2 / (2 * sigma**2))).real
+    return (img * amp + offset).astype(np.float32)
 
 
 def _add_cell(img, lab, rng, cls: int) -> None:

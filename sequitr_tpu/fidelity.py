@@ -504,14 +504,10 @@ def register_fidelity(
 
     from sequitr_tpu.ops import registration as reg
 
+    from sequitr_tpu.data.synthetic import bandlimited_scene
+
     rng = np.random.default_rng(seed)
-    f = np.fft.fft2(rng.normal(0, 1, shape))
-    fy = np.fft.fftfreq(shape[0])[:, None]
-    fx = np.fft.fftfreq(shape[1])[None, :]
-    base = (
-        np.fft.ifft2(f * np.exp(-(fy**2 + fx**2) / (2 * 0.08**2))).real * 50
-        + 120
-    ).astype(np.float32)
+    base = bandlimited_scene(shape, rng)
     steps = rng.normal(0, 0.8, (n - 1, 2))
     truth = np.vstack([[0.0, 0.0], np.cumsum(steps, 0)])
     anchor = jnp.fft.fft2(jnp.asarray(base) * reg.hann_window(shape))
@@ -559,14 +555,10 @@ def mosaic_fidelity(
         (r - 1) * step_y + h + 16,
         (c - 1) * step_x + w + 16,
     )
+    from sequitr_tpu.data.synthetic import bandlimited_scene
+
     rng = np.random.default_rng(seed)
-    f = np.fft.fft2(rng.normal(0, 1, scene_shape))
-    fy = np.fft.fftfreq(scene_shape[0])[:, None]
-    fx = np.fft.fftfreq(scene_shape[1])[None, :]
-    scene = (
-        np.fft.ifft2(f * np.exp(-(fy**2 + fx**2) / (2 * 0.08**2))).real * 50
-        + 120
-    ).astype(np.float32)
+    scene = bandlimited_scene(scene_shape, rng)
     tiles, pos = [], []
     for ri in range(r):
         for ci in range(c):

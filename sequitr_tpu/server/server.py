@@ -4586,7 +4586,10 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     if (
         not isinstance(grid, (list, tuple))
         or len(grid) != 2
-        or not all(isinstance(v, int) and v >= 1 for v in grid)
+        or not all(
+            isinstance(v, int) and not isinstance(v, bool) and v >= 1
+            for v in grid
+        )
     ):
         raise jobs_lib.JobError(
             f"grid={grid!r} must be [rows, cols] with positive integers"
@@ -4617,35 +4620,41 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         source = FrameSource(paths=[path])
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read {path}: {e}")
-    if source.n_channels != 1:
-        raise jobs_lib.JobError("stitch_mosaic expects single-channel tiles")
-    if len(source) != r * c:
-        raise jobs_lib.JobError(
-            f"{len(source)} tiles for a {r}x{c} grid (need {r * c})"
-        )
-    h, w = source.spatial
-    try:
-        overlap = mosaic_lib.normalize_overlap(
-            p.get("overlap", 0.1), (h, w)
-        )
-    except (TypeError, ValueError) as e:
-        raise jobs_lib.JobError(f"bad overlap: {e}")
-
     timer = PhaseTimer()
     t0 = time.time()
-    with timer.phase("read"):
-        tile_iter = jobs_lib.track(
-            job, source.frames(), total=r * c, phase="tiles"
-        )
-        tiles = np.stack(
-            [
-                np.asarray(t, np.float32)
-                for t in _reads_fail_fast(job, tile_iter)
-            ]
-        )
+    with source:
+        if source.n_channels != 1:
+            raise jobs_lib.JobError(
+                "stitch_mosaic expects single-channel tiles"
+            )
+        if len(source) != r * c:
+            raise jobs_lib.JobError(
+                f"{len(source)} tiles for a {r}x{c} grid (need {r * c})"
+            )
+        h, w = source.spatial
+        try:
+            overlap = mosaic_lib.normalize_overlap(
+                p.get("overlap", 0.1), (h, w)
+            )
+        except (TypeError, ValueError) as e:
+            raise jobs_lib.JobError(f"bad overlap: {e}")
+        with timer.phase("read"):
+            tile_iter = jobs_lib.track(
+                job, source.frames(), total=r * c, phase="tiles"
+            )
+            tiles = np.stack(
+                [
+                    np.asarray(t, np.float32)
+                    for t in _reads_fail_fast(job, tile_iter)
+                ]
+            )
+    # reorder serpentine scans ONCE at ingest; everything downstream
+    # (stitch, blend, positions.csv) is uniformly row-major
+    if order == "snake":
+        tiles = mosaic_lib.snake_to_row_major(tiles, (r, c))
     with timer.phase("estimate"):
         result = mosaic_lib.stitch_grid(
-            tiles, (r, c), overlap=overlap, order=order,
+            tiles, (r, c), overlap=overlap, order="row",
             subpixel=subpixel, window=window, refine=refine,
             min_response=min_response, blend=False,
         )
@@ -4653,10 +4662,7 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     if not estimate_only:
         with timer.phase("blend"):
             composite = mosaic_lib.blend_mosaic(
-                tiles
-                if order == "row"
-                else mosaic_lib.snake_to_row_major(tiles, (r, c)),
-                result.positions, overlap, subpixel=subpixel,
+                tiles, result.positions, overlap, subpixel=subpixel,
             )
         mosaic_path = os.path.join(job.output, "mosaic.tif")
         writer = _append_writer(

@@ -16,19 +16,13 @@ from sequitr_tpu import mosaic
 from sequitr_tpu.ops import registration as reg_lib
 
 
-def _scene(shape, seed, sigma=0.10, amp=60.0, offset=120.0):
-    """Band-limited PERIODIC scene: low-pass random spectrum."""
-    rng = np.random.default_rng(seed)
-    white = rng.normal(0, 1, shape)
-    f = np.fft.fftn(white)
-    grids = np.meshgrid(
-        *[np.fft.fftfreq(n) for n in shape], indexing="ij"
+def _scene(shape, seed, sigma=0.10):
+    """Band-limited PERIODIC scene (shared fixture helper)."""
+    from sequitr_tpu.data.synthetic import bandlimited_scene
+
+    return bandlimited_scene(
+        shape, np.random.default_rng(seed), sigma=sigma, amp=60.0
     )
-    r2 = sum(g**2 for g in grids)
-    f *= np.exp(-r2 / (2 * sigma**2))
-    img = np.fft.ifftn(f).real
-    img = (img - img.mean()) / max(img.std(), 1e-9)
-    return (offset + amp * img).astype(np.float32)
 
 
 def _cut_tiles(scene, grid, tile, overlap, jitter, seed):

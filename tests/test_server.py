@@ -3890,16 +3890,11 @@ class TestMosaicPipeline:
 
     @staticmethod
     def _scene(shape, seed):
-        rng = np.random.default_rng(seed)
-        f = np.fft.fftn(rng.normal(0, 1, shape))
-        gy, gx = np.meshgrid(
-            np.fft.fftfreq(shape[0]), np.fft.fftfreq(shape[1]),
-            indexing="ij",
+        from sequitr_tpu.data.synthetic import bandlimited_scene
+
+        return bandlimited_scene(
+            shape, np.random.default_rng(seed), sigma=0.1, amp=60.0
         )
-        f *= np.exp(-(gy**2 + gx**2) / (2 * 0.1**2))
-        img = np.fft.ifftn(f).real
-        img = (img - img.mean()) / max(img.std(), 1e-9)
-        return (120 + 60 * img).astype(np.float32)
 
     def _write_grid(self, tmp, r=2, c=2, h=96, w=96, ov=20, seed=11):
         """Integer-jittered grid cut from one scene; returns (dir, scene,
@@ -3996,6 +3991,8 @@ class TestMosaicPipeline:
         [
             ({}, "grid"),
             ({"grid": [2]}, "grid"),
+            # bool is an int subclass: must still be rejected
+            ({"grid": [True, 2]}, "grid"),
             ({"grid": [2, 2], "order": "spiral"}, "order"),
             ({"grid": [2, 2], "overlap": 2}, "overlap"),
             ({"grid": [2, 2], "refine": 0}, "refine"),
