@@ -175,6 +175,7 @@ def pair_offsets(
     subpixel: bool = True,
     window: bool = True,
     refine: int = 2,
+    correlate: Callable | None = None,
 ):
     """Measured offsets of every adjacent tile pair.
 
@@ -190,6 +191,13 @@ def pair_offsets(
     value is ~0 — maximally far from phase correlation's mod-N wrap
     boundary, which a whole-tile correlation (expected shift W - ov)
     would sit right on top of.
+
+    ``correlate``: optional ``(refs, movs) -> (shifts, responses)``
+    override for the batched strip correlator — e.g.
+    ``parallel.make_dp_seam_correlator(mesh)`` to shard the pair axis
+    over a device mesh (big slide scans have hundreds of independent
+    seams). The default runs all pairs of a direction in one
+    single-device dispatch.
     """
     n, h, w = tiles.shape
     ov_y, ov_x = overlap
@@ -209,13 +217,16 @@ def pair_offsets(
             refs = np.stack([tiles[i][h - ov_y:, :] for i, _ in pairs])
             movs = np.stack([tiles[j][:ov_y, :] for _, j in pairs])
             nominal = (float(h - ov_y), 0.0)
-        shifts, resp = _correlate_strips(
-            jnp.asarray(refs, jnp.float32),
-            jnp.asarray(movs, jnp.float32),
-            subpixel,
-            window,
-            refine,
-        )
+        if correlate is None:
+            shifts, resp = _correlate_strips(
+                jnp.asarray(refs, jnp.float32),
+                jnp.asarray(movs, jnp.float32),
+                subpixel,
+                window,
+                refine,
+            )
+        else:
+            shifts, resp = correlate(refs, movs)
         shifts = np.asarray(shifts, np.float64)
         resp = np.asarray(resp, np.float64)
         for k, (i, j) in enumerate(pairs):
@@ -369,6 +380,7 @@ def stitch_grid(
     refine: int = 2,
     min_response: float = 0.0,
     blend: bool = True,
+    correlate: Callable | None = None,
 ) -> MosaicResult:
     """Stitch an (R, C) grid of overlapping tiles into one composite.
 
@@ -402,7 +414,8 @@ def stitch_grid(
             mosaic=tiles[0] if blend else None,
         )
     edges, offsets, responses, nominals = pair_offsets(
-        tiles, grid, ov, subpixel=subpixel, window=window, refine=refine
+        tiles, grid, ov, subpixel=subpixel, window=window,
+        refine=refine, correlate=correlate,
     )
     positions, used, rms = solve_positions(
         r * c, edges, offsets, responses, nominals,

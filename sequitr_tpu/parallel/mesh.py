@@ -33,6 +33,7 @@ __all__ = [
     "make_dp_registerer",
     "make_dp_localizer",
     "make_dp_localizer3d",
+    "make_dp_seam_correlator",
 ]
 
 
@@ -257,3 +258,51 @@ def make_dp_localizer3d(
         in_shardings=(shd, shd),
         out_shardings=shd,
     )
+
+
+def make_dp_seam_correlator(
+    mesh: Mesh,
+    *,
+    subpixel: bool = True,
+    window: bool = True,
+    refine: int = 2,
+    axis_name: str = "data",
+) -> Callable:
+    """DP form of mosaic seam estimation (``mosaic.pair_offsets``).
+
+    ``correlate(refs, movs)`` with matching (P, h, w) strip stacks
+    shards the PAIR axis over ``data``: each chip phase-correlates its
+    share of seams with zero inter-chip traffic (seam estimates are
+    independent — a 20x20 slide scan has 760 of them). Seam counts
+    rarely divide the mesh, so the pair axis is padded host-side up to
+    a multiple of the device count (repeating the last pair — a real
+    correlation, so no NaN/garbage rides the collective-free graph) and
+    the padding is sliced off the fetched result. Returns
+    ``(shifts (P, 2), responses (P,))``.
+    """
+    import jax.numpy as jnp
+
+    from sequitr_tpu.ops import registration as reg_lib
+
+    shd = batch_sharded(mesh, axis_name)
+    n_dev = int(mesh.devices.size)
+
+    def one(r, m):
+        return reg_lib.phase_correlate(
+            r, m, subpixel=subpixel, window=window, refine=refine
+        )
+
+    fn = jax.jit(jax.vmap(one), in_shardings=(shd, shd), out_shardings=shd)
+
+    def correlate(refs, movs):
+        refs = jnp.asarray(refs, jnp.float32)
+        movs = jnp.asarray(movs, jnp.float32)
+        p = refs.shape[0]
+        pad = (-p) % n_dev
+        if pad:
+            refs = jnp.concatenate([refs, jnp.repeat(refs[-1:], pad, 0)])
+            movs = jnp.concatenate([movs, jnp.repeat(movs[-1:], pad, 0)])
+        shifts, resp = fn(refs, movs)
+        return shifts[:p], resp[:p]
+
+    return correlate

@@ -215,3 +215,29 @@ class TestSolvePositions:
         p2, _, rms2 = mosaic.solve_positions(4, edges, d2, resp, nom)
         assert rms2 > 0.3
         assert np.abs(p2 - true).max() < 2.0
+
+
+class TestDataParallelSeams:
+    def test_dp_correlator_matches_default(self):
+        """Seam pairs sharded over the virtual mesh produce the same
+        offsets/responses as the single-device dispatch (7 tiles in a
+        row: 6 seams over 8 devices exercises the pad-to-mesh path)."""
+        import jax
+
+        if jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        from sequitr_tpu import parallel
+
+        scene = _scene((200, 900), seed=12)
+        tiles, _ = _cut_tiles(
+            scene, (1, 7), (150, 120), overlap=24, jitter=2.0, seed=13
+        )
+        e1, d1, r1, n1 = mosaic.pair_offsets(tiles, (1, 7), (24, 24))
+        dp = parallel.make_dp_seam_correlator(parallel.make_mesh())
+        e2, d2, r2, n2 = mosaic.pair_offsets(
+            tiles, (1, 7), (24, 24), correlate=dp
+        )
+        np.testing.assert_array_equal(e1, e2)
+        np.testing.assert_allclose(d1, d2, atol=1e-5)
+        np.testing.assert_allclose(r1, r2, rtol=1e-4)
+        np.testing.assert_array_equal(n1, n2)

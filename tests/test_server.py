@@ -4013,3 +4013,39 @@ class TestMosaicPipeline:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert frag in st["error"]
+
+    def test_stitch_data_parallel_matches_single(self, server_env):
+        """data_parallel seam estimation produces identical outputs (2x3
+        grid: 7 seams over 8 virtual devices exercises pad-to-mesh)."""
+        import jax as _jax
+
+        if _jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        cfg_srv, tmp = server_env
+        d, _, _ = self._write_grid(tmp, r=2, c=3, seed=41)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, extra in (("st", {}), ("dp", {"data_parallel": True})):
+            out = str(tmp / f"dpmos_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "stitch_mosaic",
+                 "params": {"grid": [2, 3], "overlap": 20, **extra},
+                 "input": [str(d)], "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[name] = st
+        m_dp = json.loads(outs["dp"]["outputs"]["metrics"])
+        assert m_dp["n_devices"] > 1
+        a = open(outs["dp"]["outputs"]["positions"]).read()
+        b = open(outs["st"]["outputs"]["positions"]).read()
+        pa = np.loadtxt(a.splitlines(), delimiter=",", skiprows=1)
+        pb = np.loadtxt(b.splitlines(), delimiter=",", skiprows=1)
+        np.testing.assert_allclose(pa, pb, atol=1e-4)
+        ma = tiff.read_stack(outs["dp"]["outputs"]["mosaic"])
+        mb = tiff.read_stack(outs["st"]["outputs"]["mosaic"])
+        np.testing.assert_allclose(
+            np.asarray(ma), np.asarray(mb), atol=1e-4
+        )
