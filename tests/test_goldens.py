@@ -275,3 +275,25 @@ class TestOpGoldens:
                 np.asarray(astig[k], np.float32), g[f"astig_{k}"],
                 atol=1e-3, rtol=1e-5, err_msg=k,
             )
+
+    def test_mosaic_stitch(self):
+        """Mosaic stitcher numerics frozen: batched strip correlator,
+        global least-squares solve, fractional Fourier placement,
+        feather blend. Inputs are the committed tile bytes, so this
+        catches ANY numerics change in the stitch path."""
+        from sequitr_tpu import mosaic
+
+        g = _load("mosaic_stitch")
+        res = mosaic.stitch_grid(
+            np.asarray(g["tiles"]), (2, 2), overlap=24
+        )
+        np.testing.assert_allclose(
+            res.positions.astype(np.float32), g["positions"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            res.offsets.astype(np.float32), g["offsets"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            res.responses.astype(np.float32), g["responses"], rtol=1e-4
+        )
+        np.testing.assert_allclose(res.mosaic, g["mosaic"], atol=1e-4)

@@ -287,6 +287,46 @@ def make_localize3d_step():
     )
 
 
+def make_mosaic_stitch():
+    """Mosaic stitcher numerics frozen: batched strip correlator, global
+    least-squares solve, fractional Fourier placement and feather blend.
+    The INPUT TILES are stored in the npz too, so the test re-runs the
+    stitch on committed bytes — the fixture cannot drift from its own
+    generator."""
+    from sequitr_tpu import mosaic
+    from sequitr_tpu.data.synthetic import bandlimited_scene
+    from sequitr_tpu.ops import registration as reg
+
+    rng = np.random.default_rng(100_001)
+    scene = bandlimited_scene((300, 300), rng)
+    tiles = []
+    h = w = 140
+    for ri in range(2):
+        for ci in range(2):
+            jy = jx = 0.0
+            if (ri, ci) != (0, 0):
+                jy, jx = rng.uniform(-2.0, 2.0, 2)
+            y0, x0 = ri * 116 + 8 + jy, ci * 116 + 8 + jx
+            iy, ix = int(np.floor(y0)), int(np.floor(x0))
+            shifted = np.asarray(
+                reg.apply_shift(
+                    jnp.asarray(scene),
+                    jnp.asarray([iy - y0, ix - x0], jnp.float32),
+                )
+            )
+            tiles.append(shifted[iy : iy + h, ix : ix + w])
+    tiles = np.stack(tiles).astype(np.float32)
+    res = mosaic.stitch_grid(tiles, (2, 2), overlap=24)
+    _save(
+        "mosaic_stitch",
+        tiles=tiles,
+        positions=res.positions.astype(np.float32),
+        offsets=res.offsets.astype(np.float32),
+        responses=res.responses.astype(np.float32),
+        mosaic=res.mosaic,
+    )
+
+
 FAMILIES = {
     "unet2d_infer": make_unet2d_infer,
     "unet3d_infer": make_unet3d_infer,
@@ -296,6 +336,7 @@ FAMILIES = {
     "normalize_quantiles": make_normalize_quantiles,
     "register_step": make_register_step,
     "localize3d_step": make_localize3d_step,
+    "mosaic_stitch": make_mosaic_stitch,
 }
 
 
