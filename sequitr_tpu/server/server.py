@@ -4574,13 +4574,20 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       with zero inter-chip traffic (a 20x20 slide scan has 760 seams).
       Output identical to single-device.
 
-    Outputs: ``mosaic.tif`` (float32 composite; uncovered rim px are 0),
-    ``positions.csv`` (tile, row, col, y, x — canvas-coordinate tile
-    origins), ``seams.csv`` (i, j, dy, dx, response, used — the
-    per-seam measurements and their confidence; used=0 marks nominal
-    fallbacks), and metrics incl. ``rms_residual`` px (post-solve seam
-    disagreement — the stitch-consistency QC number; large values mean
-    stage nonlinearity, a wrong overlap hint, or sample motion).
+    Multi-channel: the uniform convention — one input entry per channel
+    (each an R*C tile sequence in the same acquisition order). Seams are
+    estimated on channel 0 and the SAME positions composite every
+    channel (they share the stage, exactly like register_stack's
+    trajectory riding channel 0); outputs ``mosaic_c{k}.tif``.
+
+    Outputs: ``mosaic.tif`` (float32 composite; uncovered rim px are 0)
+    or per-channel ``mosaic_c{k}.tif``, ``positions.csv`` (tile, row,
+    col, y, x — canvas-coordinate tile origins), ``seams.csv`` (i, j,
+    dy, dx, response, used — the per-seam measurements and their
+    confidence; used=0 marks nominal fallbacks), and metrics incl.
+    ``rms_residual`` px (post-solve seam disagreement — the
+    stitch-consistency QC number; large values mean stage nonlinearity,
+    a wrong overlap hint, or sample motion).
     """
     from sequitr_tpu import mosaic as mosaic_lib
     from sequitr_tpu.data.source import FrameSource
@@ -4620,18 +4627,17 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         )
     estimate_only = bool(p.get("estimate_only", False))
 
-    (path,) = _resolve_inputs(job)[:1]
+    paths = _resolve_inputs(job)
     try:
-        source = FrameSource(paths=[path])
+        # one entry per CHANNEL (the uniform multi-channel convention);
+        # FrameSource validates cross-channel count/shape agreement
+        source = FrameSource(paths=paths)
     except ValueError as e:
-        raise jobs_lib.JobError(f"job {job.id}: cannot read {path}: {e}")
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
     timer = PhaseTimer()
     t0 = time.time()
     with source:
-        if source.n_channels != 1:
-            raise jobs_lib.JobError(
-                "stitch_mosaic expects single-channel tiles"
-            )
+        n_chan = source.n_channels
         if len(source) != r * c:
             raise jobs_lib.JobError(
                 f"{len(source)} tiles for a {r}x{c} grid (need {r * c})"
@@ -4647,6 +4653,7 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             tile_iter = jobs_lib.track(
                 job, source.frames(), total=r * c, phase="tiles"
             )
+            # (N, H, W) single channel / (N, H, W, C) multi
             tiles = np.stack(
                 [
                     np.asarray(t, np.float32)
@@ -4670,30 +4677,39 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             mesh, subpixel=subpixel, window=window, refine=refine
         )
     with timer.phase("estimate"):
+        # seams ride channel 0 (channels share the stage, like
+        # register_stack's trajectory)
         result = mosaic_lib.stitch_grid(
-            tiles, (r, c), overlap=overlap, order="row",
+            tiles if tiles.ndim == 3 else tiles[..., 0],
+            (r, c), overlap=overlap, order="row",
             subpixel=subpixel, window=window, refine=refine,
             min_response=min_response, blend=False,
             correlate=correlate,
         )
     outputs: Dict[str, str] = {}
+    composite = None
     if not estimate_only:
-        with timer.phase("blend"):
-            composite = mosaic_lib.blend_mosaic(
-                tiles, result.positions, overlap, subpixel=subpixel,
+        comp = _out_compression(job)
+        for k in range(n_chan):
+            chan_tiles = tiles if tiles.ndim == 3 else tiles[..., k]
+            with timer.phase("blend"):
+                composite = mosaic_lib.blend_mosaic(
+                    chan_tiles, result.positions, overlap,
+                    subpixel=subpixel,
+                )
+            name = "mosaic" if n_chan == 1 else f"mosaic_c{k}"
+            mosaic_path = os.path.join(job.output, f"{name}.tif")
+            writer = _append_writer(
+                mosaic_path, float(composite.nbytes), comp
             )
-        mosaic_path = os.path.join(job.output, "mosaic.tif")
-        writer = _append_writer(
-            mosaic_path, float(composite.nbytes), _out_compression(job)
-        )
-        try:
-            with timer.phase("write"):
-                writer.append(composite)
-        except BaseException:
-            writer.abort()
-            raise
-        writer.close()
-        outputs["mosaic"] = mosaic_path
+            try:
+                with timer.phase("write"):
+                    writer.append(composite)
+            except BaseException:
+                writer.abort()
+                raise
+            writer.close()
+            outputs[name] = mosaic_path
 
     pos_path = os.path.join(job.output, "positions.csv")
     tmp = pos_path + ".tmp"

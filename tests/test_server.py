@@ -4049,3 +4049,77 @@ class TestMosaicPipeline:
         np.testing.assert_allclose(
             np.asarray(ma), np.asarray(mb), atol=1e-4
         )
+
+    def test_multichannel_shared_positions(self, server_env):
+        """One input entry per channel: seams ride channel 0, the same
+        positions composite every channel (integer mode: exact)."""
+        cfg_srv, tmp = server_env
+        scene = self._scene((300, 300), 51)
+        scene2 = (0.5 * scene + 30.0).astype(np.float32)
+        d0, d1 = tmp / "mc_c0", tmp / "mc_c1"
+        os.makedirs(d0)
+        os.makedirs(d1)
+        rng = np.random.default_rng(52)
+        h = w = 96
+        ov = 20
+        pos = []
+        for ri in range(2):
+            for ci in range(2):
+                jy, jx = (0, 0) if (ri, ci) == (0, 0) else rng.integers(
+                    -2, 3, 2
+                )
+                y0 = ri * (h - ov) + 6 + int(jy)
+                x0 = ci * (w - ov) + 6 + int(jx)
+                for d, sc in ((d0, scene), (d1, scene2)):
+                    tiff.write_stack(
+                        str(d / f"tile_{ri}_{ci}.tif"),
+                        sc[None, y0 : y0 + h, x0 : x0 + w],
+                    )
+                pos.append((y0, x0))
+        pos = np.asarray(pos, float)
+        out = str(tmp / "mc_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": 20,
+                        "subpixel": False},
+             "input": [str(d0), str(d1)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        assert "mosaic" not in st["outputs"]  # per-channel names
+        rel = (pos - pos.min(axis=0, keepdims=True)).astype(int)
+        oy, ox = int(pos[:, 0].min()), int(pos[:, 1].min())
+        m = json.loads(st["outputs"]["metrics"])
+        for key, sc in (("mosaic_c0", scene), ("mosaic_c1", scene2)):
+            img = np.asarray(tiff.read_stack(st["outputs"][key]))
+            if img.ndim == 3:
+                img = img[0]
+            covered = np.zeros(img.shape, bool)
+            for y0, x0 in rel:
+                covered[y0 : y0 + h, x0 : x0 + w] = True
+            want = sc[oy : oy + m["canvas_h"], ox : ox + m["canvas_w"]]
+            np.testing.assert_allclose(
+                img[covered], want[covered], atol=2e-4, err_msg=key
+            )
+
+    def test_channel_count_mismatch_fails(self, server_env):
+        cfg_srv, tmp = server_env
+        d0, _, _ = self._write_grid(tmp, seed=61)
+        d1 = tmp / "short_chan"
+        os.makedirs(d1)
+        # channel 1 has only 3 tiles for a 2x2 grid
+        for k, n in enumerate(sorted(os.listdir(d0))[:3]):
+            os.link(str(d0 / n), str(d1 / n))
+        out = str(tmp / "mc_bad")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": 20},
+             "input": [str(d0), str(d1)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "cannot read inputs" in st["error"]
