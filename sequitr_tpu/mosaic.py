@@ -63,6 +63,7 @@ from sequitr_tpu.ops import registration as reg_lib
 __all__ = [
     "MosaicResult",
     "normalize_overlap",
+    "snake_indices",
     "snake_to_row_major",
     "pair_offsets",
     "solve_positions",
@@ -133,14 +134,20 @@ def normalize_overlap(
     return out[0], out[1]
 
 
+def snake_indices(grid: Tuple[int, int]) -> np.ndarray:
+    """Acquisition-order index for each row-major grid slot of a
+    serpentine scan (odd rows acquired right→left)."""
+    r, c = grid
+    idx = np.arange(r * c).reshape(r, c)
+    idx[1::2] = idx[1::2, ::-1]
+    return idx.reshape(-1)
+
+
 def snake_to_row_major(tiles: np.ndarray, grid: Tuple[int, int]) -> np.ndarray:
     """Reorder serpentine-acquired tiles (odd rows scanned right→left)
     into row-major grid order. ``tiles`` is (R*C, ...) in ACQUISITION
     order."""
-    r, c = grid
-    idx = np.arange(r * c).reshape(r, c)
-    idx[1::2] = idx[1::2, ::-1]
-    return tiles[idx.reshape(-1)]
+    return tiles[snake_indices(grid)]
 
 
 def _grid_edges(

@@ -4580,6 +4580,15 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     channel (they share the stage, exactly like register_stack's
     trajectory riding channel 0); outputs ``mosaic_c{k}.tif``.
 
+    ``timelapse: true`` — multi-position LIVE imaging (the btrack
+    acquisition shape): each of the R*C files in an entry is one stage
+    position's T-page timelapse. Positions are fixed across time, so
+    seams are estimated once (channel 0, timepoint 0) and the same
+    solved positions composite every timepoint, streamed page-by-page
+    (read-ahead, bounded memory, cancellable) into a T-page
+    ``mosaic.tif`` — which feeds straight into ``segmentation_*`` →
+    ``track_objects`` as one chain.
+
     Outputs: ``mosaic.tif`` (float32 composite; uncovered rim px are 0)
     or per-channel ``mosaic_c{k}.tif``, ``positions.csv`` (tile, row,
     col, y, x — canvas-coordinate tile origins), ``seams.csv`` (i, j,
@@ -4627,6 +4636,27 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         )
     estimate_only = bool(p.get("estimate_only", False))
 
+    import jax as _jax
+
+    correlate = None
+    dp_devices = 0
+    if bool(p.get("data_parallel")) and _jax.device_count() > 1:
+        from sequitr_tpu import parallel
+
+        _mesh = parallel.make_mesh()
+        dp_devices = int(_mesh.devices.size)
+        correlate = parallel.make_dp_seam_correlator(
+            _mesh, subpixel=subpixel, window=window, refine=refine
+        )
+
+    if bool(p.get("timelapse", False)):
+        return _stitch_mosaic_timelapse(
+            job, r, c, order=order, subpixel=subpixel, window=window,
+            refine=refine, min_response=min_response,
+            estimate_only=estimate_only, correlate=correlate,
+            dp_devices=dp_devices,
+        )
+
     paths = _resolve_inputs(job)
     try:
         # one entry per CHANNEL (the uniform multi-channel convention);
@@ -4664,18 +4694,6 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     # (stitch, blend, positions.csv) is uniformly row-major
     if order == "snake":
         tiles = mosaic_lib.snake_to_row_major(tiles, (r, c))
-    import jax as _jax
-
-    correlate = None
-    dp_devices = 0
-    if bool(p.get("data_parallel")) and _jax.device_count() > 1:
-        from sequitr_tpu import parallel
-
-        mesh = parallel.make_mesh()
-        dp_devices = int(mesh.devices.size)
-        correlate = parallel.make_dp_seam_correlator(
-            mesh, subpixel=subpixel, window=window, refine=refine
-        )
     with timer.phase("estimate"):
         # seams ride channel 0 (channels share the stage, like
         # register_stack's trajectory)
@@ -4711,6 +4729,32 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             writer.close()
             outputs[name] = mosaic_path
 
+    outputs.update(_write_mosaic_csvs(job, result, r, c))
+
+    total_s = time.time() - t0
+    n_low = int((~result.used).sum())
+    metrics = dict(
+        timer.summary(),
+        total_s=round(total_s, 4),
+        n_tiles=r * c,
+        tiles_per_sec=round(r * c / max(total_s, 1e-9), 3),
+        rms_residual_px=round(result.rms_residual, 5),
+        n_low_confidence=n_low,
+        overlap_y=overlap[0],
+        overlap_x=overlap[1],
+    )
+    if dp_devices:
+        metrics["n_devices"] = dp_devices
+    if not estimate_only:
+        metrics["canvas_h"] = int(composite.shape[0])
+        metrics["canvas_w"] = int(composite.shape[1])
+    outputs["metrics"] = json.dumps(metrics)
+    return outputs
+
+
+def _write_mosaic_csvs(job: Job, result, r: int, c: int) -> Dict[str, str]:
+    """positions.csv + seams.csv (write-temp-rename), shared by the
+    single-shot and timelapse stitch paths."""
     pos_path = os.path.join(job.output, "positions.csv")
     tmp = pos_path + ".tmp"
     with open(tmp, "w") as f:
@@ -4732,25 +4776,179 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 f"{result.responses[e]:.3f},{int(result.used[e])}\n"
             )
     os.replace(tmp, seams_path)
-    outputs["positions"] = pos_path
-    outputs["seams"] = seams_path
+    return {"positions": pos_path, "seams": seams_path}
 
+
+def _stitch_mosaic_timelapse(
+    job: Job,
+    r: int,
+    c: int,
+    *,
+    order: str,
+    subpixel: bool,
+    window: bool,
+    refine: int,
+    min_response: float,
+    estimate_only: bool,
+    correlate,
+    dp_devices: int,
+) -> Dict[str, str]:
+    """``stitch_mosaic`` with ``timelapse: true`` — multi-position live
+    imaging (the btrack acquisition shape: a fixed grid of stage
+    positions re-imaged every cycle).
+
+    Conventions: each input ENTRY is one channel (uniform multi-channel
+    convention); inside an entry, each of the R*C files
+    (directory/glob, natural order; ``order: snake`` for serpentine
+    stage scans) is one POSITION's T-page timelapse. Stage positions
+    are fixed across time, so seams are estimated ONCE — channel 0,
+    timepoint 0 — and the same solved positions composite EVERY
+    timepoint; pages stream to the page-append writer with disk
+    read-ahead overlapping the blend (bounded memory, cancellable, like
+    every serving loop). Outputs a T-page ``mosaic.tif`` (or
+    ``mosaic_c{k}.tif``) — the stitched timelapse feeds straight into
+    segmentation → objects.h5 → tracking.
+    """
+    from sequitr_tpu import mosaic as mosaic_lib
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.pipeline import infer as infer_lib
+    from sequitr_tpu.utils import PhaseTimer
+
+    p = job.params
+    entries = _resolve_inputs(job)
+    chan_files = []
+    for pth in entries:
+        files = _expand_inputs_entry(pth)
+        if len(files) != r * c:
+            raise jobs_lib.JobError(
+                f"{len(files)} tile timelapses for a {r}x{c} grid "
+                f"(need {r * c}) in {pth}"
+            )
+        chan_files.append(files)
+    n_chan = len(chan_files)
+
+    timer = PhaseTimer()
+    t0 = time.time()
+    # one multi-channel FrameSource per stage position (lazy readers)
+    sources = []
+    try:
+        for k in range(r * c):
+            try:
+                sources.append(
+                    FrameSource(paths=[cf[k] for cf in chan_files])
+                )
+            except ValueError as e:
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read position {k}: {e}"
+                )
+        if order == "snake":
+            sources = [
+                sources[i] for i in mosaic_lib.snake_indices((r, c))
+            ]
+        n_t = len(sources[0])
+        h, w = sources[0].spatial
+        for k, s in enumerate(sources[1:], 1):
+            if len(s) != n_t or s.spatial != (h, w):
+                raise jobs_lib.JobError(
+                    f"position {k} disagrees: {len(s)} timepoints of "
+                    f"{s.spatial} vs {n_t} of {(h, w)}"
+                )
+        try:
+            overlap = mosaic_lib.normalize_overlap(
+                p.get("overlap", 0.1), (h, w)
+            )
+        except (TypeError, ValueError) as e:
+            raise jobs_lib.JobError(f"bad overlap: {e}")
+
+        with timer.phase("estimate"):
+            first = np.stack(
+                [np.asarray(s.frame(0), np.float32) for s in sources]
+            )
+            result = mosaic_lib.stitch_grid(
+                first if first.ndim == 3 else first[..., 0],
+                (r, c), overlap=overlap, order="row",
+                subpixel=subpixel, window=window, refine=refine,
+                min_response=min_response, blend=False,
+                correlate=correlate,
+            )
+
+        outputs: Dict[str, str] = {}
+        canvas_shape = None
+        if not estimate_only:
+            comp = _out_compression(job)
+            writers: list = [None] * n_chan
+
+            def read_t(t: int):
+                return np.stack(
+                    [np.asarray(s.frame(t), np.float32) for s in sources]
+                )
+
+            tp_iter = jobs_lib.track(
+                job,
+                infer_lib._iter_read_ahead(
+                    (read_t(t) for t in range(n_t)), 2
+                ),
+                total=n_t, phase="timepoints",
+            )
+            try:
+                for tiles in _reads_fail_fast(job, iter(tp_iter)):
+                    for k in range(n_chan):
+                        chan_tiles = (
+                            tiles if tiles.ndim == 3 else tiles[..., k]
+                        )
+                        with timer.phase("blend"):
+                            composite = mosaic_lib.blend_mosaic(
+                                chan_tiles, result.positions, overlap,
+                                subpixel=subpixel,
+                            )
+                        canvas_shape = composite.shape
+                        if writers[k] is None:
+                            name = (
+                                "mosaic" if n_chan == 1 else f"mosaic_c{k}"
+                            )
+                            path = os.path.join(
+                                job.output, f"{name}.tif"
+                            )
+                            writers[k] = (
+                                name,
+                                path,
+                                _append_writer(
+                                    path,
+                                    float(composite.nbytes) * n_t,
+                                    comp,
+                                ),
+                            )
+                        with timer.phase("write"):
+                            writers[k][2].append(composite)
+            except BaseException:
+                for wr in writers:
+                    if wr is not None:
+                        wr[2].abort()
+                raise
+            for name, path, writer in writers:
+                writer.close()
+                outputs[name] = path
+    finally:
+        for s in sources:
+            s.close()
+
+    outputs.update(_write_mosaic_csvs(job, result, r, c))
     total_s = time.time() - t0
-    n_low = int((~result.used).sum())
     metrics = dict(
         timer.summary(),
         total_s=round(total_s, 4),
         n_tiles=r * c,
-        tiles_per_sec=round(r * c / max(total_s, 1e-9), 3),
+        n_timepoints=n_t,
+        timepoints_per_sec=round(n_t / max(total_s, 1e-9), 3),
         rms_residual_px=round(result.rms_residual, 5),
-        n_low_confidence=n_low,
+        n_low_confidence=int((~result.used).sum()),
         overlap_y=overlap[0],
         overlap_x=overlap[1],
     )
     if dp_devices:
         metrics["n_devices"] = dp_devices
-    if not estimate_only:
-        metrics["canvas_h"] = int(composite.shape[0])
-        metrics["canvas_w"] = int(composite.shape[1])
+    if canvas_shape is not None:
+        metrics["canvas_h"] = int(canvas_shape[0])
+        metrics["canvas_w"] = int(canvas_shape[1])
     outputs["metrics"] = json.dumps(metrics)
     return outputs

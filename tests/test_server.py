@@ -4123,3 +4123,85 @@ class TestMosaicPipeline:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert "cannot read inputs" in st["error"]
+
+    def test_timelapse_streams_per_timepoint(self, server_env):
+        """timelapse: true — R*C per-position T-page stacks composite
+        into a T-page mosaic with positions estimated once (integer
+        mode: every timepoint exact where covered)."""
+        cfg_srv, tmp = server_env
+        scene = self._scene((300, 300), 71)
+        h = w = 96
+        ov = 20
+        n_t = 3
+        d = tmp / "tl_tiles"
+        os.makedirs(d)
+        rng = np.random.default_rng(72)
+        pos = []
+        # time variation: a global per-timepoint gain (content evolves,
+        # geometry does not)
+        gains = [1.0, 1.3, 0.8]
+        for ri in range(2):
+            for ci in range(2):
+                jy, jx = (0, 0) if (ri, ci) == (0, 0) else rng.integers(
+                    -2, 3, 2
+                )
+                y0 = ri * (h - ov) + 6 + int(jy)
+                x0 = ci * (w - ov) + 6 + int(jx)
+                stack = np.stack(
+                    [g * scene[y0 : y0 + h, x0 : x0 + w] for g in gains]
+                )
+                tiff.write_stack(str(d / f"pos_{ri}_{ci}.tif"), stack)
+                pos.append((y0, x0))
+        pos = np.asarray(pos, float)
+        out = str(tmp / "tl_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": 20,
+                        "subpixel": False, "timelapse": True},
+             "input": [str(d)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_timepoints"] == n_t
+        mos = np.asarray(tiff.read_stack(st["outputs"]["mosaic"]))
+        assert mos.shape == (n_t, m["canvas_h"], m["canvas_w"])
+        rel = (pos - pos.min(axis=0, keepdims=True)).astype(int)
+        oy, ox = int(pos[:, 0].min()), int(pos[:, 1].min())
+        covered = np.zeros(mos.shape[1:], bool)
+        for y0, x0 in rel:
+            covered[y0 : y0 + h, x0 : x0 + w] = True
+        for t, g in enumerate(gains):
+            want = g * scene[
+                oy : oy + m["canvas_h"], ox : ox + m["canvas_w"]
+            ]
+            np.testing.assert_allclose(
+                mos[t][covered], want[covered], atol=5e-4,
+                err_msg=f"t={t}",
+            )
+
+    def test_timelapse_length_mismatch_fails(self, server_env):
+        cfg_srv, tmp = server_env
+        d = tmp / "tl_bad"
+        os.makedirs(d)
+        rng = np.random.default_rng(73)
+        for k in range(4):
+            n_pages = 3 if k != 2 else 2  # one position short
+            tiff.write_stack(
+                str(d / f"pos_{k}.tif"),
+                rng.normal(100, 10, (n_pages, 64, 64)).astype(np.float32),
+            )
+        out = str(tmp / "tl_bad_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": 16,
+                        "timelapse": True},
+             "input": [str(d)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "disagrees" in st["error"]
