@@ -4649,107 +4649,59 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             _mesh, subpixel=subpixel, window=window, refine=refine
         )
 
-    if bool(p.get("timelapse", False)):
-        return _stitch_mosaic_timelapse(
-            job, r, c, order=order, subpixel=subpixel, window=window,
-            refine=refine, min_response=min_response,
-            estimate_only=estimate_only, correlate=correlate,
-            dp_devices=dp_devices,
-        )
-
-    paths = _resolve_inputs(job)
-    try:
-        # one entry per CHANNEL (the uniform multi-channel convention);
-        # FrameSource validates cross-channel count/shape agreement
-        source = FrameSource(paths=paths)
-    except ValueError as e:
-        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    timelapse = bool(p.get("timelapse", False))
     timer = PhaseTimer()
     t0 = time.time()
-    with source:
-        n_chan = source.n_channels
-        if len(source) != r * c:
+    entries = _resolve_inputs(job)
+    # one input entry per CHANNEL (the uniform convention); channels are
+    # read LAZILY one at a time — estimation and each blend need a
+    # single channel, so host memory stays O(one channel's tiles)
+    kw = dict(
+        subpixel=subpixel, window=window, refine=refine,
+        min_response=min_response, estimate_only=estimate_only,
+        correlate=correlate, dp_devices=dp_devices, order=order,
+        timer=timer, t0=t0,
+    )
+    if timelapse:
+        return _stitch_mosaic_timelapse(job, r, c, entries, **kw)
+
+    sources = []
+    try:
+        for pth in entries:
+            try:
+                sources.append(FrameSource(paths=[pth]))
+            except ValueError as e:
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read {pth}: {e}"
+                )
+        if len(sources[0]) != r * c:
             raise jobs_lib.JobError(
-                f"{len(source)} tiles for a {r}x{c} grid (need {r * c})"
+                f"{len(sources[0])} tiles for a {r}x{c} grid "
+                f"(need {r * c})"
             )
-        h, w = source.spatial
-        try:
-            overlap = mosaic_lib.normalize_overlap(
-                p.get("overlap", 0.1), (h, w)
-            )
-        except (TypeError, ValueError) as e:
-            raise jobs_lib.JobError(f"bad overlap: {e}")
-        with timer.phase("read"):
-            tile_iter = jobs_lib.track(
-                job, source.frames(), total=r * c, phase="tiles"
-            )
-            # (N, H, W) single channel / (N, H, W, C) multi
-            tiles = np.stack(
+        h, w = sources[0].spatial
+        for k, s in enumerate(sources[1:], 1):
+            if len(s) != r * c or s.spatial != (h, w):
+                raise jobs_lib.JobError(
+                    f"channel {k} ({entries[k]}) disagrees: {len(s)} "
+                    f"tiles of {s.spatial} vs {r * c} of {(h, w)}"
+                )
+
+        def read_chan_t(k: int, t: int) -> np.ndarray:
+            return np.stack(
                 [
-                    np.asarray(t, np.float32)
-                    for t in _reads_fail_fast(job, tile_iter)
+                    np.asarray(f, np.float32)
+                    for f in sources[k].frames()
                 ]
             )
-    # reorder serpentine scans ONCE at ingest; everything downstream
-    # (stitch, blend, positions.csv) is uniformly row-major
-    if order == "snake":
-        tiles = mosaic_lib.snake_to_row_major(tiles, (r, c))
-    with timer.phase("estimate"):
-        # seams ride channel 0 (channels share the stage, like
-        # register_stack's trajectory)
-        result = mosaic_lib.stitch_grid(
-            tiles if tiles.ndim == 3 else tiles[..., 0],
-            (r, c), overlap=overlap, order="row",
-            subpixel=subpixel, window=window, refine=refine,
-            min_response=min_response, blend=False,
-            correlate=correlate,
+
+        return _stitch_mosaic_core(
+            job, r, c, n_chan=len(sources), n_t=1, spatial=(h, w),
+            read_chan_t=read_chan_t, **kw,
         )
-    outputs: Dict[str, str] = {}
-    composite = None
-    if not estimate_only:
-        comp = _out_compression(job)
-        for k in range(n_chan):
-            chan_tiles = tiles if tiles.ndim == 3 else tiles[..., k]
-            with timer.phase("blend"):
-                composite = mosaic_lib.blend_mosaic(
-                    chan_tiles, result.positions, overlap,
-                    subpixel=subpixel,
-                )
-            name = "mosaic" if n_chan == 1 else f"mosaic_c{k}"
-            mosaic_path = os.path.join(job.output, f"{name}.tif")
-            writer = _append_writer(
-                mosaic_path, float(composite.nbytes), comp
-            )
-            try:
-                with timer.phase("write"):
-                    writer.append(composite)
-            except BaseException:
-                writer.abort()
-                raise
-            writer.close()
-            outputs[name] = mosaic_path
-
-    outputs.update(_write_mosaic_csvs(job, result, r, c))
-
-    total_s = time.time() - t0
-    n_low = int((~result.used).sum())
-    metrics = dict(
-        timer.summary(),
-        total_s=round(total_s, 4),
-        n_tiles=r * c,
-        tiles_per_sec=round(r * c / max(total_s, 1e-9), 3),
-        rms_residual_px=round(result.rms_residual, 5),
-        n_low_confidence=n_low,
-        overlap_y=overlap[0],
-        overlap_x=overlap[1],
-    )
-    if dp_devices:
-        metrics["n_devices"] = dp_devices
-    if not estimate_only:
-        metrics["canvas_h"] = int(composite.shape[0])
-        metrics["canvas_w"] = int(composite.shape[1])
-    outputs["metrics"] = json.dumps(metrics)
-    return outputs
+    finally:
+        for s in sources:
+            s.close()
 
 
 def _write_mosaic_csvs(job: Job, result, r: int, c: int) -> Dict[str, str]:
@@ -4779,19 +4731,59 @@ def _write_mosaic_csvs(job: Job, result, r: int, c: int) -> Dict[str, str]:
     return {"positions": pos_path, "seams": seams_path}
 
 
+class _TilePool:
+    """fd-capped lazy FrameSource pool for per-position timelapse files.
+
+    Mirrors ``_SequenceReader._MAX_OPEN``'s rationale at job scale: a
+    20x20 3-channel scan is 1200 files, and holding a reader open per
+    file would exhaust the default 1024-fd table. Readers open on
+    demand and an LRU evicts past the budget (half the soft RLIMIT, so
+    the worker's own files/sockets keep headroom); typical jobs stay
+    fully resident, giant ones re-parse an evicted file's IFD chain on
+    return — slower, never wrong.
+    """
+
+    def __init__(self, paths):
+        import resource
+        from collections import OrderedDict
+
+        soft = resource.getrlimit(resource.RLIMIT_NOFILE)[0]
+        if soft == resource.RLIM_INFINITY:
+            soft = 8192
+        self.max_open = max(8, int(soft) // 2)
+        self._paths = list(paths)
+        self._open: "OrderedDict[int, object]" = OrderedDict()
+
+    def source(self, i: int):
+        from sequitr_tpu.data.source import FrameSource
+
+        src = self._open.pop(i, None)
+        if src is None:
+            if len(self._open) >= self.max_open:
+                _, old = self._open.popitem(last=False)
+                old.close()
+            try:
+                src = FrameSource(paths=[self._paths[i]])
+            except ValueError as e:
+                raise ValueError(f"{self._paths[i]}: {e}")
+        self._open[i] = src  # most-recently-used position
+        return src
+
+    def path(self, i: int) -> str:
+        return self._paths[i]
+
+    def close(self) -> None:
+        for src in self._open.values():
+            src.close()
+        self._open.clear()
+
+
 def _stitch_mosaic_timelapse(
     job: Job,
     r: int,
     c: int,
-    *,
-    order: str,
-    subpixel: bool,
-    window: bool,
-    refine: int,
-    min_response: float,
-    estimate_only: bool,
-    correlate,
-    dp_devices: int,
+    entries,
+    **kw,
 ) -> Dict[str, str]:
     """``stitch_mosaic`` with ``timelapse: true`` — multi-position live
     imaging (the btrack acquisition shape: a fixed grid of stage
@@ -4803,19 +4795,11 @@ def _stitch_mosaic_timelapse(
     stage scans) is one POSITION's T-page timelapse. Stage positions
     are fixed across time, so seams are estimated ONCE — channel 0,
     timepoint 0 — and the same solved positions composite EVERY
-    timepoint; pages stream to the page-append writer with disk
-    read-ahead overlapping the blend (bounded memory, cancellable, like
-    every serving loop). Outputs a T-page ``mosaic.tif`` (or
-    ``mosaic_c{k}.tif``) — the stitched timelapse feeds straight into
-    segmentation → objects.h5 → tracking.
+    timepoint (the shared ``_stitch_mosaic_core`` streaming loop).
+    Outputs a T-page ``mosaic.tif`` (or ``mosaic_c{k}.tif``) — the
+    stitched timelapse feeds straight into segmentation → objects.h5 →
+    tracking. File handles ride an fd-capped pool (``_TilePool``).
     """
-    from sequitr_tpu import mosaic as mosaic_lib
-    from sequitr_tpu.data.source import FrameSource
-    from sequitr_tpu.pipeline import infer as infer_lib
-    from sequitr_tpu.utils import PhaseTimer
-
-    p = job.params
-    entries = _resolve_inputs(job)
     chan_files = []
     for pth in entries:
         files = _expand_inputs_entry(pth)
@@ -4826,111 +4810,145 @@ def _stitch_mosaic_timelapse(
             )
         chan_files.append(files)
     n_chan = len(chan_files)
-
-    timer = PhaseTimer()
-    t0 = time.time()
-    # one multi-channel FrameSource per stage position (lazy readers)
-    sources = []
+    pool = _TilePool([f for cf in chan_files for f in cf])
     try:
-        for k in range(r * c):
+        # validate every position once (each opens through the pool)
+        try:
+            first = pool.source(0)
+            n_t = len(first)
+            h, w = first.spatial
+        except ValueError as e:
+            raise jobs_lib.JobError(f"job {job.id}: cannot read {e}")
+        for i in range(1, n_chan * r * c):
             try:
-                sources.append(
-                    FrameSource(paths=[cf[k] for cf in chan_files])
-                )
+                s = pool.source(i)
             except ValueError as e:
-                raise jobs_lib.JobError(
-                    f"job {job.id}: cannot read position {k}: {e}"
-                )
-        if order == "snake":
-            sources = [
-                sources[i] for i in mosaic_lib.snake_indices((r, c))
-            ]
-        n_t = len(sources[0])
-        h, w = sources[0].spatial
-        for k, s in enumerate(sources[1:], 1):
+                raise jobs_lib.JobError(f"job {job.id}: cannot read {e}")
             if len(s) != n_t or s.spatial != (h, w):
                 raise jobs_lib.JobError(
-                    f"position {k} disagrees: {len(s)} timepoints of "
+                    f"{pool.path(i)} disagrees: {len(s)} timepoints of "
                     f"{s.spatial} vs {n_t} of {(h, w)}"
                 )
-        try:
-            overlap = mosaic_lib.normalize_overlap(
-                p.get("overlap", 0.1), (h, w)
-            )
-        except (TypeError, ValueError) as e:
-            raise jobs_lib.JobError(f"bad overlap: {e}")
 
-        with timer.phase("estimate"):
-            first = np.stack(
-                [np.asarray(s.frame(0), np.float32) for s in sources]
-            )
-            result = mosaic_lib.stitch_grid(
-                first if first.ndim == 3 else first[..., 0],
-                (r, c), overlap=overlap, order="row",
-                subpixel=subpixel, window=window, refine=refine,
-                min_response=min_response, blend=False,
-                correlate=correlate,
+        def read_chan_t(k: int, t: int) -> np.ndarray:
+            base = k * r * c
+            return np.stack(
+                [
+                    np.asarray(
+                        pool.source(base + pos).frame(t), np.float32
+                    )
+                    for pos in range(r * c)
+                ]
             )
 
-        outputs: Dict[str, str] = {}
-        canvas_shape = None
-        if not estimate_only:
-            comp = _out_compression(job)
-            writers: list = [None] * n_chan
-
-            def read_t(t: int):
-                return np.stack(
-                    [np.asarray(s.frame(t), np.float32) for s in sources]
-                )
-
-            tp_iter = jobs_lib.track(
-                job,
-                infer_lib._iter_read_ahead(
-                    (read_t(t) for t in range(n_t)), 2
-                ),
-                total=n_t, phase="timepoints",
-            )
-            try:
-                for tiles in _reads_fail_fast(job, iter(tp_iter)):
-                    for k in range(n_chan):
-                        chan_tiles = (
-                            tiles if tiles.ndim == 3 else tiles[..., k]
-                        )
-                        with timer.phase("blend"):
-                            composite = mosaic_lib.blend_mosaic(
-                                chan_tiles, result.positions, overlap,
-                                subpixel=subpixel,
-                            )
-                        canvas_shape = composite.shape
-                        if writers[k] is None:
-                            name = (
-                                "mosaic" if n_chan == 1 else f"mosaic_c{k}"
-                            )
-                            path = os.path.join(
-                                job.output, f"{name}.tif"
-                            )
-                            writers[k] = (
-                                name,
-                                path,
-                                _append_writer(
-                                    path,
-                                    float(composite.nbytes) * n_t,
-                                    comp,
-                                ),
-                            )
-                        with timer.phase("write"):
-                            writers[k][2].append(composite)
-            except BaseException:
-                for wr in writers:
-                    if wr is not None:
-                        wr[2].abort()
-                raise
-            for name, path, writer in writers:
-                writer.close()
-                outputs[name] = path
+        return _stitch_mosaic_core(
+            job, r, c, n_chan=n_chan, n_t=n_t, spatial=(h, w),
+            read_chan_t=read_chan_t, **kw,
+        )
     finally:
-        for s in sources:
-            s.close()
+        pool.close()
+
+
+def _stitch_mosaic_core(
+    job: Job,
+    r: int,
+    c: int,
+    *,
+    n_chan: int,
+    n_t: int,
+    spatial,
+    read_chan_t,
+    order: str,
+    subpixel: bool,
+    window: bool,
+    refine: int,
+    min_response: float,
+    estimate_only: bool,
+    correlate,
+    dp_devices: int,
+    timer,
+    t0: float,
+) -> Dict[str, str]:
+    """Shared stitch engine: estimate once on (channel 0, timepoint 0),
+    then stream one composite per (timepoint, channel) to page-append
+    writers with disk read-ahead overlapping the blend.
+
+    ``read_chan_t(k, t) -> (R*C, H, W) float32`` tiles in ACQUISITION
+    order — the core applies the serpentine permutation, so readers
+    stay order-agnostic. The single-shot path is simply ``n_t=1``; the
+    timelapse path streams T pages per channel through the same loop
+    (bounded memory, cancellable).
+    """
+    from sequitr_tpu import mosaic as mosaic_lib
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    h, w = spatial
+    try:
+        overlap = mosaic_lib.normalize_overlap(
+            job.params.get("overlap", 0.1), (h, w)
+        )
+    except (TypeError, ValueError) as e:
+        raise jobs_lib.JobError(f"bad overlap: {e}")
+    perm = (
+        mosaic_lib.snake_indices((r, c))
+        if order == "snake"
+        else np.arange(r * c)
+    )
+    with timer.phase("estimate"):
+        try:
+            first = read_chan_t(0, 0)
+        except ValueError as e:
+            # corrupt input is deterministic — fail fast, never retry
+            raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+        result = mosaic_lib.stitch_grid(
+            first[perm], (r, c), overlap=overlap, order="row",
+            subpixel=subpixel, window=window, refine=refine,
+            min_response=min_response, blend=False, correlate=correlate,
+        )
+
+    outputs: Dict[str, str] = {}
+    canvas_shape = None
+    if not estimate_only:
+        comp = _out_compression(job)
+        writers: list = [None] * n_chan
+
+        def produce():
+            for t in range(n_t):
+                for k in range(n_chan):
+                    yield k, read_chan_t(k, t)
+
+        work = jobs_lib.track(
+            job,
+            infer_lib._iter_read_ahead(produce(), 2),
+            total=n_t * n_chan, phase="composites",
+        )
+        try:
+            for k, tiles in _reads_fail_fast(job, iter(work)):
+                with timer.phase("blend"):
+                    composite = mosaic_lib.blend_mosaic(
+                        tiles[perm], result.positions, overlap,
+                        subpixel=subpixel,
+                    )
+                canvas_shape = composite.shape
+                if writers[k] is None:
+                    name = "mosaic" if n_chan == 1 else f"mosaic_c{k}"
+                    path = os.path.join(job.output, f"{name}.tif")
+                    writers[k] = (
+                        name, path,
+                        _append_writer(
+                            path, float(composite.nbytes) * n_t, comp
+                        ),
+                    )
+                with timer.phase("write"):
+                    writers[k][2].append(composite)
+        except BaseException:
+            for wr in writers:
+                if wr is not None:
+                    wr[2].abort()
+            raise
+        for name, path, writer in writers:
+            writer.close()
+            outputs[name] = path
 
     outputs.update(_write_mosaic_csvs(job, result, r, c))
     total_s = time.time() - t0
@@ -4938,13 +4956,18 @@ def _stitch_mosaic_timelapse(
         timer.summary(),
         total_s=round(total_s, 4),
         n_tiles=r * c,
-        n_timepoints=n_t,
-        timepoints_per_sec=round(n_t / max(total_s, 1e-9), 3),
         rms_residual_px=round(result.rms_residual, 5),
         n_low_confidence=int((~result.used).sum()),
         overlap_y=overlap[0],
         overlap_x=overlap[1],
     )
+    if n_t > 1:
+        metrics["n_timepoints"] = n_t
+        metrics["timepoints_per_sec"] = round(
+            n_t / max(total_s, 1e-9), 3
+        )
+    else:
+        metrics["tiles_per_sec"] = round(r * c / max(total_s, 1e-9), 3)
     if dp_devices:
         metrics["n_devices"] = dp_devices
     if canvas_shape is not None:

@@ -4122,7 +4122,7 @@ class TestMosaicPipeline:
         assert ImageServer(cfg_srv).poll_once()
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
-        assert "cannot read inputs" in st["error"]
+        assert "channel 1" in st["error"] and "disagrees" in st["error"]
 
     def test_timelapse_streams_per_timepoint(self, server_env):
         """timelapse: true — R*C per-position T-page stacks composite
@@ -4205,3 +4205,26 @@ class TestMosaicPipeline:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert "disagrees" in st["error"]
+
+    def test_tile_pool_fd_cap(self, tmp_path):
+        """_TilePool never holds more than max_open readers: round-robin
+        access beyond the budget evicts LRU and re-opens correctly."""
+        from sequitr_tpu.server.server import _TilePool
+
+        paths = []
+        for k in range(6):
+            pth = str(tmp_path / f"p{k}.tif")
+            tiff.write_stack(
+                pth, np.full((2, 8, 8), float(k), np.float32)
+            )
+            paths.append(pth)
+        pool = _TilePool(paths)
+        assert pool.max_open >= 8  # at least the floor
+        pool.max_open = 2  # force eviction pressure
+        for t in range(2):
+            for k in range(6):
+                f = np.asarray(pool.source(k).frame(t))
+                assert float(f[0, 0]) == float(k)
+                assert len(pool._open) <= 2
+        pool.close()
+        assert len(pool._open) == 0
