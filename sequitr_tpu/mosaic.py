@@ -62,6 +62,7 @@ from sequitr_tpu.ops import registration as reg_lib
 
 __all__ = [
     "MosaicResult",
+    "estimate_flatfield",
     "normalize_overlap",
     "snake_indices",
     "snake_to_row_major",
@@ -148,6 +149,49 @@ def snake_to_row_major(tiles: np.ndarray, grid: Tuple[int, int]) -> np.ndarray:
     into row-major grid order. ``tiles`` is (R*C, ...) in ACQUISITION
     order."""
     return tiles[snake_indices(grid)]
+
+
+def estimate_flatfield(tiles: np.ndarray, order: int = 2) -> np.ndarray:
+    """Retrospective flat-field (vignetting) profile shared by a grid's
+    tiles.
+
+    Every tile of a scan sees the SAME optical path — illumination
+    falloff, dust, sensor shading — while the sample content varies, so
+    the per-pixel MEDIAN across tiles isolates the multiplicative
+    shading field up to content leakage; a low-order 2D polynomial fit
+    (vignetting is smooth, classically radial-quadratic) removes that
+    leakage and the result is normalized to mean 1. Correct by
+    DIVIDING tiles by the profile before stitching: uncorrected
+    vignetting shows up as a dark grid of seams in the composite and
+    biases the seam correlator's intensity statistics.
+
+    ``order``: total polynomial degree (default 2; 4 captures
+    higher-order falloff when many tiles are available). Returns an
+    (H, W) float32 profile with mean 1, clipped to >= 0.05 so division
+    can never explode.
+    """
+    if tiles.ndim != 3:
+        raise ValueError(f"tiles must be (N, H, W), got {tiles.shape}")
+    if not 1 <= order <= 6:
+        raise ValueError(f"order={order} must be in [1, 6]")
+    med = np.median(tiles, axis=0).astype(np.float64)
+    h, w = med.shape
+    y = np.linspace(-1.0, 1.0, h)
+    x = np.linspace(-1.0, 1.0, w)
+    yy, xx = np.meshgrid(y, x, indexing="ij")
+    terms = [
+        (yy**i * xx**j).reshape(-1)
+        for i in range(order + 1)
+        for j in range(order + 1 - i)
+    ]
+    a = np.stack(terms, axis=1)
+    coef, *_ = np.linalg.lstsq(a, med.reshape(-1), rcond=None)
+    prof = (a @ coef).reshape(h, w)
+    mean = prof.mean()
+    if not np.isfinite(mean) or mean <= 0:
+        return np.ones((h, w), np.float32)
+    prof /= mean
+    return np.maximum(prof, 0.05).astype(np.float32)
 
 
 def _grid_edges(

@@ -4568,6 +4568,14 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       below it (featureless overlap: empty glass) fall back to nominal
       grid spacing at near-zero weight instead of shearing the mosaic.
     * ``estimate_only`` (default false): write positions/seams CSVs only.
+    * ``flatfield`` (default false): retrospective flat-field
+      correction — the shading/vignetting profile every tile shares is
+      estimated per channel (median across tiles + low-order polynomial
+      fit, ``mosaic.estimate_flatfield``) and divided out before seam
+      estimation and blending; uncorrected vignetting prints a dark
+      grid of seams into the composite. ``true`` = order 2; an integer
+      sets the polynomial order (up to 6). Profile min/max land in the
+      metrics.
     * ``data_parallel`` (default false): shard the seam-pair axis over
       all chips of the mesh (``parallel.make_dp_seam_correlator``) —
       seam estimates are independent, so each chip correlates its share
@@ -4894,9 +4902,42 @@ def _stitch_mosaic_core(
         if order == "snake"
         else np.arange(r * c)
     )
+    # retrospective flat-field: every tile sees the same optical path,
+    # so the shading profile is estimated per channel from its first
+    # timepoint's tiles and divided out of every tile before seam
+    # estimation AND blending (vignetting otherwise prints a dark grid
+    # of seams into the composite)
+    ff_param = job.params.get("flatfield", False)
+    if ff_param is True:
+        ff_order = 2
+    elif ff_param is False or ff_param is None:
+        ff_order = 0
+    else:
+        try:
+            ff_order = int(ff_param)
+        except (TypeError, ValueError):
+            raise jobs_lib.JobError(
+                f"flatfield={ff_param!r} must be a boolean or the "
+                f"polynomial order"
+            )
+        if not 1 <= ff_order <= 6:
+            raise jobs_lib.JobError(
+                f"flatfield order {ff_order} must be in [1, 6]"
+            )
+    profiles: Dict[int, np.ndarray] = {}
+
+    def corrected(k: int, tiles: np.ndarray) -> np.ndarray:
+        if not ff_order:
+            return tiles
+        if k not in profiles:
+            profiles[k] = mosaic_lib.estimate_flatfield(
+                tiles, order=ff_order
+            )
+        return tiles / profiles[k]
+
     with timer.phase("estimate"):
         try:
-            first = read_chan_t(0, 0)
+            first = corrected(0, read_chan_t(0, 0))
         except ValueError as e:
             # corrupt input is deterministic — fail fast, never retry
             raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
@@ -4926,8 +4967,8 @@ def _stitch_mosaic_core(
             for k, tiles in _reads_fail_fast(job, iter(work)):
                 with timer.phase("blend"):
                     composite = mosaic_lib.blend_mosaic(
-                        tiles[perm], result.positions, overlap,
-                        subpixel=subpixel,
+                        corrected(k, tiles)[perm], result.positions,
+                        overlap, subpixel=subpixel,
                     )
                 canvas_shape = composite.shape
                 if writers[k] is None:
@@ -4973,5 +5014,12 @@ def _stitch_mosaic_core(
     if canvas_shape is not None:
         metrics["canvas_h"] = int(canvas_shape[0])
         metrics["canvas_w"] = int(canvas_shape[1])
+    if profiles:
+        metrics["flatfield_min"] = round(
+            float(min(pr.min() for pr in profiles.values())), 4
+        )
+        metrics["flatfield_max"] = round(
+            float(max(pr.max() for pr in profiles.values())), 4
+        )
     outputs["metrics"] = json.dumps(metrics)
     return outputs

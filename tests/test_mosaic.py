@@ -241,3 +241,37 @@ class TestDataParallelSeams:
         np.testing.assert_allclose(d1, d2, atol=1e-5)
         np.testing.assert_allclose(r1, r2, rtol=1e-4)
         np.testing.assert_array_equal(n1, n2)
+
+
+class TestFlatField:
+    def test_recovers_vignette(self):
+        """A quadratic radial vignette applied to every tile is
+        recovered (to a global scale) by the median+poly estimate."""
+        scene = _scene((400, 540), seed=21)
+        tiles, _ = _cut_tiles(
+            scene, (3, 3), (128, 168), overlap=24, jitter=1.5, seed=22
+        )
+        yy = np.linspace(-1, 1, 128)[:, None]
+        xx = np.linspace(-1, 1, 168)[None, :]
+        vig = (1.0 - 0.35 * (yy**2 + xx**2)).astype(np.float32)
+        prof = mosaic.estimate_flatfield(tiles * vig)
+        want = vig / vig.mean()
+        assert prof.mean() == pytest.approx(1.0, abs=1e-3)
+        rel = np.abs(prof - want) / want
+        assert rel.max() < 0.05, rel.max()
+
+    def test_no_vignette_is_flat(self):
+        scene = _scene((300, 300), seed=23)
+        tiles, _ = _cut_tiles(
+            scene, (2, 2), (140, 140), overlap=24, jitter=1.0, seed=24
+        )
+        prof = mosaic.estimate_flatfield(tiles)
+        assert np.abs(prof - 1.0).max() < 0.05
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="order"):
+            mosaic.estimate_flatfield(
+                np.ones((4, 32, 32), np.float32), order=0
+            )
+        with pytest.raises(ValueError, match="tiles"):
+            mosaic.estimate_flatfield(np.ones((32, 32), np.float32))

@@ -4228,3 +4228,67 @@ class TestMosaicPipeline:
                 assert len(pool._open) <= 2
         pool.close()
         assert len(pool._open) == 0
+
+    def test_flatfield_removes_vignetting(self, server_env):
+        """flatfield: true — a shared vignette is divided out; the
+        corrected composite matches the scene (to a global gain) far
+        better than the uncorrected one, and the profile range lands in
+        the metrics."""
+        cfg_srv, tmp = server_env
+        scene = self._scene((300, 300), 81)
+        h = w = 96
+        ov = 20
+        yy = np.linspace(-1, 1, h)[:, None]
+        xx = np.linspace(-1, 1, w)[None, :]
+        vig = (1.0 - 0.4 * (yy**2 + xx**2)).astype(np.float32)
+        d = tmp / "vig_tiles"
+        os.makedirs(d)
+        rng = np.random.default_rng(82)
+        pos = []
+        for ri in range(2):
+            for ci in range(2):
+                jy, jx = (0, 0) if (ri, ci) == (0, 0) else rng.integers(
+                    -2, 3, 2
+                )
+                y0 = ri * (h - ov) + 6 + int(jy)
+                x0 = ci * (w - ov) + 6 + int(jx)
+                tiff.write_stack(
+                    str(d / f"t_{ri}_{ci}.tif"),
+                    vig[None] * scene[None, y0 : y0 + h, x0 : x0 + w],
+                )
+                pos.append((y0, x0))
+        pos = np.asarray(pos, float)
+        rel = (pos - pos.min(axis=0, keepdims=True)).astype(int)
+        oy, ox = int(pos[:, 0].min()), int(pos[:, 1].min())
+        srv = ImageServer(cfg_srv)
+        errs = {}
+        for name, extra in (
+            ("off", {}), ("on", {"flatfield": True}),
+        ):
+            out = str(tmp / f"ff_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "stitch_mosaic",
+                 "params": {"grid": [2, 2], "overlap": 20,
+                            "subpixel": False, **extra},
+                 "input": [str(d)], "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            m = json.loads(st["outputs"]["metrics"])
+            img = np.asarray(tiff.read_stack(st["outputs"]["mosaic"]))
+            if img.ndim == 3:
+                img = img[0]
+            covered = np.zeros(img.shape, bool)
+            for y0, x0 in rel:
+                covered[y0 : y0 + h, x0 : x0 + w] = True
+            want = scene[oy : oy + m["canvas_h"], ox : ox + m["canvas_w"]]
+            a, b = img[covered], want[covered]
+            gain = a.mean() / b.mean()  # correction is up to a scale
+            errs[name] = float(
+                np.abs(a - gain * b).mean() / max(b.std(), 1e-9)
+            )
+            if name == "on":
+                assert m["flatfield_min"] < 0.9 < 1.05 < m["flatfield_max"]
+        assert errs["on"] < 0.25 * errs["off"], errs
