@@ -63,6 +63,7 @@ from sequitr_tpu.ops import registration as reg_lib
 __all__ = [
     "MosaicResult",
     "estimate_flatfield",
+    "solve_tile_gains",
     "normalize_overlap",
     "snake_indices",
     "snake_to_row_major",
@@ -192,6 +193,62 @@ def estimate_flatfield(tiles: np.ndarray, order: int = 2) -> np.ndarray:
         return np.ones((h, w), np.float32)
     prof /= mean
     return np.maximum(prof, 0.05).astype(np.float32)
+
+
+def solve_tile_gains(
+    tiles: np.ndarray,
+    grid: Tuple[int, int],
+    overlap: Tuple[int, int],
+) -> np.ndarray:
+    """Per-tile multiplicative gains from overlap intensity ratios.
+
+    A long scan photobleaches: later tiles are dimmer by a smooth
+    per-tile factor that flat-field (a per-PIXEL profile shared by all
+    tiles) cannot express, and the blend then shows intensity steps at
+    seams. Adjacent tiles image the SAME content in their overlap, so
+    the ratio of robust strip medians measures the gain difference per
+    seam; per-tile log-gains come from the same anchored least-squares
+    shape as the position solve (log turns the multiplicative chain
+    into a sum), normalized to mean-0 log (product of gains = 1, so the
+    mosaic's global scale is untouched). Correct by MULTIPLYING tile k
+    by ``gains[k]``. Seams with a non-positive or tiny strip median
+    (blank overlap) are skipped; a tile with no usable seam keeps gain
+    1 via the anchor rows.
+    """
+    n, h, w = tiles.shape
+    ov_y, ov_x = overlap
+    hor, ver = _grid_edges(grid)
+    rows: List[np.ndarray] = []
+    rhs: List[float] = []
+    for pairs, axis in ((hor, 1), (ver, 0)):
+        for i, j in pairs:
+            if axis == 1:
+                a = tiles[i][:, w - ov_x:]
+                b = tiles[j][:, :ov_x]
+            else:
+                a = tiles[i][h - ov_y:, :]
+                b = tiles[j][:ov_y, :]
+            med_a = float(np.median(a))
+            med_b = float(np.median(b))
+            if med_a <= 1e-6 or med_b <= 1e-6:
+                continue  # blank/negative overlap: no gain information
+            row = np.zeros(n)
+            # corrected equality: g_i * med_a == g_j * med_b
+            row[i], row[j] = 1.0, -1.0
+            rows.append(row)
+            rhs.append(np.log(med_b) - np.log(med_a))
+    # anchor every tile weakly at log-gain 0: keeps seam-less tiles at
+    # 1 and pins the global scale without fighting the seam equations
+    anchor_w = 1e-3
+    for k in range(n):
+        row = np.zeros(n)
+        row[k] = anchor_w
+        rows.append(row)
+        rhs.append(0.0)
+    a_mat = np.stack(rows)
+    lg, *_ = np.linalg.lstsq(a_mat, np.asarray(rhs), rcond=None)
+    lg -= lg.mean()  # product of gains = 1
+    return np.exp(lg).astype(np.float32)
 
 
 def _grid_edges(

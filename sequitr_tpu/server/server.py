@@ -4576,6 +4576,15 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       grid of seams into the composite. ``true`` = order 2; an integer
       sets the polynomial order (up to 6). Profile min/max land in the
       metrics.
+    * ``match_gains`` (default false): per-tile gain matching —
+      photobleaching makes later tiles of a scan dimmer by a per-TILE
+      factor flat-field cannot express (the blend then shows intensity
+      steps at seams). Adjacent tiles image the same content in their
+      overlap, so strip-median ratios give per-seam gain differences
+      and an anchored log-space least-squares solves per-tile gains
+      (product normalized to 1; blank seams skipped). Composes with
+      ``flatfield`` (shading first, then gains); gain range lands in
+      the metrics.
     * ``data_parallel`` (default false): shard the seam-pair axis over
       all chips of the mesh (``parallel.make_dp_seam_correlator``) —
       seam estimates are independent, so each chip correlates its share
@@ -4924,25 +4933,38 @@ def _stitch_mosaic_core(
             raise jobs_lib.JobError(
                 f"flatfield order {ff_order} must be in [1, 6]"
             )
+    match_gains = bool(job.params.get("match_gains", False))
     profiles: Dict[int, np.ndarray] = {}
+    gains: Dict[int, np.ndarray] = {}
 
     def corrected(k: int, tiles: np.ndarray) -> np.ndarray:
-        if not ff_order:
-            return tiles
-        if k not in profiles:
-            profiles[k] = mosaic_lib.estimate_flatfield(
-                tiles, order=ff_order
-            )
-        return tiles / profiles[k]
+        """Correct one channel's ROW-MAJOR tile stack: flat-field
+        (per-pixel shading shared by all tiles), then per-tile gain
+        matching (photobleaching across the scan — a per-TILE factor
+        flat-field cannot express). Both estimated once per channel
+        from its first timepoint and reused."""
+        if ff_order:
+            if k not in profiles:
+                profiles[k] = mosaic_lib.estimate_flatfield(
+                    tiles, order=ff_order
+                )
+            tiles = tiles / profiles[k]
+        if match_gains:
+            if k not in gains:
+                gains[k] = mosaic_lib.solve_tile_gains(
+                    tiles, (r, c), overlap
+                )
+            tiles = tiles * gains[k][:, None, None]
+        return tiles
 
     with timer.phase("estimate"):
         try:
-            first = corrected(0, read_chan_t(0, 0))
+            first = corrected(0, read_chan_t(0, 0)[perm])
         except ValueError as e:
             # corrupt input is deterministic — fail fast, never retry
             raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
         result = mosaic_lib.stitch_grid(
-            first[perm], (r, c), overlap=overlap, order="row",
+            first, (r, c), overlap=overlap, order="row",
             subpixel=subpixel, window=window, refine=refine,
             min_response=min_response, blend=False, correlate=correlate,
         )
@@ -4967,7 +4989,7 @@ def _stitch_mosaic_core(
             for k, tiles in _reads_fail_fast(job, iter(work)):
                 with timer.phase("blend"):
                     composite = mosaic_lib.blend_mosaic(
-                        corrected(k, tiles)[perm], result.positions,
+                        corrected(k, tiles[perm]), result.positions,
                         overlap, subpixel=subpixel,
                     )
                 canvas_shape = composite.shape
@@ -5020,6 +5042,13 @@ def _stitch_mosaic_core(
         )
         metrics["flatfield_max"] = round(
             float(max(pr.max() for pr in profiles.values())), 4
+        )
+    if gains:
+        metrics["gain_min"] = round(
+            float(min(g.min() for g in gains.values())), 4
+        )
+        metrics["gain_max"] = round(
+            float(max(g.max() for g in gains.values())), 4
         )
     outputs["metrics"] = json.dumps(metrics)
     return outputs

@@ -275,3 +275,27 @@ class TestFlatField:
             )
         with pytest.raises(ValueError, match="tiles"):
             mosaic.estimate_flatfield(np.ones((32, 32), np.float32))
+
+
+class TestGainMatching:
+    def test_recovers_per_tile_gains(self):
+        """Per-tile multiplicative gains applied to exact-cut tiles are
+        recovered to ~1% from overlap strip-median ratios."""
+        scene = _scene((400, 540), seed=31)
+        tiles, _ = _cut_tiles(
+            scene, (3, 3), (128, 168), overlap=28, jitter=0.0, seed=32
+        )
+        rng = np.random.default_rng(33)
+        true_g = rng.uniform(0.7, 1.3, 9).astype(np.float32)
+        true_g /= np.exp(np.log(true_g).mean())  # product 1, like solver
+        got = mosaic.solve_tile_gains(
+            tiles * true_g[:, None, None], (3, 3), (28, 28)
+        )
+        # correction g multiplies: corrected = damaged * got; exact when
+        # got == 1/true_g
+        np.testing.assert_allclose(got * true_g, 1.0, atol=0.02)
+
+    def test_blank_seams_keep_unit_gain(self):
+        tiles = np.zeros((4, 64, 64), np.float32)  # every overlap blank
+        g = mosaic.solve_tile_gains(tiles, (2, 2), (16, 16))
+        np.testing.assert_allclose(g, 1.0, atol=1e-6)

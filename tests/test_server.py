@@ -4292,3 +4292,61 @@ class TestMosaicPipeline:
             if name == "on":
                 assert m["flatfield_min"] < 0.9 < 1.05 < m["flatfield_max"]
         assert errs["on"] < 0.25 * errs["off"], errs
+
+    def test_match_gains_removes_seam_steps(self, server_env):
+        """match_gains: per-tile photobleaching factors are solved from
+        overlap ratios; the corrected composite matches the scene (to a
+        global gain) far better than the uncorrected one."""
+        cfg_srv, tmp = server_env
+        scene = self._scene((300, 300), 91)
+        h = w = 96
+        ov = 20
+        d = tmp / "bleach_tiles"
+        os.makedirs(d)
+        rng = np.random.default_rng(92)
+        fade = [1.0, 0.85, 0.72, 0.6]  # photobleaching across the scan
+        pos = []
+        for k, (ri, ci) in enumerate(
+            [(0, 0), (0, 1), (1, 0), (1, 1)]
+        ):
+            jy, jx = (0, 0) if k == 0 else rng.integers(-2, 3, 2)
+            y0 = ri * (h - ov) + 6 + int(jy)
+            x0 = ci * (w - ov) + 6 + int(jx)
+            tiff.write_stack(
+                str(d / f"t_{ri}_{ci}.tif"),
+                fade[k] * scene[None, y0 : y0 + h, x0 : x0 + w],
+            )
+            pos.append((y0, x0))
+        pos = np.asarray(pos, float)
+        rel = (pos - pos.min(axis=0, keepdims=True)).astype(int)
+        oy, ox = int(pos[:, 0].min()), int(pos[:, 1].min())
+        srv = ImageServer(cfg_srv)
+        errs = {}
+        for name, extra in (("off", {}), ("on", {"match_gains": True})):
+            out = str(tmp / f"mg_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "stitch_mosaic",
+                 "params": {"grid": [2, 2], "overlap": 20,
+                            "subpixel": False, **extra},
+                 "input": [str(d)], "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            m = json.loads(st["outputs"]["metrics"])
+            img = np.asarray(tiff.read_stack(st["outputs"]["mosaic"]))
+            if img.ndim == 3:
+                img = img[0]
+            covered = np.zeros(img.shape, bool)
+            for y0, x0 in rel:
+                covered[y0 : y0 + h, x0 : x0 + w] = True
+            want = scene[oy : oy + m["canvas_h"], ox : ox + m["canvas_w"]]
+            a, b = img[covered], want[covered]
+            gain = a.mean() / b.mean()
+            errs[name] = float(
+                np.abs(a - gain * b).mean() / max(b.std(), 1e-9)
+            )
+            if name == "on":
+                assert m["gain_min"] < 0.95 < 1.05 < m["gain_max"]
+        assert errs["on"] < 0.15 * errs["off"], errs
