@@ -4,18 +4,24 @@ Runs self-contained on CPU (or TPU if available):
     python examples/stitch_mosaic.py /tmp/sequitr_mosaic_demo
 
 1. synthesizes a 2x3 grid of overlapping fields of view, cut from one
-   band-limited scene with a couple of pixels of stage jitter per tile
-   (the real-world imperfection stitching must solve for);
-2. files a `stitch_mosaic` job: all horizontal seams phase-correlate in
-   ONE batched dispatch (all vertical in a second), tile positions come
-   from a weighted global least-squares solve, and the composite is
-   feather-blended;
+   band-limited scene with a couple of pixels of stage jitter per tile,
+   a shared vignette, AND a photobleaching ramp (the three real-world
+   imperfections stitching must solve for);
+2. files a `stitch_mosaic` job with `flatfield` + `match_gains`: all
+   horizontal seams phase-correlate in ONE batched dispatch (all
+   vertical in a second), tile positions come from a weighted global
+   least-squares solve, the shared shading profile and per-tile gains
+   are divided/multiplied out, and the composite is feather-blended;
 3. checks the recovered tile positions against the known jitter and
-   prints the stitch-consistency QC metric (`rms_residual_px`).
+   prints the stitch-consistency QC metric (`rms_residual_px`) plus the
+   estimated shading/gain ranges.
 
 The natural upstream/downstream chain: stitch_mosaic -> segmentation
 (the composite is just a big frame — tiled serving handles any size) ->
-track_objects, all filed up front via `depends_on`.
+track_objects, all filed up front via `depends_on`. Multi-position LIVE
+imaging (a fixed grid re-imaged every cycle) stitches with
+`timelapse: true` — per-position T-page stacks stream into a T-page
+mosaic with positions estimated once.
 """
 
 import json
@@ -55,7 +61,12 @@ def make_tile_grid(tile_dir: str, r=2, c=3, h=160, w=160, ov=32, seed=0):
     rng = np.random.default_rng(seed)
     scene = bandlimited_scene(size, rng)
     os.makedirs(tile_dir, exist_ok=True)
+    # the optics: a shared vignette every tile sees identically
+    yy = np.linspace(-1, 1, h)[:, None]
+    xx = np.linspace(-1, 1, w)[None, :]
+    vignette = (1.0 - 0.3 * (yy**2 + xx**2)).astype(np.float32)
     pos = []
+    k = 0
     for ri in range(r):
         for ci in range(c):
             jy = jx = 0.0
@@ -69,11 +80,14 @@ def make_tile_grid(tile_dir: str, r=2, c=3, h=160, w=160, ov=32, seed=0):
                     jnp.asarray([iy - y0, ix - x0], jnp.float32),
                 )
             )
+            fade = 1.0 - 0.05 * k  # photobleaching across the scan
             tiff.write_stack(
                 os.path.join(tile_dir, f"tile_{ri}_{ci}.tif"),
-                shifted[None, iy : iy + h, ix : ix + w],
+                (fade * vignette)[None]
+                * shifted[None, iy : iy + h, ix : ix + w],
             )
             pos.append((y0, x0))
+            k += 1
     return np.asarray(pos)
 
 
@@ -97,7 +111,8 @@ def main(base: str):
         cfg.jobs_dir,
         {
             "module": "stitch_mosaic",
-            "params": {"grid": [2, 3], "overlap": 32, "refine": 3},
+            "params": {"grid": [2, 3], "overlap": 32, "refine": 3,
+                       "flatfield": True, "match_gains": True},
             "input": [tile_dir],
             "output": out,
         },
@@ -116,7 +131,13 @@ def main(base: str):
     worst = float(np.abs(got - rel).max())
     print(f"worst tile-position error vs truth: {worst:.4f} px")
     print(f"seam consistency (rms_residual_px): {metrics['rms_residual_px']}")
+    print(
+        f"shading profile range: [{metrics['flatfield_min']}, "
+        f"{metrics['flatfield_max']}]; per-tile gains: "
+        f"[{metrics['gain_min']}, {metrics['gain_max']}]"
+    )
     assert worst < 0.05, "stage jitter should be recovered sub-pixel"
+    assert metrics["gain_max"] / metrics["gain_min"] > 1.2  # the ramp
     print(f"mosaic written: {status['outputs']['mosaic']}")
 
 
