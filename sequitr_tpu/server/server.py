@@ -4568,6 +4568,11 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       below it (featureless overlap: empty glass) fall back to nominal
       grid spacing at near-zero weight instead of shearing the mosaic.
     * ``estimate_only`` (default false): write positions/seams CSVs only.
+    * ``positions``: REUSE a previous solve instead of estimating — a
+      positions.csv path, a previous stitch job's output dir (chains
+      via ``depends_on``: one ``estimate_only`` stitch, then every
+      later acquisition round composites at the same stage coordinates),
+      or an inline row-major ``[[y, x], ...]`` list.
     * ``flatfield`` (default false): retrospective flat-field
       correction — the shading/vignetting profile every tile shares is
       estimated per channel (median across tiles + low-order polynomial
@@ -4958,16 +4963,33 @@ def _stitch_mosaic_core(
         return tiles
 
     with timer.phase("estimate"):
-        try:
-            first = corrected(0, read_chan_t(0, 0)[perm])
-        except ValueError as e:
-            # corrupt input is deterministic — fail fast, never retry
-            raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
-        result = mosaic_lib.stitch_grid(
-            first, (r, c), overlap=overlap, order="row",
-            subpixel=subpixel, window=window, refine=refine,
-            min_response=min_response, blend=False, correlate=correlate,
-        )
+        given = job.params.get("positions")
+        if given is not None:
+            # reuse a previous job's solve (chain: one estimate_only
+            # stitch, then every later acquisition round composites at
+            # the same stage coordinates without re-estimating)
+            result = _load_mosaic_positions(job, given, r, c)
+            if ff_order or match_gains:
+                try:
+                    corrected(0, read_chan_t(0, 0)[perm])  # fit profiles
+                except ValueError as e:
+                    raise jobs_lib.JobError(
+                        f"job {job.id}: cannot read inputs: {e}"
+                    )
+        else:
+            try:
+                first = corrected(0, read_chan_t(0, 0)[perm])
+            except ValueError as e:
+                # corrupt input is deterministic — fail fast, never retry
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read inputs: {e}"
+                )
+            result = mosaic_lib.stitch_grid(
+                first, (r, c), overlap=overlap, order="row",
+                subpixel=subpixel, window=window, refine=refine,
+                min_response=min_response, blend=False,
+                correlate=correlate,
+            )
 
     outputs: Dict[str, str] = {}
     canvas_shape = None
@@ -5052,3 +5074,57 @@ def _stitch_mosaic_core(
         )
     outputs["metrics"] = json.dumps(metrics)
     return outputs
+
+
+def _load_mosaic_positions(job: Job, given, r: int, c: int):
+    """A ``positions`` param → MosaicResult shell: a positions.csv path,
+    the output DIR of a previous stitch job (chains via depends_on), or
+    an inline [[y, x], ...] list (row-major). No seams were measured, so
+    edges/offsets are empty and rms_residual is 0 — seams.csv records
+    the reuse honestly (header only)."""
+    from sequitr_tpu import mosaic as mosaic_lib
+
+    if isinstance(given, str):
+        path = given
+        if os.path.isdir(path):
+            path = os.path.join(path, "positions.csv")
+        try:
+            rows = np.loadtxt(
+                path, delimiter=",", skiprows=1, ndmin=2
+            )
+        except (OSError, ValueError) as e:
+            raise jobs_lib.JobError(
+                f"job {job.id}: cannot read positions {path}: {e}"
+            )
+        if rows.shape[1] < 5:
+            raise jobs_lib.JobError(
+                f"positions file {path} is not a stitch positions.csv "
+                f"(tile,row,col,y,x)"
+            )
+        pos = rows[np.argsort(rows[:, 0])][:, 3:5]
+    elif isinstance(given, (list, tuple)):
+        pos = np.asarray(given, dtype=np.float64)
+        if pos.ndim != 2 or pos.shape[1] != 2:
+            raise jobs_lib.JobError(
+                f"inline positions must be [[y, x], ...], got shape "
+                f"{pos.shape}"
+            )
+    else:
+        raise jobs_lib.JobError(
+            f"positions={given!r} must be a positions.csv path, a "
+            f"previous stitch job's output dir, or an inline list"
+        )
+    if len(pos) != r * c:
+        raise jobs_lib.JobError(
+            f"{len(pos)} positions for a {r}x{c} grid (need {r * c})"
+        )
+    pos = pos - pos.min(axis=0, keepdims=True)
+    return mosaic_lib.MosaicResult(
+        positions=pos,
+        edges=np.zeros((0, 2), np.int64),
+        offsets=np.zeros((0, 2)),
+        responses=np.zeros(0),
+        used=np.zeros(0, bool),
+        rms_residual=0.0,
+        mosaic=None,
+    )

@@ -4350,3 +4350,73 @@ class TestMosaicPipeline:
             if name == "on":
                 assert m["gain_min"] < 0.95 < 1.05 < m["gain_max"]
         assert errs["on"] < 0.15 * errs["off"], errs
+
+    def test_positions_reuse_chain(self, server_env):
+        """positions: <previous stitch output dir> — an estimate_only
+        solve is reused by a later composite (chained via depends_on);
+        output identical to estimating in-job."""
+        cfg_srv, tmp = server_env
+        d, scene, pos = self._write_grid(tmp, seed=95)
+        est_out = str(tmp / "pos_est")
+        reuse_out = str(tmp / "pos_reuse")
+        direct_out = str(tmp / "pos_direct")
+        base = {"module": "stitch_mosaic",
+                "input": [str(d)]}
+        submit_job(
+            cfg_srv.jobs_dir,
+            {**base, "params": {"grid": [2, 2], "overlap": 20,
+                                "subpixel": False,
+                                "estimate_only": True},
+             "output": est_out},
+        )
+        submit_job(
+            cfg_srv.jobs_dir,
+            {**base, "params": {"grid": [2, 2], "overlap": 20,
+                                "subpixel": False,
+                                "positions": est_out},
+             "output": reuse_out, "depends_on": est_out},
+        )
+        submit_job(
+            cfg_srv.jobs_dir,
+            {**base, "params": {"grid": [2, 2], "overlap": 20,
+                                "subpixel": False},
+             "output": direct_out},
+        )
+        srv = ImageServer(cfg_srv)
+        for _ in range(3):
+            assert srv.poll_once()
+        sts = {}
+        for out in (est_out, reuse_out, direct_out):
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", (out, st.get("error"))
+            sts[out] = st
+        a = np.asarray(tiff.read_stack(sts[reuse_out]["outputs"]["mosaic"]))
+        b = np.asarray(tiff.read_stack(sts[direct_out]["outputs"]["mosaic"]))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        # reused seams.csv is honest: header only (no seams measured)
+        seams = open(sts[reuse_out]["outputs"]["seams"]).read().strip()
+        assert seams == "i,j,dy,dx,response,used"
+
+    @pytest.mark.parametrize(
+        "given,frag",
+        [
+            ("/nonexistent/positions.csv", "cannot read positions"),
+            ([[0, 0]], "positions for a 2x2 grid"),
+            (7, "must be a positions.csv path"),
+        ],
+    )
+    def test_positions_reuse_validation(self, server_env, given, frag):
+        cfg_srv, tmp = server_env
+        d, _, _ = self._write_grid(tmp, seed=96)
+        out = str(tmp / f"posbad_{frag[:6].strip()}")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": 20,
+                        "positions": given},
+             "input": [str(d)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert frag in st["error"]
