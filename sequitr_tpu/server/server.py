@@ -4662,7 +4662,14 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     correlate = None
     dp_devices = 0
-    if bool(p.get("data_parallel")) and _jax.device_count() > 1:
+    if (
+        bool(p.get("data_parallel"))
+        and _jax.device_count() > 1
+        # a positions-reuse job never correlates seams: building the
+        # mesh + DP correlator would cost device init for nothing and
+        # report n_devices as if seams had been sharded
+        and p.get("positions") is None
+    ):
         from sequitr_tpu import parallel
 
         _mesh = parallel.make_mesh()
@@ -4934,9 +4941,17 @@ def _stitch_mosaic_core(
                 f"flatfield={ff_param!r} must be a boolean or the "
                 f"polynomial order"
             )
-        if not 1 <= ff_order <= 6:
+        # 1/0 are the common hand-written JSON boolean spellings: treat
+        # them as on/off (order 1 would silently fit a PLANE, which
+        # cannot express the radial vignette this feature removes)
+        if ff_order == 0:
+            pass
+        elif ff_order == 1:
+            ff_order = 2
+        elif not 2 <= ff_order <= 6:
             raise jobs_lib.JobError(
-                f"flatfield order {ff_order} must be in [1, 6]"
+                f"flatfield order {ff_order} must be in [2, 6] "
+                f"(or a boolean)"
             )
     match_gains = bool(job.params.get("match_gains", False))
     profiles: Dict[int, np.ndarray] = {}
@@ -4969,9 +4984,14 @@ def _stitch_mosaic_core(
             # stitch, then every later acquisition round composites at
             # the same stage coordinates without re-estimating)
             result = _load_mosaic_positions(job, given, r, c)
-            if ff_order or match_gains:
+            if (ff_order or match_gains) and estimate_only:
+                # the blend loop (which fits profiles lazily on first
+                # use) never runs in estimate_only mode, so pre-fit here
+                # or the metrics would miss the profile/gain ranges; in
+                # blending runs, pre-fitting would just read channel 0
+                # twice
                 try:
-                    corrected(0, read_chan_t(0, 0)[perm])  # fit profiles
+                    corrected(0, read_chan_t(0, 0)[perm])
                 except ValueError as e:
                     raise jobs_lib.JobError(
                         f"job {job.id}: cannot read inputs: {e}"
@@ -5103,7 +5123,12 @@ def _load_mosaic_positions(job: Job, given, r: int, c: int):
             )
         pos = rows[np.argsort(rows[:, 0])][:, 3:5]
     elif isinstance(given, (list, tuple)):
-        pos = np.asarray(given, dtype=np.float64)
+        try:
+            pos = np.asarray(given, dtype=np.float64)
+        except (TypeError, ValueError) as e:
+            raise jobs_lib.JobError(
+                f"inline positions must be [[y, x], ...]: {e}"
+            )
         if pos.ndim != 2 or pos.shape[1] != 2:
             raise jobs_lib.JobError(
                 f"inline positions must be [[y, x], ...], got shape "
@@ -5118,6 +5143,10 @@ def _load_mosaic_positions(job: Job, given, r: int, c: int):
         raise jobs_lib.JobError(
             f"{len(pos)} positions for a {r}x{c} grid (need {r * c})"
         )
+    if not np.isfinite(pos).all():
+        # a NaN would turn floor().astype(int64) into INT64_MIN deep in
+        # the blend — reject deterministically instead
+        raise jobs_lib.JobError("positions contain non-finite values")
     pos = pos - pos.min(axis=0, keepdims=True)
     return mosaic_lib.MosaicResult(
         positions=pos,

@@ -4403,6 +4403,10 @@ class TestMosaicPipeline:
             ("/nonexistent/positions.csv", "cannot read positions"),
             ([[0, 0]], "positions for a 2x2 grid"),
             (7, "must be a positions.csv path"),
+            # ragged inline list: deterministic, not a retry burn
+            ([[0, 0], [1]], "inline positions"),
+            # NaN would become INT64_MIN origins deep in the blend
+            ([[0, 0], [0, 76], [76, 0], [None, 76]], "non-finite"),
         ],
     )
     def test_positions_reuse_validation(self, server_env, given, frag):
@@ -4420,3 +4424,66 @@ class TestMosaicPipeline:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert frag in st["error"]
+
+    def test_flatfield_numeric_booleans(self, server_env):
+        """flatfield: 1/0 are the hand-written JSON boolean spellings —
+        1 behaves like true (order 2, never a plane fit), 0 like false;
+        out-of-range orders fail deterministically."""
+        cfg_srv, tmp = server_env
+        d, _, _ = self._write_grid(tmp, seed=97)
+        srv = ImageServer(cfg_srv)
+
+        def run(ff):
+            out = str(tmp / f"ffnum_{ff}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "stitch_mosaic",
+                 "params": {"grid": [2, 2], "overlap": 20,
+                            "subpixel": False, "flatfield": ff},
+                 "input": [str(d)], "output": out},
+            )
+            assert srv.poll_once()
+            return json.load(open(os.path.join(out, "status.json")))
+
+        st1 = run(1)
+        assert st1["state"] == "complete", st1.get("error")
+        assert "flatfield_min" in json.loads(st1["outputs"]["metrics"])
+        st0 = run(0)
+        assert st0["state"] == "complete", st0.get("error")
+        assert "flatfield_min" not in json.loads(st0["outputs"]["metrics"])
+        st7 = run(7)
+        assert st7["state"] == "failed"
+        assert "flatfield order 7" in st7["error"]
+
+    def test_positions_reuse_skips_dp_setup(self, server_env):
+        """data_parallel + positions: no seams are correlated, so the
+        mesh is never built and n_devices stays out of the metrics."""
+        import jax as _jax
+
+        if _jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        cfg_srv, tmp = server_env
+        d, _, _ = self._write_grid(tmp, seed=98)
+        est = str(tmp / "dp_pos_est")
+        out = str(tmp / "dp_pos_out")
+        srv = ImageServer(cfg_srv)
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": 20,
+                        "subpixel": False, "estimate_only": True},
+             "input": [str(d)], "output": est},
+        )
+        assert srv.poll_once()
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": 20,
+                        "subpixel": False, "positions": est,
+                        "data_parallel": True},
+             "input": [str(d)], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        assert "n_devices" not in json.loads(st["outputs"]["metrics"])
