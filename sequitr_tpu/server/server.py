@@ -3568,6 +3568,12 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       batched dispatch per device-count chunk with zero inter-chip
       traffic. ``previous`` mode integrates an anchor chain serially and
       rejects the flag. 2D only (volume sequences are few-timepoint).
+    * ``frame_batch`` (default 1): frames per dispatch in ``first``
+      mode — batches the correlation (and fused resample) to amortize
+      per-dispatch overhead on small frames; composes with
+      ``data_parallel`` (each chip gets ``frame_batch`` frames per
+      chunk). Output identical to streaming; ``previous`` mode rejects
+      it (serial anchor chain).
     * ``dims`` (default 2): 3 = VOLUMETRIC registration of a timelapse of
       z-stacks — one multi-page TIFF per timepoint (directory/glob entry,
       natural sort), one (dz, dy, dx) estimate per volume in a single 3D
@@ -3659,9 +3665,25 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             "mode integrates a frame-to-frame anchor chain, which is "
             "inherently serial"
         )
+    try:
+        frame_batch = int(p.get("frame_batch", 1))
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"frame_batch={p.get('frame_batch')!r} must be an integer"
+        )
+    if not 1 <= frame_batch <= 256:
+        raise jobs_lib.JobError(
+            f"frame_batch={frame_batch} must be in [1, 256]"
+        )
+    if frame_batch > 1 and mode != "first":
+        raise jobs_lib.JobError(
+            "frame_batch needs mode='first': 'previous' mode integrates "
+            "a frame-to-frame anchor chain, which is inherently serial"
+        )
     import jax as _jax
 
     use_dp = dp_param and _jax.device_count() > 1
+    use_batch = use_dp or frame_batch > 1
     reject_stats = {"n": 0}  # min_response rejections (2D estimators)
 
     paths = _resolve_inputs(job)
@@ -3716,37 +3738,52 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             held = np.asarray(new_cum, np.float32)
             yield frame, new_cum, step, resp, corr
 
-    def estimate_frames_dp(src, resample):
-        """DP form of ``estimate_frames`` (first mode only): device-count
-        chunks of frames, one batched sharded dispatch per chunk — every
-        chip correlates (and optionally resamples) its shard against the
-        replicated reference with zero inter-chip traffic. Yields the
-        SAME per-frame tuples, so the consumer loops don't care which
+    def estimate_frames_batched(src, resample):
+        """Batched form of ``estimate_frames`` (first mode only): chunks
+        of frames, one batched dispatch per chunk. With ``data_parallel``
+        the dispatch is the mesh-sharded form — every chip correlates
+        (and optionally resamples) its shard of the chunk against the
+        replicated reference with zero inter-chip traffic; ``frame_batch``
+        multiplies the frames per dispatch (single chip OR per chip),
+        amortizing dispatch overhead on small frames. Yields the SAME
+        per-frame tuples, so the consumer loops don't care which
         estimator ran."""
-        from sequitr_tpu import parallel
+        from sequitr_tpu.ops import registration as _reg
         from sequitr_tpu.pipeline import infer as infer_lib
 
-        mesh = parallel.make_mesh()
-        n_dev = mesh.devices.size
-        dp = parallel.make_dp_registerer(
-            mesh, subpixel=subpixel, window=window, refine=refine,
-            resample=resample,
-        )
+        if use_dp:
+            from sequitr_tpu import parallel
+
+            mesh = parallel.make_mesh()
+            chunk_n = int(mesh.devices.size) * frame_batch
+            run = parallel.make_dp_registerer(
+                mesh, subpixel=subpixel, window=window, refine=refine,
+                resample=resample,
+            )
+        else:
+            chunk_n = frame_batch
+
+            def run(ref_img, frames):
+                return _reg.register_batch(
+                    ref_img, frames, subpixel=subpixel, window=window,
+                    refine=refine, resample=resample,
+                )
+
         ref = None
         zero = np.zeros(2, np.float32)
         held = zero
         t, left = 0, len(src)
-        for chunk in infer_lib._iter_read_ahead(src.chunks(n_dev), 2):
+        for chunk in infer_lib._iter_read_ahead(src.chunks(chunk_n), 2):
             ch0 = chunk[..., 0] if chunk.ndim == 4 else chunk
             if ref is None:
                 ref = jnp.asarray(ch0[0])
-            shifts, resps, corrs = dp(ref, jnp.asarray(ch0))
+            shifts, resps, corrs = run(ref, jnp.asarray(ch0))
             shifts = np.asarray(shifts)
             resps = np.asarray(resps)
             # one bulk D2H per chunk, not one small sync per frame in
             # the write loop (the dummy (B,) no-resample case is free)
             corrs = np.asarray(corrs) if resample else None
-            for k in range(min(n_dev, left)):
+            for k in range(min(chunk_n, left)):
                 if t == 0:
                     # canonical reference-frame row: exact zeros, no
                     # response, the ORIGINAL pixels (no FFT round-trip)
@@ -3770,9 +3807,9 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                         corrs[k] if resample else None,
                     )
                 t += 1
-            left -= n_dev
+            left -= chunk_n
 
-    estimator = estimate_frames_dp if use_dp else estimate_frames
+    estimator = estimate_frames_batched if use_batch else estimate_frames
 
     # chromatic alignment: each channel k > 0 carries a STATIC offset vs
     # channel 0 (chromatic aberration / camera registration); estimated
@@ -4004,6 +4041,8 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         ]
     if min_response:
         metrics["n_low_confidence"] = reject_stats["n"]
+    if frame_batch > 1:
+        metrics["frame_batch"] = frame_batch
     if total_s > 0:
         metrics["frames_per_sec"] = round(n_frames / total_s, 3)
     out = {"shifts": shifts_path, "metrics": json.dumps(metrics)}

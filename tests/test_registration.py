@@ -776,6 +776,66 @@ class TestRegisterBatchDP:
         )
         assert np.abs(sa - sb).max() < 1e-3
 
+    def test_pipeline_frame_batch_matches_streaming(self, server_env):
+        """frame_batch > 1 (single chip, first mode) batches the
+        correlation per dispatch; outputs identical to streaming (10
+        frames / batch 4: tail padding exercised). Composes with
+        data_parallel on the virtual mesh."""
+        cfg, tmp = server_env
+        img, frames, _ = self._drifting(n=10, size=48, seed=43)
+        tiff.write_stack(str(tmp / "fb_stack.tif"), frames)
+        import jax
+
+        cases = [("fb", {"frame_batch": 4}), ("single", {})]
+        if jax.device_count() >= 2:
+            cases.append(
+                ("fbdp", {"frame_batch": 2, "data_parallel": True})
+            )
+        outs = {}
+        for name, extra in cases:
+            out = str(tmp / f"fbp_{name}")
+            submit_job(
+                cfg.jobs_dir,
+                {
+                    "module": "register_stack",
+                    "params": dict({"mode": "first"}, **extra),
+                    "input": [str(tmp / "fb_stack.tif")],
+                    "output": out,
+                },
+            )
+            status = run_job(cfg, out)
+            assert status["state"] == "complete", status.get("error")
+            outs[name] = status
+        base = tiff.read_stack(
+            os.path.join(str(tmp / "fbp_single"), "registered.tif")
+        )
+        for name, _ in cases[:1] + cases[2:]:
+            got = tiff.read_stack(
+                os.path.join(str(tmp / f"fbp_{name}"), "registered.tif")
+            )
+            assert np.abs(got - base).max() < 1e-3, name
+        m = json.loads(outs["fb"]["outputs"]["metrics"])
+        assert m["frame_batch"] == 4
+
+    def test_frame_batch_rejects_previous_mode(self, server_env):
+        cfg, tmp = server_env
+        tiff.write_stack(
+            str(tmp / "fbr.tif"), np.zeros((3, 16, 16), np.float32)
+        )
+        out = str(tmp / "fbr_out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"frame_batch": 4, "mode": "previous"},
+                "input": [str(tmp / "fbr.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "failed"
+        assert "serial" in status["error"]
+
     def test_dp_rejects_previous_mode(self, server_env):
         cfg, tmp = server_env
         tiff.write_stack(
