@@ -58,6 +58,11 @@ class FitConfig:
     # "eval_psnr") and keep a "best" checkpoint alongside the periodic
     # ones whenever it improves ("" = off; requires holdout_every)
     keep_best_metric: str = ""
+    # stop training after this many consecutive evals without a
+    # keep_best_metric improvement (0 = off; requires keep_best_metric).
+    # The loop still saves "final" and the "best" checkpoint holds the
+    # peak — the overfitting guard for long runs.
+    early_stop_patience: int = 0
 
 
 class MetricsLogger:
@@ -170,6 +175,11 @@ def _run_loop(
     ``fc.eval_every`` steps (default: every checkpoint) and once at the end;
     its metrics land in the JSONL stream as ``kind: "eval"`` entries.
     """
+    if fc.early_stop_patience and not fc.keep_best_metric:
+        raise ValueError(
+            "early_stop_patience requires keep_best_metric (the monitored "
+            "eval metric)"
+        )
     logger = MetricsLogger(fc.metrics_path) if fc.metrics_path else None
     eval_every = fc.eval_every or fc.checkpoint_every
     start = int(jax.device_get(state.step))
@@ -177,10 +187,14 @@ def _run_loop(
     t0 = time.time()
     seen = 0
 
-    # seed the best-tracker from the persistent metric stream so a resumed
-    # run (crash/requeue) cannot overwrite a better pre-crash checkpoint
-    # with a worse post-resume eval
+    # seed the best-tracker (and the early-stop staleness counter) from
+    # the persistent metric stream so a resumed run (crash/requeue)
+    # cannot overwrite a better pre-crash checkpoint with a worse
+    # post-resume eval, and cannot forget how long the metric has been
+    # stale. Each improving eval writes "eval" then "best", so counting
+    # "eval" rows and resetting at each "best" reconstructs staleness.
     best = {"value": None}
+    stall = {"n": 0, "stop": False}
     if fc.keep_best_metric and fc.metrics_path and os.path.exists(fc.metrics_path):
         import json
 
@@ -194,6 +208,12 @@ def _run_loop(
                     v = float(row[fc.keep_best_metric])
                     if best["value"] is None or v > best["value"]:
                         best["value"] = v
+                    stall["n"] = 0
+                elif (
+                    row.get("kind") == "eval"
+                    and fc.keep_best_metric in row
+                ):
+                    stall["n"] += 1
 
     def run_eval(g):
         if eval_fn is None:
@@ -203,17 +223,39 @@ def _run_loop(
         if logger:
             logger.write("eval", g, ev)
         m = fc.keep_best_metric
-        if m and ckpt_dir:
+        if m:
             if m not in ev:
                 raise ValueError(
                     f"keep_best_metric={m!r} not among eval metrics {sorted(ev)}"
                 )
             if best["value"] is None or ev[m] > best["value"]:
                 best["value"] = ev[m]
-                train_lib.save_checkpoint(os.path.join(ckpt_dir, "best"), state)
+                stall["n"] = 0
+                if ckpt_dir:
+                    train_lib.save_checkpoint(
+                        os.path.join(ckpt_dir, "best"), state
+                    )
                 log.info("new best %s=%.4f @ step %d", m, ev[m], g)
                 if logger:
                     logger.write("best", g, {m: ev[m]})
+            else:
+                stall["n"] += 1
+                if (
+                    fc.early_stop_patience
+                    and stall["n"] >= fc.early_stop_patience
+                ):
+                    stall["stop"] = True
+                    log.info(
+                        "early stop @ step %d: no %s improvement in %d "
+                        "evals (best %.4f)",
+                        g, m, stall["n"], best["value"],
+                    )
+                    if logger:
+                        logger.write(
+                            "early_stop", g,
+                            {m: ev[m], "best": best["value"],
+                             "stale_evals": stall["n"]},
+                        )
 
     try:
         for i, batch in enumerate(batches):
@@ -249,10 +291,15 @@ def _run_loop(
                     logger.write("train", g, dict(vals, steps_per_sec=rate))
             if g % eval_every == 0 and g < fc.steps:
                 run_eval(g)
+                if stall["stop"]:
+                    # early stop: keep the work (final below; "best"
+                    # already holds the peak) and end the loop cleanly
+                    break
             if ckpt_dir and g % fc.checkpoint_every == 0:
                 train_lib.save_checkpoint(os.path.join(ckpt_dir, f"step_{g:08d}"), state)
                 _prune_checkpoints(ckpt_dir, fc.keep_checkpoints)
-        run_eval(int(jax.device_get(state.step)))
+        if not stall["stop"]:
+            run_eval(int(jax.device_get(state.step)))
         if ckpt_dir:
             train_lib.save_checkpoint(os.path.join(ckpt_dir, "final"), state)
     finally:

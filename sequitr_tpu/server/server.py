@@ -1617,12 +1617,15 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         keep_checkpoints=int(p.get("keep_checkpoints", 3)),
         keep_best_metric=(
             str(p.get("keep_best_metric", "eval_miou"))
-            if p.get("keep_best") else ""
+            if p.get("keep_best") or p.get("early_stop_patience")
+            else ""
         ),
+        early_stop_patience=int(p.get("early_stop_patience", 0)),
     )
     if fc.keep_best_metric and not fc.holdout_every:
         raise jobs_lib.JobError(
-            "keep_best requires holdout_every > 0 (no eval metric to track)"
+            "keep_best/early_stop_patience requires holdout_every > 0 "
+            "(no eval metric to track)"
         )
     ckpt_dir = os.path.join(job.output, "ckpts")
     init_state = None
@@ -1997,12 +2000,15 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         keep_checkpoints=int(p.get("keep_checkpoints", 3)),
         keep_best_metric=(
             str(p.get("keep_best_metric", "eval_psnr"))
-            if p.get("keep_best") else ""
+            if p.get("keep_best") or p.get("early_stop_patience")
+            else ""
         ),
+        early_stop_patience=int(p.get("early_stop_patience", 0)),
     )
     if fc.keep_best_metric and not fc.holdout_every:
         raise jobs_lib.JobError(
-            "keep_best requires holdout_every > 0 (no eval metric to track)"
+            "keep_best/early_stop_patience requires holdout_every > 0 "
+            "(no eval metric to track)"
         )
     ckpt_dir = os.path.join(job.output, "ckpts")
     init_state = None

@@ -459,3 +459,85 @@ class TestKeepBest:
         assert [r for r in rows if r["kind"] == "best"] == [
             {"kind": "best", "step": 4, "eval_miou": 0.9}
         ]
+
+
+class TestEarlyStopping:
+    def _cfg(self):
+        return unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+
+    def test_stops_when_metric_stalls(self, tmp_path):
+        """Zero LR: the eval metric never improves past the first eval,
+        so training stops after `patience` stale evals instead of
+        burning the full step budget; final + best checkpoints exist."""
+        import json as _json
+
+        paths = _make_shards(tmp_path)
+        tc = train_lib.TrainConfig(learning_rate=0.0, augment=False)
+        mpath = str(tmp_path / "metrics.jsonl")
+        fc = fit_lib.FitConfig(
+            steps=200, batch_size=4, log_every=100, checkpoint_every=100,
+            holdout_every=4, eval_every=5, metrics_path=mpath,
+            keep_best_metric="eval_miou", early_stop_patience=2,
+        )
+        ck = str(tmp_path / "ck")
+        state = fit_lib.fit_unet(cfg := self._cfg(), tc, fc, paths, ckpt_dir=ck)
+        stopped_at = int(jax.device_get(state.step))
+        # eval@5 = first best, eval@10 stale 1, eval@15 stale 2 -> stop
+        assert stopped_at == 15, stopped_at
+        rows = [_json.loads(l) for l in open(mpath)]
+        stops = [r for r in rows if r["kind"] == "early_stop"]
+        assert len(stops) == 1 and stops[0]["step"] == 15
+        assert stops[0]["stale_evals"] == 2
+        assert os.path.isdir(os.path.join(ck, "final"))
+        assert os.path.isdir(os.path.join(ck, "best"))
+
+    def test_patience_requires_metric(self, tmp_path):
+        import pytest
+
+        paths = _make_shards(tmp_path)
+        fc = fit_lib.FitConfig(
+            steps=10, batch_size=4, holdout_every=4, eval_every=5,
+            early_stop_patience=2,
+        )
+        with pytest.raises(ValueError, match="keep_best_metric"):
+            fit_lib.fit_unet(
+                self._cfg(), train_lib.TrainConfig(augment=False), fc,
+                paths, ckpt_dir=str(tmp_path / "ck"),
+            )
+
+    def test_staleness_survives_resume(self, tmp_path):
+        """A resumed run re-seeds the staleness counter from
+        metrics.jsonl: two pre-crash stale evals + patience 3 means the
+        resumed run stops after ONE more stale eval, not three."""
+        import json as _json
+
+        mpath = str(tmp_path / "metrics.jsonl")
+        with open(mpath, "w") as f:
+            # pre-crash: best at step 5, stale evals at 10 and 15
+            f.write(_json.dumps(
+                {"kind": "eval", "step": 5, "eval_miou": 0.9}) + "\n")
+            f.write(_json.dumps(
+                {"kind": "best", "step": 5, "eval_miou": 0.9}) + "\n")
+            f.write(_json.dumps(
+                {"kind": "eval", "step": 10, "eval_miou": 0.5}) + "\n")
+            f.write(_json.dumps(
+                {"kind": "eval", "step": 15, "eval_miou": 0.5}) + "\n")
+        paths = _make_shards(tmp_path, n=8)
+        tc = train_lib.TrainConfig(learning_rate=0.0, augment=False)
+        fc = fit_lib.FitConfig(
+            steps=200, batch_size=4, log_every=100, checkpoint_every=100,
+            holdout_every=4, eval_every=5, metrics_path=mpath,
+            keep_best_metric="eval_miou", early_stop_patience=3,
+        )
+        state = fit_lib.fit_unet(
+            self._cfg(), tc, fc, paths, ckpt_dir=str(tmp_path / "ck")
+        )
+        # zero LR can't beat 0.9: the first in-run eval (step 5) is the
+        # third consecutive stale one -> immediate stop
+        assert int(jax.device_get(state.step)) == 5
+        rows = [_json.loads(l) for l in open(mpath)]
+        assert [r["kind"] for r in rows][-1] == "early_stop"
+        assert rows[-1]["stale_evals"] == 3

@@ -4487,3 +4487,75 @@ class TestMosaicPipeline:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "complete", st.get("error")
         assert "n_devices" not in json.loads(st["outputs"]["metrics"])
+
+
+class TestEarlyStopJob:
+    def _records(self, cfg_srv, tmp, srv):
+        rng = np.random.default_rng(5)
+        images = rng.normal(0.1, 0.05, (8, 16, 16)).astype(np.float32)
+        labels = np.zeros((8, 16, 16), np.int32)
+        for i in range(8):
+            images[i, 4:10, 4:10] += 1.0
+            labels[i, 4:10, 4:10] = 1
+        tiff.write_stack(str(tmp / "es_img.tif"), images)
+        tiff.write_stack(
+            str(tmp / "es_lab.tif"), labels.astype(np.uint16)
+        )
+        rec_dir = str(tmp / "es_recs")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "build_records",
+             "params": {"num_classes": 2, "shard_size": 4},
+             "input": [str(tmp / "es_img.tif"), str(tmp / "es_lab.tif")],
+             "output": rec_dir},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(rec_dir, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        return st["outputs"]["shards"]
+
+    def test_early_stop_job(self, server_env):
+        """train_unet2d early_stop_patience: a zero-LR run stops after
+        patience stale evals instead of burning the step budget."""
+        cfg_srv, tmp = server_env
+        srv = ImageServer(cfg_srv)
+        shards = self._records(cfg_srv, tmp, srv)
+        out = str(tmp / "es_train")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_unet2d",
+             "params": {"model": "es2d", "num_classes": 2, "depth": 2,
+                        "base_features": 2, "norm": "none",
+                        "compute_dtype": "float32", "steps": 100,
+                        "batch_size": 2, "augment": False,
+                        "learning_rate": 0.0, "holdout_every": 4,
+                        "eval_every": 5, "early_stop_patience": 2},
+             "input": [shards], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        rows = [json.loads(l) for l in open(st["outputs"]["metrics_file"])]
+        stops = [r for r in rows if r["kind"] == "early_stop"]
+        assert len(stops) == 1 and stops[0]["step"] == 15
+        # the registered model exists despite the truncated run
+        from sequitr_tpu.server import load_model
+
+        load_model(cfg_srv.models_dir, "es2d")
+
+    def test_early_stop_requires_holdout(self, server_env):
+        cfg_srv, tmp = server_env
+        srv = ImageServer(cfg_srv)
+        shards = self._records(cfg_srv, tmp, srv)
+        out = str(tmp / "es_bad")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_unet2d",
+             "params": {"model": "esb", "num_classes": 2, "steps": 10,
+                        "early_stop_patience": 2},
+             "input": [shards], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "holdout_every" in st["error"]
