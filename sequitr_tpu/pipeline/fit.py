@@ -63,6 +63,13 @@ class FitConfig:
     # The loop still saves "final" and the "best" checkpoint holds the
     # peak — the overfitting guard for long runs.
     early_stop_patience: int = 0
+    # exponential moving average of the weights (0 = off; typical 0.999):
+    # ema <- decay*ema + (1-decay)*params after every step, initialized
+    # at the starting weights (no zero-debias needed). Every checkpoint
+    # gets an "ema_<name>" twin, restored on resume; train jobs with
+    # ema_decay REGISTER the EMA weights (the classic serving-quality
+    # smoothing) while raw weights stay in the ordinary checkpoints.
+    ema_decay: float = 0.0
 
 
 class MetricsLogger:
@@ -133,13 +140,34 @@ def _prune_checkpoints(ckpt_dir: str, keep: int) -> None:
     a typo'd negative job param) disables pruning rather than eating the
     just-saved checkpoint. Bounds disk growth over long training runs
     while keeping the newest periodic checkpoints for crash/requeue
-    resume."""
+    resume. EMA twins (``ema_step_*``) are pruned with their step."""
     if keep < 1:
         return
     import shutil
 
     for name in _step_dirs(ckpt_dir)[:-keep]:
         shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(ckpt_dir, f"ema_{name}"), ignore_errors=True
+        )
+
+
+def _ema_twin(ckpt_path: str) -> str:
+    """Path of a checkpoint's EMA twin (sibling ``ema_<name>`` dir — a
+    nested dir inside the orbax tree would corrupt its layout, and a
+    ``step_*``-prefixed sibling would be mistaken for a resume point)."""
+    return os.path.join(
+        os.path.dirname(ckpt_path), f"ema_{os.path.basename(ckpt_path)}"
+    )
+
+
+@jax.jit
+def _ema_update(ema, params, decay):
+    """One fused device-resident EMA step over the whole params pytree."""
+    return jax.tree.map(
+        lambda e, p: e * decay + (1.0 - decay) * p.astype(e.dtype),
+        ema, params,
+    )
 
 
 class TrainingCancelled(RuntimeError):
@@ -180,10 +208,35 @@ def _run_loop(
             "early_stop_patience requires keep_best_metric (the monitored "
             "eval metric)"
         )
+    if not 0.0 <= fc.ema_decay < 1.0:
+        raise ValueError(
+            f"ema_decay={fc.ema_decay} must be in [0, 1)"
+        )
     logger = MetricsLogger(fc.metrics_path) if fc.metrics_path else None
     eval_every = fc.eval_every or fc.checkpoint_every
     start = int(jax.device_get(state.step))
     todo = max(0, fc.steps - start)
+    ema = None
+    if fc.ema_decay:
+        # resume: an interrupted EMA run restores the twin of the same
+        # checkpoint the state came from; a fresh run (or a checkpoint
+        # predating ema_decay) initializes at the current weights.
+        # COPIED, not aliased: the train step donates its input state,
+        # which would delete buffers the EMA shares with it.
+        import jax.numpy as jnp
+
+        ema = jax.tree.map(jnp.copy, state.params)
+        if start > 0 and ckpt_dir:
+            resumed = latest_checkpoint(ckpt_dir)
+            if resumed and os.path.isdir(_ema_twin(resumed)):
+                ema = train_lib.restore_checkpoint(
+                    _ema_twin(resumed), state.params
+                )
+
+    def save_ckpt(path):
+        train_lib.save_checkpoint(path, state)
+        if ema is not None:
+            train_lib.save_checkpoint(_ema_twin(path), ema)
     t0 = time.time()
     seen = 0
 
@@ -232,9 +285,7 @@ def _run_loop(
                 best["value"] = ev[m]
                 stall["n"] = 0
                 if ckpt_dir:
-                    train_lib.save_checkpoint(
-                        os.path.join(ckpt_dir, "best"), state
-                    )
+                    save_ckpt(os.path.join(ckpt_dir, "best"))
                 log.info("new best %s=%.4f @ step %d", m, ev[m], g)
                 if logger:
                     logger.write("best", g, {m: ev[m]})
@@ -266,14 +317,14 @@ def _run_loop(
                 # surface the cancellation (a re-submitted job resumes here)
                 g = start + i
                 if ckpt_dir:
-                    train_lib.save_checkpoint(
-                        os.path.join(ckpt_dir, f"step_{g:08d}"), state
-                    )
+                    save_ckpt(os.path.join(ckpt_dir, f"step_{g:08d}"))
                 raise TrainingCancelled(
                     f"training cancelled at step {g}/{fc.steps}"
                 )
             g = start + i + 1  # global step after this update
             state, metrics = step_fn(state, batch, jax.random.fold_in(key, g - 1))
+            if ema is not None:
+                ema = _ema_update(ema, state.params, fc.ema_decay)
             seen += 1
             if progress is not None:
                 progress(g, fc.steps)
@@ -296,12 +347,12 @@ def _run_loop(
                     # already holds the peak) and end the loop cleanly
                     break
             if ckpt_dir and g % fc.checkpoint_every == 0:
-                train_lib.save_checkpoint(os.path.join(ckpt_dir, f"step_{g:08d}"), state)
+                save_ckpt(os.path.join(ckpt_dir, f"step_{g:08d}"))
                 _prune_checkpoints(ckpt_dir, fc.keep_checkpoints)
         if not stall["stop"]:
             run_eval(int(jax.device_get(state.step)))
         if ckpt_dir:
-            train_lib.save_checkpoint(os.path.join(ckpt_dir, "final"), state)
+            save_ckpt(os.path.join(ckpt_dir, "final"))
     finally:
         if logger:
             logger.close()

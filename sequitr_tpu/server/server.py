@@ -1621,6 +1621,7 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             else ""
         ),
         early_stop_patience=int(p.get("early_stop_patience", 0)),
+        ema_decay=float(p.get("ema_decay", 0.0)),
     )
     if fc.keep_best_metric and not fc.holdout_every:
         raise jobs_lib.JobError(
@@ -1674,9 +1675,10 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     if fc.keep_best_metric and os.path.isdir(best_path):
         # register the checkpoint with the best holdout metric, not the last
         state = train_lib.restore_checkpoint(best_path, state)
+    reg_params = _ema_or_raw_params(ckpt_dir, fc, state)
     model_dir = save_model(
         config.models_dir, _require_param(job, "model"), "unet", cfg,
-        state.params, state.model_state
+        reg_params, state.model_state
     )
     return {"model": model_dir, "metrics_file": fc.metrics_path}
 
@@ -2004,6 +2006,7 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             else ""
         ),
         early_stop_patience=int(p.get("early_stop_patience", 0)),
+        ema_decay=float(p.get("ema_decay", 0.0)),
     )
     if fc.keep_best_metric and not fc.holdout_every:
         raise jobs_lib.JobError(
@@ -2034,11 +2037,35 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     best_path = os.path.join(ckpt_dir, "best")
     if fc.keep_best_metric and os.path.isdir(best_path):
         state = train_lib.restore_checkpoint(best_path, state)
+    reg_params = _ema_or_raw_params(ckpt_dir, fc, state)
     model_dir = save_model(
         config.models_dir, _require_param(job, "model"), "gan", cfg,
-        state.params, state.model_state
+        reg_params, state.model_state
     )
     return {"model": model_dir, "metrics_file": fc.metrics_path}
+
+
+def _ema_or_raw_params(ckpt_dir: str, fc, state):
+    """Weights to REGISTER for a finished train job: with ``ema_decay``,
+    the EMA twin of the checkpoint being registered (ema_best when
+    keep_best selected it, else ema_final) — the classic serving-quality
+    smoothing; raw weights otherwise (and raw stays in the ordinary
+    checkpoints either way, so resume semantics never change)."""
+    from sequitr_tpu.pipeline import train as train_lib
+
+    if not fc.ema_decay:
+        return state.params
+    name = (
+        "ema_best"
+        if fc.keep_best_metric
+        and os.path.isdir(os.path.join(ckpt_dir, "ema_best"))
+        else "ema_final"
+    )
+    path = os.path.join(ckpt_dir, name)
+    if not os.path.isdir(path):
+        log.warning("ema_decay set but %s missing; registering raw", path)
+        return state.params
+    return train_lib.restore_checkpoint(path, state.params)
 
 
 def _train_mesh(p: dict, batch_size: int):

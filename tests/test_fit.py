@@ -541,3 +541,109 @@ class TestEarlyStopping:
         rows = [_json.loads(l) for l in open(mpath)]
         assert [r["kind"] for r in rows][-1] == "early_stop"
         assert rows[-1]["stale_evals"] == 3
+
+
+class TestEMA:
+    def _cfg(self):
+        return unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+
+    def test_twins_written_and_zero_lr_identity(self, tmp_path):
+        """LR 0: weights never move, so EMA == weights exactly; every
+        checkpoint has its ema_ twin and retention prunes twins with
+        their step."""
+        paths = _make_shards(tmp_path)
+        tc = train_lib.TrainConfig(learning_rate=0.0, augment=False)
+        fc = fit_lib.FitConfig(
+            steps=12, batch_size=4, log_every=100, checkpoint_every=4,
+            keep_checkpoints=1, ema_decay=0.9,
+        )
+        ck = str(tmp_path / "ck")
+        state = fit_lib.fit_unet(self._cfg(), tc, fc, paths, ckpt_dir=ck)
+        assert os.path.isdir(os.path.join(ck, "ema_final"))
+        names = sorted(os.listdir(ck))
+        # retention kept 1 periodic step and pruned its older twins too
+        steps = [n for n in names if n.startswith("step_")]
+        ema_steps = [n for n in names if n.startswith("ema_step_")]
+        assert len(steps) == 1 and len(ema_steps) == 1
+        assert ema_steps[0] == f"ema_{steps[0]}"
+        ema = train_lib.restore_checkpoint(
+            os.path.join(ck, "ema_final"), state.params
+        )
+        for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    def test_ema_differs_from_raw_after_training(self, tmp_path):
+        paths = _make_shards(tmp_path)
+        tc = train_lib.TrainConfig(learning_rate=3e-2, augment=False)
+        fc = fit_lib.FitConfig(
+            steps=10, batch_size=4, log_every=100, checkpoint_every=10,
+            ema_decay=0.95,
+        )
+        ck = str(tmp_path / "ck")
+        state = fit_lib.fit_unet(self._cfg(), tc, fc, paths, ckpt_dir=ck)
+        ema = train_lib.restore_checkpoint(
+            os.path.join(ck, "ema_final"), state.params
+        )
+        diffs = [
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(
+                jax.tree.leaves(ema), jax.tree.leaves(state.params)
+            )
+        ]
+        assert max(diffs) > 1e-4  # the lagging average is not the raw
+
+    def test_resume_restores_twin(self, tmp_path):
+        """A resumed run continues the EMA from the saved twin, not from
+        the restored raw weights: overwrite the twin with a constant and
+        check it dominates after a short zero-LR continuation."""
+        paths = _make_shards(tmp_path)
+        tc = train_lib.TrainConfig(learning_rate=0.0, augment=False)
+        ck = str(tmp_path / "ck")
+        fc1 = fit_lib.FitConfig(
+            steps=5, batch_size=4, log_every=100, checkpoint_every=5,
+            ema_decay=0.999,
+        )
+        state = fit_lib.fit_unet(self._cfg(), tc, fc1, paths, ckpt_dir=ck)
+        # simulate a crash after step 5: drop final/ema_final, keep step_*
+        import shutil
+
+        shutil.rmtree(os.path.join(ck, "final"))
+        shutil.rmtree(os.path.join(ck, "ema_final"))
+        twin = os.path.join(ck, "ema_step_00000005")
+        assert os.path.isdir(twin)
+        sevens = jax.tree.map(lambda p: np.full_like(np.asarray(p), 7.0),
+                              state.params)
+        shutil.rmtree(twin)
+        train_lib.save_checkpoint(twin, sevens)
+        import dataclasses
+
+        fc2 = dataclasses.replace(fc1, steps=10)
+        state2 = fit_lib.fit_unet(
+            self._cfg(), tc, fc2, paths, ckpt_dir=ck,
+            init_state=train_lib.restore_checkpoint(
+                os.path.join(ck, "step_00000005"),
+                train_lib.create_unet_state(
+                    jax.random.PRNGKey(0), self._cfg(), tc
+                ),
+            ),
+        )
+        ema = train_lib.restore_checkpoint(
+            os.path.join(ck, "ema_final"), state2.params
+        )
+        # 5 zero-LR steps at decay .999: ema ~= 0.995*7 + 0.005*params
+        for leaf in jax.tree.leaves(ema):
+            assert np.abs(np.asarray(leaf) - 7.0).max() < 0.1
+
+    def test_bad_decay_rejected(self, tmp_path):
+        import pytest
+
+        paths = _make_shards(tmp_path)
+        fc = fit_lib.FitConfig(steps=5, batch_size=4, ema_decay=1.0)
+        with pytest.raises(ValueError, match="ema_decay"):
+            fit_lib.fit_unet(
+                self._cfg(), train_lib.TrainConfig(augment=False), fc,
+                paths, ckpt_dir=str(tmp_path / "ck"),
+            )

@@ -4559,3 +4559,69 @@ class TestEarlyStopJob:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert "holdout_every" in st["error"]
+
+
+class TestEMAJob:
+    def test_registered_model_uses_ema_weights(self, server_env):
+        """train_unet2d with ema_decay registers the EMA twin's weights,
+        not the raw final ones; raw stays in ckpts/final for resume."""
+        cfg_srv, tmp = server_env
+        srv = ImageServer(cfg_srv)
+        rng = np.random.default_rng(6)
+        images = rng.normal(0.1, 0.05, (8, 16, 16)).astype(np.float32)
+        labels = np.zeros((8, 16, 16), np.int32)
+        for i in range(8):
+            images[i, 4:10, 4:10] += 1.0
+            labels[i, 4:10, 4:10] = 1
+        tiff.write_stack(str(tmp / "ema_img.tif"), images)
+        tiff.write_stack(str(tmp / "ema_lab.tif"), labels.astype(np.uint16))
+        rec_dir = str(tmp / "ema_recs")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "build_records",
+             "params": {"num_classes": 2, "shard_size": 4},
+             "input": [str(tmp / "ema_img.tif"), str(tmp / "ema_lab.tif")],
+             "output": rec_dir},
+        )
+        assert srv.poll_once()
+        shards = json.load(
+            open(os.path.join(rec_dir, "status.json"))
+        )["outputs"]["shards"]
+        out = str(tmp / "ema_train")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_unet2d",
+             "params": {"model": "ema2d", "num_classes": 2, "depth": 2,
+                        "base_features": 2, "norm": "none",
+                        "compute_dtype": "float32", "steps": 10,
+                        "batch_size": 2, "augment": False,
+                        "learning_rate": 3e-2, "ema_decay": 0.9},
+             "input": [shards], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        from sequitr_tpu.pipeline import train as train_lib
+        from sequitr_tpu.server import load_model
+
+        _, net_cfg, reg_params, _mstate = load_model(
+            cfg_srv.models_dir, "ema2d"
+        )
+        ck = os.path.join(out, "ckpts")
+        raw = train_lib.restore_checkpoint(
+            os.path.join(ck, "final"), None
+        )["params"]
+        ema = train_lib.restore_checkpoint(
+            os.path.join(ck, "ema_final"), None
+        )
+        reg_leaves = jax.tree.leaves(reg_params)
+        ema_leaves = jax.tree.leaves(ema)
+        raw_leaves = jax.tree.leaves(raw)
+        assert any(
+            np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+            for a, b in zip(reg_leaves, raw_leaves)
+        )  # registered != raw final
+        for a, b in zip(reg_leaves, ema_leaves):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )  # registered == EMA twin
