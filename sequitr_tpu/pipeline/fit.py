@@ -191,6 +191,7 @@ def _run_loop(
     eval_fn: Optional[Callable] = None,
     should_stop: Optional[Callable[[], bool]] = None,
     progress: Optional[Callable[[int, int], None]] = None,
+    ema_select: Optional[Callable] = None,
 ):
     """Drive ``step_fn`` for up to ``fc.steps`` TOTAL steps.
 
@@ -225,12 +226,16 @@ def _run_loop(
         # which would delete buffers the EMA shares with it.
         import jax.numpy as jnp
 
-        ema = jax.tree.map(jnp.copy, state.params)
+        # ema_select narrows the averaged subtree to what serving uses
+        # (e.g. the GAN generator — averaging the discriminator would
+        # double the EMA's HBM footprint for zero serving effect)
+        sel = ema_select or (lambda prm: prm)
+        ema = jax.tree.map(jnp.copy, sel(state.params))
         if start > 0 and ckpt_dir:
             resumed = latest_checkpoint(ckpt_dir)
             if resumed and os.path.isdir(_ema_twin(resumed)):
                 ema = train_lib.restore_checkpoint(
-                    _ema_twin(resumed), state.params
+                    _ema_twin(resumed), sel(state.params)
                 )
 
     def save_ckpt(path):
@@ -261,14 +266,19 @@ def _run_loop(
                     v = float(row[fc.keep_best_metric])
                     if best["value"] is None or v > best["value"]:
                         best["value"] = v
-                    stall["n"] = 0
+                    if row.get("step", 0) <= start:
+                        stall["n"] = 0
                 elif (
                     row.get("kind") == "eval"
                     and fc.keep_best_metric in row
+                    # evals past the resume checkpoint will be RE-RUN by
+                    # this continuation; counting their logged rows too
+                    # would double-count them against the patience
+                    and row.get("step", 0) <= start
                 ):
                     stall["n"] += 1
 
-    def run_eval(g):
+    def run_eval(g, terminal=False):
         if eval_fn is None:
             return
         ev = {k: float(v) for k, v in eval_fn(state, g).items()}
@@ -293,6 +303,7 @@ def _run_loop(
                 stall["n"] += 1
                 if (
                     fc.early_stop_patience
+                    and not terminal  # a completed budget is not a stop
                     and stall["n"] >= fc.early_stop_patience
                 ):
                     stall["stop"] = True
@@ -324,7 +335,7 @@ def _run_loop(
             g = start + i + 1  # global step after this update
             state, metrics = step_fn(state, batch, jax.random.fold_in(key, g - 1))
             if ema is not None:
-                ema = _ema_update(ema, state.params, fc.ema_decay)
+                ema = _ema_update(ema, sel(state.params), fc.ema_decay)
             seen += 1
             if progress is not None:
                 progress(g, fc.steps)
@@ -350,7 +361,7 @@ def _run_loop(
                 save_ckpt(os.path.join(ckpt_dir, f"step_{g:08d}"))
                 _prune_checkpoints(ckpt_dir, fc.keep_checkpoints)
         if not stall["stop"]:
-            run_eval(int(jax.device_get(state.step)))
+            run_eval(int(jax.device_get(state.step)), terminal=True)
         if ckpt_dir:
             save_ckpt(os.path.join(ckpt_dir, "final"))
     finally:
@@ -592,6 +603,9 @@ def fit_gan(
     return _run_loop(
         state, step, batches, fc, ckpt_dir, key, ("d_loss", "g_loss"),
         eval_fn=eval_fn, should_stop=should_stop, progress=progress,
+        # serving folds only the generator: averaging the discriminator
+        # would double the EMA's footprint for zero effect
+        ema_select=lambda prm: prm["gen"],
     )
 
 

@@ -1617,11 +1617,11 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         keep_checkpoints=int(p.get("keep_checkpoints", 3)),
         keep_best_metric=(
             str(p.get("keep_best_metric", "eval_miou"))
-            if p.get("keep_best") or p.get("early_stop_patience")
+            if p.get("keep_best") or _parse_patience(p)
             else ""
         ),
-        early_stop_patience=int(p.get("early_stop_patience", 0)),
-        ema_decay=float(p.get("ema_decay", 0.0)),
+        early_stop_patience=_parse_patience(p),
+        ema_decay=_parse_ema_decay(p),
     )
     if fc.keep_best_metric and not fc.holdout_every:
         raise jobs_lib.JobError(
@@ -1672,10 +1672,11 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         raise jobs_lib.JobCancelled(str(e))
     rep.finish()
     best_path = os.path.join(ckpt_dir, "best")
-    if fc.keep_best_metric and os.path.isdir(best_path):
+    used_best = fc.keep_best_metric and os.path.isdir(best_path)
+    if used_best:
         # register the checkpoint with the best holdout metric, not the last
         state = train_lib.restore_checkpoint(best_path, state)
-    reg_params = _ema_or_raw_params(ckpt_dir, fc, state)
+    reg_params = _ema_or_raw_params(ckpt_dir, fc, state, used_best)
     model_dir = save_model(
         config.models_dir, _require_param(job, "model"), "unet", cfg,
         reg_params, state.model_state
@@ -2002,11 +2003,11 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         keep_checkpoints=int(p.get("keep_checkpoints", 3)),
         keep_best_metric=(
             str(p.get("keep_best_metric", "eval_psnr"))
-            if p.get("keep_best") or p.get("early_stop_patience")
+            if p.get("keep_best") or _parse_patience(p)
             else ""
         ),
-        early_stop_patience=int(p.get("early_stop_patience", 0)),
-        ema_decay=float(p.get("ema_decay", 0.0)),
+        early_stop_patience=_parse_patience(p),
+        ema_decay=_parse_ema_decay(p),
     )
     if fc.keep_best_metric and not fc.holdout_every:
         raise jobs_lib.JobError(
@@ -2035,9 +2036,14 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         raise jobs_lib.JobCancelled(str(e))
     rep.finish()
     best_path = os.path.join(ckpt_dir, "best")
-    if fc.keep_best_metric and os.path.isdir(best_path):
+    used_best = fc.keep_best_metric and os.path.isdir(best_path)
+    if used_best:
         state = train_lib.restore_checkpoint(best_path, state)
-    reg_params = _ema_or_raw_params(ckpt_dir, fc, state)
+    # the EMA twin covers the GENERATOR subtree only (fit_gan's
+    # ema_select); the discriminator keeps its raw weights
+    reg_params = _ema_or_raw_params(
+        ckpt_dir, fc, state, used_best, subtree="gen"
+    )
     model_dir = save_model(
         config.models_dir, _require_param(job, "model"), "gan", cfg,
         reg_params, state.model_state
@@ -2045,7 +2051,37 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     return {"model": model_dir, "metrics_file": fc.metrics_path}
 
 
-def _ema_or_raw_params(ckpt_dir: str, fc, state):
+def _parse_patience(p: dict) -> int:
+    """Validated early_stop_patience: parameter errors are deterministic
+    — fail fast as JobError, never as a retried ValueError."""
+    raw = p.get("early_stop_patience", 0)
+    try:
+        v = int(raw or 0)
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"early_stop_patience={raw!r} must be an integer >= 0"
+        )
+    if v < 0:
+        raise jobs_lib.JobError(
+            f"early_stop_patience={v} must be >= 0 (0 = off)"
+        )
+    return v
+
+
+def _parse_ema_decay(p: dict) -> float:
+    raw = p.get("ema_decay", 0.0)
+    try:
+        v = float(raw or 0.0)
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"ema_decay={raw!r} must be a number in [0, 1)"
+        )
+    if not 0.0 <= v < 1.0:
+        raise jobs_lib.JobError(f"ema_decay={v} must be in [0, 1)")
+    return v
+
+
+def _ema_or_raw_params(ckpt_dir: str, fc, state, used_best: bool, subtree=None):
     """Weights to REGISTER for a finished train job: with ``ema_decay``,
     the EMA twin of the checkpoint being registered (ema_best when
     keep_best selected it, else ema_final) — the classic serving-quality
@@ -2055,17 +2091,23 @@ def _ema_or_raw_params(ckpt_dir: str, fc, state):
 
     if not fc.ema_decay:
         return state.params
-    name = (
-        "ema_best"
-        if fc.keep_best_metric
-        and os.path.isdir(os.path.join(ckpt_dir, "ema_best"))
-        else "ema_final"
-    )
+    # pair like with like: when keep_best selected the registered state,
+    # ONLY its own ema_best twin may replace the params — mixing a
+    # final-step EMA with best-step model_state (BN stats) would serve
+    # weights and statistics from different training points
+    name = "ema_best" if used_best else "ema_final"
     path = os.path.join(ckpt_dir, name)
     if not os.path.isdir(path):
-        log.warning("ema_decay set but %s missing; registering raw", path)
+        log.warning(
+            "ema_decay set but %s missing (checkpoint predates EMA?); "
+            "registering raw weights", path,
+        )
         return state.params
-    return train_lib.restore_checkpoint(path, state.params)
+    template = state.params[subtree] if subtree else state.params
+    ema = train_lib.restore_checkpoint(path, template)
+    if subtree:
+        return dict(state.params, **{subtree: ema})
+    return ema
 
 
 def _train_mesh(p: dict, batch_size: int):
@@ -3683,6 +3725,15 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             raise jobs_lib.JobError(
                 "data_parallel registration is 2D-only (volume sequences "
                 "are few-timepoint; shifts ride channel 0 serially)"
+            )
+        try:
+            fb3 = int(p.get("frame_batch", 1) or 1)
+        except (TypeError, ValueError):
+            fb3 = 2  # garbage: reject via the same deterministic path
+        if fb3 > 1:
+            raise jobs_lib.JobError(
+                "frame_batch registration is 2D-only (volume sequences "
+                "are few-timepoint; one 3D correlation per dispatch)"
             )
         z = _parse_z_pages(job)
         return _register_volumes(

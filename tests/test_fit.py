@@ -510,37 +510,46 @@ class TestEarlyStopping:
 
     def test_staleness_survives_resume(self, tmp_path):
         """A resumed run re-seeds the staleness counter from
-        metrics.jsonl: two pre-crash stale evals + patience 3 means the
-        resumed run stops after ONE more stale eval, not three."""
+        metrics.jsonl — but ONLY from evals at or before the resume
+        checkpoint (later logged evals will be re-executed by the
+        continuation; counting their rows too would double-count them
+        against the patience)."""
+        import dataclasses as _dc
         import json as _json
 
-        mpath = str(tmp_path / "metrics.jsonl")
-        with open(mpath, "w") as f:
-            # pre-crash: best at step 5, stale evals at 10 and 15
-            f.write(_json.dumps(
-                {"kind": "eval", "step": 5, "eval_miou": 0.9}) + "\n")
-            f.write(_json.dumps(
-                {"kind": "best", "step": 5, "eval_miou": 0.9}) + "\n")
-            f.write(_json.dumps(
-                {"kind": "eval", "step": 10, "eval_miou": 0.5}) + "\n")
-            f.write(_json.dumps(
-                {"kind": "eval", "step": 15, "eval_miou": 0.5}) + "\n")
         paths = _make_shards(tmp_path, n=8)
         tc = train_lib.TrainConfig(learning_rate=0.0, augment=False)
-        fc = fit_lib.FitConfig(
-            steps=200, batch_size=4, log_every=100, checkpoint_every=100,
+        mpath = str(tmp_path / "metrics.jsonl")
+        ck = str(tmp_path / "ck")
+        # phase 1: 15 zero-LR steps -> best@5, stale evals @10 and @15
+        fc1 = fit_lib.FitConfig(
+            steps=15, batch_size=4, log_every=100, checkpoint_every=15,
             holdout_every=4, eval_every=5, metrics_path=mpath,
-            keep_best_metric="eval_miou", early_stop_patience=3,
+            keep_best_metric="eval_miou", early_stop_patience=99,
         )
+        fit_lib.fit_unet(self._cfg(), tc, fc1, paths, ckpt_dir=ck)
+        # crash simulation: resume must come from step_00000015, and the
+        # terminal eval at 15 must not be double-logged
+        import shutil
+
+        shutil.rmtree(os.path.join(ck, "final"))
+        # phase 2: resume with patience 3; seeded stall = 2 (evals @10,
+        # @15 are <= the resume step 15), so ONE more stale eval stops
+        fc2 = _dc.replace(fc1, steps=200, early_stop_patience=3)
         state = fit_lib.fit_unet(
-            self._cfg(), tc, fc, paths, ckpt_dir=str(tmp_path / "ck")
+            self._cfg(), tc, fc2, paths, ckpt_dir=ck,
+            init_state=train_lib.restore_checkpoint(
+                os.path.join(ck, "step_00000015"),
+                train_lib.create_unet_state(
+                    jax.random.PRNGKey(0), self._cfg(), tc
+                ),
+            ),
         )
-        # zero LR can't beat 0.9: the first in-run eval (step 5) is the
-        # third consecutive stale one -> immediate stop
-        assert int(jax.device_get(state.step)) == 5
+        assert int(jax.device_get(state.step)) == 20
         rows = [_json.loads(l) for l in open(mpath)]
-        assert [r["kind"] for r in rows][-1] == "early_stop"
-        assert rows[-1]["stale_evals"] == 3
+        stops = [r for r in rows if r["kind"] == "early_stop"]
+        assert len(stops) == 1 and stops[0]["step"] == 20
+        assert stops[0]["stale_evals"] == 3
 
 
 class TestEMA:
@@ -647,3 +656,58 @@ class TestEMA:
                 self._cfg(), train_lib.TrainConfig(augment=False), fc,
                 paths, ckpt_dir=str(tmp_path / "ck"),
             )
+
+    def test_completed_budget_writes_no_early_stop_row(self, tmp_path):
+        """A run that consumes its full step budget is NOT an early
+        stop, even when the terminal eval is stale."""
+        import json as _json
+
+        paths = _make_shards(tmp_path)
+        tc = train_lib.TrainConfig(learning_rate=0.0, augment=False)
+        mpath = str(tmp_path / "metrics.jsonl")
+        fc = fit_lib.FitConfig(
+            steps=10, batch_size=4, log_every=100, checkpoint_every=100,
+            holdout_every=4, eval_every=5, metrics_path=mpath,
+            keep_best_metric="eval_miou", early_stop_patience=2,
+        )
+        state = fit_lib.fit_unet(
+            self._cfg(), tc, fc, paths, ckpt_dir=str(tmp_path / "ck")
+        )
+        assert int(jax.device_get(state.step)) == 10
+        rows = [_json.loads(l) for l in open(mpath)]
+        assert not [r for r in rows if r["kind"] == "early_stop"]
+
+    def test_gan_ema_covers_generator_only(self, tmp_path):
+        """fit_gan's EMA twin holds the GENERATOR subtree only — the
+        discriminator is never served, so averaging it would double the
+        EMA footprint for nothing."""
+        from sequitr_tpu.models import gan as gan_lib
+
+        rng = np.random.default_rng(1)
+        path = str(tmp_path / "pairs.tfrecord")
+        with records.RecordWriter(path) as w:
+            for _ in range(8):
+                x = rng.random((16, 16)).astype(np.float32)
+                w.write(fit_lib.encode_pair(x, np.clip(x * 1.5, 0, 1)))
+        cfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=2,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        tc = train_lib.TrainConfig(learning_rate=1e-3, beta1=0.5)
+        fc = fit_lib.FitConfig(
+            steps=3, batch_size=2, log_every=100, checkpoint_every=100,
+            ema_decay=0.9,
+        )
+        ck = str(tmp_path / "gck")
+        state = fit_lib.fit_gan(cfg, tc, fc, [path], ckpt_dir=ck)
+        # the twin restores against the GEN template, not the full tree
+        ema_gen = train_lib.restore_checkpoint(
+            os.path.join(ck, "ema_final"), state.params["gen"]
+        )
+        assert jax.tree.structure(ema_gen) == jax.tree.structure(
+            state.params["gen"]
+        )
+        raw = train_lib.restore_checkpoint(
+            os.path.join(ck, "ema_final"), None
+        )
+        assert "disc" not in raw and "gen" not in raw  # gen SUBTREE only

@@ -836,6 +836,27 @@ class TestRegisterBatchDP:
         assert status["state"] == "failed"
         assert "serial" in status["error"]
 
+    def test_frame_batch_rejected_for_volumes(self, server_env):
+        cfg, tmp = server_env
+        d = tmp / "fb3d"
+        d.mkdir()
+        tiff.write_stack(
+            str(d / "t_0.tif"), np.zeros((4, 16, 16), np.float32)
+        )
+        out = str(tmp / "fb3d_out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"dims": 3, "mode": "first", "frame_batch": 8},
+                "input": [str(d)],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "failed"
+        assert "2D-only" in status["error"]
+
     def test_dp_rejects_previous_mode(self, server_env):
         cfg, tmp = server_env
         tiff.write_stack(

@@ -4625,3 +4625,33 @@ class TestEMAJob:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-6
             )  # registered == EMA twin
+
+    @pytest.mark.parametrize(
+        "params,frag",
+        [
+            ({"early_stop_patience": -5}, "must be >= 0"),
+            ({"early_stop_patience": "x"}, "must be an integer"),
+            ({"ema_decay": 1.0}, "must be in [0, 1)"),
+            ({"ema_decay": "y"}, "must be a number"),
+        ],
+    )
+    def test_bad_fit_params_fail_fast(self, server_env, params, frag):
+        """Typo'd training params are deterministic: JobError, not a
+        retried ValueError deep in the fit loop."""
+        cfg_srv, tmp = server_env
+        srv = ImageServer(cfg_srv)
+        shards = TestEarlyStopJob._records(self, cfg_srv, tmp, srv)
+        out = str(tmp / f"badfit_{frag[:8].strip()}")
+        t0 = time.time()
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_unet2d",
+             "params": {"model": "bf", "num_classes": 2, "steps": 5,
+                        "holdout_every": 4, **params},
+             "input": [shards], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert frag in st["error"]
+        assert time.time() - t0 < cfg_srv.retry_backoff + 25  # no retry burn
