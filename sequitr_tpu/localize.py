@@ -16,6 +16,7 @@ with scipy as the always-available fallback.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -30,6 +31,7 @@ __all__ = [
     "localize_frame_table",
     "export_btrack_h5",
     "export_btrack_h5_tables",
+    "export_objects_csv",
     "read_objects_h5",
 ]
 
@@ -309,6 +311,48 @@ def export_btrack_h5_tables(
         order = np.argsort(coords[:, 0], kind="stable")
         coords, area, imean = coords[order], area[order], imean[order]
     _write_btrack(path, coords, area, imean, n_frames, obj_type)
+    return len(coords)
+
+
+def export_objects_csv(path: str, items) -> int:
+    """``objects.csv`` companion of the btrack HDF5 export.
+
+    One row per object, ``t,x,y,z,label,area,intensity_mean``, t-sorted,
+    written atomically (tmp + rename). The HDF5 stays the TRACKING
+    contract (btrack / track_objects slice its map rows); the CSV is the
+    zero-dependency QC surface — pandas, a spreadsheet, or awk can
+    answer "how many mitotic cells per frame" without touching h5py.
+    Accepts either per-frame ``FrameTable``s (the streaming path) or a
+    sequence of ``LocalizedObject``s; returns the row count.
+    """
+    items = list(items)
+    if items and isinstance(items[0], FrameTable):
+        coords = np.concatenate([tb.coords for tb in items])
+        area = np.concatenate([tb.area for tb in items])
+        imean = np.concatenate([tb.intensity_mean for tb in items])
+    elif items:
+        objs = sorted(items, key=lambda o: o.t)
+        coords = np.asarray(
+            [[o.t, o.x, o.y, o.z, o.label] for o in objs], np.float32
+        ).reshape(-1, 5)
+        area = np.asarray([o.area for o in objs], np.int32)
+        imean = np.asarray([o.intensity_mean for o in objs], np.float32)
+    else:
+        e = FrameTable.empty()
+        coords, area, imean = e.coords, e.area, e.intensity_mean
+    if len(coords) and np.any(np.diff(coords[:, 0]) < 0):
+        order = np.argsort(coords[:, 0], kind="stable")
+        coords, area, imean = coords[order], area[order], imean[order]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("t,x,y,z,label,area,intensity_mean\n")
+        for k in range(len(coords)):
+            t, x, y, z, lab = coords[k]
+            f.write(
+                f"{int(t)},{x:.4f},{y:.4f},{z:.4f},{int(lab)},"
+                f"{int(area[k])},{imean[k]:.4f}\n"
+            )
+    os.replace(tmp, path)
     return len(coords)
 
 

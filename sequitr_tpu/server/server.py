@@ -971,6 +971,10 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
             h5_path, tables, n_frames=frame_offset + n_frames
         )
         outputs["objects"] = h5_path
+        if job.params.get("save_objects_csv"):
+            csv_path = os.path.join(job.output, "objects.csv")
+            loc_lib.export_objects_csv(csv_path, tables)
+            outputs["objects_csv"] = csv_path
     return outputs
 
 
@@ -2300,6 +2304,10 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
             )
         outputs["objects"] = h5_path
         outputs["n_objects"] = str(len(objects))
+        if job.params.get("save_objects_csv"):
+            csv_path = os.path.join(job.output, "objects.csv")
+            loc_lib.export_objects_csv(csv_path, objects)
+            outputs["objects_csv"] = csv_path
     total_s = time.time() - t0
     mvox = float(np.prod(vol_spatial)) / 1e6
     outputs["metrics"] = json.dumps(
@@ -4577,6 +4585,10 @@ def _segment_volume_timelapse(
         )
         outputs["objects"] = h5_path
         outputs["n_objects"] = str(len(all_objects))
+        if job.params.get("save_objects_csv"):
+            csv_path = os.path.join(job.output, "objects.csv")
+            loc_lib.export_objects_csv(csv_path, all_objects)
+            outputs["objects_csv"] = csv_path
     total_s = time.time() - t0
     mvox = float(np.prod(zhw)) * n_t / 1e6
     outputs["metrics"] = json.dumps(

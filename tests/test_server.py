@@ -4655,3 +4655,57 @@ class TestEMAJob:
         assert st["state"] == "failed"
         assert frag in st["error"]
         assert time.time() - t0 < cfg_srv.retry_backoff + 25  # no retry burn
+
+
+class TestObjectsCSV:
+    def test_csv_matches_h5(self, server_env):
+        """save_objects_csv: the CSV rows agree with the objects.h5
+        tables (coords, area, intensity) — the zero-dependency QC
+        surface next to the tracking contract."""
+        from sequitr_tpu.models import unet as unet_lib
+        from sequitr_tpu import localize as loc_lib
+
+        cfg_srv, tmp = server_env
+        cfg = unet_lib.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet_lib.init(jax.random.PRNGKey(0), cfg)
+        save_model(cfg_srv.models_dir, "csvm", "unet", cfg, params, state)
+        rng = np.random.default_rng(7)
+        stack = rng.normal(0.1, 0.05, (3, 32, 32)).astype(np.float32)
+        stack[:, 8:16, 8:16] += 2.0
+        tiff.write_stack(str(tmp / "csv_in.tif"), stack)
+        out = str(tmp / "csv_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "segmentation_unet2d",
+             "params": {"model": "csvm", "save_objects_csv": True},
+             "input": [str(tmp / "csv_in.tif")], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        csv_path = st["outputs"]["objects_csv"]
+        rows = open(csv_path).read().strip().split("\n")
+        assert rows[0] == "t,x,y,z,label,area,intensity_mean"
+        tables = loc_lib.read_objects_h5(st["outputs"]["objects"])
+        n_h5 = sum(len(tb) for tb in tables)
+        assert len(rows) - 1 == n_h5
+        if n_h5:
+            got = np.asarray(
+                [[float(v) for v in r.split(",")] for r in rows[1:]]
+            )
+            h5 = np.concatenate([tb.coords for tb in tables])
+            np.testing.assert_allclose(got[:, :5], h5, atol=1e-3)
+        # default off: no csv in a plain run
+        out2 = str(tmp / "csv_off")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "segmentation_unet2d", "params": {"model": "csvm"},
+             "input": [str(tmp / "csv_in.tif")], "output": out2},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st2 = json.load(open(os.path.join(out2, "status.json")))
+        assert st2["state"] == "complete"
+        assert "objects_csv" not in st2["outputs"]
