@@ -33,6 +33,7 @@ __all__ = [
     "make_dp_registerer",
     "make_dp_localizer",
     "make_dp_localizer3d",
+    "make_dp_localizer_astig",
     "make_dp_seam_correlator",
 ]
 
@@ -306,3 +307,52 @@ def make_dp_seam_correlator(
         return shifts[:p], resp[:p]
 
     return correlate
+
+
+def make_dp_localizer_astig(
+    mesh: Mesh,
+    calib,
+    *,
+    max_peaks: int = 256,
+    min_distance: int = 2,
+    window: Optional[int] = None,
+    n_grid: int = 241,
+    axis_name: str = "data",
+) -> Callable:
+    """DP form of ASTIGMATIC 3D-from-2D emitter localization.
+
+    ``localize(frames, thresholds)`` with ``frames`` (D, H, W) and
+    per-frame ``thresholds`` (D,) sharded over ``data``: each chip runs
+    detect + elliptical adaptive-width fits + calibration-curve z
+    inversion on its shard of frames — the whole Huang-2008 chain is one
+    jit graph per frame (``psf._detect_and_fit_astig``), so sharding the
+    frame axis costs zero inter-chip traffic exactly like the plain-2D
+    and volumetric DP localizers. The calibration coefficients close
+    over the graph as constants; ``window`` defaults to the
+    calibration's own fit window so the width estimator's truncation
+    bias cancels. Returns ``(yx, valid, fits)`` (fits incl. ``z`` in
+    calibration units), all batch-sharded.
+    """
+    import jax.numpy as jnp
+
+    from sequitr_tpu import psf
+
+    if window is None:
+        window = calib.window
+    coef = jnp.asarray(
+        tuple(calib.qx) + tuple(calib.qy) + tuple(calib.z_range),
+        jnp.float32,
+    )
+    shd = batch_sharded(mesh, axis_name)
+
+    def one(frame, thr):
+        return psf._detect_and_fit_astig(
+            frame, thr, coef, max_peaks=max_peaks,
+            min_distance=min_distance, window=window, n_grid=n_grid,
+        )
+
+    return jax.jit(
+        jax.vmap(one),
+        in_shardings=(shd, shd),
+        out_shardings=shd,
+    )

@@ -2484,10 +2484,11 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     ``data_parallel: true`` shards the work over all chips of the mesh —
     per-frame/per-timepoint localization is embarrassingly parallel, so
     each chip runs detect+fit on its shard with zero inter-chip traffic
-    (plain 2D: frames via ``parallel.make_dp_localizer``; dims=3:
-    TIMEPOINTS via ``make_dp_localizer3d``); per-frame robust thresholds
-    are traced operands. Output identical to streaming. Astigmatism runs
-    per-frame only (deterministic error if combined).
+    (plain 2D: frames via ``parallel.make_dp_localizer``; astigmatic:
+    frames via ``make_dp_localizer_astig`` — the calibration closes over
+    each chip's graph as constants; dims=3: TIMEPOINTS via
+    ``make_dp_localizer3d``); per-frame robust thresholds are traced
+    operands. Output identical to streaming in every mode.
     """
     from sequitr_tpu import psf
     from sequitr_tpu.data.source import FrameSource
@@ -2501,14 +2502,6 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         raise jobs_lib.JobError(
             "astigmatism infers z from 2D frames; it does not combine "
             "with dims=3 volumetric input"
-        )
-    # unsupported data_parallel combinations fail loudly BEFORE any
-    # source opens — silently ignoring the requested parallelism would
-    # leave the user believing frames were sharded
-    if use_dp and calib is not None:
-        raise jobs_lib.JobError(
-            "data_parallel localization supports the plain 2D mode only "
-            "(astigmatism runs per-frame)"
         )
     if dims == 3:
         return _localize_volume_timelapse(job, path)
@@ -2574,6 +2567,34 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
             )
         return nonlocal_rows
 
+    def _emit_astig(f, t, zs, ys, xs, sy, sx, amps, bgs):
+        """One frame's astigmatic rows + optional btrack table entry
+        (shared by the streaming and DP paths so they cannot diverge in
+        format or z_scale handling)."""
+        count = 0
+        for z, y, x, wy, wx, a, b in zip(zs, ys, xs, sy, sx, amps, bgs):
+            f.write(
+                f"{t},{z:.4f},{y:.4f},{x:.4f},{wy:.4f},"
+                f"{wx:.4f},{a:.4f},{b:.4f}\n"
+            )
+            count += 1
+        if tables is not None:
+            from sequitr_tpu import localize as loc_lib
+
+            coords = np.zeros((len(ys), 5), dtype=np.float32)
+            coords[:, 0] = t
+            coords[:, 1] = np.asarray(xs)
+            coords[:, 2] = np.asarray(ys)
+            coords[:, 3] = np.asarray(zs) * z_scale
+            tables.append(
+                loc_lib.FrameTable(
+                    coords=coords,
+                    area=np.ones(len(ys), np.int32),
+                    intensity_mean=np.asarray(amps, np.float32),
+                )
+            )
+        return count
+
     import jax
 
     dp_devices = 0
@@ -2590,10 +2611,18 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
 
                 mesh = parallel.make_mesh()
                 n_dev = dp_devices = int(mesh.devices.size)
-                dp = parallel.make_dp_localizer(
-                    mesh, max_peaks=max_peaks, min_distance=min_distance,
-                    window=window, sigma=sigma,
-                )
+                if calib is not None:
+                    dp = parallel.make_dp_localizer_astig(
+                        mesh, calib, max_peaks=max_peaks,
+                        min_distance=min_distance,
+                        window=None if "window" not in p else window,
+                    )
+                else:
+                    dp = parallel.make_dp_localizer(
+                        mesh, max_peaks=max_peaks,
+                        min_distance=min_distance,
+                        window=window, sigma=sigma,
+                    )
                 n_chunks = (n_frames + n_dev - 1) // n_dev
                 chunk_iter = jobs_lib.track(
                     job,
@@ -2615,12 +2644,23 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                     host = {k: np.asarray(v) for k, v in fits.items()}
                     for k in range(min(n_dev, n_frames - done)):
                         m = valid[k]
-                        n_rows += _emit_plain(
-                            f, source.frame_offset + done,
-                            host["y"][k][m], host["x"][k][m],
-                            host["amplitude"][k][m],
-                            host["background"][k][m],
-                        )
+                        t_abs = source.frame_offset + done
+                        if calib is not None:
+                            n_rows += _emit_astig(
+                                f, t_abs,
+                                host["z"][k][m], host["y"][k][m],
+                                host["x"][k][m], host["sigma_y"][k][m],
+                                host["sigma_x"][k][m],
+                                host["amplitude"][k][m],
+                                host["background"][k][m],
+                            )
+                        else:
+                            n_rows += _emit_plain(
+                                f, t_abs,
+                                host["y"][k][m], host["x"][k][m],
+                                host["amplitude"][k][m],
+                                host["background"][k][m],
+                            )
                         done += 1
             else:
                 frames = jobs_lib.track(
@@ -2649,36 +2689,16 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                             fits["amplitude"], fits["background"],
                         )
                         continue
-                    ys = np.asarray(fits["y"], dtype=np.float64)
-                    xs = np.asarray(fits["x"], dtype=np.float64)
-                    amps = np.asarray(fits["amplitude"], dtype=np.float64)
-                    bgs = np.asarray(fits["background"], dtype=np.float64)
-                    zs = np.asarray(fits["z"], dtype=np.float64)
-                    sy = np.asarray(fits["sigma_y"], dtype=np.float64)
-                    sx = np.asarray(fits["sigma_x"], dtype=np.float64)
-                    for z, y, x, wy, wx, a, b in zip(
-                        zs, ys, xs, sy, sx, amps, bgs
-                    ):
-                        f.write(
-                            f"{t},{z:.4f},{y:.4f},{x:.4f},{wy:.4f},"
-                            f"{wx:.4f},{a:.4f},{b:.4f}\n"
-                        )
-                    n_rows += len(ys)
-                    if tables is not None:
-                        from sequitr_tpu import localize as loc_lib
-
-                        coords = np.zeros((len(ys), 5), dtype=np.float32)
-                        coords[:, 0] = t
-                        coords[:, 1] = xs
-                        coords[:, 2] = ys
-                        coords[:, 3] = zs * z_scale
-                        tables.append(
-                            loc_lib.FrameTable(
-                                coords=coords,
-                                area=np.ones(len(ys), np.int32),
-                                intensity_mean=amps.astype(np.float32),
-                            )
-                        )
+                    n_rows += _emit_astig(
+                        f, t,
+                        np.asarray(fits["z"], np.float64),
+                        np.asarray(fits["y"], np.float64),
+                        np.asarray(fits["x"], np.float64),
+                        np.asarray(fits["sigma_y"], np.float64),
+                        np.asarray(fits["sigma_x"], np.float64),
+                        np.asarray(fits["amplitude"], np.float64),
+                        np.asarray(fits["background"], np.float64),
+                    )
     except BaseException:
         try:
             os.unlink(tmp)

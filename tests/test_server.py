@@ -3001,22 +3001,58 @@ class TestEmitterPipeline:
         assert ra.shape == rb.shape == (2 * n_t, 6)
         np.testing.assert_allclose(ra, rb, atol=1e-4)
 
-    def test_localize_dp_rejects_astig(self, server_env):
+    def test_localize_astig_data_parallel_matches_streaming(
+        self, server_env
+    ):
+        """astigmatism + data_parallel: frames sharded over the virtual
+        mesh produce the same emitters.csv as the streaming astigmatic
+        path (11 frames over 8 devices: tail padding exercised)."""
+        import jax as _jax
+
+        if _jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
         cfg_srv, tmp = server_env
+        frames = np.stack(
+            [
+                TestEmitterPipeline._astig_frame(
+                    [(250.0 - 40 * t, 20.5, 40.2),
+                     (-380.0 + 30 * t, 45.1, 18.7)],
+                    seed=50 + t,
+                )
+                for t in range(11)
+            ]
+        )
         path = str(tmp / "dpa.tif")
-        tiff.write_stack(path, np.zeros((2, 16, 16), np.float32))
-        out = str(tmp / "dpa_out")
-        submit_job(cfg_srv.jobs_dir,
-                   {"module": "localize_emitters",
-                    "params": {"data_parallel": True, "astigmatism": {
-                        "qx": [0, 0, 1], "qy": [0, 0, 1],
-                        "z_range": [-1, 1]}},
-                    "input": [path], "output": out})
+        tiff.write_stack(path, frames)
+        # the analytic curve matching _astig_widths (sigma^2 quadratics)
+        calib = {"qx": [1.05625e-05, -0.0063375, 2.640625],
+                 "qy": [1.05625e-05, 0.0063375, 2.640625],
+                 "z_range": [-600.0, 600.0]}
         srv = ImageServer(cfg_srv)
-        assert srv.poll_once()
-        st = json.load(open(os.path.join(out, "status.json")))
-        assert st["state"] == "failed"
-        assert "plain 2D mode" in st["error"]
+        outs = {}
+        for name, extra in (("st", {}), ("dp", {"data_parallel": True})):
+            out = str(tmp / f"dpa_{name}")
+            submit_job(cfg_srv.jobs_dir,
+                       {"module": "localize_emitters",
+                        "params": {"astigmatism": calib,
+                                   "threshold": 40, **extra},
+                        "input": [path], "output": out})
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[name] = st
+        assert int(outs["dp"]["outputs"]["n_devices"]) > 1
+        a = open(outs["dp"]["outputs"]["emitters"]).read()
+        b = open(outs["st"]["outputs"]["emitters"]).read()
+        assert a.split("\n")[0] == (
+            "t,z,y,x,sigma_y,sigma_x,amplitude,background"
+        )
+        ra = np.asarray([[float(v) for v in r.split(",")]
+                         for r in a.strip().split("\n")[1:]])
+        rb = np.asarray([[float(v) for v in r.split(",")]
+                         for r in b.strip().split("\n")[1:]])
+        assert ra.shape == rb.shape == (22, 8)
+        np.testing.assert_allclose(ra, rb, atol=1e-3)
 
     def test_astig_structurally_bad_calibration_fails_fast(self, server_env):
         """'qx': 1 hits len() on an int (TypeError) — as deterministic as
