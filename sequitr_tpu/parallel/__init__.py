@@ -14,6 +14,7 @@ from sequitr_tpu.parallel.mesh import (  # noqa: F401
     make_dp_localizer,
     make_dp_localizer3d,
     make_dp_localizer_astig,
+    make_dp_deconvolver,
     make_dp_seam_correlator,
 )
 

@@ -3384,6 +3384,12 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     timer = PhaseTimer()
     t0 = time.time()
     out_path = os.path.join(job.output, "deconvolved.tif")
+    dp_devices = 0
+    if dims == 3 and p.get("data_parallel"):
+        raise jobs_lib.JobError(
+            "data_parallel deconvolution is 2D-only (a dims=3 volume is "
+            "one fused graph; timelapses stream per timepoint)"
+        )
     if dims == 3:
         z_val = _parse_z_pages(job)
         if z_val is not None or _expand_inputs_entry(path) != [path]:
@@ -3432,12 +3438,8 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         if source.n_channels != 1:
             raise jobs_lib.JobError("deconvolve expects a single-channel stack")
         kernel = psf.gaussian_psf_2d(psf_size, sigma)
-        deconv = jax.jit(
-            lambda f: psf.richardson_lucy(
-                f.astype(jnp.float32), kernel, iterations
-            )
-        )
         n_frames = len(source)
+        use_dp = bool(p.get("data_parallel")) and jax.device_count() > 1
         writer = _append_writer(
             out_path,
             float(n_frames) * np.prod(source.spatial) * 4,
@@ -3445,24 +3447,66 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         )
         try:
             with source:
-                for out in jobs_lib.track(
-                    job,
-                    infer_lib.stream_frames(
-                        deconv, source.frames(),
-                        prefetch_host=infer_lib._copy_to_host_async,
-                    ),
-                    total=n_frames,
-                ):
-                    with timer.phase("fetch"):
-                        got = np.asarray(out, dtype=np.float32)
-                    with timer.phase("write"):
-                        writer.append(got)
+                if use_dp:
+                    # frames sharded over the mesh: per-frame RL
+                    # deconvolution is embarrassingly parallel (zero
+                    # inter-chip traffic), the same DP shape as
+                    # first-mode registration
+                    from sequitr_tpu import parallel
+
+                    mesh = parallel.make_mesh()
+                    n_dev = dp_devices = int(mesh.devices.size)
+                    dp = parallel.make_dp_deconvolver(
+                        mesh, kernel, iterations
+                    )
+                    n_chunks = (n_frames + n_dev - 1) // n_dev
+                    done = 0
+                    chunk_iter = jobs_lib.track(
+                        job,
+                        infer_lib._iter_read_ahead(
+                            source.chunks(n_dev), 2
+                        ),
+                        total=n_chunks, phase="chunks",
+                    )
+                    for chunk in _reads_fail_fast(
+                        job, iter(chunk_iter)
+                    ):
+                        with timer.phase("infer"):
+                            out = dp(
+                                jnp.asarray(chunk, jnp.float32)
+                            )
+                        with timer.phase("fetch"):
+                            got = np.asarray(out, np.float32)
+                        with timer.phase("write"):
+                            for k in range(min(n_dev, n_frames - done)):
+                                writer.append(got[k])
+                                done += 1
+                else:
+                    deconv = jax.jit(
+                        lambda f: psf.richardson_lucy(
+                            f.astype(jnp.float32), kernel, iterations
+                        )
+                    )
+                    for out in jobs_lib.track(
+                        job,
+                        infer_lib.stream_frames(
+                            deconv, source.frames(),
+                            prefetch_host=infer_lib._copy_to_host_async,
+                        ),
+                        total=n_frames,
+                    ):
+                        with timer.phase("fetch"):
+                            got = np.asarray(out, dtype=np.float32)
+                        with timer.phase("write"):
+                            writer.append(got)
         except BaseException:
             writer.abort()
             raise
         writer.close()
     total_s = time.time() - t0
     metrics = dict(timer.summary(), total_s=round(total_s, 4), n_frames=n_frames)
+    if dp_devices:
+        metrics["n_devices"] = dp_devices
     if total_s > 0:
         metrics["frames_per_sec"] = round(n_frames / total_s, 3)
     return {"deconvolved": out_path, "metrics": json.dumps(metrics)}
