@@ -2519,6 +2519,10 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
     max_peaks = int(p.get("max_peaks", 256))
     min_distance = int(p.get("min_distance", 2))
     window = int(p.get("window", 7))
+    # astig: an explicit window overrides; None = the calibration's own
+    # fit window (truncation bias cancels). Computed ONCE so the DP and
+    # streaming branches cannot diverge.
+    astig_window = window if "window" in p else None
     sigma = float(p.get("sigma", 1.5))
     thr_abs = p.get("threshold")
     k_sig = float(p.get("threshold_sigmas", 5.0))
@@ -2615,7 +2619,7 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                     dp = parallel.make_dp_localizer_astig(
                         mesh, calib, max_peaks=max_peaks,
                         min_distance=min_distance,
-                        window=None if "window" not in p else window,
+                        window=astig_window,
                     )
                 else:
                     dp = parallel.make_dp_localizer(
@@ -2623,14 +2627,10 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                         min_distance=min_distance,
                         window=window, sigma=sigma,
                     )
-                n_chunks = (n_frames + n_dev - 1) // n_dev
-                chunk_iter = jobs_lib.track(
-                    job,
-                    infer_lib._iter_read_ahead(source.chunks(n_dev), 2),
-                    total=n_chunks, phase="chunks",
-                )
                 done = 0
-                for chunk in _reads_fail_fast(job, iter(chunk_iter)):
+                for chunk, n_real in _dp_chunk_stream(
+                    job, source.chunks(n_dev), n_frames, n_dev
+                ):
                     chunk = np.asarray(chunk, np.float32)
                     thrs = np.asarray(
                         [_robust_threshold(fr, thr_abs, k_sig)
@@ -2642,7 +2642,7 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                     )
                     valid = np.asarray(valid)
                     host = {k: np.asarray(v) for k, v in fits.items()}
-                    for k in range(min(n_dev, n_frames - done)):
+                    for k in range(n_real):
                         m = valid[k]
                         t_abs = source.frame_offset + done
                         if calib is not None:
@@ -2676,7 +2676,7 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
                         fits = psf.localize_emitters_astig(
                             frame, thr, calib, max_peaks=max_peaks,
                             min_distance=min_distance,
-                            window=None if "window" not in p else window,
+                            window=astig_window,
                         )
                     else:
                         fits = psf.localize_emitters(
@@ -2722,6 +2722,29 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         )
         outputs["objects"] = h5_path
     return outputs
+
+
+def _dp_chunk_stream(
+    job: Job, chunks_iter, n_items: int, chunk_n: int,
+    phase: str = "chunks",
+):
+    """Yield ``(chunk, n_real)`` over a padded chunk stream — the shared
+    scaffolding of every chunked DP dispatch loop (2D/astig/3D
+    localization, deconvolution): disk read-ahead overlapping the
+    dispatch, per-chunk progress/cancel, fail-fast reads, and the
+    tail-padding count so consumers never emit padded rows."""
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    n_chunks = (n_items + chunk_n - 1) // chunk_n
+    it = jobs_lib.track(
+        job,
+        infer_lib._iter_read_ahead(chunks_iter, 2),
+        total=n_chunks, phase=phase,
+    )
+    left = n_items
+    for chunk in _reads_fail_fast(job, iter(it)):
+        yield chunk, min(chunk_n, left)
+        left -= chunk_n
 
 
 def _reads_fail_fast(job: Job, it):
@@ -2855,16 +2878,10 @@ def _localize_volume_timelapse(job: Job, path: str) -> Dict[str, str]:
                     min_distance_z=min_distance_z, window=window,
                     window_z=window_z, sigma=sigma, sigma_z=sigma_z,
                 )
-                n_chunks = (n_t + n_dev - 1) // n_dev
-                chunk_iter = jobs_lib.track(
-                    job,
-                    infer_lib._iter_read_ahead(
-                        _volume_chunks(seq, n_dev), 2
-                    ),
-                    total=n_chunks, phase="chunks",
-                )
                 done = 0
-                for chunk in _reads_fail_fast(job, iter(chunk_iter)):
+                for chunk, n_real in _dp_chunk_stream(
+                    job, _volume_chunks(seq, n_dev), n_t, n_dev
+                ):
                     thrs = np.asarray(
                         [_robust_threshold(v, thr_abs, k_sig)
                          for v in chunk],
@@ -2875,7 +2892,7 @@ def _localize_volume_timelapse(job: Job, path: str) -> Dict[str, str]:
                     )
                     valid = np.asarray(valid)
                     host = {k: np.asarray(v) for k, v in fits.items()}
-                    for k in range(min(n_dev, n_t - done)):
+                    for k in range(n_real):
                         m = valid[k]
                         n_rows += _emit3d(
                             f, seq.frame_offset + done,
@@ -3351,7 +3368,12 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     Gaussian PSF; ``dims: 3`` treats the input as one (Z, H, W) volume
     with an anisotropic 3D PSF. params: ``iterations`` (default 20),
     ``sigma`` (in-plane PSF sigma, px, default 1.5), ``psf_size`` (default
-    9), and for 3D ``sigma_z``/``psf_size_z``. Frames stream with H2D
+    9), and for 3D ``sigma_z``/``psf_size_z``. ``data_parallel`` (2D
+    only): frames sharded over all chips of the mesh — per-frame RL
+    deconvolution is embarrassingly parallel, each chip iterating
+    against the replicated PSF with zero inter-chip traffic; output
+    identical to streaming (dims=3 rejects the flag: a volume is one
+    fused graph). Frames stream with H2D
     overlap and page-append output (bounded memory, like every serving
     pipeline). Outputs: deconvolved.tif (float32).
 
@@ -3459,17 +3481,8 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     dp = parallel.make_dp_deconvolver(
                         mesh, kernel, iterations
                     )
-                    n_chunks = (n_frames + n_dev - 1) // n_dev
-                    done = 0
-                    chunk_iter = jobs_lib.track(
-                        job,
-                        infer_lib._iter_read_ahead(
-                            source.chunks(n_dev), 2
-                        ),
-                        total=n_chunks, phase="chunks",
-                    )
-                    for chunk in _reads_fail_fast(
-                        job, iter(chunk_iter)
+                    for chunk, n_real in _dp_chunk_stream(
+                        job, source.chunks(n_dev), n_frames, n_dev
                     ):
                         with timer.phase("infer"):
                             out = dp(
@@ -3478,9 +3491,8 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                         with timer.phase("fetch"):
                             got = np.asarray(out, np.float32)
                         with timer.phase("write"):
-                            for k in range(min(n_dev, n_frames - done)):
+                            for k in range(n_real):
                                 writer.append(got[k])
-                                done += 1
                 else:
                     deconv = jax.jit(
                         lambda f: psf.richardson_lucy(
