@@ -63,6 +63,7 @@ from sequitr_tpu.ops import registration as reg_lib
 __all__ = [
     "MosaicResult",
     "estimate_flatfield",
+    "estimate_overlap",
     "solve_tile_gains",
     "normalize_overlap",
     "snake_indices",
@@ -193,6 +194,73 @@ def estimate_flatfield(tiles: np.ndarray, order: int = 2) -> np.ndarray:
         return np.ones((h, w), np.float32)
     prof /= mean
     return np.maximum(prof, 0.05).astype(np.float32)
+
+
+def estimate_overlap(
+    tiles: np.ndarray,
+    grid: Tuple[int, int],
+    *,
+    max_pairs: int = 8,
+    min_response: float = 3.0,
+) -> Tuple[int, int]:
+    """Estimate the nominal overlap from the tiles themselves.
+
+    The overlap hint is the one stitching parameter a user can get
+    wrong (a stale acquisition profile shifts it by tens of px and the
+    strip correlator then looks at the wrong content). Whole-tile phase
+    correlation of an adjacent pair measures displacement ``W − ov``,
+    which exceeds W/2 for any overlap under half a tile — so the mod-N
+    wrap reports it as ``−ov`` DIRECTLY: the wrap ambiguity that the
+    strip correlator must avoid is, here, exactly the measurement.
+    Estimates aggregate as the median over up to ``max_pairs`` pairs
+    per direction (robust to the odd featureless seam); pairs below
+    ``min_response`` PSR are dropped (whole-tile correlations share
+    only the overlap fraction of their area, so the bar is lower than
+    a seam-strip lock). Raises ValueError when no direction yields a
+    usable estimate — pass ``overlap`` explicitly for such data.
+    Returns integer (ov_y, ov_x); the sub-pixel remainder is the strip
+    correlator's job.
+    """
+    n, h, w = tiles.shape
+    hor, ver = _grid_edges(grid)
+    out = []
+    for pairs, axis, size in ((hor, 1, w), (ver, 0, h)):
+        if not pairs:
+            out.append(0)
+            continue
+        step = max(1, len(pairs) // max_pairs)
+        sel = pairs[::step][:max_pairs]
+        refs = jnp.asarray(
+            np.stack([tiles[i] for i, _ in sel]), jnp.float32
+        )
+        movs = jnp.asarray(
+            np.stack([tiles[j] for _, j in sel]), jnp.float32
+        )
+        # NO Hann window: the shared content sits at the tile EDGES,
+        # exactly where a window crushes the signal to zero (measured:
+        # windowed whole-tile PSR ~5 and scattered estimates; unwindowed
+        # ~10-20 and tightly clustered at -ov)
+        shifts, resp = _correlate_strips(refs, movs, True, False, 1)
+        shifts = np.asarray(shifts, np.float64)
+        resp = np.asarray(resp, np.float64)
+        good = resp >= min_response
+        ovs = -shifts[good, axis]
+        ovs = ovs[(ovs >= 4) & (ovs <= size // 2)]
+        out.append(int(round(float(np.median(ovs)))) if len(ovs) else 0)
+    # first pass = horizontal seams (x overlap), second = vertical (y)
+    ov_x, ov_y = out
+    if grid[0] > 1 and not ov_y or grid[1] > 1 and not ov_x:
+        raise ValueError(
+            "could not estimate the tile overlap (weak whole-tile "
+            "correlation — featureless seams?); pass overlap explicitly"
+        )
+    # single-row/column grids have no seams in one direction: mirror
+    # the measured axis so the strip/feather geometry stays valid
+    if grid[0] == 1:
+        ov_y = ov_x
+    if grid[1] == 1:
+        ov_x = ov_y
+    return ov_y, ov_x
 
 
 def solve_tile_gains(
@@ -510,7 +578,15 @@ def stitch_grid(
         tiles = snake_to_row_major(tiles, grid)
     elif order != "row":
         raise ValueError(f"order={order!r} must be 'row' or 'snake'")
-    ov = normalize_overlap(overlap, tiles.shape[1:])
+    if isinstance(overlap, str):
+        if overlap != "auto":
+            raise ValueError(
+                f"overlap={overlap!r} must be px / fraction / pair / "
+                f"'auto'"
+            )
+        ov = estimate_overlap(tiles, grid) if r * c > 1 else (4, 4)
+    else:
+        ov = normalize_overlap(overlap, tiles.shape[1:])
     if r * c == 1:
         return MosaicResult(
             positions=np.zeros((1, 2)),

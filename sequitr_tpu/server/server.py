@@ -5123,17 +5123,49 @@ def _stitch_mosaic_core(
     from sequitr_tpu.pipeline import infer as infer_lib
 
     h, w = spatial
-    try:
-        overlap = mosaic_lib.normalize_overlap(
-            job.params.get("overlap", 0.1), (h, w)
-        )
-    except (TypeError, ValueError) as e:
-        raise jobs_lib.JobError(f"bad overlap: {e}")
     perm = (
         mosaic_lib.snake_indices((r, c))
         if order == "snake"
         else np.arange(r * c)
     )
+
+    raw_first = {"tiles": None}
+
+    def first_tiles() -> np.ndarray:
+        """(Channel 0, timepoint 0) tiles, row-major, read once and
+        shared by overlap auto-estimation, the correction fits and the
+        seam estimate."""
+        if raw_first["tiles"] is None:
+            try:
+                raw_first["tiles"] = read_chan_t(0, 0)[perm]
+            except ValueError as e:
+                # corrupt input is deterministic — fail fast, no retry
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read inputs: {e}"
+                )
+        return raw_first["tiles"]
+
+    ov_param = job.params.get("overlap", 0.1)
+    overlap_estimated = False
+    if isinstance(ov_param, str):
+        if ov_param != "auto":
+            raise jobs_lib.JobError(
+                f"overlap={ov_param!r} must be px / fraction / [oy, ox] "
+                f"/ 'auto'"
+            )
+        # the one parameter a user can get wrong, measured from the data:
+        # whole-tile correlation of adjacent pairs wraps W - ov to -ov
+        # (mosaic.estimate_overlap)
+        try:
+            overlap = mosaic_lib.estimate_overlap(first_tiles(), (r, c))
+        except ValueError as e:
+            raise jobs_lib.JobError(str(e))
+        overlap_estimated = True
+    else:
+        try:
+            overlap = mosaic_lib.normalize_overlap(ov_param, (h, w))
+        except (TypeError, ValueError) as e:
+            raise jobs_lib.JobError(f"bad overlap: {e}")
     # retrospective flat-field: every tile sees the same optical path,
     # so the shading profile is estimated per channel from its first
     # timepoint's tiles and divided out of every tile before seam
@@ -5201,20 +5233,9 @@ def _stitch_mosaic_core(
                 # or the metrics would miss the profile/gain ranges; in
                 # blending runs, pre-fitting would just read channel 0
                 # twice
-                try:
-                    corrected(0, read_chan_t(0, 0)[perm])
-                except ValueError as e:
-                    raise jobs_lib.JobError(
-                        f"job {job.id}: cannot read inputs: {e}"
-                    )
+                corrected(0, first_tiles())
         else:
-            try:
-                first = corrected(0, read_chan_t(0, 0)[perm])
-            except ValueError as e:
-                # corrupt input is deterministic — fail fast, never retry
-                raise jobs_lib.JobError(
-                    f"job {job.id}: cannot read inputs: {e}"
-                )
+            first = corrected(0, first_tiles())
             result = mosaic_lib.stitch_grid(
                 first, (r, c), overlap=overlap, order="row",
                 subpixel=subpixel, window=window, refine=refine,
@@ -5277,6 +5298,8 @@ def _stitch_mosaic_core(
         overlap_y=overlap[0],
         overlap_x=overlap[1],
     )
+    if overlap_estimated:
+        metrics["overlap_estimated"] = True
     if n_t > 1:
         metrics["n_timepoints"] = n_t
         metrics["timepoints_per_sec"] = round(

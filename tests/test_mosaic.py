@@ -299,3 +299,41 @@ class TestGainMatching:
         tiles = np.zeros((4, 64, 64), np.float32)  # every overlap blank
         g = mosaic.solve_tile_gains(tiles, (2, 2), (16, 16))
         np.testing.assert_allclose(g, 1.0, atol=1e-6)
+
+
+class TestAutoOverlap:
+    def test_recovers_known_overlap(self):
+        scene = _scene((400, 540), seed=41)
+        tiles, _ = _cut_tiles(
+            scene, (3, 3), (128, 168), overlap=36, jitter=1.5, seed=42
+        )
+        ov = mosaic.estimate_overlap(tiles, (3, 3))
+        assert abs(ov[0] - 36) <= 2 and abs(ov[1] - 36) <= 2
+
+    def test_auto_stitch_matches_explicit(self):
+        scene = _scene((380, 400), seed=43)
+        tiles, pos = _cut_tiles(
+            scene, (2, 3), (150, 140), overlap=30, jitter=2.0, seed=44
+        )
+        auto = mosaic.stitch_grid(tiles, (2, 3), overlap="auto")
+        rel = pos - pos.min(axis=0, keepdims=True)
+        assert np.abs(auto.positions - rel).max() < 0.05
+
+    def test_asymmetric_overlap(self):
+        scene = _scene((400, 400), seed=45)
+        r, c, h, w = 2, 2, 160, 150
+        ov_y, ov_x = 24, 48
+        tiles = []
+        for ri in range(r):
+            for ci in range(c):
+                y0, x0 = ri * (h - ov_y) + 8, ci * (w - ov_x) + 8
+                tiles.append(scene[y0 : y0 + h, x0 : x0 + w])
+        ov = mosaic.estimate_overlap(np.stack(tiles), (2, 2))
+        assert abs(ov[0] - ov_y) <= 1 and abs(ov[1] - ov_x) <= 1
+
+    def test_featureless_raises(self):
+        tiles = np.full((4, 96, 96), 50.0, np.float32)
+        with pytest.raises(ValueError, match="overlap explicitly"):
+            mosaic.estimate_overlap(tiles, (2, 2))
+        with pytest.raises(ValueError, match="'auto'"):
+            mosaic.stitch_grid(tiles, (2, 2), overlap="automatic")

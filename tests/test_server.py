@@ -4797,3 +4797,47 @@ class TestDeconvolveDP:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert "2D-only" in st["error"]
+
+    def test_auto_overlap(self, server_env):
+        """overlap: 'auto' — the hint is measured from the tiles
+        (whole-tile wrap = -ov); positions still recovered exactly and
+        the metrics record the estimation."""
+        cfg_srv, tmp = server_env
+        d, _, pos = TestMosaicPipeline()._write_grid(tmp, seed=99)
+        out = str(tmp / "auto_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": "auto",
+                        "subpixel": False},
+             "input": [str(d)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["overlap_estimated"] is True
+        # estimates absorb the per-seam jitter (+/-2 px here); the strip
+        # correlator refines sub-pixel, so nominal-scale accuracy is all
+        # the hint needs
+        assert abs(m["overlap_y"] - 20) <= 4 and abs(m["overlap_x"] - 20) <= 4
+        got_pos = np.loadtxt(
+            st["outputs"]["positions"], delimiter=",", skiprows=1
+        )[:, 3:]
+        rel = pos - pos.min(axis=0, keepdims=True)
+        np.testing.assert_allclose(got_pos, rel, atol=0.01)
+
+    def test_bad_overlap_string(self, server_env):
+        cfg_srv, tmp = server_env
+        d, _, _ = TestMosaicPipeline()._write_grid(tmp, seed=100)
+        out = str(tmp / "badov_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": "automatic"},
+             "input": [str(d)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "'auto'" in st["error"]
