@@ -4798,6 +4798,8 @@ class TestDeconvolveDP:
         assert st["state"] == "failed"
         assert "2D-only" in st["error"]
 
+
+class TestAutoOverlapJob:
     def test_auto_overlap(self, server_env):
         """overlap: 'auto' — the hint is measured from the tiles
         (whole-tile wrap = -ov); positions still recovered exactly and
