@@ -576,14 +576,40 @@ def mosaic_fidelity(
             tiles.append(shifted[iy : iy + h, ix : ix + w])
             pos.append((y0, x0))
     pos = np.asarray(pos)
+    tiles = np.stack(tiles)
     res = mosaic_lib.stitch_grid(
-        np.stack(tiles), grid, overlap=overlap, blend=False
+        tiles, grid, overlap=overlap, blend=False
     )
     rel = pos - pos.min(axis=0, keepdims=True)
     err = res.positions - rel
+
+    # photometric stack: a known vignette + bleach ramp applied to the
+    # same tiles, corrected by flatfield + gain matching — the residual
+    # vs the clean blend (relative to scene contrast) quantifies the
+    # correction quality in the driver artifact, not just in tests
+    yy = np.linspace(-1, 1, h)[:, None]
+    xx = np.linspace(-1, 1, w)[None, :]
+    vig = (1.0 - 0.35 * (yy**2 + xx**2)).astype(np.float32)
+    fade = np.linspace(1.0, 0.65, r * c).astype(np.float32)
+    damaged = tiles * vig[None] * fade[:, None, None]
+    prof = mosaic_lib.estimate_flatfield(damaged)
+    fixed = damaged / prof
+    gains = mosaic_lib.solve_tile_gains(fixed, grid, (overlap, overlap))
+    fixed = fixed * gains[:, None, None]
+    clean_m = mosaic_lib.blend_mosaic(
+        tiles, res.positions, (overlap, overlap)
+    )
+    fixed_m = mosaic_lib.blend_mosaic(
+        fixed, res.positions, (overlap, overlap)
+    )
+    g = fixed_m.mean() / max(clean_m.mean(), 1e-9)  # global scale free
+    resid = float(
+        np.abs(fixed_m - g * clean_m).mean() / max(clean_m.std(), 1e-9)
+    )
     return {
         "position_rmse_px": _round(float(np.sqrt(np.mean(err**2)))),
         "max_err_px": _round(float(np.abs(err).max())),
         "seam_rms_residual_px": _round(res.rms_residual),
+        "photometric_residual_frac": _round(resid),
         "n_tiles": r * c,
     }

@@ -110,6 +110,8 @@ class TestFidelityMeters:
         )
         assert r["position_rmse_px"] < 0.05
         assert r["seam_rms_residual_px"] < 0.05
+        # vignette+bleach corrected to a few % of scene contrast
+        assert r["photometric_residual_frac"] < 0.08
         assert r["n_tiles"] == 4
 
     def test_train_fidelity_parity_on_cpu(self):
