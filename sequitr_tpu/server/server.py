@@ -3373,7 +3373,9 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     deconvolution is embarrassingly parallel, each chip iterating
     against the replicated PSF with zero inter-chip traffic; output
     identical to streaming (dims=3 rejects the flag: a volume is one
-    fused graph). Frames stream with H2D
+    fused graph). Multi-channel (2D): one input entry per channel — each
+    channel deconvolves independently with the shared PSF into
+    ``deconvolved_c{k}.tif``. Frames stream with H2D
     overlap and page-append output (bounded memory, like every serving
     pipeline). Outputs: deconvolved.tif (float32).
 
@@ -3392,7 +3394,8 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     from sequitr_tpu.data.source import FrameSource
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    (path,) = _resolve_inputs(job)[:1]
+    paths = _resolve_inputs(job)
+    path = paths[0]
     p = job.params
     iterations = int(p.get("iterations", 20))
     sigma = float(p.get("sigma", 1.5))
@@ -3453,20 +3456,43 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         n_frames = vol.shape[0]
     else:
         try:
-            source = FrameSource(paths=[path])
+            # one entry per CHANNEL (the uniform convention); each
+            # channel deconvolves independently with the shared PSF
+            source = FrameSource(paths=paths)
         except ValueError as e:
-            raise jobs_lib.JobError(f"job {job.id}: cannot read {path}: {e}")
+            raise jobs_lib.JobError(
+                f"job {job.id}: cannot read inputs: {e}"
+            )
         source = _apply_frame_range(job, source)
-        if source.n_channels != 1:
-            raise jobs_lib.JobError("deconvolve expects a single-channel stack")
+        n_chan = source.n_channels
         kernel = psf.gaussian_psf_2d(psf_size, sigma)
         n_frames = len(source)
         use_dp = bool(p.get("data_parallel")) and jax.device_count() > 1
-        writer = _append_writer(
-            out_path,
-            float(n_frames) * np.prod(source.spatial) * 4,
-            _out_compression(job),
-        )
+        comp = _out_compression(job)
+        est = float(n_frames) * np.prod(source.spatial) * 4
+        if n_chan == 1:
+            writers = [("deconvolved", out_path,
+                        _append_writer(out_path, est, comp))]
+        else:
+            writers = []
+            for k in range(n_chan):
+                pth = os.path.join(job.output, f"deconvolved_c{k}.tif")
+                writers.append(
+                    (f"deconvolved_c{k}", pth,
+                     _append_writer(pth, est, comp))
+                )
+
+        def write_frame(got):
+            """Append one deconvolved frame: (H, W) single channel or
+            (H, W, C) multi, one page per channel writer."""
+            if n_chan == 1:
+                writers[0][2].append(got)
+            else:
+                for k in range(n_chan):
+                    writers[k][2].append(
+                        np.ascontiguousarray(got[..., k])
+                    )
+
         try:
             with source:
                 if use_dp:
@@ -3492,13 +3518,22 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                             got = np.asarray(out, np.float32)
                         with timer.phase("write"):
                             for k in range(n_real):
-                                writer.append(got[k])
+                                write_frame(got[k])
                 else:
-                    deconv = jax.jit(
-                        lambda f: psf.richardson_lucy(
-                            f.astype(jnp.float32), kernel, iterations
+                    def _rl_frame(f):
+                        f32 = f.astype(jnp.float32)
+                        if f32.ndim == 3:  # (H, W, C): per-channel RL
+                            return jax.vmap(
+                                lambda ch: psf.richardson_lucy(
+                                    ch, kernel, iterations
+                                ),
+                                in_axes=-1, out_axes=-1,
+                            )(f32)
+                        return psf.richardson_lucy(
+                            f32, kernel, iterations
                         )
-                    )
+
+                    deconv = jax.jit(_rl_frame)
                     for out in jobs_lib.track(
                         job,
                         infer_lib.stream_frames(
@@ -3510,18 +3545,25 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                         with timer.phase("fetch"):
                             got = np.asarray(out, dtype=np.float32)
                         with timer.phase("write"):
-                            writer.append(got)
+                            write_frame(got)
         except BaseException:
-            writer.abort()
+            for _name, _pth, w in writers:
+                w.abort()
             raise
-        writer.close()
+        outputs = {}
+        for name, pth, w in writers:
+            w.close()
+            outputs[name] = pth
     total_s = time.time() - t0
     metrics = dict(timer.summary(), total_s=round(total_s, 4), n_frames=n_frames)
     if dp_devices:
         metrics["n_devices"] = dp_devices
     if total_s > 0:
         metrics["frames_per_sec"] = round(n_frames / total_s, 3)
-    return {"deconvolved": out_path, "metrics": json.dumps(metrics)}
+    if dims == 3:
+        outputs = {"deconvolved": out_path}
+    outputs["metrics"] = json.dumps(metrics)
+    return outputs
 
 
 @register("evaluate_unet3d")

@@ -4843,3 +4843,53 @@ class TestAutoOverlapJob:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert "'auto'" in st["error"]
+
+
+class TestDeconvolveMultiChannel:
+    def test_per_channel_outputs_match_separate_runs(self, server_env):
+        """Multi-channel deconvolve (one entry per channel): each
+        deconvolved_c{k}.tif is identical to deconvolving that channel
+        alone; DP agrees too."""
+        import jax as _jax
+
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(9)
+        c0 = rng.gamma(2.0, 50.0, (5, 24, 24)).astype(np.float32)
+        c1 = rng.gamma(2.0, 80.0, (5, 24, 24)).astype(np.float32)
+        tiff.write_stack(str(tmp / "mc0.tif"), c0)
+        tiff.write_stack(str(tmp / "mc1.tif"), c1)
+        srv = ImageServer(cfg_srv)
+
+        def run(name, inputs, extra=None):
+            out = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "deconvolve",
+                 "params": {"iterations": 3, "sigma": 1.2,
+                            **(extra or {})},
+                 "input": inputs, "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            return st
+
+        mc = run("mc_both", [str(tmp / "mc0.tif"), str(tmp / "mc1.tif")])
+        s0 = run("mc_only0", [str(tmp / "mc0.tif")])
+        s1 = run("mc_only1", [str(tmp / "mc1.tif")])
+        a0 = np.asarray(tiff.read_stack(mc["outputs"]["deconvolved_c0"]))
+        a1 = np.asarray(tiff.read_stack(mc["outputs"]["deconvolved_c1"]))
+        b0 = np.asarray(tiff.read_stack(s0["outputs"]["deconvolved"]))
+        b1 = np.asarray(tiff.read_stack(s1["outputs"]["deconvolved"]))
+        np.testing.assert_allclose(a0, b0, atol=1e-4)
+        np.testing.assert_allclose(a1, b1, atol=1e-4)
+        if _jax.device_count() >= 2:
+            dp = run(
+                "mc_dp",
+                [str(tmp / "mc0.tif"), str(tmp / "mc1.tif")],
+                {"data_parallel": True},
+            )
+            d0 = np.asarray(
+                tiff.read_stack(dp["outputs"]["deconvolved_c0"])
+            )
+            np.testing.assert_allclose(d0, b0, atol=1e-4)
