@@ -1720,7 +1720,7 @@ class TestTrainPipelines:
         assert srv.poll_once()
         st3 = json.load(open(os.path.join(out2, "status.json")))
         assert st3["state"] == "failed"
-        assert "keep_best requires" in st3["error"]
+        assert "keep_best/early_stop_patience requires" in st3["error"]
 
 
 
