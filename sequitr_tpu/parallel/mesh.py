@@ -380,12 +380,8 @@ def make_dp_deconvolver(
     kern = jnp.asarray(kernel)
 
     def one(frame):
-        f32 = frame.astype(jnp.float32)
-        if f32.ndim == 3:  # (H, W, C): per-channel RL, shared PSF
-            return jax.vmap(
-                lambda ch: psf.richardson_lucy(ch, kern, iterations),
-                in_axes=-1, out_axes=-1,
-            )(f32)
-        return psf.richardson_lucy(f32, kern, iterations)
+        # channel-aware: (H, W) or (H, W, C), ONE definition shared
+        # with the streaming path (psf.richardson_lucy_frame)
+        return psf.richardson_lucy_frame(frame, kern, iterations)
 
     return jax.jit(jax.vmap(one), in_shardings=shd, out_shardings=shd)

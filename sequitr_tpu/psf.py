@@ -34,6 +34,7 @@ __all__ = [
     "gaussian_psf_3d",
     "psf_convolve",
     "richardson_lucy",
+    "richardson_lucy_frame",
     "detect_peaks",
     "fit_peaks_gaussian",
     "localize_emitters",
@@ -96,6 +97,23 @@ def psf_convolve(image: jnp.ndarray, psf: jnp.ndarray) -> jnp.ndarray:
         s=shape,
     )
     return out
+
+
+def richardson_lucy_frame(
+    frame: jnp.ndarray, psf: jnp.ndarray, iterations: int = 20
+) -> jnp.ndarray:
+    """Channel-aware Richardson–Lucy: (H, W) deconvolves directly,
+    (H, W, C) deconvolves each channel independently against the shared
+    PSF (in-graph vmap over the trailing axis). ONE definition serves
+    the streaming and DP serving paths so their channel semantics
+    cannot diverge."""
+    f32 = frame.astype(jnp.float32)
+    if f32.ndim == psf.ndim + 1:
+        return jax.vmap(
+            lambda ch: richardson_lucy(ch, psf, iterations),
+            in_axes=-1, out_axes=-1,
+        )(f32)
+    return richardson_lucy(f32, psf, iterations)
 
 
 def richardson_lucy(

@@ -3410,6 +3410,11 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     t0 = time.time()
     out_path = os.path.join(job.output, "deconvolved.tif")
     dp_devices = 0
+    if dims == 3 and len(paths) > 1:
+        raise jobs_lib.JobError(
+            "multi-channel deconvolution is 2D-only (one entry per "
+            "channel); deconvolve dims=3 volumes one channel per job"
+        )
     if dims == 3 and p.get("data_parallel"):
         raise jobs_lib.JobError(
             "data_parallel deconvolution is 2D-only (a dims=3 volume is "
@@ -3461,7 +3466,7 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             source = FrameSource(paths=paths)
         except ValueError as e:
             raise jobs_lib.JobError(
-                f"job {job.id}: cannot read inputs: {e}"
+                f"job {job.id}: cannot read inputs {paths}: {e}"
             )
         source = _apply_frame_range(job, source)
         n_chan = source.n_channels
@@ -3470,30 +3475,29 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         use_dp = bool(p.get("data_parallel")) and jax.device_count() > 1
         comp = _out_compression(job)
         est = float(n_frames) * np.prod(source.spatial) * 4
-        if n_chan == 1:
-            writers = [("deconvolved", out_path,
-                        _append_writer(out_path, est, comp))]
-        else:
-            writers = []
-            for k in range(n_chan):
-                pth = os.path.join(job.output, f"deconvolved_c{k}.tif")
-                writers.append(
-                    (f"deconvolved_c{k}", pth,
-                     _append_writer(pth, est, comp))
-                )
+        names = (
+            ["deconvolved"]
+            if n_chan == 1
+            else [f"deconvolved_c{k}" for k in range(n_chan)]
+        )
+        writers = []  # created inside the abort guard: a failed k-th
+        # open must not leak writers 0..k-1's fds and .tmp files
 
         def write_frame(got):
-            """Append one deconvolved frame: (H, W) single channel or
-            (H, W, C) multi, one page per channel writer."""
-            if n_chan == 1:
-                writers[0][2].append(got)
-            else:
-                for k in range(n_chan):
-                    writers[k][2].append(
-                        np.ascontiguousarray(got[..., k])
-                    )
+            """Append one deconvolved frame, one page per channel
+            writer ((H, W) is just the single-channel view)."""
+            chans = got[..., None] if got.ndim == 2 else got
+            for k, (_n, _p, w) in enumerate(writers):
+                w.append(np.ascontiguousarray(chans[..., k]))
 
         try:
+            for name in names:
+                pth = (
+                    out_path
+                    if name == "deconvolved"
+                    else os.path.join(job.output, f"{name}.tif")
+                )
+                writers.append((name, pth, _append_writer(pth, est, comp)))
             with source:
                 if use_dp:
                     # frames sharded over the mesh: per-frame RL
@@ -3520,20 +3524,11 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                             for k in range(n_real):
                                 write_frame(got[k])
                 else:
-                    def _rl_frame(f):
-                        f32 = f.astype(jnp.float32)
-                        if f32.ndim == 3:  # (H, W, C): per-channel RL
-                            return jax.vmap(
-                                lambda ch: psf.richardson_lucy(
-                                    ch, kernel, iterations
-                                ),
-                                in_axes=-1, out_axes=-1,
-                            )(f32)
-                        return psf.richardson_lucy(
-                            f32, kernel, iterations
+                    deconv = jax.jit(
+                        lambda f: psf.richardson_lucy_frame(
+                            f, kernel, iterations
                         )
-
-                    deconv = jax.jit(_rl_frame)
+                    )
                     for out in jobs_lib.track(
                         job,
                         infer_lib.stream_frames(

@@ -4893,3 +4893,23 @@ class TestDeconvolveMultiChannel:
                 tiff.read_stack(dp["outputs"]["deconvolved_c0"])
             )
             np.testing.assert_allclose(d0, b0, atol=1e-4)
+
+    def test_volume_multi_entry_rejected(self, server_env):
+        """dims=3 with multiple entries must fail loudly, not silently
+        deconvolve only the first file (review finding)."""
+        cfg_srv, tmp = server_env
+        for n in ("v0", "v1"):
+            tiff.write_stack(
+                str(tmp / f"{n}.tif"), np.zeros((4, 16, 16), np.float32)
+            )
+        out = str(tmp / "mc3d_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "deconvolve", "params": {"dims": 3},
+             "input": [str(tmp / "v0.tif"), str(tmp / "v1.tif")],
+             "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "2D-only" in st["error"]
