@@ -467,6 +467,32 @@ def bench_register(device_kind: str, iters: int):
             "unit": "frames/sec/chip"}
 
 
+def bench_register_batch(device_kind: str, iters: int):
+    """Frame-batched first-mode registration (register_stack
+    frame_batch): 8 small (256²) frames correlated + resampled against
+    one reference per dispatch — the dispatch-amortization knob built
+    for small frames (NEXT.md). Compare frames/sec with `register`
+    (one 1024² frame per dispatch) for the amortization factor."""
+    import jax.numpy as jnp
+
+    from sequitr_tpu.ops import registration as reg
+
+    b, s = 8, 256
+    frames = jnp.asarray(
+        np.random.default_rng(5).gamma(
+            2.0, 100.0, (b, s, s)
+        ).astype(np.float32)
+    )
+    ref = frames[0]
+
+    def one():
+        return reg.register_batch(ref, frames)[0]
+
+    rate = _rate(one, iters)
+    return {"metric": "register_batch8_256", "value": round(rate * b, 3),
+            "unit": "frames/sec/chip"}
+
+
 def bench_mosaic(device_kind: str, iters: int):
     """Mosaic seam estimation (stitch_mosaic's device path): a 3x3 grid
     of 512² tiles — all 6 horizontal seams phase-correlated in one
@@ -505,6 +531,7 @@ CONFIGS = {
     "emitters3d": bench_emitters3d,
     "astig": bench_astig,
     "register": bench_register,
+    "registerbatch": bench_register_batch,
     "mosaic": bench_mosaic,
 }
 
@@ -552,6 +579,7 @@ def _fidelity_spec(name: str):
         "emitters3d": ("emit3d", lambda: fid.emitter3d_fidelity()),
         "astig": ("astig", lambda: fid.astig_fidelity()),
         "register": ("reg", lambda: fid.register_fidelity()),
+        "registerbatch": ("reg", lambda: fid.register_fidelity()),
         "mosaic": ("mosaic", lambda: fid.mosaic_fidelity()),
     }
     return specs.get(name)
