@@ -244,6 +244,7 @@ class FrameSource:
         self.spatial: Tuple[int, int] = (h, w)
         self.n_channels = max(len(self._readers), len(self._eager))
         self._start = 0
+        self._roi: Optional[Tuple[int, int, int, int]] = None
 
     def select(self, start: int, stop: Optional[int] = None) -> "FrameSource":
         """Restrict to frames [start, stop) of the underlying stack.
@@ -260,6 +261,26 @@ class FrameSource:
             )
         self._start = start
         self.n_frames = stop - start
+        return self
+
+    def crop(self, y0: int, x0: int, y1: int, x1: int) -> "FrameSource":
+        """Restrict frames to the [y0:y1, x0:x1] region (ROI serving).
+
+        TIFF strips span full rows, so frames decode whole and crop on
+        the HOST before the H2D copy — the transfer, the compiled graph
+        and every output see only the ROI (coordinates in outputs are
+        ROI-local). Coordinates are absolute in the ORIGINAL frame;
+        calling ``crop`` again replaces, not composes. Returns self for
+        chaining; ``spatial`` reflects the crop."""
+        h, w = self._shapes[0][1:]
+        y0, x0, y1, x1 = int(y0), int(x0), int(y1), int(x1)
+        if not (0 <= y0 < y1 <= h and 0 <= x0 < x1 <= w):
+            raise ValueError(
+                f"roi [{y0}:{y1}, {x0}:{x1}] out of bounds for "
+                f"{h}x{w} frames"
+            )
+        self._roi = (y0, x0, y1, x1)
+        self.spatial = (y1 - y0, x1 - x0)
         return self
 
     @property
@@ -292,8 +313,13 @@ class FrameSource:
         # fused graph (infer._normalize). Consumers doing host math cast
         # explicitly.
         if self._readers and self._readers[c] is not None:
-            return np.asarray(self._readers[c].read_frame(t))
-        return np.asarray(self._eager[c][t])
+            out = np.asarray(self._readers[c].read_frame(t))
+        else:
+            out = np.asarray(self._eager[c][t])
+        if self._roi is not None:
+            y0, x0, y1, x1 = self._roi
+            out = out[y0:y1, x0:x1]
+        return out
 
     def frame(self, t: int) -> np.ndarray:
         """Frame t in its native dtype: (H, W) single-channel, (H, W, C) else."""

@@ -805,7 +805,7 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     except ValueError as e:
         # unreadable input is deterministic — fail fast, never retry
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
-    source = _apply_frame_range(job, source)
+    source = _apply_roi(job, _apply_frame_range(job, source))
 
     cfg, params, state = _require_model(job, config, "unet")
     if cfg.in_channels != source.n_channels:
@@ -1034,7 +1034,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         source = FrameSource(paths=paths)
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
-    source = _apply_frame_range(job, source)
+    source = _apply_roi(job, _apply_frame_range(job, source))
 
     cfg, params, state, tc = _gan_setup(job, config, source)
 
@@ -1321,6 +1321,33 @@ def _run_frames(cfg, tc, params, state, source, job_params):
     yield from infer_lib.infer_stack(
         fn, params, state, source.frames(), fetch_probs=want_probs
     )
+
+
+def _apply_roi(job: Job, source):
+    """Restrict a FrameSource to the job's ``roi: [y0, x0, y1, x1]``
+    (end-exclusive, absolute in the original frame). Frames crop on the
+    host before H2D, so the transfer and the compiled graph only see
+    the region — serving a subregion of giant frames costs
+    proportionally less. ALL outputs (label maps, coords) are ROI-LOCAL
+    by design: they stay self-consistent with each other; splice back
+    with the roi origin if original-frame coordinates are needed."""
+    roi = job.params.get("roi")
+    if roi is None:
+        return source
+    if not isinstance(roi, (list, tuple)) or len(roi) != 4:
+        raise jobs_lib.JobError(
+            f"roi={roi!r} must be [y0, x0, y1, x1] (end-exclusive)"
+        )
+    try:
+        y0, x0, y1, x1 = (int(v) for v in roi)
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"roi={roi!r} must be [y0, x0, y1, x1] (end-exclusive)"
+        )
+    try:
+        return source.crop(y0, x0, y1, x1)
+    except ValueError as e:
+        raise jobs_lib.JobError(f"bad roi: {e}")
 
 
 def _apply_frame_range(job: Job, source):
@@ -2514,7 +2541,7 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
         source = FrameSource(paths=[path])
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read {path}: {e}")
-    source = _apply_frame_range(job, source)
+    source = _apply_roi(job, _apply_frame_range(job, source))
 
     max_peaks = int(p.get("max_peaks", 256))
     min_distance = int(p.get("min_distance", 2))
@@ -3468,7 +3495,7 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             raise jobs_lib.JobError(
                 f"job {job.id}: cannot read inputs {paths}: {e}"
             )
-        source = _apply_frame_range(job, source)
+        source = _apply_roi(job, _apply_frame_range(job, source))
         n_chan = source.n_channels
         kernel = psf.gaussian_psf_2d(psf_size, sigma)
         n_frames = len(source)

@@ -728,3 +728,51 @@ class TestPrefetch:
         assert len(out) == 6
         for i, o in enumerate(out):
             np.testing.assert_array_equal(np.asarray(o["x"]), items[i]["x"])
+
+
+class TestFrameSourceCrop:
+    def test_crop_views_region(self, tmp_path):
+        from sequitr_tpu.data import tiff
+        from sequitr_tpu.data.source import FrameSource
+
+        rng = np.random.default_rng(3)
+        stack = rng.random((4, 32, 40)).astype(np.float32)
+        p = str(tmp_path / "c.tif")
+        tiff.write_stack(p, stack)
+        with FrameSource(paths=[p]).crop(4, 6, 20, 30) as src:
+            assert src.spatial == (16, 24)
+            np.testing.assert_array_equal(
+                src.frame(2), stack[2, 4:20, 6:30]
+            )
+            # chunks and frame_range compose with the crop
+            src.select(1, 3)
+            chunk = next(iter(src.chunks(2)))
+            assert chunk.shape == (2, 16, 24)
+            np.testing.assert_array_equal(chunk[0], stack[1, 4:20, 6:30])
+
+    def test_crop_multichannel_and_array(self, tmp_path):
+        from sequitr_tpu.data import tiff
+        from sequitr_tpu.data.source import FrameSource
+
+        rng = np.random.default_rng(4)
+        a = rng.random((3, 16, 16)).astype(np.float32)
+        b = rng.random((3, 16, 16)).astype(np.float32)
+        pa, pb = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+        tiff.write_stack(pa, a)
+        tiff.write_stack(pb, b)
+        with FrameSource(paths=[pa, pb]).crop(2, 3, 10, 12) as src:
+            f = src.frame(1)
+            assert f.shape == (8, 9, 2)
+            np.testing.assert_array_equal(f[..., 0], a[1, 2:10, 3:12])
+        src2 = FrameSource(array=a).crop(0, 0, 8, 8)
+        np.testing.assert_array_equal(src2.frame(0), a[0, :8, :8])
+
+    def test_crop_bounds_validated(self):
+        from sequitr_tpu.data.source import FrameSource
+
+        src = FrameSource(array=np.zeros((2, 16, 16), np.float32))
+        import pytest as _pytest
+
+        for bad in [(0, 0, 17, 16), (-1, 0, 8, 8), (8, 0, 8, 8)]:
+            with _pytest.raises(ValueError, match="roi"):
+                src.crop(*bad)

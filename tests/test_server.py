@@ -4913,3 +4913,88 @@ class TestDeconvolveMultiChannel:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert "2D-only" in st["error"]
+
+
+class TestRoiServing:
+    def test_localize_roi_coords_are_roi_local(self, server_env):
+        """roi on localize_emitters: only emitters inside the region are
+        found, at ROI-local coordinates (full-run coords minus origin);
+        the graph never sees the rest of the frame."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(11)
+        frame = rng.normal(10.0, 0.5, (64, 64)).astype(np.float32)
+        yy, xx = np.mgrid[:64, :64]
+        truth = [(14.3, 20.6), (46.2, 50.4)]  # one in the roi, one out
+        for cy, cx in truth:
+            frame += 150.0 * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 1.4**2)
+            )
+        path = str(tmp / "roi_em.tif")
+        tiff.write_stack(path, frame[None])
+        srv = ImageServer(cfg_srv)
+        out = str(tmp / "roi_em_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "localize_emitters",
+             "params": {"threshold": 60, "roi": [4, 8, 32, 40]},
+             "input": [path], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        rows = open(st["outputs"]["emitters"]).read().strip().split("\n")
+        assert len(rows) == 2  # header + ONE emitter (the in-roi one)
+        t, y, x, a, b = (float(v) for v in rows[1].split(","))
+        assert abs(y - (14.3 - 4)) < 0.05 and abs(x - (20.6 - 8)) < 0.05
+
+    def test_segmentation_roi_output_shape(self, server_env):
+        from sequitr_tpu.models import unet as unet_lib
+
+        cfg_srv, tmp = server_env
+        cfg = unet_lib.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=2,
+            norm="none", compute_dtype=jnp.float32,
+        )
+        params, state = unet_lib.init(jax.random.PRNGKey(0), cfg)
+        save_model(cfg_srv.models_dir, "roim", "unet", cfg, params, state)
+        stack = np.random.default_rng(12).normal(
+            0.1, 0.05, (2, 64, 64)
+        ).astype(np.float32)
+        path = str(tmp / "roi_seg.tif")
+        tiff.write_stack(path, stack)
+        out = str(tmp / "roi_seg_out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "segmentation_unet2d",
+             "params": {"model": "roim", "roi": [8, 8, 40, 56]},
+             "input": [path], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        labels = np.asarray(tiff.read_stack(st["outputs"]["labels"]))
+        assert labels.shape == (2, 32, 48)
+
+    @pytest.mark.parametrize(
+        "roi,frag",
+        [
+            ([1, 2, 3], "must be"),
+            ([0, 0, 999, 10], "bad roi"),
+            (["a", 0, 8, 8], "must be"),
+        ],
+    )
+    def test_roi_validation(self, server_env, roi, frag):
+        cfg_srv, tmp = server_env
+        path = str(tmp / "roiv.tif")
+        tiff.write_stack(path, np.zeros((1, 16, 16), np.float32))
+        out = str(tmp / f"roiv_{frag[:4]}_{len(str(roi))}")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "localize_emitters",
+             "params": {"threshold": 10, "roi": roi},
+             "input": [path], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert frag in st["error"]
