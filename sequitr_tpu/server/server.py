@@ -1334,20 +1334,25 @@ def _apply_roi(job: Job, source):
     roi = job.params.get("roi")
     if roi is None:
         return source
-    if not isinstance(roi, (list, tuple)) or len(roi) != 4:
-        raise jobs_lib.JobError(
-            f"roi={roi!r} must be [y0, x0, y1, x1] (end-exclusive)"
-        )
-    try:
-        y0, x0, y1, x1 = (int(v) for v in roi)
-    except (TypeError, ValueError):
-        raise jobs_lib.JobError(
-            f"roi={roi!r} must be [y0, x0, y1, x1] (end-exclusive)"
-        )
+    y0, x0, y1, x1 = _parse_roi_values(job, roi, "roi")
     try:
         return source.crop(y0, x0, y1, x1)
     except ValueError as e:
         raise jobs_lib.JobError(f"bad roi: {e}")
+
+
+def _parse_roi_values(job: Job, roi, param: str):
+    """Validated [y0, x0, y1, x1] ints (bounds checked by crop())."""
+    if not isinstance(roi, (list, tuple)) or len(roi) != 4:
+        raise jobs_lib.JobError(
+            f"{param}={roi!r} must be [y0, x0, y1, x1] (end-exclusive)"
+        )
+    try:
+        return tuple(int(v) for v in roi)
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"{param}={roi!r} must be [y0, x0, y1, x1] (end-exclusive)"
+        )
 
 
 def _apply_frame_range(job: Job, source):
@@ -3791,6 +3796,12 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       batched dispatch per device-count chunk with zero inter-chip
       traffic. ``previous`` mode integrates an anchor chain serially and
       rejects the flag. 2D only (volume sequences are few-timepoint).
+    * ``estimate_roi`` ([y0, x0, y1, x1], 2D only): estimate the drift
+      from a STABLE SUBREGION (fiducial marks, adherent patch) instead
+      of the whole frame — estimation FFTs shrink to the ROI while the
+      trajectory resamples FULL frames. Per-frame motion beyond half
+      the ROI is unrecoverable (the mod-N period follows the
+      estimation window).
     * ``frame_batch`` (default 1): frames per dispatch in ``first``
       mode — batches the correlation (and fused resample) to amortize
       per-dispatch overhead on small frames; composes with
@@ -3874,6 +3885,10 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 "data_parallel registration is 2D-only (volume sequences "
                 "are few-timepoint; shifts ride channel 0 serially)"
             )
+        if p.get("estimate_roi") is not None:
+            raise jobs_lib.JobError(
+                "estimate_roi registration is 2D-only"
+            )
         try:
             fb3 = int(p.get("frame_batch", 1) or 1)
         except (TypeError, ValueError):
@@ -3916,6 +3931,9 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     use_dp = dp_param and _jax.device_count() > 1
     use_batch = use_dp or frame_batch > 1
+    est_roi = p.get("estimate_roi")
+    if est_roi is not None:
+        est_roi = _parse_roi_values(job, est_roi, "estimate_roi")
     reject_stats = {"n": 0}  # min_response rejections (2D estimators)
 
     paths = _resolve_inputs(job)
@@ -3949,10 +3967,12 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         for frame in src.frames():
             ch0 = frame[..., 0] if frame.ndim == 3 else frame
             if anchor is None:
+                # window sized from the frames actually served (an
+                # estimate_roi source streams ROI-sized frames)
                 win = (
-                    reg_lib.hann2d((h, w))
+                    reg_lib.hann2d(ch0.shape)
                     if window
-                    else jnp.ones((h, w), jnp.float32)
+                    else jnp.ones(ch0.shape, jnp.float32)
                 )
                 anchor = jnp.fft.fft2(ch0.astype(np.float32) * win)
                 yield frame, zero, zero, None, None
@@ -4148,24 +4168,43 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     def unwrapped_cums():
         """The physical (mod-N-resolved) trajectory; resampling is
-        unaffected by wrapping, but crop selection and shifts.csv are."""
+        unaffected by wrapping, but crop selection and shifts.csv are.
+        The mod-N period is the ESTIMATION frame size — with
+        estimate_roi the estimates wrap at the ROI dims, not the
+        frame's."""
+        period = (
+            (est_roi[2] - est_roi[0], est_roi[3] - est_roi[1])
+            if est_roi is not None
+            else (h, w)
+        )
         return reg_lib.unwrap_trajectory(
-            np.stack([c for c, _, _ in shifts_rows]), (h, w)
+            np.stack([c for c, _, _ in shifts_rows]), period
         )
 
     with source:
         try:
             if align_channels:
                 measure_chan_offsets()
-            if estimate_only or crop:
+            if estimate_only or crop or est_roi is not None:
                 # pass 1: estimate the trajectory only — on channel 0
                 # alone (multi-channel stacks skip reading the rest),
-                # with the fused resample compiled out (resample=False)
-                if source.n_channels > 1:
+                # with the fused resample compiled out (resample=False).
+                # estimate_roi crops the ESTIMATION source (drift is
+                # measured on a stable subregion, with ROI-sized FFTs)
+                # while pass 2 resamples FULL frames by the trajectory.
+                if source.n_channels > 1 or est_roi is not None:
                     # separate channel-0 source: close after pass 1
                     est_source = _apply_frame_range(
                         job, FrameSource(paths=[paths[0]])
                     )
+                    if est_roi is not None:
+                        try:
+                            est_source.crop(*est_roi)
+                        except ValueError as e:
+                            est_source.close()
+                            raise jobs_lib.JobError(
+                                f"bad estimate_roi: {e}"
+                            )
                 else:
                     # pass 2 re-streams `source`: it must stay open
                     est_source = source

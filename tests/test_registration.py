@@ -836,6 +836,73 @@ class TestRegisterBatchDP:
         assert status["state"] == "failed"
         assert "serial" in status["error"]
 
+    def test_estimate_roi_matches_full_estimation(self, server_env):
+        """estimate_roi: drift estimated from a subregion, FULL frames
+        resampled — byte-identical to whole-frame estimation in integer
+        mode on content-rich scenes; shifts.csv agrees."""
+        cfg, tmp = server_env
+        rng = np.random.default_rng(47)
+        img = smooth_image((64, 64), seed=47)
+        truth = np.cumsum(rng.integers(-2, 3, (6, 2)), 0)
+        truth[0] = 0
+        frames = np.stack(
+            [np.roll(img, tuple(d), axis=(0, 1)) for d in truth]
+        )
+        tiff.write_stack(str(tmp / "er_stack.tif"), frames)
+        outs = {}
+        for name, extra in (
+            ("roi", {"estimate_roi": [8, 8, 56, 56]}),
+            ("full", {}),
+        ):
+            out = str(tmp / f"er_{name}")
+            submit_job(
+                cfg.jobs_dir,
+                {
+                    "module": "register_stack",
+                    "params": dict({"subpixel": False}, **extra),
+                    "input": [str(tmp / "er_stack.tif")],
+                    "output": out,
+                },
+            )
+            status = run_job(cfg, out)
+            assert status["state"] == "complete", status.get("error")
+            outs[name] = out
+        a = tiff.read_stack(os.path.join(outs["roi"], "registered.tif"))
+        b = tiff.read_stack(os.path.join(outs["full"], "registered.tif"))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # output frames are FULL size, not the roi
+        assert np.asarray(a).shape[1:] == (64, 64)
+        sa = np.loadtxt(
+            os.path.join(outs["roi"], "shifts.csv"),
+            delimiter=",", skiprows=1, usecols=(1, 2),
+        )
+        sb = np.loadtxt(
+            os.path.join(outs["full"], "shifts.csv"),
+            delimiter=",", skiprows=1, usecols=(1, 2),
+        )
+        np.testing.assert_allclose(sa, sb, atol=0.2)
+
+    def test_estimate_roi_rejected_for_volumes(self, server_env):
+        cfg, tmp = server_env
+        d = tmp / "er3d"
+        d.mkdir()
+        tiff.write_stack(
+            str(d / "t_0.tif"), np.zeros((4, 16, 16), np.float32)
+        )
+        out = str(tmp / "er3d_out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"dims": 3, "estimate_roi": [0, 0, 8, 8]},
+                "input": [str(d)],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "failed"
+        assert "2D-only" in status["error"]
+
     def test_frame_batch_rejected_for_volumes(self, server_env):
         cfg, tmp = server_env
         d = tmp / "fb3d"
