@@ -1334,14 +1334,14 @@ def _apply_roi(job: Job, source):
     roi = job.params.get("roi")
     if roi is None:
         return source
-    y0, x0, y1, x1 = _parse_roi_values(job, roi, "roi")
+    y0, x0, y1, x1 = _parse_roi_values(roi, "roi")
     try:
         return source.crop(y0, x0, y1, x1)
     except ValueError as e:
         raise jobs_lib.JobError(f"bad roi: {e}")
 
 
-def _parse_roi_values(job: Job, roi, param: str):
+def _parse_roi_values(roi, param: str):
     """Validated [y0, x0, y1, x1] ints (bounds checked by crop())."""
     if not isinstance(roi, (list, tuple)) or len(roi) != 4:
         raise jobs_lib.JobError(
@@ -2216,6 +2216,10 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     from sequitr_tpu.data import tiff
     from sequitr_tpu.pipeline import infer as infer_lib
 
+    if job.params.get("roi") is not None:
+        raise jobs_lib.JobError(
+            "roi serving is 2D-only (crop the volume upstream)"
+        )
     # one TIFF per channel, stacked on the trailing axis — the same
     # multi-fluorophore convention as the 2D pipeline (SURVEY.md §2)
     paths = _resolve_inputs(job)
@@ -2536,6 +2540,8 @@ def localize_emitters_job(job: Job, config: ServerConfiguration) -> Dict[str, st
             "with dims=3 volumetric input"
         )
     if dims == 3:
+        if p.get("roi") is not None:
+            raise jobs_lib.JobError("roi localization is 2D-only")
         return _localize_volume_timelapse(job, path)
     if dims != 2:
         raise jobs_lib.JobError(f"dims={dims} (expected 2 or 3)")
@@ -3442,6 +3448,8 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     t0 = time.time()
     out_path = os.path.join(job.output, "deconvolved.tif")
     dp_devices = 0
+    if dims == 3 and p.get("roi") is not None:
+        raise jobs_lib.JobError("roi deconvolution is 2D-only")
     if dims == 3 and len(paths) > 1:
         raise jobs_lib.JobError(
             "multi-channel deconvolution is 2D-only (one entry per "
@@ -3889,6 +3897,11 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             raise jobs_lib.JobError(
                 "estimate_roi registration is 2D-only"
             )
+    if p.get("roi") is not None:
+        raise jobs_lib.JobError(
+            "register_stack takes estimate_roi (drift from a stable "
+            "subregion; FULL frames are resampled), not roi"
+        )
         try:
             fb3 = int(p.get("frame_batch", 1) or 1)
         except (TypeError, ValueError):
@@ -3933,7 +3946,7 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     use_batch = use_dp or frame_batch > 1
     est_roi = p.get("estimate_roi")
     if est_roi is not None:
-        est_roi = _parse_roi_values(job, est_roi, "estimate_roi")
+        est_roi = _parse_roi_values(est_roi, "estimate_roi")
     reject_stats = {"n": 0}  # min_response rejections (2D estimators)
 
     paths = _resolve_inputs(job)
@@ -4239,12 +4252,21 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                         except ValueError as e:
                             raise jobs_lib.JobError(str(e))
                     names = open_writers(ys, xs)
-                    # pass 2: apply + crop (lazy readers re-stream the stack)
-                    rows = iter(shifts_rows)
+                    # pass 2: apply + crop (lazy readers re-stream the
+                    # stack). UNWRAPPED shifts: estimates are canonical
+                    # mod the ESTIMATION window — identical operators
+                    # for whole-frame estimation (the resample is
+                    # wrap-invariant at the frame period) but off by a
+                    # multiple of the ROI size under estimate_roi.
+                    # (In practice first-mode ROI estimates degrade and
+                    # are min_response-gated before cleanly wrapping;
+                    # unwrapped application covers the periodic-content
+                    # edge case where they do wrap cleanly.)
+                    rows = iter(unwrapped_cums())
                     for frame in jobs_lib.track(
                         job, source.frames(), total=n_frames, phase="frames"
                     ):
-                        cum, _, _ = next(rows)
+                        cum = next(rows)
                         with timer.phase("infer"):
                             shifted = apply_cum(frame, cum)
                         write_frame(shifted, ys, xs)

@@ -882,6 +882,25 @@ class TestRegisterBatchDP:
         )
         np.testing.assert_allclose(sa, sb, atol=0.2)
 
+    def test_plain_roi_rejected(self, server_env):
+        cfg, tmp = server_env
+        tiff.write_stack(
+            str(tmp / "pr.tif"), np.zeros((3, 32, 32), np.float32)
+        )
+        out = str(tmp / "pr_out")
+        submit_job(
+            cfg.jobs_dir,
+            {
+                "module": "register_stack",
+                "params": {"roi": [0, 0, 16, 16]},
+                "input": [str(tmp / "pr.tif")],
+                "output": out,
+            },
+        )
+        status = run_job(cfg, out)
+        assert status["state"] == "failed"
+        assert "estimate_roi" in status["error"]
+
     def test_estimate_roi_rejected_for_volumes(self, server_env):
         cfg, tmp = server_env
         d = tmp / "er3d"
