@@ -3897,11 +3897,6 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             raise jobs_lib.JobError(
                 "estimate_roi registration is 2D-only"
             )
-    if p.get("roi") is not None:
-        raise jobs_lib.JobError(
-            "register_stack takes estimate_roi (drift from a stable "
-            "subregion; FULL frames are resampled), not roi"
-        )
         try:
             fb3 = int(p.get("frame_batch", 1) or 1)
         except (TypeError, ValueError):
@@ -3919,6 +3914,11 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         )
     if dims != 2:
         raise jobs_lib.JobError(f"dims={dims} must be 2 or 3")
+    if p.get("roi") is not None:
+        raise jobs_lib.JobError(
+            "register_stack takes estimate_roi (drift from a stable "
+            "subregion; FULL frames are resampled), not roi"
+        )
     if dp_param and mode != "first":
         raise jobs_lib.JobError(
             "data_parallel registration needs mode='first': 'previous' "
