@@ -268,3 +268,78 @@ class TestRegistrationProperties:
             sly, slx = reg.common_crop(unwrapped, (n, n))
             for sl in (sly, slx):
                 assert 0 <= sl.start < sl.stop <= n
+
+
+class TestMosaicProperties:
+    """Randomized invariants of the stitching stack (grid shapes,
+    overlaps and jitters the unit suite doesn't pin)."""
+
+    @staticmethod
+    def _setup(seed):
+        from sequitr_tpu.data.synthetic import bandlimited_scene
+        from sequitr_tpu.ops import registration as reg
+
+        rng = np.random.default_rng(seed)
+        r = int(rng.integers(1, 4))
+        c = int(rng.integers(1, 4))
+        if r * c == 1:
+            c = 2
+        h = int(rng.integers(80, 140))
+        w = int(rng.integers(80, 140))
+        ov = int(rng.integers(16, min(h, w) // 2))
+        jitter = float(rng.uniform(0.5, 2.0))
+        scene = bandlimited_scene(
+            ((r - 1) * (h - ov) + h + 16, (c - 1) * (w - ov) + w + 16),
+            rng, amp=60.0,
+        )
+        tiles, pos = [], []
+        for ri in range(r):
+            for ci in range(c):
+                jy = jx = 0.0
+                if (ri, ci) != (0, 0):
+                    jy, jx = rng.uniform(-jitter, jitter, 2)
+                y0, x0 = ri * (h - ov) + 8 + jy, ci * (w - ov) + 8 + jx
+                iy, ix = int(np.floor(y0)), int(np.floor(x0))
+                sh = np.asarray(
+                    reg.apply_shift(
+                        jnp.asarray(scene),
+                        jnp.asarray([iy - y0, ix - x0], jnp.float32),
+                    )
+                )
+                tiles.append(sh[iy : iy + h, ix : ix + w])
+                pos.append((y0, x0))
+        return (r, c), ov, np.stack(tiles), np.asarray(pos)
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_positions_recovered(self, seed):
+        from sequitr_tpu import mosaic
+
+        grid, ov, tiles, pos = self._setup(100 + seed)
+        res = mosaic.stitch_grid(tiles, grid, overlap=ov, blend=False)
+        rel = pos - pos.min(axis=0, keepdims=True)
+        assert np.abs(res.positions - rel).max() < 0.1, (grid, ov)
+        assert res.rms_residual < 0.1
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_gain_solver_inverts_random_gains(self, seed):
+        from sequitr_tpu import mosaic
+
+        grid, ov, tiles, _ = self._setup(200 + seed)
+        rng = np.random.default_rng(300 + seed)
+        g = rng.uniform(0.6, 1.5, len(tiles)).astype(np.float32)
+        g /= np.exp(np.log(g).mean())
+        got = mosaic.solve_tile_gains(
+            tiles * g[:, None, None], grid, (ov, ov)
+        )
+        np.testing.assert_allclose(got * g, 1.0, atol=0.05)
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_overlap_estimated_within_jitter(self, seed):
+        from sequitr_tpu import mosaic
+
+        grid, ov, tiles, _ = self._setup(400 + seed)
+        est = mosaic.estimate_overlap(tiles, grid)
+        if grid[0] > 1:
+            assert abs(est[0] - ov) <= 4, (grid, ov, est)
+        if grid[1] > 1:
+            assert abs(est[1] - ov) <= 4, (grid, ov, est)
