@@ -58,6 +58,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from sequitr_tpu.ops import illumination as illum_lib
 from sequitr_tpu.ops import registration as reg_lib
 
 __all__ = [
@@ -174,26 +175,10 @@ def estimate_flatfield(tiles: np.ndarray, order: int = 2) -> np.ndarray:
     """
     if tiles.ndim != 3:
         raise ValueError(f"tiles must be (N, H, W), got {tiles.shape}")
-    if not 1 <= order <= 6:
-        raise ValueError(f"order={order} must be in [1, 6]")
-    med = np.median(tiles, axis=0).astype(np.float64)
-    h, w = med.shape
-    y = np.linspace(-1.0, 1.0, h)
-    x = np.linspace(-1.0, 1.0, w)
-    yy, xx = np.meshgrid(y, x, indexing="ij")
-    terms = [
-        (yy**i * xx**j).reshape(-1)
-        for i in range(order + 1)
-        for j in range(order + 1 - i)
-    ]
-    a = np.stack(terms, axis=1)
-    coef, *_ = np.linalg.lstsq(a, med.reshape(-1), rcond=None)
-    prof = (a @ coef).reshape(h, w)
-    mean = prof.mean()
-    if not np.isfinite(mean) or mean <= 0:
-        return np.ones((h, w), np.float32)
-    prof /= mean
-    return np.maximum(prof, 0.05).astype(np.float32)
+    # shared with timelapse correction (ops.illumination): a mosaic's
+    # tiles and a timelapse's frames are both "many views through one
+    # optical path", so the estimator is the same
+    return illum_lib.fit_shading(tiles, order=order)
 
 
 def estimate_overlap(

@@ -6,6 +6,7 @@
 - ``losses``: weighted softmax CE, GAN losses, IoU/Dice metrics
 - ``weightmaps``: host-side Ronneberger weight-map precompute
 - ``registration``: FFT phase-correlation drift correction
+- ``illumination``: retrospective flat-field + photobleach compensation
 - ``pallas``: hand-written Pallas TPU kernels for the hot paths
 """
 

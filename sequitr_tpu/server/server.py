@@ -38,6 +38,10 @@ Built-in pipelines (registry keys are the rebuild's documented API):
     objects.h5 (built-in QC tracks; btrack remains the lineage-grade path).
   * ``register_stack`` — drift correction: FFT phase-correlation
     registration of a timelapse (sub-pixel, streamed; no model required).
+  * ``stitch_mosaic`` — grid-of-tiles composite (seam phase correlation,
+    global position solve, feathered blend; flat-field + gain matching).
+  * ``correct_illumination`` — retrospective flat-field + photobleach
+    compensation of a timelapse (sampled estimation, streamed apply).
 
 Jobs chain through the same filesystem contract: a spec's optional
 ``depends_on`` lists output DIRECTORIES the job waits on — it stays queued
@@ -3597,6 +3601,192 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         metrics["frames_per_sec"] = round(n_frames / total_s, 3)
     if dims == 3:
         outputs = {"deconvolved": out_path}
+    outputs["metrics"] = json.dumps(metrics)
+    return outputs
+
+
+@register("correct_illumination")
+def correct_illumination_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Retrospective illumination correction of a timelapse stack.
+
+    No model required — exposes ``ops.illumination`` through the job
+    API. Estimation pass: up to ``sample_frames`` evenly-spaced frames
+    (random access, O(sample) reads) give a flat-field shading profile
+    (per-pixel median + low-order polynomial fit — the same estimator
+    mosaics use) and a photobleach model. Streaming pass: every frame
+    runs through ONE fused jit graph (cast -> divide by shading ->
+    per-frame median -> gain scale) with page-append float32 output,
+    progress + cancellation like every serving pipeline.
+
+    params: ``flatfield`` (default true), ``flatfield_order`` (total 2D
+    polynomial degree, default 2), ``bleach`` ("exp" fits the
+    log-median decay over the sampled frames and applies the inverse
+    ramp — removes the monotone trend only; "ratio" rescales every
+    frame by its OWN on-device median to the first frame's level —
+    exact stationarity but erases real global dynamics; "none"),
+    ``sample_frames`` (default 64, >= 2), plus the uniform
+    ``frame_range`` / ``roi`` / ``compress_output``. Multi-channel: one
+    input entry per channel, independent profile + bleach per channel.
+
+    Outputs: corrected.tif (float32; corrected_c{k}.tif per channel),
+    shading.tif (one page per channel), gains.csv (per-frame applied
+    gain + median per channel, absolute frame indices), metrics incl.
+    per-channel ``bleach_rate`` (positive = decaying, per-frame log
+    units). 2D-only: a volume has no single plane sharing one shading
+    profile, so ``dims: 3`` is rejected loudly.
+    """
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.ops import illumination as illum
+    from sequitr_tpu.utils import PhaseTimer
+
+    p = job.params
+    if int(p.get("dims", 2)) != 2:
+        raise jobs_lib.JobError(
+            "correct_illumination is 2D-only: frames of a fixed-FoV "
+            "timelapse share one shading profile; a volume does not"
+        )
+    mode = str(p.get("bleach", "exp"))
+    if mode not in ("exp", "ratio", "none"):
+        raise jobs_lib.JobError(
+            f"bleach must be 'exp', 'ratio' or 'none', got {mode!r}"
+        )
+    use_ff = bool(p.get("flatfield", True))
+    order = int(p.get("flatfield_order", 2))
+    if not 1 <= order <= 6:
+        raise jobs_lib.JobError(
+            f"flatfield_order={order} must be in [1, 6]"
+        )
+    sample = int(p.get("sample_frames", 64))
+    if sample < 2:
+        raise jobs_lib.JobError(
+            f"sample_frames must be >= 2, got {sample}"
+        )
+
+    paths = _resolve_inputs(job)
+    try:
+        source = FrameSource(paths=paths)
+    except ValueError as e:
+        raise jobs_lib.JobError(
+            f"job {job.id}: cannot read inputs {paths}: {e}"
+        )
+    source = _apply_roi(job, _apply_frame_range(job, source))
+    n = len(source)
+    if n < 1:
+        raise jobs_lib.JobError("empty input stack")
+    n_chan = source.n_channels
+    h, w = source.spatial
+
+    timer = PhaseTimer()
+    t0 = time.time()
+    with source:
+        # -- estimation pass (host, sampled) --------------------------
+        with timer.phase("estimate"):
+            idx = np.unique(
+                np.linspace(0, n - 1, min(sample, n)).round().astype(int)
+            )
+            sampled = np.stack(
+                [np.atleast_3d(source.frame(int(t))) for t in idx]
+            ).astype(np.float32)  # (S, H, W, C)
+            shading = np.ones((h, w, n_chan), np.float32)
+            if use_ff:
+                for c in range(n_chan):
+                    shading[:, :, c] = illum.fit_shading(
+                        sampled[..., c], order=order
+                    )
+            corr = sampled / shading[None]
+            meds = np.median(corr, axis=(1, 2))  # (S, C)
+            ref_med = meds[0].astype(np.float32)  # idx always includes 0
+            rates = np.zeros(n_chan, np.float64)
+            gains_all = np.ones((n, n_chan), np.float32)
+            if mode == "exp":
+                for c in range(n_chan):
+                    gains_all[:, c], rates[c] = illum.estimate_bleach_exp(
+                        idx, meds[:, c], n
+                    )
+
+        # -- streaming pass (device) -----------------------------------
+        run = illum.make_corrector(mode)
+        shading_dev = jnp.asarray(shading)
+        est = float(n) * h * w * 4
+        comp = _out_compression(job)
+        names = (
+            ["corrected"]
+            if n_chan == 1
+            else [f"corrected_c{k}" for k in range(n_chan)]
+        )
+        writers = []
+        gain_rows = []
+        try:
+            for name in names:
+                pth = os.path.join(job.output, f"{name}.tif")
+                writers.append((name, pth, _append_writer(pth, est, comp)))
+            for t in jobs_lib.track(job, range(n), total=n):
+                frame = np.atleast_3d(source.frame(t))
+                with timer.phase("infer"):
+                    out, med, g = run(
+                        frame, shading_dev,
+                        jnp.asarray(gains_all[t]), jnp.asarray(ref_med),
+                    )
+                with timer.phase("fetch"):
+                    got = np.asarray(out, np.float32)
+                    gain_rows.append(
+                        (t + source.frame_offset,
+                         np.asarray(g, np.float64),
+                         np.asarray(med, np.float64))
+                    )
+                with timer.phase("write"):
+                    for k, (_n, _p, wtr) in enumerate(writers):
+                        wtr.append(np.ascontiguousarray(got[..., k]))
+        except BaseException:
+            for _name, _pth, wtr in writers:
+                wtr.abort()
+            raise
+        outputs = {}
+        for name, pth, wtr in writers:
+            wtr.close()
+            outputs[name] = pth
+
+    shading_path = os.path.join(job.output, "shading.tif")
+    tiff.write_stack(
+        shading_path, np.ascontiguousarray(np.moveaxis(shading, -1, 0))
+    )
+    outputs["shading"] = shading_path
+    gains_path = os.path.join(job.output, "gains.csv")
+    hdr = (
+        "frame,"
+        + ",".join(f"gain_c{k}" for k in range(n_chan))
+        + ","
+        + ",".join(f"median_c{k}" for k in range(n_chan))
+    )
+    tmp = gains_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(hdr + "\n")
+        for t_abs, g, med in gain_rows:
+            f.write(
+                f"{t_abs},"
+                + ",".join(f"{v:.6f}" for v in g)
+                + ","
+                + ",".join(f"{v:.6f}" for v in med)
+                + "\n"
+            )
+    os.replace(tmp, gains_path)
+    outputs["gains"] = gains_path
+
+    total_s = time.time() - t0
+    metrics = dict(
+        timer.summary(), total_s=round(total_s, 4), n_frames=n,
+        sample_frames=int(len(idx)), bleach=mode,
+        flatfield=bool(use_ff),
+        shading_min=round(float(shading.min()), 4),
+        shading_max=round(float(shading.max()), 4),
+    )
+    for c in range(n_chan):
+        metrics[f"bleach_rate_c{c}"] = round(float(rates[c]), 6)
+    if total_s > 0:
+        metrics["frames_per_sec"] = round(n / total_s, 3)
     outputs["metrics"] = json.dumps(metrics)
     return outputs
 
