@@ -33,7 +33,6 @@ server pipeline.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import numpy as np
@@ -137,7 +136,9 @@ def make_corrector(mode: str):
     - ``"exp"``: applied gain = ``gain`` (host-precomputed ramp).
     - ``"ratio"``: applied gain = ref_med / this frame's own
       shading-corrected median, clipped — exact per-frame
-      stationarity.
+      stationarity. A degenerate reference (blank first frame,
+      ref_med ~ 0) falls back to gain 1 per channel: "no correction"
+      is always the safe fallback, never a 20x-dimmed stack.
     - ``"none"``: gain 1 (flat-field only).
 
     The median rides along in every mode (one fused graph; it feeds
@@ -148,13 +149,18 @@ def make_corrector(mode: str):
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=())
+    @jax.jit
     def run(frame, shading, gain, ref_med):
         f = frame.astype(jnp.float32) / shading
         med = jnp.percentile(f.reshape(-1, f.shape[-1]), 50.0, axis=0)
         if mode == "ratio":
-            g = ref_med / jnp.maximum(med, 1e-6)
-            g = jnp.clip(g, *_GAIN_BOUNDS)
+            g = jnp.where(
+                ref_med > 1e-6,
+                jnp.clip(
+                    ref_med / jnp.maximum(med, 1e-6), *_GAIN_BOUNDS
+                ),
+                1.0,
+            )
         elif mode == "exp":
             g = gain
         else:

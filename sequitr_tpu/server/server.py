@@ -3681,35 +3681,59 @@ def correct_illumination_job(job: Job, config: ServerConfiguration) -> Dict[str,
 
     timer = PhaseTimer()
     t0 = time.time()
+    from sequitr_tpu.pipeline import infer as infer_lib
+
     with source:
         # -- estimation pass (host, sampled) --------------------------
+        # sampling is gated on what the job actually needs: the profile
+        # and/or the exp fit want a spread of frames; ratio wants only
+        # frame 0's median; flat-field-off + bleach-none reads nothing
         with timer.phase("estimate"):
-            idx = np.unique(
-                np.linspace(0, n - 1, min(sample, n)).round().astype(int)
-            )
-            sampled = np.stack(
-                [np.atleast_3d(source.frame(int(t))) for t in idx]
-            ).astype(np.float32)  # (S, H, W, C)
             shading = np.ones((h, w, n_chan), np.float32)
-            if use_ff:
-                for c in range(n_chan):
-                    shading[:, :, c] = illum.fit_shading(
-                        sampled[..., c], order=order
-                    )
-            corr = sampled / shading[None]
-            meds = np.median(corr, axis=(1, 2))  # (S, C)
-            ref_med = meds[0].astype(np.float32)  # idx always includes 0
+            ref_med = np.ones(n_chan, np.float32)
             rates = np.zeros(n_chan, np.float64)
             gains_all = np.ones((n, n_chan), np.float32)
-            if mode == "exp":
-                for c in range(n_chan):
-                    gains_all[:, c], rates[c] = illum.estimate_bleach_exp(
-                        idx, meds[:, c], n
-                    )
+            idx = np.zeros(0, int)
+            if use_ff or mode == "exp":
+                idx = np.unique(
+                    np.linspace(0, n - 1, min(sample, n)).round().astype(int)
+                )
+                sampled = np.stack(
+                    [np.atleast_3d(source.frame(int(t))) for t in idx]
+                ).astype(np.float32)  # (S, H, W, C)
+                if use_ff:
+                    for c in range(n_chan):
+                        shading[:, :, c] = illum.fit_shading(
+                            sampled[..., c], order=order
+                        )
+                corr = sampled / shading[None]
+                meds = np.median(corr, axis=(1, 2))  # (S, C)
+                ref_med = meds[0].astype(np.float32)  # idx includes 0
+                if mode == "exp":
+                    for c in range(n_chan):
+                        gains_all[:, c], rates[c] = (
+                            illum.estimate_bleach_exp(idx, meds[:, c], n)
+                        )
+            elif mode == "ratio":
+                f0 = np.atleast_3d(source.frame(0)).astype(np.float32)
+                ref_med = np.median(f0, axis=(0, 1)).astype(np.float32)
+                idx = np.zeros(1, int)
 
-        # -- streaming pass (device) -----------------------------------
+        # -- streaming pass (device): dispatch runs `prefetch` frames
+        # ahead while a reader thread overlaps disk ingest with compute
+        # and D2H starts right after each dispatch — the same
+        # stream_frames shape as deconvolve/serving
         run = illum.make_corrector(mode)
         shading_dev = jnp.asarray(shading)
+        gains_dev = jnp.asarray(gains_all)
+        ref_dev = jnp.asarray(ref_med)
+        t_iter = iter(range(n))
+
+        def dev_fn(frame):
+            # stream_frames launches strictly in frame order, so the
+            # per-frame gain row rides a closed-over index iterator
+            return run(frame, shading_dev, gains_dev[next(t_iter)], ref_dev)
+
         est = float(n) * h * w * 4
         comp = _out_compression(job)
         names = (
@@ -3723,13 +3747,20 @@ def correct_illumination_job(job: Job, config: ServerConfiguration) -> Dict[str,
             for name in names:
                 pth = os.path.join(job.output, f"{name}.tif")
                 writers.append((name, pth, _append_writer(pth, est, comp)))
-            for t in jobs_lib.track(job, range(n), total=n):
-                frame = np.atleast_3d(source.frame(t))
-                with timer.phase("infer"):
-                    out, med, g = run(
-                        frame, shading_dev,
-                        jnp.asarray(gains_all[t]), jnp.asarray(ref_med),
-                    )
+            frames3 = (np.atleast_3d(f) for f in source.frames())
+            for t, (out, med, g) in enumerate(
+                jobs_lib.track(
+                    job,
+                    infer_lib.stream_frames(
+                        dev_fn, frames3,
+                        # all three outputs are fetched, so D2H all three
+                        prefetch_host=lambda out: [
+                            infer_lib._copy_to_host_async(a) for a in out
+                        ],
+                    ),
+                    total=n,
+                )
+            ):
                 with timer.phase("fetch"):
                     got = np.asarray(out, np.float32)
                     gain_rows.append(

@@ -121,6 +121,18 @@ class TestCorrector:
         with pytest.raises(ValueError, match="mode"):
             illum.make_corrector("linear")
 
+    def test_ratio_blank_reference_falls_back_to_identity(self):
+        """A blank first frame (ref_med ~ 0) must mean 'no correction',
+        not a stack crushed to the clip floor (review finding)."""
+        frame = np.full((8, 8, 1), 100.0, np.float32)
+        shading = np.ones((8, 8, 1), np.float32)
+        out, _, g = illum.make_corrector("ratio")(
+            frame, shading,
+            np.ones(1, np.float32), np.zeros(1, np.float32),
+        )
+        assert float(g[0]) == 1.0
+        np.testing.assert_allclose(np.asarray(out), 100.0)
+
 
 class TestCorrectIlluminationPipeline:
     def _submit(self, cfg, tmp, params, inputs):
@@ -214,6 +226,26 @@ class TestCorrectIlluminationPipeline:
         np.testing.assert_array_equal(shading, 1.0)
         corrected = tiff.read_stack(st["outputs"]["corrected"])
         np.testing.assert_allclose(corrected, stack, rtol=1e-5)
+        # pass-through jobs skip the sampling pass entirely
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["sample_frames"] == 0
+
+    def test_ratio_samples_only_frame_zero(self, server_env):
+        """ratio + flatfield off needs ONE frame for estimation, not the
+        full sample set (review finding)."""
+        cfg, tmp = server_env
+        stack, _, _ = _drifting_stack(rate=0.05)
+        tiff.write_stack(str(tmp / "stack.tif"), stack)
+        st = self._submit(
+            cfg, tmp, {"flatfield": False, "bleach": "ratio"},
+            [str(tmp / "stack.tif")],
+        )
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["sample_frames"] == 1
+        corrected = tiff.read_stack(st["outputs"]["corrected"])
+        meds = np.median(corrected, axis=(1, 2))
+        np.testing.assert_allclose(meds, meds[0], rtol=1e-3)
 
     def test_frame_range(self, server_env):
         """frame_range narrows the serve; gains.csv keeps absolute
