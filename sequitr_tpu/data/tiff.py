@@ -139,7 +139,13 @@ def _decode_strip(data: bytes, compression: int, expected: int) -> bytes:
     if compression in (_COMP_DEFLATE_ADOBE, _COMP_DEFLATE_OLD):
         import zlib
 
-        raw = zlib.decompress(data)
+        try:
+            raw = zlib.decompress(data)
+        except zlib.error as e:
+            # the codec contract is ValueError (callers key their
+            # fallback / deterministic JobErrors on it) — zlib's own
+            # exception type must not leak through read_frame
+            raise ValueError(f"corrupt deflate strip: {e}")
     elif compression == _COMP_LZW:
         from sequitr_tpu import native
 
@@ -240,8 +246,18 @@ class TiffReader:
             # (h, w, dtype, offsets, counts, compression, predictor,
             #  rows_per_strip) per frame
             self._frames: List[tuple] = []
+            self._file_size = os.fstat(self._f.fileno()).st_size
             try:
+                # a corrupt/forged next-IFD pointer that points backward
+                # would loop this walk forever while _frames grows
+                # unboundedly — the chain must be acyclic
+                seen = set()
                 while ifd:
+                    if ifd in seen:
+                        raise ValueError(
+                            "cyclic IFD chain (corrupt next-IFD pointer)"
+                        )
+                    seen.add(ifd)
                     ifd = self._parse_ifd(ifd)
             except (KeyError, struct.error, IndexError) as e:
                 # unknown dtype tags / truncated or exotic layouts must
@@ -262,13 +278,20 @@ class TiffReader:
         if size * count <= inline:
             vals = struct.unpack(self._endian + fmt * count, raw[: size * count])
             return vals[0] if count == 1 else list(vals)
+        # a forged count (billions) would build an O(count) format string
+        # and attempt an O(count) read — bound it by what the file can
+        # physically hold before doing either
+        if size * count > self._file_size:
+            raise ValueError(
+                f"tag value ({size * count} bytes) exceeds the file "
+                f"({self._file_size} bytes): corrupt TIFF entry"
+            )
         off = struct.unpack(self._endian + ("Q" if self._big else "I"), raw)[0]
         self._f.seek(off)
-        return list(
-            struct.unpack(
-                self._endian + fmt * count, self._f.read(size * count)
-            )
-        )
+        buf = self._f.read(size * count)
+        if len(buf) < size * count:
+            raise ValueError("truncated TIFF tag value")
+        return list(struct.unpack(self._endian + fmt * count, buf))
 
     def _parse_ifd(self, ifd: int) -> int:
         f = self._f
@@ -334,6 +357,19 @@ class TiffReader:
             # read. Honoring it here would silently corrupt such frames.
             predictor = 1
         w, h = get(256), get(257)
+        # corrupt entries can carry any type/count combination (a flipped
+        # type byte turns a scalar into a list or RATIONAL float); every
+        # field used in size/offset arithmetic must be a positive int or
+        # read_frame leaks TypeErrors instead of the contract ValueError
+        w = w[0] if isinstance(w, list) and w else w
+        h = h[0] if isinstance(h, list) and h else h
+        if (
+            not isinstance(w, int) or not isinstance(h, int)
+            or w <= 0 or h <= 0
+        ):
+            raise ValueError(
+                f"missing/invalid TIFF dimensions (got {w}x{h})"
+            )
         bits = get(258, 8)
         bits = bits[0] if isinstance(bits, list) else bits
         fmt = get(339, 1)
@@ -341,14 +377,47 @@ class TiffReader:
         dt = np.dtype(_INV_DTYPES[(bits, fmt)]).newbyteorder(self._endian)
         offs = get(273)
         counts = get(279)
+        if offs is None or counts is None:
+            raise ValueError("missing strip offsets/byte counts")
         offs = offs if isinstance(offs, list) else [offs]
         counts = counts if isinstance(counts, list) else [counts]
+        if len(offs) != len(counts):
+            raise ValueError(
+                f"strip tables disagree: {len(offs)} offsets vs "
+                f"{len(counts)} byte counts"
+            )
+        if not all(
+            isinstance(v, int) and v >= 0 for v in offs + counts
+        ):
+            raise ValueError("non-integer strip offsets/byte counts")
+        for o, c in zip(offs, counts):
+            # bounds-check BEFORE read_frame: os.pread allocates the
+            # requested byte count up front, so a forged multi-GB strip
+            # count in a tiny file would be a memory bomb, not an error
+            if o + c > self._file_size:
+                raise ValueError(
+                    f"strip [{o}, {o + c}) outside the file "
+                    f"({self._file_size} bytes): truncated or forged TIFF"
+                )
+        if compression != _COMP_NONE:
+            # decompression buffers are allocated at the CLAIMED frame
+            # size; forged dimensions on a tiny compressed payload would
+            # be a memory bomb. 4096x is far beyond any real codec's
+            # expansion (zlib caps at 1032:1), so this only rejects lies.
+            frame_bytes = int(h) * int(w) * dt.itemsize
+            if frame_bytes > 4096 * (sum(counts) + 4096):
+                raise ValueError(
+                    f"implausible decompressed frame size {frame_bytes} "
+                    f"bytes from {sum(counts)} compressed bytes"
+                )
         rows_per_strip = get(278, h)
         rows_per_strip = (
             rows_per_strip[0]
-            if isinstance(rows_per_strip, list)
+            if isinstance(rows_per_strip, list) and rows_per_strip
             else rows_per_strip
         )
+        if not isinstance(rows_per_strip, int) or rows_per_strip <= 0:
+            rows_per_strip = h  # corrupt/absent: treat as one strip
         self._frames.append(
             (h, w, dt, offs, counts, compression, predictor, rows_per_strip)
         )

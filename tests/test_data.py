@@ -776,3 +776,149 @@ class TestFrameSourceCrop:
         for bad in [(0, 0, 17, 16), (-1, 0, 8, 8), (8, 0, 8, 8)]:
             with _pytest.raises(ValueError, match="roi"):
                 src.crop(*bad)
+
+
+class TestTiffMalformed:
+    """Corrupt/forged TIFFs must surface as ValueError — the codec
+    contract callers (FrameSource, server lazy readers) key their
+    fallback and deterministic JobErrors on. Never a hang (cyclic IFD
+    chains), never a forged-size allocation (strip counts / claimed
+    dimensions beyond the file), never a foreign exception type."""
+
+    def _valid_bytes(self, tmp_path, frames=3, compression="none"):
+        import struct
+
+        path = str(tmp_path / "ok.tif")
+        stack = (
+            np.arange(frames * 16 * 16, dtype=np.uint16)
+            .reshape(frames, 16, 16)
+        )
+        tiff.write_stack(path, stack, compression=compression)
+        return path, bytearray(open(path, "rb").read()), struct
+
+    def _ifd_offsets(self, raw, struct):
+        """Walk the classic-TIFF IFD chain, returning each IFD's offset
+        and the file position of its next-IFD pointer."""
+        out = []
+        ifd = struct.unpack_from("<I", raw, 4)[0]
+        while ifd:
+            n = struct.unpack_from("<H", raw, ifd)[0]
+            nptr = ifd + 2 + n * 12
+            out.append((ifd, nptr))
+            ifd = struct.unpack_from("<I", raw, nptr)[0]
+        return out
+
+    def _entry_pos(self, raw, ifd, tag, struct):
+        """File position of ``tag``'s 12-byte entry within the IFD."""
+        n = struct.unpack_from("<H", raw, ifd)[0]
+        for j in range(n):
+            e = ifd + 2 + j * 12
+            if struct.unpack_from("<H", raw, e)[0] == tag:
+                return e
+        raise AssertionError(f"tag {tag} not in IFD")
+
+    def test_cyclic_ifd_chain_rejected(self, tmp_path):
+        """A next-IFD pointer aimed backward must error, not loop the
+        parse forever while the frame table grows without bound."""
+        path, raw, struct = self._valid_bytes(tmp_path)
+        chain = self._ifd_offsets(raw, struct)
+        first_ifd = chain[0][0]
+        last_nptr = chain[-1][1]
+        struct.pack_into("<I", raw, last_nptr, first_ifd)
+        bad = str(tmp_path / "cyclic.tif")
+        open(bad, "wb").write(raw)
+        with pytest.raises(ValueError, match="cyclic"):
+            tiff.TiffReader(bad)
+
+    def test_self_pointing_ifd_rejected(self, tmp_path):
+        path, raw, struct = self._valid_bytes(tmp_path)
+        (first_ifd, nptr), *_ = self._ifd_offsets(raw, struct)
+        struct.pack_into("<I", raw, nptr, first_ifd)
+        bad = str(tmp_path / "selfloop.tif")
+        open(bad, "wb").write(raw)
+        with pytest.raises(ValueError, match="cyclic"):
+            tiff.TiffReader(bad)
+
+    def test_forged_strip_count_rejected(self, tmp_path):
+        """A strip byte count beyond the file must fail at PARSE time —
+        read_frame's os.pread would allocate the claimed size up front."""
+        path, raw, struct = self._valid_bytes(tmp_path)
+        (ifd, _), *_ = self._ifd_offsets(raw, struct)
+        e = self._entry_pos(raw, ifd, 279, struct)  # StripByteCounts
+        struct.pack_into("<I", raw, e + 8, 0x7FFFFFFF)
+        bad = str(tmp_path / "forged.tif")
+        open(bad, "wb").write(raw)
+        with pytest.raises(ValueError, match="outside the file"):
+            tiff.TiffReader(bad)
+
+    def test_zero_dimensions_rejected(self, tmp_path):
+        path, raw, struct = self._valid_bytes(tmp_path)
+        (ifd, _), *_ = self._ifd_offsets(raw, struct)
+        e = self._entry_pos(raw, ifd, 256, struct)  # ImageWidth
+        struct.pack_into("<I", raw, e + 8, 0)
+        bad = str(tmp_path / "zerodim.tif")
+        open(bad, "wb").write(raw)
+        with pytest.raises(ValueError, match="dimensions"):
+            tiff.TiffReader(bad)
+
+    def test_forged_dimensions_on_compressed_rejected(self, tmp_path):
+        """Claimed decompressed size wildly beyond the compressed payload
+        must fail at parse, not allocate the claimed buffer."""
+        path, raw, struct = self._valid_bytes(tmp_path, compression="deflate")
+        (ifd, _), *_ = self._ifd_offsets(raw, struct)
+        e = self._entry_pos(raw, ifd, 257, struct)  # ImageLength
+        struct.pack_into("<I", raw, e + 8, 1 << 30)
+        bad = str(tmp_path / "bomb.tif")
+        open(bad, "wb").write(raw)
+        with pytest.raises(ValueError, match="implausible|outside"):
+            with tiff.TiffReader(bad) as r:
+                r.read_frame(0)
+
+    def test_corrupt_deflate_strip_is_valueerror(self, tmp_path):
+        """zlib's own exception type must not leak through read_frame."""
+        path, raw, struct = self._valid_bytes(tmp_path, compression="deflate")
+        with tiff.TiffReader(path) as r:
+            off = r._frames[0][3][0]  # first strip offset
+        raw[off : off + 8] = b"\xff" * 8
+        bad = str(tmp_path / "zbad.tif")
+        open(bad, "wb").write(raw)
+        with tiff.TiffReader(bad) as r:
+            with pytest.raises(ValueError):
+                r.read_frame(0)
+
+    def test_truncated_file(self, tmp_path):
+        path, raw, struct = self._valid_bytes(tmp_path)
+        bad = str(tmp_path / "trunc.tif")
+        open(bad, "wb").write(raw[: int(len(raw) * 0.6)])
+        with pytest.raises(ValueError):
+            with tiff.TiffReader(bad) as r:
+                for t in range(r.n_frames):
+                    r.read_frame(t)
+
+    @pytest.mark.parametrize("compression", ["none", "deflate"])
+    def test_random_mutation_fuzz(self, tmp_path, compression):
+        """Seeded byte-flip fuzz: every mutated file either reads fine or
+        raises ValueError — no hangs, no foreign exceptions, no crashes."""
+        path, raw, struct = self._valid_bytes(
+            tmp_path, frames=2, compression=compression
+        )
+        rng = np.random.default_rng(42)
+        bad = str(tmp_path / "fuzz.tif")
+        for i in range(150):
+            mut = bytearray(raw)
+            for _ in range(int(rng.integers(1, 9))):
+                pos = int(rng.integers(0, len(mut)))
+                mut[pos] = int(rng.integers(0, 256))
+            open(bad, "wb").write(mut)
+            try:
+                with tiff.TiffReader(bad) as r:
+                    for t in range(r.n_frames):
+                        r.read_frame(t)
+            except ValueError:
+                pass  # the contract: corrupt -> ValueError
+
+    def test_read_stack_on_garbage_is_valueerror(self, tmp_path):
+        bad = str(tmp_path / "garbage.tif")
+        open(bad, "wb").write(b"II*\x00" + bytes(100))
+        with pytest.raises(ValueError):
+            tiff.read_stack(bad)
