@@ -3628,6 +3628,16 @@ def correct_illumination_job(job: Job, config: ServerConfiguration) -> Dict[str,
     ``frame_range`` / ``roi`` / ``compress_output``. Multi-channel: one
     input entry per channel, independent profile + bleach per channel.
 
+    Calibrate-once / apply-many (the mosaic positions-reuse pattern):
+    ``estimate_only: true`` writes shading.tif + gains.csv and skips
+    the corrected stack; ``shading`` (a shading.tif path or a previous
+    job's output dir, chains via ``depends_on``) applies that measured
+    profile instead of re-estimating — so one blank/reference run can
+    correct every subsequent acquisition round, and the profile a
+    dedicated flat-field acquisition measures beats any retrospective
+    estimate. Bleach is still per-run (each acquisition bleaches its
+    own sample).
+
     Outputs: corrected.tif (float32; corrected_c{k}.tif per channel),
     shading.tif (one page per channel), gains.csv (per-frame applied
     gain + median per channel, absolute frame indices), metrics incl.
@@ -3664,6 +3674,13 @@ def correct_illumination_job(job: Job, config: ServerConfiguration) -> Dict[str,
         raise jobs_lib.JobError(
             f"sample_frames must be >= 2, got {sample}"
         )
+    estimate_only = bool(p.get("estimate_only", False))
+    shading_src = p.get("shading")
+    if shading_src is not None and not use_ff:
+        raise jobs_lib.JobError(
+            "shading provided but flatfield: false — a supplied profile "
+            "IS the flat-field correction; drop one of the two"
+        )
 
     paths = _resolve_inputs(job)
     try:
@@ -3694,14 +3711,42 @@ def correct_illumination_job(job: Job, config: ServerConfiguration) -> Dict[str,
             rates = np.zeros(n_chan, np.float64)
             gains_all = np.ones((n, n_chan), np.float32)
             idx = np.zeros(0, int)
-            if use_ff or mode == "exp":
+            if shading_src is not None:
+                # reuse a measured/previously-estimated profile: a path
+                # to shading.tif, or a previous job's output dir (chains
+                # via depends_on) — calibrate once, apply every round
+                sp = str(shading_src)
+                if os.path.isdir(sp):
+                    sp = os.path.join(sp, "shading.tif")
+                try:
+                    prof = np.asarray(tiff.read_stack(sp), np.float32)
+                except (OSError, ValueError) as e:
+                    raise jobs_lib.JobError(
+                        f"cannot read shading profile {sp}: {e}"
+                    )
+                if prof.ndim == 2:
+                    prof = prof[None]
+                if prof.shape != (n_chan, h, w):
+                    raise jobs_lib.JobError(
+                        f"shading profile {sp} is {prof.shape}, input "
+                        f"needs ({n_chan}, {h}, {w}) (channels, H, W)"
+                    )
+                if not np.isfinite(prof).all() or prof.min() <= 0:
+                    raise jobs_lib.JobError(
+                        f"shading profile {sp} must be finite and > 0"
+                    )
+                shading = np.ascontiguousarray(
+                    np.moveaxis(prof, 0, -1)
+                )
+            estimate_ff = use_ff and shading_src is None
+            if estimate_ff or mode == "exp":
                 idx = np.unique(
                     np.linspace(0, n - 1, min(sample, n)).round().astype(int)
                 )
                 sampled = np.stack(
                     [np.atleast_3d(source.frame(int(t))) for t in idx]
                 ).astype(np.float32)  # (S, H, W, C)
-                if use_ff:
+                if estimate_ff:
                     for c in range(n_chan):
                         shading[:, :, c] = illum.fit_shading(
                             sampled[..., c], order=order
@@ -3716,69 +3761,90 @@ def correct_illumination_job(job: Job, config: ServerConfiguration) -> Dict[str,
                         )
             elif mode == "ratio":
                 f0 = np.atleast_3d(source.frame(0)).astype(np.float32)
+                f0 = f0 / shading
                 ref_med = np.median(f0, axis=(0, 1)).astype(np.float32)
                 idx = np.zeros(1, int)
 
-        # -- streaming pass (device): dispatch runs `prefetch` frames
-        # ahead while a reader thread overlaps disk ingest with compute
-        # and D2H starts right after each dispatch — the same
-        # stream_frames shape as deconvolve/serving
-        run = illum.make_corrector(mode)
-        shading_dev = jnp.asarray(shading)
-        gains_dev = jnp.asarray(gains_all)
-        ref_dev = jnp.asarray(ref_med)
-        t_iter = iter(range(n))
-
-        def dev_fn(frame):
-            # stream_frames launches strictly in frame order, so the
-            # per-frame gain row rides a closed-over index iterator
-            return run(frame, shading_dev, gains_dev[next(t_iter)], ref_dev)
-
-        est = float(n) * h * w * 4
-        comp = _out_compression(job)
-        names = (
-            ["corrected"]
-            if n_chan == 1
-            else [f"corrected_c{k}" for k in range(n_chan)]
-        )
-        writers = []
-        gain_rows = []
-        try:
-            for name in names:
-                pth = os.path.join(job.output, f"{name}.tif")
-                writers.append((name, pth, _append_writer(pth, est, comp)))
-            frames3 = (np.atleast_3d(f) for f in source.frames())
-            for t, (out, med, g) in enumerate(
-                jobs_lib.track(
-                    job,
-                    infer_lib.stream_frames(
-                        dev_fn, frames3,
-                        # all three outputs are fetched, so D2H all three
-                        prefetch_host=lambda out: [
-                            infer_lib._copy_to_host_async(a) for a in out
-                        ],
-                    ),
-                    total=n,
-                )
-            ):
-                with timer.phase("fetch"):
-                    got = np.asarray(out, np.float32)
-                    gain_rows.append(
-                        (t + source.frame_offset,
-                         np.asarray(g, np.float64),
-                         np.asarray(med, np.float64))
-                    )
-                with timer.phase("write"):
-                    for k, (_n, _p, wtr) in enumerate(writers):
-                        wtr.append(np.ascontiguousarray(got[..., k]))
-        except BaseException:
-            for _name, _pth, wtr in writers:
-                wtr.abort()
-            raise
         outputs = {}
-        for name, pth, wtr in writers:
-            wtr.close()
-            outputs[name] = pth
+        if estimate_only:
+            # calibration-only run: write the profile + planned gains
+            # (medians known only at the sampled frames); a later apply
+            # job reuses them via `shading` / depends_on
+            med_at = (
+                {int(t): meds[s] for s, t in enumerate(idx)}
+                if len(idx) and mode == "exp" else {}
+            )
+            nan_med = np.full(n_chan, np.nan)
+            gain_rows = [
+                (t + source.frame_offset, gains_all[t].astype(np.float64),
+                 med_at.get(t, nan_med))
+                for t in range(n)
+            ]
+        else:
+            # -- streaming pass (device): dispatch runs `prefetch`
+            # frames ahead while a reader thread overlaps disk ingest
+            # with compute and D2H starts right after each dispatch —
+            # the same stream_frames shape as deconvolve/serving
+            run = illum.make_corrector(mode)
+            shading_dev = jnp.asarray(shading)
+            gains_dev = jnp.asarray(gains_all)
+            ref_dev = jnp.asarray(ref_med)
+            t_iter = iter(range(n))
+
+            def dev_fn(frame):
+                # stream_frames launches strictly in frame order, so the
+                # per-frame gain row rides a closed-over index iterator
+                return run(
+                    frame, shading_dev, gains_dev[next(t_iter)], ref_dev
+                )
+
+            est = float(n) * h * w * 4
+            comp = _out_compression(job)
+            names = (
+                ["corrected"]
+                if n_chan == 1
+                else [f"corrected_c{k}" for k in range(n_chan)]
+            )
+            writers = []
+            gain_rows = []
+            try:
+                for name in names:
+                    pth = os.path.join(job.output, f"{name}.tif")
+                    writers.append(
+                        (name, pth, _append_writer(pth, est, comp))
+                    )
+                frames3 = (np.atleast_3d(f) for f in source.frames())
+                for t, (out, med, g) in enumerate(
+                    jobs_lib.track(
+                        job,
+                        infer_lib.stream_frames(
+                            dev_fn, frames3,
+                            # all three outputs are fetched: D2H each
+                            prefetch_host=lambda out: [
+                                infer_lib._copy_to_host_async(a)
+                                for a in out
+                            ],
+                        ),
+                        total=n,
+                    )
+                ):
+                    with timer.phase("fetch"):
+                        got = np.asarray(out, np.float32)
+                        gain_rows.append(
+                            (t + source.frame_offset,
+                             np.asarray(g, np.float64),
+                             np.asarray(med, np.float64))
+                        )
+                    with timer.phase("write"):
+                        for k, (_n, _p, wtr) in enumerate(writers):
+                            wtr.append(np.ascontiguousarray(got[..., k]))
+            except BaseException:
+                for _name, _pth, wtr in writers:
+                    wtr.abort()
+                raise
+            for name, pth, wtr in writers:
+                wtr.close()
+                outputs[name] = pth
 
     shading_path = os.path.join(job.output, "shading.tif")
     tiff.write_stack(

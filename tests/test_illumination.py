@@ -273,6 +273,7 @@ class TestCorrectIlluminationPipeline:
             ({"dims": 3}, "2D-only"),
             ({"sample_frames": 1}, "sample_frames"),
             ({"flatfield_order": 9}, "flatfield_order"),
+            ({"shading": "x.tif", "flatfield": False}, "flatfield: false"),
         ],
     )
     def test_param_validation(self, server_env, params, msg):
@@ -282,3 +283,84 @@ class TestCorrectIlluminationPipeline:
         st = self._submit(cfg, tmp, params, [str(tmp / "stack.tif")])
         assert st["state"] == "failed"
         assert msg in st["error"]
+
+    def test_estimate_only(self, server_env):
+        """Calibration run: shading + planned gains, no corrected stack."""
+        cfg, tmp = server_env
+        stack, _, _ = _drifting_stack(rate=0.03)
+        tiff.write_stack(str(tmp / "stack.tif"), stack)
+        st = self._submit(
+            cfg, tmp, {"estimate_only": True, "sample_frames": 16},
+            [str(tmp / "stack.tif")],
+        )
+        assert st["state"] == "complete", st.get("error")
+        assert "corrected" not in st["outputs"]
+        assert not os.path.exists(str(tmp / "out" / "corrected.tif"))
+        shading = tiff.read_stack(st["outputs"]["shading"])
+        assert shading.shape == stack.shape[1:]
+        gains = np.loadtxt(
+            st["outputs"]["gains"], delimiter=",", skiprows=1
+        )
+        assert gains.shape == (stack.shape[0], 3)
+        # planned exp gains cover every frame; medians only where sampled
+        assert gains[-1, 1] == pytest.approx(
+            np.exp(0.03 * (stack.shape[0] - 1)), rel=0.02
+        )
+        assert np.isnan(gains[:, 2]).sum() == stack.shape[0] - 16
+
+    def test_shading_reuse_chain(self, server_env):
+        """estimate_only -> apply with shading: <dir> via depends_on
+        reproduces the single-job correction exactly."""
+        cfg, tmp = server_env
+        stack, _, _ = _drifting_stack(rate=0.03)
+        tiff.write_stack(str(tmp / "stack.tif"), stack)
+        cal_out = str(tmp / "cal")
+        submit_job(
+            cfg.jobs_dir,
+            {"module": "correct_illumination",
+             "params": {"estimate_only": True, "sample_frames": 16},
+             "input": [str(tmp / "stack.tif")], "output": cal_out},
+        )
+        apply_out = str(tmp / "apply")
+        submit_job(
+            cfg.jobs_dir,
+            {"module": "correct_illumination",
+             "params": {"shading": cal_out, "sample_frames": 16},
+             "input": [str(tmp / "stack.tif")], "output": apply_out,
+             "depends_on": [cal_out]},
+        )
+        srv = server_mod.ImageServer(cfg)
+        assert srv.poll_once()  # calibration
+        assert srv.poll_once()  # apply (dep now complete)
+        st = json.load(open(os.path.join(apply_out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        # reference: the one-shot job on the same data
+        one_out = str(tmp / "one")
+        submit_job(
+            cfg.jobs_dir,
+            {"module": "correct_illumination",
+             "params": {"sample_frames": 16},
+             "input": [str(tmp / "stack.tif")], "output": one_out},
+        )
+        assert srv.poll_once()
+        st1 = json.load(open(os.path.join(one_out, "status.json")))
+        assert st1["state"] == "complete", st1.get("error")
+        np.testing.assert_allclose(
+            tiff.read_stack(st["outputs"]["corrected"]),
+            tiff.read_stack(st1["outputs"]["corrected"]),
+            rtol=1e-5,
+        )
+
+    def test_shading_shape_mismatch_rejected(self, server_env):
+        cfg, tmp = server_env
+        stack, _, _ = _drifting_stack(T=4)
+        tiff.write_stack(str(tmp / "stack.tif"), stack)
+        tiff.write_stack(
+            str(tmp / "prof.tif"), np.ones((16, 16), np.float32)
+        )
+        st = self._submit(
+            cfg, tmp, {"shading": str(tmp / "prof.tif")},
+            [str(tmp / "stack.tif")],
+        )
+        assert st["state"] == "failed"
+        assert "needs" in st["error"]
