@@ -315,20 +315,45 @@ def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
             f = gzip.GzipFile(fileobj=raw, mode="rb")
         else:
             f = raw
-        while True:
-            header = f.read(8)
-            if len(header) < 8:
-                return
-            (length,) = struct.unpack("<Q", header)
-            (hcrc,) = struct.unpack("<I", f.read(4))
-            payload = f.read(length)
-            (pcrc,) = struct.unpack("<I", f.read(4))
-            if verify_crc:
-                if _masked_crc(header) != hcrc:
+        import os as _os
+        import zlib
+
+        file_size = _os.fstat(raw.fileno()).st_size
+        try:
+            while True:
+                header = f.read(8)
+                if len(header) < 8:
+                    return
+                (length,) = struct.unpack("<Q", header)
+                hcrc_raw = f.read(4)
+                if len(hcrc_raw) < 4:
+                    raise IOError(f"truncated record header in {path}")
+                (hcrc,) = struct.unpack("<I", hcrc_raw)
+                # the header crc covers the LENGTH field — validate it
+                # BEFORE the payload read, so a forged multi-GB length
+                # is an error, not an up-front allocation of that size
+                if verify_crc and _masked_crc(header) != hcrc:
                     raise IOError(f"corrupt record header in {path}")
-                if _masked_crc(payload) != pcrc:
+                if f is raw and length > file_size:
+                    # verify_crc=False path: still refuse impossible reads
+                    raise IOError(
+                        f"record length {length} exceeds the file "
+                        f"({file_size} bytes) in {path}"
+                    )
+                payload = f.read(length)
+                if len(payload) < length:
+                    raise IOError(f"truncated record payload in {path}")
+                pcrc_raw = f.read(4)
+                if len(pcrc_raw) < 4:
+                    raise IOError(f"truncated record trailer in {path}")
+                (pcrc,) = struct.unpack("<I", pcrc_raw)
+                if verify_crc and _masked_crc(payload) != pcrc:
                     raise IOError(f"corrupt record payload in {path}")
-            yield payload
+                yield payload
+        except (zlib.error, EOFError) as e:
+            # gzip-layer corruption raises its own types mid-read; the
+            # documented corruption error for shards is IOError
+            raise IOError(f"corrupt gzip record stream in {path}: {e}")
 
 
 # ---------------------------------------------------------------------------

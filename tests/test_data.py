@@ -922,3 +922,69 @@ class TestTiffMalformed:
         open(bad, "wb").write(b"II*\x00" + bytes(100))
         with pytest.raises(ValueError):
             tiff.read_stack(bad)
+
+
+class TestRecordsMalformed:
+    """Corrupt/forged record shards must surface as IOError (the
+    documented shard-corruption type) — never an up-front forged-size
+    allocation, a struct.error, or a gzip-layer exception type."""
+
+    def _shard(self, tmp_path, compression=None):
+        import struct
+
+        p = str(tmp_path / "s.tfrecord")
+        with records.RecordWriter(p, compression=compression) as w:
+            for i in range(4):
+                w.write(
+                    records.encode_example({"x": [float(i)], "n": [i]})
+                )
+        return p, bytearray(open(p, "rb").read()), struct
+
+    def test_forged_length_fails_before_allocation(self, tmp_path):
+        """A forged multi-GB length field must fail at the header crc,
+        not allocate the claimed size (read(n) allocates up front)."""
+        p, raw, struct = self._shard(tmp_path)
+        struct.pack_into("<Q", raw, 0, 1 << 42)  # first record's length
+        open(p, "wb").write(raw)
+        with pytest.raises(IOError, match="corrupt record header"):
+            list(records.read_records(p))
+
+    def test_forged_length_bounded_without_crc(self, tmp_path):
+        """verify_crc=False must still refuse reads beyond the file."""
+        p, raw, struct = self._shard(tmp_path)
+        struct.pack_into("<Q", raw, 0, 1 << 42)
+        open(p, "wb").write(raw)
+        with pytest.raises(IOError, match="exceeds the file"):
+            list(records.read_records(p, verify_crc=False))
+
+    def test_truncated_shard(self, tmp_path):
+        p, raw, struct = self._shard(tmp_path)
+        open(p, "wb").write(raw[: len(raw) - 6])
+        with pytest.raises(IOError):
+            list(records.read_records(p))
+
+    def test_corrupt_gzip_stream_is_ioerror(self, tmp_path):
+        p, raw, struct = self._shard(tmp_path, compression="gzip")
+        raw[len(raw) // 2] ^= 0xFF
+        open(p, "wb").write(raw)
+        with pytest.raises(IOError):
+            list(records.read_records(p))
+
+    @pytest.mark.parametrize("compression", [None, "gzip"])
+    def test_random_mutation_fuzz(self, tmp_path, compression):
+        """Seeded byte-flip fuzz: every mutated shard reads fine or
+        raises IOError/ValueError — no hangs, bombs or foreign types."""
+        p, raw, struct = self._shard(tmp_path, compression=compression)
+        rng = np.random.default_rng(7)
+        bad = str(tmp_path / "bad.tfrecord")
+        for i in range(150):
+            mut = bytearray(raw)
+            for _ in range(int(rng.integers(1, 10))):
+                pos = int(rng.integers(0, len(mut)))
+                mut[pos] = int(rng.integers(0, 256))
+            open(bad, "wb").write(bytes(mut))
+            try:
+                for payload in records.read_records(bad):
+                    records.decode_example(payload)
+            except (IOError, ValueError):
+                pass
