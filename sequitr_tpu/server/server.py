@@ -2195,9 +2195,16 @@ def unet_config_from_params(p: dict):
 
 
 def _resolve_globs(job: Job):
+    """Record-shard input entries: globs pass through, a directory means
+    its *.tfrecord members (the same directory convention FrameSource
+    gives TIFF inputs — a build_records OUTPUT DIR is a valid train
+    input, which is what depends_on chains naturally produce)."""
     if not job.input:
         raise jobs_lib.JobError(f"job {job.id}: no input paths")
-    return job.input
+    return [
+        os.path.join(p, "*.tfrecord") if os.path.isdir(p) else p
+        for p in job.input
+    ]
 
 
 @register("segmentation_unet3d")

@@ -1640,6 +1640,42 @@ class TestTrainPipelines:
         rows = [json.loads(l) for l in open(mfile)]
         assert any(r["kind"] == "train" and "loss" in r for r in rows)
 
+    def test_directory_input_expands_to_shards(
+        self, server_env, monkeypatch
+    ):
+        """A build_records OUTPUT DIR is a valid train input (the same
+        directory convention FrameSource gives TIFF entries) — what a
+        depends_on chain naturally produces."""
+        import dataclasses as dc
+
+        from sequitr_tpu.pipeline import fit as fit_lib
+
+        cfg_srv, tmp = server_env
+        cfg_srv = dc.replace(cfg_srv, max_retries=0)
+        captured = {}
+
+        def fake_fit(cfg, tc, fc, paths, **kw):
+            captured["paths"] = paths
+            raise RuntimeError("captured; abort before training")
+
+        monkeypatch.setattr(fit_lib, "fit_unet", fake_fit)
+        d = tmp / "shard_dir"
+        d.mkdir()
+        (d / "train-00000-of-00002.tfrecord").write_bytes(b"")
+        (d / "train-00001-of-00002.tfrecord").write_bytes(b"")
+        (d / "status.json").write_text("{}")  # non-shard files ignored
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_unet2d", "params": {"model": "m"},
+             "input": [str(d)], "output": str(tmp / "td")},
+        )
+        ImageServer(cfg_srv).poll_once()
+        names = [os.path.basename(p) for p in captured["paths"]]
+        assert names == [
+            "train-00000-of-00002.tfrecord",
+            "train-00001-of-00002.tfrecord",
+        ]
+
     def test_elastic_knobs_plumbed_from_job_params(
         self, server_env, monkeypatch
     ):
