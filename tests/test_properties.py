@@ -343,3 +343,96 @@ class TestMosaicProperties:
             assert abs(est[0] - ov) <= 4, (grid, ov, est)
         if grid[1] > 1:
             assert abs(est[1] - ov) <= 4, (grid, ov, est)
+
+
+class TestIlluminationProperties:
+    """Randomized invariants of the illumination estimators: identity on
+    clean data, inversion of known corruptions, degeneracy safety."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_fit_shading_inverts_random_vignette(self, seed):
+        """fit_shading on (moving scene x random smooth profile) recovers
+        the profile up to its mean, at random sizes/strengths/orders."""
+        from sequitr_tpu.data.synthetic import bandlimited_scene
+        from sequitr_tpu.ops import illumination as illum
+
+        rng = np.random.default_rng(seed)
+        h = int(rng.integers(33, 80))
+        w = int(rng.integers(33, 80))
+        n = int(rng.integers(12, 28))
+        big = bandlimited_scene(
+            (h + n, w + n), rng, sigma=0.08, amp=40.0
+        ) + 90.0
+        yy, xx = np.meshgrid(
+            np.linspace(-1, 1, h), np.linspace(-1, 1, w), indexing="ij"
+        )
+        a = float(rng.uniform(0.1, 0.4))
+        b = float(rng.uniform(-0.15, 0.15))
+        vig = 1.0 - a * (yy**2 + xx**2) + b * yy
+        frames = np.stack(
+            [big[k : k + h, k : k + w] * vig for k in range(n)]
+        ).astype(np.float32)
+        prof = illum.fit_shading(frames, order=2)
+        want = vig / vig.mean()
+        assert np.abs(prof - want).max() < 0.06
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_flat_input_estimates_identity(self, seed):
+        """No vignette, no bleach -> profile ~1 and gains ~1 for any
+        scene: the corrections never invent a correction."""
+        from sequitr_tpu.data.synthetic import bandlimited_scene
+        from sequitr_tpu.ops import illumination as illum
+
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(8, 20))
+        frames = np.stack(
+            [
+                bandlimited_scene((48, 48), rng, sigma=0.1, amp=30.0) + 70.0
+                for _ in range(n)
+            ]
+        ).astype(np.float32)
+        prof = illum.fit_shading(frames)
+        assert np.abs(prof - 1.0).max() < 0.06
+        meds = np.median(frames, axis=(1, 2))
+        gains, rate = illum.estimate_bleach_exp(np.arange(n), meds, n)
+        assert abs(rate) < 0.01
+        assert np.abs(gains - 1.0).max() < 0.1
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_bleach_fit_inverts_random_decay(self, seed):
+        """gains x exp-decayed medians is flat for random rates, sample
+        spacings and noise-free series."""
+        from sequitr_tpu.ops import illumination as illum
+
+        rng = np.random.default_rng(200 + seed)
+        n = int(rng.integers(20, 120))
+        rate = float(rng.uniform(-0.05, 0.08))
+        k = int(rng.integers(2, 6))
+        t = np.arange(0, n, k)
+        level = float(rng.uniform(10, 500))
+        meds = level * np.exp(-rate * t)
+        gains, got_rate = illum.estimate_bleach_exp(t, meds, n)
+        assert got_rate == pytest.approx(rate, abs=1e-6)
+        restored = level * np.exp(-rate * np.arange(n)) * gains
+        keep = gains < 19.9  # ignore the safety clip region
+        np.testing.assert_allclose(restored[keep], level, rtol=1e-4)
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_corrector_modes_agree_on_clean_data(self, seed):
+        """On an unshaded constant-median stack, exp/ratio/none all
+        return the input unchanged (gain 1 everywhere)."""
+        from sequitr_tpu.ops import illumination as illum
+
+        rng = np.random.default_rng(300 + seed)
+        frame = rng.gamma(2.0, 50.0, (32, 32, 1)).astype(np.float32)
+        shading = np.ones((32, 32, 1), np.float32)
+        ref = np.median(frame, axis=(0, 1)).astype(np.float32)
+        one = np.ones(1, np.float32)
+        for mode in ("exp", "ratio", "none"):
+            out, med, g = illum.make_corrector(mode)(
+                frame, shading, one, ref
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), frame, rtol=1e-5
+            )
+            assert float(g[0]) == pytest.approx(1.0, abs=1e-4)
