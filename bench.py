@@ -515,6 +515,34 @@ def bench_mosaic(device_kind: str, iters: int):
             "unit": "tiles/sec/chip"}
 
 
+def bench_illum(device_kind: str, iters: int):
+    """Illumination correction (correct_illumination's device path): one
+    1024² float32 frame through the fused cast -> divide-by-shading ->
+    on-device median -> gain graph. Estimation (host, sampled, one-off
+    per job) is excluded; this times the per-frame streaming work."""
+    import jax.numpy as jnp
+
+    from sequitr_tpu.ops import illumination as illum
+
+    rng = np.random.default_rng(6)
+    frame = jnp.asarray(
+        rng.gamma(2.0, 100.0, FRAME).astype(np.float32)[..., None]
+    )
+    yy, xx = np.meshgrid(
+        np.linspace(-1, 1, FRAME[0]), np.linspace(-1, 1, FRAME[1]),
+        indexing="ij",
+    )
+    shading = jnp.asarray(
+        (1.0 - 0.3 * (yy**2 + xx**2)).astype(np.float32)[..., None]
+    )
+    gain = jnp.asarray([1.05], jnp.float32)
+    ref = jnp.ones(1, jnp.float32)
+    run = illum.make_corrector("exp")
+    rate = _rate(lambda: run(frame, shading, gain, ref), iters=iters)
+    return {"metric": "illum_1024_correct", "value": round(rate, 3),
+            "unit": "frames/sec/chip"}
+
+
 CONFIGS = {
     "inference": bench_inference,
     "timelapse": bench_timelapse,
@@ -533,6 +561,7 @@ CONFIGS = {
     "register": bench_register,
     "registerbatch": bench_register_batch,
     "mosaic": bench_mosaic,
+    "illum": bench_illum,
 }
 
 
@@ -581,6 +610,7 @@ def _fidelity_spec(name: str):
         "register": ("reg", lambda: fid.register_fidelity()),
         "registerbatch": ("reg", lambda: fid.register_fidelity()),
         "mosaic": ("mosaic", lambda: fid.mosaic_fidelity()),
+        "illum": ("illum", lambda: fid.illum_fidelity()),
     }
     return specs.get(name)
 

@@ -613,3 +613,70 @@ def mosaic_fidelity(
         "photometric_residual_frac": _round(resid),
         "n_tiles": r * c,
     }
+
+
+def illum_fidelity(
+    t: int = 24,
+    shape: Tuple[int, int] = (256, 256),
+    rate: float = 0.03,
+    seed: int = 777_000,
+) -> Dict[str, float]:
+    """Correction accuracy of the production illumination path.
+
+    A moving band-limited scene is corrupted by a known radial vignette
+    and a known exponential photobleach; the full estimate->correct
+    chain (sampled fit_shading + estimate_bleach_exp + the jitted
+    corrector — the same code the ``correct_illumination`` pipeline
+    runs) takes it back. Reports the bleach-rate error, the temporal
+    drift of the corrected stack (max/min frame median; 1.0 = perfectly
+    stationary), the shading-profile RMSE vs the true (mean-1) profile,
+    and the 99th-percentile relative error vs the clean scene after one
+    global rescale (the mean-1 convention preserves the acquired level,
+    not the pre-vignette level).
+    """
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data.synthetic import bandlimited_scene
+    from sequitr_tpu.ops import illumination as illum
+
+    h, w = shape
+    rng = np.random.default_rng(seed)
+    big = bandlimited_scene((h + t, w + t), rng, sigma=0.08, amp=50.0) + 100.0
+    yy, xx = np.meshgrid(
+        np.linspace(-1, 1, h), np.linspace(-1, 1, w), indexing="ij"
+    )
+    vig = (1.0 - 0.35 * (yy**2 + xx**2)).astype(np.float64)
+    truth = np.stack([big[k : k + h, k : k + w] for k in range(t)])
+    stack = (
+        truth * vig[None] * np.exp(-rate * np.arange(t))[:, None, None]
+    ).astype(np.float32)
+
+    idx = np.unique(np.linspace(0, t - 1, min(16, t)).round().astype(int))
+    prof = illum.fit_shading(stack[idx])
+    meds = np.median(stack[idx] / prof[None], axis=(1, 2))
+    gains, got_rate = illum.estimate_bleach_exp(idx, meds, t)
+    run = illum.make_corrector("exp")
+    shading_dev = jnp.asarray(prof[..., None])
+    corrected = np.stack(
+        [
+            np.asarray(
+                run(
+                    jnp.asarray(stack[k][..., None]), shading_dev,
+                    jnp.asarray(gains[k : k + 1]),
+                    jnp.ones(1, jnp.float32),
+                )[0]
+            )[..., 0]
+            for k in range(t)
+        ]
+    )
+    cmeds = np.median(corrected, axis=(1, 2))
+    scale = float(np.median(truth) / np.median(corrected))
+    rel = np.abs(corrected * scale - truth) / truth
+    want = vig / vig.mean()
+    return {
+        "bleach_rate_err": _round(abs(got_rate - rate), 6),
+        "drift_ratio": _round(float(cmeds.max() / cmeds.min())),
+        "shading_rmse": _round(float(np.sqrt(np.mean((prof - want) ** 2)))),
+        "rel_err_p99": _round(float(np.percentile(rel, 99))),
+        "n_frames": t,
+    }
