@@ -3771,6 +3771,15 @@ def correct_illumination_job(job: Job, config: ServerConfiguration) -> Dict[str,
                 f0 = f0 / shading
                 ref_med = np.median(f0, axis=(0, 1)).astype(np.float32)
                 idx = np.zeros(1, int)
+            if mode == "ratio":
+                # the corrector falls back to gain 1 on a blank
+                # reference — surface that it happened, per channel
+                for c in np.nonzero(ref_med <= 1e-6)[0]:
+                    job.runtime_warnings.append(
+                        f"ratio reference (first served frame, channel "
+                        f"{c}) is blank; no bleach gain applied to that "
+                        "channel"
+                    )
 
         outputs = {}
         if estimate_only:

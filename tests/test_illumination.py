@@ -351,6 +351,22 @@ class TestCorrectIlluminationPipeline:
             rtol=1e-5,
         )
 
+    def test_ratio_blank_reference_warns(self, server_env):
+        """A blank first frame in ratio mode completes with gain 1 AND a
+        status warning saying so (silent fallback would hide bad data)."""
+        cfg, tmp = server_env
+        stack, _, _ = _drifting_stack(T=6)
+        stack[0] = 0.0
+        tiff.write_stack(str(tmp / "stack.tif"), stack)
+        st = self._submit(
+            cfg, tmp, {"flatfield": False, "bleach": "ratio"},
+            [str(tmp / "stack.tif")],
+        )
+        assert st["state"] == "complete", st.get("error")
+        assert any("blank" in w for w in st.get("warnings", []))
+        corrected = tiff.read_stack(st["outputs"]["corrected"])
+        np.testing.assert_allclose(corrected, stack, rtol=1e-5)
+
     def test_shading_shape_mismatch_rejected(self, server_env):
         cfg, tmp = server_env
         stack, _, _ = _drifting_stack(T=4)
