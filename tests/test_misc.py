@@ -59,6 +59,49 @@ class TestEmitterLocalization:
         assert len(out["y"]) == 1
         assert abs(float(out["y"][0]) - 4) < 0.5 and abs(float(out["x"][0]) - 5) < 0.5
 
+    def test_flip_equivariance_makes_tta_a_noop(self):
+        """The Gaussian-mask fit is exactly mirror-equivariant, so flip
+        test-time augmentation is the identity for it — the measured
+        reason NO ``tta`` knob exists on the emitter fitters (BASELINE.md
+        round-4 continuation-4). If a future estimator change breaks this
+        equivariance, TTA becomes worth re-evaluating; this test flags it.
+        """
+        rng = np.random.default_rng(7)
+        H = W = 33
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+        # worst pixelation case: small sigma, tight window, off-center
+        img = (
+            10.0
+            + 500.0
+            * np.exp(-((yy - 15.73) ** 2 + (xx - 16.31) ** 2) / (2 * 1.0**2))
+            + rng.normal(0, 0.3, (H, W))
+        ).astype(np.float32)
+        fits = psf.fit_peaks_gaussian(
+            jnp.asarray(img), jnp.asarray([[16, 16]], jnp.int32),
+            window=5, sigma=1.0,
+        )
+        # fit the mirrored image at the mirrored peak: the estimate must
+        # be exactly the mirror of the original (up to float noise), so
+        # averaging flip variants cannot move it.
+        fits_f = psf.fit_peaks_gaussian(
+            jnp.asarray(img[::-1]), jnp.asarray([[H - 1 - 16, 16]], jnp.int32),
+            window=5, sigma=1.0,
+        )
+        assert abs(float(fits_f["y"][0]) - (H - 1 - float(fits["y"][0]))) < 1e-4
+        assert abs(float(fits_f["x"][0]) - float(fits["x"][0])) < 1e-4
+        # elliptical fit: same equivariance, widths invariant
+        ell = psf.fit_peaks_elliptical(
+            jnp.asarray(img), jnp.asarray([[16, 16]], jnp.int32), window=7,
+        )
+        ell_f = psf.fit_peaks_elliptical(
+            jnp.asarray(img[:, ::-1]),
+            jnp.asarray([[16, W - 1 - 16]], jnp.int32), window=7,
+        )
+        assert abs(float(ell_f["x"][0]) - (W - 1 - float(ell["x"][0]))) < 1e-4
+        assert abs(float(ell_f["y"][0]) - float(ell["y"][0])) < 1e-4
+        assert abs(float(ell_f["sigma_y"][0]) - float(ell["sigma_y"][0])) < 1e-5
+        assert abs(float(ell_f["sigma_x"][0]) - float(ell["sigma_x"][0])) < 1e-5
+
 
 class TestPSF:
     def test_gaussian_psf_normalized(self):
