@@ -543,6 +543,29 @@ def bench_illum(device_kind: str, iters: int):
             "unit": "frames/sec/chip"}
 
 
+def bench_n2v(device_kind: str, iters: int):
+    """Noise2Void denoising serve: one whole 1024² frame through the fused
+    normalize -> regression U-Net -> output chain (the ``denoise``
+    pipeline's per-frame graph; depth-3 n2v preset architecture)."""
+    import dataclasses
+
+    import jax
+
+    from sequitr_tpu.models import unet, zoo
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg = dataclasses.replace(
+        zoo.get("n2v_denoise"), compute_dtype=_dtype(device_kind)
+    )
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
+    fn = jax.jit(infer_lib.make_denoiser(cfg, tc, FRAME))
+    frame = _frame(seed=7)
+    fps = _rate(lambda: fn(params, state, frame), iters)
+    return {"metric": "n2v_denoise_1024", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
 CONFIGS = {
     "inference": bench_inference,
     "timelapse": bench_timelapse,
@@ -562,6 +585,7 @@ CONFIGS = {
     "registerbatch": bench_register_batch,
     "mosaic": bench_mosaic,
     "illum": bench_illum,
+    "n2v": bench_n2v,
 }
 
 
@@ -611,6 +635,7 @@ def _fidelity_spec(name: str):
         "registerbatch": ("reg", lambda: fid.register_fidelity()),
         "mosaic": ("mosaic", lambda: fid.mosaic_fidelity()),
         "illum": ("illum", lambda: fid.illum_fidelity()),
+        "n2v": ("n2v1024", lambda: fid.n2v_fidelity(n=2)),
     }
     return specs.get(name)
 

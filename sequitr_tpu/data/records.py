@@ -29,6 +29,7 @@ __all__ = [
     "read_records",
     "encode_example",
     "decode_example",
+    "write_shards",
     "write_segmentation_shards",
     "read_segmentation_examples",
     "SegExample",
@@ -405,18 +406,20 @@ def _decode_seg(payload: bytes) -> SegExample:
     return SegExample(image, labels, weights)
 
 
-def write_segmentation_shards(
+def write_shards(
     prefix: str,
-    examples: Iterable[SegExample],
+    payloads: Iterable[bytes],
     shard_size: int = 128,
     compression: Optional[str] = None,
 ) -> List[str]:
-    """Write examples to ``{prefix}-00000-of-NNNNN.tfrecord`` shards.
+    """Write encoded payloads to ``{prefix}-00000-of-NNNNN.tfrecord`` shards.
 
-    Streams: examples may be a generator — each shard is written as it
-    fills (O(shard) memory) to a temporary name, and all shards rename to
-    their final ``-of-NNNNN`` names once the total is known (atomic per
-    file; readers never see a partial set under the final glob).
+    The schema-agnostic core of ``write_segmentation_shards`` (any example
+    encoding rides the same sharding/atomicity machinery). Streams:
+    payloads may be a generator — each shard is written as it fills
+    (O(shard) memory) to a temporary name, and all shards rename to their
+    final ``-of-NNNNN`` names once the total is known (atomic per file;
+    readers never see a partial set under the final glob).
     ``compression="gzip"`` writes TF-interchangeable gzip shards (readers
     sniff the layout, so consumers need no flag).
     """
@@ -424,14 +427,14 @@ def write_segmentation_shards(
     w: RecordWriter = None  # type: ignore[assignment]
     count = 0
     try:
-        for ex in examples:
+        for payload in payloads:
             if count % shard_size == 0:
                 if w is not None:
                     w.close()
                 tmp = f"{prefix}-{len(tmp_paths):05d}.tfrecord.tmp"
                 tmp_paths.append(tmp)
                 w = RecordWriter(tmp, compression=compression)
-            w.write(_encode_seg(ex))
+            w.write(payload)
             count += 1
         if w is not None:
             w.close()
@@ -458,6 +461,19 @@ def write_segmentation_shards(
         os.replace(tmp, path)
         paths.append(path)
     return paths
+
+
+def write_segmentation_shards(
+    prefix: str,
+    examples: Iterable[SegExample],
+    shard_size: int = 128,
+    compression: Optional[str] = None,
+) -> List[str]:
+    """Write segmentation examples to sharded records (see ``write_shards``)."""
+    return write_shards(
+        prefix, (_encode_seg(ex) for ex in examples),
+        shard_size=shard_size, compression=compression,
+    )
 
 
 def read_segmentation_examples(paths: Sequence[str]) -> Iterator[SegExample]:

@@ -24,7 +24,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["cells_frame", "cells_stack", "cells_volume", "emitter_frame", "emitter_volume", "astig_emitter_frame", "astig_widths", "bandlimited_scene"]
+__all__ = ["cells_frame", "cells_stack", "cells_volume", "denoise_pair", "emitter_frame", "emitter_volume", "astig_emitter_frame", "astig_widths", "bandlimited_scene"]
 
 
 def bandlimited_scene(
@@ -103,6 +103,33 @@ def cells_frame(
         np.maximum(img, 0.0)
     ) * 0.5
     return np.maximum(img, 0.0), lab
+
+
+def denoise_pair(
+    seed: int, shape: Tuple[int, int] = (256, 256), sigma: float = 0.1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(clean, noisy) pair for the Noise2Void task, in [0, 1]-ish scale.
+
+    ``clean`` is the NOISELESS cell render (flat background + smooth cell
+    profiles, normalized by a fixed scale so seeds share one intensity
+    space); ``noisy`` adds iid zero-mean Gaussian noise — exactly the
+    pixelwise-independent noise model N2V's blind-spot loss assumes.
+    Unlike ``cells_frame`` there is no gamma autofluorescence or shot
+    noise in ``clean``: the pair needs a truth the denoiser can be scored
+    against, and both paths (training records, serving fidelity) feed the
+    net the noisy member only.
+    """
+    rng = np.random.default_rng(seed)
+    h, w = shape
+    img = np.full(shape, 120.0, np.float32)  # flat background pedestal
+    lab = np.zeros(shape, np.int32)
+    n = max(3, int(h * w / 4096.0))
+    for _ in range(n):
+        cls = 1 if rng.random() < 0.7 else 2
+        _add_cell(img, lab, rng, cls)
+    clean = (img / 1800.0).astype(np.float32)  # fixed scale: peaks < ~1
+    noisy = clean + rng.normal(0.0, sigma, shape).astype(np.float32)
+    return clean, noisy
 
 
 def cells_stack(

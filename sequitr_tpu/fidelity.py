@@ -206,6 +206,67 @@ def gan_fidelity(
     }
 
 
+def n2v_fidelity(
+    fixture_name: str = "n2v_cells",
+    frame_shape: Tuple[int, int] = (1024, 1024),
+    n: int = 2,
+    seed0: int = 515_000,
+) -> Dict[str, float]:
+    """PSNR of the device Noise2Void path vs the CPU-f32 reference + truth.
+
+    Both paths run ``infer.make_denoiser`` exactly as the ``denoise``
+    pipeline serves (BN folded in-graph, whole-frame tiling;
+    ``normalize="none"`` because ``synthetic.denoise_pair`` scenes already
+    live in the fixture's trained intensity scale). ``psnr_truth_db``
+    scores the device output against the clean render the training never
+    saw — next to ``psnr_noisy_db`` (the input's own score), it shows the
+    denoiser's absolute win, not just TPU/CPU parity.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data import synthetic
+    from sequitr_tpu.models import fixtures
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    kind, cfg_dev, params, state, meta = fixtures.load(
+        fixture_name, compute_dtype=_device_dtype()
+    )
+    cfg_ref = dataclasses.replace(cfg_dev, compute_dtype=jnp.float32)
+    tc = infer_lib.TileConfig(
+        patch=frame_shape, overlap=(0, 0), normalize="none"
+    )
+    params, state = _np_tree((params, state))
+    dev_fn = jax.jit(infer_lib.make_denoiser(cfg_dev, tc, frame_shape))
+    ref_fn = jax.jit(infer_lib.make_denoiser(cfg_ref, tc, frame_shape))
+
+    def _psnr(a, b):
+        mse = float(np.mean((a - b) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    psnr_ref, psnr_truth, psnr_noisy = [], [], []
+    for i in range(n):
+        clean, noisy = synthetic.denoise_pair(seed0 + i, frame_shape)
+        dev = np.asarray(
+            dev_fn(params, state, jnp.asarray(noisy)), np.float32
+        )[..., 0]
+        with jax.default_device(_cpu()):
+            ref = np.asarray(
+                ref_fn(params, state, jax.device_put(noisy, _cpu())),
+                np.float32,
+            )[..., 0]
+        psnr_ref.append(_psnr(dev, ref))
+        psnr_truth.append(_psnr(dev, clean))
+        psnr_noisy.append(_psnr(noisy, clean))
+    return {
+        "psnr_vs_ref_db": _round(np.mean(psnr_ref), 2),
+        "psnr_truth_db": _round(np.mean(psnr_truth), 2),
+        "psnr_noisy_db": _round(np.mean(psnr_noisy), 2),
+        "n_frames": n,
+        "fixture": fixture_name,
+    }
+
+
 # ---------------------------------------------------------------------------
 # training: loss-trajectory parity
 # ---------------------------------------------------------------------------

@@ -59,7 +59,11 @@ def _cfg_from_dict(kind: str, cfg_dict: Dict[str, Any]):
 
     cfg_dict = dict(cfg_dict)
     cfg_dict["compute_dtype"] = jnp.dtype(cfg_dict["compute_dtype"])
-    cls = {"unet": unet.UNetConfig, "gan": gan_lib.GANConfig}[kind]
+    cls = {
+        "unet": unet.UNetConfig,
+        "gan": gan_lib.GANConfig,
+        "n2v": unet.UNetConfig,  # regression U-Net (Noise2Void denoiser)
+    }[kind]
     return cls(**cfg_dict)
 
 
@@ -78,7 +82,7 @@ def load(name: str, compute_dtype=None) -> Tuple[str, Any, Any, Any, Dict[str, A
     cfg = _cfg_from_dict(kind, meta["config"])
     if compute_dtype is not None:
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
-    init = unet.init if kind == "unet" else gan_lib.init
+    init = gan_lib.init if kind == "gan" else unet.init
     t_params, t_state = init(jax.random.PRNGKey(0), cfg)
     npz = os.path.join(fixture_dir(), f"{name}.npz")
     params = convert_lib.load_npz_weights(

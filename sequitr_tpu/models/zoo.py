@@ -53,6 +53,13 @@ PRESETS: Dict[str, Any] = {
     # distillation evidence: tests/test_fit.py::TestDistillFast
     "unet2d_3class_fast4": _unet(num_classes=3, space_to_depth=4, base_features=64),
     "unet2d_binary_fast4": _unet(num_classes=2, space_to_depth=4, base_features=64),
+    # Noise2Void self-supervised denoiser: a regression U-Net (num_classes
+    # doubles as the output channel count, raw head — no softmax), trained
+    # with blind-spot masking (train.make_n2v_train_step) from NOISY data
+    # alone. The N2V literature uses a shallower net than segmentation
+    # (receptive field only needs to span the noise correlation length);
+    # depth 3 also keeps the serving graph light next to the GAN enhancer.
+    "n2v_denoise": _unet(num_classes=1, depth=3, features_cap=256),
 }
 
 

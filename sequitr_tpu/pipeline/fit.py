@@ -25,8 +25,8 @@ from sequitr_tpu.pipeline import train as train_lib
 
 log = logging.getLogger("sequitr_tpu.fit")
 
-__all__ = ["FitConfig", "Distill", "fit_unet", "fit_gan",
-           "fit_unet_spatial", "latest_checkpoint"]
+__all__ = ["FitConfig", "Distill", "fit_unet", "fit_gan", "fit_n2v",
+           "fit_unet_spatial", "latest_checkpoint", "encode_image_example"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -606,6 +606,129 @@ def fit_gan(
         # serving folds only the generator: averaging the discriminator
         # would double the EMA's footprint for zero effect
         ema_select=lambda prm: prm["gen"],
+    )
+
+
+def _decode_image(payload: bytes) -> Dict[str, np.ndarray]:
+    """Decode an image-only example (Noise2Void shards: no labels)."""
+    f = records_lib.decode_example(payload)
+    shape = tuple(int(v) for v in f["image/shape"])
+    x = np.frombuffer(f["image/encoded"][0], dtype="<f4").reshape(shape)
+    if x.ndim == 2:
+        x = x[..., None]
+    return {"image": x.astype(np.float32)}
+
+
+def encode_image_example(x: np.ndarray) -> bytes:
+    """Encode an image-only record payload ((H, W) or (H, W, C) float32)."""
+    x = np.asarray(x, np.float32)
+    return records_lib.encode_example(
+        {"image/encoded": x.astype("<f4").tobytes(), "image/shape": list(x.shape)}
+    )
+
+
+def _make_n2v_evaluator(
+    cfg: unet.UNetConfig,
+    fc: FitConfig,
+    shard_paths: Sequence[str],
+    mask_frac: float,
+    radius: int,
+) -> Optional[Callable]:
+    """Holdout evaluator for Noise2Void: blind-spot MSE under a FIXED mask.
+
+    Clean targets don't exist (that is the point of N2V), so the eval
+    metric is the same masked MSE the training loss minimizes, computed on
+    held-out images with a mask drawn once from a fixed key — every eval
+    scores the same pixels, so the series is comparable across steps (a
+    fresh mask per eval would add sampling noise bigger than late-training
+    improvements). ``eval_psnr_masked`` = -10*log10(mse) is the
+    higher-is-better form ``keep_best_metric`` wants; it floors at the
+    noise variance (the irreducible blind-spot error), so compare runs on
+    the SAME data only."""
+    import jax.numpy as jnp
+
+    holdout = load_holdout(shard_paths, _decode_image, fc.holdout_every, fc.eval_limit)
+    if holdout is None:
+        log.warning("holdout_every=%d produced no eval examples", fc.holdout_every)
+        return None
+    images = jnp.asarray(holdout["image"])
+    n_mask = max(1, int(mask_frac * images.shape[1] * images.shape[2]))
+    masked, ys, xs = train_lib.n2v_mask_batch(
+        jax.random.PRNGKey(0), images, n_mask, radius
+    )
+    dump = _dump_dir(fc)
+
+    @jax.jit
+    def _eval(params, model_state):
+        pred_m, _ = unet.apply(cfg, params, model_state, masked, train=False)
+        mse = train_lib.n2v_masked_mse(pred_m, images, ys, xs)
+        # the denoised holdout frame for the image dump: UNMASKED input
+        pred, _ = unet.apply(cfg, params, model_state, images[:1], train=False)
+        return mse, pred
+
+    def eval_fn(state, g):
+        mse, pred = _eval(state.params, state.model_state)
+        mse = max(float(mse), 1e-12)
+        if dump:
+            from sequitr_tpu.data import tiff
+
+            tiff.write_stack(
+                os.path.join(dump, f"eval_denoised_{g:08d}.tif"),
+                np.asarray(pred[0, ..., 0], dtype=np.float32),
+            )
+        return {
+            "eval_n2v_mse": mse,
+            "eval_psnr_masked": -10.0 * np.log10(mse),
+        }
+
+    return eval_fn
+
+
+def fit_n2v(
+    cfg: unet.UNetConfig,
+    tc: train_lib.TrainConfig,
+    fc: FitConfig,
+    shard_paths: Sequence[str],
+    ckpt_dir: Optional[str] = None,
+    mesh=None,
+    init_state: Optional[train_lib.TrainState] = None,
+    mask_frac: float = 0.005,
+    radius: int = 5,
+    should_stop: Optional[Callable[[], bool]] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> train_lib.TrainState:
+    """Train a Noise2Void denoiser from image-only record shards.
+
+    Same loop/checkpoint/resume/metrics machinery as ``fit_unet``; the
+    step is ``train.make_n2v_train_step`` (blind-spot masked MSE — no
+    labels, no clean targets). ``mesh``: standard DP (state replicated,
+    batch sharded; each chip draws its own mask positions from the
+    folded-in step key)."""
+    _check_keep_best(fc, {"eval_n2v_mse", "eval_psnr_masked"})
+    key = jax.random.PRNGKey(fc.seed)
+    state = init_state or train_lib.create_unet_state(key, cfg, tc)
+    step = train_lib.make_n2v_train_step(
+        cfg, tc, mask_frac=mask_frac, radius=radius, jit=mesh is None
+    )
+    sharding = None
+    if mesh is not None:
+        from sequitr_tpu import parallel
+
+        step = parallel.make_dp_train_step(step, mesh)
+        sharding = parallel.batch_sharded(mesh)
+    it = ShardIterator(
+        shard_paths, _decode_image, fc.batch_size, seed=fc.seed,
+        shuffle_buffer=fc.shuffle_buffer, holdout_every=fc.holdout_every,
+    )
+    eval_fn = (
+        _make_n2v_evaluator(cfg, fc, shard_paths, mask_frac, radius)
+        if fc.holdout_every
+        else None
+    )
+    batches = prefetch_to_device(iter(it), depth=fc.prefetch_depth, sharding=sharding)
+    return _run_loop(
+        state, step, batches, fc, ckpt_dir, key, ("loss", "grad_norm"),
+        eval_fn=eval_fn, should_stop=should_stop, progress=progress,
     )
 
 

@@ -33,6 +33,8 @@ __all__ = [
     "make_frame_inferrer",
     "cached_frame_inferrer",
     "cached_gan_enhancer",
+    "make_denoiser",
+    "cached_denoiser",
     "infer_stack",
     "stream_frames",
     "InferenceResult",
@@ -425,6 +427,73 @@ def cached_gan_enhancer(
     return jax.jit(
         lambda params, state, frames: jax.vmap(
             lambda f: enhance_one(params, state, f)
+        )(frames)
+    )
+
+
+def make_denoiser(
+    cfg,  # unet.UNetConfig with a regression head (num_classes = C_out)
+    tc: TileConfig,
+    frame_spatial: Tuple[int, ...],
+) -> Callable:
+    """Un-jitted ``denoise(params, state, frame) -> (H, W, C_out)``.
+
+    Serving pass for Noise2Void-trained regression U-Nets
+    (``train.make_n2v_train_step``): normalize -> tiled forward (raw head,
+    NO softmax — the output is the predicted clean intensity in normalized
+    space) -> weighted stitch. Mirrors ``make_gan_enhancer``'s contract
+    (same tiling/TTA/output-dtype semantics) so the two denoising families
+    serve identically; BN folds into the convs like the segmentation path.
+    """
+    spatial = tuple(frame_spatial)
+    grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
+    nd = len(spatial)
+    variants = _tta_variants(nd, tc.tta, spatial)
+    fold = cfg.norm == "batch"
+    run_cfg = dataclasses.replace(cfg, norm="none") if fold else cfg
+
+    def denoise_one(params, state, frame):
+        if fold:
+            _, params, state = unet.fold_batchnorm(
+                dataclasses.replace(run_cfg, norm="batch"), params, state
+            )
+        if frame.ndim == nd:
+            frame = frame[..., None]
+        x = _normalize(frame, tc)
+
+        def forward(patches):
+            out, _ = unet.apply(run_cfg, params, state, patches, train=False)
+            return out
+
+        out = _tta_average(
+            lambda xi: tiled_apply(
+                forward, xi, grid, spatial, tc, run_cfg.num_classes
+            ),
+            x,
+            variants,
+        )
+        return out.astype(jnp.dtype(tc.probs_dtype))
+
+    return denoise_one
+
+
+@functools.lru_cache(maxsize=32)
+def cached_denoiser(
+    cfg,  # unet.UNetConfig (frozen dataclass)
+    tc: TileConfig,
+    frame_spatial: Tuple[int, ...],
+    batch: Optional[int] = None,
+) -> Callable:
+    """Cross-job cache of jitted N2V denoiser passes (see
+    ``cached_gan_enhancer`` for the caching rationale — weights are
+    per-call arguments, so one compiled graph serves every registered
+    denoiser of the same architecture/tiling/shape)."""
+    denoise_one = make_denoiser(cfg, tc, frame_spatial)
+    if batch is None:
+        return jax.jit(denoise_one)
+    return jax.jit(
+        lambda params, state, frames: jax.vmap(
+            lambda f: denoise_one(params, state, f)
         )(frames)
     )
 

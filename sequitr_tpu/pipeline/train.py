@@ -30,6 +30,9 @@ __all__ = [
     "create_unet_state",
     "make_unet_train_step",
     "make_unet_distill_step",
+    "make_n2v_train_step",
+    "n2v_mask_batch",
+    "n2v_masked_mse",
     "GANTrainState",
     "create_gan_state",
     "make_gan_train_step",
@@ -269,6 +272,154 @@ def make_unet_distill_step(
             "accuracy": jnp.mean((preds == labels).astype(jnp.float32)),
             "grad_norm": optax.global_norm(grads),
         }
+        return TrainState(new_params, new_ms, new_opt, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=0) if jit else step
+
+
+# ---------------------------------------------------------------------------
+# Noise2Void self-supervised denoising (blind-spot masking)
+# ---------------------------------------------------------------------------
+
+
+def n2v_flip_batch(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
+    """Random per-sample dihedral augmentation for image-only batches.
+
+    Flips along both spatial axes always; adds the transpose when the
+    patch is square (the full 8-element dihedral group). Noise2Void has no
+    labels/weights to co-transform, so the segmentation augmenter
+    (``ops.augment``) is a poor fit; elastic warps are deliberately
+    excluded — interpolation correlates neighboring pixels, weakening the
+    noise-independence assumption the blind-spot loss relies on.
+    """
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    kf, kt = jax.random.split(key)
+    flips = jax.random.bernoulli(kf, 0.5, (b, 2))
+
+    def one(img, f, t):
+        img = jnp.where(f[0], img[::-1], img)
+        img = jnp.where(f[1], img[:, ::-1], img)
+        return img if t is None else jnp.where(t, img.swapaxes(0, 1), img)
+
+    if h == w:
+        ts = jax.random.bernoulli(kt, 0.5, (b,))
+        return jax.vmap(lambda i, f, t: one(i, f, t))(images, flips, ts)
+    return jax.vmap(lambda i, f: one(i, f, None))(images, flips)
+
+
+def n2v_mask_batch(
+    key: jax.Array,
+    images: jnp.ndarray,
+    n_mask: int,
+    radius: int,
+):
+    """Blind-spot masking: replace ``n_mask`` pixels with a random neighbor.
+
+    Per sample, draws ``n_mask`` pixel positions uniformly and substitutes
+    each with the value of a uniformly-drawn neighbor within the
+    ``(2*radius+1)``-square window (Krull et al. 2019, CVPR — uniform
+    pixel selection with random neighbor replacement). The substitute is
+    NEVER the pixel itself: the zero offset collapses to (1, 1), reflected
+    offsets at borders are checked again, and any residual self-hit shifts
+    one column (one row for width-1 images) — an identity leak at even one
+    masked pixel lets the net learn the identity function and the
+    blind-spot loss collapses.
+
+    Returns ``(masked_images, ys, xs)`` with ``ys``/``xs`` (B, n_mask)
+    int32 — the coordinates the loss is evaluated at. Static shapes
+    throughout: one fused graph under jit/vmap, no host round-trips.
+    """
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+
+    def mask_one(k, img):
+        ky, kx, kd = jax.random.split(k, 3)
+        ys = jax.random.randint(ky, (n_mask,), 0, h)
+        xs = jax.random.randint(kx, (n_mask,), 0, w)
+        d = jax.random.randint(kd, (n_mask, 2), -radius, radius + 1)
+        d = jnp.where((d == 0).all(axis=1, keepdims=True), 1, d)
+        # reflect out-of-bounds neighbors back inside (clipping would pile
+        # border picks onto the masked pixel itself)
+        ny = jnp.abs(ys + d[:, 0])
+        nx = jnp.abs(xs + d[:, 1])
+        ny = jnp.where(ny > h - 1, 2 * (h - 1) - ny, ny)
+        nx = jnp.where(nx > w - 1, 2 * (w - 1) - nx, nx)
+        # reflection can land back on the source (e.g. y=h-2, dy=2); break
+        # the tie by one column, or one row when the image is 1 wide
+        self_hit = (ny == ys) & (nx == xs)
+        if w > 1:
+            nx = jnp.where(self_hit, jnp.where(xs > 0, xs - 1, xs + 1), nx)
+        else:
+            ny = jnp.where(self_hit, jnp.where(ys > 0, ys - 1, ys + 1), ny)
+        masked = img.at[ys, xs].set(img[ny, nx])
+        return masked, ys.astype(jnp.int32), xs.astype(jnp.int32)
+
+    return jax.vmap(mask_one)(jax.random.split(key, b), images)
+
+
+def n2v_masked_mse(pred, target, ys, xs):
+    """Mean squared error at the masked coordinates only (f32)."""
+    gather = jax.vmap(lambda a, y, x: a[y, x])
+    p = gather(pred.astype(jnp.float32), ys, xs)
+    t = gather(target.astype(jnp.float32), ys, xs)
+    return jnp.mean((p - t) ** 2)
+
+
+def make_n2v_train_step(
+    cfg: unet.UNetConfig,
+    tc: TrainConfig,
+    mask_frac: float = 0.005,
+    radius: int = 5,
+    jit: bool = True,
+):
+    """Noise2Void self-supervised denoiser training step.
+
+    Trains a regression U-Net (``cfg.num_classes`` = output channels, raw
+    head, no softmax) to predict each pixel from its CONTEXT: a random
+    ``mask_frac`` of pixels per patch is replaced by random-neighbor
+    values and the MSE is evaluated at those pixels against the ORIGINAL
+    noisy values (Krull et al. 2019). Because the masked input carries no
+    information about the pixel's own noise, the minimizer is the clean
+    signal expectation — no paired clean data needed (the gap the
+    pix2pix enhancement GAN cannot cover when no ground truth exists).
+
+    ``batch``: dict with ``image`` (B, H, W, C) float32 (normalized at
+    record creation). One fused jit graph: dihedral augment -> blind-spot
+    mask -> forward -> masked MSE -> Adam update. 2D only (the blind-spot
+    geometry is per-frame); ``tc.augment`` gates flips/transpose,
+    elastic is never applied (see ``n2v_flip_batch``).
+    """
+    if cfg.dims != 2:
+        raise ValueError("Noise2Void training is 2D-only (per-frame masking)")
+    if not 0.0 < mask_frac <= 0.5:
+        raise ValueError(f"mask_frac={mask_frac} must be in (0, 0.5]")
+    if radius < 1:
+        raise ValueError(f"radius={radius} must be >= 1")
+    optimizer = tc.make_optimizer()
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        images = batch["image"]  # (B, H, W, C)
+        h, w = images.shape[1], images.shape[2]
+        n_mask = max(1, int(mask_frac * h * w))
+        k_aug, k_mask = jax.random.split(key)
+        if tc.augment:
+            images = n2v_flip_batch(k_aug, images)
+        masked, ys, xs = n2v_mask_batch(k_mask, images, n_mask, radius)
+
+        def loss_fn(params):
+            fwd = lambda p, x: unet.apply(
+                cfg, p, state.model_state, x, train=True
+            )
+            if tc.remat:
+                fwd = jax.checkpoint(fwd)
+            pred, new_ms = fwd(params, masked)
+            return n2v_masked_mse(pred, images, ys, xs), new_ms
+
+        (loss, new_ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         return TrainState(new_params, new_ms, new_opt, state.step + 1), metrics
 
     return jax.jit(step, donate_argnums=0) if jit else step

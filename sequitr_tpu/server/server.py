@@ -509,7 +509,13 @@ def load_model(models_dir: str, name: str):
         cfg_dict = json.load(f)
     kind = cfg_dict.pop("__kind__")
     cfg_dict["compute_dtype"] = jnp.dtype(cfg_dict["compute_dtype"])
-    cfg_cls = {"unet": unet.UNetConfig, "gan": gan_lib.GANConfig}[kind]
+    # "n2v" models are UNetConfigs with a regression head (the kind keeps
+    # a denoiser from being served through the softmax segmentation path)
+    cfg_cls = {
+        "unet": unet.UNetConfig,
+        "gan": gan_lib.GANConfig,
+        "n2v": unet.UNetConfig,
+    }[kind]
     # forward compatibility: a model saved by a newer version may carry
     # config fields this version doesn't know. New fields default on save,
     # so dropping them (with a warning) beats refusing to load the model.
@@ -526,7 +532,7 @@ def load_model(models_dir: str, name: str):
     # rebuild one from the config — init is cheap relative to inference
     import jax
 
-    init_fn = {"unet": unet.init, "gan": gan_lib.init}[kind]
+    init_fn = {"unet": unet.init, "gan": gan_lib.init, "n2v": unet.init}[kind]
     t_params, t_state = init_fn(jax.random.PRNGKey(0), cfg)
     restored = train_lib.restore_checkpoint(
         os.path.join(model_dir, "ckpt"), {"params": t_params, "state": t_state}
@@ -1195,6 +1201,141 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     outputs = {"enhanced": out_path, "metrics": json.dumps(metrics)}
     if c_out > 1:
         outputs["enhanced_layout"] = (
+            f"pages=(T={n_frames})*(C={c_out}), frame-major"
+        )
+    return outputs
+
+
+@register("denoise")
+def denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Noise2Void denoising pass over a TIFF stack (kind ``n2v`` models).
+
+    The serving half of ``train_n2v``: the regression U-Net runs the same
+    fused normalize -> tiled forward -> stitch chain as the GAN enhancer
+    (raw head, no softmax) and writes the predicted clean stack in
+    normalized space. input: one TIFF per channel. params: model, patch,
+    overlap, window, normalize, p_lo/p_hi, tta, out_dtype, frame_batch,
+    frame range / roi, data_parallel (frames sharded over all chips).
+    ``spatial_parallel`` is not supported here (denoisers are shallow;
+    whole frames fit a chip — ask for it if a use case appears).
+    Outputs: denoised.tif (float32 by default; multi-channel output is
+    frame-major paged like the GAN's ``enhanced_layout``).
+    """
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    if job.params.get("spatial_parallel"):
+        raise jobs_lib.JobError(
+            "denoise does not support spatial_parallel (frames this size "
+            "fit one chip; use data_parallel for timelapse throughput)"
+        )
+    paths = _resolve_inputs(job)
+    try:
+        source = FrameSource(paths=paths)
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    source = _apply_roi(job, _apply_frame_range(job, source))
+
+    cfg, params, state = _require_model(job, config, "n2v")
+    if cfg.in_channels != source.n_channels:
+        raise jobs_lib.JobError(
+            f"model expects {cfg.in_channels} channel(s), "
+            f"got {source.n_channels} input stack(s)"
+        )
+    p = job.params.copy()
+    if "out_dtype" in p:
+        p["probs_dtype"] = p["out_dtype"]
+    tc = _tile_config(
+        p, dims=2,
+        frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
+        exact_only=True,
+    )
+
+    from sequitr_tpu.utils import PhaseTimer
+
+    timer = PhaseTimer()
+    n_frames = len(source)
+    fb = job.params.get("frame_batch")
+    fb = int(fb) if fb else _auto_frame_batch(source.spatial)
+    fb = max(1, min(fb, n_frames))
+    c_out = cfg.num_classes
+    out_path = os.path.join(job.output, "denoised.tif")
+    writer = _append_writer(
+        out_path,
+        float(n_frames) * np.prod(source.spatial) * c_out
+        * np.dtype(tc.probs_dtype).itemsize,
+        _out_compression(job),
+    )
+    rep = jobs_lib.ProgressReporter(job, n_frames)
+
+    def write_frame(got):  # (H, W, C_out)
+        with timer.phase("write"):
+            for c in range(c_out):
+                writer.append(got[..., c])
+        rep.step()
+
+    t0 = time.time()
+    import jax
+
+    try:
+        with source:
+            if job.params.get("data_parallel") and jax.device_count() > 1:
+                import jax.numpy as jnp
+
+                from sequitr_tpu import parallel
+
+                mesh = parallel.make_mesh()
+                n_dev = mesh.devices.size
+                dp = parallel.make_dp_frame_mapper(
+                    infer_lib.make_denoiser(cfg, tc, source.spatial), mesh
+                )
+                n_left = n_frames
+                for chunk in infer_lib._iter_read_ahead(
+                    source.chunks(n_dev), 2
+                ):
+                    out = dp(params, state, jnp.asarray(chunk))
+                    with timer.phase("fetch"):
+                        got = np.asarray(out)
+                    for k in range(min(n_dev, n_left)):
+                        write_frame(got[k])
+                    n_left -= n_dev
+            elif fb > 1:
+                bdenoise = infer_lib.cached_denoiser(
+                    cfg, tc, source.spatial, batch=fb
+                )
+                n_left = n_frames
+                for out in infer_lib.stream_frames(
+                    lambda ch: bdenoise(params, state, ch), source.chunks(fb),
+                    prefetch_host=infer_lib._copy_to_host_async,
+                ):
+                    with timer.phase("fetch"):
+                        got = np.asarray(out)
+                    for k in range(min(fb, n_left)):
+                        write_frame(got[k])
+                    n_left -= fb
+            else:
+                den = infer_lib.cached_denoiser(cfg, tc, source.spatial)
+                for out in infer_lib.stream_frames(
+                    lambda f: den(params, state, f), source.frames(),
+                    prefetch_host=infer_lib._copy_to_host_async,
+                ):
+                    with timer.phase("fetch"):
+                        got = np.asarray(out)
+                    write_frame(got)
+    except BaseException:
+        writer.abort()
+        raise
+    writer.close()
+    rep.finish()
+    total_s = time.time() - t0
+    metrics = dict(
+        timer.summary(), total_s=round(total_s, 4), n_frames=n_frames
+    )
+    if total_s > 0:
+        metrics["frames_per_sec"] = round(n_frames / total_s, 3)
+    outputs = {"denoised": out_path, "metrics": json.dumps(metrics)}
+    if c_out > 1:
+        outputs["denoised_layout"] = (
             f"pages=(T={n_frames})*(C={c_out}), frame-major"
         )
     return outputs
@@ -2089,6 +2230,200 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         reg_params, state.model_state
     )
     return {"model": model_dir, "metrics_file": fc.metrics_path}
+
+
+@register("train_n2v")
+def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Train a Noise2Void self-supervised denoiser from NOISY stacks alone.
+
+    The denoising path for users with no paired clean data (the
+    enhancement GAN's requirement): blind-spot masking lets a regression
+    U-Net learn the clean signal from single noisy images
+    (``train.make_n2v_train_step``; Krull et al. 2019).
+
+    input: noisy TIFF stacks — one per input channel, the segmentation
+    convention. The job builds its own image-only record shards (random
+    ``patch`` crops of percentile-normalized frames, written once under
+    the job output and REUSED on resume) and then trains. params:
+    ``model`` (output name, required), ``patch`` (crop size, default
+    [64, 64]), ``patches_per_frame`` (default 4), ``mask_frac`` (fraction
+    of pixels masked per patch, default 0.005), ``radius`` (neighbor
+    window, default 5), ``normalize`` (default true: percentile-normalize
+    crops like the denoise serve path's default; set false for
+    pre-scaled data AND serve with ``normalize: "none"`` — the two sides
+    must share one intensity space), the standard training/observability
+    params of
+    ``train_unet2d`` (steps, batch_size, learning_rate, grad_accum,
+    remat, lr_*, holdout_every, keep_best, early_stop_patience,
+    ema_decay, data_parallel, resume), and the architecture params
+    (depth, base_features — default: the ``n2v_denoise`` preset's
+    depth-3 net). Registers the model as kind ``n2v`` (served by the
+    ``denoise`` pipeline). 2D only.
+    """
+    import glob as glob_lib
+
+    import jax
+
+    from sequitr_tpu.data import records as records_lib
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.models import unet
+    from sequitr_tpu.models import zoo
+    from sequitr_tpu.pipeline import fit as fit_lib
+    from sequitr_tpu.pipeline import train as train_lib
+
+    p = job.params
+    if int(p.get("dims", 2)) != 2:
+        raise jobs_lib.JobError("train_n2v is 2D-only (per-frame masking)")
+
+    # ---- record shards: build once, reuse on resume/requeue ----
+    rec_dir = os.path.join(job.output, "records")
+    shard_paths = sorted(glob_lib.glob(os.path.join(rec_dir, "*.tfrecord")))
+    if not shard_paths:
+        paths = _resolve_inputs(job)
+        try:
+            source = FrameSource(paths=paths)
+        except ValueError as e:
+            raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+        patch = tuple(int(v) for v in p.get("patch", (64, 64)))
+        if len(patch) != 2 or any(
+            ps > s for s, ps in zip(source.spatial, patch)
+        ):
+            source.close()
+            raise jobs_lib.JobError(
+                f"patch {patch} must be 2 axes and fit the "
+                f"frames {source.spatial}"
+            )
+        n_crops = int(p.get("patches_per_frame", 4))
+        p_lo, p_hi = float(p.get("p_lo", 5.0)), float(p.get("p_hi", 99.5))
+        # training records and the denoise serving pass MUST live in the
+        # same intensity space: the default normalizes crops per frame
+        # (matching the serve path's default percentile normalize);
+        # ``normalize: false`` (or "none") trains in the raw scale — use
+        # it for pre-scaled data, TOGETHER with ``normalize: "none"`` on
+        # the denoise job, or the net sees a scale it never trained on.
+        norm_rec = p.get("normalize", True)
+        norm_rec = bool(norm_rec) and norm_rec != "none"
+        rng = np.random.default_rng(int(p.get("seed", 0)))
+        n_frames = len(source)
+
+        def gen_payloads():
+            with source:
+                for t in jobs_lib.track(
+                    job, range(n_frames), total=n_frames, phase="records"
+                ):
+                    img = np.asarray(source.frame(t), dtype=np.float32)
+                    if norm_rec:
+                        axes = tuple(range(2))
+                        lo = np.percentile(img, p_lo, axis=axes, keepdims=True)
+                        hi = np.percentile(img, p_hi, axis=axes, keepdims=True)
+                        img = np.clip(
+                            (img - lo) / np.maximum(hi - lo, 1e-8), 0.0, 1.0
+                        ).astype(np.float32)
+                    for _ in range(n_crops):
+                        ys = int(rng.integers(0, img.shape[0] - patch[0] + 1))
+                        xs = int(rng.integers(0, img.shape[1] - patch[1] + 1))
+                        yield fit_lib.encode_image_example(
+                            img[ys:ys + patch[0], xs:xs + patch[1]]
+                        )
+
+        os.makedirs(rec_dir, exist_ok=True)
+        shard_paths = records_lib.write_shards(
+            os.path.join(rec_dir, "train"), gen_payloads(),
+            shard_size=int(p.get("shard_size", 128)),
+        )
+        n_channels = source.n_channels
+    else:
+        # resumed job: channel count comes from the shards themselves
+        first = next(records_lib.read_records(shard_paths[0]), None)
+        if first is None:
+            raise jobs_lib.JobError(f"job {job.id}: empty record shards in {rec_dir}")
+        shape = fit_lib._decode_image(first)["image"].shape
+        n_channels = shape[-1]
+
+    # ---- architecture: the n2v preset resized to the data's channels ----
+    import jax.numpy as jnp
+
+    base = zoo.get("n2v_denoise")
+    cfg = dataclasses.replace(
+        base,
+        in_channels=n_channels,
+        num_classes=n_channels,  # regression: predict every input channel
+        depth=int(p.get("depth", base.depth)),
+        base_features=int(p.get("base_features", base.base_features)),
+        norm=p.get("norm", base.norm),
+        compute_dtype=jnp.dtype(p.get("compute_dtype", "bfloat16")),
+    )
+    steps = int(p.get("steps", 1000))
+    tc = train_lib.TrainConfig(
+        learning_rate=float(p.get("learning_rate", 4e-4)),
+        augment=bool(p.get("augment", True)),
+        grad_accum=int(p.get("grad_accum", 1)),
+        remat=bool(p.get("remat", False)),
+        lr_schedule=str(p.get("lr_schedule", "constant")),
+        lr_warmup_steps=int(p.get("lr_warmup_steps", 0)),
+        lr_decay_steps=int(
+            p.get("lr_decay_steps",
+                  max(1, steps - int(p.get("lr_warmup_steps", 0))))
+        ),
+        lr_end_factor=float(p.get("lr_end_factor", 0.01)),
+    )
+    fc = fit_lib.FitConfig(
+        steps=steps,
+        batch_size=int(p.get("batch_size", 16)),
+        checkpoint_every=int(p.get("checkpoint_every", 500)),
+        log_every=int(p.get("log_every", 50)),
+        holdout_every=int(p.get("holdout_every", 0)),
+        eval_every=int(p.get("eval_every", 0)),
+        metrics_path=os.path.join(job.output, "metrics.jsonl"),
+        dump_eval_images=bool(p.get("dump_eval_images", False)),
+        seed=int(p.get("seed", 0)),
+        keep_checkpoints=int(p.get("keep_checkpoints", 3)),
+        keep_best_metric=(
+            str(p.get("keep_best_metric", "eval_psnr_masked"))
+            if p.get("keep_best") or _parse_patience(p)
+            else ""
+        ),
+        early_stop_patience=_parse_patience(p),
+        ema_decay=_parse_ema_decay(p),
+    )
+    if fc.keep_best_metric and not fc.holdout_every:
+        raise jobs_lib.JobError(
+            "keep_best/early_stop_patience requires holdout_every > 0 "
+            "(no eval metric to track)"
+        )
+    ckpt_dir = os.path.join(job.output, "ckpts")
+    init_state = None
+    ckpt = fit_lib.latest_checkpoint(ckpt_dir) if p.get("resume", True) else None
+    if ckpt:
+        template = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        init_state = train_lib.restore_checkpoint(ckpt, template)
+    rep = jobs_lib.ProgressReporter(job, steps, phase="steps", raise_on_cancel=False)
+    try:
+        state = fit_lib.fit_n2v(
+            cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir, init_state=init_state,
+            mesh=_train_mesh(p, fc.batch_size),
+            mask_frac=float(p.get("mask_frac", 0.005)),
+            radius=int(p.get("radius", 5)),
+            should_stop=lambda: jobs_lib.cancel_requested(job),
+            progress=lambda s, _t: rep.step(s),
+        )
+    except fit_lib.TrainingCancelled as e:
+        raise jobs_lib.JobCancelled(str(e))
+    except ValueError as e:
+        # bad mask_frac/radius/keep_best_metric are deterministic
+        raise jobs_lib.JobError(str(e))
+    rep.finish()
+    best_path = os.path.join(ckpt_dir, "best")
+    used_best = fc.keep_best_metric and os.path.isdir(best_path)
+    if used_best:
+        state = train_lib.restore_checkpoint(best_path, state)
+    reg_params = _ema_or_raw_params(ckpt_dir, fc, state, used_best)
+    model_dir = save_model(
+        config.models_dir, _require_param(job, "model"), "n2v", cfg,
+        reg_params, state.model_state
+    )
+    return {"model": model_dir, "metrics_file": fc.metrics_path,
+            "shards": os.path.join(rec_dir, "train-*.tfrecord")}
 
 
 def _parse_patience(p: dict) -> int:

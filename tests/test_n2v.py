@@ -1,0 +1,403 @@
+"""Tests: Noise2Void self-supervised denoising.
+
+The denoising path for data with NO clean targets (the enhancement GAN's
+requirement): blind-spot masking (train.make_n2v_train_step), the fit_n2v
+loop over image-only record shards, the regression serving pass
+(infer.make_denoiser / the ``denoise`` pipeline) and the ``train_n2v`` job.
+Reference has no such subsystem (SURVEY.md provenance: mount empty) — this
+is a framework extension; the spec is Krull et al. 2019 (CVPR).
+"""
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sequitr_tpu.config import ServerConfiguration
+from sequitr_tpu.data import records as records_lib
+from sequitr_tpu.data import tiff
+from sequitr_tpu.models import zoo
+from sequitr_tpu.pipeline import fit as fit_lib
+from sequitr_tpu.pipeline import infer as infer_lib
+from sequitr_tpu.pipeline import train as train_lib
+from sequitr_tpu.server import ImageServer, submit_job
+
+
+@pytest.fixture
+def server_env(tmp_path):
+    cfg = ServerConfiguration(
+        jobs_dir=str(tmp_path / "jobs"), models_dir=str(tmp_path / "models")
+    )
+    cfg.ensure_dirs()
+    return cfg, tmp_path
+
+
+def _tiny_cfg(**kw):
+    base = dict(depth=2, base_features=8, compute_dtype=jnp.float32)
+    base.update(kw)
+    return dataclasses.replace(zoo.get("n2v_denoise"), **base)
+
+
+def _noisy_scene(rng, n, size=32, sigma=0.1):
+    """(clean, noisy) stacks of smooth synthetic signal + iid Gaussian noise
+    (the N2V noise model: pixelwise-independent, zero-mean)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    clean = 0.5 + 0.35 * np.sin(yy / 4.5) * np.cos(xx / 6.0)
+    clean = np.broadcast_to(clean, (n, size, size)).astype(np.float32)
+    noisy = clean + rng.normal(0, sigma, clean.shape).astype(np.float32)
+    return clean, np.clip(noisy, 0.0, 1.0).astype(np.float32)
+
+
+class TestMasking:
+    def test_only_selected_pixels_change(self):
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.normal(0, 1, (3, 20, 24, 1)), jnp.float32)
+        masked, ys, xs = train_lib.n2v_mask_batch(
+            jax.random.PRNGKey(1), imgs, 16, 3
+        )
+        changed = np.argwhere(np.asarray(masked != imgs))
+        assert len(changed) > 0
+        sel = [
+            set(zip(np.asarray(ys[b]).tolist(), np.asarray(xs[b]).tolist()))
+            for b in range(3)
+        ]
+        for b, y, x, _c in changed:
+            assert (y, x) in sel[b], (b, y, x)
+
+    def test_replacement_is_a_window_neighbor(self):
+        """Every masked value must equal SOME in-window neighbor's original
+        value (continuous random data: value equality identifies the
+        source pixel almost surely)."""
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 1)), jnp.float32)
+        radius = 2
+        masked, ys, xs = train_lib.n2v_mask_batch(
+            jax.random.PRNGKey(2), img, 12, radius
+        )
+        m0, i0 = np.asarray(masked[0, ..., 0]), np.asarray(img[0, ..., 0])
+        for y, x in zip(np.asarray(ys[0]), np.asarray(xs[0])):
+            win = i0[
+                max(0, y - radius):y + radius + 1,
+                max(0, x - radius):x + radius + 1,
+            ]
+            assert np.isclose(win, m0[y, x]).any(), (y, x)
+
+    def test_never_the_pixel_itself_even_at_borders(self):
+        """Identity leak check: with continuous random data, the masked
+        value must differ from the ORIGINAL at every masked position — in
+        particular at corners/edges where reflected neighbor offsets can
+        land back on the source pixel."""
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.normal(0, 1, (1, 6, 6, 1)), jnp.float32)
+        # radius > image span forces heavy reflection; many picks hit the
+        # border-reflection self-map unless the tie-break handles it
+        for k in range(8):
+            masked, ys, xs = train_lib.n2v_mask_batch(
+                jax.random.PRNGKey(k), img, 30, 5
+            )
+            m0, i0 = np.asarray(masked[0, ..., 0]), np.asarray(img[0, ..., 0])
+            for y, x in zip(np.asarray(ys[0]), np.asarray(xs[0])):
+                assert m0[y, x] != i0[y, x], (k, y, x)
+
+    def test_loss_sees_only_masked_pixels(self):
+        """The gradient of the masked MSE w.r.t. predictions must be zero
+        everywhere off the mask (the blind-spot contract)."""
+        rng = np.random.default_rng(3)
+        pred = jnp.asarray(rng.normal(0, 1, (2, 12, 12, 1)), jnp.float32)
+        target = jnp.asarray(rng.normal(0, 1, (2, 12, 12, 1)), jnp.float32)
+        ys = jnp.asarray([[1, 5], [3, 7]], jnp.int32)
+        xs = jnp.asarray([[2, 9], [4, 0]], jnp.int32)
+        g = jax.grad(
+            lambda p: train_lib.n2v_masked_mse(p, target, ys, xs)
+        )(pred)
+        g = np.asarray(g)
+        on = np.zeros(g.shape, bool)
+        for b in range(2):
+            for y, x in zip(np.asarray(ys[b]), np.asarray(xs[b])):
+                on[b, y, x] = True
+        assert (g[~on] == 0).all()
+        assert (g[on] != 0).all()
+
+    def test_param_validation(self):
+        cfg = _tiny_cfg()
+        tc = train_lib.TrainConfig()
+        with pytest.raises(ValueError, match="mask_frac"):
+            train_lib.make_n2v_train_step(cfg, tc, mask_frac=0.0)
+        with pytest.raises(ValueError, match="radius"):
+            train_lib.make_n2v_train_step(cfg, tc, radius=0)
+        with pytest.raises(ValueError, match="2D"):
+            train_lib.make_n2v_train_step(
+                dataclasses.replace(cfg, dims=3, space_to_depth=1), tc
+            )
+
+
+class TestN2VTraining:
+    def test_denoiser_beats_noisy_input(self):
+        """A short N2V run must reduce MSE vs the CLEAN signal below the
+        noisy input's — the self-supervised claim, verified against truth
+        the training never saw."""
+        rng = np.random.default_rng(4)
+        clean, noisy = _noisy_scene(rng, 48, size=32, sigma=0.12)
+        cfg = _tiny_cfg()
+        tc = train_lib.TrainConfig(learning_rate=3e-3, augment=True)
+        state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        step = train_lib.make_n2v_train_step(cfg, tc, mask_frac=0.02, radius=3)
+        key = jax.random.PRNGKey(1)
+        first = last = None
+        for i in range(120):
+            b = noisy[rng.integers(0, len(noisy), 8)][..., None]
+            state, m = step(
+                state, {"image": jnp.asarray(b)}, jax.random.fold_in(key, i)
+            )
+            if first is None:
+                first = float(m["loss"])
+            last = float(m["loss"])
+        assert last < first
+        den = infer_lib.make_denoiser(
+            cfg,
+            infer_lib.TileConfig(patch=(32, 32), overlap=(0, 0), normalize="none"),
+            (32, 32),
+        )
+        out = np.asarray(
+            jax.jit(den)(state.params, state.model_state, jnp.asarray(noisy[0]))
+        )[..., 0]
+        mse_noisy = float(np.mean((noisy[0] - clean[0]) ** 2))
+        mse_denoised = float(np.mean((out - clean[0]) ** 2))
+        assert mse_denoised < 0.6 * mse_noisy, (mse_denoised, mse_noisy)
+
+    def test_fit_n2v_loop_resume_and_keep_best(self, tmp_path):
+        """fit_n2v end-to-end over image shards: metrics stream, periodic
+        checkpoints, best tracking on eval_psnr_masked, and a resumed run
+        continuing the global step count."""
+        rng = np.random.default_rng(5)
+        _, noisy = _noisy_scene(rng, 24, size=16, sigma=0.1)
+        shards = records_lib.write_shards(
+            str(tmp_path / "imgs"),
+            (fit_lib.encode_image_example(f) for f in noisy),
+            shard_size=8,
+        )
+        cfg = _tiny_cfg(base_features=4)
+        tc = train_lib.TrainConfig(learning_rate=1e-3)
+        mpath = str(tmp_path / "metrics.jsonl")
+        fc = fit_lib.FitConfig(
+            steps=6, batch_size=4, checkpoint_every=3, log_every=2,
+            holdout_every=4, eval_every=3, metrics_path=mpath,
+            keep_best_metric="eval_psnr_masked",
+        )
+        ck = str(tmp_path / "ck")
+        state = fit_lib.fit_n2v(cfg, tc, fc, shards, ckpt_dir=ck)
+        assert int(jax.device_get(state.step)) == 6
+        assert os.path.isdir(os.path.join(ck, "final"))
+        assert os.path.isdir(os.path.join(ck, "best"))
+        rows = [json.loads(l) for l in open(mpath)]
+        kinds = {r["kind"] for r in rows}
+        assert {"train", "eval", "best"} <= kinds
+        assert any("eval_psnr_masked" in r for r in rows)
+        # resume: restore from final, ask for 4 more global steps
+        template = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        restored = train_lib.restore_checkpoint(
+            fit_lib.latest_checkpoint(ck), template
+        )
+        fc2 = dataclasses.replace(fc, steps=10)
+        state2 = fit_lib.fit_n2v(
+            cfg, tc, fc2, shards, ckpt_dir=ck, init_state=restored
+        )
+        assert int(jax.device_get(state2.step)) == 10
+
+    def test_fit_n2v_dp_mesh_matches_single(self, tmp_path):
+        """One DP step over the 8-device virtual mesh produces the same
+        params as the single-device step on the same batch/key (the DP
+        wrapper is sharding annotations on the SAME logical batch — the
+        per-sample mask keys split identically)."""
+        if jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        from sequitr_tpu import parallel
+
+        rng = np.random.default_rng(6)
+        imgs = jnp.asarray(
+            rng.normal(0.5, 0.1, (8, 16, 16, 1)), jnp.float32
+        )
+        cfg = _tiny_cfg(base_features=4)
+        tc = train_lib.TrainConfig(learning_rate=1e-3)
+        key = jax.random.PRNGKey(2)
+        batch = {"image": imgs}
+
+        state_a = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        step_a = train_lib.make_n2v_train_step(cfg, tc, jit=True)
+        state_a, m_a = step_a(state_a, batch, key)
+
+        mesh = parallel.make_mesh()
+        state_b = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        step_b = parallel.make_dp_train_step(
+            train_lib.make_n2v_train_step(cfg, tc, jit=False), mesh
+        )
+        state_b, m_b = step_b(state_b, batch, key)
+        # loss and grad_norm match; post-Adam params are NOT compared
+        # leaf-wise — for near-zero gradients Adam's first update is
+        # ~±lr*sign(grad), so float reassociation under sharding flips
+        # signs (same caveat as test_pipeline's DP train tests)
+        np.testing.assert_allclose(
+            float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-4
+        )
+
+
+class TestN2VJobs:
+    def test_train_then_denoise_chain(self, server_env):
+        """train_n2v on a noisy stack registers an n2v model; denoise
+        serves it and the output stack improves MSE vs the clean truth."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(7)
+        clean, noisy = _noisy_scene(rng, 40, size=32, sigma=0.12)
+        noisy_p = str(tmp / "noisy.tif")
+        tiff.write_stack(noisy_p, noisy)
+
+        train_out = str(tmp / "train")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "train_n2v",
+                "params": {
+                    "model": "n2v_demo",
+                    "patch": [32, 32],
+                    "patches_per_frame": 2,
+                    "steps": 300,
+                    "batch_size": 8,
+                    "learning_rate": 3e-3,
+                    "lr_schedule": "cosine",
+                    "mask_frac": 0.02,
+                    "radius": 3,
+                    "depth": 2,
+                    "base_features": 8,
+                    "compute_dtype": "float32",
+                    # _noisy_scene is pre-scaled; serve uses normalize
+                    # "none", so training must stay in the raw space too
+                    "normalize": False,
+                    "holdout_every": 10,
+                    "eval_every": 60,
+                    "keep_best": True,
+                },
+                "input": [noisy_p],
+                "output": train_out,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        status = json.load(open(os.path.join(train_out, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        from sequitr_tpu.server import load_model
+
+        kind, mcfg, _, _ = load_model(cfg_srv.models_dir, "n2v_demo")
+        assert kind == "n2v"
+        assert mcfg.num_classes == 1 and mcfg.in_channels == 1
+
+        den_out = str(tmp / "den")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "denoise",
+                "params": {"model": "n2v_demo", "normalize": "none"},
+                "input": [noisy_p],
+                "output": den_out,
+            },
+        )
+        assert srv.poll_once()
+        status2 = json.load(open(os.path.join(den_out, "status.json")))
+        assert status2["state"] == "complete", status2.get("error")
+        out = np.asarray(tiff.read_stack(status2["outputs"]["denoised"]))
+        assert out.shape == noisy.shape
+        mse_noisy = float(np.mean((noisy - clean) ** 2))
+        mse_out = float(np.mean((out - clean) ** 2))
+        # a consistent-space cosine run lands ~0.05x (verified through a
+        # real server: 20.0 -> 33.3 dB); 0.3x leaves seed headroom while
+        # still failing on the train/serve scale-mismatch class of bug
+        assert mse_out < 0.3 * mse_noisy, (mse_out, mse_noisy)
+        # training shards are reused on resume: they exist under the job
+        assert os.path.isdir(os.path.join(train_out, "records"))
+
+    def test_denoise_rejects_wrong_kind_and_spatial(self, server_env):
+        cfg_srv, tmp = server_env
+        from sequitr_tpu.models import unet as unet_lib
+        from sequitr_tpu.server import save_model
+
+        ucfg = dataclasses.replace(
+            zoo.get("unet2d_binary"), depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, mstate = unet_lib.init(jax.random.PRNGKey(0), ucfg)
+        save_model(cfg_srv.models_dir, "seg", "unet", ucfg, params, mstate)
+        stack = str(tmp / "s.tif")
+        tiff.write_stack(
+            stack, np.zeros((2, 16, 16), np.float32)
+        )
+        out1 = str(tmp / "o1")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "denoise", "params": {"model": "seg"},
+             "input": [stack], "output": out1},
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out1, "status.json")))
+        assert st["state"] == "failed"
+        assert "kind" in st["error"]
+
+        out2 = str(tmp / "o2")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "denoise",
+             "params": {"model": "seg", "spatial_parallel": True},
+             "input": [stack], "output": out2},
+        )
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(out2, "status.json")))
+        assert st2["state"] == "failed"
+        assert "spatial_parallel" in st2["error"]
+
+    def test_train_n2v_param_errors(self, server_env):
+        cfg_srv, tmp = server_env
+        stack = str(tmp / "s.tif")
+        tiff.write_stack(stack, np.zeros((2, 8, 8), np.float32))
+        out = str(tmp / "o")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_n2v",
+             "params": {"model": "m", "patch": [64, 64]},
+             "input": [stack], "output": out},
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "patch" in st["error"]
+
+
+class TestImageRecords:
+    def test_round_trip_2d_and_multichannel(self):
+        rng = np.random.default_rng(8)
+        x2 = rng.normal(0, 1, (9, 11)).astype(np.float32)
+        x3 = rng.normal(0, 1, (7, 5, 2)).astype(np.float32)
+        d2 = fit_lib._decode_image(fit_lib.encode_image_example(x2))
+        d3 = fit_lib._decode_image(fit_lib.encode_image_example(x3))
+        np.testing.assert_array_equal(d2["image"][..., 0], x2)
+        np.testing.assert_array_equal(d3["image"], x3)
+
+    def test_write_shards_generic(self, tmp_path):
+        payloads = [fit_lib.encode_image_example(np.full((4, 4), i, np.float32))
+                    for i in range(5)]
+        paths = records_lib.write_shards(
+            str(tmp_path / "im"), iter(payloads), shard_size=2
+        )
+        assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+        back = [
+            fit_lib._decode_image(pl)["image"][0, 0, 0]
+            for p in paths
+            for pl in records_lib.read_records(p)
+        ]
+        assert back == [0.0, 1.0, 2.0, 3.0, 4.0]

@@ -32,6 +32,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+if os.environ.get("SEQUITR_FIXTURES_CPU") == "1":
+    # this machine's sitecustomize force-registers the TPU plugin and
+    # overrides JAX_PLATFORMS; pin the config value itself (must happen
+    # before any backend initialization)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 
 from sequitr_tpu.data import records, synthetic  # noqa: E402
@@ -234,6 +241,59 @@ def make_gan(work: str, quick: bool):
     )
 
 
+def make_n2v(work: str, quick: bool):
+    """Noise2Void denoiser fixture: trained on NOISY frames alone (the
+    self-supervised contract), scored against the clean renders it never
+    saw (``synthetic.denoise_pair``)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(zoo.get("n2v_denoise"), compute_dtype=_dtype())
+    n = 64 if quick else 320
+    shards = records.write_shards(
+        os.path.join(work, "n2v"),
+        (
+            fit_lib.encode_image_example(
+                synthetic.denoise_pair(9000 + i, (128, 128))[1]
+            )
+            for i in range(n)
+        ),
+        shard_size=64,
+    )
+    steps = 30 if quick else 1200
+    tc = train_lib.TrainConfig(
+        learning_rate=4e-4, lr_schedule="cosine", lr_decay_steps=steps,
+        augment=True,
+    )
+    fc = fit_lib.FitConfig(
+        steps=steps, batch_size=8, holdout_every=10, eval_every=max(10, steps // 4),
+        eval_limit=8, checkpoint_every=10**9, log_every=max(10, steps // 10),
+    )
+    state = fit_lib.fit_n2v(cfg, tc, fc, shards, mask_frac=0.01, radius=5)
+    # holdout PSNR vs the clean truth on fresh seeds (never trained)
+    psnrs, psnrs_in = [], []
+    for i in range(8):
+        clean, noisy = synthetic.denoise_pair(999_000 + i, (128, 128))
+        out, _ = unet.apply(
+            cfg, state.params, state.model_state,
+            jnp.asarray(noisy)[None, ..., None], train=False,
+        )
+        out = np.asarray(out[0, ..., 0], np.float32)
+        psnrs.append(10 * np.log10(1.0 / max(float(np.mean((out - clean) ** 2)), 1e-12)))
+        psnrs_in.append(
+            10 * np.log10(1.0 / max(float(np.mean((noisy - clean) ** 2)), 1e-12))
+        )
+    fixtures.save(
+        "n2v_cells", "n2v", cfg, state.params, state.model_state,
+        {"task": "self-supervised denoise of synthetic cells "
+                 "(data/synthetic.py denoise_pair, sigma=0.1)",
+         "recipe": {"steps": steps, "batch": 8, "lr": "4e-4 cosine",
+                    "mask_frac": 0.01, "radius": 5, "examples": n,
+                    "patch": 128},
+         "holdout_psnr": round(float(np.mean(psnrs)), 2),
+         "noisy_input_psnr": round(float(np.mean(psnrs_in)), 2)},
+    )
+
+
 def load_teacher():
     """Reuse the committed teacher fixture for distillation (a cut run can
     resume student training without repeating the 30-minute teacher fit)."""
@@ -248,7 +308,7 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
                     help="comma list of: unet2d_cells | fast | fast4 | "
-                    "unet3d_cells | gan_denoise")
+                    "unet3d_cells | gan_denoise | n2v_cells")
     ap.add_argument("--keep-work", action="store_true")
     args = ap.parse_args()
 
@@ -280,6 +340,11 @@ def main():
         if want("gan_denoise"):
             make_gan(work, args.quick)
             print("gan done:", fixtures.manifest()["gan_denoise"]["holdout_psnr"])
+        if want("n2v_cells"):
+            make_n2v(work, args.quick)
+            m = fixtures.manifest()["n2v_cells"]
+            print("n2v done:", m["holdout_psnr"], "(noisy input",
+                  m["noisy_input_psnr"], ")")
     finally:
         if not args.keep_work:
             shutil.rmtree(work, ignore_errors=True)
