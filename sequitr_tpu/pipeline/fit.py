@@ -170,6 +170,18 @@ def _ema_update(ema, params, decay):
     )
 
 
+def _higher_is_better(metric: str) -> bool:
+    """Comparison direction for a keep_best/early-stop metric.
+
+    Loss-like names minimize; everything else (iou, accuracy, psnr)
+    maximizes. Before this existed, tracking e.g. ``eval_loss`` silently
+    INVERTED: the first (worst) eval became the permanent "best" and
+    early stopping fired exactly while the run improved (round-4 N2V
+    code-review finding; the trap predated N2V for eval_loss/eval_l1).
+    """
+    return not metric.endswith(("_loss", "_mse", "_l1", "_rmse"))
+
+
 class TrainingCancelled(RuntimeError):
     """Raised by the fit loop when ``should_stop`` fires.
 
@@ -253,6 +265,13 @@ def _run_loop(
     # "eval" rows and resetting at each "best" reconstructs staleness.
     best = {"value": None}
     stall = {"n": 0, "stop": False}
+    hib = _higher_is_better(fc.keep_best_metric) if fc.keep_best_metric else True
+
+    def _improves(v) -> bool:
+        if best["value"] is None:
+            return True
+        return v > best["value"] if hib else v < best["value"]
+
     if fc.keep_best_metric and fc.metrics_path and os.path.exists(fc.metrics_path):
         import json
 
@@ -264,7 +283,7 @@ def _run_loop(
                     continue
                 if row.get("kind") == "best" and fc.keep_best_metric in row:
                     v = float(row[fc.keep_best_metric])
-                    if best["value"] is None or v > best["value"]:
+                    if _improves(v):
                         best["value"] = v
                     if row.get("step", 0) <= start:
                         stall["n"] = 0
@@ -291,7 +310,7 @@ def _run_loop(
                 raise ValueError(
                     f"keep_best_metric={m!r} not among eval metrics {sorted(ev)}"
                 )
-            if best["value"] is None or ev[m] > best["value"]:
+            if _improves(ev[m]):
                 best["value"] = ev[m]
                 stall["n"] = 0
                 if ckpt_dir:
@@ -662,6 +681,8 @@ def _make_n2v_evaluator(
     def _eval(params, model_state):
         pred_m, _ = unet.apply(cfg, params, model_state, masked, train=False)
         mse = train_lib.n2v_masked_mse(pred_m, images, ys, xs)
+        if not dump:  # static: no image dump -> skip the extra forward
+            return mse, None
         # the denoised holdout frame for the image dump: UNMASKED input
         pred, _ = unet.apply(cfg, params, model_state, images[:1], train=False)
         return mse, pred

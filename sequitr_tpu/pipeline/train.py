@@ -330,6 +330,14 @@ def n2v_mask_batch(
     throughout: one fused graph under jit/vmap, no host round-trips.
     """
     b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    if radius >= min(h, w):
+        # a single reflection only stays in bounds for radius < the patch
+        # extent; past that, |ys+dy| can exceed 2*(h-1) and the reflected
+        # index goes NEGATIVE — JAX wraps it, landing back on the masked
+        # pixel (an identity leak the tie-break below can't see)
+        raise ValueError(
+            f"radius={radius} must be < the patch extent {min(h, w)}"
+        )
 
     def mask_one(k, img):
         ky, kx, kd = jax.random.split(k, 3)

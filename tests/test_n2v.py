@@ -134,6 +134,24 @@ class TestMasking:
                 dataclasses.replace(cfg, dims=3, space_to_depth=1), tc
             )
 
+    def test_radius_at_least_patch_extent_rejected(self):
+        """radius >= the patch extent makes a single border reflection go
+        NEGATIVE, which JAX wraps back onto the masked pixel — an identity
+        leak the tie-break can't see (code-review finding). Trace-time
+        ValueError instead."""
+        img = jnp.zeros((1, 8, 8, 1), jnp.float32)
+        with pytest.raises(ValueError, match="patch extent"):
+            train_lib.n2v_mask_batch(jax.random.PRNGKey(0), img, 4, 8)
+        # the largest legal radius still holds the no-self-hit contract
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 1)), jnp.float32)
+        masked, ys, xs = train_lib.n2v_mask_batch(
+            jax.random.PRNGKey(1), img, 40, 7
+        )
+        m0, i0 = np.asarray(masked[0, ..., 0]), np.asarray(img[0, ..., 0])
+        for y, x in zip(np.asarray(ys[0]), np.asarray(xs[0])):
+            assert m0[y, x] != i0[y, x], (y, x)
+
 
 class TestN2VTraining:
     def test_denoiser_beats_noisy_input(self):
@@ -207,6 +225,44 @@ class TestN2VTraining:
             cfg, tc, fc2, shards, ckpt_dir=ck, init_state=restored
         )
         assert int(jax.device_get(state2.step)) == 10
+
+    def test_keep_best_minimizes_loss_like_metrics(self, tmp_path):
+        """keep_best on eval_n2v_mse must track the MINIMUM: before the
+        direction-aware fix, the first (worst) eval became the permanent
+        'best' and early stopping fired while the run improved
+        (code-review finding — the trap also covered eval_loss/eval_l1)."""
+        from sequitr_tpu.pipeline.fit import _higher_is_better
+
+        assert not _higher_is_better("eval_n2v_mse")
+        assert not _higher_is_better("eval_loss")
+        assert not _higher_is_better("eval_l1")
+        assert _higher_is_better("eval_psnr_masked")
+        assert _higher_is_better("eval_miou")
+
+        rng = np.random.default_rng(10)
+        _, noisy = _noisy_scene(rng, 24, size=16, sigma=0.1)
+        shards = records_lib.write_shards(
+            str(tmp_path / "imgs"),
+            (fit_lib.encode_image_example(f) for f in noisy),
+            shard_size=8,
+        )
+        cfg = _tiny_cfg(base_features=4)
+        tc = train_lib.TrainConfig(learning_rate=3e-3)
+        mpath = str(tmp_path / "metrics.jsonl")
+        fc = fit_lib.FitConfig(
+            steps=12, batch_size=4, checkpoint_every=6, log_every=4,
+            holdout_every=4, eval_every=3, metrics_path=mpath,
+            keep_best_metric="eval_n2v_mse",
+        )
+        fit_lib.fit_n2v(cfg, tc, fc, shards, ckpt_dir=str(tmp_path / "ck"))
+        bests = [
+            json.loads(l)["eval_n2v_mse"]
+            for l in open(mpath)
+            if json.loads(l)["kind"] == "best"
+        ]
+        assert bests, "no best rows written"
+        # each recorded best must IMPROVE on (be lower than) the previous
+        assert all(b < a for a, b in zip(bests, bests[1:])), bests
 
     def test_fit_n2v_dp_mesh_matches_single(self, tmp_path):
         """One DP step over the 8-device virtual mesh produces the same
