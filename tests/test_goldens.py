@@ -100,6 +100,21 @@ class TestInferenceGoldens:
             np.asarray(y[0, ..., 0], np.float32), g["output"], atol=5e-3
         )
 
+    def test_n2v_denoiser(self):
+        from sequitr_tpu.models import fixtures
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        g = _load("n2v_denoiser")
+        _, cfg, params, state, _ = fixtures.load("n2v_cells")
+        tc = infer_lib.TileConfig(
+            patch=(128, 128), overlap=(0, 0), normalize="none"
+        )
+        den = jax.jit(infer_lib.make_denoiser(cfg, tc, (128, 128)))
+        out = den(params, state, jnp.asarray(g["noisy"]))
+        np.testing.assert_allclose(
+            np.asarray(out[..., 0], np.float32), g["output"], atol=5e-3
+        )
+
 
 class TestTrainGolden:
     def test_loss_trajectory(self):

@@ -173,6 +173,50 @@ class TestGANOnChip:
         assert max_d < 2e-2, f"bf16 generator drifted: max |d| {max_d}"
 
 
+class TestN2VOnChip:
+    def test_denoiser_pass_vs_cpu_f32(self):
+        """The Noise2Void regression serving graph (make_denoiser, BN
+        folded in-graph) in bf16 on the chip vs the float32 CPU path on
+        identical weights — keeps the lane's every-benched-family
+        invariant for the `n2v` config."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.models import unet, zoo
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        cfg_f32 = dataclasses.replace(
+            zoo.get("n2v_denoise"), compute_dtype=jnp.float32
+        )
+        cfg_bf16 = dataclasses.replace(cfg_f32, compute_dtype=jnp.bfloat16)
+        params, state = unet.init(jax.random.PRNGKey(0), cfg_f32)
+        frame_np = (
+            np.random.default_rng(5)
+            .gamma(2.0, 100.0, (1024, 1024))
+            .astype(np.float32)
+        )
+        tc = infer_lib.TileConfig(
+            patch=(1024, 1024), overlap=(0, 0), normalize="fast"
+        )
+
+        den_tpu = infer_lib.cached_denoiser(cfg_bf16, tc, (1024, 1024))
+        out_tpu = np.asarray(den_tpu(params, state, jnp.asarray(frame_np)))
+
+        with jax.default_device(_cpu_device()):
+            p_c = jax.device_put(params, _cpu_device())
+            s_c = jax.device_put(state, _cpu_device())
+            den_cpu = infer_lib.cached_denoiser(cfg_f32, tc, (1024, 1024))
+            out_cpu = np.asarray(
+                den_cpu(p_c, s_c, jax.device_put(frame_np, _cpu_device()))
+            )
+
+        assert out_tpu.shape == out_cpu.shape == (1024, 1024, 1)
+        max_d = float(np.max(np.abs(out_tpu - out_cpu)))
+        assert max_d < 2e-2, f"bf16 denoiser drifted: max |d| {max_d}"
+
+
 class TestUNet3DOnChip:
     def test_volume_inference_vs_cpu_f32_golden(self):
         """Volumetric whole-volume inference, bf16 on chip vs f32 CPU."""

@@ -114,6 +114,28 @@ def make_gan_generator():
     )
 
 
+def make_n2v_denoiser():
+    """The Noise2Void regression graph on the trained fixture: one fixed
+    noisy scene through the exact serving pass (BN folded in-graph)."""
+    from sequitr_tpu.data import synthetic
+    from sequitr_tpu.models import fixtures
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    try:
+        _, cfg, params, state, _ = fixtures.load("n2v_cells")
+    except KeyError:
+        print("n2v_denoiser: SKIPPED (n2v_cells fixture not trained yet)")
+        return
+    _, noisy = synthetic.denoise_pair(77_117, (128, 128))
+    tc = infer_lib.TileConfig(patch=(128, 128), overlap=(0, 0), normalize="none")
+    den = jax.jit(infer_lib.make_denoiser(cfg, tc, (128, 128)))
+    out = den(params, state, jnp.asarray(noisy))
+    _save(
+        "n2v_denoiser", noisy=noisy,
+        output=np.asarray(out[..., 0], np.float32),
+    )
+
+
 def make_train2d_losses():
     """Loss trajectory of 4 deterministic train steps from PRNGKey(0) init.
 
@@ -331,6 +353,7 @@ FAMILIES = {
     "unet2d_infer": make_unet2d_infer,
     "unet3d_infer": make_unet3d_infer,
     "gan_generator": make_gan_generator,
+    "n2v_denoiser": make_n2v_denoiser,
     "train2d_losses": make_train2d_losses,
     "augment_elastic": make_augment_elastic,
     "normalize_quantiles": make_normalize_quantiles,
