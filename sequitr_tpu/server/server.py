@@ -1341,6 +1341,106 @@ def denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     return outputs
 
 
+@register("evaluate_denoise")
+def evaluate_denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Score a Noise2Void model against clean reference frames.
+
+    N2V trains without clean data, but labs often HAVE a few
+    high-exposure/averaged calibration frames — this is the job that
+    closes the loop on them (the serving-time counterpart of fit_n2v's
+    masked-MSE holdout, which can only floor at the noise variance).
+    input: the model's ``in_channels`` noisy channel stacks followed by
+    the same number of clean stacks (single-channel: [noisy.tif,
+    clean.tif], same (T, H, W)). params: model, tiling params,
+    frame_batch, normalize (applied to BOTH sides so the L1/PSNR compare
+    matched intensity spaces — use "none" for pre-scaled data, matching
+    how the model was trained). Outputs mean L1/PSNR + per-frame PSNR,
+    and the same metrics for the raw noisy input (the improvement is the
+    difference). Mirrors ``evaluate_gan``'s contract.
+    """
+    import jax
+
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    paths = _resolve_inputs(job)
+    cfg, params, state = _require_model(job, config, "n2v")
+    want = 2 * cfg.in_channels
+    if len(paths) != want:
+        raise jobs_lib.JobError(
+            f"job {job.id}: model needs {cfg.in_channels} noisy channel "
+            f"stack(s) then {cfg.in_channels} clean stack(s) "
+            f"({want} paths), got {len(paths)}"
+        )
+    try:
+        source = FrameSource(paths=paths[: cfg.in_channels])
+        tsource = FrameSource(paths=paths[cfg.in_channels:])
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    if (len(source),) + source.spatial != (len(tsource),) + tsource.spatial:
+        raise jobs_lib.JobError(
+            f"noisy/clean shape mismatch: {(len(source),) + source.spatial} "
+            f"vs {(len(tsource),) + tsource.spatial}"
+        )
+
+    p = job.params.copy()
+    if "out_dtype" in p:
+        p["probs_dtype"] = p["out_dtype"]
+    tc = _tile_config(
+        p, dims=2,
+        frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
+        exact_only=True,
+    )
+    n_frames = len(source)
+    fb = job.params.get("frame_batch")
+    fb = int(fb) if fb else _auto_frame_batch(source.spatial)
+    fb = max(1, min(fb, n_frames))
+    bdenoise = infer_lib.cached_denoiser(cfg, tc, source.spatial, batch=fb)
+
+    @jax.jit
+    def norm_chunk(chunk):
+        def one(t):
+            t = t[..., None] if t.ndim == 2 else t
+            return infer_lib._normalize(t, tc)
+
+        return jax.vmap(one)(chunk)
+
+    psnrs, l1s, psnrs_in = [], [], []
+    n_left = n_frames
+    with source, tsource:
+        tchunks = tsource.chunks(fb)
+        for chunk in jobs_lib.track(
+            job, source.chunks(fb), total=-(-n_frames // fb), phase="chunks",
+        ):
+            import jax.numpy as jnp
+
+            chunk = jnp.asarray(chunk)
+            out = np.asarray(bdenoise(params, state, chunk), dtype=np.float32)
+            x01 = np.asarray(norm_chunk(chunk), dtype=np.float32)
+            t01 = np.asarray(norm_chunk(next(tchunks)), dtype=np.float32)
+            for k in range(min(fb, n_left)):
+                err = out[k] - t01[k]
+                l1s.append(float(np.mean(np.abs(err))))
+                mse = float(np.mean(err * err))
+                psnrs.append(
+                    round(10.0 * float(np.log10(1.0 / max(mse, 1e-12))), 4)
+                )
+                mse_in = float(np.mean((x01[k] - t01[k]) ** 2))
+                psnrs_in.append(
+                    round(10.0 * float(np.log10(1.0 / max(mse_in, 1e-12))), 4)
+                )
+            n_left -= fb
+
+    metrics = {
+        "l1": round(float(np.mean(l1s)), 6),
+        "psnr": round(float(np.mean(psnrs)), 4),
+        "psnr_noisy_input": round(float(np.mean(psnrs_in)), 4),
+        "per_frame_psnr": psnrs,
+        "n_frames": n_frames,
+    }
+    return {"metrics": json.dumps(metrics)}
+
+
 def _run_frames(cfg, tc, params, state, source, job_params):
     """Stream a frame source through tiled inference; yields results in order.
 

@@ -377,6 +377,87 @@ class TestN2VJobs:
         # training shards are reused on resume: they exist under the job
         assert os.path.isdir(os.path.join(train_out, "records"))
 
+        # evaluate_denoise: the clean-reference scoring job (labs with a
+        # few calibration frames close the loop the masked eval can't)
+        clean_p = str(tmp / "clean.tif")
+        tiff.write_stack(clean_p, clean)
+        ev_out = str(tmp / "ev")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "evaluate_denoise",
+                "params": {"model": "n2v_demo", "normalize": "none"},
+                "input": [noisy_p, clean_p],
+                "output": ev_out,
+            },
+        )
+        assert srv.poll_once()
+        st3 = json.load(open(os.path.join(ev_out, "status.json")))
+        assert st3["state"] == "complete", st3.get("error")
+        m = json.loads(st3["outputs"]["metrics"])
+        assert m["n_frames"] == len(noisy)
+        assert len(m["per_frame_psnr"]) == len(noisy)
+        # the job's improvement measure matches our direct computation
+        assert m["psnr"] > m["psnr_noisy_input"] + 3.0, m
+        # wrong path count: deterministic JobError
+        bad_out = str(tmp / "ev_bad")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "evaluate_denoise",
+             "params": {"model": "n2v_demo"},
+             "input": [noisy_p], "output": bad_out},
+        )
+        assert srv.poll_once()
+        st4 = json.load(open(os.path.join(bad_out, "status.json")))
+        assert st4["state"] == "failed" and "clean" in st4["error"]
+
+    def test_multichannel_train_and_denoise(self, server_env):
+        """Two-channel N2V: one stack per channel in (the segmentation
+        convention), model predicts both channels, denoised output pages
+        frame-major like the GAN's layout."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(11)
+        _, n1 = _noisy_scene(rng, 10, size=32)
+        _, n2 = _noisy_scene(rng, 10, size=32)
+        p1, p2 = str(tmp / "c1.tif"), str(tmp / "c2.tif")
+        tiff.write_stack(p1, n1)
+        tiff.write_stack(p2, n2)
+        train_out = str(tmp / "train_mc")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "train_n2v",
+                "params": {"model": "n2v_mc", "patch": [32, 32],
+                           "patches_per_frame": 1, "steps": 20,
+                           "batch_size": 4, "depth": 2, "base_features": 4,
+                           "compute_dtype": "float32", "normalize": False},
+                "input": [p1, p2],
+                "output": train_out,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(train_out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        from sequitr_tpu.server import load_model
+
+        _, mcfg, _, _ = load_model(cfg_srv.models_dir, "n2v_mc")
+        assert mcfg.in_channels == 2 and mcfg.num_classes == 2
+
+        den_out = str(tmp / "den_mc")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "denoise",
+             "params": {"model": "n2v_mc", "normalize": "none"},
+             "input": [p1, p2], "output": den_out},
+        )
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(den_out, "status.json")))
+        assert st2["state"] == "complete", st2.get("error")
+        assert "frame-major" in st2["outputs"]["denoised_layout"]
+        out = np.asarray(tiff.read_stack(st2["outputs"]["denoised"]))
+        assert out.shape == (20, 32, 32)  # 10 frames x 2 channels, paged
+
     def test_denoise_rejects_wrong_kind_and_spatial(self, server_env):
         cfg_srv, tmp = server_env
         from sequitr_tpu.models import unet as unet_lib
