@@ -671,16 +671,18 @@ def _make_n2v_evaluator(
         log.warning("holdout_every=%d produced no eval examples", fc.holdout_every)
         return None
     images = jnp.asarray(holdout["image"])
-    n_mask = max(1, int(mask_frac * images.shape[1] * images.shape[2]))
-    masked, ys, xs = train_lib.n2v_mask_batch(
-        jax.random.PRNGKey(0), images, n_mask, radius
+    n_px = int(np.prod(images.shape[1:-1]))
+    n_mask = max(1, int(mask_frac * n_px))
+    masked, coords = train_lib._n2v_mask_nd(
+        jax.random.PRNGKey(0), images, n_mask,
+        train_lib._n2v_radii(radius, images.ndim - 2),
     )
     dump = _dump_dir(fc)
 
     @jax.jit
     def _eval(params, model_state):
         pred_m, _ = unet.apply(cfg, params, model_state, masked, train=False)
-        mse = train_lib.n2v_masked_mse(pred_m, images, ys, xs)
+        mse = train_lib.n2v_masked_mse(pred_m, images, *coords)
         if not dump:  # static: no image dump -> skip the extra forward
             return mse, None
         # the denoised holdout frame for the image dump: UNMASKED input

@@ -283,28 +283,120 @@ def make_unet_distill_step(
 
 
 def n2v_flip_batch(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
-    """Random per-sample dihedral augmentation for image-only batches.
+    """Random per-sample dihedral augmentation for image/volume batches.
 
-    Flips along both spatial axes always; adds the transpose when the
-    patch is square (the full 8-element dihedral group). Noise2Void has no
-    labels/weights to co-transform, so the segmentation augmenter
-    (``ops.augment``) is a poor fit; elastic warps are deliberately
-    excluded — interpolation correlates neighboring pixels, weakening the
-    noise-independence assumption the blind-spot loss relies on.
+    Flips along every spatial axis independently; adds the in-plane
+    transpose when the patch is square (2D: the full 8-element dihedral
+    group; 3D: z-flip plus the in-plane group — volumes transpose their
+    trailing two axes only, matching the anisotropic-z reality of
+    microscopy stacks). Noise2Void has no labels/weights to co-transform,
+    so the segmentation augmenter (``ops.augment``) is a poor fit;
+    elastic warps are deliberately excluded — interpolation correlates
+    neighboring pixels, weakening the noise-independence assumption the
+    blind-spot loss relies on.
     """
-    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    spatial = images.shape[1:-1]
+    nd = len(spatial)
+    b = images.shape[0]
     kf, kt = jax.random.split(key)
-    flips = jax.random.bernoulli(kf, 0.5, (b, 2))
+    flips = jax.random.bernoulli(kf, 0.5, (b, nd))
 
     def one(img, f, t):
-        img = jnp.where(f[0], img[::-1], img)
-        img = jnp.where(f[1], img[:, ::-1], img)
-        return img if t is None else jnp.where(t, img.swapaxes(0, 1), img)
+        for ax in range(nd):
+            sl = (slice(None),) * ax + (slice(None, None, -1),)
+            img = jnp.where(f[ax], img[sl], img)
+        return img if t is None else jnp.where(
+            t, img.swapaxes(nd - 2, nd - 1), img
+        )
 
-    if h == w:
+    if spatial[-1] == spatial[-2]:
         ts = jax.random.bernoulli(kt, 0.5, (b,))
         return jax.vmap(lambda i, f, t: one(i, f, t))(images, flips, ts)
     return jax.vmap(lambda i, f: one(i, f, None))(images, flips)
+
+
+def _n2v_radii(radius, n_axes: int):
+    """Per-axis neighbor radii: an int broadcasts; a tuple is taken as-is.
+    At least one axis must allow movement (radius >= 1)."""
+    radii = (
+        tuple(int(r) for r in radius)
+        if isinstance(radius, (tuple, list))
+        else (int(radius),) * n_axes
+    )
+    if len(radii) != n_axes:
+        raise ValueError(f"radius {radius} must have {n_axes} axes")
+    if any(r < 0 for r in radii) or max(radii) < 1:
+        raise ValueError(
+            f"radius {radius}: per-axis radii must be >= 0 with at least "
+            "one axis >= 1 (the substitute must be able to move)"
+        )
+    return radii
+
+
+def _n2v_mask_nd(key: jax.Array, images: jnp.ndarray, n_mask: int, radii):
+    """Dimension-generic blind-spot masking core.
+
+    ``images``: (B, *spatial, C). Per sample, draws ``n_mask`` positions
+    uniformly and substitutes each with a uniformly-drawn neighbor within
+    the per-axis ``radii`` window (Krull et al. 2019 — uniform pixel
+    selection with random neighbor replacement). The substitute is NEVER
+    the position itself: the all-zero offset collapses to +1 on the last
+    movable axis, out-of-bounds neighbors reflect back inside (clipping
+    would pile border picks onto the source), and any residual
+    reflection self-hit shifts one step along that axis — an identity
+    leak at even one masked position lets the net learn the identity
+    function and the blind-spot loss collapses.
+
+    Returns ``(masked, coords)``: coords is a tuple of D (B, n_mask)
+    int32 arrays. Static shapes throughout — one fused graph under
+    jit/vmap.
+    """
+    spatial = images.shape[1:-1]
+    nd = len(spatial)
+    for r, s in zip(radii, spatial):
+        if r >= s:
+            # a single reflection only stays in bounds for radius < the
+            # axis extent; past that, |c+d| can exceed 2*(s-1) and the
+            # reflected index goes NEGATIVE — JAX wraps it, landing back
+            # on the masked position (a leak the tie-break can't see)
+            raise ValueError(
+                f"radius {radii} must be < the patch extent {spatial} "
+                "on every axis"
+            )
+    # the axis the zero-offset collapse and the self-hit tie-break move
+    # along: the last axis that allows movement (its extent is >= 2)
+    fix = max(i for i, r in enumerate(radii) if r >= 1)
+
+    def mask_one(k, img):
+        ks = jax.random.split(k, 2 * nd)
+        cs = [
+            jax.random.randint(ks[i], (n_mask,), 0, s)
+            for i, s in enumerate(spatial)
+        ]
+        ds = [
+            jax.random.randint(ks[nd + i], (n_mask,), -r, r + 1)
+            for i, r in enumerate(radii)
+        ]
+        all_zero = ds[0] == 0
+        for d in ds[1:]:
+            all_zero &= d == 0
+        ds[fix] = jnp.where(all_zero, 1, ds[fix])
+        ns = []
+        for c, d, s in zip(cs, ds, spatial):
+            n = jnp.abs(c + d)
+            ns.append(jnp.where(n > s - 1, 2 * (s - 1) - n, n))
+        self_hit = ns[0] == cs[0]
+        for n, c in zip(ns[1:], cs[1:]):
+            self_hit &= n == c
+        ns[fix] = jnp.where(
+            self_hit,
+            jnp.where(cs[fix] > 0, cs[fix] - 1, cs[fix] + 1),
+            ns[fix],
+        )
+        masked = img.at[tuple(cs)].set(img[tuple(ns)])
+        return masked, tuple(c.astype(jnp.int32) for c in cs)
+
+    return jax.vmap(mask_one)(jax.random.split(key, images.shape[0]), images)
 
 
 def n2v_mask_batch(
@@ -313,62 +405,39 @@ def n2v_mask_batch(
     n_mask: int,
     radius: int,
 ):
-    """Blind-spot masking: replace ``n_mask`` pixels with a random neighbor.
+    """2D blind-spot masking: ``(masked, ys, xs)`` (see ``_n2v_mask_nd``)."""
+    masked, (ys, xs) = _n2v_mask_nd(key, images, n_mask, _n2v_radii(radius, 2))
+    return masked, ys, xs
 
-    Per sample, draws ``n_mask`` pixel positions uniformly and substitutes
-    each with the value of a uniformly-drawn neighbor within the
-    ``(2*radius+1)``-square window (Krull et al. 2019, CVPR — uniform
-    pixel selection with random neighbor replacement). The substitute is
-    NEVER the pixel itself: the zero offset collapses to (1, 1), reflected
-    offsets at borders are checked again, and any residual self-hit shifts
-    one column (one row for width-1 images) — an identity leak at even one
-    masked pixel lets the net learn the identity function and the
-    blind-spot loss collapses.
 
-    Returns ``(masked_images, ys, xs)`` with ``ys``/``xs`` (B, n_mask)
-    int32 — the coordinates the loss is evaluated at. Static shapes
-    throughout: one fused graph under jit/vmap, no host round-trips.
+def n2v_mask_batch_3d(
+    key: jax.Array,
+    volumes: jnp.ndarray,
+    n_mask: int,
+    radius,
+):
+    """Volumetric blind-spot masking over (B, Z, H, W, C).
+
+    ``radius``: int (isotropic) or (rz, ry, rx) — confocal/light-sheet
+    stacks are usually z-anisotropic, so a smaller (even 0) z radius
+    keeps substitutes at a comparable physical distance. Returns
+    ``(masked, zs, ys, xs)``.
     """
-    b, h, w = images.shape[0], images.shape[1], images.shape[2]
-    if radius >= min(h, w):
-        # a single reflection only stays in bounds for radius < the patch
-        # extent; past that, |ys+dy| can exceed 2*(h-1) and the reflected
-        # index goes NEGATIVE — JAX wraps it, landing back on the masked
-        # pixel (an identity leak the tie-break below can't see)
-        raise ValueError(
-            f"radius={radius} must be < the patch extent {min(h, w)}"
-        )
-
-    def mask_one(k, img):
-        ky, kx, kd = jax.random.split(k, 3)
-        ys = jax.random.randint(ky, (n_mask,), 0, h)
-        xs = jax.random.randint(kx, (n_mask,), 0, w)
-        d = jax.random.randint(kd, (n_mask, 2), -radius, radius + 1)
-        d = jnp.where((d == 0).all(axis=1, keepdims=True), 1, d)
-        # reflect out-of-bounds neighbors back inside (clipping would pile
-        # border picks onto the masked pixel itself)
-        ny = jnp.abs(ys + d[:, 0])
-        nx = jnp.abs(xs + d[:, 1])
-        ny = jnp.where(ny > h - 1, 2 * (h - 1) - ny, ny)
-        nx = jnp.where(nx > w - 1, 2 * (w - 1) - nx, nx)
-        # reflection can land back on the source (e.g. y=h-2, dy=2); break
-        # the tie by one column, or one row when the image is 1 wide
-        self_hit = (ny == ys) & (nx == xs)
-        if w > 1:
-            nx = jnp.where(self_hit, jnp.where(xs > 0, xs - 1, xs + 1), nx)
-        else:
-            ny = jnp.where(self_hit, jnp.where(ys > 0, ys - 1, ys + 1), ny)
-        masked = img.at[ys, xs].set(img[ny, nx])
-        return masked, ys.astype(jnp.int32), xs.astype(jnp.int32)
-
-    return jax.vmap(mask_one)(jax.random.split(key, b), images)
+    masked, (zs, ys, xs) = _n2v_mask_nd(
+        key, volumes, n_mask, _n2v_radii(radius, 3)
+    )
+    return masked, zs, ys, xs
 
 
-def n2v_masked_mse(pred, target, ys, xs):
-    """Mean squared error at the masked coordinates only (f32)."""
-    gather = jax.vmap(lambda a, y, x: a[y, x])
-    p = gather(pred.astype(jnp.float32), ys, xs)
-    t = gather(target.astype(jnp.float32), ys, xs)
+def n2v_masked_mse(pred, target, *coords):
+    """Mean squared error at the masked coordinates only (f32).
+
+    ``coords``: D (B, n_mask) index arrays — (ys, xs) for images,
+    (zs, ys, xs) for volumes.
+    """
+    gather = jax.vmap(lambda a, *cs: a[cs])
+    p = gather(pred.astype(jnp.float32), *coords)
+    t = gather(target.astype(jnp.float32), *coords)
     return jnp.mean((p - t) ** 2)
 
 
@@ -390,28 +459,36 @@ def make_n2v_train_step(
     signal expectation — no paired clean data needed (the gap the
     pix2pix enhancement GAN cannot cover when no ground truth exists).
 
-    ``batch``: dict with ``image`` (B, H, W, C) float32 (normalized at
-    record creation). One fused jit graph: dihedral augment -> blind-spot
-    mask -> forward -> masked MSE -> Adam update. 2D only (the blind-spot
-    geometry is per-frame); ``tc.augment`` gates flips/transpose,
-    elastic is never applied (see ``n2v_flip_batch``).
+    ``batch``: dict with ``image`` (B, H, W, C) float32 — or
+    (B, Z, H, W, C) volumes when ``cfg.dims == 3`` (``radius`` may then
+    be a per-axis (rz, ry, rx) tuple for z-anisotropic stacks; the
+    normalization must match what serving will feed). One fused jit
+    graph: dihedral augment -> blind-spot mask -> forward -> masked MSE
+    -> Adam update. ``tc.augment`` gates flips/transpose, elastic is
+    never applied (see ``n2v_flip_batch``).
     """
-    if cfg.dims != 2:
-        raise ValueError("Noise2Void training is 2D-only (per-frame masking)")
+    if cfg.dims not in (2, 3):
+        raise ValueError(f"Noise2Void training needs dims 2 or 3, got {cfg.dims}")
     if not 0.0 < mask_frac <= 0.5:
         raise ValueError(f"mask_frac={mask_frac} must be in (0, 0.5]")
-    if radius < 1:
-        raise ValueError(f"radius={radius} must be >= 1")
+    radii = _n2v_radii(radius, cfg.dims)
     optimizer = tc.make_optimizer()
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
-        images = batch["image"]  # (B, H, W, C)
-        h, w = images.shape[1], images.shape[2]
-        n_mask = max(1, int(mask_frac * h * w))
+        images = batch["image"]  # (B, *spatial, C)
+        if images.ndim != cfg.dims + 2:
+            raise ValueError(
+                f"n2v batch must be (B, *spatial, C) with {cfg.dims} "
+                f"spatial axes; got shape {images.shape}"
+            )
+        n_px = 1
+        for s in images.shape[1:-1]:
+            n_px *= s
+        n_mask = max(1, int(mask_frac * n_px))
         k_aug, k_mask = jax.random.split(key)
         if tc.augment:
             images = n2v_flip_batch(k_aug, images)
-        masked, ys, xs = n2v_mask_batch(k_mask, images, n_mask, radius)
+        masked, coords = _n2v_mask_nd(k_mask, images, n_mask, radii)
 
         def loss_fn(params):
             fwd = lambda p, x: unet.apply(
@@ -420,7 +497,7 @@ def make_n2v_train_step(
             if tc.remat:
                 fwd = jax.checkpoint(fwd)
             pred, new_ms = fwd(params, masked)
-            return n2v_masked_mse(pred, images, ys, xs), new_ms
+            return n2v_masked_mse(pred, images, *coords), new_ms
 
         (loss, new_ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

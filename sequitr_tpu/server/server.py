@@ -1220,6 +1220,11 @@ def denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     whole frames fit a chip — ask for it if a use case appears).
     Outputs: denoised.tif (float32 by default; multi-channel output is
     frame-major paged like the GAN's ``enhanced_layout``).
+
+    A 3D model (``train_n2v`` with ``dims: 3``) routes to the volumetric
+    branch: ONE volume-sequence entry (optional ``z`` pages per volume),
+    each (Z, H, W) volume through the fused 3D graph, volume-major page
+    output (``_denoise_volumes``).
     """
     from sequitr_tpu.data.source import FrameSource
     from sequitr_tpu.pipeline import infer as infer_lib
@@ -1230,13 +1235,15 @@ def denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             "fit one chip; use data_parallel for timelapse throughput)"
         )
     paths = _resolve_inputs(job)
+    cfg, params, state = _require_model(job, config, "n2v")
+    if cfg.dims == 3:
+        return _denoise_volumes(job, config, cfg, params, state, paths)
     try:
         source = FrameSource(paths=paths)
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
     source = _apply_roi(job, _apply_frame_range(job, source))
 
-    cfg, params, state = _require_model(job, config, "n2v")
     if cfg.in_channels != source.n_channels:
         raise jobs_lib.JobError(
             f"model expects {cfg.in_channels} channel(s), "
@@ -1337,6 +1344,92 @@ def denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     if c_out > 1:
         outputs["denoised_layout"] = (
             f"pages=(T={n_frames})*(C={c_out}), frame-major"
+        )
+    return outputs
+
+
+def _denoise_volumes(job, config, cfg, params, state, paths):
+    """Volumetric branch of ``denoise`` (kind ``n2v``, ``dims == 3``).
+
+    ONE volume-sequence entry in (per-timepoint z-stack files, or a
+    single file with the ``z`` pages-per-volume param); each (Z, H, W)
+    volume runs the fused 3D regression graph (whole-volume when it fits
+    the HBM budget, else the default 3D tiling) and the denoised planes
+    append to one page stack — ``frame_range`` selects timepoints,
+    progress/cancellation per volume.
+    """
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data.source import VolumeSequence
+    from sequitr_tpu.pipeline import infer as infer_lib
+    from sequitr_tpu.utils import PhaseTimer
+
+    if job.params.get("roi") is not None:
+        raise jobs_lib.JobError("roi serving is 2D-only (crop the volume upstream)")
+    if job.params.get("data_parallel"):
+        raise jobs_lib.JobError(
+            "3D denoise does not take data_parallel yet (volumes stream "
+            "one at a time); ask if a timepoint-sharded path would help"
+        )
+    if len(paths) != 1:
+        raise jobs_lib.JobError(
+            f"3D denoise takes ONE volume-sequence entry (the model is "
+            f"single-channel), got {len(paths)}"
+        )
+    try:
+        source = VolumeSequence(paths[0], z=_parse_z_pages(job))
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    source = _apply_frame_range(job, source)
+
+    p = job.params.copy()
+    if "out_dtype" in p:
+        p["probs_dtype"] = p["out_dtype"]
+    tc = _tile_config(
+        p, dims=3,
+        frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
+        exact_only=True,
+    )
+    n_vols = len(source)
+    out_path = os.path.join(job.output, "denoised.tif")
+    writer = _append_writer(
+        out_path,
+        float(n_vols) * np.prod(source.spatial)
+        * np.dtype(tc.probs_dtype).itemsize,
+        _out_compression(job),
+    )
+    rep = jobs_lib.ProgressReporter(job, n_vols)
+    timer = PhaseTimer()
+    den = infer_lib.cached_denoiser(cfg, tc, source.spatial)
+    t0 = time.time()
+    try:
+        with source:
+            for out in infer_lib.stream_frames(
+                lambda v: den(params, state, jnp.asarray(v, jnp.float32)),
+                source.volumes(),
+                prefetch_host=infer_lib._copy_to_host_async,
+            ):
+                with timer.phase("fetch"):
+                    got = np.asarray(out)[..., 0]  # (Z, H, W)
+                with timer.phase("write"):
+                    for plane in got:
+                        writer.append(plane)
+                rep.step()
+    except BaseException:
+        writer.abort()
+        raise
+    writer.close()
+    rep.finish()
+    total_s = time.time() - t0
+    metrics = dict(
+        timer.summary(), total_s=round(total_s, 4), n_volumes=n_vols
+    )
+    if total_s > 0:
+        metrics["volumes_per_sec"] = round(n_vols / total_s, 3)
+    outputs = {"denoised": out_path, "metrics": json.dumps(metrics)}
+    if n_vols > 1:
+        outputs["denoised_layout"] = (
+            f"pages=(T={n_vols})*(Z={source.spatial[0]}), volume-major"
         )
     return outputs
 
@@ -2358,7 +2451,15 @@ def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     ema_decay, data_parallel, resume), and the architecture params
     (depth, base_features — default: the ``n2v_denoise`` preset's
     depth-3 net). Registers the model as kind ``n2v`` (served by the
-    ``denoise`` pipeline). 2D only.
+    ``denoise`` pipeline).
+
+    VOLUMETRIC (``dims: 3``): input is ONE volume-sequence entry
+    (dir/glob of per-timepoint z-stacks, or a single file — with the
+    ``z`` pages-per-volume param for T·Z-page files); random 3D
+    ``patch`` crops (default [8, 64, 64]) from every timepoint,
+    single-channel. The neighbor window is z-anisotropic: ``radius``
+    covers the two in-plane axes, ``radius_z`` (default 2; 0 = strictly
+    in-plane substitutes) the axial one.
     """
     import glob as glob_lib
 
@@ -2372,26 +2473,45 @@ def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     from sequitr_tpu.pipeline import train as train_lib
 
     p = job.params
-    if int(p.get("dims", 2)) != 2:
-        raise jobs_lib.JobError("train_n2v is 2D-only (per-frame masking)")
+    dims = int(p.get("dims", 2))
+    if dims not in (2, 3):
+        raise jobs_lib.JobError(f"train_n2v needs dims 2 or 3, got {dims}")
 
     # ---- record shards: build once, reuse on resume/requeue ----
     rec_dir = os.path.join(job.output, "records")
     shard_paths = sorted(glob_lib.glob(os.path.join(rec_dir, "*.tfrecord")))
     if not shard_paths:
         paths = _resolve_inputs(job)
-        try:
-            source = FrameSource(paths=paths)
-        except ValueError as e:
-            raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
-        patch = tuple(int(v) for v in p.get("patch", (64, 64)))
-        if len(patch) != 2 or any(
+        if dims == 3:
+            # one entry = a volume sequence (dir/glob/file, optional ``z``
+            # pages per volume) — every timepoint contributes crops.
+            # Single-channel: multi-fluorophore volumes denoise per channel
+            # (one job each), keeping the blind-spot geometry simple.
+            from sequitr_tpu.data.source import VolumeSequence
+
+            if len(paths) != 1:
+                raise jobs_lib.JobError(
+                    "train_n2v dims=3 takes ONE volume-sequence entry "
+                    f"(got {len(paths)}); denoise channels as separate jobs"
+                )
+            try:
+                source = VolumeSequence(paths[0], z=_parse_z_pages(job))
+            except ValueError as e:
+                raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+        else:
+            try:
+                source = FrameSource(paths=paths)
+            except ValueError as e:
+                raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+        default_patch = (64, 64) if dims == 2 else (8, 64, 64)
+        patch = tuple(int(v) for v in p.get("patch", default_patch))
+        if len(patch) != dims or any(
             ps > s for s, ps in zip(source.spatial, patch)
         ):
             source.close()
             raise jobs_lib.JobError(
-                f"patch {patch} must be 2 axes and fit the "
-                f"frames {source.spatial}"
+                f"patch {patch} must be {dims} axes and fit the "
+                f"{'volumes' if dims == 3 else 'frames'} {source.spatial}"
             )
         n_crops = int(p.get("patches_per_frame", 4))
         p_lo, p_hi = float(p.get("p_lo", 5.0)), float(p.get("p_hi", 99.5))
@@ -2406,32 +2526,43 @@ def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         rng = np.random.default_rng(int(p.get("seed", 0)))
         n_frames = len(source)
 
+        read = source.volume if dims == 3 else source.frame
+
         def gen_payloads():
             with source:
                 for t in jobs_lib.track(
                     job, range(n_frames), total=n_frames, phase="records"
                 ):
-                    img = np.asarray(source.frame(t), dtype=np.float32)
+                    img = np.asarray(read(t), dtype=np.float32)
                     if norm_rec:
-                        axes = tuple(range(2))
+                        # percentiles over the spatial axes only (2D
+                        # multi-channel frames normalize per channel)
+                        axes = tuple(range(dims))
                         lo = np.percentile(img, p_lo, axis=axes, keepdims=True)
                         hi = np.percentile(img, p_hi, axis=axes, keepdims=True)
                         img = np.clip(
                             (img - lo) / np.maximum(hi - lo, 1e-8), 0.0, 1.0
                         ).astype(np.float32)
+                    if dims == 3:
+                        # explicit channel axis: a bare (Z, H, W) payload
+                        # would decode as a 2D multi-channel (H, W, C)
+                        img = img[..., None]
                     for _ in range(n_crops):
-                        ys = int(rng.integers(0, img.shape[0] - patch[0] + 1))
-                        xs = int(rng.integers(0, img.shape[1] - patch[1] + 1))
-                        yield fit_lib.encode_image_example(
-                            img[ys:ys + patch[0], xs:xs + patch[1]]
+                        sl = tuple(
+                            slice(
+                                st := int(rng.integers(0, s - ps + 1)),
+                                st + ps,
+                            )
+                            for s, ps in zip(img.shape[:dims], patch)
                         )
+                        yield fit_lib.encode_image_example(img[sl])
 
         os.makedirs(rec_dir, exist_ok=True)
         shard_paths = records_lib.write_shards(
             os.path.join(rec_dir, "train"), gen_payloads(),
             shard_size=int(p.get("shard_size", 128)),
         )
-        n_channels = source.n_channels
+        n_channels = 1 if dims == 3 else source.n_channels
     else:
         # resumed job: channel count comes from the shards themselves
         first = next(records_lib.read_records(shard_paths[0]), None)
@@ -2448,6 +2579,7 @@ def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         base,
         in_channels=n_channels,
         num_classes=n_channels,  # regression: predict every input channel
+        dims=dims,
         depth=int(p.get("depth", base.depth)),
         base_features=int(p.get("base_features", base.base_features)),
         norm=p.get("norm", base.norm),
@@ -2497,13 +2629,19 @@ def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     if ckpt:
         template = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
         init_state = train_lib.restore_checkpoint(ckpt, template)
+    radius = int(p.get("radius", 5))
+    if dims == 3:
+        # anisotropic neighbor window: confocal/light-sheet stacks sample
+        # z far coarser than xy, so the z radius defaults small (and
+        # radius_z: 0 keeps substitutes strictly in-plane)
+        radius = (int(p.get("radius_z", 2)), radius, radius)
     rep = jobs_lib.ProgressReporter(job, steps, phase="steps", raise_on_cancel=False)
     try:
         state = fit_lib.fit_n2v(
             cfg, tc, fc, shard_paths, ckpt_dir=ckpt_dir, init_state=init_state,
             mesh=_train_mesh(p, fc.batch_size),
             mask_frac=float(p.get("mask_frac", 0.005)),
-            radius=int(p.get("radius", 5)),
+            radius=radius,
             should_stop=lambda: jobs_lib.cancel_requested(job),
             progress=lambda s, _t: rep.step(s),
         )

@@ -129,9 +129,9 @@ class TestMasking:
             train_lib.make_n2v_train_step(cfg, tc, mask_frac=0.0)
         with pytest.raises(ValueError, match="radius"):
             train_lib.make_n2v_train_step(cfg, tc, radius=0)
-        with pytest.raises(ValueError, match="2D"):
+        with pytest.raises(ValueError, match="dims 2 or 3"):
             train_lib.make_n2v_train_step(
-                dataclasses.replace(cfg, dims=3, space_to_depth=1), tc
+                dataclasses.replace(cfg, dims=1), tc
             )
 
     def test_radius_at_least_patch_extent_rejected(self):
@@ -151,6 +151,68 @@ class TestMasking:
         m0, i0 = np.asarray(masked[0, ..., 0]), np.asarray(img[0, ..., 0])
         for y, x in zip(np.asarray(ys[0]), np.asarray(xs[0])):
             assert m0[y, x] != i0[y, x], (y, x)
+
+
+class TestMasking3D:
+    def test_inplane_substitutes_when_radius_z_zero(self):
+        """radius (0, r, r): every substitute must come from the SAME
+        z-plane's window (the anisotropic-z mode for confocal stacks),
+        and never be the voxel itself."""
+        rng = np.random.default_rng(12)
+        vol = jnp.asarray(rng.normal(0, 1, (2, 5, 10, 10, 1)), jnp.float32)
+        masked, zs, ys, xs = train_lib.n2v_mask_batch_3d(
+            jax.random.PRNGKey(3), vol, 12, (0, 2, 2)
+        )
+        m = np.asarray(masked[..., 0])
+        v = np.asarray(vol[..., 0])
+        for b in range(2):
+            for z, y, x in zip(
+                np.asarray(zs[b]), np.asarray(ys[b]), np.asarray(xs[b])
+            ):
+                assert m[b, z, y, x] != v[b, z, y, x], (b, z, y, x)
+                win = v[b, z,
+                        max(0, y - 2):y + 3, max(0, x - 2):x + 3]
+                assert np.isclose(win, m[b, z, y, x]).any(), (b, z, y, x)
+        # changes happen only at the selected voxels
+        changed = np.argwhere(m != v)
+        sel = [
+            set(zip(np.asarray(zs[b]).tolist(), np.asarray(ys[b]).tolist(),
+                    np.asarray(xs[b]).tolist()))
+            for b in range(2)
+        ]
+        for b, z, y, x in changed:
+            assert (z, y, x) in sel[b]
+
+    def test_radius_validation_3d(self):
+        vol = jnp.zeros((1, 4, 8, 8, 1), jnp.float32)
+        with pytest.raises(ValueError, match="patch extent"):
+            train_lib.n2v_mask_batch_3d(jax.random.PRNGKey(0), vol, 4, (4, 2, 2))
+        with pytest.raises(ValueError, match="at least"):
+            train_lib.n2v_mask_batch_3d(jax.random.PRNGKey(0), vol, 4, (0, 0, 0))
+        with pytest.raises(ValueError, match="axes"):
+            train_lib.n2v_mask_batch_3d(jax.random.PRNGKey(0), vol, 4, (1, 1))
+
+    def test_train_step_3d_loss_decreases(self):
+        rng = np.random.default_rng(13)
+        zz, yy, xx = np.mgrid[0:6, 0:16, 0:16]
+        clean = 0.5 + 0.3 * np.sin(zz / 2.0) * np.sin(yy / 4.0) * np.cos(xx / 5.0)
+        cfg = _tiny_cfg(dims=3, base_features=4)
+        tc = train_lib.TrainConfig(learning_rate=3e-3)
+        state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        step = train_lib.make_n2v_train_step(
+            cfg, tc, mask_frac=0.01, radius=(1, 3, 3)
+        )
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(40):
+            b = np.stack([
+                clean + rng.normal(0, 0.1, clean.shape) for _ in range(2)
+            ]).astype(np.float32)[..., None]
+            state, mtr = step(
+                state, {"image": jnp.asarray(b)}, jax.random.fold_in(key, i)
+            )
+            losses.append(float(mtr["loss"]))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
 class TestN2VTraining:
@@ -496,6 +558,79 @@ class TestN2VJobs:
         st2 = json.load(open(os.path.join(out2, "status.json")))
         assert st2["state"] == "failed"
         assert "spatial_parallel" in st2["error"]
+
+    def test_volumetric_train_then_denoise(self, server_env):
+        """dims=3 end-to-end: a T*Z-page noisy volume timelapse (z param)
+        trains a 3D blind-spot model; denoise routes to the volumetric
+        branch and the output improves MSE vs the clean volumes."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(14)
+        T, Z, S = 6, 4, 32
+        zz, yy, xx = np.mgrid[0:Z, 0:S, 0:S]
+        clean = (
+            0.5 + 0.3 * np.sin(zz / 1.5) * np.sin(yy / 4.0) * np.cos(xx / 5.0)
+        ).astype(np.float32)
+        clean_t = np.stack([clean] * T)  # static scene over time
+        noisy = clean_t + rng.normal(0, 0.12, clean_t.shape).astype(np.float32)
+        noisy_p = str(tmp / "vols.tif")
+        tiff.write_stack(noisy_p, noisy.reshape(T * Z, S, S))
+
+        train_out = str(tmp / "train3d")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "train_n2v",
+                "params": {"model": "n2v_3d", "dims": 3, "z": Z,
+                           "patch": [4, 32, 32], "patches_per_frame": 2,
+                           "steps": 150, "batch_size": 4,
+                           "learning_rate": 3e-3, "lr_schedule": "cosine",
+                           "mask_frac": 0.02, "radius": 3, "radius_z": 1,
+                           "depth": 2, "base_features": 8,
+                           "compute_dtype": "float32", "normalize": False},
+                "input": [noisy_p],
+                "output": train_out,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(train_out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        from sequitr_tpu.server import load_model
+
+        _, mcfg, _, _ = load_model(cfg_srv.models_dir, "n2v_3d")
+        assert mcfg.dims == 3 and mcfg.num_classes == 1
+
+        den_out = str(tmp / "den3d")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "denoise",
+             "params": {"model": "n2v_3d", "z": Z, "normalize": "none"},
+             "input": [noisy_p], "output": den_out},
+        )
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(den_out, "status.json")))
+        assert st2["state"] == "complete", st2.get("error")
+        assert "volume-major" in st2["outputs"]["denoised_layout"]
+        out = np.asarray(
+            tiff.read_stack(st2["outputs"]["denoised"])
+        ).reshape(T, Z, S, S)
+        mse_noisy = float(np.mean((noisy - clean_t) ** 2))
+        mse_out = float(np.mean((out - clean_t) ** 2))
+        assert mse_out < 0.5 * mse_noisy, (mse_out, mse_noisy)
+
+        # a 2D submission against the 3D model: deterministic error
+        bad = str(tmp / "bad3d")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "denoise",
+             "params": {"model": "n2v_3d", "normalize": "none",
+                        "data_parallel": True, "z": Z},
+             "input": [noisy_p], "output": bad},
+        )
+        assert srv.poll_once()
+        st3 = json.load(open(os.path.join(bad, "status.json")))
+        assert st3["state"] == "failed"
+        assert "data_parallel" in st3["error"]
 
     def test_train_n2v_param_errors(self, server_env):
         cfg_srv, tmp = server_env
