@@ -32,6 +32,7 @@ __all__ = [
     "make_unet_distill_step",
     "make_n2v_train_step",
     "n2v_mask_batch",
+    "n2v_mask_batch_3d",
     "n2v_masked_mse",
     "GANTrainState",
     "create_gan_state",

@@ -1371,6 +1371,13 @@ def _denoise_volumes(job, config, cfg, params, state, paths):
             "3D denoise does not take data_parallel yet (volumes stream "
             "one at a time); ask if a timepoint-sharded path would help"
         )
+    if job.params.get("frame_batch"):
+        # loud like roi/data_parallel: volumes stream one at a time, and a
+        # silently-ignored throughput knob reads as "batching is on"
+        raise jobs_lib.JobError(
+            "3D denoise does not take frame_batch (volumes stream one at "
+            "a time; a whole volume already fills a dispatch)"
+        )
     if len(paths) != 1:
         raise jobs_lib.JobError(
             f"3D denoise takes ONE volume-sequence entry (the model is "
@@ -1380,16 +1387,22 @@ def _denoise_volumes(job, config, cfg, params, state, paths):
         source = VolumeSequence(paths[0], z=_parse_z_pages(job))
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
-    source = _apply_frame_range(job, source)
-
-    p = job.params.copy()
-    if "out_dtype" in p:
-        p["probs_dtype"] = p["out_dtype"]
-    tc = _tile_config(
-        p, dims=3,
-        frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
-        exact_only=True,
-    )
+    try:
+        # a warm worker must not leak the sequence's fd when a later
+        # parameter check rejects the job (VolumeSequence's own rule)
+        source = _apply_frame_range(job, source)
+        p = job.params.copy()
+        if "out_dtype" in p:
+            p["probs_dtype"] = p["out_dtype"]
+        tc = _tile_config(
+            p, dims=3,
+            frame_spatial=source.spatial,
+            min_multiple=cfg.min_input_multiple,
+            exact_only=True,
+        )
+    except BaseException:
+        source.close()
+        raise
     n_vols = len(source)
     out_path = os.path.join(job.output, "denoised.tif")
     writer = _append_writer(
@@ -1456,8 +1469,18 @@ def evaluate_denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     from sequitr_tpu.data.source import FrameSource
     from sequitr_tpu.pipeline import infer as infer_lib
 
+    import jax.numpy as jnp
+
     paths = _resolve_inputs(job)
     cfg, params, state = _require_model(job, config, "n2v")
+    if cfg.dims != 2:
+        # a 3D model would shape-error at TRACE time (a retried plain
+        # ValueError) — fail fast instead until a volumetric evaluator
+        # exists; `denoise` + offline comparison covers the need
+        raise jobs_lib.JobError(
+            "evaluate_denoise is 2D-only (the model is dims=3); run "
+            "`denoise` and compare to the clean volumes offline"
+        )
     want = 2 * cfg.in_channels
     if len(paths) != want:
         raise jobs_lib.JobError(
@@ -1467,28 +1490,54 @@ def evaluate_denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         )
     try:
         source = FrameSource(paths=paths[: cfg.in_channels])
-        tsource = FrameSource(paths=paths[cfg.in_channels:])
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
-    if (len(source),) + source.spatial != (len(tsource),) + tsource.spatial:
-        raise jobs_lib.JobError(
-            f"noisy/clean shape mismatch: {(len(source),) + source.spatial} "
-            f"vs {(len(tsource),) + tsource.spatial}"
+    try:
+        tsource = FrameSource(paths=paths[cfg.in_channels:])
+    except ValueError as e:
+        source.close()
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    try:
+        # close both lazy readers when a validation check rejects the job
+        # (warm workers must not leak fds on malformed submissions)
+        if (
+            (len(source),) + source.spatial
+            != (len(tsource),) + tsource.spatial
+        ):
+            raise jobs_lib.JobError(
+                f"noisy/clean shape mismatch: "
+                f"{(len(source),) + source.spatial} "
+                f"vs {(len(tsource),) + tsource.spatial}"
+            )
+        # NOTE: no out_dtype -> probs_dtype mapping here. This job writes
+        # no image; quantizing the predictions before PSNR/L1 (e.g. a
+        # copy-pasted out_dtype: "uint16") would silently corrupt the
+        # metrics of a "successful" run.
+        tc = _tile_config(
+            job.params, dims=2,
+            frame_spatial=source.spatial,
+            min_multiple=cfg.min_input_multiple,
+            exact_only=True,
         )
-
-    p = job.params.copy()
-    if "out_dtype" in p:
-        p["probs_dtype"] = p["out_dtype"]
-    tc = _tile_config(
-        p, dims=2,
-        frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
-        exact_only=True,
-    )
+    except BaseException:
+        source.close()
+        tsource.close()
+        raise
     n_frames = len(source)
     fb = job.params.get("frame_batch")
     fb = int(fb) if fb else _auto_frame_batch(source.spatial)
     fb = max(1, min(fb, n_frames))
     bdenoise = infer_lib.cached_denoiser(cfg, tc, source.spatial, batch=fb)
+
+    @jax.jit
+    def denoise_and_norm(chunk):
+        out = bdenoise(params, state, chunk)
+
+        def one(t):
+            t = t[..., None] if t.ndim == 2 else t
+            return infer_lib._normalize(t, tc)
+
+        return out, jax.vmap(one)(chunk)
 
     @jax.jit
     def norm_chunk(chunk):
@@ -1502,15 +1551,22 @@ def evaluate_denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     n_left = n_frames
     with source, tsource:
         tchunks = tsource.chunks(fb)
-        for chunk in jobs_lib.track(
-            job, source.chunks(fb), total=-(-n_frames // fb), phase="chunks",
+        # same read-ahead treatment as evaluate_gan: chunk t+1's disk
+        # read overlaps chunk t's H2D + compute
+        for out, x01 in jobs_lib.track(
+            job,
+            infer_lib.stream_frames(
+                denoise_and_norm, source.chunks(fb),
+                prefetch_host=lambda res: [
+                    infer_lib._copy_to_host_async(a) for a in res
+                ],
+            ),
+            total=-(-n_frames // fb), phase="chunks",
         ):
-            import jax.numpy as jnp
-
-            chunk = jnp.asarray(chunk)
-            out = np.asarray(bdenoise(params, state, chunk), dtype=np.float32)
-            x01 = np.asarray(norm_chunk(chunk), dtype=np.float32)
-            t01 = np.asarray(norm_chunk(next(tchunks)), dtype=np.float32)
+            out = np.asarray(out, dtype=np.float32)
+            x01 = np.asarray(x01, dtype=np.float32)
+            t01 = np.asarray(norm_chunk(jnp.asarray(next(tchunks))),
+                             dtype=np.float32)
             for k in range(min(fb, n_left)):
                 err = out[k] - t01[k]
                 l1s.append(float(np.mean(np.abs(err))))

@@ -632,6 +632,32 @@ class TestN2VJobs:
         assert st3["state"] == "failed"
         assert "data_parallel" in st3["error"]
 
+        # frame_batch is likewise rejected loudly, not silently ignored
+        bad2 = str(tmp / "bad3d_fb")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "denoise",
+             "params": {"model": "n2v_3d", "normalize": "none",
+                        "frame_batch": 4, "z": Z},
+             "input": [noisy_p], "output": bad2},
+        )
+        assert srv.poll_once()
+        st4 = json.load(open(os.path.join(bad2, "status.json")))
+        assert st4["state"] == "failed" and "frame_batch" in st4["error"]
+
+        # evaluate_denoise has no volumetric evaluator yet: deterministic
+        # JobError, never a retried trace-time shape error
+        bad3 = str(tmp / "bad3d_ev")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "evaluate_denoise",
+             "params": {"model": "n2v_3d"},
+             "input": [noisy_p, noisy_p], "output": bad3},
+        )
+        assert srv.poll_once()
+        st5 = json.load(open(os.path.join(bad3, "status.json")))
+        assert st5["state"] == "failed" and "2D-only" in st5["error"]
+
     def test_train_n2v_param_errors(self, server_env):
         cfg_srv, tmp = server_env
         stack = str(tmp / "s.tif")
