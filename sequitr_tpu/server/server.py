@@ -1348,6 +1348,106 @@ def denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     return outputs
 
 
+def _evaluate_denoise_volumes(job, config, cfg, params, state, paths):
+    """Volumetric branch of ``evaluate_denoise`` (``dims == 3`` models).
+
+    input: [noisy volume-sequence entry, clean volume-sequence entry]
+    (each a dir/glob/file; the ``z`` pages-per-volume param applies to
+    BOTH). Per-volume PSNR/L1 in the job's normalize space, plus the
+    noisy input's own PSNR — same contract as the 2D branch, one volume
+    per dispatch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data.source import VolumeSequence
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    if len(paths) != 2:
+        raise jobs_lib.JobError(
+            f"3D evaluate_denoise takes [noisy entry, clean entry] "
+            f"(the model is single-channel), got {len(paths)} input(s)"
+        )
+    z_pages = _parse_z_pages(job)
+    try:
+        source = VolumeSequence(paths[0], z=z_pages)
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    try:
+        tsource = VolumeSequence(paths[1], z=z_pages)
+    except ValueError as e:
+        source.close()
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    try:
+        if (len(source),) + source.spatial != (len(tsource),) + tsource.spatial:
+            raise jobs_lib.JobError(
+                f"noisy/clean shape mismatch: "
+                f"{(len(source),) + source.spatial} "
+                f"vs {(len(tsource),) + tsource.spatial}"
+            )
+        tc = _tile_config(
+            job.params, dims=3,
+            frame_spatial=source.spatial,
+            min_multiple=cfg.min_input_multiple,
+            exact_only=True,
+        )
+    except BaseException:
+        source.close()
+        tsource.close()
+        raise
+    den = infer_lib.cached_denoiser(cfg, tc, source.spatial)
+
+    @jax.jit
+    def denoise_and_norm(vol):
+        out = den(params, state, vol)
+        return out, infer_lib._normalize(vol[..., None], tc)
+
+    @jax.jit
+    def norm_vol(vol):
+        return infer_lib._normalize(vol[..., None], tc)
+
+    n_vols = len(source)
+    psnrs, l1s, psnrs_in = [], [], []
+    with source, tsource:
+        tvols = tsource.volumes()
+        for out, x01 in jobs_lib.track(
+            job,
+            infer_lib.stream_frames(
+                lambda v: denoise_and_norm(jnp.asarray(v, jnp.float32)),
+                source.volumes(),
+                prefetch_host=lambda res: [
+                    infer_lib._copy_to_host_async(a) for a in res
+                ],
+            ),
+            total=n_vols, phase="volumes",
+        ):
+            t01 = np.asarray(
+                norm_vol(jnp.asarray(next(tvols), jnp.float32)),
+                dtype=np.float32,
+            )
+            out = np.asarray(out, dtype=np.float32)
+            x01 = np.asarray(x01, dtype=np.float32)
+            err = out - t01
+            l1s.append(float(np.mean(np.abs(err))))
+            mse = float(np.mean(err * err))
+            psnrs.append(
+                round(10.0 * float(np.log10(1.0 / max(mse, 1e-12))), 4)
+            )
+            mse_in = float(np.mean((x01 - t01) ** 2))
+            psnrs_in.append(
+                round(10.0 * float(np.log10(1.0 / max(mse_in, 1e-12))), 4)
+            )
+
+    metrics = {
+        "l1": round(float(np.mean(l1s)), 6),
+        "psnr": round(float(np.mean(psnrs)), 4),
+        "psnr_noisy_input": round(float(np.mean(psnrs_in)), 4),
+        "per_volume_psnr": psnrs,
+        "n_volumes": n_vols,
+    }
+    return {"metrics": json.dumps(metrics)}
+
+
 def _denoise_volumes(job, config, cfg, params, state, paths):
     """Volumetric branch of ``denoise`` (kind ``n2v``, ``dims == 3``).
 
@@ -1463,6 +1563,10 @@ def evaluate_denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     how the model was trained). Outputs mean L1/PSNR + per-frame PSNR,
     and the same metrics for the raw noisy input (the improvement is the
     difference). Mirrors ``evaluate_gan``'s contract.
+
+    A 3D model routes to the volumetric branch: input = [noisy entry,
+    clean entry] volume sequences (``z`` pages param applies to both),
+    per-volume PSNR (``_evaluate_denoise_volumes``).
     """
     import jax
 
@@ -1473,14 +1577,8 @@ def evaluate_denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     paths = _resolve_inputs(job)
     cfg, params, state = _require_model(job, config, "n2v")
-    if cfg.dims != 2:
-        # a 3D model would shape-error at TRACE time (a retried plain
-        # ValueError) — fail fast instead until a volumetric evaluator
-        # exists; `denoise` + offline comparison covers the need
-        raise jobs_lib.JobError(
-            "evaluate_denoise is 2D-only (the model is dims=3); run "
-            "`denoise` and compare to the clean volumes offline"
-        )
+    if cfg.dims == 3:
+        return _evaluate_denoise_volumes(job, config, cfg, params, state, paths)
     want = 2 * cfg.in_channels
     if len(paths) != want:
         raise jobs_lib.JobError(

@@ -645,18 +645,25 @@ class TestN2VJobs:
         st4 = json.load(open(os.path.join(bad2, "status.json")))
         assert st4["state"] == "failed" and "frame_batch" in st4["error"]
 
-        # evaluate_denoise has no volumetric evaluator yet: deterministic
-        # JobError, never a retried trace-time shape error
-        bad3 = str(tmp / "bad3d_ev")
+        # volumetric evaluate_denoise: clean volumes close the loop
+        clean_p = str(tmp / "clean3d.tif")
+        tiff.write_stack(clean_p, clean_t.reshape(T * Z, S, S))
+        ev3 = str(tmp / "ev3d")
         submit_job(
             cfg_srv.jobs_dir,
             {"module": "evaluate_denoise",
-             "params": {"model": "n2v_3d"},
-             "input": [noisy_p, noisy_p], "output": bad3},
+             "params": {"model": "n2v_3d", "z": Z, "normalize": "none"},
+             "input": [noisy_p, clean_p], "output": ev3},
         )
         assert srv.poll_once()
-        st5 = json.load(open(os.path.join(bad3, "status.json")))
-        assert st5["state"] == "failed" and "2D-only" in st5["error"]
+        st5 = json.load(open(os.path.join(ev3, "status.json")))
+        assert st5["state"] == "complete", st5.get("error")
+        m3 = json.loads(st5["outputs"]["metrics"])
+        assert m3["n_volumes"] == T
+        assert len(m3["per_volume_psnr"]) == T
+        assert m3["psnr"] > m3["psnr_noisy_input"] + 2.0, m3
+        # ...and its improvement agrees with the denoise output's score
+        assert abs(m3["psnr"] - (10 * np.log10(1.0 / mse_out))) < 0.5
 
     def test_train_n2v_param_errors(self, server_env):
         cfg_srv, tmp = server_env
