@@ -498,6 +498,16 @@ def blend_mosaic(
     n, h, w = tiles.shape
     positions = np.asarray(positions, np.float64)
     if subpixel:
+        # sub-resolution fractions are estimator float noise, not signal
+        # (the correlator's measured precision is ~2e-3 px): snap them to
+        # the integer, else a position of 224±1e-5 triggers the Fourier
+        # shift AND the wrap-zeroed leading row/col — observed as a 1-px
+        # rim that differed between the TPU and CPU backends on the SAME
+        # data (BASELINE.md round-4 continuation-6)
+        nearest = np.round(positions)
+        positions = np.where(
+            np.abs(positions - nearest) < 1e-3, nearest, positions
+        )
         origins = np.floor(positions).astype(np.int64)
         frac = positions - origins
         shifted = np.asarray(

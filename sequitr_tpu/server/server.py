@@ -5985,7 +5985,34 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     ``rms_residual`` px (post-solve seam disagreement — the
     stitch-consistency QC number; large values mean stage nonlinearity,
     a wrong overlap hint, or sample motion).
+
+    ``backend``: ``"device"`` (default) or ``"cpu"``. Small mosaics are
+    dispatch-latency bound, not compute bound — on this relay-tunneled
+    topology the 3x3 bench measured 37.6 tiles/s on the chip vs 75.3 on
+    the host CPU (BASELINE.md round-4 FINAL-2) — so ``"cpu"`` pins the
+    whole stitch to the host CPU backend. Single-device by definition
+    (rejects ``data_parallel``); big slide scans with hundreds of seams
+    stay on the device.
     """
+    backend = str(job.params.get("backend", "device"))
+    if backend not in ("device", "cpu"):
+        raise jobs_lib.JobError(
+            f"backend={backend!r} must be 'device' or 'cpu'"
+        )
+    if backend == "cpu":
+        if job.params.get("data_parallel"):
+            raise jobs_lib.JobError(
+                "backend: 'cpu' pins the stitch to the host (single "
+                "device); it cannot combine with data_parallel"
+            )
+        import jax
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            return _stitch_mosaic_body(job, config)
+    return _stitch_mosaic_body(job, config)
+
+
+def _stitch_mosaic_body(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     from sequitr_tpu import mosaic as mosaic_lib
     from sequitr_tpu.data.source import FrameSource
     from sequitr_tpu.utils import PhaseTimer

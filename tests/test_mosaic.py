@@ -115,6 +115,32 @@ class TestStitchGrid:
         assert res.used.all()
         assert res.rms_residual < 0.02
 
+    def test_near_integer_positions_snap(self):
+        """Positions within 1e-3 px of an integer are estimator float
+        noise, not a real fraction: without the snap, a 224±1e-5 position
+        triggers the wrap-zeroed leading row/col — observed as a 1-px rim
+        that DIFFERED between TPU- and CPU-backend runs of the same data
+        (BASELINE.md round-4 continuation-6)."""
+        scene = _scene((64, 64), 21)
+        tiles = scene[None].astype(np.float32)
+        exact = mosaic.blend_mosaic(
+            tiles, np.asarray([[0.0, 0.0]]), (8, 8), subpixel=True
+        )
+        for eps in (1e-5, -1e-5):
+            noisy = mosaic.blend_mosaic(
+                tiles, np.asarray([[eps, eps]]), (8, 8), subpixel=True
+            )
+            assert noisy.shape == exact.shape
+            # no zeroed rim: every pixel carries the scene
+            assert (noisy != 0).all()
+            np.testing.assert_allclose(noisy, exact, atol=1e-4)
+        # a REAL fraction still takes the sub-pixel path (wrapped leading
+        # row/col zeroed; canvas grows by the floor/ceil of the shift)
+        frac = mosaic.blend_mosaic(
+            tiles, np.asarray([[0.25, 0.25]]), (8, 8), subpixel=True
+        )
+        assert (frac[0, :] == 0).all() and (frac[:, 0] == 0).all()
+
     def test_subpixel_recovery(self):
         """Sub-pixel jitter recovered well under 0.05 px on exact
         Fourier-cut tiles; composite matches the scene closely."""

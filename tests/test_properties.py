@@ -436,3 +436,62 @@ class TestIlluminationProperties:
                 np.asarray(out), frame, rtol=1e-5
             )
             assert float(g[0]) == pytest.approx(1.0, abs=1e-4)
+
+
+class TestN2VMaskProperties:
+    """Randomized invariants of the dimension-generic blind-spot mask
+    (``train._n2v_mask_nd``): across shapes/radii/dims, every change is at
+    a selected position, every substitute comes from inside the per-axis
+    window, and NO substitute is ever the position's own value (the
+    identity leak that collapses the blind-spot loss)."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_mask_invariants_random_shapes_and_radii(self, seed):
+        import jax
+
+        from sequitr_tpu.pipeline import train as train_lib
+
+        rng = np.random.default_rng(700 + seed)
+        dims = int(rng.integers(2, 4))
+        spatial = tuple(int(rng.integers(4, 14)) for _ in range(dims))
+        b = int(rng.integers(1, 4))
+        c = int(rng.integers(1, 3))
+        radii = tuple(
+            int(rng.integers(0, s)) for s in spatial
+        )
+        if max(radii) < 1:  # at least one movable axis
+            radii = (1,) + radii[1:] if spatial[0] > 1 else radii
+            if max(radii) < 1:
+                pytest.skip("degenerate draw")
+        n_mask = int(rng.integers(1, 1 + np.prod(spatial) // 2))
+        imgs = jnp.asarray(
+            rng.normal(0, 1, (b,) + spatial + (c,)), jnp.float32
+        )
+        masked, coords = train_lib._n2v_mask_nd(
+            jax.random.PRNGKey(seed), imgs, n_mask, radii
+        )
+        m = np.asarray(masked)
+        v = np.asarray(imgs)
+        coords = [np.asarray(cc) for cc in coords]
+        for bi in range(b):
+            sel = set(zip(*(cc[bi].tolist() for cc in coords)))
+            # every selected position was substituted with a DIFFERENT
+            # value (continuous data: equality identifies the source)
+            for pos in sel:
+                idx = (bi,) + pos
+                assert (m[idx] != v[idx]).all(), (seed, idx)
+                # substitute lies inside the per-axis window: reflection
+                # never leaves it (|reflected - c| <= r, see _n2v_mask_nd)
+                # and the tie-break moves only along the fix axis, whose
+                # radius is >= 1 — so the EXACT-r block must contain the
+                # substituted value (continuous data: membership by value)
+                slices = tuple(
+                    slice(max(0, p0 - r), p0 + r + 1)
+                    for p0, r in zip(pos, radii)
+                )
+                block = v[bi][slices]
+                assert np.isclose(block, m[idx][0]).any(), (seed, idx)
+            # nothing outside the selected set changed
+            changed = np.argwhere((m[bi] != v[bi]).any(axis=-1))
+            for pos in changed:
+                assert tuple(pos.tolist()) in sel, (seed, bi, pos)

@@ -4029,6 +4029,44 @@ class TestMosaicPipeline:
         assert seams[0] == "i,j,dy,dx,response,used"
         assert len(seams) == 1 + 4  # 2x2 grid: 2 horizontal + 2 vertical
 
+    def test_backend_cpu_matches_device_and_rejects_combos(self, server_env):
+        """backend: "cpu" pins the stitch to the host backend (the win on
+        relay-latency-bound small grids — BASELINE.md FINAL-2) with
+        byte-equal outputs on this CPU-pinned suite; bad values and the
+        data_parallel combination are deterministic JobErrors."""
+        cfg_srv, tmp = server_env
+        d, _, _ = self._write_grid(tmp, seed=17)
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for be in ("device", "cpu"):
+            out = str(tmp / f"m_{be}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "stitch_mosaic",
+                 "params": {"grid": [2, 2], "overlap": 20, "backend": be},
+                 "input": [str(d)], "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[be] = np.asarray(tiff.read_stack(st["outputs"]["mosaic"]))
+        np.testing.assert_array_equal(outs["cpu"], outs["device"])
+
+        for params, frag in [
+            ({"grid": [2, 2], "backend": "gpu"}, "backend"),
+            ({"grid": [2, 2], "backend": "cpu", "data_parallel": True},
+             "data_parallel"),
+        ]:
+            out = str(tmp / f"bad_{frag}_{params['backend']}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "stitch_mosaic", "params": params,
+                 "input": [str(d)], "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "failed" and frag in st["error"]
+
     def test_estimate_only_and_snake(self, server_env):
         cfg_srv, tmp = server_env
         d, _, pos = self._write_grid(tmp, seed=21)
