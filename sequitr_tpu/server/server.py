@@ -4054,6 +4054,164 @@ def _parity_check_gan(job: Job, cfg, params, state) -> Dict[str, str]:
     return {"metrics": json.dumps(metrics)}
 
 
+@register("measure_objects")
+def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Per-object intensity quantification across channels (no model).
+
+    The classic "segment on one channel, measure the others" workflow:
+    a label stack (a segmentation job's ``labels.tif``, chained via
+    ``depends_on``, or any integer mask stack) defines the objects, and
+    each additional input entry is an intensity channel quantified per
+    object. The instance map is computed ONCE per frame; each channel
+    then reuses it through the single-sweep native stats
+    (``native.label_full_stats``), so K channels cost one CCL + K sweeps.
+    This is an extension beyond the reference's capability list (its
+    localization measured only the segmentation input's own intensity).
+
+    input: [labels entry, intensity entry 1, ..., intensity entry K]
+    (each a stack / dir / glob; all same (T, H, W); K >= 1). params:
+
+    * ``min_area`` (default 1): drop smaller objects.
+    * ``split_touching`` (default false) + ``min_distance`` (default 5):
+      watershed-split abutting cells, same semantics as segmentation.
+    * ``frame_range``: [start, stop) timepoints (absolute t in the CSV).
+
+    Outputs: measurements.csv with one row per object:
+    ``t,id,class,area,y,x,mean_c0,...,mean_c{K-1}`` — ``id`` is the
+    per-frame instance number, ``class`` the majority semantic label of
+    the object's pixels, means are per-channel averages over the
+    object's pixels. Metrics: n_objects, n_frames, n_channels.
+    """
+    from sequitr_tpu import localize as loc_lib
+    from sequitr_tpu import native
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.utils import PhaseTimer
+
+    paths = _resolve_inputs(job)
+    if len(paths) < 2:
+        raise jobs_lib.JobError(
+            "measure_objects needs [labels, intensity channel(s)...] "
+            f"(>= 2 inputs), got {len(paths)}"
+        )
+    try:
+        lsource = FrameSource(paths=[paths[0]])
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read labels: {e}")
+    csources = []
+    # open channels + validate; close every lazy reader on a rejected
+    # submission (warm workers must not leak fds)
+    try:
+        for p_ in paths[1:]:
+            try:
+                csources.append(FrameSource(paths=[p_]))
+            except ValueError as e:
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read inputs: {e}"
+                )
+        lsource = _apply_frame_range(job, lsource)
+        for k, cs in enumerate(csources):
+            if cs.spatial != lsource.spatial:
+                raise jobs_lib.JobError(
+                    f"channel {k}: spatial {cs.spatial} != labels "
+                    f"{lsource.spatial}"
+                )
+        csources = [_apply_frame_range(job, cs) for cs in csources]
+        for k, cs in enumerate(csources):
+            if len(cs) != len(lsource):
+                raise jobs_lib.JobError(
+                    f"channel {k}: {len(cs)} frame(s) != labels "
+                    f"{len(lsource)}"
+                )
+        p = job.params
+        min_area = int(p.get("min_area", 1))
+        split_touching = bool(p.get("split_touching", False))
+        min_distance = int(p.get("min_distance", 5))
+    except BaseException:
+        lsource.close()
+        for cs in csources:
+            cs.close()
+        raise
+
+    timer = PhaseTimer()
+    n_frames = len(lsource)
+    n_ch = len(csources)
+    out_path = os.path.join(job.output, "measurements.csv")
+    tmp = out_path + ".tmp"
+    rep = jobs_lib.ProgressReporter(job, n_frames)
+    n_rows = 0
+    t0 = time.time()
+    try:
+        with open(tmp, "w") as f:
+            f.write(
+                "t,id,class,area,y,x,"
+                + ",".join(f"mean_c{k}" for k in range(n_ch))
+                + "\n"
+            )
+            with lsource:
+                for t in range(n_frames):
+                    with timer.phase("read"):
+                        lab = np.asarray(lsource.frame(t))
+                        if lab.ndim == 3:  # multi-channel label input
+                            raise jobs_lib.JobError(
+                                "labels entry must be single-channel "
+                                f"(got {lab.shape})"
+                            )
+                        lab = lab.astype(np.int32, copy=False)
+                        chans = [
+                            np.asarray(cs.frame(t), np.float32)
+                            for cs in csources
+                        ]
+                    with timer.phase("measure"):
+                        if split_touching:
+                            inst = loc_lib.split_touching_instances(
+                                lab, min_distance=min_distance
+                            )
+                        else:
+                            inst = loc_lib.label_components(lab > 0)
+                        n = int(inst.max())
+                        if n == 0:
+                            rep.step()
+                            continue
+                        kcls = int(lab.max()) + 1
+                        areas, cy, cx, _, classes = native.label_full_stats(
+                            inst, lab, None, n, kcls
+                        )
+                        means = [
+                            native.label_full_stats(inst, lab, ch, n, kcls)[3]
+                            for ch in chans
+                        ]
+                        keep = np.flatnonzero(areas >= min_area)
+                    with timer.phase("write"):
+                        t_abs = t + lsource.frame_offset
+                        for i in keep:
+                            f.write(
+                                f"{t_abs},{i + 1},{int(classes[i])},"
+                                f"{int(areas[i])},{cy[i]:.4f},{cx[i]:.4f},"
+                                + ",".join(
+                                    f"{m[i]:.6g}" for m in means
+                                )
+                                + "\n"
+                            )
+                        n_rows += len(keep)
+                    rep.step()
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    finally:
+        for cs in csources:
+            cs.close()
+    os.replace(tmp, out_path)
+    rep.finish()
+    metrics = dict(
+        timer.summary(), total_s=round(time.time() - t0, 4),
+        n_objects=n_rows, n_frames=n_frames, n_channels=n_ch,
+    )
+    return {"measurements": out_path, "metrics": json.dumps(metrics)}
+
+
 @register("track_objects")
 def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Link a serve's ``objects.h5`` into trajectories (tracks.csv).
