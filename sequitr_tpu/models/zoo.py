@@ -60,6 +60,14 @@ PRESETS: Dict[str, Any] = {
     # (receptive field only needs to span the noise correlation length);
     # depth 3 also keeps the serving graph light next to the GAN enhancer.
     "n2v_denoise": _unet(num_classes=1, depth=3, features_cap=256),
+    # FAST denoiser: the same space-to-depth trade as the segmentation
+    # fast family — and unlike those, it needs NO distillation: the
+    # blind-spot loss is self-supervised, so the s2d architecture trains
+    # directly on the same noisy data (train_n2v space_to_depth: 2)
+    "n2v_denoise_fast": _unet(
+        num_classes=1, depth=3, features_cap=256,
+        space_to_depth=2, base_features=64,
+    ),
 }
 
 

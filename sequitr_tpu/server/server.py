@@ -2630,6 +2630,12 @@ def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     dims = int(p.get("dims", 2))
     if dims not in (2, 3):
         raise jobs_lib.JobError(f"train_n2v needs dims 2 or 3, got {dims}")
+    s2d = int(p.get("space_to_depth", 1))
+    if dims == 3 and s2d != 1:
+        raise jobs_lib.JobError(
+            "space_to_depth is a 2D-only rearrangement (volumes train "
+            "without it)"
+        )
 
     # ---- record shards: build once, reuse on resume/requeue ----
     rec_dir = os.path.join(job.output, "records")
@@ -2735,7 +2741,14 @@ def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         num_classes=n_channels,  # regression: predict every input channel
         dims=dims,
         depth=int(p.get("depth", base.depth)),
-        base_features=int(p.get("base_features", base.base_features)),
+        # the fast-denoiser recipe (the n2v_denoise_fast preset's shape):
+        # space_to_depth 2 with doubled base width serves ~1.5-2x the
+        # frames/sec at 1024^2 and trains DIRECTLY on the same noisy
+        # data — the blind-spot loss needs no distillation teacher
+        base_features=int(
+            p.get("base_features", 64 if s2d > 1 else base.base_features)
+        ),
+        space_to_depth=s2d,
         norm=p.get("norm", base.norm),
         compute_dtype=jnp.dtype(p.get("compute_dtype", "bfloat16")),
     )

@@ -665,6 +665,68 @@ class TestN2VJobs:
         # ...and its improvement agrees with the denoise output's score
         assert abs(m3["psnr"] - (10 * np.log10(1.0 / mse_out))) < 0.5
 
+    def test_fast_s2d_train_and_denoise(self, server_env):
+        """space_to_depth: 2 — the fast-denoiser recipe trains DIRECTLY
+        with the blind-spot loss (no distillation teacher) and still
+        beats the noisy input."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(15)
+        clean, noisy = _noisy_scene(rng, 40, size=32, sigma=0.12)
+        noisy_p = str(tmp / "noisy.tif")
+        tiff.write_stack(noisy_p, noisy)
+        train_out = str(tmp / "train_fast")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "train_n2v",
+                "params": {"model": "n2v_fast", "patch": [32, 32],
+                           "patches_per_frame": 2, "steps": 300,
+                           "batch_size": 8, "learning_rate": 3e-3,
+                           "lr_schedule": "cosine", "mask_frac": 0.02,
+                           "radius": 3, "depth": 2,
+                           "space_to_depth": 2,
+                           "compute_dtype": "float32",
+                           "normalize": False},
+                "input": [noisy_p],
+                "output": train_out,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(train_out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        from sequitr_tpu.server import load_model
+
+        _, mcfg, _, _ = load_model(cfg_srv.models_dir, "n2v_fast")
+        assert mcfg.space_to_depth == 2 and mcfg.base_features == 64
+
+        den_out = str(tmp / "den_fast")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "denoise",
+             "params": {"model": "n2v_fast", "normalize": "none"},
+             "input": [noisy_p], "output": den_out},
+        )
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(den_out, "status.json")))
+        assert st2["state"] == "complete", st2.get("error")
+        out = np.asarray(tiff.read_stack(st2["outputs"]["denoised"]))
+        mse_noisy = float(np.mean((noisy - clean) ** 2))
+        mse_out = float(np.mean((out - clean) ** 2))
+        assert mse_out < 0.5 * mse_noisy, (mse_out, mse_noisy)
+
+        # 3D + s2d: deterministic rejection
+        bad = str(tmp / "bad_s2d3d")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_n2v",
+             "params": {"model": "x", "dims": 3, "space_to_depth": 2},
+             "input": [noisy_p], "output": bad},
+        )
+        assert srv.poll_once()
+        st3 = json.load(open(os.path.join(bad, "status.json")))
+        assert st3["state"] == "failed" and "space_to_depth" in st3["error"]
+
     def test_train_n2v_param_errors(self, server_env):
         cfg_srv, tmp = server_env
         stack = str(tmp / "s.tif")
