@@ -652,6 +652,8 @@ def _make_n2v_evaluator(
     shard_paths: Sequence[str],
     mask_frac: float,
     radius: int,
+    mask_mode: str = "uniform",
+    struct=None,
 ) -> Optional[Callable]:
     """Holdout evaluator for Noise2Void: blind-spot MSE under a FIXED mask.
 
@@ -676,6 +678,7 @@ def _make_n2v_evaluator(
     masked, coords = train_lib._n2v_mask_nd(
         jax.random.PRNGKey(0), images, n_mask,
         train_lib._n2v_radii(radius, images.ndim - 2),
+        mode=mask_mode, struct=struct,
     )
     dump = _dump_dir(fc)
 
@@ -717,6 +720,8 @@ def fit_n2v(
     init_state: Optional[train_lib.TrainState] = None,
     mask_frac: float = 0.005,
     radius: int = 5,
+    mask_mode: str = "uniform",
+    struct=None,
     should_stop: Optional[Callable[[], bool]] = None,
     progress: Optional[Callable[[int, int], None]] = None,
 ) -> train_lib.TrainState:
@@ -724,14 +729,18 @@ def fit_n2v(
 
     Same loop/checkpoint/resume/metrics machinery as ``fit_unet``; the
     step is ``train.make_n2v_train_step`` (blind-spot masked MSE — no
-    labels, no clean targets). ``mesh``: standard DP (state replicated,
-    batch sharded; each chip draws its own mask positions from the
-    folded-in step key)."""
+    labels, no clean targets). ``mask_mode``/``struct`` select the N2V2
+    median manipulation and structN2V correlated-noise masking; the
+    holdout evaluator scores under the SAME manipulation so the metric
+    tracks the loss being minimized. ``mesh``: standard DP (state
+    replicated, batch sharded; each chip draws its own mask positions
+    from the folded-in step key)."""
     _check_keep_best(fc, {"eval_n2v_mse", "eval_psnr_masked"})
     key = jax.random.PRNGKey(fc.seed)
     state = init_state or train_lib.create_unet_state(key, cfg, tc)
     step = train_lib.make_n2v_train_step(
-        cfg, tc, mask_frac=mask_frac, radius=radius, jit=mesh is None
+        cfg, tc, mask_frac=mask_frac, radius=radius,
+        mask_mode=mask_mode, struct=struct, jit=mesh is None,
     )
     sharding = None
     if mesh is not None:
@@ -744,7 +753,10 @@ def fit_n2v(
         shuffle_buffer=fc.shuffle_buffer, holdout_every=fc.holdout_every,
     )
     eval_fn = (
-        _make_n2v_evaluator(cfg, fc, shard_paths, mask_frac, radius)
+        _make_n2v_evaluator(
+            cfg, fc, shard_paths, mask_frac, radius,
+            mask_mode=mask_mode, struct=struct,
+        )
         if fc.holdout_every
         else None
     )

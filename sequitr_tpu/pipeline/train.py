@@ -13,6 +13,7 @@ Data-parallel sharding of these steps over a TPU mesh lives in
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -283,7 +284,9 @@ def make_unet_distill_step(
 # ---------------------------------------------------------------------------
 
 
-def n2v_flip_batch(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
+def n2v_flip_batch(
+    key: jax.Array, images: jnp.ndarray, transpose: bool = True
+) -> jnp.ndarray:
     """Random per-sample dihedral augmentation for image/volume batches.
 
     Flips along every spatial axis independently; adds the in-plane
@@ -294,7 +297,10 @@ def n2v_flip_batch(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
     so the segmentation augmenter (``ops.augment``) is a poor fit;
     elastic warps are deliberately excluded — interpolation correlates
     neighboring pixels, weakening the noise-independence assumption the
-    blind-spot loss relies on.
+    blind-spot loss relies on. ``transpose=False`` drops the in-plane
+    transpose: structN2V masking fixes the noise-correlation axis, and a
+    transpose would rotate the stripes out from under the mask (flips
+    preserve the axis, so they stay).
     """
     spatial = images.shape[1:-1]
     nd = len(spatial)
@@ -310,7 +316,7 @@ def n2v_flip_batch(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
             t, img.swapaxes(nd - 2, nd - 1), img
         )
 
-    if spatial[-1] == spatial[-2]:
+    if transpose and spatial[-1] == spatial[-2]:
         ts = jax.random.bernoulli(kt, 0.5, (b,))
         return jax.vmap(lambda i, f, t: one(i, f, t))(images, flips, ts)
     return jax.vmap(lambda i, f: one(i, f, None))(images, flips)
@@ -334,7 +340,44 @@ def _n2v_radii(radius, n_axes: int):
     return radii
 
 
-def _n2v_mask_nd(key: jax.Array, images: jnp.ndarray, n_mask: int, radii):
+def _n2v_struct(struct, radii, nd: int):
+    """Validate a structN2V mask spec ``(axis, span)`` against the radii.
+
+    ``axis``: the spatial axis the noise is correlated along (substitutes
+    must never move along it); ``span``: half-length of the replaced
+    segment. At least one OTHER axis must allow movement, or no valid
+    substitute exists.
+    """
+    if struct is None:
+        return None
+    s_ax, span = int(struct[0]), int(struct[1])
+    if not 0 <= s_ax < nd:
+        raise ValueError(f"struct axis {s_ax} out of range for {nd}D patches")
+    if span < 1:
+        raise ValueError(f"struct span {span} must be >= 1")
+    if not any(r >= 1 for i, r in enumerate(radii) if i != s_ax):
+        raise ValueError(
+            f"structN2V along axis {s_ax} needs radius >= 1 on another "
+            f"axis (got radii {radii}): substitutes must come from "
+            "OUTSIDE the correlated line"
+        )
+    return s_ax, span
+
+
+def _reflect(idx: jnp.ndarray, extent: int) -> jnp.ndarray:
+    """Reflect out-of-bounds indices back inside [0, extent)."""
+    n = jnp.abs(idx)
+    return jnp.where(n > extent - 1, 2 * (extent - 1) - n, n)
+
+
+def _n2v_mask_nd(
+    key: jax.Array,
+    images: jnp.ndarray,
+    n_mask: int,
+    radii,
+    mode: str = "uniform",
+    struct=None,
+):
     """Dimension-generic blind-spot masking core.
 
     ``images``: (B, *spatial, C). Per sample, draws ``n_mask`` positions
@@ -347,6 +390,25 @@ def _n2v_mask_nd(key: jax.Array, images: jnp.ndarray, n_mask: int, radii):
     reflection self-hit shifts one step along that axis — an identity
     leak at even one masked position lets the net learn the identity
     function and the blind-spot loss collapses.
+
+    ``mode="median"`` (the N2V2 manipulation, Höck et al. 2022):
+    substitutes are the median of the surrounding ``radii`` window
+    instead of one random neighbor — less high-frequency injection, so
+    the trained net produces fewer checkerboard artifacts. Unlike the
+    reference implementation the CENTER is excluded from the window
+    (including it is a direct identity leak the random-neighbor path is
+    so careful to avoid); border reflection may still fold a window tap
+    onto the center, which is harmless at the median's breakdown point.
+
+    ``struct=(axis, span)`` (structN2V, Broaddus et al. 2020): for noise
+    CORRELATED along one axis (scan-line stripes, detector row noise),
+    hiding the center pixel alone is not blind — the net reads the
+    noise off its correlated neighbors. The whole segment of
+    ``2*span+1`` pixels along ``axis`` around each center is replaced,
+    every substitute drawn strictly OFF the line (zero displacement
+    along ``axis``, nonzero along another); the loss still scores the
+    centers only. In median mode the window likewise excludes the
+    correlated line.
 
     Returns ``(masked, coords)``: coords is a tuple of D (B, n_mask)
     int32 arrays. Static shapes throughout — one fused graph under
@@ -364,9 +426,32 @@ def _n2v_mask_nd(key: jax.Array, images: jnp.ndarray, n_mask: int, radii):
                 f"radius {radii} must be < the patch extent {spatial} "
                 "on every axis"
             )
+    if mode not in ("uniform", "median"):
+        raise ValueError(f"mask mode {mode!r} must be 'uniform' or 'median'")
+    struct = _n2v_struct(struct, radii, nd)
+    if struct is not None and struct[1] >= spatial[struct[0]]:
+        raise ValueError(
+            f"struct span {struct[1]} must be < the patch extent "
+            f"{spatial[struct[0]]} along axis {struct[0]}"
+        )
     # the axis the zero-offset collapse and the self-hit tie-break move
-    # along: the last axis that allows movement (its extent is >= 2)
-    fix = max(i for i, r in enumerate(radii) if r >= 1)
+    # along: the last NON-STRUCT axis that allows movement (extent >= 2)
+    fix = max(
+        i for i, r in enumerate(radii)
+        if r >= 1 and (struct is None or i != struct[0])
+    )
+    if mode == "median":
+        # static window taps; excluding the center keeps the median
+        # blind, excluding the correlated line keeps structN2V blind
+        window = [
+            o
+            for o in itertools.product(*[range(-r, r + 1) for r in radii])
+            if any(o)
+            and (
+                struct is None
+                or any(o[a] for a in range(nd) if a != struct[0])
+            )
+        ]
 
     def mask_one(k, img):
         ks = jax.random.split(k, 2 * nd)
@@ -374,27 +459,59 @@ def _n2v_mask_nd(key: jax.Array, images: jnp.ndarray, n_mask: int, radii):
             jax.random.randint(ks[i], (n_mask,), 0, s)
             for i, s in enumerate(spatial)
         ]
-        ds = [
-            jax.random.randint(ks[nd + i], (n_mask,), -r, r + 1)
-            for i, r in enumerate(radii)
-        ]
-        all_zero = ds[0] == 0
-        for d in ds[1:]:
-            all_zero &= d == 0
-        ds[fix] = jnp.where(all_zero, 1, ds[fix])
-        ns = []
-        for c, d, s in zip(cs, ds, spatial):
-            n = jnp.abs(c + d)
-            ns.append(jnp.where(n > s - 1, 2 * (s - 1) - n, n))
-        self_hit = ns[0] == cs[0]
-        for n, c in zip(ns[1:], cs[1:]):
-            self_hit &= n == c
-        ns[fix] = jnp.where(
-            self_hit,
-            jnp.where(cs[fix] > 0, cs[fix] - 1, cs[fix] + 1),
-            ns[fix],
-        )
-        masked = img.at[tuple(cs)].set(img[tuple(ns)])
+        if struct is None:
+            ps = cs  # replace the centers themselves
+        else:
+            # replace the whole +/-span segment along the struct axis
+            s_ax, span = struct
+            offs = jnp.arange(-span, span + 1)
+            ps = [
+                (
+                    _reflect(c[:, None] + offs[None, :], spatial[a])
+                    if a == s_ax
+                    else jnp.broadcast_to(
+                        c[:, None], (n_mask, 2 * span + 1)
+                    )
+                ).reshape(-1)
+                for a, c in enumerate(cs)
+            ]
+        n_rep = ps[0].shape[0]
+        if mode == "median":
+            idx = tuple(
+                _reflect(p[None, :] + jnp.asarray([o[a] for o in window])[:, None],
+                         spatial[a])
+                for a, p in enumerate(ps)
+            )
+            sub = jnp.median(img[idx], axis=0)  # (n_rep, C)
+        else:
+            ds = [
+                (
+                    jnp.zeros((n_rep,), jnp.int32)
+                    if struct is not None and i == struct[0]
+                    else jax.random.randint(ks[nd + i], (n_rep,), -r, r + 1)
+                )
+                for i, r in enumerate(radii)
+            ]
+            all_zero = ds[0] == 0
+            for d in ds[1:]:
+                all_zero &= d == 0
+            ds[fix] = jnp.where(all_zero, 1, ds[fix])
+            ns = [
+                _reflect(p + d, s) for p, d, s in zip(ps, ds, spatial)
+            ]
+            # reflection self-hit: with struct, the struct-axis coords
+            # match by construction, so this is exactly "zero
+            # displacement off the line" — the case that must never pass
+            self_hit = ns[0] == ps[0]
+            for n, c in zip(ns[1:], ps[1:]):
+                self_hit &= n == c
+            ns[fix] = jnp.where(
+                self_hit,
+                jnp.where(ps[fix] > 0, ps[fix] - 1, ps[fix] + 1),
+                ns[fix],
+            )
+            sub = img[tuple(ns)]
+        masked = img.at[tuple(ps)].set(sub)
         return masked, tuple(c.astype(jnp.int32) for c in cs)
 
     return jax.vmap(mask_one)(jax.random.split(key, images.shape[0]), images)
@@ -405,9 +522,13 @@ def n2v_mask_batch(
     images: jnp.ndarray,
     n_mask: int,
     radius: int,
+    mode: str = "uniform",
+    struct=None,
 ):
     """2D blind-spot masking: ``(masked, ys, xs)`` (see ``_n2v_mask_nd``)."""
-    masked, (ys, xs) = _n2v_mask_nd(key, images, n_mask, _n2v_radii(radius, 2))
+    masked, (ys, xs) = _n2v_mask_nd(
+        key, images, n_mask, _n2v_radii(radius, 2), mode=mode, struct=struct
+    )
     return masked, ys, xs
 
 
@@ -416,6 +537,8 @@ def n2v_mask_batch_3d(
     volumes: jnp.ndarray,
     n_mask: int,
     radius,
+    mode: str = "uniform",
+    struct=None,
 ):
     """Volumetric blind-spot masking over (B, Z, H, W, C).
 
@@ -425,7 +548,7 @@ def n2v_mask_batch_3d(
     ``(masked, zs, ys, xs)``.
     """
     masked, (zs, ys, xs) = _n2v_mask_nd(
-        key, volumes, n_mask, _n2v_radii(radius, 3)
+        key, volumes, n_mask, _n2v_radii(radius, 3), mode=mode, struct=struct
     )
     return masked, zs, ys, xs
 
@@ -447,6 +570,8 @@ def make_n2v_train_step(
     tc: TrainConfig,
     mask_frac: float = 0.005,
     radius: int = 5,
+    mask_mode: str = "uniform",
+    struct=None,
     jit: bool = True,
 ):
     """Noise2Void self-supervised denoiser training step.
@@ -467,12 +592,27 @@ def make_n2v_train_step(
     graph: dihedral augment -> blind-spot mask -> forward -> masked MSE
     -> Adam update. ``tc.augment`` gates flips/transpose, elastic is
     never applied (see ``n2v_flip_batch``).
+
+    ``mask_mode="median"`` switches to the N2V2 manipulation (window
+    median instead of a random neighbor — fewer checkerboard artifacts);
+    ``struct=(axis, span)`` enables structN2V masking for noise
+    correlated along one spatial axis (see ``_n2v_mask_nd``). The two
+    compose. With an in-plane struct axis the augmentation transpose is
+    dropped automatically so the mask stays aligned with the stripes.
     """
     if cfg.dims not in (2, 3):
         raise ValueError(f"Noise2Void training needs dims 2 or 3, got {cfg.dims}")
     if not 0.0 < mask_frac <= 0.5:
         raise ValueError(f"mask_frac={mask_frac} must be in (0, 0.5]")
     radii = _n2v_radii(radius, cfg.dims)
+    if mask_mode not in ("uniform", "median"):
+        raise ValueError(
+            f"mask_mode {mask_mode!r} must be 'uniform' or 'median'"
+        )
+    struct = _n2v_struct(struct, radii, cfg.dims)
+    # an in-plane transpose would rotate the correlated-noise axis out
+    # from under a structN2V mask on either in-plane axis (flips keep it)
+    transpose = struct is None or struct[0] < cfg.dims - 2
     optimizer = tc.make_optimizer()
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
@@ -488,8 +628,10 @@ def make_n2v_train_step(
         n_mask = max(1, int(mask_frac * n_px))
         k_aug, k_mask = jax.random.split(key)
         if tc.augment:
-            images = n2v_flip_batch(k_aug, images)
-        masked, coords = _n2v_mask_nd(k_mask, images, n_mask, radii)
+            images = n2v_flip_batch(k_aug, images, transpose=transpose)
+        masked, coords = _n2v_mask_nd(
+            k_mask, images, n_mask, radii, mode=mask_mode, struct=struct
+        )
 
         def loss_fn(params):
             fwd = lambda p, x: unet.apply(

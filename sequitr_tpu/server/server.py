@@ -2607,6 +2607,14 @@ def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     depth-3 net). Registers the model as kind ``n2v`` (served by the
     ``denoise`` pipeline).
 
+    Masking variants: ``mask_mode: "median"`` uses the N2V2 window-median
+    manipulation (fewer checkerboard artifacts on smooth signal);
+    ``struct_axis: "x"|"y"`` (+ ``"z"`` for volumes) with ``struct_span``
+    (default 4) enables structN2V masking for noise CORRELATED along one
+    axis — scan-line stripes, detector row noise — which plain N2V
+    cannot remove (it reads the noise off the correlated neighbors).
+    The two compose; the holdout metric scores under the same masking.
+
     VOLUMETRIC (``dims: 3``): input is ONE volume-sequence entry
     (dir/glob of per-timepoint z-stacks, or a single file — with the
     ``z`` pages-per-volume param for T·Z-page files); random 3D
@@ -2802,6 +2810,39 @@ def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         # z far coarser than xy, so the z radius defaults small (and
         # radius_z: 0 keeps substitutes strictly in-plane)
         radius = (int(p.get("radius_z", 2)), radius, radius)
+    mask_mode = str(p.get("mask_mode", "uniform"))
+    if mask_mode not in ("uniform", "median"):
+        raise jobs_lib.JobError(
+            f"mask_mode={mask_mode!r} must be 'uniform' (Noise2Void "
+            "random-neighbor) or 'median' (the N2V2 manipulation)"
+        )
+    struct = None
+    if p.get("struct_axis") is not None:
+        # structN2V: noise correlated along one axis (scan-line stripes)
+        # — the whole +/-struct_span segment is masked, substitutes come
+        # strictly off the line
+        axes = {"y": dims - 2, "x": dims - 1}
+        if dims == 3:
+            axes["z"] = 0
+        sa = str(p.get("struct_axis"))
+        if sa not in axes:
+            raise jobs_lib.JobError(
+                f"struct_axis={sa!r} must be one of {sorted(axes)} "
+                f"for dims={dims}"
+            )
+        span = int(p.get("struct_span", 4))
+        if span < 1:
+            raise jobs_lib.JobError(
+                f"struct_span={span} must be >= 1 (pixels each side of "
+                "the masked center along the correlated axis)"
+            )
+        struct = (axes[sa], span)
+    elif p.get("struct_span") is not None:
+        raise jobs_lib.JobError(
+            "struct_span without struct_axis: say WHICH axis the noise "
+            "is correlated along ('x', 'y'" + (", 'z'" if dims == 3 else "")
+            + ")"
+        )
     rep = jobs_lib.ProgressReporter(job, steps, phase="steps", raise_on_cancel=False)
     try:
         state = fit_lib.fit_n2v(
@@ -2809,6 +2850,8 @@ def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             mesh=_train_mesh(p, fc.batch_size),
             mask_frac=float(p.get("mask_frac", 0.005)),
             radius=radius,
+            mask_mode=mask_mode,
+            struct=struct,
             should_stop=lambda: jobs_lib.cancel_requested(job),
             progress=lambda s, _t: rep.step(s),
         )

@@ -768,3 +768,199 @@ class TestImageRecords:
             for pl in records_lib.read_records(p)
         ]
         assert back == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def _reflect_py(i, s):
+    i = abs(i)
+    return 2 * (s - 1) - i if i > s - 1 else i
+
+
+class TestMaskingVariants:
+    """N2V2 median manipulation + structN2V correlated-noise masking."""
+
+    def test_median_value_and_positions(self):
+        """mode='median': masked pixels take the window median EXCLUDING
+        the center (a distinct-valued image pins both the positions and
+        the exact values, border reflection included)."""
+        h, w = 12, 14
+        img_np = np.arange(h * w, dtype=np.float32).reshape(1, h, w, 1)
+        masked, ys, xs = train_lib.n2v_mask_batch(
+            jax.random.PRNGKey(3), jnp.asarray(img_np), 10, 1, mode="median"
+        )
+        masked = np.asarray(masked)[0, ..., 0]
+        ref = img_np[0, ..., 0]
+        sel = set(zip(np.asarray(ys[0]).tolist(), np.asarray(xs[0]).tolist()))
+        for y, x in np.argwhere(masked != ref):
+            assert (int(y), int(x)) in sel
+        for y, x in sel:
+            vals = [
+                ref[_reflect_py(y + dy, h), _reflect_py(x + dx, w)]
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+                if (dy, dx) != (0, 0)
+            ]
+            assert masked[y, x] == np.median(vals), (y, x)
+
+    def test_struct_sources_off_the_correlated_line(self):
+        """struct=(axis, span): the whole segment along the correlated
+        axis is replaced, every substitute from the SAME column
+        (zero displacement along the axis) but a DIFFERENT row."""
+        h, w = 16, 20
+        img_np = (
+            np.arange(h)[:, None] * 1000.0 + np.arange(w)[None, :]
+        ).astype(np.float32)
+        img = jnp.asarray(img_np.reshape(1, h, w, 1))
+        span = 3
+        masked, ys, xs = train_lib.n2v_mask_batch(
+            jax.random.PRNGKey(4), img, 8, 4, struct=(1, span)
+        )
+        masked = np.asarray(masked)[0, ..., 0]
+        seg = set()
+        for y, x in zip(np.asarray(ys[0]).tolist(), np.asarray(xs[0]).tolist()):
+            for o in range(-span, span + 1):
+                seg.add((y, _reflect_py(x + o, w)))
+        changed = {(int(a), int(b)) for a, b in np.argwhere(masked != img_np)}
+        # replaced pixels = exactly the masked segments (distinct values:
+        # an off-line substitute can never reproduce the original)
+        assert changed == seg
+        for y, x in seg:
+            v = masked[y, x]
+            sy, sx = int(v // 1000), int(v % 1000)
+            assert sx == x and sy != y, (y, x, sy, sx)
+
+    def test_struct_median_window_excludes_the_line(self):
+        """median + struct: the median window must not read ANY pixel on
+        the correlated line (all taps have nonzero perpendicular
+        displacement)."""
+        h, w = 10, 12
+        img_np = np.arange(h * w, dtype=np.float32).reshape(1, h, w, 1)
+        span = 2
+        masked, ys, xs = train_lib.n2v_mask_batch(
+            jax.random.PRNGKey(5), jnp.asarray(img_np), 6, 1,
+            mode="median", struct=(1, span),
+        )
+        masked = np.asarray(masked)[0, ..., 0]
+        ref = img_np[0, ..., 0]
+        for y, x in zip(np.asarray(ys[0]).tolist(), np.asarray(xs[0]).tolist()):
+            for o in range(-span, span + 1):
+                px = _reflect_py(x + o, w)
+                vals = [
+                    ref[_reflect_py(y + dy, h), _reflect_py(px + dx, w)]
+                    for dy in (-1, 1)
+                    for dx in (-1, 0, 1)
+                ]
+                assert masked[y, px] == np.median(vals), (y, px)
+
+    def test_variant_validation(self):
+        img = jnp.zeros((1, 8, 8, 1))
+        k = jax.random.PRNGKey(0)
+        with pytest.raises(ValueError, match="mode"):
+            train_lib.n2v_mask_batch(k, img, 2, 1, mode="mean")
+        with pytest.raises(ValueError, match="axis"):
+            train_lib.n2v_mask_batch(k, img, 2, 1, struct=(2, 2))
+        with pytest.raises(ValueError, match="span"):
+            train_lib.n2v_mask_batch(k, img, 2, 1, struct=(1, 0))
+        with pytest.raises(ValueError, match="OUTSIDE"):
+            train_lib.n2v_mask_batch(k, img, 2, (0, 3), struct=(1, 2))
+        with pytest.raises(ValueError, match="extent"):
+            train_lib.n2v_mask_batch(k, img, 2, 1, struct=(1, 8))
+
+    def test_flip_batch_transpose_flag(self):
+        """transpose=False restricts the augmentation to pure flips (the
+        structN2V requirement: a transpose would rotate the correlated
+        axis out from under the mask)."""
+        rng = np.random.default_rng(2)
+        imgs = np.asarray(rng.normal(0, 1, (16, 6, 6, 1)), np.float32)
+        out = np.asarray(
+            train_lib.n2v_flip_batch(
+                jax.random.PRNGKey(3), jnp.asarray(imgs), transpose=False
+            )
+        )
+        for b in range(16):
+            cands = [
+                imgs[b],
+                imgs[b][::-1],
+                imgs[b][:, ::-1],
+                imgs[b][::-1, ::-1],
+            ]
+            assert any(np.array_equal(out[b], c) for c in cands), b
+
+    def test_3d_struct_along_z(self):
+        """Volumetric structN2V: stripes along z (axis 0) — substitutes
+        keep their z, moving only in-plane."""
+        z, h, w = 6, 8, 10
+        img_np = (
+            np.arange(z)[:, None, None] * 10000.0
+            + np.arange(h)[None, :, None] * 100.0
+            + np.arange(w)[None, None, :]
+        ).astype(np.float32)
+        masked, zs, ys, xs = train_lib.n2v_mask_batch_3d(
+            jax.random.PRNGKey(6), jnp.asarray(img_np.reshape(1, z, h, w, 1)),
+            5, (2, 3, 3), struct=(0, 2),
+        )
+        masked = np.asarray(masked)[0, ..., 0]
+        for zc, yc, xc in zip(
+            np.asarray(zs[0]).tolist(), np.asarray(ys[0]).tolist(),
+            np.asarray(xs[0]).tolist(),
+        ):
+            for o in range(-2, 3):
+                pz = _reflect_py(zc + o, z)
+                v = masked[pz, yc, xc]
+                sz, rem = divmod(v, 10000.0)
+                sy, sx = divmod(rem, 100.0)
+                assert int(sz) == pz, (pz, yc, xc)
+                assert (int(sy), int(sx)) != (yc, xc), (pz, yc, xc)
+
+
+class TestStructN2VTraining:
+    @staticmethod
+    def _striped_scene(rng, n, size=32, sigma=0.15, corr=5):
+        """Clean signal + noise CORRELATED along x (white noise box-
+        filtered over ``corr`` pixels, unit-L2 kernel keeps the variance)."""
+        yy, xx = np.mgrid[0:size, 0:size]
+        clean = 0.5 + 0.3 * np.sin(yy / 4.0) * np.cos(xx / 5.0)
+        clean = np.broadcast_to(clean, (n, size, size)).astype(np.float32)
+        kern = np.ones(corr) / np.sqrt(corr)
+        noise = rng.normal(0, sigma, clean.shape).astype(np.float32)
+        noise = np.apply_along_axis(
+            lambda v: np.convolve(v, kern, mode="same"), 2, noise
+        ).astype(np.float32)
+        return clean, clean + noise
+
+    def test_struct_beats_plain_n2v_on_striped_noise(self, tmp_path):
+        """The structN2V claim: with noise correlated along x, plain N2V
+        reads the noise off the correlated neighbors and keeps the
+        stripes; masking the whole segment removes them."""
+        from sequitr_tpu.models import unet
+
+        rng = np.random.default_rng(11)
+        clean, noisy = self._striped_scene(rng, 48)
+        shards = records_lib.write_shards(
+            str(tmp_path / "imgs"),
+            (fit_lib.encode_image_example(f) for f in noisy),
+            shard_size=16,
+        )
+        cfg = _tiny_cfg()
+        tc = train_lib.TrainConfig(
+            learning_rate=3e-3, lr_schedule="cosine", lr_decay_steps=300,
+            augment=True,
+        )
+        fc = fit_lib.FitConfig(
+            steps=300, batch_size=8, checkpoint_every=10**9, log_every=10**9
+        )
+
+        def mse_to_clean(state):
+            pred, _ = unet.apply(
+                cfg, state.params, state.model_state,
+                jnp.asarray(noisy)[..., None], train=False,
+            )
+            return float(np.mean((np.asarray(pred[..., 0]) - clean) ** 2))
+
+        plain = fit_lib.fit_n2v(cfg, tc, fc, shards, mask_frac=0.02, radius=5)
+        struct = fit_lib.fit_n2v(
+            cfg, tc, fc, shards, mask_frac=0.02, radius=5, struct=(1, 4)
+        )
+        m_noisy = float(np.mean((noisy - clean) ** 2))
+        m_plain, m_struct = mse_to_clean(plain), mse_to_clean(struct)
+        assert m_struct < 0.6 * m_noisy, (m_struct, m_noisy)
+        assert m_struct < 0.7 * m_plain, (m_struct, m_plain, m_noisy)
