@@ -521,6 +521,17 @@ class VolumeSequence:
         for t in range(self.n_volumes):
             yield self.volume(t)
 
+    def chunks(self, n: int):
+        """Yield (n, Z, H, W) timepoint chunks, repeating the last volume
+        to pad the tail (callers slice the padding back off) — the
+        timepoint-sharded DP dispatch feed. Peak memory is n volumes per
+        prefetch slot (same contract as ``FrameSource.chunks``)."""
+        for start in range(0, self.n_volumes, n):
+            k = min(n, self.n_volumes - start)
+            vols = [self.volume(start + i) for i in range(k)]
+            vols.extend(vols[-1:] * (n - k))
+            yield np.stack(vols)
+
     def __len__(self) -> int:
         return self.n_volumes
 

@@ -1224,7 +1224,8 @@ def denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     A 3D model (``train_n2v`` with ``dims: 3``) routes to the volumetric
     branch: ONE volume-sequence entry (optional ``z`` pages per volume),
     each (Z, H, W) volume through the fused 3D graph, volume-major page
-    output (``_denoise_volumes``).
+    output; ``data_parallel`` there shards TIMEPOINTS — one whole volume
+    per chip per dispatch (``_denoise_volumes``).
     """
     from sequitr_tpu.data.source import FrameSource
     from sequitr_tpu.pipeline import infer as infer_lib
@@ -1457,7 +1458,13 @@ def _denoise_volumes(job, config, cfg, params, state, paths):
     the HBM budget, else the default 3D tiling) and the denoised planes
     append to one page stack — ``frame_range`` selects timepoints,
     progress/cancellation per volume.
+
+    ``data_parallel: true`` shards TIMEPOINTS over the mesh — each chip
+    denoises one whole volume per dispatch (zero inter-chip traffic; the
+    batch axis is T, not Z, so per-volume semantics are untouched). Host
+    memory holds n_devices volumes per read-ahead slot.
     """
+    import jax
     import jax.numpy as jnp
 
     from sequitr_tpu.data.source import VolumeSequence
@@ -1466,11 +1473,6 @@ def _denoise_volumes(job, config, cfg, params, state, paths):
 
     if job.params.get("roi") is not None:
         raise jobs_lib.JobError("roi serving is 2D-only (crop the volume upstream)")
-    if job.params.get("data_parallel"):
-        raise jobs_lib.JobError(
-            "3D denoise does not take data_parallel yet (volumes stream "
-            "one at a time); ask if a timepoint-sharded path would help"
-        )
     if job.params.get("frame_batch"):
         # loud like roi/data_parallel: volumes stream one at a time, and a
         # silently-ignored throughput knob reads as "batching is on"
@@ -1513,21 +1515,44 @@ def _denoise_volumes(job, config, cfg, params, state, paths):
     )
     rep = jobs_lib.ProgressReporter(job, n_vols)
     timer = PhaseTimer()
-    den = infer_lib.cached_denoiser(cfg, tc, source.spatial)
     t0 = time.time()
+
+    def write_volume(vol):  # (Z, H, W)
+        with timer.phase("write"):
+            for plane in vol:
+                writer.append(plane)
+        rep.step()
+
     try:
         with source:
-            for out in infer_lib.stream_frames(
-                lambda v: den(params, state, jnp.asarray(v, jnp.float32)),
-                source.volumes(),
-                prefetch_host=infer_lib._copy_to_host_async,
-            ):
-                with timer.phase("fetch"):
-                    got = np.asarray(out)[..., 0]  # (Z, H, W)
-                with timer.phase("write"):
-                    for plane in got:
-                        writer.append(plane)
-                rep.step()
+            if job.params.get("data_parallel") and jax.device_count() > 1:
+                from sequitr_tpu import parallel
+
+                mesh = parallel.make_mesh()
+                n_dev = mesh.devices.size
+                dp = parallel.make_dp_frame_mapper(
+                    infer_lib.make_denoiser(cfg, tc, source.spatial), mesh
+                )
+                n_left = n_vols
+                for chunk in infer_lib._iter_read_ahead(
+                    source.chunks(n_dev), 2
+                ):
+                    out = dp(params, state, jnp.asarray(chunk, jnp.float32))
+                    with timer.phase("fetch"):
+                        got = np.asarray(out)[..., 0]  # (D, Z, H, W)
+                    for k in range(min(n_dev, n_left)):
+                        write_volume(got[k])
+                    n_left -= n_dev
+            else:
+                den = infer_lib.cached_denoiser(cfg, tc, source.spatial)
+                for out in infer_lib.stream_frames(
+                    lambda v: den(params, state, jnp.asarray(v, jnp.float32)),
+                    source.volumes(),
+                    prefetch_host=infer_lib._copy_to_host_async,
+                ):
+                    with timer.phase("fetch"):
+                        got = np.asarray(out)[..., 0]  # (Z, H, W)
+                    write_volume(got)
     except BaseException:
         writer.abort()
         raise

@@ -618,19 +618,24 @@ class TestN2VJobs:
         mse_out = float(np.mean((out - clean_t) ** 2))
         assert mse_out < 0.5 * mse_noisy, (mse_out, mse_noisy)
 
-        # a 2D submission against the 3D model: deterministic error
-        bad = str(tmp / "bad3d")
+        # timepoint-sharded DP: volumes sharded over the 8-device virtual
+        # mesh, one whole volume per chip per dispatch — the output must
+        # match the streaming path EXACTLY (T=6 also covers tail padding)
+        dp_out = str(tmp / "den3d_dp")
         submit_job(
             cfg_srv.jobs_dir,
             {"module": "denoise",
              "params": {"model": "n2v_3d", "normalize": "none",
                         "data_parallel": True, "z": Z},
-             "input": [noisy_p], "output": bad},
+             "input": [noisy_p], "output": dp_out},
         )
         assert srv.poll_once()
-        st3 = json.load(open(os.path.join(bad, "status.json")))
-        assert st3["state"] == "failed"
-        assert "data_parallel" in st3["error"]
+        st3 = json.load(open(os.path.join(dp_out, "status.json")))
+        assert st3["state"] == "complete", st3.get("error")
+        out_dp = np.asarray(
+            tiff.read_stack(st3["outputs"]["denoised"])
+        ).reshape(T, Z, S, S)
+        np.testing.assert_array_equal(out_dp, out)
 
         # frame_batch is likewise rejected loudly, not silently ignored
         bad2 = str(tmp / "bad3d_fb")

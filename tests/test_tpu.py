@@ -217,6 +217,38 @@ class TestN2VOnChip:
         assert max_d < 2e-2, f"bf16 denoiser drifted: max |d| {max_d}"
 
 
+class TestN2VMaskingVariantsOnChip:
+    def test_struct_median_masking_matches_cpu(self):
+        """The structN2V + N2V2 masking graph (segment replacement with a
+        line-excluded window median) compiled on the chip vs the CPU path
+        on the SAME key: gathers/medians in f32 are exact, so the masked
+        batch must match bit-for-bit."""
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.pipeline import train as train_lib
+
+        rng = np.random.default_rng(9)
+        imgs_np = rng.normal(0.5, 0.2, (4, 64, 64, 1)).astype(np.float32)
+        key = jax.random.PRNGKey(21)
+
+        def run(device, imgs):
+            with jax.default_device(device):
+                masked, ys, xs = train_lib.n2v_mask_batch(
+                    jax.device_put(key, device),
+                    jax.device_put(imgs, device),
+                    16, 2, mode="median", struct=(1, 3),
+                )
+                return np.asarray(masked), np.asarray(ys), np.asarray(xs)
+
+        m_t, y_t, x_t = run(jax.devices()[0], jnp.asarray(imgs_np))
+        m_c, y_c, x_c = run(_cpu_device(), jnp.asarray(imgs_np))
+        np.testing.assert_array_equal(y_t, y_c)
+        np.testing.assert_array_equal(x_t, x_c)
+        np.testing.assert_array_equal(m_t, m_c)
+        assert np.any(m_t != imgs_np)  # the mask actually replaced pixels
+
+
 class TestUNet3DOnChip:
     def test_volume_inference_vs_cpu_f32_golden(self):
         """Volumetric whole-volume inference, bf16 on chip vs f32 CPU."""
