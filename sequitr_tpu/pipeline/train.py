@@ -397,8 +397,10 @@ def _n2v_mask_nd(
     the trained net produces fewer checkerboard artifacts. Unlike the
     reference implementation the CENTER is excluded from the window
     (including it is a direct identity leak the random-neighbor path is
-    so careful to avoid); border reflection may still fold a window tap
-    onto the center, which is harmless at the median's breakdown point.
+    so careful to avoid); taps that border reflection folds back onto
+    the center — or onto the correlated line under ``struct`` — are
+    redirected off it along the fix axis, like the uniform path's
+    self-hit tie-break.
 
     ``struct=(axis, span)`` (structN2V, Broaddus et al. 2020): for noise
     CORRELATED along one axis (scan-line stripes, detector row noise),
@@ -477,12 +479,33 @@ def _n2v_mask_nd(
             ]
         n_rep = ps[0].shape[0]
         if mode == "median":
-            idx = tuple(
+            idx = [
                 _reflect(p[None, :] + jnp.asarray([o[a] for o in window])[:, None],
                          spatial[a])
                 for a, p in enumerate(ps)
+            ]
+            # Border reflection can fold a tap back ONTO the blind
+            # region — the center itself, or (struct mode) anywhere on
+            # the correlated line — re-admitting exactly the value the
+            # offset-space exclusion above keeps out in the interior.
+            # Redirect folded taps off it along the fix axis: the
+            # median analogue of the uniform path's self-hit tie-break.
+            blind = None
+            for a in range(nd):
+                if struct is not None and a == struct[0]:
+                    continue  # the line spans this axis — any coord is on it
+                eq = idx[a] == ps[a][None, :]
+                blind = eq if blind is None else (blind & eq)
+            idx[fix] = jnp.where(
+                blind,
+                jnp.where(
+                    ps[fix][None, :] > 0,
+                    ps[fix][None, :] - 1,
+                    ps[fix][None, :] + 1,
+                ),
+                idx[fix],
             )
-            sub = jnp.median(img[idx], axis=0)  # (n_rep, C)
+            sub = jnp.median(img[tuple(idx)], axis=0)  # (n_rep, C)
         else:
             ds = [
                 (

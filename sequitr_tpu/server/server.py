@@ -893,7 +893,7 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         with ThreadPoolExecutor(max_workers=1) as pool, source:
             # the generator dispatches lazily: each next() is the dispatch
             # (+ H2D) work, each np.asarray the D2H result wait
-            results = _run_frames(cfg, tc, params, state, source, job.params)
+            results = _run_frames(cfg, tc, params, state, source, job)
             for t in range(n_frames):
                 with timer.phase("infer"):
                     result = next(results)
@@ -1117,7 +1117,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     batch_norm = jax.jit(jax.vmap(_norm_one))
                     n_left = n_frames
                     for chunk in infer_lib._iter_read_ahead(
-                        source.chunks(d_ways), 2
+                        _reads_fail_fast(job, source.chunks(d_ways)), 2
                     ):
                         out = hy_enh(
                             params, state, batch_norm(jnp.asarray(chunk))
@@ -1137,7 +1137,9 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     except (ValueError, NotImplementedError) as e:
                         raise jobs_lib.JobError(str(e))
                     norm_one = jax.jit(_norm_one)
-                    for frame in infer_lib._iter_read_ahead(source.frames(), 2):
+                    for frame in infer_lib._iter_read_ahead(
+                        _reads_fail_fast(job, source.frames()), 2
+                    ):
                         out = sp_enh(params, state, norm_one(jnp.asarray(frame)))
                         with timer.phase("fetch"):
                             got = np.asarray(out)
@@ -1154,7 +1156,7 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 )
                 n_left = n_frames
                 for chunk in infer_lib._iter_read_ahead(
-                    source.chunks(n_dev), 2
+                    _reads_fail_fast(job, source.chunks(n_dev)), 2
                 ):
                     import jax.numpy as jnp
 
@@ -1170,7 +1172,8 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 )
                 n_left = n_frames
                 for out in infer_lib.stream_frames(
-                    lambda ch: benhance(params, state, ch), source.chunks(fb),
+                    lambda ch: benhance(params, state, ch),
+                    _reads_fail_fast(job, source.chunks(fb)),
                     prefetch_host=infer_lib._copy_to_host_async,
                 ):
                     with timer.phase("fetch"):
@@ -1181,7 +1184,8 @@ def enhancement_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             else:
                 enhance = infer_lib.cached_gan_enhancer(cfg, tc, source.spatial)
                 for out in infer_lib.stream_frames(
-                    lambda f: enhance(params, state, f), source.frames(),
+                    lambda f: enhance(params, state, f),
+                    _reads_fail_fast(job, source.frames()),
                     prefetch_host=infer_lib._copy_to_host_async,
                 ):
                     with timer.phase("fetch"):
@@ -1299,7 +1303,7 @@ def denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 )
                 n_left = n_frames
                 for chunk in infer_lib._iter_read_ahead(
-                    source.chunks(n_dev), 2
+                    _reads_fail_fast(job, source.chunks(n_dev)), 2
                 ):
                     out = dp(params, state, jnp.asarray(chunk))
                     with timer.phase("fetch"):
@@ -1313,7 +1317,8 @@ def denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 )
                 n_left = n_frames
                 for out in infer_lib.stream_frames(
-                    lambda ch: bdenoise(params, state, ch), source.chunks(fb),
+                    lambda ch: bdenoise(params, state, ch),
+                    _reads_fail_fast(job, source.chunks(fb)),
                     prefetch_host=infer_lib._copy_to_host_async,
                 ):
                     with timer.phase("fetch"):
@@ -1324,7 +1329,8 @@ def denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             else:
                 den = infer_lib.cached_denoiser(cfg, tc, source.spatial)
                 for out in infer_lib.stream_frames(
-                    lambda f: den(params, state, f), source.frames(),
+                    lambda f: den(params, state, f),
+                    _reads_fail_fast(job, source.frames()),
                     prefetch_host=infer_lib._copy_to_host_async,
                 ):
                     with timer.phase("fetch"):
@@ -1410,12 +1416,12 @@ def _evaluate_denoise_volumes(job, config, cfg, params, state, paths):
     n_vols = len(source)
     psnrs, l1s, psnrs_in = [], [], []
     with source, tsource:
-        tvols = tsource.volumes()
+        tvols = _reads_fail_fast(job, tsource.volumes())
         for out, x01 in jobs_lib.track(
             job,
             infer_lib.stream_frames(
                 lambda v: denoise_and_norm(jnp.asarray(v, jnp.float32)),
-                source.volumes(),
+                _reads_fail_fast(job, source.volumes()),
                 prefetch_host=lambda res: [
                     infer_lib._copy_to_host_async(a) for a in res
                 ],
@@ -1513,7 +1519,6 @@ def _denoise_volumes(job, config, cfg, params, state, paths):
         * np.dtype(tc.probs_dtype).itemsize,
         _out_compression(job),
     )
-    rep = jobs_lib.ProgressReporter(job, n_vols)
     timer = PhaseTimer()
     t0 = time.time()
 
@@ -1521,7 +1526,6 @@ def _denoise_volumes(job, config, cfg, params, state, paths):
         with timer.phase("write"):
             for plane in vol:
                 writer.append(plane)
-        rep.step()
 
     try:
         with source:
@@ -1533,31 +1537,34 @@ def _denoise_volumes(job, config, cfg, params, state, paths):
                 dp = parallel.make_dp_frame_mapper(
                     infer_lib.make_denoiser(cfg, tc, source.spatial), mesh
                 )
-                n_left = n_vols
-                for chunk in infer_lib._iter_read_ahead(
-                    source.chunks(n_dev), 2
+                # _dp_chunk_stream owns read-ahead, per-chunk progress/
+                # cancel, fail-fast reads, and the tail-padding count
+                for chunk, n_real in _dp_chunk_stream(
+                    job, source.chunks(n_dev), n_vols, n_dev,
+                    phase="volumes",
                 ):
                     out = dp(params, state, jnp.asarray(chunk, jnp.float32))
                     with timer.phase("fetch"):
                         got = np.asarray(out)[..., 0]  # (D, Z, H, W)
-                    for k in range(min(n_dev, n_left)):
+                    for k in range(n_real):
                         write_volume(got[k])
-                    n_left -= n_dev
             else:
+                rep = jobs_lib.ProgressReporter(job, n_vols)
                 den = infer_lib.cached_denoiser(cfg, tc, source.spatial)
                 for out in infer_lib.stream_frames(
                     lambda v: den(params, state, jnp.asarray(v, jnp.float32)),
-                    source.volumes(),
+                    _reads_fail_fast(job, source.volumes()),
                     prefetch_host=infer_lib._copy_to_host_async,
                 ):
                     with timer.phase("fetch"):
                         got = np.asarray(out)[..., 0]  # (Z, H, W)
                     write_volume(got)
+                    rep.step()
+                rep.finish()
     except BaseException:
         writer.abort()
         raise
     writer.close()
-    rep.finish()
     total_s = time.time() - t0
     metrics = dict(
         timer.summary(), total_s=round(total_s, 4), n_volumes=n_vols
@@ -1673,13 +1680,14 @@ def evaluate_denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     psnrs, l1s, psnrs_in = [], [], []
     n_left = n_frames
     with source, tsource:
-        tchunks = tsource.chunks(fb)
+        tchunks = _reads_fail_fast(job, tsource.chunks(fb))
         # same read-ahead treatment as evaluate_gan: chunk t+1's disk
         # read overlaps chunk t's H2D + compute
         for out, x01 in jobs_lib.track(
             job,
             infer_lib.stream_frames(
-                denoise_and_norm, source.chunks(fb),
+                denoise_and_norm,
+                _reads_fail_fast(job, source.chunks(fb)),
                 prefetch_host=lambda res: [
                     infer_lib._copy_to_host_async(a) for a in res
                 ],
@@ -1713,7 +1721,7 @@ def evaluate_denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     return {"metrics": json.dumps(metrics)}
 
 
-def _run_frames(cfg, tc, params, state, source, job_params):
+def _run_frames(cfg, tc, params, state, source, job: Job):
     """Stream a frame source through tiled inference; yields results in order.
 
     ``source`` is a ``FrameSource`` (lazy disk readers or an in-memory
@@ -1731,6 +1739,7 @@ def _run_frames(cfg, tc, params, state, source, job_params):
 
     from sequitr_tpu.pipeline import infer as infer_lib
 
+    job_params = job.params
     spatial = source.spatial
     n_frames = len(source)
     sp = job_params.get("spatial_parallel")
@@ -1770,7 +1779,9 @@ def _run_frames(cfg, tc, params, state, source, job_params):
             # percentiles preserved by the vmap axis)
             batch_norm = jax.jit(jax.vmap(norm))
             n_left = n_frames
-            for chunk in infer_lib._iter_read_ahead(source.chunks(d_ways), 2):
+            for chunk in infer_lib._iter_read_ahead(
+                _reads_fail_fast(job, source.chunks(d_ways)), 2
+            ):
                 probs, labels = hy_fn(params, state, batch_norm(jnp.asarray(chunk)))
                 for k in range(min(d_ways, n_left)):
                     yield infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
@@ -1784,7 +1795,9 @@ def _run_frames(cfg, tc, params, state, source, job_params):
             )
         except (ValueError, NotImplementedError) as e:
             raise jobs_lib.JobError(str(e))
-        for frame in infer_lib._iter_read_ahead(source.frames(), 2):
+        for frame in infer_lib._iter_read_ahead(
+            _reads_fail_fast(job, source.frames()), 2
+        ):
             probs, labels = sp_fn(params, state, norm(frame))
             yield infer_lib.InferenceResult(probs=probs, labels=labels)
         return
@@ -1798,7 +1811,9 @@ def _run_frames(cfg, tc, params, state, source, job_params):
         fn = infer_lib.make_frame_inferrer(cfg, tc, spatial, jit=False)
         dp = parallel.make_dp_frame_inferrer(fn, mesh)
         n_left = n_frames
-        for chunk in infer_lib._iter_read_ahead(source.chunks(n_dev), 2):
+        for chunk in infer_lib._iter_read_ahead(
+            _reads_fail_fast(job, source.chunks(n_dev)), 2
+        ):
             probs, labels = dp(params, state, jnp.asarray(chunk))
             for k in range(min(n_dev, n_left)):
                 yield infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
@@ -1827,7 +1842,8 @@ def _run_frames(cfg, tc, params, state, source, job_params):
         bfn = infer_lib.cached_batch_inferrer(cfg, tc, tuple(spatial), fb)
         n_left = n_frames
         for probs, labels in infer_lib.stream_frames(
-            lambda c: bfn(params, state, c), source.chunks(fb),
+            lambda c: bfn(params, state, c),
+            _reads_fail_fast(job, source.chunks(fb)),
             prefetch_host=_host_prefetch,
         ):
             for k in range(min(fb, n_left)):
@@ -1836,7 +1852,8 @@ def _run_frames(cfg, tc, params, state, source, job_params):
         return
     fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(spatial))
     yield from infer_lib.infer_stack(
-        fn, params, state, source.frames(), fetch_probs=want_probs
+        fn, params, state, _reads_fail_fast(job, source.frames()),
+        fetch_probs=want_probs,
     )
 
 
@@ -3254,7 +3271,7 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     rep = jobs_lib.ProgressReporter(job, n_frames)
     try:
         with source:
-            results = _run_frames(cfg, tc, params, state, source, job.params)
+            results = _run_frames(cfg, tc, params, state, source, job)
             for t in range(n_frames):
                 pred = np.asarray(next(results).labels)
                 fcm = losses.confusion_matrix_np(
@@ -3812,18 +3829,10 @@ def _localize_volume_timelapse(job: Job, path: str) -> Dict[str, str]:
 
 
 def _volume_chunks(seq, n: int):
-    """Yield (n, Z, H, W) float32 chunks from a VolumeSequence, repeating
-    the last volume to pad the tail (callers slice the padding off) —
-    the volumetric analogue of ``FrameSource.chunks``."""
-    buf = []
-    for v in seq.volumes():
-        buf.append(np.asarray(v, np.float32))
-        if len(buf) == n:
-            yield np.stack(buf)
-            buf = []
-    if buf:
-        buf.extend(buf[-1:] * (n - len(buf)))
-        yield np.stack(buf)
+    """float32 view of ``VolumeSequence.chunks`` (the DP dispatch feed —
+    localization dispatches take float32; denoise casts at device_put)."""
+    for c in seq.chunks(n):
+        yield np.asarray(c, np.float32)
 
 
 @register("calibrate_astigmatism")
@@ -4549,7 +4558,8 @@ def deconvolve_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     for out in jobs_lib.track(
                         job,
                         infer_lib.stream_frames(
-                            deconv, source.frames(),
+                            deconv,
+                            _reads_fail_fast(job, source.frames()),
                             prefetch_host=infer_lib._copy_to_host_async,
                         ),
                         total=n_frames,
@@ -4795,7 +4805,9 @@ def correct_illumination_job(job: Job, config: ServerConfiguration) -> Dict[str,
                     writers.append(
                         (name, pth, _append_writer(pth, est, comp))
                     )
-                frames3 = (np.atleast_3d(f) for f in source.frames())
+                frames3 = _reads_fail_fast(
+                    job, (np.atleast_3d(f) for f in source.frames())
+                )
                 for t, (out, med, g) in enumerate(
                     jobs_lib.track(
                         job,
@@ -5010,11 +5022,12 @@ def evaluate_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     l1s = []
     n_left = n_frames
     with source, tsource:
-        tchunks = tsource.chunks(fb)
+        tchunks = _reads_fail_fast(job, tsource.chunks(fb))
         for out in jobs_lib.track(
             job,
             infer_lib.stream_frames(
-                lambda ch: benhance(params, state, ch), source.chunks(fb),
+                lambda ch: benhance(params, state, ch),
+                _reads_fail_fast(job, source.chunks(fb)),
                 prefetch_host=infer_lib._copy_to_host_async,
             ),
             total=-(-n_frames // fb), phase="chunks",
@@ -5307,7 +5320,9 @@ def register_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         zero = np.zeros(2, np.float32)
         held = zero
         t, left = 0, len(src)
-        for chunk in infer_lib._iter_read_ahead(src.chunks(chunk_n), 2):
+        for chunk in infer_lib._iter_read_ahead(
+            _reads_fail_fast(job, src.chunks(chunk_n)), 2
+        ):
             ch0 = chunk[..., 0] if chunk.ndim == 4 else chunk
             if ref is None:
                 ref = jnp.asarray(ch0[0])
@@ -6225,19 +6240,21 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     stitch-consistency QC number; large values mean stage nonlinearity,
     a wrong overlap hint, or sample motion).
 
-    ``backend``: ``"device"`` (default) or ``"cpu"``. Small mosaics are
-    dispatch-latency bound, not compute bound — on this relay-tunneled
-    topology the 3x3 bench measured 37.6 tiles/s on the chip vs 75.3 on
-    the host CPU (BASELINE.md round-4 FINAL-2) — so ``"cpu"`` pins the
-    whole stitch to the host CPU backend. Single-device by definition
-    (rejects ``data_parallel``); big slide scans with hundreds of seams
-    stay on the device.
+    ``backend``: ``"device"`` (default), ``"cpu"``, or ``"auto"``. Small
+    mosaics are dispatch-latency bound, not compute bound — on this
+    relay-tunneled topology the 3x3 bench measured 37.6 tiles/s on the
+    chip vs 75.3 on the host CPU, and the COLD device path paid a 797 s
+    first remote compile vs 2.1 s total on the host (BASELINE.md
+    round-4 FINAL-2 + continuation-6) — so ``"cpu"`` pins the whole
+    stitch to the host CPU backend. Single-device by definition (rejects
+    ``data_parallel``); big slide scans with hundreds of seams stay on
+    the device. ``"auto"`` applies that measurement as policy: grids at
+    or under 16 seams (≈3x3) run on the host unless ``data_parallel``
+    is set or the host IS the default backend; anything larger — where
+    the batched correlator amortizes — stays on the device. The
+    resolved choice lands in the outputs.
     """
-    backend = str(job.params.get("backend", "device"))
-    if backend not in ("device", "cpu"):
-        raise jobs_lib.JobError(
-            f"backend={backend!r} must be 'device' or 'cpu'"
-        )
+    backend = _resolve_mosaic_backend(job)
     if backend == "cpu":
         if job.params.get("data_parallel"):
             raise jobs_lib.JobError(
@@ -6247,8 +6264,52 @@ def stitch_mosaic_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         import jax
 
         with jax.default_device(jax.devices("cpu")[0]):
-            return _stitch_mosaic_body(job, config)
-    return _stitch_mosaic_body(job, config)
+            outputs = _stitch_mosaic_body(job, config)
+    else:
+        outputs = _stitch_mosaic_body(job, config)
+    outputs["backend"] = backend
+    return outputs
+
+
+def _resolve_mosaic_backend(job: Job) -> str:
+    """Resolve the ``backend`` param to 'device' or 'cpu'.
+
+    ``auto`` picks the host for dispatch-latency-bound SMALL grids
+    (seam-pair count <= 16, the measured 3x3 regime where the host beat
+    the chip 2x warm and 380x cold — BASELINE.md continuation-6) when a
+    non-CPU default backend exists and ``data_parallel`` is off; larger
+    scans amortize the batched seam correlator and stay on the device.
+    A malformed ``grid`` resolves to 'device' and fails the body's own
+    validation loudly.
+    """
+    backend = str(job.params.get("backend", "device"))
+    if backend not in ("device", "cpu", "auto"):
+        raise jobs_lib.JobError(
+            f"backend={backend!r} must be 'device', 'cpu', or 'auto'"
+        )
+    if backend != "auto":
+        return backend
+    import jax
+
+    grid = job.params.get("grid")
+    seams = None
+    if (
+        isinstance(grid, (list, tuple)) and len(grid) == 2
+        and all(
+            isinstance(v, int) and not isinstance(v, bool) and v >= 1
+            for v in grid
+        )
+    ):
+        r, c = int(grid[0]), int(grid[1])
+        seams = r * (c - 1) + (r - 1) * c
+    small = seams is not None and seams <= 16
+    if (
+        small
+        and not job.params.get("data_parallel")
+        and jax.default_backend() != "cpu"
+    ):
+        return "cpu"
+    return "device"
 
 
 def _stitch_mosaic_body(job: Job, config: ServerConfiguration) -> Dict[str, str]:

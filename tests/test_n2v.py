@@ -749,6 +749,37 @@ class TestN2VJobs:
         assert st["state"] == "failed"
         assert "patch" in st["error"]
 
+        # struct/radius cross-validation errors raised inside fit_n2v
+        # (library ValueErrors) must still land as deterministic JobErrors
+        # via the except-ValueError wrapper — code-review probe
+        stack2 = str(tmp / "s2.tif")
+        tiff.write_stack(
+            stack2,
+            np.random.default_rng(0)
+            .normal(0.5, 0.1, (16, 16, 16))
+            .astype(np.float32),
+        )
+        for name, params, frag in (
+            ("xv1", {"dims": 3, "z": 4, "patch": [4, 16, 16], "steps": 5,
+                     "batch_size": 2, "struct_axis": "z", "radius": 0,
+                     "radius_z": 2, "depth": 2, "base_features": 4,
+                     "normalize": False}, "OUTSIDE"),
+            ("xv2", {"patch": [16, 16], "steps": 5, "batch_size": 2,
+                     "struct_axis": "x", "struct_span": 16, "depth": 2,
+                     "base_features": 4, "normalize": False}, "extent"),
+        ):
+            o = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "train_n2v", "params": {"model": name, **params},
+                 "input": [stack2], "output": o},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(o, "status.json")))
+            assert st["state"] == "failed", st
+            assert frag in st["error"], (name, st["error"])
+            assert "JobError" in st["error"], name  # fail-fast, not retried
+
 
 class TestImageRecords:
     def test_round_trip_2d_and_multichannel(self):
@@ -855,6 +886,58 @@ class TestMaskingVariants:
                     for dx in (-1, 0, 1)
                 ]
                 assert masked[y, px] == np.median(vals), (y, px)
+
+    def test_median_border_folds_redirect_off_the_blind_region(self):
+        """Radius-2 reflection can fold a window tap back onto the center
+        (plain) or the correlated line (struct) — e.g. y=1, dy=-2 reflects
+        to y=1. Those taps must be redirected off the blind region along
+        the fix axis, never read the value being hidden (code-review
+        fix: the offset-space exclusion only covers the interior)."""
+        h, w = 6, 7
+        img_np = np.arange(h * w, dtype=np.float32).reshape(1, h, w, 1)
+        ref = img_np[0, ..., 0]
+
+        # plain median: blind = the exact center, fix axis = x
+        masked, ys, xs = train_lib.n2v_mask_batch(
+            jax.random.PRNGKey(7), jnp.asarray(img_np), 12, 2, mode="median"
+        )
+        masked = np.asarray(masked)[0, ..., 0]
+        folds = 0
+        for y, x in zip(np.asarray(ys[0]).tolist(), np.asarray(xs[0]).tolist()):
+            vals = []
+            for dy in range(-2, 3):
+                for dx in range(-2, 3):
+                    if (dy, dx) == (0, 0):
+                        continue
+                    ny, nx = _reflect_py(y + dy, h), _reflect_py(x + dx, w)
+                    if (ny, nx) == (y, x):
+                        folds += 1
+                        nx = x - 1 if x > 0 else x + 1
+                    vals.append(ref[ny, nx])
+            assert masked[y, x] == np.median(vals), (y, x)
+        assert folds > 0  # the 6x7 extent guarantees border centers
+
+        # struct median: blind = the whole row, fix axis = y
+        span = 2
+        masked, ys, xs = train_lib.n2v_mask_batch(
+            jax.random.PRNGKey(8), jnp.asarray(img_np), 6, 2,
+            mode="median", struct=(1, span),
+        )
+        masked = np.asarray(masked)[0, ..., 0]
+        folds = 0
+        for y, x in zip(np.asarray(ys[0]).tolist(), np.asarray(xs[0]).tolist()):
+            for o in range(-span, span + 1):
+                px = _reflect_py(x + o, w)
+                vals = []
+                for dy in (-2, -1, 1, 2):
+                    for dx in range(-2, 3):
+                        ny, nx = _reflect_py(y + dy, h), _reflect_py(px + dx, w)
+                        if ny == y:  # folded back onto the line
+                            folds += 1
+                            ny = y - 1 if y > 0 else y + 1
+                        vals.append(ref[ny, nx])
+                assert masked[y, px] == np.median(vals), (y, px)
+        assert folds > 0
 
     def test_variant_validation(self):
         img = jnp.zeros((1, 8, 8, 1))

@@ -4067,6 +4067,49 @@ class TestMosaicPipeline:
             st = json.load(open(os.path.join(out, "status.json")))
             assert st["state"] == "failed" and frag in st["error"]
 
+    def test_backend_auto_policy(self, server_env, monkeypatch):
+        """backend: "auto" = the continuation-6 measurement as policy —
+        host for <=16-seam grids on an accelerator default backend,
+        device otherwise; the resolved choice lands in the outputs."""
+        from sequitr_tpu.server.server import _resolve_mosaic_backend
+
+        mk = lambda params: Job(
+            id="t", module="stitch_mosaic", func="run",
+            params=params, input=[], output="", path="",
+        )
+        # accelerator default: small grid -> host, big scan -> device,
+        # data_parallel always device, malformed grid -> device (the
+        # body then rejects it loudly)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert _resolve_mosaic_backend(
+            mk({"backend": "auto", "grid": [3, 3]})) == "cpu"
+        assert _resolve_mosaic_backend(
+            mk({"backend": "auto", "grid": [20, 20]})) == "device"
+        assert _resolve_mosaic_backend(
+            mk({"backend": "auto", "grid": [3, 3], "data_parallel": True})
+        ) == "device"
+        assert _resolve_mosaic_backend(
+            mk({"backend": "auto", "grid": "nope"})) == "device"
+        # host default: nothing to pin away from
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert _resolve_mosaic_backend(
+            mk({"backend": "auto", "grid": [3, 3]})) == "device"
+
+        # e2e: auto completes and reports the resolved backend
+        cfg_srv, tmp = server_env
+        d, _, _ = self._write_grid(tmp, seed=23)
+        out = str(tmp / "m_auto")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "stitch_mosaic",
+             "params": {"grid": [2, 2], "overlap": 20, "backend": "auto"},
+             "input": [str(d)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        assert st["outputs"]["backend"] in ("cpu", "device")
+
     def test_estimate_only_and_snake(self, server_env):
         cfg_srv, tmp = server_env
         d, _, pos = self._write_grid(tmp, seed=21)
@@ -5072,3 +5115,101 @@ class TestRoiServing:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert frag in st["error"]
+
+
+class TestCorruptInputFailsFast:
+    """Mid-stack read errors are deterministic: one attempt, JobError.
+
+    Serving loops pull frames through read-ahead producers; a corrupt
+    page used to surface as a raw ValueError, burning max_retries
+    re-runs against the same broken file (code-review r4). Every
+    serving iterator is now wrapped in ``_reads_fail_fast``.
+    """
+
+    @staticmethod
+    def _truncated_stack(tmp, n=6, size=32):
+        """A stack whose first frame reads but a later frame raises.
+
+        Plain truncation fails at TiffReader construction (strip bounds
+        are validated eagerly); garbling the DEFLATE payload of the last
+        frame keeps the structure valid and only the read-time zlib
+        decode fails — the mid-stream case the serving loops hit."""
+        path = str(tmp / "trunc.tif")
+        stack = (
+            np.random.default_rng(3).random((n, size, size)) * 100
+        ).astype(np.float32)
+        tiff.write_stack(path, stack, compression="deflate")
+        with tiff.TiffReader(path) as r:
+            off = int(r._frames[-1][3][0])
+            cnt = int(r._frames[-1][4][0])
+        with open(path, "r+b") as f:
+            f.seek(off)
+            f.write(bytes((i * 37 + 11) % 256 for i in range(cnt)))
+        # preconditions: constructable, frame 0 fine, tail corrupt
+        with tiff.TiffReader(path) as r:
+            r.read_frame(0)
+            with pytest.raises(ValueError):
+                for t in range(n):
+                    r.read_frame(t)
+        return path
+
+    @pytest.mark.parametrize("extra", [{}, {"data_parallel": True}])
+    def test_segmentation_corrupt_midstack(self, server_env, extra):
+        import dataclasses
+
+        cfg_srv, tmp = server_env
+        cfg_srv = dataclasses.replace(cfg_srv, log_dir=str(tmp / "logs"))
+        cfg_srv.ensure_dirs()
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "ff_seg", "unet", net_cfg, params, state)
+        path = self._truncated_stack(tmp)
+        out = str(tmp / f"out_{len(extra)}")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "segmentation_unet2d",
+             "params": {"model": "ff_seg", "patch": [16, 16],
+                        "overlap": [4, 4], "localize": False, **extra},
+             "input": [path], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "JobError" in st["error"], st["error"]
+        ledger = [
+            json.loads(l)
+            for l in open(os.path.join(str(tmp / "logs"), "jobs.jsonl"))
+        ]
+        assert ledger[-1]["attempts"] == 1, ledger[-1]
+
+    def test_denoise_corrupt_midstack(self, server_env):
+        import dataclasses
+
+        cfg_srv, tmp = server_env
+        cfg_srv = dataclasses.replace(cfg_srv, log_dir=str(tmp / "logs"))
+        cfg_srv.ensure_dirs()
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=1, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "ff_n2v", "n2v", net_cfg, params, state)
+        path = self._truncated_stack(tmp)
+        out = str(tmp / "out_den")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "denoise", "params": {"model": "ff_n2v"},
+             "input": [path], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "JobError" in st["error"], st["error"]
+        ledger = [
+            json.loads(l)
+            for l in open(os.path.join(str(tmp / "logs"), "jobs.jsonl"))
+        ]
+        assert ledger[-1]["attempts"] == 1, ledger[-1]
