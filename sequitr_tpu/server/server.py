@@ -4306,19 +4306,33 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Link a serve's ``objects.h5`` into trajectories (tracks.csv).
 
-    A BUILT-IN lightweight linker (globally-optimal gated Hungarian
-    assignment per frame pair, short-gap closing — ``sequitr_tpu.tracking``)
-    for QC, motility statistics and emitter trajectories. The objects file
-    stays btrack-compatible; btrack remains the supported path for
-    lineage-grade tracking (divisions, Bayesian motion models). This
-    pipeline is an extension beyond the reference's capability list
-    (SURVEY.md §0: sequitr delegates ALL tracking to btrack).
+    A BUILT-IN linker (globally-optimal gated Hungarian assignment per
+    frame pair, short-gap closing — ``sequitr_tpu.tracking``) for QC,
+    motility statistics and emitter trajectories. The objects file stays
+    btrack-compatible; btrack remains the supported path for
+    publication-grade Bayesian tracking. This pipeline is an extension
+    beyond the reference's capability list (SURVEY.md §0: sequitr
+    delegates ALL tracking to btrack).
 
     input: [objects.h5] (a segmentation/emitter serve's output). params:
     ``max_distance`` (linking gate in pixels, default 20), ``max_gap``
     (frames a track may go undetected, default 0), ``obj_type`` (h5 group,
     default 1), ``min_track_length`` (drop shorter tracks from the CSV,
-    default 1). Outputs: tracks.csv (+ metrics: n_tracks, n_linked,
+    default 1; lineage references to dropped tracks are cleared).
+
+    ``motion_model: "kalman"`` switches to a constant-velocity Kalman
+    filter per track with Mahalanobis gating (``gate_sigma``, default 4;
+    ``process_noise`` accel std px/frame^2; ``measurement_noise`` px;
+    ``init_velocity_noise`` px/frame) — crossings disambiguated by each
+    track's own motion history, gaps closed by prediction. ``divisions:
+    true`` resolves binary fission into parent/child lineages
+    (``division_distance`` gate, default ``max_distance``;
+    ``mitotic_class`` restricts dividing parents to tracks whose last
+    detection carries that semantic class — wire it to the classifier
+    the serve already ran). Outputs: tracks.csv, track_summaries.csv
+    (with parent_id/root_id/generation columns) and lbep.txt
+    (Cell-Tracking-Challenge ``L B E P`` lineage table, 1-based labels,
+    parent 0 = none) (+ metrics: n_tracks, n_links, n_divisions,
     mean/max track length).
     """
     from sequitr_tpu import localize as loc_lib
@@ -4335,13 +4349,28 @@ def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     except (OSError, KeyError, ValueError, TypeError) as e:
         # any malformed file/params is deterministic: fail fast, no retry
         raise jobs_lib.JobError(f"job {job.id}: cannot read objects: {e!r}")
+    mit = p.get("mitotic_class")
     try:
         track_ids, tracks = tracking.link_tables(
             tables,
             max_distance=float(p.get("max_distance", 20.0)),
             max_gap=int(p.get("max_gap", 0)),
+            motion_model=str(p.get("motion_model", "nearest")),
+            gate_sigma=float(p.get("gate_sigma", 4.0)),
+            process_noise=float(p.get("process_noise", 1.0)),
+            measurement_noise=float(p.get("measurement_noise", 1.0)),
+            init_velocity_noise=(
+                None if p.get("init_velocity_noise") is None
+                else float(p["init_velocity_noise"])
+            ),
+            divisions=bool(p.get("divisions", False)),
+            division_distance=(
+                None if p.get("division_distance") is None
+                else float(p["division_distance"])
+            ),
+            mitotic_class=None if mit is None else int(mit),
         )
-    except ValueError as e:
+    except (ValueError, TypeError) as e:
         raise jobs_lib.JobError(f"job {job.id}: {e}")
     min_len = int(p.get("min_track_length", 1))
     if min_len > 1:
@@ -4361,11 +4390,22 @@ def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         track_ids = [ids[m] for ids, m in zip(track_ids, masks)]
         keep_set = set(int(k) for k in keep)
         tracks = [t for t in tracks if t.track_id in keep_set]
+        # a kept child whose parent was filtered keeps its generation but
+        # loses the dangling reference (documented: length filters break
+        # lineage edges, they do not cascade)
+        tracks = [
+            dataclasses.replace(t, parent_id=-1)
+            if t.parent_id >= 0 and t.parent_id not in keep_set else t
+            for t in tracks
+        ]
     csv_path = os.path.join(job.output, "tracks.csv")
     n_rows = tracking.write_tracks_csv(csv_path, tables, track_ids)
     sum_path = os.path.join(job.output, "track_summaries.csv")
     tracking.write_track_summaries_csv(sum_path, tracks)
+    lbep_path = os.path.join(job.output, "lbep.txt")
+    tracking.write_lbep(lbep_path, tracks)
     lens = [t.n_points for t in tracks] or [0]
+    parents = {t.parent_id for t in tracks if t.parent_id >= 0}
     metrics = {
         "n_tracks": len(tracks),
         # links actually MADE (frame-to-frame assignments) vs detections
@@ -4373,12 +4413,14 @@ def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         "n_links": int(sum(t.n_links for t in tracks)),
         "n_detections": n_rows,
         "n_frames": len(tables),
+        "n_divisions": len(parents),
         "mean_track_len": round(float(np.mean(lens)), 2),
         "max_track_len": int(np.max(lens)),
     }
     return {
         "tracks": csv_path,
         "track_summaries": sum_path,
+        "lbep": lbep_path,
         "metrics": json.dumps(metrics),
     }
 

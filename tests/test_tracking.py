@@ -91,6 +91,231 @@ class TestLinkTables:
             tracking.link_tables([], max_distance=5.0, max_gap=-1)
 
 
+class TestKalmanLinker:
+    def test_crossing_identities_preserved(self):
+        """Two objects on the same line passing through each other: at the
+        crossing frame each detection is closer to the OTHER track's last
+        position, so Euclidean Hungarian PREFERS the swap — the
+        documented nearest-model failure. The constant-velocity filter's
+        predictions land on the true continuations and keep identities."""
+        tables = [
+            _table(t, [[10 + 4 * t, 0], [52 - 4 * t, 0.5]])
+            for t in range(11)
+        ]
+        ids_n, tr_n = tracking.link_tables(tables, max_distance=6.0)
+        col0_n = {int(ids_n[t][0]) for t in range(11)}
+        assert len(tr_n) == 2 and len(col0_n) > 1  # nearest swaps at t=6
+        ids_k, tr_k = tracking.link_tables(
+            tables, max_distance=6.0, motion_model="kalman"
+        )
+        assert len(tr_k) == 2
+        assert {int(ids_k[t][0]) for t in range(11)} == {0}
+        assert {int(ids_k[t][1]) for t in range(11)} == {1}
+
+    def test_moving_gap_closed_by_prediction(self):
+        """A 6 px/frame mover missing one detection: the re-appearance is
+        12 px from the last seen position (over the 8 px gate — nearest
+        splits), but the filter extrapolates through the gap and lands on
+        it (Euclidean cap applies to the PREDICTION, not the last fix)."""
+        tables = [
+            _table(t, [] if t == 3 else [[10 + 6 * t, 20]])
+            for t in range(8)
+        ]
+        _, tr_n = tracking.link_tables(tables, max_distance=8, max_gap=1)
+        assert len(tr_n) == 2
+        _, tr_k = tracking.link_tables(
+            tables, max_distance=8, max_gap=1, motion_model="kalman"
+        )
+        assert len(tr_k) == 1
+        assert tr_k[0].t_start == 0 and tr_k[0].t_end == 7
+        assert tr_k[0].n_points == 7  # t=3 genuinely missing
+
+    def test_agrees_with_nearest_on_separated_tracks(self):
+        """Well-separated slow movers: both models recover identical
+        track structure (the filter is a strict refinement, not a
+        different linker)."""
+        tables = [
+            _table(t, [[10 + 2 * t, 10], [40, 60 + t]]) for t in range(7)
+        ]
+        ids_n, tr_n = tracking.link_tables(tables, max_distance=6.0)
+        ids_k, tr_k = tracking.link_tables(
+            tables, max_distance=6.0, motion_model="kalman"
+        )
+        assert len(tr_n) == len(tr_k) == 2
+        for a, b in zip(ids_n, ids_k):
+            np.testing.assert_array_equal(a, b)
+        for x, y in zip(tr_n, tr_k):
+            assert x.n_points == y.n_points
+            assert x.length_px == pytest.approx(y.length_px)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="motion_model"):
+            tracking.link_tables([], motion_model="imm")
+        with pytest.raises(ValueError, match="gate_sigma"):
+            tracking.link_tables([], motion_model="kalman", gate_sigma=0)
+        with pytest.raises(ValueError, match="noise"):
+            tracking.link_tables(
+                [], motion_model="kalman", process_noise=-1.0
+            )
+        with pytest.raises(ValueError, match="init_velocity_noise"):
+            tracking.link_tables(
+                [], motion_model="kalman", init_velocity_noise=0.0
+            )
+
+
+class TestDivisions:
+    @staticmethod
+    def _fission_tables(spread=3.0, mitotic_t3=True):
+        """A parent moving +2 px/frame in y for t=0..3, then two children
+        diverging in x from t=4 (binary fission at the t=3->4 boundary)."""
+        tabs = [
+            _table(t, [[30, 30 + 2 * t]],
+                   label=2 if (t == 3 and mitotic_t3) else 1)
+            for t in range(4)
+        ]
+        for t in range(4, 9):
+            d = spread * (t - 3)
+            y = 36 + 2 * (t - 3)
+            tabs.append(_table(t, [[30 - d, y], [30 + d, y]]))
+        return tabs
+
+    def test_matched_parent_division(self):
+        """The parent's own match is re-labelled child one, the nearby
+        newborn child two; the parent retires at the PREVIOUS frame
+        (CTC semantics: a parent ends strictly before its children)."""
+        ids, tracks = tracking.link_tables(
+            self._fission_tables(), max_distance=12, divisions=True
+        )
+        assert len(tracks) == 3
+        parent, c1, c2 = tracks
+        assert parent.t_end == 3 and parent.parent_id == -1
+        assert parent.generation == 0 and parent.root_id == 0
+        for ch in (c1, c2):
+            assert ch.t_start == 4 and ch.t_end == 8 and ch.n_points == 5
+            assert ch.parent_id == 0 and ch.root_id == 0
+            assert ch.generation == 1
+        # both frame-4 detections carry fresh child ids, not the parent's
+        assert sorted(int(i) for i in ids[4]) == [1, 2]
+
+    def test_vanished_parent_division(self):
+        """Children appear OUTSIDE the linking gate but inside the
+        division gate while the parent goes unmatched: the vanished-parent
+        geometry divides where plain linking would just strand two new
+        roots."""
+        tabs = [_table(t, [[30, 30 + 2 * t]]) for t in range(4)]
+        # birth jump of 6 px (over the 4 px linking gate), then the
+        # children drift apart at 1 px/frame (inside it)
+        for t in range(4, 9):
+            tabs.append(
+                _table(t, [[24 - (t - 4), 38], [36 + (t - 4), 38]])
+            )
+        ids, tracks = tracking.link_tables(
+            tabs, max_distance=4, divisions=True, division_distance=12,
+        )
+        assert len(tracks) == 3
+        parent, c1, c2 = tracks
+        assert parent.t_end == 3
+        assert c1.parent_id == 0 and c2.parent_id == 0
+        # without divisions: same gates leave two orphan roots
+        _, plain = tracking.link_tables(tabs, max_distance=4)
+        assert len(plain) == 3
+        assert all(t.parent_id == -1 for t in plain)
+
+    def test_mitotic_class_gates_divisions(self):
+        """Only a parent whose LAST detection carries the mitotic class
+        may divide; any other class means the parent just continues as
+        one of the detections and the other starts a root."""
+        ok = tracking.link_tables(
+            self._fission_tables(), max_distance=12,
+            divisions=True, mitotic_class=2,
+        )[1]
+        assert sum(t.parent_id >= 0 for t in ok) == 2
+        no = tracking.link_tables(
+            self._fission_tables(mitotic_t3=False), max_distance=12,
+            divisions=True, mitotic_class=2,
+        )[1]
+        assert len(no) == 2
+        assert all(t.parent_id == -1 for t in no)
+
+    def test_second_generation(self):
+        """A child dividing again increments generation and keeps the
+        founding root id."""
+        tabs = [
+            _table(t, [[30, 30 + 2 * t]]) for t in range(3)
+        ]
+        for t in range(3, 6):
+            d = 4 * (t - 2)
+            tabs.append(_table(t, [[30 - d, 36], [30 + d, 36]]))
+        # the +x child divides again two frames later
+        for t in range(6, 9):
+            d = 4 * (t - 5)
+            tabs.append(_table(
+                t, [[30 - 4 * (t - 2), 36],
+                    [42 + 4 * (t - 5), 36 - d], [42 + 4 * (t - 5), 36 + d]],
+            ))
+        ids, tracks = tracking.link_tables(
+            tabs, max_distance=13, divisions=True
+        )
+        gens = sorted(t.generation for t in tracks)
+        assert gens == [0, 1, 1, 2, 2]
+        assert all(t.root_id == 0 for t in tracks)
+        g2 = [t for t in tracks if t.generation == 2]
+        assert {t.parent_id for t in g2} == {
+            t.track_id for t in tracks
+            if t.generation == 1 and t.t_end < max(x.t_end for x in tracks)
+        }
+
+    def test_one_newborn_is_not_a_division(self):
+        """A single unexplained detection near a healthy track must NOT
+        retire it (binary fission needs two children)."""
+        tabs = [_table(t, [[30, 30]]) for t in range(4)]
+        tabs.append(_table(4, [[30, 30], [33, 30]]))
+        for t in range(5, 7):
+            tabs.append(_table(t, [[30, 30], [33 + (t - 4), 30]]))
+        ids, tracks = tracking.link_tables(
+            tabs, max_distance=5, divisions=True,
+        )
+        # matched-parent geometry DOES divide here (one newborn in gate)
+        assert sum(t.parent_id >= 0 for t in tracks) == 2
+        # but a lone VANISHED parent with one newborn stays undivided:
+        tabs2 = [_table(t, [[30, 30]]) for t in range(4)]
+        tabs2.append(_table(4, [[40, 30]]))  # out of linking gate (10 px)
+        _, tr2 = tracking.link_tables(
+            tabs2, max_distance=5, divisions=True, division_distance=15,
+        )
+        assert len(tr2) == 2 and all(t.parent_id == -1 for t in tr2)
+
+    def test_one_frame_blip_cannot_found_a_lineage(self):
+        """Parents need >= 2 points: a detection seen once next to two
+        newborns does not divide."""
+        tabs = [
+            _table(0, [[30, 30]]),
+            _table(1, [[27, 30], [33, 30]]),
+        ]
+        _, tracks = tracking.link_tables(
+            tabs, max_distance=10, divisions=True
+        )
+        assert all(t.parent_id == -1 for t in tracks)
+
+    def test_lbep_export(self, tmp_path):
+        """CTC convention: 1-based labels, parent 0 = none."""
+        _, tracks = tracking.link_tables(
+            self._fission_tables(), max_distance=12, divisions=True
+        )
+        path = str(tmp_path / "lbep.txt")
+        assert tracking.write_lbep(path, tracks) == 3
+        rows = [r.split() for r in open(path).read().splitlines()]
+        assert rows[0] == ["1", "0", "3", "0"]
+        assert rows[1] == ["2", "4", "8", "1"]
+        assert rows[2] == ["3", "4", "8", "1"]
+
+    def test_division_validation(self):
+        with pytest.raises(ValueError, match="division_distance"):
+            tracking.link_tables(
+                [], divisions=True, division_distance=0.0
+            )
+
+
 class TestObjectsValidation:
     def _write(self, tmp_path, coords, fmap, n_props=None):
         import h5py
@@ -216,10 +441,13 @@ class TestTrackObjectsPipeline:
         assert st["state"] == "complete"
         rows = (out / "track_summaries.csv").read_text().splitlines()
         assert rows[0].startswith("track_id,t_start,t_end,n_points")
+        assert rows[0].endswith("parent_id,root_id,generation")
         assert len(rows) == 3  # header + 2 tracks
         by_id = {}
         for r in rows[1:]:
-            (tid, t0, t1, n, length, net, speed, straight) = r.split(",")
+            (tid, t0, t1, n, length, net, speed, straight,
+             parent, root, gen) = r.split(",")
+            assert parent == "-1" and root == tid and gen == "0"  # roots
             by_id[tid] = dict(
                 n=int(n), length=float(length), net=float(net),
                 speed=float(speed), straight=float(straight),
@@ -246,6 +474,65 @@ class TestTrackObjectsPipeline:
         rows = (out / "tracks.csv").read_text().splitlines()[1:]
         assert len(rows) == 3
         assert len({r.split(",")[0] for r in rows}) == 1
+
+    def test_kalman_divisions_e2e(self, tmp_path):
+        """motion_model/divisions/mitotic_class through a real server:
+        lbep.txt + lineage columns + n_divisions land in the outputs."""
+        tables = TestDivisions._fission_tables()
+        st, out = self._serve(
+            tmp_path,
+            {"max_distance": 12, "motion_model": "kalman",
+             "divisions": True, "mitotic_class": 2},
+            tables, 9,
+        )
+        assert st["state"] == "complete", st
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_tracks"] == 3 and m["n_divisions"] == 1
+        lbep = [
+            r.split() for r in
+            (out / "lbep.txt").read_text().splitlines()
+        ]
+        assert len(lbep) == 3
+        assert [r[3] for r in lbep] == ["0", "1", "1"]
+        rows = (out / "track_summaries.csv").read_text().splitlines()
+        assert rows[0].endswith("parent_id,root_id,generation")
+        gens = sorted(r.split(",")[-1] for r in rows[1:])
+        assert gens == ["0", "1", "1"]
+
+    def test_min_track_length_clears_orphaned_lineage(self, tmp_path):
+        """Filtering a short-lived parent out must not leave children
+        pointing at a track absent from the outputs."""
+        tables = [
+            _table(0, [[30, 30]]),
+            _table(1, [[30, 32]]),
+            _table(2, [[27, 34], [33, 34]]),
+        ]
+        for t in range(3, 6):
+            d = 3 * (t - 2)
+            tables.append(_table(t, [[27 - d, 34], [33 + d, 34]]))
+        st, out = self._serve(
+            tmp_path,
+            {"max_distance": 10, "divisions": True,
+             "min_track_length": 3},
+            tables, 6,
+        )
+        assert st["state"] == "complete", st
+        m = json.loads(st["outputs"]["metrics"])
+        # the 2-point parent is filtered; children keep generation 1 but
+        # their parent reference is cleared (documented edge)
+        assert m["n_tracks"] == 2 and m["n_divisions"] == 0
+        rows = (out / "track_summaries.csv").read_text().splitlines()[1:]
+        for r in rows:
+            cols = r.split(",")
+            assert cols[-3] == "-1" and cols[-1] == "1"
+
+    def test_bad_params_fail_fast(self, tmp_path):
+        tables = [_table(0, [[10, 10]])]
+        st, _ = self._serve(
+            tmp_path, {"motion_model": "imm"}, tables, 1
+        )
+        assert st["state"] == "failed"
+        assert "motion_model" in st["error"]
 
     def test_bad_inputs_fail_fast(self, tmp_path):
         cfg = ServerConfiguration(
