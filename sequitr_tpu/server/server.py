@@ -4318,7 +4318,9 @@ def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     ``max_distance`` (linking gate in pixels, default 20), ``max_gap``
     (frames a track may go undetected, default 0), ``obj_type`` (h5 group,
     default 1), ``min_track_length`` (drop shorter tracks from the CSV,
-    default 1; lineage references to dropped tracks are cleared).
+    default 1; survivors are compactly relabelled and re-rooted so the
+    outputs stay a self-consistent forest with CTC-contiguous labels —
+    an orphaned child becomes a generation-0 root).
 
     ``motion_model: "kalman"`` switches to a constant-velocity Kalman
     filter per track with Mahalanobis gating (``gate_sigma``, default 4;
@@ -4390,13 +4392,13 @@ def track_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         track_ids = [ids[m] for ids, m in zip(track_ids, masks)]
         keep_set = set(int(k) for k in keep)
         tracks = [t for t in tracks if t.track_id in keep_set]
-        # a kept child whose parent was filtered keeps its generation but
-        # loses the dangling reference (documented: length filters break
-        # lineage edges, they do not cascade)
-        tracks = [
-            dataclasses.replace(t, parent_id=-1)
-            if t.parent_id >= 0 and t.parent_id not in keep_set else t
-            for t in tracks
+        # compact relabel + re-root so every output stays a
+        # self-consistent forest with CTC-contiguous labels (an orphaned
+        # child becomes a generation-0 root; filters do not cascade)
+        tracks, remap = tracking.reindex_lineage(tracks)
+        track_ids = [
+            np.fromiter((remap[int(i)] for i in ids), np.int32, len(ids))
+            for ids in track_ids
         ]
     csv_path = os.path.join(job.output, "tracks.csv")
     n_rows = tracking.write_tracks_csv(csv_path, tables, track_ids)

@@ -40,7 +40,7 @@ import numpy as np
 
 from sequitr_tpu.localize import FrameTable
 
-__all__ = ["Track", "link_tables", "write_tracks_csv",
+__all__ = ["Track", "link_tables", "reindex_lineage", "write_tracks_csv",
            "write_track_summaries_csv", "write_lbep"]
 
 _BIG = 1e12  # over-gate sentinel fed to the assignment solver
@@ -164,13 +164,19 @@ def _resolve_divisions(
     * vanished parent (active, unmatched this frame): its two nearest
       newborns both inside the division gate become the children;
     * matched parent: its matched detection becomes child one and the
-      nearest in-gate newborn child two.
+      nearest newborn child two — and BOTH must sit within the division
+      gate of the parent's prior fix (nearest) / prediction (kalman),
+      the position where the cell actually divided. Without that anchor
+      a single spurious detection near any healthy track would retire it
+      into a fake lineage; even so this geometry fires on ONE unexplained
+      detection, so on noisy data set ``mitotic_class`` (the strong
+      second signal) or tighten ``division_distance``.
 
-    Candidates resolve greedily by parent->children distance (the farther
-    child for the vanished case — both must fit); each newborn is
-    consumed once and each parent divides at most once. A candidate whose
-    staged children were consumed by a closer parent simply does not
-    divide this frame (no re-matching pass — a documented simplification).
+    Candidates resolve greedily by the FARTHER child's distance from the
+    parent (both must fit); each newborn is consumed once and each parent
+    divides at most once. A candidate whose staged children were consumed
+    by a closer parent simply does not divide this frame (no re-matching
+    pass — a documented simplification).
 
     Returns ``(child_of, divided)``: detection index -> parent tid for
     every staged child, and the parent tids that divided. The caller
@@ -184,24 +190,19 @@ def _resolve_divisions(
             continue
         if mitotic_class is not None and rec.cls != mitotic_class:
             continue
+        pos = rec.x[:3] if kalman else rec.last
+        near = sorted(
+            (float(np.linalg.norm(pts[c] - pos)), c)
+            for c in sorted(pool)
+        )
+        near = [(d, c) for d, c in near if d <= div_gate]
         if tid in matched:
-            pos = pts[matched[tid]]
-            near = sorted(
-                (float(np.linalg.norm(pts[c] - pos)), c)
-                for c in sorted(pool)
-            )
-            near = [(d, c) for d, c in near if d <= div_gate]
-            if near:
-                cands.append((near[0][0], tid, "m", matched[tid], near[0][1]))
-        else:
-            pos = rec.x[:3] if kalman else rec.last
-            near = sorted(
-                (float(np.linalg.norm(pts[c] - pos)), c)
-                for c in sorted(pool)
-            )
-            near = [(d, c) for d, c in near if d <= div_gate]
-            if len(near) >= 2:
-                cands.append((near[1][0], tid, "v", near[0][1], near[1][1]))
+            d_m = float(np.linalg.norm(pts[matched[tid]] - pos))
+            if d_m <= div_gate and near:
+                cands.append((max(d_m, near[0][0]), tid, "m",
+                              matched[tid], near[0][1]))
+        elif len(near) >= 2:
+            cands.append((near[1][0], tid, "v", near[0][1], near[1][1]))
     child_of: Dict[int, int] = {}
     divided: Set[int] = set()
     for _, tid, kind, c1, c2 in sorted(cands, key=lambda x: (x[0], x[1])):
@@ -412,6 +413,46 @@ def link_tables(
         for i, r in enumerate(records)
     ]
     return track_ids, tracks
+
+
+def reindex_lineage(
+    tracks: Sequence[Track],
+) -> Tuple[List[Track], Dict[int, int]]:
+    """Compactly relabel a FILTERED track list into a self-consistent
+    forest.
+
+    After dropping tracks (e.g. ``min_track_length``), surviving children
+    may reference absent parents/roots and ids become non-contiguous —
+    which breaks the CTC convention (lbep labels pair 1:1 and
+    consecutively) and leaves dangling lineage references. This relabels
+    ids to 0..n-1 (ascending original order, so parents stay below
+    children), clears parent references to dropped tracks and recomputes
+    ``root_id``/``generation`` relative to the surviving forest: an
+    orphaned child becomes a generation-0 root of its remaining subtree.
+
+    Returns ``(new_tracks, remap)`` with ``remap`` = old id -> new id
+    (apply it to per-frame ``track_ids`` arrays to keep the CSVs
+    aligned).
+    """
+    ordered = sorted(tracks, key=lambda t: t.track_id)
+    remap = {t.track_id: i for i, t in enumerate(ordered)}
+    out: List[Track] = []
+    root_of: Dict[int, int] = {}
+    gen_of: Dict[int, int] = {}
+    for t in ordered:
+        nid = remap[t.track_id]
+        # children are born later than their parents, so ascending order
+        # is topological and the parent (if kept) is already resolved
+        if t.parent_id in remap:
+            pid = remap[t.parent_id]
+            root, gen = root_of[pid], gen_of[pid] + 1
+        else:
+            pid, root, gen = -1, nid, 0
+        root_of[nid], gen_of[nid] = root, gen
+        out.append(dataclasses.replace(
+            t, track_id=nid, parent_id=pid, root_id=root, generation=gen
+        ))
+    return out, remap
 
 
 def write_track_summaries_csv(path: str, tracks: Sequence[Track]) -> int:

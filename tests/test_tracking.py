@@ -315,6 +315,44 @@ class TestDivisions:
                 [], divisions=True, division_distance=0.0
             )
 
+    def test_matched_parent_needs_children_near_the_parent(self):
+        """Both division children must sit within the division gate of
+        the PARENT'S prior position — a newborn merely near the sibling
+        (e.g. a cell entering the field next to a fast mover) must not
+        retire the track (code-review hardening)."""
+        # fast mover at 8 px/frame; at t=4 a second detection appears
+        # 3 px from the mover's CURRENT det but 11 px from its last fix
+        tabs = [_table(t, [[8 * t, 0]]) for t in range(4)]
+        for t in range(4, 7):
+            tabs.append(_table(t, [[8 * t, 0], [8 * t + 3, 0]]))
+        _, tracks = tracking.link_tables(
+            tabs, max_distance=10, divisions=True, division_distance=9,
+        )
+        assert all(t.parent_id == -1 for t in tracks)
+        # widen the gate so the parent anchor admits both: now divides
+        _, tracks2 = tracking.link_tables(
+            tabs, max_distance=10, divisions=True, division_distance=12,
+        )
+        assert sum(t.parent_id >= 0 for t in tracks2) == 2
+
+    def test_reindex_lineage_keeps_surviving_edges(self):
+        """Dropping a grandparent re-roots the middle generation but
+        keeps the surviving parent->child edge and relative generations."""
+        tracks = [
+            tracking.Track(0, 0, 1, 2, 1.0, 1.0),  # grandparent (dropped)
+            tracking.Track(2, 2, 5, 4, 2.0, 2.0, parent_id=0,
+                           root_id=0, generation=1),
+            tracking.Track(5, 6, 9, 4, 2.0, 2.0, parent_id=2,
+                           root_id=0, generation=2),
+        ]
+        out, remap = tracking.reindex_lineage(tracks[1:])
+        assert remap == {2: 0, 5: 1}
+        mid, leaf = out
+        assert mid.track_id == 0 and mid.parent_id == -1
+        assert mid.root_id == 0 and mid.generation == 0
+        assert leaf.track_id == 1 and leaf.parent_id == 0
+        assert leaf.root_id == 0 and leaf.generation == 1
+
 
 class TestObjectsValidation:
     def _write(self, tmp_path, coords, fmap, n_props=None):
@@ -518,13 +556,29 @@ class TestTrackObjectsPipeline:
         )
         assert st["state"] == "complete", st
         m = json.loads(st["outputs"]["metrics"])
-        # the 2-point parent is filtered; children keep generation 1 but
-        # their parent reference is cleared (documented edge)
+        # the 2-point parent is filtered; survivors are compactly
+        # relabelled and RE-ROOTED: each orphaned child becomes a
+        # generation-0 root of its own (code-review fix — before, the
+        # children kept a root_id pointing at a track absent from every
+        # output and lbep labels went non-contiguous)
         assert m["n_tracks"] == 2 and m["n_divisions"] == 0
         rows = (out / "track_summaries.csv").read_text().splitlines()[1:]
+        assert sorted(r.split(",")[0] for r in rows) == ["0", "1"]
         for r in rows:
             cols = r.split(",")
-            assert cols[-3] == "-1" and cols[-1] == "1"
+            assert cols[-3] == "-1" and cols[-2] == cols[0]  # own root
+            assert cols[-1] == "0"
+        lbep = [
+            r.split() for r in (out / "lbep.txt").read_text().splitlines()
+        ]
+        assert [r[0] for r in lbep] == ["1", "2"]  # CTC-contiguous
+        assert [r[3] for r in lbep] == ["0", "0"]
+        # tracks.csv ids match the relabelled summaries
+        ids = {
+            r.split(",")[0]
+            for r in (out / "tracks.csv").read_text().splitlines()[1:]
+        }
+        assert ids == {"0", "1"}
 
     def test_bad_params_fail_fast(self, tmp_path):
         tables = [_table(0, [[10, 10]])]
