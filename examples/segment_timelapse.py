@@ -126,13 +126,20 @@ def main(base: str):
     print(f"objects for btrack: {n}; mask foreground fraction: "
           f"{(masks > 0).mean():.3f} (true: {(labels > 0).mean():.3f})")
 
-    # 4. built-in tracking over the objects (btrack stays the
-    # lineage-grade path; this is the quick QC linker)
+    # 4. built-in tracking over the objects (btrack stays the Bayesian
+    # publication-grade path; this is the in-framework linker). The
+    # constant-velocity Kalman model keeps identities through crossings
+    # and closes gaps by prediction; "divisions": true would additionally
+    # resolve binary fission into parent/child lineages (add
+    # "mitotic_class": <class id> to gate dividing parents on the
+    # classifier's semantic class, and read lbep.txt for the
+    # Cell-Tracking-Challenge lineage table).
     trk_out = os.path.join(base, "tracks")
     status = run(
         {
             "module": "track_objects",
-            "params": {"max_distance": 15, "max_gap": 1},
+            "params": {"max_distance": 15, "max_gap": 1,
+                       "motion_model": "kalman"},
             "input": [status["outputs"]["objects"]],
             "output": trk_out,
         }
