@@ -566,6 +566,33 @@ def bench_n2v(device_kind: str, iters: int):
             "unit": "frames/sec/chip"}
 
 
+def bench_tracking(device_kind: str, iters: int):
+    """Built-in tracker: Kalman motion model + division resolution over a
+    dense ground-truth scene (120 movers + fissions, 60 frames). Host-side
+    by design (SURVEY.md §3.5: irregular per-frame work — a Hungarian
+    solve plus batched Kalman updates on a few hundred objects), so the
+    unit is frames/sec on the host CPU regardless of backend."""
+    from sequitr_tpu import fidelity as fid
+    from sequitr_tpu import tracking
+
+    n_frames = 60
+    tables, _, _ = fid.tracking_scene(
+        n_objects=120, n_frames=n_frames, field=(384, 384),
+        n_divisions=12, seed=575_001,
+    )
+
+    def one():
+        _, tracks = tracking.link_tables(
+            tables, max_distance=12.0, max_gap=1,
+            motion_model="kalman", divisions=True, mitotic_class=2,
+        )
+        return np.float32(len(tracks))
+
+    rate = _rate(one, iters=min(iters, 12))
+    return {"metric": "tracking_60f_120obj", "value": round(rate * n_frames, 3),
+            "unit": "frames/sec (host)"}
+
+
 CONFIGS = {
     "inference": bench_inference,
     "timelapse": bench_timelapse,
@@ -586,6 +613,7 @@ CONFIGS = {
     "mosaic": bench_mosaic,
     "illum": bench_illum,
     "n2v": bench_n2v,
+    "tracking": bench_tracking,
 }
 
 
@@ -636,6 +664,7 @@ def _fidelity_spec(name: str):
         "mosaic": ("mosaic", lambda: fid.mosaic_fidelity()),
         "illum": ("illum", lambda: fid.illum_fidelity()),
         "n2v": ("n2v1024", lambda: fid.n2v_fidelity(n=2)),
+        "tracking": ("tracking", lambda: fid.tracking_fidelity()),
     }
     return specs.get(name)
 

@@ -104,6 +104,39 @@ class TestFidelityMeters:
         assert r["axial_rmse_frac"] < 0.015  # window=15: measured ~0.4%
         assert r["recall"] > 0.9 and r["precision"] > 0.9
 
+    def test_tracking_scene_ground_truth_consistency(self):
+        """The generator's bookkeeping: gt id arrays align with the
+        tables, every division has an observable parent-end and two
+        child-birth detections, and the mitotic class marks exactly the
+        final pre-division detections."""
+        tables, gt_ids, divisions = fidelity.tracking_scene(
+            n_objects=20, n_frames=24, n_divisions=4, seed=3
+        )
+        assert len(divisions) == 4
+        assert all(len(tb) == len(g) for tb, g in zip(tables, gt_ids))
+        seen = {}
+        for t, (tb, g) in enumerate(zip(tables, gt_ids)):
+            for k, gid in enumerate(g):
+                seen.setdefault(int(gid), []).append(
+                    (t, float(tb.coords[k, 4]))
+                )
+        for parent, (c1, c2), t_div in divisions:
+            ts, classes = zip(*seen[parent])
+            assert max(ts) == t_div - 1  # parent observable to the end
+            assert classes[np.argmax(ts)] == 2  # mitotic marker
+            for c in (c1, c2):
+                assert min(t for t, _ in seen[c]) == t_div
+
+    def test_tracking_fidelity_scores_the_motion_model(self):
+        r = fidelity.tracking_fidelity()
+        assert r["link_accuracy"] > 0.98
+        assert r["track_purity"] > 0.95
+        assert r["division_recall"] >= 0.75
+        assert r["division_precision"] >= 0.9
+        # the measured value of the Kalman model: the dense scene must
+        # actually separate it from Euclidean matching
+        assert r["link_accuracy"] > r["link_accuracy_nearest"] + 0.02
+
     def test_mosaic_fidelity_subpixel(self):
         r = fidelity.mosaic_fidelity(
             grid=(2, 2), tile=(128, 128), overlap=28
