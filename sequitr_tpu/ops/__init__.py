@@ -7,6 +7,7 @@
 - ``weightmaps``: host-side Ronneberger weight-map precompute
 - ``registration``: FFT phase-correlation drift correction
 - ``illumination``: retrospective flat-field + photobleach compensation
+- ``colocalize``: per-object Pearson/Manders colocalization (host-side)
 - ``pallas``: hand-written Pallas TPU kernels for the hot paths
 """
 
@@ -48,3 +49,4 @@ from sequitr_tpu.ops.registration import (  # noqa: F401
     common_crop,
 )
 from sequitr_tpu.ops import weightmaps  # noqa: F401
+from sequitr_tpu.ops import colocalize  # noqa: F401

@@ -34,8 +34,11 @@ Built-in pipelines (registry keys are the rebuild's documented API):
     re-derivation (torch/keras) on identical weights.
   * ``finetune_spatial`` — giant-frame training: halo-exchange spatial
     (or hybrid DPxspatial) sharding of the train step across the mesh.
-  * ``track_objects`` — gated-Hungarian frame linking over a serve's
-    objects.h5 (built-in QC tracks; btrack remains the lineage-grade path).
+  * ``track_objects`` — frame linking over a serve's objects.h5
+    (gated-Hungarian; optional Kalman motion model + binary-fission
+    lineage; btrack remains the Bayesian publication-grade path).
+  * ``count_spots`` — assign a ``localize_emitters`` run's spots to a
+    segmentation's objects (spots-per-cell; FISH-style quantification).
   * ``register_stack`` — drift correction: FFT phase-correlation
     registration of a timelapse (sub-pixel, streamed; no model required).
   * ``stitch_mosaic`` — grid-of-tiles composite (seam phase correlation,
@@ -4165,16 +4168,26 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     * ``split_touching`` (default false) + ``min_distance`` (default 5):
       watershed-split abutting cells, same semantics as segmentation.
     * ``frame_range``: [start, stop) timepoints (absolute t in the CSV).
+    * ``colocalize`` (default false; needs >= 2 channels): per-object
+      colocalization for every channel pair — Pearson correlation over
+      the object's pixels plus Manders M1/M2 split coefficients
+      (``ops/colocalize.py``; columns ``pearson_c{i}c{j}``,
+      ``m1_c{i}c{j}`` = fraction of channel i intensity inside channel
+      j-positive pixels, ``m2`` the converse; ``nan`` where undefined —
+      zero variance / zero intensity). ``coloc_threshold``: "otsu"
+      (default, per frame per channel), a number, or a per-channel list
+      of absolute positivity thresholds for the Manders terms.
 
     Outputs: measurements.csv with one row per object:
-    ``t,id,class,area,y,x,mean_c0,...,mean_c{K-1}`` — ``id`` is the
-    per-frame instance number, ``class`` the majority semantic label of
-    the object's pixels, means are per-channel averages over the
-    object's pixels. Metrics: n_objects, n_frames, n_channels.
+    ``t,id,class,area,y,x,mean_c0,...,mean_c{K-1}[,coloc cols]`` — ``id``
+    is the per-frame instance number, ``class`` the majority semantic
+    label of the object's pixels, means are per-channel averages over
+    the object's pixels. Metrics: n_objects, n_frames, n_channels.
     """
     from sequitr_tpu import localize as loc_lib
     from sequitr_tpu import native
     from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.ops import colocalize as coloc_lib
     from sequitr_tpu.utils import PhaseTimer
 
     paths = _resolve_inputs(job)
@@ -4216,6 +4229,13 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         min_area = int(p.get("min_area", 1))
         split_touching = bool(p.get("split_touching", False))
         min_distance = int(p.get("min_distance", 5))
+        colocalize = bool(p.get("colocalize", False))
+        thr_spec = p.get("coloc_threshold", "otsu")
+        if colocalize and len(csources) < 2:
+            raise jobs_lib.JobError(
+                "colocalize needs >= 2 intensity channels, got "
+                f"{len(csources)}"
+            )
     except BaseException:
         lsource.close()
         for cs in csources:
@@ -4225,6 +4245,10 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     timer = PhaseTimer()
     n_frames = len(lsource)
     n_ch = len(csources)
+    pairs = (
+        [(i, j) for i in range(n_ch) for j in range(i + 1, n_ch)]
+        if colocalize else []
+    )
     out_path = os.path.join(job.output, "measurements.csv")
     tmp = out_path + ".tmp"
     rep = jobs_lib.ProgressReporter(job, n_frames)
@@ -4235,6 +4259,10 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             f.write(
                 "t,id,class,area,y,x,"
                 + ",".join(f"mean_c{k}" for k in range(n_ch))
+                + "".join(
+                    f",pearson_c{i}c{j},m1_c{i}c{j},m2_c{i}c{j}"
+                    for i, j in pairs
+                )
                 + "\n"
             )
             with lsource:
@@ -4271,6 +4299,16 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                             for ch in chans
                         ]
                         keep = np.flatnonzero(areas >= min_area)
+                        if pairs:
+                            try:
+                                thrs = coloc_lib.resolve_thresholds(
+                                    chans, thr_spec
+                                )
+                            except ValueError as e:
+                                raise jobs_lib.JobError(f"job {job.id}: {e}")
+                            pair_stats = coloc_lib.object_coloc_pairs(
+                                inst, n, chans, thrs
+                            )
                     with timer.phase("write"):
                         t_abs = t + lsource.frame_offset
                         for i in keep:
@@ -4279,6 +4317,12 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                                 f"{int(areas[i])},{cy[i]:.4f},{cx[i]:.4f},"
                                 + ",".join(
                                     f"{m[i]:.6g}" for m in means
+                                )
+                                + "".join(
+                                    f",{pair_stats[pr]['pearson'][i]:.6g}"
+                                    f",{pair_stats[pr]['m1'][i]:.6g}"
+                                    f",{pair_stats[pr]['m2'][i]:.6g}"
+                                    for pr in pairs
                                 )
                                 + "\n"
                             )
@@ -4300,6 +4344,208 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         n_objects=n_rows, n_frames=n_frames, n_channels=n_ch,
     )
     return {"measurements": out_path, "metrics": json.dumps(metrics)}
+
+
+@register("count_spots")
+def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Assign localized emitters to segmented objects (spots per cell).
+
+    The FISH/smFISH workflow: a segmentation defines the cells, a
+    single-molecule localization provides the spots, and the biology
+    lives in the per-cell spot counts. input: [labels entry,
+    emitters.csv] — the labels entry (a segmentation job's ``labels.tif``
+    or any integer mask stack) defines objects per frame; the
+    emitters.csv (a ``localize_emitters`` job's output — plain,
+    astigmatic and volumetric layouts all parse; only the t/y/x columns
+    drive the planar assignment) provides detections. Chains from both
+    producers via ``depends_on``. Host-side (irregular per-frame joins,
+    SURVEY.md §3.5). An extension beyond the reference's capability list.
+
+    params:
+
+    * ``min_area`` / ``split_touching`` / ``min_distance``: object
+      semantics as in ``measure_objects`` (spots on objects dropped by
+      ``min_area`` count as unassigned).
+    * ``capture_radius`` (default 0.0 px): spots landing on background
+      are assigned to the nearest object within this distance (EDT
+      nearest-instance lookup — membrane-proximal spots the mask just
+      misses); 0 = strict inside-the-mask assignment.
+    * ``frame_range``: [start, stop) label timepoints; emitter rows
+      outside it are dropped.
+
+    Outputs: spots.csv (the emitters rows + an ``object_id`` column,
+    -1 = unassigned) and spot_counts.csv (``t,id,class,area,n_spots`` —
+    one row per object INCLUDING zero-spot objects: "no signal in this
+    cell" is a measurement). Metrics: n_spots, n_assigned, n_objects,
+    spots_per_object_mean.
+    """
+    from sequitr_tpu import localize as loc_lib
+    from sequitr_tpu import native
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.utils import PhaseTimer
+
+    paths = _resolve_inputs(job)
+    if len(paths) != 2:
+        raise jobs_lib.JobError(
+            f"count_spots needs [labels, emitters.csv], got {len(paths)} "
+            "input(s)"
+        )
+    lab_path, em_path = paths
+    if lab_path.endswith(".csv"):  # a natural argument-order slip
+        lab_path, em_path = em_path, lab_path
+    try:
+        lsource = FrameSource(paths=[lab_path])
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read labels: {e}")
+    try:
+        lsource = _apply_frame_range(job, lsource)
+        p = job.params
+        min_area = int(p.get("min_area", 1))
+        split_touching = bool(p.get("split_touching", False))
+        min_distance = int(p.get("min_distance", 5))
+        radius = float(p.get("capture_radius", 0.0))
+        if radius < 0:
+            raise jobs_lib.JobError(
+                f"capture_radius must be >= 0, got {radius}"
+            )
+        try:
+            with open(em_path) as ef:
+                header = ef.readline().strip()
+                cols = header.split(",")
+                try:
+                    c_t, c_y, c_x = (
+                        cols.index("t"), cols.index("y"), cols.index("x")
+                    )
+                except ValueError:
+                    raise jobs_lib.JobError(
+                        f"emitters csv must have t,y,x columns, got "
+                        f"{header!r}"
+                    )
+                by_t: Dict[int, list] = {}
+                for line in ef:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    parts = line.split(",")
+                    try:
+                        t_row = int(float(parts[c_t]))
+                        y_row = float(parts[c_y])
+                        x_row = float(parts[c_x])
+                    except (ValueError, IndexError):
+                        raise jobs_lib.JobError(
+                            f"malformed emitters row: {line!r}"
+                        )
+                    by_t.setdefault(t_row, []).append((y_row, x_row, line))
+        except OSError as e:
+            raise jobs_lib.JobError(
+                f"job {job.id}: cannot read emitters: {e}"
+            )
+    except BaseException:
+        lsource.close()
+        raise
+
+    timer = PhaseTimer()
+    n_frames = len(lsource)
+    spots_path = os.path.join(job.output, "spots.csv")
+    counts_path = os.path.join(job.output, "spot_counts.csv")
+    rep = jobs_lib.ProgressReporter(job, n_frames)
+    n_spots = n_assigned = n_objects = 0
+    t0 = time.time()
+    try:
+        with open(spots_path + ".tmp", "w") as sf, \
+                open(counts_path + ".tmp", "w") as cf, lsource:
+            sf.write(header + ",object_id\n")
+            cf.write("t,id,class,area,n_spots\n")
+            for t in range(n_frames):
+                t_abs = t + lsource.frame_offset
+                with timer.phase("read"):
+                    lab = np.asarray(lsource.frame(t))
+                    if lab.ndim == 3:
+                        raise jobs_lib.JobError(
+                            "labels entry must be single-channel "
+                            f"(got {lab.shape})"
+                        )
+                    lab = lab.astype(np.int32, copy=False)
+                with timer.phase("assign"):
+                    if split_touching:
+                        inst = loc_lib.split_touching_instances(
+                            lab, min_distance=min_distance
+                        )
+                    else:
+                        inst = loc_lib.label_components(lab > 0)
+                    n = int(inst.max())
+                    kcls = int(lab.max()) + 1
+                    if n:
+                        areas, _, _, _, classes = native.label_full_stats(
+                            inst, lab, None, n, kcls
+                        )
+                        keep = areas >= min_area
+                    else:
+                        areas = np.zeros(0, np.int64)
+                        classes = np.zeros(0, np.int64)
+                        keep = np.zeros(0, bool)
+                    rows = by_t.get(t_abs, [])
+                    oids = np.full(len(rows), -1, np.int64)
+                    if rows and n:
+                        ys = np.asarray([r[0] for r in rows])
+                        xs = np.asarray([r[1] for r in rows])
+                        h, w = inst.shape
+                        iy = np.clip(np.rint(ys).astype(int), 0, h - 1)
+                        ix = np.clip(np.rint(xs).astype(int), 0, w - 1)
+                        hit = inst[iy, ix]
+                        if radius > 0 and (hit == 0).any():
+                            from scipy import ndimage
+
+                            dist, (ny, nx) = ndimage.distance_transform_edt(
+                                inst == 0, return_indices=True
+                            )
+                            bg = hit == 0
+                            close = dist[iy[bg], ix[bg]] <= radius
+                            near = inst[
+                                ny[iy[bg], ix[bg]], nx[iy[bg], ix[bg]]
+                            ]
+                            hit[bg] = np.where(close, near, 0)
+                        # spots on min_area-filtered objects stay
+                        # unassigned: those objects are not in the counts
+                        valid = (hit > 0) & (
+                            keep[np.maximum(hit - 1, 0)] if n else False
+                        )
+                        oids = np.where(valid, hit, -1).astype(np.int64)
+                    counts = np.bincount(
+                        oids[oids > 0], minlength=n + 1
+                    ) if n else np.zeros(1, np.int64)
+                with timer.phase("write"):
+                    for (y_row, x_row, line), oid in zip(rows, oids):
+                        sf.write(f"{line},{int(oid)}\n")
+                    for i in np.flatnonzero(keep):
+                        cf.write(
+                            f"{t_abs},{i + 1},{int(classes[i])},"
+                            f"{int(areas[i])},{int(counts[i + 1])}\n"
+                        )
+                    n_spots += len(rows)
+                    n_assigned += int((oids > 0).sum())
+                    n_objects += int(keep.sum())
+                rep.step()
+    except BaseException:
+        for pth in (spots_path, counts_path):
+            try:
+                os.unlink(pth + ".tmp")
+            except OSError:
+                pass
+        raise
+    os.replace(spots_path + ".tmp", spots_path)
+    os.replace(counts_path + ".tmp", counts_path)
+    rep.finish()
+    metrics = dict(
+        timer.summary(), total_s=round(time.time() - t0, 4),
+        n_spots=n_spots, n_assigned=n_assigned, n_objects=n_objects,
+        spots_per_object_mean=round(n_assigned / max(n_objects, 1), 3),
+    )
+    return {
+        "spots": spots_path,
+        "spot_counts": counts_path,
+        "metrics": json.dumps(metrics),
+    }
 
 
 @register("track_objects")

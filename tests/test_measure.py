@@ -184,3 +184,210 @@ class TestMeasureObjects:
         # split halves are dominated by their own blob's intensity
         # (overlap pixels blend, so allow a wide but ordered band)
         assert means[0] < 20.0 < means[1]
+
+
+class TestColocalize:
+    def test_otsu_separates_bimodal(self):
+        from sequitr_tpu.ops import colocalize as co
+
+        rng = np.random.default_rng(0)
+        a = np.concatenate([
+            rng.normal(10, 1, 4000), rng.normal(100, 5, 1000)
+        ])
+        thr = co.otsu_threshold(a)
+        # the between-class variance is flat across the empty gap, so any
+        # in-gap edge is a valid Otsu answer; what matters is separation
+        assert a.max() > thr > a[:4000].max() - 1
+        assert abs(int((a > thr).sum()) - 1000) < 25
+        # constant image: nothing is positive
+        assert co.otsu_threshold(np.full(64, 7.0)) == 7.0
+
+    def test_object_coloc_pairs_exact(self):
+        """Hand-built two-object scene vs a per-object numpy reference:
+        perfect correlation, perfect anticorrelation, and Manders
+        fractions with a fixed threshold."""
+        from sequitr_tpu.ops import colocalize as co
+
+        inst = np.zeros((4, 4), np.int32)
+        inst[0, :4] = 1
+        inst[1, :4] = 2
+        a = np.zeros((4, 4))
+        b = np.zeros((4, 4))
+        a[0] = [1, 2, 3, 4]
+        b[0] = [2, 4, 6, 8]        # object 1: b = 2a -> pearson +1
+        a[1] = [1, 2, 3, 4]
+        b[1] = [8, 6, 4, 2]        # object 2: anti -> pearson -1
+        stats = co.object_coloc_pairs(inst, 2, [a, b], [2.5, 5.0])
+        s = stats[(0, 1)]
+        assert s["pearson"][0] == pytest.approx(1.0)
+        assert s["pearson"][1] == pytest.approx(-1.0)
+        # m1 = fraction of a-intensity where b > 5: obj1 pixels b=6,8
+        # (a=3,4) -> 7/10; obj2 pixels b=8,6 (a=1,2) -> 3/10
+        assert s["m1"][0] == pytest.approx(0.7)
+        assert s["m1"][1] == pytest.approx(0.3)
+        # m2 = fraction of b-intensity where a > 2.5: obj1 b=6,8 of 20;
+        # obj2 b=4,2 of 20
+        assert s["m2"][0] == pytest.approx(0.7)
+        assert s["m2"][1] == pytest.approx(0.3)
+
+    def test_nan_conventions(self):
+        from sequitr_tpu.ops import colocalize as co
+
+        inst = np.ones((2, 2), np.int32)
+        const = np.full((2, 2), 3.0)
+        zero = np.zeros((2, 2))
+        ramp = np.arange(4.0).reshape(2, 2)
+        s = co.object_coloc_pairs(inst, 1, [const, ramp], [0.0, 0.0])[(0, 1)]
+        assert np.isnan(s["pearson"][0])  # zero variance in channel 0
+        s = co.object_coloc_pairs(inst, 1, [zero, ramp], [0.5, 0.5])[(0, 1)]
+        assert np.isnan(s["m1"][0])  # zero channel-0 intensity
+
+    def test_threshold_spec_validation(self):
+        from sequitr_tpu.ops import colocalize as co
+
+        chans = [np.zeros((2, 2)), np.ones((2, 2))]
+        assert co.resolve_thresholds(chans, 5) == [5.0, 5.0]
+        assert co.resolve_thresholds(chans, [1, 2]) == [1.0, 2.0]
+        with pytest.raises(ValueError, match="coloc_threshold"):
+            co.resolve_thresholds(chans, [1.0])
+        with pytest.raises(ValueError, match="coloc_threshold"):
+            co.resolve_thresholds(chans, "median")
+
+    def test_measure_objects_colocalize_e2e(self, server_env):
+        """Through a real server: correlated and anticorrelated objects
+        land with the right per-pair columns; single-channel colocalize
+        fails fast."""
+        cfg_srv, tmp = server_env
+        H = W = 16
+        labels = np.zeros((1, H, W), np.uint16)
+        labels[0, 1:3, 0:4] = 1   # object 1: rows 1-2
+        labels[0, 6:8, 0:4] = 2   # object 2
+        c0 = np.zeros((1, H, W), np.float32)
+        c1 = np.zeros((1, H, W), np.float32)
+        c0[0, 1:3, 0:4] = np.tile(np.asarray([1, 2, 3, 4], np.float32), (2, 1))
+        c1[0, 1:3, 0:4] = 2 * c0[0, 1:3, 0:4]
+        c0[0, 6:8, 0:4] = np.tile(np.asarray([1, 2, 3, 4], np.float32), (2, 1))
+        c1[0, 6:8, 0:4] = np.tile(np.asarray([8, 6, 4, 2], np.float32), (2, 1))
+        lp, p0, p1 = (str(tmp / n) for n in ("l.tif", "a.tif", "b.tif"))
+        tiff.write_stack(lp, labels)
+        tiff.write_stack(p0, c0)
+        tiff.write_stack(p1, c1)
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_objects",
+             "params": {"colocalize": True, "coloc_threshold": 5.0},
+             "input": [lp, p0, p1], "output": out},
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        header, rows = _rows(st["outputs"]["measurements"])
+        assert header[-3:] == ["pearson_c0c1", "m1_c0c1", "m2_c0c1"]
+        by = {r["id"]: r for r in rows}
+        assert float(by["1"]["pearson_c0c1"]) == pytest.approx(1.0)
+        assert float(by["2"]["pearson_c0c1"]) == pytest.approx(-1.0)
+        # threshold 5: object 1 has b=(2,4,6,8)x2 -> m1 = 14/20
+        assert float(by["1"]["m1_c0c1"]) == pytest.approx(0.7)
+
+        # single channel + colocalize = deterministic JobError
+        out2 = str(tmp / "out2")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_objects", "params": {"colocalize": True},
+             "input": [lp, p0], "output": out2},
+        )
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(out2, "status.json")))
+        assert st2["state"] == "failed"
+        assert "colocalize" in st2["error"]
+
+
+class TestCountSpots:
+    def _scene(self, tmp):
+        labels = np.zeros((2, 20, 20), np.uint16)
+        labels[0, 2:8, 2:8] = 1     # object A (36 px)
+        labels[0, 12:16, 12:16] = 2  # object B (16 px)
+        labels[0, 18, 18] = 1        # 1-px speck (min_area fodder)
+        labels[1, 5:9, 5:9] = 1      # frame 1: one object, zero spots
+        lp = str(tmp / "lab.tif")
+        tiff.write_stack(lp, labels)
+        em = str(tmp / "emitters.csv")
+        with open(em, "w") as f:
+            f.write("t,y,x,amplitude,background\n")
+            f.write("0,4.2,4.8,10,1\n")    # inside A
+            f.write("0,6.0,3.0,11,1\n")    # inside A
+            f.write("0,13.5,14.1,12,1\n")  # inside B
+            f.write("0,8.6,6.0,13,1\n")    # background, 2 px below A
+            f.write("0,0.0,19.0,14,1\n")   # background, far from all
+            f.write("0,18.1,17.9,15,1\n")  # on the 1-px speck
+        return lp, em
+
+    def test_strict_and_radius_assignment(self, server_env):
+        cfg_srv, tmp = server_env
+        lp, em = self._scene(tmp)
+        srv = ImageServer(cfg_srv)
+        for radius, want_assigned in ((0.0, 3), (3.0, 4)):
+            out = str(tmp / f"out_{radius}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "count_spots",
+                 "params": {"min_area": 2, "capture_radius": radius},
+                 "input": [lp, em], "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            m = json.loads(st["outputs"]["metrics"])
+            assert m["n_spots"] == 6
+            # the speck spot never assigns (min_area drops object id 3)
+            assert m["n_assigned"] == want_assigned, m
+            assert m["n_objects"] == 3  # A, B, frame-1 object
+            _, spots = _rows(st["outputs"]["spots"])
+            assert len(spots) == 6
+            assert spots[-2]["object_id"] == "-1"  # the far spot
+            assert spots[-1]["object_id"] == "-1"  # the speck spot
+            _, counts = _rows(st["outputs"]["spot_counts"])
+            by = {(r["t"], r["id"]): int(r["n_spots"]) for r in counts}
+            assert by[("0", "1")] == (3 if radius else 2)  # A
+            assert by[("0", "2")] == 1  # B
+            assert by[("1", "1")] == 0  # zero-spot object IS a row
+            assert len(counts) == 3
+
+    def test_validation_and_column_check(self, server_env):
+        cfg_srv, tmp = server_env
+        lp, em = self._scene(tmp)
+        srv = ImageServer(cfg_srv)
+        bad = str(tmp / "bad.csv")
+        with open(bad, "w") as f:
+            f.write("frame,row,col\n0,1,1\n")
+        for name, inputs, frag in (
+            ("v1", [lp], "needs"),
+            ("v2", [lp, bad], "t,y,x"),
+        ):
+            out = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "count_spots", "params": {},
+                 "input": inputs, "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "failed"
+            assert frag in st["error"], st["error"]
+
+    def test_argument_order_slip_tolerated(self, server_env):
+        """[emitters, labels] (the natural chain order from depends_on
+        listing) is silently swapped into place."""
+        cfg_srv, tmp = server_env
+        lp, em = self._scene(tmp)
+        out = str(tmp / "swap")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "count_spots", "params": {"min_area": 2},
+             "input": [em, lp], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
