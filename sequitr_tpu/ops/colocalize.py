@@ -23,7 +23,8 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-__all__ = ["otsu_threshold", "object_coloc_pairs"]
+__all__ = ["otsu_threshold", "validate_threshold_spec",
+           "resolve_thresholds", "object_coloc_pairs"]
 
 
 def otsu_threshold(arr: np.ndarray, bins: int = 256) -> float:
@@ -53,6 +54,35 @@ def otsu_threshold(arr: np.ndarray, bins: int = 256) -> float:
     return float(edges[k + 1])
 
 
+def validate_threshold_spec(
+    spec: Union[str, float, Sequence[float], None], k: int,
+) -> None:
+    """Reject a malformed ``coloc_threshold`` spec WITHOUT computing it.
+
+    Callers with a frame loop validate once up front (a bad spec must be
+    a deterministic fail-fast error, not something an all-empty stack
+    silently never evaluates); the per-frame Otsu values still resolve
+    frame by frame in ``resolve_thresholds``.
+    """
+    if spec is None or spec == "otsu":
+        return
+    if isinstance(spec, (int, float)) and not isinstance(spec, bool):
+        return
+    if isinstance(spec, (list, tuple)):
+        if len(spec) != k or not all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in spec
+        ):
+            raise ValueError(
+                f"coloc_threshold list must hold {k} numbers, got {spec!r}"
+            )
+        return
+    raise ValueError(
+        f"coloc_threshold must be 'otsu', a number or a per-channel list, "
+        f"got {spec!r}"
+    )
+
+
 def resolve_thresholds(
     chans: Sequence[np.ndarray],
     spec: Union[str, float, Sequence[float], None],
@@ -63,24 +93,12 @@ def resolve_thresholds(
     the same absolute threshold for every channel; a list = one absolute
     threshold per channel.
     """
-    k = len(chans)
+    validate_threshold_spec(spec, len(chans))
     if spec is None or spec == "otsu":
         return [otsu_threshold(c) for c in chans]
-    if isinstance(spec, (int, float)) and not isinstance(spec, bool):
-        return [float(spec)] * k
-    if isinstance(spec, (list, tuple)):
-        if len(spec) != k or not all(
-            isinstance(v, (int, float)) and not isinstance(v, bool)
-            for v in spec
-        ):
-            raise ValueError(
-                f"coloc_threshold list must hold {k} numbers, got {spec!r}"
-            )
-        return [float(v) for v in spec]
-    raise ValueError(
-        f"coloc_threshold must be 'otsu', a number or a per-channel list, "
-        f"got {spec!r}"
-    )
+    if isinstance(spec, (int, float)):
+        return [float(spec)] * len(chans)
+    return [float(v) for v in spec]
 
 
 def object_coloc_pairs(
@@ -109,18 +127,25 @@ def object_coloc_pairs(
     k = len(chans)
     flats = [np.asarray(c, np.float64).ravel() for c in chans]
     pos = [f > t for f, t in zip(flats, thresholds)]
+    # raw sums feed the Manders denominators (intensity FRACTIONS are
+    # offset-dependent by definition); the Pearson moments use frame-mean-
+    # centered values — Pearson is shift-invariant, and raw moments
+    # (sq - s^2/n) cancel catastrophically on the high DC offsets of
+    # 16-bit camera data (measured: pearson 0.99984 where 1.0 is exact)
     sums = [np.bincount(flat, f, minlength)[1:] for f in flats]
-    sqs = [np.bincount(flat, f * f, minlength)[1:] for f in flats]
+    cents = [f - f.mean() for f in flats]
+    csums = [np.bincount(flat, c, minlength)[1:] for c in cents]
+    csqs = [np.bincount(flat, c * c, minlength)[1:] for c in cents]
     out: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
     with np.errstate(divide="ignore", invalid="ignore"):
         var = [
             sq - s * s / np.maximum(counts, 1)
-            for sq, s in zip(sqs, sums)
+            for sq, s in zip(csqs, csums)
         ]
         for i in range(k):
             for j in range(i + 1, k):
-                s_ab = np.bincount(flat, flats[i] * flats[j], minlength)[1:]
-                cov = s_ab - sums[i] * sums[j] / np.maximum(counts, 1)
+                s_ab = np.bincount(flat, cents[i] * cents[j], minlength)[1:]
+                cov = s_ab - csums[i] * csums[j] / np.maximum(counts, 1)
                 denom = np.sqrt(var[i] * var[j])
                 pearson = np.where(denom > 0, cov / denom, np.nan)
                 a_in_b = np.bincount(flat, flats[i] * pos[j], minlength)[1:]

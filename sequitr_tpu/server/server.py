@@ -4147,6 +4147,42 @@ def _parity_check_gan(job: Job, cfg, params, state) -> Dict[str, str]:
     return {"metrics": json.dumps(metrics)}
 
 
+def _derive_objects(lab: np.ndarray, split_touching: bool,
+                    min_distance: int, min_area: int):
+    """Shared object semantics for the quantification pipelines
+    (measure_objects / count_spots): a label frame -> instance map +
+    per-object stats + the min_area keep mask.
+
+    Returns ``(inst, n, areas, classes, keep, cy, cx)`` — ``inst`` int32
+    with ids 1..n, ``keep`` a bool mask over ids (index id-1), ``cy/cx``
+    per-object centroids. A multi-channel label frame is a deterministic
+    JobError.
+    """
+    from sequitr_tpu import localize as loc_lib
+    from sequitr_tpu import native
+
+    if lab.ndim == 3:
+        raise jobs_lib.JobError(
+            f"labels entry must be single-channel (got {lab.shape})"
+        )
+    lab = lab.astype(np.int32, copy=False)
+    if split_touching:
+        inst = loc_lib.split_touching_instances(
+            lab, min_distance=min_distance
+        )
+    else:
+        inst = loc_lib.label_components(lab > 0)
+    n = int(inst.max())
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return inst, 0, z, z, np.zeros(0, bool), z, z
+    kcls = int(lab.max()) + 1
+    areas, cy, cx, _, classes = native.label_full_stats(
+        inst, lab, None, n, kcls
+    )
+    return inst, n, areas, classes, areas >= min_area, cy, cx
+
+
 @register("measure_objects")
 def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Per-object intensity quantification across channels (no model).
@@ -4236,6 +4272,13 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 "colocalize needs >= 2 intensity channels, got "
                 f"{len(csources)}"
             )
+        if colocalize:
+            # malformed specs fail fast at submit time, not after N
+            # frames (or never, on an all-empty stack) — review finding
+            try:
+                coloc_lib.validate_threshold_spec(thr_spec, len(csources))
+            except ValueError as e:
+                raise jobs_lib.JobError(f"job {job.id}: {e}")
     except BaseException:
         lsource.close()
         for cs in csources:
@@ -4269,45 +4312,32 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 for t in range(n_frames):
                     with timer.phase("read"):
                         lab = np.asarray(lsource.frame(t))
-                        if lab.ndim == 3:  # multi-channel label input
-                            raise jobs_lib.JobError(
-                                "labels entry must be single-channel "
-                                f"(got {lab.shape})"
-                            )
-                        lab = lab.astype(np.int32, copy=False)
                         chans = [
                             np.asarray(cs.frame(t), np.float32)
                             for cs in csources
                         ]
                     with timer.phase("measure"):
-                        if split_touching:
-                            inst = loc_lib.split_touching_instances(
-                                lab, min_distance=min_distance
+                        inst, n, areas, classes, keep_mask, cy, cx = (
+                            _derive_objects(
+                                lab, split_touching, min_distance, min_area
                             )
-                        else:
-                            inst = loc_lib.label_components(lab > 0)
-                        n = int(inst.max())
+                        )
                         if n == 0:
                             rep.step()
                             continue
-                        kcls = int(lab.max()) + 1
-                        areas, cy, cx, _, classes = native.label_full_stats(
-                            inst, lab, None, n, kcls
-                        )
+                        lab_i = lab.astype(np.int32, copy=False)
+                        kcls = int(lab_i.max()) + 1
                         means = [
-                            native.label_full_stats(inst, lab, ch, n, kcls)[3]
+                            native.label_full_stats(
+                                inst, lab_i, ch, n, kcls
+                            )[3]
                             for ch in chans
                         ]
-                        keep = np.flatnonzero(areas >= min_area)
+                        keep = np.flatnonzero(keep_mask)
                         if pairs:
-                            try:
-                                thrs = coloc_lib.resolve_thresholds(
-                                    chans, thr_spec
-                                )
-                            except ValueError as e:
-                                raise jobs_lib.JobError(f"job {job.id}: {e}")
                             pair_stats = coloc_lib.object_coloc_pairs(
-                                inst, n, chans, thrs
+                                inst, n, chans,
+                                coloc_lib.resolve_thresholds(chans, thr_spec),
                             )
                     with timer.phase("write"):
                         t_abs = t + lsource.frame_offset
@@ -4379,8 +4409,6 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     cell" is a measurement). Metrics: n_spots, n_assigned, n_objects,
     spots_per_object_mean.
     """
-    from sequitr_tpu import localize as loc_lib
-    from sequitr_tpu import native
     from sequitr_tpu.data.source import FrameSource
     from sequitr_tpu.utils import PhaseTimer
 
@@ -4460,57 +4488,47 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 t_abs = t + lsource.frame_offset
                 with timer.phase("read"):
                     lab = np.asarray(lsource.frame(t))
-                    if lab.ndim == 3:
-                        raise jobs_lib.JobError(
-                            "labels entry must be single-channel "
-                            f"(got {lab.shape})"
-                        )
-                    lab = lab.astype(np.int32, copy=False)
                 with timer.phase("assign"):
-                    if split_touching:
-                        inst = loc_lib.split_touching_instances(
-                            lab, min_distance=min_distance
-                        )
-                    else:
-                        inst = loc_lib.label_components(lab > 0)
-                    n = int(inst.max())
-                    kcls = int(lab.max()) + 1
-                    if n:
-                        areas, _, _, _, classes = native.label_full_stats(
-                            inst, lab, None, n, kcls
-                        )
-                        keep = areas >= min_area
-                    else:
-                        areas = np.zeros(0, np.int64)
-                        classes = np.zeros(0, np.int64)
-                        keep = np.zeros(0, bool)
+                    inst, n, areas, classes, keep, _, _ = _derive_objects(
+                        lab, split_touching, min_distance, min_area
+                    )
+                    # assignment sees only KEPT objects: a spot next to a
+                    # min_area-dropped speck must still capture to a real
+                    # object in range (review finding — the EDT used to
+                    # resolve to the nearest instance including dropped
+                    # ones, stranding the spot)
+                    inst_kept = (
+                        np.where(keep[np.maximum(inst - 1, 0)], inst, 0)
+                        if n else inst
+                    )
                     rows = by_t.get(t_abs, [])
                     oids = np.full(len(rows), -1, np.int64)
                     if rows and n:
                         ys = np.asarray([r[0] for r in rows])
                         xs = np.asarray([r[1] for r in rows])
                         h, w = inst.shape
-                        iy = np.clip(np.rint(ys).astype(int), 0, h - 1)
-                        ix = np.clip(np.rint(xs).astype(int), 0, w - 1)
-                        hit = inst[iy, ix]
-                        if radius > 0 and (hit == 0).any():
+                        iy = np.rint(ys).astype(int)
+                        ix = np.rint(xs).astype(int)
+                        # out-of-frame coordinates (emitters from a
+                        # different ROI/crop) are unassigned, never
+                        # snapped to the border (review finding)
+                        inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+                        iy_c = np.clip(iy, 0, h - 1)
+                        ix_c = np.clip(ix, 0, w - 1)
+                        hit = np.where(inb, inst_kept[iy_c, ix_c], 0)
+                        bg = inb & (hit == 0)
+                        if radius > 0 and bg.any():
                             from scipy import ndimage
 
                             dist, (ny, nx) = ndimage.distance_transform_edt(
-                                inst == 0, return_indices=True
+                                inst_kept == 0, return_indices=True
                             )
-                            bg = hit == 0
                             close = dist[iy[bg], ix[bg]] <= radius
-                            near = inst[
+                            near = inst_kept[
                                 ny[iy[bg], ix[bg]], nx[iy[bg], ix[bg]]
                             ]
                             hit[bg] = np.where(close, near, 0)
-                        # spots on min_area-filtered objects stay
-                        # unassigned: those objects are not in the counts
-                        valid = (hit > 0) & (
-                            keep[np.maximum(hit - 1, 0)] if n else False
-                        )
-                        oids = np.where(valid, hit, -1).astype(np.int64)
+                        oids = np.where(hit > 0, hit, -1).astype(np.int64)
                     counts = np.bincount(
                         oids[oids > 0], minlength=n + 1
                     ) if n else np.zeros(1, np.int64)

@@ -391,3 +391,97 @@ class TestCountSpots:
         assert ImageServer(cfg_srv).poll_once()
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "complete", st.get("error")
+
+
+class TestQuantReviewFixes:
+    """Regressions for the code-review findings on the quantification
+    batch."""
+
+    def test_pearson_immune_to_dc_offset(self):
+        """High camera offset (16-bit style): raw-moment Pearson loses
+        ~1e-4 to cancellation; the centered form stays exact."""
+        from sequitr_tpu.ops import colocalize as co
+
+        rng = np.random.default_rng(1)
+        noise = rng.normal(0, 0.5, (128, 128))
+        a = 60000.0 + noise
+        b = 60000.0 + 2 * noise
+        inst = np.ones((128, 128), np.int32)
+        s = co.object_coloc_pairs(inst, 1, [a, b], [0.0, 0.0])[(0, 1)]
+        assert s["pearson"][0] == pytest.approx(1.0, abs=1e-9)
+
+    def test_bad_threshold_fails_fast_on_empty_stack(self, server_env):
+        """A malformed coloc_threshold must fail at setup even when no
+        frame ever reaches the colocalization code (all-empty labels)."""
+        cfg_srv, tmp = server_env
+        lp = str(tmp / "empty.tif")
+        tiff.write_stack(lp, np.zeros((2, 8, 8), np.uint16))
+        c0, c1 = str(tmp / "c0.tif"), str(tmp / "c1.tif")
+        tiff.write_stack(c0, np.zeros((2, 8, 8), np.float32))
+        tiff.write_stack(c1, np.zeros((2, 8, 8), np.float32))
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_objects",
+             "params": {"colocalize": True, "coloc_threshold": "median"},
+             "input": [lp, c0, c1], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "coloc_threshold" in st["error"]
+
+    def test_capture_radius_ignores_dropped_specks(self, server_env):
+        """A spot nearest to a min_area-dropped speck must still capture
+        to the kept object in range (the EDT runs on kept objects only)."""
+        cfg_srv, tmp = server_env
+        labels = np.zeros((1, 20, 20), np.uint16)
+        labels[0, 10, 10] = 1        # 1-px speck (dropped at min_area 2)
+        labels[0, 13:17, 8:14] = 1   # kept object
+        lp = str(tmp / "lab.tif")
+        tiff.write_stack(lp, labels)
+        em = str(tmp / "em.csv")
+        with open(em, "w") as f:
+            f.write("t,y,x\n")
+            f.write("0,11.0,10.0\n")  # 1 px from the speck, 2 from the object
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "count_spots",
+             "params": {"min_area": 2, "capture_radius": 3.0},
+             "input": [lp, em], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        _, spots = _rows(st["outputs"]["spots"])
+        assert spots[0]["object_id"] != "-1"
+        _, counts = _rows(st["outputs"]["spot_counts"])
+        assert len(counts) == 1 and counts[0]["n_spots"] == "1"
+
+    def test_out_of_frame_spots_never_snap_to_the_border(self, server_env):
+        """Emitters from a different crop: far-outside coordinates are
+        unassigned, not clipped onto edge objects — strict AND radius."""
+        cfg_srv, tmp = server_env
+        labels = np.zeros((1, 12, 12), np.uint16)
+        labels[0, 0:4, 0:4] = 1  # object touching the border
+        lp = str(tmp / "lab.tif")
+        tiff.write_stack(lp, labels)
+        em = str(tmp / "em.csv")
+        with open(em, "w") as f:
+            f.write("t,y,x\n0,-8.0,2.0\n0,2.0,30.0\n0,1.0,1.0\n")
+        for radius in (0.0, 2.0):
+            out = str(tmp / f"out_{radius}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "count_spots",
+                 "params": {"capture_radius": radius},
+                 "input": [lp, em], "output": out},
+            )
+            assert ImageServer(cfg_srv).poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            _, spots = _rows(st["outputs"]["spots"])
+            assert spots[0]["object_id"] == "-1"
+            assert spots[1]["object_id"] == "-1"
+            assert spots[2]["object_id"] == "1"  # the genuine inside spot
