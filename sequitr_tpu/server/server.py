@@ -4183,6 +4183,200 @@ def _derive_objects(lab: np.ndarray, split_touching: bool,
     return inst, n, areas, classes, areas >= min_area, cy, cx
 
 
+def _derive_objects_3d(lab: np.ndarray, split_touching: bool,
+                       min_distance: int, min_area: int):
+    """Volumetric twin of ``_derive_objects`` for (Z, H, W) label volumes:
+    6-connected 3D components (or the 3D watershed under
+    ``split_touching``) + the single-sweep 3D native stats. Returns
+    ``(inst, n, areas, classes, keep, cz, cy, cx)``."""
+    from scipy import ndimage
+
+    from sequitr_tpu import localize as loc_lib
+    from sequitr_tpu import native
+
+    if lab.ndim != 3:
+        raise jobs_lib.JobError(
+            f"dims=3 labels must be (Z, H, W) volumes (got {lab.shape})"
+        )
+    lab = lab.astype(np.int32, copy=False)
+    if split_touching:
+        inst = loc_lib.split_touching_instances(
+            lab, min_distance=min_distance
+        )
+        n = int(inst.max())
+    else:
+        structure = ndimage.generate_binary_structure(3, 1)
+        inst, n = ndimage.label(lab > 0, structure=structure)
+    if n == 0:
+        zz = np.zeros(0, np.int64)
+        return inst, 0, zz, zz, np.zeros(0, bool), zz, zz, zz
+    kcls = int(lab.max()) + 1
+    areas, cz, cy, cx, _, classes = native.label_full_stats_3d(
+        inst, lab, None, n, kcls
+    )
+    return inst, n, areas, classes, areas >= min_area, cz, cy, cx
+
+
+def _measure_objects_3d(job: Job, paths) -> Dict[str, str]:
+    """Volumetric ``measure_objects`` (``dims: 3``): per-object
+    quantification over a timelapse of z-stacks.
+
+    Same contract as the 2D path with the volume-timelapse input
+    conventions every 3D pipeline shares (one z-stack file per timepoint
+    via directory/glob entries, or a single T·Z-page file with ``z``
+    pages-per-volume): a label volume sequence defines the objects (3D
+    6-connected components, or the 3D watershed under
+    ``split_touching``), each further entry is an intensity channel
+    sequence. measurements.csv rows
+    ``t,id,class,area,z,y,x,mean_c0..[,coloc cols]`` — volumes carry a z
+    centroid; ``colocalize`` works unchanged (the pair statistics are
+    connectivity-agnostic bincount reductions over the instance map).
+    """
+    from sequitr_tpu import native
+    from sequitr_tpu.data.source import VolumeSequence
+    from sequitr_tpu.ops import colocalize as coloc_lib
+    from sequitr_tpu.utils import PhaseTimer
+
+    p = job.params
+    z = _parse_z_pages(job)
+    try:
+        lsource = VolumeSequence(paths[0], z=z)
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read labels: {e}")
+    csources = []
+    try:
+        for p_ in paths[1:]:
+            try:
+                csources.append(VolumeSequence(p_, z=z))
+            except ValueError as e:
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read inputs: {e}"
+                )
+        lsource = _apply_frame_range(job, lsource)
+        for k, cs in enumerate(csources):
+            if cs.spatial != lsource.spatial:
+                raise jobs_lib.JobError(
+                    f"channel {k}: volume shape {cs.spatial} != labels "
+                    f"{lsource.spatial}"
+                )
+        csources = [_apply_frame_range(job, cs) for cs in csources]
+        for k, cs in enumerate(csources):
+            if len(cs) != len(lsource):
+                raise jobs_lib.JobError(
+                    f"channel {k}: {len(cs)} timepoint(s) != labels "
+                    f"{len(lsource)}"
+                )
+        min_area = int(p.get("min_area", 1))
+        split_touching = bool(p.get("split_touching", False))
+        min_distance = int(p.get("min_distance", 5))
+        colocalize = bool(p.get("colocalize", False))
+        thr_spec = p.get("coloc_threshold", "otsu")
+        if colocalize and len(csources) < 2:
+            raise jobs_lib.JobError(
+                "colocalize needs >= 2 intensity channels, got "
+                f"{len(csources)}"
+            )
+        if colocalize:
+            try:
+                coloc_lib.validate_threshold_spec(thr_spec, len(csources))
+            except ValueError as e:
+                raise jobs_lib.JobError(f"job {job.id}: {e}")
+    except BaseException:
+        lsource.close()
+        for cs in csources:
+            cs.close()
+        raise
+
+    timer = PhaseTimer()
+    n_vols = len(lsource)
+    n_ch = len(csources)
+    pairs = (
+        [(i, j) for i in range(n_ch) for j in range(i + 1, n_ch)]
+        if colocalize else []
+    )
+    out_path = os.path.join(job.output, "measurements.csv")
+    tmp = out_path + ".tmp"
+    rep = jobs_lib.ProgressReporter(job, n_vols)
+    n_rows = 0
+    t0 = time.time()
+    try:
+        with open(tmp, "w") as f:
+            f.write(
+                "t,id,class,area,z,y,x,"
+                + ",".join(f"mean_c{k}" for k in range(n_ch))
+                + "".join(
+                    f",pearson_c{i}c{j},m1_c{i}c{j},m2_c{i}c{j}"
+                    for i, j in pairs
+                )
+                + "\n"
+            )
+            for t in range(n_vols):
+                with timer.phase("read"):
+                    lab = np.asarray(lsource.volume(t))
+                    chans = [
+                        np.asarray(cs.volume(t), np.float32)
+                        for cs in csources
+                    ]
+                with timer.phase("measure"):
+                    inst, n, areas, classes, keep_mask, cz, cy, cx = (
+                        _derive_objects_3d(
+                            lab, split_touching, min_distance, min_area
+                        )
+                    )
+                    if n == 0:
+                        rep.step()
+                        continue
+                    lab_i = lab.astype(np.int32, copy=False)
+                    kcls = int(lab_i.max()) + 1
+                    means = [
+                        native.label_full_stats_3d(
+                            inst, lab_i, ch, n, kcls
+                        )[4]
+                        for ch in chans
+                    ]
+                    keep = np.flatnonzero(keep_mask)
+                    if pairs:
+                        pair_stats = coloc_lib.object_coloc_pairs(
+                            inst, n, chans,
+                            coloc_lib.resolve_thresholds(chans, thr_spec),
+                        )
+                with timer.phase("write"):
+                    t_abs = t + lsource.frame_offset
+                    for i in keep:
+                        f.write(
+                            f"{t_abs},{i + 1},{int(classes[i])},"
+                            f"{int(areas[i])},{cz[i]:.4f},{cy[i]:.4f},"
+                            f"{cx[i]:.4f},"
+                            + ",".join(f"{m[i]:.6g}" for m in means)
+                            + "".join(
+                                f",{pair_stats[pr]['pearson'][i]:.6g}"
+                                f",{pair_stats[pr]['m1'][i]:.6g}"
+                                f",{pair_stats[pr]['m2'][i]:.6g}"
+                                for pr in pairs
+                            )
+                            + "\n"
+                        )
+                    n_rows += len(keep)
+                rep.step()
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    finally:
+        lsource.close()
+        for cs in csources:
+            cs.close()
+    os.replace(tmp, out_path)
+    rep.finish()
+    metrics = dict(
+        timer.summary(), total_s=round(time.time() - t0, 4),
+        n_objects=n_rows, n_frames=n_vols, n_channels=n_ch,
+    )
+    return {"measurements": out_path, "metrics": json.dumps(metrics)}
+
+
 @register("measure_objects")
 def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Per-object intensity quantification across channels (no model).
@@ -4204,6 +4398,10 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     * ``split_touching`` (default false) + ``min_distance`` (default 5):
       watershed-split abutting cells, same semantics as segmentation.
     * ``frame_range``: [start, stop) timepoints (absolute t in the CSV).
+    * ``dims: 3``: VOLUMETRIC quantification over a timelapse of
+      z-stacks (``_measure_objects_3d``) — inputs follow the shared
+      volume conventions (per-timepoint files or a single T·Z-page file
+      with ``z``); rows gain a z centroid column.
     * ``colocalize`` (default false; needs >= 2 channels): per-object
       colocalization for every channel pair — Pearson correlation over
       the object's pixels plus Manders M1/M2 split coefficients
@@ -4232,6 +4430,16 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             "measure_objects needs [labels, intensity channel(s)...] "
             f"(>= 2 inputs), got {len(paths)}"
         )
+    try:
+        dims = int(job.params.get("dims", 2))
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"dims={job.params.get('dims')!r} must be 2 or 3"
+        )
+    if dims == 3:
+        return _measure_objects_3d(job, paths)
+    if dims != 2:
+        raise jobs_lib.JobError(f"dims={dims} must be 2 or 3")
     try:
         lsource = FrameSource(paths=[paths[0]])
     except ValueError as e:

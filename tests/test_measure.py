@@ -485,3 +485,120 @@ class TestQuantReviewFixes:
             assert spots[0]["object_id"] == "-1"
             assert spots[1]["object_id"] == "-1"
             assert spots[2]["object_id"] == "1"  # the genuine inside spot
+
+
+class TestMeasure3D:
+    def _volumes(self, tmp, as_pages=False):
+        """Two timepoints of (4, 16, 16) volumes: a 2x3x3 block (class 1)
+        and a 1x2x2 plate (class 2), constant per-object channels."""
+        T, Z, H, W = 2, 4, 16, 16
+        labels = np.zeros((T, Z, H, W), np.uint16)
+        c0 = np.zeros((T, Z, H, W), np.float32)
+        c1 = np.zeros((T, Z, H, W), np.float32)
+        for t in range(T):
+            labels[t, 1:3, 2:5, 2:5] = 1
+            labels[t, 2, 10:12, 10:12] = 2
+            c0[t, 1:3, 2:5, 2:5] = 10.0 + t
+            c0[t, 2, 10:12, 10:12] = 20.0
+            c1[t, 1:3, 2:5, 2:5] = 2.0 * (10.0 + t)
+            c1[t, 2, 10:12, 10:12] = 40.0
+        names = []
+        for name, arr in (("lab", labels), ("c0", c0), ("c1", c1)):
+            if as_pages:
+                pth = str(tmp / f"{name}.tif")
+                tiff.write_stack(pth, arr.reshape(T * Z, H, W))
+                names.append(pth)
+            else:
+                d = tmp / name
+                d.mkdir()
+                for t in range(T):
+                    tiff.write_stack(str(d / f"t{t:03d}.tif"), arr[t])
+                names.append(str(d))
+        return names
+
+    @pytest.mark.parametrize("as_pages", [False, True])
+    def test_volumetric_means_and_centroids(self, server_env, as_pages):
+        cfg_srv, tmp = server_env
+        lp, p0, p1 = self._volumes(tmp, as_pages=as_pages)
+        out = str(tmp / "out")
+        params = {"dims": 3}
+        if as_pages:
+            params["z"] = 4
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_objects", "params": params,
+             "input": [lp, p0, p1], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_objects"] == 4 and m["n_channels"] == 2
+        header, rows = _rows(st["outputs"]["measurements"])
+        assert header[:7] == ["t", "id", "class", "area", "z", "y", "x"]
+        by = {(r["t"], r["id"]): r for r in rows}
+        a = by[("0", "1")]
+        assert a["class"] == "1" and a["area"] == "18"  # 2*3*3
+        assert float(a["z"]) == pytest.approx(1.5)
+        assert float(a["y"]) == pytest.approx(3.0)
+        assert float(a["mean_c0"]) == 10.0 and float(a["mean_c1"]) == 20.0
+        b = by[("0", "2")]
+        assert b["class"] == "2" and b["area"] == "4"
+        assert float(b["z"]) == pytest.approx(2.0)
+        assert float(by[("1", "1")]["mean_c0"]) == 11.0
+
+    def test_volumetric_colocalize_and_frame_range(self, server_env):
+        cfg_srv, tmp = server_env
+        lp, p0, p1 = self._volumes(tmp)
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_objects",
+             "params": {"dims": 3, "colocalize": True,
+                        "coloc_threshold": 0.0, "frame_range": [1, 2]},
+             "input": [lp, p0, p1], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        header, rows = _rows(st["outputs"]["measurements"])
+        assert header[-3:] == ["pearson_c0c1", "m1_c0c1", "m2_c0c1"]
+        assert {r["t"] for r in rows} == {"1"}  # absolute t preserved
+        # constant-per-object channels: zero variance -> pearson nan;
+        # everything above threshold 0 -> manders 1
+        for r in rows:
+            assert r["pearson_c0c1"] == "nan"
+            assert float(r["m1_c0c1"]) == pytest.approx(1.0)
+
+    def test_volume_shape_mismatch_fails_fast(self, server_env):
+        cfg_srv, tmp = server_env
+        lp, p0, _ = self._volumes(tmp)
+        bad = tmp / "bad"
+        bad.mkdir()
+        for t in range(2):
+            tiff.write_stack(
+                str(bad / f"t{t:03d}.tif"), np.zeros((3, 16, 16), np.float32)
+            )
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_objects", "params": {"dims": 3},
+             "input": [lp, str(bad)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "volume shape" in st["error"]
+
+    def test_bad_dims_rejected(self, server_env):
+        cfg_srv, tmp = server_env
+        lp, p0, _ = self._volumes(tmp)
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_objects", "params": {"dims": 4},
+             "input": [lp, p0], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed" and "dims" in st["error"]
