@@ -101,7 +101,11 @@ def main(base: str):
          "params": {"model": "seg_demo"},
          "input": [os.path.join(base, "nuclei.tif")], "output": seg_out},
         # measure the MARKER channel per segmented object; the workflow
-        # submitter fills depends_on with the previous step's output
+        # submitter fills depends_on with the previous step's output.
+        # With a SECOND marker channel, "colocalize": true would add
+        # per-object Pearson + Manders M1/M2 columns; "dims": 3 measures
+        # z-stack timelapses; and a count_spots step here would join a
+        # localize_emitters run onto the same objects (spots per cell).
         {"module": "measure_objects", "params": {},
          "input": [os.path.join(seg_out, "labels.tif"),
                    os.path.join(base, "marker.tif")],

@@ -4610,6 +4610,13 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
       misses); 0 = strict inside-the-mask assignment.
     * ``frame_range``: [start, stop) label timepoints; emitter rows
       outside it are dropped.
+    * ``dims: 3``: VOLUMETRIC assignment — the labels entry follows the
+      shared volume-timelapse conventions (per-timepoint z-stack files
+      or one T·Z-page file with ``z``), the emitters csv must carry a z
+      column (a ``localize_emitters dims: 3`` run), and spots join on
+      their rounded (z, y, x) voxel (capture_radius becomes a 3D
+      distance in voxels — set ``z_scale`` upstream if z is not in
+      voxels).
 
     Outputs: spots.csv (the emitters rows + an ``object_id`` column,
     -1 = unassigned) and spot_counts.csv (``t,id,class,area,n_spots`` —
@@ -4617,7 +4624,7 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     cell" is a measurement). Metrics: n_spots, n_assigned, n_objects,
     spots_per_object_mean.
     """
-    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.data.source import FrameSource, VolumeSequence
     from sequitr_tpu.utils import PhaseTimer
 
     paths = _resolve_inputs(job)
@@ -4629,13 +4636,25 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     lab_path, em_path = paths
     if lab_path.endswith(".csv"):  # a natural argument-order slip
         lab_path, em_path = em_path, lab_path
+    p = job.params
     try:
-        lsource = FrameSource(paths=[lab_path])
+        dims = int(p.get("dims", 2))
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(f"dims={p.get('dims')!r} must be 2 or 3")
+    if dims not in (2, 3):
+        raise jobs_lib.JobError(f"dims={dims} must be 2 or 3")
+    try:
+        if dims == 3:
+            lsource = VolumeSequence(lab_path, z=_parse_z_pages(job))
+        else:
+            lsource = FrameSource(paths=[lab_path])
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read labels: {e}")
+    # per-spot coordinate column names, axis order matching the label
+    # array's (z, )y, x layout
+    axes = ("z", "y", "x") if dims == 3 else ("y", "x")
     try:
         lsource = _apply_frame_range(job, lsource)
-        p = job.params
         min_area = int(p.get("min_area", 1))
         split_touching = bool(p.get("split_touching", False))
         min_distance = int(p.get("min_distance", 5))
@@ -4649,13 +4668,12 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 header = ef.readline().strip()
                 cols = header.split(",")
                 try:
-                    c_t, c_y, c_x = (
-                        cols.index("t"), cols.index("y"), cols.index("x")
-                    )
+                    c_t = cols.index("t")
+                    c_ax = [cols.index(a) for a in axes]
                 except ValueError:
                     raise jobs_lib.JobError(
-                        f"emitters csv must have t,y,x columns, got "
-                        f"{header!r}"
+                        f"emitters csv must have t,{','.join(axes)} "
+                        f"columns, got {header!r}"
                     )
                 by_t: Dict[int, list] = {}
                 for line in ef:
@@ -4665,13 +4683,12 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     parts = line.split(",")
                     try:
                         t_row = int(float(parts[c_t]))
-                        y_row = float(parts[c_y])
-                        x_row = float(parts[c_x])
+                        coords = tuple(float(parts[c]) for c in c_ax)
                     except (ValueError, IndexError):
                         raise jobs_lib.JobError(
                             f"malformed emitters row: {line!r}"
                         )
-                    by_t.setdefault(t_row, []).append((y_row, x_row, line))
+                    by_t.setdefault(t_row, []).append((coords, line))
         except OSError as e:
             raise jobs_lib.JobError(
                 f"job {job.id}: cannot read emitters: {e}"
@@ -4695,11 +4712,19 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             for t in range(n_frames):
                 t_abs = t + lsource.frame_offset
                 with timer.phase("read"):
-                    lab = np.asarray(lsource.frame(t))
+                    if dims == 3:
+                        lab = np.asarray(lsource.volume(t))
+                    else:
+                        lab = np.asarray(lsource.frame(t))
                 with timer.phase("assign"):
-                    inst, n, areas, classes, keep, _, _ = _derive_objects(
-                        lab, split_touching, min_distance, min_area
-                    )
+                    if dims == 3:
+                        inst, n, areas, classes, keep = _derive_objects_3d(
+                            lab, split_touching, min_distance, min_area
+                        )[:5]
+                    else:
+                        inst, n, areas, classes, keep = _derive_objects(
+                            lab, split_touching, min_distance, min_area
+                        )[:5]
                     # assignment sees only KEPT objects: a spot next to a
                     # min_area-dropped speck must still capture to a real
                     # object in range (review finding — the EDT used to
@@ -4712,28 +4737,34 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     rows = by_t.get(t_abs, [])
                     oids = np.full(len(rows), -1, np.int64)
                     if rows and n:
-                        ys = np.asarray([r[0] for r in rows])
-                        xs = np.asarray([r[1] for r in rows])
-                        h, w = inst.shape
-                        iy = np.rint(ys).astype(int)
-                        ix = np.rint(xs).astype(int)
+                        idx = [
+                            np.rint(
+                                np.asarray([r[0][a] for r in rows])
+                            ).astype(int)
+                            for a in range(len(axes))
+                        ]
                         # out-of-frame coordinates (emitters from a
                         # different ROI/crop) are unassigned, never
                         # snapped to the border (review finding)
-                        inb = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-                        iy_c = np.clip(iy, 0, h - 1)
-                        ix_c = np.clip(ix, 0, w - 1)
-                        hit = np.where(inb, inst_kept[iy_c, ix_c], 0)
+                        inb = np.ones(len(rows), bool)
+                        for iv, lim in zip(idx, inst.shape):
+                            inb &= (iv >= 0) & (iv < lim)
+                        clipped = tuple(
+                            np.clip(iv, 0, lim - 1)
+                            for iv, lim in zip(idx, inst.shape)
+                        )
+                        hit = np.where(inb, inst_kept[clipped], 0)
                         bg = inb & (hit == 0)
                         if radius > 0 and bg.any():
                             from scipy import ndimage
 
-                            dist, (ny, nx) = ndimage.distance_transform_edt(
+                            dist, nearest = ndimage.distance_transform_edt(
                                 inst_kept == 0, return_indices=True
                             )
-                            close = dist[iy[bg], ix[bg]] <= radius
+                            at = tuple(iv[bg] for iv in idx)
+                            close = dist[at] <= radius
                             near = inst_kept[
-                                ny[iy[bg], ix[bg]], nx[iy[bg], ix[bg]]
+                                tuple(nearest[a][at] for a in range(len(axes)))
                             ]
                             hit[bg] = np.where(close, near, 0)
                         oids = np.where(hit > 0, hit, -1).astype(np.int64)
@@ -4741,7 +4772,7 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                         oids[oids > 0], minlength=n + 1
                     ) if n else np.zeros(1, np.int64)
                 with timer.phase("write"):
-                    for (y_row, x_row, line), oid in zip(rows, oids):
+                    for (_, line), oid in zip(rows, oids):
                         sf.write(f"{line},{int(oid)}\n")
                     for i in np.flatnonzero(keep):
                         cf.write(

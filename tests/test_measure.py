@@ -602,3 +602,66 @@ class TestMeasure3D:
         assert ImageServer(cfg_srv).poll_once()
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed" and "dims" in st["error"]
+
+
+class TestCountSpots3D:
+    def test_volumetric_assignment(self, server_env):
+        cfg_srv, tmp = server_env
+        T, Z, H, W = 2, 4, 16, 16
+        labels = np.zeros((T, Z, H, W), np.uint16)
+        labels[:, 1:3, 2:6, 2:6] = 1    # object A spans z 1-2
+        labels[:, 3, 10:13, 10:13] = 2  # object B on the top plane
+        d = tmp / "vlab"
+        d.mkdir()
+        for t in range(T):
+            tiff.write_stack(str(d / f"t{t:02d}.tif"), labels[t])
+        em = str(tmp / "em.csv")
+        with open(em, "w") as f:
+            f.write("t,z,y,x\n")
+            f.write("0,1.2,3.0,4.0\n")   # inside A
+            f.write("0,3.0,11.0,11.0\n")  # inside B
+            f.write("0,0.0,3.0,4.0\n")   # one plane BELOW A (bg; dz=1)
+            f.write("0,3.0,3.0,4.0\n")   # one plane above A (bg; dz=1)
+            f.write("1,2.0,4.0,4.0\n")   # inside A at t=1
+            f.write("1,-2.0,4.0,4.0\n")  # out of the volume -> -1
+        srv = ImageServer(cfg_srv)
+        for radius, want in ((0.0, 3), (1.5, 5)):
+            out = str(tmp / f"out_{radius}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "count_spots",
+                 "params": {"dims": 3, "capture_radius": radius},
+                 "input": [str(d), em], "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            m = json.loads(st["outputs"]["metrics"])
+            assert m["n_spots"] == 6 and m["n_assigned"] == want, m
+            _, counts = _rows(st["outputs"]["spot_counts"])
+            by = {(r["t"], r["id"]): r for r in counts}
+            assert by[("0", "1")]["area"] == "32"  # 2*4*4
+            assert int(by[("0", "1")]["n_spots"]) == (3 if radius else 1)
+            assert int(by[("0", "2")]["n_spots"]) == 1
+            assert int(by[("1", "1")]["n_spots"]) == 1
+            _, spots = _rows(st["outputs"]["spots"])
+            assert spots[-1]["object_id"] == "-1"  # out-of-volume spot
+
+    def test_3d_requires_z_column(self, server_env):
+        cfg_srv, tmp = server_env
+        d = tmp / "vlab"
+        d.mkdir()
+        tiff.write_stack(str(d / "t00.tif"), np.ones((2, 8, 8), np.uint16))
+        em = str(tmp / "em.csv")
+        with open(em, "w") as f:
+            f.write("t,y,x\n0,1,1\n")
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "count_spots", "params": {"dims": 3},
+             "input": [str(d), em], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "t,z,y,x" in st["error"]
