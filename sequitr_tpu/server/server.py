@@ -4147,6 +4147,16 @@ def _parity_check_gan(job: Job, cfg, params, state) -> Dict[str, str]:
     return {"metrics": json.dumps(metrics)}
 
 
+def _frame_or_fail(job: Job, source, t: int, volume: bool = False):
+    """Read frame/volume ``t`` from a quantification input; a corrupt
+    page mid-stack is deterministic — fail fast instead of burning
+    retries (the direct-read twin of ``_reads_fail_fast``)."""
+    try:
+        return np.asarray(source.volume(t) if volume else source.frame(t))
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: corrupt input at t={t}: {e}")
+
+
 def _derive_objects(lab: np.ndarray, split_touching: bool,
                     min_distance: int, min_area: int):
     """Shared object semantics for the quantification pipelines
@@ -4312,9 +4322,11 @@ def _measure_objects_3d(job: Job, paths) -> Dict[str, str]:
             )
             for t in range(n_vols):
                 with timer.phase("read"):
-                    lab = np.asarray(lsource.volume(t))
+                    lab = _frame_or_fail(job, lsource, t, volume=True)
                     chans = [
-                        np.asarray(cs.volume(t), np.float32)
+                        _frame_or_fail(job, cs, t, volume=True).astype(
+                            np.float32
+                        )
                         for cs in csources
                     ]
                 with timer.phase("measure"):
@@ -4519,9 +4531,9 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             with lsource:
                 for t in range(n_frames):
                     with timer.phase("read"):
-                        lab = np.asarray(lsource.frame(t))
+                        lab = _frame_or_fail(job, lsource, t)
                         chans = [
-                            np.asarray(cs.frame(t), np.float32)
+                            _frame_or_fail(job, cs, t).astype(np.float32)
                             for cs in csources
                         ]
                     with timer.phase("measure"):
@@ -4712,10 +4724,7 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             for t in range(n_frames):
                 t_abs = t + lsource.frame_offset
                 with timer.phase("read"):
-                    if dims == 3:
-                        lab = np.asarray(lsource.volume(t))
-                    else:
-                        lab = np.asarray(lsource.frame(t))
+                    lab = _frame_or_fail(job, lsource, t, volume=dims == 3)
                 with timer.phase("assign"):
                     if dims == 3:
                         inst, n, areas, classes, keep = _derive_objects_3d(

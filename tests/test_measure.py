@@ -665,3 +665,42 @@ class TestCountSpots3D:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert "t,z,y,x" in st["error"]
+
+
+class TestQuantCorruptInputFailsFast:
+    def test_measure_corrupt_midstack_is_one_attempt(self, server_env):
+        """A garbled DEFLATE page mid-stack = deterministic JobError (no
+        retry burn) — the quantification twin of the serving-loop rule."""
+        import dataclasses
+
+        cfg_srv, tmp = server_env
+        cfg_srv = dataclasses.replace(cfg_srv, log_dir=str(tmp / "logs"))
+        cfg_srv.ensure_dirs()
+        T, H, W = 4, 16, 16
+        labels = np.zeros((T, H, W), np.uint16)
+        labels[:, 4:8, 4:8] = 1
+        inten = np.full((T, H, W), 3.0, np.float32)
+        lp, ip = str(tmp / "lab.tif"), str(tmp / "ch.tif")
+        tiff.write_stack(lp, labels)
+        tiff.write_stack(ip, inten, compression="deflate")
+        with tiff.TiffReader(ip) as r:
+            off = int(r._frames[-1][3][0])
+            cnt = int(r._frames[-1][4][0])
+        with open(ip, "r+b") as f:
+            f.seek(off)
+            f.write(bytes((i * 31 + 7) % 256 for i in range(cnt)))
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_objects", "params": {},
+             "input": [lp, ip], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "JobError" in st["error"] and "corrupt input" in st["error"]
+        ledger = [
+            json.loads(ln)
+            for ln in open(os.path.join(str(tmp / "logs"), "jobs.jsonl"))
+        ]
+        assert ledger[-1]["attempts"] == 1, ledger[-1]
