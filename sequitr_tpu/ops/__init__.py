@@ -8,6 +8,7 @@
 - ``registration``: FFT phase-correlation drift correction
 - ``illumination``: retrospective flat-field + photobleach compensation
 - ``colocalize``: per-object Pearson/Manders colocalization (host-side)
+- ``qc``: per-frame acquisition QC (focus/exposure/saturation, on-device)
 - ``pallas``: hand-written Pallas TPU kernels for the hot paths
 """
 
@@ -50,3 +51,4 @@ from sequitr_tpu.ops.registration import (  # noqa: F401
 )
 from sequitr_tpu.ops import weightmaps  # noqa: F401
 from sequitr_tpu.ops import colocalize  # noqa: F401
+from sequitr_tpu.ops import qc  # noqa: F401

@@ -39,6 +39,9 @@ Built-in pipelines (registry keys are the rebuild's documented API):
     lineage; btrack remains the Bayesian publication-grade path).
   * ``count_spots`` — assign a ``localize_emitters`` run's spots to a
     segmentation's objects (spots-per-cell; FISH-style quantification).
+  * ``qc_stack`` — per-frame acquisition QC (focus/exposure/saturation
+    scored on device, run-relative outlier flags) before chip time is
+    spent.
   * ``register_stack`` — drift correction: FFT phase-correlation
     registration of a timelapse (sub-pixel, streamed; no model required).
   * ``stitch_mosaic`` — grid-of-tiles composite (seam phase correlation,
@@ -4812,6 +4815,142 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         "spot_counts": counts_path,
         "metrics": json.dumps(metrics),
     }
+
+
+@register("qc_stack")
+def qc_stack(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Per-frame acquisition QC of a timelapse (no model required).
+
+    The triage step BEFORE chip time is spent: scores every frame's
+    focus (Laplacian variance + Tenengrad), exposure (mean/std/p01/p99)
+    and saturation fraction in one fused on-device graph per frame
+    (``ops/qc.py``), then flags outliers with run-relative robust
+    statistics — ``focus`` (score ``focus_mad_k`` robust sigmas below
+    the run median), ``dark`` (mean under ``dark_fraction`` x the run
+    median) and ``saturated`` (fraction over ``saturation_max``). Feed
+    the flagged frame list to ``frame_range``/pre-filtering before
+    training or serving. An extension beyond the reference's capability
+    list (its era triaged by eye).
+
+    input: one or more channel entries (the shared one-TIFF-per-channel
+    convention; each channel scores and flags independently). params:
+    ``saturation_level`` (absolute; default = the integer dtype's
+    full-scale value, float inputs skip saturation unless given),
+    ``focus_mad_k`` (default 3.5), ``focus_drop`` (default 0.5 — a
+    focus flag also requires the score under this fraction of the run
+    median), ``dark_fraction`` (default 0.5), ``saturation_max``
+    (default 0.01), ``frame_range``.
+
+    Outputs: qc.csv — one row per (frame, channel):
+    ``t,channel,focus_vol,tenengrad,mean,std,p01,p99,sat_frac,flags``
+    (``flags`` is ``+``-joined, empty = clean). Metrics: n_frames,
+    n_flagged and per-flag counts.
+    """
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.ops import qc as qc_lib
+    from sequitr_tpu.pipeline import infer as infer_lib
+    from sequitr_tpu.utils import PhaseTimer
+
+    paths = _resolve_inputs(job)
+    p = job.params
+    sources = []
+    try:
+        for p_ in paths:
+            try:
+                sources.append(FrameSource(paths=[p_]))
+            except ValueError as e:
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read inputs: {e}"
+                )
+        sources = [_apply_frame_range(job, s) for s in sources]
+        if len({(len(s), s.spatial) for s in sources}) != 1:
+            raise jobs_lib.JobError(
+                "channels disagree in length/shape: "
+                + str([(len(s), s.spatial) for s in sources])
+            )
+        sat_param = p.get("saturation_level")
+        sat_param = None if sat_param is None else float(sat_param)
+        mad_k = float(p.get("focus_mad_k", 3.5))
+        focus_drop = float(p.get("focus_drop", 0.5))
+        dark_fraction = float(p.get("dark_fraction", 0.5))
+        sat_max = float(p.get("saturation_max", 0.01))
+        if (
+            mad_k <= 0 or not 0 <= dark_fraction < 1
+            or not 0 < sat_max <= 1 or not 0 < focus_drop <= 1
+        ):
+            raise jobs_lib.JobError(
+                f"bad thresholds: focus_mad_k={mad_k} (>0), focus_drop="
+                f"{focus_drop} ((0,1]), dark_fraction={dark_fraction} "
+                f"([0,1)), saturation_max={sat_max} ((0,1])"
+            )
+    except BaseException:
+        for s in sources:
+            s.close()
+        raise
+
+    timer = PhaseTimer()
+    n_frames = len(sources[0])
+    offset = sources[0].frame_offset
+    qc_fn = qc_lib.cached_frame_qc(tuple(sources[0].spatial))
+    rep = jobs_lib.ProgressReporter(job, n_frames * len(sources))
+    tables = []  # per-channel (T, 7)
+    t0 = time.time()
+    for ch, src in enumerate(sources):
+        sat = (
+            sat_param if sat_param is not None
+            else qc_lib.default_saturation_level(src.dtype)
+        )
+        sat_j = jnp.asarray(np.inf if sat is None else sat, jnp.float32)
+        rows = []
+        with src:
+            for out in infer_lib.stream_frames(
+                lambda f: qc_fn(f, sat_j),
+                _reads_fail_fast(
+                    job, (src.frame(t) for t in range(n_frames))
+                ),
+                prefetch_host=infer_lib._copy_to_host_async,
+            ):
+                with timer.phase("fetch"):
+                    rows.append(np.asarray(out))
+                rep.step()
+        tables.append(np.stack(rows) if rows else np.zeros((0, 7)))
+    with timer.phase("flag"):
+        flags = [
+            qc_lib.flag_frames(
+                tb, mad_k=mad_k, dark_fraction=dark_fraction,
+                sat_max=sat_max, focus_drop=focus_drop,
+            )
+            for tb in tables
+        ]
+    qc_path = os.path.join(job.output, "qc.csv")
+    with open(qc_path + ".tmp", "w") as f:
+        f.write("t,channel," + ",".join(qc_lib.METRICS) + ",flags\n")
+        for t in range(n_frames):
+            for ch in range(len(sources)):
+                vals = ",".join(f"{v:.6g}" for v in tables[ch][t])
+                f.write(
+                    f"{t + offset},{ch},{vals},"
+                    f"{'+'.join(flags[ch][t])}\n"
+                )
+    os.replace(qc_path + ".tmp", qc_path)
+    rep.finish()
+    per_flag: Dict[str, int] = {}
+    flagged = set()
+    for ch in range(len(sources)):
+        for t, fl in enumerate(flags[ch]):
+            if fl:
+                flagged.add(t)
+            for name in fl:
+                per_flag[name] = per_flag.get(name, 0) + 1
+    metrics = dict(
+        timer.summary(), total_s=round(time.time() - t0, 4),
+        n_frames=n_frames, n_channels=len(sources),
+        n_flagged_frames=len(flagged),
+        **{f"n_{k}": v for k, v in sorted(per_flag.items())},
+    )
+    return {"qc": qc_path, "metrics": json.dumps(metrics)}
 
 
 @register("track_objects")

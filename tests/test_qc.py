@@ -1,0 +1,180 @@
+"""Tests: per-frame acquisition QC (ops/qc.py + the qc_stack pipeline).
+
+Focus/exposure/saturation triage before any model runs — an extension
+beyond the reference (whose era triaged acquisitions by eye).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sequitr_tpu.config import ServerConfiguration
+from sequitr_tpu.data import tiff
+from sequitr_tpu.ops import qc as qc_lib
+from sequitr_tpu.server import ImageServer, submit_job
+
+
+def _scene(rng, size=64, blur=0):
+    """A textured scene; ``blur`` box-filters it (defocus stand-in)."""
+    img = rng.random((size, size)).astype(np.float32) * 100
+    for _ in range(blur):
+        img = (
+            img
+            + np.roll(img, 1, 0) + np.roll(img, -1, 0)
+            + np.roll(img, 1, 1) + np.roll(img, -1, 1)
+        ) / 5.0
+    return img
+
+
+class TestFrameQC:
+    def test_focus_measures_order_by_sharpness(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        qc = qc_lib.make_frame_qc((64, 64))
+        inf = jnp.asarray(np.inf, jnp.float32)
+        sharp = np.asarray(qc(jnp.asarray(_scene(rng)), inf))
+        soft = np.asarray(qc(jnp.asarray(_scene(rng, blur=2)), inf))
+        very = np.asarray(qc(jnp.asarray(_scene(rng, blur=6)), inf))
+        i_vol = qc_lib.METRICS.index("focus_vol")
+        i_ten = qc_lib.METRICS.index("tenengrad")
+        for i in (i_vol, i_ten):
+            assert sharp[i] > soft[i] > very[i]
+
+    def test_saturation_and_exposure_exact(self):
+        import jax.numpy as jnp
+
+        img = np.full((32, 32), 100.0, np.float32)
+        img[:8] = 255.0  # exactly 1/4 saturated
+        qc = qc_lib.make_frame_qc((32, 32))
+        got = np.asarray(qc(jnp.asarray(img), jnp.asarray(255.0)))
+        m = dict(zip(qc_lib.METRICS, got))
+        assert m["sat_frac"] == pytest.approx(0.25)
+        assert m["mean"] == pytest.approx(100.0 * 0.75 + 255.0 * 0.25)
+        assert m["p99"] == pytest.approx(255.0)
+        # inf level = saturation disabled
+        got2 = np.asarray(qc(jnp.asarray(img), jnp.asarray(np.inf)))
+        assert got2[qc_lib.METRICS.index("sat_frac")] == 0.0
+
+    def test_flag_frames_relative_rules(self):
+        rng = np.random.default_rng(1)
+        rows = [qc_lib.METRICS for _ in range(0)]  # silence linters
+        tbl = []
+        for t in range(12):
+            focus = 100.0 if t != 4 else 1.0   # t=4 defocused
+            mean = 50.0 if t != 7 else 5.0     # t=7 dark
+            sat = 0.0 if t != 9 else 0.2       # t=9 saturated
+            tbl.append([focus + rng.normal(0, 2), 10.0, mean, 5.0,
+                        1.0, 99.0, sat])
+        flags = qc_lib.flag_frames(np.asarray(tbl))
+        assert "focus" in flags[4]
+        assert "dark" in flags[7]
+        assert "saturated" in flags[9]
+        clean = [i for i in range(12) if i not in (4, 7, 9)]
+        assert all(not flags[i] for i in clean)
+        # single frame: no focus distribution, never flagged
+        assert qc_lib.flag_frames(np.asarray(tbl[:1])) == [[]]
+
+    def test_flag_table_validation(self):
+        with pytest.raises(ValueError, match="table"):
+            qc_lib.flag_frames(np.zeros((3, 4)))
+
+    def test_default_saturation_level(self):
+        assert qc_lib.default_saturation_level(np.uint16) == 65535.0
+        assert qc_lib.default_saturation_level(np.uint8) == 255.0
+        assert qc_lib.default_saturation_level(np.float32) is None
+
+
+class TestQcStackPipeline:
+    @pytest.fixture
+    def server_env(self, tmp_path):
+        cfg = ServerConfiguration(
+            jobs_dir=str(tmp_path / "jobs"),
+            models_dir=str(tmp_path / "models"),
+        )
+        cfg.ensure_dirs()
+        return cfg, tmp_path
+
+    def test_flags_bad_frames_e2e(self, server_env):
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(2)
+        T, S = 10, 48
+        stack = np.stack([_scene(rng, S) for _ in range(T)])
+        stack[3] = _scene(rng, S, blur=8)     # defocused
+        stack[6] *= 0.05                      # dark
+        stack = (stack * 400).astype(np.uint16)
+        stack[8, :24] = 65535                 # heavily saturated
+        path = str(tmp / "stack.tif")
+        tiff.write_stack(path, stack)
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "qc_stack", "params": {},
+             "input": [path], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_frames"] == T and m["n_channels"] == 1
+        assert m["n_flagged_frames"] >= 3
+        rows = open(st["outputs"]["qc"]).read().strip().split("\n")
+        header = rows[0].split(",")
+        assert header[:2] == ["t", "channel"] and header[-1] == "flags"
+        by_t = {int(r.split(",")[0]): r.split(",")[-1] for r in rows[1:]}
+        assert "focus" in by_t[3]
+        assert "dark" in by_t[6]
+        assert "saturated" in by_t[8]
+        clean = [t for t in range(T) if t not in (3, 6, 8)]
+        assert all(by_t[t] == "" for t in clean)
+
+    def test_multichannel_and_frame_range(self, server_env):
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(3)
+        T, S = 6, 32
+        c0 = np.stack([_scene(rng, S) for _ in range(T)])
+        c1 = np.stack([_scene(rng, S) for _ in range(T)])
+        c1[4] *= 0.01  # dark ONLY in channel 1
+        p0, p1 = str(tmp / "c0.tif"), str(tmp / "c1.tif")
+        tiff.write_stack(p0, c0.astype(np.float32))
+        tiff.write_stack(p1, c1.astype(np.float32))
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "qc_stack", "params": {"frame_range": [2, 6]},
+             "input": [p0, p1], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        rows = open(st["outputs"]["qc"]).read().strip().split("\n")[1:]
+        assert len(rows) == 4 * 2
+        recs = [r.split(",") for r in rows]
+        assert {r[0] for r in recs} == {"2", "3", "4", "5"}  # absolute t
+        flagged = {(r[0], r[1]) for r in recs if "dark" in r[-1]}
+        assert flagged == {("4", "1")}
+
+    def test_validation_errors(self, server_env):
+        cfg_srv, tmp = server_env
+        p0 = str(tmp / "c0.tif")
+        tiff.write_stack(p0, np.ones((3, 16, 16), np.float32))
+        p1 = str(tmp / "c1.tif")
+        tiff.write_stack(p1, np.ones((2, 16, 16), np.float32))
+        srv = ImageServer(cfg_srv)
+        for name, params, inputs, frag in (
+            ("v1", {}, [p0, p1], "disagree"),
+            ("v2", {"focus_mad_k": 0}, [p0], "thresholds"),
+            ("v3", {"dark_fraction": 1.5}, [p0], "thresholds"),
+        ):
+            out = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "qc_stack", "params": params,
+                 "input": inputs, "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "failed"
+            assert frag in st["error"], (name, st["error"])
