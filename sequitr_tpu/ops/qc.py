@@ -32,7 +32,7 @@ Exposed through the job API as the ``qc_stack`` pipeline.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 
@@ -43,14 +43,15 @@ METRICS = ("focus_vol", "tenengrad", "mean", "std", "p01", "p99",
            "sat_frac")
 
 
-def make_frame_qc(spatial: Tuple[int, int]):
-    """Build ``qc(frame, sat_level) -> (7,) float32`` for one 2D shape.
+def make_frame_qc():
+    """Build ``qc(frame, sat_level) -> (7,) float32`` (any 2D shape).
 
     One fused graph: Laplacian + Sobel responses (valid-region only — a
     1-px rim is excluded so border padding can't fake sharpness),
     percentiles, moments and the saturation count. ``sat_level`` is a
     TRACED scalar so one compiled graph serves any dtype's full-scale
-    value (pass ``jnp.inf`` to disable — sat_frac reads 0).
+    value (pass ``jnp.inf`` to disable — sat_frac reads 0). jit itself
+    specializes per frame shape, so the builder takes no shape.
     """
     import jax
     import jax.numpy as jnp
@@ -79,11 +80,11 @@ def make_frame_qc(spatial: Tuple[int, int]):
     return jax.jit(qc)
 
 
-@functools.lru_cache(maxsize=32)
-def cached_frame_qc(spatial: Tuple[int, int]):
-    """Process-wide cache of jitted QC graphs (cross-job reuse, like the
-    inference caches — keyed on the frame shape only)."""
-    return make_frame_qc(spatial)
+@functools.lru_cache(maxsize=1)
+def cached_frame_qc():
+    """The process-wide jitted QC entry point (cross-job reuse; jax's
+    own per-shape retrace cache does the shape keying)."""
+    return make_frame_qc()
 
 
 def flag_frames(
@@ -114,13 +115,16 @@ def flag_frames(
     if len(t) > 1:
         med = float(np.median(col["focus_vol"]))
         mad = float(np.median(np.abs(col["focus_vol"] - med)))
-        sigma = 1.4826 * mad
-        if sigma > 0:
-            for i in np.flatnonzero(
-                (col["focus_vol"] < med - mad_k * sigma)
-                & (col["focus_vol"] < focus_drop * med)
-            ):
-                flags[i].append("focus")
+        # MAD floor: >=50% identical focus scores (frozen stage,
+        # duplicated frames) collapse the MAD to 0 — the degenerate run
+        # must still flag a grossly defocused frame (the drop floor
+        # prevents false positives), same guard as _robust_threshold
+        sigma = max(1.4826 * mad, 1e-12)
+        for i in np.flatnonzero(
+            (col["focus_vol"] < med - mad_k * sigma)
+            & (col["focus_vol"] < focus_drop * med)
+        ):
+            flags[i].append("focus")
     med_mean = float(np.median(col["mean"]))
     for i in np.flatnonzero(col["mean"] < dark_fraction * med_mean):
         flags[i].append("dark")

@@ -4328,7 +4328,7 @@ def _measure_objects_3d(job: Job, paths) -> Dict[str, str]:
                     lab = _frame_or_fail(job, lsource, t, volume=True)
                     chans = [
                         _frame_or_fail(job, cs, t, volume=True).astype(
-                            np.float32
+                            np.float32, copy=False
                         )
                         for cs in csources
                     ]
@@ -4536,7 +4536,7 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     with timer.phase("read"):
                         lab = _frame_or_fail(job, lsource, t)
                         chans = [
-                            _frame_or_fail(job, cs, t).astype(np.float32)
+                            _frame_or_fail(job, cs, t).astype(np.float32, copy=False)
                             for cs in csources
                         ]
                     with timer.phase("measure"):
@@ -4670,10 +4670,13 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     axes = ("z", "y", "x") if dims == 3 else ("y", "x")
     try:
         lsource = _apply_frame_range(job, lsource)
-        min_area = int(p.get("min_area", 1))
-        split_touching = bool(p.get("split_touching", False))
-        min_distance = int(p.get("min_distance", 5))
-        radius = float(p.get("capture_radius", 0.0))
+        try:
+            min_area = int(p.get("min_area", 1))
+            split_touching = bool(p.get("split_touching", False))
+            min_distance = int(p.get("min_distance", 5))
+            radius = float(p.get("capture_radius", 0.0))
+        except (TypeError, ValueError) as e:
+            raise jobs_lib.JobError(f"job {job.id}: bad param: {e}")
         if radius < 0:
             raise jobs_lib.JobError(
                 f"capture_radius must be >= 0, got {radius}"
@@ -4870,12 +4873,16 @@ def qc_stack(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 "channels disagree in length/shape: "
                 + str([(len(s), s.spatial) for s in sources])
             )
-        sat_param = p.get("saturation_level")
-        sat_param = None if sat_param is None else float(sat_param)
-        mad_k = float(p.get("focus_mad_k", 3.5))
-        focus_drop = float(p.get("focus_drop", 0.5))
-        dark_fraction = float(p.get("dark_fraction", 0.5))
-        sat_max = float(p.get("saturation_max", 0.01))
+        try:
+            sat_param = p.get("saturation_level")
+            sat_param = None if sat_param is None else float(sat_param)
+            mad_k = float(p.get("focus_mad_k", 3.5))
+            focus_drop = float(p.get("focus_drop", 0.5))
+            dark_fraction = float(p.get("dark_fraction", 0.5))
+            sat_max = float(p.get("saturation_max", 0.01))
+        except (TypeError, ValueError) as e:
+            # bad params are deterministic: fail fast, never retry
+            raise jobs_lib.JobError(f"job {job.id}: bad qc param: {e}")
         if (
             mad_k <= 0 or not 0 <= dark_fraction < 1
             or not 0 < sat_max <= 1 or not 0 < focus_drop <= 1
@@ -4893,29 +4900,36 @@ def qc_stack(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     timer = PhaseTimer()
     n_frames = len(sources[0])
     offset = sources[0].frame_offset
-    qc_fn = qc_lib.cached_frame_qc(tuple(sources[0].spatial))
+    qc_fn = qc_lib.cached_frame_qc()
     rep = jobs_lib.ProgressReporter(job, n_frames * len(sources))
     tables = []  # per-channel (T, 7)
     t0 = time.time()
-    for ch, src in enumerate(sources):
-        sat = (
-            sat_param if sat_param is not None
-            else qc_lib.default_saturation_level(src.dtype)
-        )
-        sat_j = jnp.asarray(np.inf if sat is None else sat, jnp.float32)
-        rows = []
-        with src:
-            for out in infer_lib.stream_frames(
-                lambda f: qc_fn(f, sat_j),
-                _reads_fail_fast(
-                    job, (src.frame(t) for t in range(n_frames))
-                ),
-                prefetch_host=infer_lib._copy_to_host_async,
-            ):
-                with timer.phase("fetch"):
-                    rows.append(np.asarray(out))
-                rep.step()
-        tables.append(np.stack(rows) if rows else np.zeros((0, 7)))
+    try:
+        for ch, src in enumerate(sources):
+            sat = (
+                sat_param if sat_param is not None
+                else qc_lib.default_saturation_level(src.dtype)
+            )
+            sat_j = jnp.asarray(np.inf if sat is None else sat, jnp.float32)
+            rows = []
+            with src:
+                for out in infer_lib.stream_frames(
+                    lambda f: qc_fn(f, sat_j),
+                    _reads_fail_fast(
+                        job, (src.frame(t) for t in range(n_frames))
+                    ),
+                    prefetch_host=infer_lib._copy_to_host_async,
+                ):
+                    with timer.phase("fetch"):
+                        rows.append(np.asarray(out))
+                    rep.step()
+            tables.append(np.stack(rows) if rows else np.zeros((0, 7)))
+    finally:
+        # a mid-stream failure in channel k must not leak the remaining
+        # channels' open readers in a long-lived worker (close is
+        # idempotent; the with-block already closed the current one)
+        for s in sources:
+            s.close()
     with timer.phase("flag"):
         flags = [
             qc_lib.flag_frames(

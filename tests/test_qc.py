@@ -33,7 +33,7 @@ class TestFrameQC:
         import jax.numpy as jnp
 
         rng = np.random.default_rng(0)
-        qc = qc_lib.make_frame_qc((64, 64))
+        qc = qc_lib.make_frame_qc()
         inf = jnp.asarray(np.inf, jnp.float32)
         sharp = np.asarray(qc(jnp.asarray(_scene(rng)), inf))
         soft = np.asarray(qc(jnp.asarray(_scene(rng, blur=2)), inf))
@@ -48,7 +48,7 @@ class TestFrameQC:
 
         img = np.full((32, 32), 100.0, np.float32)
         img[:8] = 255.0  # exactly 1/4 saturated
-        qc = qc_lib.make_frame_qc((32, 32))
+        qc = qc_lib.make_frame_qc()
         got = np.asarray(qc(jnp.asarray(img), jnp.asarray(255.0)))
         m = dict(zip(qc_lib.METRICS, got))
         assert m["sat_frac"] == pytest.approx(0.25)
@@ -60,7 +60,6 @@ class TestFrameQC:
 
     def test_flag_frames_relative_rules(self):
         rng = np.random.default_rng(1)
-        rows = [qc_lib.METRICS for _ in range(0)]  # silence linters
         tbl = []
         for t in range(12):
             focus = 100.0 if t != 4 else 1.0   # t=4 defocused
@@ -80,6 +79,17 @@ class TestFrameQC:
     def test_flag_table_validation(self):
         with pytest.raises(ValueError, match="table"):
             qc_lib.flag_frames(np.zeros((3, 4)))
+
+    def test_degenerate_mad_still_flags_gross_defocus(self):
+        """>=50% identical focus scores (frozen stage / duplicated
+        frames) collapse the MAD to 0 — a grossly defocused frame must
+        STILL flag (code-review fix: the old sigma>0 guard disabled
+        focus flagging entirely in that regime)."""
+        tbl = [[100.0, 10.0, 50.0, 5.0, 1.0, 99.0, 0.0] for _ in range(9)]
+        tbl.append([1.0, 10.0, 50.0, 5.0, 1.0, 99.0, 0.0])
+        flags = qc_lib.flag_frames(np.asarray(tbl))
+        assert flags[9] == ["focus"]
+        assert all(not f for f in flags[:9])
 
     def test_default_saturation_level(self):
         assert qc_lib.default_saturation_level(np.uint16) == 65535.0
@@ -167,6 +177,10 @@ class TestQcStackPipeline:
             ("v1", {}, [p0, p1], "disagree"),
             ("v2", {"focus_mad_k": 0}, [p0], "thresholds"),
             ("v3", {"dark_fraction": 1.5}, [p0], "thresholds"),
+            # non-numeric params are deterministic JobErrors, not raw
+            # ValueErrors that burn retries (code-review fix)
+            ("v4", {"focus_mad_k": "3,5"}, [p0], "bad qc param"),
+            ("v5", {"saturation_level": "auto"}, [p0], "bad qc param"),
         ):
             out = str(tmp / name)
             submit_job(
