@@ -42,6 +42,8 @@ Built-in pipelines (registry keys are the rebuild's documented API):
   * ``qc_stack`` — per-frame acquisition QC (focus/exposure/saturation
     scored on device, run-relative outlier flags) before chip time is
     spent.
+  * ``export_ctc`` — render a tracking run as Cell-Tracking-Challenge
+    masks + res_track.txt (labels repainted to track labels).
   * ``register_stack`` — drift correction: FFT phase-correlation
     registration of a timelapse (sub-pixel, streamed; no model required).
   * ``stitch_mosaic`` — grid-of-tiles composite (seam phase correlation,
@@ -4816,6 +4818,169 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     return {
         "spots": spots_path,
         "spot_counts": counts_path,
+        "metrics": json.dumps(metrics),
+    }
+
+
+@register("export_ctc")
+def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Render a tracking run in Cell-Tracking-Challenge (CTC) format.
+
+    The interop endpoint of the lineage story: CTC evaluation tools
+    (TRA/SEG measures, lineage viewers) consume a RES folder of per-frame
+    16-bit instance masks whose labels ARE the track labels, plus
+    ``res_track.txt`` (the ``L B E P`` table ``track_objects`` already
+    writes as lbep.txt). input: [labels entry, track_objects output dir]
+    — the SAME labels stack the tracked objects.h5 was localized from,
+    and the tracking run to render (chain both with ``depends_on``).
+
+    Each frame's instances are re-derived with the same object semantics
+    the serve used (``min_area``/``split_touching``/``min_distance`` must
+    match it) and joined to the tracking rows by centroid (a KD-tree
+    within ``match_tol``, default 0.1 px — centroids are stored at 3
+    decimals, so genuine matches are exact). Matched pixels repaint to
+    the CTC 1-based track label (``track_id + 1``, exactly the labels
+    lbep.txt carries); instances with no tracking row (e.g. dropped by
+    ``min_track_length``) paint background and count in ``n_unmatched``.
+
+    Outputs: ``mask{t:0Nd}.tif`` one per frame (uint16, N = max(3,
+    digits of T) — the CTC RES naming) + ``res_track.txt``. 2D only
+    (CTC's own format is per-frame planar masks).
+    """
+    from scipy.spatial import cKDTree
+
+    from sequitr_tpu.data.source import FrameSource
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.utils import PhaseTimer
+
+    paths = _resolve_inputs(job)
+    if len(paths) != 2:
+        raise jobs_lib.JobError(
+            f"export_ctc needs [labels, tracking output dir], got "
+            f"{len(paths)} input(s)"
+        )
+    lab_path, trk_path = paths
+    if os.path.isdir(lab_path) and os.path.exists(
+        os.path.join(lab_path, "tracks.csv")
+    ):
+        lab_path, trk_path = trk_path, lab_path  # argument-order slip
+    tracks_csv = (
+        os.path.join(trk_path, "tracks.csv")
+        if os.path.isdir(trk_path) else trk_path
+    )
+    lbep_src = os.path.join(os.path.dirname(tracks_csv), "lbep.txt")
+    if not os.path.exists(tracks_csv) or not os.path.exists(lbep_src):
+        raise jobs_lib.JobError(
+            f"{trk_path!r} is not a track_objects output (needs "
+            "tracks.csv + lbep.txt)"
+        )
+    try:
+        lsource = FrameSource(paths=[lab_path])
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read labels: {e}")
+    try:
+        lsource = _apply_frame_range(job, lsource)
+        p = job.params
+        try:
+            min_area = int(p.get("min_area", 1))
+            split_touching = bool(p.get("split_touching", False))
+            min_distance = int(p.get("min_distance", 5))
+            tol = float(p.get("match_tol", 0.1))
+        except (TypeError, ValueError) as e:
+            raise jobs_lib.JobError(f"job {job.id}: bad param: {e}")
+        if tol <= 0:
+            raise jobs_lib.JobError(f"match_tol must be > 0, got {tol}")
+        # tracks.csv rows -> per-frame (x, y) points + track ids
+        by_t: Dict[int, list] = {}
+        max_tid = -1
+        with open(tracks_csv) as f:
+            cols = f.readline().strip().split(",")
+            try:
+                c_id, c_t, c_x, c_y = (
+                    cols.index("track_id"), cols.index("t"),
+                    cols.index("x"), cols.index("y"),
+                )
+            except ValueError:
+                raise jobs_lib.JobError(
+                    f"{tracks_csv}: not a tracks.csv (columns {cols})"
+                )
+            for line in f:
+                parts = line.strip().split(",")
+                if len(parts) < 4:
+                    continue
+                try:
+                    tid = int(parts[c_id])
+                    t_row = int(float(parts[c_t]))
+                    x_row = float(parts[c_x])
+                    y_row = float(parts[c_y])
+                except ValueError:
+                    raise jobs_lib.JobError(
+                        f"malformed tracks row: {line.strip()!r}"
+                    )
+                by_t.setdefault(t_row, []).append((y_row, x_row, tid))
+                max_tid = max(max_tid, tid)
+        if max_tid + 1 > 65534:
+            raise jobs_lib.JobError(
+                f"{max_tid + 1} CTC labels exceed uint16 (65534 max)"
+            )
+    except BaseException:
+        lsource.close()
+        raise
+
+    timer = PhaseTimer()
+    n_frames = len(lsource)
+    width = max(3, len(str(n_frames - 1 + lsource.frame_offset)))
+    rep = jobs_lib.ProgressReporter(job, n_frames)
+    n_matched = n_unmatched = 0
+    t0 = time.time()
+    comp = _out_compression(job)
+    mask_paths = []
+    with lsource:
+        for t in range(n_frames):
+            t_abs = t + lsource.frame_offset
+            with timer.phase("read"):
+                lab = _frame_or_fail(job, lsource, t)
+            with timer.phase("relabel"):
+                inst, n, areas, classes, keep, cy, cx = _derive_objects(
+                    lab, split_touching, min_distance, min_area
+                )
+                lut = np.zeros(n + 1, np.uint16)
+                rows = by_t.get(t_abs, [])
+                if n and rows:
+                    tree = cKDTree(
+                        np.asarray([(r[0], r[1]) for r in rows])
+                    )
+                    kept = np.flatnonzero(keep)
+                    d, idx = tree.query(
+                        np.stack([cy[kept], cx[kept]], axis=1),
+                        distance_upper_bound=tol,
+                    )
+                    for i, (dd, j) in zip(kept, zip(d, idx)):
+                        if np.isfinite(dd):
+                            lut[i + 1] = rows[j][2] + 1  # CTC 1-based
+                            n_matched += 1
+                        else:
+                            n_unmatched += 1
+                elif n:
+                    n_unmatched += int(keep.sum())
+                mask = lut[inst]
+            with timer.phase("write"):
+                pth = os.path.join(job.output, f"mask{t_abs:0{width}d}.tif")
+                tiff.write_stack(pth, mask[None], compression=comp)
+                mask_paths.append(pth)
+            rep.step()
+    import shutil
+
+    res_path = os.path.join(job.output, "res_track.txt")
+    shutil.copyfile(lbep_src, res_path)
+    rep.finish()
+    metrics = dict(
+        timer.summary(), total_s=round(time.time() - t0, 4),
+        n_frames=n_frames, n_matched=n_matched, n_unmatched=n_unmatched,
+    )
+    return {
+        "masks": os.path.join(job.output, f"mask*{'.tif'}"),
+        "res_track": res_path,
         "metrics": json.dumps(metrics),
     }
 

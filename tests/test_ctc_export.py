@@ -1,0 +1,159 @@
+"""Tests: export_ctc — tracking runs rendered in Cell-Tracking-Challenge
+format (per-frame track-labelled masks + res_track.txt)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sequitr_tpu import localize
+from sequitr_tpu.config import ServerConfiguration
+from sequitr_tpu.data import tiff
+from sequitr_tpu.server import ImageServer, submit_job
+
+
+@pytest.fixture
+def server_env(tmp_path):
+    cfg = ServerConfiguration(
+        jobs_dir=str(tmp_path / "jobs"), models_dir=str(tmp_path / "models")
+    )
+    cfg.ensure_dirs()
+    return cfg, tmp_path
+
+
+def _scene(T=6, S=48):
+    """Two moving square cells; returns the label stack."""
+    labels = np.zeros((T, S, S), np.uint16)
+    for t in range(T):
+        labels[t, 4 + 2 * t:10 + 2 * t, 4:10] = 1          # mover A
+        labels[t, 30:36, 30 + 2 * t:36 + 2 * t] = 1        # mover B
+    return labels
+
+
+def _run_chain(cfg_srv, tmp, labels, trk_params=None, exp_params=None):
+    lp = str(tmp / "labels.tif")
+    tiff.write_stack(lp, labels)
+    h5 = str(tmp / "objects.h5")
+    tables = [
+        localize.localize_frame_table(labels[t], t=t)
+        for t in range(len(labels))
+    ]
+    localize.export_btrack_h5_tables(h5, tables, n_frames=len(labels))
+    srv = ImageServer(cfg_srv)
+    trk_out = str(tmp / "trk")
+    submit_job(
+        cfg_srv.jobs_dir,
+        {"module": "track_objects",
+         "params": {"max_distance": 6, **(trk_params or {})},
+         "input": [h5], "output": trk_out},
+    )
+    assert srv.poll_once()
+    st = json.load(open(os.path.join(trk_out, "status.json")))
+    assert st["state"] == "complete", st.get("error")
+    out = str(tmp / "ctc")
+    submit_job(
+        cfg_srv.jobs_dir,
+        {"module": "export_ctc", "params": exp_params or {},
+         "input": [lp, trk_out], "output": out},
+    )
+    assert srv.poll_once()
+    return json.load(open(os.path.join(out, "status.json"))), out, trk_out
+
+
+class TestExportCtc:
+    def test_masks_carry_track_labels(self, server_env):
+        cfg_srv, tmp = server_env
+        labels = _scene()
+        st, out, trk_out = _run_chain(cfg_srv, tmp, labels)
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_matched"] == 12 and m["n_unmatched"] == 0
+        # res_track matches the tracking run's lbep byte for byte
+        res = open(st["outputs"]["res_track"]).read()
+        assert res == open(os.path.join(trk_out, "lbep.txt")).read()
+        lbep = [r.split() for r in res.strip().split("\n")]
+        assert len(lbep) == 2  # two movers, no divisions
+        # every frame's mask: same support as the labels, values = the
+        # CTC 1-based track labels, each mover one label across time
+        ids_a, ids_b = set(), set()
+        for t in range(len(labels)):
+            mask = tiff.read_stack(os.path.join(out, f"mask{t:03d}.tif"))
+            mask = mask[0] if mask.ndim == 3 else mask
+            assert mask.dtype == np.uint16
+            np.testing.assert_array_equal(mask > 0, labels[t] > 0)
+            ids_a.add(int(mask[6 + 2 * t, 6]))
+            ids_b.add(int(mask[32, 32 + 2 * t]))
+        assert len(ids_a) == 1 and len(ids_b) == 1
+        assert ids_a != ids_b
+        assert {v for v in (ids_a | ids_b)} == {int(r[0]) for r in lbep}
+
+    def test_division_labels_switch_at_fission(self, server_env):
+        """Parent label paints until t_div-1; child labels from t_div —
+        exactly the CTC parent/child convention res_track encodes."""
+        cfg_srv, tmp = server_env
+        T, S = 7, 48
+        labels = np.zeros((T, S, S), np.uint16)
+        for t in range(3):
+            labels[t, 20:26, 20:26] = 1
+        for t in range(3, T):
+            d = 4 * (t - 2)
+            labels[t, 20:26, 20 - d:26 - d] = 1
+            labels[t, 20:26, 20 + d:26 + d] = 1
+        st, out, trk_out = _run_chain(
+            cfg_srv, tmp, labels,
+            trk_params={"max_distance": 12, "divisions": True},
+        )
+        assert st["state"] == "complete", st.get("error")
+        lbep = {
+            int(r.split()[0]): r.split()
+            for r in open(st["outputs"]["res_track"]).read().splitlines()
+        }
+        children = [r for r in lbep.values() if r[3] != "0"]
+        assert len(children) == 2
+        parent_label = int(children[0][3])
+        m2 = tiff.read_stack(os.path.join(out, "mask002.tif"))
+        m3 = tiff.read_stack(os.path.join(out, "mask003.tif"))
+        m2, m3 = np.squeeze(m2), np.squeeze(m3)
+        assert set(np.unique(m2)) == {0, parent_label}
+        got3 = set(np.unique(m3)) - {0}
+        assert got3 == {int(r[0]) for r in children}
+
+    def test_unmatched_instances_paint_background(self, server_env):
+        """min_track_length filtering drops a blinker's rows; its pixels
+        must paint 0 and count as unmatched."""
+        cfg_srv, tmp = server_env
+        labels = _scene()
+        labels[2, 40:43, 4:7] = 1  # a one-frame blip
+        st, out, _ = _run_chain(
+            cfg_srv, tmp, labels, trk_params={"min_track_length": 3},
+        )
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_unmatched"] == 1 and m["n_matched"] == 12
+        mask = np.squeeze(
+            tiff.read_stack(os.path.join(out, "mask002.tif"))
+        )
+        assert mask[41, 5] == 0  # the blip painted background
+
+    def test_validation(self, server_env):
+        cfg_srv, tmp = server_env
+        lp = str(tmp / "labels.tif")
+        tiff.write_stack(lp, _scene())
+        srv = ImageServer(cfg_srv)
+        not_trk = tmp / "not_trk"
+        not_trk.mkdir()
+        for name, inputs, frag in (
+            ("v1", [lp], "needs"),
+            ("v2", [lp, str(not_trk)], "track_objects output"),
+        ):
+            out = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "export_ctc", "params": {},
+                 "input": inputs, "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "failed"
+            assert frag in st["error"], (name, st["error"])
