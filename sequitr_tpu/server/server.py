@@ -4844,8 +4844,14 @@ def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     ``min_track_length``) paint background and count in ``n_unmatched``.
 
     Outputs: ``mask{t:0Nd}.tif`` one per frame (uint16, N = max(3,
-    digits of T) — the CTC RES naming) + ``res_track.txt``. 2D only
-    (CTC's own format is per-frame planar masks).
+    digits of T) — the CTC RES naming, 0-based WITHIN the export, so a
+    ``frame_range`` subset is itself a valid contiguous RES folder) +
+    ``res_track.txt`` (trimmed/shifted to the exported range; parents
+    outside it clear to 0). Zero matches with tracking rows present is a
+    deterministic JobError (the object params do not reproduce the
+    serve); partially-unmatched rows surface as a runtime warning +
+    ``n_unmatched_rows``. 2D only (CTC's own format is per-frame planar
+    masks).
     """
     from scipy.spatial import cKDTree
 
@@ -4919,9 +4925,9 @@ def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     )
                 by_t.setdefault(t_row, []).append((y_row, x_row, tid))
                 max_tid = max(max_tid, tid)
-        if max_tid + 1 > 65534:
+        if max_tid + 1 > 65535:
             raise jobs_lib.JobError(
-                f"{max_tid + 1} CTC labels exceed uint16 (65534 max)"
+                f"{max_tid + 1} CTC labels exceed uint16 (65535 max)"
             )
     except BaseException:
         lsource.close()
@@ -4929,15 +4935,19 @@ def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     timer = PhaseTimer()
     n_frames = len(lsource)
-    width = max(3, len(str(n_frames - 1 + lsource.frame_offset)))
+    start = lsource.frame_offset
+    # CTC folders are 0-based and contiguous: a frame_range export
+    # renumbers its masks from 0 and rewrites res_track to the subrange
+    # (a wholesale lbep copy would reference frames with no mask file —
+    # an invalid RES folder; code-review finding)
+    width = max(3, len(str(n_frames - 1)))
     rep = jobs_lib.ProgressReporter(job, n_frames)
-    n_matched = n_unmatched = 0
+    n_matched = n_unmatched = n_unmatched_rows = 0
     t0 = time.time()
     comp = _out_compression(job)
-    mask_paths = []
     with lsource:
         for t in range(n_frames):
-            t_abs = t + lsource.frame_offset
+            t_abs = t + start
             with timer.phase("read"):
                 lab = _frame_or_fail(job, lsource, t)
             with timer.phase("relabel"):
@@ -4946,40 +4956,89 @@ def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 )
                 lut = np.zeros(n + 1, np.uint16)
                 rows = by_t.get(t_abs, [])
-                if n and rows:
-                    tree = cKDTree(
-                        np.asarray([(r[0], r[1]) for r in rows])
-                    )
-                    kept = np.flatnonzero(keep)
+                kept = np.flatnonzero(keep) if n else np.zeros(0, int)
+                got = 0
+                if len(kept) and rows:
+                    # gated ONE-TO-ONE assignment: per-instance nearest
+                    # queries can double-book a row when two instances
+                    # share a centroid (ring + center fragment), painting
+                    # one track label twice and the other never — greedy
+                    # by distance with each row/instance used once
+                    tree = cKDTree(np.asarray([(r[0], r[1]) for r in rows]))
+                    k = min(3, len(rows))
                     d, idx = tree.query(
-                        np.stack([cy[kept], cx[kept]], axis=1),
+                        np.stack([cy[kept], cx[kept]], axis=1), k=k,
                         distance_upper_bound=tol,
                     )
-                    for i, (dd, j) in zip(kept, zip(d, idx)):
-                        if np.isfinite(dd):
-                            lut[i + 1] = rows[j][2] + 1  # CTC 1-based
-                            n_matched += 1
-                        else:
-                            n_unmatched += 1
-                elif n:
-                    n_unmatched += int(keep.sum())
+                    d = np.atleast_2d(d.reshape(len(kept), -1))
+                    idx = np.atleast_2d(idx.reshape(len(kept), -1))
+                    cands = sorted(
+                        (float(d[a, b]), int(kept[a]), int(idx[a, b]))
+                        for a in range(len(kept)) for b in range(d.shape[1])
+                        if np.isfinite(d[a, b])
+                    )
+                    used_i, used_r = set(), set()
+                    for _, i, j in cands:
+                        if i in used_i or j in used_r:
+                            continue
+                        used_i.add(i)
+                        used_r.add(j)
+                        lut[i + 1] = rows[j][2] + 1  # CTC 1-based
+                        got += 1
+                    n_unmatched_rows += len(rows) - len(used_r)
+                else:
+                    n_unmatched_rows += len(rows)
+                n_matched += got
+                n_unmatched += len(kept) - got
                 mask = lut[inst]
             with timer.phase("write"):
-                pth = os.path.join(job.output, f"mask{t_abs:0{width}d}.tif")
+                pth = os.path.join(job.output, f"mask{t:0{width}d}.tif")
                 tiff.write_stack(pth, mask[None], compression=comp)
-                mask_paths.append(pth)
             rep.step()
-    import shutil
-
+    if n_matched == 0 and by_t:
+        # every tracking row missed every instance: the object semantics
+        # (min_area/split_touching/min_distance) do not match the serve
+        # the tracking was computed from — deterministic, fail loudly
+        raise jobs_lib.JobError(
+            "no tracking row matched any instance: object-derivation "
+            "params must MATCH the serve the tracking consumed "
+            f"(min_area={min_area}, split_touching={split_touching}, "
+            f"min_distance={min_distance}, match_tol={tol})"
+        )
+    if n_unmatched_rows:
+        job.runtime_warnings.append(
+            f"{n_unmatched_rows} tracking row(s) matched no instance "
+            "(frame_range subset, or object params differ from the serve)"
+        )
     res_path = os.path.join(job.output, "res_track.txt")
-    shutil.copyfile(lbep_src, res_path)
+    stop = start + n_frames
+    with open(lbep_src) as f, open(res_path + ".tmp", "w") as out_f:
+        kept_labels = set()
+        rows_lbep = []
+        for line in f:
+            parts = line.split()
+            if len(parts) != 4:
+                continue
+            lbl, b, e, par = (int(v) for v in parts)
+            if e < start or b >= stop:
+                continue  # entirely outside the exported range
+            rows_lbep.append(
+                (lbl, max(b - start, 0), min(e, stop - 1) - start, par)
+            )
+            kept_labels.add(lbl)
+        for lbl, b, e, par in rows_lbep:
+            out_f.write(
+                f"{lbl} {b} {e} {par if par in kept_labels else 0}\n"
+            )
+    os.replace(res_path + ".tmp", res_path)
     rep.finish()
     metrics = dict(
         timer.summary(), total_s=round(time.time() - t0, 4),
         n_frames=n_frames, n_matched=n_matched, n_unmatched=n_unmatched,
+        n_unmatched_rows=n_unmatched_rows,
     )
     return {
-        "masks": os.path.join(job.output, f"mask*{'.tif'}"),
+        "masks": os.path.join(job.output, "mask*.tif"),
         "res_track": res_path,
         "metrics": json.dumps(metrics),
     }

@@ -562,3 +562,34 @@ class TestLocalize3DOnChip:
         # z rides the width fits through a steep inversion: allow float
         # accumulation differences scaled by the grid step (~5 units)
         assert np.abs(got_a["z"] - ref_a["z"]).max() < 5.0
+
+
+class TestQcOnChip:
+    def test_frame_qc_vs_cpu_f32(self):
+        """The fused QC graph compiled on the chip vs the CPU path on
+        identical frames: the stencils and moments run f32, so the focus
+        scores must agree to float accumulation tolerance and the
+        saturation fraction exactly (an integer count)."""
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.ops import qc as qc_lib
+
+        rng = np.random.default_rng(95_001)
+        frame = (rng.gamma(2.0, 400.0, (512, 512))).astype(np.float32)
+        frame[:64] = 65535.0
+        sat = jnp.asarray(65535.0, jnp.float32)
+        qc = qc_lib.make_frame_qc()
+        got = np.asarray(qc(jnp.asarray(frame), sat))
+        cpu = _cpu_device()
+        with jax.default_device(cpu):
+            ref = np.asarray(
+                qc_lib.make_frame_qc()(jnp.asarray(frame), sat)
+            )
+        m = dict(zip(qc_lib.METRICS, got))
+        r = dict(zip(qc_lib.METRICS, ref))
+        assert m["sat_frac"] == r["sat_frac"]  # exact count
+        for k in ("focus_vol", "tenengrad", "mean", "std"):
+            assert abs(m[k] - r[k]) / max(abs(r[k]), 1e-9) < 1e-4, k
+        for k in ("p01", "p99"):
+            assert abs(m[k] - r[k]) / max(abs(r[k]), 1e-9) < 1e-3, k
