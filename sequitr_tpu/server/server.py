@@ -44,6 +44,8 @@ Built-in pipelines (registry keys are the rebuild's documented API):
     spent.
   * ``export_ctc`` — render a tracking run as Cell-Tracking-Challenge
     masks + res_track.txt (labels repainted to track labels).
+  * ``measure_tracks`` — join a tracking run onto per-object
+    measurements: per-track multi-channel intensity traces.
   * ``register_stack`` — drift correction: FFT phase-correlation
     registration of a timelapse (sub-pixel, streamed; no model required).
   * ``stitch_mosaic`` — grid-of-tiles composite (seam phase correlation,
@@ -4820,6 +4822,153 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         "spot_counts": counts_path,
         "metrics": json.dumps(metrics),
     }
+
+
+@register("measure_tracks")
+def measure_tracks(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Join a tracking run onto per-object measurements: intensity
+    traces per track (the reporter-over-lineage product).
+
+    The completion of the segment -> measure -> track triangle: a
+    ``measure_objects`` run quantifies channels per object per frame, a
+    ``track_objects`` run links the same objects through time — this
+    joins them by (t, centroid) so every measurement row gains its track
+    identity, yielding per-track multi-channel time series (cell-cycle
+    reporters, signalling dynamics, photobleaching per clone). input:
+    [measure_objects output dir (or measurements.csv), track_objects
+    output dir (or tracks.csv)] — chain all three with ``depends_on``.
+
+    Join: KD-tree on each frame's tracking detections, gated one-to-one
+    within ``match_tol`` (default 0.1 px — both CSVs store the SAME
+    native-sweep centroids at 3-4 decimals, so genuine joins are exact;
+    run both steps with the same object params). Measurement rows with
+    no tracking row keep ``track_id -1`` (min_track_length-filtered
+    blips). Zero joins with rows on both sides is a deterministic
+    JobError (mismatched object params).
+
+    Outputs: traces.csv — the measurement columns with ``track_id``
+    prepended, sorted by (track_id, t); track -1 rows last. Metrics:
+    n_rows, n_joined, n_unjoined, n_tracks.
+    """
+    from scipy.spatial import cKDTree
+
+    paths = _resolve_inputs(job)
+    if len(paths) != 2:
+        raise jobs_lib.JobError(
+            "measure_tracks needs [measurements, tracking output], got "
+            f"{len(paths)} input(s)"
+        )
+    meas_path, trk_path = paths
+    if os.path.isdir(meas_path):
+        meas_path = os.path.join(meas_path, "measurements.csv")
+    if os.path.isdir(trk_path):
+        trk_path = os.path.join(trk_path, "tracks.csv")
+    if not os.path.exists(meas_path) or not os.path.exists(trk_path):
+        # accept either argument order: exactly one of each must resolve
+        alt_m = (
+            os.path.join(paths[1], "measurements.csv")
+            if os.path.isdir(paths[1]) else paths[1]
+        )
+        alt_t = (
+            os.path.join(paths[0], "tracks.csv")
+            if os.path.isdir(paths[0]) else paths[0]
+        )
+        if os.path.exists(alt_m) and os.path.exists(alt_t):
+            meas_path, trk_path = alt_m, alt_t
+        else:
+            raise jobs_lib.JobError(
+                f"cannot resolve measurements.csv + tracks.csv from "
+                f"{paths!r}"
+            )
+    p = job.params
+    try:
+        tol = float(p.get("match_tol", 0.1))
+    except (TypeError, ValueError) as e:
+        raise jobs_lib.JobError(f"job {job.id}: bad param: {e}")
+    if tol <= 0:
+        raise jobs_lib.JobError(f"match_tol must be > 0, got {tol}")
+
+    def _read_rows(path, need):
+        with open(path) as f:
+            cols = f.readline().strip().split(",")
+            try:
+                ix = {c: cols.index(c) for c in need}
+            except ValueError:
+                raise jobs_lib.JobError(
+                    f"{path}: needs columns {need}, got {cols}"
+                )
+            rows = []
+            for line in f:
+                line = line.strip()
+                if line:
+                    rows.append(line.split(","))
+            return cols, ix, rows
+
+    mcols, mix, mrows = _read_rows(meas_path, ("t", "y", "x"))
+    _, tix, trows = _read_rows(trk_path, ("track_id", "t", "y", "x"))
+    try:
+        trk_by_t: Dict[int, list] = {}
+        for r in trows:
+            trk_by_t.setdefault(int(float(r[tix["t"]])), []).append(
+                (float(r[tix["y"]]), float(r[tix["x"]]),
+                 int(r[tix["track_id"]]))
+            )
+        meas_by_t: Dict[int, list] = {}
+        for r in mrows:
+            meas_by_t.setdefault(int(float(r[mix["t"]])), []).append(r)
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: malformed csv row: {e}")
+
+    joined = []
+    n_joined = 0
+    for t, rows in sorted(meas_by_t.items()):
+        cands = trk_by_t.get(t, [])
+        ids = [-1] * len(rows)
+        if cands:
+            tree = cKDTree(np.asarray([(c[0], c[1]) for c in cands]))
+            pts = np.asarray(
+                [(float(r[mix["y"]]), float(r[mix["x"]])) for r in rows]
+            )
+            k = min(3, len(cands))
+            d, idx = tree.query(pts, k=k, distance_upper_bound=tol)
+            d = np.atleast_2d(d.reshape(len(rows), -1))
+            idx = np.atleast_2d(idx.reshape(len(rows), -1))
+            order = sorted(
+                (float(d[a, b]), a, int(idx[a, b]))
+                for a in range(len(rows)) for b in range(d.shape[1])
+                if np.isfinite(d[a, b])
+            )
+            used_m, used_t = set(), set()
+            for _, a, j in order:
+                if a in used_m or j in used_t:
+                    continue
+                used_m.add(a)
+                used_t.add(j)
+                ids[a] = cands[j][2]
+                n_joined += 1
+        for r, tid in zip(rows, ids):
+            joined.append((tid, t, r))
+    if n_joined == 0 and mrows and trows:
+        raise jobs_lib.JobError(
+            "no measurement row joined any tracking row: run "
+            "measure_objects and track_objects with MATCHING object "
+            f"params (match_tol={tol})"
+        )
+    out_path = os.path.join(job.output, "traces.csv")
+    with open(out_path + ".tmp", "w") as f:
+        f.write("track_id," + ",".join(mcols) + "\n")
+        # track -1 rows last; within a track, time order
+        joined.sort(key=lambda v: (v[0] < 0, v[0], v[1]))
+        for tid, _, r in joined:
+            f.write(f"{tid}," + ",".join(r) + "\n")
+    os.replace(out_path + ".tmp", out_path)
+    metrics = {
+        "n_rows": len(joined),
+        "n_joined": n_joined,
+        "n_unjoined": len(joined) - n_joined,
+        "n_tracks": len({tid for tid, _, _ in joined if tid >= 0}),
+    }
+    return {"traces": out_path, "metrics": json.dumps(metrics)}
 
 
 @register("export_ctc")

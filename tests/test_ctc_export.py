@@ -220,3 +220,121 @@ class TestExportCtcReviewFixes:
         assert ring_centroid_y == 10.0  # ring centroid == center pixel
         # (the full pipeline path is covered by the e2e tests; this
         # pins the geometric premise the fix exists for)
+
+
+class TestMeasureTracks:
+    def _chain(self, cfg_srv, tmp, labels, inten, trk_params=None,
+               mt_params=None):
+        lp, ip = str(tmp / "labels.tif"), str(tmp / "chan.tif")
+        tiff.write_stack(lp, labels)
+        tiff.write_stack(ip, inten)
+        h5 = str(tmp / "objects.h5")
+        tables = [
+            localize.localize_frame_table(labels[t], t=t)
+            for t in range(len(labels))
+        ]
+        localize.export_btrack_h5_tables(h5, tables, n_frames=len(labels))
+        srv = ImageServer(cfg_srv)
+        meas_out, trk_out = str(tmp / "meas"), str(tmp / "trk")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_objects", "params": {},
+             "input": [lp, ip], "output": meas_out},
+        )
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "track_objects",
+             "params": {"max_distance": 6, **(trk_params or {})},
+             "input": [h5], "output": trk_out},
+        )
+        assert srv.poll_once() and srv.poll_once()
+        out = str(tmp / "traces")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_tracks", "params": mt_params or {},
+             "input": [meas_out, trk_out], "output": out},
+        )
+        assert srv.poll_once()
+        return json.load(open(os.path.join(out, "status.json"))), out
+
+    def test_per_track_traces(self, server_env):
+        """Two movers with distinct constant intensities: each track's
+        trace carries ITS intensity at every timepoint, time-ordered."""
+        cfg_srv, tmp = server_env
+        labels = _scene()
+        inten = np.zeros(labels.shape, np.float32)
+        for t in range(len(labels)):
+            inten[t, 4 + 2 * t:10 + 2 * t, 4:10] = 11.0       # mover A
+            inten[t, 30:36, 30 + 2 * t:36 + 2 * t] = 22.0     # mover B
+        st, out = self._chain(cfg_srv, tmp, labels, inten)
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_rows"] == 12 and m["n_joined"] == 12
+        assert m["n_unjoined"] == 0 and m["n_tracks"] == 2
+        rows = open(st["outputs"]["traces"]).read().strip().split("\n")
+        header = rows[0].split(",")
+        assert header[0] == "track_id" and "mean_c0" in header
+        i_mean = header.index("mean_c0")
+        i_t = header.index("t")
+        by_track = {}
+        for r in rows[1:]:
+            cols = r.split(",")
+            by_track.setdefault(cols[0], []).append(
+                (int(cols[i_t]), float(cols[i_mean]))
+            )
+        assert len(by_track) == 2
+        traces = sorted(
+            tuple(v for _, v in sorted(tr)) for tr in by_track.values()
+        )
+        assert traces[0] == (11.0,) * 6
+        assert traces[1] == (22.0,) * 6
+        # time-ordered within each track in the file itself
+        for tr in by_track.values():
+            assert [t for t, _ in tr] == sorted(t for t, _ in tr)
+
+    def test_unjoined_rows_and_zero_join_error(self, server_env):
+        cfg_srv, tmp = server_env
+        labels = _scene()
+        labels[2, 40:43, 4:7] = 1  # a blip dropped by min_track_length
+        inten = np.full(labels.shape, 5.0, np.float32)
+        st, out = self._chain(
+            cfg_srv, tmp, labels, inten,
+            trk_params={"min_track_length": 3},
+        )
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_unjoined"] == 1
+        last = open(st["outputs"]["traces"]).read().strip().split("\n")[-1]
+        assert last.startswith("-1,")  # unjoined rows sort last
+
+        # zero joins = deterministic param-mismatch error: a tracks.csv
+        # whose coordinates live nowhere near the measurements
+        far = tmp / "far"
+        far.mkdir()
+        with open(far / "tracks.csv", "w") as f:
+            f.write("track_id,t,x,y,z,label,area,intensity_mean\n")
+            for t in range(6):
+                f.write(f"0,{t},999.0,999.0,0.0,1,10,1.0\n")
+        out2 = str(tmp / "traces2")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_tracks", "params": {},
+             "input": [str(tmp / "meas"), str(far)], "output": out2},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st2 = json.load(open(os.path.join(out2, "status.json")))
+        assert st2["state"] == "failed"
+        assert "MATCHING object params" in st2["error"]
+
+    def test_input_validation(self, server_env):
+        cfg_srv, tmp = server_env
+        srv = ImageServer(cfg_srv)
+        out = str(tmp / "v1")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_tracks", "params": {},
+             "input": [str(tmp)], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed" and "needs" in st["error"]
