@@ -116,6 +116,7 @@ def main(base: str):
         assert server.poll_once(), "no job ready"
 
     st = json.load(open(os.path.join(trk_out, "status.json")))
+    assert st["state"] == "complete", st.get("error")
     print("tracking:", json.loads(st["outputs"]["metrics"]))
     print("\nlineage (lbep: label begin end parent):")
     print(open(os.path.join(trk_out, "lbep.txt")).read().strip())

@@ -4824,6 +4824,80 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     }
 
 
+def _read_tracks_csv(path: str):
+    """tracks.csv -> ``({t: [(y, x, z, track_id), ...]}, max_track_id)``
+    (shared by export_ctc and measure_tracks — one parser, one set of
+    malformed-row semantics)."""
+    by_t: Dict[int, list] = {}
+    max_tid = -1
+    with open(path) as f:
+        cols = f.readline().strip().split(",")
+        try:
+            c_id, c_t, c_x, c_y = (
+                cols.index("track_id"), cols.index("t"),
+                cols.index("x"), cols.index("y"),
+            )
+        except ValueError:
+            raise jobs_lib.JobError(
+                f"{path}: not a tracks.csv (columns {cols})"
+            )
+        c_z = cols.index("z") if "z" in cols else None
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) < 4:
+                continue
+            try:
+                tid = int(parts[c_id])
+                t_row = int(float(parts[c_t]))
+                y = float(parts[c_y])
+                x = float(parts[c_x])
+                z = float(parts[c_z]) if c_z is not None else 0.0
+            except ValueError:
+                raise jobs_lib.JobError(
+                    f"malformed tracks row: {line.strip()!r}"
+                )
+            by_t.setdefault(t_row, []).append((y, x, z, tid))
+            max_tid = max(max_tid, tid)
+    return by_t, max_tid
+
+
+def _match_centroids(pts, cand_pts, tol: float):
+    """Gated ONE-TO-ONE greedy nearest assignment of N-D points.
+
+    ``pts`` (n, d) query points, ``cand_pts`` (m, d) candidates; returns
+    a length-n list of candidate indices (-1 = no match within ``tol``).
+    k-nearest candidates sorted by distance, each side used once —
+    per-query nearest alone double-books a candidate when two queries
+    share a position (the ring-plus-center-fragment case). Shared by
+    export_ctc and measure_tracks.
+    """
+    from scipy.spatial import cKDTree
+
+    assign = [-1] * len(pts)
+    if not len(pts) or not len(cand_pts):
+        return assign
+    tree = cKDTree(np.asarray(cand_pts))
+    k = min(3, len(cand_pts))
+    d, idx = tree.query(
+        np.asarray(pts), k=k, distance_upper_bound=tol
+    )
+    d = d.reshape(len(pts), -1)
+    idx = idx.reshape(len(pts), -1)
+    order = sorted(
+        (float(d[a, b]), a, int(idx[a, b]))
+        for a in range(len(pts)) for b in range(d.shape[1])
+        if np.isfinite(d[a, b])
+    )
+    used_p, used_c = set(), set()
+    for _, a, j in order:
+        if a in used_p or j in used_c:
+            continue
+        used_p.add(a)
+        used_c.add(j)
+        assign[a] = j
+    return assign
+
+
 @register("measure_tracks")
 def measure_tracks(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Join a tracking run onto per-object measurements: intensity
@@ -4841,45 +4915,61 @@ def measure_tracks(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     Join: KD-tree on each frame's tracking detections, gated one-to-one
     within ``match_tol`` (default 0.1 px — both CSVs store the SAME
     native-sweep centroids at 3-4 decimals, so genuine joins are exact;
-    run both steps with the same object params). Measurement rows with
-    no tracking row keep ``track_id -1`` (min_track_length-filtered
-    blips). Zero joins with rows on both sides is a deterministic
-    JobError (mismatched object params).
+    run both steps with the same object params). Volumetric runs join in
+    full (y, x, z) when the measurements carry a z column (``dims: 3``).
+    Measurement rows with no tracking row keep ``track_id -1``
+    (min_track_length-filtered blips). Zero joins with rows on both
+    sides is a deterministic JobError (mismatched object params);
+    tracking rows that match no measurement (a ``frame_range`` subset,
+    or differing object params) surface as ``n_unjoined_track_rows`` +
+    a runtime warning so truncated traces never look complete.
 
     Outputs: traces.csv — the measurement columns with ``track_id``
     prepended, sorted by (track_id, t); track -1 rows last. Metrics:
-    n_rows, n_joined, n_unjoined, n_tracks.
+    n_rows, n_joined, n_unjoined, n_unjoined_track_rows, n_tracks.
     """
-    from scipy.spatial import cKDTree
-
     paths = _resolve_inputs(job)
     if len(paths) != 2:
         raise jobs_lib.JobError(
             "measure_tracks needs [measurements, tracking output], got "
             f"{len(paths)} input(s)"
         )
-    meas_path, trk_path = paths
-    if os.path.isdir(meas_path):
-        meas_path = os.path.join(meas_path, "measurements.csv")
-    if os.path.isdir(trk_path):
-        trk_path = os.path.join(trk_path, "tracks.csv")
-    if not os.path.exists(meas_path) or not os.path.exists(trk_path):
-        # accept either argument order: exactly one of each must resolve
-        alt_m = (
-            os.path.join(paths[1], "measurements.csv")
-            if os.path.isdir(paths[1]) else paths[1]
+
+    def _as_file(p_, name):
+        return os.path.join(p_, name) if os.path.isdir(p_) else p_
+
+    meas_path = _as_file(paths[0], "measurements.csv")
+    trk_path = _as_file(paths[1], "tracks.csv")
+    alt_m = _as_file(paths[1], "measurements.csv")
+    alt_t = _as_file(paths[0], "tracks.csv")
+
+    def _header(p_):
+        try:
+            with open(p_) as f:
+                return f.readline().strip().split(",")
+        except OSError:
+            return None
+
+    # accept either argument order, sniffed by HEADER (path existence
+    # alone cannot disambiguate two explicit .csv paths — review fix):
+    # the tracks side is the one carrying a track_id column
+    def _sides_ok(m, t):
+        hm, ht = _header(m), _header(t)
+        return (
+            hm is not None and ht is not None
+            and "track_id" in ht and "track_id" not in hm
         )
-        alt_t = (
-            os.path.join(paths[0], "tracks.csv")
-            if os.path.isdir(paths[0]) else paths[0]
+
+    if _sides_ok(meas_path, trk_path):
+        pass
+    elif _sides_ok(alt_m, alt_t):
+        meas_path, trk_path = alt_m, alt_t
+    else:
+        raise jobs_lib.JobError(
+            f"cannot resolve measurements.csv + tracks.csv from {paths!r} "
+            "(the tracks side must carry a track_id column)"
         )
-        if os.path.exists(alt_m) and os.path.exists(alt_t):
-            meas_path, trk_path = alt_m, alt_t
-        else:
-            raise jobs_lib.JobError(
-                f"cannot resolve measurements.csv + tracks.csv from "
-                f"{paths!r}"
-            )
+    h_m = _header(meas_path)
     p = job.params
     try:
         tol = float(p.get("match_tol", 0.1))
@@ -4888,71 +4978,69 @@ def measure_tracks(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     if tol <= 0:
         raise jobs_lib.JobError(f"match_tol must be > 0, got {tol}")
 
-    def _read_rows(path, need):
-        with open(path) as f:
-            cols = f.readline().strip().split(",")
-            try:
-                ix = {c: cols.index(c) for c in need}
-            except ValueError:
-                raise jobs_lib.JobError(
-                    f"{path}: needs columns {need}, got {cols}"
-                )
-            rows = []
-            for line in f:
-                line = line.strip()
-                if line:
-                    rows.append(line.split(","))
-            return cols, ix, rows
-
-    mcols, mix, mrows = _read_rows(meas_path, ("t", "y", "x"))
-    _, tix, trows = _read_rows(trk_path, ("track_id", "t", "y", "x"))
+    mcols = h_m
     try:
-        trk_by_t: Dict[int, list] = {}
-        for r in trows:
-            trk_by_t.setdefault(int(float(r[tix["t"]])), []).append(
-                (float(r[tix["y"]]), float(r[tix["x"]]),
-                 int(r[tix["track_id"]]))
-            )
+        mix = {c: mcols.index(c) for c in ("t", "y", "x")}
+    except ValueError:
+        raise jobs_lib.JobError(
+            f"{meas_path}: needs columns ('t', 'y', 'x'), got {mcols}"
+        )
+    use_z = "z" in mcols  # volumetric measurements join in 3D
+    if use_z:
+        mix["z"] = mcols.index("z")
+    mrows = []
+    with open(meas_path) as f:
+        f.readline()
+        for line in f:
+            line = line.strip()
+            if line:
+                mrows.append(line.split(","))
+    trk_by_t, _ = _read_tracks_csv(trk_path)
+    n_track_rows = sum(len(v) for v in trk_by_t.values())
+    try:
         meas_by_t: Dict[int, list] = {}
         for r in mrows:
             meas_by_t.setdefault(int(float(r[mix["t"]])), []).append(r)
-    except ValueError as e:
+    except (ValueError, IndexError) as e:
         raise jobs_lib.JobError(f"job {job.id}: malformed csv row: {e}")
 
     joined = []
     n_joined = 0
-    for t, rows in sorted(meas_by_t.items()):
-        cands = trk_by_t.get(t, [])
-        ids = [-1] * len(rows)
-        if cands:
-            tree = cKDTree(np.asarray([(c[0], c[1]) for c in cands]))
-            pts = np.asarray(
-                [(float(r[mix["y"]]), float(r[mix["x"]])) for r in rows]
-            )
-            k = min(3, len(cands))
-            d, idx = tree.query(pts, k=k, distance_upper_bound=tol)
-            d = np.atleast_2d(d.reshape(len(rows), -1))
-            idx = np.atleast_2d(idx.reshape(len(rows), -1))
-            order = sorted(
-                (float(d[a, b]), a, int(idx[a, b]))
-                for a in range(len(rows)) for b in range(d.shape[1])
-                if np.isfinite(d[a, b])
-            )
-            used_m, used_t = set(), set()
-            for _, a, j in order:
-                if a in used_m or j in used_t:
-                    continue
-                used_m.add(a)
-                used_t.add(j)
-                ids[a] = cands[j][2]
-                n_joined += 1
-        for r, tid in zip(rows, ids):
-            joined.append((tid, t, r))
-    if n_joined == 0 and mrows and trows:
+    try:
+        for t, rows in sorted(meas_by_t.items()):
+            cands = trk_by_t.get(t, [])
+            if cands:
+                dims_sl = slice(0, 3 if use_z else 2)
+                pts = [
+                    tuple(
+                        float(r[mix[a]]) for a in
+                        (("y", "x", "z") if use_z else ("y", "x"))
+                    )
+                    for r in rows
+                ]
+                assign = _match_centroids(
+                    pts, [c[dims_sl] for c in cands], tol
+                )
+                ids = [cands[j][3] if j >= 0 else -1 for j in assign]
+                n_joined += sum(j >= 0 for j in assign)
+            else:
+                ids = [-1] * len(rows)
+            for r, tid in zip(rows, ids):
+                joined.append((tid, t, r))
+    except (ValueError, IndexError) as e:
+        raise jobs_lib.JobError(f"job {job.id}: malformed csv row: {e}")
+    if n_joined == 0 and mrows and n_track_rows:
         raise jobs_lib.JobError(
             "no measurement row joined any tracking row: run "
             "measure_objects and track_objects with MATCHING object "
             f"params (match_tol={tol})"
+        )
+    n_unjoined_track_rows = n_track_rows - n_joined
+    if n_unjoined_track_rows:
+        job.runtime_warnings.append(
+            f"{n_unjoined_track_rows} tracking row(s) joined no "
+            "measurement (frame_range subset, or object params differ "
+            "between the two runs) — traces are PARTIAL for those tracks"
         )
     out_path = os.path.join(job.output, "traces.csv")
     with open(out_path + ".tmp", "w") as f:
@@ -4966,6 +5054,7 @@ def measure_tracks(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         "n_rows": len(joined),
         "n_joined": n_joined,
         "n_unjoined": len(joined) - n_joined,
+        "n_unjoined_track_rows": n_unjoined_track_rows,
         "n_tracks": len({tid for tid, _, _ in joined if tid >= 0}),
     }
     return {"traces": out_path, "metrics": json.dumps(metrics)}
@@ -5002,8 +5091,6 @@ def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     ``n_unmatched_rows``. 2D only (CTC's own format is per-frame planar
     masks).
     """
-    from scipy.spatial import cKDTree
-
     from sequitr_tpu.data.source import FrameSource
     from sequitr_tpu.data import tiff
     from sequitr_tpu.utils import PhaseTimer
@@ -5045,35 +5132,7 @@ def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             raise jobs_lib.JobError(f"job {job.id}: bad param: {e}")
         if tol <= 0:
             raise jobs_lib.JobError(f"match_tol must be > 0, got {tol}")
-        # tracks.csv rows -> per-frame (x, y) points + track ids
-        by_t: Dict[int, list] = {}
-        max_tid = -1
-        with open(tracks_csv) as f:
-            cols = f.readline().strip().split(",")
-            try:
-                c_id, c_t, c_x, c_y = (
-                    cols.index("track_id"), cols.index("t"),
-                    cols.index("x"), cols.index("y"),
-                )
-            except ValueError:
-                raise jobs_lib.JobError(
-                    f"{tracks_csv}: not a tracks.csv (columns {cols})"
-                )
-            for line in f:
-                parts = line.strip().split(",")
-                if len(parts) < 4:
-                    continue
-                try:
-                    tid = int(parts[c_id])
-                    t_row = int(float(parts[c_t]))
-                    x_row = float(parts[c_x])
-                    y_row = float(parts[c_y])
-                except ValueError:
-                    raise jobs_lib.JobError(
-                        f"malformed tracks row: {line.strip()!r}"
-                    )
-                by_t.setdefault(t_row, []).append((y_row, x_row, tid))
-                max_tid = max(max_tid, tid)
+        by_t, max_tid = _read_tracks_csv(tracks_csv)
         if max_tid + 1 > 65535:
             raise jobs_lib.JobError(
                 f"{max_tid + 1} CTC labels exceed uint16 (65535 max)"
@@ -5108,33 +5167,20 @@ def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 kept = np.flatnonzero(keep) if n else np.zeros(0, int)
                 got = 0
                 if len(kept) and rows:
-                    # gated ONE-TO-ONE assignment: per-instance nearest
-                    # queries can double-book a row when two instances
-                    # share a centroid (ring + center fragment), painting
-                    # one track label twice and the other never — greedy
-                    # by distance with each row/instance used once
-                    tree = cKDTree(np.asarray([(r[0], r[1]) for r in rows]))
-                    k = min(3, len(rows))
-                    d, idx = tree.query(
-                        np.stack([cy[kept], cx[kept]], axis=1), k=k,
-                        distance_upper_bound=tol,
+                    # gated ONE-TO-ONE assignment (shared helper): a
+                    # per-instance nearest query would double-book a row
+                    # when two instances share a centroid (ring + center
+                    # fragment), painting one track label twice and the
+                    # other never
+                    assign = _match_centroids(
+                        np.stack([cy[kept], cx[kept]], axis=1),
+                        [(r[0], r[1]) for r in rows], tol,
                     )
-                    d = np.atleast_2d(d.reshape(len(kept), -1))
-                    idx = np.atleast_2d(idx.reshape(len(kept), -1))
-                    cands = sorted(
-                        (float(d[a, b]), int(kept[a]), int(idx[a, b]))
-                        for a in range(len(kept)) for b in range(d.shape[1])
-                        if np.isfinite(d[a, b])
-                    )
-                    used_i, used_r = set(), set()
-                    for _, i, j in cands:
-                        if i in used_i or j in used_r:
-                            continue
-                        used_i.add(i)
-                        used_r.add(j)
-                        lut[i + 1] = rows[j][2] + 1  # CTC 1-based
-                        got += 1
-                    n_unmatched_rows += len(rows) - len(used_r)
+                    for i, j in zip(kept, assign):
+                        if j >= 0:
+                            lut[i + 1] = rows[j][3] + 1  # CTC 1-based
+                            got += 1
+                    n_unmatched_rows += len(rows) - got
                 else:
                     n_unmatched_rows += len(rows)
                 n_matched += got

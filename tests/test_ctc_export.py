@@ -338,3 +338,91 @@ class TestMeasureTracks:
         assert srv.poll_once()
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed" and "needs" in st["error"]
+
+
+class TestMeasureTracksReviewFixes:
+    @staticmethod
+    def _write_pair(tmp):
+        """Hand-built CSV pair: two objects stacked at the SAME (y, x)
+        but different z — only a 3D join can tell them apart."""
+        meas = tmp / "meas"
+        meas.mkdir()
+        with open(meas / "measurements.csv", "w") as f:
+            f.write("t,id,class,area,z,y,x,mean_c0\n")
+            for t in range(3):
+                f.write(f"{t},1,1,10,1.0000,10.0000,10.0000,5\n")
+                f.write(f"{t},2,1,10,5.0000,10.0000,10.0000,9\n")
+        trk = tmp / "trk"
+        trk.mkdir()
+        with open(trk / "tracks.csv", "w") as f:
+            f.write("track_id,t,x,y,z,label,area,intensity_mean\n")
+            for t in range(3):
+                f.write(f"0,{t},10.000,10.000,1.000,1,10,1.0\n")
+                f.write(f"1,{t},10.000,10.000,5.000,1,10,1.0\n")
+        return str(meas), str(trk)
+
+    def test_volumetric_join_uses_z(self, server_env):
+        """Stacked-in-z objects join to the RIGHT tracks (code-review
+        fix — a 2D join tie-breaks arbitrarily and can swap traces)."""
+        cfg_srv, tmp = server_env
+        meas, trk = self._write_pair(tmp)
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_tracks", "params": {},
+             "input": [meas, trk], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        rows = open(st["outputs"]["traces"]).read().strip().split("\n")
+        header = rows[0].split(",")
+        i_mean = header.index("mean_c0")
+        by_track = {}
+        for r in rows[1:]:
+            cols = r.split(",")
+            by_track.setdefault(cols[0], set()).add(cols[i_mean])
+        assert by_track["0"] == {"5"}  # z=1 object everywhere
+        assert by_track["1"] == {"9"}  # z=5 object everywhere
+
+    def test_swapped_explicit_file_paths(self, server_env):
+        """[tracks.csv, measurements.csv] as FILE paths: the header
+        sniff (track_id column) swaps them into place (code-review fix —
+        path existence alone cannot disambiguate two files)."""
+        cfg_srv, tmp = server_env
+        meas, trk = self._write_pair(tmp)
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_tracks", "params": {},
+             "input": [os.path.join(trk, "tracks.csv"),
+                       os.path.join(meas, "measurements.csv")],
+             "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_joined"] == 6
+
+    def test_partial_track_coverage_warns(self, server_env):
+        """Tracking rows beyond the measured range surface as
+        n_unjoined_track_rows + a warning — truncated traces must not
+        look complete (code-review fix)."""
+        cfg_srv, tmp = server_env
+        meas, trk = self._write_pair(tmp)
+        with open(os.path.join(trk, "tracks.csv"), "a") as f:
+            for t in range(3, 8):  # tracking continues past measurements
+                f.write(f"0,{t},10.000,10.000,1.000,1,10,1.0\n")
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_tracks", "params": {},
+             "input": [meas, trk], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_unjoined_track_rows"] == 5
+        assert any("PARTIAL" in w for w in st.get("warnings") or [])
