@@ -21,14 +21,29 @@ from scipy import ndimage
 __all__ = ["class_balance_weights", "border_weights", "unet_weight_map"]
 
 
-def class_balance_weights(labels: np.ndarray, num_classes: int) -> np.ndarray:
-    """Per-pixel inverse-frequency class weights, mean-normalized to ~1."""
+def class_balance_weights(
+    labels: np.ndarray,
+    num_classes: int,
+    valid: np.ndarray | None = None,
+) -> np.ndarray:
+    """Per-pixel inverse-frequency class weights, mean-normalized to ~1.
+
+    ``valid``: optional bool mask of ANNOTATED pixels (sparse/partial
+    annotations) — frequencies count only valid pixels, so the phantom
+    class-0 of masked-out regions cannot skew the balance; invalid
+    pixels read weight 0.
+    """
     labels = np.asarray(labels)
-    freq = np.bincount(labels.reshape(-1), minlength=num_classes).astype(np.float64)
-    total = labels.size
+    flat = labels.reshape(-1)
+    if valid is not None:
+        flat = flat[np.asarray(valid).reshape(-1)]
+    freq = np.bincount(flat, minlength=num_classes).astype(np.float64)
+    total = flat.size
     # inverse frequency; absent classes contribute nothing
     inv = np.where(freq > 0, total / (num_classes * np.maximum(freq, 1)), 0.0)
     w = inv[labels]
+    if valid is not None:
+        w = w * np.asarray(valid)
     mean = w.mean()
     return (w / mean if mean > 0 else np.ones_like(w)).astype(np.float32)
 
@@ -69,17 +84,26 @@ def unet_weight_map(
     num_classes: int | None = None,
     w0: float = 10.0,
     sigma: float = 5.0,
+    valid: np.ndarray | None = None,
 ) -> np.ndarray:
     """Full U-Net weight map: class balance + border emphasis.
 
     If ``instance_labels`` is None, instances are derived from connected
-    components of the foreground (``class_labels > 0``).
+    components of the foreground (``class_labels > 0``). ``valid``:
+    optional bool mask of annotated pixels (sparse annotations) —
+    class balance counts only valid pixels and the whole map zeros where
+    invalid, so unannotated regions contribute NOTHING to the weighted
+    cross-entropy (its sum(w)-normalization makes zero weight a true
+    ignore; ops/losses.py).
     """
     class_labels = np.asarray(class_labels)
     if num_classes is None:
         num_classes = int(class_labels.max()) + 1
     if instance_labels is None:
         instance_labels, _ = ndimage.label(class_labels > 0)
-    wc = class_balance_weights(class_labels, num_classes)
+    wc = class_balance_weights(class_labels, num_classes, valid=valid)
     wb = border_weights(instance_labels, w0=w0, sigma=sigma)
-    return (wc + wb).astype(np.float32)
+    w = wc + wb
+    if valid is not None:
+        w = w * np.asarray(valid)
+    return w.astype(np.float32)

@@ -1973,6 +1973,16 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     one example; 3: the whole (Z, H, W) stack is one volumetric example),
     patch + patches_per_example (random-crop sub-examples, e.g. 256x256
     patches from 1024x1024 frames or sub-volumes from a z-stack), seed.
+
+    ``ignore_label`` (sparse/partial annotations — the realistic hand-
+    labelling regime): pixels carrying this label value are UNANNOTATED.
+    They get loss weight 0 (the weighted CE's sum(w)-normalization makes
+    that a true ignore) and are remapped to class 0 in the stored labels
+    so downstream one-hots stay in range; class-balance statistics count
+    only annotated pixels. Works with or without ``weight_maps`` (without,
+    the stored weights are the pure annotation mask) and must not collide
+    with a real class id (use e.g. 255).
+
     Output: ``train-*.tfrecord`` shards.
     """
     from sequitr_tpu.data import records, tiff
@@ -2010,7 +2020,12 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         def pair_iter():
             yield images3, labels3
 
-        default_classes = int(labels3.max()) + 1 if "num_classes" not in p else 0
+        default_classes = 0
+        if "num_classes" not in p:
+            vals = labels3
+            if p.get("ignore_label") is not None:
+                vals = vals[vals != int(p["ignore_label"])]
+            default_classes = int(vals.max()) + 1 if vals.size else 1
     else:
         # dims=2: stream frame pairs lazily — a timelapse larger than host
         # RAM builds records with O(frame) memory (round-3 streaming)
@@ -2046,9 +2061,18 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
         default_classes = 0
         if "num_classes" not in p:
-            # one bounded pass over the (small) label stack for the default
+            # one bounded pass over the (small) label stack for the
+            # default; an ignore_label must not inflate the class count
+            ig = p.get("ignore_label")
+
+            def _frame_max(t):
+                lab_t = read_lab(t)
+                if ig is not None:
+                    lab_t = lab_t[lab_t != int(ig)]
+                return int(lab_t.max()) if lab_t.size else 0
+
             default_classes = 1 + max(
-                int(read_lab(t).max()) for t in range(n_frames)
+                _frame_max(t) for t in range(n_frames)
             )
 
     patch = tuple(int(v) for v in p["patch"]) if "patch" in p else None
@@ -2058,6 +2082,20 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     rng = np.random.default_rng(int(p.get("seed", 0)))
 
     num_classes = int(p.get("num_classes", default_classes))
+    ignore_label = p.get("ignore_label")
+    if ignore_label is not None:
+        try:
+            ignore_label = int(ignore_label)
+        except (TypeError, ValueError):
+            raise jobs_lib.JobError(
+                f"ignore_label={p.get('ignore_label')!r} must be an int"
+            )
+        if 0 <= ignore_label < num_classes:
+            raise jobs_lib.JobError(
+                f"ignore_label={ignore_label} collides with the class "
+                f"range [0, {num_classes}) — use a value outside it "
+                "(e.g. 255)"
+            )
     p_lo, p_hi = float(p.get("p_lo", 5.0)), float(p.get("p_hi", 99.5))
     counter = {"n": 0}
 
@@ -2096,13 +2134,22 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             else:
                 crops = [(img, lab)]
             for ci, cl in crops:
+                valid = None
+                if ignore_label is not None:
+                    valid = cl != ignore_label
+                    cl = np.where(valid, cl, 0).astype(cl.dtype)
                 w = None
                 if p.get("weight_maps", True):
                     w = weightmaps.unet_weight_map(
                         cl, num_classes=num_classes,
                         w0=float(p.get("w0", 10.0)),
                         sigma=float(p.get("sigma", 5.0)),
+                        valid=valid,
                     )
+                elif valid is not None:
+                    # no Ronneberger map requested: the stored weights
+                    # are the pure annotation mask (still a true ignore)
+                    w = valid.astype(np.float32)
                 counter["n"] += 1
                 yield records.SegExample(ci, cl, w)
 

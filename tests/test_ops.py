@@ -348,6 +348,41 @@ class TestWeightMaps:
         assert wm.shape == (4, 16, 16) and np.isfinite(wm).all()
 
 
+    def test_valid_mask_makes_sparse_annotations_a_true_ignore(self):
+        """Sparse-annotation contract: with a valid mask, unannotated
+        pixels carry weight 0 and do not skew the class balance; the
+        weighted CE's sum(w)-normalization then ignores them exactly."""
+        import jax.numpy as jnp
+
+        from sequitr_tpu.ops import losses
+
+        labels = np.zeros((16, 16), np.int32)
+        labels[2:6, 2:6] = 1
+        valid = np.zeros((16, 16), bool)
+        valid[:8] = True  # only the top half is annotated
+        w = ops.weightmaps.unet_weight_map(labels, num_classes=2, valid=valid)
+        assert (w[~valid] == 0).all()
+        assert (w[valid] > 0).all()
+        # class balance counted over VALID pixels only: matches the map
+        # computed on the annotated half alone
+        wc_masked = ops.weightmaps.class_balance_weights(
+            labels, 2, valid=valid
+        )
+        wc_half = ops.weightmaps.class_balance_weights(labels[:8], 2)
+        ratio_m = wc_masked[2, 2] / wc_masked[0, 0]
+        ratio_h = wc_half[2, 2] / wc_half[0, 0]
+        assert ratio_m == pytest.approx(ratio_h)
+        # the loss is EXACTLY invariant to what the ignored pixels claim
+        logits = jnp.asarray(
+            np.random.default_rng(0).normal(0, 1, (16, 16, 2)), jnp.float32
+        )
+        lab_a = jnp.asarray(labels)
+        lab_b = jnp.asarray(np.where(valid, labels, 1 - labels))  # flip
+        wj = jnp.asarray(w)
+        la = losses.weighted_softmax_cross_entropy(logits, lab_a, wj)
+        lb = losses.weighted_softmax_cross_entropy(logits, lab_b, wj)
+        assert float(la) == float(lb)
+
 class TestTilingEdgeCases:
     def test_patch_equals_size(self):
         assert ops.tile_offsets(64, 64, 0) == (0,)

@@ -1570,6 +1570,76 @@ class TestUNet3DPipeline:
 
 
 class TestTrainPipelines:
+    def test_build_records_ignore_label_sparse_annotations(self, server_env):
+        """ignore_label pixels store weight 0 + class 0 and never skew
+        the class default; colliding/malformed values fail fast."""
+        from sequitr_tpu.data import records as rec_lib
+
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(1)
+        images = rng.normal(0.1, 0.05, (2, 16, 16)).astype(np.float32)
+        labels = np.full((2, 16, 16), 255, np.uint16)  # mostly UNANNOTATED
+        labels[:, 2:8, 2:8] = 1   # one annotated object
+        labels[:, 10:14, 10:14] = 0  # some annotated background
+        img_path, lab_path = str(tmp / "img.tif"), str(tmp / "lab.tif")
+        tiff.write_stack(img_path, images)
+        tiff.write_stack(lab_path, labels)
+        rec_dir = str(tmp / "recs")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "build_records",
+             "params": {"ignore_label": 255, "shard_size": 4},
+             "input": [img_path, lab_path], "output": rec_dir},
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        status = json.load(open(os.path.join(rec_dir, "status.json")))
+        assert status["state"] == "complete", status.get("error")
+        import glob as glob_mod
+
+        exs = list(rec_lib.read_segmentation_examples(
+            sorted(glob_mod.glob(os.path.join(rec_dir, "train-*.tfrecord")))
+        ))
+        assert len(exs) == 2
+        for ex in exs:
+            ig = labels[0] == 255
+            assert ex.labels.max() == 1  # 255 never inflated classes
+            assert (ex.labels[ig] == 0).all()
+            assert (ex.weights[ig] == 0).all()
+            assert (ex.weights[~ig] > 0).all()
+
+        # without weight_maps the stored weights are the pure mask
+        rec2 = str(tmp / "recs2")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "build_records",
+             "params": {"ignore_label": 255, "weight_maps": False},
+             "input": [img_path, lab_path], "output": rec2},
+        )
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(rec2, "status.json")))
+        assert st2["state"] == "complete", st2.get("error")
+        ex = next(rec_lib.read_segmentation_examples(
+            sorted(glob_mod.glob(os.path.join(rec2, "train-*.tfrecord")))
+        ))
+        np.testing.assert_array_equal(
+            ex.weights, (labels[0] != 255).astype(np.float32)
+        )
+
+        # collision + malformed = deterministic errors
+        for name, val, frag in (("c1", 1, "collides"), ("c2", "x", "int")):
+            out = str(tmp / name)
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "build_records",
+                 "params": {"ignore_label": val, "num_classes": 2},
+                 "input": [img_path, lab_path], "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "failed"
+            assert frag in st["error"], (name, st["error"])
+
     @pytest.mark.parametrize("compress", [False, True])
     def test_build_records_then_train(self, server_env, compress):
         cfg_srv, tmp = server_env
