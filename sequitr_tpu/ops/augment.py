@@ -36,8 +36,46 @@ __all__ = [
     "random_rot90",
     "elastic_fields",
     "elastic_warp",
+    "photometric_jitter",
     "augment_example",
 ]
+
+
+def photometric_jitter(
+    key: jax.Array,
+    image: jnp.ndarray,
+    gain_jitter: float = 0.0,
+    offset_jitter: float = 0.0,
+    noise_std: float = 0.0,
+) -> jnp.ndarray:
+    """Intensity augmentation: per-channel gain/offset + pixel noise.
+
+    Microscopy intensity is not a feature — illumination drifts, exposure
+    varies between sessions, detectors add shot/read noise — so the net
+    should be invariant to it. Per CHANNEL (independent fluorophores have
+    unrelated scales): gain is log-uniform in ``[1/(1+g), 1+g]``
+    (multiplicatively symmetric — a 1.25x brightening is as likely as its
+    inverse), offset ~ N(0, offset_jitter); per PIXEL: additive Gaussian
+    ``noise_std``. All knobs default OFF (0.0 = exact identity, so
+    existing training graphs are bit-unchanged). Applied to the IMAGE
+    only — labels/weights are geometry, not photometry. jit/vmap-safe;
+    records store [0, 1]-normalized intensities, so the jitter scales are
+    fractions of that range.
+    """
+    k_gain, k_off, k_noise = jax.random.split(key, 3)
+    c = image.shape[-1]
+    out = image
+    if gain_jitter > 0:
+        hi = jnp.log1p(gain_jitter)
+        gain = jnp.exp(
+            jax.random.uniform(k_gain, (c,), minval=-hi, maxval=hi)
+        )
+        out = out * gain
+    if offset_jitter > 0:
+        out = out + jax.random.normal(k_off, (c,)) * offset_jitter
+    if noise_std > 0:
+        out = out + jax.random.normal(k_noise, out.shape) * noise_std
+    return out
 
 
 def random_flip(key: jax.Array, *arrays: jnp.ndarray, axes: Tuple[int, ...] = (0, 1)):
@@ -234,6 +272,9 @@ def augment_example(
     elastic_grid: int = 4,
     p_elastic: float = 0.5,
     dims: int = 2,
+    gain_jitter: float = 0.0,
+    offset_jitter: float = 0.0,
+    noise_std: float = 0.0,
 ):
     """Full sequitr-style augmentation of one (image, labels, weights) example.
 
@@ -242,9 +283,20 @@ def augment_example(
     ``weights`` (Z, H, W); flips act on all three spatial axes, rotations and
     the elastic warp act in-plane (the same field on every z-slice). The
     same geometric transform is applied to image/labels/weights; ``None``
-    passes through.
+    passes through. Photometric jitter (``gain_jitter``/``offset_jitter``/
+    ``noise_std``, default off) perturbs the IMAGE after the geometry —
+    see ``photometric_jitter``.
     """
-    k_flip, k_rot, k_el, k_p = jax.random.split(key, 4)
+    if gain_jitter > 0 or offset_jitter > 0 or noise_std > 0:
+        # the extra split happens ONLY when photometry is on: with every
+        # knob at its default the random streams — and therefore the
+        # committed augmentation goldens — stay bit-identical
+        k_flip, k_rot, k_el, k_p, k_phot = jax.random.split(key, 5)
+        image = photometric_jitter(
+            k_phot, image, gain_jitter, offset_jitter, noise_std
+        )
+    else:
+        k_flip, k_rot, k_el, k_p = jax.random.split(key, 4)
     arrays = [image]
     if labels is not None:
         arrays.append(labels)

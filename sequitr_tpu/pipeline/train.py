@@ -53,6 +53,12 @@ class TrainConfig:
     elastic_alpha: float = 20.0
     elastic_grid: int = 4
     p_elastic: float = 0.5
+    # photometric augmentation (ops.augment.photometric_jitter): per-
+    # channel gain/offset + pixel noise, all OFF by default (0.0 keeps
+    # the default training graph bit-identical to the goldens)
+    gain_jitter: float = 0.0
+    offset_jitter: float = 0.0
+    noise_std: float = 0.0
     # micro-batch gradient accumulation (optax.MultiSteps): effective
     # batch = grad_accum * batch_size with one micro-batch resident
     grad_accum: int = 1
@@ -150,6 +156,8 @@ def _augment_batch(key, images, labels, weights, tc: TrainConfig, dims: int = 2)
             k, i, l, w,
             elastic_alpha=tc.elastic_alpha, elastic_grid=tc.elastic_grid,
             p_elastic=tc.p_elastic, dims=dims,
+            gain_jitter=tc.gain_jitter, offset_jitter=tc.offset_jitter,
+            noise_std=tc.noise_std,
         )
     )(keys, images, labels, weights)
 

@@ -2219,6 +2219,9 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         elastic_alpha=float(p.get("elastic_alpha", 20.0)),
         elastic_grid=int(p.get("elastic_grid", 4)),
         p_elastic=float(p.get("p_elastic", 0.5)),
+        gain_jitter=float(p.get("gain_jitter", 0.0)),
+        offset_jitter=float(p.get("offset_jitter", 0.0)),
+        noise_std=float(p.get("noise_std", 0.0)),
         grad_accum=int(p.get("grad_accum", 1)),
         remat=bool(p.get("remat", False)),
         lr_schedule=str(p.get("lr_schedule", "constant")),

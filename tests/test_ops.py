@@ -306,6 +306,78 @@ class TestAugment:
         assert out.shape == (2, 4, 8, 8, 1)
 
 
+
+    def test_photometric_jitter_contract(self):
+        """Defaults are an EXACT identity (key split gated on the knobs,
+        so committed goldens stay bit-identical); with knobs on, gains
+        stay in the log-symmetric band, labels/weights are untouched and
+        the geometry stream still only sees its own keys."""
+        from sequitr_tpu.ops import augment as aug
+
+        k = jax.random.PRNGKey(3)
+        img = jnp.asarray(
+            np.random.default_rng(0).random((16, 16, 2)), jnp.float32
+        )
+        lab = jnp.asarray(np.random.default_rng(1).integers(0, 2, (16, 16)))
+        w = jnp.ones((16, 16), jnp.float32)
+        # identity at zero — bit-exact, including the geometric stream
+        a0 = aug.augment_example(k, img, lab, w, p_elastic=0.0)
+        a1 = aug.augment_example(
+            k, img, lab, w, p_elastic=0.0,
+            gain_jitter=0.0, offset_jitter=0.0, noise_std=0.0,
+        )
+        for x, y in zip(a0, a1):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # knobs on: image changes, labels/weights don't
+        g_img, g_lab, g_w = aug.augment_example(
+            k, img, lab, w, p_elastic=0.0, gain_jitter=0.3,
+        )
+        assert not np.array_equal(np.asarray(g_img), np.asarray(a0[0]))
+        # pure gain: per-channel ratios constant and inside the band
+        flips_only = np.asarray(a0[0])
+        ratio = np.asarray(g_img) / np.maximum(flips_only, 1e-12)
+        for c in range(2):
+            rc = ratio[..., c][flips_only[..., c] > 1e-6]
+            assert rc.std() < 1e-5
+            assert 1 / 1.3 - 1e-6 <= rc.mean() <= 1.3 + 1e-6
+        np.testing.assert_array_equal(np.asarray(g_lab), np.asarray(a0[1]))
+        np.testing.assert_array_equal(np.asarray(g_w), np.asarray(a0[2]))
+        # noise: E[std] ~ noise_std on a constant image
+        const = jnp.ones((64, 64, 1), jnp.float32)
+        n_img = aug.photometric_jitter(k, const, noise_std=0.05)
+        assert 0.04 < float(jnp.std(n_img)) < 0.06
+
+    def test_photometric_knobs_plumb_into_the_train_step(self):
+        """A unet train step with noise on runs and produces a different
+        loss than the identical step without (same key/batch)."""
+        import dataclasses
+
+        from sequitr_tpu.models import unet
+        from sequitr_tpu.pipeline import train as train_lib
+
+        cfg = unet.UNetConfig(
+            in_channels=1, num_classes=2, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        batch = {
+            "image": jnp.asarray(
+                np.random.default_rng(0).random((2, 16, 16, 1)),
+                jnp.float32,
+            ),
+            "labels": jnp.zeros((2, 16, 16), jnp.int32),
+        }
+        k = jax.random.PRNGKey(0)
+        losses_got = []
+        for noise in (0.0, 0.3):
+            tc = train_lib.TrainConfig(noise_std=noise, p_elastic=0.0)
+            state = train_lib.create_unet_state(jax.random.PRNGKey(1), cfg, tc)
+            step = train_lib.make_unet_train_step(cfg, tc, jit=True)
+            _, metrics = step(state, batch, k)
+            losses_got.append(float(metrics["loss"]))
+        assert np.isfinite(losses_got).all()
+        assert losses_got[0] != losses_got[1]
+
+
 class TestWeightMaps:
     def test_border_peak_between_objects(self):
         inst = np.zeros((32, 32), np.int32)
