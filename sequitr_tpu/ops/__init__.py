@@ -41,6 +41,7 @@ from sequitr_tpu.ops.augment import (  # noqa: F401
     random_rot90,
     elastic_fields,
     elastic_warp,
+    photometric_jitter,
     augment_example,
 )
 from sequitr_tpu.ops.registration import (  # noqa: F401

@@ -287,14 +287,12 @@ def augment_example(
     ``noise_std``, default off) perturbs the IMAGE after the geometry —
     see ``photometric_jitter``.
     """
-    if gain_jitter > 0 or offset_jitter > 0 or noise_std > 0:
+    photometric = gain_jitter > 0 or offset_jitter > 0 or noise_std > 0
+    if photometric:
         # the extra split happens ONLY when photometry is on: with every
         # knob at its default the random streams — and therefore the
         # committed augmentation goldens — stay bit-identical
         k_flip, k_rot, k_el, k_p, k_phot = jax.random.split(key, 5)
-        image = photometric_jitter(
-            k_phot, image, gain_jitter, offset_jitter, noise_std
-        )
     else:
         k_flip, k_rot, k_el, k_p = jax.random.split(key, 4)
     arrays = [image]
@@ -330,4 +328,14 @@ def augment_example(
         idx += 1
     if weights is not None:
         w_in = arrays[idx]
-    return _warp_example(arrays[0], lab_in, w_in, dy, dx, dims)
+    out_img, out_lab, out_w = _warp_example(
+        arrays[0], lab_in, w_in, dy, dx, dims
+    )
+    if photometric:
+        # AFTER the geometry: pre-warp pixel noise would be smoothed by
+        # the bilinear resample, delivering less than the configured
+        # noise_std and spatially correlating it (review finding)
+        out_img = photometric_jitter(
+            k_phot, out_img, gain_jitter, offset_jitter, noise_std
+        )
+    return out_img, out_lab, out_w

@@ -44,6 +44,13 @@ def class_balance_weights(
     w = inv[labels]
     if valid is not None:
         w = w * np.asarray(valid)
+        # normalize over ANNOTATED pixels only: a whole-map mean would
+        # inflate valid weights by 1/annotated-fraction, drowning the
+        # fixed w0 border term at sparse coverage (review finding)
+        mean = w[np.asarray(valid)].mean() if np.asarray(valid).any() else 0.0
+        if mean > 0:
+            return (w / mean).astype(np.float32)
+        return np.zeros_like(w, dtype=np.float32)  # nothing annotated
     mean = w.mean()
     return (w / mean if mean > 0 else np.ones_like(w)).astype(np.float32)
 

@@ -1995,6 +1995,16 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     *img_paths, lab_path = paths
     p = job.params
     dims = int(p.get("dims", 2))
+    # parse ONCE, before the default-class scan touches it: a malformed
+    # value must be a deterministic JobError, not a retried ValueError
+    ignore_label = p.get("ignore_label")
+    if ignore_label is not None:
+        try:
+            ignore_label = int(ignore_label)
+        except (TypeError, ValueError):
+            raise jobs_lib.JobError(
+                f"ignore_label={p.get('ignore_label')!r} must be an int"
+            )
     closers: list = []  # lazy readers to close once the shards are written
 
     if dims == 3:
@@ -2023,8 +2033,8 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         default_classes = 0
         if "num_classes" not in p:
             vals = labels3
-            if p.get("ignore_label") is not None:
-                vals = vals[vals != int(p["ignore_label"])]
+            if ignore_label is not None:
+                vals = vals[vals != ignore_label]
             default_classes = int(vals.max()) + 1 if vals.size else 1
     else:
         # dims=2: stream frame pairs lazily — a timelapse larger than host
@@ -2063,12 +2073,10 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         if "num_classes" not in p:
             # one bounded pass over the (small) label stack for the
             # default; an ignore_label must not inflate the class count
-            ig = p.get("ignore_label")
-
             def _frame_max(t):
                 lab_t = read_lab(t)
-                if ig is not None:
-                    lab_t = lab_t[lab_t != int(ig)]
+                if ignore_label is not None:
+                    lab_t = lab_t[lab_t != ignore_label]
                 return int(lab_t.max()) if lab_t.size else 0
 
             default_classes = 1 + max(
@@ -2082,14 +2090,7 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     rng = np.random.default_rng(int(p.get("seed", 0)))
 
     num_classes = int(p.get("num_classes", default_classes))
-    ignore_label = p.get("ignore_label")
     if ignore_label is not None:
-        try:
-            ignore_label = int(ignore_label)
-        except (TypeError, ValueError):
-            raise jobs_lib.JobError(
-                f"ignore_label={p.get('ignore_label')!r} must be an int"
-            )
         if 0 <= ignore_label < num_classes:
             raise jobs_lib.JobError(
                 f"ignore_label={ignore_label} collides with the class "

@@ -378,7 +378,39 @@ class TestAugment:
         assert losses_got[0] != losses_got[1]
 
 
+
+    def test_noise_survives_the_geometry(self):
+        """Jitter applies AFTER the warp: with elastic ON, a constant
+        image still receives the full configured noise std (pre-warp
+        noise would be smoothed by the bilinear resample — review fix)."""
+        from sequitr_tpu.ops import augment as aug
+
+        const = jnp.ones((64, 64, 1), jnp.float32)
+        img, _, _ = aug.augment_example(
+            jax.random.PRNGKey(5), const, None, None,
+            p_elastic=1.0, noise_std=0.05,
+        )
+        assert 0.04 < float(jnp.std(img)) < 0.06
+
+
 class TestWeightMaps:
+
+    def test_sparse_mask_normalization_and_degenerate_cases(self):
+        """Review fixes: valid-mask normalization is over ANNOTATED
+        pixels (so the w0 border term keeps its intended scale at sparse
+        coverage), and an all-False mask returns zeros, not ones."""
+        labels = np.zeros((32, 32), np.int32)
+        labels[4:8, 4:8] = 1
+        valid = np.zeros((32, 32), bool)
+        valid[:10, :10] = True  # ~10% annotated
+        wc = ops.weightmaps.class_balance_weights(labels, 2, valid=valid)
+        assert wc[valid].mean() == pytest.approx(1.0)  # the doc contract
+        assert (wc[~valid] == 0).all()
+        none_valid = np.zeros((8, 8), bool)
+        wc0 = ops.weightmaps.class_balance_weights(
+            np.zeros((8, 8), np.int32), 2, valid=none_valid
+        )
+        assert (wc0 == 0).all()
     def test_border_peak_between_objects(self):
         inst = np.zeros((32, 32), np.int32)
         inst[8:14, 8:24] = 1

@@ -1626,19 +1626,25 @@ class TestTrainPipelines:
             ex.weights, (labels[0] != 255).astype(np.float32)
         )
 
-        # collision + malformed = deterministic errors
-        for name, val, frag in (("c1", 1, "collides"), ("c2", "x", "int")):
+        # collision + malformed = deterministic errors; the malformed
+        # case ALSO without num_classes (the default-class scan parses
+        # the value first — review fix)
+        for name, params, frag in (
+            ("c1", {"ignore_label": 1, "num_classes": 2}, "collides"),
+            ("c2", {"ignore_label": "x", "num_classes": 2}, "int"),
+            ("c3", {"ignore_label": "x"}, "int"),
+        ):
             out = str(tmp / name)
             submit_job(
                 cfg_srv.jobs_dir,
-                {"module": "build_records",
-                 "params": {"ignore_label": val, "num_classes": 2},
+                {"module": "build_records", "params": params,
                  "input": [img_path, lab_path], "output": out},
             )
             assert srv.poll_once()
             st = json.load(open(os.path.join(out, "status.json")))
             assert st["state"] == "failed"
             assert frag in st["error"], (name, st["error"])
+            assert "JobError" in st["error"], name  # fail-fast, no retry
 
     @pytest.mark.parametrize("compress", [False, True])
     def test_build_records_then_train(self, server_env, compress):
