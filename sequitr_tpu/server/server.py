@@ -3252,6 +3252,28 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     return outputs
 
 
+def _parse_eval_ignore(job: Job, k: int):
+    """The evaluate family's ``ignore_label``: ground truth carrying this
+    value is excluded from every metric (the evaluation twin of
+    build_records' sparse-annotation support — score only where a human
+    actually annotated). Deterministic errors on malformed/colliding
+    values."""
+    ig = job.params.get("ignore_label")
+    if ig is None:
+        return None
+    try:
+        ig = int(ig)
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"ignore_label={job.params.get('ignore_label')!r} must be an int"
+        )
+    if 0 <= ig < k:
+        raise jobs_lib.JobError(
+            f"ignore_label={ig} collides with the class range [0, {k})"
+        )
+    return ig
+
+
 @register("evaluate_unet2d")
 def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Score a registered model against ground-truth labels.
@@ -3262,8 +3284,11 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     ``segmentation_unet2d`` convention (one TIFF per channel), LAST path
     is the ground-truth labels. params: model, the usual tiling params,
     ``per_frame: true`` for a per-frame mIoU series, ``save_labels: true``
-    to also write the predicted label maps. Outputs: ``metrics`` JSON with
-    per-class IoU, mIoU, dice and pixel accuracy over the whole stack.
+    to also write the predicted label maps, ``ignore_label`` (sparse
+    ground truth: pixels carrying this value are excluded from every
+    metric — intersection, union AND accuracy denominators). Outputs:
+    ``metrics`` JSON with per-class IoU, mIoU, dice and pixel accuracy
+    over the whole stack.
     """
     from sequitr_tpu.data import tiff
     from sequitr_tpu.data.source import FrameSource
@@ -3315,6 +3340,7 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
     )
     k = cfg.num_classes
+    ignore = _parse_eval_ignore(job, k)
     # streaming evaluation: one (K+1, K) confusion matrix accumulates per
     # frame — identical metrics to the buffered whole-stack form without
     # holding every predicted label map in RAM
@@ -3335,9 +3361,14 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             results = _run_frames(cfg, tc, params, state, source, job)
             for t in range(n_frames):
                 pred = np.asarray(next(results).labels)
-                fcm = losses.confusion_matrix_np(
-                    pred, read_truth(t + source.frame_offset), k
-                )
+                truth_t = read_truth(t + source.frame_offset)
+                if ignore is not None:
+                    keep_px = truth_t != ignore
+                    fcm = losses.confusion_matrix_np(
+                        pred[keep_px], truth_t[keep_px], k
+                    )
+                else:
+                    fcm = losses.confusion_matrix_np(pred, truth_t, k)
                 cm += fcm
                 if per_frame is not None:
                     f_ious, _, _ = losses.metrics_from_confusion(fcm)
@@ -6066,8 +6097,10 @@ def evaluate_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Volumetric counterpart of ``evaluate_unet2d``.
 
     input: [volume.tif, labels.tif] ((Z, H, W) stacks). params: model,
-    3-axis tiling params, ``save_labels``. Outputs per-class IoU/dice,
-    mIoU and voxel accuracy over the volume.
+    3-axis tiling params, ``save_labels``, ``ignore_label`` (sparse
+    ground truth excluded from every metric — annotating a few z-planes
+    of a volume is the realistic labelling budget). Outputs per-class
+    IoU/dice, mIoU and voxel accuracy over the volume.
     """
     import jax.numpy as jnp
 
@@ -6118,11 +6151,20 @@ def evaluate_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     preds = np.asarray(labels).astype(np.int32)
 
     k = cfg.num_classes
-    ious = np.asarray(losses.iou(jnp.asarray(preds), jnp.asarray(truth), k))
-    dices = np.asarray(losses.dice(jnp.asarray(preds), jnp.asarray(truth), k))
+    ignore = _parse_eval_ignore(job, k)
+    p_eval, t_eval = preds, truth
+    if ignore is not None:
+        keep_vx = truth != ignore
+        p_eval, t_eval = preds[keep_vx], truth[keep_vx]
+    ious = np.asarray(losses.iou(jnp.asarray(p_eval), jnp.asarray(t_eval), k))
+    dices = np.asarray(
+        losses.dice(jnp.asarray(p_eval), jnp.asarray(t_eval), k)
+    )
     metrics = {
         "miou": round(float(np.mean(ious)), 6),
-        "voxel_accuracy": round(float((preds == truth).mean()), 6),
+        "voxel_accuracy": round(
+            float((p_eval == t_eval).mean()) if p_eval.size else 1.0, 6
+        ),
     }
     for i in range(k):
         metrics[f"iou_{i}"] = round(float(ious[i]), 6)

@@ -2533,6 +2533,85 @@ class TestEvaluatePipeline:
         assert {"iou_0", "iou_2", "dice_1"} <= set(m)
         assert os.path.exists(st2["outputs"]["labels"])
 
+    def test_evaluate_ignore_label_excludes_sparse_truth(self, server_env):
+        """ignore_label pixels are excluded from EVERY metric: corrupting
+        the truth inside the ignored region changes nothing, and the
+        reported metrics equal a host-side masked confusion computed from
+        the job's own saved predictions."""
+        from sequitr_tpu.ops import losses
+
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(3), net_cfg)
+        save_model(cfg_srv.models_dir, "evig", "unet", net_cfg, params, state)
+        stack = (
+            np.random.default_rng(11).random((2, 32, 32)) * 900
+        ).astype(np.float32)
+        stack_path = str(tmp / "ev.tif")
+        tiff.write_stack(stack_path, stack)
+        srv = ImageServer(cfg_srv)
+
+        seg_out = str(tmp / "seg")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "segmentation_unet2d",
+                    "params": {"model": "evig", "patch": [32, 32],
+                               "overlap": [0, 0], "localize": False},
+                    "input": [stack_path], "output": seg_out})
+        assert srv.poll_once()
+        pred = tiff.read_stack(
+            json.load(open(os.path.join(seg_out, "status.json")))
+            ["outputs"]["labels"]
+        ).astype(np.int64)
+
+        rng = np.random.default_rng(0)
+        results = []
+        for tag, garbage in (("a", 0), ("b", 1)):
+            truth = pred.copy().astype(np.uint16)
+            if garbage:  # corrupt the region about to be ignored
+                truth[:, 8:24, 8:24] = rng.integers(0, 3, (2, 16, 16))
+            truth[:, 8:24, 8:24] = 255  # the ignored region
+            tp = str(tmp / f"truth_{tag}.tif")
+            tiff.write_stack(tp, truth)
+            out = str(tmp / f"ev_{tag}")
+            submit_job(cfg_srv.jobs_dir,
+                       {"module": "evaluate_unet2d",
+                        "params": {"model": "evig", "patch": [32, 32],
+                                   "overlap": [0, 0], "ignore_label": 255},
+                        "input": [stack_path, tp], "output": out})
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            results.append(json.loads(st["outputs"]["metrics"]))
+        assert results[0] == results[1]  # garbage under the mask is moot
+        # the annotated region here is the predictions themselves
+        assert results[0]["miou"] == 1.0
+        assert results[0]["pixel_accuracy"] == 1.0
+        # host-side masked confusion agrees with the reported metrics
+        truth_m = pred.copy()
+        truth_m[:, 8:24, 8:24] = 255
+        keep = truth_m != 255
+        cm = losses.confusion_matrix_np(pred[keep], truth_m[keep], 3)
+        ious, _, acc = losses.metrics_from_confusion(cm)
+        assert results[0]["miou"] == pytest.approx(
+            round(float(np.mean(ious)), 6)
+        )
+        assert results[0]["pixel_accuracy"] == pytest.approx(round(acc, 6))
+
+        # malformed / colliding values fail fast
+        for name, val, frag in (("i1", 1, "collides"), ("i2", "x", "int")):
+            out = str(tmp / name)
+            submit_job(cfg_srv.jobs_dir,
+                       {"module": "evaluate_unet2d",
+                        "params": {"model": "evig", "ignore_label": val},
+                        "input": [stack_path, str(tmp / "truth_a.tif")],
+                        "output": out})
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "failed" and frag in st["error"]
+
     def test_evaluate_frame_range_scores_segment(self, server_env):
         """frame_range on evaluate_unet2d scores only that segment against
         the CORRESPONDING truth frames (absolute indexing)."""
