@@ -1997,14 +1997,7 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     dims = int(p.get("dims", 2))
     # parse ONCE, before the default-class scan touches it: a malformed
     # value must be a deterministic JobError, not a retried ValueError
-    ignore_label = p.get("ignore_label")
-    if ignore_label is not None:
-        try:
-            ignore_label = int(ignore_label)
-        except (TypeError, ValueError):
-            raise jobs_lib.JobError(
-                f"ignore_label={p.get('ignore_label')!r} must be an int"
-            )
+    ignore_label = _parse_ignore_label(job)
     closers: list = []  # lazy readers to close once the shards are written
 
     if dims == 3:
@@ -2090,13 +2083,7 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     rng = np.random.default_rng(int(p.get("seed", 0)))
 
     num_classes = int(p.get("num_classes", default_classes))
-    if ignore_label is not None:
-        if 0 <= ignore_label < num_classes:
-            raise jobs_lib.JobError(
-                f"ignore_label={ignore_label} collides with the class "
-                f"range [0, {num_classes}) — use a value outside it "
-                "(e.g. 255)"
-            )
+    _check_ignore_collision(ignore_label, num_classes)
     p_lo, p_hi = float(p.get("p_lo", 5.0)), float(p.get("p_hi", 99.5))
     counter = {"n": 0}
 
@@ -3252,25 +3239,37 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     return outputs
 
 
+def _parse_ignore_label(job: Job):
+    """``ignore_label`` as int or None; malformed is a deterministic
+    JobError (shared by build_records and the evaluate family so the
+    three sites cannot drift)."""
+    ig = job.params.get("ignore_label")
+    if ig is None:
+        return None
+    try:
+        return int(ig)
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(
+            f"ignore_label={job.params.get('ignore_label')!r} must be an int"
+        )
+
+
+def _check_ignore_collision(ignore_label, num_classes: int) -> None:
+    if ignore_label is not None and 0 <= ignore_label < num_classes:
+        raise jobs_lib.JobError(
+            f"ignore_label={ignore_label} collides with the class range "
+            f"[0, {num_classes}) — use a value outside it (e.g. 255)"
+        )
+
+
 def _parse_eval_ignore(job: Job, k: int):
     """The evaluate family's ``ignore_label``: ground truth carrying this
     value is excluded from every metric (the evaluation twin of
     build_records' sparse-annotation support — score only where a human
     actually annotated). Deterministic errors on malformed/colliding
     values."""
-    ig = job.params.get("ignore_label")
-    if ig is None:
-        return None
-    try:
-        ig = int(ig)
-    except (TypeError, ValueError):
-        raise jobs_lib.JobError(
-            f"ignore_label={job.params.get('ignore_label')!r} must be an int"
-        )
-    if 0 <= ig < k:
-        raise jobs_lib.JobError(
-            f"ignore_label={ig} collides with the class range [0, {k})"
-        )
+    ig = _parse_ignore_label(job)
+    _check_ignore_collision(ig, k)
     return ig
 
 
@@ -3371,8 +3370,13 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     fcm = losses.confusion_matrix_np(pred, truth_t, k)
                 cm += fcm
                 if per_frame is not None:
-                    f_ious, _, _ = losses.metrics_from_confusion(fcm)
-                    per_frame.append(round(float(np.mean(f_ious)), 6))
+                    if fcm.sum() == 0:
+                        # a wholly-ignored frame has NO score — null, not
+                        # a vacuous 1.0 a reader would mistake for perfect
+                        per_frame.append(None)
+                    else:
+                        f_ious, _, _ = losses.metrics_from_confusion(fcm)
+                        per_frame.append(round(float(np.mean(f_ious)), 6))
                 if labels_w is not None:
                     labels_w.append(pred.astype(np.uint16, copy=False))
                 rep.step()
@@ -3386,6 +3390,8 @@ def evaluate_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             t_reader.close()
 
     ious, dices, accuracy = losses.metrics_from_confusion(cm)
+    if cm.sum() == 0:
+        accuracy = 1.0  # vacuous, matching miou and the 3D evaluator
     metrics = {
         "miou": round(float(np.mean(ious)), 6),
         "pixel_accuracy": round(accuracy, 6),
@@ -6142,6 +6148,10 @@ def evaluate_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         raise jobs_lib.JobError(
             f"model expects {cfg.in_channels} channel(s), got {n_ch} input stack(s)"
         )
+    k = cfg.num_classes
+    # validate BEFORE the volumetric inference — a bad param must not
+    # cost minutes of chip time first
+    ignore = _parse_eval_ignore(job, k)
     tc = _tile_config(
         job.params, dims=3,
         frame_spatial=vol_spatial, min_multiple=cfg.min_input_multiple,
@@ -6149,9 +6159,6 @@ def evaluate_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(vol_spatial))
     _, labels = fn(params, state, vol)
     preds = np.asarray(labels).astype(np.int32)
-
-    k = cfg.num_classes
-    ignore = _parse_eval_ignore(job, k)
     p_eval, t_eval = preds, truth
     if ignore is not None:
         keep_vx = truth != ignore

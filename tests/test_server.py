@@ -2600,6 +2600,27 @@ class TestEvaluatePipeline:
         )
         assert results[0]["pixel_accuracy"] == pytest.approx(round(acc, 6))
 
+        # a WHOLLY-ignored frame scores null in the per-frame series
+        # (not a vacuous 1.0) and the whole-stack metrics stay vacuous-
+        # consistent when everything is ignored (review fixes)
+        truth_all = np.full_like(pred, 255).astype(np.uint16)
+        truth_all[0] = pred[0]  # frame 0 annotated, frame 1 not
+        tp_all = str(tmp / "truth_half.tif")
+        tiff.write_stack(tp_all, truth_all)
+        out_h = str(tmp / "ev_half")
+        submit_job(cfg_srv.jobs_dir,
+                   {"module": "evaluate_unet2d",
+                    "params": {"model": "evig", "patch": [32, 32],
+                               "overlap": [0, 0], "ignore_label": 255,
+                               "per_frame": True},
+                    "input": [stack_path, tp_all], "output": out_h})
+        assert srv.poll_once()
+        st_h = json.load(open(os.path.join(out_h, "status.json")))
+        assert st_h["state"] == "complete", st_h.get("error")
+        m_h = json.loads(st_h["outputs"]["metrics"])
+        assert m_h["per_frame_miou"] == [1.0, None]
+        assert m_h["miou"] == 1.0 and m_h["pixel_accuracy"] == 1.0
+
         # malformed / colliding values fail fast
         for name, val, frag in (("i1", 1, "collides"), ("i2", "x", "int")):
             out = str(tmp / name)
