@@ -5327,6 +5327,176 @@ def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     }
 
 
+def _qc_stack_3d(job: Job, paths) -> Dict[str, str]:
+    """Volumetric ``qc_stack`` (``dims: 3``): per-plane QC + per-volume
+    focal-drift flags for timelapses of z-stacks.
+
+    Per timepoint, every z-plane scores through the same fused QC graph
+    (vmapped over z — one dispatch per volume). Two outputs:
+
+    * ``qc.csv`` — one row per (t, channel, z): the plane metrics, for
+      drilling into any flagged volume;
+    * ``qc_volumes.csv`` — one row per (t, channel): ``best_z`` (the
+      sharpest plane — its drift over time IS the focal-creep signal
+      ``register_stack dims: 3`` corrects), the best plane's focus
+      scores, volume-wide mean/sat_frac, and the run-relative flags
+      (the same focus/dark/saturated rules applied to the per-volume
+      aggregates — a volume whose BEST plane went soft is out of focus
+      everywhere).
+
+    Metrics add ``best_z_drift`` (max |best_z - median best_z| per
+    channel, in planes): a nonzero drift with clean flags means the
+    sample is walking in z and registration should run first.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data.source import VolumeSequence
+    from sequitr_tpu.ops import qc as qc_lib
+    from sequitr_tpu.pipeline import infer as infer_lib
+    from sequitr_tpu.utils import PhaseTimer
+
+    p = job.params
+    z_pages = _parse_z_pages(job)
+    sources = []
+    try:
+        for p_ in paths:
+            try:
+                sources.append(VolumeSequence(p_, z=z_pages))
+            except ValueError as e:
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read inputs: {e}"
+                )
+        sources = [_apply_frame_range(job, s) for s in sources]
+        if len({(len(s), s.spatial) for s in sources}) != 1:
+            raise jobs_lib.JobError(
+                "channels disagree in length/shape: "
+                + str([(len(s), s.spatial) for s in sources])
+            )
+        try:
+            sat_param = p.get("saturation_level")
+            sat_param = None if sat_param is None else float(sat_param)
+            mad_k = float(p.get("focus_mad_k", 3.5))
+            focus_drop = float(p.get("focus_drop", 0.5))
+            dark_fraction = float(p.get("dark_fraction", 0.5))
+            sat_max = float(p.get("saturation_max", 0.01))
+        except (TypeError, ValueError) as e:
+            raise jobs_lib.JobError(f"job {job.id}: bad qc param: {e}")
+        if (
+            mad_k <= 0 or not 0 <= dark_fraction < 1
+            or not 0 < sat_max <= 1 or not 0 < focus_drop <= 1
+        ):
+            raise jobs_lib.JobError(
+                f"bad thresholds: focus_mad_k={mad_k} (>0), focus_drop="
+                f"{focus_drop} ((0,1]), dark_fraction={dark_fraction} "
+                f"([0,1)), saturation_max={sat_max} ((0,1])"
+            )
+    except BaseException:
+        for s in sources:
+            s.close()
+        raise
+
+    timer = PhaseTimer()
+    n_vols = len(sources[0])
+    offset = sources[0].frame_offset
+    qc_fn = qc_lib.cached_frame_qc()
+    qc_vol = jax.jit(
+        lambda v, s: jax.vmap(lambda pl: qc_fn(pl, s))(v)
+    )
+    rep = jobs_lib.ProgressReporter(job, n_vols * len(sources))
+    plane_tables = []  # per channel: (T, Z, 7)
+    i_focus = qc_lib.METRICS.index("focus_vol")
+    i_mean = qc_lib.METRICS.index("mean")
+    i_sat = qc_lib.METRICS.index("sat_frac")
+    try:
+        for ch, src in enumerate(sources):
+            sat = (
+                sat_param if sat_param is not None
+                else qc_lib.default_saturation_level(src.dtype)
+            )
+            sat_j = jnp.asarray(
+                np.inf if sat is None else sat, jnp.float32
+            )
+            rows = []
+            for out in infer_lib.stream_frames(
+                lambda v: qc_vol(v, sat_j),
+                _reads_fail_fast(
+                    job, (src.volume(t) for t in range(n_vols))
+                ),
+                prefetch_host=infer_lib._copy_to_host_async,
+            ):
+                with timer.phase("fetch"):
+                    rows.append(np.asarray(out))
+                rep.step()
+            plane_tables.append(
+                np.stack(rows) if rows else np.zeros((0, 1, 7))
+            )
+    finally:
+        for s in sources:
+            s.close()
+    with timer.phase("flag"):
+        vol_tables, best_zs, flags = [], [], []
+        for tb in plane_tables:  # (T, Z, 7)
+            bz = np.argmax(tb[:, :, i_focus], axis=1)
+            vt = tb[np.arange(len(tb)), bz].copy()  # best plane's row
+            vt[:, i_mean] = tb[:, :, i_mean].mean(axis=1)
+            vt[:, i_sat] = tb[:, :, i_sat].mean(axis=1)
+            vol_tables.append(vt)
+            best_zs.append(bz)
+            flags.append(qc_lib.flag_frames(
+                vt, mad_k=mad_k, dark_fraction=dark_fraction,
+                sat_max=sat_max, focus_drop=focus_drop,
+            ))
+    qc_path = os.path.join(job.output, "qc.csv")
+    with open(qc_path + ".tmp", "w") as f:
+        f.write("t,channel,z," + ",".join(qc_lib.METRICS) + "\n")
+        for t in range(n_vols):
+            for ch, tb in enumerate(plane_tables):
+                for z in range(tb.shape[1]):
+                    vals = ",".join(f"{v:.6g}" for v in tb[t, z])
+                    f.write(f"{t + offset},{ch},{z},{vals}\n")
+    os.replace(qc_path + ".tmp", qc_path)
+    volumes_path = os.path.join(job.output, "qc_volumes.csv")
+    with open(volumes_path + ".tmp", "w") as f:
+        f.write(
+            "t,channel,best_z," + ",".join(qc_lib.METRICS) + ",flags\n"
+        )
+        for t in range(n_vols):
+            for ch in range(len(sources)):
+                vals = ",".join(f"{v:.6g}" for v in vol_tables[ch][t])
+                f.write(
+                    f"{t + offset},{ch},{int(best_zs[ch][t])},{vals},"
+                    f"{'+'.join(flags[ch][t])}\n"
+                )
+    os.replace(volumes_path + ".tmp", volumes_path)
+    rep.finish()
+    per_flag: Dict[str, int] = {}
+    flagged = set()
+    drift = 0
+    for ch in range(len(sources)):
+        if len(best_zs[ch]):
+            med = float(np.median(best_zs[ch]))
+            drift = max(
+                drift, int(np.abs(best_zs[ch] - med).max())
+            )
+        for t, fl in enumerate(flags[ch]):
+            if fl:
+                flagged.add(t)
+            for name in fl:
+                per_flag[name] = per_flag.get(name, 0) + 1
+    metrics = dict(
+        timer.summary(),
+        n_frames=n_vols, n_channels=len(sources),
+        n_flagged_volumes=len(flagged), best_z_drift=drift,
+        **{f"n_{k}": v for k, v in sorted(per_flag.items())},
+    )
+    return {
+        "qc": qc_path,
+        "qc_volumes": volumes_path,
+        "metrics": json.dumps(metrics),
+    }
+
+
 @register("qc_stack")
 def qc_stack(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Per-frame acquisition QC of a timelapse (no model required).
@@ -5349,7 +5519,10 @@ def qc_stack(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     ``focus_mad_k`` (default 3.5), ``focus_drop`` (default 0.5 — a
     focus flag also requires the score under this fraction of the run
     median), ``dark_fraction`` (default 0.5), ``saturation_max``
-    (default 0.01), ``frame_range``.
+    (default 0.01), ``frame_range``. ``dims: 3`` runs the volumetric
+    variant (``_qc_stack_3d``: per-plane rows + per-volume flags +
+    ``best_z`` focal-drift tracking over the shared volume-timelapse
+    input conventions).
 
     Outputs: qc.csv — one row per (frame, channel):
     ``t,channel,focus_vol,tenengrad,mean,std,p01,p99,sat_frac,flags``
@@ -5365,6 +5538,14 @@ def qc_stack(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     paths = _resolve_inputs(job)
     p = job.params
+    try:
+        dims = int(p.get("dims", 2))
+    except (TypeError, ValueError):
+        raise jobs_lib.JobError(f"dims={p.get('dims')!r} must be 2 or 3")
+    if dims == 3:
+        return _qc_stack_3d(job, paths)
+    if dims != 2:
+        raise jobs_lib.JobError(f"dims={dims} must be 2 or 3")
     sources = []
     try:
         for p_ in paths:

@@ -192,3 +192,91 @@ class TestQcStackPipeline:
             st = json.load(open(os.path.join(out, "status.json")))
             assert st["state"] == "failed"
             assert frag in st["error"], (name, st["error"])
+
+
+class TestQcStack3D:
+    @pytest.fixture
+    def server_env(self, tmp_path):
+        cfg = ServerConfiguration(
+            jobs_dir=str(tmp_path / "jobs"),
+            models_dir=str(tmp_path / "models"),
+        )
+        cfg.ensure_dirs()
+        return cfg, tmp_path
+
+    def test_per_volume_flags_and_focal_drift(self, server_env):
+        """Volumes: per-plane rows, per-volume flags on the best-plane
+        aggregates, and best_z tracking the focal plane as it creeps."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(4)
+        T, Z, S = 6, 5, 32
+        d = tmp / "vols"
+        d.mkdir()
+        sharp = _scene(rng, S)
+        for t in range(T):
+            vol = np.stack([
+                _scene(rng, S, blur=6) for _ in range(Z)
+            ])
+            focal = min(t, Z - 1)  # the sharp plane CREEPS upward
+            vol[focal] = sharp + rng.normal(0, 1, (S, S))
+            if t == 3:  # a fully-defocused volume
+                vol = np.stack([
+                    _scene(rng, S, blur=8) for _ in range(Z)
+                ])
+            tiff.write_stack(str(d / f"t{t:02d}.tif"), vol.astype(np.float32))
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "qc_stack", "params": {"dims": 3},
+             "input": [str(d)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m["n_frames"] == T and m["best_z_drift"] >= 2
+        rows = open(st["outputs"]["qc"]).read().strip().split("\n")
+        assert rows[0].startswith("t,channel,z,")
+        assert len(rows) == 1 + T * Z
+        vrows = open(st["outputs"]["qc_volumes"]).read().strip().split("\n")
+        assert vrows[0].startswith("t,channel,best_z,")
+        recs = [r.split(",") for r in vrows[1:]]
+        assert len(recs) == T
+        by_t = {int(r[0]): r for r in recs}
+        # best_z follows the creeping focal plane (away from t=3)
+        for t in (0, 1, 2, 4):
+            assert int(by_t[t][2]) == min(t, Z - 1), by_t[t]
+        # the defocused volume is flagged; the others are clean
+        assert "focus" in by_t[3][-1]
+        assert all(by_t[t][-1] == "" for t in (0, 1, 2, 4, 5))
+
+    def test_3d_with_z_pages_and_validation(self, server_env):
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(5)
+        T, Z, S = 3, 4, 24
+        stack = np.stack(
+            [_scene(rng, S) for _ in range(T * Z)]
+        ).astype(np.float32)
+        path = str(tmp / "tz.tif")
+        tiff.write_stack(path, stack)
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "qc_stack", "params": {"dims": 3, "z": Z},
+             "input": [path], "output": out},
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        assert json.loads(st["outputs"]["metrics"])["n_frames"] == T
+
+        out2 = str(tmp / "bad")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "qc_stack", "params": {"dims": 4},
+             "input": [path], "output": out2},
+        )
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(out2, "status.json")))
+        assert st2["state"] == "failed" and "dims" in st2["error"]
