@@ -87,6 +87,18 @@ def cached_frame_qc():
     return make_frame_qc()
 
 
+@functools.lru_cache(maxsize=1)
+def cached_volume_qc():
+    """Volumetric twin: ``qc(volume, sat_level) -> (Z, 7)`` — the frame
+    graph vmapped over z, one dispatch per volume. Cached at module
+    level so a warm worker's repeated dims-3 jobs reuse one compiled
+    graph (a per-job jit(lambda) would re-trace every time)."""
+    import jax
+
+    qc = cached_frame_qc()
+    return jax.jit(lambda vol, sat: jax.vmap(lambda pl: qc(pl, sat))(vol))
+
+
 def flag_frames(
     table: np.ndarray,
     mad_k: float = 3.5,

@@ -5327,6 +5327,34 @@ def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     }
 
 
+def _parse_qc_params(job: Job):
+    """Shared qc_stack threshold parsing/validation (2D and 3D paths must
+    not drift): returns (sat_param, mad_k, focus_drop, dark_fraction,
+    sat_max); malformed or out-of-range values are deterministic
+    JobErrors."""
+    p = job.params
+    try:
+        sat_param = p.get("saturation_level")
+        sat_param = None if sat_param is None else float(sat_param)
+        mad_k = float(p.get("focus_mad_k", 3.5))
+        focus_drop = float(p.get("focus_drop", 0.5))
+        dark_fraction = float(p.get("dark_fraction", 0.5))
+        sat_max = float(p.get("saturation_max", 0.01))
+    except (TypeError, ValueError) as e:
+        # bad params are deterministic: fail fast, never retry
+        raise jobs_lib.JobError(f"job {job.id}: bad qc param: {e}")
+    if (
+        mad_k <= 0 or not 0 <= dark_fraction < 1
+        or not 0 < sat_max <= 1 or not 0 < focus_drop <= 1
+    ):
+        raise jobs_lib.JobError(
+            f"bad thresholds: focus_mad_k={mad_k} (>0), focus_drop="
+            f"{focus_drop} ((0,1]), dark_fraction={dark_fraction} "
+            f"([0,1)), saturation_max={sat_max} ((0,1])"
+        )
+    return sat_param, mad_k, focus_drop, dark_fraction, sat_max
+
+
 def _qc_stack_3d(job: Job, paths) -> Dict[str, str]:
     """Volumetric ``qc_stack`` (``dims: 3``): per-plane QC + per-volume
     focal-drift flags for timelapses of z-stacks.
@@ -5348,7 +5376,6 @@ def _qc_stack_3d(job: Job, paths) -> Dict[str, str]:
     channel, in planes): a nonzero drift with clean flags means the
     sample is walking in z and registration should run first.
     """
-    import jax
     import jax.numpy as jnp
 
     from sequitr_tpu.data.source import VolumeSequence
@@ -5373,36 +5400,18 @@ def _qc_stack_3d(job: Job, paths) -> Dict[str, str]:
                 "channels disagree in length/shape: "
                 + str([(len(s), s.spatial) for s in sources])
             )
-        try:
-            sat_param = p.get("saturation_level")
-            sat_param = None if sat_param is None else float(sat_param)
-            mad_k = float(p.get("focus_mad_k", 3.5))
-            focus_drop = float(p.get("focus_drop", 0.5))
-            dark_fraction = float(p.get("dark_fraction", 0.5))
-            sat_max = float(p.get("saturation_max", 0.01))
-        except (TypeError, ValueError) as e:
-            raise jobs_lib.JobError(f"job {job.id}: bad qc param: {e}")
-        if (
-            mad_k <= 0 or not 0 <= dark_fraction < 1
-            or not 0 < sat_max <= 1 or not 0 < focus_drop <= 1
-        ):
-            raise jobs_lib.JobError(
-                f"bad thresholds: focus_mad_k={mad_k} (>0), focus_drop="
-                f"{focus_drop} ((0,1]), dark_fraction={dark_fraction} "
-                f"([0,1)), saturation_max={sat_max} ((0,1])"
-            )
+        (sat_param, mad_k, focus_drop, dark_fraction,
+         sat_max) = _parse_qc_params(job)
     except BaseException:
         for s in sources:
             s.close()
         raise
 
     timer = PhaseTimer()
+    t0 = time.time()
     n_vols = len(sources[0])
     offset = sources[0].frame_offset
-    qc_fn = qc_lib.cached_frame_qc()
-    qc_vol = jax.jit(
-        lambda v, s: jax.vmap(lambda pl: qc_fn(pl, s))(v)
-    )
+    qc_vol = qc_lib.cached_volume_qc()
     rep = jobs_lib.ProgressReporter(job, n_vols * len(sources))
     plane_tables = []  # per channel: (T, Z, 7)
     i_focus = qc_lib.METRICS.index("focus_vol")
@@ -5429,7 +5438,8 @@ def _qc_stack_3d(job: Job, paths) -> Dict[str, str]:
                     rows.append(np.asarray(out))
                 rep.step()
             plane_tables.append(
-                np.stack(rows) if rows else np.zeros((0, 1, 7))
+                np.stack(rows)
+                if rows else np.zeros((0, 1, len(qc_lib.METRICS)))
             )
     finally:
         for s in sources:
@@ -5440,7 +5450,10 @@ def _qc_stack_3d(job: Job, paths) -> Dict[str, str]:
             bz = np.argmax(tb[:, :, i_focus], axis=1)
             vt = tb[np.arange(len(tb)), bz].copy()  # best plane's row
             vt[:, i_mean] = tb[:, :, i_mean].mean(axis=1)
-            vt[:, i_sat] = tb[:, :, i_sat].mean(axis=1)
+            # saturation is ABSOLUTE (ops/qc.py): a single laser-spiked
+            # plane must flag the volume — a Z-mean would dilute it
+            # below the threshold (review finding)
+            vt[:, i_sat] = tb[:, :, i_sat].max(axis=1)
             vol_tables.append(vt)
             best_zs.append(bz)
             flags.append(qc_lib.flag_frames(
@@ -5472,12 +5485,14 @@ def _qc_stack_3d(job: Job, paths) -> Dict[str, str]:
     rep.finish()
     per_flag: Dict[str, int] = {}
     flagged = set()
-    drift = 0
+    drift = 0.0
     for ch in range(len(sources)):
         if len(best_zs[ch]):
             med = float(np.median(best_zs[ch]))
+            # float deviation: int() truncated a genuine one-plane shift
+            # to 0 when an even-length run put the median at x.5
             drift = max(
-                drift, int(np.abs(best_zs[ch] - med).max())
+                drift, round(float(np.abs(best_zs[ch] - med).max()), 1)
             )
         for t, fl in enumerate(flags[ch]):
             if fl:
@@ -5485,7 +5500,7 @@ def _qc_stack_3d(job: Job, paths) -> Dict[str, str]:
             for name in fl:
                 per_flag[name] = per_flag.get(name, 0) + 1
     metrics = dict(
-        timer.summary(),
+        timer.summary(), total_s=round(time.time() - t0, 4),
         n_frames=n_vols, n_channels=len(sources),
         n_flagged_volumes=len(flagged), best_z_drift=drift,
         **{f"n_{k}": v for k, v in sorted(per_flag.items())},
@@ -5561,25 +5576,8 @@ def qc_stack(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 "channels disagree in length/shape: "
                 + str([(len(s), s.spatial) for s in sources])
             )
-        try:
-            sat_param = p.get("saturation_level")
-            sat_param = None if sat_param is None else float(sat_param)
-            mad_k = float(p.get("focus_mad_k", 3.5))
-            focus_drop = float(p.get("focus_drop", 0.5))
-            dark_fraction = float(p.get("dark_fraction", 0.5))
-            sat_max = float(p.get("saturation_max", 0.01))
-        except (TypeError, ValueError) as e:
-            # bad params are deterministic: fail fast, never retry
-            raise jobs_lib.JobError(f"job {job.id}: bad qc param: {e}")
-        if (
-            mad_k <= 0 or not 0 <= dark_fraction < 1
-            or not 0 < sat_max <= 1 or not 0 < focus_drop <= 1
-        ):
-            raise jobs_lib.JobError(
-                f"bad thresholds: focus_mad_k={mad_k} (>0), focus_drop="
-                f"{focus_drop} ((0,1]), dark_fraction={dark_fraction} "
-                f"([0,1)), saturation_max={sat_max} ((0,1])"
-            )
+        (sat_param, mad_k, focus_drop, dark_fraction,
+         sat_max) = _parse_qc_params(job)
     except BaseException:
         for s in sources:
             s.close()

@@ -280,3 +280,43 @@ class TestQcStack3D:
         assert srv.poll_once()
         st2 = json.load(open(os.path.join(out2, "status.json")))
         assert st2["state"] == "failed" and "dims" in st2["error"]
+
+    def test_single_plane_spike_flags_the_volume(self, server_env):
+        """Saturation is absolute: ONE laser-spiked plane must flag the
+        whole volume (review fix — a Z-mean diluted it under sat_max)."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(6)
+        T, Z, S = 3, 8, 24
+        d = tmp / "vols"
+        d.mkdir()
+        for t in range(T):
+            vol = np.stack(
+                [(_scene(rng, S) * 200) for _ in range(Z)]
+            ).astype(np.uint16)
+            if t == 1:
+                vol[5] = 65535  # one fully saturated plane of eight
+            tiff.write_stack(str(d / f"t{t:02d}.tif"), vol)
+        out = str(tmp / "out")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "qc_stack", "params": {"dims": 3},
+             "input": [str(d)], "output": out},
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        m = json.loads(st["outputs"]["metrics"])
+        assert m.get("n_saturated", 0) == 1
+        assert "total_s" in m  # schema parity with the 2D path
+        vrows = open(st["outputs"]["qc_volumes"]).read().strip().split("\n")
+        by_t = {r.split(",")[0]: r.split(",")[-1] for r in vrows[1:]}
+        assert "saturated" in by_t["1"]
+        assert by_t["0"] == "" and by_t["2"] == ""
+
+    def test_half_integer_drift_not_truncated(self):
+        """best_zs [2,2,2,3,3,3]: median 2.5, genuine one-plane walk —
+        int() used to truncate the 0.5 deviation to zero drift."""
+        bz = np.asarray([2, 2, 2, 3, 3, 3])
+        med = float(np.median(bz))
+        drift = round(float(np.abs(bz - med).max()), 1)
+        assert drift == 0.5
