@@ -9,6 +9,7 @@
 - ``illumination``: retrospective flat-field + photobleach compensation
 - ``colocalize``: per-object Pearson/Manders colocalization (host-side)
 - ``qc``: per-frame acquisition QC (focus/exposure/saturation, on-device)
+- ``projection``: z-projection of volumes (max/mean/..., best-focus, EDoF)
 - ``pallas``: hand-written Pallas TPU kernels for the hot paths
 """
 
@@ -53,3 +54,4 @@ from sequitr_tpu.ops.registration import (  # noqa: F401
 from sequitr_tpu.ops import weightmaps  # noqa: F401
 from sequitr_tpu.ops import colocalize  # noqa: F401
 from sequitr_tpu.ops import qc  # noqa: F401
+from sequitr_tpu.ops import projection  # noqa: F401

@@ -42,6 +42,9 @@ Built-in pipelines (registry keys are the rebuild's documented API):
   * ``qc_stack`` — per-frame acquisition QC (focus/exposure/saturation
     scored on device, run-relative outlier flags) before chip time is
     spent.
+  * ``project_stack`` — z-projection of volume timelapses (max/mean/...,
+    best-focus plane pick, per-pixel EDoF with height map) — the bridge
+    from volumetric acquisitions into every 2D pipeline.
   * ``export_ctc`` — render a tracking run as Cell-Tracking-Challenge
     masks + res_track.txt (labels repainted to track labels).
   * ``measure_tracks`` — join a tracking run onto per-object
@@ -5651,6 +5654,199 @@ def qc_stack(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         **{f"n_{k}": v for k, v in sorted(per_flag.items())},
     )
     return {"qc": qc_path, "metrics": json.dumps(metrics)}
+
+
+@register("project_stack")
+def project_stack_job(job: Job, config: ServerConfiguration) -> Dict[str, str]:
+    """Z-project a volume timelapse into a 2D timelapse.
+
+    The bridge from volumetric acquisitions to the whole 2D pipeline
+    family: project each timepoint's z-stack to one frame
+    (``ops/projection.py`` — one fused jit graph per volume, timepoints
+    streamed with H2D overlap) and chain segmentation / denoising /
+    tracking / quantification on the projection via ``depends_on``. An
+    extension beyond the reference's capability list (its era projected
+    host-side in ImageJ before submitting jobs).
+
+    input: one or more channel entries over the shared volume-timelapse
+    conventions (directory/glob = one z-stack file per timepoint, or a
+    single T·Z-page file with ``z`` pages per volume; a bare single
+    file is a one-volume sequence). params: ``method`` (default
+    ``"max"``: max / min / sum / mean / std / median / best_focus /
+    edof), ``z`` (pages per volume), ``z_range: [lo, hi]`` (project
+    planes lo..hi-1 only), ``edof_radius`` (local sharpness window
+    half-width, default 4), ``edof_gamma`` (weighting exponent, default
+    4.0), ``edof_mode`` (``"blend"`` smooth / ``"select"`` hard argmax),
+    ``save_height`` (edof only: also write the per-pixel argmax-z
+    height map), ``frame_range``, ``compress_output``.
+
+    Outputs: projected.tif (single channel) or projected_c{k}.tif —
+    selection methods (max/min/best_focus) keep the input dtype
+    bit-exactly, arithmetic ones (sum/mean/std/median/edof) write
+    float32; projection.csv (``t,channel,best_z`` — best_focus only);
+    height.tif / height_c{k}.tif (uint16). Metrics: n_frames,
+    n_channels, method, per-phase timings.
+    """
+    from sequitr_tpu.data.source import VolumeSequence
+    from sequitr_tpu.ops import projection as proj_lib
+    from sequitr_tpu.pipeline import infer as infer_lib
+    from sequitr_tpu.utils import PhaseTimer
+
+    paths = _resolve_inputs(job)
+    p = job.params
+    method = str(p.get("method", "max"))
+    try:
+        project = proj_lib.cached_projector(
+            method,
+            radius=int(p.get("edof_radius", 4)),
+            gamma=float(p.get("edof_gamma", 4.0)),
+            mode=str(p.get("edof_mode", "blend")),
+        )
+    except (TypeError, ValueError) as e:
+        raise jobs_lib.JobError(f"job {job.id}: {e}")
+    save_height = bool(p.get("save_height", False))
+    if save_height and method != "edof":
+        raise jobs_lib.JobError(
+            f"save_height requires method: 'edof' (got {method!r} — "
+            "only EDoF produces a per-pixel height map)"
+        )
+    z_range = p.get("z_range")
+    if z_range is not None:
+        try:
+            z_lo, z_hi = (int(v) for v in z_range)
+        except (TypeError, ValueError):
+            raise jobs_lib.JobError(
+                f"z_range={z_range!r} must be [lo, hi] plane indices"
+            )
+        if not 0 <= z_lo < z_hi:
+            raise jobs_lib.JobError(
+                f"z_range=[{z_lo}, {z_hi}] must satisfy 0 <= lo < hi"
+            )
+    z_pages = _parse_z_pages(job)
+    sources = []
+    try:
+        for p_ in paths:
+            try:
+                sources.append(VolumeSequence(p_, z=z_pages))
+            except ValueError as e:
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read inputs: {e}"
+                )
+        sources = [_apply_frame_range(job, s) for s in sources]
+        if len({(len(s), s.spatial) for s in sources}) != 1:
+            raise jobs_lib.JobError(
+                "channels disagree in length/shape: "
+                + str([(len(s), s.spatial) for s in sources])
+            )
+        n_planes = sources[0].spatial[0]
+        if z_range is not None and z_hi > n_planes:
+            raise jobs_lib.JobError(
+                f"z_range=[{z_lo}, {z_hi}] exceeds the volumes' "
+                f"{n_planes} planes"
+            )
+        if z_range is None:
+            z_lo, z_hi = 0, n_planes
+    except BaseException:
+        for s in sources:
+            s.close()
+        raise
+
+    timer = PhaseTimer()
+    t0 = time.time()
+    n_vols = len(sources[0])
+    offset = sources[0].frame_offset
+    compression = _out_compression(job)
+    keeps_dtype = proj_lib.METHODS[method]
+    rep = jobs_lib.ProgressReporter(job, n_vols * len(sources))
+    best_rows = []  # (t, channel, best_z) rows for best_focus
+
+    def _prefetch(out) -> None:
+        infer_lib._copy_to_host_async(out[0])
+        if method in ("best_focus", "edof"):
+            infer_lib._copy_to_host_async(out[1])
+
+    outputs: Dict[str, str] = {}
+    try:
+        for ch, src in enumerate(sources):
+            one = len(sources) == 1
+            out_path = os.path.join(
+                job.output,
+                "projected.tif" if one else f"projected_c{ch}.tif",
+            )
+            out_dtype = np.dtype(src.dtype if keeps_dtype else np.float32)
+            _, h, w = src.spatial
+            est = float(n_vols) * h * w * out_dtype.itemsize
+            writer = _append_writer(out_path, est, compression)
+            hwriter = None
+            if save_height:
+                h_path = os.path.join(
+                    job.output,
+                    "height.tif" if one else f"height_c{ch}.tif",
+                )
+                hwriter = _append_writer(h_path, est, compression)
+
+            def volumes(src=src):
+                for t in range(n_vols):
+                    yield src.volume(t)[z_lo:z_hi]
+
+            t_idx = 0
+            with src, writer:
+                try:
+                    for proj, aux in infer_lib.stream_frames(
+                        project,
+                        _reads_fail_fast(job, volumes()),
+                        prefetch_host=_prefetch,
+                    ):
+                        with timer.phase("write"):
+                            writer.append(
+                                np.asarray(proj).astype(
+                                    out_dtype, copy=False
+                                )
+                            )
+                            if method == "best_focus":
+                                # best_z is relative to z_range's origin
+                                best_rows.append((
+                                    t_idx + offset, ch,
+                                    int(np.asarray(aux)) + z_lo,
+                                ))
+                            if hwriter is not None:
+                                hwriter.append(
+                                    (np.asarray(aux) + z_lo).astype(
+                                        np.uint16
+                                    )
+                                )
+                        rep.step()
+                        t_idx += 1
+                except BaseException:
+                    # discard the partial height file too (the main
+                    # writer's own __exit__ aborts); close() would
+                    # COMMIT a truncated stack into place
+                    if hwriter is not None:
+                        hwriter.abort()
+                    raise
+                if hwriter is not None:
+                    hwriter.close()
+            outputs["projected" if one else f"projected_c{ch}"] = out_path
+            if save_height:
+                outputs["height" if one else f"height_c{ch}"] = h_path
+    finally:
+        for s in sources:
+            s.close()
+    if method == "best_focus":
+        csv_path = os.path.join(job.output, "projection.csv")
+        with open(csv_path + ".tmp", "w") as f:
+            f.write("t,channel,best_z\n")
+            for t, ch, z in sorted(best_rows):
+                f.write(f"{t},{ch},{z}\n")
+        os.replace(csv_path + ".tmp", csv_path)
+        outputs["projection"] = csv_path
+    rep.finish()
+    metrics = dict(
+        timer.summary(), total_s=round(time.time() - t0, 4),
+        n_frames=n_vols, n_channels=len(sources), method=method,
+    )
+    outputs["metrics"] = json.dumps(metrics)
+    return outputs
 
 
 @register("track_objects")
