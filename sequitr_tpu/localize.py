@@ -29,6 +29,7 @@ __all__ = [
     "split_touching_instances",
     "localize_frame",
     "localize_frame_table",
+    "localize_instances_table",
     "export_btrack_h5",
     "export_btrack_h5_tables",
     "export_objects_csv",
@@ -176,6 +177,48 @@ def localize_frame_table(
     coords[:, 2] = cy[keep]
     coords[:, 3] = z
     coords[:, 4] = classes[keep]
+    return FrameTable(
+        coords=coords,
+        area=areas[keep].astype(np.int32),
+        intensity_mean=imean[keep].astype(np.float32),
+    )
+
+
+def localize_instances_table(
+    instances: np.ndarray,
+    t: int = 0,
+    intensity: Optional[np.ndarray] = None,
+    min_area: int = 1,
+    z: float = 0.0,
+) -> FrameTable:
+    """Per-object features of a PRE-LABELLED 2D instance map.
+
+    ``localize_frame_table`` re-derives instances from connected
+    components of the foreground — which would re-merge the touching
+    cells an instance segmenter (flow following, watershed) just
+    separated, since abutting instances share a connected foreground.
+    This variant trusts the provided instance ids (0 = background,
+    1..n = objects) and runs only the fused per-label stats sweep.
+    The semantic ``label`` column is 1 for every object (instance
+    segmentation carries no class)."""
+    from sequitr_tpu import native
+
+    instances = np.ascontiguousarray(np.asarray(instances, dtype=np.int32))
+    n = int(instances.max())
+    if n == 0:
+        return FrameTable.empty()
+    fg = (instances > 0).astype(np.int32)
+    areas, cy, cx, imean, _classes = native.label_full_stats(
+        instances, fg, intensity, n, 2
+    )
+    keep = areas >= min_area
+    kept = int(keep.sum())
+    coords = np.empty((kept, 5), dtype=np.float32)
+    coords[:, 0] = t
+    coords[:, 1] = cx[keep]
+    coords[:, 2] = cy[keep]
+    coords[:, 3] = z
+    coords[:, 4] = 1.0
     return FrameTable(
         coords=coords,
         area=areas[keep].astype(np.int32),

@@ -68,6 +68,12 @@ PRESETS: Dict[str, Any] = {
         num_classes=1, depth=3, features_cap=256,
         space_to_depth=2, base_features=64,
     ),
+    # flow-field instance segmentation (ops.flows, Cellpose-style): a
+    # regression U-Net whose head carries (dy, dx) x FLOW_SCALE + a
+    # cell-probability logit — num_classes = dims + 1, raw head. The flow
+    # representation makes touching-cell boundaries explicit (opposite-
+    # sign vectors), which per-pixel class maps cannot express.
+    "flows_cells": _unet(num_classes=3),
 }
 
 

@@ -10,6 +10,8 @@
 - ``colocalize``: per-object Pearson/Manders colocalization (host-side)
 - ``qc``: per-frame acquisition QC (focus/exposure/saturation, on-device)
 - ``projection``: z-projection of volumes (max/mean/..., best-focus, EDoF)
+- ``flows``: flow-field instance segmentation (diffusion targets, flow
+  following, sink grouping, instance AP)
 - ``pallas``: hand-written Pallas TPU kernels for the hot paths
 """
 
@@ -55,3 +57,4 @@ from sequitr_tpu.ops import weightmaps  # noqa: F401
 from sequitr_tpu.ops import colocalize  # noqa: F401
 from sequitr_tpu.ops import qc  # noqa: F401
 from sequitr_tpu.ops import projection  # noqa: F401
+from sequitr_tpu.ops import flows  # noqa: F401

@@ -1,0 +1,436 @@
+"""Flow-field instance segmentation (Cellpose-style), TPU-first.
+
+The reference separates touching cells only implicitly: argmax class maps
+followed by connected components (SURVEY.md §3.3/§3.5), which merges any
+two cells of the same class that share a border. This framework already
+ships a classical fix (``localize.split_touching_instances``, distance-
+transform watershed); this module adds the *learned* fix — the simulated-
+diffusion flow representation of Stringer et al. 2021 (Cellpose):
+
+* **Training targets** (host, record-build time — the same place the
+  reference computes its U-Net weight maps, SURVEY.md §3.2): for every
+  instance, simulate heat diffusion from the instance's medoid and take
+  the normalized gradient. Every pixel of a cell carries a unit vector
+  pointing (along a within-mask path) toward the cell center, and
+  vectors on the two sides of a cell-cell boundary point in *opposite*
+  directions — the contact line is explicit in the representation, which
+  is what per-pixel class maps fundamentally lack.
+* **The network** is the existing U-Net core with a ``dims + 1``-channel
+  regression head (dy, dx[, dz] scaled by ``FLOW_SCALE``, plus a cell-
+  probability logit) — no new architecture, the MXU sees the same convs.
+* **Serving** recovers instances by following the predicted flow:
+  every foreground pixel integrates the field (fixed-iteration Euler
+  steps, one bilinear gather per step — a ``lax.scan`` on device, no
+  data-dependent control flow), pixels of one cell converge onto its
+  medoid, and a cheap host pass (sink histogram -> connected components
+  of sink clusters) reads the grouping off. Irregular, data-dependent
+  work (CCL, relabelling) stays on host; the regular, FLOP-heavy work
+  (network + integration) stays on TPU.
+
+2D first-class; the target/representation code is written n-dimensional
+where free, but serving and training are validated for ``dims == 2``
+(volumetric flows are a documented extension, not a silent fallback).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "FLOW_SCALE",
+    "flow_targets",
+    "follow_flows",
+    "group_sinks",
+    "masks_from_flows",
+    "match_instances",
+    "average_precision",
+]
+
+# Network flow channels are trained against FLOW_SCALE * unit-flow (the
+# Cellpose loss balance: unit vectors would be dominated by the prob BCE
+# term); serving divides the prediction back down before integrating.
+FLOW_SCALE = 5.0
+
+
+# ---------------------------------------------------------------------------
+# training targets (host, record-build time)
+# ---------------------------------------------------------------------------
+
+
+def _medoids(labels: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Per-instance in-mask center: the mask pixel closest to the centroid.
+
+    The diffusion source must lie INSIDE the mask (a plain centroid can
+    fall outside a concave cell, where the heat never enters the mask).
+    Returns (n_ids, nd) int coordinates, row-aligned with ``ids``.
+    """
+    nd = labels.ndim
+    coords = np.indices(labels.shape).reshape(nd, -1).T  # (P, nd)
+    flat = labels.ravel()
+    out = np.zeros((len(ids), nd), dtype=np.int64)
+    order = np.argsort(flat, kind="stable")
+    sorted_lab = flat[order]
+    starts = np.searchsorted(sorted_lab, ids, side="left")
+    ends = np.searchsorted(sorted_lab, ids, side="right")
+    for row, (s, e) in enumerate(zip(starts, ends)):
+        pix = coords[order[s:e]]  # (n_i, nd)
+        centroid = pix.mean(axis=0)
+        out[row] = pix[np.argmin(((pix - centroid) ** 2).sum(axis=1))]
+    return out
+
+
+def _neighbor_offsets(nd: int) -> np.ndarray:
+    """All 3^nd - 1 neighbor offsets (the diffusion stencil)."""
+    grids = np.meshgrid(*([np.array([-1, 0, 1])] * nd), indexing="ij")
+    offs = np.stack([g.ravel() for g in grids], axis=1)
+    return offs[np.any(offs != 0, axis=1)]
+
+
+def _shift(a: np.ndarray, off: Sequence[int], fill) -> np.ndarray:
+    """``a`` translated by ``off`` with constant fill (np.roll without the
+    wrap-around — a wrapped diffusion would leak heat across the frame)."""
+    out = np.full_like(a, fill)
+    src = []
+    dst = []
+    for o, n in zip(off, a.shape):
+        if o >= 0:
+            src.append(slice(0, n - o))
+            dst.append(slice(o, n))
+        else:
+            src.append(slice(-o, n))
+            dst.append(slice(0, n + o))
+    out[tuple(dst)] = a[tuple(src)]
+    return out
+
+
+def flow_targets(
+    labels: np.ndarray,
+    n_iter: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Instance label map -> (flows, prob) training targets.
+
+    ``labels``: (H, W) or (Z, H, W) integer instance map, 0 = background
+    (every distinct positive value is one instance). Returns
+    ``flows`` (*spatial, nd) float32 — unit vectors pointing up the
+    diffusion gradient (toward the instance medoid), zero outside
+    instances and (axis order matches the array axes: dy before dx) —
+    and ``prob`` (*spatial) float32 in {0, 1}.
+
+    Diffusion: heat is injected at each instance medoid every step and
+    averaged over the 3^nd-neighborhood *restricted to same-instance
+    pixels* each step, so heat flows around concavities rather than
+    across walls; ``n_iter`` defaults to twice the largest instance's
+    bounding-box extent (enough steps for heat to reach the farthest
+    pixel of the largest cell, cf. Stringer et al. 2021).
+    """
+    labels = np.asarray(labels)
+    nd = labels.ndim
+    if nd not in (2, 3):
+        raise ValueError(f"labels must be 2D or 3D, got {labels.shape}")
+    inside = labels > 0
+    prob = inside.astype(np.float32)
+    flows = np.zeros(labels.shape + (nd,), dtype=np.float32)
+    ids = np.unique(labels[inside])
+    if ids.size == 0:
+        return flows, prob
+
+    if n_iter is None:
+        # largest bbox extent over instances, per axis-max
+        extent = 0
+        for ax in range(nd):
+            proj = labels.max(
+                axis=tuple(i for i in range(nd) if i != ax)
+            )
+            for i in ids:
+                where = np.nonzero(proj == i)[0]
+                if where.size:
+                    extent = max(extent, int(where[-1] - where[0]) + 1)
+        # heat must cross the largest cell; 2x its extent converges the
+        # interior gradient direction (magnitude is normalized away)
+        n_iter = max(16, 2 * extent)
+
+    meds = _medoids(labels, ids)
+    source = np.zeros(labels.shape, dtype=np.float32)
+    source[tuple(meds.T)] = 1.0
+
+    offs = _neighbor_offsets(nd)
+    # same-instance neighbor masks, one per stencil offset (computed once)
+    neigh_ok = [
+        inside & (_shift(labels, off, 0) == labels) for off in offs
+    ]
+    denom = np.ones(labels.shape, dtype=np.float32)  # self always counts
+    for ok in neigh_ok:
+        denom += ok
+    T = np.zeros(labels.shape, dtype=np.float32)
+    for _ in range(int(n_iter)):
+        T += source
+        acc = T.copy()  # self contribution
+        for off, ok in zip(offs, neigh_ok):
+            acc += np.where(ok, _shift(T, off, 0.0), 0.0)
+        T = acc / denom
+        T *= inside  # heat exists only inside instances
+    # gradient of log-heat: log flattens the exponential decay so far-from-
+    # center pixels still carry a well-conditioned direction
+    logT = np.log(1e-20 + T)
+    for ax in range(nd):
+        up = [0] * nd
+        up[ax] = 1
+        dn = [0] * nd
+        dn[ax] = -1
+        ok_up = neigh_ok[_off_index(offs, up)]
+        ok_dn = neigh_ok[_off_index(offs, dn)]
+        v_up = np.where(ok_up, _shift(logT, up, 0.0), logT)
+        v_dn = np.where(ok_dn, _shift(logT, dn, 0.0), logT)
+        # note _shift(x, +1) brings the PREVIOUS pixel forward: value at
+        # p becomes x[p - 1]; so the forward-neighbor value is _shift(-1)
+        flows[..., ax] = np.where(inside, v_dn - v_up, 0.0) / 2.0
+    mag = np.sqrt((flows**2).sum(axis=-1))
+    flows /= np.maximum(mag, 1e-20)[..., None]
+    flows *= inside[..., None]
+    return flows.astype(np.float32), prob
+
+
+def _off_index(offs: np.ndarray, off: Sequence[int]) -> int:
+    idx = np.nonzero((offs == np.asarray(off)).all(axis=1))[0]
+    return int(idx[0])
+
+
+# ---------------------------------------------------------------------------
+# serving: follow the flow field on device
+# ---------------------------------------------------------------------------
+
+
+def _bilinear(field, p):
+    """Sample ``field`` (H, W, C) at fractional points ``p`` (N, 2) —
+    4-gather bilinear interpolation, clamped to the frame."""
+    import jax.numpy as jnp
+
+    h, w = field.shape[0], field.shape[1]
+    y = jnp.clip(p[:, 0], 0.0, h - 1.0)
+    x = jnp.clip(p[:, 1], 0.0, w - 1.0)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+    fy = (y - y0)[:, None]
+    fx = (x - x0)[:, None]
+    f00 = field[y0, x0]
+    f01 = field[y0, x0 + 1]
+    f10 = field[y0 + 1, x0]
+    f11 = field[y0 + 1, x0 + 1]
+    return (
+        f00 * (1 - fy) * (1 - fx)
+        + f01 * (1 - fy) * fx
+        + f10 * fy * (1 - fx)
+        + f11 * fy * fx
+    )
+
+
+def follow_flows(
+    flow,
+    mask=None,
+    n_iter: int = 200,
+    step: float = 1.0,
+):
+    """Integrate the flow field: every pixel follows its flow to a sink.
+
+    ``flow``: (H, W, 2) unit-flow field (dy, dx). ``mask``: optional
+    (H, W) bool — background pixels see zero flow and stay put (their
+    final position is their own coordinate; ``group_sinks`` only reads
+    foreground pixels, so this is purely a FLOP saving in convergence,
+    not a correctness gate). Returns (H, W, 2) float32 final positions.
+
+    TPU shape: a fixed-length ``lax.scan`` of Euler steps, each one
+    bilinear gather over all H*W points — static shapes, no host sync,
+    jittable as part of a larger serving graph. 200 iterations at step
+    1.0 converge cells up to ~200 px across (pixels move ~1 px/step
+    along the within-mask path toward the medoid).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    flow = jnp.asarray(flow, jnp.float32)
+    h, w = flow.shape[0], flow.shape[1]
+    if mask is not None:
+        flow = flow * jnp.asarray(mask, jnp.float32)[..., None]
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    p0 = jnp.stack([ys, xs], axis=-1).reshape(-1, 2)
+    lim = jnp.array([h - 1.0, w - 1.0], jnp.float32)
+
+    def body(p, _):
+        v = _bilinear(flow, p)
+        p = jnp.clip(p + step * v, 0.0, lim)
+        return p, None
+
+    p, _ = jax.lax.scan(body, p0, None, length=int(n_iter))
+    return p.reshape(h, w, 2)
+
+
+# ---------------------------------------------------------------------------
+# serving: host-side grouping of converged sinks
+# ---------------------------------------------------------------------------
+
+
+def _binary_dilate(a: np.ndarray, iters: int = 1) -> np.ndarray:
+    """3^nd binary dilation via shifted ORs (no scipy needed on this path)."""
+    out = a.copy()
+    for _ in range(iters):
+        acc = out.copy()
+        for off in _neighbor_offsets(a.ndim):
+            acc |= _shift(out, off, False)
+        out = acc
+    return out
+
+
+def group_sinks(
+    final: np.ndarray,
+    mask: np.ndarray,
+    min_sink: int = 3,
+    min_area: int = 15,
+    snap_radius: int = 3,
+) -> np.ndarray:
+    """Converged positions -> instance label map (host, irregular work).
+
+    ``final``: (H, W, 2) positions from ``follow_flows``; ``mask``:
+    (H, W) bool foreground. Pixels of one cell converge onto a compact
+    cluster of bins around its medoid: bins holding >= ``min_sink``
+    arrivals are sink bins, adjacent sink bins merge into one sink
+    cluster (8-connected CCL after a 1-px dilation bridges near-medoid
+    splits), and every foreground pixel takes the label of the cluster
+    its final position landed in. Stragglers whose final bin is not a
+    cluster (flow noise at cell boundaries) snap to the nearest cluster
+    within ``snap_radius`` via label dilation; instances smaller than
+    ``min_area`` are dropped; labels are renumbered 1..N.
+    """
+    from sequitr_tpu import localize as loc_lib
+
+    mask = np.asarray(mask, bool)
+    h, w = mask.shape
+    fy = np.clip(np.rint(final[..., 0]).astype(np.int64), 0, h - 1)
+    fx = np.clip(np.rint(final[..., 1]).astype(np.int64), 0, w - 1)
+    counts = np.zeros((h, w), dtype=np.int32)
+    np.add.at(counts, (fy[mask], fx[mask]), 1)
+    sinks = counts >= int(min_sink)
+    if not sinks.any():
+        return np.zeros((h, w), dtype=np.int32)
+    clusters = loc_lib.label_components(_binary_dilate(sinks, 1))
+    # assign: each fg pixel reads the cluster at its landing bin
+    lab = np.zeros((h, w), dtype=np.int32)
+    lab[mask] = clusters[fy[mask], fx[mask]]
+    # stragglers: landing bin belongs to no cluster -> nearest cluster
+    # within snap_radius (max-filter label dilation, ties arbitrary)
+    for _ in range(int(snap_radius)):
+        un = mask & (lab == 0)
+        if not un.any():
+            break
+        dil = clusters.copy()
+        for off in _neighbor_offsets(2):
+            dil = np.maximum(dil, _shift(clusters, off, 0))
+        newly = dil[fy[un], fx[un]]
+        lab_un = np.zeros(int(un.sum()), dtype=np.int32)
+        lab_un[:] = newly
+        lab[un] = lab_un
+        clusters = dil
+    if min_area > 1:
+        sizes = np.bincount(lab.ravel())
+        kill = np.nonzero(sizes < int(min_area))[0]
+        if kill.size:
+            lab[np.isin(lab, kill[kill > 0])] = 0
+    # renumber 1..N (stable in first-appearance order)
+    ids = np.unique(lab[lab > 0])
+    if ids.size:
+        remap = np.zeros(int(lab.max()) + 1, dtype=np.int32)
+        remap[ids] = np.arange(1, ids.size + 1, dtype=np.int32)
+        lab = remap[lab]
+    return lab
+
+
+def masks_from_flows(
+    flow: np.ndarray,
+    prob: np.ndarray,
+    cellprob_threshold: float = 0.5,
+    n_iter: int = 200,
+    step: float = 1.0,
+    min_sink: int = 3,
+    min_area: int = 15,
+    final: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """(flow, prob) maps -> instance label map.
+
+    ``flow`` (H, W, 2) unit flows, ``prob`` (H, W) cell probability in
+    [0, 1] (post-sigmoid). ``final`` short-circuits the device
+    integration when the serving graph already followed the flows (the
+    ``segment_flows`` pipeline fuses ``follow_flows`` into the same jit
+    graph as the network forward).
+    """
+    mask = np.asarray(prob) > float(cellprob_threshold)
+    if final is None:
+        final = np.asarray(follow_flows(flow, mask, n_iter=n_iter, step=step))
+    return group_sinks(
+        np.asarray(final), mask, min_sink=min_sink, min_area=min_area
+    )
+
+
+# ---------------------------------------------------------------------------
+# evaluation: instance matching (AP / matched IoU)
+# ---------------------------------------------------------------------------
+
+
+def match_instances(
+    gt: np.ndarray, pred: np.ndarray
+) -> Tuple[np.ndarray, int, int]:
+    """Optimal one-to-one IoU matching of two instance label maps.
+
+    Returns (ious, n_gt, n_pred): ``ious`` is the per-matched-pair IoU
+    vector under a Hungarian assignment maximizing total IoU (zeros
+    padded for unmatched GT are NOT included — use n_gt/n_pred for the
+    precision/recall denominators).
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    gt = np.asarray(gt).ravel()
+    pred = np.asarray(pred).ravel()
+    n_gt = int(gt.max())
+    n_pred = int(pred.max())
+    if n_gt == 0 or n_pred == 0:
+        return np.zeros(0, dtype=np.float64), n_gt, n_pred
+    # sparse intersection histogram over (gt, pred) id pairs
+    both = (gt > 0) & (pred > 0)
+    pair = gt[both].astype(np.int64) * (n_pred + 1) + pred[both]
+    inter = np.bincount(pair, minlength=(n_gt + 1) * (n_pred + 1)).reshape(
+        n_gt + 1, n_pred + 1
+    )[1:, 1:]
+    area_gt = np.bincount(gt, minlength=n_gt + 1)[1:]
+    area_pr = np.bincount(pred, minlength=n_pred + 1)[1:]
+    union = area_gt[:, None] + area_pr[None, :] - inter
+    iou = inter / np.maximum(union, 1)
+    rows, cols = linear_sum_assignment(-iou)
+    matched = iou[rows, cols]
+    return matched[matched > 0], n_gt, n_pred
+
+
+def average_precision(
+    gt: np.ndarray,
+    pred: np.ndarray,
+    thresholds: Sequence[float] = (0.5, 0.75, 0.9),
+) -> dict:
+    """Cell-counting AP and matched-IoU summary at the given thresholds.
+
+    AP@t = TP / (TP + FP + FN) with TP = matched pairs of IoU >= t (the
+    standard cell-segmentation AP, e.g. the Cellpose/StarDist papers).
+    Also reports ``mean_matched_iou`` (over IoU>=0.5 matches) and the
+    raw instance counts.
+    """
+    ious, n_gt, n_pred = match_instances(gt, pred)
+    out = {"n_gt": n_gt, "n_pred": n_pred}
+    for t in thresholds:
+        tp = int((ious >= t).sum())
+        denom = n_gt + n_pred - tp
+        out[f"ap{int(round(t * 100))}"] = tp / denom if denom else 1.0
+    good = ious[ious >= 0.5]
+    out["mean_matched_iou"] = float(good.mean()) if good.size else 0.0
+    return out

@@ -767,6 +767,126 @@ def fit_n2v(
     )
 
 
+def _decode_flow(payload: bytes) -> Dict[str, np.ndarray]:
+    """Decode a flows training example (image + flow field + cell prob)."""
+    f = records_lib.decode_example(payload)
+    ishape = tuple(int(v) for v in f["image/shape"])
+    x = np.frombuffer(f["image/encoded"][0], dtype="<f4").reshape(ishape)
+    if x.ndim == len(ishape) and x.ndim == 2:
+        x = x[..., None]
+    nd = x.ndim - 1
+    spatial = x.shape[:nd]
+    flow = np.frombuffer(f["flow/encoded"][0], dtype="<f4").reshape(
+        spatial + (nd,)
+    )
+    prob = np.frombuffer(f["prob/encoded"][0], dtype="<f4").reshape(spatial)
+    return {"image": x.astype(np.float32), "flow": flow, "prob": prob}
+
+
+def encode_flow_example(
+    image: np.ndarray, flow: np.ndarray, prob: np.ndarray
+) -> bytes:
+    """Encode a flows example: image (*s, C) or (*s), flow (*s, nd),
+    prob (*s) — all float32. Flow targets are computed at record-creation
+    time (``ops.flows.flow_targets``), the same place the reference
+    computes its U-Net weight maps (SURVEY.md §3.2)."""
+    image = np.asarray(image, np.float32)
+    if image.ndim == flow.ndim - 1:
+        image = image[..., None]
+    return records_lib.encode_example(
+        {
+            "image/encoded": image.astype("<f4").tobytes(),
+            "flow/encoded": np.asarray(flow, np.float32).astype("<f4").tobytes(),
+            "prob/encoded": np.asarray(prob, np.float32).astype("<f4").tobytes(),
+            "image/shape": list(image.shape),
+        }
+    )
+
+
+def _make_flows_evaluator(
+    cfg: unet.UNetConfig, fc: FitConfig, shard_paths: Sequence[str]
+) -> Optional[Callable]:
+    """Holdout evaluator for flows: flow MSE + prob BCE on held-out
+    examples (the training objective on unseen data — ``eval_loss`` is
+    the ``keep_best_metric``; instance-level AP needs the full
+    follow-and-group pass and belongs to ``evaluate_flows``, not the
+    per-eval inner loop)."""
+    import optax
+
+    from sequitr_tpu.ops.flows import FLOW_SCALE
+
+    holdout = load_holdout(shard_paths, _decode_flow, fc.holdout_every, fc.eval_limit)
+    if holdout is None:
+        log.warning("holdout_every=%d produced no eval examples", fc.holdout_every)
+        return None
+    import jax.numpy as jnp
+
+    x = jnp.asarray(holdout["image"])
+    flow = jnp.asarray(holdout["flow"])
+    prob = jnp.asarray(holdout["prob"])
+    nd = cfg.dims
+
+    @jax.jit
+    def _eval(params, model_state):
+        out, _ = unet.apply(cfg, params, model_state, x, train=False)
+        out = out.astype(jnp.float32)
+        flow_mse = jnp.mean((out[..., :nd] - FLOW_SCALE * flow) ** 2)
+        prob_bce = jnp.mean(
+            optax.sigmoid_binary_cross_entropy(out[..., nd], prob)
+        )
+        return flow_mse, prob_bce
+
+    def eval_fn(state, g):
+        flow_mse, prob_bce = _eval(state.params, state.model_state)
+        return {
+            "eval_loss": float(flow_mse) + float(prob_bce),
+            "eval_flow_mse": float(flow_mse),
+            "eval_prob_bce": float(prob_bce),
+        }
+
+    return eval_fn
+
+
+def fit_flows(
+    cfg: unet.UNetConfig,
+    tc: train_lib.TrainConfig,
+    fc: FitConfig,
+    shard_paths: Sequence[str],
+    ckpt_dir: Optional[str] = None,
+    mesh=None,
+    init_state: Optional[train_lib.TrainState] = None,
+    should_stop: Optional[Callable[[], bool]] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> train_lib.TrainState:
+    """Train a flow-field instance segmenter from flow record shards.
+
+    Same loop/checkpoint/resume/metrics machinery as ``fit_unet``; the
+    step is ``train.make_flows_train_step`` (flow MSE + cell-prob BCE,
+    vector-aware flip augmentation). ``mesh``: standard DP (state
+    replicated, batch sharded on its leading axis)."""
+    _check_keep_best(fc, {"eval_loss", "eval_flow_mse", "eval_prob_bce"})
+    key = jax.random.PRNGKey(fc.seed)
+    state = init_state or train_lib.create_unet_state(key, cfg, tc)
+    step = train_lib.make_flows_train_step(cfg, tc, jit=mesh is None)
+    sharding = None
+    if mesh is not None:
+        from sequitr_tpu import parallel
+
+        step = parallel.make_dp_train_step(step, mesh)
+        sharding = parallel.batch_sharded(mesh)
+    it = ShardIterator(
+        shard_paths, _decode_flow, fc.batch_size, seed=fc.seed,
+        shuffle_buffer=fc.shuffle_buffer, holdout_every=fc.holdout_every,
+    )
+    eval_fn = _make_flows_evaluator(cfg, fc, shard_paths) if fc.holdout_every else None
+    batches = prefetch_to_device(iter(it), depth=fc.prefetch_depth, sharding=sharding)
+    return _run_loop(
+        state, step, batches, fc, ckpt_dir, key,
+        ("loss", "flow_mse", "prob_bce", "grad_norm"),
+        eval_fn=eval_fn, should_stop=should_stop, progress=progress,
+    )
+
+
 def fit_unet_spatial(
     cfg: unet.UNetConfig,
     tc: train_lib.TrainConfig,

@@ -498,6 +498,93 @@ def cached_denoiser(
     )
 
 
+def make_flows_segmenter(
+    cfg,  # unet.UNetConfig with a dims+1-channel regression head
+    tc: TileConfig,
+    frame_spatial: Tuple[int, ...],
+    n_iter: int = 200,
+    step_size: float = 1.0,
+    cellprob_threshold: float = 0.5,
+) -> Callable:
+    """Un-jitted ``segment(params, state, frame) -> (final, prob)``.
+
+    The flow-field instance segmentation serving pass (ops.flows):
+    normalize -> tiled forward (raw head: FLOW_SCALE x unit flows + a
+    cell-probability logit) -> weighted stitch -> ``follow_flows`` Euler
+    integration, ALL inside one jit graph — the only host work left is
+    the irregular sink grouping (``ops.flows.group_sinks``). Returns the
+    converged positions (H, W, 2) float32 and the cell probability
+    (H, W) float32.
+
+    TTA is not supported here: flow channels are vector fields whose
+    flip/transpose inverses must also permute/negate components, and the
+    shared ``_tta_average`` averages raw channels. Callers reject
+    ``tc.tta != 1`` loudly rather than serving silently-wrong flows.
+    """
+    from sequitr_tpu.ops import flows as flows_ops
+
+    if cfg.num_classes != cfg.dims + 1:
+        raise ValueError(
+            f"flows serving needs num_classes == dims + 1 "
+            f"({cfg.dims + 1}), got {cfg.num_classes}"
+        )
+    if tc.tta != 1:
+        raise ValueError(
+            "tta is unsupported for flow-field serving (vector outputs); "
+            "use tta=1"
+        )
+    spatial = tuple(frame_spatial)
+    grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
+    nd = len(spatial)
+    fold = cfg.norm == "batch"
+    run_cfg = dataclasses.replace(cfg, norm="none") if fold else cfg
+
+    def segment_one(params, state, frame):
+        if fold:
+            _, params, state = unet.fold_batchnorm(
+                dataclasses.replace(run_cfg, norm="batch"), params, state
+            )
+        if frame.ndim == nd:
+            frame = frame[..., None]
+        x = _normalize(frame, tc)
+
+        def forward(patches):
+            out, _ = unet.apply(run_cfg, params, state, patches, train=False)
+            return out
+
+        out = tiled_apply(forward, x, grid, spatial, tc, run_cfg.num_classes)
+        out = out.astype(jnp.float32)
+        flow = out[..., :nd] / flows_ops.FLOW_SCALE
+        prob = jax.nn.sigmoid(out[..., nd])
+        final = flows_ops.follow_flows(
+            flow, prob > cellprob_threshold, n_iter=n_iter, step=step_size
+        )
+        return final, prob
+
+    return segment_one
+
+
+@functools.lru_cache(maxsize=32)
+def cached_flows_segmenter(
+    cfg,  # unet.UNetConfig (frozen dataclass)
+    tc: TileConfig,
+    frame_spatial: Tuple[int, ...],
+    n_iter: int = 200,
+    step_size: float = 1.0,
+    cellprob_threshold: float = 0.5,
+) -> Callable:
+    """Cross-job cache of jitted flows serving passes (see
+    ``cached_frame_inferrer`` for the rationale — weights are per-call
+    arguments, so one compiled graph serves every registered flows model
+    of the same architecture/tiling/shape/integration params)."""
+    return jax.jit(
+        make_flows_segmenter(
+            cfg, tc, frame_spatial, n_iter=n_iter, step_size=step_size,
+            cellprob_threshold=cellprob_threshold,
+        )
+    )
+
+
 class _ReadError:
     def __init__(self, exc: BaseException):
         self.exc = exc

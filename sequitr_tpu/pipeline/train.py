@@ -685,6 +685,104 @@ def make_n2v_train_step(
 
 
 # ---------------------------------------------------------------------------
+# flow-field instance segmentation training (Cellpose-style)
+# ---------------------------------------------------------------------------
+
+
+def flows_flip_batch(key, images, flow, prob):
+    """Per-example random spatial flips with matching flow-vector flips.
+
+    A flow field is a VECTOR target: flipping spatial axis ``ax`` must
+    also negate flow component ``ax`` (a flipped cell's flows still point
+    at its center). Rotations/transposes additionally permute the
+    components; flips alone already cover the orientation statistics
+    microscopy needs (cells have no global up), so this is the whole
+    geometric menu for flows training — elastic warps would invalidate
+    the unit-vector targets entirely.
+    """
+    nd = flow.shape[-1]
+    keys = jax.random.split(key, images.shape[0])
+
+    def one(k, img, f, pr):
+        bits = jax.random.bernoulli(k, shape=(nd,))
+        for ax in range(nd):
+            sign = jnp.ones((nd,), f.dtype).at[ax].set(-1.0)
+            img = jnp.where(bits[ax], jnp.flip(img, axis=ax), img)
+            f = jnp.where(bits[ax], jnp.flip(f, axis=ax) * sign, f)
+            pr = jnp.where(bits[ax], jnp.flip(pr, axis=ax), pr)
+        return img, f, pr
+
+    return jax.vmap(one)(keys, images, flow, prob)
+
+
+def make_flows_train_step(cfg: unet.UNetConfig, tc: TrainConfig, jit: bool = True):
+    """Flow-field instance segmentation training step (ops.flows).
+
+    Trains a regression U-Net with a ``dims + 1``-channel head: the first
+    ``dims`` channels regress ``FLOW_SCALE`` x the unit diffusion-flow
+    targets (MSE), the last is a cell-probability logit (sigmoid BCE).
+    ``batch``: dict with ``image`` (B, *s, C), ``flow`` (B, *s, dims)
+    unit flows and ``prob`` (B, *s) in {0, 1}. One fused jit graph:
+    flip-augment (vector-aware) -> photometric jitter -> forward ->
+    flow MSE + prob BCE -> Adam update.
+    """
+    from sequitr_tpu.ops.flows import FLOW_SCALE
+
+    if cfg.num_classes != cfg.dims + 1:
+        raise ValueError(
+            f"flows training needs num_classes == dims + 1 "
+            f"({cfg.dims + 1}), got {cfg.num_classes}"
+        )
+    optimizer = tc.make_optimizer()
+    nd = cfg.dims
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        images = batch["image"]
+        flow = batch["flow"]
+        prob = batch["prob"]
+        if tc.augment:
+            k_flip, k_phot = jax.random.split(key)
+            images, flow, prob = flows_flip_batch(k_flip, images, flow, prob)
+            if tc.gain_jitter > 0 or tc.offset_jitter > 0 or tc.noise_std > 0:
+                images = jax.vmap(
+                    lambda k, i: aug.photometric_jitter(
+                        k, i, tc.gain_jitter, tc.offset_jitter, tc.noise_std
+                    )
+                )(jax.random.split(k_phot, images.shape[0]), images)
+
+        def loss_fn(params):
+            fwd = lambda p, x: unet.apply(
+                cfg, p, state.model_state, x, train=True
+            )
+            if tc.remat:
+                fwd = jax.checkpoint(fwd)
+            out, new_ms = fwd(params, images)
+            out = out.astype(jnp.float32)
+            flow_mse = jnp.mean(
+                (out[..., :nd] - FLOW_SCALE * flow) ** 2
+            )
+            prob_bce = jnp.mean(
+                optax.sigmoid_binary_cross_entropy(out[..., nd], prob)
+            )
+            return flow_mse + prob_bce, (flow_mse, prob_bce, new_ms)
+
+        (loss, (flow_mse, prob_bce, new_ms)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "flow_mse": flow_mse,
+            "prob_bce": prob_bce,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(new_params, new_ms, new_opt, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=0) if jit else step
+
+
+# ---------------------------------------------------------------------------
 # GAN training (alternating G/D steps fused into one update)
 # ---------------------------------------------------------------------------
 
