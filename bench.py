@@ -566,6 +566,31 @@ def bench_n2v(device_kind: str, iters: int):
             "unit": "frames/sec/chip"}
 
 
+def bench_flows(device_kind: str, iters: int):
+    """Flow-field instance segmentation serve: one whole 1024² frame
+    through the fused normalize -> regression U-Net -> 200-step Euler
+    flow-integration graph (the ``segment_flows`` per-frame device work;
+    host sink grouping excluded — it overlaps the next frame's dispatch
+    in the pipeline and is measured by the fidelity pass)."""
+    import dataclasses
+
+    import jax
+
+    from sequitr_tpu.models import unet, zoo
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg = dataclasses.replace(
+        zoo.get("flows_cells"), compute_dtype=_dtype(device_kind)
+    )
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
+    fn = jax.jit(infer_lib.make_flows_segmenter(cfg, tc, FRAME))
+    frame = _frame(seed=9)
+    fps = _rate(lambda: fn(params, state, frame), iters)
+    return {"metric": "flows_segment_1024", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
 def bench_tracking(device_kind: str, iters: int):
     """Built-in tracker: Kalman motion model + division resolution over a
     dense ground-truth scene (120 movers + fissions, 60 frames). Host-side
@@ -613,6 +638,7 @@ CONFIGS = {
     "mosaic": bench_mosaic,
     "illum": bench_illum,
     "n2v": bench_n2v,
+    "flows": bench_flows,
     "tracking": bench_tracking,
 }
 
@@ -664,6 +690,7 @@ def _fidelity_spec(name: str):
         "mosaic": ("mosaic", lambda: fid.mosaic_fidelity()),
         "illum": ("illum", lambda: fid.illum_fidelity()),
         "n2v": ("n2v1024", lambda: fid.n2v_fidelity(n=2)),
+        "flows": ("flows1024", lambda: fid.flows_fidelity(n=2)),
         "tracking": ("tracking", lambda: fid.tracking_fidelity()),
     }
     return specs.get(name)

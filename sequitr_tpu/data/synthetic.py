@@ -105,6 +105,61 @@ def cells_frame(
     return np.maximum(img, 0.0), lab
 
 
+def instances_frame(
+    seed: int,
+    shape: Tuple[int, int] = (256, 256),
+    density: float = 1 / 2048.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One synthetic frame with INSTANCE labels (flow-segmentation task).
+
+    Returns ``(image float32, instances int32)`` — each cell a distinct
+    positive id. Cells are round Gaussian-profile blobs; center sampling
+    allows TOUCHING pairs (accepts any center whose distance to every
+    placed cell exceeds ~0.85x the radius sum, so boundaries overlap)
+    but rejects heavy overlap. Touching same-intensity cells are exactly
+    the case per-pixel class maps + CCL cannot separate — the scene the
+    flows family exists for. Background/noise statistics match
+    ``cells_frame`` (gamma autofluorescence + shot noise) so percentile
+    normalization is exercised identically.
+    """
+    rng = np.random.default_rng(seed)
+    h, w = shape
+    img = rng.gamma(2.0, 60.0, shape).astype(np.float32)
+    lab = np.zeros(shape, np.int32)
+    n = max(3, int(h * w * density))
+    placed = []  # (cy, cx, r)
+    next_id = 1
+    for _ in range(n):
+        for _try in range(40):
+            r = float(rng.uniform(6.0, 12.0))
+            cy = float(rng.uniform(r, h - r))
+            cx = float(rng.uniform(r, w - r))
+            if all(
+                (cy - py) ** 2 + (cx - px) ** 2 >= (0.85 * (r + pr)) ** 2
+                for py, px, pr in placed
+            ):
+                break
+        else:
+            continue
+        placed.append((cy, cx, r))
+        amp = float(rng.uniform(400.0, 800.0))
+        ext = int(np.ceil(1.5 * r))
+        y0, y1 = max(0, int(cy) - ext), min(h, int(cy) + ext + 1)
+        x0, x1 = max(0, int(cx) - ext), min(w, int(cx) + ext + 1)
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        q = ((yy - cy) ** 2 + (xx - cx) ** 2) / r**2
+        img[y0:y1, x0:x1] += (amp * np.exp(-0.5 * q * 4.0)).astype(
+            np.float32
+        )
+        win = lab[y0:y1, x0:x1]
+        lab[y0:y1, x0:x1] = np.where((q < 1.0) & (win == 0), next_id, win)
+        next_id += 1
+    img += rng.normal(0.0, 1.0, shape).astype(np.float32) * np.sqrt(
+        np.maximum(img, 0.0)
+    ) * 0.5
+    return np.maximum(img, 0.0), lab
+
+
 def denoise_pair(
     seed: int, shape: Tuple[int, int] = (256, 256), sigma: float = 0.1
 ) -> Tuple[np.ndarray, np.ndarray]:

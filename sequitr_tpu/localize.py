@@ -191,7 +191,7 @@ def localize_instances_table(
     min_area: int = 1,
     z: float = 0.0,
 ) -> FrameTable:
-    """Per-object features of a PRE-LABELLED 2D instance map.
+    """Per-object features of a PRE-LABELLED instance map (2D or 3D).
 
     ``localize_frame_table`` re-derives instances from connected
     components of the foreground — which would re-merge the touching
@@ -200,7 +200,8 @@ def localize_instances_table(
     This variant trusts the provided instance ids (0 = background,
     1..n = objects) and runs only the fused per-label stats sweep.
     The semantic ``label`` column is 1 for every object (instance
-    segmentation carries no class)."""
+    segmentation carries no class). A (Z, H, W) instance map fills the
+    table's z column with per-object z centroids (``z`` ignored)."""
     from sequitr_tpu import native
 
     instances = np.ascontiguousarray(np.asarray(instances, dtype=np.int32))
@@ -208,16 +209,26 @@ def localize_instances_table(
     if n == 0:
         return FrameTable.empty()
     fg = (instances > 0).astype(np.int32)
-    areas, cy, cx, imean, _classes = native.label_full_stats(
-        instances, fg, intensity, n, 2
-    )
+    if instances.ndim == 3:
+        areas, cz, cy, cx, imean, _classes = native.label_full_stats_3d(
+            instances, fg, intensity, n, 2
+        )
+    elif instances.ndim == 2:
+        areas, cy, cx, imean, _classes = native.label_full_stats(
+            instances, fg, intensity, n, 2
+        )
+        cz = np.full_like(cy, float(z))
+    else:
+        raise ValueError(
+            f"instances must be 2D or 3D, got {instances.shape}"
+        )
     keep = areas >= min_area
     kept = int(keep.sum())
     coords = np.empty((kept, 5), dtype=np.float32)
     coords[:, 0] = t
     coords[:, 1] = cx[keep]
     coords[:, 2] = cy[keep]
-    coords[:, 3] = z
+    coords[:, 3] = cz[keep]
     coords[:, 4] = 1.0
     return FrameTable(
         coords=coords,

@@ -63,6 +63,7 @@ def _cfg_from_dict(kind: str, cfg_dict: Dict[str, Any]):
         "unet": unet.UNetConfig,
         "gan": gan_lib.GANConfig,
         "n2v": unet.UNetConfig,  # regression U-Net (Noise2Void denoiser)
+        "flows": unet.UNetConfig,  # regression U-Net (flow-field head)
     }[kind]
     return cls(**cfg_dict)
 

@@ -27,9 +27,10 @@ diffusion flow representation of Stringer et al. 2021 (Cellpose):
   work (CCL, relabelling) stays on host; the regular, FLOP-heavy work
   (network + integration) stays on TPU.
 
-2D first-class; the target/representation code is written n-dimensional
-where free, but serving and training are validated for ``dims == 2``
-(volumetric flows are a documented extension, not a silent fallback).
+Dimension-generic: targets, integration (multilinear 2^nd-corner
+sampling) and sink grouping all work for 2D frames AND 3D volumes —
+``flow_targets`` on a (Z, H, W) instance map yields (Z, H, W, 3) flows,
+and the volumetric serving path groups sinks in voxel bins.
 """
 
 from __future__ import annotations
@@ -202,28 +203,31 @@ def _off_index(offs: np.ndarray, off: Sequence[int]) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _bilinear(field, p):
-    """Sample ``field`` (H, W, C) at fractional points ``p`` (N, 2) —
-    4-gather bilinear interpolation, clamped to the frame."""
+def _sample_nd(field, p):
+    """Sample ``field`` (*spatial, C) at fractional points ``p`` (N, nd) —
+    multilinear interpolation via 2^nd gathers (bilinear in 2D, trilinear
+    in 3D), clamped to the frame. nd is static, so the corner loop
+    unrolls into a fixed fused gather graph under jit."""
+    import itertools
+
     import jax.numpy as jnp
 
-    h, w = field.shape[0], field.shape[1]
-    y = jnp.clip(p[:, 0], 0.0, h - 1.0)
-    x = jnp.clip(p[:, 1], 0.0, w - 1.0)
-    y0 = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
-    fy = (y - y0)[:, None]
-    fx = (x - x0)[:, None]
-    f00 = field[y0, x0]
-    f01 = field[y0, x0 + 1]
-    f10 = field[y0 + 1, x0]
-    f11 = field[y0 + 1, x0 + 1]
-    return (
-        f00 * (1 - fy) * (1 - fx)
-        + f01 * (1 - fy) * fx
-        + f10 * fy * (1 - fx)
-        + f11 * fy * fx
-    )
+    nd = p.shape[1]
+    base, frac = [], []
+    for ax in range(nd):
+        n = field.shape[ax]
+        x = jnp.clip(p[:, ax], 0.0, n - 1.0)
+        x0 = jnp.clip(jnp.floor(x), 0, max(n - 2, 0)).astype(jnp.int32)
+        base.append(x0)
+        frac.append((x - x0)[:, None])
+    out = jnp.zeros((p.shape[0], field.shape[-1]), field.dtype)
+    for corner in itertools.product((0, 1), repeat=nd):
+        idx = tuple(b + o for b, o in zip(base, corner))
+        w = frac[0] * 0 + 1.0
+        for f, o in zip(frac, corner):
+            w = w * (f if o else (1.0 - f))
+        out = out + field[idx] * w
+    return out
 
 
 def follow_flows(
@@ -234,40 +238,46 @@ def follow_flows(
 ):
     """Integrate the flow field: every pixel follows its flow to a sink.
 
-    ``flow``: (H, W, 2) unit-flow field (dy, dx). ``mask``: optional
-    (H, W) bool — background pixels see zero flow and stay put (their
-    final position is their own coordinate; ``group_sinks`` only reads
-    foreground pixels, so this is purely a FLOP saving in convergence,
-    not a correctness gate). Returns (H, W, 2) float32 final positions.
+    ``flow``: (*spatial, nd) unit-flow field — (H, W, 2) frames or
+    (Z, H, W, 3) volumes, axis order matching the array axes. ``mask``:
+    optional (*spatial) bool — background pixels see zero flow and stay
+    put (their final position is their own coordinate; ``group_sinks``
+    only reads foreground pixels, so this is purely a FLOP saving in
+    convergence, not a correctness gate). Returns (*spatial, nd) float32
+    final positions.
 
     TPU shape: a fixed-length ``lax.scan`` of Euler steps, each one
-    bilinear gather over all H*W points — static shapes, no host sync,
-    jittable as part of a larger serving graph. 200 iterations at step
-    1.0 converge cells up to ~200 px across (pixels move ~1 px/step
-    along the within-mask path toward the medoid).
+    multilinear gather (2^nd corners) over all pixels — static shapes,
+    no host sync, jittable as part of a larger serving graph. 200
+    iterations at step 1.0 converge cells up to ~200 px across (pixels
+    move ~1 px/step along the within-mask path toward the medoid).
     """
     import jax
     import jax.numpy as jnp
 
     flow = jnp.asarray(flow, jnp.float32)
-    h, w = flow.shape[0], flow.shape[1]
+    nd = flow.shape[-1]
+    spatial = flow.shape[:-1]
+    if len(spatial) != nd:
+        raise ValueError(
+            f"flow rank mismatch: {flow.shape} carries {nd} components "
+            f"over {len(spatial)} spatial axes"
+        )
     if mask is not None:
         flow = flow * jnp.asarray(mask, jnp.float32)[..., None]
-    ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32),
-        jnp.arange(w, dtype=jnp.float32),
-        indexing="ij",
+    grids = jnp.meshgrid(
+        *[jnp.arange(s, dtype=jnp.float32) for s in spatial], indexing="ij"
     )
-    p0 = jnp.stack([ys, xs], axis=-1).reshape(-1, 2)
-    lim = jnp.array([h - 1.0, w - 1.0], jnp.float32)
+    p0 = jnp.stack(grids, axis=-1).reshape(-1, nd)
+    lim = jnp.asarray([s - 1.0 for s in spatial], jnp.float32)
 
     def body(p, _):
-        v = _bilinear(flow, p)
+        v = _sample_nd(flow, p)
         p = jnp.clip(p + step * v, 0.0, lim)
         return p, None
 
     p, _ = jax.lax.scan(body, p0, None, length=int(n_iter))
-    return p.reshape(h, w, 2)
+    return p.reshape(spatial + (nd,))
 
 
 # ---------------------------------------------------------------------------
@@ -295,32 +305,36 @@ def group_sinks(
 ) -> np.ndarray:
     """Converged positions -> instance label map (host, irregular work).
 
-    ``final``: (H, W, 2) positions from ``follow_flows``; ``mask``:
-    (H, W) bool foreground. Pixels of one cell converge onto a compact
-    cluster of bins around its medoid: bins holding >= ``min_sink``
-    arrivals are sink bins, adjacent sink bins merge into one sink
-    cluster (8-connected CCL after a 1-px dilation bridges near-medoid
-    splits), and every foreground pixel takes the label of the cluster
-    its final position landed in. Stragglers whose final bin is not a
-    cluster (flow noise at cell boundaries) snap to the nearest cluster
-    within ``snap_radius`` via label dilation; instances smaller than
-    ``min_area`` are dropped; labels are renumbered 1..N.
+    ``final``: (*spatial, nd) positions from ``follow_flows`` (2D frames
+    or 3D volumes); ``mask``: (*spatial) bool foreground. Pixels of one
+    cell converge onto a compact cluster of bins around its medoid: bins
+    holding >= ``min_sink`` arrivals are sink bins, adjacent sink bins
+    merge into one sink cluster (CCL after a 1-px 3^nd dilation bridges
+    near-medoid splits), and every foreground pixel takes the label of
+    the cluster its final position landed in. Stragglers whose final bin
+    is not a cluster (flow noise at cell boundaries) snap to the nearest
+    cluster within ``snap_radius`` via label dilation; instances smaller
+    than ``min_area`` (pixels in 2D, voxels in 3D) are dropped; labels
+    are renumbered 1..N.
     """
     from sequitr_tpu import localize as loc_lib
 
     mask = np.asarray(mask, bool)
-    h, w = mask.shape
-    fy = np.clip(np.rint(final[..., 0]).astype(np.int64), 0, h - 1)
-    fx = np.clip(np.rint(final[..., 1]).astype(np.int64), 0, w - 1)
-    counts = np.zeros((h, w), dtype=np.int32)
-    np.add.at(counts, (fy[mask], fx[mask]), 1)
+    nd = mask.ndim
+    fidx = tuple(
+        np.clip(np.rint(final[..., ax]).astype(np.int64), 0, s - 1)
+        for ax, s in enumerate(mask.shape)
+    )
+    land = tuple(f[mask] for f in fidx)
+    counts = np.zeros(mask.shape, dtype=np.int32)
+    np.add.at(counts, land, 1)
     sinks = counts >= int(min_sink)
     if not sinks.any():
-        return np.zeros((h, w), dtype=np.int32)
+        return np.zeros(mask.shape, dtype=np.int32)
     clusters = loc_lib.label_components(_binary_dilate(sinks, 1))
     # assign: each fg pixel reads the cluster at its landing bin
-    lab = np.zeros((h, w), dtype=np.int32)
-    lab[mask] = clusters[fy[mask], fx[mask]]
+    lab = np.zeros(mask.shape, dtype=np.int32)
+    lab[mask] = clusters[land]
     # stragglers: landing bin belongs to no cluster -> nearest cluster
     # within snap_radius (max-filter label dilation, ties arbitrary)
     for _ in range(int(snap_radius)):
@@ -328,12 +342,9 @@ def group_sinks(
         if not un.any():
             break
         dil = clusters.copy()
-        for off in _neighbor_offsets(2):
+        for off in _neighbor_offsets(nd):
             dil = np.maximum(dil, _shift(clusters, off, 0))
-        newly = dil[fy[un], fx[un]]
-        lab_un = np.zeros(int(un.sum()), dtype=np.int32)
-        lab_un[:] = newly
-        lab[un] = lab_un
+        lab[un] = dil[tuple(f[un] for f in fidx)]
         clusters = dil
     if min_area > 1:
         sizes = np.bincount(lab.ravel())
@@ -359,13 +370,13 @@ def masks_from_flows(
     min_area: int = 15,
     final: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """(flow, prob) maps -> instance label map.
+    """(flow, prob) maps -> instance label map (2D frames or 3D volumes).
 
-    ``flow`` (H, W, 2) unit flows, ``prob`` (H, W) cell probability in
-    [0, 1] (post-sigmoid). ``final`` short-circuits the device
-    integration when the serving graph already followed the flows (the
-    ``segment_flows`` pipeline fuses ``follow_flows`` into the same jit
-    graph as the network forward).
+    ``flow`` (*spatial, nd) unit flows, ``prob`` (*spatial) cell
+    probability in [0, 1] (post-sigmoid). ``final`` short-circuits the
+    device integration when the serving graph already followed the flows
+    (the ``segment_flows`` pipeline fuses ``follow_flows`` into the same
+    jit graph as the network forward).
     """
     mask = np.asarray(prob) > float(cellprob_threshold)
     if final is None:

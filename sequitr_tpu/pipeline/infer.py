@@ -513,8 +513,10 @@ def make_flows_segmenter(
     cell-probability logit) -> weighted stitch -> ``follow_flows`` Euler
     integration, ALL inside one jit graph — the only host work left is
     the irregular sink grouping (``ops.flows.group_sinks``). Returns the
-    converged positions (H, W, 2) float32 and the cell probability
-    (H, W) float32.
+    converged positions (*spatial, dims) float32 and the cell
+    probability (*spatial) float32. Dimension-generic: a ``dims == 3``
+    config with a 3-axis ``frame_spatial`` serves whole volumes
+    (trilinear flow integration).
 
     TTA is not supported here: flow channels are vector fields whose
     flip/transpose inverses must also permute/negate components, and the

@@ -3003,8 +3003,15 @@ def train_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     keep_best, early_stop_patience, ema_decay, data_parallel, resume)
     and architecture params (depth, base_features — default the
     ``flows_cells`` preset). Registers the model as kind ``flows``
-    (served by ``segment_flows``). 2D only: flow following
-    (``ops.flows.follow_flows``) is validated for dims == 2.
+    (served by ``segment_flows``).
+
+    VOLUMETRIC (``dims: 3``): input = [image volume-sequence entry,
+    instance-label volume-sequence entry] (each a dir/glob of
+    per-timepoint z-stacks or a single file — the ``z`` pages-per-volume
+    param applies to both); 3D diffusion flow targets per full volume,
+    random 3D ``patch`` crops (default [8, 64, 64]), single-channel,
+    depth default 3; the model serves whole volumes with trilinear flow
+    integration (touching nuclei separate in z too).
     """
     import glob as glob_lib
 
@@ -3020,10 +3027,8 @@ def train_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
 
     p = job.params
     dims = int(p.get("dims", 2))
-    if dims != 2:
-        raise jobs_lib.JobError(
-            f"train_flows supports dims=2 (flow following is 2D), got {dims}"
-        )
+    if dims not in (2, 3):
+        raise jobs_lib.JobError(f"train_flows needs dims 2 or 3, got {dims}")
 
     rec_dir = os.path.join(job.output, "records")
     shard_paths = sorted(glob_lib.glob(os.path.join(rec_dir, "*.tfrecord")))
@@ -3034,32 +3039,74 @@ def train_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 f"job {job.id}: need [image(s)..., instance labels], "
                 f"got {len(paths)} input(s)"
             )
-        try:
-            source = FrameSource(paths=paths[:-1])
-        except ValueError as e:
-            raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
-        try:
-            lab_stack = np.asarray(tiff.read_stack(paths[-1]))
-        except (ValueError, OSError) as e:
-            raise jobs_lib.JobError(f"job {job.id}: cannot read labels: {e}")
-        if lab_stack.ndim == 2:
-            lab_stack = lab_stack[None]
-        if (
-            lab_stack.shape[0] < len(source)
-            or tuple(lab_stack.shape[1:]) != source.spatial
-        ):
-            raise jobs_lib.JobError(
-                f"image/label shape mismatch: images {(len(source),) + source.spatial},"
-                f" labels {tuple(lab_stack.shape)}"
-            )
-        patch = tuple(int(v) for v in p.get("patch", (64, 64)))
-        if len(patch) != 2 or any(
+        if dims == 3:
+            # volume sequences: [images, labels], single-channel
+            from sequitr_tpu.data.source import VolumeSequence
+
+            if len(paths) != 2:
+                raise jobs_lib.JobError(
+                    "train_flows dims=3 takes [image volumes, label "
+                    f"volumes] (2 entries), got {len(paths)}"
+                )
+            z = _parse_z_pages(job)
+            try:
+                source = VolumeSequence(paths[0], z=z)
+                labels_src = VolumeSequence(paths[1], z=z)
+            except ValueError as e:
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read inputs: {e}"
+                )
+            if (
+                labels_src.spatial != source.spatial
+                or len(labels_src) < len(source)
+            ):
+                source.close()
+                labels_src.close()
+                raise jobs_lib.JobError(
+                    f"image/label volume mismatch: images "
+                    f"{(len(source),) + source.spatial}, labels "
+                    f"{(len(labels_src),) + labels_src.spatial}"
+                )
+            read_img = source.volume
+            read_lab = lambda t: np.asarray(labels_src.volume(t), np.int64)
+        else:
+            try:
+                source = FrameSource(paths=paths[:-1])
+            except ValueError as e:
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read inputs: {e}"
+                )
+            try:
+                lab_stack = np.asarray(tiff.read_stack(paths[-1]))
+            except (ValueError, OSError) as e:
+                raise jobs_lib.JobError(
+                    f"job {job.id}: cannot read labels: {e}"
+                )
+            if lab_stack.ndim == 2:
+                lab_stack = lab_stack[None]
+            if (
+                lab_stack.shape[0] < len(source)
+                or tuple(lab_stack.shape[1:]) != source.spatial
+            ):
+                raise jobs_lib.JobError(
+                    f"image/label shape mismatch: images "
+                    f"{(len(source),) + source.spatial},"
+                    f" labels {tuple(lab_stack.shape)}"
+                )
+            labels_src = None
+            read_img = source.frame
+            read_lab = lambda t: lab_stack[t].astype(np.int64)
+        default_patch = (64, 64) if dims == 2 else (8, 64, 64)
+        patch = tuple(int(v) for v in p.get("patch", default_patch))
+        if len(patch) != dims or any(
             ps > s for s, ps in zip(source.spatial, patch)
         ):
             source.close()
+            if labels_src is not None:
+                labels_src.close()
             raise jobs_lib.JobError(
-                f"patch {patch} must be 2 axes and fit the frames "
-                f"{source.spatial}"
+                f"patch {patch} must be {dims} axes and fit the "
+                f"{'volumes' if dims == 3 else 'frames'} {source.spatial}"
             )
         n_crops = int(p.get("patches_per_frame", 4))
         p_lo, p_hi = float(p.get("p_lo", 5.0)), float(p.get("p_hi", 99.5))
@@ -3075,15 +3122,21 @@ def train_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 for t in jobs_lib.track(
                     job, range(n_frames), total=n_frames, phase="records"
                 ):
-                    img = np.asarray(source.frame(t), dtype=np.float32)
+                    img = np.asarray(read_img(t), dtype=np.float32)
                     if norm_rec:
-                        axes = (0, 1)
+                        # percentiles over the spatial axes only (2D
+                        # multi-channel frames normalize per channel)
+                        axes = tuple(range(dims))
                         lo = np.percentile(img, p_lo, axis=axes, keepdims=True)
                         hi = np.percentile(img, p_hi, axis=axes, keepdims=True)
                         img = np.clip(
                             (img - lo) / np.maximum(hi - lo, 1e-8), 0.0, 1.0
                         ).astype(np.float32)
-                    lab = lab_stack[t].astype(np.int64)
+                    if dims == 3:
+                        # explicit channel axis: a bare (Z, H, W) payload
+                        # would decode as 2D multi-channel (H, W, C)
+                        img = img[..., None]
+                    lab = read_lab(t)
                     flow, prob = flows_ops.flow_targets(lab)
                     has_fg = bool(prob.any())
                     for _ in range(n_crops):
@@ -3096,20 +3149,22 @@ def train_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                                     st := int(rng.integers(0, s - ps + 1)),
                                     st + ps,
                                 )
-                                for s, ps in zip(img.shape[:2], patch)
+                                for s, ps in zip(img.shape[:dims], patch)
                             )
                             if not has_fg or prob[sl].any():
                                 break
                         yield fit_lib.encode_flow_example(
                             img[sl], flow[sl], prob[sl]
                         )
+                if labels_src is not None:
+                    labels_src.close()
 
         os.makedirs(rec_dir, exist_ok=True)
         shard_paths = records_lib.write_shards(
             os.path.join(rec_dir, "train"), gen_payloads(),
             shard_size=int(p.get("shard_size", 128)),
         )
-        n_channels = source.n_channels
+        n_channels = 1 if dims == 3 else source.n_channels
     else:
         first = next(records_lib.read_records(shard_paths[0]), None)
         if first is None:
@@ -3124,9 +3179,11 @@ def train_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     cfg = dataclasses.replace(
         base,
         in_channels=n_channels,
-        num_classes=dims + 1,  # (dy, dx) x FLOW_SCALE + cell-prob logit
+        num_classes=dims + 1,  # (dy, dx[, dz]) x FLOW_SCALE + prob logit
         dims=dims,
-        depth=int(p.get("depth", base.depth)),
+        # volumetric nets default shallower (the unet3d convention):
+        # depth-3 pooling fits the typical 8-32-plane z extent
+        depth=int(p.get("depth", base.depth if dims == 2 else 3)),
         base_features=int(p.get("base_features", base.base_features)),
         norm=p.get("norm", base.norm),
         compute_dtype=jnp.dtype(p.get("compute_dtype", "bfloat16")),
@@ -3203,27 +3260,29 @@ def train_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             "shards": os.path.join(rec_dir, "train-*.tfrecord")}
 
 
-def _flows_serving(job: Job, config: ServerConfiguration, source):
+def _flows_serving(job: Job, config: ServerConfiguration, spatial, n_channels):
     """Shared setup for the flow-field serving jobs: load the ``flows``
-    model, build the tile config, and return a per-frame
-    ``frame -> instance labels (np.int32)`` callable plus knobs.
+    model, build the tile config, and return the fused device pass +
+    host sink-grouping callable.
 
     The regular work (normalize -> tiled forward -> stitch -> Euler flow
     integration) is ONE jit graph (``infer.cached_flows_segmenter``,
     cached across jobs); the irregular sink grouping runs on host
-    (``ops.flows.group_sinks``)."""
+    (``ops.flows.group_sinks``). Dimension-generic: a 3-axis ``spatial``
+    with a ``dims == 3`` model serves whole volumes."""
     from sequitr_tpu.ops import flows as flows_ops
     from sequitr_tpu.pipeline import infer as infer_lib
 
+    dims = len(spatial)
     cfg, params, state = _require_model(job, config, "flows")
-    if cfg.dims != 2:
+    if cfg.dims != dims:
         raise jobs_lib.JobError(
-            f"job {job.id}: model is {cfg.dims}D, expected 2D"
+            f"job {job.id}: model is {cfg.dims}D, expected {dims}D"
         )
-    if cfg.in_channels != source.n_channels:
+    if cfg.in_channels != n_channels:
         raise jobs_lib.JobError(
             f"model expects {cfg.in_channels} channel(s), "
-            f"got {source.n_channels} input stack(s)"
+            f"got {n_channels} input stack(s)"
         )
     p = job.params
     if int(p.get("tta", 1)) != 1:
@@ -3232,15 +3291,15 @@ def _flows_serving(job: Job, config: ServerConfiguration, source):
             "need component-aware flips); use tta: 1"
         )
     tc = _tile_config(
-        job.params, dims=2,
-        frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
+        job.params, dims=dims,
+        frame_spatial=spatial, min_multiple=cfg.min_input_multiple,
         exact_only=True,
     )
     n_iter = int(p.get("n_iter", 200))
     thresh = float(p.get("cellprob_threshold", 0.5))
     try:
         seg = infer_lib.cached_flows_segmenter(
-            cfg, tc, source.spatial, n_iter=n_iter,
+            cfg, tc, tuple(spatial), n_iter=n_iter,
             step_size=float(p.get("step_size", 1.0)),
             cellprob_threshold=thresh,
         )
@@ -3286,18 +3345,30 @@ def segment_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     ``localize`` (default true: per-instance centroid export).
     Outputs: labels.tif (uint16 instance maps, ids unique per frame,
     renumbered 1..N), objects.h5 (btrack layout), optionally prob.tif.
+
+    A ``dims == 3`` model routes to the VOLUMETRIC branch: ONE
+    volume-sequence entry (per-timepoint z-stack files, or one file with
+    the ``z`` pages-per-volume param), 3D instances per timepoint
+    (touching NUCLEI separate in z too), per-timepoint
+    ``labels_t{t:04d}.tif`` + one objects.h5 whose z column carries the
+    per-object z centroid (volumetric tracking-ready).
     """
     from sequitr_tpu import localize as loc_lib
     from sequitr_tpu.data.source import FrameSource
     from sequitr_tpu.utils import PhaseTimer
 
     paths = _resolve_inputs(job)
+    cfg_probe, _, _ = _require_model(job, config, "flows")
+    if cfg_probe.dims == 3:
+        return _segment_flows_volumes(job, config, paths)
     try:
         source = FrameSource(paths=paths)
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
     source = _apply_roi(job, _apply_frame_range(job, source))
-    stream, group, tc = _flows_serving(job, config, source)
+    stream, group, tc = _flows_serving(
+        job, config, source.spatial, source.n_channels
+    )
 
     timer = PhaseTimer()
     n_frames = len(source)
@@ -3379,6 +3450,128 @@ def segment_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     return outputs
 
 
+def _segment_flows_volumes(
+    job: Job, config: ServerConfiguration, paths
+) -> Dict[str, str]:
+    """Volumetric branch of ``segment_flows`` (``dims == 3`` models).
+
+    One whole (Z, H, W) volume per dispatch through the fused 3D graph
+    (trilinear flow integration on device), 3D sink grouping on host,
+    per-timepoint label volumes + ONE btrack objects.h5 with per-object
+    z centroids — the 3D+time instance workflow."""
+    import jax.numpy as jnp
+
+    from sequitr_tpu import localize as loc_lib
+    from sequitr_tpu.data import tiff
+    from sequitr_tpu.data.source import VolumeSequence
+    from sequitr_tpu.utils import PhaseTimer
+
+    if job.params.get("roi") is not None:
+        raise jobs_lib.JobError(
+            "roi serving is 2D-only (crop the volume upstream)"
+        )
+    if len(paths) != 1:
+        raise jobs_lib.JobError(
+            f"3D segment_flows takes ONE volume-sequence entry (the model "
+            f"is single-channel), got {len(paths)}"
+        )
+    try:
+        source = VolumeSequence(paths[0], z=_parse_z_pages(job))
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    try:
+        source = _apply_frame_range(job, source)
+        stream, group, tc = _flows_serving(job, config, source.spatial, 1)
+    except BaseException:
+        source.close()
+        raise
+
+    timer = PhaseTimer()
+    n_vols = len(source)
+    do_localize = job.params.get("localize", True)
+    save_prob = bool(job.params.get("save_prob"))
+    min_area = int(job.params.get("min_area", 15))
+    comp = _out_compression(job)
+    tables = []
+    n_objects = 0
+    label_files = []
+    rep = jobs_lib.ProgressReporter(job, n_vols, phase="volumes")
+    t0 = time.time()
+    try:
+        with source:
+            results = stream(
+                (np.asarray(v, np.float32)
+                 for v in _reads_fail_fast(job, source.volumes()))
+            )
+            for t in range(n_vols):
+                with timer.phase("infer"):
+                    final, prob = next(results)
+                with timer.phase("fetch"):
+                    final_np = np.asarray(final)
+                    prob_np = np.asarray(prob)
+                with timer.phase("group"):
+                    lab = group(final_np, prob_np)
+                n_objects += int(lab.max())
+                t_abs = t + source.frame_offset
+                with timer.phase("write"):
+                    lp = os.path.join(job.output, f"labels_t{t_abs:04d}.tif")
+                    tiff.write_stack(
+                        lp, lab.astype(np.uint16, copy=False),
+                        compression=comp,
+                    )
+                    label_files.append(lp)
+                    if save_prob:
+                        tiff.write_stack(
+                            os.path.join(
+                                job.output, f"prob_t{t_abs:04d}.tif"
+                            ),
+                            prob_np.astype(np.float32, copy=False),
+                            compression=comp,
+                        )
+                if do_localize:
+                    with timer.phase("localize"):
+                        tables.append(
+                            loc_lib.localize_instances_table(
+                                lab, t=t_abs,
+                                intensity=np.asarray(
+                                    source.volume(t), np.float32
+                                ),
+                                min_area=min_area,
+                            )
+                        )
+                rep.step()
+            rep.finish()
+    except BaseException:
+        # per-timepoint files already written stay (atomic individually);
+        # the job state records the failure
+        raise
+
+    total_s = time.time() - t0
+    metrics = dict(
+        timer.summary(), n_volumes=n_vols, n_objects=n_objects,
+        total_s=round(total_s, 4),
+    )
+    if total_s > 0:
+        metrics["volumes_per_sec"] = round(n_vols / total_s, 3)
+    outputs: Dict[str, str] = {
+        "labels": os.path.join(job.output, "labels_t*.tif"),
+        "metrics": json.dumps(metrics),
+    }
+    if save_prob:
+        outputs["prob"] = os.path.join(job.output, "prob_t*.tif")
+    if do_localize:
+        h5_path = os.path.join(job.output, "objects.h5")
+        loc_lib.export_btrack_h5_tables(
+            h5_path, tables, n_frames=source.frame_offset + n_vols
+        )
+        outputs["objects"] = h5_path
+        if job.params.get("save_objects_csv"):
+            csv_path = os.path.join(job.output, "objects.csv")
+            loc_lib.export_objects_csv(csv_path, tables)
+            outputs["objects_csv"] = csv_path
+    return outputs
+
+
 @register("evaluate_flows")
 def evaluate_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Score a ``flows`` model against ground-truth INSTANCE labels.
@@ -3394,6 +3587,11 @@ def evaluate_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     params: the ``segment_flows`` serving params, ``per_frame: true``
     for a per-frame ap50 series, ``save_labels: true`` to also write
     the predicted instance maps.
+
+    A ``dims == 3`` model routes to the VOLUMETRIC branch: input =
+    [image volume-sequence entry, instance-label volume-sequence entry]
+    (the ``z`` pages-per-volume param applies to both), AP pooled over
+    3D instances across timepoints.
     """
     from sequitr_tpu.data import tiff
     from sequitr_tpu.data.source import FrameSource
@@ -3405,6 +3603,9 @@ def evaluate_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             f"job {job.id}: need [image(s)..., instance labels], "
             f"got {len(paths)} input(s)"
         )
+    cfg_probe, _, _ = _require_model(job, config, "flows")
+    if cfg_probe.dims == 3:
+        return _evaluate_flows_volumes(job, config, paths)
     try:
         source = FrameSource(paths=paths[:-1])
     except ValueError as e:
@@ -3428,7 +3629,9 @@ def evaluate_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         raise jobs_lib.JobError(
             f"image/label shape mismatch: need >= {shape}, got {tuple(t_shape)}"
         )
-    stream, group, tc = _flows_serving(job, config, source)
+    stream, group, tc = _flows_serving(
+        job, config, source.spatial, source.n_channels
+    )
     thresholds = tuple(
         float(v) for v in job.params.get("thresholds", (0.5, 0.75, 0.9))
     )
@@ -3507,6 +3710,100 @@ def evaluate_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         labels_w.close()
         outputs["labels"] = os.path.join(job.output, "labels.tif")
     return outputs
+
+
+def _evaluate_flows_volumes(
+    job: Job, config: ServerConfiguration, paths
+) -> Dict[str, str]:
+    """Volumetric branch of ``evaluate_flows``: [image volume entry,
+    instance-label volume entry], Hungarian AP over 3D instances pooled
+    across timepoints (same metric contract as the 2D branch)."""
+    from sequitr_tpu.data.source import VolumeSequence
+    from sequitr_tpu.ops import flows as flows_ops
+
+    if len(paths) != 2:
+        raise jobs_lib.JobError(
+            f"3D evaluate_flows takes [image volumes, label volumes] "
+            f"(2 entries), got {len(paths)}"
+        )
+    z = _parse_z_pages(job)
+    try:
+        source = VolumeSequence(paths[0], z=z)
+        truth = VolumeSequence(paths[1], z=z)
+    except ValueError as e:
+        raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
+    try:
+        if truth.spatial != source.spatial or len(truth) < len(source):
+            raise jobs_lib.JobError(
+                f"image/label volume mismatch: images "
+                f"{(len(source),) + source.spatial}, labels "
+                f"{(len(truth),) + truth.spatial}"
+            )
+        source = _apply_frame_range(job, source)
+        stream, group, tc = _flows_serving(job, config, source.spatial, 1)
+    except BaseException:
+        source.close()
+        truth.close()
+        raise
+    thresholds = tuple(
+        float(v) for v in job.params.get("thresholds", (0.5, 0.75, 0.9))
+    )
+    n_vols = len(source)
+    tp = {t: 0 for t in thresholds}
+    tot_gt = 0
+    tot_pred = 0
+    iou_sum = 0.0
+    iou_n = 0
+    per_frame = [] if job.params.get("per_frame") else None
+    rep = jobs_lib.ProgressReporter(job, n_vols, phase="volumes")
+    try:
+        with source, truth:
+            results = stream(
+                (np.asarray(v, np.float32)
+                 for v in _reads_fail_fast(job, source.volumes()))
+            )
+            for t in range(n_vols):
+                final, prob = next(results)
+                lab = group(np.asarray(final), np.asarray(prob))
+                truth_t = np.asarray(
+                    truth.volume(t + source.frame_offset), np.int64
+                )
+                ids = np.unique(truth_t[truth_t > 0])
+                if ids.size:
+                    remap = np.zeros(int(ids.max()) + 1, dtype=np.int64)
+                    remap[ids] = np.arange(1, ids.size + 1)
+                    truth_t = remap[np.maximum(truth_t, 0)]
+                ious, n_gt, n_pred = flows_ops.match_instances(truth_t, lab)
+                tot_gt += n_gt
+                tot_pred += n_pred
+                for th in thresholds:
+                    tp[th] += int((ious >= th).sum())
+                good = ious[ious >= 0.5]
+                iou_sum += float(good.sum())
+                iou_n += int(good.size)
+                if per_frame is not None:
+                    m_tp = int((ious >= 0.5).sum())
+                    denom = n_gt + n_pred - m_tp
+                    per_frame.append(
+                        round(m_tp / denom, 6) if denom else None
+                    )
+                rep.step()
+            rep.finish()
+    except BaseException:
+        raise
+
+    metrics = {
+        "n_volumes": n_vols, "n_gt": tot_gt, "n_pred": tot_pred,
+        "mean_matched_iou": round(iou_sum / iou_n, 6) if iou_n else 0.0,
+    }
+    for th in thresholds:
+        denom = tot_gt + tot_pred - tp[th]
+        metrics[f"ap{int(round(th * 100))}"] = (
+            round(tp[th] / denom, 6) if denom else 1.0
+        )
+    if per_frame is not None:
+        metrics["per_volume_ap50"] = per_frame
+    return {"metrics": json.dumps(metrics)}
 
 
 def _parse_patience(p: dict) -> int:

@@ -495,14 +495,156 @@ class TestServing:
         assert srv.poll_once()
         st2 = json.load(open(os.path.join(out2, "status.json")))
         assert st2["state"] == "failed"
-        # dims=3 rejected deterministically
+        # unsupported dims rejected deterministically
         out3 = str(tmp / "o3")
         submit_job(
             cfg_srv.jobs_dir,
             {"module": "train_flows",
-             "params": {"model": "x", "dims": 3},
+             "params": {"model": "x", "dims": 4},
              "input": [img_p, img_p], "output": out3},
         )
         assert srv.poll_once()
         st3 = json.load(open(os.path.join(out3, "status.json")))
         assert st3["state"] == "failed" and "dims" in st3["error"]
+        # dims=3 with a patch that cannot fit the volumes: deterministic
+        out4 = str(tmp / "o4")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_flows",
+             "params": {"model": "x", "dims": 3},
+             "input": [img_p, img_p], "output": out4},
+        )
+        assert srv.poll_once()
+        st4 = json.load(open(os.path.join(out4, "status.json")))
+        assert st4["state"] == "failed" and "patch" in st4["error"]
+
+
+def _sphere_volumes(rng, n, z=8, s=32):
+    """(volumes, instance labels): two touching spheres + one separate,
+    jittered per timepoint — the volumetric flows scene."""
+    imgs = np.zeros((n, z, s, s), np.float32)
+    labs = np.zeros((n, z, s, s), np.int32)
+    zz, yy, xx = np.mgrid[:z, :s, :s]
+    for t in range(n):
+        lab = np.zeros((z, s, s), np.int32)
+        cy = 14 + int(rng.integers(-2, 3))
+        cx = 10 + int(rng.integers(-2, 3))
+        lab[(zz - 4) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2 < 5**2] = 1
+        m = (zz - 4) ** 2 + (yy - cy) ** 2 + (xx - cx - 9) ** 2 < 5**2
+        lab[m & (lab == 0)] = 2
+        m3 = (zz - 4) ** 2 + (yy - 25) ** 2 + (xx - 25) ** 2 < 4**2
+        lab[m3 & (lab == 0)] = 3
+        img = 0.15 + 0.7 * (lab > 0) + rng.normal(0, 0.05, lab.shape)
+        imgs[t] = np.clip(img, 0, 1)
+        labs[t] = lab
+    return imgs, labs
+
+
+class TestVolumetric:
+    def test_3d_round_trip_separates_touching_spheres(self):
+        rng = np.random.default_rng(0)
+        _, labs = _sphere_volumes(rng, 1)
+        lab = labs[0]
+        fl, pr = flows.flow_targets(lab)
+        assert fl.shape == lab.shape + (3,)
+        pred = flows.masks_from_flows(fl, pr, n_iter=80, min_area=20)
+        ap = flows.average_precision(lab, pred)
+        assert ap["ap90"] == 1.0, ap
+        # plain 3D CCL merges the touching pair
+        from sequitr_tpu import localize as loc_lib
+
+        assert int(loc_lib.label_components(lab > 0).max()) == 2
+
+    def test_localize_instances_3d_z_centroids(self):
+        from sequitr_tpu import localize as loc_lib
+
+        rng = np.random.default_rng(1)
+        _, labs = _sphere_volumes(rng, 1)
+        tbl = loc_lib.localize_instances_table(labs[0], t=3)
+        assert len(tbl) == 3
+        # z centroids near the sphere centers (z=4 for all)
+        np.testing.assert_allclose(tbl.coords[:, 3], 4.0, atol=1.0)
+        assert set(tbl.coords[:, 0]) == {3.0}
+
+    def test_3d_jobs_chain(self, server_env):
+        """train_flows dims=3 -> segment_flows (volumetric routing) ->
+        evaluate_flows on per-timepoint volume files."""
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(5)
+        imgs, labs = _sphere_volumes(rng, 10)
+        img_dir = tmp / "vols"
+        lab_dir = tmp / "labvols"
+        img_dir.mkdir()
+        lab_dir.mkdir()
+        for t in range(10):
+            tiff.write_stack(str(img_dir / f"v{t:03d}.tif"), imgs[t])
+            tiff.write_stack(
+                str(lab_dir / f"v{t:03d}.tif"), labs[t].astype(np.uint16)
+            )
+
+        train_out = str(tmp / "train3d")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "train_flows",
+                "params": {
+                    "model": "flows3d_demo", "dims": 3,
+                    "patch": [8, 32, 32], "patches_per_frame": 2,
+                    "steps": 300, "batch_size": 4,
+                    "learning_rate": 2e-3, "lr_schedule": "cosine",
+                    "depth": 2, "base_features": 8,
+                    "compute_dtype": "float32",
+                },
+                "input": [str(img_dir), str(lab_dir)],
+                "output": train_out,
+            },
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(train_out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        from sequitr_tpu.server import load_model
+
+        kind, mcfg, _, _ = load_model(cfg_srv.models_dir, "flows3d_demo")
+        assert kind == "flows" and mcfg.dims == 3 and mcfg.num_classes == 4
+
+        seg_out = str(tmp / "seg3d")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segment_flows",
+                "params": {"model": "flows3d_demo", "min_area": 20,
+                           "n_iter": 80},
+                "input": [str(img_dir)],
+                "output": seg_out,
+            },
+        )
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(seg_out, "status.json")))
+        assert st2["state"] == "complete", st2.get("error")
+        lab0 = np.asarray(
+            tiff.read_stack(os.path.join(seg_out, "labels_t0000.tif"))
+        )
+        assert lab0.shape == (8, 32, 32) and lab0.dtype == np.uint16
+        m = json.loads(st2["outputs"]["metrics"])
+        assert m["n_volumes"] == 10 and m["n_objects"] > 0
+        assert os.path.exists(st2["outputs"]["objects"])
+
+        ev_out = str(tmp / "ev3d")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "evaluate_flows",
+                "params": {"model": "flows3d_demo", "min_area": 20,
+                           "n_iter": 80, "per_frame": True},
+                "input": [str(img_dir), str(lab_dir)],
+                "output": ev_out,
+            },
+        )
+        assert srv.poll_once()
+        st3 = json.load(open(os.path.join(ev_out, "status.json")))
+        assert st3["state"] == "complete", st3.get("error")
+        em = json.loads(st3["outputs"]["metrics"])
+        assert em["n_gt"] == 30
+        assert em["ap50"] > 0.5, em
+        assert len(em["per_volume_ap50"]) == 10

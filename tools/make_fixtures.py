@@ -294,6 +294,63 @@ def make_n2v(work: str, quick: bool):
     )
 
 
+def make_flows(work: str, quick: bool):
+    """Flow-field instance segmenter fixture: trained on the deterministic
+    touching-cell instance scenes (``synthetic.instances_frame``), scored
+    by Hungarian instance AP on fresh seeds."""
+    import dataclasses
+
+    from sequitr_tpu.ops import flows as flows_ops
+
+    cfg = dataclasses.replace(zoo.get("flows_cells"), compute_dtype=_dtype())
+    n = 16 if quick else 160
+
+    def gen():
+        for i in range(n):
+            img, lab = synthetic.instances_frame(7000 + i, (128, 128))
+            flow, prob = flows_ops.flow_targets(lab)
+            yield fit_lib.encode_flow_example(_normalize(img), flow, prob)
+
+    shards = records.write_shards(
+        os.path.join(work, "flows"), gen(), shard_size=64
+    )
+    steps = 30 if quick else 1500
+    tc = train_lib.TrainConfig(
+        learning_rate=3e-4, lr_schedule="cosine", lr_decay_steps=steps,
+        augment=True,
+    )
+    fc = fit_lib.FitConfig(
+        steps=steps, batch_size=8, holdout_every=10,
+        eval_every=max(10, steps // 4), eval_limit=8,
+        checkpoint_every=10**9, log_every=max(10, steps // 10),
+    )
+    state = fit_lib.fit_flows(cfg, tc, fc, shards)
+    # holdout instance AP on fresh seeds (never trained)
+    aps, mious = [], []
+    for i in range(8):
+        img, lab = synthetic.instances_frame(997_000 + i, (128, 128))
+        out, _ = unet.apply(
+            cfg, state.params, state.model_state,
+            jnp.asarray(_normalize(img))[None, ..., None], train=False,
+        )
+        out = np.asarray(out[0], np.float32)
+        flow = out[..., :2] / flows_ops.FLOW_SCALE
+        prob = 1.0 / (1.0 + np.exp(-out[..., 2]))
+        pred = flows_ops.masks_from_flows(flow, prob, n_iter=150)
+        ap = flows_ops.average_precision(lab, pred)
+        aps.append(ap["ap50"])
+        mious.append(ap["mean_matched_iou"])
+    fixtures.save(
+        "flows_cells", "flows", cfg, state.params, state.model_state,
+        {"task": "flow-field instance segmentation of touching synthetic "
+                 "cells (data/synthetic.py instances_frame)",
+         "recipe": {"steps": steps, "batch": 8, "lr": "3e-4 cosine",
+                    "examples": n, "patch": 128},
+         "holdout_ap50": round(float(np.mean(aps)), 4),
+         "holdout_matched_iou": round(float(np.mean(mious)), 4)},
+    )
+
+
 def load_teacher():
     """Reuse the committed teacher fixture for distillation (a cut run can
     resume student training without repeating the 30-minute teacher fit)."""
@@ -308,7 +365,7 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
                     help="comma list of: unet2d_cells | fast | fast4 | "
-                    "unet3d_cells | gan_denoise | n2v_cells")
+                    "unet3d_cells | gan_denoise | n2v_cells | flows_cells")
     ap.add_argument("--keep-work", action="store_true")
     args = ap.parse_args()
 
@@ -345,6 +402,11 @@ def main():
             m = fixtures.manifest()["n2v_cells"]
             print("n2v done:", m["holdout_psnr"], "(noisy input",
                   m["noisy_input_psnr"], ")")
+        if want("flows_cells"):
+            make_flows(work, args.quick)
+            m = fixtures.manifest()["flows_cells"]
+            print("flows done: ap50", m["holdout_ap50"],
+                  "matched_iou", m["holdout_matched_iou"])
     finally:
         if not args.keep_work:
             shutil.rmtree(work, ignore_errors=True)
