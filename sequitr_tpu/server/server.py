@@ -3326,7 +3326,13 @@ def _flows_serving(job: Job, config: ServerConfiguration, spatial, n_channels):
             prefetch_host=prefetch_host,
         )
 
-    return stream, group, tc
+    # raw pieces for callers that build their own dispatch (the
+    # data_parallel branch wraps the UN-jitted segmenter in a mesh map)
+    raw = (cfg, params, state, dict(
+        n_iter=n_iter, step_size=float(p.get("step_size", 1.0)),
+        cellprob_threshold=thresh,
+    ))
+    return stream, group, tc, raw
 
 
 @register("segment_flows")
@@ -3342,7 +3348,9 @@ def segment_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     ``n_iter``/``step_size`` (flow integration), ``cellprob_threshold``,
     ``min_sink``/``min_area``/``snap_radius`` (sink grouping),
     ``save_prob`` (also write the cell-probability stack),
-    ``localize`` (default true: per-instance centroid export).
+    ``localize`` (default true: per-instance centroid export),
+    ``data_parallel`` (frames sharded over all chips — one whole frame
+    per chip per dispatch, weights replicated, host grouping unchanged).
     Outputs: labels.tif (uint16 instance maps, ids unique per frame,
     renumbered 1..N), objects.h5 (btrack layout), optionally prob.tif.
 
@@ -3366,7 +3374,7 @@ def segment_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     except ValueError as e:
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
     source = _apply_roi(job, _apply_frame_range(job, source))
-    stream, group, tc = _flows_serving(
+    stream, group, tc, raw = _flows_serving(
         job, config, source.spatial, source.n_channels
     )
 
@@ -3385,37 +3393,77 @@ def segment_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     )
     tables = []
     n_objects = 0
-    rep = jobs_lib.ProgressReporter(job, n_frames)
     t0 = time.time()
+
+    def handle(t: int, final_np: np.ndarray, prob_np: np.ndarray) -> None:
+        nonlocal n_objects
+        with timer.phase("group"):
+            lab = group(final_np, prob_np)
+        n_objects += int(lab.max())
+        with timer.phase("write"):
+            labels_w.append(lab.astype(np.uint16, copy=False))
+            if prob_w is not None:
+                prob_w.append(prob_np.astype(np.float32, copy=False))
+        if do_localize:
+            inten = source.frame(t)
+            if inten.ndim == 3:
+                inten = inten.mean(axis=-1)
+            with timer.phase("localize"):
+                tables.append(
+                    loc_lib.localize_instances_table(
+                        lab, t=t + source.frame_offset,
+                        intensity=inten, min_area=min_area,
+                    )
+                )
+
+    import jax
+
     try:
         with source:
-            results = stream(_reads_fail_fast(job, source.frames()))
-            for t in range(n_frames):
-                with timer.phase("infer"):
-                    final, prob = next(results)
-                with timer.phase("fetch"):
-                    final_np = np.asarray(final)
-                    prob_np = np.asarray(prob)
-                with timer.phase("group"):
-                    lab = group(final_np, prob_np)
-                n_objects += int(lab.max())
-                with timer.phase("write"):
-                    labels_w.append(lab.astype(np.uint16, copy=False))
-                    if prob_w is not None:
-                        prob_w.append(prob_np.astype(np.float32, copy=False))
-                if do_localize:
-                    inten = source.frame(t)
-                    if inten.ndim == 3:
-                        inten = inten.mean(axis=-1)
-                    with timer.phase("localize"):
-                        tables.append(
-                            loc_lib.localize_instances_table(
-                                lab, t=t + source.frame_offset,
-                                intensity=inten, min_area=min_area,
-                            )
-                        )
-                rep.step()
-            rep.finish()
+            if job.params.get("data_parallel") and jax.device_count() > 1:
+                # frames sharded over the mesh: one whole frame per chip
+                # per dispatch through the fused graph (weights
+                # replicated, zero inter-chip traffic); sink grouping
+                # stays per-frame on host
+                import jax.numpy as jnp
+
+                from sequitr_tpu import parallel
+                from sequitr_tpu.pipeline import infer as infer_lib
+
+                cfg_m, params_m, state_m, skw = raw
+                mesh = parallel.make_mesh()
+                n_dev = mesh.devices.size
+                dp = parallel.make_dp_frame_mapper(
+                    infer_lib.make_flows_segmenter(
+                        cfg_m, tc, tuple(source.spatial), **skw
+                    ),
+                    mesh,
+                )
+                t = 0
+                for chunk, n_real in _dp_chunk_stream(
+                    job, source.chunks(n_dev), n_frames, n_dev
+                ):
+                    out_f, out_p = dp(
+                        params_m, state_m, jnp.asarray(chunk, jnp.float32)
+                    )
+                    with timer.phase("fetch"):
+                        got_f = np.asarray(out_f)
+                        got_p = np.asarray(out_p)
+                    for k in range(n_real):
+                        handle(t, got_f[k], got_p[k])
+                        t += 1
+            else:
+                rep = jobs_lib.ProgressReporter(job, n_frames)
+                results = stream(_reads_fail_fast(job, source.frames()))
+                for t in range(n_frames):
+                    with timer.phase("infer"):
+                        final, prob = next(results)
+                    with timer.phase("fetch"):
+                        final_np = np.asarray(final)
+                        prob_np = np.asarray(prob)
+                    handle(t, final_np, prob_np)
+                    rep.step()
+                rep.finish()
     except BaseException:
         labels_w.abort()
         if prob_w is not None:
@@ -3481,7 +3529,7 @@ def _segment_flows_volumes(
         raise jobs_lib.JobError(f"job {job.id}: cannot read inputs: {e}")
     try:
         source = _apply_frame_range(job, source)
-        stream, group, tc = _flows_serving(job, config, source.spatial, 1)
+        stream, group, tc, _raw = _flows_serving(job, config, source.spatial, 1)
     except BaseException:
         source.close()
         raise
@@ -3740,7 +3788,7 @@ def _evaluate_flows_volumes(
                 f"{(len(truth),) + truth.spatial}"
             )
         source = _apply_frame_range(job, source)
-        stream, group, tc = _flows_serving(job, config, source.spatial, 1)
+        stream, group, tc, _raw = _flows_serving(job, config, source.spatial, 1)
     except BaseException:
         source.close()
         truth.close()

@@ -648,3 +648,46 @@ class TestVolumetric:
         assert em["n_gt"] == 30
         assert em["ap50"] > 0.5, em
         assert len(em["per_volume_ap50"]) == 10
+
+
+class TestDataParallelServing:
+    def test_dp_serve_matches_single(self, server_env):
+        """segment_flows data_parallel over the 8-device virtual mesh
+        produces byte-identical instance maps to the single-device serve
+        (DP is sharding annotations on the same per-frame graph)."""
+        if jax.device_count() < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        cfg_srv, tmp = server_env
+        rng = np.random.default_rng(3)
+        imgs, labs = _scene_stack(rng, 10, size=48)
+        img_p = str(tmp / "img.tif")
+        lab_p = str(tmp / "lab.tif")
+        tiff.write_stack(img_p, imgs)
+        tiff.write_stack(lab_p, labs.astype(np.uint16))
+
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "train_flows",
+             "params": {"model": "fdp", "patch": [32, 32],
+                        "patches_per_frame": 2, "steps": 60,
+                        "batch_size": 4, "depth": 2, "base_features": 8,
+                        "compute_dtype": "float32"},
+             "input": [img_p, lab_p], "output": str(tmp / "t")},
+        )
+        srv = ImageServer(cfg_srv)
+        assert srv.poll_once()
+
+        outs = {}
+        for name, extra in (("single", {}), ("dp", {"data_parallel": True})):
+            out = str(tmp / f"seg_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "segment_flows",
+                 "params": {"model": "fdp", "min_area": 10, **extra},
+                 "input": [img_p], "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[name] = np.asarray(tiff.read_stack(st["outputs"]["labels"]))
+        np.testing.assert_array_equal(outs["single"], outs["dp"])

@@ -116,6 +116,50 @@ class TestInferenceGoldens:
         )
 
 
+class TestFlowsGoldens:
+    def test_targets_exact(self):
+        """Diffusion flow targets are pure host numpy: committed bytes
+        must reproduce effectively exactly."""
+        from sequitr_tpu.ops import flows as flows_ops
+
+        g = _load("flows_segment")
+        t_flow, t_prob = flows_ops.flow_targets(g["labels"])
+        np.testing.assert_allclose(t_flow, g["targets_flow"], atol=1e-6)
+        np.testing.assert_array_equal(t_prob, g["targets_prob"])
+
+    def test_fused_serving_and_grouping(self):
+        from sequitr_tpu.models import fixtures
+        from sequitr_tpu.ops import flows as flows_ops
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        g = _load("flows_segment")
+        try:
+            _, cfg, params, state, _ = fixtures.load("flows_cells")
+        except KeyError:
+            pytest.skip("flows_cells fixture not trained")
+        tc = infer_lib.TileConfig(
+            patch=(128, 128), overlap=(0, 0), normalize="exact"
+        )
+        seg = jax.jit(infer_lib.make_flows_segmenter(cfg, tc, (128, 128)))
+        final, prob = seg(params, state, jnp.asarray(g["image"]))
+        np.testing.assert_allclose(
+            np.asarray(prob, np.float32), g["prob"], atol=5e-3
+        )
+        # converged positions: the field is contractive at sinks, so
+        # instruction-selection jitter must not move landings far
+        final = np.asarray(final, np.float32)
+        np.testing.assert_allclose(final, g["final"], atol=1.0)
+        # the grouped instance map is the product: identical instances up
+        # to tiny boundary flips, every committed instance recovered at
+        # IoU >= 0.9
+        inst = flows_ops.group_sinks(final, np.asarray(prob) > 0.5)
+        ap = flows_ops.average_precision(
+            g["instances"], inst, thresholds=(0.9,)
+        )
+        assert ap["ap90"] == 1.0, ap
+        _labels_close(inst, g["instances"], frac=0.01)
+
+
 class TestTrainGolden:
     def test_loss_trajectory(self):
         from sequitr_tpu.data import synthetic

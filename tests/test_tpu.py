@@ -217,6 +217,65 @@ class TestN2VOnChip:
         assert max_d < 2e-2, f"bf16 denoiser drifted: max |d| {max_d}"
 
 
+class TestFlowsOnChip:
+    def test_fused_segmenter_vs_cpu_f32(self):
+        """The flow-field serving graph (tiled forward + 200-step Euler
+        integration fused in one jit) in bf16 on the chip vs the float32
+        CPU path on the TRAINED fixture: the grouped instance maps must
+        Hungarian-match at IoU >= 0.9 (bf16 + the iterated gather chain
+        is exactly where compounding drift would show)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.data import synthetic
+        from sequitr_tpu.models import fixtures
+        from sequitr_tpu.ops import flows as flows_ops
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        try:
+            _, cfg_f32, params, state, _ = fixtures.load(
+                "flows_cells", compute_dtype=jnp.float32
+            )
+        except KeyError:
+            pytest.skip("flows_cells fixture not trained")
+        cfg_bf16 = dataclasses.replace(cfg_f32, compute_dtype=jnp.bfloat16)
+        params = jax.tree.map(np.asarray, params)
+        state = jax.tree.map(np.asarray, state)
+        img, lab = synthetic.instances_frame(313_000, (256, 256))
+        tc = infer_lib.TileConfig(
+            patch=(256, 256), overlap=(0, 0), normalize="fast"
+        )
+
+        seg_tpu = infer_lib.cached_flows_segmenter(cfg_bf16, tc, (256, 256))
+        f_t, p_t = seg_tpu(params, state, jnp.asarray(img))
+        inst_tpu = flows_ops.group_sinks(
+            np.asarray(f_t), np.asarray(p_t) > 0.5
+        )
+
+        with jax.default_device(_cpu_device()):
+            seg_cpu = infer_lib.cached_flows_segmenter(
+                cfg_f32, tc, (256, 256)
+            )
+            f_c, p_c = seg_cpu(
+                params, state, jax.device_put(img, _cpu_device())
+            )
+            inst_cpu = flows_ops.group_sinks(
+                np.asarray(f_c), np.asarray(p_c) > 0.5
+            )
+
+        max_dp = float(np.max(np.abs(np.asarray(p_t) - np.asarray(p_c))))
+        assert max_dp < 5e-2, f"bf16 cell-prob drifted: max |d| {max_dp}"
+        ap = flows_ops.average_precision(
+            inst_cpu, inst_tpu, thresholds=(0.9,)
+        )
+        assert ap["ap90"] > 0.95, ap
+        # and both paths actually find the scene's cells
+        truth = flows_ops.average_precision(lab, inst_tpu)
+        assert truth["ap50"] > 0.8, truth
+
+
 class TestN2VMaskingVariantsOnChip:
     def test_struct_median_masking_matches_cpu(self):
         """The structN2V + N2V2 masking graph (segment replacement with a

@@ -136,6 +136,39 @@ def make_n2v_denoiser():
     )
 
 
+def make_flows_segment():
+    """The flow-field family golden: (a) diffusion flow TARGETS on a fixed
+    instance map (pure host numpy — compares effectively exact) and
+    (b) the fused serving pass (forward + Euler integration) on the
+    trained fixture + the grouped instance map."""
+    from sequitr_tpu.data import synthetic
+    from sequitr_tpu.models import fixtures
+    from sequitr_tpu.ops import flows as flows_ops
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    try:
+        _, cfg, params, state, _ = fixtures.load("flows_cells")
+    except KeyError:
+        print("flows_segment: SKIPPED (flows_cells fixture not trained yet)")
+        return
+    img, lab = synthetic.instances_frame(88_221, (128, 128))
+    t_flow, t_prob = flows_ops.flow_targets(lab)
+    tc = infer_lib.TileConfig(
+        patch=(128, 128), overlap=(0, 0), normalize="exact"
+    )
+    seg = jax.jit(infer_lib.make_flows_segmenter(cfg, tc, (128, 128)))
+    final, prob = seg(params, state, jnp.asarray(img))
+    final = np.asarray(final, np.float32)
+    prob = np.asarray(prob, np.float32)
+    inst = flows_ops.group_sinks(final, prob > 0.5)
+    _save(
+        "flows_segment",
+        image=img, labels=lab.astype(np.int32),
+        targets_flow=t_flow, targets_prob=t_prob,
+        final=final, prob=prob, instances=inst.astype(np.int32),
+    )
+
+
 def make_train2d_losses():
     """Loss trajectory of 4 deterministic train steps from PRNGKey(0) init.
 
@@ -354,6 +387,7 @@ FAMILIES = {
     "unet3d_infer": make_unet3d_infer,
     "gan_generator": make_gan_generator,
     "n2v_denoiser": make_n2v_denoiser,
+    "flows_segment": make_flows_segment,
     "train2d_losses": make_train2d_losses,
     "augment_elastic": make_augment_elastic,
     "normalize_quantiles": make_normalize_quantiles,
