@@ -60,17 +60,26 @@ FLOW_SCALE = 5.0
 # ---------------------------------------------------------------------------
 
 
-def _medoids(labels: np.ndarray, ids: np.ndarray) -> np.ndarray:
-    """Per-instance in-mask center: the mask pixel closest to the centroid.
+def _instance_stats(
+    labels: np.ndarray, ids: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-instance (medoids, bbox extents) in one sorted-coords pass.
 
-    The diffusion source must lie INSIDE the mask (a plain centroid can
-    fall outside a concave cell, where the heat never enters the mask).
-    Returns (n_ids, nd) int coordinates, row-aligned with ``ids``.
+    Medoid = the mask pixel closest to the centroid — the diffusion
+    source must lie INSIDE the mask (a plain centroid can fall outside a
+    concave cell, where the heat never enters the mask). Extent = the
+    instance's largest bounding-box span over the axes, measured from
+    the instance's OWN pixels (a max-projection shortcut shadows any
+    instance overlapped by a higher id along the projected axes and
+    under-measures it — round-4 code-review finding). Returns
+    ((n_ids, nd) int coords, (n_ids,) int extents), row-aligned with
+    ``ids``.
     """
     nd = labels.ndim
     coords = np.indices(labels.shape).reshape(nd, -1).T  # (P, nd)
     flat = labels.ravel()
-    out = np.zeros((len(ids), nd), dtype=np.int64)
+    meds = np.zeros((len(ids), nd), dtype=np.int64)
+    extents = np.zeros(len(ids), dtype=np.int64)
     order = np.argsort(flat, kind="stable")
     sorted_lab = flat[order]
     starts = np.searchsorted(sorted_lab, ids, side="left")
@@ -78,8 +87,9 @@ def _medoids(labels: np.ndarray, ids: np.ndarray) -> np.ndarray:
     for row, (s, e) in enumerate(zip(starts, ends)):
         pix = coords[order[s:e]]  # (n_i, nd)
         centroid = pix.mean(axis=0)
-        out[row] = pix[np.argmin(((pix - centroid) ** 2).sum(axis=1))]
-    return out
+        meds[row] = pix[np.argmin(((pix - centroid) ** 2).sum(axis=1))]
+        extents[row] = int((pix.max(axis=0) - pix.min(axis=0) + 1).max())
+    return meds, extents
 
 
 def _neighbor_offsets(nd: int) -> np.ndarray:
@@ -137,22 +147,11 @@ def flow_targets(
     if ids.size == 0:
         return flows, prob
 
+    meds, extents = _instance_stats(labels, ids)
     if n_iter is None:
-        # largest bbox extent over instances, per axis-max
-        extent = 0
-        for ax in range(nd):
-            proj = labels.max(
-                axis=tuple(i for i in range(nd) if i != ax)
-            )
-            for i in ids:
-                where = np.nonzero(proj == i)[0]
-                if where.size:
-                    extent = max(extent, int(where[-1] - where[0]) + 1)
         # heat must cross the largest cell; 2x its extent converges the
         # interior gradient direction (magnitude is normalized away)
-        n_iter = max(16, 2 * extent)
-
-    meds = _medoids(labels, ids)
+        n_iter = max(16, 2 * int(extents.max()))
     source = np.zeros(labels.shape, dtype=np.float32)
     source[tuple(meds.T)] = 1.0
 

@@ -179,7 +179,7 @@ def _higher_is_better(metric: str) -> bool:
     early stopping fired exactly while the run improved (round-4 N2V
     code-review finding; the trap predated N2V for eval_loss/eval_l1).
     """
-    return not metric.endswith(("_loss", "_mse", "_l1", "_rmse"))
+    return not metric.endswith(("_loss", "_mse", "_l1", "_rmse", "_bce"))
 
 
 class TrainingCancelled(RuntimeError):

@@ -3118,44 +3118,58 @@ def train_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         n_frames = len(source)
 
         def gen_payloads():
-            with source:
-                for t in jobs_lib.track(
-                    job, range(n_frames), total=n_frames, phase="records"
-                ):
-                    img = np.asarray(read_img(t), dtype=np.float32)
-                    if norm_rec:
-                        # percentiles over the spatial axes only (2D
-                        # multi-channel frames normalize per channel)
-                        axes = tuple(range(dims))
-                        lo = np.percentile(img, p_lo, axis=axes, keepdims=True)
-                        hi = np.percentile(img, p_hi, axis=axes, keepdims=True)
-                        img = np.clip(
-                            (img - lo) / np.maximum(hi - lo, 1e-8), 0.0, 1.0
-                        ).astype(np.float32)
-                    if dims == 3:
-                        # explicit channel axis: a bare (Z, H, W) payload
-                        # would decode as 2D multi-channel (H, W, C)
-                        img = img[..., None]
-                    lab = read_lab(t)
-                    flow, prob = flows_ops.flow_targets(lab)
-                    has_fg = bool(prob.any())
-                    for _ in range(n_crops):
-                        # foreground-biased sampling: all-background crops
-                        # teach only the prob head; retry a few positions
-                        # so sparse scenes still feed the flow loss
-                        for _try in range(8):
-                            sl = tuple(
-                                slice(
-                                    st := int(rng.integers(0, s - ps + 1)),
-                                    st + ps,
-                                )
-                                for s, ps in zip(img.shape[:dims], patch)
+            # try/finally (not a trailing close): if shard writing fails
+            # or a cancel raises mid-generation, the abandoned generator
+            # must still release the label volumes' file handles — a warm
+            # worker would otherwise leak them across failed jobs
+            try:
+                with source:
+                    for t in jobs_lib.track(
+                        job, range(n_frames), total=n_frames, phase="records"
+                    ):
+                        img = np.asarray(read_img(t), dtype=np.float32)
+                        if norm_rec:
+                            # percentiles over the spatial axes only (2D
+                            # multi-channel frames normalize per channel)
+                            axes = tuple(range(dims))
+                            lo = np.percentile(
+                                img, p_lo, axis=axes, keepdims=True
                             )
-                            if not has_fg or prob[sl].any():
-                                break
-                        yield fit_lib.encode_flow_example(
-                            img[sl], flow[sl], prob[sl]
-                        )
+                            hi = np.percentile(
+                                img, p_hi, axis=axes, keepdims=True
+                            )
+                            img = np.clip(
+                                (img - lo) / np.maximum(hi - lo, 1e-8),
+                                0.0, 1.0,
+                            ).astype(np.float32)
+                        if dims == 3:
+                            # explicit channel axis: a bare (Z, H, W)
+                            # payload would decode as 2D multi-channel
+                            img = img[..., None]
+                        lab = read_lab(t)
+                        flow, prob = flows_ops.flow_targets(lab)
+                        has_fg = bool(prob.any())
+                        for _ in range(n_crops):
+                            # foreground-biased sampling: all-background
+                            # crops teach only the prob head; retry a few
+                            # positions so sparse scenes still feed the
+                            # flow loss
+                            for _try in range(8):
+                                sl = tuple(
+                                    slice(
+                                        st := int(
+                                            rng.integers(0, s - ps + 1)
+                                        ),
+                                        st + ps,
+                                    )
+                                    for s, ps in zip(img.shape[:dims], patch)
+                                )
+                                if not has_fg or prob[sl].any():
+                                    break
+                            yield fit_lib.encode_flow_example(
+                                img[sl], flow[sl], prob[sl]
+                            )
+            finally:
                 if labels_src is not None:
                     labels_src.close()
 
@@ -3545,54 +3559,53 @@ def _segment_flows_volumes(
     label_files = []
     rep = jobs_lib.ProgressReporter(job, n_vols, phase="volumes")
     t0 = time.time()
-    try:
-        with source:
-            results = stream(
-                (np.asarray(v, np.float32)
-                 for v in _reads_fail_fast(job, source.volumes()))
-            )
-            for t in range(n_vols):
-                with timer.phase("infer"):
-                    final, prob = next(results)
-                with timer.phase("fetch"):
-                    final_np = np.asarray(final)
-                    prob_np = np.asarray(prob)
-                with timer.phase("group"):
-                    lab = group(final_np, prob_np)
-                n_objects += int(lab.max())
-                t_abs = t + source.frame_offset
-                with timer.phase("write"):
-                    lp = os.path.join(job.output, f"labels_t{t_abs:04d}.tif")
+    # no writer-abort wrapper here (unlike the 2D branch's page-append
+    # stack): each timepoint's file is written atomically on its own, so
+    # a mid-stack failure leaves only complete per-timepoint volumes and
+    # the job state records the failure
+    with source:
+        results = stream(
+            (np.asarray(v, np.float32)
+             for v in _reads_fail_fast(job, source.volumes()))
+        )
+        for t in range(n_vols):
+            with timer.phase("infer"):
+                final, prob = next(results)
+            with timer.phase("fetch"):
+                final_np = np.asarray(final)
+                prob_np = np.asarray(prob)
+            with timer.phase("group"):
+                lab = group(final_np, prob_np)
+            n_objects += int(lab.max())
+            t_abs = t + source.frame_offset
+            with timer.phase("write"):
+                lp = os.path.join(job.output, f"labels_t{t_abs:04d}.tif")
+                tiff.write_stack(
+                    lp, lab.astype(np.uint16, copy=False),
+                    compression=comp,
+                )
+                label_files.append(lp)
+                if save_prob:
                     tiff.write_stack(
-                        lp, lab.astype(np.uint16, copy=False),
+                        os.path.join(
+                            job.output, f"prob_t{t_abs:04d}.tif"
+                        ),
+                        prob_np.astype(np.float32, copy=False),
                         compression=comp,
                     )
-                    label_files.append(lp)
-                    if save_prob:
-                        tiff.write_stack(
-                            os.path.join(
-                                job.output, f"prob_t{t_abs:04d}.tif"
+            if do_localize:
+                with timer.phase("localize"):
+                    tables.append(
+                        loc_lib.localize_instances_table(
+                            lab, t=t_abs,
+                            intensity=np.asarray(
+                                source.volume(t), np.float32
                             ),
-                            prob_np.astype(np.float32, copy=False),
-                            compression=comp,
+                            min_area=min_area,
                         )
-                if do_localize:
-                    with timer.phase("localize"):
-                        tables.append(
-                            loc_lib.localize_instances_table(
-                                lab, t=t_abs,
-                                intensity=np.asarray(
-                                    source.volume(t), np.float32
-                                ),
-                                min_area=min_area,
-                            )
-                        )
-                rep.step()
-            rep.finish()
-    except BaseException:
-        # per-timepoint files already written stay (atomic individually);
-        # the job state records the failure
-        raise
+                    )
+            rep.step()
+        rep.finish()
 
     total_s = time.time() - t0
     metrics = dict(
@@ -3677,7 +3690,7 @@ def evaluate_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         raise jobs_lib.JobError(
             f"image/label shape mismatch: need >= {shape}, got {tuple(t_shape)}"
         )
-    stream, group, tc = _flows_serving(
+    stream, group, tc, _raw = _flows_serving(
         job, config, source.spatial, source.n_channels
     )
     thresholds = tuple(
@@ -3804,41 +3817,38 @@ def _evaluate_flows_volumes(
     iou_n = 0
     per_frame = [] if job.params.get("per_frame") else None
     rep = jobs_lib.ProgressReporter(job, n_vols, phase="volumes")
-    try:
-        with source, truth:
-            results = stream(
-                (np.asarray(v, np.float32)
-                 for v in _reads_fail_fast(job, source.volumes()))
+    with source, truth:
+        results = stream(
+            (np.asarray(v, np.float32)
+             for v in _reads_fail_fast(job, source.volumes()))
+        )
+        for t in range(n_vols):
+            final, prob = next(results)
+            lab = group(np.asarray(final), np.asarray(prob))
+            truth_t = np.asarray(
+                truth.volume(t + source.frame_offset), np.int64
             )
-            for t in range(n_vols):
-                final, prob = next(results)
-                lab = group(np.asarray(final), np.asarray(prob))
-                truth_t = np.asarray(
-                    truth.volume(t + source.frame_offset), np.int64
+            ids = np.unique(truth_t[truth_t > 0])
+            if ids.size:
+                remap = np.zeros(int(ids.max()) + 1, dtype=np.int64)
+                remap[ids] = np.arange(1, ids.size + 1)
+                truth_t = remap[np.maximum(truth_t, 0)]
+            ious, n_gt, n_pred = flows_ops.match_instances(truth_t, lab)
+            tot_gt += n_gt
+            tot_pred += n_pred
+            for th in thresholds:
+                tp[th] += int((ious >= th).sum())
+            good = ious[ious >= 0.5]
+            iou_sum += float(good.sum())
+            iou_n += int(good.size)
+            if per_frame is not None:
+                m_tp = int((ious >= 0.5).sum())
+                denom = n_gt + n_pred - m_tp
+                per_frame.append(
+                    round(m_tp / denom, 6) if denom else None
                 )
-                ids = np.unique(truth_t[truth_t > 0])
-                if ids.size:
-                    remap = np.zeros(int(ids.max()) + 1, dtype=np.int64)
-                    remap[ids] = np.arange(1, ids.size + 1)
-                    truth_t = remap[np.maximum(truth_t, 0)]
-                ious, n_gt, n_pred = flows_ops.match_instances(truth_t, lab)
-                tot_gt += n_gt
-                tot_pred += n_pred
-                for th in thresholds:
-                    tp[th] += int((ious >= th).sum())
-                good = ious[ious >= 0.5]
-                iou_sum += float(good.sum())
-                iou_n += int(good.size)
-                if per_frame is not None:
-                    m_tp = int((ious >= 0.5).sum())
-                    denom = n_gt + n_pred - m_tp
-                    per_frame.append(
-                        round(m_tp / denom, 6) if denom else None
-                    )
-                rep.step()
-            rep.finish()
-    except BaseException:
-        raise
+            rep.step()
+        rep.finish()
 
     metrics = {
         "n_volumes": n_vols, "n_gt": tot_gt, "n_pred": tot_pred,

@@ -691,3 +691,31 @@ class TestDataParallelServing:
             assert st["state"] == "complete", st.get("error")
             outs[name] = np.asarray(tiff.read_stack(st["outputs"]["labels"]))
         np.testing.assert_array_equal(outs["single"], outs["dp"])
+
+
+class TestReviewRegressions:
+    """Round-4 self-code-review findings, pinned."""
+
+    def test_prob_bce_metric_minimizes(self):
+        # keep_best_metric='eval_prob_bce' must MINIMIZE (it is a loss);
+        # before the fix the first (worst) eval held "best" forever
+        assert not fit_lib._higher_is_better("eval_prob_bce")
+        assert not fit_lib._higher_is_better("eval_loss")
+        assert fit_lib._higher_is_better("eval_miou")
+
+    def test_extent_not_shadowed_by_higher_ids(self):
+        """A tall cell flanked by smaller HIGHER-id cells along the same
+        rows/columns must still get enough diffusion iterations: the old
+        per-axis max-projection extent was shadowed by the higher ids
+        and left zero-flow targets inside the large cell."""
+        lab = np.zeros((140, 60), np.int32)
+        lab[10:130, 20:32] = 1  # 120-px-tall cell
+        # higher-id small cells covering the same row range at other cols
+        for k, y0 in enumerate(range(10, 130, 12), start=2):
+            lab[y0:y0 + 8, 44:52] = k
+        fl, pr = flows.flow_targets(lab)
+        mag = np.sqrt((fl**2).sum(-1))
+        inside = lab == 1
+        # every pixel of the big cell carries a unit direction (heat
+        # reached it) — no zero-flow interior
+        assert float(mag[inside].min()) > 0.99, float(mag[inside].min())
