@@ -5152,8 +5152,35 @@ def _frame_or_fail(job: Job, source, t: int, volume: bool = False):
         raise jobs_lib.JobError(f"job {job.id}: corrupt input at t={t}: {e}")
 
 
+def _instances_from_labels(lab: np.ndarray) -> np.ndarray:
+    """Trust a label map's ids AS instance ids (``instances: true``):
+    renumber densely to 1..n in ascending-id order, no CCL/watershed.
+
+    The semantics for stacks produced by an INSTANCE segmenter
+    (``segment_flows``): re-deriving connected components would merge
+    the touching cells the segmenter just separated."""
+    lab = np.ascontiguousarray(lab.astype(np.int32, copy=False))
+    ids = np.unique(lab[lab > 0])
+    if ids.size == 0:
+        return np.zeros(lab.shape, np.int32)
+    if int(ids[-1]) == ids.size:
+        return lab  # already dense 1..n
+    remap = np.zeros(int(ids[-1]) + 1, np.int32)
+    remap[ids] = np.arange(1, ids.size + 1, dtype=np.int32)
+    return remap[np.maximum(lab, 0)]
+
+
+def _check_instances_params(instances: bool, split_touching: bool) -> None:
+    if instances and split_touching:
+        raise jobs_lib.JobError(
+            "instances: true means the label stack already carries one id "
+            "per object — split_touching would re-derive them; drop one"
+        )
+
+
 def _derive_objects(lab: np.ndarray, split_touching: bool,
-                    min_distance: int, min_area: int):
+                    min_distance: int, min_area: int,
+                    instances: bool = False):
     """Shared object semantics for the quantification pipelines
     (measure_objects / count_spots): a label frame -> instance map +
     per-object stats + the min_area keep mask.
@@ -5161,7 +5188,9 @@ def _derive_objects(lab: np.ndarray, split_touching: bool,
     Returns ``(inst, n, areas, classes, keep, cy, cx)`` — ``inst`` int32
     with ids 1..n, ``keep`` a bool mask over ids (index id-1), ``cy/cx``
     per-object centroids. A multi-channel label frame is a deterministic
-    JobError.
+    JobError. ``instances``: trust the label ids as instance ids
+    (segment_flows stacks — CCL would re-merge touching cells); the
+    class column is 1 for every object (instance maps carry no class).
     """
     from sequitr_tpu import localize as loc_lib
     from sequitr_tpu import native
@@ -5171,7 +5200,10 @@ def _derive_objects(lab: np.ndarray, split_touching: bool,
             f"labels entry must be single-channel (got {lab.shape})"
         )
     lab = lab.astype(np.int32, copy=False)
-    if split_touching:
+    if instances:
+        inst = _instances_from_labels(lab)
+        lab = (inst > 0).astype(np.int32)  # class 1 everywhere
+    elif split_touching:
         inst = loc_lib.split_touching_instances(
             lab, min_distance=min_distance
         )
@@ -5189,10 +5221,12 @@ def _derive_objects(lab: np.ndarray, split_touching: bool,
 
 
 def _derive_objects_3d(lab: np.ndarray, split_touching: bool,
-                       min_distance: int, min_area: int):
+                       min_distance: int, min_area: int,
+                       instances: bool = False):
     """Volumetric twin of ``_derive_objects`` for (Z, H, W) label volumes:
     6-connected 3D components (or the 3D watershed under
-    ``split_touching``) + the single-sweep 3D native stats. Returns
+    ``split_touching``, or the ids themselves under ``instances``) + the
+    single-sweep 3D native stats. Returns
     ``(inst, n, areas, classes, keep, cz, cy, cx)``."""
     from scipy import ndimage
 
@@ -5204,7 +5238,11 @@ def _derive_objects_3d(lab: np.ndarray, split_touching: bool,
             f"dims=3 labels must be (Z, H, W) volumes (got {lab.shape})"
         )
     lab = lab.astype(np.int32, copy=False)
-    if split_touching:
+    if instances:
+        inst = _instances_from_labels(lab)
+        lab = (inst > 0).astype(np.int32)  # class 1 everywhere
+        n = int(inst.max())
+    elif split_touching:
         inst = loc_lib.split_touching_instances(
             lab, min_distance=min_distance
         )
@@ -5273,6 +5311,8 @@ def _measure_objects_3d(job: Job, paths) -> Dict[str, str]:
                 )
         min_area = int(p.get("min_area", 1))
         split_touching = bool(p.get("split_touching", False))
+        instances = bool(p.get("instances", False))
+        _check_instances_params(instances, split_touching)
         min_distance = int(p.get("min_distance", 5))
         colocalize = bool(p.get("colocalize", False))
         thr_spec = p.get("coloc_threshold", "otsu")
@@ -5327,7 +5367,8 @@ def _measure_objects_3d(job: Job, paths) -> Dict[str, str]:
                 with timer.phase("measure"):
                     inst, n, areas, classes, keep_mask, cz, cy, cx = (
                         _derive_objects_3d(
-                            lab, split_touching, min_distance, min_area
+                            lab, split_touching, min_distance, min_area,
+                            instances=instances,
                         )
                     )
                     if n == 0:
@@ -5479,6 +5520,8 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         p = job.params
         min_area = int(p.get("min_area", 1))
         split_touching = bool(p.get("split_touching", False))
+        instances = bool(p.get("instances", False))
+        _check_instances_params(instances, split_touching)
         min_distance = int(p.get("min_distance", 5))
         colocalize = bool(p.get("colocalize", False))
         thr_spec = p.get("coloc_threshold", "otsu")
@@ -5534,7 +5577,8 @@ def measure_objects(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                     with timer.phase("measure"):
                         inst, n, areas, classes, keep_mask, cy, cx = (
                             _derive_objects(
-                                lab, split_touching, min_distance, min_area
+                                lab, split_touching, min_distance, min_area,
+                                instances=instances,
                             )
                         )
                         if n == 0:
@@ -5665,10 +5709,12 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         try:
             min_area = int(p.get("min_area", 1))
             split_touching = bool(p.get("split_touching", False))
+            instances = bool(p.get("instances", False))
             min_distance = int(p.get("min_distance", 5))
             radius = float(p.get("capture_radius", 0.0))
         except (TypeError, ValueError) as e:
             raise jobs_lib.JobError(f"job {job.id}: bad param: {e}")
+        _check_instances_params(instances, split_touching)
         if radius < 0:
             raise jobs_lib.JobError(
                 f"capture_radius must be >= 0, got {radius}"
@@ -5726,11 +5772,13 @@ def count_spots(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 with timer.phase("assign"):
                     if dims == 3:
                         inst, n, areas, classes, keep = _derive_objects_3d(
-                            lab, split_touching, min_distance, min_area
+                            lab, split_touching, min_distance, min_area,
+                            instances=instances,
                         )[:5]
                     else:
                         inst, n, areas, classes, keep = _derive_objects(
-                            lab, split_touching, min_distance, min_area
+                            lab, split_touching, min_distance, min_area,
+                            instances=instances,
                         )[:5]
                     # assignment sees only KEPT objects: a spot next to a
                     # min_area-dropped speck must still capture to a real
@@ -6114,12 +6162,14 @@ def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         try:
             min_area = int(p.get("min_area", 1))
             split_touching = bool(p.get("split_touching", False))
+            instances = bool(p.get("instances", False))
             min_distance = int(p.get("min_distance", 5))
             tol = float(p.get("match_tol", 0.1))
         except (TypeError, ValueError) as e:
             raise jobs_lib.JobError(f"job {job.id}: bad param: {e}")
         if tol <= 0:
             raise jobs_lib.JobError(f"match_tol must be > 0, got {tol}")
+        _check_instances_params(instances, split_touching)
         by_t, max_tid = _read_tracks_csv(tracks_csv)
         if max_tid + 1 > 65535:
             raise jobs_lib.JobError(
@@ -6148,7 +6198,8 @@ def export_ctc(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                 lab = _frame_or_fail(job, lsource, t)
             with timer.phase("relabel"):
                 inst, n, areas, classes, keep, cy, cx = _derive_objects(
-                    lab, split_touching, min_distance, min_area
+                    lab, split_touching, min_distance, min_area,
+                    instances=instances,
                 )
                 lut = np.zeros(n + 1, np.uint16)
                 rows = by_t.get(t_abs, [])

@@ -426,3 +426,53 @@ class TestMeasureTracksReviewFixes:
         m = json.loads(st["outputs"]["metrics"])
         assert m["n_unjoined_track_rows"] == 5
         assert any("PARTIAL" in w for w in st.get("warnings") or [])
+
+
+class TestExportCtcInstances:
+    def test_instances_keep_touching_cells_apart(self, server_env):
+        """``instances: true``: a stack from an INSTANCE segmenter (two
+        cells sharing a border every frame, distinct ids) exports one
+        CTC track label per cell — plain CCL re-derivation would fuse
+        them into one instance and drop a track."""
+        cfg_srv, tmp = server_env
+        T, S = 4, 32
+        labels = np.zeros((T, S, S), np.uint16)
+        for t in range(T):
+            # two abutting squares drifting together (always touching)
+            labels[t, 8:14, 6 + t:12 + t] = 1
+            labels[t, 8:14, 12 + t:18 + t] = 2
+        lp = str(tmp / "labels.tif")
+        tiff.write_stack(lp, labels)
+        h5 = str(tmp / "objects.h5")
+        tables = [
+            localize.localize_instances_table(labels[t], t=t)
+            for t in range(T)
+        ]
+        localize.export_btrack_h5_tables(h5, tables, n_frames=T)
+        srv = ImageServer(cfg_srv)
+        trk_out = str(tmp / "trk")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "track_objects", "params": {"max_distance": 6},
+             "input": [h5], "output": trk_out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(trk_out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        out = str(tmp / "ctc")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "export_ctc", "params": {"instances": True},
+             "input": [lp, trk_out], "output": out},
+        )
+        assert srv.poll_once()
+        st2 = json.load(open(os.path.join(out, "status.json")))
+        assert st2["state"] == "complete", st2.get("error")
+        masks = sorted(
+            f for f in os.listdir(out) if f.startswith("mask")
+        )
+        assert len(masks) == T
+        for f in masks:
+            m = np.asarray(tiff.read_stack(os.path.join(out, f)))
+            ids = set(np.unique(m)) - {0}
+            assert len(ids) == 2, f"{f}: {ids}"  # both cells tracked

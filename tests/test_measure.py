@@ -704,3 +704,122 @@ class TestQuantCorruptInputFailsFast:
             for ln in open(os.path.join(str(tmp / "logs"), "jobs.jsonl"))
         ]
         assert ledger[-1]["attempts"] == 1, ledger[-1]
+
+
+class TestInstanceLabels:
+    """``instances: true`` — label stacks from an INSTANCE segmenter
+    (segment_flows): ids are trusted, no CCL/watershed re-derivation."""
+
+    def _touching_scene(self, tmp):
+        """Two ABUTTING instances (ids 1|2 share a border) + one separate
+        (id 7 — sparse on purpose, must renumber densely)."""
+        labels = np.zeros((1, 24, 24), np.uint16)
+        labels[0, 4:10, 4:10] = 1    # 36 px
+        labels[0, 4:10, 10:14] = 2   # 24 px, touching id 1
+        labels[0, 16:20, 16:20] = 7  # 16 px, separate, sparse id
+        inten = np.zeros((1, 24, 24), np.float32)
+        inten[0, 4:10, 4:10] = 10.0
+        inten[0, 4:10, 10:14] = 30.0
+        inten[0, 16:20, 16:20] = 50.0
+        lp, ip = str(tmp / "ilab.tif"), str(tmp / "ich.tif")
+        tiff.write_stack(lp, labels)
+        tiff.write_stack(ip, inten)
+        return lp, ip
+
+    def test_measure_objects_trusts_instance_ids(self, server_env):
+        cfg_srv, tmp = server_env
+        lp, ip = self._touching_scene(tmp)
+        srv = ImageServer(cfg_srv)
+        got = {}
+        for instances in (False, True):
+            out = str(tmp / f"mi_{instances}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "measure_objects",
+                 "params": {"instances": instances},
+                 "input": [lp, ip], "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            _, rows = _rows(st["outputs"]["measurements"])
+            got[instances] = rows
+        # plain CCL merges the touching pair: 2 objects; instances: 3
+        assert len(got[False]) == 2
+        assert len(got[True]) == 3
+        rows = sorted(got[True], key=lambda r: float(r["mean_c0"]))
+        # EXACT per-instance means — no blend across the shared border
+        assert [float(r["mean_c0"]) for r in rows] == [10.0, 30.0, 50.0]
+        assert [int(r["area"]) for r in rows] == [36, 24, 16]
+        # instance maps carry no class: class column is 1 throughout
+        assert {r["class"] for r in rows} == {"1"}
+
+    def test_count_spots_assigns_within_touching_instances(self, server_env):
+        cfg_srv, tmp = server_env
+        lp, ip = self._touching_scene(tmp)
+        em = str(tmp / "em.csv")
+        with open(em, "w") as f:
+            f.write("t,y,x,amplitude,background\n")
+            f.write("0,6.0,6.0,10,1\n")   # inside id 1
+            f.write("0,6.0,11.5,11,1\n")  # inside id 2 (the touching one)
+            f.write("0,17.5,17.5,12,1\n")  # inside id 7
+        srv = ImageServer(cfg_srv)
+        out = str(tmp / "cs")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "count_spots", "params": {"instances": True},
+             "input": [lp, em], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        _, counts = _rows(st["outputs"]["spot_counts"])
+        per_obj = {r["id"]: int(r["n_spots"]) for r in counts}
+        # three objects, one spot each — the touching pair NOT merged
+        assert len(per_obj) == 3
+        assert set(per_obj.values()) == {1}
+
+    def test_instances_conflicts_with_split_touching(self, server_env):
+        cfg_srv, tmp = server_env
+        lp, ip = self._touching_scene(tmp)
+        srv = ImageServer(cfg_srv)
+        out = str(tmp / "conflict")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_objects",
+             "params": {"instances": True, "split_touching": True},
+             "input": [lp, ip], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed" and "instances" in st["error"]
+
+    def test_volumetric_instances(self, server_env):
+        """dims=3: two touching blocks keep their ids under instances."""
+        cfg_srv, tmp = server_env
+        labels = np.zeros((4, 16, 16), np.uint16)
+        labels[1:3, 4:8, 4:8] = 1
+        labels[1:3, 4:8, 8:12] = 2  # touching in x
+        inten = np.where(labels == 1, 5.0, 0.0) + np.where(
+            labels == 2, 9.0, 0.0
+        )
+        lab_dir = tmp / "lv"
+        ch_dir = tmp / "cv"
+        lab_dir.mkdir()
+        ch_dir.mkdir()
+        tiff.write_stack(str(lab_dir / "t0.tif"), labels)
+        tiff.write_stack(str(ch_dir / "t0.tif"), inten.astype(np.float32))
+        srv = ImageServer(cfg_srv)
+        out = str(tmp / "m3i")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "measure_objects",
+             "params": {"dims": 3, "instances": True},
+             "input": [str(lab_dir), str(ch_dir)], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "complete", st.get("error")
+        _, rows = _rows(st["outputs"]["measurements"])
+        assert len(rows) == 2
+        assert sorted(float(r["mean_c0"]) for r in rows) == [5.0, 9.0]
