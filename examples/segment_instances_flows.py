@@ -114,7 +114,19 @@ def main(base: str):
          "input": [img_path, lab_path], "output": ev_out,
          "depends_on": [train_out]},
     )
-    for _ in range(3):
+    # quantify per-INSTANCE intensities on the serve's own label stack:
+    # instances: true trusts the ids (plain CCL would re-merge the
+    # touching cells the flows serve just separated)
+    meas_out = os.path.join(base, "measurements")
+    submit_job(
+        cfg.jobs_dir,
+        {"module": "measure_objects",
+         "params": {"instances": True},
+         "input": [os.path.join(seg_out, "labels.tif"), img_path],
+         "output": meas_out,
+         "depends_on": [seg_out]},
+    )
+    for _ in range(4):
         assert server.poll_once(), "no job ready"
 
     st = json.load(open(os.path.join(seg_out, "status.json")))
@@ -135,6 +147,12 @@ def main(base: str):
     )
     print(f"instances: truth={m['n_gt']} flows={m['n_pred']} "
           f"plain-CCL-on-truth-fg={n_ccl} (merged touching pairs)")
+
+    st = json.load(open(os.path.join(meas_out, "status.json")))
+    assert st["state"] == "complete", st.get("error")
+    rows = open(st["outputs"]["measurements"]).read().strip().split("\n")
+    print(f"per-instance measurements: {len(rows) - 1} rows "
+          f"({rows[0]}) — instances: true keeps touching cells apart")
 
 
 if __name__ == "__main__":
