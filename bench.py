@@ -591,6 +591,31 @@ def bench_flows(device_kind: str, iters: int):
             "unit": "frames/sec/chip"}
 
 
+def bench_stars(device_kind: str, iters: int):
+    """Star-convex instance segmentation serve: one whole 1024² frame
+    through the fused normalize -> regression U-Net -> sigmoid/clamp
+    graph (the ``segment_stars`` per-frame device work; host polygon NMS
+    excluded — it overlaps the next frame's dispatch in the pipeline and
+    is measured by the fidelity pass)."""
+    import dataclasses
+
+    import jax
+
+    from sequitr_tpu.models import unet, zoo
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    cfg = dataclasses.replace(
+        zoo.get("stars_cells"), compute_dtype=_dtype(device_kind)
+    )
+    params, state = unet.init(jax.random.PRNGKey(0), cfg)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
+    fn = jax.jit(infer_lib.make_stars_predictor(cfg, tc, FRAME))
+    frame = _frame(seed=13)
+    fps = _rate(lambda: fn(params, state, frame), iters)
+    return {"metric": "stars_predict_1024", "value": round(fps, 3),
+            "unit": "frames/sec/chip"}
+
+
 def bench_tracking(device_kind: str, iters: int):
     """Built-in tracker: Kalman motion model + division resolution over a
     dense ground-truth scene (120 movers + fissions, 60 frames). Host-side
@@ -639,6 +664,7 @@ CONFIGS = {
     "illum": bench_illum,
     "n2v": bench_n2v,
     "flows": bench_flows,
+    "stars": bench_stars,
     "tracking": bench_tracking,
 }
 
@@ -691,6 +717,7 @@ def _fidelity_spec(name: str):
         "illum": ("illum", lambda: fid.illum_fidelity()),
         "n2v": ("n2v1024", lambda: fid.n2v_fidelity(n=2)),
         "flows": ("flows1024", lambda: fid.flows_fidelity(n=2)),
+        "stars": ("stars1024", lambda: fid.stars_fidelity(n=2)),
         "tracking": ("tracking", lambda: fid.tracking_fidelity()),
     }
     return specs.get(name)

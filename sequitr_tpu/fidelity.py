@@ -336,6 +336,69 @@ def flows_fidelity(
     }
 
 
+def stars_fidelity(
+    fixture_name: str = "stars_cells",
+    frame_shape: Tuple[int, int] = (1024, 1024),
+    n: int = 2,
+    seed0: int = 717_000,
+) -> Dict[str, float]:
+    """Instance AP of the device stars path vs the CPU-f32 reference + GT.
+
+    Both paths run the fused serving graph exactly as ``segment_stars``
+    serves (``infer.make_stars_predictor``: normalize -> forward ->
+    sigmoid/clamp) followed by the same host NMS/rasterization.
+    ``ap50_vs_ref`` Hungarian-matches the device path's instance map
+    against the CPU reference's (the parity metric: bf16 MXU + approx
+    percentiles are the only knobs turned); ``ap50_truth`` scores the
+    device path against the scene's ground-truth instances.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sequitr_tpu.data import synthetic
+    from sequitr_tpu.models import fixtures
+    from sequitr_tpu.ops import flows as flows_ops
+    from sequitr_tpu.ops import stardist as sd
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    kind, cfg_dev, params, state, meta = fixtures.load(
+        fixture_name, compute_dtype=_device_dtype()
+    )
+    cfg_ref = dataclasses.replace(cfg_dev, compute_dtype=jnp.float32)
+    tc = infer_lib.TileConfig(patch=frame_shape, overlap=(0, 0))
+    tc_ref = dataclasses.replace(tc, normalize="exact")
+    params, state = _np_tree((params, state))
+    dev_fn = jax.jit(infer_lib.make_stars_predictor(cfg_dev, tc, frame_shape))
+    ref_fn = jax.jit(
+        infer_lib.make_stars_predictor(cfg_ref, tc_ref, frame_shape)
+    )
+
+    def _labels(prob, dist):
+        return sd.instances_from_rays(np.asarray(prob), np.asarray(dist))
+
+    ap_ref, ap_truth, iou_truth = [], [], []
+    for i in range(n):
+        img, lab = synthetic.instances_frame(seed0 + i, frame_shape)
+        d_prob, d_dist = dev_fn(params, state, jnp.asarray(img))
+        dev = _labels(d_prob, d_dist)
+        with jax.default_device(_cpu()):
+            r_prob, r_dist = ref_fn(
+                params, state, jax.device_put(img, _cpu())
+            )
+            ref = _labels(r_prob, r_dist)
+        ap_ref.append(flows_ops.average_precision(ref, dev)["ap50"])
+        t = flows_ops.average_precision(lab, dev)
+        ap_truth.append(t["ap50"])
+        iou_truth.append(t["mean_matched_iou"])
+    return {
+        "ap50_vs_ref": _round(np.mean(ap_ref)),
+        "ap50_truth": _round(np.mean(ap_truth)),
+        "matched_iou_truth": _round(np.mean(iou_truth)),
+        "n_frames": n,
+        "fixture": fixture_name,
+    }
+
+
 # ---------------------------------------------------------------------------
 # training: loss-trajectory parity
 # ---------------------------------------------------------------------------

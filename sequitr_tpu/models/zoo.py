@@ -74,6 +74,12 @@ PRESETS: Dict[str, Any] = {
     # representation makes touching-cell boundaries explicit (opposite-
     # sign vectors), which per-pixel class maps cannot express.
     "flows_cells": _unet(num_classes=3),
+    # star-convex instance segmentation (ops.stardist, StarDist-style):
+    # a regression U-Net whose head carries an object-probability logit
+    # + 32 per-ray boundary distances — num_classes = 1 + n_rays, raw
+    # head. The polygon prior is the stronger separator for convex
+    # nucleus-like shapes; the flows family covers the concave/3D cases.
+    "stars_cells": _unet(num_classes=33),
 }
 
 

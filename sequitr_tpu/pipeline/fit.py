@@ -887,6 +887,133 @@ def fit_flows(
     )
 
 
+def _decode_stars(payload: bytes) -> Dict[str, np.ndarray]:
+    """Decode a star-convex training example (image + ray dists + prob)."""
+    f = records_lib.decode_example(payload)
+    ishape = tuple(int(v) for v in f["image/shape"])
+    n_rays = int(f["dist/n_rays"][0])
+    x = np.frombuffer(f["image/encoded"][0], dtype="<f4").reshape(ishape)
+    if x.ndim == 2:
+        x = x[..., None]
+    spatial = x.shape[:2]
+    dist = np.frombuffer(f["dist/encoded"][0], dtype="<f4").reshape(
+        spatial + (n_rays,)
+    )
+    prob = np.frombuffer(f["prob/encoded"][0], dtype="<f4").reshape(spatial)
+    return {"image": x.astype(np.float32), "dist": dist, "prob": prob}
+
+
+def encode_stars_example(
+    image: np.ndarray, dist: np.ndarray, prob: np.ndarray
+) -> bytes:
+    """Encode a star-convex example: image (H, W[, C]), dist
+    (H, W, n_rays), prob (H, W) — all float32. Ray-distance targets are
+    computed at record-creation time (``ops.stardist.star_targets``),
+    the same place the reference computes its U-Net weight maps
+    (SURVEY.md §3.2)."""
+    image = np.asarray(image, np.float32)
+    if image.ndim == 2:
+        image = image[..., None]
+    return records_lib.encode_example(
+        {
+            "image/encoded": image.astype("<f4").tobytes(),
+            "dist/encoded": np.asarray(dist, np.float32).astype("<f4").tobytes(),
+            "prob/encoded": np.asarray(prob, np.float32).astype("<f4").tobytes(),
+            "image/shape": list(image.shape),
+            "dist/n_rays": [int(dist.shape[-1])],
+        }
+    )
+
+
+def _make_stars_evaluator(
+    cfg: unet.UNetConfig, fc: FitConfig, shard_paths: Sequence[str]
+) -> Optional[Callable]:
+    """Holdout evaluator for stars: prob BCE + prob-weighted distance MAE
+    on held-out examples (the training objective on unseen data —
+    ``eval_loss`` is the ``keep_best_metric``; instance-level AP needs
+    the full NMS/rasterize pass and belongs to ``evaluate_flows``-style
+    offline scoring, not the per-eval inner loop)."""
+    import optax
+
+    holdout = load_holdout(
+        shard_paths, _decode_stars, fc.holdout_every, fc.eval_limit
+    )
+    if holdout is None:
+        log.warning("holdout_every=%d produced no eval examples", fc.holdout_every)
+        return None
+    import jax.numpy as jnp
+
+    x = jnp.asarray(holdout["image"])
+    dist = jnp.asarray(holdout["dist"])
+    prob = jnp.asarray(holdout["prob"])
+    n_rays = cfg.num_classes - 1
+
+    @jax.jit
+    def _eval(params, model_state):
+        out, _ = unet.apply(cfg, params, model_state, x, train=False)
+        out = out.astype(jnp.float32)
+        prob_bce = jnp.mean(
+            optax.sigmoid_binary_cross_entropy(out[..., 0], prob)
+        )
+        w = prob[..., None]
+        dist_mae = jnp.sum(w * jnp.abs(out[..., 1:] - dist)) / (
+            jnp.sum(w) * n_rays + 1e-8
+        )
+        return dist_mae, prob_bce
+
+    def eval_fn(state, g):
+        dist_mae, prob_bce = _eval(state.params, state.model_state)
+        return {
+            "eval_loss": float(prob_bce)
+            + train_lib.STARS_DIST_WEIGHT * float(dist_mae),
+            "eval_dist_mae": float(dist_mae),
+            "eval_prob_bce": float(prob_bce),
+        }
+
+    return eval_fn
+
+
+def fit_stars(
+    cfg: unet.UNetConfig,
+    tc: train_lib.TrainConfig,
+    fc: FitConfig,
+    shard_paths: Sequence[str],
+    ckpt_dir: Optional[str] = None,
+    mesh=None,
+    init_state: Optional[train_lib.TrainState] = None,
+    should_stop: Optional[Callable[[], bool]] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> train_lib.TrainState:
+    """Train a star-convex instance segmenter from stars record shards.
+
+    Same loop/checkpoint/resume/metrics machinery as ``fit_unet``; the
+    step is ``train.make_stars_train_step`` (prob BCE + prob-weighted
+    ray-distance MAE, ray-permutation-aware flip augmentation).
+    ``mesh``: standard DP (state replicated, batch sharded on its
+    leading axis)."""
+    _check_keep_best(fc, {"eval_loss", "eval_dist_mae", "eval_prob_bce"})
+    key = jax.random.PRNGKey(fc.seed)
+    state = init_state or train_lib.create_unet_state(key, cfg, tc)
+    step = train_lib.make_stars_train_step(cfg, tc, jit=mesh is None)
+    sharding = None
+    if mesh is not None:
+        from sequitr_tpu import parallel
+
+        step = parallel.make_dp_train_step(step, mesh)
+        sharding = parallel.batch_sharded(mesh)
+    it = ShardIterator(
+        shard_paths, _decode_stars, fc.batch_size, seed=fc.seed,
+        shuffle_buffer=fc.shuffle_buffer, holdout_every=fc.holdout_every,
+    )
+    eval_fn = _make_stars_evaluator(cfg, fc, shard_paths) if fc.holdout_every else None
+    batches = prefetch_to_device(iter(it), depth=fc.prefetch_depth, sharding=sharding)
+    return _run_loop(
+        state, step, batches, fc, ckpt_dir, key,
+        ("loss", "dist_mae", "prob_bce", "grad_norm"),
+        eval_fn=eval_fn, should_stop=should_stop, progress=progress,
+    )
+
+
 def fit_unet_spatial(
     cfg: unet.UNetConfig,
     tc: train_lib.TrainConfig,

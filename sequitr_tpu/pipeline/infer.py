@@ -587,6 +587,84 @@ def cached_flows_segmenter(
     )
 
 
+def make_stars_predictor(
+    cfg,  # unet.UNetConfig with a 1 + n_rays channel regression head
+    tc: TileConfig,
+    frame_spatial: Tuple[int, ...],
+) -> Callable:
+    """Un-jitted ``predict(params, state, frame) -> (prob, dist)``.
+
+    The star-convex serving pass (ops.stardist): normalize -> tiled
+    forward (raw head: object-probability logit + per-ray distances) ->
+    weighted stitch -> sigmoid/clamp, ALL inside one jit graph. Returns
+    the object probability (H, W) float32 and the ray distances
+    (H, W, n_rays) float32 (clamped >= 0) — the irregular candidate
+    NMS + polygon rasterization stays on host
+    (``ops.stardist.instances_from_rays``), the same regular/irregular
+    split as the flows family's sink grouping.
+
+    TTA is not supported: ray channels are per-DIRECTION outputs whose
+    flip inverses must also permute rays, and the shared ``_tta_average``
+    averages raw channels. Callers reject ``tc.tta != 1`` loudly.
+    """
+    if cfg.dims != 2:
+        raise ValueError(
+            f"star-convex serving is 2D only (got dims={cfg.dims}); "
+            f"volumetric instances are served by the flows family"
+        )
+    n_rays = cfg.num_classes - 1
+    if n_rays < 4 or n_rays % 4:
+        raise ValueError(
+            f"stars serving needs num_classes == 1 + n_rays with n_rays a "
+            f"positive multiple of 4, got num_classes={cfg.num_classes}"
+        )
+    if tc.tta != 1:
+        raise ValueError(
+            "tta is unsupported for star-convex serving (per-ray outputs); "
+            "use tta=1"
+        )
+    spatial = tuple(frame_spatial)
+    if len(spatial) != 2:
+        raise ValueError(f"stars serving takes 2D frames, got {spatial}")
+    grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
+    fold = cfg.norm == "batch"
+    run_cfg = dataclasses.replace(cfg, norm="none") if fold else cfg
+
+    def predict_one(params, state, frame):
+        if fold:
+            _, params, state = unet.fold_batchnorm(
+                dataclasses.replace(run_cfg, norm="batch"), params, state
+            )
+        if frame.ndim == 2:
+            frame = frame[..., None]
+        x = _normalize(frame, tc)
+
+        def forward(patches):
+            out, _ = unet.apply(run_cfg, params, state, patches, train=False)
+            return out
+
+        out = tiled_apply(forward, x, grid, spatial, tc, run_cfg.num_classes)
+        out = out.astype(jnp.float32)
+        prob = jax.nn.sigmoid(out[..., 0])
+        dist = jnp.maximum(out[..., 1:], 0.0)
+        return prob, dist
+
+    return predict_one
+
+
+@functools.lru_cache(maxsize=32)
+def cached_stars_predictor(
+    cfg,  # unet.UNetConfig (frozen dataclass)
+    tc: TileConfig,
+    frame_spatial: Tuple[int, ...],
+) -> Callable:
+    """Cross-job cache of jitted star-convex serving passes (see
+    ``cached_frame_inferrer`` for the rationale — weights are per-call
+    arguments, so one compiled graph serves every registered stars model
+    of the same architecture/tiling/shape)."""
+    return jax.jit(make_stars_predictor(cfg, tc, frame_spatial))
+
+
 class _ReadError:
     def __init__(self, exc: BaseException):
         self.exc = exc

@@ -782,6 +782,132 @@ def make_flows_train_step(cfg: unet.UNetConfig, tc: TrainConfig, jit: bool = Tru
     return jax.jit(step, donate_argnums=0) if jit else step
 
 
+def stars_flip_batch(key, images, dist, prob, perms):
+    """Per-example random spatial flips with matching RAY permutations.
+
+    Star-convex distances are a per-DIRECTION target: flipping spatial
+    axis ``ax`` maps ray angle ``a -> -a`` (y) or ``pi - a`` (x), i.e. a
+    fixed permutation of the ray channels (``ops.stardist.ray_flip_perm``,
+    passed in as ``perms`` — a static (2, n_rays) int array, so the
+    gather bakes into the jit graph). Flips alone cover microscopy's
+    orientation statistics, matching the flows family's menu; elastic
+    warps would bend rays and invalidate straight-line distances.
+    """
+    keys = jax.random.split(key, images.shape[0])
+
+    def one(k, img, d, pr):
+        bits = jax.random.bernoulli(k, shape=(2,))
+        for ax in range(2):
+            img = jnp.where(bits[ax], jnp.flip(img, axis=ax), img)
+            d = jnp.where(
+                bits[ax], jnp.flip(d, axis=ax)[..., perms[ax]], d
+            )
+            pr = jnp.where(bits[ax], jnp.flip(pr, axis=ax), pr)
+        return img, d, pr
+
+    return jax.vmap(one)(keys, images, dist, prob)
+
+
+# StarDist's published loss balance: the distance MAE (pixel units, O(10))
+# enters at 0.2 next to the unit-scale prob BCE, and background distances
+# are regularized toward 0 with a tiny weight so the head stays bounded
+# where no supervision exists (Schmidt et al. 2018 defaults).
+STARS_DIST_WEIGHT = 0.2
+STARS_BG_REG = 1e-4
+
+
+def make_stars_train_step(cfg: unet.UNetConfig, tc: TrainConfig, jit: bool = True):
+    """Star-convex instance segmentation training step (ops.stardist).
+
+    Trains a regression U-Net with a ``1 + n_rays``-channel head:
+    channel 0 is the object-probability logit (sigmoid BCE against the
+    normalized-EDT soft target) and channels 1.. regress raw per-ray
+    distances (prob-weighted MAE — interior pixels, whose polygons NMS
+    actually keeps, dominate the distance supervision). ``batch``: dict
+    with ``image`` (B, H, W, C), ``dist`` (B, H, W, n_rays), ``prob``
+    (B, H, W) in [0, 1]. One fused jit graph: flip-augment (ray-perm
+    aware) -> photometric jitter -> forward -> losses -> Adam update.
+    """
+    from sequitr_tpu.ops import stardist as sd
+
+    if cfg.dims != 2:
+        raise ValueError(
+            f"star-convex training is 2D only (got dims={cfg.dims}); "
+            f"volumetric instances are served by the flows family"
+        )
+    n_rays = cfg.num_classes - 1
+    if n_rays < 4 or n_rays % 4:
+        raise ValueError(
+            f"stars training needs num_classes == 1 + n_rays with n_rays "
+            f"a positive multiple of 4, got num_classes={cfg.num_classes}"
+        )
+    perms = jnp.stack(
+        [
+            jnp.asarray(sd.ray_flip_perm(n_rays, 0)),
+            jnp.asarray(sd.ray_flip_perm(n_rays, 1)),
+        ]
+    )
+    optimizer = tc.make_optimizer()
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        images = batch["image"]
+        dist = batch["dist"]
+        prob = batch["prob"]
+        if tc.augment:
+            k_flip, k_phot = jax.random.split(key)
+            images, dist, prob = stars_flip_batch(
+                k_flip, images, dist, prob, perms
+            )
+            if tc.gain_jitter > 0 or tc.offset_jitter > 0 or tc.noise_std > 0:
+                images = jax.vmap(
+                    lambda k, i: aug.photometric_jitter(
+                        k, i, tc.gain_jitter, tc.offset_jitter, tc.noise_std
+                    )
+                )(jax.random.split(k_phot, images.shape[0]), images)
+
+        def loss_fn(params):
+            fwd = lambda p, x: unet.apply(
+                cfg, p, state.model_state, x, train=True
+            )
+            if tc.remat:
+                fwd = jax.checkpoint(fwd)
+            out, new_ms = fwd(params, images)
+            out = out.astype(jnp.float32)
+            prob_bce = jnp.mean(
+                optax.sigmoid_binary_cross_entropy(out[..., 0], prob)
+            )
+            d_pred = out[..., 1:]
+            w = prob[..., None]
+            dist_mae = jnp.sum(w * jnp.abs(d_pred - dist)) / (
+                jnp.sum(w) * n_rays + 1e-8
+            )
+            bg = 1.0 - (prob > 0).astype(jnp.float32)[..., None]
+            bg_reg = jnp.sum(bg * jnp.abs(d_pred)) / (
+                jnp.sum(bg) * n_rays + 1e-8
+            )
+            loss = (
+                prob_bce
+                + STARS_DIST_WEIGHT * dist_mae
+                + STARS_BG_REG * bg_reg
+            )
+            return loss, (dist_mae, prob_bce, new_ms)
+
+        (loss, (dist_mae, prob_bce, new_ms)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "dist_mae": dist_mae,
+            "prob_bce": prob_bce,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(new_params, new_ms, new_opt, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=0) if jit else step
+
+
 # ---------------------------------------------------------------------------
 # GAN training (alternating G/D steps fused into one update)
 # ---------------------------------------------------------------------------

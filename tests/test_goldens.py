@@ -160,6 +160,52 @@ class TestFlowsGoldens:
         _labels_close(inst, g["instances"], frac=0.01)
 
 
+class TestStarsGoldens:
+    def test_targets_exact(self):
+        """Ray-marched star-convex targets are pure host numpy: committed
+        bytes must reproduce effectively exactly."""
+        from sequitr_tpu.ops import stardist as sd
+
+        g = _load("stars_predict")
+        t_dist, t_prob = sd.star_targets(g["labels"])
+        np.testing.assert_allclose(t_dist, g["targets_dist"], atol=1e-6)
+        np.testing.assert_allclose(t_prob, g["targets_prob"], atol=1e-6)
+
+    def test_fused_serving_and_nms(self):
+        from sequitr_tpu.models import fixtures
+        from sequitr_tpu.ops import flows as flows_ops
+        from sequitr_tpu.ops import stardist as sd
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        g = _load("stars_predict")
+        try:
+            _, cfg, params, state, _ = fixtures.load("stars_cells")
+        except KeyError:
+            pytest.skip("stars_cells fixture not trained")
+        tc = infer_lib.TileConfig(
+            patch=(128, 128), overlap=(0, 0), normalize="exact"
+        )
+        pred = jax.jit(infer_lib.make_stars_predictor(cfg, tc, (128, 128)))
+        prob, dist = pred(params, state, jnp.asarray(g["image"]))
+        np.testing.assert_allclose(
+            np.asarray(prob, np.float32), g["prob"], atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist, np.float32), g["dist"], atol=5e-2
+        )
+        # the NMS'd instance map is the product: identical instances up
+        # to tiny boundary flips, every committed instance recovered at
+        # IoU >= 0.9
+        inst = sd.instances_from_rays(
+            np.asarray(prob, np.float32), np.asarray(dist, np.float32)
+        )
+        ap = flows_ops.average_precision(
+            g["instances"], inst, thresholds=(0.9,)
+        )
+        assert ap["ap90"] == 1.0, ap
+        _labels_close(inst, g["instances"], frac=0.01)
+
+
 class TestTrainGolden:
     def test_loss_trajectory(self):
         from sequitr_tpu.data import synthetic

@@ -276,6 +276,67 @@ class TestFlowsOnChip:
         assert truth["ap50"] > 0.8, truth
 
 
+class TestStarsOnChip:
+    def test_fused_predictor_vs_cpu_f32(self):
+        """The star-convex serving graph (bf16 forward + sigmoid/clamp
+        head) on the chip vs the CPU-f32 exact-normalize path on the
+        SAME trained fixture: prob maps close, ray distances close in
+        pixels, and the NMS'd instance maps Hungarian-match at
+        IoU >= 0.9 (polygon NMS amplifies distance drift at candidate
+        boundaries — exactly where bf16 error would show)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.data import synthetic
+        from sequitr_tpu.models import fixtures
+        from sequitr_tpu.ops import flows as flows_ops
+        from sequitr_tpu.ops import stardist as sd
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        try:
+            _, cfg_f32, params, state, _ = fixtures.load(
+                "stars_cells", compute_dtype=jnp.float32
+            )
+        except KeyError:
+            pytest.skip("stars_cells fixture not trained")
+        cfg_bf16 = dataclasses.replace(cfg_f32, compute_dtype=jnp.bfloat16)
+        params = jax.tree.map(np.asarray, params)
+        state = jax.tree.map(np.asarray, state)
+        img, lab = synthetic.instances_frame(313_000, (256, 256))
+        tc = infer_lib.TileConfig(
+            patch=(256, 256), overlap=(0, 0), normalize="fast"
+        )
+
+        pred_tpu = infer_lib.cached_stars_predictor(cfg_bf16, tc, (256, 256))
+        p_t, d_t = pred_tpu(params, state, jnp.asarray(img))
+        inst_tpu = sd.instances_from_rays(
+            np.asarray(p_t, np.float32), np.asarray(d_t, np.float32)
+        )
+
+        with jax.default_device(_cpu_device()):
+            pred_cpu = infer_lib.cached_stars_predictor(
+                cfg_f32, tc, (256, 256)
+            )
+            p_c, d_c = pred_cpu(
+                params, state, jax.device_put(img, _cpu_device())
+            )
+            inst_cpu = sd.instances_from_rays(
+                np.asarray(p_c, np.float32), np.asarray(d_c, np.float32)
+            )
+
+        max_dp = float(np.max(np.abs(np.asarray(p_t) - np.asarray(p_c))))
+        assert max_dp < 5e-2, f"bf16 object-prob drifted: max |d| {max_dp}"
+        ap = flows_ops.average_precision(
+            inst_cpu, inst_tpu, thresholds=(0.9,)
+        )
+        assert ap["ap90"] > 0.95, ap
+        # and both paths actually find the scene's cells
+        truth = flows_ops.average_precision(lab, inst_tpu)
+        assert truth["ap50"] > 0.8, truth
+
+
 class TestN2VMaskingVariantsOnChip:
     def test_struct_median_masking_matches_cpu(self):
         """The structN2V + N2V2 masking graph (segment replacement with a

@@ -351,6 +351,65 @@ def make_flows(work: str, quick: bool):
     )
 
 
+def make_stars(work: str, quick: bool):
+    """Star-convex instance segmenter fixture: trained on the same
+    deterministic touching-cell scenes as the flows fixture
+    (``synthetic.instances_frame``), scored by Hungarian instance AP on
+    fresh seeds — the two learned separators stay directly comparable."""
+    import dataclasses
+
+    from sequitr_tpu.ops import flows as flows_ops
+    from sequitr_tpu.ops import stardist as sd
+
+    cfg = dataclasses.replace(zoo.get("stars_cells"), compute_dtype=_dtype())
+    n = 16 if quick else 160
+
+    def gen():
+        for i in range(n):
+            img, lab = synthetic.instances_frame(7000 + i, (128, 128))
+            dist, prob = sd.star_targets(lab)
+            yield fit_lib.encode_stars_example(_normalize(img), dist, prob)
+
+    shards = records.write_shards(
+        os.path.join(work, "stars"), gen(), shard_size=64
+    )
+    steps = 30 if quick else 1500
+    tc = train_lib.TrainConfig(
+        learning_rate=3e-4, lr_schedule="cosine", lr_decay_steps=steps,
+        augment=True,
+    )
+    fc = fit_lib.FitConfig(
+        steps=steps, batch_size=8, holdout_every=10,
+        eval_every=max(10, steps // 4), eval_limit=8,
+        checkpoint_every=10**9, log_every=max(10, steps // 10),
+    )
+    state = fit_lib.fit_stars(cfg, tc, fc, shards)
+    # holdout instance AP on fresh seeds (never trained)
+    aps, mious = [], []
+    for i in range(8):
+        img, lab = synthetic.instances_frame(997_000 + i, (128, 128))
+        out, _ = unet.apply(
+            cfg, state.params, state.model_state,
+            jnp.asarray(_normalize(img))[None, ..., None], train=False,
+        )
+        out = np.asarray(out[0], np.float32)
+        prob = 1.0 / (1.0 + np.exp(-out[..., 0]))
+        dist = np.maximum(out[..., 1:], 0.0)
+        pred = sd.instances_from_rays(prob, dist)
+        ap = flows_ops.average_precision(lab, pred)
+        aps.append(ap["ap50"])
+        mious.append(ap["mean_matched_iou"])
+    fixtures.save(
+        "stars_cells", "stars", cfg, state.params, state.model_state,
+        {"task": "star-convex instance segmentation of touching synthetic "
+                 "cells (data/synthetic.py instances_frame)",
+         "recipe": {"steps": steps, "batch": 8, "lr": "3e-4 cosine",
+                    "examples": n, "patch": 128, "n_rays": 32},
+         "holdout_ap50": round(float(np.mean(aps)), 4),
+         "holdout_matched_iou": round(float(np.mean(mious)), 4)},
+    )
+
+
 def load_teacher():
     """Reuse the committed teacher fixture for distillation (a cut run can
     resume student training without repeating the 30-minute teacher fit)."""
@@ -365,7 +424,7 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
                     help="comma list of: unet2d_cells | fast | fast4 | "
-                    "unet3d_cells | gan_denoise | n2v_cells | flows_cells")
+                    "unet3d_cells | gan_denoise | n2v_cells | flows_cells | stars_cells")
     ap.add_argument("--keep-work", action="store_true")
     args = ap.parse_args()
 
@@ -406,6 +465,11 @@ def main():
             make_flows(work, args.quick)
             m = fixtures.manifest()["flows_cells"]
             print("flows done: ap50", m["holdout_ap50"],
+                  "matched_iou", m["holdout_matched_iou"])
+        if want("stars_cells"):
+            make_stars(work, args.quick)
+            m = fixtures.manifest()["stars_cells"]
+            print("stars done: ap50", m["holdout_ap50"],
                   "matched_iou", m["holdout_matched_iou"])
     finally:
         if not args.keep_work:

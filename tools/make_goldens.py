@@ -169,6 +169,39 @@ def make_flows_segment():
     )
 
 
+def make_stars_predict():
+    """The star-convex family golden: (a) ray-distance + normalized-EDT
+    TARGETS on a fixed instance map (pure host numpy — compares
+    effectively exact) and (b) the fused serving pass (forward +
+    sigmoid/clamp) on the trained fixture + the NMS'd instance map."""
+    from sequitr_tpu.data import synthetic
+    from sequitr_tpu.models import fixtures
+    from sequitr_tpu.ops import stardist as sd
+    from sequitr_tpu.pipeline import infer as infer_lib
+
+    try:
+        _, cfg, params, state, _ = fixtures.load("stars_cells")
+    except KeyError:
+        print("stars_predict: SKIPPED (stars_cells fixture not trained yet)")
+        return
+    img, lab = synthetic.instances_frame(88_221, (128, 128))
+    t_dist, t_prob = sd.star_targets(lab)
+    tc = infer_lib.TileConfig(
+        patch=(128, 128), overlap=(0, 0), normalize="exact"
+    )
+    pred = jax.jit(infer_lib.make_stars_predictor(cfg, tc, (128, 128)))
+    prob, dist = pred(params, state, jnp.asarray(img))
+    prob = np.asarray(prob, np.float32)
+    dist = np.asarray(dist, np.float32)
+    inst = sd.instances_from_rays(prob, dist)
+    _save(
+        "stars_predict",
+        image=img, labels=lab.astype(np.int32),
+        targets_dist=t_dist, targets_prob=t_prob,
+        prob=prob, dist=dist, instances=inst.astype(np.int32),
+    )
+
+
 def make_train2d_losses():
     """Loss trajectory of 4 deterministic train steps from PRNGKey(0) init.
 
@@ -388,6 +421,7 @@ FAMILIES = {
     "gan_generator": make_gan_generator,
     "n2v_denoiser": make_n2v_denoiser,
     "flows_segment": make_flows_segment,
+    "stars_predict": make_stars_predict,
     "train2d_losses": make_train2d_losses,
     "augment_elastic": make_augment_elastic,
     "normalize_quantiles": make_normalize_quantiles,
