@@ -28,7 +28,7 @@ is where the driver runs ``bench.py``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
@@ -341,7 +341,7 @@ def stars_fidelity(
     frame_shape: Tuple[int, int] = (1024, 1024),
     n: int = 2,
     seed0: int = 717_000,
-) -> Dict[str, float]:
+) -> Dict[str, Any]:
     """Instance AP of the device stars path vs the CPU-f32 reference + GT.
 
     Both paths run the fused serving graph exactly as ``segment_stars``
@@ -361,9 +361,15 @@ def stars_fidelity(
     from sequitr_tpu.ops import stardist as sd
     from sequitr_tpu.pipeline import infer as infer_lib
 
-    kind, cfg_dev, params, state, meta = fixtures.load(
-        fixture_name, compute_dtype=_device_dtype()
-    )
+    try:
+        kind, cfg_dev, params, state, meta = fixtures.load(
+            fixture_name, compute_dtype=_device_dtype()
+        )
+    except KeyError as e:
+        raise KeyError(
+            f"stars_fidelity: fixture {fixture_name!r} is not trained/"
+            f"committed (run tools/make_fixtures.py --only stars_cells): {e}"
+        ) from None
     cfg_ref = dataclasses.replace(cfg_dev, compute_dtype=jnp.float32)
     tc = infer_lib.TileConfig(patch=frame_shape, overlap=(0, 0))
     tc_ref = dataclasses.replace(tc, normalize="exact")

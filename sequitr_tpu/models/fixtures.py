@@ -64,6 +64,7 @@ def _cfg_from_dict(kind: str, cfg_dict: Dict[str, Any]):
         "gan": gan_lib.GANConfig,
         "n2v": unet.UNetConfig,  # regression U-Net (Noise2Void denoiser)
         "flows": unet.UNetConfig,  # regression U-Net (flow-field head)
+        "stars": unet.UNetConfig,  # regression U-Net (1 + n_rays head)
     }[kind]
     return cls(**cfg_dict)
 

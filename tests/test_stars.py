@@ -338,10 +338,9 @@ class TestServing:
                     "n_rays": 16,
                     "patch": [32, 32],
                     "patches_per_frame": 3,
-                    "steps": 400,
+                    "steps": 800,
                     "batch_size": 8,
                     "learning_rate": 2e-3,
-                    "lr_schedule": "cosine",
                     "depth": 2,
                     "base_features": 8,
                     "compute_dtype": "float32",
