@@ -50,6 +50,31 @@ def _rate(step, iters: int, warmup: int = 2) -> float:
     return iters / (time.perf_counter() - t0)
 
 
+def _median_passes(one_pass, stack, repeats: int = 5):
+    """Median-of-N fps for host-streamed rows + a dispersion stamp.
+
+    Streamed rows on this machine ride a relay tunnel whose load swings
+    the number 2x between sweeps (round-4 verdict weak #6: 12.4 / 5.4 /
+    11.8 across three honest runs of the same code). A single pass can't
+    distinguish a real regression from tunnel weather; the median of
+    five short passes with the min/max spread attached can.
+    """
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        served = one_pass(stack)
+        samples.append(served / (time.perf_counter() - t0))
+    samples.sort()
+    med = samples[len(samples) // 2]
+    spread = {
+        "n": repeats,
+        "min": round(samples[0], 3),
+        "max": round(samples[-1], 3),
+        "rel_range": round((samples[-1] - samples[0]) / max(med, 1e-9), 3),
+    }
+    return med, spread
+
+
 def _dtype(device_kind: str):
     import jax.numpy as jnp
 
@@ -133,11 +158,9 @@ def bench_timelapse(device_kind: str, iters: int):
         return got
 
     one_pass(stack[:2])  # warmup: compile + cache
-    t0 = time.perf_counter()
-    served = one_pass(stack)
-    fps = served / (time.perf_counter() - t0)
+    fps, spread = _median_passes(one_pass, stack)
     return {"metric": "unet2d_1024_timelapse_stream", "value": round(fps, 3),
-            "unit": "frames/sec/chip"}
+            "unit": "frames/sec/chip", "spread": spread}
 
 
 def bench_train(device_kind: str, iters: int):
@@ -337,11 +360,9 @@ def bench_gan_stream(device_kind: str, iters: int):
         return got
 
     one_pass(stack[:2])
-    t0 = time.perf_counter()
-    served = one_pass(stack)
-    fps = served / (time.perf_counter() - t0)
+    fps, spread = _median_passes(one_pass, stack)
     return {"metric": "gan_enhance_1024_stream", "value": round(fps, 3),
-            "unit": "frames/sec/chip"}
+            "unit": "frames/sec/chip", "spread": spread}
 
 
 def bench_gan_train(device_kind: str, iters: int):

@@ -28,6 +28,16 @@ if os.environ.get("SEQUITR_FORCE_CPU") or os.environ.get("JAX_PLATFORMS") == "cp
 
 import numpy as np
 
+# smoke-lane step cap (tests/test_examples.py): SEQUITR_EXAMPLE_STEPS=N
+# truncates training so the lane catches API rot fast; quality bars that
+# need a converged model are skipped when the cap is active
+_CAP = int(os.environ.get("SEQUITR_EXAMPLE_STEPS", "0"))
+
+
+def _steps(n):
+    return min(n, _CAP) if _CAP else n
+
+
 
 def main(base: str):
     from sequitr_tpu import client
@@ -62,7 +72,7 @@ def main(base: str):
                 "model": "demo_n2v",
                 "patch": [64, 64],
                 "patches_per_frame": 1,
-                "steps": 250,
+                "steps": _steps(250),
                 "batch_size": 8,
                 "learning_rate": 3e-3,
                 "mask_frac": 0.02,

@@ -35,6 +35,16 @@ if os.environ.get("SEQUITR_FORCE_CPU") or os.environ.get("JAX_PLATFORMS") == "cp
 
 import numpy as np
 
+# smoke-lane step cap (tests/test_examples.py): SEQUITR_EXAMPLE_STEPS=N
+# truncates training so the lane catches API rot fast; quality bars that
+# need a converged model are skipped when the cap is active
+_CAP = int(os.environ.get("SEQUITR_EXAMPLE_STEPS", "0"))
+
+
+def _steps(n):
+    return min(n, _CAP) if _CAP else n
+
+
 
 def make_shards(base, n=24, s=32, seed=0):
     from sequitr_tpu.data import records
@@ -97,7 +107,7 @@ def main(base):
     )
     tc = train_lib.TrainConfig(learning_rate=3e-3, augment=False)
     fc = fit_lib.FitConfig(
-        steps=120, batch_size=8, log_every=40,
+        steps=_steps(120), batch_size=8, log_every=40,
         metrics_path=f"{base}/teacher_metrics.jsonl",
     )
     t_state = fit_lib.fit_unet(teacher_cfg, tc, fc, paths)
@@ -115,13 +125,14 @@ def main(base):
     )
     tc_s = train_lib.TrainConfig(learning_rate=5e-3, augment=False)
     fc_s = fit_lib.FitConfig(
-        steps=300, batch_size=8, log_every=100,
+        steps=_steps(300), batch_size=8, log_every=100,
         metrics_path=f"{base}/student_metrics.jsonl",
     )
     s_state = fit_lib.fit_unet(student_cfg, tc_s, fc_s, paths, distill=distill)
     iou_s = miou(student_cfg, s_state, imgs, labs)
     print(f"student (fast, s2d=2)    mIoU {iou_s:.3f}")
-    assert iou_s >= iou_t - 0.05, "distillation fell short of the teacher"
+    if not _CAP:  # a truncated smoke run has no converged teacher to match
+        assert iou_s >= iou_t - 0.05, "distillation fell short of the teacher"
     print("fast model matches the parity model — serve it for ~2-3x frame rate")
 
 

@@ -28,6 +28,16 @@ if os.environ.get("SEQUITR_FORCE_CPU") or os.environ.get("JAX_PLATFORMS") == "cp
 
 import numpy as np
 
+# smoke-lane step cap (tests/test_examples.py): SEQUITR_EXAMPLE_STEPS=N
+# truncates training so the lane catches API rot fast; quality bars that
+# need a converged model are skipped when the cap is active
+_CAP = int(os.environ.get("SEQUITR_EXAMPLE_STEPS", "0"))
+
+
+def _steps(n):
+    return min(n, _CAP) if _CAP else n
+
+
 
 def make_pairs(base: str, t: int = 6, size: int = 32, seed: int = 0):
     from sequitr_tpu.data import tiff
@@ -86,7 +96,7 @@ def main(base: str):
                 "disc_layers": 2,
                 "disc_base_features": 8,
                 "compute_dtype": "float32",
-                "steps": 200,
+                "steps": _steps(200),
                 "batch_size": 3,
                 "learning_rate": 1e-3,
                 "l1_weight": 500.0,  # near-supervised for the quick demo

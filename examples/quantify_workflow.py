@@ -30,6 +30,16 @@ if os.environ.get("SEQUITR_FORCE_CPU") or os.environ.get("JAX_PLATFORMS") == "cp
 
 import numpy as np
 
+# smoke-lane step cap (tests/test_examples.py): SEQUITR_EXAMPLE_STEPS=N
+# truncates training so the lane catches API rot fast; quality bars that
+# need a converged model are skipped when the cap is active
+_CAP = int(os.environ.get("SEQUITR_EXAMPLE_STEPS", "0"))
+
+
+def _steps(n):
+    return min(n, _CAP) if _CAP else n
+
+
 
 def make_data(base: str, t: int = 6, size: int = 64, seed: int = 3):
     """A drifting bright cell on the nuclear channel; the marker channel
@@ -86,7 +96,7 @@ def main(base: str):
         {"module": "train_unet2d",
          "params": {"model": "seg_demo", "num_classes": 2, "depth": 2,
                     "base_features": 8, "norm": "none",
-                    "compute_dtype": "float32", "steps": 80,
+                    "compute_dtype": "float32", "steps": _steps(80),
                     "batch_size": 4, "learning_rate": 3e-3,
                     "augment": False},
          "input": [status["outputs"]["shards"]],

@@ -36,6 +36,16 @@ if os.environ.get("SEQUITR_FORCE_CPU") or os.environ.get("JAX_PLATFORMS") == "cp
 
 import numpy as np
 
+# smoke-lane step cap (tests/test_examples.py): SEQUITR_EXAMPLE_STEPS=N
+# truncates training so the lane catches API rot fast; quality bars that
+# need a converged model are skipped when the cap is active
+_CAP = int(os.environ.get("SEQUITR_EXAMPLE_STEPS", "0"))
+
+
+def _steps(n):
+    return min(n, _CAP) if _CAP else n
+
+
 
 def make_scene(rng, n=30, size=48, n_cells=3):
     """(images, instance labels): discs, some pairs touching."""
@@ -92,7 +102,7 @@ def main(base: str):
         cfg.jobs_dir,
         {"module": "train_flows",
          "params": {"model": "flows_demo", "patch": [32, 32],
-                    "patches_per_frame": 3, "steps": 400, "batch_size": 8,
+                    "patches_per_frame": 3, "steps": _steps(400), "batch_size": 8,
                     "learning_rate": 2e-3, "lr_schedule": "cosine",
                     "depth": 2, "base_features": 8,
                     "compute_dtype": "float32",

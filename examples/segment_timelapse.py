@@ -29,6 +29,16 @@ if os.environ.get("SEQUITR_FORCE_CPU") or os.environ.get("JAX_PLATFORMS") == "cp
 
 import numpy as np
 
+# smoke-lane step cap (tests/test_examples.py): SEQUITR_EXAMPLE_STEPS=N
+# truncates training so the lane catches API rot fast; quality bars that
+# need a converged model are skipped when the cap is active
+_CAP = int(os.environ.get("SEQUITR_EXAMPLE_STEPS", "0"))
+
+
+def _steps(n):
+    return min(n, _CAP) if _CAP else n
+
+
 
 def make_stack(path: str, t: int = 4, size: int = 64, seed: int = 0):
     from sequitr_tpu.data import tiff
@@ -95,7 +105,7 @@ def main(base: str):
                 "base_features": 8,
                 "norm": "none",
                 "compute_dtype": "float32",
-                "steps": 60,
+                "steps": _steps(60),
                 "batch_size": 4,
                 "learning_rate": 3e-3,
                 "augment": False,

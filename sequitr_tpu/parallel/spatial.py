@@ -36,7 +36,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sequitr_tpu.models import unet
@@ -274,7 +274,7 @@ def _spatial_unet_infer(
             P(axis_name, *([None] * cfg.dims)),
             P(axis_name, *([None] * (cfg.dims - 1))),
         ),
-        check_rep=False,
+        check_vma=False,
     )
 
     from jax.sharding import NamedSharding
@@ -348,7 +348,7 @@ def spatial_gan_enhance(
         mesh=mesh,
         in_specs=(P(), in_spec),
         out_specs=P(axis_name, None, None),
-        check_rep=False,
+        check_vma=False,
     )
 
     from jax.sharding import NamedSharding
@@ -423,7 +423,7 @@ def hybrid_unet2d_infer(
             P(data_axis, space_axis, None, None),
             P(data_axis, space_axis, None),
         ),
-        check_rep=False,
+        check_vma=False,
     )
 
     from jax.sharding import NamedSharding
@@ -500,7 +500,7 @@ def hybrid_gan_enhance(
         mesh=mesh,
         in_specs=(P(), in_spec),
         out_specs=P(data_axis, space_axis, None, None),
-        check_rep=False,
+        check_vma=False,
     )
 
     from jax.sharding import NamedSharding

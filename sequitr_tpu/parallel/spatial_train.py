@@ -45,7 +45,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sequitr_tpu.models import unet
@@ -238,7 +238,7 @@ def make_spatial_train_step(
             loss_fn, has_aux=True
         )(params)
         # pmean, not psum: under shard_map's full-manual mode
-        # (check_rep=False) the transpose of psum is psum, so a loss
+        # (check_vma=False) the transpose of psum is psum, so a loss
         # already assembled with psums back-propagates an extra
         # axis-size factor into every per-shard gradient — verified
         # empirically (exactly 8.000x on the 8-shard mesh, uniform over
@@ -273,7 +273,7 @@ def make_spatial_train_step(
             # grads/loss/BN state/counters come out of psums identical on
             # every shard -> replicated
             out_specs=(P(), P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
 
         @jax.jit

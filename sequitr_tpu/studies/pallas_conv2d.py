@@ -124,7 +124,7 @@ def conv3x3_bias_act(
         ),
         grid=(h // th,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # halo'd band, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # halo'd band, manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
