@@ -101,7 +101,7 @@ def seg_fidelity(
         tc = infer_lib.TileConfig(
             patch=tuple(frame_shape), overlap=(0,) * len(frame_shape)
         )
-    tc_ref = dataclasses.replace(tc, normalize="exact")
+    tc_ref = dataclasses.replace(tc, normalize="exact", polyphase=False)
     fn_dev = infer_lib.make_frame_inferrer(cfg_dev, tc, tuple(frame_shape))
     fn_ref = infer_lib.make_frame_inferrer(cfg_ref, tc_ref, tuple(frame_shape))
 

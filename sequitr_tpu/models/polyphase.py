@@ -1,0 +1,209 @@
+"""Polyphase serving forward: the exact space-to-depth reformulation.
+
+The round-4 roofline showed the two thin full-resolution levels of the
+parity U-Net dominate the 1024^2 serving graph (enc0 + dec0 = 13.5 of
+15.8 ms at 37-41% of the conv ceiling: 32 output channels feed a
+quarter of the 128-wide MXU). Polyphase decomposition runs BOTH thin
+levels at half resolution x 4-wide channels with the SAME weights,
+exactly (up to float reassociation):
+
+* a stride-1 3x3 conv on (2H, 2W, C) == a 3x3 conv on the (H, W, 4C)
+  space-to-depth phase tensor with a structured-zero rearranged kernel
+  (tap dy contributes to block offset s where dy = 2s + p - a);
+* the 2x2-stride-2 up-conv == ONE 1x1 phase conv (no tap overlap);
+* 2x2 max-pool == max over the 4 phase groups (no spatial op);
+* the 1x1 head == a per-phase batched matmul;
+* bias/ReLU/folded-BN are per-channel elementwise, phase channels are
+  relabeled pixels;
+* the skip connection stays in the phase domain — the serving graph
+  never materializes a full-resolution intermediate at all.
+
+The dense phase conv spends 4x the MACs of the original thin conv
+(9 of every 36 tap/phase-pair slots are nonzero), traded against full
+MXU width. Measured on the v5e chip (studies/polyphase_conv.py,
+round 5): whole-graph 1024^2 serving 15.85 -> 10.05 ms in bf16
+(1.58x; f32 12.79 -> 10.40, 1.23x), argmax agreement 0.9999 vs the
+production forward. Exposed as ``TileConfig(polyphase=True)`` /
+the segmentation pipelines' ``polyphase`` param.
+
+Spec: SURVEY.md §6 north-star metric; round-4 VERDICT item 3. The
+reference (TF-1.x sequitr) has no counterpart — single-resolution TF
+graphs; this is a TPU-hardware-shaped serving transform.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sequitr_tpu.models import unet
+
+__all__ = ["eligible", "phase_kernel", "phase_up_kernel", "apply"]
+
+
+def eligible(cfg: unet.UNetConfig, spatial: Tuple[int, ...]) -> bool:
+    """True when the polyphase forward covers this serving config:
+    2D, no model-level space-to-depth, transposed-conv upsampling,
+    folded/absent norm, and even spatial dims (phase factor 2)."""
+    return (
+        cfg.dims == 2
+        and cfg.space_to_depth == 1
+        and cfg.upsample == "transpose"
+        and cfg.norm == "none"
+        and all(s % 2 == 0 for s in spatial)
+    )
+
+
+def phase_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C_in, C_out) stride-1 kernel -> (3, 3, 4C_in, 4C_out).
+
+    Traceable (pure jnp): usable with params as runtime jit arguments —
+    the rearrangement is a few small concatenates, negligible next to
+    the convs it feeds. Phase-channel layout matches
+    ``unet._space_to_depth`` for s=2: index (p*2 + q) * C + c.
+    """
+    if w.shape[:2] != (3, 3):
+        raise ValueError(f"phase_kernel expects a 3x3 kernel, got {w.shape}")
+    zero = jnp.zeros_like(w[0, 0])
+    rows = []
+    for sy in (-1, 0, 1):
+        cols = []
+        for sx in (-1, 0, 1):
+            in_blocks = []
+            for p in (0, 1):
+                for q in (0, 1):
+                    out_blocks = []
+                    for a in (0, 1):
+                        for b in (0, 1):
+                            dy = 2 * sy + p - a
+                            dx = 2 * sx + q - b
+                            ok = dy in (-1, 0, 1) and dx in (-1, 0, 1)
+                            out_blocks.append(w[dy + 1, dx + 1] if ok else zero)
+                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
+            cols.append(jnp.concatenate(in_blocks, axis=0))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def phase_up_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(2, 2, C_in, C_out) stride-2 transposed-conv kernel -> (C_in, 4C_out).
+
+    Kernel-2 stride-2 has no tap overlap: output phase (a, b) is the
+    1x1 map w[a, b]; all four phases emit from one matmul.
+    """
+    if w.shape[:2] != (2, 2):
+        raise ValueError(f"phase_up_kernel expects a 2x2 kernel, got {w.shape}")
+    return jnp.concatenate(
+        [w[a, b] for a in (0, 1) for b in (0, 1)], axis=-1
+    )
+
+
+def _tile4(b: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel vector -> per-phase-channel vector (phase-major)."""
+    return jnp.concatenate([b, b, b, b])
+
+
+def _phase_conv(x, w, b, cfg: unet.UNetConfig):
+    """3x3 phase conv + bias, numerics mirroring ``unet._conv``."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(cfg.compute_dtype),
+        w.astype(cfg.compute_dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=unet._conv_dim_numbers(2),
+        preferred_element_type=(
+            jnp.float32 if cfg.compute_dtype == jnp.float32 else None
+        ),
+    )
+    return y.astype(jnp.float32) + b
+
+
+def apply(
+    cfg: unet.UNetConfig,
+    params: unet.Params,
+    state: unet.State,
+    x: jnp.ndarray,
+    train: bool = False,
+) -> jnp.ndarray:
+    """Serving forward equal to ``unet.apply(...)[0]`` (float32 logits)
+    with level 0 — both thin full-res blocks, pool, up-conv, skip and
+    head — in the polyphase domain. ``x``: (N, H, W, C_in), H, W even.
+
+    Raises ValueError for configs outside :func:`eligible`'s cover (the
+    callers gate on it; the raise keeps misuse loud).
+    """
+    if train:
+        raise ValueError("polyphase.apply is a serving-only forward")
+    if not eligible(cfg, x.shape[1:-1]):
+        raise ValueError(
+            "polyphase.apply requires a folded 2D transpose-upsample "
+            f"config with even spatial dims; got {cfg} on {x.shape}"
+        )
+    relu = jax.nn.relu
+    enc0, dec0 = params["enc"][0], params["dec"][-1]
+    up0, head = params["up"][-1], params["head"]
+
+    # --- enc0 in the phase domain: (N, H/2, W/2, 4C_in) -> (..., 4f0)
+    xp = unet._space_to_depth(x.astype(jnp.float32), 2)
+    e0 = relu(_phase_conv(
+        xp, phase_kernel(enc0["conv1"]["w"]), _tile4(enc0["conv1"]["b"]), cfg
+    ))
+    e0 = relu(_phase_conv(
+        e0, phase_kernel(enc0["conv2"]["w"]), _tile4(enc0["conv2"]["b"]), cfg
+    ))
+
+    # --- pool = max over the 4 phase groups
+    n, h, w, c4 = e0.shape
+    f0 = c4 // 4
+    xmid = jnp.max(e0.reshape(n, h, w, 4, f0), axis=3)
+
+    # --- middle of the net: the unchanged production path
+    skips = []
+    for lvl in range(1, cfg.depth):
+        if lvl > 1:
+            xmid = unet._maxpool(xmid, cfg)
+        xmid, _ = unet._block_apply(
+            xmid, params["enc"][lvl], state["enc"][lvl], cfg, False
+        )
+        if lvl < cfg.depth - 1:
+            skips.append(xmid)
+    for i, lvl in enumerate(reversed(range(1, cfg.depth - 1))):
+        skip = skips[lvl - 1]
+        xmid = unet._upsample(xmid, params["up"][i], skip.shape, cfg)
+        xmid = jnp.concatenate([skip, xmid.astype(skip.dtype)], axis=-1)
+        xmid, _ = unet._block_apply(
+            xmid, params["dec"][i], state["dec"][i], cfg, False
+        )
+
+    # --- up-conv into the phase domain: one 1x1 making all 4 phases
+    upw = phase_up_kernel(up0["w"]).astype(cfg.compute_dtype)
+    up = jnp.einsum(
+        "nhwc,cd->nhwd", xmid.astype(cfg.compute_dtype), upw,
+        preferred_element_type=jnp.float32,
+    ) + _tile4(up0["b"])
+
+    # --- phase-aware concat: [skip, up] within each phase group
+    cat = jnp.concatenate(
+        [e0.reshape(n, h, w, 4, f0), up.reshape(n, h, w, 4, f0)], axis=-1
+    ).reshape(n, h, w, 4 * 2 * f0)
+
+    # --- dec0 in the phase domain
+    d0 = relu(_phase_conv(
+        cat, phase_kernel(dec0["conv1"]["w"]), _tile4(dec0["conv1"]["b"]), cfg
+    ))
+    d0 = relu(_phase_conv(
+        d0, phase_kernel(dec0["conv2"]["w"]), _tile4(dec0["conv2"]["b"]), cfg
+    ))
+
+    # --- head: per-phase matmul, then depth-to-space on the class maps
+    hw_ = head["w"][0, 0].astype(cfg.compute_dtype)
+    k = hw_.shape[-1]
+    logits_p = jnp.einsum(
+        "nhwpc,ck->nhwpk",
+        d0.reshape(n, h, w, 4, f0).astype(cfg.compute_dtype), hw_,
+        preferred_element_type=jnp.float32,
+    ) + head["b"]
+    logits = unet._depth_to_space(logits_p.reshape(n, h, w, 4 * k), 2)
+    return logits.astype(jnp.float32)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sequitr_tpu.models import unet
+from sequitr_tpu.models import polyphase, unet
 from sequitr_tpu.ops import normalize as norm_ops
 from sequitr_tpu.ops import tiling
 
@@ -66,6 +66,22 @@ class TileConfig:
     # square frames only — or the z-flip in 3D). tta x the compute for a
     # fidelity bump; stays ONE fused graph (variants unrolled inside it).
     tta: int = 1
+    # polyphase serving forward (models.polyphase): runs the two thin
+    # full-resolution U-Net levels at half resolution x 4-wide channels
+    # with the SAME weights, exactly (up to float reassociation) —
+    # measured 1.58x whole-graph at 1024^2 bf16 on the v5e chip, argmax
+    # agreement 0.9999. 2D folded/norm-free transpose-upsample models
+    # with even patch dims only; build fails loudly otherwise.
+    polyphase: bool = False
+    # False = labels-only graph: the softmax-map output is neither
+    # materialized nor returned (``infer`` yields ``(None, labels)``).
+    # The default segmentation job saves only the label map, and the
+    # probs half of the dual graph costs real time (measured 77.7 vs
+    # 68.7 fps at 1024^2 polyphase bf16); single-tile no-TTA serves skip
+    # the softmax entirely (argmax of logits == argmax of softmax —
+    # labels bit-identical). The server sets this from save_probs/
+    # save_entropy; library callers keep the dual default.
+    emit_probs: bool = True
 
     def __post_init__(self):
         if self.probs_dtype not in ("float32", "float16"):
@@ -286,6 +302,21 @@ def make_frame_inferrer(
         # inference-mode BN folds exactly into the conv weights — removes
         # every BN elementwise pass from the hot graph (models.unet.fold_batchnorm)
         cfg = dataclasses.replace(cfg, norm="none")
+    if tc.polyphase and not polyphase.eligible(cfg, tc.patch):
+        raise ValueError(
+            "polyphase serving requires a 2D transpose-upsample model "
+            "without model-level space_to_depth and an even patch size; "
+            f"got dims={cfg.dims} s2d={cfg.space_to_depth} "
+            f"upsample={cfg.upsample!r} patch={tc.patch}"
+        )
+
+    # labels-only single-tile serves can skip the softmax entirely:
+    # one tile means the stitch is a per-pixel positive rescale of the
+    # patch output, and argmax is invariant under it — so argmax of
+    # stitched logits == argmax of stitched softmax, bit-identically
+    logits_fast = (
+        not tc.emit_probs and tc.tta == 1 and tuple(tc.patch) == padded_spatial
+    )
 
     def infer(params, state, frame):
         if fold:
@@ -298,8 +329,11 @@ def make_frame_inferrer(
         if any(edge_pad):
             x = jnp.pad(x, [(0, d) for d in edge_pad] + [(0, 0)], mode=pad_mode)
         def forward(batch):
-            logits, _ = unet.apply(cfg, params, state, batch, train=False)
-            return jax.nn.softmax(logits, axis=-1)
+            if tc.polyphase:
+                logits = polyphase.apply(cfg, params, state, batch)
+            else:
+                logits, _ = unet.apply(cfg, params, state, batch, train=False)
+            return logits if logits_fast else jax.nn.softmax(logits, axis=-1)
 
         probs = _tta_average(
             lambda xi: tiled_apply(
@@ -311,6 +345,8 @@ def make_frame_inferrer(
         if any(edge_pad):
             probs = probs[tuple(slice(0, s) for s in frame_spatial)]
         labels = jnp.argmax(probs, axis=-1).astype(jnp.dtype(tc.labels_dtype))
+        if not tc.emit_probs:
+            return None, labels
         return probs.astype(jnp.dtype(tc.probs_dtype)), labels
 
     return jax.jit(infer) if jit else infer

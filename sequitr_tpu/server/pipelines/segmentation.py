@@ -73,7 +73,23 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     tc = _tile_config(
         job.params, dims=2,
         frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
+        allow_polyphase=True,
     )
+    if tc.polyphase:
+        # the polyphase forward covers the plain 2D serving topology;
+        # reject the rest loudly rather than silently serving the
+        # standard graph (models.polyphase docstring has the ledger)
+        if cfg.space_to_depth != 1 or cfg.upsample != "transpose":
+            raise jobs_lib.JobError(
+                "polyphase serving requires a space_to_depth=1 "
+                "transpose-upsample model; this model has "
+                f"s2d={cfg.space_to_depth}, upsample={cfg.upsample!r}"
+            )
+        if job.params.get("spatial_parallel"):
+            raise jobs_lib.JobError(
+                "polyphase + spatial_parallel is not supported; the "
+                "spatial path runs its own halo-exchange forward"
+            )
 
     from sequitr_tpu.utils import PhaseTimer
 

@@ -742,6 +742,7 @@ def _tile_config(
     frame_spatial=None,
     min_multiple: int = 1,
     exact_only: bool = False,
+    allow_polyphase: bool = False,
 ):
     """Tiling policy for a job.
 
@@ -792,6 +793,14 @@ def _tile_config(
             raise jobs_lib.JobError(
                 f"patch_batch must be >= 1 (omit it for auto), got {pb}"
             )
+    # polyphase serving forward (models.polyphase): only the pipelines
+    # that honor it read the param — elsewhere it stays unread and the
+    # completion status carries the unknown-param warning
+    poly = bool(params.get("polyphase", False)) if allow_polyphase else False
+    if poly and any(p % 2 for p in patch):
+        raise jobs_lib.JobError(
+            f"polyphase needs an even patch size, got {tuple(patch)}"
+        )
     try:
         return infer_lib.TileConfig(
             patch=patch,
@@ -810,6 +819,7 @@ def _tile_config(
             # flip/transpose test-time augmentation: tta x the compute for
             # a fidelity bump (fused into the same graph)
             tta=int(params.get("tta", 1)),
+            polyphase=poly,
         )
     except ValueError as e:
         # bad tiling/dtype params are deterministic — fail fast, never retry
@@ -923,6 +933,12 @@ def _run_frames(cfg, tc, params, state, source, job: Job):
     want_probs = bool(
         job_params.get("save_probs") or job_params.get("save_entropy")
     )
+    # labels-only jobs (the default: save_probs/save_entropy off) serve
+    # the labels-only graph — the softmax-map half is never computed or
+    # materialized (measured 77.7 vs 68.7 fps at the 1024^2 north star).
+    # The DP/spatial paths above keep the dual graph (their output
+    # shardings expect both halves).
+    tc = dataclasses.replace(tc, emit_probs=want_probs)
     if fb > 1:
         # small frames are dispatch-bound singly; batch them per dispatch
         # (measured 2.3x at 256^2 — BASELINE.md round 2), keeping the same
@@ -942,7 +958,10 @@ def _run_frames(cfg, tc, params, state, source, job: Job):
             prefetch_host=_host_prefetch,
         ):
             for k in range(min(fb, n_left)):
-                yield infer_lib.InferenceResult(probs=probs[k], labels=labels[k])
+                yield infer_lib.InferenceResult(
+                    probs=None if probs is None else probs[k],
+                    labels=labels[k],
+                )
             n_left -= fb
         return
     fn = infer_lib.cached_frame_inferrer(cfg, tc, tuple(spatial))

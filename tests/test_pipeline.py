@@ -50,6 +50,90 @@ class TestTiledInference:
             np.asarray(probs_tiled), np.asarray(probs_whole), atol=1e-5
         )
 
+    def test_polyphase_serving_matches_standard(self):
+        """TileConfig(polyphase=True) must reproduce the standard fused
+        serve (the SAME weights, rearranged — models.polyphase): probs
+        close to reassociation noise, tiled and whole-frame."""
+        cfg = small_cfg(norm="batch")
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        frame = jax.random.normal(jax.random.PRNGKey(1), (64, 64)) * 50 + 200
+
+        for patch, overlap in (((64, 64), (0, 0)), ((32, 32), (8, 8))):
+            tc = infer_lib.TileConfig(patch=patch, overlap=overlap)
+            tcp = infer_lib.TileConfig(
+                patch=patch, overlap=overlap, polyphase=True
+            )
+            p0, l0 = infer_lib.make_frame_inferrer(cfg, tc, (64, 64))(
+                params, state, frame
+            )
+            p1, l1 = infer_lib.make_frame_inferrer(cfg, tcp, (64, 64))(
+                params, state, frame
+            )
+            np.testing.assert_allclose(
+                np.asarray(p0), np.asarray(p1), atol=1e-4
+            )
+            agree = np.mean(np.asarray(l0) == np.asarray(l1))
+            assert agree >= 0.999, agree
+
+    def test_labels_only_graph_matches_dual(self):
+        """emit_probs=False returns (None, labels) with labels
+        BIT-IDENTICAL to the dual graph — single-tile serves skip the
+        softmax (argmax is invariant under the per-pixel positive
+        stitch rescale), tiled serves just drop the probs output."""
+        cfg = small_cfg(norm="batch")
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        frame = jax.random.normal(jax.random.PRNGKey(2), (64, 64)) * 40 + 150
+        for patch, overlap, poly in (
+            ((64, 64), (0, 0), False),
+            ((32, 32), (8, 8), False),
+            ((64, 64), (0, 0), True),
+        ):
+            tc = infer_lib.TileConfig(
+                patch=patch, overlap=overlap, polyphase=poly
+            )
+            tcl = infer_lib.TileConfig(
+                patch=patch, overlap=overlap, polyphase=poly,
+                emit_probs=False,
+            )
+            _, l0 = infer_lib.make_frame_inferrer(cfg, tc, (64, 64))(
+                params, state, frame
+            )
+            p1, l1 = infer_lib.make_frame_inferrer(cfg, tcl, (64, 64))(
+                params, state, frame
+            )
+            assert p1 is None
+            np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+    def test_polyphase_rejects_uncovered_configs(self):
+        import pytest
+
+        params_tc = dict(patch=(16, 16), overlap=(4, 4), polyphase=True)
+        # 3D model
+        cfg3 = small_cfg(dims=3, depth=2)
+        with pytest.raises(ValueError, match="polyphase"):
+            infer_lib.make_frame_inferrer(
+                cfg3,
+                infer_lib.TileConfig(
+                    patch=(8, 16, 16), overlap=(2, 4, 4), polyphase=True
+                ),
+                (8, 16, 16),
+            )
+        # model-level space-to-depth preset
+        cfgs2d = small_cfg(space_to_depth=2)
+        with pytest.raises(ValueError, match="polyphase"):
+            infer_lib.make_frame_inferrer(
+                cfgs2d, infer_lib.TileConfig(**params_tc), (64, 64)
+            )
+        # odd patch
+        with pytest.raises(ValueError, match="polyphase"):
+            infer_lib.make_frame_inferrer(
+                small_cfg(depth=1),
+                infer_lib.TileConfig(
+                    patch=(15, 15), overlap=(0, 0), polyphase=True
+                ),
+                (15, 15),
+            )
+
     def test_tta_equals_mean_of_transformed_runs(self):
         """tta=4 probs must equal the mean of the tta=1 inferrer run on
         each flipped frame with the maps flipped back — the definition,

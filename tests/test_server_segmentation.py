@@ -1680,3 +1680,145 @@ class TestRoiServing:
         st = json.load(open(os.path.join(out, "status.json")))
         assert st["state"] == "failed"
         assert frag in st["error"]
+
+
+class TestPolyphaseServing:
+    """``polyphase: true`` on segmentation_unet2d (models.polyphase):
+    the exact thin-level reformulation must serve identically, and the
+    uncovered combinations must fail as deterministic JobErrors."""
+
+    def _model_and_stack(self, server_env, name="segpp", **cfg_kw):
+        cfg_srv, tmp = server_env
+        base = dict(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        base.update(cfg_kw)
+        net_cfg = unet.UNetConfig(**base)
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, name, "unet", net_cfg, params, state)
+        stack = (
+            np.random.default_rng(7).random((2, 32, 32)) * 1000
+        ).astype(np.float32)
+        stack_path = str(tmp / f"stack_{name}.tif")
+        tiff.write_stack(stack_path, stack)
+        return cfg_srv, tmp, stack_path
+
+    def _serve(self, cfg_srv, params, stack_path, out_dir):
+        submit_job(
+            cfg_srv.jobs_dir,
+            {
+                "module": "segmentation_unet2d",
+                "params": params,
+                "input": [stack_path],
+                "output": out_dir,
+            },
+        )
+        assert ImageServer(cfg_srv).poll_once()
+        return json.load(open(os.path.join(out_dir, "status.json")))
+
+    def test_matches_standard_serve(self, server_env):
+        cfg_srv, tmp, stack_path = self._model_and_stack(server_env)
+        base_params = {"model": "segpp", "patch": [32, 32],
+                       "overlap": [0, 0], "localize": False}
+        st0 = self._serve(cfg_srv, dict(base_params), stack_path,
+                          str(tmp / "out_std"))
+        assert st0["state"] == "complete", st0.get("error")
+        st1 = self._serve(cfg_srv, dict(base_params, polyphase=True),
+                          stack_path, str(tmp / "out_poly"))
+        assert st1["state"] == "complete", st1.get("error")
+        assert not st1.get("warnings"), st1.get("warnings")
+        l0 = tiff.read_stack(st0["outputs"]["labels"])
+        l1 = tiff.read_stack(st1["outputs"]["labels"])
+        assert l0.shape == l1.shape
+        assert np.mean(l0 == l1) >= 0.999
+
+    def test_s2d_model_rejected(self, server_env):
+        cfg_srv, tmp, stack_path = self._model_and_stack(
+            server_env, name="segpps2", space_to_depth=2
+        )
+        st = self._serve(
+            cfg_srv,
+            {"model": "segpps2", "polyphase": True, "localize": False},
+            stack_path, str(tmp / "out_pp_s2d"),
+        )
+        assert st["state"] == "failed"
+        assert "polyphase" in st.get("error", "")
+
+    def test_spatial_parallel_combo_rejected(self, server_env):
+        cfg_srv, tmp, stack_path = self._model_and_stack(
+            server_env, name="segppsp"
+        )
+        st = self._serve(
+            cfg_srv,
+            {"model": "segppsp", "polyphase": True,
+             "spatial_parallel": True, "localize": False},
+            stack_path, str(tmp / "out_pp_sp"),
+        )
+        assert st["state"] == "failed"
+        assert "spatial_parallel" in st.get("error", "")
+
+    def test_odd_patch_rejected(self, server_env):
+        cfg_srv, tmp, stack_path = self._model_and_stack(
+            server_env, name="segppodd", depth=1
+        )
+        st = self._serve(
+            cfg_srv,
+            {"model": "segppodd", "polyphase": True,
+             "patch": [15, 15], "localize": False},
+            stack_path, str(tmp / "out_pp_odd"),
+        )
+        assert st["state"] == "failed"
+        assert "even patch" in st.get("error", "")
+
+
+class TestLabelsOnlyServing:
+    """The default serve (no save_probs/save_entropy) runs the
+    labels-only graph; its labels must match a save_probs serve
+    bit-for-bit, and probs/entropy jobs must still produce maps."""
+
+    def test_labels_identical_with_and_without_probs(self, server_env):
+        cfg_srv, tmp = server_env
+        net_cfg = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), net_cfg)
+        save_model(cfg_srv.models_dir, "seglo", "unet", net_cfg, params, state)
+        stack = (
+            np.random.default_rng(9).random((3, 32, 32)) * 900
+        ).astype(np.float32)
+        stack_path = str(tmp / "stack_lo.tif")
+        tiff.write_stack(stack_path, stack)
+
+        outs = {}
+        for name, extra in (
+            ("plain", {}),
+            ("probs", {"save_probs": True}),
+            ("batch", {"frame_batch": 3}),
+        ):
+            out_dir = str(tmp / f"out_lo_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {
+                    "module": "segmentation_unet2d",
+                    "params": {"model": "seglo", "patch": [32, 32],
+                               "overlap": [0, 0], "localize": False,
+                               **extra},
+                    "input": [stack_path],
+                    "output": out_dir,
+                },
+            )
+            assert ImageServer(cfg_srv).poll_once()
+            st = json.load(open(os.path.join(out_dir, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[name] = st
+        l_plain = tiff.read_stack(outs["plain"]["outputs"]["labels"])
+        l_probs = tiff.read_stack(outs["probs"]["outputs"]["labels"])
+        l_batch = tiff.read_stack(outs["batch"]["outputs"]["labels"])
+        np.testing.assert_array_equal(l_plain, l_probs)
+        np.testing.assert_array_equal(l_plain, l_batch)
+        # the probs job still writes its maps
+        assert os.path.exists(
+            os.path.join(outs["probs"]["outputs"]["probs"])
+        )

@@ -176,3 +176,107 @@ class TestRoofline:
         assert summary["fused_ms"] > 0
         # analytic FLOP total consistent between sliced rows and summary
         assert abs(sum(r["gflop"] for r in rows) - summary["gflop"]) < 0.1
+
+
+class TestPolyphase:
+    """Exactness of the polyphase serving reformulation (round-4 verdict
+    item 3): the SAME weights, rearranged, must reproduce the production
+    forward up to float reassociation."""
+
+    def _model(self, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.models import unet
+
+        cfg = unet.UNetConfig(
+            in_channels=kw.pop("in_channels", 1),
+            num_classes=kw.pop("num_classes", 3),
+            depth=kw.pop("depth", 4),
+            base_features=8,
+            norm=kw.pop("norm", "batch"),
+            compute_dtype=jnp.float32,
+            **kw,
+        )
+        params, st = unet.init(jax.random.PRNGKey(0), cfg)
+        return unet.fold_batchnorm(cfg, params, st)
+
+    def test_matches_production_forward(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sequitr_tpu.models import unet
+        from sequitr_tpu.studies import polyphase_conv as ppc
+
+        fcfg, fp, fs = self._model()
+        x = jnp.asarray(
+            np.random.default_rng(0).gamma(2.0, 100.0, (2, 64, 64, 1)),
+            jnp.float32,
+        )
+        yb = np.asarray(unet.apply(fcfg, fp, fs, x, False)[0])
+        yp = np.asarray(ppc.polyphase_apply(fcfg, fp, fs, x))
+        err = np.max(np.abs(yb - yp)) / max(np.max(np.abs(yb)), 1e-9)
+        assert err < 1e-5, err
+        # reassociation can flip argmax only where two logits tie to
+        # ~1e-4 absolute — allow that sliver, nothing more
+        agree = np.mean(np.argmax(yb, -1) == np.argmax(yp, -1))
+        assert agree >= 0.999, agree
+
+    def test_multichannel_multiclass_shallow(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sequitr_tpu.models import unet
+        from sequitr_tpu.studies import polyphase_conv as ppc
+
+        fcfg, fp, fs = self._model(
+            in_channels=3, num_classes=5, depth=3, norm="none"
+        )
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 32, 32, 3)), jnp.float32
+        )
+        yb = np.asarray(unet.apply(fcfg, fp, fs, x, False)[0])
+        yp = np.asarray(ppc.polyphase_apply(fcfg, fp, fs, x))
+        err = np.max(np.abs(yb - yp)) / max(np.max(np.abs(yb)), 1e-9)
+        assert err < 1e-5, err
+
+    def test_phase_kernel_structure(self):
+        """9 of every 36 (tap, phase-pair) slots nonzero; total mass
+        preserved 4x (each original tap appears once per output phase)."""
+        import numpy as np
+
+        from sequitr_tpu.studies import polyphase_conv as ppc
+
+        rng = np.random.default_rng(0)
+        w = rng.normal(size=(3, 3, 2, 3)).astype(np.float32)
+        pw = ppc.phase_kernel(w)
+        assert pw.shape == (3, 3, 8, 12)
+        blocks = pw.reshape(3, 3, 4, 2, 4, 3)
+        nonzero = sum(
+            1
+            for sy in range(3)
+            for sx in range(3)
+            for pi in range(4)
+            for po in range(4)
+            if np.any(blocks[sy, sx, pi, :, po, :])
+        )
+        assert nonzero == 9 * 4  # 9 taps for each of the 4 output phases
+        assert np.isclose(np.sum(np.abs(pw)), 4 * np.sum(np.abs(w)))
+
+    def test_rejects_unsupported_configs(self):
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+
+        from sequitr_tpu.studies import polyphase_conv as ppc
+
+        fcfg, fp, fs = self._model(norm="none")
+        x = jnp.asarray(np.zeros((1, 32, 32, 1)), jnp.float32)
+        import dataclasses
+
+        bad = dataclasses.replace(fcfg, norm="batch")
+        with pytest.raises(ValueError):
+            ppc.polyphase_apply(bad, fp, fs, x)
+        bad = dataclasses.replace(fcfg, upsample="resize")
+        with pytest.raises(ValueError):
+            ppc.polyphase_apply(bad, fp, fs, x)

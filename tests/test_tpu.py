@@ -713,3 +713,62 @@ class TestQcOnChip:
             assert abs(m[k] - r[k]) / max(abs(r[k]), 1e-9) < 1e-4, k
         for k in ("p01", "p99"):
             assert abs(m[k] - r[k]) / max(abs(r[k]), 1e-9) < 1e-3, k
+
+
+class TestPolyphaseOnChip:
+    def test_polyphase_1024_vs_cpu_f32_standard(self):
+        """The polyphase bf16 serve on the chip vs the STANDARD-topology
+        f32 serve on the CPU backend — one bound covering both the
+        reformulation and the compiled bf16 path (models.polyphase;
+        measured 1.58x the standard graph at this size, round 5)."""
+        import jax
+        import jax.numpy as jnp
+
+        from sequitr_tpu.models import unet
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        cfg_bf16 = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=4, base_features=32,
+            compute_dtype=jnp.bfloat16,
+        )
+        cfg_f32 = unet.UNetConfig(
+            in_channels=1, num_classes=3, depth=4, base_features=32,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet.init(jax.random.PRNGKey(0), cfg_f32)
+        frame_np = (
+            np.random.default_rng(3)
+            .gamma(2.0, 100.0, (1024, 1024))
+            .astype(np.float32)
+        )
+        tc = infer_lib.TileConfig(
+            patch=(1024, 1024), overlap=(0, 0), normalize="fast",
+            polyphase=True,
+        )
+        tc_ref = infer_lib.TileConfig(
+            patch=(1024, 1024), overlap=(0, 0), normalize="fast",
+        )
+        fn_tpu = infer_lib.make_frame_inferrer(cfg_bf16, tc, (1024, 1024))
+        probs_tpu, labels_tpu = fn_tpu(params, state, jnp.asarray(frame_np))
+        probs_tpu = np.asarray(probs_tpu)
+
+        with jax.default_device(_cpu_device()):
+            fn_cpu = infer_lib.make_frame_inferrer(
+                cfg_f32, tc_ref, (1024, 1024)
+            )
+            p_cpu = jax.device_put(params, _cpu_device())
+            s_cpu = jax.device_put(state, _cpu_device())
+            probs_cpu, _ = fn_cpu(
+                p_cpu, s_cpu, jax.device_put(frame_np, _cpu_device())
+            )
+            probs_cpu = np.asarray(probs_cpu)
+
+        max_dp = float(np.max(np.abs(probs_tpu - probs_cpu)))
+        assert max_dp < 2e-2, f"polyphase compiled path drifted: {max_dp}"
+        margin = np.sort(probs_cpu, axis=-1)
+        confident = (margin[..., -1] - margin[..., -2]) > 0.05
+        agree = (
+            np.asarray(labels_tpu)[confident]
+            == np.argmax(probs_cpu, -1)[confident]
+        ).mean()
+        assert agree > 0.999, f"confident-pixel label agreement {agree}"
