@@ -254,6 +254,20 @@ def _tta_average(run: Callable, x: jnp.ndarray, variants) -> jnp.ndarray:
     return acc if len(variants) == 1 else acc / len(variants)
 
 
+def _check_polyphase(tc: TileConfig, run_cfg) -> None:
+    """Build-time gate shared by every serving maker that honors
+    ``tc.polyphase`` (segmentation, GAN, N2V, flows, stars — all serve
+    the same U-Net family, so the same thin-level reformulation applies;
+    models.polyphase has the measured ledger)."""
+    if tc.polyphase and not polyphase.eligible(run_cfg, tc.patch):
+        raise ValueError(
+            "polyphase serving requires a 2D transpose-upsample model "
+            "without model-level space_to_depth and an even patch size; "
+            f"got dims={run_cfg.dims} s2d={run_cfg.space_to_depth} "
+            f"upsample={run_cfg.upsample!r} patch={tc.patch}"
+        )
+
+
 def make_frame_inferrer(
     cfg: unet.UNetConfig,
     tc: TileConfig,
@@ -302,13 +316,7 @@ def make_frame_inferrer(
         # inference-mode BN folds exactly into the conv weights — removes
         # every BN elementwise pass from the hot graph (models.unet.fold_batchnorm)
         cfg = dataclasses.replace(cfg, norm="none")
-    if tc.polyphase and not polyphase.eligible(cfg, tc.patch):
-        raise ValueError(
-            "polyphase serving requires a 2D transpose-upsample model "
-            "without model-level space_to_depth and an even patch size; "
-            f"got dims={cfg.dims} s2d={cfg.space_to_depth} "
-            f"upsample={cfg.upsample!r} patch={tc.patch}"
-        )
+    _check_polyphase(tc, cfg)
 
     # labels-only single-tile serves can skip the softmax entirely:
     # one tile means the stitch is a per-pixel positive rescale of the
@@ -413,6 +421,8 @@ def make_gan_enhancer(
     # TTA averages the ENHANCED maps over the same symmetry variants as
     # segmentation (flip noise-averaging is the classic denoising trick)
     variants = _tta_variants(nd, tc.tta, spatial)
+    gcfg = cfg.generator_config
+    _check_polyphase(tc, gcfg)
 
     def enhance_one(params, state, frame):
         if frame.ndim == nd:
@@ -420,6 +430,15 @@ def make_gan_enhancer(
         x = _normalize(frame, tc)
 
         def forward(patches):
+            if tc.polyphase:
+                y = polyphase.apply(
+                    gcfg, params["gen"], state["gen"], patches
+                )
+                if cfg.output_activation == "tanh":
+                    y = jnp.tanh(y)
+                elif cfg.output_activation == "sigmoid":
+                    y = jax.nn.sigmoid(y)
+                return y
             out, _ = gan_lib.generator_apply(cfg, params, state, patches)
             return out
 
@@ -487,6 +506,7 @@ def make_denoiser(
     variants = _tta_variants(nd, tc.tta, spatial)
     fold = cfg.norm == "batch"
     run_cfg = dataclasses.replace(cfg, norm="none") if fold else cfg
+    _check_polyphase(tc, run_cfg)
 
     def denoise_one(params, state, frame):
         if fold:
@@ -498,6 +518,8 @@ def make_denoiser(
         x = _normalize(frame, tc)
 
         def forward(patches):
+            if tc.polyphase:
+                return polyphase.apply(run_cfg, params, state, patches)
             out, _ = unet.apply(run_cfg, params, state, patches, train=False)
             return out
 
@@ -587,6 +609,8 @@ def make_flows_segmenter(
         x = _normalize(frame, tc)
 
         def forward(patches):
+            if tc.polyphase:
+                return polyphase.apply(run_cfg, params, state, patches)
             out, _ = unet.apply(run_cfg, params, state, patches, train=False)
             return out
 
@@ -676,6 +700,8 @@ def make_stars_predictor(
         x = _normalize(frame, tc)
 
         def forward(patches):
+            if tc.polyphase:
+                return polyphase.apply(run_cfg, params, state, patches)
             out, _ = unet.apply(run_cfg, params, state, patches, train=False)
             return out
 

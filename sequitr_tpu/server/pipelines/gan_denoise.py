@@ -18,6 +18,7 @@ from sequitr_tpu.config import ServerConfiguration
 from sequitr_tpu.server import jobs as jobs_lib
 from sequitr_tpu.server.jobs import Job
 from sequitr_tpu.server.server import (
+    _require_polyphase_model,
     _append_writer,
     _apply_frame_range,
     _apply_roi,
@@ -67,8 +68,10 @@ def _gan_setup(job: Job, config: ServerConfiguration, source):
     tc = _tile_config(
         p, dims=2,
         frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
-        exact_only=True,
+        exact_only=True, allow_polyphase=True,
     )
+    if tc.polyphase:
+        _require_polyphase_model(cfg.generator_config)
     return cfg, params, state, tc
 
 
@@ -308,8 +311,10 @@ def denoise(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     tc = _tile_config(
         p, dims=2,
         frame_spatial=source.spatial, min_multiple=cfg.min_input_multiple,
-        exact_only=True,
+        exact_only=True, allow_polyphase=True,
     )
+    if tc.polyphase:
+        _require_polyphase_model(cfg)
 
     from sequitr_tpu.utils import PhaseTimer
 

@@ -20,6 +20,7 @@ from sequitr_tpu.config import ServerConfiguration
 from sequitr_tpu.server import jobs as jobs_lib
 from sequitr_tpu.server.jobs import Job
 from sequitr_tpu.server.server import (
+    _require_polyphase_model,
     _append_writer,
     _apply_frame_range,
     _apply_roi,
@@ -377,8 +378,10 @@ def _flows_serving(job: Job, config: ServerConfiguration, spatial, n_channels):
     tc = _tile_config(
         job.params, dims=dims,
         frame_spatial=spatial, min_multiple=cfg.min_input_multiple,
-        exact_only=True,
+        exact_only=True, allow_polyphase=True,
     )
+    if tc.polyphase:
+        _require_polyphase_model(cfg)
     n_iter = int(p.get("n_iter", 200))
     thresh = float(p.get("cellprob_threshold", 0.5))
     try:
@@ -988,8 +991,10 @@ def _stars_serving(job: Job, config: ServerConfiguration, spatial, n_channels):
     tc = _tile_config(
         job.params, dims=2,
         frame_spatial=spatial, min_multiple=cfg.min_input_multiple,
-        exact_only=True,
+        exact_only=True, allow_polyphase=True,
     )
+    if tc.polyphase:
+        _require_polyphase_model(cfg)
     try:
         pred = infer_lib.cached_stars_predictor(cfg, tc, tuple(spatial))
     except ValueError as e:

@@ -797,6 +797,10 @@ def _tile_config(
     # that honor it read the param — elsewhere it stays unread and the
     # completion status carries the unknown-param warning
     poly = bool(params.get("polyphase", False)) if allow_polyphase else False
+    if poly and dims != 2:
+        raise jobs_lib.JobError(
+            f"polyphase serving is 2D-only (this job serves dims={dims})"
+        )
     if poly and any(p % 2 for p in patch):
         raise jobs_lib.JobError(
             f"polyphase needs an even patch size, got {tuple(patch)}"
@@ -824,6 +828,18 @@ def _tile_config(
     except ValueError as e:
         # bad tiling/dtype params are deterministic — fail fast, never retry
         raise jobs_lib.JobError(str(e))
+
+
+def _require_polyphase_model(cfg) -> None:
+    """Deterministic rejection for models the polyphase serve can't cover
+    (``cfg``: the serving model's ``unet.UNetConfig``); shared by every
+    pipeline with a ``polyphase`` param."""
+    if cfg.space_to_depth != 1 or cfg.upsample != "transpose":
+        raise jobs_lib.JobError(
+            "polyphase serving requires a space_to_depth=1 "
+            "transpose-upsample model; this model has "
+            f"s2d={cfg.space_to_depth}, upsample={cfg.upsample!r}"
+        )
 
 
 def _run_frames(cfg, tc, params, state, source, job: Job):

@@ -1052,3 +1052,62 @@ class TestStructN2VTraining:
         m_plain, m_struct = mse_to_clean(plain), mse_to_clean(struct)
         assert m_struct < 0.6 * m_noisy, (m_struct, m_noisy)
         assert m_struct < 0.7 * m_plain, (m_struct, m_plain, m_noisy)
+
+
+class TestPolyphaseDenoise:
+    """``polyphase: true`` on the denoise pipeline: output equal to the
+    standard serve; uncovered models fail as deterministic JobErrors."""
+
+    def test_matches_standard_and_rejects_s2d(self, server_env):
+        cfg_srv, tmp = server_env
+        from sequitr_tpu.models import unet as unet_lib
+        from sequitr_tpu.server import save_model
+
+        ucfg = unet_lib.UNetConfig(
+            in_channels=1, num_classes=1, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, mstate = unet_lib.init(jax.random.PRNGKey(2), ucfg)
+        save_model(cfg_srv.models_dir, "dn", "n2v", ucfg, params, mstate)
+        stack = str(tmp / "noisy.tif")
+        tiff.write_stack(
+            stack,
+            (np.random.default_rng(0).random((2, 32, 32)) * 800).astype(
+                np.float32
+            ),
+        )
+        srv = ImageServer(cfg_srv)
+        outs = {}
+        for name, extra in (("std", {}), ("poly", {"polyphase": True})):
+            out = str(tmp / f"dn_{name}")
+            submit_job(
+                cfg_srv.jobs_dir,
+                {"module": "denoise",
+                 "params": {"model": "dn", "patch": [32, 32],
+                            "overlap": [0, 0], **extra},
+                 "input": [stack], "output": out},
+            )
+            assert srv.poll_once()
+            st = json.load(open(os.path.join(out, "status.json")))
+            assert st["state"] == "complete", st.get("error")
+            outs[name] = tiff.read_stack(st["outputs"]["denoised"])
+        np.testing.assert_allclose(outs["std"], outs["poly"], atol=1e-4)
+
+        # s2d preset models cannot serve polyphase — deterministic error
+        s2cfg = unet_lib.UNetConfig(
+            in_channels=1, num_classes=1, depth=2, base_features=4,
+            compute_dtype=jnp.float32, space_to_depth=2,
+        )
+        p2, s2 = unet_lib.init(jax.random.PRNGKey(3), s2cfg)
+        save_model(cfg_srv.models_dir, "dns2", "n2v", s2cfg, p2, s2)
+        out = str(tmp / "dn_s2d")
+        submit_job(
+            cfg_srv.jobs_dir,
+            {"module": "denoise",
+             "params": {"model": "dns2", "polyphase": True},
+             "input": [stack], "output": out},
+        )
+        assert srv.poll_once()
+        st = json.load(open(os.path.join(out, "status.json")))
+        assert st["state"] == "failed"
+        assert "polyphase" in st["error"]

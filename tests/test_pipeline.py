@@ -1,5 +1,7 @@
 """Integration tests: fused tiled inference, training steps, GAN, DP sharding."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,6 +105,60 @@ class TestTiledInference:
             )
             assert p1 is None
             np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+    def test_polyphase_family_serves_match(self):
+        """Every U-Net-family serving maker honors tc.polyphase: GAN
+        enhancement, N2V denoise, flows and stars outputs must match
+        their standard serves to reassociation noise."""
+        from sequitr_tpu.models import gan as gan_lib
+
+        rng = jax.random.PRNGKey(3)
+        frame = jax.random.normal(rng, (32, 32)) * 60 + 250
+
+        # --- GAN enhancement
+        gcfg = gan_lib.GANConfig(
+            gen_depth=2, gen_base_features=4, disc_layers=1,
+            disc_base_features=4, compute_dtype=jnp.float32,
+        )
+        gp, gs = gan_lib.init(jax.random.PRNGKey(4), gcfg)
+        gcfg, gp, gs = gan_lib.fold_generator(gcfg, gp, gs)
+        tc = infer_lib.TileConfig(patch=(32, 32), overlap=(0, 0))
+        tcp = dataclasses.replace(tc, polyphase=True)
+        e0 = infer_lib.make_gan_enhancer(gcfg, tc, (32, 32))(gp, gs, frame)
+        e1 = infer_lib.make_gan_enhancer(gcfg, tcp, (32, 32))(gp, gs, frame)
+        np.testing.assert_allclose(
+            np.asarray(e0), np.asarray(e1), atol=1e-4
+        )
+
+        # --- N2V denoiser (regression head)
+        dcfg = small_cfg(num_classes=1, norm="batch")
+        dp_, ds = unet.init(jax.random.PRNGKey(5), dcfg)
+        d0 = infer_lib.make_denoiser(dcfg, tc, (32, 32))(dp_, ds, frame)
+        d1 = infer_lib.make_denoiser(dcfg, tcp, (32, 32))(dp_, ds, frame)
+        np.testing.assert_allclose(
+            np.asarray(d0), np.asarray(d1), atol=1e-4
+        )
+
+        # --- flows (prob + 2 flow channels, sink integration on device)
+        fcfg = small_cfg(num_classes=3, norm="none")
+        fp, fs = unet.init(jax.random.PRNGKey(6), fcfg)
+        f0 = infer_lib.make_flows_segmenter(fcfg, tc, (32, 32))(fp, fs, frame)
+        f1 = infer_lib.make_flows_segmenter(fcfg, tcp, (32, 32))(fp, fs, frame)
+        np.testing.assert_allclose(
+            np.asarray(f0[1]), np.asarray(f1[1]), atol=1e-4
+        )
+
+        # --- stars (1 + n_rays regression head)
+        scfg = small_cfg(num_classes=9, norm="none")
+        sp, ss = unet.init(jax.random.PRNGKey(7), scfg)
+        s0 = infer_lib.make_stars_predictor(scfg, tc, (32, 32))(sp, ss, frame)
+        s1 = infer_lib.make_stars_predictor(scfg, tcp, (32, 32))(sp, ss, frame)
+        np.testing.assert_allclose(
+            np.asarray(s0[0]), np.asarray(s1[0]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(s0[1]), np.asarray(s1[1]), atol=1e-3
+        )
 
     def test_polyphase_rejects_uncovered_configs(self):
         import pytest
