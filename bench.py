@@ -193,7 +193,9 @@ def bench_train(device_kind: str, iters: int):
     from sequitr_tpu.pipeline import train as train_lib
 
     cfg = _unet_cfg(device_kind)
-    tc = train_lib.TrainConfig(augment=True)
+    # polyphase training step (round 5: 290.8 -> 392.6 patches/s A/B);
+    # gradients/BN stats match the standard step exactly
+    tc = train_lib.TrainConfig(augment=True, polyphase=True)
     state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
     step = train_lib.make_unet_train_step(cfg, tc)
     rng = np.random.default_rng(0)
@@ -212,6 +214,7 @@ def bench_train(device_kind: str, iters: int):
 
     sps = _rate(one, iters)
     return {"metric": "unet2d_train_step_256px_b8", "value": round(sps * b, 3),
+            "serving": "polyphase",
             "unit": "patches/sec/chip"}
 
 
@@ -276,19 +279,15 @@ def bench_gan(device_kind: str, iters: int):
     params, state = gan_lib.init(jax.random.PRNGKey(0), cfg)
     cfg, params, state = gan_lib.fold_generator(cfg, params, state)
     # the production normalize (auto: Pallas streaming histogram on TPU) —
-    # what the enhancement_gan server pipeline actually runs per frame
-    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
-
-    @jax.jit
-    def enhance(frame):
-        x = infer_lib._normalize(frame[..., None], tc)[None]
-        y, _ = gan_lib.generator_apply(cfg, params, state, x)
-        return y[0, ..., 0]
+    # what the enhancement_gan server pipeline actually runs per frame;
+    # polyphase serve (round 5: 62.7 -> 83.0 fps measured A/B)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0), polyphase=True)
+    enhance = jax.jit(infer_lib.make_gan_enhancer(cfg, tc, FRAME))
 
     frame = _frame()
-    fps = _rate(lambda: enhance(frame), iters)
+    fps = _rate(lambda: enhance(params, state, frame), iters)
     return {"metric": "gan_enhance_1024", "value": round(fps, 3),
-            "unit": "frames/sec/chip"}
+            "unit": "frames/sec/chip", "serving": "polyphase"}
 
 
 def bench_fast(device_kind: str, iters: int):
@@ -324,7 +323,11 @@ def bench_giant(device_kind: str, iters: int):
     params, state = unet.init(jax.random.PRNGKey(0), cfg)
     shape = (4096, 4096)
     # patch_batch 16: measured 70.2 Mpx/s vs 65.2 at 8, 57.9 at 24 (round 3)
-    tc = infer_lib.TileConfig(patch=(384, 384), overlap=(64, 64), patch_batch=16)
+    # polyphase + labels-only tiled serve (round 5: 71.6 -> 81.9 Mpx/s)
+    tc = infer_lib.TileConfig(
+        patch=(384, 384), overlap=(64, 64), patch_batch=16,
+        polyphase=True, emit_probs=False,
+    )
     fn = infer_lib.make_frame_inferrer(cfg, tc, shape)
     frame = _frame(shape)
     # never fewer than 6 timed iterations: 2-iteration runs measured 20x
@@ -332,7 +335,7 @@ def bench_giant(device_kind: str, iters: int):
     fps = _rate(lambda: fn(params, state, frame), max(6, iters // 8))
     mpx = np.prod(shape) / 1e6
     return {"metric": "unet2d_4096_tiled_inference", "value": round(fps * mpx, 3),
-            "unit": "Mpx/sec/chip"}
+            "unit": "Mpx/sec/chip", "serving": "polyphase+labels_only"}
 
 
 def _bench_fast_family(device_kind: str, iters: int, s2d: int):
@@ -602,12 +605,13 @@ def bench_n2v(device_kind: str, iters: int):
         zoo.get("n2v_denoise"), compute_dtype=_dtype(device_kind)
     )
     params, state = unet.init(jax.random.PRNGKey(0), cfg)
-    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
+    # polyphase serve (round 5: 66.1 -> 89.4 fps measured A/B)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0), polyphase=True)
     fn = jax.jit(infer_lib.make_denoiser(cfg, tc, FRAME))
     frame = _frame(seed=7)
     fps = _rate(lambda: fn(params, state, frame), iters)
     return {"metric": "n2v_denoise_1024", "value": round(fps, 3),
-            "unit": "frames/sec/chip"}
+            "unit": "frames/sec/chip", "serving": "polyphase"}
 
 
 def bench_flows(device_kind: str, iters: int):
@@ -652,12 +656,13 @@ def bench_stars(device_kind: str, iters: int):
         zoo.get("stars_cells"), compute_dtype=_dtype(device_kind)
     )
     params, state = unet.init(jax.random.PRNGKey(0), cfg)
-    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0))
+    # polyphase serve (round 5: 54.0 -> 64.0 fps measured A/B)
+    tc = infer_lib.TileConfig(patch=FRAME, overlap=(0, 0), polyphase=True)
     fn = jax.jit(infer_lib.make_stars_predictor(cfg, tc, FRAME))
     frame = _frame(seed=13)
     fps = _rate(lambda: fn(params, state, frame), iters)
     return {"metric": "stars_predict_1024", "value": round(fps, 3),
-            "unit": "frames/sec/chip"}
+            "unit": "frames/sec/chip", "serving": "polyphase"}
 
 
 def bench_tracking(device_kind: str, iters: int):
@@ -751,14 +756,16 @@ def _fidelity_spec(name: str):
         "giant": ("seg2048_tiled", lambda: fid.seg_fidelity(
             "unet2d_cells", (2048, 2048),
             tc=infer_lib.TileConfig(
-                patch=(384, 384), overlap=(64, 64), patch_batch=16
+                patch=(384, 384), overlap=(64, 64), patch_batch=16,
+                polyphase=True, emit_probs=False,
             ),
             n=2)),
         "unet3d": ("seg3d", lambda: fid.seg_fidelity(
             "unet3d_cells", (16, 128, 128), n=2)),
         "gan": ("gan1024", lambda: fid.gan_fidelity(n=2)),
         "ganstream": ("gan1024", lambda: fid.gan_fidelity(n=2)),
-        "train": ("train2d", lambda: fid.train_fidelity("unet2d")),
+        "train": ("train2d_poly", lambda: fid.train_fidelity(
+            "unet2d", polyphase=True)),
         "train3d": ("train3d", lambda: fid.train_fidelity("unet3d")),
         "gantrain": ("traingan", lambda: fid.train_fidelity("gan")),
         "emitters": ("emit", lambda: fid.emitter_fidelity()),

@@ -40,7 +40,9 @@ import jax.numpy as jnp
 
 from sequitr_tpu.models import unet
 
-__all__ = ["eligible", "phase_kernel", "phase_up_kernel", "apply"]
+__all__ = [
+    "eligible", "phase_kernel", "phase_up_kernel", "apply", "apply_train",
+]
 
 
 def eligible(cfg: unet.UNetConfig, spatial: Tuple[int, ...]) -> bool:
@@ -105,6 +107,36 @@ def _tile4(b: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([b, b, b, b])
 
 
+@jax.custom_vjp
+def _phase_max(e: jnp.ndarray) -> jnp.ndarray:
+    """max over the phase axis of (N, H, W, 4, C) == the 2x2 max-pool.
+
+    Forward is plain ``jnp.max``; the custom backward routes the
+    cotangent to the FIRST maximal phase (phase index order == the pool
+    window's row-major order), matching XLA's select-and-scatter
+    semantics for ``lax.reduce_window`` max-pool gradients exactly —
+    ``jnp.max``'s default vjp splits ties evenly, and ReLU activations
+    tie at zero constantly, so without this the polyphase training
+    gradients diverge from the production step at every tied window.
+    """
+    return jnp.max(e, axis=3)
+
+
+def _phase_max_fwd(e):
+    m = jnp.max(e, axis=3)
+    return m, (e, m)
+
+
+def _phase_max_bwd(res, g):
+    e, m = res
+    is_max = e == m[:, :, :, None, :]
+    first = jnp.cumsum(is_max.astype(jnp.int32), axis=3) == 1
+    return (jnp.where(is_max & first, g[:, :, :, None, :], 0.0),)
+
+
+_phase_max.defvjp(_phase_max_fwd, _phase_max_bwd)
+
+
 def _phase_conv(x, w, b, cfg: unet.UNetConfig):
     """3x3 phase conv + bias, numerics mirroring ``unet._conv``."""
     y = jax.lax.conv_general_dilated(
@@ -157,7 +189,7 @@ def apply(
     # --- pool = max over the 4 phase groups
     n, h, w, c4 = e0.shape
     f0 = c4 // 4
-    xmid = jnp.max(e0.reshape(n, h, w, 4, f0), axis=3)
+    xmid = _phase_max(e0.reshape(n, h, w, 4, f0))
 
     # --- middle of the net: the unchanged production path
     skips = []
@@ -207,3 +239,140 @@ def apply(
     ) + head["b"]
     logits = unet._depth_to_space(logits_p.reshape(n, h, w, 4 * k), 2)
     return logits.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# training forward: the same reformulation under jax.grad
+# ---------------------------------------------------------------------------
+
+
+def _phase_batch_norm(y, p, s, cfg: unet.UNetConfig, train: bool):
+    """BatchNorm on a phase-domain activation with FULL-RESOLUTION
+    semantics, exactly.
+
+    Full-res BN reduces over (N, H, W) per channel; the phase tensor
+    (N, H/2, W/2, 4C) holds the SAME pixel multiset with channel c
+    spread over 4 phase groups — reducing over (N, h, w, phase) gives
+    identical statistics (up to summation order), so the running-stats
+    update and the normalized output match ``unet._batch_norm`` on the
+    equivalent full-res activation. Per-channel params tile across the
+    4 phase groups.
+    """
+    n, h, w, c4 = y.shape
+    c = c4 // 4
+    y32 = y.astype(jnp.float32).reshape(n, h, w, 4, c)
+    if train:
+        mean = jnp.mean(y32, axis=(0, 1, 2, 3))
+        var = jnp.var(y32, axis=(0, 1, 2, 3))
+        m = cfg.bn_momentum
+        new_s = {
+            "mean": m * s["mean"] + (1 - m) * mean,
+            "var": m * s["var"] + (1 - m) * var,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = jax.lax.rsqrt(var + cfg.bn_eps)
+    out = (y32 - mean) * inv * p["scale"] + p["bias"]
+    return out.reshape(n, h, w, c4), new_s
+
+
+def _phase_block_apply(xp, p, s, cfg: unet.UNetConfig, train: bool):
+    """conv -> norm -> relu, twice, in the phase domain (mirrors
+    ``unet._block_apply`` semantics on the equivalent full-res tensor)."""
+    new_s = {}
+    for i in (1, 2):
+        conv = p[f"conv{i}"]
+        xp = _phase_conv(
+            xp, phase_kernel(conv["w"]), _tile4(conv["b"]), cfg
+        )
+        if cfg.norm == "batch":
+            xp, new_s[f"bn{i}"] = _phase_batch_norm(
+                xp, p[f"bn{i}"], s[f"bn{i}"], cfg, train
+            )
+        xp = jax.nn.relu(xp)
+    return xp, new_s
+
+
+def apply_train(
+    cfg: unet.UNetConfig,
+    params: unet.Params,
+    state: unet.State,
+    x: jnp.ndarray,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, unet.State]:
+    """Training forward equal to ``unet.apply(cfg, params, state, x,
+    train)`` — (float32 logits, new_state) — with level 0 in the phase
+    domain. Unlike :func:`apply` this supports ``norm='batch'`` (the
+    phase-group reduction reproduces full-resolution BN statistics
+    exactly) and returns the updated BN state, so ``jax.grad`` through
+    it trains the SAME model: gradients w.r.t. the original weights
+    flow through the linear ``phase_kernel`` rearrangement.
+
+    Measured motivation: the serving A/B showed the thin full-res
+    levels at a quarter of MXU width; the training step pays them in
+    the forward AND the backward.
+    """
+    if cfg.dims != 2 or cfg.space_to_depth != 1:
+        raise ValueError(
+            "polyphase.apply_train covers 2D space_to_depth=1 models; "
+            f"got dims={cfg.dims} s2d={cfg.space_to_depth}"
+        )
+    if cfg.upsample != "transpose":
+        raise ValueError("polyphase.apply_train requires upsample='transpose'")
+    if any(d % 2 for d in x.shape[1:-1]):
+        raise ValueError(f"even spatial dims required, got {x.shape}")
+    new_state: unet.State = {"enc": [None] * cfg.depth,
+                             "dec": [None] * (cfg.depth - 1)}
+
+    # --- enc0 in the phase domain
+    xp = unet._space_to_depth(x.astype(jnp.float32), 2)
+    e0, new_state["enc"][0] = _phase_block_apply(
+        xp, params["enc"][0], state["enc"][0], cfg, train
+    )
+
+    n, h, w, c4 = e0.shape
+    f0 = c4 // 4
+    xmid = _phase_max(e0.reshape(n, h, w, 4, f0))
+
+    # --- middle levels: the unchanged production path
+    skips = []
+    for lvl in range(1, cfg.depth):
+        if lvl > 1:
+            xmid = unet._maxpool(xmid, cfg)
+        xmid, new_state["enc"][lvl] = unet._block_apply(
+            xmid, params["enc"][lvl], state["enc"][lvl], cfg, train
+        )
+        if lvl < cfg.depth - 1:
+            skips.append(xmid)
+    for i, lvl in enumerate(reversed(range(1, cfg.depth - 1))):
+        skip = skips[lvl - 1]
+        xmid = unet._upsample(xmid, params["up"][i], skip.shape, cfg)
+        xmid = jnp.concatenate([skip, xmid.astype(skip.dtype)], axis=-1)
+        xmid, new_state["dec"][i] = unet._block_apply(
+            xmid, params["dec"][i], state["dec"][i], cfg, train
+        )
+
+    # --- dec0 in the phase domain
+    up0, dec0, head = params["up"][-1], params["dec"][-1], params["head"]
+    upw = phase_up_kernel(up0["w"]).astype(cfg.compute_dtype)
+    up = jnp.einsum(
+        "nhwc,cd->nhwd", xmid.astype(cfg.compute_dtype), upw,
+        preferred_element_type=jnp.float32,
+    ) + _tile4(up0["b"])
+    cat = jnp.concatenate(
+        [e0.reshape(n, h, w, 4, f0), up.reshape(n, h, w, 4, f0)], axis=-1
+    ).reshape(n, h, w, 4 * 2 * f0)
+    d0, new_state["dec"][-1] = _phase_block_apply(
+        cat, params["dec"][-1], state["dec"][-1], cfg, train
+    )
+
+    hw_ = head["w"][0, 0].astype(cfg.compute_dtype)
+    k = hw_.shape[-1]
+    logits_p = jnp.einsum(
+        "nhwpc,ck->nhwpk",
+        d0.reshape(n, h, w, 4, f0).astype(cfg.compute_dtype), hw_,
+        preferred_element_type=jnp.float32,
+    ) + head["b"]
+    logits = unet._depth_to_space(logits_p.reshape(n, h, w, 4 * k), 2)
+    return logits.astype(jnp.float32), new_state

@@ -77,6 +77,13 @@ class TrainConfig:
     lr_warmup_steps: int = 0
     lr_decay_steps: int = 0
     lr_end_factor: float = 0.01
+    # polyphase training forward (models.polyphase.apply_train): the two
+    # thin full-resolution levels run at half res x 4-wide channels with
+    # the SAME weights — logits, BN statistics AND gradients match the
+    # standard step exactly (first-tie pool vjp; bias grads are BN-nulled
+    # noise either way). 2D s2d=1 transpose-upsample models with even
+    # patch dims only; build fails loudly otherwise.
+    polyphase: bool = False
 
     def learning_rate_schedule(self):
         """Scalar or optax schedule implementing the configured LR plan."""
@@ -162,6 +169,23 @@ def _augment_batch(key, images, labels, weights, tc: TrainConfig, dims: int = 2)
     )(keys, images, labels, weights)
 
 
+def _train_forward(cfg: unet.UNetConfig, tc: TrainConfig):
+    """(params, x) -> (logits, new_model_state) maker honoring
+    ``tc.polyphase`` — shared by the unet/n2v/flows/stars train steps
+    (they all train the same U-Net family)."""
+    if tc.polyphase:
+        from sequitr_tpu.models import polyphase
+
+        if cfg.dims != 2 or cfg.space_to_depth != 1 or cfg.upsample != "transpose":
+            raise ValueError(
+                "polyphase training requires a 2D space_to_depth=1 "
+                f"transpose-upsample model; got dims={cfg.dims} "
+                f"s2d={cfg.space_to_depth} upsample={cfg.upsample!r}"
+            )
+        return polyphase.apply_train
+    return lambda c, p, s, x, train=True: unet.apply(c, p, s, x, train=train)
+
+
 def make_unet_train_step(cfg: unet.UNetConfig, tc: TrainConfig, jit: bool = True):
     """Build ``step(state, batch, key) -> (state, metrics)``.
 
@@ -183,7 +207,8 @@ def make_unet_train_step(cfg: unet.UNetConfig, tc: TrainConfig, jit: bool = True
             weights = w_out if weights is not None else None
 
         def loss_fn(params):
-            fwd = lambda p, x: unet.apply(
+            apply_fn = _train_forward(cfg, tc)
+            fwd = lambda p, x: apply_fn(
                 cfg, p, state.model_state, x, train=True
             )
             if tc.remat:
@@ -665,7 +690,8 @@ def make_n2v_train_step(
         )
 
         def loss_fn(params):
-            fwd = lambda p, x: unet.apply(
+            apply_fn = _train_forward(cfg, tc)
+            fwd = lambda p, x: apply_fn(
                 cfg, p, state.model_state, x, train=True
             )
             if tc.remat:
@@ -751,7 +777,8 @@ def make_flows_train_step(cfg: unet.UNetConfig, tc: TrainConfig, jit: bool = Tru
                 )(jax.random.split(k_phot, images.shape[0]), images)
 
         def loss_fn(params):
-            fwd = lambda p, x: unet.apply(
+            apply_fn = _train_forward(cfg, tc)
+            fwd = lambda p, x: apply_fn(
                 cfg, p, state.model_state, x, train=True
             )
             if tc.remat:
@@ -874,7 +901,8 @@ def make_stars_train_step(cfg: unet.UNetConfig, tc: TrainConfig, jit: bool = Tru
                 )(jax.random.split(k_phot, images.shape[0]), images)
 
         def loss_fn(params):
-            fwd = lambda p, x: unet.apply(
+            apply_fn = _train_forward(cfg, tc)
+            fwd = lambda p, x: apply_fn(
                 cfg, p, state.model_state, x, train=True
             )
             if tc.remat:

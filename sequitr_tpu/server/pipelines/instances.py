@@ -19,6 +19,7 @@ import numpy as np
 from sequitr_tpu.config import ServerConfiguration
 from sequitr_tpu.server import jobs as jobs_lib
 from sequitr_tpu.server.jobs import Job
+from sequitr_tpu.server.pipelines.training import _polyphase_train_param
 from sequitr_tpu.server.server import (
     _require_polyphase_model,
     _append_writer,
@@ -289,6 +290,7 @@ def train_flows(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         gain_jitter=float(p.get("gain_jitter", 0.0)),
         offset_jitter=float(p.get("offset_jitter", 0.0)),
         noise_std=float(p.get("noise_std", 0.0)),
+        polyphase=_polyphase_train_param(p, cfg),
     )
     fc = fit_lib.FitConfig(
         steps=steps,
@@ -1226,6 +1228,7 @@ def train_stars(job: Job, config: ServerConfiguration) -> Dict[str, str]:
         gain_jitter=float(p.get("gain_jitter", 0.0)),
         offset_jitter=float(p.get("offset_jitter", 0.0)),
         noise_std=float(p.get("noise_std", 0.0)),
+        polyphase=_polyphase_train_param(p, cfg),
     )
     fc = fit_lib.FitConfig(
         steps=steps,

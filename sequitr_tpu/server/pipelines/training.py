@@ -230,6 +230,23 @@ def build_records(job: Job, config: ServerConfiguration) -> Dict[str, str]:
             "n_examples": str(counter["n"]), "n_shards": str(len(shard_paths))}
 
 
+
+
+def _polyphase_train_param(p, cfg) -> bool:
+    """Read the ``polyphase`` training param with deterministic
+    rejection of uncovered models (mirrors the serving gate)."""
+    poly = bool(p.get("polyphase", False))
+    if poly and (
+        cfg.dims != 2 or cfg.space_to_depth != 1
+        or cfg.upsample != "transpose"
+    ):
+        raise jobs_lib.JobError(
+            "polyphase training requires a 2D space_to_depth=1 "
+            f"transpose-upsample model; got dims={cfg.dims}, "
+            f"s2d={cfg.space_to_depth}, upsample={cfg.upsample!r}"
+        )
+    return poly
+
 @register("train_unet2d")
 def train_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     """Train a 2D U-Net from record shards and register it as a model.
@@ -297,6 +314,7 @@ def _train_unet(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                   max(1, steps - int(p.get("lr_warmup_steps", 0))))
         ),
         lr_end_factor=float(p.get("lr_end_factor", 0.01)),
+        polyphase=_polyphase_train_param(p, cfg),
     )
     fc = fit_lib.FitConfig(
         steps=steps,
@@ -939,6 +957,7 @@ def train_n2v(job: Job, config: ServerConfiguration) -> Dict[str, str]:
                   max(1, steps - int(p.get("lr_warmup_steps", 0))))
         ),
         lr_end_factor=float(p.get("lr_end_factor", 0.01)),
+        polyphase=_polyphase_train_param(p, cfg),
     )
     fc = fit_lib.FitConfig(
         steps=steps,

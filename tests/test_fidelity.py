@@ -156,13 +156,21 @@ class TestFidelityMeters:
     def test_bench_attaches_and_caches(self):
         import bench
 
-        cache = {"seg1024": {"miou_vs_ref": 0.42}}
-        row_a, row_b = {}, {}
-        bench.attach_fidelity("inference", row_a, cache)
+        # stdinference + timelapse share the STANDARD-graph measurement;
+        # the polyphase north-star row has its own key (seg1024_poly) —
+        # it measures a different device path (round 5)
+        cache = {
+            "seg1024": {"miou_vs_ref": 0.42},
+            "seg1024_poly": {"miou_vs_ref": 0.43},
+        }
+        row_a, row_b, row_c = {}, {}, {}
+        bench.attach_fidelity("stdinference", row_a, cache)
         bench.attach_fidelity("timelapse", row_b, cache)
+        bench.attach_fidelity("inference", row_c, cache)
         # one family -> one shared measurement (prefilled: no recompute)
         assert row_a["fidelity"]["miou_vs_ref"] == 0.42
         assert row_b["fidelity"] is row_a["fidelity"]
+        assert row_c["fidelity"]["miou_vs_ref"] == 0.43
 
     def test_bench_fidelity_error_is_contained(self):
         import bench

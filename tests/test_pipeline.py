@@ -371,6 +371,75 @@ class TestUNetTraining:
             "weights": jnp.ones((n, s, s), jnp.float32),
         }
 
+    def test_polyphase_train_step_matches_standard(self):
+        """TrainConfig(polyphase=True): the phase-domain training step
+        must track the production step — logits/BN exact by
+        construction (models.polyphase.apply_train; first-tie pool
+        vjp), so multi-step loss trajectories and resulting params
+        agree to float-reassociation noise. Runs with augment ON (the
+        augmentation happens at full resolution before the forward, so
+        it is shared bit-for-bit under the same key)."""
+        from sequitr_tpu.models import polyphase
+        from sequitr_tpu.ops import losses as losses_lib
+
+        cfg = small_cfg(depth=3, norm="batch")
+        params, st = unet.init(jax.random.PRNGKey(0), cfg)
+        batch = self._batch(s=16)
+        tc = train_lib.TrainConfig(augment=True)
+        imgs, labs, w = train_lib._augment_batch(
+            jax.random.PRNGKey(100), batch["image"], batch["labels"],
+            batch["weights"], tc, dims=2,
+        )
+
+        def loss_std(p):
+            lo, ms = unet.apply(cfg, p, st, imgs, train=True)
+            return losses_lib.weighted_softmax_cross_entropy(lo, labs, w), ms
+
+        def loss_pp(p):
+            lo, ms = polyphase.apply_train(cfg, p, st, imgs, train=True)
+            return losses_lib.weighted_softmax_cross_entropy(lo, labs, w), ms
+
+        (l0, ms0), g0 = jax.value_and_grad(loss_std, has_aux=True)(params)
+        (l1, ms1), g1 = jax.value_and_grad(loss_pp, has_aux=True)(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        # BN state (running stats) identical: the phase-group reduction
+        # IS the full-res per-channel reduction
+        for a, b in zip(jax.tree.leaves(ms0), jax.tree.leaves(ms1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
+        # gradients identical at the global gradient scale. Conv biases
+        # under BN have mathematically-zero gradients (BN subtracts the
+        # mean), so their leaves hold ~1e-8 reassociation noise in both
+        # versions — the global normalization keeps the bar meaningful
+        # without special-casing them.
+        gscale = max(
+            float(np.max(np.abs(np.asarray(leaf))))
+            for leaf in jax.tree.leaves(g0)
+        )
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            diff = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            assert diff / gscale < 1e-4, diff
+
+    def test_polyphase_train_rejects_3d(self):
+        import pytest
+
+        cfg = small_cfg(dims=3, depth=2)
+        tc = train_lib.TrainConfig(polyphase=True, augment=False)
+        state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        step = train_lib.make_unet_train_step(cfg, tc, jit=False)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(
+                rng.normal(size=(1, 8, 16, 16, 1)).astype(np.float32)
+            ),
+            "labels": jnp.asarray(
+                rng.integers(0, 3, (1, 8, 16, 16)).astype(np.int32)
+            ),
+        }
+        with pytest.raises(ValueError, match="polyphase"):
+            step(state, batch, jax.random.PRNGKey(1))
+
     def test_loss_decreases(self):
         cfg = small_cfg(depth=2)
         tc = train_lib.TrainConfig(learning_rate=1e-2, augment=False)
