@@ -229,6 +229,75 @@ def _sample_nd(field, p):
     return out
 
 
+def _shift_axis_next(x, ax):
+    """Value at p becomes x[p+1] along ``ax``, edge-clamped (the packed
+    corner layout's forward shift — cf. augment._shift_rows/_shift_cols)."""
+    import jax.numpy as jnp
+
+    n = x.shape[ax]
+    sl = [slice(None)] * x.ndim
+    sl[ax] = slice(1, None)
+    last = [slice(None)] * x.ndim
+    last[ax] = slice(n - 1, n)
+    return jnp.concatenate([x[tuple(sl)], x[tuple(last)]], axis=ax)
+
+
+def _pack_corners(field):
+    """(*spatial, C) -> flat (prod(spatial), 2^nd * C) with every pixel's
+    multilinear corner neighborhood pre-packed into its row.
+
+    The augment study's quad-corner trick (BASELINE.md round 2: one wide
+    flat ``take`` beats 2^nd narrow gathers 4.75x on TPU), generalized to
+    nd corners. The pack is dense shifts + concat — cheap, and for the
+    flow integrator it happens ONCE outside the 200-step scan while the
+    gathers happen every step.
+    """
+    import itertools
+
+    import jax.numpy as jnp
+
+    nd = field.ndim - 1
+    corners = []
+    for corner in itertools.product((0, 1), repeat=nd):
+        v = field
+        for ax, o in enumerate(corner):
+            if o:
+                v = _shift_axis_next(v, ax)
+        corners.append(v)
+    packed = jnp.concatenate(corners, axis=-1)
+    return packed.reshape(-1, packed.shape[-1])
+
+
+def _sample_packed(packed_flat, spatial, c, p):
+    """Multilinear sample from a :func:`_pack_corners` layout: ONE flat
+    ``take`` of 2^nd*C-wide rows + the weight combine. Numerically equal
+    to :func:`_sample_nd` (same corners, same clamps, same weights)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    nd = len(spatial)
+    base, frac = [], []
+    for ax in range(nd):
+        n = spatial[ax]
+        x = jnp.clip(p[:, ax], 0.0, n - 1.0)
+        x0 = jnp.clip(jnp.floor(x), 0, max(n - 2, 0)).astype(jnp.int32)
+        base.append(x0)
+        frac.append((x - x0)[:, None])
+    flat_idx = base[0]
+    for ax in range(1, nd):
+        flat_idx = flat_idx * spatial[ax] + base[ax]
+    g = jnp.take(packed_flat, flat_idx, axis=0)
+    g = g.reshape(p.shape[0], 2**nd, c)
+    out = jnp.zeros((p.shape[0], c), packed_flat.dtype)
+    for ci, corner in enumerate(itertools.product((0, 1), repeat=nd)):
+        w = frac[0] * 0 + 1.0
+        for f, o in zip(frac, corner):
+            w = w * (f if o else (1.0 - f))
+        out = out + g[:, ci] * w
+    return out
+
+
 def follow_flows(
     flow,
     mask=None,
@@ -270,13 +339,76 @@ def follow_flows(
     p0 = jnp.stack(grids, axis=-1).reshape(-1, nd)
     lim = jnp.asarray([s - 1.0 for s in spatial], jnp.float32)
 
+    # corner neighborhoods pre-packed ONCE; each Euler step is then a
+    # single wide flat take instead of 2^nd narrow gathers (the augment
+    # study's measured 4.75x trick, amortized over the whole scan)
+    packed = _pack_corners(flow)
+
     def body(p, _):
-        v = _sample_nd(flow, p)
+        v = _sample_packed(packed, spatial, nd, p)
         p = jnp.clip(p + step * v, 0.0, lim)
         return p, None
 
     p, _ = jax.lax.scan(body, p0, None, length=int(n_iter))
     return p.reshape(spatial + (nd,))
+
+
+def follow_flows_doubling(
+    flow,
+    mask=None,
+    n_iter: int = 256,
+    step: float = 1.0,
+):
+    """Integrate the flow field by POINTER DOUBLING on the integer
+    successor map — log2(n_iter) gathers instead of n_iter.
+
+    Each pixel's successor is its Euler step rounded to the lattice:
+    ``S[p] = clip(round(p + step * flow[p]))`` (at integer positions the
+    bilinear sample of the flow IS the flow, so S is one dense map, no
+    interpolation). ``S^(2^k) = S^(2^(k-1)) ∘ S^(2^(k-1))`` composes by
+    a flat integer gather, so 256 effective steps cost 8 gathers — the
+    Euler scan pays 200.
+
+    vs. the sequential Euler integrator: positions quantize to the
+    lattice each step, so a converged pixel may land on a <=2-cycle
+    oscillating across its sink (both points within 1 px — the
+    ``snap_radius`` sink grouping was built for exactly this slack) and
+    boundary pixels can round across a 1-px border. Accuracy is
+    therefore MEASURED, not assumed: the fixture holdout reads
+    ap50-vs-Euler 1.0 / mean matched-IoU 0.9997 and identical AP against
+    ground truth (BASELINE.md round 5); serving exposes it as
+    ``integrator: "doubling"`` with Euler the default.
+    """
+    import jax.numpy as jnp
+
+    flow = jnp.asarray(flow, jnp.float32)
+    nd = flow.shape[-1]
+    spatial = flow.shape[:-1]
+    if len(spatial) != nd:
+        raise ValueError(
+            f"flow rank mismatch: {flow.shape} carries {nd} components "
+            f"over {len(spatial)} spatial axes"
+        )
+    if mask is not None:
+        flow = flow * jnp.asarray(mask, jnp.float32)[..., None]
+    grids = jnp.meshgrid(
+        *[jnp.arange(s, dtype=jnp.float32) for s in spatial], indexing="ij"
+    )
+    p0 = jnp.stack(grids, axis=-1).reshape(-1, nd)
+    lim = jnp.asarray([s - 1.0 for s in spatial], jnp.float32)
+    succ_pos = jnp.clip(
+        jnp.round(p0 + step * flow.reshape(-1, nd)), 0.0, lim
+    ).astype(jnp.int32)
+    flat = succ_pos[:, 0]
+    for ax in range(1, nd):
+        flat = flat * spatial[ax] + succ_pos[:, ax]
+    n_compose = max(1, int(np.ceil(np.log2(max(2, n_iter)))))
+    for _ in range(n_compose):
+        flat = jnp.take(flat, flat, axis=0)
+    final = jnp.stack(
+        jnp.unravel_index(flat, spatial), axis=-1
+    ).astype(jnp.float32)
+    return final.reshape(spatial + (nd,))
 
 
 # ---------------------------------------------------------------------------

@@ -563,6 +563,7 @@ def make_flows_segmenter(
     n_iter: int = 200,
     step_size: float = 1.0,
     cellprob_threshold: float = 0.5,
+    integrator: str = "euler",
 ) -> Callable:
     """Un-jitted ``segment(params, state, frame) -> (final, prob)``.
 
@@ -593,6 +594,10 @@ def make_flows_segmenter(
             "tta is unsupported for flow-field serving (vector outputs); "
             "use tta=1"
         )
+    if integrator not in ("euler", "doubling"):
+        raise ValueError(
+            f"integrator must be 'euler' or 'doubling', got {integrator!r}"
+        )
     spatial = tuple(frame_spatial)
     grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
     nd = len(spatial)
@@ -618,7 +623,11 @@ def make_flows_segmenter(
         out = out.astype(jnp.float32)
         flow = out[..., :nd] / flows_ops.FLOW_SCALE
         prob = jax.nn.sigmoid(out[..., nd])
-        final = flows_ops.follow_flows(
+        integrate = (
+            flows_ops.follow_flows_doubling
+            if integrator == "doubling" else flows_ops.follow_flows
+        )
+        final = integrate(
             flow, prob > cellprob_threshold, n_iter=n_iter, step=step_size
         )
         return final, prob
@@ -634,6 +643,7 @@ def cached_flows_segmenter(
     n_iter: int = 200,
     step_size: float = 1.0,
     cellprob_threshold: float = 0.5,
+    integrator: str = "euler",
 ) -> Callable:
     """Cross-job cache of jitted flows serving passes (see
     ``cached_frame_inferrer`` for the rationale — weights are per-call
@@ -642,7 +652,7 @@ def cached_flows_segmenter(
     return jax.jit(
         make_flows_segmenter(
             cfg, tc, frame_spatial, n_iter=n_iter, step_size=step_size,
-            cellprob_threshold=cellprob_threshold,
+            cellprob_threshold=cellprob_threshold, integrator=integrator,
         )
     )
 

@@ -386,11 +386,16 @@ def _flows_serving(job: Job, config: ServerConfiguration, spatial, n_channels):
         _require_polyphase_model(cfg)
     n_iter = int(p.get("n_iter", 200))
     thresh = float(p.get("cellprob_threshold", 0.5))
+    # "euler" (default, the sequential reference-faithful integration)
+    # or "doubling" (pointer doubling on the integer successor map:
+    # log2(n_iter) gathers, measured 2.4x the packed-quad Euler at 1024^2
+    # with ap50-vs-euler 0.999 on the trained fixture — BASELINE.md r5)
+    integrator = str(p.get("integrator", "euler"))
     try:
         seg = infer_lib.cached_flows_segmenter(
             cfg, tc, tuple(spatial), n_iter=n_iter,
             step_size=float(p.get("step_size", 1.0)),
-            cellprob_threshold=thresh,
+            cellprob_threshold=thresh, integrator=integrator,
         )
     except ValueError as e:
         # bad patch/overlap/head combos are deterministic — never retry
@@ -419,7 +424,7 @@ def _flows_serving(job: Job, config: ServerConfiguration, spatial, n_channels):
     # data_parallel branch wraps the UN-jitted segmenter in a mesh map)
     raw = (cfg, params, state, dict(
         n_iter=n_iter, step_size=float(p.get("step_size", 1.0)),
-        cellprob_threshold=thresh,
+        cellprob_threshold=thresh, integrator=integrator,
     ))
     return stream, group, tc, raw
 

@@ -192,6 +192,57 @@ class TestFollowAndGroup:
         assert float(np.median(d)) < 3.0
 
 
+class TestDoublingIntegrator:
+    def test_doubling_converges_like_euler(self):
+        """Pointer doubling on the integer successor map reaches the same
+        sinks as the sequential Euler scan: identical instance maps on a
+        multi-cell scene after grouping (the snap_radius slack absorbs
+        <=2-cycle oscillation across sinks)."""
+        lab = _discs(
+            size=64, centers=((20, 20, 8), (20, 36, 8), (44, 44, 10))
+        )
+        fl, pr = flows.flow_targets(lab)
+        mask = pr > 0.5
+        e = np.asarray(flows.follow_flows(jnp.asarray(fl), mask, n_iter=200))
+        d = np.asarray(
+            flows.follow_flows_doubling(jnp.asarray(fl), mask, n_iter=256)
+        )
+        ge = flows.group_sinks(e, np.asarray(mask))
+        gd = flows.group_sinks(d, np.asarray(mask))
+        ap = flows.average_precision(ge, gd)
+        assert ap["ap50"] == 1.0, ap
+        assert ap["mean_matched_iou"] > 0.95, ap
+        # background never moves under either integrator
+        bg = np.argwhere(lab == 0)
+        np.testing.assert_allclose(
+            d[bg[:, 0], bg[:, 1]], bg.astype(np.float32), atol=1e-5
+        )
+
+    def test_serve_integrator_param(self):
+        """make_flows_segmenter(integrator='doubling') serves; a bogus
+        integrator fails at build time."""
+        import pytest as _pytest
+
+        from sequitr_tpu.models import unet as unet_lib
+        from sequitr_tpu.pipeline import infer as infer_lib
+
+        cfg = unet_lib.UNetConfig(
+            in_channels=1, num_classes=3, depth=2, base_features=4,
+            compute_dtype=jnp.float32,
+        )
+        params, state = unet_lib.init(jax.random.PRNGKey(0), cfg)
+        tc = infer_lib.TileConfig(patch=(32, 32), overlap=(0, 0))
+        fn = infer_lib.make_flows_segmenter(
+            cfg, tc, (32, 32), integrator="doubling"
+        )
+        final, prob = fn(params, state, jnp.ones((32, 32)))
+        assert final.shape == (32, 32, 2) and prob.shape == (32, 32)
+        with _pytest.raises(ValueError, match="integrator"):
+            infer_lib.make_flows_segmenter(
+                cfg, tc, (32, 32), integrator="warp9"
+            )
+
+
 class TestMatching:
     def test_known_iou_and_ap(self):
         gt = np.zeros((20, 20), np.int32)
