@@ -999,6 +999,20 @@ def make_gan_train_step(
         # --- ONE generator forward (train mode), linearized for reuse ---
         def g_forward(gen_params):
             p = {"gen": gen_params, "disc": state.params["disc"]}
+            if tc.polyphase:
+                # phase-domain generator forward (models.polyphase):
+                # exact logits/BN-stats/grads, thin levels at 4x MXU width
+                from sequitr_tpu.models import polyphase
+
+                y, new_gs = polyphase.apply_train(
+                    cfg.generator_config, gen_params,
+                    state.model_state["gen"], x, train=True,
+                )
+                if cfg.output_activation == "tanh":
+                    y = jnp.tanh(y)
+                elif cfg.output_activation == "sigmoid":
+                    y = jax.nn.sigmoid(y)
+                return y, {"gen": new_gs}
             fake, new_ms = gan_lib.generator_apply(
                 cfg, p, state.model_state, x, train=True
             )

@@ -692,6 +692,7 @@ def train_gan(job: Job, config: ServerConfiguration) -> Dict[str, str]:
     steps = int(p.get("steps", 1000))
     tc = train_lib.TrainConfig(
         learning_rate=float(p.get("learning_rate", 2e-4)), beta1=0.5,
+        polyphase=_polyphase_train_param(p, cfg.generator_config),
         lr_schedule=str(p.get("lr_schedule", "constant")),
         lr_warmup_steps=int(p.get("lr_warmup_steps", 0)),
         # decay horizon defaults to the steps AFTER warmup so the schedule

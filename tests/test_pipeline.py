@@ -696,3 +696,44 @@ class TestTiledApply:
         _, a, _ = self._run(patch_batch=None)
         _, b, _ = self._run(patch_batch=3)
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestGANPolyphaseTraining:
+    def test_polyphase_gan_step_matches_standard(self):
+        """TrainConfig(polyphase=True) on the GAN step: the phase-domain
+        generator forward preserves losses and the trained generator
+        function (conv biases under BN random-walk on noise in both
+        versions — compare outputs, not leaves)."""
+        cfg = gan_lib.GANConfig(
+            gen_depth=3, gen_base_features=8, disc_layers=2,
+            disc_base_features=8, compute_dtype=jnp.float32,
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "input": jnp.asarray(rng.random((2, 32, 32, 1)).astype(np.float32)),
+            "target": jnp.asarray(rng.random((2, 32, 32, 1)).astype(np.float32)),
+        }
+        tc0 = train_lib.TrainConfig(learning_rate=2e-4, beta1=0.5, augment=False)
+        tc1 = dataclasses.replace(tc0, polyphase=True)
+        out = {}
+        for name, tc in (("std", tc0), ("poly", tc1)):
+            state = train_lib.create_gan_state(jax.random.PRNGKey(0), cfg, tc)
+            step = train_lib.make_gan_train_step(cfg, tc)
+            for i in range(2):
+                state, m = step(state, batch, jax.random.PRNGKey(i))
+            out[name] = (m, state)
+        m0, s0 = out["std"]
+        m1, s1 = out["poly"]
+        np.testing.assert_allclose(
+            float(m0["d_loss"]), float(m1["d_loss"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(m0["g_loss"]), float(m1["g_loss"]), rtol=1e-4
+        )
+        y0, _ = gan_lib.generator_apply(
+            cfg, s0.params, s0.model_state, batch["input"]
+        )
+        y1, _ = gan_lib.generator_apply(
+            cfg, s1.params, s1.model_state, batch["input"]
+        )
+        assert np.max(np.abs(np.asarray(y0) - np.asarray(y1))) < 1e-3
