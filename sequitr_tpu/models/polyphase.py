@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from sequitr_tpu.models import unet
 
 __all__ = [
-    "eligible", "phase_kernel", "phase_up_kernel", "apply", "apply_train",
+    "eligible", "eligible3d", "phase_kernel", "phase_up_kernel",
+    "apply", "apply3d", "apply_train",
 ]
 
 
@@ -376,3 +377,230 @@ def apply_train(
     ) + head["b"]
     logits = unet._depth_to_space(logits_p.reshape(n, h, w, 4 * k), 2)
     return logits.astype(jnp.float32), new_state
+
+
+# ---------------------------------------------------------------------------
+# volumetric (dims=3) polyphase: phase factor (1, 2, 2) — H, W only
+# ---------------------------------------------------------------------------
+
+
+def eligible3d(cfg: unet.UNetConfig, spatial: Tuple[int, ...]) -> bool:
+    """True when the volumetric polyphase forward covers this serving
+    config: 3D, transposed-conv upsampling, folded/absent norm, even
+    H and W (z is never phased — microscopy stacks are z-thin and the
+    z-pooling multiple already constrains it)."""
+    return (
+        cfg.dims == 3
+        and cfg.upsample == "transpose"
+        and cfg.norm == "none"
+        and len(spatial) == 3
+        and all(s % 2 == 0 for s in spatial[1:])
+    )
+
+
+def _space_to_depth_hw(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, Z, H, W, C) -> (N, Z, H/2, W/2, 4C), phase-major channels
+    (the 2D ``unet._space_to_depth`` layout applied to the trailing
+    spatial axes only)."""
+    n, z, h, w, c = x.shape
+    x = x.reshape(n, z, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+        n, z, h // 2, w // 2, 4 * c
+    )
+
+
+def _depth_to_space_hw(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_space_to_depth_hw`."""
+    n, z, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, z, h, w, 2, 2, c)
+    return x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(n, z, 2 * h, 2 * w, c)
+
+
+def phase_kernel3d(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, 3, C_in, C_out) -> (3, 3, 3, 4C_in, 4C_out): the 2D phase
+    rearrangement on the (H, W) tap axes; z taps pass through."""
+    if w.shape[:3] != (3, 3, 3):
+        raise ValueError(f"phase_kernel3d expects a 3x3x3 kernel, got {w.shape}")
+    zero = jnp.zeros_like(w[0, 0, 0])
+    rows = []
+    for sy in (-1, 0, 1):
+        cols = []
+        for sx in (-1, 0, 1):
+            in_blocks = []
+            for p in (0, 1):
+                for q in (0, 1):
+                    out_blocks = []
+                    for a in (0, 1):
+                        for b in (0, 1):
+                            dy = 2 * sy + p - a
+                            dx = 2 * sx + q - b
+                            ok = dy in (-1, 0, 1) and dx in (-1, 0, 1)
+                            out_blocks.append(
+                                w[:, dy + 1, dx + 1] if ok
+                                else jnp.broadcast_to(
+                                    zero, (3,) + zero.shape
+                                )
+                            )
+                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
+            cols.append(jnp.concatenate(in_blocks, axis=-2))
+        rows.append(jnp.stack(cols, axis=1))  # (z, sx, 4Cin, 4Cout)
+    # stacking sy at axis 1 lands the (dz, sy, sx, I, O) = DHWIO layout
+    return jnp.stack(rows, axis=1)
+
+
+def phase_up_kernel3d(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(2, 2, 2, C_in, C_out) stride-2 transposed kernel -> two
+    (C_in, 4C_out) 1x1 maps, one per output z-parity: kernel-2 stride-2
+    has no tap overlap, so y[2z+az, 2i+a, 2j+b, o] = w[az, a, b, c, o]
+    . x[z, i, j, c] — each z-parity emits all four (H, W) phases from
+    one matmul, and the two parities interleave along z."""
+    if w.shape[:3] != (2, 2, 2):
+        raise ValueError(
+            f"phase_up_kernel3d expects a 2x2x2 kernel, got {w.shape}"
+        )
+    outs = []
+    for az in (0, 1):
+        outs.append(jnp.concatenate(
+            [w[az, a, b] for a in (0, 1) for b in (0, 1)], axis=-1
+        ))
+    return outs[0], outs[1]
+
+
+def _phase_conv3d(x, w, b, cfg: unet.UNetConfig):
+    """3x3x3 phase conv + bias, numerics mirroring ``unet._conv``."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(cfg.compute_dtype),
+        w.astype(cfg.compute_dtype),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=unet._conv_dim_numbers(3),
+        preferred_element_type=(
+            jnp.float32 if cfg.compute_dtype == jnp.float32 else None
+        ),
+    )
+    return y.astype(jnp.float32) + b
+
+
+@jax.custom_vjp
+def _phase_max_hw(e: jnp.ndarray) -> jnp.ndarray:
+    """max over the (H, W) phase axis of (N, Z, h, w, 4, C) — the hw
+    half of the 2x2x2 pool; first-tie backward like ``_phase_max``."""
+    return jnp.max(e, axis=4)
+
+
+def _phase_max_hw_fwd(e):
+    m = jnp.max(e, axis=4)
+    return m, (e, m)
+
+
+def _phase_max_hw_bwd(res, g):
+    e, m = res
+    is_max = e == m[:, :, :, :, None, :]
+    first = jnp.cumsum(is_max.astype(jnp.int32), axis=4) == 1
+    return (jnp.where(is_max & first, g[:, :, :, :, None, :], 0.0),)
+
+
+_phase_max_hw.defvjp(_phase_max_hw_fwd, _phase_max_hw_bwd)
+
+
+def apply3d(
+    cfg: unet.UNetConfig,
+    params: unet.Params,
+    state: unet.State,
+    x: jnp.ndarray,
+    train: bool = False,
+) -> jnp.ndarray:
+    """Volumetric serving forward equal to ``unet.apply(...)[0]`` with
+    level 0 in the (1, 2, 2) polyphase domain — z is never phased
+    (stacks are z-thin; the z extent of the full 2x2x2 pool is handled
+    by a plain stride-2 z reduce after the phase max, which reproduces
+    the window's row-major tie order exactly). ``x``: (N, Z, H, W, C),
+    H and W even.
+    """
+    if train:
+        raise ValueError("polyphase.apply3d is a serving-only forward")
+    if not eligible3d(cfg, x.shape[1:-1]):
+        raise ValueError(
+            "polyphase.apply3d requires a folded 3D transpose-upsample "
+            f"config with even H, W; got {cfg} on {x.shape}"
+        )
+    relu = jax.nn.relu
+    enc0, dec0 = params["enc"][0], params["dec"][-1]
+    up0, head = params["up"][-1], params["head"]
+
+    xp = _space_to_depth_hw(x.astype(jnp.float32))
+    e0 = relu(_phase_conv3d(
+        xp, phase_kernel3d(enc0["conv1"]["w"]), _tile4(enc0["conv1"]["b"]),
+        cfg,
+    ))
+    e0 = relu(_phase_conv3d(
+        e0, phase_kernel3d(enc0["conv2"]["w"]), _tile4(enc0["conv2"]["b"]),
+        cfg,
+    ))
+
+    n, z, h, w, c4 = e0.shape
+    f0 = c4 // 4
+    hw_pooled = _phase_max_hw(e0.reshape(n, z, h, w, 4, f0))
+    # z half of the 2x2x2 pool: plain stride-2 window max over z
+    xmid = jax.lax.reduce_window(
+        hw_pooled, -jnp.inf, jax.lax.max,
+        (1, 2, 1, 1, 1), (1, 2, 1, 1, 1), "VALID",
+    )
+
+    skips = []
+    for lvl in range(1, cfg.depth):
+        if lvl > 1:
+            xmid = unet._maxpool(xmid, cfg)
+        xmid, _ = unet._block_apply(
+            xmid, params["enc"][lvl], state["enc"][lvl], cfg, False
+        )
+        if lvl < cfg.depth - 1:
+            skips.append(xmid)
+    for i, lvl in enumerate(reversed(range(1, cfg.depth - 1))):
+        skip = skips[lvl - 1]
+        xmid = unet._upsample(xmid, params["up"][i], skip.shape, cfg)
+        xmid = jnp.concatenate([skip, xmid.astype(skip.dtype)], axis=-1)
+        xmid, _ = unet._block_apply(
+            xmid, params["dec"][i], state["dec"][i], cfg, False
+        )
+
+    # up-conv: two z-parity 1x1 maps, interleaved along z
+    w_even, w_odd = phase_up_kernel3d(up0["w"])
+    xm = xmid.astype(cfg.compute_dtype)
+    u0 = jnp.einsum(
+        "nzhwc,cd->nzhwd", xm, w_even.astype(cfg.compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    u1 = jnp.einsum(
+        "nzhwc,cd->nzhwd", xm, w_odd.astype(cfg.compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    z2 = xmid.shape[1]
+    up = jnp.stack([u0, u1], axis=2).reshape(
+        n, 2 * z2, h, w, 4 * f0
+    ) + _tile4(up0["b"])
+
+    cat = jnp.concatenate(
+        [e0.reshape(n, z, h, w, 4, f0), up.reshape(n, z, h, w, 4, f0)],
+        axis=-1,
+    ).reshape(n, z, h, w, 4 * 2 * f0)
+
+    d0 = relu(_phase_conv3d(
+        cat, phase_kernel3d(dec0["conv1"]["w"]), _tile4(dec0["conv1"]["b"]),
+        cfg,
+    ))
+    d0 = relu(_phase_conv3d(
+        d0, phase_kernel3d(dec0["conv2"]["w"]), _tile4(dec0["conv2"]["b"]),
+        cfg,
+    ))
+
+    hw_ = head["w"][0, 0, 0].astype(cfg.compute_dtype)
+    k = hw_.shape[-1]
+    logits_p = jnp.einsum(
+        "nzhwpc,ck->nzhwpk",
+        d0.reshape(n, z, h, w, 4, f0).astype(cfg.compute_dtype), hw_,
+        preferred_element_type=jnp.float32,
+    ) + head["b"]
+    logits = _depth_to_space_hw(logits_p.reshape(n, z, h, w, 4 * k))
+    return logits.astype(jnp.float32)

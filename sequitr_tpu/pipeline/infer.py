@@ -256,16 +256,32 @@ def _tta_average(run: Callable, x: jnp.ndarray, variants) -> jnp.ndarray:
 
 def _check_polyphase(tc: TileConfig, run_cfg) -> None:
     """Build-time gate shared by every serving maker that honors
-    ``tc.polyphase`` (segmentation, GAN, N2V, flows, stars — all serve
-    the same U-Net family, so the same thin-level reformulation applies;
-    models.polyphase has the measured ledger)."""
-    if tc.polyphase and not polyphase.eligible(run_cfg, tc.patch):
+    ``tc.polyphase`` (segmentation 2D/3D, GAN, N2V, flows, stars — all
+    serve the same U-Net family, so the same thin-level reformulation
+    applies; models.polyphase has the measured ledger). 3D models use
+    the (1, 2, 2) phase factor (z never phased)."""
+    if not tc.polyphase:
+        return
+    ok = (
+        polyphase.eligible3d(run_cfg, tc.patch)
+        if run_cfg.dims == 3
+        else polyphase.eligible(run_cfg, tc.patch)
+    )
+    if not ok:
         raise ValueError(
-            "polyphase serving requires a 2D transpose-upsample model "
-            "without model-level space_to_depth and an even patch size; "
+            "polyphase serving requires a transpose-upsample model "
+            "without model-level space_to_depth and an even patch "
+            "(H, W axes for 3D); "
             f"got dims={run_cfg.dims} s2d={run_cfg.space_to_depth} "
             f"upsample={run_cfg.upsample!r} patch={tc.patch}"
         )
+
+
+def _polyphase_apply(run_cfg, params, state, batch):
+    """Dims-dispatching polyphase forward (2D or volumetric)."""
+    if run_cfg.dims == 3:
+        return polyphase.apply3d(run_cfg, params, state, batch)
+    return polyphase.apply(run_cfg, params, state, batch)
 
 
 def make_frame_inferrer(
@@ -338,7 +354,7 @@ def make_frame_inferrer(
             x = jnp.pad(x, [(0, d) for d in edge_pad] + [(0, 0)], mode=pad_mode)
         def forward(batch):
             if tc.polyphase:
-                logits = polyphase.apply(cfg, params, state, batch)
+                logits = _polyphase_apply(cfg, params, state, batch)
             else:
                 logits, _ = unet.apply(cfg, params, state, batch, train=False)
             return logits if logits_fast else jax.nn.softmax(logits, axis=-1)
@@ -431,7 +447,7 @@ def make_gan_enhancer(
 
         def forward(patches):
             if tc.polyphase:
-                y = polyphase.apply(
+                y = _polyphase_apply(
                     gcfg, params["gen"], state["gen"], patches
                 )
                 if cfg.output_activation == "tanh":
@@ -519,7 +535,7 @@ def make_denoiser(
 
         def forward(patches):
             if tc.polyphase:
-                return polyphase.apply(run_cfg, params, state, patches)
+                return _polyphase_apply(run_cfg, params, state, patches)
             out, _ = unet.apply(run_cfg, params, state, patches, train=False)
             return out
 
@@ -615,7 +631,7 @@ def make_flows_segmenter(
 
         def forward(patches):
             if tc.polyphase:
-                return polyphase.apply(run_cfg, params, state, patches)
+                return _polyphase_apply(run_cfg, params, state, patches)
             out, _ = unet.apply(run_cfg, params, state, patches, train=False)
             return out
 
@@ -711,7 +727,7 @@ def make_stars_predictor(
 
         def forward(patches):
             if tc.polyphase:
-                return polyphase.apply(run_cfg, params, state, patches)
+                return _polyphase_apply(run_cfg, params, state, patches)
             out, _ = unet.apply(run_cfg, params, state, patches, train=False)
             return out
 

@@ -21,6 +21,7 @@ from sequitr_tpu.config import ServerConfiguration
 from sequitr_tpu.server import jobs as jobs_lib
 from sequitr_tpu.server.jobs import Job
 from sequitr_tpu.server.server import (
+    _require_polyphase_model,
     _append_writer,
     _apply_frame_range,
     _apply_roi,
@@ -311,7 +312,15 @@ def segmentation_unet3d(job: Job, config: ServerConfiguration) -> Dict[str, str]
     tc = _tile_config(
         job.params, dims=3,
         frame_spatial=vol_spatial, min_multiple=cfg.min_input_multiple,
+        allow_polyphase=True,
     )
+    if tc.polyphase:
+        _require_polyphase_model(cfg)
+        if job.params.get("spatial_parallel"):
+            raise jobs_lib.JobError(
+                "polyphase + spatial_parallel is not supported; the "
+                "spatial path runs its own halo-exchange forward"
+            )
     from sequitr_tpu.utils import PhaseTimer
 
     timer = PhaseTimer()
@@ -883,7 +892,10 @@ def _segment_volume_timelapse(
     tc = _tile_config(
         job.params, dims=3,
         frame_spatial=zhw, min_multiple=cfg.min_input_multiple,
+        allow_polyphase=True,
     )
+    if tc.polyphase:
+        _require_polyphase_model(cfg)
     timer = PhaseTimer()
     t0 = time.time()
     comp = _out_compression(job)

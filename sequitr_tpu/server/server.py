@@ -797,13 +797,10 @@ def _tile_config(
     # that honor it read the param — elsewhere it stays unread and the
     # completion status carries the unknown-param warning
     poly = bool(params.get("polyphase", False)) if allow_polyphase else False
-    if poly and dims != 2:
+    # 2D phases all axes; 3D phases (H, W) only — z is never phased
+    if poly and any(p % 2 for p in patch[-2:]):
         raise jobs_lib.JobError(
-            f"polyphase serving is 2D-only (this job serves dims={dims})"
-        )
-    if poly and any(p % 2 for p in patch):
-        raise jobs_lib.JobError(
-            f"polyphase needs an even patch size, got {tuple(patch)}"
+            f"polyphase needs even H/W patch axes, got {tuple(patch)}"
         )
     try:
         return infer_lib.TileConfig(
@@ -832,8 +829,8 @@ def _tile_config(
 
 def _require_polyphase_model(cfg) -> None:
     """Deterministic rejection for models the polyphase serve can't cover
-    (``cfg``: the serving model's ``unet.UNetConfig``); shared by every
-    pipeline with a ``polyphase`` param."""
+    (``cfg``: the serving model's ``unet.UNetConfig``, 2D or 3D); shared
+    by every pipeline with a ``polyphase`` param."""
     if cfg.space_to_depth != 1 or cfg.upsample != "transpose":
         raise jobs_lib.JobError(
             "polyphase serving requires a space_to_depth=1 "

@@ -737,3 +737,50 @@ class TestGANPolyphaseTraining:
             cfg, s1.params, s1.model_state, batch["input"]
         )
         assert np.max(np.abs(np.asarray(y0) - np.asarray(y1))) < 1e-3
+
+
+class TestPolyphase3D:
+    def test_volumetric_serving_matches_standard(self):
+        """3D polyphase (phase factor (1,2,2)): the volumetric serve
+        must reproduce the standard fused serve to reassociation noise."""
+        cfg = small_cfg(dims=3, depth=2, norm="batch")
+        params, state = unet.init(jax.random.PRNGKey(0), cfg)
+        vol = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32)) * 50 + 200
+        tc = infer_lib.TileConfig(patch=(4, 32, 32), overlap=(0, 0, 0))
+        tcp = dataclasses.replace(tc, polyphase=True)
+        p0, l0 = infer_lib.make_frame_inferrer(cfg, tc, (4, 32, 32))(
+            params, state, vol
+        )
+        p1, l1 = infer_lib.make_frame_inferrer(cfg, tcp, (4, 32, 32))(
+            params, state, vol
+        )
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-4)
+        assert np.mean(np.asarray(l0) == np.asarray(l1)) >= 0.999
+
+    def test_exactness_direct(self):
+        from sequitr_tpu.models import polyphase
+
+        cfg = small_cfg(dims=3, depth=3, base_features=8, norm="batch")
+        params, st = unet.init(jax.random.PRNGKey(2), cfg)
+        fcfg, fp, fs = unet.fold_batchnorm(cfg, params, st)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 8, 32, 32, 1)),
+            jnp.float32,
+        )
+        yb = np.asarray(unet.apply(fcfg, fp, fs, x, False)[0])
+        yp = np.asarray(polyphase.apply3d(fcfg, fp, fs, x))
+        err = np.max(np.abs(yb - yp)) / max(np.max(np.abs(yb)), 1e-9)
+        assert err < 1e-5, err
+
+    def test_odd_hw_rejected(self):
+        import pytest
+
+        cfg = small_cfg(dims=3, depth=1)
+        with pytest.raises(ValueError, match="polyphase"):
+            infer_lib.make_frame_inferrer(
+                cfg,
+                infer_lib.TileConfig(
+                    patch=(4, 15, 15), overlap=(0, 0, 0), polyphase=True
+                ),
+                (4, 15, 15),
+            )
