@@ -258,15 +258,16 @@ def bench_unet3d(device_kind: str, iters: int):
     cfg = _unet_cfg(device_kind, dims=3, depth=3, features_cap=256)
     params, state = unet.init(jax.random.PRNGKey(0), cfg)
     vol_shape = (32, 512, 512)
+    # volumetric polyphase serve (round 5: 47.2 -> 68.5 Mvox/s A/B)
     tc = infer_lib.TileConfig(
-        patch=vol_shape, overlap=(0, 0, 0)
+        patch=vol_shape, overlap=(0, 0, 0), polyphase=True
     )
     fn = infer_lib.make_frame_inferrer(cfg, tc, vol_shape)
     vol = _frame(vol_shape)
     vps = _rate(lambda: fn(params, state, vol), max(2, iters // 4))
     mvox = np.prod(vol_shape) / 1e6
     return {"metric": "unet3d_512_z32_inference", "value": round(vps * mvox, 3),
-            "unit": "Mvoxels/sec/chip"}
+            "unit": "Mvoxels/sec/chip", "serving": "polyphase"}
 
 
 def bench_gan(device_kind: str, iters: int):
@@ -399,7 +400,11 @@ def bench_gan_train(device_kind: str, iters: int):
     from sequitr_tpu.pipeline import train as train_lib
 
     cfg = gan_lib.GANConfig(compute_dtype=_dtype(device_kind))
-    tc = train_lib.TrainConfig(learning_rate=2e-4, beta1=0.5)
+    # polyphase generator forward in the step (round 5: 274.6 -> 402.8
+    # pairs/s A/B); losses + the trained generator match the standard
+    tc = train_lib.TrainConfig(
+        learning_rate=2e-4, beta1=0.5, polyphase=True
+    )
     state = train_lib.create_gan_state(jax.random.PRNGKey(0), cfg, tc)
     step = train_lib.make_gan_train_step(cfg, tc)
     rng = np.random.default_rng(0)
@@ -417,6 +422,7 @@ def bench_gan_train(device_kind: str, iters: int):
 
     sps = _rate(one, iters)
     return {"metric": "gan_train_step_256px_b8", "value": round(sps * b, 3),
+            "serving": "polyphase",
             "unit": "pairs/sec/chip"}
 
 
@@ -760,14 +766,18 @@ def _fidelity_spec(name: str):
                 polyphase=True, emit_probs=False,
             ),
             n=2)),
-        "unet3d": ("seg3d", lambda: fid.seg_fidelity(
-            "unet3d_cells", (16, 128, 128), n=2)),
+        "unet3d": ("seg3d_poly", lambda: fid.seg_fidelity(
+            "unet3d_cells", (16, 128, 128), n=2,
+            tc=infer_lib.TileConfig(
+                patch=(16, 128, 128), overlap=(0, 0, 0), polyphase=True
+            ))),
         "gan": ("gan1024", lambda: fid.gan_fidelity(n=2)),
         "ganstream": ("gan1024", lambda: fid.gan_fidelity(n=2)),
         "train": ("train2d_poly", lambda: fid.train_fidelity(
             "unet2d", polyphase=True)),
         "train3d": ("train3d", lambda: fid.train_fidelity("unet3d")),
-        "gantrain": ("traingan", lambda: fid.train_fidelity("gan")),
+        "gantrain": ("traingan_poly", lambda: fid.train_fidelity(
+            "gan", polyphase=True)),
         "emitters": ("emit", lambda: fid.emitter_fidelity()),
         "emitters3d": ("emit3d", lambda: fid.emitter3d_fidelity()),
         "astig": ("astig", lambda: fid.astig_fidelity()),
