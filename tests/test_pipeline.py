@@ -164,15 +164,15 @@ class TestTiledInference:
         import pytest
 
         params_tc = dict(patch=(16, 16), overlap=(4, 4), polyphase=True)
-        # 3D model
-        cfg3 = small_cfg(dims=3, depth=2)
+        # 3D with ODD H/W (3D itself is covered since the (1,2,2) factor)
+        cfg3 = small_cfg(dims=3, depth=1)
         with pytest.raises(ValueError, match="polyphase"):
             infer_lib.make_frame_inferrer(
                 cfg3,
                 infer_lib.TileConfig(
-                    patch=(8, 16, 16), overlap=(2, 4, 4), polyphase=True
+                    patch=(8, 15, 15), overlap=(2, 4, 4), polyphase=True
                 ),
-                (8, 16, 16),
+                (8, 15, 15),
             )
         # model-level space-to-depth preset
         cfgs2d = small_cfg(space_to_depth=2)

@@ -1769,7 +1769,7 @@ class TestPolyphaseServing:
             stack_path, str(tmp / "out_pp_odd"),
         )
         assert st["state"] == "failed"
-        assert "even patch" in st.get("error", "")
+        assert "even H/W patch" in st.get("error", "")
 
 
 class TestLabelsOnlyServing:
