@@ -62,6 +62,26 @@ def _round(x: float, nd: int = 4) -> float:
     return round(float(x), nd)
 
 
+
+
+def _maybe_polyphase(tc, cfg, patch):
+    """Dev-side polyphase when the model covers it; the standard graph
+    otherwise — a METER must measure any fixture it is pointed at, not
+    crash on architectures outside the reformulation's cover (seg/train
+    meters take the flag from the caller instead)."""
+    import dataclasses as _dc
+
+    from sequitr_tpu.models import polyphase as _pp
+    from sequitr_tpu.models import unet as _unet
+
+    run = _dc.replace(cfg, norm="none") if cfg.norm == "batch" else cfg
+    ok = (
+        _pp.eligible3d(run, patch) if run.dims == 3
+        else _pp.eligible(run, patch)
+    )
+    return _dc.replace(tc, polyphase=True) if ok else tc
+
+
 # ---------------------------------------------------------------------------
 # segmentation: mIoU parity
 # ---------------------------------------------------------------------------
@@ -175,9 +195,12 @@ def gan_fidelity(
 
         return run
 
-    # dev = the production polyphase enhancement serve (round 5);
-    # ref = the untransformed f32 generator graph
-    dev_fn = _enhancer(cfg_dev, dataclasses.replace(tc, polyphase=True))
+    # dev = the production polyphase enhancement serve when the
+    # generator covers it (round 5); ref = the untransformed f32 graph
+    dev_fn = _enhancer(
+        cfg_dev,
+        _maybe_polyphase(tc, cfg_dev.generator_config, frame_shape),
+    )
     ref_fn = _enhancer(cfg_ref, tc_ref)
 
     def _psnr(a, b):
@@ -238,10 +261,10 @@ def n2v_fidelity(
     tc = infer_lib.TileConfig(
         patch=frame_shape, overlap=(0, 0), normalize="none"
     )
-    # dev = the production polyphase serve (round 5); ref = the
-    # UNTRANSFORMED f32 graph, so the PSNR bound covers the
-    # reformulation and bf16 in one number
-    tc_dev = dataclasses.replace(tc, polyphase=True)
+    # dev = the production polyphase serve when the model covers it
+    # (round 5); ref = the UNTRANSFORMED f32 graph, so the PSNR bound
+    # covers the reformulation and bf16 in one number
+    tc_dev = _maybe_polyphase(tc, cfg_dev, frame_shape)
     params, state = _np_tree((params, state))
     dev_fn = jax.jit(infer_lib.make_denoiser(cfg_dev, tc_dev, frame_shape))
     ref_fn = jax.jit(infer_lib.make_denoiser(cfg_ref, tc, frame_shape))
@@ -379,8 +402,8 @@ def stars_fidelity(
     cfg_ref = dataclasses.replace(cfg_dev, compute_dtype=jnp.float32)
     tc = infer_lib.TileConfig(patch=frame_shape, overlap=(0, 0))
     tc_ref = dataclasses.replace(tc, normalize="exact")
-    # dev = the production polyphase serve; ref = untransformed f32
-    tc_dev = dataclasses.replace(tc, polyphase=True)
+    # dev = the production polyphase serve when covered; ref = std f32
+    tc_dev = _maybe_polyphase(tc, cfg_dev, frame_shape)
     params, state = _np_tree((params, state))
     dev_fn = jax.jit(
         infer_lib.make_stars_predictor(cfg_dev, tc_dev, frame_shape)

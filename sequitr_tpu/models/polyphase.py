@@ -52,6 +52,7 @@ def eligible(cfg: unet.UNetConfig, spatial: Tuple[int, ...]) -> bool:
     folded/absent norm, and even spatial dims (phase factor 2)."""
     return (
         cfg.dims == 2
+        and cfg.depth >= 2  # level 0's pool/up/skip/dec structure
         and cfg.space_to_depth == 1
         and cfg.upsample == "transpose"
         and cfg.norm == "none"
@@ -314,10 +315,11 @@ def apply_train(
     levels at a quarter of MXU width; the training step pays them in
     the forward AND the backward.
     """
-    if cfg.dims != 2 or cfg.space_to_depth != 1:
+    if cfg.dims != 2 or cfg.space_to_depth != 1 or cfg.depth < 2:
         raise ValueError(
-            "polyphase.apply_train covers 2D space_to_depth=1 models; "
-            f"got dims={cfg.dims} s2d={cfg.space_to_depth}"
+            "polyphase.apply_train covers 2D space_to_depth=1 models of "
+            f"depth >= 2; got dims={cfg.dims} s2d={cfg.space_to_depth} "
+            f"depth={cfg.depth}"
         )
     if cfg.upsample != "transpose":
         raise ValueError("polyphase.apply_train requires upsample='transpose'")
@@ -391,6 +393,7 @@ def eligible3d(cfg: unet.UNetConfig, spatial: Tuple[int, ...]) -> bool:
     z-pooling multiple already constrains it)."""
     return (
         cfg.dims == 3
+        and cfg.depth >= 2  # level 0's pool/up/skip/dec structure
         and cfg.upsample == "transpose"
         and cfg.norm == "none"
         and len(spatial) == 3

@@ -619,6 +619,7 @@ def make_flows_segmenter(
     nd = len(spatial)
     fold = cfg.norm == "batch"
     run_cfg = dataclasses.replace(cfg, norm="none") if fold else cfg
+    _check_polyphase(tc, run_cfg)
 
     def segment_one(params, state, frame):
         if fold:
@@ -715,6 +716,7 @@ def make_stars_predictor(
     grid = tiling.tile_grid(spatial, tc.patch, tc.overlap)
     fold = cfg.norm == "batch"
     run_cfg = dataclasses.replace(cfg, norm="none") if fold else cfg
+    _check_polyphase(tc, run_cfg)
 
     def predict_one(params, state, frame):
         if fold:

@@ -72,6 +72,11 @@ def _gan_setup(job: Job, config: ServerConfiguration, source):
     )
     if tc.polyphase:
         _require_polyphase_model(cfg.generator_config)
+        if job.params.get("spatial_parallel"):
+            raise jobs_lib.JobError(
+                "polyphase + spatial_parallel is not supported; the "
+                "spatial path runs its own halo-exchange forward"
+            )
     return cfg, params, state, tc
 
 

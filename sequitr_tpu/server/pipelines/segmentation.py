@@ -77,15 +77,10 @@ def segmentation_unet2d(job: Job, config: ServerConfiguration) -> Dict[str, str]
         allow_polyphase=True,
     )
     if tc.polyphase:
-        # the polyphase forward covers the plain 2D serving topology;
+        # the polyphase forward covers the plain serving topology;
         # reject the rest loudly rather than silently serving the
         # standard graph (models.polyphase docstring has the ledger)
-        if cfg.space_to_depth != 1 or cfg.upsample != "transpose":
-            raise jobs_lib.JobError(
-                "polyphase serving requires a space_to_depth=1 "
-                "transpose-upsample model; this model has "
-                f"s2d={cfg.space_to_depth}, upsample={cfg.upsample!r}"
-            )
+        _require_polyphase_model(cfg)
         if job.params.get("spatial_parallel"):
             raise jobs_lib.JobError(
                 "polyphase + spatial_parallel is not supported; the "

@@ -831,11 +831,12 @@ def _require_polyphase_model(cfg) -> None:
     """Deterministic rejection for models the polyphase serve can't cover
     (``cfg``: the serving model's ``unet.UNetConfig``, 2D or 3D); shared
     by every pipeline with a ``polyphase`` param."""
-    if cfg.space_to_depth != 1 or cfg.upsample != "transpose":
+    if cfg.space_to_depth != 1 or cfg.upsample != "transpose" or cfg.depth < 2:
         raise jobs_lib.JobError(
             "polyphase serving requires a space_to_depth=1 "
-            "transpose-upsample model; this model has "
-            f"s2d={cfg.space_to_depth}, upsample={cfg.upsample!r}"
+            "transpose-upsample model of depth >= 2; this model has "
+            f"s2d={cfg.space_to_depth}, upsample={cfg.upsample!r}, "
+            f"depth={cfg.depth}"
         )
 
 
