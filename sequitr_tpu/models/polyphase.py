@@ -42,7 +42,7 @@ from sequitr_tpu.models import unet
 
 __all__ = [
     "eligible", "eligible3d", "phase_kernel", "phase_up_kernel",
-    "apply", "apply3d", "apply_train",
+    "apply", "apply3d", "apply_train", "apply3d_train",
 ]
 
 
@@ -607,3 +607,129 @@ def apply3d(
     ) + head["b"]
     logits = _depth_to_space_hw(logits_p.reshape(n, z, h, w, 4 * k))
     return logits.astype(jnp.float32)
+
+
+def _phase_batch_norm3d(y, p, s, cfg: unet.UNetConfig, train: bool):
+    """Volumetric BN on a (N, Z, h, w, 4C) phase activation with
+    full-resolution semantics (cf. ``_phase_batch_norm``): reducing over
+    (N, Z, h, w, phase) per channel is the same pixel multiset as the
+    full-res (N, Z, H, W) reduction."""
+    n, z, h, w, c4 = y.shape
+    c = c4 // 4
+    y32 = y.astype(jnp.float32).reshape(n, z, h, w, 4, c)
+    if train:
+        mean = jnp.mean(y32, axis=(0, 1, 2, 3, 4))
+        var = jnp.var(y32, axis=(0, 1, 2, 3, 4))
+        m = cfg.bn_momentum
+        new_s = {
+            "mean": m * s["mean"] + (1 - m) * mean,
+            "var": m * s["var"] + (1 - m) * var,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = jax.lax.rsqrt(var + cfg.bn_eps)
+    out = (y32 - mean) * inv * p["scale"] + p["bias"]
+    return out.reshape(n, z, h, w, c4), new_s
+
+
+def _phase_block_apply3d(xp, p, s, cfg: unet.UNetConfig, train: bool):
+    """conv -> norm -> relu, twice, in the volumetric phase domain."""
+    new_s = {}
+    for i in (1, 2):
+        conv = p[f"conv{i}"]
+        xp = _phase_conv3d(
+            xp, phase_kernel3d(conv["w"]), _tile4(conv["b"]), cfg
+        )
+        if cfg.norm == "batch":
+            xp, new_s[f"bn{i}"] = _phase_batch_norm3d(
+                xp, p[f"bn{i}"], s[f"bn{i}"], cfg, train
+            )
+        xp = jax.nn.relu(xp)
+    return xp, new_s
+
+
+def apply3d_train(
+    cfg: unet.UNetConfig,
+    params: unet.Params,
+    state: unet.State,
+    x: jnp.ndarray,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, unet.State]:
+    """Volumetric training forward equal to ``unet.apply`` with level 0
+    in the (1, 2, 2) phase domain — logits, BN statistics AND gradients
+    match the production step (the pool decomposes into the first-tie
+    (H, W) phase max then the z-stage ``reduce_window``, whose composed
+    tie routing reproduces the 2x2x2 window's row-major order)."""
+    if cfg.dims != 3 or cfg.depth < 2 or cfg.upsample != "transpose":
+        raise ValueError(
+            "polyphase.apply3d_train covers 3D transpose-upsample models "
+            f"of depth >= 2; got dims={cfg.dims} depth={cfg.depth} "
+            f"upsample={cfg.upsample!r}"
+        )
+    if any(d % 2 for d in x.shape[2:-1]):
+        raise ValueError(f"even H/W required, got {x.shape}")
+    new_state: unet.State = {"enc": [None] * cfg.depth,
+                             "dec": [None] * (cfg.depth - 1)}
+
+    xp = _space_to_depth_hw(x.astype(jnp.float32))
+    e0, new_state["enc"][0] = _phase_block_apply3d(
+        xp, params["enc"][0], state["enc"][0], cfg, train
+    )
+    n, z, h, w, c4 = e0.shape
+    f0 = c4 // 4
+    hw_pooled = _phase_max_hw(e0.reshape(n, z, h, w, 4, f0))
+    xmid = jax.lax.reduce_window(
+        hw_pooled, -jnp.inf, jax.lax.max,
+        (1, 2, 1, 1, 1), (1, 2, 1, 1, 1), "VALID",
+    )
+
+    skips = []
+    for lvl in range(1, cfg.depth):
+        if lvl > 1:
+            xmid = unet._maxpool(xmid, cfg)
+        xmid, new_state["enc"][lvl] = unet._block_apply(
+            xmid, params["enc"][lvl], state["enc"][lvl], cfg, train
+        )
+        if lvl < cfg.depth - 1:
+            skips.append(xmid)
+    for i, lvl in enumerate(reversed(range(1, cfg.depth - 1))):
+        skip = skips[lvl - 1]
+        xmid = unet._upsample(xmid, params["up"][i], skip.shape, cfg)
+        xmid = jnp.concatenate([skip, xmid.astype(skip.dtype)], axis=-1)
+        xmid, new_state["dec"][i] = unet._block_apply(
+            xmid, params["dec"][i], state["dec"][i], cfg, train
+        )
+
+    up0, head = params["up"][-1], params["head"]
+    w_even, w_odd = phase_up_kernel3d(up0["w"])
+    xm = xmid.astype(cfg.compute_dtype)
+    u0 = jnp.einsum(
+        "nzhwc,cd->nzhwd", xm, w_even.astype(cfg.compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    u1 = jnp.einsum(
+        "nzhwc,cd->nzhwd", xm, w_odd.astype(cfg.compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    z2 = xmid.shape[1]
+    up = jnp.stack([u0, u1], axis=2).reshape(
+        n, 2 * z2, h, w, 4 * f0
+    ) + _tile4(up0["b"])
+    cat = jnp.concatenate(
+        [e0.reshape(n, z, h, w, 4, f0), up.reshape(n, z, h, w, 4, f0)],
+        axis=-1,
+    ).reshape(n, z, h, w, 4 * 2 * f0)
+    d0, new_state["dec"][-1] = _phase_block_apply3d(
+        cat, params["dec"][-1], state["dec"][-1], cfg, train
+    )
+
+    hw_ = head["w"][0, 0, 0].astype(cfg.compute_dtype)
+    k = hw_.shape[-1]
+    logits_p = jnp.einsum(
+        "nzhwpc,ck->nzhwpk",
+        d0.reshape(n, z, h, w, 4, f0).astype(cfg.compute_dtype), hw_,
+        preferred_element_type=jnp.float32,
+    ) + head["b"]
+    logits = _depth_to_space_hw(logits_p.reshape(n, z, h, w, 4 * k))
+    return logits.astype(jnp.float32), new_state

@@ -176,13 +176,20 @@ def _train_forward(cfg: unet.UNetConfig, tc: TrainConfig):
     if tc.polyphase:
         from sequitr_tpu.models import polyphase
 
-        if cfg.dims != 2 or cfg.space_to_depth != 1 or cfg.upsample != "transpose":
+        if (
+            cfg.space_to_depth != 1 or cfg.upsample != "transpose"
+            or cfg.depth < 2 or cfg.dims not in (2, 3)
+        ):
             raise ValueError(
-                "polyphase training requires a 2D space_to_depth=1 "
-                f"transpose-upsample model; got dims={cfg.dims} "
-                f"s2d={cfg.space_to_depth} upsample={cfg.upsample!r}"
+                "polyphase training requires a space_to_depth=1 "
+                f"transpose-upsample model of depth >= 2; got "
+                f"dims={cfg.dims} s2d={cfg.space_to_depth} "
+                f"upsample={cfg.upsample!r} depth={cfg.depth}"
             )
-        return polyphase.apply_train
+        return (
+            polyphase.apply3d_train if cfg.dims == 3
+            else polyphase.apply_train
+        )
     return lambda c, p, s, x, train=True: unet.apply(c, p, s, x, train=train)
 
 

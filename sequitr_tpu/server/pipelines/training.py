@@ -237,11 +237,11 @@ def _polyphase_train_param(p, cfg) -> bool:
     rejection of uncovered models (mirrors the serving gate)."""
     poly = bool(p.get("polyphase", False))
     if poly and (
-        cfg.dims != 2 or cfg.space_to_depth != 1
+        cfg.dims not in (2, 3) or cfg.space_to_depth != 1
         or cfg.upsample != "transpose" or cfg.depth < 2
     ):
         raise jobs_lib.JobError(
-            "polyphase training requires a 2D space_to_depth=1 "
+            "polyphase training requires a space_to_depth=1 "
             f"transpose-upsample model of depth >= 2; got dims={cfg.dims}, "
             f"s2d={cfg.space_to_depth}, upsample={cfg.upsample!r}, "
             f"depth={cfg.depth}"

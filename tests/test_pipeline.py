@@ -784,3 +784,59 @@ class TestPolyphase3D:
                 ),
                 (4, 15, 15),
             )
+
+
+class TestPolyphase3DTraining:
+    def test_volumetric_train_step_matches_standard(self):
+        """TrainConfig(polyphase=True) on a 3D model: loss, BN state
+        and gradients match the production step (the (1,2,2) phase
+        pool's composed first-tie routing reproduces the 2x2x2
+        window's row-major order)."""
+        from sequitr_tpu.models import polyphase
+        from sequitr_tpu.ops import losses as losses_lib
+
+        cfg = small_cfg(
+            dims=3, depth=3, base_features=8, norm="batch",
+        )
+        params, st = unet.init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 8, 16, 16, 1)), jnp.float32)
+        lab = jnp.asarray(rng.integers(0, 3, (2, 8, 16, 16)))
+
+        def loss_std(p):
+            lo, ms = unet.apply(cfg, p, st, x, train=True)
+            return losses_lib.weighted_softmax_cross_entropy(lo, lab, None), ms
+
+        def loss_pp(p):
+            lo, ms = polyphase.apply3d_train(cfg, p, st, x, train=True)
+            return losses_lib.weighted_softmax_cross_entropy(lo, lab, None), ms
+
+        (l0, ms0), g0 = jax.value_and_grad(loss_std, has_aux=True)(params)
+        (l1, ms1), g1 = jax.value_and_grad(loss_pp, has_aux=True)(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(ms0), jax.tree.leaves(ms1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        gscale = max(
+            float(np.max(np.abs(np.asarray(leaf))))
+            for leaf in jax.tree.leaves(g0)
+        )
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            diff = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            assert diff / gscale < 1e-4, diff
+
+    def test_train_step_dispatches_3d(self):
+        cfg = small_cfg(dims=3, depth=2, norm="batch")
+        tc = train_lib.TrainConfig(augment=False, polyphase=True)
+        state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+        step = train_lib.make_unet_train_step(cfg, tc, jit=True)
+        rng = np.random.default_rng(1)
+        batch = {
+            "image": jnp.asarray(
+                rng.normal(size=(1, 4, 16, 16, 1)).astype(np.float32)
+            ),
+            "labels": jnp.asarray(
+                rng.integers(0, 3, (1, 4, 16, 16)).astype(np.int32)
+            ),
+        }
+        state, m = step(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["loss"]))
