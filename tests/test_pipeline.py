@@ -421,24 +421,29 @@ class TestUNetTraining:
             diff = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
             assert diff / gscale < 1e-4, diff
 
-    def test_polyphase_train_rejects_3d(self):
+    def test_polyphase_train_rejects_uncovered_models(self):
+        # 3D training is COVERED since the (1,2,2) extension; the gates
+        # now reject depth-1 and resize-upsample models instead
         import pytest
 
-        cfg = small_cfg(dims=3, depth=2)
-        tc = train_lib.TrainConfig(polyphase=True, augment=False)
-        state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
-        step = train_lib.make_unet_train_step(cfg, tc, jit=False)
-        rng = np.random.default_rng(0)
-        batch = {
-            "image": jnp.asarray(
-                rng.normal(size=(1, 8, 16, 16, 1)).astype(np.float32)
-            ),
-            "labels": jnp.asarray(
-                rng.integers(0, 3, (1, 8, 16, 16)).astype(np.int32)
-            ),
-        }
-        with pytest.raises(ValueError, match="polyphase"):
-            step(state, batch, jax.random.PRNGKey(1))
+        for cfg in (
+            small_cfg(depth=1),
+            small_cfg(depth=2, upsample="resize"),
+        ):
+            tc = train_lib.TrainConfig(polyphase=True, augment=False)
+            state = train_lib.create_unet_state(jax.random.PRNGKey(0), cfg, tc)
+            step = train_lib.make_unet_train_step(cfg, tc, jit=False)
+            rng = np.random.default_rng(0)
+            batch = {
+                "image": jnp.asarray(
+                    rng.normal(size=(1, 16, 16, 1)).astype(np.float32)
+                ),
+                "labels": jnp.asarray(
+                    rng.integers(0, 3, (1, 16, 16)).astype(np.int32)
+                ),
+            }
+            with pytest.raises(ValueError, match="polyphase"):
+                step(state, batch, jax.random.PRNGKey(1))
 
     def test_loss_decreases(self):
         cfg = small_cfg(depth=2)
